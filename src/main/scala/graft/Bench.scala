@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: headline queries on SPARK_GRAFT_SF_DIR, one JSON
+  * line on stdout. Each query executes fully through a `noop`-format write
+  * (a bare `.count()` would let Catalyst prune the projections under
+  * measurement). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +12,30 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = Queries.benchNames.filter(SparkEntry.queries.contains)
+    // one warmup pass to exclude JVM/classloading cost from the measurement
+    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      // settle the JVM between queries: prior queries' shuffle/broadcast
+      // garbage otherwise lands in the next query's measurement
+      System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

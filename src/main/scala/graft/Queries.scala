@@ -1,0 +1,672 @@
+package graft
+
+import graft.etl.{Extract, Metrics, Transform}
+import graft.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Windows}
+import graft.streaming.EventStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Every operator from SURVEY.md §2 plus the LLM-pipeline extensions, as
+  * named queries with (where SQL can express them) DuckDB oracle twins.
+  *
+  * Determinism rules applied throughout (SURVEY.md §7.4):
+  *   - money/value sums go through exact decimal arithmetic and come back as
+  *     double, so accumulation order (partitions, AQE) can't perturb results;
+  *   - every limit/top-k has a total ordering (explicit tiebreaks);
+  *   - float similarity scores are rounded to 4 decimals BEFORE ranking so
+  *     both engines rank identical values.
+  */
+object Queries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // exact-decimal casts: narrow enough that products stay inside 38 digits
+  // in BOTH engines (no precision-loss rounding on either side)
+  private val SQL_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+  private val SQL_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+  private val SQL_TAX = "CAST(l_tax AS DECIMAL(4,2))"
+  private def price = col("l_extendedprice").cast("decimal(12,2)")
+  private def disc = col("l_discount").cast("decimal(4,2)")
+  private def tax = col("l_tax").cast("decimal(4,2)")
+
+  // ───────────────────────────── core parity ─────────────────────────────
+
+  /** E1 flagship: extract customer ⋈ nation ⋈ region, P1 enrich, F1 filter. */
+  val e1Users: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    val enriched = c
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(
+        concat(lit("user-"), col("c_custkey").cast("string")).as("id"),
+        trim(col("c_name")).as("name"),
+        jsCoalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        col("n_name").as("nation"),
+        col("r_name").as("region"),
+        col("c_acctbal").as("acctbal"),
+        (col("c_acctbal") > 0).as("valid"))
+    enriched.filter(col("valid") && col("segment") =!= "UNKNOWN")
+      .drop("valid")
+  }
+
+  val e1UsersSql: String =
+    """SELECT 'user-' || CAST(c_custkey AS VARCHAR) AS id,
+      |       trim(c_name) AS name,
+      |       coalesce(nullif(c_mktsegment, ''), 'UNKNOWN') AS segment,
+      |       n_name AS nation, r_name AS region, c_acctbal AS acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE c_acctbal > 0 AND coalesce(nullif(c_mktsegment, ''), 'UNKNOWN') <> 'UNKNOWN'
+      |""".stripMargin
+
+  /** E2/A1–A5: the run-metrics row (rows_in/out, dedup_removed, countries,
+    * last_record via max_by over the explicit key order). */
+  val e2Metrics: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val validCond = col("c_acctbal") > 0 && emptyToNull(col("c_mktsegment")).isNotNull
+    Metrics.summary(c, validCond, col("c_nationkey"), trim(col("c_name")), col("c_custkey"))
+  }
+
+  val e2MetricsSql: String =
+    """SELECT count(*) AS rows_in,
+      |       count(*) FILTER (WHERE c_acctbal > 0 AND nullif(c_mktsegment,'') IS NOT NULL) AS rows_out,
+      |       count(*) - count(*) FILTER (WHERE c_acctbal > 0 AND nullif(c_mktsegment,'') IS NOT NULL) AS dedup_removed,
+      |       count(DISTINCT c_nationkey) AS countries,
+      |       arg_max(trim(c_name), c_custkey) AS last_record
+      |FROM customer
+      |""".stripMargin
+
+  /** E3 flagship: union(F,O) → broadcast lookup joins → tail-150 (L1). */
+  val e3Launches: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val past = o.filter(col("o_orderstatus") === "F")
+    val upcoming = o.filter(col("o_orderstatus") === "O")
+    val unioned = Transform.unionAll(past, upcoming)
+    val c = Tables.customer(s, d).select(col("c_custkey"), trim(col("c_name")).as("customer_name"), col("c_nationkey"))
+    val n = Tables.nation(s, d)
+    val joined = unioned
+      .join(broadcast(c), unioned("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+        col("customer_name"), col("n_name").as("nation"), col("o_totalprice"))
+    Transform.tailN(joined, "o_orderdate", "o_orderkey", 150)
+  }
+
+  val e3LaunchesSql: String =
+    """WITH u AS (
+      |  SELECT * FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT * FROM orders WHERE o_orderstatus = 'O')
+      |SELECT o_orderkey, o_orderdate, o_orderstatus,
+      |       trim(c_name) AS customer_name, n_name AS nation, o_totalprice
+      |FROM u
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 150
+      |""".stripMargin
+
+  /** S1/column pruning: projection + pushed filter should reach the scan. */
+  val s1Scan: Q = (s, d) =>
+    Tables.customer(s, d)
+      .filter(col("c_acctbal") > 100)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  val s1ScanSql: String =
+    "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 100"
+
+  /** F5/S5/J4: point lookup with JS loose-`==` string key comparison. */
+  val f5Point: Q = (s, d) =>
+    Transform.pointLookup(Tables.orders(s, d), "o_orderkey", "42")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  val f5PointSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE CAST(o_orderkey AS VARCHAR) = '42'""".stripMargin
+
+  /** J1/J2: left-outer broadcast lookup with default-on-miss ('Unknown'). */
+  val j1Lookup: Q = (s, d) => {
+    val dim = Tables.customer(s, d).filter(col("c_acctbal") > 7000)
+      .select(col("c_custkey"), col("c_name"))
+    Transform.lookupJoin(
+      Tables.orders(s, d).select("o_orderkey", "o_custkey"), dim,
+      "o_custkey", "c_custkey",
+      Seq("c_name" -> "customer_name"),
+      Map("customer_name" -> lit("Unknown")))
+      .select("o_orderkey", "customer_name")
+  }
+
+  val j1LookupSql: String =
+    """SELECT o_orderkey, coalesce(c_name, 'Unknown') AS customer_name
+      |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 7000) c
+      |ON o_custkey = c_custkey""".stripMargin
+
+  /** J3: array-membership join — per-order payload-id array, explode, join
+    * the dimension, re-aggregate (spacex.js:26-28,34 shape). */
+  val j3Payloads: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val arrays = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("payload_ids"))
+    val exploded = arrays.select(col("l_orderkey"), explode(col("payload_ids")).as("pid"))
+    val p = Tables.part(s, d)
+    exploded.join(broadcast(p), col("pid") === p("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("payloads_count"),
+        decSum(col("p_retailprice")).as("payload_value"))
+  }
+
+  val j3PayloadsSql: String =
+    """SELECT l_orderkey, count(*) AS payloads_count,
+      |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS payload_value
+      |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) j
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY l_orderkey""".stripMargin
+
+  /** U1: union all with schema drift (missing column → null). */
+  val u1Union: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val past = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val upcoming = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    Transform.unionAll(past, upcoming)
+  }
+
+  val u1UnionSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) FROM orders WHERE o_orderstatus = 'O'
+      |""".stripMargin
+
+  /** U2/A4: distinct over the coalesced country key. */
+  val u2Distinct: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey")).distinct()
+
+  val u2DistinctSql: String = "SELECT DISTINCT c_nationkey FROM customer"
+
+  /** A4 at scale: exact vs HLL++ distinct (no oracle — approx is
+    * engine-specific by construction). */
+  val a4Hll: Q = (s, d) =>
+    Metrics.summaryApprox(Tables.orders(s, d), col("o_custkey"))
+
+  /** L1: tail-N with the implicit source order made explicit. */
+  val l1Tail: Q = (s, d) =>
+    Transform.tailN(Tables.orders(s, d), "o_orderdate", "o_orderkey", 150)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+
+  val l1TailSql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 150""".stripMargin
+
+  /** L2: head-N display page. */
+  val l2Head: Q = (s, d) =>
+    Transform.headN(Tables.customer(s, d), "c_custkey", 20)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  val l2HeadSql: String =
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 20"
+
+  /** C1–C3, C8, C9, C13, C14: the scalar-function suite. */
+  val c1Scalars: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        col("c_custkey"),
+        trim(col("c_name")).as("name"),
+        concat_ws(", ", col("c_mktsegment"), col("n_name")).as("loc"),
+        jsCoalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        pctOf(col("c_acctbal"), lit(10000.0)).as("pct"),
+        when(col("c_acctbal") > 5000, "GOLD")
+          .when(col("c_acctbal") > 0, "OK").otherwise("NEG").as("status"),
+        upper(col("c_mktsegment")).as("segment_upper"),
+        col("c_custkey").cast("string").as("key_str"))
+  }
+
+  val c1ScalarsSql: String =
+    """SELECT c_custkey, trim(c_name) AS name,
+      |       concat_ws(', ', c_mktsegment, n_name) AS loc,
+      |       coalesce(nullif(c_mktsegment, ''), 'UNKNOWN') AS segment,
+      |       least(c_acctbal / 10000.0 * 100, 100) AS pct,
+      |       CASE WHEN c_acctbal > 5000 THEN 'GOLD'
+      |            WHEN c_acctbal > 0 THEN 'OK' ELSE 'NEG' END AS status,
+      |       upper(c_mktsegment) AS segment_upper,
+      |       CAST(c_custkey AS VARCHAR) AS key_str
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  /** C5/C6: timestamp parse/format. */
+  val c5Dates: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+      year(col("o_orderdate")).as("order_year"),
+      month(col("o_orderdate")).as("order_month"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("order_iso"))
+
+  val c5DatesSql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+      |       year(o_orderdate) AS order_year, month(o_orderdate) AS order_month,
+      |       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS order_iso
+      |FROM orders""".stripMargin
+
+  /** C7: URL hostname/path extraction. */
+  val c7Url: Q = (s, d) =>
+    Tables.customer(s, d)
+      .withColumn("url", concat(lit("https://"), lower(col("c_mktsegment")),
+        lit(".example.com/u/"), col("c_custkey").cast("string")))
+      .select(col("c_custkey"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"))
+
+  val c7UrlSql: String =
+    """SELECT c_custkey, url,
+      |       regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+      |       regexp_extract(url, 'https?://[^/]+(/.*)', 1) AS path
+      |FROM (SELECT c_custkey,
+      |        'https://' || lower(c_mktsegment) || '.example.com/u/' || CAST(c_custkey AS VARCHAR) AS url
+      |      FROM customer) t""".stripMargin
+
+  /** C12: JSON payload extraction + rollup over events.props. */
+  val c12Json: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))
+
+  val c12JsonSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+      |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ────────────────────────── analytics / windows ─────────────────────────
+
+  /** TPC-H Q1-style pricing summary (the headline scan+agg benchmark). */
+  val q1Pricing: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1).cast("decimal(4,2)") - disc) * (lit(1).cast("decimal(4,2)") + tax))
+          .cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  val q1PricingSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(sum($SQL_PRICE * (1 - $SQL_DISC)) AS DOUBLE) AS sum_disc_price,
+       |  CAST(sum($SQL_PRICE * (1 - $SQL_DISC) * (1 + $SQL_TAX)) AS DOUBLE) AS sum_charge,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style shipping priority (join + agg + top-k benchmark). */
+  val q3Priority: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3PrioritySql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  CAST(sum($SQL_PRICE * (1 - $SQL_DISC)) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style revenue rollup (the multi-join shuffle benchmark). */
+  val q5Revenue: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"))
+      .agg(sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("double").as("revenue"))
+  }
+
+  val q5RevenueSql: String =
+    s"""SELECT n_name, year(o_orderdate) AS order_year,
+       |  CAST(sum($SQL_PRICE * (1 - $SQL_DISC)) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name, year(o_orderdate)""".stripMargin
+
+  /** W1: ranking window — top-3 orders per customer. */
+  val w1Rank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  val w1RankSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3""".stripMargin
+
+  /** W2: tumbling event-time window aggregation (batch form). */
+  val w2Tumbling: Q = (s, d) => Windows.tumbling(Tables.events(s, d))
+
+  val w2TumblingSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** W3: gap-based sessionization via session_window. */
+  val w3Sessions: Q = (s, d) => Windows.sessions(Tables.events(s, d))
+
+  val w3SessionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |                   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+      |                 THEN 1 ELSE 0 END AS new_session
+      |  FROM o),
+      |s AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                                   ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM f)
+      |SELECT user_id, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  /** ST1: the same window aggregation through Structured Streaming —
+    * stream/batch parity is enforced by sharing w2-shaped oracle SQL. */
+  val st1Stream: Q = (s, d) => EventStream.runWindowedOverFixture(s, d)
+
+  // ──────────────────────────── dedup family ─────────────────────────────
+
+  val d1Exact: Q = (s, d) => Dedup.exact(Tables.documents(s, d))
+
+  val d1ExactSql: String =
+    "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text"
+
+  /** Exact-dedup metrics (rows_in/rows_out/dedup_removed, A1–A3 shape). */
+  val d1Metrics: Q = (s, d) =>
+    Dedup.exactMetrics(Tables.documents(s, d), col("text"))
+
+  val d1MetricsSql: String =
+    """SELECT count(*) AS rows_in, count(DISTINCT text) AS rows_out,
+      |       count(*) - count(DISTINCT text) AS dedup_removed
+      |FROM documents""".stripMargin
+
+  /** MinHash+LSH near-dup candidates (no oracle: hash family is
+    * engine-specific; accuracy is spec-tested against exact Jaccard). */
+  val d2Minhash: Q = (s, d) => Dedup.minhashPairs(Tables.documents(s, d))
+
+  /** SimHash signatures — md5-derived, so the oracle CAN recompute them. */
+  val d3Simhash: Q = (s, d) => Dedup.simhash(Tables.documents(s, d))
+
+  val d3SimhashSql: String = {
+    val pow16 = Array(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
+    val hexInt = (0 until 8)
+      .map(k => s"(strpos('0123456789abcdef', substr(md5(tok), ${k + 1}, 1)) - 1) * ${pow16(k)}")
+      .mkString(" + ")
+    val votes = (0 until 32)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v_$j")
+      .mkString(", ")
+    val assemble = (0 until 32)
+      .map(j => s"CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |th AS (SELECT doc_id, $hexInt AS h FROM tok),
+       |v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v""".stripMargin
+  }
+
+  /** Exact n-gram (5-shingle) Jaccard pairs through the inverted index. */
+  val d4Ngram: Q = (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))
+
+  val d4NgramSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+      |                        FOR i IN RANGE(1, len(t) - 3)]) AS s
+      |       FROM toks WHERE len(t) >= 5),
+      |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |       round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+      |FROM pairs
+      |JOIN sz na ON na.doc_id = a_id
+      |JOIN sz nb ON nb.doc_id = b_id
+      |WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) > 0""".stripMargin
+
+  /** Embedding-cosine near-dup pairs (threshold tuned to fixture geometry). */
+  val d5Cosine: Q = (s, d) => Dedup.cosinePairs(Tables.embeddings(s, d), 0.35)
+
+  val d5CosineSql: String =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.35""".stripMargin
+
+  // ───────────────────────── similarity search ───────────────────────────
+
+  /** Brute-force exact cosine top-k for a small query set. */
+  val sim1TopK: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
+  }
+
+  val sim1TopKSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS n_id, embedding AS ne FROM embeddings),
+      |sc AS (SELECT q_id, n_id, round(list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ne AS DOUBLE[])), 4) AS cosine
+      |       FROM q JOIN c ON q_id <> n_id),
+      |r AS (SELECT q_id, n_id, cosine,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |      FROM sc)
+      |SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** LSH-bucketed ANN top-k (no oracle — approximate; recall spec-tested). */
+  val sim2Ann: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5)
+  }
+
+  // ─────────────────────────── text analysis ─────────────────────────────
+
+  private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val t1Lang: Q = (s, d) => TextAnalysis.langId(Tables.documents(s, d))
+
+  val t1LangSql: String =
+    s"""SELECT doc_id, lang,
+       |  round(CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 4) AS en_ratio,
+       |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |       WHEN CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
+       |            / len(string_split(text, ' ')) >= 0.08 THEN 'en'
+       |       ELSE 'und' END AS pred_lang
+       |FROM documents""".stripMargin
+
+  val t2Quality: Q = (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))
+
+  val t2QualitySql: String =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  n_chars,
+       |  round(CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+       |        / len(string_split(text, ' ')), 4) AS avg_token_len,
+       |  round(CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 4) AS stop_ratio,
+       |  round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+       |        + (CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
+       |           / len(string_split(text, ' '))) * 0.3
+       |        + least((CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+       |                 / len(string_split(text, ' '))) / 10.0, 1.0) * 0.2, 4) AS quality
+       |FROM documents""".stripMargin
+
+  val t3Tokens: Q = (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))
+
+  val t3TokensSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       sum(len(string_split(text, ' '))) AS ws_tokens,
+      |       sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS word_tokens
+      |FROM documents GROUP BY source""".stripMargin
+
+  val t4Fingerprint: Q = (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))
+
+  val t4FingerprintSql: String =
+    """SELECT doc_id,
+      |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  val t5Rolling: Q = (s, d) => TextAnalysis.rollingHash(Tables.documents(s, d))
+
+  val t5RollingSql: String =
+    """SELECT doc_id,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                     [CAST(unicode(x) AS BIGINT) FOR x IN string_split(text, '')]),
+      |                   (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+      |FROM documents""".stripMargin
+
+  // ───────────────────────────── multimodal ──────────────────────────────
+
+  /** Binary payload + deterministic decode plumbing (SQL twin for oracle). */
+  val mm1Binary: Q = (s, d) =>
+    Multimodal.decodeSql(Multimodal.asMediaTable(Tables.documents(s, d)))
+
+  val mm1BinarySql: String =
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+      |       hex(encode(substr(text, 1, 4))) AS header,
+      |       1 + (unicode(substr(text, 1, 1)) % 64) AS width,
+      |       CAST(1 + (octet_length(encode(text)) % 64) AS INT) AS height
+      |FROM documents""".stripMargin
+
+  // ───────────────────────────── registry ────────────────────────────────
+
+  val all: Map[String, Q] = Map(
+    "e1_users_pipeline" -> e1Users,
+    "e2_run_metrics" -> e2Metrics,
+    "e3_launches_pipeline" -> e3Launches,
+    "s1_scan_prune" -> s1Scan,
+    "f5_point_lookup" -> f5Point,
+    "j1_lookup_default" -> j1Lookup,
+    "j3_array_membership" -> j3Payloads,
+    "u1_union_all" -> u1Union,
+    "u2_distinct" -> u2Distinct,
+    "a4_distinct_hll" -> a4Hll,
+    "l1_tail_n" -> l1Tail,
+    "l2_head_n" -> l2Head,
+    "c1_scalar_suite" -> c1Scalars,
+    "c5_date_format" -> c5Dates,
+    "c7_url_parse" -> c7Url,
+    "c12_json_extract" -> c12Json,
+    "q1_pricing_summary" -> q1Pricing,
+    "q3_shipping_priority" -> q3Priority,
+    "q5_revenue_rollup" -> q5Revenue,
+    "w1_rank_window" -> w1Rank,
+    "w2_tumbling_window" -> w2Tumbling,
+    "w3_sessionize" -> w3Sessions,
+    "st1_stream_window" -> st1Stream,
+    "d1_dedup_exact" -> d1Exact,
+    "d1_dedup_metrics" -> d1Metrics,
+    "d2_dedup_minhash" -> d2Minhash,
+    "d3_dedup_simhash" -> d3Simhash,
+    "d4_ngram_jaccard" -> d4Ngram,
+    "d5_embedding_neardup" -> d5Cosine,
+    "sim1_cosine_topk" -> sim1TopK,
+    "sim2_ann_lsh" -> sim2Ann,
+    "t1_lang_id" -> t1Lang,
+    "t2_quality_score" -> t2Quality,
+    "t3_token_count" -> t3Tokens,
+    "t4_fingerprint" -> t4Fingerprint,
+    "t5_rolling_hash" -> t5Rolling,
+    "mm1_binary_decode" -> mm1Binary)
+
+  val oracles: Map[String, String] = Map(
+    "e1_users_pipeline" -> e1UsersSql,
+    "e2_run_metrics" -> e2MetricsSql,
+    "e3_launches_pipeline" -> e3LaunchesSql,
+    "s1_scan_prune" -> s1ScanSql,
+    "f5_point_lookup" -> f5PointSql,
+    "j1_lookup_default" -> j1LookupSql,
+    "j3_array_membership" -> j3PayloadsSql,
+    "u1_union_all" -> u1UnionSql,
+    "u2_distinct" -> u2DistinctSql,
+    "l1_tail_n" -> l1TailSql,
+    "l2_head_n" -> l2HeadSql,
+    "c1_scalar_suite" -> c1ScalarsSql,
+    "c5_date_format" -> c5DatesSql,
+    "c7_url_parse" -> c7UrlSql,
+    "c12_json_extract" -> c12JsonSql,
+    "q1_pricing_summary" -> q1PricingSql,
+    "q3_shipping_priority" -> q3PrioritySql,
+    "q5_revenue_rollup" -> q5RevenueSql,
+    "w1_rank_window" -> w1RankSql,
+    "w2_tumbling_window" -> w2TumblingSql,
+    "w3_sessionize" -> w3SessionsSql,
+    "st1_stream_window" -> w2TumblingSql, // stream/batch parity: same oracle
+    "d1_dedup_exact" -> d1ExactSql,
+    "d1_dedup_metrics" -> d1MetricsSql,
+    "d3_dedup_simhash" -> d3SimhashSql,
+    "d4_ngram_jaccard" -> d4NgramSql,
+    "d5_embedding_neardup" -> d5CosineSql,
+    "sim1_cosine_topk" -> sim1TopKSql,
+    "t1_lang_id" -> t1LangSql,
+    "t2_quality_score" -> t2QualitySql,
+    "t3_token_count" -> t3TokensSql,
+    "t4_fingerprint" -> t4FingerprintSql,
+    "t5_rolling_hash" -> t5RollingSql,
+    "mm1_binary_decode" -> mm1BinarySql)
+
+  /** Headline subset for the per-round bench (sf0.1). */
+  val benchNames: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_rollup",
+    "e1_users_pipeline", "e3_launches_pipeline", "w1_rank_window",
+    "w2_tumbling_window", "w3_sessionize", "d2_dedup_minhash",
+    "d4_ngram_jaccard", "d5_embedding_neardup", "sim1_cosine_topk",
+    "t4_fingerprint", "mm1_binary_decode")
+}

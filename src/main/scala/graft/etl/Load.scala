@@ -1,0 +1,34 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** Load-stage sinks K1–K4 (SURVEY.md §2.2).
+  *
+  * Reference: JSON API envelope (pages/api/etl/restart.js:14-20), CSV export
+  * with every value quoted and `"` doubled (pages/index.js:105-131,426-430),
+  * top-N previews (pages/index.js:228,268). Spark's CSV writer is RFC-4180,
+  * which matches the reference's hand-rolled quoting exactly when
+  * `quoteAll` is on.
+  */
+object Load {
+
+  /** K2 — CSV export: header + quote-all, `"` → `""`, null → empty. */
+  def csv(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .option("emptyValue", "\"\"")
+      .csv(out)
+
+  /** K1 — JSON sink (one object per line, the API envelope's rows). */
+  def json(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite").json(out)
+
+  /** Parquet sink — the driver contract's canonical output format. */
+  def parquet(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite").parquet(out)
+
+  /** K3 — pretty JSON preview of the first n rows (pages/index.js:268). */
+  def previewJson(df: DataFrame, n: Int = 10): Seq[String] =
+    df.limit(n).toJSON.collect().toIndexedSeq
+}

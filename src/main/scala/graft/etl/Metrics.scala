@@ -1,0 +1,41 @@
+package graft.etl
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The reference's run-metrics aggregates A1–A8 (SURVEY.md §2.5;
+  * /root/reference/src/lib/users.js:65-79, src/lib/spacex.js:67-80).
+  *
+  * All global aggregates — one `df.agg(...)` pass, map-side partials then a
+  * single-partition reduce: the only shuffle is the final 1-row exchange plus
+  * the distinct-count expand, which Spark plans as partial HLL-free
+  * hash-distinct. At 100 TB the exact distinct is the expensive one, so the
+  * HLL variant ships alongside ([[summaryApprox]]).
+  */
+object Metrics {
+
+  /** Full metrics row for a customer-shaped enriched table:
+    * rows_in (A1), rows_out (A2, conditional), dedup_removed (A3, difference),
+    * countries (A4, exact distinct over a coalesced key), last_record (A5,
+    * max_by over the explicit ingest order), valid-upcoming analog (A6). */
+  def summary(enriched: DataFrame, validCond: Column, distinctKey: Column,
+              lastName: Column, orderKey: Column): DataFrame =
+    enriched.agg(
+      count(lit(1)).as("rows_in"),
+      count_if(validCond).as("rows_out"),
+      (count(lit(1)) - count_if(validCond)).as("dedup_removed"),
+      countDistinct(distinctKey).as("countries"),
+      max_by(lastName, orderKey).as("last_record"))
+
+  /** A4 at scale: HLL++ approximate distinct next to the exact count. */
+  def summaryApprox(df: DataFrame, distinctKey: Column): DataFrame =
+    df.agg(
+      countDistinct(distinctKey).as("exact_distinct"),
+      approx_count_distinct(distinctKey, 0.01).as("approx_distinct"))
+
+  /** A8 — zero-row fallback (pages/api/etl/restart.js:12): if the extract
+    * produced nothing, substitute the mock metrics row. */
+  def withFallback(metrics: DataFrame, fallback: DataFrame): DataFrame =
+    if (metrics.isEmpty) fallback else metrics
+}

@@ -1,0 +1,71 @@
+package graft.etl
+
+import graft.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The reference's Transform-stage operators (SURVEY.md §2.3–§2.8),
+  * re-expressed as pure `DataFrame => DataFrame` column pipelines so Catalyst
+  * sees one declarative plan per query (pushdown + pruning stay free).
+  *
+  * Reference semantics cited per op; all citations are file:line into
+  * /root/reference/.
+  */
+object Transform {
+
+  /** P1 — flatten+enrich projection (users.js:16-35): synthesized id, name
+    * concat+trim, JS-falsy default coalescing, `valid` flag. Mapped onto the
+    * `customer` fixture (FIXTURES.md role mapping). */
+  def enrichCustomers(customer: DataFrame): DataFrame =
+    customer.select(
+      concat(lit("user-"), col("c_custkey")).as("id"),
+      trim(col("c_name")).as("name"),
+      jsCoalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+      col("c_nationkey").as("nation_key"),
+      col("c_acctbal").as("acctbal"),
+      (col("c_acctbal") > 0).as("valid"))
+
+  /** F1 — validity filter (users.js:67): `valid && email` non-empty. */
+  def filterValid(enriched: DataFrame): DataFrame =
+    enriched.filter(col("valid") && col("segment") =!= "UNKNOWN")
+
+  /** F5/J4 — point lookup by key with JS loose `==` string comparison
+    * (pages/launch/[id].js:33). Pushdown-friendly: equality on a cast key. */
+  def pointLookup(df: DataFrame, keyCol: String, key: String): DataFrame =
+    df.filter(keyEq(col(keyCol), key))
+
+  /** J1/J2 — left-outer lookup join with default-on-miss (spacex.js:24,32):
+    * broadcast the dimension, coalesce the miss to a default value. */
+  def lookupJoin(
+      fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      picked: Seq[(String, String)],       // (dimCol, outName)
+      defaults: Map[String, Column] = Map.empty): DataFrame = {
+    val joined = fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "left")
+    val kept = fact.columns.map(fact(_)) ++ picked.map { case (c, out) =>
+      defaults.get(out).map(d => coalesce(dim(c), d)).getOrElse(dim(c)).as(out)
+    }
+    joined.select(kept.toIndexedSeq: _*)
+  }
+
+  /** U1 — union all, schema-drift tolerant (spacex.js:16). */
+  def unionAll(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
+  /** L1 — tail-N (spacex.js:40): the reference keeps the LAST 150 rows of
+    * source (chronological) order. Spark has no stable row order, so the
+    * implicit order becomes an explicit sort key + deterministic tiebreak. */
+  def tailN(df: DataFrame, orderCol: String, tieCol: String, n: Int): DataFrame =
+    df.orderBy(col(orderCol).desc, col(tieCol).desc).limit(n)
+
+  /** L2/L3 — head-N for display, made deterministic with an explicit key. */
+  def headN(df: DataFrame, orderCol: String, n: Int): DataFrame =
+    df.orderBy(col(orderCol)).limit(n)
+
+  /** C15/A5 support — dense stable ingest order over an explicit sort key
+    * (monotonically_increasing_id is non-contiguous and partition-dependent,
+    * so parity with the oracle needs row_number over a real ordering). */
+  def withIngestOrder(df: DataFrame, orderCol: String): DataFrame =
+    df.withColumn("ingest_order", row_number().over(Window.orderBy(col(orderCol))))
+}

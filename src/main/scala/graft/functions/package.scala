@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Column-level helpers shared across the engine.
+  *
+  * These close the semantic gaps SURVEY.md §7.4 calls out between the
+  * reference's JavaScript semantics and Spark SQL:
+  *   - JS `a || b` treats `''`/`0` as missing → [[jsCoalesce]] nulls empties
+  *     first (reference: /root/reference/src/lib/users.js:17-33).
+  *   - JS loose `==` compares after coercion → [[keyEq]] compares as strings
+  *     (reference: /root/reference/pages/launch/[id].js:33).
+  */
+package object functions {
+
+  /** Cosine similarity of two `array<float>` columns (codegen'd expression). */
+  def cosine_similarity(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Dot product of two `array<float>` columns (codegen'd expression). */
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** `''` → null, so SQL coalesce matches JS `||` falsiness for strings. */
+  def emptyToNull(c: Column): Column = when(c === "", lit(null)).otherwise(c)
+
+  /** JS-style `a || b || ... || default`: empty strings count as missing. */
+  def jsCoalesce(cols: Column*): Column = coalesce(cols.map(emptyToNull): _*)
+
+  /** JS loose `==` key equality: compare both sides as strings (F5). */
+  def keyEq(c: Column, key: String): Column = c.cast("string") === lit(key)
+
+  /** Percentage-of-max clamped to 100, as the reference's progress bars
+    * (C8, /root/reference/pages/index.js:291). */
+  def pctOf(v: Column, max: Column): Column = least(v / max * 100.0, lit(100.0))
+
+  /** Exact-decimal sum of a double column: each value is rounded to `scale`
+    * decimals as a decimal(18,scale), summed exactly, and returned as double.
+    * Sum order then cannot perturb low bits, so results are reproducible
+    * across partition counts, AQE re-plans — and the DuckDB oracle. */
+  def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Deterministic average built from [[decSum]] / count. */
+  def decAvg(c: Column, scale: Int = 2): Column =
+    (sum(c.cast(s"decimal(18,$scale)")) / count(c)).cast("double")
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the pieces of a
+  * training-data pipeline that score, count and fingerprint raw text.
+  *
+  * All operators are pure column expressions (whole-stage codegen'd, no UDFs)
+  * so they scale linearly with a 100 TB corpus: each is a single projection or
+  * one map-side-combinable aggregation; nothing shuffles except the final
+  * per-source rollup.
+  */
+object TextAnalysis {
+
+  /** Minimal English stopword list used by the language-ID heuristic and the
+    * quality score. Kept tiny and fixed so results are reproducible. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with", "by", "at", "or")
+
+  private def toks = split(col("text"), " ")
+  private def stopArr = array(EnStopwords.map(lit): _*)
+
+  /** Language ID, n-gram/stopword heuristic: CJK codepoints → zh, else
+    * English-stopword token ratio over a threshold → en, else und.
+    * (A real model would be a dictionary broadcast; the heuristic is the
+    * scalable shape: one projection, no shuffle.) */
+  def langId(documents: DataFrame, enThreshold: Double = 0.08): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("lang"),
+      round(size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+        size(toks), 4).as("en_ratio"),
+      when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+        .when(size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+          size(toks) >= enThreshold, "en")
+        .otherwise("und").as("pred_lang"))
+
+  /** Quality scoring: token count, average token length, stopword ratio,
+    * composite score in [0,1]. Deterministic integer-ratio arithmetic. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, t => array_contains(stopArr, t)))
+    val avgTokLen = (col("n_chars") - nTok + 1).cast("double") / nTok
+    val stopRatio = stopHits.cast("double") / nTok
+    documents.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      col("n_chars"),
+      round(avgTokLen, 4).as("avg_token_len"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(least(nTok / 100.0, lit(1.0)) * 0.5 + stopRatio * 0.3 +
+        least(avgTokLen / lit(10.0), lit(1.0)) * 0.2, 4).as("quality"))
+  }
+
+  /** Token counting per source: whitespace tokens plus a BPE-ish
+    * `[a-z0-9]+` word-piece count; one partial-aggregated rollup. */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("ws_tokens"),
+      sum(regexp_count(col("text"), lit("[a-z0-9]+"))).as("word_tokens"))
+
+  /** Canonical-token-set fingerprint: md5 over the sorted distinct token
+    * list. Two docs with the same bag of words collide — the classic cheap
+    * near-dup key (one projection; dedup on it is a hash groupBy). */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(toks)), " ")).as("fingerprint"))
+
+  /** Polynomial rolling hash of the raw text (base 31 mod 1e9+7 over
+    * codepoints) — an order-sensitive fingerprint, unlike [[fingerprint]].
+    * Expressed with the `aggregate` higher-order function: codegen'd, no UDF. */
+  def rollingHash(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      aggregate(split(col("text"), ""), lit(0L),
+        (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L).as("rolling_hash"))
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Structured Streaming over the `events` table.
+  *
+  * The reference has no streams (SURVEY.md §2.9); this is the engine's
+  * event-time extension: `readStream` → watermark → tumbling window →
+  * `writeStream`, with batch parity enforced by the DuckDB oracle (the
+  * streaming query's result must hash-match the batch window aggregation).
+  *
+  * `events.ts` is TIMESTAMP(NANOS) parquet, which the vectorized reader
+  * rejects — streamed as raw nanos (legacy conf) and converted via integer
+  * division, same as the batch path in graft.Tables.
+  */
+object EventStream {
+
+  /** events schema with ts as raw nanos (nanosAsLong). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Tumbling-window counts as an unbounded streaming transformation —
+    * watermark bounds state so a year-long stream holds only ~1 window of
+    * per-key state per watermark delay. */
+  def windowedAgg(stream: DataFrame, width: String = "1 day",
+                  watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run the streaming window aggregation over the fixture parquet (staged
+    * into a temp dir so `readStream` sees a directory source), synchronously
+    * to completion, and return the result table. Complete output mode: the
+    * fixture is a finite replay, every window must surface for the oracle. */
+  def runWindowedOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft-stream-src")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val queryName = "graft_stream_windows"
+    val q = windowedAgg(stream).writeStream
+      .outputMode("complete").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+}
