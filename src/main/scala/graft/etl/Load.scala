@@ -12,11 +12,14 @@ import org.apache.spark.sql.DataFrame
   */
 object Load {
 
-  /** K2 — CSV export: header + quote-all, `"` → `""`, null → empty. */
+  /** K2 — CSV export: header + quote-all, `"` → `""`, null → empty.
+    * Spark's writer defaults to backslash-escaping; RFC-4180 doubling (what
+    * the reference hand-rolls, pages/index.js:426-430) needs escape='"'. */
   def csv(df: DataFrame, out: String): Unit =
     df.write.mode("overwrite")
       .option("header", "true")
       .option("quoteAll", "true")
+      .option("escape", "\"")
       .option("emptyValue", "\"\"")
       .csv(out)
 

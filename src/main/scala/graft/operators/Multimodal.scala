@@ -17,13 +17,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *   - decoded features land as columns, keeping everything downstream
   *     (filters, joins, dedup) in Catalyst.
   */
+/** A decoded media record: what a real image decoder would emit.
+  * (Top-level, non-private: encoder codegen cannot access private nested
+  * case classes — janino "Private member cannot be accessed".) */
+final case class MediaFeatures(
+    doc_id: Long, byte_len: Int, header: String, width: Int, height: Int)
+
+final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
 object Multimodal {
-
-  /** A decoded media record: what a real image decoder would emit. */
-  final case class MediaFeatures(
-      doc_id: Long, byte_len: Int, header: String, width: Int, height: Int)
-
-  private final case class MediaRow(doc_id: Long, payload: Array[Byte])
 
   /** Model the documents table as a media table: payload = utf8 bytes of
     * `text` (stands in for image bytes), metadata carried alongside. */

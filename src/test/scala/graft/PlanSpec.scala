@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-shape assertions: the promises that matter at 100 TB — pushdown,
+  * pruning, broadcast joins, no cartesian products — verified against the
+  * actual physical plans, not hoped for. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String = {
+    val df = Queries.all(name)(spark, sf0001)
+    df.collect() // finalize AQE so the inspected plan is the executed one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s1: filter and projection are pushed to the parquet scan") {
+    val p = planOf("s1_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,100.0)]"), p)
+    assert(p.contains("ReadSchema") &&
+      !p.contains("c_mktsegment"), "projection should prune unused columns\n" + p)
+  }
+
+  test("e1: dimension joins are broadcast, not shuffled") {
+    val p = planOf("e1_users_pipeline")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the exchange") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), "expected partial_* map-side aggregation\n" + p)
+  }
+
+  test("d4: inverted-index join plans without a cartesian product") {
+    val p = planOf("d4_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("scalar suite stays inside whole-stage codegen") {
+    val p = planOf("c1_scalar_suite")
+    // codegen'd operators print as "*(n) Op" in the compact plan string
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("every registered query has either an oracle or a documented skip") {
+    val rowsOnly = Set("a4_distinct_hll", "d2_dedup_minhash", "sim2_ann_lsh")
+    val missing = Queries.all.keySet -- Queries.oracles.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle or skip-list entry: $missing")
+  }
+
+  test("oracle keys all reference registered queries") {
+    val orphans = Queries.oracles.keySet -- Queries.all.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+}

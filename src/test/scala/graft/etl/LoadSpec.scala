@@ -1,0 +1,32 @@
+package graft.etl
+
+import graft.SparkTestBase
+import java.nio.file.Files
+
+class LoadSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("K2 CSV export: quote-all with embedded-quote doubling, round-trips") {
+    val df = Seq(("a \"quoted\" value", 1), ("plain", 2), (null.asInstanceOf[String], 3))
+      .toDF("text", "n")
+    val out = Files.createTempDirectory("graft-csv").toString
+    Load.csv(df, out)
+    val raw = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".csv"))
+      .flatMap(p => scala.io.Source.fromFile(p).getLines())
+    assert(raw.exists(_.contains("\"a \"\"quoted\"\" value\"")), raw.mkString("|"))
+    // round-trip through Spark's reader restores the original values
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .option("escape", "\"").csv(out)
+    assert(back.where($"text" === "a \"quoted\" value").count() == 1)
+  }
+
+  test("K1 JSON sink + K3 preview emit one object per row") {
+    val df = Seq(("x", 1), ("y", 2)).toDF("k", "v")
+    val out = Files.createTempDirectory("graft-json").toString
+    Load.json(df, out)
+    assert(spark.read.json(out).count() == 2)
+    val preview = Load.previewJson(df, 1)
+    assert(preview.length == 1 && preview.head.startsWith("{"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine_similarity matches a hand-computed value and handles zero-norm") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f), 1.0 / math.sqrt(2)),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f), 0.0)) // zero-norm → 0, not NaN
+      .toDF("a", "b", "expected")
+    val got = df.select(cosine_similarity($"a", $"b").as("c"), $"expected").collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("cosine_similarity stays inside whole-stage codegen") {
+    // must be file-backed: a local relation gets constant-folded away
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val df = e.select(cosine_similarity($"embedding", $"embedding").as("c"))
+    df.collect() // finalize the AQE plan before inspecting it
+    // codegen'd operators print as "*(n) Op" in the compact plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("interpreted and codegen paths agree on fixture embeddings") {
+    val e = graft.Tables.embeddings(spark, sf0001).limit(50).cache()
+    val a = e.select($"vec_id", $"embedding")
+    val pairs = a.crossJoin(a.select($"vec_id".as("v2"), $"embedding".as("e2")))
+      .where($"vec_id" < $"v2").limit(100)
+    val viaExpr = pairs.select(cosine_similarity($"embedding", $"e2").as("c")).collect().map(_.getDouble(0))
+    val viaSql = pairs.selectExpr(
+      """aggregate(zip_with(embedding, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)
+         / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, x) -> a + x))
+            * sqrt(aggregate(transform(e2, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, x) -> a + x))) AS c"""
+    ).collect().map(_.getDouble(0))
+    viaExpr.zip(viaSql).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+  }
+
+  test("jsCoalesce treats empty string as missing (JS || semantics)") {
+    val df = Seq(("", "fb"), ("v", "fb"), (null.asInstanceOf[String], "fb")).toDF("a", "b")
+    val got = df.select(jsCoalesce($"a", $"b").as("c")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("fb", "v", "fb"))
+  }
+
+  test("decSum is invariant to partitioning (order-independent money sums)") {
+    val li = graft.Tables.lineitem(spark, sf0001).select($"l_extendedprice")
+    val s1 = li.repartition(1).agg(decSum($"l_extendedprice")).collect()(0).getDouble(0)
+    val s8 = li.repartition(8).agg(decSum($"l_extendedprice")).collect()(0).getDouble(0)
+    assert(s1 == s8) // bit-identical, not approximately equal
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsDF(texts: (Long, String)*) =
+    texts.toSeq.toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per text and counts copies") {
+    val d = docsDF(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val got = Dedup.exact(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("exact dedup metrics: rows_in/rows_out/dedup_removed") {
+    val d = docsDF(1L -> "a", 2L -> "a", 3L -> "b")
+    val m = Dedup.exactMetrics(d, $"text").collect()(0)
+    assert((m.getLong(0), m.getLong(1), m.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
+  test("shingles: contiguous n-grams, distinct, size-guarded") {
+    val d = docsDF(1L -> "a b c d", 2L -> "a b") // doc 2 shorter than n=3
+    val got = Dedup.shingles(d, 3).collect()
+    assert(got.length == 1)
+    assert(got(0).getSeq[String](1).toSet == Set("a b c", "b c d"))
+  }
+
+  test("minhash estimate tracks exact Jaccard for overlapping docs") {
+    // two docs sharing ~90% of shingles, one unrelated
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 38).map(i => s"tok$i").mkString(" ") + " alt1 alt2"
+    val far = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val d = docsDF(1L -> base, 2L -> near, 3L -> far)
+    val pairs = Dedup.minhashPairs(d, minEstJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1)
+    val (a, b, est) = pairs(0)
+    assert((a, b) == ((1L, 2L)))
+    val exact = Dedup.ngramJaccardPairs(d, 3).collect()
+      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    assert(math.abs(est - exact) < 0.25, s"est=$est exact=$exact")
+  }
+
+  test("simhash: identical docs collide; near docs within small hamming") {
+    val d = docsDF(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "the quick brown fox jumps over the lazy cat",
+      4L -> "completely different words entirely here now")
+    val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
+  }
+
+  test("simhashPairs surfaces the duplicate pair via banding") {
+    val d = docsDF(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "totally unrelated content words only")
+    val got = Dedup.simhashPairs(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.contains((1L, 2L)))
+  }
+
+  test("ngram Jaccard: known overlap computes the exact coefficient") {
+    // shingle sets: {a b c, b c d} vs {b c d, c d e} → inter 1, union 3
+    val d = docsDF(1L -> "a b c d", 2L -> "b c d e")
+    val got = Dedup.ngramJaccardPairs(d, 3).collect()
+    assert(got.length == 1)
+    assert(math.abs(got(0).getDouble(2) - 1.0 / 3) < 1e-3)
+  }
+
+  test("cosine near-dup pairs on crafted vectors") {
+    val mk = (id: Long, v: Array[Float]) => (id, v)
+    val e = Seq(
+      mk(1L, Array(1f, 0f, 0f)), mk(2L, Array(0.99f, 0.1f, 0f)), mk(3L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.cosinePairs(e, 0.9).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bruteForceTopK ranks crafted vectors correctly") {
+    val e = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(e, e.filter($"vec_id" === 0), 3)
+      .orderBy($"rank").collect().map(_.getAs[Long]("n_id")).toSeq
+    assert(got == Seq(1L, 2L, 3L)) // descending cosine from query (1,0)
+  }
+
+  test("ANN top-k achieves useful recall vs brute force on fixture embeddings") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, q, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val approx = Similarity.annTopK(e, q, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall") // random uniform vectors: LSH floor
+  }
+
+  test("LSH signatures are deterministic across invocations") {
+    val e = graft.Tables.embeddings(spark, sf0001).limit(20)
+    val s1 = Similarity.withLshSignature(e).select("vec_id", "lsh_sig").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s2 = Similarity.withLshSignature(e).select("vec_id", "lsh_sig").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(s1 == s2)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String, lang: String = "en") =
+    (id, text, lang, text.length.toLong)
+
+  private def docsDF(ds: (Long, String, String, Long)*) =
+    ds.toSeq.toDF("doc_id", "text", "lang", "n_chars")
+
+  test("langId: CJK → zh, stopword-rich → en, else und") {
+    val d = docsDF(
+      doc(1, "the cat sat on the mat with a hat"),
+      doc(2, "呼吸 空气 很好", "zh"),
+      doc(3, "xyz qrs tuv wxy"))
+    val got = TextAnalysis.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(got == Map(1L -> "en", 2L -> "zh", 3L -> "und"))
+  }
+
+  test("qualityScore components are exact on a known doc") {
+    val text = "the cat sat" // 3 tokens, 11 chars, 1 stopword
+    val d = docsDF(doc(1, text))
+    val r = TextAnalysis.qualityScore(d).collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(math.abs(r.getAs[Double]("avg_token_len") - 3.0) < 1e-9) // (11-2)/3
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 0.3333) < 1e-3)
+  }
+
+  test("tokenCounts: whitespace vs word-piece counting per source") {
+    val d = Seq((1L, "ab cd-ef", "s1"), (2L, "x1 y2", "s1")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.tokenCounts(d).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 2)
+    assert(r.getAs[Long]("ws_tokens") == 4)   // "ab","cd-ef","x1","y2"
+    assert(r.getAs[Long]("word_tokens") == 5) // ab, cd, ef, x1, y2
+  }
+
+  test("fingerprint collides on same bag-of-words, differs otherwise") {
+    val d = docsDF(doc(1, "b a c"), doc(2, "c b a a"), doc(3, "a b d"))
+    val fp = TextAnalysis.fingerprint(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L)) // same distinct-token set {a,b,c}
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("rollingHash is order-sensitive (unlike fingerprint)") {
+    val d = docsDF(doc(1, "a b"), doc(2, "b a"))
+    val rh = TextAnalysis.rollingHash(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rh(1L) != rh(2L))
+  }
+}
