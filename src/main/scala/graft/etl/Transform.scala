@@ -63,6 +63,25 @@ object Transform {
   def headN(df: DataFrame, orderCol: String, n: Int): DataFrame =
     df.orderBy(col(orderCol)).limit(n)
 
+  /** Skew-resistant equi-join: spread each hot key over `salts` sub-keys on
+    * the (large, possibly skewed) fact side and replicate the dimension once
+    * per salt, so one hot key occupies `salts` shuffle partitions instead of
+    * one straggler. AQE's skew-join handles moderate skew automatically;
+    * this is the explicit tool for pathological keys at 100 TB.
+    * Semantically identical to `fact.join(dim, factKey === dimKey, "inner")`. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame,
+                 factKey: String, dimKey: String, salts: Int = 8): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact
+      .join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          saltedFact("_salt") === saltedDim("_salt"))
+      .drop("_salt")
+  }
+
   /** C15/A5 support — dense stable ingest order over an explicit sort key
     * (monotonically_increasing_id is non-contiguous and partition-dependent,
     * so parity with the oracle needs row_number over a real ordering). */

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("extensions register cosine_similarity/dot_product as SQL functions") {
+    spark // force the shared session first so its context exists
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate() // new session over the existing SparkContext
+      val r = s2.sql(
+        """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |                          array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+          |       dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d
+          |""".stripMargin).collect()(0)
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(math.abs(r.getDouble(1) - 6.0) < 1e-12)
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setActiveSession(p)
+        SparkSession.setDefaultSession(p)
+      }
+    }
+  }
+}
