@@ -18,6 +18,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations = Seq(graft.plans.PushableKeyCast)
     val names = Queries.benchNames.filter(SparkEntry.queries.contains)
     // warm every query shape at the smallest SF first: moves Janino codegen
     // compilation + JIT out of the measured runs (steady-state throughput is

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.PushableKeyCast)
     e.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",
         "cosine_similarity(a, b) - cosine similarity of two float arrays"),

@@ -6,13 +6,17 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared session for all suites (ScalaTest runs them in one forked JVM;
   * getOrCreate returns the same session everywhere). */
 trait SparkTestBase extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.experimental.extraOptimizations = Seq(graft.plans.PushableKeyCast)
+    s
+  }
 
   lazy val sf0001 = "/root/testdata/sf0.001"
 
