@@ -514,6 +514,12 @@ object Queries {
     Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5)
   }
 
+  /** IVF ANN top-k (no oracle — approximate; recall spec-tested). */
+  val sim3Ivf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5)
+  }
+
   // ─────────────────────────── text analysis ─────────────────────────────
 
   private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -619,6 +625,7 @@ object Queries {
     "d5_embedding_neardup" -> d5Cosine,
     "sim1_cosine_topk" -> sim1TopK,
     "sim2_ann_lsh" -> sim2Ann,
+    "sim3_ann_ivf" -> sim3Ivf,
     "t1_lang_id" -> t1Lang,
     "t2_quality_score" -> t2Quality,
     "t3_token_count" -> t3Tokens,

@@ -34,6 +34,17 @@ object Extract {
       })
     }.toMap
 
+  /** J4/E4 — point lookup with a multi-level source fallback chain
+    * (pages/launch/[id].js:31-64: loaded set → direct fetch → fallback set;
+    * miss everywhere → empty = the page's `notFound` terminal). */
+  def pointWithFallback(keyCol: String, key: String,
+                        sources: Seq[DataFrame]): DataFrame = {
+    val hits = sources.iterator
+      .map(df => Transform.pointLookup(df, keyCol, key))
+      .find(!_.isEmpty)
+    hits.getOrElse(Transform.pointLookup(sources.last, keyCol, key))
+  }
+
   /** S3/S4 — literal fallback datasets (users.js:81-111, spacex.js:82-115):
     * the mock metrics row that stands in when a source yields zero rows. */
   def fallbackMetrics(spark: SparkSession): DataFrame = {

@@ -31,6 +31,19 @@ object Load {
   def parquet(df: DataFrame, out: String): Unit =
     df.write.mode("overwrite").parquet(out)
 
+  /** K1 — the API envelope (pages/api/etl/restart.js:14-20): one JSON
+    * object `{users, metrics, fallbackUsed, fetchedAt}`. Driver-side
+    * assembly by design — the envelope is a response payload, not a
+    * dataset; `users` is expected to be display-sized (the reference sends
+    * its full 500-row page). */
+  def apiEnvelope(users: DataFrame, metrics: DataFrame,
+                  fallbackUsed: Boolean, fetchedAt: java.time.Instant): String = {
+    val usersJson = users.toJSON.collect().mkString("[", ",", "]")
+    val metricsJson = metrics.toJSON.collect().headOption.getOrElse("{}")
+    s"""{"users":$usersJson,"metrics":$metricsJson,""" +
+      s""""fallbackUsed":$fallbackUsed,"fetchedAt":"$fetchedAt"}"""
+  }
+
   /** K3 — pretty JSON preview of the first n rows (pages/index.js:268). */
   def previewJson(df: DataFrame, n: Int = 10): Seq[String] =
     df.limit(n).toJSON.collect().toIndexedSeq

@@ -71,6 +71,51 @@ object Similarity {
       .distinct()
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
+    * partitions the corpus; each query probes its `nprobe` nearest
+    * centroids and scores only those lists. The centroid set is tiny
+    * metadata (collected once, shipped as a literal — the same role a
+    * k-means codebook plays in a production IVF index; the fixture
+    * quantizer takes the first `nlist` vectors as centroids).
+    *
+    * Scale shape: corpus assignment is one linear scan + shuffle on
+    * cluster id; a query then touches nprobe/nlist of the corpus. */
+  def ivfAssign(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])],
+                keep: Int): DataFrame = {
+    val cents = typedlit(centroids)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    embeddings.select(col("vec_id"), col("embedding"), explode(cents).as("c"))
+      .select(col("vec_id"), col("embedding"), col("c._1").as("cid"),
+        round(cosine_similarity(col("embedding"), col("c._2")), 6).as("csim"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= keep)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** Deterministic fixture quantizer: the nlist lowest-id vectors. */
+  def centroidsOf(embeddings: DataFrame, nlist: Int): Seq[(Int, Seq[Float])] =
+    embeddings.orderBy(col("vec_id")).limit(nlist)
+      .select(col("embedding")).collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0) }.toIndexedSeq
+
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = centroidsOf(embeddings, nlist)
+    val corpus = ivfAssign(embeddings, centroids, keep = 1)
+      .select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("cid"))
+    val probes = ivfAssign(queries, centroids, keep = nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cid"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    corpus.join(broadcast(probes),
+        corpus("cid") === probes("cid") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine_similarity(col("qe"), col("ne")), 4).as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k: score only LSH candidates, then per-query top-k. */
   def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 6, dim: Int = 64): DataFrame = {

@@ -1,0 +1,54 @@
+package graft.etl
+
+import graft.{Queries, SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end golden test (SURVEY.md §5.2 item 4): the full E1 pipeline on
+  * sf0.001 through the staged runner, written to parquet + CSV, with the
+  * checked-in expected aggregates. */
+class GoldenPipelineSpec extends SparkTestBase {
+
+  test("E1 staged run: extract → transform → metrics → sinks, golden aggregates") {
+    val p = new Pipeline(spark)
+    val extracted = p.stage("extract", Tables.customer(spark, sf0001))
+    val transformed = p.stage("transform", Queries.e1Users(spark, sf0001))
+    val out = Files.createTempDirectory("graft-golden").toString
+    val loaded = p.stage("load", { Load.parquet(transformed, s"$out/parquet"); transformed })
+    Load.csv(transformed.select("id", "name", "segment", "nation", "region"), s"$out/csv")
+
+    // golden numbers for sf0.001 (seed=42 fixtures — stable by construction)
+    assert(p.runs.map(_.rows) == Seq(150L, 139L, 139L))
+    val back = spark.read.parquet(s"$out/parquet")
+    assert(back.count() == 139)
+    val agg = back.agg(
+      countDistinct(col("nation")).as("nations"),
+      sum(col("acctbal").cast("decimal(18,2)")).cast("double").as("bal")).collect()(0)
+    assert(agg.getAs[Long]("nations") == 25)
+    val csvBack = spark.read.option("header", "true").option("escape", "\"").csv(s"$out/csv")
+    assert(csvBack.count() == 139)
+    assert(p.totalDurationSec > 0)
+  }
+
+  test("E4 fallback chain: first non-empty source wins; all-miss is empty") {
+    import spark.implicits._
+    val primary = Seq((1L, "p")).toDF("key", "src")
+    val secondary = Seq((2L, "s")).toDF("key", "src")
+    val hit = Extract.pointWithFallback("key", "2", Seq(primary, secondary))
+    assert(hit.collect().map(_.getString(1)).toSeq == Seq("s"))
+    val miss = Extract.pointWithFallback("key", "99", Seq(primary, secondary))
+    assert(miss.isEmpty) // the notFound terminal
+  }
+
+  test("K1 API envelope assembles users + metrics + flags") {
+    import spark.implicits._
+    val users = Seq(("u1", "Alice")).toDF("id", "name")
+    val metrics = Seq((1L, 1L)).toDF("rows_in", "rows_out")
+    val env = Load.apiEnvelope(users, metrics, fallbackUsed = false,
+      java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    assert(env.startsWith("""{"users":[{"""))
+    assert(env.contains(""""rows_in":1"""))
+    assert(env.contains(""""fallbackUsed":false"""))
+    assert(env.contains("2026-01-01T00:00:00Z"))
+  }
+}

@@ -27,6 +27,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall=$recall") // random uniform vectors: LSH floor
   }
 
+  test("IVF top-k achieves useful recall and beats nothing-shared baseline") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(e, q, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf = Similarity.ivfTopK(e, q, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
+  test("IVF assignment puts every vector in exactly one list") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val centroids = Similarity.centroidsOf(e, 8)
+    val assigned = Similarity.ivfAssign(e, centroids, keep = 1)
+    assert(assigned.count() == e.count())
+    assert(assigned.select("vec_id").distinct().count() == e.count())
+  }
+
   test("LSH signatures are deterministic across invocations") {
     val e = graft.Tables.embeddings(spark, sf0001).limit(20)
     val s1 = Similarity.withLshSignature(e).select("vec_id", "lsh_sig").collect()
