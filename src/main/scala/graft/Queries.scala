@@ -577,6 +577,122 @@ object Queries {
       |                   (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
       |FROM documents""".stripMargin
 
+  // ─────────────────── analytics breadth (round-1 extras) ────────────────
+
+  /** TPC-H Q6-style selective filter+agg (pushdown showcase). */
+  val q6Selective: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(price * disc).cast("double").as("revenue"), count(lit(1)).as("n"))
+
+  val q6SelectiveSql: String =
+    s"""SELECT CAST(sum($SQL_PRICE * $SQL_DISC) AS DOUBLE) AS revenue, count(*) AS n
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Grouping sets: revenue ROLLUP over (nation, year) incl. subtotals. */
+  val g1Rollup: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), year(col("o_orderdate")).as("order_year"))
+      .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+  }
+
+  val g1RollupSql: String =
+    """SELECT n_name, year(o_orderdate) AS order_year,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, year(o_orderdate))""".stripMargin
+
+  /** Pivot: per-user event-type count matrix. */
+  val w4Pivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+
+  val w4PivotSql: String =
+    """SELECT user_id,
+      |       count(*) FILTER (WHERE event_type = 'click') AS click,
+      |       count(*) FILTER (WHERE event_type = 'error') AS error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** As-of join: each purchase attributed to the user's most recent click
+    * (composed windows in Spark; DuckDB's native ASOF JOIN is the oracle). */
+  val asof1Attribution: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.operators.AsOf.asOfJoin(purchases, clicks, "user_id", "ts", Seq("click_id"))
+      .select(col("user_id"), col("purchase_id"),
+        date_trunc("second", col("ts")).as("purchase_ts"),
+        col("asof_click_id").as("click_id"))
+  }
+
+  val asof1AttributionSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id,
+      |       CAST(date_trunc('second', p.ts) AS TIMESTAMP) AS purchase_ts,
+      |       c.event_id AS click_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  /** Range (band) join: orders bucketed into literal price bands via a
+    * non-equi broadcast join. */
+  val j5RangeBand: Q = (s, d) => {
+    import s.implicits._
+    val bands = Seq(
+      (0.0, 100000.0, "SMALL"), (100000.0, 250000.0, "MEDIUM"),
+      (250000.0, 1e12, "LARGE")).toDF("lo", "hi", "band")
+    Tables.orders(s, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("volume"))
+  }
+
+  val j5RangeBandSql: String =
+    """WITH bands(lo, hi, band) AS (VALUES
+      |  (0.0, 100000.0, 'SMALL'), (100000.0, 250000.0, 'MEDIUM'),
+      |  (250000.0, 1000000000000.0, 'LARGE'))
+      |SELECT band, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+      |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band""".stripMargin
+
+  /** N-gram frequency table over the corpus (3-grams with support ≥ 5). */
+  val t6NgramFreq: Q = (s, d) =>
+    Dedup.shingles(Tables.documents(s, d), 3)
+      .select(explode(col("shingles")).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+
+  val t6NgramFreqSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                        FOR i IN RANGE(1, len(t) - 1)]) AS s
+      |       FROM toks WHERE len(t) >= 3)
+      |SELECT sg AS ngram, count(*) AS n
+      |FROM (SELECT doc_id, unnest(s) AS sg FROM sh)
+      |GROUP BY sg HAVING count(*) >= 5""".stripMargin
+
   // ───────────────────────────── multimodal ──────────────────────────────
 
   /** Binary payload + deterministic decode plumbing (SQL twin for oracle). */
@@ -611,6 +727,12 @@ object Queries {
     "c7_url_parse" -> c7Url,
     "c12_json_extract" -> c12Json,
     "q1_pricing_summary" -> q1Pricing,
+    "q6_selective_agg" -> q6Selective,
+    "g1_rollup" -> g1Rollup,
+    "w4_pivot" -> w4Pivot,
+    "asof1_attribution" -> asof1Attribution,
+    "j5_range_band" -> j5RangeBand,
+    "t6_ngram_freq" -> t6NgramFreq,
     "q3_shipping_priority" -> q3Priority,
     "q5_revenue_rollup" -> q5Revenue,
     "w1_rank_window" -> w1Rank,
@@ -650,6 +772,12 @@ object Queries {
     "c7_url_parse" -> c7UrlSql,
     "c12_json_extract" -> c12JsonSql,
     "q1_pricing_summary" -> q1PricingSql,
+    "q6_selective_agg" -> q6SelectiveSql,
+    "g1_rollup" -> g1RollupSql,
+    "w4_pivot" -> w4PivotSql,
+    "asof1_attribution" -> asof1AttributionSql,
+    "j5_range_band" -> j5RangeBandSql,
+    "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
     "q5_revenue_rollup" -> q5RevenueSql,
     "w1_rank_window" -> w1RankSql,
@@ -672,6 +800,7 @@ object Queries {
   /** Headline subset for the per-round bench (sf0.1). */
   val benchNames: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_rollup",
+    "q6_selective_agg", "asof1_attribution",
     "e1_users_pipeline", "e3_launches_pipeline", "w1_rank_window",
     "w2_tumbling_window", "w3_sessionize", "d2_dedup_minhash",
     "d4_ngram_jaccard", "d5_embedding_neardup", "sim1_cosine_topk",

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** As-of (point-in-time) join — an operator Spark lacks natively.
+  *
+  * Implemented by composition (the preferred ladder rung before custom
+  * plans): tag both sides, sort per key by event time with the right side
+  * first at equal timestamps, and carry the latest right-side values
+  * forward with `last(_, ignoreNulls)` over an unbounded-preceding window.
+  * Each left row then holds the most recent right row with
+  * `r.time <= l.time` — exactly ASOF JOIN semantics (DuckDB's native ASOF
+  * is the oracle).
+  *
+  * Scale: one shuffle on the key + one sort — the same cost profile as a
+  * sort-merge join, no per-row probing, no range cross product. State per
+  * key during the window scan is O(carried columns).
+  */
+object AsOf {
+
+  /** Left as-of join. `leftDf`/`rightDf` must share `keyCol` and `timeCol`;
+    * the carried right-side payload columns are `carry`. */
+  def asOfJoin(leftDf: DataFrame, rightDf: DataFrame,
+               keyCol: String, timeCol: String,
+               carry: Seq[String]): DataFrame = {
+    val leftCols = leftDf.columns.filterNot(c => c == keyCol || c == timeCol)
+    val l = leftDf.withColumn("_side", lit(1))
+    val r = rightDf.withColumn("_side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right side sorts before left at equal time ⇒ same-instant rows match
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = carry.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select((Seq(keyCol, timeCol) ++ leftCols ++ carry.map(c => s"asof_$c"))
+        .map(col): _*)
+  }
+}
