@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev tool: dump `explain("formatted")` of every headline query to
+  * docs/plans/<name>.txt — the evidence behind SCALE.md's claims. */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "docs/plans"))
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.experimental.extraOptimizations = Seq(graft.plans.PushableKeyCast)
+    Files.createDirectories(outDir)
+    Queries.benchNames.foreach { name =>
+      val df = Queries.all(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save() // finalize AQE
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val adaptive = df.queryExecution.executedPlan.toString
+      Files.writeString(outDir.resolve(s"$name.txt"),
+        s"== explain(formatted), $sfDir ==\n$formatted\n== executed (AQE final) ==\n$adaptive\n")
+      println(s"PLAN $name written")
+    }
+    spark.stop()
+  }
+}

@@ -39,6 +39,17 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: `dropDuplicates` keyed on event_id with a
+    * watermark bounding the dedup state — the streaming twin of
+    * [[graft.operators.Dedup.exact]]. State held per key is one timestamp;
+    * keys older than the watermark are evicted, so state is O(events within
+    * the watermark window), not O(stream history). */
+  def dedupStream(stream: DataFrame, watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
   /** Run the streaming window aggregation over the fixture parquet (staged
     * into a temp dir so `readStream` sees a directory source), synchronously
     * to completion, and return the result table. Complete output mode: the
