@@ -693,6 +693,25 @@ object Queries {
       |FROM (SELECT doc_id, unnest(s) AS sg FROM sh)
       |GROUP BY sg HAVING count(*) >= 5""".stripMargin
 
+  /** Exact interpolated percentiles per priority class (+ count). Exact —
+    * at 100 TB the approx_percentile sketch is the right tool; the exact
+    * form is the oracle-checkable semantics both share. */
+  val q7Quantiles: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+
+  val q7QuantilesSql: String =
+    """SELECT o_orderpriority,
+      |       quantile_cont(o_totalprice, 0.25) AS p25,
+      |       quantile_cont(o_totalprice, 0.5) AS p50,
+      |       quantile_cont(o_totalprice, 0.75) AS p75,
+      |       count(*) AS n
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   // ───────────────────────────── multimodal ──────────────────────────────
 
   /** Binary payload + deterministic decode plumbing (SQL twin for oracle). */
@@ -728,6 +747,7 @@ object Queries {
     "c12_json_extract" -> c12Json,
     "q1_pricing_summary" -> q1Pricing,
     "q6_selective_agg" -> q6Selective,
+    "q7_quantiles" -> q7Quantiles,
     "g1_rollup" -> g1Rollup,
     "w4_pivot" -> w4Pivot,
     "asof1_attribution" -> asof1Attribution,
@@ -773,6 +793,7 @@ object Queries {
     "c12_json_extract" -> c12JsonSql,
     "q1_pricing_summary" -> q1PricingSql,
     "q6_selective_agg" -> q6SelectiveSql,
+    "q7_quantiles" -> q7QuantilesSql,
     "g1_rollup" -> g1RollupSql,
     "w4_pivot" -> w4PivotSql,
     "asof1_attribution" -> asof1AttributionSql,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Typed MinHash sketch aggregator: `Aggregator[tokenHash, sketch, sketch]`.
+  *
+  * The user-facing typed-aggregation form of the same sketch
+  * [[Dedup.minhashSignatures]] builds declaratively (64 min-columns). The
+  * declarative form wins in plans (codegen'd partial aggregation); this one
+  * exists for `Dataset.groupByKey(...).agg(...)` call sites and composes
+  * the same way any other `Aggregator` does. Both produce IDENTICAL
+  * signatures (spec-enforced) because they share the permutation scheme:
+  * `perm_i(h) = xxhash64(i, h)` over the token's xxhash64.
+  */
+class MinHashAggregator(numHashes: Int = 64)
+    extends Aggregator[Long, Array[Long], Array[Long]] with Serializable {
+
+  override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], tokenHash: Long): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      val h = MinHashAggregator.hash2(i, tokenHash)
+      if (h < buf(i)) buf(i) = h
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+object MinHashAggregator {
+  /** Scala mirror of Spark's `xxhash64(int, long)` column expression (seed
+    * 42, values hashed in sequence) so typed and declarative sketches agree
+    * bit-for-bit. */
+  def hash2(i: Int, tokenHash: Long): Long = {
+    val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashInt(i, 42L)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(tokenHash, h1)
+  }
+}

@@ -25,6 +25,10 @@ final case class MediaFeatures(
 
 final case class MediaRow(doc_id: Long, payload: Array[Byte])
 
+final case class ResizedMedia(doc_id: Long, payload: Array[Byte], byte_len: Int)
+
+final case class Frame(doc_id: Long, frame_idx: Int, byte_len: Int, payload: Array[Byte])
+
 object Multimodal {
 
   /** Model the documents table as a media table: payload = utf8 bytes of
@@ -58,6 +62,36 @@ object Multimodal {
           val (len, header, w, h) = decodeStub(r.payload)
           MediaFeatures(r.doc_id, len, header, w, h)
         }
+      }
+  }
+
+  /** STUB resize kernel: binary→binary with target dims carried in the
+    * features. Real build: a codec resize; here payload truncation keeps
+    * the batch/partition shape honest and deterministic. */
+  def resize(spark: SparkSession, media: DataFrame,
+             maxBytes: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          // ??? <- real resize; deterministic stand-in: byte-truncate
+          ResizedMedia(r.doc_id, r.payload.take(maxBytes),
+            math.min(r.payload.length, maxBytes))
+        }
+      }
+  }
+
+  /** STUB frame-sample kernel: one "video" payload → every k-th fixed-size
+    * chunk as a frame row (explode shape: rows multiply, schema typed). */
+  def frameSample(spark: SparkSession, media: DataFrame,
+                  frameBytes: Int, everyK: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .flatMap { r =>
+        // ??? <- real demux/decode; chunking stands in for frame extraction
+        r.payload.grouped(frameBytes).zipWithIndex
+          .filter { case (_, i) => i % everyK == 0 }
+          .map { case (bytes, i) => Frame(r.doc_id, i, bytes.length, bytes) }
       }
   }
 

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing deletes the biggest shuffle (SCALE.md): two tables bucketed on
+  * the join key sort-merge-join without any Exchange. */
+class BucketingSpec extends SparkTestBase {
+
+  test("bucketed fact-fact join plans with zero shuffle exchanges") {
+    val li = Tables.lineitem(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_b")
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+    // disable broadcast so the join strategy itself is under test
+    withBroadcastOff {
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      val exchangesBeforeAgg = plan.linesIterator
+        .takeWhile(!_.contains("SortMergeJoin")).count(_.contains("Exchange"))
+      // the join inputs read pre-bucketed: no Exchange below the join
+      assert(!plan.split("SortMergeJoin")(1).contains("Exchange hashpartitioning(l_orderkey"), plan)
+      assert(exchangesBeforeAgg <= 1, plan) // only the post-join agg shuffles
+    }
+  }
+
+  private def withBroadcastOff[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try f finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
+}
