@@ -678,9 +678,8 @@ object Queries {
 
   /** N-gram frequency table over the corpus (3-grams with support ≥ 5). */
   val t6NgramFreq: Q = (s, d) =>
-    Dedup.shingles(Tables.documents(s, d), 3)
-      .select(explode(col("shingles")).as("ngram"))
-      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+    Dedup.shingleStream(Tables.documents(s, d), 3)
+      .groupBy(col("sg").as("ngram")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 5)
 
   val t6NgramFreqSql: String =
