@@ -711,6 +711,87 @@ object Queries {
       |       count(*) AS n
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** U3/U4 — intersect / except (not in the reference; Spark-free set ops). */
+  val u3Intersect: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+  }
+
+  val u3IntersectSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+
+  val u4Except: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.select(col("c_custkey")).except(o.select(col("o_custkey").as("c_custkey")))
+  }
+
+  val u4ExceptSql: String =
+    """SELECT c_custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders""".stripMargin
+
+  /** J6/J7 — left-semi (EXISTS) and left-anti (NOT EXISTS) joins. */
+  val j6Semi: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val j6SemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin
+
+  val j7Anti: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val j7AntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** G2 — full cube over (status, priority). */
+  val g2Cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("volume"))
+
+  val g2CubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** W5 — analytic windows beyond ranking: lag delta + running total per
+    * customer in explicit (date, key) order. */
+  val w5Running: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("prev_price"), col("running_total"))
+  }
+
+  val w5RunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       lag(o_totalprice) OVER w AS prev_price,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   // ───────────────────────────── multimodal ──────────────────────────────
 
   /** Binary payload + deterministic decode plumbing (SQL twin for oracle). */
@@ -737,6 +818,12 @@ object Queries {
     "j3_array_membership" -> j3Payloads,
     "u1_union_all" -> u1Union,
     "u2_distinct" -> u2Distinct,
+    "u3_intersect" -> u3Intersect,
+    "u4_except" -> u4Except,
+    "j6_semi_join" -> j6Semi,
+    "j7_anti_join" -> j7Anti,
+    "g2_cube" -> g2Cube,
+    "w5_running_window" -> w5Running,
     "a4_distinct_hll" -> a4Hll,
     "l1_tail_n" -> l1Tail,
     "l2_head_n" -> l2Head,
@@ -784,6 +871,12 @@ object Queries {
     "j3_array_membership" -> j3PayloadsSql,
     "u1_union_all" -> u1UnionSql,
     "u2_distinct" -> u2DistinctSql,
+    "u3_intersect" -> u3IntersectSql,
+    "u4_except" -> u4ExceptSql,
+    "j6_semi_join" -> j6SemiSql,
+    "j7_anti_join" -> j7AntiSql,
+    "g2_cube" -> g2CubeSql,
+    "w5_running_window" -> w5RunningSql,
     "l1_tail_n" -> l1TailSql,
     "l2_head_n" -> l2HeadSql,
     "c1_scalar_suite" -> c1ScalarsSql,

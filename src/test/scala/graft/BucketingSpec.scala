@@ -11,6 +11,19 @@ class BucketingSpec extends SparkTestBase {
     val o = Tables.orders(spark, sf0001)
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+    // DROP TABLE clears the (session-local) catalog but a previous JVM's
+    // warehouse directory survives on disk — remove it or CTAS refuses
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("li_b", "o_b").foreach { t =>
+      val dir = new java.io.File(warehouse, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_b")
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
