@@ -243,8 +243,8 @@ object Queries {
     Tables.orders(s, d).select(
       col("o_orderkey"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
-      year(col("o_orderdate")).as("order_year"),
-      month(col("o_orderdate")).as("order_month"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      month(col("o_orderdate")).cast("long").as("order_month"),
       date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("order_iso"))
 
   val c5DatesSql: String =
@@ -279,7 +279,7 @@ object Queries {
 
   val c12JsonSql: String =
     """SELECT event_type, count(*) AS n,
-      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
       |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       |FROM events GROUP BY event_type""".stripMargin
 
@@ -352,7 +352,7 @@ object Queries {
       .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
         c("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("order_year"))
       .agg(sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("double").as("revenue"))
   }
 
@@ -372,7 +372,7 @@ object Queries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
   }
 
@@ -385,16 +385,20 @@ object Queries {
       |WHERE rn <= 3""".stripMargin
 
   /** W2: tumbling event-time window aggregation (batch form). */
-  val w2Tumbling: Q = (s, d) => Windows.tumbling(Tables.events(s, d))
+  val w2Tumbling: Q = (s, d) =>
+    Windows.tumbling(Tables.events(s, d))
+      .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
 
   val w2TumblingSql: String =
-    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+    """SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
       |       count(*) AS n_events,
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** W3: gap-based sessionization via session_window. */
-  val w3Sessions: Q = (s, d) => Windows.sessions(Tables.events(s, d))
+  val w3Sessions: Q = (s, d) =>
+    Windows.sessions(Tables.events(s, d))
+      .withColumn("session_start", date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss"))
 
   val w3SessionsSql: String =
     """WITH o AS (
@@ -410,14 +414,16 @@ object Queries {
       |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
       |                                   ROWS UNBOUNDED PRECEDING) AS session_id
       |  FROM f)
-      |SELECT user_id, CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+      |SELECT user_id, strftime(CAST(date_trunc('second', min(ts)) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
       |       count(*) AS n_events,
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
   /** ST1: the same window aggregation through Structured Streaming —
     * stream/batch parity is enforced by sharing w2-shaped oracle SQL. */
-  val st1Stream: Q = (s, d) => EventStream.runWindowedOverFixture(s, d)
+  val st1Stream: Q = (s, d) =>
+    EventStream.runWindowedOverFixture(s, d)
+      .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
 
   // ──────────────────────────── dedup family ─────────────────────────────
 
@@ -495,7 +501,7 @@ object Queries {
   val sim1TopK: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
-      .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
 
   val sim1TopKSql: String =
@@ -557,8 +563,8 @@ object Queries {
 
   val t3TokensSql: String =
     """SELECT source, count(*) AS n_docs,
-      |       sum(len(string_split(text, ' '))) AS ws_tokens,
-      |       sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS word_tokens
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS word_tokens
       |FROM documents GROUP BY source""".stripMargin
 
   val t4Fingerprint: Q = (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))
@@ -601,7 +607,7 @@ object Queries {
     val n = Tables.nation(s, d)
     o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .rollup(col("n_name"), year(col("o_orderdate")).as("order_year"))
+      .rollup(col("n_name"), year(col("o_orderdate")).cast("long").as("order_year"))
       .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
   }
 
@@ -641,13 +647,13 @@ object Queries {
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
     graft.operators.AsOf.asOfJoin(purchases, clicks, "user_id", "ts", Seq("click_id"))
       .select(col("user_id"), col("purchase_id"),
-        date_trunc("second", col("ts")).as("purchase_ts"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
         col("asof_click_id").as("click_id"))
   }
 
   val asof1AttributionSql: String =
     """SELECT p.user_id, p.event_id AS purchase_id,
-      |       CAST(date_trunc('second', p.ts) AS TIMESTAMP) AS purchase_ts,
+      |       strftime(CAST(date_trunc('second', p.ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
       |       c.event_id AS click_id
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c

@@ -45,7 +45,7 @@ object TextAnalysis {
     val stopRatio = stopHits.cast("double") / nTok
     documents.select(
       col("doc_id"),
-      nTok.as("n_tokens"),
+      nTok.cast("long").as("n_tokens"),
       col("n_chars"),
       round(avgTokLen, 4).as("avg_token_len"),
       round(stopRatio, 4).as("stop_ratio"),

@@ -25,7 +25,7 @@ class TextAnalysisSpec extends SparkTestBase {
     val text = "the cat sat" // 3 tokens, 11 chars, 1 stopword
     val d = docsDF(doc(1, text))
     val r = TextAnalysis.qualityScore(d).collect()(0)
-    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Long]("n_tokens") == 3L)
     assert(math.abs(r.getAs[Double]("avg_token_len") - 3.0) < 1e-9) // (11-2)/3
     assert(math.abs(r.getAs[Double]("stop_ratio") - 0.3333) < 1e-3)
   }
