@@ -495,6 +495,14 @@ object Queries {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.35""".stripMargin
 
+  /** The 100 TB near-dup path as a runnable query: LSH candidate pairs
+    * scored exactly (approximate candidate set → rows-only check). */
+  val d6LshNeardup: Q = (s, d) =>
+    Similarity.annCandidates(Tables.embeddings(s, d))
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.cosine_similarity(col("ea"), col("eb")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.2)
+
   // ───────────────────────── similarity search ───────────────────────────
 
   /** Brute-force exact cosine top-k for a small query set. */
@@ -812,6 +820,53 @@ object Queries {
       |       CAST(1 + (octet_length(encode(text)) % 64) AS INT) AS height
       |FROM documents""".stripMargin
 
+  /** MM2: frame-sample rollup — typed flatMap plumbing, SQL-checkable
+    * because the stub kernel is pure arithmetic. */
+  val mm2Frames: Q = (s, d) => {
+    val media = Multimodal.asMediaTable(Tables.documents(s, d))
+    Multimodal.frameSample(s, media, frameBytes = 32, everyK = 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+  }
+
+  val mm2FramesSql: String =
+    """SELECT doc_id,
+      |       CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 2.0) AS BIGINT) AS n_frames
+      |FROM documents""".stripMargin
+
+  /** T7: tf-idf top terms per doc (tf × ln(N/df), rounded before ranking). */
+  val t7Tfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n_tok", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+    val df_ = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df_), "tok")
+      .withColumn("tfidf",
+        round(col("cnt") / col("n_tok") * log(lit(n.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("tok"), col("tfidf"), col("rnk"))
+  }
+
+  val t7TfidfSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |tfn AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tok FROM tf),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tfn.tok,
+      |         round(CAST(cnt AS DOUBLE) / n_tok * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      |  FROM tfn JOIN df ON tfn.tok = df.tok CROSS JOIN n)
+      |SELECT doc_id, tok, tfidf, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY tfidf DESC, tok) AS rnk
+      |  FROM scored) t
+      |WHERE rnk <= 3""".stripMargin
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -857,6 +912,7 @@ object Queries {
     "d3_dedup_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4Ngram,
     "d5_embedding_neardup" -> d5Cosine,
+    "d6_neardup_lsh" -> d6LshNeardup,
     "sim1_cosine_topk" -> sim1TopK,
     "sim2_ann_lsh" -> sim2Ann,
     "sim3_ann_ivf" -> sim3Ivf,
@@ -865,7 +921,9 @@ object Queries {
     "t3_token_count" -> t3Tokens,
     "t4_fingerprint" -> t4Fingerprint,
     "t5_rolling_hash" -> t5Rolling,
-    "mm1_binary_decode" -> mm1Binary)
+    "mm1_binary_decode" -> mm1Binary,
+    "mm2_frame_counts" -> mm2Frames,
+    "t7_tfidf" -> t7Tfidf)
 
   val oracles: Map[String, String] = Map(
     "e1_users_pipeline" -> e1UsersSql,
@@ -914,7 +972,9 @@ object Queries {
     "t3_token_count" -> t3TokensSql,
     "t4_fingerprint" -> t4FingerprintSql,
     "t5_rolling_hash" -> t5RollingSql,
-    "mm1_binary_decode" -> mm1BinarySql)
+    "mm1_binary_decode" -> mm1BinarySql,
+    "mm2_frame_counts" -> mm2FramesSql,
+    "t7_tfidf" -> t7TfidfSql)
 
   /** Headline subset for the per-round bench (sf0.1). */
   val benchNames: Seq[String] = Seq(

@@ -33,6 +33,11 @@ def norm_df(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(name, spark_df, duck_df):
+    # dtype parity first: the driver hashes typed values, so int32 vs int64
+    # or datetime64[ns] vs [us] can fail even when values are equal
+    for c in sorted(spark_df.columns):
+        if c in duck_df.columns and str(spark_df[c].dtype) != str(duck_df[c].dtype):
+            return (f"DTYPE col={c} spark={spark_df[c].dtype} duck={duck_df[c].dtype}")
     a, b = norm_df(spark_df), norm_df(duck_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA cols spark={list(a.columns)} duck={list(b.columns)}"
