@@ -690,6 +690,31 @@ object Queries {
       |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
       |GROUP BY band""".stripMargin
 
+  /** J8 — skew-salted join: semantically the plain inner join (which IS the
+    * oracle), executed with the hot fact key spread over 8 salts. */
+  val j8Salted: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_quantity")
+    val sup = Tables.supplier(s, d)
+    Transform.saltedJoin(li, sup, "l_suppkey", "s_suppkey", salts = 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"), decSum(col("l_quantity")).as("total_qty"))
+  }
+
+  val j8SaltedSql: String =
+    """SELECT s_name, count(*) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name""".stripMargin
+
+  /** SRC1 — the DSv2 paged users source through the driver gate (no oracle:
+    * the source is not a fixture table; rows-only). */
+  val src1UsersApi: Q = (s, _) => {
+    val users = s.read.format("graft-users")
+      .option("rows", 2000).option("pageSize", 250).load()
+    Metrics.summary(users,
+      col("valid") && col("email") =!= "", col("country"), col("name"), col("id"))
+  }
+
   /** N-gram frequency table over the corpus (3-grams with support ≥ 5). */
   val t6NgramFreq: Q = (s, d) =>
     Dedup.shingleStream(Tables.documents(s, d), 3)
@@ -899,6 +924,8 @@ object Queries {
     "w4_pivot" -> w4Pivot,
     "asof1_attribution" -> asof1Attribution,
     "j5_range_band" -> j5RangeBand,
+    "j8_salted_join" -> j8Salted,
+    "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
     "q3_shipping_priority" -> q3Priority,
     "q5_revenue_rollup" -> q5Revenue,
@@ -954,6 +981,7 @@ object Queries {
     "w4_pivot" -> w4PivotSql,
     "asof1_attribution" -> asof1AttributionSql,
     "j5_range_band" -> j5RangeBandSql,
+    "j8_salted_join" -> j8SaltedSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
     "q5_revenue_rollup" -> q5RevenueSql,
