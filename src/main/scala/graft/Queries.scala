@@ -480,27 +480,27 @@ object Queries {
       |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)
       |SELECT a_id, b_id,
-      |       round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+      |       floor((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)) * 10000 + 0.5) / 10000 AS jaccard
       |FROM pairs
       |JOIN sz na ON na.doc_id = a_id
       |JOIN sz nb ON nb.doc_id = b_id
-      |WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) > 0""".stripMargin
+      |WHERE floor((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)) * 10000 + 0.5) / 10000 > 0""".stripMargin
 
   /** Embedding-cosine near-dup pairs (threshold tuned to fixture geometry). */
   val d5Cosine: Q = (s, d) => Dedup.cosinePairs(Tables.embeddings(s, d), 0.35)
 
   val d5CosineSql: String =
     """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+      |       floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cosine
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.35""".stripMargin
+      |WHERE floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 >= 0.35""".stripMargin
 
   /** The 100 TB near-dup path as a runnable query: LSH candidate pairs
     * scored exactly (approximate candidate set → rows-only check). */
   val d6LshNeardup: Q = (s, d) =>
     Similarity.annCandidates(Tables.embeddings(s, d))
       .select(col("a_id"), col("b_id"),
-        round(graft.functions.cosine_similarity(col("ea"), col("eb")), 4).as("cosine"))
+        portableRound(graft.functions.cosine_similarity(col("ea"), col("eb")), 4).as("cosine"))
       .filter(col("cosine") >= 0.2)
 
   // ───────────────────────── similarity search ───────────────────────────
@@ -515,7 +515,7 @@ object Queries {
   val sim1TopKSql: String =
     """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
       |c AS (SELECT vec_id AS n_id, embedding AS ne FROM embeddings),
-      |sc AS (SELECT q_id, n_id, round(list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ne AS DOUBLE[])), 4) AS cosine
+      |sc AS (SELECT q_id, n_id, floor((list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ne AS DOUBLE[]))) * 10000 + 0.5) / 10000 AS cosine
       |       FROM q JOIN c ON q_id <> n_id),
       |r AS (SELECT q_id, n_id, cosine,
       |             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
@@ -542,8 +542,8 @@ object Queries {
 
   val t1LangSql: String =
     s"""SELECT doc_id, lang,
-       |  round(CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
-       |        / len(string_split(text, ' ')), 4) AS en_ratio,
+       |  floor((CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
+       |        / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS en_ratio,
        |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
        |       WHEN CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
        |            / len(string_split(text, ' ')) >= 0.08 THEN 'en'
@@ -556,15 +556,15 @@ object Queries {
     s"""SELECT doc_id,
        |  len(string_split(text, ' ')) AS n_tokens,
        |  n_chars,
-       |  round(CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
-       |        / len(string_split(text, ' ')), 4) AS avg_token_len,
-       |  round(CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
-       |        / len(string_split(text, ' ')), 4) AS stop_ratio,
-       |  round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+       |  floor((CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+       |        / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS avg_token_len,
+       |  floor((CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
+       |        / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS stop_ratio,
+       |  floor((least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
        |        + (CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
        |           / len(string_split(text, ' '))) * 0.3
        |        + least((CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
-       |                 / len(string_split(text, ' '))) / 10.0, 1.0) * 0.2, 4) AS quality
+       |                 / len(string_split(text, ' '))) / 10.0, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality
        |FROM documents""".stripMargin
 
   val t3Tokens: Q = (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))
@@ -869,7 +869,7 @@ object Queries {
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df_), "tok")
       .withColumn("tfidf",
-        round(col("cnt") / col("n_tok") * log(lit(n.toDouble) / col("df")), 6))
+        portableRound(col("cnt") / col("n_tok") * log(lit(n.toDouble) / col("df")), 6))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
@@ -884,7 +884,7 @@ object Queries {
       |n AS (SELECT count(*) AS n_docs FROM documents),
       |scored AS (
       |  SELECT doc_id, tfn.tok,
-      |         round(CAST(cnt AS DOUBLE) / n_tok * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      |         floor((CAST(cnt AS DOUBLE) / n_tok * ln(CAST(n_docs AS DOUBLE) / df)) * 1000000 + 0.5) / 1000000 AS tfidf
       |  FROM tfn JOIN df ON tfn.tok = df.tok CROSS JOIN n)
       |SELECT doc_id, tok, tfidf, rnk FROM (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id

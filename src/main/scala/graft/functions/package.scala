@@ -36,6 +36,22 @@ package object functions {
     * (C8, /root/reference/pages/index.js:291). */
   def pctOf(v: Column, max: Column): Column = least(v / max * 100.0, lit(100.0))
 
+  /** Engine-portable half-up rounding: `floor(x·10ˢ + 0.5)/10ˢ` — plain
+    * IEEE multiply/add/floor, so Spark and DuckDB produce bit-identical
+    * results. Spark's `round` (exact BigDecimal expansion) and DuckDB's
+    * (float multiply) disagree on ~1-in-10⁴ boundary values — observed on
+    * real fixture rows at sf0.1. Use this for any score the oracle hashes. */
+  def portableRound(c: Column, scale: Int): Column = {
+    val p = math.pow(10.0, scale)
+    floor(c * p + 0.5) / p
+  }
+
+  /** The matching DuckDB SQL fragment for [[portableRound]]. */
+  def portableRoundSql(expr: String, scale: Int): String = {
+    val p = math.pow(10.0, scale).toLong
+    s"floor(($expr) * $p + 0.5) / $p"
+  }
+
   /** Exact-decimal sum of a double column: each value is rounded to `scale`
     * decimals as a decimal(18,scale), summed exactly, and returned as double.
     * Sum order then cannot perturb low bits, so results are reproducible

@@ -42,7 +42,7 @@ object Similarity {
     val c = embeddings.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine_similarity(col("qe"), col("ne")), 4).as("cosine"))
+        portableRound(cosine_similarity(col("qe"), col("ne")), 4).as("cosine"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -87,7 +87,7 @@ object Similarity {
       .orderBy(col("csim").desc, col("cid").asc)
     embeddings.select(col("vec_id"), col("embedding"), explode(cents).as("c"))
       .select(col("vec_id"), col("embedding"), col("c._1").as("cid"),
-        round(cosine_similarity(col("embedding"), col("c._2")), 6).as("csim"))
+        portableRound(cosine_similarity(col("embedding"), col("c._2")), 6).as("csim"))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= keep)
       .select(col("vec_id"), col("embedding"), col("cid"))
@@ -111,7 +111,7 @@ object Similarity {
     corpus.join(broadcast(probes),
         corpus("cid") === probes("cid") && col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine_similarity(col("qe"), col("ne")), 4).as("cosine"))
+        portableRound(cosine_similarity(col("qe"), col("ne")), 4).as("cosine"))
       .distinct()
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -138,7 +138,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id").asc)
     cands.select(col("q_id"), col("n_id"),
-        round(cosine_similarity(col("qe"), col("ne")), 4).as("cosine"))
+        portableRound(cosine_similarity(col("qe"), col("ne")), 4).as("cosine"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }

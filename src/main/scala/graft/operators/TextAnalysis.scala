@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.portableRound
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -29,7 +30,7 @@ object TextAnalysis {
     documents.select(
       col("doc_id"),
       col("lang"),
-      round(size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+      portableRound(size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
         size(toks), 4).as("en_ratio"),
       when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
         .when(size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
@@ -47,9 +48,9 @@ object TextAnalysis {
       col("doc_id"),
       nTok.cast("long").as("n_tokens"),
       col("n_chars"),
-      round(avgTokLen, 4).as("avg_token_len"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(least(nTok / 100.0, lit(1.0)) * 0.5 + stopRatio * 0.3 +
+      portableRound(avgTokLen, 4).as("avg_token_len"),
+      portableRound(stopRatio, 4).as("stop_ratio"),
+      portableRound(least(nTok / 100.0, lit(1.0)) * 0.5 + stopRatio * 0.3 +
         least(avgTokLen / lit(10.0), lit(1.0)) * 0.2, 4).as("quality"))
   }
 
