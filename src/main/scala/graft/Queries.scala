@@ -690,6 +690,24 @@ object Queries {
       |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
       |GROUP BY band""".stripMargin
 
+  /** Q8 — correlated scalar subquery through the engine's raw SQL surface
+    * (Catalyst decorrelates it to an aggregate + join under the hood). */
+  val q8Correlated: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer_v c
+        |WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer_v c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |""".stripMargin)
+  }
+
+  val q8CorrelatedSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+      |FROM customer c
+      |WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin
+
   /** J8 — skew-salted join: semantically the plain inner join (which IS the
     * oracle), executed with the hot fact key spread over 8 salts. */
   val j8Salted: Q = (s, d) => {
@@ -925,6 +943,7 @@ object Queries {
     "asof1_attribution" -> asof1Attribution,
     "j5_range_band" -> j5RangeBand,
     "j8_salted_join" -> j8Salted,
+    "q8_correlated_subquery" -> q8Correlated,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
     "q3_shipping_priority" -> q3Priority,
@@ -982,6 +1001,7 @@ object Queries {
     "asof1_attribution" -> asof1AttributionSql,
     "j5_range_band" -> j5RangeBandSql,
     "j8_salted_join" -> j8SaltedSql,
+    "q8_correlated_subquery" -> q8CorrelatedSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
     "q5_revenue_rollup" -> q5RevenueSql,
@@ -1007,9 +1027,11 @@ object Queries {
   /** Headline subset for the per-round bench (sf0.1). */
   val benchNames: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_rollup",
-    "q6_selective_agg", "asof1_attribution",
+    "q6_selective_agg", "q7_quantiles", "q8_correlated_subquery",
+    "asof1_attribution", "g1_rollup", "w4_pivot",
     "e1_users_pipeline", "e3_launches_pipeline", "w1_rank_window",
     "w2_tumbling_window", "w3_sessionize", "d2_dedup_minhash",
-    "d4_ngram_jaccard", "d5_embedding_neardup", "sim1_cosine_topk",
-    "t4_fingerprint", "mm1_binary_decode")
+    "d3_dedup_simhash", "d4_ngram_jaccard", "d5_embedding_neardup",
+    "sim1_cosine_topk", "t4_fingerprint", "t7_tfidf", "mm1_binary_decode",
+    "st1_stream_window")
 }
