@@ -19,6 +19,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations = Seq(graft.plans.PushableKeyCast)
+    spark.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
     val names = Queries.benchNames.filter(SparkEntry.queries.contains)
     // warm every query shape at the smallest SF first: moves Janino codegen
     // compilation + JIT out of the measured runs (steady-state throughput is

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.PushableKeyCast)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",
         "cosine_similarity(a, b) - cosine similarity of two float arrays"),

@@ -384,6 +384,24 @@ object Queries {
       |  FROM orders) t
       |WHERE rn <= 3""".stripMargin
 
+  /** W6: top-3 orders per customer through the custom TopKPerKeyExec
+    * physical operator (heap per key, no partition sort) — result-identical
+    * to the w1 window formulation, which is what the oracle checks. */
+  val w6TopkNative: Q = (s, d) =>
+    graft.plans.TopKPerKey(
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      keys = Seq("o_custkey"),
+      order = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      k = 3)
+
+  val w6TopkNativeSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3""".stripMargin
+
   /** W2: tumbling event-time window aggregation (batch form). */
   val w2Tumbling: Q = (s, d) =>
     Windows.tumbling(Tables.events(s, d))
@@ -949,6 +967,7 @@ object Queries {
     "q3_shipping_priority" -> q3Priority,
     "q5_revenue_rollup" -> q5Revenue,
     "w1_rank_window" -> w1Rank,
+    "w6_topk_native" -> w6TopkNative,
     "w2_tumbling_window" -> w2Tumbling,
     "w3_sessionize" -> w3Sessions,
     "st1_stream_window" -> st1Stream,
@@ -1006,6 +1025,7 @@ object Queries {
     "q3_shipping_priority" -> q3PrioritySql,
     "q5_revenue_rollup" -> q5RevenueSql,
     "w1_rank_window" -> w1RankSql,
+    "w6_topk_native" -> w6TopkNativeSql,
     "w2_tumbling_window" -> w2TumblingSql,
     "w3_sessionize" -> w3SessionsSql,
     "st1_stream_window" -> w2TumblingSql, // stream/batch parity: same oracle
@@ -1029,7 +1049,7 @@ object Queries {
     "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_rollup",
     "q6_selective_agg", "q7_quantiles", "q8_correlated_subquery",
     "asof1_attribution", "g1_rollup", "w4_pivot",
-    "e1_users_pipeline", "e3_launches_pipeline", "w1_rank_window",
+    "e1_users_pipeline", "e3_launches_pipeline", "w1_rank_window", "w6_topk_native",
     "w2_tumbling_window", "w3_sessionize", "d2_dedup_minhash",
     "d3_dedup_simhash", "d4_ngram_jaccard", "d5_embedding_neardup",
     "sim1_cosine_topk", "t4_fingerprint", "t7_tfidf", "mm1_binary_decode",

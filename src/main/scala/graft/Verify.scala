@@ -18,6 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations = Seq(graft.plans.PushableKeyCast)
+    spark.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -15,6 +15,7 @@ trait SparkTestBase extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.experimental.extraOptimizations = Seq(graft.plans.PushableKeyCast)
+    s.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
     s
   }
 
