@@ -877,7 +877,7 @@ object Queries {
     """SELECT doc_id,
       |       CAST(octet_length(encode(text)) AS INT) AS byte_len,
       |       hex(encode(substr(text, 1, 4))) AS header,
-      |       1 + (unicode(substr(text, 1, 1)) % 64) AS width,
+      |       1 + (CASE WHEN text = '' THEN 0 ELSE unicode(substr(text, 1, 1)) END % 64) AS width,
       |       CAST(1 + (octet_length(encode(text)) % 64) AS INT) AS height
       |FROM documents""".stripMargin
 
@@ -894,18 +894,21 @@ object Queries {
       |       CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 2.0) AS BIGINT) AS n_frames
       |FROM documents""".stripMargin
 
-  /** T7: tf-idf top terms per doc (tf × ln(N/df), rounded before ranking). */
+  /** T7: tf-idf top terms per doc (tf × ln(N/df), rounded before ranking).
+    * N is a scalar aggregate INSIDE the DAG (broadcast cross join), not a
+    * driver-side `count()` — constructing the query must not run a job. */
   val t7Tfidf: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("n_tok", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
     val df_ = toks.select(col("doc_id"), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df_), "tok")
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        portableRound(col("cnt") / col("n_tok") * log(lit(n.toDouble) / col("df")), 6))
+        portableRound(col("cnt") / col("n_tok") * log(col("n_docs") / col("df")), 6))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)

@@ -29,9 +29,15 @@ object AsOf {
     val l = leftDf.withColumn("_side", lit(1))
     val r = rightDf.withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // right side sorts before left at equal time ⇒ same-instant rows match
+    // right side sorts before left at equal time ⇒ same-instant rows match.
+    // The carried columns join the ordering as a tiebreak: without it, two
+    // right rows sharing (key, ts) would leave `last()` free to pick either
+    // (partition-order nondeterminism). With it the pick is total-ordered:
+    // the greatest carried tuple wins. Left rows carry nulls there, so
+    // nulls-first keeps them ordered before nothing-in-particular.
+    val tiebreak = carry.map(c => col(c).asc_nulls_first)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol).asc, col("_side").asc)
+      .orderBy(col(timeCol).asc +: col("_side").asc +: tiebreak: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = carry.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"asof_$c",

@@ -47,8 +47,14 @@ object Multimodal {
     // ??? <- real codec goes here; deterministic fake below keeps tests honest
     val len = payload.length
     val header = payload.take(4).map(b => f"${b & 0xff}%02X").mkString
-    val b0 = if (len > 0) payload(0) & 0xff else 0
-    (len, header, 1 + b0 % 64, 1 + len % 64)
+    // FIRST CODEPOINT of the UTF-8 payload (0 when empty) — the same basis
+    // as the SQL twin's ascii(cast(payload AS string)): a payload starting
+    // with a multibyte character (zh text) must decode identically on the
+    // typed and declarative paths.
+    val cp0 =
+      if (len == 0) 0
+      else new String(payload, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
+    (len, header, 1 + cp0 % 64, 1 + len % 64)
   }
 
   /** Partition-parallel decode: `mapPartitions` over the typed payload
