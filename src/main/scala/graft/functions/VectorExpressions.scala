@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Cosine similarity over two `array<float>` embedding columns.
   *
@@ -58,6 +58,100 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sign-random-projection LSH signature of an `array<float>` vector:
+  * `planes` pseudo-random hyperplanes, one bit each (dot > 0), packed into
+  * an int. `table` selects an independent hyperplane family so multi-table
+  * LSH unions candidates from several signatures.
+  *
+  * The hyperplane weights are a pure function of (table, plane, dim) through
+  * xxhash64 — identical on every executor, every run, every cluster size —
+  * and are PRECOMPUTED once per expression instance into a flat double[].
+  * Per row the kernel is planes×dim multiply-adds inside whole-stage
+  * codegen; the previous formulation (`aggregate` over a `sequence`, a
+  * higher-order function) was CodegenFallback — interpreted per row AND
+  * re-deriving every weight through two hash calls per element. Table 0
+  * reproduces that formulation's weights exactly
+  * (`pmod(xxhash64(p, d), 10000)/10000 - 0.5`), so signatures are unchanged.
+  */
+case class HyperplaneSignature(child: Expression, planes: Int, dim: Int, table: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_signature"
+
+  /** weights(p*dim + d) — lazily built on first use per JVM, shipped to
+    * executors by reference-object serialization. */
+  @transient private lazy val weights: Array[Double] =
+    HyperplaneSignature.weights(planes, dim, table)
+
+  private def signatureOf(arr: ArrayData): Int = {
+    val w = weights
+    val n = math.min(dim, arr.numElements())
+    var sig = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      val base = p * dim
+      while (d < n) { dot += arr.getFloat(d).toDouble * w(base + d); d += 1 }
+      if (dot > 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(v: Any): Any = signatureOf(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val w = ctx.addReferenceObj("hyperplaneWeights", weights, "double[]")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val sig = ctx.freshName("sig")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |int $sig = 0;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $dot = 0.0;
+         |  int $base = $p * $dim;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $dot += (double) $a.getFloat($d) * $w[$base + $d];
+         |  }
+         |  if ($dot > 0) $sig |= (1 << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSignature {
+  /** Deterministic weight matrix: plane index is offset by table×planes so
+    * each table is an independent family; the (hash of plane, then hash of
+    * dim) chain mirrors Spark's `xxhash64(lit(p), d)` two-child evaluation
+    * (seed 42), keeping table 0 bit-compatible with the round-1 HOF path. */
+  def weights(planes: Int, dim: Int, table: Int): Array[Double] = {
+    val w = new Array[Double](planes * dim)
+    var p = 0
+    while (p < planes) {
+      val hp = XXH64.hashInt(table * planes + p, 42L)
+      var d = 0
+      while (d < dim) {
+        val h = XXH64.hashInt(d, hp)
+        w(p * dim + d) = ((h % 10000L + 10000L) % 10000L).toDouble / 10000.0 - 0.5
+        d += 1
+      }
+      p += 1
+    }
+    w
+  }
 }
 
 /** Dot product over two `array<float>` columns — same codegen rationale. */

@@ -23,6 +23,12 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Sign-random-projection LSH signature (codegen'd expression with a
+    * precomputed deterministic weight matrix; `table` picks an independent
+    * hyperplane family for multi-table LSH). */
+  def hyperplane_signature(c: Column, planes: Int, dim: Int, table: Int = 0): Column =
+    Bridge.column(HyperplaneSignature(Bridge.expression(c), planes, dim, table))
+
   /** `''` → null, so SQL coalesce matches JS `||` falsiness for strings. */
   def emptyToNull(c: Column): Column = when(c === "", lit(null)).otherwise(c)
 

@@ -20,20 +20,15 @@ import org.apache.spark.sql.DataFrame
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplanes: weight(p, d) derived from
-    * xxhash64 — reproducible across runs/cluster sizes with no RNG state. */
-  private def planeDot(emb: org.apache.spark.sql.Column, p: Int, dim: Int) =
-    aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0d),
-      (acc, d) => acc + element_at(emb, d + 1) *
-        (pmod(xxhash64(lit(p), d), lit(10000)).cast("double") / 10000.0 - 0.5))
-
-  /** Sign-random-projection signature: `planes`-bit int per vector. */
-  def withLshSignature(embeddings: DataFrame, planes: Int = 6, dim: Int = 64): DataFrame = {
-    val bits = (0 until planes).map { p =>
-      when(planeDot(col("embedding"), p, dim) > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
-    embeddings.withColumn("lsh_sig", bits)
-  }
+  /** Sign-random-projection signature: `planes`-bit int per vector, via the
+    * codegen'd [[graft.functions.HyperplaneSignature]] expression (weights
+    * precomputed, deterministic across runs/cluster sizes; table 0 is
+    * bit-compatible with the round-1 higher-order-function formulation,
+    * which was CodegenFallback and ~2 hash calls per element per row). */
+  def withLshSignature(embeddings: DataFrame, planes: Int = 6, dim: Int = 64,
+                       table: Int = 0): DataFrame =
+    embeddings.withColumn("lsh_sig",
+      hyperplane_signature(col("embedding"), planes, dim, table))
 
   /** Exact top-k neighbors for each query vector (query set must be small —
     * it is broadcast). Output: q_id, n_id, cosine, rank. */
@@ -48,23 +43,34 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Candidate pairs from LSH buckets with hamming-≤1 multiprobe: each
-    * vector emits its signature plus all 1-bit flips; pairs meeting in any
-    * probe bucket become candidates. Used as the pair source for near-dup
-    * and ANN at scale. */
-  def annCandidates(embeddings: DataFrame, planes: Int = 6, dim: Int = 64): DataFrame = {
-    val sigs = withLshSignature(embeddings, planes, dim)
-      .select(col("vec_id"), col("embedding"), col("lsh_sig"))
-    val probes = sigs.select(col("vec_id"), col("embedding"),
-      explode(array((lit(-1) +: (0 until planes).map(lit(_))): _*)).as("flip"),
-      col("lsh_sig"))
+  /** Candidate pairs from LSH buckets with hamming-≤1 multiprobe on both
+    * sides (pairs within hamming ≤ 2 of each other meet in some probe
+    * bucket): each vector emits, per table, its signature plus all 1-bit
+    * flips; candidates come from ONE shuffle join on `(table, probe_sig)`
+    * — never a cross join. `tables` independent hyperplane families
+    * multiply recall (miss rates compound per table) at linear cost.
+    * Used as the pair source for near-dup and ANN at scale. */
+  def annCandidates(embeddings: DataFrame, planes: Int = 6, dim: Int = 64,
+                    tables: Int = 1): DataFrame = {
+    val sigStructs = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        hyperplane_signature(col("embedding"), planes, dim, t).as("sig"))
+    }
+    val sigs = embeddings.select(col("vec_id"), col("embedding"),
+        explode(array(sigStructs: _*)).as("ts"))
       .select(col("vec_id"), col("embedding"),
-        when(col("flip") === -1, col("lsh_sig"))
-          .otherwise(col("lsh_sig").bitwiseXOR(pow(lit(2.0), col("flip")).cast("int")))
+        col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    val probes = sigs.select(col("vec_id"), col("embedding"), col("tbl"),
+      explode(array((lit(-1) +: (0 until planes).map(lit(_))): _*)).as("flip"),
+      col("sig"))
+      .select(col("vec_id"), col("embedding"), col("tbl"),
+        when(col("flip") === -1, col("sig"))
+          .otherwise(col("sig").bitwiseXOR(expr("shiftleft(1, flip)")))
           .as("probe_sig"))
     val a = probes.alias("a")
     val b = probes.alias("b")
-    a.join(b, col("a.probe_sig") === col("b.probe_sig") &&
+    a.join(b, col("a.tbl") === col("b.tbl") &&
+        col("a.probe_sig") === col("b.probe_sig") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("a.embedding").as("ea"),
         col("b.vec_id").as("b_id"), col("b.embedding").as("eb"))
@@ -116,23 +122,35 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** ANN top-k: score only LSH candidates, then per-query top-k. */
+  /** ANN top-k: score only LSH candidates, then per-query top-k. The corpus
+    * is indexed under `tables` independent hyperplane families (the classic
+    * multi-table LSH index: L entries per item); each query probes, per
+    * table, its own bucket plus all hamming-1 neighbors. Corpus-side work
+    * stays bucket-sized per (table, probe); recall compounds across tables. */
   def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 6, dim: Int = 64): DataFrame = {
-    val sigs = withLshSignature(embeddings, planes, dim)
-    val qsigs = withLshSignature(queries, planes, dim)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("lsh_sig").as("q_sig"))
-    // query probes its own bucket + hamming-1 buckets
-    val probes = qsigs.select(col("q_id"), col("qe"),
+              planes: Int = 6, dim: Int = 64, tables: Int = 8): DataFrame = {
+    def tableSigs(df: DataFrame): org.apache.spark.sql.Column =
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          hyperplane_signature(col("embedding"), planes, dim, t).as("sig"))
+      }: _*))
+    val sigs = embeddings.select(col("vec_id").as("n_id"),
+        col("embedding").as("ne"), tableSigs(embeddings).as("ts"))
+      .select(col("n_id"), col("ne"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    val qsigs = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"), tableSigs(queries).as("ts"))
+      .select(col("q_id"), col("qe"), col("ts.tbl").as("tbl"), col("ts.sig").as("q_sig"))
+    // query probes its own bucket + hamming-1 buckets, per table
+    val probes = qsigs.select(col("q_id"), col("qe"), col("tbl"),
       explode(array((lit(-1) +: (0 until planes).map(lit(_))): _*)).as("flip"), col("q_sig"))
-      .select(col("q_id"), col("qe"),
+      .select(col("q_id"), col("qe"), col("tbl"),
         when(col("flip") === -1, col("q_sig"))
-          .otherwise(col("q_sig").bitwiseXOR(pow(lit(2.0), col("flip")).cast("int")))
+          .otherwise(col("q_sig").bitwiseXOR(expr("shiftleft(1, flip)")))
           .as("probe_sig"))
-    val cands = sigs.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
-        col("lsh_sig"))
-      .join(broadcast(probes), col("lsh_sig") === col("probe_sig") &&
-        col("q_id") =!= col("n_id"))
+    val cands = sigs.alias("s")
+      .join(broadcast(probes.alias("p")),
+        col("s.tbl") === col("p.tbl") && col("s.sig") === col("p.probe_sig") &&
+          col("p.q_id") =!= col("s.n_id"))
       .select(col("q_id"), col("n_id"), col("qe"), col("ne"))
       .distinct()
     val w = Window.partitionBy(col("q_id"))

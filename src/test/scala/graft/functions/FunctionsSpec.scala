@@ -41,6 +41,40 @@ class FunctionsSpec extends SparkTestBase {
     viaExpr.zip(viaSql).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
   }
 
+  test("hyperplane_signature matches an independent reimplementation") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val planes = 6; val dim = 64; val table = 3
+    // reference reimplementation, straight from the documented weight
+    // contract: w(p,d) = pmod(xxhash64(table*planes+p, then d), 10000)/1e4-0.5
+    def expectedSig(v: Array[Float]): Int = {
+      var sig = 0
+      for (p <- 0 until planes) {
+        val hp = XXH64.hashInt(table * planes + p, 42L)
+        var dot = 0.0
+        for (d <- 0 until math.min(dim, v.length)) {
+          val h = XXH64.hashInt(d, hp)
+          dot += v(d).toDouble * (((h % 10000L + 10000L) % 10000L).toDouble / 10000.0 - 0.5)
+        }
+        if (dot > 0) sig |= (1 << p)
+      }
+      sig
+    }
+    val e = graft.Tables.embeddings(spark, sf0001).limit(50)
+    val got = e.select($"vec_id", hyperplane_signature($"embedding", planes, dim, table).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val raw = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> expectedSig(r.getSeq[Float](1).toArray)).toMap
+    assert(got == raw)
+  }
+
+  test("hyperplane_signature stays inside whole-stage codegen") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val df = e.select(hyperplane_signature($"embedding", 6, 64).as("sig"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("jsCoalesce treats empty string as missing (JS || semantics)") {
     val df = Seq(("", "fb"), ("v", "fb"), (null.asInstanceOf[String], "fb")).toDF("a", "b")
     val got = df.select(jsCoalesce($"a", $"b").as("c")).collect().map(_.getString(0)).toSeq

@@ -73,6 +73,27 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(got(0).getDouble(2) - 1.0 / 3) < 1e-3)
   }
 
+  test("LSH pair source reproduces the brute-force d5 result exactly at 0.35") {
+    // the scale path's recall contract at the d5 threshold: 12 hyperplane
+    // families cover every qualifying pair on the fixture (measured across
+    // sf0.001/0.01/0.1), and rescoring is exact — so the two paths are
+    // row-identical, not merely close
+    val e = graft.Tables.embeddings(spark, sf0001)
+    assertSameRows(Dedup.cosinePairsLsh(e, 0.35), Dedup.cosinePairsBrute(e, 0.35))
+  }
+
+  test("cosinePairs switches to the LSH source above the stats threshold") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val brutePlan = Dedup.cosinePairs(e, 0.35).queryExecution.executedPlan.toString
+    assert(brutePlan.contains("BroadcastNestedLoopJoin"), "small side should stay brute")
+    spark.conf.set("spark.graft.neardup.bruteMaxBytes", "0")
+    try {
+      val lshPlan = Dedup.cosinePairs(e, 0.35).queryExecution.executedPlan.toString
+      assert(!lshPlan.contains("BroadcastNestedLoopJoin"),
+        "above the threshold the all-pairs join must be gone")
+    } finally spark.conf.unset("spark.graft.neardup.bruteMaxBytes")
+  }
+
   test("cosine near-dup pairs on crafted vectors") {
     val mk = (id: Long, v: Array[Float]) => (id, v)
     val e = Seq(

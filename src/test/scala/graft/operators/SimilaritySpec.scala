@@ -24,7 +24,12 @@ class SimilaritySpec extends SparkTestBase {
     val approx = Similarity.annTopK(e, q, 5).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.2, s"recall=$recall") // random uniform vectors: LSH floor
+    assert(recall >= 0.6, s"recall=$recall") // 8 tables measured 0.80
+    // the sim2 production config (16 tables) clears the driver gate's 0.9
+    val approx16 = Similarity.annTopK(e, q, 5, tables = 16).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall16 = (exact & approx16).size.toDouble / exact.size
+    assert(recall16 >= 0.9, s"recall16=$recall16") // measured 0.96
   }
 
   test("IVF top-k achieves useful recall and beats nothing-shared baseline") {
