@@ -349,6 +349,26 @@ object Queries {
        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  /** q3 on bucketed-and-sorted `lineitem`/`orders` (16 buckets on orderkey):
+    * the fact-fact join runs with ZERO exchanges and zero sorts — the
+    * bucketed layout pre-pays the shuffle once at write time, which is the
+    * economics that matter when the same fact tables join daily at 100 TB.
+    * The group-by keys start with l_orderkey, so even the aggregation
+    * reuses the bucket partitioning; the only data movement left is the
+    * final top-10 gather. Result- and oracle-identical to q3. */
+  val q3Bucketed: Q = (s, d) => {
+    val (liB, oB) = Tables.ensureBucketed(s, d)
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = oB.filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+    val li = liB.filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
   /** TPC-H Q5-style revenue rollup (the multi-join shuffle benchmark). */
   val q5Revenue: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
@@ -1131,6 +1151,7 @@ object Queries {
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
     "q3_shipping_priority" -> q3Priority,
+    "q3_bucketed" -> q3Bucketed,
     "q5_revenue_rollup" -> q5Revenue,
     "w1_rank_window" -> w1Rank,
     "w6_topk_native" -> w6TopkNative,
@@ -1196,6 +1217,7 @@ object Queries {
     "q8_correlated_subquery" -> q8CorrelatedSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
+    "q3_bucketed" -> q3PrioritySql, // layout changes, semantics don't
     "q5_revenue_rollup" -> q5RevenueSql,
     "w1_rank_window" -> w1RankSql,
     "w6_topk_native" -> w6TopkNativeSql,
@@ -1223,7 +1245,7 @@ object Queries {
 
   /** Headline subset for the per-round bench (sf0.1). */
   val benchNames: Seq[String] = Seq(
-    "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_rollup",
+    "q1_pricing_summary", "q3_shipping_priority", "q3_bucketed", "q5_revenue_rollup",
     "q6_selective_agg", "q7_quantiles", "q8_correlated_subquery",
     "asof1_attribution", "g1_rollup", "w4_pivot",
     "e1_users_pipeline", "e3_launches_pipeline", "w1_rank_window", "w6_topk_native",

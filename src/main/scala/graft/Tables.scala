@@ -35,4 +35,38 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Bucketed twins of `lineitem`/`orders`, bucketed AND sorted by orderkey
+    * into `numBuckets` buckets — the co-located-join layout: a join on the
+    * bucket key needs NO exchange and NO sort on either side, which at
+    * 100 TB deletes the single largest shuffle of the order-grained
+    * queries (q3/q5 shape). One file per bucket (`repartition` on the key
+    * with the same hash the bucketing uses), so the scan preserves the
+    * sorted-bucket guarantee without a recovery sort.
+    *
+    * Written once per (sf, session-lifetime of the warehouse) under
+    * `spark.sql.warehouse.dir`; the in-memory catalog forgets tables on
+    * restart, so creation is idempotent-by-name and clears a stale
+    * location before re-registering. */
+  def ensureBucketed(s: SparkSession, d: String, numBuckets: Int = 16): (DataFrame, DataFrame) = {
+    val tag = d.split('/').last.replaceAll("[^A-Za-z0-9]", "_")
+    def ensure(name: String, key: String): DataFrame = {
+      val table = s"${name}_bkt_$tag"
+      if (!s.catalog.tableExists(table)) {
+        val loc = java.nio.file.Paths.get(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+        if (java.nio.file.Files.exists(loc)) { // stale dir from a prior session
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        apply(s, d, name)
+          .repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+          .write.bucketBy(numBuckets, key).sortBy(key)
+          .mode("overwrite").saveAsTable(table)
+      }
+      s.table(table)
+    }
+    (ensure("lineitem", "l_orderkey"), ensure("orders", "o_orderkey"))
+  }
 }

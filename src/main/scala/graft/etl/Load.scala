@@ -31,17 +31,38 @@ object Load {
   def parquet(df: DataFrame, out: String): Unit =
     df.write.mode("overwrite").parquet(out)
 
-  /** K1 — the API envelope (pages/api/etl/restart.js:14-20): one JSON
-    * object `{users, metrics, fallbackUsed, fetchedAt}`. Driver-side
-    * assembly by design — the envelope is a response payload, not a
-    * dataset; `users` is expected to be display-sized (the reference sends
-    * its full 500-row page). */
+  /** K1 — the API envelope (pages/api/etl/restart.js:14-20, users.js:44-46):
+    * one JSON object `{users, metrics, fallbackUsed, sourceUrl, fetchedAt}`.
+    * Driver-side assembly by design — the envelope is a response payload,
+    * not a dataset; `users` is expected to be display-sized (the reference
+    * sends its full 500-row page). */
   def apiEnvelope(users: DataFrame, metrics: DataFrame,
-                  fallbackUsed: Boolean, fetchedAt: java.time.Instant): String = {
+                  fallbackUsed: Boolean, fetchedAt: java.time.Instant,
+                  sourceUrl: String = ""): String = {
     val usersJson = users.toJSON.collect().mkString("[", ",", "]")
     val metricsJson = metrics.toJSON.collect().headOption.getOrElse("{}")
     s"""{"users":$usersJson,"metrics":$metricsJson,""" +
-      s""""fallbackUsed":$fallbackUsed,"fetchedAt":"$fetchedAt"}"""
+      s""""fallbackUsed":$fallbackUsed,"sourceUrl":"${jsonEscape(sourceUrl)}",""" +
+      s""""fetchedAt":"$fetchedAt"}"""
+  }
+
+  /** K1 error variants (pages/api/etl/restart.js:5-8,22-26): the reference
+    * answers 405 `{error: 'Method not allowed'}` to a non-POST and 500
+    * `{error: <message>}` when the pipeline throws. Returned as
+    * (status, body) so any HTTP layer can relay it. */
+  def errorEnvelope(status: Int, message: String): (Int, String) =
+    (status, s"""{"error":"${jsonEscape(message)}"}""")
+
+  def methodNotAllowed: (Int, String) = errorEnvelope(405, "Method not allowed")
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   /** K3 — pretty JSON preview of the first n rows (pages/index.js:268). */

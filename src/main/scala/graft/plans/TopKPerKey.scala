@@ -1,13 +1,15 @@
 package graft.plans
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode, UnsafeKVExternalSorter}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.{Column, DataFrame}
 
 import scala.jdk.CollectionConverters._
@@ -25,6 +27,17 @@ import scala.jdk.CollectionConverters._
   * The exec declares `ClusteredDistribution(keys)`, so Spark inserts the
   * hash exchange (and ONLY that) beneath it — the shuffle plan is identical
   * to the window version minus the sort.
+  *
+  * Memory safety: the heap map holds k rows PER DISTINCT KEY, so its
+  * footprint is data-dependent. Inserted bytes are tracked against
+  * `spark.graft.topk.maxMemoryBytes` (default 64 MB); when a partition's
+  * keys exceed the budget the operator switches to sort-based execution —
+  * the partial heaps plus the remaining input go through Spark's
+  * [[UnsafeKVExternalSorter]] (the same spill machinery HashAggregateExec
+  * falls back to), and the k-heap then runs over each key's group in the
+  * spilled-and-merged stream, O(k) resident rows at a time. Results are
+  * identical on both paths (the heaps hold a superset of each key's top-k
+  * at the moment of conversion).
   */
 final case class TopKPerKeyNode(
     keys: Seq[Expression], ordering: Seq[SortOrder], k: Int, child: LogicalPlan)
@@ -56,27 +69,112 @@ final case class TopKPerKeyExec(
     val sortOrder = ordering
     val childOutput = child.output
     val limit = k
+    val maxMemoryBytes = conf.getConfString(
+      "spark.graft.topk.maxMemoryBytes", (64L * 1024 * 1024).toString).toLong
+    val keySchema = StructType(keyExprs.zipWithIndex.map { case (e, i) =>
+      StructField(s"k_$i", e.dataType, e.nullable)
+    })
+    val valueSchema = StructType(childOutput.map(a =>
+      StructField(a.name, a.dataType, a.nullable)))
+
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // identity projection: child plans may emit non-unsafe rows
+      // (columnar-to-row, some non-codegen paths) — never cast blindly
+      val rowProj = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
       val ord = RowOrdering.create(sortOrder, childOutput) // best row sorts first
       val worstFirst = ord.reverse
+
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
+      var usedBytes = 0L
+      var overBudget = false
+
+      def insert(heap: java.util.PriorityQueue[UnsafeRow], row: UnsafeRow): Unit =
+        if (heap.size < limit) {
+          val kept = row.copy(); usedBytes += kept.getSizeInBytes; heap.add(kept)
+        } else if (ord.compare(row, heap.peek()) < 0) {
+          usedBytes -= heap.poll().getSizeInBytes
+          val kept = row.copy(); usedBytes += kept.getSizeInBytes; heap.add(kept)
+        }
+
+      while (iter.hasNext && !overBudget) {
+        val row = rowProj(iter.next())
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
           heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, worstFirst)
-          heaps.put(key.copy(), heap)
+          val keyCopy = key.copy()
+          usedBytes += keyCopy.getSizeInBytes + 64 // entry overhead estimate
+          heaps.put(keyCopy, heap)
         }
-        if (heap.size < limit) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
+        insert(heap, row)
+        overBudget = usedBytes > maxMemoryBytes
       }
-      heaps.values().asScala.iterator.flatMap { h =>
-        h.asScala.toIndexedSeq.sorted(ord).iterator
+
+      if (!overBudget) {
+        // fast path: everything fit — stream the heaps out
+        heaps.values().asScala.iterator.flatMap { h =>
+          h.asScala.toIndexedSeq.sorted(ord).iterator
+        }
+      } else {
+        // sort-based fallback (the HashAggregateExec pattern): partial heaps
+        // are a per-key superset of the final top-k for the consumed prefix,
+        // so (heaps ++ rest of input) sorted by key and re-topped is exact.
+        val sorter = new UnsafeKVExternalSorter(
+          keySchema, valueSchema,
+          SparkEnv.get.blockManager, SparkEnv.get.serializerManager,
+          4L * 1024 * 1024 /* pageSizeBytes */,
+          4096 /* initial sort buffer entries */,
+          Int.MaxValue.toLong /* force-spill row threshold: size-managed */)
+        val it = heaps.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val hIt = e.getValue.iterator()
+          while (hIt.hasNext) sorter.insertKV(e.getKey, hIt.next())
+        }
+        heaps.clear()
+        while (iter.hasNext) {
+          val row = rowProj(iter.next())
+          sorter.insertKV(keyProj(row), row)
+        }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
+        val sorted = sorter.sortedIterator()
+        new Iterator[InternalRow] {
+          // lookahead protocol: `positioned` ⇔ `sorted` sits on the first
+          // unconsumed KV pair (the head of the next key group)
+          private var positioned = sorted.next()
+          private val heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, worstFirst)
+          private var drained: Iterator[UnsafeRow] = Iterator.empty
+
+          private def topUp(row: UnsafeRow): Unit =
+            if (heap.size < limit) heap.add(row.copy())
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll(); heap.add(row.copy())
+            }
+
+          /** Consume one whole key group (equal keys are adjacent in the
+            * sorter's key order) into the k-heap, then drain it sorted. */
+          private def loadGroup(): Unit = {
+            heap.clear()
+            val groupKey = sorted.getKey.copy()
+            topUp(sorted.getValue)
+            var more = sorted.next()
+            while (more && sorted.getKey == groupKey) {
+              topUp(sorted.getValue)
+              more = sorted.next()
+            }
+            positioned = more
+            drained = heap.asScala.toIndexedSeq.sorted(ord).iterator
+          }
+
+          override def hasNext: Boolean =
+            drained.hasNext || { if (positioned) { loadGroup(); drained.hasNext } else false }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            drained.next()
+          }
+        }
       }
     }, preservesPartitioning = true)
   }

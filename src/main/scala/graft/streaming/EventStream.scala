@@ -53,14 +53,19 @@ object EventStream {
   /** Run the streaming window aggregation over the fixture parquet (staged
     * into a temp dir so `readStream` sees a directory source), synchronously
     * to completion, and return the result table. Complete output mode: the
-    * fixture is a finite replay, every window must surface for the oracle. */
+    * fixture is a finite replay, every window must surface for the oracle.
+    *
+    * No `maxFilesPerTrigger`: the replay runs as ONE micro-batch, so the
+    * measured time is the aggregation itself, not micro-batch scheduling
+    * overhead (per-batch checkpoint + planning dominated the round-1 st1
+    * number and made it the noisiest headline query). A real deployment
+    * paces triggers by arrival; a finite replay has no reason to. */
   def runWindowedOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
     val srcDir = Files.createTempDirectory("graft-stream-src")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
     val queryName = "graft_stream_windows"
     val q = windowedAgg(stream).writeStream
       .outputMode("complete").format("memory").queryName(queryName).start()

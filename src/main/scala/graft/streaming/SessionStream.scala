@@ -65,4 +65,18 @@ object SessionStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         update(gapMinutes * 60000L))
   }
+
+  /** Point the session's state store at RocksDB — the unbounded-clickstream
+    * configuration: per-key session state lives off-heap and spills to
+    * local disk, so executor heap no longer bounds the number of concurrent
+    * open sessions (the HDFS-backed default keeps every key's state in an
+    * in-memory map per partition). Changelog checkpointing keeps commit
+    * cost proportional to the delta, not the store size. Takes effect for
+    * queries STARTED after the call. */
+  def useRocksDbStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
 }

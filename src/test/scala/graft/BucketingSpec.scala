@@ -45,6 +45,17 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("q3_bucketed: full query plans with zero hash exchanges, matches q3") {
+    val bucketed = Queries.q3Bucketed(spark, sf0001)
+    bucketed.collect()
+    val plan = bucketed.queryExecution.executedPlan.toString
+    // no shuffle anywhere: the join reuses the bucket layout, the agg's
+    // leading key is the bucket key, and top-10 is TakeOrderedAndProject
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assertSameRows(bucketed, Queries.q3Priority(spark, sf0001))
+  }
+
   private def withBroadcastOff[A](f: => A): A = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     val prevAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")

@@ -40,15 +40,24 @@ class GoldenPipelineSpec extends SparkTestBase {
     assert(miss.isEmpty) // the notFound terminal
   }
 
-  test("K1 API envelope assembles users + metrics + flags") {
+  test("K1 API envelope assembles users + metrics + flags + sourceUrl") {
     import spark.implicits._
     val users = Seq(("u1", "Alice")).toDF("id", "name")
     val metrics = Seq((1L, 1L)).toDF("rows_in", "rows_out")
     val env = Load.apiEnvelope(users, metrics, fallbackUsed = false,
-      java.time.Instant.parse("2026-01-01T00:00:00Z"))
+      java.time.Instant.parse("2026-01-01T00:00:00Z"),
+      sourceUrl = "https://api.example.com/users?results=500")
     assert(env.startsWith("""{"users":[{"""))
     assert(env.contains(""""rows_in":1"""))
     assert(env.contains(""""fallbackUsed":false"""))
+    assert(env.contains(""""sourceUrl":"https://api.example.com/users?results=500""""))
     assert(env.contains("2026-01-01T00:00:00Z"))
+  }
+
+  test("K1 error envelopes: 405 method guard and 500 with escaped message") {
+    val (ms, mb) = Load.methodNotAllowed
+    assert(ms == 405 && mb == """{"error":"Method not allowed"}""")
+    val (es, eb) = Load.errorEnvelope(500, "boom \"quoted\"\nline2")
+    assert(es == 500 && eb == """{"error":"boom \"quoted\"\nline2"}""")
   }
 }

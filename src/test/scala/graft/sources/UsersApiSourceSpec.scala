@@ -29,6 +29,51 @@ class UsersApiSourceSpec extends SparkTestBase {
     assert(plan.contains("cols=id"), plan) // scan description shows pruned set
   }
 
+  test("key-equality filter is pushed: one page planned, one row returned") {
+    val df = users(2000, pageSize = 250).where(col("id") === "user-777")
+    val got = df.collect()
+    assert(got.length == 1 && got(0).getAs[String]("id") == "user-777")
+    // page 777/250 = 3 is the only planned partition
+    assert(df.rdd.getNumPartitions == 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+  }
+
+  test("pushed filter with an unknown or malformed key plans zero pages") {
+    assert(users(2000).where(col("id") === "user-99999").rdd.getNumPartitions == 0)
+    assert(users(2000).where(col("id") === "nonsense").rdd.getNumPartitions == 0)
+    assert(users(2000).where(col("id") === "user-99999").count() == 0)
+  }
+
+  test("a failing page fails the job by default (fetch errors surface)") {
+    val df = spark.read.format("graft-users")
+      .option("rows", 1000).option("pageSize", 250)
+      .option("failPages", "2").load()
+    val e = intercept[org.apache.spark.SparkException](df.count())
+    assert(e.getMessage.contains("simulated fetch failure") ||
+      Option(e.getCause).exists(_.getMessage.contains("simulated fetch failure")))
+  }
+
+  test("per-page failure isolation: skip drops only the failing page") {
+    val df = spark.read.format("graft-users")
+      .option("rows", 1000).option("pageSize", 250)
+      .option("failPages", "2").option("pageFailureMode", "skip").load()
+    assert(df.count() == 750) // 4 pages minus the failed one
+    // the failed page's id range is the gap; other pages intact
+    assert(df.where(col("id") === "user-500").count() == 0)
+    assert(df.where(col("id") === "user-499").count() == 1)
+  }
+
+  test("per-page failure isolation: fallback substitutes the static dataset") {
+    val df = spark.read.format("graft-users")
+      .option("rows", 1000).option("pageSize", 250)
+      .option("failPages", "1,3").option("pageFailureMode", "fallback").load()
+    assert(df.count() == 500 + 6) // 2 good pages + 3 fallback rows per failed page
+    val fb = df.where(col("id").startsWith("fallback-")).collect()
+    assert(fb.length == 6)
+    assert(fb.exists(_.getAs[String]("name") == "Alice Anderson"))
+  }
+
   test("feeds the E1 pipeline shape end-to-end (extract → filter → metrics)") {
     val df = users(700)
     val m = graft.etl.Metrics.summary(df,

@@ -36,4 +36,35 @@ class SessionStreamSpec extends SparkTestBase {
     assert(out.contains((1L, ts(0), 2L, 3.0)), out.mkString(", "))   // gap-split close
     assert(out.contains((1L, ts(95), 1L, 4.0)), out.mkString(", "))  // timeout close
   }
+
+  test("sessionizer runs unchanged on the RocksDB state store") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    SessionStream.useRocksDbStateStore(spark)
+    try {
+      val source = MemoryStream[SessEvent]
+      val q = SessionStream.closedSessions(spark, source.toDS(), gapMinutes = 30,
+          watermarkDelay = "0 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("closed_sessions_rocksdb").start()
+      try {
+        source.addData(SessEvent(1, ts(0), 1.0), SessEvent(1, ts(5), 2.0))
+        q.processAllAvailable()
+        source.addData(SessEvent(1, ts(95), 4.0)) // gap-split closes session 1
+        q.processAllAvailable()
+        // the running query really is on RocksDB, not the HDFS default
+        assert(q.lastProgress.stateOperators.exists(
+          _.customMetrics.containsKey("rocksdbFilesCopied")), q.lastProgress)
+      } finally q.stop()
+      val out = spark.table("closed_sessions_rocksdb")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      assert(out.contains((1L, ts(0), 2L, 3.0)), out.mkString(", "))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
