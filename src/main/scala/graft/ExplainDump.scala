@@ -18,6 +18,7 @@ object ExplainDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.experimental.extraOptimizations = Seq(graft.plans.PushableKeyCast)
+    spark.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
     Files.createDirectories(outDir)
     Queries.benchNames.foreach { name =>
       val df = Queries.all(name)(spark, sfDir)
