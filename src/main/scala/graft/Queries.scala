@@ -33,11 +33,10 @@ object Queries {
 
   // ───────────────────────────── core parity ─────────────────────────────
 
-  /** E1 flagship: extract customer ⋈ nation ⋈ region, P1 enrich, F1 filter. */
-  val e1Users: Q = (s, d) => {
-    val c = Tables.customer(s, d)
-    val n = Tables.nation(s, d)
-    val r = Tables.region(s, d)
+  /** E1 flagship: extract customer ⋈ nation ⋈ region, P1 enrich, F1 filter.
+    * Takes the already-extracted frames so staged runners can compose it on
+    * an observed extract stage (one lineage end to end). */
+  def e1UsersFrom(c: DataFrame, n: DataFrame, r: DataFrame): DataFrame = {
     val enriched = c
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -52,6 +51,9 @@ object Queries {
     enriched.filter(col("valid") && col("segment") =!= "UNKNOWN")
       .drop("valid")
   }
+
+  val e1Users: Q = (s, d) =>
+    e1UsersFrom(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))
 
   val e1UsersSql: String =
     """SELECT 'user-' || CAST(c_custkey AS VARCHAR) AS id,

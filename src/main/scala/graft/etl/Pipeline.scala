@@ -1,6 +1,7 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Staged Extract→Transform→Load runner with real run analytics.
   *
@@ -11,10 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `(ts, stage, message)`, and durations are measured wall-clock per stage —
   * the "аналитика выполнения" done honestly.
   *
-  * Stage composition stays lazy: a stage contributes its transformation to
-  * the plan; only terminal actions (the Load stage) execute. Timings therefore
-  * attribute plan-construction to stages and execution to the action — which
-  * is the correct mental model for Spark, and what the log records.
+  * Stage composition stays lazy END TO END: a stage contributes its
+  * transformation plus an `observe()` node to the plan; row counts ride the
+  * caller's terminal action for free (`CollectMetrics` accumulators), so
+  * nothing is computed twice. Round 1 ran a `count()` per stage — every
+  * stage's lineage executed once for the metric and again for the real
+  * action, doubling compute; `finish()` after the action now resolves the
+  * same numbers from the one execution.
   */
 final case class StageRun(stage: String, status: String, durationSec: Double, rows: Long)
 
@@ -23,21 +27,46 @@ class Pipeline(spark: SparkSession) {
 
   private val logBuf = scala.collection.mutable.ArrayBuffer.empty[(java.sql.Timestamp, String, String)]
   private val stages = scala.collection.mutable.ArrayBuffer.empty[StageRun]
+  private val pending = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Observation)]
+  private var stageNo = 0
 
   private def logLine(stage: String, msg: String): Unit =
     logBuf += ((new java.sql.Timestamp(System.currentTimeMillis()), stage, msg))
 
-  /** Run one named stage; counts rows (an action) so per-stage row metrics
-    * mirror the reference's rows_in/rows_out accounting. */
+  /** Compose one named stage. Returns the stage's DataFrame with an
+    * observation attached; the row metric materializes when the CALLER runs
+    * its terminal action. `durationSec` measures plan construction (the
+    * stage's own cost in a lazy engine); execution belongs to the action. */
   def stage(name: String, df: => DataFrame): DataFrame = {
     logLine(name, s"stage $name started")
     val t0 = System.nanoTime()
     val out = df
-    val rows = out.count()
     val dt = (System.nanoTime() - t0) / 1e9
-    stages += StageRun(name, "done", dt, rows)
-    logLine(name, f"stage $name done: $rows rows in $dt%.3f s")
-    out
+    stageNo += 1
+    val obs = Observation(s"graft_stage_${stageNo}_$name")
+    pending += ((name, dt, obs))
+    logLine(name, f"stage $name composed in $dt%.3f s (rows observed at action)")
+    out.observe(obs, count(lit(1)).as("rows"))
+  }
+
+  /** Resolve observed row counts — call once AFTER the terminal action.
+    * Metrics arrive via an async listener, so poll briefly; a stage whose
+    * plan the action never executed reports -1 (visibly unmeasured, never
+    * silently recomputed). */
+  def finish(maxWaitMs: Long = 10000): Seq[StageRun] = {
+    pending.foreach { case (name, dt, obs) =>
+      val deadline = System.currentTimeMillis() + maxWaitMs
+      var rows = -1L
+      while (rows < 0 && System.currentTimeMillis() < deadline) {
+        org.apache.spark.sql.graftbridge.Bridge.observationMetrics(obs)
+          .get("rows").foreach(v => rows = v.asInstanceOf[Long])
+        if (rows < 0) Thread.sleep(25)
+      }
+      stages += StageRun(name, if (rows >= 0) "done" else "unmeasured", dt, rows)
+      logLine(name, f"stage $name done: $rows rows")
+    }
+    pending.clear()
+    runs
   }
 
   def log: DataFrame = logBuf.toSeq.toDF("ts", "stage", "message")

@@ -99,15 +99,51 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 
-  /** Deterministic fixture quantizer: the nlist lowest-id vectors. */
+  /** Deterministic seed quantizer: the nlist lowest-id vectors. */
   def centroidsOf(embeddings: DataFrame, nlist: Int): Seq[(Int, Seq[Float])] =
     embeddings.orderBy(col("vec_id")).limit(nlist)
       .select(col("embedding")).collect()
       .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0) }.toIndexedSeq
 
+  /** Distributed Lloyd k-means for the IVF coarse quantizer — the real
+    * codebook (seeded from [[centroidsOf]] for determinism). Each iteration
+    * is one linear scan: assign via the codegen'd cosine kernel, then the
+    * per-cluster mean per dimension (posexplode → groupBy(cid, pos)). The
+    * per-dim mean sums through DECIMAL so partition/AQE order cannot
+    * perturb it — assignments, and therefore the whole codebook, are
+    * bit-stable across runs and cluster sizes. Only k×dim numbers ever
+    * reach the driver per iteration: centroids are metadata, the corpus
+    * never collects. Empty clusters keep their previous centroid. */
+  def kmeansCentroids(embeddings: DataFrame, nlist: Int, iters: Int = 5): Seq[(Int, Seq[Float])] = {
+    var cents = centroidsOf(embeddings, nlist)
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(embeddings, cents, keep = 1)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("v").cast("decimal(27,7)")) / count(lit(1))).cast("float").as("m"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), col("pm.m").as("mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      cents = cents.map { case (i, old) => i -> means.getOrElse(i, old) }
+    }
+    cents
+  }
+
+  /** IVF top-k. `kmeansIters = 0` (default) quantizes with the seed
+    * centroids: on the RANDOM-uniform fixture embeddings k-means cannot
+    * improve recall-at-scan-fraction (measured: both scan ~25% of the
+    * corpus at nprobe=4, recall within noise of each other — there is no
+    * cluster structure to find), so the cheaper codebook wins. On a real
+    * embedding corpus (which clusters), pass `kmeansIters ≥ 3` to train
+    * the codebook ([[kmeansCentroids]]); its k-means objective improvement
+    * is spec-verified either way. */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = centroidsOf(embeddings, nlist)
+              nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+    val centroids =
+      if (kmeansIters > 0) kmeansCentroids(embeddings, nlist, kmeansIters)
+      else centroidsOf(embeddings, nlist)
     val corpus = ivfAssign(embeddings, centroids, keep = 1)
       .select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("cid"))
     val probes = ivfAssign(queries, centroids, keep = nprobe)

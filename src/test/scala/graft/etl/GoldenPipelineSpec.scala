@@ -11,14 +11,18 @@ class GoldenPipelineSpec extends SparkTestBase {
 
   test("E1 staged run: extract → transform → metrics → sinks, golden aggregates") {
     val p = new Pipeline(spark)
+    // one lineage end to end: each stage builds on the previous stage's
+    // observed frame, so the single Load action fires every stage metric
     val extracted = p.stage("extract", Tables.customer(spark, sf0001))
-    val transformed = p.stage("transform", Queries.e1Users(spark, sf0001))
+    val transformed = p.stage("transform", Queries.e1UsersFrom(
+      extracted, Tables.nation(spark, sf0001), Tables.region(spark, sf0001)))
     val out = Files.createTempDirectory("graft-golden").toString
-    val loaded = p.stage("load", { Load.parquet(transformed, s"$out/parquet"); transformed })
+    val loadStage = p.stage("load", transformed)
+    Load.parquet(loadStage, s"$out/parquet") // the ONE terminal action
     Load.csv(transformed.select("id", "name", "segment", "nation", "region"), s"$out/csv")
 
     // golden numbers for sf0.001 (seed=42 fixtures — stable by construction)
-    assert(p.runs.map(_.rows) == Seq(150L, 139L, 139L))
+    assert(p.finish().map(_.rows) == Seq(150L, 139L, 139L))
     val back = spark.read.parquet(s"$out/parquet")
     assert(back.count() == 139)
     val agg = back.agg(

@@ -73,6 +73,26 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(got(0).getDouble(2) - 1.0 / 3) < 1e-3)
   }
 
+  test("df-cutoff prunes mega-frequent shingles but rescoring stays exact") {
+    // every doc shares the mega-shingle "the common tail"; without a cutoff
+    // the inverted index pairs ALL docs through it. The near-dup pair also
+    // shares rare shingles, so it survives pruning with its exact score.
+    val tail = "the common tail"
+    val docs = docsDF(
+      1L -> s"alpha beta gamma delta $tail",
+      2L -> s"alpha beta gamma epsilon $tail",
+      3L -> s"zeta eta theta iota $tail",
+      4L -> s"kappa lambda mu nu $tail")
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.2)
+    val pruned = Dedup.ngramJaccardPairsPruned(docs, 3, 0.2, dfCutoff = 2)
+    assertSameRows(exact, pruned)
+    // and the pruned candidate space really shrank: at threshold 0 the
+    // unpruned index emits every doc pair (mega-shingle square), the
+    // pruned one only pairs sharing a rare shingle
+    assert(Dedup.ngramJaccardPairs(docs, 3, 0.0).count() == 6)
+    assert(Dedup.ngramJaccardPairsPruned(docs, 3, 0.0, dfCutoff = 2).count() == 1)
+  }
+
   test("LSH pair source reproduces the brute-force d5 result exactly at 0.35") {
     // the scale path's recall contract at the d5 threshold: 12 hyperplane
     // families cover every qualifying pair on the fixture (measured across

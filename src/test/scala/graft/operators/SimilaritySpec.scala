@@ -43,6 +43,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("k-means improves the quantization objective and is bit-deterministic") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    def objective(cents: Seq[(Int, Seq[Float])]): Double =
+      Similarity.ivfAssign(e, cents, keep = 1)
+        .join(e.select($"vec_id", $"embedding".as("emb")), "vec_id")
+        .select(avg(graft.functions.cosine_similarity($"embedding", $"emb")))
+        .head().getDouble(0) // trivially 1.0 — guard the join shape
+    // real objective: mean cosine of each vector to its assigned centroid
+    def meanAssignedCosine(cents: Seq[(Int, Seq[Float])]): Double = {
+      val cmap = typedlit(cents.toMap)
+      Similarity.ivfAssign(e, cents, keep = 1)
+        .select(graft.functions.cosine_similarity(
+          $"embedding", element_at(cmap, $"cid")).as("c"))
+        .agg(avg($"c")).head().getDouble(0)
+    }
+    val seed = Similarity.centroidsOf(e, 16)
+    val trained = Similarity.kmeansCentroids(e, 16, iters = 3)
+    assert(objective(seed) > 0.99) // join-shape guard
+    val before = meanAssignedCosine(seed)
+    val after = meanAssignedCosine(trained)
+    assert(after > before, s"k-means objective regressed: $before -> $after")
+    // deterministic: decimal-summed means make reruns bit-identical
+    val rerun = Similarity.kmeansCentroids(e, 16, iters = 3)
+    assert(trained == rerun)
+  }
+
   test("IVF assignment puts every vector in exactly one list") {
     val e = graft.Tables.embeddings(spark, sf0001)
     val centroids = Similarity.centroidsOf(e, 8)
