@@ -474,6 +474,20 @@ object Queries {
     EventStream.runWindowedOverFixture(s, d)
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
 
+  /** ST2: streaming exact dedup under real duplication — the fixture
+    * replays twice (every event arrives twice), `dropDuplicates(event_id)`
+    * with watermark-bounded state must reconstruct the batch table
+    * exactly. The oracle is simply the events table. */
+  val st2StreamDedup: Q = (s, d) =>
+    EventStream.runDedupOverFixture(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_ts"))
+
+  val st2StreamDedupSql: String =
+    """SELECT event_id, user_id, event_type, value,
+      |       strftime(CAST(date_trunc('second', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS event_ts
+      |FROM events""".stripMargin
+
   // ──────────────────────────── dedup family ─────────────────────────────
 
   val d1Exact: Q = (s, d) => Dedup.exact(Tables.documents(s, d))
@@ -1160,6 +1174,7 @@ object Queries {
     "w2_tumbling_window" -> w2Tumbling,
     "w3_sessionize" -> w3Sessions,
     "st1_stream_window" -> st1Stream,
+    "st2_stream_dedup" -> st2StreamDedup,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -1226,6 +1241,7 @@ object Queries {
     "w2_tumbling_window" -> w2TumblingSql,
     "w3_sessionize" -> w3SessionsSql,
     "st1_stream_window" -> w2TumblingSql, // stream/batch parity: same oracle
+    "st2_stream_dedup" -> st2StreamDedupSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,

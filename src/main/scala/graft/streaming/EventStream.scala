@@ -19,6 +19,26 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object EventStream {
 
+  /** Replay the fixture TWICE through the streaming dedup (two copies of
+    * the parquet in the source dir → every event arrives duplicated) and
+    * return the deduped rows: the result must equal the batch table
+    * exactly, which is the stream/batch parity contract for stateful
+    * dedup. Single micro-batch, so no duplicate outlives the state. */
+  def runDedupOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft-stream-dedup")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+    val queryName = "graft_stream_dedup"
+    val q = dedupStream(stream).writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** events schema with ts as raw nanos (nanosAsLong). */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
