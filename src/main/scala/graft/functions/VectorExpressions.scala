@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Cosine similarity over two `array<float>` embedding columns.
   *
@@ -152,6 +153,60 @@ object HyperplaneSignature {
     }
     w
   }
+}
+
+/** xxhash64 values of all contiguous `n`-token shingles of a
+  * space-tokenized text, in one pass over the string.
+  *
+  * Bit-identical to the pipeline it replaces —
+  * `split → posexplode → window-lead concat → xxhash64(shingle)` — which
+  * needed a full shuffle+sort per document (the window) and materialized
+  * every shingle string through a per-token exchange. Here the tokenize /
+  * slide / hash happens inside one compiled kernel per document row; the
+  * only thing that ever leaves the expression is the hash array, which
+  * `explode` turns into the (doc, hash) stream the min-hash aggregation
+  * consumes. Documents with fewer than `n` tokens yield an empty array
+  * (explode then drops them), matching the window formulation's guard.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  def computeJava(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val count = toks.length - n + 1
+    if (count <= 0) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](count)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(v: Any): Any = computeJava(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("shingler", this, "graft.functions.ShingleHashes")
+      s"${ev.value} = $self.computeJava($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Dot product over two `array<float>` columns — same codegen rationale. */

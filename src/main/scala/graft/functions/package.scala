@@ -29,6 +29,11 @@ package object functions {
   def hyperplane_signature(c: Column, planes: Int, dim: Int, table: Int = 0): Column =
     Bridge.column(HyperplaneSignature(Bridge.expression(c), planes, dim, table))
 
+  /** All n-token shingle xxhash64s of a text in one compiled pass
+    * (replaces split→explode→window→hash for hash-consuming pipelines). */
+  def shingle_hashes(c: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(c), n))
+
   /** `''` → null, so SQL coalesce matches JS `||` falsiness for strings. */
   def emptyToNull(c: Column): Column = when(c === "", lit(null)).otherwise(c)
 

@@ -86,8 +86,11 @@ object Dedup {
     // independent permutations (unlike affine transforms of one hash, which
     // correlate argmins) at ~fixed cost per permutation. Affine wrap-around
     // tricks are also off the table under ANSI mode (Spark 4 default).
-    val tokenized = shingleStream(documents, shingleN, distinctPerDoc = false)
-      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+    // one compiled pass per document: tokenize + slide + hash inside the
+    // ShingleHashes kernel, no per-token explode and no window sort (the
+    // hash stream is bit-identical to xxhash64 over the shingle strings)
+    val tokenized = documents
+      .select(col("doc_id"), explode(shingle_hashes(col("text"), shingleN)).as("h"))
     val mins = (0 until numHashes).map { i =>
       min(xxhash64(lit(i), col("h"))).as(s"mh_$i")
     }
@@ -177,15 +180,22 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity, pruned through an inverted shingle
     * index: only pairs sharing ≥1 shingle are scored (identical result set
-    * to all-pairs for any threshold > 0, at a fraction of the cost). */
+    * to all-pairs for any threshold > 0, at a fraction of the cost).
+    * The index is keyed on shingle HASHES from the one-pass
+    * [[graft.functions.ShingleHashes]] kernel — 8-byte join keys instead
+    * of shingle strings, no per-token explode, no window sort. Distinct
+    * hashes ≡ distinct shingles up to xxhash64 collision (2⁻⁶⁴ per pair;
+    * the DuckDB oracle computes over the strings and would catch one). */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 5,
                         minJaccard: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val inv = shingleStream(documents, n)
+    val inv = documents
+      .select(col("doc_id"),
+        explode(array_distinct(shingle_hashes(col("text"), n))).as("h"))
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val a = inv.alias("a")
     val b = inv.alias("b")
-    a.join(b, col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -210,7 +220,8 @@ object Dedup {
                               minJaccard: Double = 0.0,
                               dfCutoff: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val full = shingleStream(documents, n)
+    val full = documents.select(col("doc_id"),
+      explode(array_distinct(shingle_hashes(col("text"), n))).as("sg"))
     val rare = full.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sg"))))
       .filter(col("df") <= dfCutoff)
     val cands = rare.alias("a")

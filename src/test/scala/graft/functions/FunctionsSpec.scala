@@ -75,6 +75,20 @@ class FunctionsSpec extends SparkTestBase {
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("shingle_hashes is bit-identical to the split/window/xxhash pipeline") {
+    val docs = graft.Tables.documents(spark, sf0001).limit(100)
+    val viaKernel = docs.select($"doc_id",
+      explode(shingle_hashes($"text", 3)).as("h"))
+    val viaWindow = graft.operators.Dedup
+      .shingleStream(docs, 3, distinctPerDoc = false)
+      .select($"doc_id", xxhash64($"sg").as("h"))
+    assertSameRows(viaKernel, viaWindow)
+    // short docs yield no shingles on both paths
+    import spark.implicits._
+    val short = Seq((1L, "a b"), (2L, ""), (3L, "x y z")).toDF("doc_id", "text")
+    assert(short.select(explode(shingle_hashes($"text", 3))).count() == 1)
+  }
+
   test("jsCoalesce treats empty string as missing (JS || semantics)") {
     val df = Seq(("", "fb"), ("v", "fb"), (null.asInstanceOf[String], "fb")).toDF("a", "b")
     val got = df.select(jsCoalesce($"a", $"b").as("c")).collect().map(_.getString(0)).toSeq
