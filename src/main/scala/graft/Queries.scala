@@ -770,6 +770,74 @@ object Queries {
       |                   (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
       |FROM documents""".stripMargin
 
+  /** T8: PII scrub — emails/URLs/long digit runs → typed placeholders,
+    * with per-doc redaction counts. */
+  val t8Scrub: Q = (s, d) => TextAnalysis.scrub(Tables.documents(s, d))
+
+  val t8ScrubSql: String =
+    """SELECT doc_id,
+      |       regexp_replace(regexp_replace(regexp_replace(text,
+      |         'https?://[^ ]+', '<URL>', 'g'),
+      |         '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+      |         '[0-9]{4,}', '<NUM>', 'g') AS scrubbed,
+      |       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+      |       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+      |       CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_long_nums
+      |FROM documents""".stripMargin
+
+  /** T9: Gopher-style repetition filter — duplicated-3-shingle fraction. */
+  val t9Repetition: Q = (s, d) => TextAnalysis.repetition(Tables.documents(s, d))
+
+  val t9RepetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id,
+      |         [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |          FOR i IN RANGE(1, len(tk) - 1)] AS s
+      |       FROM t)
+      |SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles,
+      |       floor((1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s)) * 10000 + 0.5) / 10000 AS dup_ratio,
+      |       floor((1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s)) * 10000 + 0.5) / 10000 > 0.2 AS flagged
+      |FROM sh""".stripMargin
+
+  /** D7: near-dup clusters — connected components over the exact 3-shingle
+    * Jaccard pair graph (j > 0.6), each doc labeled with its component's
+    * minimum doc id (the canonical representative a dedup pipeline keeps).
+    * Spark side: Pregel-shaped min-label propagation to fixpoint; oracle:
+    * DuckDB recursive CTE reachability — two entirely different component
+    * algorithms that must agree row-for-row. */
+  val d7DupClusters: Q = (s, d) =>
+    Dedup.duplicateClusters(
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.6))
+
+  val d7DupClustersSql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                        FOR i IN RANGE(1, len(t) - 1)]) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |j AS (SELECT a_id, b_id,
+      |             floor((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)) * 10000 + 0.5) / 10000 AS jac
+      |      FROM pairs
+      |      JOIN sz na ON na.doc_id = a_id
+      |      JOIN sz nb ON nb.doc_id = b_id),
+      |edges AS (SELECT a_id AS s, b_id AS d FROM j WHERE jac > 0.6
+      |          UNION ALL
+      |          SELECT b_id AS s, a_id AS d FROM j WHERE jac > 0.6),
+      |nodes AS (SELECT DISTINCT s AS node FROM edges),
+      |reach(node, lab) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node)
+      |SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
+      |FROM reach GROUP BY node""".stripMargin
+
   // ─────────────────── analytics breadth (round-1 extras) ────────────────
 
   /** TPC-H Q6-style selective filter+agg (pushdown showcase). */
@@ -1194,6 +1262,9 @@ object Queries {
     "t3_token_count" -> t3Tokens,
     "t4_fingerprint" -> t4Fingerprint,
     "t5_rolling_hash" -> t5Rolling,
+    "t8_pii_scrub" -> t8Scrub,
+    "t9_repetition" -> t9Repetition,
+    "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
     "t7_tfidf" -> t7Tfidf)
@@ -1257,6 +1328,9 @@ object Queries {
     "t3_token_count" -> t3TokensSql,
     "t4_fingerprint" -> t4FingerprintSql,
     "t5_rolling_hash" -> t5RollingSql,
+    "t8_pii_scrub" -> t8ScrubSql,
+    "t9_repetition" -> t9RepetitionSql,
+    "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
     "t7_tfidf" -> t7TfidfSql)

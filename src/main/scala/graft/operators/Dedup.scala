@@ -243,6 +243,45 @@ object Dedup {
       .filter(col("jaccard") > minJaccard)
   }
 
+  /** Near-dup CLUSTERS from a pair list — the step every dedup pipeline
+    * needs after pair detection: assign each document to its connected
+    * component and elect the minimum doc id as the canonical
+    * representative (keep `doc_id == cluster_rep`, drop the rest).
+    *
+    * Pregel-shaped min-label propagation: every node starts as its own
+    * label; each round joins labels across edges and keeps the minimum;
+    * fixpoint when no label changes. Rounds needed = component diameter —
+    * near-dup clusters are small and dense, so a handful. Each round is
+    * one shuffle join + aggregate (the distributed-graph shape; the
+    * per-round `count` action is the convergence test, intrinsic to any
+    * fixpoint algorithm). Every round `localCheckpoint`s its labels —
+    * without that the plan tree deepens each iteration until tree
+    * traversal itself overflows, and every action replays all prior
+    * rounds; with it each round starts from materialized blocks. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+      val updated = labels.as("l")
+        .join(viaNeighbors.as("n"), col("l.node") === col("n.src"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.lab"), coalesce(col("n.nlab"), col("l.lab"))).as("lab"))
+        .localCheckpoint()
+      changed = updated.as("u").join(labels.as("o"), col("u.node") === col("o.node"))
+        .filter(col("u.lab") =!= col("o.lab")).count()
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lab").as("cluster_rep"))
+  }
+
   /** Embedding-cosine near-dup pairs — candidate source chosen from PLAN
     * STATISTICS, the same way Spark picks broadcast vs shuffle joins:
     * below `spark.graft.neardup.bruteMaxBytes` (default 32 MB ≈ 120k

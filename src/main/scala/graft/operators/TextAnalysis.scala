@@ -78,4 +78,39 @@ object TextAnalysis {
       col("doc_id"),
       aggregate(split(col("text"), ""), lit(0L),
         (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L).as("rolling_hash"))
+
+  /** PII scrub: emails, URLs and long digit runs replaced with typed
+    * placeholder tokens — the standard pre-training redaction pass. Pure
+    * regexp projection (one codegen'd pass, no shuffle); counts carried
+    * alongside so a pipeline can audit redaction volume per source. */
+  def scrub(documents: DataFrame): DataFrame = {
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+    val urlPat = "https?://[^ ]+"
+    val digitsPat = "[0-9]{4,}"
+    documents.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), urlPat, "<URL>"),
+          emailPat, "<EMAIL>"),
+        digitsPat, "<NUM>").as("scrubbed"),
+      regexp_count(col("text"), lit(urlPat)).cast("long").as("n_urls"),
+      regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(digitsPat)).cast("long").as("n_long_nums"))
+  }
+
+  /** Gopher-style repetition signal: the fraction of duplicated 3-token
+    * shingles per document (`1 − distinct/total`), flagged above
+    * `maxDupRatio`. Highly repetitive machine-generated text scores near
+    * 1; one projection over the one-pass shingle kernel. */
+  def repetition(documents: DataFrame, maxDupRatio: Double = 0.2): DataFrame = {
+    val all = graft.functions.shingle_hashes(col("text"), 3)
+    val ratio = lit(1.0) - size(array_distinct(all)).cast("double") / size(all)
+    documents.filter(size(split(col("text"), " ")) >= 3)
+      .select(
+        col("doc_id"),
+        size(all).cast("long").as("n_shingles"),
+        portableRound(ratio, 4).as("dup_ratio"),
+        (portableRound(ratio, 4) > maxDupRatio).as("flagged"))
+  }
 }

@@ -73,6 +73,26 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(got(0).getDouble(2) - 1.0 / 3) < 1e-3)
   }
 
+  test("duplicateClusters labels connected components with their min id") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2-3, {7,9}, and 5 paired with 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      5L -> 5L, 6L -> 5L))
+  }
+
+  test("duplicateClusters converges on a long chain (diameter > 2)") {
+    import spark.implicits._
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 12 && got.values.forall(_ == 0L))
+  }
+
   test("df-cutoff prunes mega-frequent shingles but rescoring stays exact") {
     // every doc shares the mega-shingle "the common tail"; without a cutoff
     // the inverted index pairs ALL docs through it. The near-dup pair also

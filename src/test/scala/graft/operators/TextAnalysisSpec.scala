@@ -52,4 +52,30 @@ class TextAnalysisSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rh(1L) != rh(2L))
   }
+
+  test("scrub replaces emails, urls and long digit runs with typed tokens") {
+    val d = docsDF(
+      doc(1, "contact me at alice@example.com or https://example.com/x now"),
+      doc(2, "card 12345678 pin 9999 short 123"))
+    val got = TextAnalysis.scrub(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[String]("scrubbed") ==
+      "contact me at <EMAIL> or <URL> now")
+    assert(got(1L).getAs[Long]("n_emails") == 1 && got(1L).getAs[Long]("n_urls") == 1)
+    // only runs of 4+ digits are redacted
+    assert(got(2L).getAs[String]("scrubbed") == "card <NUM> pin <NUM> short 123")
+    assert(got(2L).getAs[Long]("n_long_nums") == 2)
+  }
+
+  test("repetition flags duplicated-shingle documents, not varied ones") {
+    val d = docsDF(
+      doc(1, "spam spam spam spam spam spam spam spam"),
+      doc(2, "each word here appears just once overall"))
+    val got = TextAnalysis.repetition(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("flagged")) // all 3-shingles identical
+    assert(got(1L).getAs[Double]("dup_ratio") > 0.8)
+    assert(!got(2L).getAs[Boolean]("flagged"))
+    assert(got(2L).getAs[Double]("dup_ratio") == 0.0)
+  }
 }
