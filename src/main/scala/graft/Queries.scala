@@ -474,6 +474,18 @@ object Queries {
     EventStream.runWindowedOverFixture(s, d)
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
 
+  /** ST3: the event-time STATEFUL sessionizer (flatMapGroupsWithState +
+    * EventTimeTimeout) replayed over the fixture, with a far-future
+    * sentinel advancing the watermark so every session closes. Must equal
+    * the batch session_window result (`w3`'s oracle) row-for-row — gap
+    * logic runs at exact microsecond precision for that reason. */
+  val st3StreamSessions: Q = (s, d) =>
+    graft.streaming.SessionStream.runOverFixture(s, d)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"),
+        portableRound(col("sum_value"), 2).as("sum_value"))
+
   /** ST2: streaming exact dedup under real duplication — the fixture
     * replays twice (every event arrives twice), `dropDuplicates(event_id)`
     * with watermark-bounded state must reconstruct the batch table
@@ -1243,6 +1255,7 @@ object Queries {
     "w3_sessionize" -> w3Sessions,
     "st1_stream_window" -> st1Stream,
     "st2_stream_dedup" -> st2StreamDedup,
+    "st3_stream_sessions" -> st3StreamSessions,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -1313,6 +1326,7 @@ object Queries {
     "w3_sessionize" -> w3SessionsSql,
     "st1_stream_window" -> w2TumblingSql, // stream/batch parity: same oracle
     "st2_stream_dedup" -> st2StreamDedupSql,
+    "st3_stream_sessions" -> w3SessionsSql, // stateful sessionizer = batch w3
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
