@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneSignature, ShingleHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -30,5 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two float arrays"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    // int parameters arrive as literal expressions from SQL — fold them here
+    def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+    e.injectFunction((FunctionIdentifier("hyperplane_signature"),
+      info("hyperplane_signature",
+        "hyperplane_signature(vec, planes, dim[, table]) - sign-LSH signature of a float array"),
+      (args: Seq[Expression]) => HyperplaneSignature(args(0), intArg(args(1)),
+        intArg(args(2)), if (args.length > 3) intArg(args(3)) else 0)))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(text, n) - xxhash64 of every n-token shingle"),
+      (args: Seq[Expression]) => ShingleHashes(args(0), intArg(args(1)))))
   }
 }

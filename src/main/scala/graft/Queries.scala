@@ -812,6 +812,69 @@ object Queries {
       |       floor((1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s)) * 10000 + 0.5) / 10000 > 0.2 AS flagged
       |FROM sh""".stripMargin
 
+  /** T10: the composite corpus filter — the keep/drop decision a
+    * pre-training pipeline actually runs, combining the t1 language
+    * heuristic, the t2 quality score and the t9 repetition signal into an
+    * ordered rule chain with an auditable reason per document. One
+    * projection, no shuffle; every signal and the verdict are
+    * oracle-checked. */
+  val t10CorpusFilter: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = split(col("text"), " ")
+    val stopArr = array(TextAnalysis.EnStopwords.map(lit): _*)
+    val nTok = size(toks)
+    val stopRatio = size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok
+    val avgTokLen = (col("n_chars") - nTok + 1).cast("double") / nTok
+    val quality = portableRound(least(nTok / 100.0, lit(1.0)) * 0.5 +
+      stopRatio * 0.3 + least(avgTokLen / lit(10.0), lit(1.0)) * 0.2, 4)
+    val predLang = when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(stopRatio >= 0.08, "en").otherwise("und")
+    val sh = graft.functions.shingle_hashes(col("text"), 3)
+    val dupRatio = when(size(sh) > 0,
+      portableRound(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4))
+    val reason = when(nTok < 10, "too_short")
+      .when(predLang === "und", "lang_und")
+      .when(dupRatio > 0.2, "repetitive")
+      .when(quality < 0.25, "low_quality")
+      .otherwise("ok")
+    docs.select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+      predLang.as("pred_lang"), quality.as("quality"), dupRatio.as("dup_ratio"),
+      reason.as("reason"), (reason === "ok").as("keep"))
+  }
+
+  val t10CorpusFilterSql: String = {
+    val nTok = "len(string_split(text, ' '))"
+    val stopHits = s"len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x)))"
+    val stopRatio = s"(CAST($stopHits AS DOUBLE) / $nTok)"
+    val avgTokLen = s"(CAST(n_chars - $nTok + 1 AS DOUBLE) / $nTok)"
+    val quality = s"floor((least($nTok / 100.0, 1.0) * 0.5 + $stopRatio * 0.3 + " +
+      s"least($avgTokLen / 10.0, 1.0) * 0.2) * 10000 + 0.5) / 10000"
+    val predLang = "CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
+      s"WHEN $stopRatio >= 0.08 THEN 'en' ELSE 'und' END"
+    val shingles = "[t.tk[i] || ' ' || t.tk[i+1] || ' ' || t.tk[i+2] FOR i IN RANGE(1, len(t.tk) - 1)]"
+    s"""WITH t AS (SELECT *, string_split(text, ' ') AS tk FROM documents),
+       |b AS (SELECT doc_id, CAST($nTok AS BIGINT) AS n_tokens,
+       |        $predLang AS pred_lang,
+       |        $quality AS quality,
+       |        CASE WHEN len(t.tk) >= 3 THEN
+       |          floor((1.0 - CAST(len(list_distinct($shingles)) AS DOUBLE)
+       |                 / len($shingles)) * 10000 + 0.5) / 10000
+       |        END AS dup_ratio
+       |      FROM t)
+       |SELECT doc_id, n_tokens, pred_lang, quality, dup_ratio,
+       |       CASE WHEN n_tokens < 10 THEN 'too_short'
+       |            WHEN pred_lang = 'und' THEN 'lang_und'
+       |            WHEN dup_ratio > 0.2 THEN 'repetitive'
+       |            WHEN quality < 0.25 THEN 'low_quality'
+       |            ELSE 'ok' END AS reason,
+       |       (CASE WHEN n_tokens < 10 THEN 'too_short'
+       |             WHEN pred_lang = 'und' THEN 'lang_und'
+       |             WHEN dup_ratio > 0.2 THEN 'repetitive'
+       |             WHEN quality < 0.25 THEN 'low_quality'
+       |             ELSE 'ok' END = 'ok') AS keep
+       |FROM b""".stripMargin
+  }
+
   /** D7: near-dup clusters — connected components over the exact 3-shingle
     * Jaccard pair graph (j > 0.6), each doc labeled with its component's
     * minimum doc id (the canonical representative a dedup pipeline keeps).
@@ -1277,6 +1340,7 @@ object Queries {
     "t5_rolling_hash" -> t5Rolling,
     "t8_pii_scrub" -> t8Scrub,
     "t9_repetition" -> t9Repetition,
+    "t10_corpus_filter" -> t10CorpusFilter,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -1344,6 +1408,7 @@ object Queries {
     "t5_rolling_hash" -> t5RollingSql,
     "t8_pii_scrub" -> t8ScrubSql,
     "t9_repetition" -> t9RepetitionSql,
+    "t10_corpus_filter" -> t10CorpusFilterSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,

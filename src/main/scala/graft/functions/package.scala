@@ -34,6 +34,15 @@ package object functions {
   def shingle_hashes(c: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), n))
 
+  /** xxhash64 with an explicit seed. `xxhash64(lit(i), h)` re-hashes the
+    * constant `i` on EVERY row to derive the per-permutation seed; folding
+    * that first step into the seed (`XXH64.hashInt(i, 42)` computed once at
+    * plan time) halves the hash work of a 64-permutation MinHash pass while
+    * producing bit-identical values. */
+  def xxhash64_seeded(c: Column, seed: Long): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(Bridge.expression(c)), seed))
+
   /** `''` → null, so SQL coalesce matches JS `||` falsiness for strings. */
   def emptyToNull(c: Column): Column = when(c === "", lit(null)).otherwise(c)
 

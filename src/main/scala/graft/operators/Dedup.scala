@@ -91,8 +91,11 @@ object Dedup {
     // hash stream is bit-identical to xxhash64 over the shingle strings)
     val tokenized = documents
       .select(col("doc_id"), explode(shingle_hashes(col("text"), shingleN)).as("h"))
+    // per-permutation seed folded at plan time: one hashLong per (row, perm)
+    // instead of hashInt+hashLong — values identical to xxhash64(lit(i), h)
     val mins = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"mh_$i")
+      min(xxhash64_seeded(col("h"),
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L))).as(s"mh_$i")
     }
     tokenized.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)

@@ -21,6 +21,13 @@ class GraftExtensionsSpec extends SparkTestBase {
           |""".stripMargin).collect()(0)
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(math.abs(r.getDouble(1) - 6.0) < 1e-12)
+      // the LSH + shingle kernels are SQL-reachable too, int args folded
+      val r2 = s2.sql(
+        """SELECT hyperplane_signature(array(CAST(1.0 AS FLOAT)), 6, 1, 0) AS sig,
+          |       size(shingle_hashes('a b c d', 3)) AS n_shingles
+          |""".stripMargin).collect()(0)
+      assert(r2.getInt(0) >= 0 && r2.getInt(0) < 64)
+      assert(r2.getInt(1) == 2)
     } finally {
       prev.foreach { p =>
         SparkSession.setActiveSession(p)
