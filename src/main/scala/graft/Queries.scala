@@ -1127,6 +1127,41 @@ object Queries {
       |       true AS p25_ok, true AS p50_ok, true AS p75_ok
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** W7 — analytic-window breadth: quartile bucketing (ntile),
+    * distribution ranks (percent_rank / cume_dist) and a RANGE-framed
+    * moving sum. The range frame orders by exact integer cents
+    * (`floor(price*100 + 0.5)`) so the frame boundary arithmetic is
+    * engine-portable; tie handling of the rank family is SQL-standard on
+    * both engines. */
+  val w7Analytic: Q = (s, d) => {
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    val o = Tables.orders(s, d).withColumn("cents", cents)
+    val base = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val range = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"))
+      .rangeBetween(-100000L, 0L) // 1000.00 below current, inclusive
+    o.select(col("o_orderkey"), col("o_orderpriority"),
+      ntile(4).over(base).cast("long").as("quartile"),
+      portableRound(percent_rank().over(base), 6).as("pct_rank"),
+      portableRound(cume_dist().over(base), 6).as("cume"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(range)
+        .cast("double").as("range_sum"))
+  }
+
+  val w7AnalyticSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |       ntile(4) OVER w AS quartile,
+      |       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+      |       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |            OVER (PARTITION BY o_orderpriority
+      |                  ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |                  RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
   /** U3/U4 — intersect / except (not in the reference; Spark-free set ops). */
   val u3Intersect: Q = (s, d) => {
     val o = Tables.orders(s, d)
@@ -1290,6 +1325,7 @@ object Queries {
     "j7_anti_join" -> j7Anti,
     "g2_cube" -> g2Cube,
     "w5_running_window" -> w5Running,
+    "w7_analytic_suite" -> w7Analytic,
     "a4_distinct_hll" -> a4Hll,
     "l1_tail_n" -> l1Tail,
     "l2_head_n" -> l2Head,
@@ -1362,6 +1398,7 @@ object Queries {
     "j7_anti_join" -> j7AntiSql,
     "g2_cube" -> g2CubeSql,
     "w5_running_window" -> w5RunningSql,
+    "w7_analytic_suite" -> w7AnalyticSql,
     "l1_tail_n" -> l1TailSql,
     "l2_head_n" -> l2HeadSql,
     "c1_scalar_suite" -> c1ScalarsSql,

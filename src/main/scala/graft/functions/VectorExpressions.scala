@@ -209,6 +209,41 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Polynomial rolling hash over a string's codepoints
+  * (`acc = (acc*31 + cp) mod 1e9+7`) — order-sensitive fingerprint.
+  * Replaces `aggregate(split(text, ''), ...)`, which exploded the text
+  * into per-character array elements and evaluated the lambda interpreted
+  * (higher-order functions are CodegenFallback); here the whole hash is
+  * one compiled loop over the string's codepoints. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  def computeJava(text: UTF8String): Long = {
+    val s = text.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override def nullSafeEval(v: Any): Any = computeJava(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("roller", this, "graft.functions.RollingHash")
+      s"${ev.value} = $self.computeJava($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Dot product over two `array<float>` columns — same codegen rationale. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

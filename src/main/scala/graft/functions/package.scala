@@ -34,6 +34,11 @@ package object functions {
   def shingle_hashes(c: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), n))
 
+  /** Polynomial rolling hash (base 31 mod 1e9+7 over codepoints) as one
+    * compiled loop — replaces the interpreted per-character `aggregate`. */
+  def rolling_hash(c: Column): Column =
+    Bridge.column(RollingHash(Bridge.expression(c)))
+
   /** xxhash64 with an explicit seed. `xxhash64(lit(i), h)` re-hashes the
     * constant `i` on EVERY row to derive the per-permutation seed; folding
     * that first step into the seed (`XXH64.hashInt(i, 42)` computed once at

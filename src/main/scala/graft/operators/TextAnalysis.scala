@@ -72,12 +72,13 @@ object TextAnalysis {
 
   /** Polynomial rolling hash of the raw text (base 31 mod 1e9+7 over
     * codepoints) — an order-sensitive fingerprint, unlike [[fingerprint]].
-    * Expressed with the `aggregate` higher-order function: codegen'd, no UDF. */
+    * One compiled loop per document ([[graft.functions.RollingHash]]);
+    * the `aggregate`-HOF formulation it replaces exploded the text into
+    * per-character array elements and ran the lambda interpreted. */
   def rollingHash(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      aggregate(split(col("text"), ""), lit(0L),
-        (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L).as("rolling_hash"))
+      graft.functions.rolling_hash(col("text")).as("rolling_hash"))
 
   /** PII scrub: emails, URLs and long digit runs replaced with typed
     * placeholder tokens — the standard pre-training redaction pass. Pure

@@ -21,6 +21,22 @@ class LoadSpec extends SparkTestBase {
     assert(back.where($"text" === "a \"quoted\" value").count() == 1)
   }
 
+  test("partitioned parquet: key predicate prunes to partition directories") {
+    val orders = graft.Tables.orders(spark, sf0001)
+    val out = Files.createTempDirectory("graft-part").toString
+    Load.partitionedParquet(orders, out, "o_orderpriority")
+    // hive layout on disk
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("o_orderpriority=")) == 5, dirs.mkString(","))
+    // a partition-key filter reaches the scan as a PartitionFilter — and
+    // values round-trip
+    val back = spark.read.parquet(out).filter($"o_orderpriority" === "1-URGENT")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"), plan)
+    assert(back.count() ==
+      orders.filter($"o_orderpriority" === "1-URGENT").count())
+  }
+
   test("K1 JSON sink + K3 preview emit one object per row") {
     val df = Seq(("x", 1), ("y", 2)).toDF("k", "v")
     val out = Files.createTempDirectory("graft-json").toString
