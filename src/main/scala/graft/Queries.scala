@@ -821,9 +821,9 @@ object Queries {
   val t10CorpusFilter: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val toks = split(col("text"), " ")
-    val stopArr = array(TextAnalysis.EnStopwords.map(lit): _*)
     val nTok = size(toks)
-    val stopRatio = size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok
+    val stopRatio = graft.functions.tokens_in_set(toks, TextAnalysis.EnStopwords)
+      .cast("double") / nTok
     val avgTokLen = (col("n_chars") - nTok + 1).cast("double") / nTok
     val quality = portableRound(least(nTok / 100.0, lit(1.0)) * 0.5 +
       stopRatio * 0.3 + least(avgTokLen / lit(10.0), lit(1.0)) * 0.2, 4)

@@ -209,6 +209,86 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Number of elements of a string-array column that belong to a fixed
+  * vocabulary (multiset count — duplicates count every time). Replaces the
+  * `filter(toks, t => array_contains(vocab, t))` higher-order function,
+  * which is CodegenFallback AND rescans the vocabulary array per token;
+  * here the vocabulary is a prebuilt hash set probed once per token from
+  * compiled code. */
+case class TokensInSet(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "tokens_in_set"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](vocab.size * 2)
+    vocab.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  def computeJava(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override def nullSafeEval(v: Any): Any = computeJava(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("tokensInSet", this, "graft.functions.TokensInSet")
+      s"${ev.value} = $self.computeJava($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of positions where two long arrays agree — the MinHash signature
+  * agreement kernel (est. Jaccard = agree/numHashes). Replaces
+  * `aggregate(zip_with(...))`, two nested interpreted HOFs. */
+case class ArrayAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_agree_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var agree = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) agree += 1; i += 1 }
+    agree
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val agree = ctx.freshName("agree")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $agree = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $agree++;
+         |}
+         |${ev.value} = $agree;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Polynomial rolling hash over a string's codepoints
   * (`acc = (acc*31 + cp) mod 1e9+7`) — order-sensitive fingerprint.
   * Replaces `aggregate(split(text, ''), ...)`, which exploded the text

@@ -39,6 +39,15 @@ package object functions {
   def rolling_hash(c: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(c)))
 
+  /** Multiset count of array elements inside a fixed vocabulary (compiled
+    * hash-set probe; replaces the filter/array_contains HOF). */
+  def tokens_in_set(c: Column, vocab: Seq[String]): Column =
+    Bridge.column(TokensInSet(Bridge.expression(c), vocab))
+
+  /** Positions where two long arrays agree (MinHash agreement kernel). */
+  def array_agree_count(a: Column, b: Column): Column =
+    Bridge.column(ArrayAgreeCount(Bridge.expression(a), Bridge.expression(b)))
+
   /** xxhash64 with an explicit seed. `xxhash64(lit(i), h)` re-hashes the
     * constant `i` on EVERY row to derive the per-permutation seed; folding
     * that first step into the seed (`XXH64.hashInt(i, 42)` computed once at

@@ -133,9 +133,8 @@ object Dedup {
     val sb = sigs.select(col("doc_id").as("b_id"), col("minhash").as("mb"))
     candidates.join(sa, "a_id").join(sb, "b_id")
       .select(col("a_id"), col("b_id"),
-        (aggregate(zip_with(col("ma"), col("mb"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
-          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+        (array_agree_count(col("ma"), col("mb")).cast("double") /
+          lit(numHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 

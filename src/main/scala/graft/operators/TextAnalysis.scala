@@ -20,28 +20,28 @@ object TextAnalysis {
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with", "by", "at", "or")
 
   private def toks = split(col("text"), " ")
-  private def stopArr = array(EnStopwords.map(lit): _*)
+  private def stopHitsOf(c: org.apache.spark.sql.Column) =
+    graft.functions.tokens_in_set(c, EnStopwords)
 
   /** Language ID, n-gram/stopword heuristic: CJK codepoints → zh, else
     * English-stopword token ratio over a threshold → en, else und.
     * (A real model would be a dictionary broadcast; the heuristic is the
-    * scalable shape: one projection, no shuffle.) */
+    * scalable shape: one projection, no shuffle; stopword counting is the
+    * compiled [[graft.functions.TokensInSet]] probe, not a HOF.) */
   def langId(documents: DataFrame, enThreshold: Double = 0.08): DataFrame =
     documents.select(
       col("doc_id"),
       col("lang"),
-      portableRound(size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
-        size(toks), 4).as("en_ratio"),
+      portableRound(stopHitsOf(toks).cast("double") / size(toks), 4).as("en_ratio"),
       when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
-        .when(size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
-          size(toks) >= enThreshold, "en")
+        .when(stopHitsOf(toks).cast("double") / size(toks) >= enThreshold, "en")
         .otherwise("und").as("pred_lang"))
 
   /** Quality scoring: token count, average token length, stopword ratio,
     * composite score in [0,1]. Deterministic integer-ratio arithmetic. */
   def qualityScore(documents: DataFrame): DataFrame = {
     val nTok = size(toks)
-    val stopHits = size(filter(toks, t => array_contains(stopArr, t)))
+    val stopHits = stopHitsOf(toks)
     val avgTokLen = (col("n_chars") - nTok + 1).cast("double") / nTok
     val stopRatio = stopHits.cast("double") / nTok
     documents.select(

@@ -89,6 +89,23 @@ class FunctionsSpec extends SparkTestBase {
     assert(short.select(explode(shingle_hashes($"text", 3))).count() == 1)
   }
 
+  test("tokens_in_set counts multiset vocabulary hits; agree count is positional") {
+    val df = Seq((Seq("the", "cat", "the", "dog"), Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)))
+      .toDF("toks", "a", "b")
+    val r = df.select(
+      tokens_in_set($"toks", Seq("the", "a")).as("hits"),
+      array_agree_count($"a", $"b").as("agree")).collect()(0)
+    assert(r.getInt(0) == 2) // 'the' counted twice, multiset semantics
+    assert(r.getInt(1) == 2) // positions 0 and 2 agree
+    // HOF twin agreement on fixture text
+    val docs = graft.Tables.documents(spark, sf0001).limit(100)
+    val both = docs.select(
+      tokens_in_set(split($"text", " "), Seq("the", "of", "and")).as("fast"),
+      size(filter(split($"text", " "),
+        t => array_contains(array(lit("the"), lit("of"), lit("and")), t))).as("hof"))
+    assert(both.filter($"fast" =!= $"hof").count() == 0)
+  }
+
   test("jsCoalesce treats empty string as missing (JS || semantics)") {
     val df = Seq(("", "fb"), ("v", "fb"), (null.asInstanceOf[String], "fb")).toDF("a", "b")
     val got = df.select(jsCoalesce($"a", $"b").as("c")).collect().map(_.getString(0)).toSeq
