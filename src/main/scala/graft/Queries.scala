@@ -1185,6 +1185,23 @@ object Queries {
       |EXCEPT
       |SELECT o_custkey AS c_custkey FROM orders""".stripMargin
 
+  /** U5 — upsert/merge-by-key (the lake MERGE): a batch of updated order
+    * rows replaces its keys in the base table, executed as union +
+    * top-1-per-key through the TopKPerKeyExec heap (one shuffle, no sort). */
+  val u5Upsert: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+    val updates = base.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    Transform.upsert(base, updates, "o_orderkey")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+  }
+
+  val u5UpsertSql: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |       o_totalprice
+      |FROM orders""".stripMargin
+
   /** J6/J7 — left-semi (EXISTS) and left-anti (NOT EXISTS) joins. */
   val j6Semi: Q = (s, d) => {
     val c = Tables.customer(s, d)
@@ -1321,6 +1338,7 @@ object Queries {
     "u2_distinct" -> u2Distinct,
     "u3_intersect" -> u3Intersect,
     "u4_except" -> u4Except,
+    "u5_upsert" -> u5Upsert,
     "j6_semi_join" -> j6Semi,
     "j7_anti_join" -> j7Anti,
     "g2_cube" -> g2Cube,
@@ -1394,6 +1412,7 @@ object Queries {
     "u2_distinct" -> u2DistinctSql,
     "u3_intersect" -> u3IntersectSql,
     "u4_except" -> u4ExceptSql,
+    "u5_upsert" -> u5UpsertSql,
     "j6_semi_join" -> j6SemiSql,
     "j7_anti_join" -> j7AntiSql,
     "g2_cube" -> g2CubeSql,

@@ -23,6 +23,24 @@ object Load {
       .option("emptyValue", "\"\"")
       .csv(out)
 
+  /** Small-file compaction — the lake-maintenance pass: rewrite a parquet
+    * directory into `numFiles` right-sized files (a 100 TB table
+    * accumulating thousands of tiny per-batch files pays for it in
+    * open/list overhead on every scan). Writes beside the target and
+    * swaps, so a failure mid-compact leaves the original intact. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              numFiles: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val tmp = dir + ".compacting"
+    spark.read.parquet(dir).repartition(numFiles)
+      .write.mode("overwrite").parquet(tmp)
+    def rmTree(p: java.nio.file.Path): Unit =
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    rmTree(Paths.get(dir))
+    Files.move(Paths.get(tmp), Paths.get(dir))
+  }
+
   /** K1 — JSON sink (one object per line, the API envelope's rows). */
   def json(df: DataFrame, out: String): Unit =
     df.write.mode("overwrite").json(out)

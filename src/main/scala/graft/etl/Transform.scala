@@ -69,6 +69,23 @@ object Transform {
     * one straggler. AQE's skew-join handles moderate skew automatically;
     * this is the explicit tool for pathological keys at 100 TB.
     * Semantically identical to `fact.join(dim, factKey === dimKey, "inner")`. */
+  /** Upsert / merge-by-key (the lake-table MERGE pattern): rows from
+    * `updates` replace same-key rows in `current`; unmatched keys flow
+    * through from both sides. Executed as union + top-1-per-key through
+    * the [[graft.plans.TopKPerKey]] heap operator — one shuffle on the
+    * key, no per-partition sort, which is exactly the compaction shape a
+    * daily 100 TB merge needs (requires TopKPerKeyStrategy on the
+    * session; pass `ties` as a total order for determinism). */
+  def upsert(current: DataFrame, updates: DataFrame,
+             key: String, ties: Seq[String] = Seq.empty): DataFrame = {
+    val versioned = current.withColumn("_v", lit(0))
+      .unionByName(updates.withColumn("_v", lit(1)))
+    graft.plans.TopKPerKey(versioned,
+      keys = Seq(key),
+      order = ("_v" -> false) +: ties.map(_ -> true),
+      k = 1).drop("_v")
+  }
+
   def saltedJoin(fact: DataFrame, dim: DataFrame,
                  factKey: String, dimKey: String, salts: Int = 8): DataFrame = {
     val saltedFact = fact.withColumn("_salt",

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Plan-shape assertions: the promises that matter at 100 TB — pushdown,
   * pruning, broadcast joins, no cartesian products — verified against the
@@ -18,6 +19,31 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,100.0)]"), p)
     assert(p.contains("ReadSchema") &&
       !p.contains("c_mktsegment"), "projection should prune unused columns\n" + p)
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // a selective dim-side filter should inject a bloom filter on the fact
+    // scan when the join shuffles — the runtime-filter story for fact-fact
+    // joins whose selective side is too big to broadcast at 100 TB
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf0001)
+      val o = Tables.orders(spark, sf0001).filter(col("o_totalprice") > 400000)
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("e1: dimension joins are broadcast, not shuffled") {

@@ -37,6 +37,18 @@ class LoadSpec extends SparkTestBase {
       orders.filter($"o_orderpriority" === "1-URGENT").count())
   }
 
+  test("compact rewrites a many-file table into few files, rows unchanged") {
+    val orders = graft.Tables.orders(spark, sf0001)
+    val out = Files.createTempDirectory("graft-compact").resolve("t").toString
+    orders.repartition(16).write.parquet(out)
+    def parquetFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 16)
+    Load.compact(spark, out, 2)
+    assert(parquetFiles == 2)
+    assert(spark.read.parquet(out).count() == orders.count())
+  }
+
   test("K1 JSON sink + K3 preview emit one object per row") {
     val df = Seq(("x", 1), ("y", 2)).toDF("k", "v")
     val out = Files.createTempDirectory("graft-json").toString

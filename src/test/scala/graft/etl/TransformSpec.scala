@@ -63,4 +63,13 @@ class TransformSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(10L -> 1, 20L -> 2, 30L -> 3))
   }
+
+  test("upsert replaces matched keys, passes through the rest, adds new ones") {
+    val current = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "status", "v")
+    val updates = Seq((2L, "B", 20.0), (9L, "new", 9.0)).toDF("k", "status", "v")
+    val got = Transform.upsert(current, updates, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0), (9L, "new", 9.0)))
+  }
 }
