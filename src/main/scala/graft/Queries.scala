@@ -1185,6 +1185,44 @@ object Queries {
       |EXCEPT
       |SELECT o_custkey AS c_custkey FROM orders""".stripMargin
 
+  /** DuckDB fragment for [[graft.operators.Sampling.hashBucket]]: the md5
+    * first-8-hex-chars integer, digit-by-digit (the d3 simhash trick), mod
+    * 10000 — bit-identical to Spark's conv(substr(md5, 1, 8), 16, 10). */
+  private def md5BucketSql(keyExpr: String): String = {
+    val pow16 = Array(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
+    val digits = (0 until 8)
+      .map(k => s"(strpos('0123456789abcdef', substr(md5($keyExpr), ${k + 1}, 1)) - 1) * ${pow16(k)}")
+      .mkString(" + ")
+    s"(($digits) % 10000)"
+  }
+
+  /** SMP1 — deterministic 20% sample by key hash: membership is a pure
+    * function of the row key (engine-portable md5 bucket), so the sample
+    * is identical across engines, runs, partitionings and cluster sizes —
+    * what `df.sample()`'s per-task RNG streams cannot promise. */
+  val smp1Sample: Q = (s, d) =>
+    graft.operators.Sampling.deterministicSample(
+      Tables.orders(s, d), col("o_orderkey"), 0.2)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  val smp1SampleSql: String =
+    s"""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |WHERE ${md5BucketSql("CAST(o_orderkey AS VARCHAR)")} < 2000""".stripMargin
+
+  /** SMP2 — train/val/test split (0.8/0.1/0.1) by the same key-hash
+    * mechanism: a document's split never changes when the corpus grows. */
+  val smp2Split: Q = (s, d) =>
+    graft.operators.Sampling.datasetSplit(Tables.documents(s, d), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+
+  val smp2SplitSql: String =
+    s"""SELECT doc_id,
+       |       CASE WHEN ${md5BucketSql("CAST(doc_id AS VARCHAR)")} < 8000 THEN 'train'
+       |            WHEN ${md5BucketSql("CAST(doc_id AS VARCHAR)")} < 9000 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
   /** U5 — upsert/merge-by-key (the lake MERGE): a batch of updated order
     * rows replaces its keys in the base table, executed as union +
     * top-1-per-key through the TopKPerKeyExec heap (one shuffle, no sort). */
@@ -1339,6 +1377,8 @@ object Queries {
     "u3_intersect" -> u3Intersect,
     "u4_except" -> u4Except,
     "u5_upsert" -> u5Upsert,
+    "smp1_det_sample" -> smp1Sample,
+    "smp2_dataset_split" -> smp2Split,
     "j6_semi_join" -> j6Semi,
     "j7_anti_join" -> j7Anti,
     "g2_cube" -> g2Cube,
@@ -1413,6 +1453,8 @@ object Queries {
     "u3_intersect" -> u3IntersectSql,
     "u4_except" -> u4ExceptSql,
     "u5_upsert" -> u5UpsertSql,
+    "smp1_det_sample" -> smp1SampleSql,
+    "smp2_dataset_split" -> smp2SplitSql,
     "j6_semi_join" -> j6SemiSql,
     "j7_anti_join" -> j7AntiSql,
     "g2_cube" -> g2CubeSql,

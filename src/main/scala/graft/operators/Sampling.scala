@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling and dataset splitting — the selection operators a
+  * training-data pipeline runs after filtering/dedup.
+  *
+  * `df.sample()` is seed-dependent AND partitioning-dependent (each task
+  * draws from its own stream), so results change under AQE re-plans,
+  * repartitioning or a cluster resize — unacceptable for reproducible
+  * training sets. Here membership is a pure function of the ROW KEY: an
+  * md5-derived bucket in [0, 10000) (engine-portable — any system, including
+  * the DuckDB oracle, recomputes it from the key), so a row's sample/split
+  * assignment is stable across engines, runs and scales. One projection +
+  * filter; no shuffle, no RNG state.
+  */
+object Sampling {
+
+  /** Pseudo-random bucket in [0, buckets) derived from the key's md5 (first
+    * 8 hex chars → int). Engine-portable: DuckDB computes the identical
+    * value with `('0x' || substr(md5(k), 1, 8))::BIGINT % buckets`. */
+  def hashBucket(key: Column, buckets: Int = 10000): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Keep ~`fraction` of rows, deterministically by key. Stratification is
+    * free: the hash is uniform within every subgroup, so per-stratum rates
+    * converge to `fraction` without per-group bookkeeping. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(hashBucket(key) < (fraction * 10000).toInt)
+
+  /** Assign each row to a named split by cumulative weight ranges over the
+    * hash bucket — the train/val/test assignment that never moves a row
+    * between splits when the corpus grows (a row's bucket depends only on
+    * its own key). */
+  def datasetSplit(df: DataFrame, key: Column,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights must sum to 1, got $total")
+    val bucket = hashBucket(key)
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    // build the CASE from the last range backwards so earlier ranges win
+    val assigned = splits.zip(bounds).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), hi)) =>
+        when(bucket < (hi * 10000).round, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+
+  test("deterministic sample: stable across partitionings, near the rate") {
+    val orders = Tables.orders(spark, sf0001)
+    val s1 = Sampling.deterministicSample(orders, col("o_orderkey"), 0.2)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(orders.repartition(7), col("o_orderkey"), 0.2)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // identical membership regardless of layout
+    val rate = s1.size.toDouble / orders.count()
+    assert(rate > 0.15 && rate < 0.25, s"rate=$rate")
+  }
+
+  test("dataset split covers every row once with stable assignment") {
+    val docs = Tables.documents(spark, sf0001)
+    val split = Sampling.datasetSplit(docs, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.count() == docs.count())
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+    // growing the corpus never reassigns an existing row
+    val half = Sampling.datasetSplit(docs.filter(col("doc_id") < 250), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    val full = split.collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(half.forall { case (k, v) => full(k) == v })
+  }
+
+  test("stratified rates: each subgroup converges to the global fraction") {
+    val orders = Tables.orders(spark, sf0001)
+    val rates = Sampling.deterministicSample(orders, col("o_orderkey"), 0.2)
+      .groupBy("o_orderpriority").count().as("s")
+      .join(orders.groupBy("o_orderpriority").count().as("t"), "o_orderpriority")
+      .select(col("s.count") / col("t.count"))
+      .collect().map(_.getDouble(0))
+    assert(rates.forall(r => r > 0.1 && r < 0.3), rates.mkString(","))
+  }
+}
