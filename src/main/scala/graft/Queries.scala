@@ -725,6 +725,30 @@ object Queries {
   val sim2GateSql: String = annGateSql
   val sim3GateSql: String = annGateSql
 
+  /** EMB1 — embedding feature-store prep: L2 normalization (unit vectors,
+    * elements portably rounded) and symmetric int8 quantization (4× size
+    * reduction), both compiled single-pass kernels; DuckDB replays the
+    * exact arithmetic over DOUBLE[] list comprehensions. */
+  val emb1Normalize: Q = (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      graft.functions.l2_normalize(col("embedding"), 6).as("unit_vec"),
+      graft.functions.quantize_int8(col("embedding")).as("q_vec"))
+
+  val emb1NormalizeSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, emb, sqrt(list_sum([x * x FOR x IN emb])) AS nrm,
+      |             list_max([abs(x) FOR x IN emb]) / 127.0 AS qscale
+      |      FROM e)
+      |SELECT vec_id,
+      |       CASE WHEN nrm = 0 THEN [0.0 FOR x IN emb]
+      |            ELSE [floor(x / nrm * 1000000 + 0.5) / 1000000 FOR x IN emb]
+      |       END AS unit_vec,
+      |       CASE WHEN qscale = 0 THEN [CAST(0 AS INT) FOR x IN emb]
+      |            ELSE [CAST(floor(x / qscale + 0.5) AS INT) FOR x IN emb]
+      |       END AS q_vec
+      |FROM n""".stripMargin
+
   // ─────────────────────────── text analysis ─────────────────────────────
 
   private val stopList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1427,6 +1451,7 @@ object Queries {
     "sim2_ann_gate" -> sim2Gate,
     "sim3_ann_ivf" -> sim3Ivf,
     "sim3_ivf_gate" -> sim3Gate,
+    "emb1_normalize_quantize" -> emb1Normalize,
     "t1_lang_id" -> t1Lang,
     "t2_quality_score" -> t2Quality,
     "t3_token_count" -> t3Tokens,
@@ -1499,6 +1524,7 @@ object Queries {
     "sim1_cosine_topk" -> sim1TopKSql,
     "sim2_ann_gate" -> sim2GateSql,
     "sim3_ivf_gate" -> sim3GateSql,
+    "emb1_normalize_quantize" -> emb1NormalizeSql,
     "t1_lang_id" -> t1LangSql,
     "t2_quality_score" -> t2QualitySql,
     "t3_token_count" -> t3TokensSql,

@@ -209,6 +209,89 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** L2-normalize an `array<float>` vector, each element portably rounded to
+  * `scale` decimals (`floor(x·10ˢ + 0.5)/10ˢ` — the engine-portable
+  * rounding the oracle replays). Zero vectors normalize to zeros, not NaN.
+  * Compiled single pass; accumulation order is sequential, so the norm is
+  * bit-stable across engines and partitionings. */
+case class L2NormalizeRounded(child: Expression, scale: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "l2_normalize"
+
+  def computeJava(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var nx = 0.0
+    var i = 0
+    while (i < n) { val x = arr.getFloat(i).toDouble; nx += x * x; i += 1 }
+    val norm = math.sqrt(nx)
+    val p = math.pow(10.0, scale)
+    val out = new Array[Double](n)
+    if (norm != 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(arr.getFloat(i).toDouble / norm * p + 0.5) / p
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = computeJava(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("l2norm", this, "graft.functions.L2NormalizeRounded")
+      s"${ev.value} = $self.computeJava($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Symmetric int8 quantization of an `array<float>` vector: scale =
+  * max|x|/127, q = floor(x/scale + 0.5) — the elementary feature-store
+  * compression (4× smaller than float32). Zero vectors quantize to zeros.
+  * Output is array<int> so the oracle compares without tinyint dtype
+  * mismatches. */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "quantize_int8"
+
+  def computeJava(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getFloat(i).toDouble); if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val out = new Array[Int](n)
+    if (maxAbs != 0.0) {
+      val scale = maxAbs / 127.0
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(arr.getFloat(i).toDouble / scale + 0.5).toInt
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = computeJava(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("quantizer", this, "graft.functions.QuantizeInt8")
+      s"${ev.value} = $self.computeJava($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Number of elements of a string-array column that belong to a fixed
   * vocabulary (multiset count — duplicates count every time). Replaces the
   * `filter(toks, t => array_contains(vocab, t))` higher-order function,

@@ -48,6 +48,14 @@ package object functions {
   def array_agree_count(a: Column, b: Column): Column =
     Bridge.column(ArrayAgreeCount(Bridge.expression(a), Bridge.expression(b)))
 
+  /** L2-normalized vector, elements portably rounded to `scale` decimals. */
+  def l2_normalize(c: Column, scale: Int = 6): Column =
+    Bridge.column(L2NormalizeRounded(Bridge.expression(c), scale))
+
+  /** Symmetric int8 quantization (scale = max|x|/127) as array<int>. */
+  def quantize_int8(c: Column): Column =
+    Bridge.column(QuantizeInt8(Bridge.expression(c)))
+
   /** xxhash64 with an explicit seed. `xxhash64(lit(i), h)` re-hashes the
     * constant `i` on EVERY row to derive the per-permutation seed; folding
     * that first step into the seed (`XXH64.hashInt(i, 42)` computed once at

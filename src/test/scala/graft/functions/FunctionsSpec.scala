@@ -106,6 +106,31 @@ class FunctionsSpec extends SparkTestBase {
     assert(both.filter($"fast" =!= $"hof").count() == 0)
   }
 
+  test("l2_normalize yields unit vectors; quantize_int8 round-trips closely") {
+    val e = graft.Tables.embeddings(spark, sf0001).limit(50)
+    val normed = e.select(l2_normalize($"embedding", 8).as("u")).collect()
+    normed.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-6, s"norm=$n")
+    }
+    // zero vector → zeros, not NaN
+    val z = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("embedding")
+    assert(z.select(l2_normalize($"embedding")).collect()(0)
+      .getSeq[Double](0).forall(_ == 0.0))
+    // int8 dequantization stays within half a quantization step per element
+    val rows = e.select($"embedding", quantize_int8($"embedding").as("q")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).map(_.toDouble)
+      val q = r.getSeq[Int](1)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      val scale = v.map(math.abs).max / 127.0
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi * scale) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+
   test("jsCoalesce treats empty string as missing (JS || semantics)") {
     val df = Seq(("", "fb"), ("v", "fb"), (null.asInstanceOf[String], "fb")).toDF("a", "b")
     val got = df.select(jsCoalesce($"a", $"b").as("c")).collect().map(_.getString(0)).toSeq
