@@ -811,15 +811,18 @@ object Queries {
   val t8Scrub: Q = (s, d) => TextAnalysis.scrub(Tables.documents(s, d))
 
   val t8ScrubSql: String =
-    """SELECT doc_id,
-      |       regexp_replace(regexp_replace(regexp_replace(text,
-      |         'https?://[^ ]+', '<URL>', 'g'),
-      |         '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
-      |         '[0-9]{4,}', '<NUM>', 'g') AS scrubbed,
-      |       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
-      |       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
-      |       CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_long_nums
-      |FROM documents""".stripMargin
+    """WITH s1 AS (SELECT doc_id, text,
+      |              regexp_replace(text, '(?i)https?://[^ ]+', '<URL>', 'g') AS t1
+      |            FROM documents),
+      |s2 AS (SELECT *,
+      |         regexp_replace(t1, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g') AS t2
+      |       FROM s1)
+      |SELECT doc_id,
+      |       regexp_replace(t2, '[0-9]{4,}', '<NUM>', 'g') AS scrubbed,
+      |       CAST(len(regexp_extract_all(text, '(?i)https?://[^ ]+')) AS BIGINT) AS n_urls,
+      |       CAST(len(regexp_extract_all(t1, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+      |       CAST(len(regexp_extract_all(t2, '[0-9]{4,}')) AS BIGINT) AS n_long_nums
+      |FROM s2""".stripMargin
 
   /** T9: Gopher-style repetition filter — duplicated-3-shingle fraction. */
   val t9Repetition: Q = (s, d) => TextAnalysis.repetition(Tables.documents(s, d))
@@ -843,25 +846,19 @@ object Queries {
     * projection, no shuffle; every signal and the verdict are
     * oracle-checked. */
   val t10CorpusFilter: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val stopRatio = graft.functions.tokens_in_set(toks, TextAnalysis.EnStopwords)
-      .cast("double") / nTok
-    val avgTokLen = (col("n_chars") - nTok + 1).cast("double") / nTok
-    val quality = portableRound(least(nTok / 100.0, lit(1.0)) * 0.5 +
-      stopRatio * 0.3 + least(avgTokLen / lit(10.0), lit(1.0)) * 0.2, 4)
-    val predLang = when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
-      .when(stopRatio >= 0.08, "en").otherwise("und")
-    val sh = graft.functions.shingle_hashes(col("text"), 3)
-    val dupRatio = when(size(sh) > 0,
-      portableRound(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4))
+    // the signals come from TextAnalysis's shared scoring expressions —
+    // the same definitions t1/t2/t9 run, so the composite verdict can
+    // never drift from the individual signals
+    val nTok = TextAnalysis.nTokensExpr
+    val quality = TextAnalysis.qualityExpr
+    val predLang = TextAnalysis.predLangExpr()
+    val dupRatio = TextAnalysis.dupRatioExpr
     val reason = when(nTok < 10, "too_short")
       .when(predLang === "und", "lang_und")
       .when(dupRatio > 0.2, "repetitive")
       .when(quality < 0.25, "low_quality")
       .otherwise("ok")
-    docs.select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+    Tables.documents(s, d).select(col("doc_id"), nTok.cast("long").as("n_tokens"),
       predLang.as("pred_lang"), quality.as("quality"), dupRatio.as("dup_ratio"),
       reason.as("reason"), (reason === "ok").as("keep"))
   }

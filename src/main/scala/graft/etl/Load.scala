@@ -33,12 +33,16 @@ object Load {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val tmp = dir + ".compacting"
+    val old = dir + ".precompact"
     spark.read.parquet(dir).repartition(numFiles)
       .write.mode("overwrite").parquet(tmp)
     def rmTree(p: java.nio.file.Path): Unit =
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    rmTree(Paths.get(dir))
+    // swap order keeps a complete copy live at every step: a crash before
+    // the second move leaves the original at `.precompact`, never nothing
+    Files.move(Paths.get(dir), Paths.get(old))
     Files.move(Paths.get(tmp), Paths.get(dir))
+    rmTree(Paths.get(old))
   }
 
   /** K1 — JSON sink (one object per line, the API envelope's rows). */

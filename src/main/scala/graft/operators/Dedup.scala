@@ -281,6 +281,11 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    // NEVER hand back a half-propagated labeling as if it converged — a
+    // component with diameter > maxIters would silently get wrong reps
+    if (changed > 0) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters for this graph")
     labels.select(col("node").as("doc_id"), col("lab").as("cluster_rep"))
   }
 

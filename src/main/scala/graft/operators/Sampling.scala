@@ -28,7 +28,10 @@ object Sampling {
     * free: the hash is uniform within every subgroup, so per-stratum rates
     * converge to `fraction` without per-group bookkeeping. */
   def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
-    df.filter(hashBucket(key) < (fraction * 10000).toInt)
+    // .round, not .toInt: 0.29*10000 is 2899.999... in binary floating
+    // point, and truncation would shift the documented `bucket <
+    // fraction·10000` contract by one bucket (datasetSplit rounds too)
+    df.filter(hashBucket(key) < (fraction * 10000).round)
 
   /** Assign each row to a named split by cumulative weight ranges over the
     * hash bucket — the train/val/test assignment that never moves a row

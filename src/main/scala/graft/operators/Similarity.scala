@@ -165,16 +165,17 @@ object Similarity {
     * stays bucket-sized per (table, probe); recall compounds across tables. */
   def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 6, dim: Int = 64, tables: Int = 8): DataFrame = {
-    def tableSigs(df: DataFrame): org.apache.spark.sql.Column =
+    // unresolved column expression: binds to whichever frame selects it
+    val tableSigs: org.apache.spark.sql.Column =
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("tbl"),
           hyperplane_signature(col("embedding"), planes, dim, t).as("sig"))
       }: _*))
     val sigs = embeddings.select(col("vec_id").as("n_id"),
-        col("embedding").as("ne"), tableSigs(embeddings).as("ts"))
+        col("embedding").as("ne"), tableSigs.as("ts"))
       .select(col("n_id"), col("ne"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
     val qsigs = queries.select(col("vec_id").as("q_id"),
-        col("embedding").as("qe"), tableSigs(queries).as("ts"))
+        col("embedding").as("qe"), tableSigs.as("ts"))
       .select(col("q_id"), col("qe"), col("ts.tbl").as("tbl"), col("ts.sig").as("q_sig"))
     // query probes its own bucket + hamming-1 buckets, per table
     val probes = qsigs.select(col("q_id"), col("qe"), col("tbl"),

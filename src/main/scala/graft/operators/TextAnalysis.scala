@@ -23,6 +23,39 @@ object TextAnalysis {
   private def stopHitsOf(c: org.apache.spark.sql.Column) =
     graft.functions.tokens_in_set(c, EnStopwords)
 
+  // ── shared scoring expressions — the single source of truth consumed by
+  //    langId / qualityScore / repetition AND the composite corpus filter
+  //    (t10); changing a weight here changes every consumer together ──
+
+  /** Token count of `text` (whitespace tokens). */
+  def nTokensExpr: org.apache.spark.sql.Column = size(toks)
+
+  /** English-stopword occurrence ratio (compiled TokensInSet probe). */
+  def stopRatioExpr: org.apache.spark.sql.Column =
+    stopHitsOf(toks).cast("double") / size(toks)
+
+  /** Mean token length derived from `n_chars` and the token count. */
+  def avgTokenLenExpr: org.apache.spark.sql.Column =
+    (col("n_chars") - size(toks) + 1).cast("double") / size(toks)
+
+  /** Heuristic language tag: CJK codepoints → zh, stopword-rich → en. */
+  def predLangExpr(enThreshold: Double = 0.08): org.apache.spark.sql.Column =
+    when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(stopRatioExpr >= enThreshold, "en")
+      .otherwise("und")
+
+  /** Composite quality in [0,1]: 0.5·length + 0.3·stopwords + 0.2·token-len. */
+  def qualityExpr: org.apache.spark.sql.Column =
+    portableRound(least(size(toks) / 100.0, lit(1.0)) * 0.5 +
+      stopRatioExpr * 0.3 + least(avgTokenLenExpr / lit(10.0), lit(1.0)) * 0.2, 4)
+
+  /** Duplicated-3-shingle fraction; null for docs with < 3 tokens. */
+  def dupRatioExpr: org.apache.spark.sql.Column = {
+    val sh = graft.functions.shingle_hashes(col("text"), 3)
+    when(size(sh) > 0,
+      portableRound(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4))
+  }
+
   /** Language ID, n-gram/stopword heuristic: CJK codepoints → zh, else
     * English-stopword token ratio over a threshold → en, else und.
     * (A real model would be a dictionary broadcast; the heuristic is the
@@ -32,27 +65,19 @@ object TextAnalysis {
     documents.select(
       col("doc_id"),
       col("lang"),
-      portableRound(stopHitsOf(toks).cast("double") / size(toks), 4).as("en_ratio"),
-      when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
-        .when(stopHitsOf(toks).cast("double") / size(toks) >= enThreshold, "en")
-        .otherwise("und").as("pred_lang"))
+      portableRound(stopRatioExpr, 4).as("en_ratio"),
+      predLangExpr(enThreshold).as("pred_lang"))
 
   /** Quality scoring: token count, average token length, stopword ratio,
     * composite score in [0,1]. Deterministic integer-ratio arithmetic. */
-  def qualityScore(documents: DataFrame): DataFrame = {
-    val nTok = size(toks)
-    val stopHits = stopHitsOf(toks)
-    val avgTokLen = (col("n_chars") - nTok + 1).cast("double") / nTok
-    val stopRatio = stopHits.cast("double") / nTok
+  def qualityScore(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      nTok.cast("long").as("n_tokens"),
+      nTokensExpr.cast("long").as("n_tokens"),
       col("n_chars"),
-      portableRound(avgTokLen, 4).as("avg_token_len"),
-      portableRound(stopRatio, 4).as("stop_ratio"),
-      portableRound(least(nTok / 100.0, lit(1.0)) * 0.5 + stopRatio * 0.3 +
-        least(avgTokLen / lit(10.0), lit(1.0)) * 0.2, 4).as("quality"))
-  }
+      portableRound(avgTokenLenExpr, 4).as("avg_token_len"),
+      portableRound(stopRatioExpr, 4).as("stop_ratio"),
+      qualityExpr.as("quality"))
 
   /** Token counting per source: whitespace tokens plus a BPE-ish
     * `[a-z0-9]+` word-piece count; one partial-aggregated rollup. */
@@ -82,36 +107,36 @@ object TextAnalysis {
 
   /** PII scrub: emails, URLs and long digit runs replaced with typed
     * placeholder tokens — the standard pre-training redaction pass. Pure
-    * regexp projection (one codegen'd pass, no shuffle); counts carried
-    * alongside so a pipeline can audit redaction volume per source. */
+    * regexp projection (one codegen'd pass, no shuffle). Patterns are
+    * case-insensitive (`(?i)` — `ALICE@EXAMPLE.COM` is as much PII as the
+    * lowercase form), and each audit count is taken on the text AS THE
+    * REPLACEMENT SEES IT (URLs on raw text, emails after URL removal,
+    * digit runs after both), so every count equals the number of
+    * placeholders actually inserted — no phantom redactions for a digit
+    * run that a URL replacement already consumed. */
   def scrub(documents: DataFrame): DataFrame = {
-    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+"
-    val urlPat = "https?://[^ ]+"
+    val emailPat = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+"
+    val urlPat = "(?i)https?://[^ ]+"
     val digitsPat = "[0-9]{4,}"
+    val afterUrl = regexp_replace(col("text"), urlPat, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, emailPat, "<EMAIL>")
     documents.select(
       col("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), urlPat, "<URL>"),
-          emailPat, "<EMAIL>"),
-        digitsPat, "<NUM>").as("scrubbed"),
+      regexp_replace(afterEmail, digitsPat, "<NUM>").as("scrubbed"),
       regexp_count(col("text"), lit(urlPat)).cast("long").as("n_urls"),
-      regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
-      regexp_count(col("text"), lit(digitsPat)).cast("long").as("n_long_nums"))
+      regexp_count(afterUrl, lit(emailPat)).cast("long").as("n_emails"),
+      regexp_count(afterEmail, lit(digitsPat)).cast("long").as("n_long_nums"))
   }
 
   /** Gopher-style repetition signal: the fraction of duplicated 3-token
     * shingles per document (`1 − distinct/total`), flagged above
     * `maxDupRatio`. Highly repetitive machine-generated text scores near
     * 1; one projection over the one-pass shingle kernel. */
-  def repetition(documents: DataFrame, maxDupRatio: Double = 0.2): DataFrame = {
-    val all = graft.functions.shingle_hashes(col("text"), 3)
-    val ratio = lit(1.0) - size(array_distinct(all)).cast("double") / size(all)
+  def repetition(documents: DataFrame, maxDupRatio: Double = 0.2): DataFrame =
     documents.filter(size(split(col("text"), " ")) >= 3)
       .select(
         col("doc_id"),
-        size(all).cast("long").as("n_shingles"),
-        portableRound(ratio, 4).as("dup_ratio"),
-        (portableRound(ratio, 4) > maxDupRatio).as("flagged"))
-  }
+        size(graft.functions.shingle_hashes(col("text"), 3)).cast("long").as("n_shingles"),
+        dupRatioExpr.as("dup_ratio"),
+        (dupRatioExpr > maxDupRatio).as("flagged"))
 }

@@ -126,6 +126,10 @@ final case class TopKPerKeyExec(
           4L * 1024 * 1024 /* pageSizeBytes */,
           4096 /* initial sort buffer entries */,
           Int.MaxValue.toLong /* force-spill row threshold: size-managed */)
+        // register cleanup BEFORE inserting: an insertKV failure (spill
+        // IOException, OOM) must not orphan the sorter's spill files
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
         val it = heaps.entrySet().iterator()
         while (it.hasNext) {
           val e = it.next()
@@ -137,8 +141,6 @@ final case class TopKPerKeyExec(
           val row = rowProj(iter.next())
           sorter.insertKV(keyProj(row), row)
         }
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
         val sorted = sorter.sortedIterator()
         new Iterator[InternalRow] {
           // lookahead protocol: `positioned` ⇔ `sorted` sits on the first

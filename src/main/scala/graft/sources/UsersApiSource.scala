@@ -178,7 +178,12 @@ private[sources] class UsersPageReader(page: UsersPage, cols: Array[String],
         s"simulated fetch failure for users page ${page.index}")
       case "skip" => false
       case "fallback" =>
-        fallbackIdx += 1; fallbackIdx < UsersApiSource.fallbackRows.length
+        // a pushed id-equality filter was CONSUMED by this scan (Spark will
+        // not re-apply it), so it must hold here too: fallback ids are
+        // "fallback-*", which can never match a pushed "user-<n>" key —
+        // a point lookup on a failed page correctly finds nothing
+        if (key.isDefined) false
+        else { fallbackIdx += 1; fallbackIdx < UsersApiSource.fallbackRows.length }
       case other => throw new IllegalArgumentException(
         s"pageFailureMode must be fail|skip|fallback, got '$other'")
     } else {

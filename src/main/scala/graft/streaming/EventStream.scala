@@ -19,6 +19,15 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object EventStream {
 
+  /** Remove a staged temp dir once its replay finished (the memory sink
+    * holds the results; repeated bench/oracle runs must not accumulate
+    * fixture copies in /tmp). */
+  private[streaming] def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
   /** Replay the fixture TWICE through the streaming dedup (two copies of
     * the parquet in the source dir → every event arrives duplicated) and
     * return the deduped rows: the result must equal the batch table
@@ -35,7 +44,7 @@ object EventStream {
     val queryName = "graft_stream_dedup"
     val q = dedupStream(stream).writeStream
       .outputMode("append").format("memory").queryName(queryName).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
     spark.table(queryName)
   }
 
@@ -89,7 +98,7 @@ object EventStream {
     val queryName = "graft_stream_windows"
     val q = windowedAgg(stream).writeStream
       .outputMode("complete").format("memory").queryName(queryName).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
     spark.table(queryName)
   }
 }

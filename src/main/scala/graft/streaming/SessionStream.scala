@@ -126,7 +126,11 @@ object SessionStream {
     val queryName = "graft_stream_sessions"
     val q = closedSessions(spark, stream, gapMinutes, watermarkDelay = "0 seconds")
       .writeStream.outputMode("append").format("memory").queryName(queryName).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      EventStream.rmTree(srcDir)
+      EventStream.rmTree(sentinelDir)
+    }
     spark.table(queryName).filter(col("user_id") >= 0)
   }
 

@@ -74,6 +74,17 @@ class UsersApiSourceSpec extends SparkTestBase {
     assert(fb.exists(_.getAs[String]("name") == "Alice Anderson"))
   }
 
+  test("pushed key filter holds on fallback pages (no unfiltered rows leak)") {
+    // the id filter is CONSUMED by the scan, so the fallback branch must
+    // honor it: a point lookup on a failed page correctly finds nothing
+    // (fallback ids can never match a user-<n> key)
+    val df = spark.read.format("graft-users")
+      .option("rows", 1000).option("pageSize", 250)
+      .option("failPages", "2").option("pageFailureMode", "fallback").load()
+    assert(df.where(col("id") === "user-500").count() == 0) // page 2 failed
+    assert(df.where(col("id") === "user-10").count() == 1)  // page 0 fine
+  }
+
   test("feeds the E1 pipeline shape end-to-end (extract → filter → metrics)") {
     val df = users(700)
     val m = graft.etl.Metrics.summary(df,
