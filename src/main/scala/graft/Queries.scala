@@ -397,6 +397,66 @@ object Queries {
        |JOIN nation ON c_nationkey = n_nationkey
        |GROUP BY n_name, year(o_orderdate)""".stripMargin
 
+  /** TPC-H Q9-style profit rollup: five-table join (two broadcast dims,
+    * two fact-fact) with a substring predicate on the part name, profit =
+    * revenue − cost aggregated per (nation, year). The deepest join tree
+    * in the suite — AQE owns the fact-fact strategy, dims broadcast. */
+  val q9Profit: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val p = Tables.part(s, d).filter(col("p_name").contains("gold"))
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    // the fixture has no partsupp table: supply cost is synthesized as
+    // 60% of retail price, in EXACT decimal arithmetic end to end (a
+    // double multiply then a decimal cast would let the engines disagree
+    // on half-way rounding)
+    val cost = col("p_retailprice").cast("decimal(12,2)") * lit(0.6).cast("decimal(2,1)")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(price * (lit(1).cast("decimal(4,2)") - disc) -
+          cost * col("l_quantity").cast("decimal(12,2)"))
+        .cast("double").as("profit"))
+  }
+
+  val q9ProfitSql: String =
+    s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |  CAST(sum($SQL_PRICE * (1 - $SQL_DISC)
+       |           - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(2,1))
+       |             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%gold%'
+       |GROUP BY n_name, year(o_orderdate)""".stripMargin
+
+  /** TPC-H Q2-style min-cost supplier: for each part, the supplier(s)
+    * whose account balance is the region's maximum for that part — a
+    * correlated scalar subquery over a three-way join, decorrelated by
+    * Catalyst into an aggregate + join (no per-row re-execution). */
+  val q2MinCost: Q = (s, d) => {
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    s.sql(
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier_v s JOIN nation_v n ON s_nationkey = n_nationkey
+        |WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier_v s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)
+        |""".stripMargin)
+  }
+
+  val q2MinCostSql: String =
+    """SELECT s_suppkey, s_name, n_name
+      |FROM supplier s JOIN nation n ON s_nationkey = n_nationkey
+      |WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+      |                   WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin
+
   /** W1: ranking window — top-3 orders per customer. */
   val w1Rank: Q = (s, d) => {
     val w = Window.partitionBy(col("o_custkey"))
@@ -1422,6 +1482,8 @@ object Queries {
     "j5_range_band" -> j5RangeBand,
     "j8_salted_join" -> j8Salted,
     "q8_correlated_subquery" -> q8Correlated,
+    "q9_profit_rollup" -> q9Profit,
+    "q2_min_cost_supplier" -> q2MinCost,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
     "q3_shipping_priority" -> q3Priority,
@@ -1500,6 +1562,8 @@ object Queries {
     "j5_range_band" -> j5RangeBandSql,
     "j8_salted_join" -> j8SaltedSql,
     "q8_correlated_subquery" -> q8CorrelatedSql,
+    "q9_profit_rollup" -> q9ProfitSql,
+    "q2_min_cost_supplier" -> q2MinCostSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
     "q3_bucketed" -> q3PrioritySql, // layout changes, semantics don't
