@@ -1603,6 +1603,7 @@ object Queries {
   val benchNames: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q3_bucketed", "q5_revenue_rollup",
     "q6_selective_agg", "q7_quantiles", "q8_correlated_subquery",
+    "q9_profit_rollup",
     "asof1_attribution", "g1_rollup", "w4_pivot",
     "e1_users_pipeline", "e3_launches_pipeline", "w1_rank_window", "w6_topk_native",
     "w2_tumbling_window", "w3_sessionize", "d2_dedup_minhash",
