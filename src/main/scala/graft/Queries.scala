@@ -546,6 +546,25 @@ object Queries {
         col("n_events"),
         portableRound(col("sum_value"), 2).as("sum_value"))
 
+  /** ST4: stream-stream interval join — purchases × same-user clicks in
+    * the preceding 10 minutes, as a continuous two-stream computation
+    * with watermark-bounded join state. Must equal the batch range join
+    * row-for-row. */
+  val st4StreamJoin: Q = (s, d) =>
+    EventStream.runIntervalJoinOverFixture(s, d)
+      .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
+        col("p_user").as("user_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+
+  val st4StreamJoinSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |       p.user_id,
+      |       strftime(CAST(date_trunc('second', p.ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts""".stripMargin
+
   /** ST2: streaming exact dedup under real duplication — the fixture
     * replays twice (every event arrives twice), `dropDuplicates(event_id)`
     * with watermark-bounded state must reconstruct the batch table
@@ -1496,6 +1515,7 @@ object Queries {
     "st1_stream_window" -> st1Stream,
     "st2_stream_dedup" -> st2StreamDedup,
     "st3_stream_sessions" -> st3StreamSessions,
+    "st4_stream_join" -> st4StreamJoin,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -1575,6 +1595,7 @@ object Queries {
     "st1_stream_window" -> w2TumblingSql, // stream/batch parity: same oracle
     "st2_stream_dedup" -> st2StreamDedupSql,
     "st3_stream_sessions" -> w3SessionsSql, // stateful sessionizer = batch w3
+    "st4_stream_join" -> st4StreamJoinSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,

@@ -48,6 +48,40 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-stream INTERVAL JOIN: each purchase joined to the same user's
+    * clicks within the preceding `windowMinutes` — the attribution shape
+    * as a continuous computation. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can expire buffered
+    * state: rows older than (watermark − window) can never match again.
+    * Replayed over the fixture it must equal the equivalent batch
+    * range-join row-for-row (the driver oracle). */
+  def runIntervalJoinOverFixture(spark: SparkSession, sfDir: String,
+                                 windowMinutes: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val srcDir = Files.createTempDirectory("graft-stream-join")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(eventType: String, prefix: String) =
+      spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === eventType)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "0 seconds")
+    val purchases = side("purchase", "p")
+    val clicks = side("click", "c")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+    val queryName = "graft_stream_join"
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    spark.table(queryName)
+  }
+
   /** events schema with ts as raw nanos (nanosAsLong). */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
