@@ -397,10 +397,11 @@ object Queries {
        |JOIN nation ON c_nationkey = n_nationkey
        |GROUP BY n_name, year(o_orderdate)""".stripMargin
 
-  /** TPC-H Q9-style profit rollup: five-table join (two broadcast dims,
-    * two fact-fact) with a substring predicate on the part name, profit =
-    * revenue − cost aggregated per (nation, year). The deepest join tree
-    * in the suite — AQE owns the fact-fact strategy, dims broadcast. */
+  /** TPC-H Q9-style profit rollup: five-table join (three broadcast dims —
+    * part, supplier, nation — over the lineitem ⋈ orders fact join) with a
+    * substring predicate on the part name, profit = revenue − cost
+    * aggregated per (nation, year). The deepest join tree in the suite —
+    * AQE owns the fact-fact strategy, dims broadcast. */
   val q9Profit: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
@@ -436,11 +437,13 @@ object Queries {
        |WHERE p_name LIKE '%gold%'
        |GROUP BY n_name, year(o_orderdate)""".stripMargin
 
-  /** TPC-H Q2-style min-cost supplier: for each part, the supplier(s)
-    * whose account balance is the region's maximum for that part — a
-    * correlated scalar subquery over a three-way join, decorrelated by
-    * Catalyst into an aggregate + join (no per-row re-execution). */
-  val q2MinCost: Q = (s, d) => {
+  /** TPC-H Q2's correlated-subquery SHAPE on the columns the fixture has:
+    * the supplier(s) holding their nation's maximum account balance
+    * (the fixture ships no partsupp/region tables, so the real Q2's
+    * min-supplycost-per-part becomes max-acctbal-per-nation — the same
+    * correlated scalar subquery over a join, decorrelated by Catalyst
+    * into an aggregate + join with no per-row re-execution). */
+  val q2TopSupplier: Q = (s, d) => {
     Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
     Tables.nation(s, d).createOrReplaceTempView("nation_v")
     s.sql(
@@ -451,7 +454,7 @@ object Queries {
         |""".stripMargin)
   }
 
-  val q2MinCostSql: String =
+  val q2TopSupplierSql: String =
     """SELECT s_suppkey, s_name, n_name
       |FROM supplier s JOIN nation n ON s_nationkey = n_nationkey
       |WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
@@ -1502,7 +1505,7 @@ object Queries {
     "j8_salted_join" -> j8Salted,
     "q8_correlated_subquery" -> q8Correlated,
     "q9_profit_rollup" -> q9Profit,
-    "q2_min_cost_supplier" -> q2MinCost,
+    "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
     "q3_shipping_priority" -> q3Priority,
@@ -1583,7 +1586,7 @@ object Queries {
     "j8_salted_join" -> j8SaltedSql,
     "q8_correlated_subquery" -> q8CorrelatedSql,
     "q9_profit_rollup" -> q9ProfitSql,
-    "q2_min_cost_supplier" -> q2MinCostSql,
+    "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
     "q3_bucketed" -> q3PrioritySql, // layout changes, semantics don't

@@ -55,11 +55,7 @@ object Tables {
       if (!s.catalog.tableExists(table)) {
         val loc = java.nio.file.Paths.get(
           s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-        if (java.nio.file.Files.exists(loc)) { // stale dir from a prior session
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.delete)
-        }
+        graft.util.Fs.rmTree(loc) // stale dir from a prior session
         apply(s, d, name)
           .repartition(numBuckets, org.apache.spark.sql.functions.col(key))
           .write.bucketBy(numBuckets, key).sortBy(key)

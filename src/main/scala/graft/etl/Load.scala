@@ -31,18 +31,22 @@ object Load {
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               numFiles: Int): Unit = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val tmp = dir + ".compacting"
-    val old = dir + ".precompact"
+    import graft.util.Fs.rmTree
+    val tmp = Paths.get(dir + ".compacting")
+    val old = Paths.get(dir + ".precompact")
+    val target = Paths.get(dir)
+    // recover from a previously interrupted compact before starting a new
+    // one — a stale .precompact would otherwise wedge every future run
+    if (Files.exists(old) && !Files.exists(target)) Files.move(old, target)
+    else if (Files.exists(old)) rmTree(old)
+    rmTree(tmp)
     spark.read.parquet(dir).repartition(numFiles)
-      .write.mode("overwrite").parquet(tmp)
-    def rmTree(p: java.nio.file.Path): Unit =
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      .write.mode("overwrite").parquet(tmp.toString)
     // swap order keeps a complete copy live at every step: a crash before
     // the second move leaves the original at `.precompact`, never nothing
-    Files.move(Paths.get(dir), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(dir))
-    rmTree(Paths.get(old))
+    Files.move(target, old)
+    Files.move(tmp, target)
+    rmTree(old)
   }
 
   /** K1 — JSON sink (one object per line, the API envelope's rows). */

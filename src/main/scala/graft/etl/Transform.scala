@@ -63,12 +63,6 @@ object Transform {
   def headN(df: DataFrame, orderCol: String, n: Int): DataFrame =
     df.orderBy(col(orderCol)).limit(n)
 
-  /** Skew-resistant equi-join: spread each hot key over `salts` sub-keys on
-    * the (large, possibly skewed) fact side and replicate the dimension once
-    * per salt, so one hot key occupies `salts` shuffle partitions instead of
-    * one straggler. AQE's skew-join handles moderate skew automatically;
-    * this is the explicit tool for pathological keys at 100 TB.
-    * Semantically identical to `fact.join(dim, factKey === dimKey, "inner")`. */
   /** Upsert / merge-by-key (the lake-table MERGE pattern): rows from
     * `updates` replace same-key rows in `current`; unmatched keys flow
     * through from both sides. Executed as union + top-1-per-key through
@@ -78,14 +72,23 @@ object Transform {
     * session; pass `ties` as a total order for determinism). */
   def upsert(current: DataFrame, updates: DataFrame,
              key: String, ties: Seq[String] = Seq.empty): DataFrame = {
-    val versioned = current.withColumn("_v", lit(0))
-      .unionByName(updates.withColumn("_v", lit(1)))
+    val ver = "__graft_upsert_v"
+    require(!current.columns.contains(ver) && !updates.columns.contains(ver),
+      s"column $ver is reserved by upsert")
+    val versioned = current.withColumn(ver, lit(0))
+      .unionByName(updates.withColumn(ver, lit(1)))
     graft.plans.TopKPerKey(versioned,
       keys = Seq(key),
-      order = ("_v" -> false) +: ties.map(_ -> true),
-      k = 1).drop("_v")
+      order = (ver -> false) +: ties.map(_ -> true),
+      k = 1).drop(ver)
   }
 
+  /** Skew-resistant equi-join: spread each hot key over `salts` sub-keys on
+    * the (large, possibly skewed) fact side and replicate the dimension once
+    * per salt, so one hot key occupies `salts` shuffle partitions instead of
+    * one straggler. AQE's skew-join handles moderate skew automatically;
+    * this is the explicit tool for pathological keys at 100 TB.
+    * Semantically identical to `fact.join(dim, factKey === dimKey, "inner")`. */
   def saltedJoin(fact: DataFrame, dim: DataFrame,
                  factKey: String, dimKey: String, salts: Int = 8): DataFrame = {
     val saltedFact = fact.withColumn("_salt",

@@ -266,9 +266,7 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab")).localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    def step(): Long = {
       val viaNeighbors = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
       val updated = labels.as("l")
@@ -276,16 +274,21 @@ object Dedup {
         .select(col("l.node").as("node"),
           least(col("l.lab"), coalesce(col("n.nlab"), col("l.lab"))).as("lab"))
         .localCheckpoint()
-      changed = updated.as("u").join(labels.as("o"), col("u.node") === col("o.node"))
+      val changed = updated.as("u").join(labels.as("o"), col("u.node") === col("o.node"))
         .filter(col("u.lab") =!= col("o.lab")).count()
       labels = updated
-      iter += 1
+      changed
     }
-    // NEVER hand back a half-propagated labeling as if it converged — a
-    // component with diameter > maxIters would silently get wrong reps
-    if (changed > 0) throw new IllegalStateException(
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) { changed = step(); iter += 1 }
+    // the cap can trip on the very round that finished propagating (that
+    // round reports changed > 0 even when a further round would change
+    // nothing) — probe once more before declaring non-convergence. NEVER
+    // hand back a half-propagated labeling as if it converged.
+    if (changed > 0 && step() > 0) throw new IllegalStateException(
       s"duplicateClusters did not converge in $maxIters rounds " +
-        s"($changed labels still changing) — raise maxIters for this graph")
+        "— raise maxIters for this graph")
     labels.select(col("node").as("doc_id"), col("lab").as("cluster_rep"))
   }
 

@@ -22,11 +22,8 @@ object EventStream {
   /** Remove a staged temp dir once its replay finished (the memory sink
     * holds the results; repeated bench/oracle runs must not accumulate
     * fixture copies in /tmp). */
-  private[streaming] def rmTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-  }
+  private[streaming] def rmTree(p: java.nio.file.Path): Unit =
+    graft.util.Fs.rmTree(p)
 
   /** Replay the fixture TWICE through the streaming dedup (two copies of
     * the parquet in the source dir → every event arrives duplicated) and
