@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneSignature, ShingleHashes}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneSignature, L2NormalizeRounded, QuantizeInt8, RollingHash, ShingleHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -41,5 +41,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes",
         "shingle_hashes(text, n) - xxhash64 of every n-token shingle"),
       (args: Seq[Expression]) => ShingleHashes(args(0), intArg(args(1)))))
+    e.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(text) - base-31 polynomial codepoint hash"),
+      (args: Seq[Expression]) => RollingHash(args(0))))
+    e.injectFunction((FunctionIdentifier("l2_normalize"),
+      info("l2_normalize",
+        "l2_normalize(vec[, scale]) - unit vector, elements rounded to scale decimals"),
+      (args: Seq[Expression]) => L2NormalizeRounded(args(0),
+        if (args.length > 1) intArg(args(1)) else 6)))
+    e.injectFunction((FunctionIdentifier("quantize_int8"),
+      info("quantize_int8", "quantize_int8(vec) - symmetric max-abs/127 int8 quantization"),
+      (args: Seq[Expression]) => QuantizeInt8(args(0))))
   }
 }

@@ -24,10 +24,16 @@ class GraftExtensionsSpec extends SparkTestBase {
       // the LSH + shingle kernels are SQL-reachable too, int args folded
       val r2 = s2.sql(
         """SELECT hyperplane_signature(array(CAST(1.0 AS FLOAT)), 6, 1, 0) AS sig,
-          |       size(shingle_hashes('a b c d', 3)) AS n_shingles
+          |       size(shingle_hashes('a b c d', 3)) AS n_shingles,
+          |       rolling_hash('ab') AS rh,
+          |       l2_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS u,
+          |       quantize_int8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS q
           |""".stripMargin).collect()(0)
       assert(r2.getInt(0) >= 0 && r2.getInt(0) < 64)
       assert(r2.getInt(1) == 2)
+      assert(r2.getLong(2) == ('a' * 31 + 'b') % 1000000007L)
+      assert(r2.getSeq[Double](3) == Seq(0.6, 0.8))
+      assert(r2.getSeq[Int](4) == Seq(127, -63)) // floor(-63.5 + 0.5)
     } finally {
       prev.foreach { p =>
         SparkSession.setActiveSession(p)
