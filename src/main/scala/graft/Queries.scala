@@ -112,6 +112,63 @@ object Queries {
       |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 150
       |""".stripMargin
 
+  /** P2/J1 nested-struct enrichment with default-STRUCT-on-miss
+    * (spacex.js:32: `rocket ? {id,name,type,active} : {name: launch.rocket
+    * || 'Unknown'}` — the FK column is REPLACED by a struct; a lookup miss
+    * yields a struct whose `name` is the raw FK value, 'Unknown' only when
+    * the FK itself is null/falsy). The struct genuinely exists in-plan
+    * (spec-asserted in QueriesSpec); the oracle-emitted column is its
+    * canonical `id|name|segment|nation` serialization because nested cells
+    * are not hashable in the check harness. */
+  def e3NestedFrame(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val unioned = Transform.unionAll(
+      o.filter(col("o_orderstatus") === "F"), o.filter(col("o_orderstatus") === "O"))
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), trim(col("c_name")).as("c_name"),
+        col("c_mktsegment"), col("c_nationkey"))
+    val dim = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("n_name"))
+    val joined = unioned.join(broadcast(dim),
+      unioned("o_custkey") === dim("c_custkey"), "left")
+    val customerStruct = when(dim("c_custkey").isNotNull,
+        struct(dim("c_custkey").as("id"), dim("c_name").as("name"),
+          dim("c_mktsegment").as("segment"), dim("n_name").as("nation")))
+      .otherwise(struct(lit(null).cast("long").as("id"),
+        coalesce(unioned("o_custkey").cast("string"), lit("Unknown")).as("name"),
+        lit(null).cast("string").as("segment"), lit(null).cast("string").as("nation")))
+    joined.select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+      customerStruct.as("customer"), col("o_totalprice"))
+  }
+
+  val e3Nested: Q = (s, d) =>
+    e3NestedFrame(s, d).select(
+      col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+      concat_ws("",
+        coalesce(col("customer.id").cast("string"), lit("")), lit("|"),
+        col("customer.name"), lit("|"),
+        coalesce(col("customer.segment"), lit("")), lit("|"),
+        coalesce(col("customer.nation"), lit(""))).as("customer_s"),
+      col("o_totalprice"))
+
+  val e3NestedSql: String =
+    """WITH u AS (
+      |  SELECT * FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT * FROM orders WHERE o_orderstatus = 'O'),
+      |d AS (SELECT c_custkey, trim(c_name) AS c_name, c_mktsegment, n_name
+      |      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      |      WHERE c_acctbal > 9000)
+      |SELECT o_orderkey, o_orderdate, o_orderstatus,
+      |  CASE WHEN c_custkey IS NOT NULL THEN
+      |    CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+      |      || coalesce(c_mktsegment, '') || '|' || coalesce(n_name, '')
+      |  ELSE '|' || coalesce(CAST(o_custkey AS VARCHAR), 'Unknown') || '||'
+      |  END AS customer_s,
+      |  o_totalprice
+      |FROM u LEFT JOIN d ON o_custkey = c_custkey""".stripMargin
+
   /** S1/column pruning: projection + pushed filter should reach the scan. */
   val s1Scan: Q = (s, d) =>
     Tables.customer(s, d)
@@ -167,6 +224,46 @@ object Queries {
       |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) j
       |JOIN part ON l_partkey = p_partkey
       |GROUP BY l_orderkey""".stripMargin
+
+  /** J3 full re-nest parity (spacex.js:28,34: `payloads: related` — the
+    * joined dimension rows are attached back as an ARRAY OF STRUCTS per
+    * launch, and the detail page iterates it). The plan genuinely builds
+    * `array<struct<pid,name,cents>>` via `collect_list(struct(...))` after
+    * the membership join (sorted for determinism); the emitted column is
+    * that array's canonical `pid|name|cents;...` serialization because the
+    * check harness sorts/hashes every output column and nested cells are
+    * not hashable on the pandas side. The nested frame itself is
+    * spec-asserted (schema + values) in QueriesSpec. */
+  def j3NestedFrame(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val members = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+    members.join(broadcast(p), col("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(struct(
+        col("p_partkey").as("pid"),
+        col("p_name").as("name"),
+        (col("p_retailprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))))
+        .as("payloads"))
+  }
+
+  val j3Nested: Q = (s, d) =>
+    j3NestedFrame(s, d).select(
+      col("l_orderkey"),
+      size(col("payloads")).cast("long").as("payloads_count"),
+      concat_ws(";", transform(col("payloads"), st => concat_ws("|",
+        st.getField("pid").cast("string"), st.getField("name"),
+        st.getField("cents").cast("string")))).as("payloads_s"))
+
+  val j3NestedSql: String =
+    """WITH j AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT l_orderkey, p_partkey AS pid, p_name AS name,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |      FROM j JOIN part ON l_partkey = p_partkey)
+      |SELECT l_orderkey, CAST(count(*) AS BIGINT) AS payloads_count,
+      |       string_agg(CAST(pid AS VARCHAR) || '|' || name || '|' || CAST(cents AS VARCHAR),
+      |                  ';' ORDER BY pid) AS payloads_s
+      |FROM e GROUP BY l_orderkey""".stripMargin
 
   /** U1: union all with schema drift (missing column → null). */
   val u1Union: Q = (s, d) => {
@@ -437,6 +534,58 @@ object Queries {
        |WHERE p_name LIKE '%gold%'
        |GROUP BY n_name, year(o_orderdate)""".stripMargin
 
+  /** TPC-H Q4-style order-priority check: orders in a half-year window with
+    * at least one LATE lineitem, counted per priority. The correlated
+    * EXISTS becomes a left-semi join on the order key — one shuffle, the
+    * probe side stops at first match, no row duplication before the agg.
+    * (The fixture carries no commit/receipt dates, so "late" =
+    * shipped more than 90 days after the order date.) */
+  val q4Priority: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q12-style shipmode CASE-aggregation: one fact⋈orders join, then
+    * conditional counts per mode column (the fixture has no l_shipmode /
+    * receiptdate, so l_returnflag plays the mode and the window filters on
+    * shipdate). The CASE folds into the aggregate — a single hash-agg after
+    * the join, no extra pass per branch. */
+  val q12Modes: Q = (s, d) => {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+    li.join(Tables.orders(s, d), li("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("ship_mode"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  val q12ModesSql: String =
+    """SELECT l_returnflag AS ship_mode,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag""".stripMargin
+
   /** TPC-H Q2's correlated-subquery SHAPE on the columns the fixture has:
     * the supplier(s) holding their nation's maximum account balance
     * (the fixture ships no partsupp/region tables, so the real Q2's
@@ -690,8 +839,14 @@ object Queries {
       |JOIN sz nb ON nb.doc_id = b_id
       |WHERE floor((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)) * 10000 + 0.5) / 10000 > 0""".stripMargin
 
-  /** Embedding-cosine near-dup pairs (threshold tuned to fixture geometry). */
-  val d5Cosine: Q = (s, d) => Dedup.cosinePairs(Tables.embeddings(s, d), 0.35)
+  /** Embedding-cosine near-dup pairs (threshold tuned to fixture geometry).
+    * Pinned EXPLICITLY to the exact brute path: the oracle is an exact
+    * all-pairs scan, and the stats-adaptive [[Dedup.cosinePairs]] switch
+    * keys off `optimizedPlan.stats.sizeInBytes` — unknown-stats sources, a
+    * cache, or an estimator change could silently flip an oracle query to
+    * the approximate LSH subset. The adaptive entry point stays the
+    * production API (d6 covers its LSH arm; DedupSpec covers the switch). */
+  val d5Cosine: Q = (s, d) => Dedup.cosinePairsBrute(Tables.embeddings(s, d), 0.35)
 
   val d5CosineSql: String =
     """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -810,12 +965,24 @@ object Queries {
   /** EMB1 — embedding feature-store prep: L2 normalization (unit vectors,
     * elements portably rounded) and symmetric int8 quantization (4× size
     * reduction), both compiled single-pass kernels; DuckDB replays the
-    * exact arithmetic over DOUBLE[] list comprehensions. */
-  val emb1Normalize: Q = (s, d) =>
+    * exact arithmetic over DOUBLE[] list comprehensions.
+    *
+    * The emitted columns are the vectors in a canonical scalar serialization
+    * (scaled-int CSV strings) rather than raw array columns: the check
+    * harness sorts/hashes every result column, and array cells are not
+    * sortable/hashable on the pandas side. The kernels still produce the
+    * real `array` columns in-plan; serialization is a projection on top. */
+  val emb1Normalize: Q = (s, d) => {
+    val unit = graft.functions.l2_normalize(col("embedding"), 6)
+    val q8 = graft.functions.quantize_int8(col("embedding"))
+    // unit elements are k/1e6 with k = floor(x/nrm*1e6 + 0.5); recover k
+    // exactly (|k| ≤ 1e6 ⇒ double round-trip error ≪ 0.5).
+    val unitInts = transform(unit, x => floor(x * 1000000 + lit(0.5)).cast("long"))
     Tables.embeddings(s, d).select(
       col("vec_id"),
-      graft.functions.l2_normalize(col("embedding"), 6).as("unit_vec"),
-      graft.functions.quantize_int8(col("embedding")).as("q_vec"))
+      concat_ws(",", transform(unitInts, _.cast("string"))).as("unit_vec_s"),
+      concat_ws(",", transform(q8, _.cast("string"))).as("q_vec_s"))
+  }
 
   val emb1NormalizeSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -823,12 +990,12 @@ object Queries {
       |             list_max([abs(x) FOR x IN emb]) / 127.0 AS qscale
       |      FROM e)
       |SELECT vec_id,
-      |       CASE WHEN nrm = 0 THEN [0.0 FOR x IN emb]
-      |            ELSE [floor(x / nrm * 1000000 + 0.5) / 1000000 FOR x IN emb]
-      |       END AS unit_vec,
-      |       CASE WHEN qscale = 0 THEN [CAST(0 AS INT) FOR x IN emb]
+      |       array_to_string(CASE WHEN nrm = 0 THEN [CAST(0 AS BIGINT) FOR x IN emb]
+      |            ELSE [CAST(floor(x / nrm * 1000000 + 0.5) AS BIGINT) FOR x IN emb]
+      |       END, ',') AS unit_vec_s,
+      |       array_to_string(CASE WHEN qscale = 0 THEN [CAST(0 AS INT) FOR x IN emb]
       |            ELSE [CAST(floor(x / qscale + 0.5) AS INT) FOR x IN emb]
-      |       END AS q_vec
+      |       END, ',') AS q_vec_s
       |FROM n""".stripMargin
 
   // ─────────────────────────── text analysis ─────────────────────────────
@@ -1403,16 +1570,28 @@ object Queries {
 
   // ───────────────────────────── multimodal ──────────────────────────────
 
-  /** Binary payload + deterministic decode plumbing (SQL twin for oracle). */
-  val mm1Binary: Q = (s, d) =>
-    Multimodal.decodeSql(Multimodal.asMediaTable(Tables.documents(s, d)))
+  /** MM1 — REAL image-header decode: each doc gets genuine PNG/JPEG header
+    * bytes (built in-plan, dimensions encoded from doc_id), and the typed
+    * `mapPartitions` decoder parses format/width/height back OUT OF THE
+    * BYTES (signature check, IHDR offsets / SOF marker walk). The oracle
+    * recomputes the dimensions the fixture encoded — so a parser that
+    * misreads a single offset or endianness goes red. */
+  val mm1Binary: Q = (s, d) => {
+    val media = Tables.documents(s, d).select(col("doc_id"),
+      Multimodal.syntheticImagePayload(col("doc_id")).as("payload"))
+    Multimodal.decodeImages(s, media).toDF()
+      .select(col("doc_id"), col("fmt"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("byte_len").cast("long").as("byte_len"))
+  }
 
   val mm1BinarySql: String =
     """SELECT doc_id,
-      |       CAST(octet_length(encode(text)) AS INT) AS byte_len,
-      |       hex(encode(substr(text, 1, 4))) AS header,
-      |       1 + (CASE WHEN text = '' THEN 0 ELSE unicode(substr(text, 1, 1)) END % 64) AS width,
-      |       CAST(1 + (octet_length(encode(text)) % 64) AS INT) AS height
+      |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+      |       1 + doc_id % 512 AS width,
+      |       1 + (doc_id * 7) % 512 AS height,
+      |       CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END AS BIGINT) AS byte_len
       |FROM documents""".stripMargin
 
   /** MM2: frame-sample rollup — typed flatMap plumbing, SQL-checkable
@@ -1471,10 +1650,12 @@ object Queries {
     "e1_users_pipeline" -> e1Users,
     "e2_run_metrics" -> e2Metrics,
     "e3_launches_pipeline" -> e3Launches,
+    "e3_nested" -> e3Nested,
     "s1_scan_prune" -> s1Scan,
     "f5_point_lookup" -> f5Point,
     "j1_lookup_default" -> j1Lookup,
     "j3_array_membership" -> j3Payloads,
+    "j3_nested" -> j3Nested,
     "u1_union_all" -> u1Union,
     "u2_distinct" -> u2Distinct,
     "u3_intersect" -> u3Intersect,
@@ -1505,6 +1686,8 @@ object Queries {
     "j8_salted_join" -> j8Salted,
     "q8_correlated_subquery" -> q8Correlated,
     "q9_profit_rollup" -> q9Profit,
+    "q4_order_priority" -> q4Priority,
+    "q12_shipmode_case" -> q12Modes,
     "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
@@ -1551,10 +1734,12 @@ object Queries {
     "e1_users_pipeline" -> e1UsersSql,
     "e2_run_metrics" -> e2MetricsSql,
     "e3_launches_pipeline" -> e3LaunchesSql,
+    "e3_nested" -> e3NestedSql,
     "s1_scan_prune" -> s1ScanSql,
     "f5_point_lookup" -> f5PointSql,
     "j1_lookup_default" -> j1LookupSql,
     "j3_array_membership" -> j3PayloadsSql,
+    "j3_nested" -> j3NestedSql,
     "u1_union_all" -> u1UnionSql,
     "u2_distinct" -> u2DistinctSql,
     "u3_intersect" -> u3IntersectSql,
@@ -1586,6 +1771,8 @@ object Queries {
     "j8_salted_join" -> j8SaltedSql,
     "q8_correlated_subquery" -> q8CorrelatedSql,
     "q9_profit_rollup" -> q9ProfitSql,
+    "q4_order_priority" -> q4PrioritySql,
+    "q12_shipmode_case" -> q12ModesSql,
     "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
@@ -1623,15 +1810,18 @@ object Queries {
     "mm2_frame_counts" -> mm2FramesSql,
     "t7_tfidf" -> t7TfidfSql)
 
-  /** Headline subset for the per-round bench (sf0.1). */
+  /** Headline subset for the per-round bench (sf0.1). d6/sim2 are the
+    * 100 TB LSH scale paths — benched alongside their brute twins so the
+    * path users actually run at scale has a tracked number. */
   val benchNames: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q3_bucketed", "q5_revenue_rollup",
     "q6_selective_agg", "q7_quantiles", "q8_correlated_subquery",
-    "q9_profit_rollup",
+    "q9_profit_rollup", "q4_order_priority", "q12_shipmode_case",
     "asof1_attribution", "g1_rollup", "w4_pivot",
     "e1_users_pipeline", "e3_launches_pipeline", "w1_rank_window", "w6_topk_native",
     "w2_tumbling_window", "w3_sessionize", "d2_dedup_minhash",
     "d3_dedup_simhash", "d4_ngram_jaccard", "d5_embedding_neardup",
+    "d6_neardup_lsh", "sim2_ann_lsh",
     "sim1_cosine_topk", "t4_fingerprint", "t7_tfidf", "mm1_binary_decode",
     "st1_stream_window")
 }

@@ -49,7 +49,16 @@ object Tables {
     * restart, so creation is idempotent-by-name and clears a stale
     * location before re-registering. */
   def ensureBucketed(s: SparkSession, d: String, numBuckets: Int = 16): (DataFrame, DataFrame) = {
-    val tag = d.split('/').last.replaceAll("[^A-Za-z0-9]", "_")
+    // tag = readable basename + a hash of the FULL fixture path: two dirs
+    // with the same basename (/a/sf01 vs /b/sf01) must not collide on the
+    // idempotent-by-name table, or the second caller silently reads the
+    // first caller's data
+    val tag = {
+      val base = d.split('/').last.replaceAll("[^A-Za-z0-9]", "_")
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      s"${base}_$h"
+    }
     def ensure(name: String, key: String): DataFrame = {
       val table = s"${name}_bkt_$tag"
       if (!s.catalog.tableExists(table)) {

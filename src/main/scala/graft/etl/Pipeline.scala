@@ -50,17 +50,22 @@ class Pipeline(spark: SparkSession) {
   }
 
   /** Resolve observed row counts — call once AFTER the terminal action.
-    * Metrics arrive via an async listener, so poll briefly; a stage whose
-    * plan the action never executed reports -1 (visibly unmeasured, never
-    * silently recomputed). */
+    * Metrics arrive via an async listener, so poll briefly. The deadline is
+    * ONE shared budget across all pending stages (each stage is checked
+    * instantly first): a pipeline of N never-executed stages reports all N
+    * as 'unmeasured' after maxWaitMs total, not N × maxWaitMs of sleeps. A
+    * stage whose plan the action never executed reports -1 (visibly
+    * unmeasured, never silently recomputed). */
   def finish(maxWaitMs: Long = 10000): Seq[StageRun] = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
     pending.foreach { case (name, dt, obs) =>
-      val deadline = System.currentTimeMillis() + maxWaitMs
-      var rows = -1L
-      while (rows < 0 && System.currentTimeMillis() < deadline) {
+      def read(): Long =
         org.apache.spark.sql.graftbridge.Bridge.observationMetrics(obs)
-          .get("rows").foreach(v => rows = v.asInstanceOf[Long])
-        if (rows < 0) Thread.sleep(25)
+          .get("rows").map(_.asInstanceOf[Long]).getOrElse(-1L)
+      var rows = read()
+      while (rows < 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(25)
+        rows = read()
       }
       stages += StageRun(name, if (rows >= 0) "done" else "unmeasured", dt, rows)
       logLine(name, f"stage $name done: $rows rows")

@@ -104,7 +104,40 @@ object Transform {
 
   /** C15/A5 support — dense stable ingest order over an explicit sort key
     * (monotonically_increasing_id is non-contiguous and partition-dependent,
-    * so parity with the oracle needs row_number over a real ordering). */
-  def withIngestOrder(df: DataFrame, orderCol: String): DataFrame =
-    df.withColumn("ingest_order", row_number().over(Window.orderBy(col(orderCol))))
+    * so parity with the oracle needs row_number semantics over a real
+    * ordering). NOT `row_number().over(Window.orderBy(...))`: an
+    * unpartitioned window is a single-partition global sort — one task owns
+    * every row, the classic scale-killer. Instead:
+    *
+    *   1. range-repartition on the key (partitions are globally ordered,
+    *      equal keys land in one partition),
+    *   2. per-partition counts → cumulative start offsets (a window over
+    *      ONE ROW PER PARTITION — metadata, not data),
+    *   3. per-partition `row_number` (parallel: each window group is one
+    *      partition) + broadcast-joined offset.
+    *
+    * The range exchange is materialized once (`localCheckpoint`) so the
+    * count pass and the numbering pass see identical partitioning —
+    * RangePartitioner samples its bounds, so two independent evaluations
+    * are not guaranteed to split identically.
+    *
+    * Ties on `orderCol` get an arbitrary (but stable within the
+    * materialized run) order, exactly like the window formulation it
+    * replaces — pass a unique key for full determinism. */
+  def withIngestOrder(df: DataFrame, orderCol: String): DataFrame = {
+    val ranged = df.repartitionByRange(col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    // one count per partition — numPartitions rows of metadata (same class
+    // as an IVF codebook), never the data itself
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    ranged
+      .withColumn("ingest_order",
+        (row_number().over(Window.partitionBy(col("_pid")).orderBy(col(orderCol)))
+          + element_at(typedlit(offsets), col("_pid"))).cast("int"))
+      .drop("_pid")
+  }
 }

@@ -260,36 +260,66 @@ object Dedup {
     * without that the plan tree deepens each iteration until tree
     * traversal itself overflows, and every action replays all prior
     * rounds; with it each round starts from materialized blocks. */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lab")).localCheckpoint()
-    def step(): Long = {
-      val viaNeighbors = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
-      val updated = labels.as("l")
-        .join(viaNeighbors.as("n"), col("l.node") === col("n.src"), "left")
-        .select(col("l.node").as("node"),
-          least(col("l.lab"), coalesce(col("n.nlab"), col("l.lab"))).as("lab"))
-        .localCheckpoint()
-      val changed = updated.as("u").join(labels.as("o"), col("u.node") === col("o.node"))
-        .filter(col("u.lab") =!= col("o.lab")).count()
-      labels = updated
-      changed
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIters)._1
+
+  /** [[duplicateClusters]] exposing the number of large/small-star rounds
+    * executed — the observable the convergence spec pins (a path graph of
+    * length n must close in O(log n) rounds, where plain min-label
+    * propagation needs n−1). */
+  def duplicateClustersWithRounds(pairs: DataFrame,
+                                  maxIters: Int = 25): (DataFrame, Int) = {
+    // Alternating large-star / small-star (Kiveris et al., "Connected
+    // Components in MapReduce and Beyond", SOCC'14): each round is two
+    // grouped-min + join passes over the edge list, and the edge set
+    // converges to stars (node → component-min) in O(log diameter) rounds
+    // — star graphs collapse in O(1), long chains in log₂ — where one-hop
+    // min-label propagation needs diameter rounds. Every round
+    // localCheckpoints: the plan tree must not deepen per iteration.
+    //
+    //   large-star(u): connect every neighbor v > u to m = min(Γ(u) ∪ {u})
+    //   small-star(u): orient edges (max,min); connect every v ∈ Γ≤(u) and
+    //                  u itself to m = min(Γ≤(u) ∪ {u})
+    // Both preserve connectivity; small-star strictly shrinks labels.
+    val fwd = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .filter(col("u") =!= col("v"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bi.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      bi.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
     }
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) { changed = step(); iter += 1 }
-    // the cap can trip on the very round that finished propagating (that
-    // round reports changed > 0 even when a further round would change
-    // nothing) — probe once more before declaring non-convergence. NEVER
-    // hand back a half-propagated labeling as if it converged.
-    if (changed > 0 && step() > 0) throw new IllegalStateException(
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      oriented.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = smallStar(fwd).localCheckpoint()
+    var converged = false
+    var rounds = 1
+    while (!converged && rounds < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      rounds += 1
+      // fixpoint = identical edge set (both are distinct()-canonical)
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+    }
+    if (!converged) throw new IllegalStateException(
       s"duplicateClusters did not converge in $maxIters rounds " +
         "— raise maxIters for this graph")
-    labels.select(col("node").as("doc_id"), col("lab").as("cluster_rep"))
+    // stars: every non-root points at its component min; roots are their own
+    val nodes = fwd.select(col("u")).union(fwd.select(col("v"))).distinct()
+    val labels = nodes.join(edges, Seq("u"), "left")
+      .select(col("u").as("doc_id"), coalesce(col("v"), col("u")).as("cluster_rep"))
+    (labels, rounds)
   }
 
   /** Embedding-cosine near-dup pairs — candidate source chosen from PLAN

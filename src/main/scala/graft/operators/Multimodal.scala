@@ -23,6 +23,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 final case class MediaFeatures(
     doc_id: Long, byte_len: Int, header: String, width: Int, height: Int)
 
+/** Output of the REAL image-header decode: format + dimensions parsed from
+  * the payload bytes themselves. */
+final case class ImageFeatures(
+    doc_id: Long, fmt: String, width: Int, height: Int, byte_len: Int)
+
 final case class MediaRow(doc_id: Long, payload: Array[Byte])
 
 final case class ResizedMedia(doc_id: Long, payload: Array[Byte], byte_len: Int)
@@ -39,9 +44,18 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       struct(col("source"), col("lang"), col("n_chars")).as("meta"))
 
-  /** STUB decode kernel. A production build would replace the body with a
-    * real codec call (e.g. TwelveMonkeys/JavaCV) — the signature, batching
-    * and determinism contract are the real interface.
+  /** STUB decode kernel for TEXT payloads (the text-as-media modeling of
+    * [[asMediaTable]]). A production build would replace the body with a
+    * real codec call — the signature, batching and determinism contract are
+    * the real interface; for actual image bytes use [[decodeImageHeader]],
+    * which is a real parser.
+    *
+    * BMP-ONLY contract: the first-character basis is `codePointAt(0)`,
+    * which for a payload starting with a SUPPLEMENTARY character (emoji)
+    * returns the full code point while the SQL twin's `ascii()` (Spark)
+    * returns the first UTF-16 code unit (duck's `unicode()` returns the
+    * code point). The engines themselves disagree outside the BMP, so the
+    * contract is pinned where they agree: BMP text (all fixture corpora).
     */
   private def decodeStub(payload: Array[Byte]): (Int, String, Int, Int) = {
     // ??? <- real codec goes here; deterministic fake below keeps tests honest
@@ -55,6 +69,83 @@ object Multimodal {
       if (len == 0) 0
       else new String(payload, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
     (len, header, 1 + cp0 % 64, 1 + len % 64)
+  }
+
+  // ─────────────────────── real image-header decode ───────────────────────
+
+  /** REAL pure-JVM image header parser — dimensions come from the BYTES.
+    *
+    *   - PNG: verify the 8-byte signature and the IHDR chunk tag, then read
+    *     width/height as big-endian 32-bit at offsets 16/20 (PNG spec
+    *     §5.2/§11.2.2; CRCs are not validated — header-only decode).
+    *   - JPEG: verify SOI (FFD8), then walk the marker segments by their
+    *     declared big-endian lengths to the first frame header SOF0–SOF15
+    *     (excluding DHT C4 / JPG C8 / DAC CC, which are not frames); height
+    *     and width are big-endian 16-bit at +5/+7 of the SOF segment
+    *     (ITU-T T.81 §B.2.2).
+    *
+    * Returns None for anything that isn't a parseable PNG/JPEG — a real
+    * pipeline routes those to a quarantine sink instead of crashing the
+    * stage. */
+  def decodeImageHeader(p: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        new String(p, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) == "IHDR") {
+      Some(("png", be32(16), be32(20)))
+    } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 9 <= p.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) return Some(("jpeg", be16(i + 7), be16(i + 5)))
+        i += 2 + be16(i + 2) // segment length includes its own 2 bytes
+      }
+      None
+    } else None
+  }
+
+  /** Deterministic binary image fixture: REAL PNG (even doc ids) / JPEG
+    * (odd) header bytes with dimensions derived from the id — built
+    * in-plan from hex (no driver-side byte shipping), so the decode path
+    * is exercised on genuine image structure end to end. width =
+    * 1 + id % 512, height = 1 + 7·id % 512. */
+  def syntheticImagePayload(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = lit(1) + pmod(docId, lit(512))
+    val h = lit(1) + pmod(docId * 7, lit(512))
+    val w32 = lpad(hex(w), 8, "0")
+    val h32 = lpad(hex(h), 8, "0")
+    val w16 = lpad(hex(w), 4, "0")
+    val h16 = lpad(hex(h), 4, "0")
+    val png = concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D49484452"), // IHDR length 13 + tag
+      w32, h32,
+      lit("0806000000"),       // bit depth 8, RGBA, deflate, none, none
+      lit("00000000"))         // CRC (not validated by header decode)
+    val jpeg = concat(
+      lit("FFD8"),                                 // SOI
+      lit("FFE000104A46494600010100004800480000"), // APP0/JFIF, 16 bytes
+      lit("FFC00011" + "08"), h16, w16,            // SOF0, len 17, precision 8
+      lit("03011100021101031101"))                 // 3 components
+    unhex(when(pmod(docId, lit(2)) === 0, png).otherwise(jpeg))
+  }
+
+  /** Partition-parallel REAL header decode over a binary payload column:
+    * `mapPartitions` batch shape (codec state amortizes per partition),
+    * typed columns out, unparseable payloads dropped (quarantine-style). */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeImageHeader(r.payload).map { case (fmt, w, h) =>
+            ImageFeatures(r.doc_id, fmt, w, h, r.payload.length)
+          }
+        }
+      }
   }
 
   /** Partition-parallel decode: `mapPartitions` over the typed payload

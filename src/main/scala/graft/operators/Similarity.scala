@@ -52,29 +52,38 @@ object Similarity {
     * Used as the pair source for near-dup and ANN at scale. */
   def annCandidates(embeddings: DataFrame, planes: Int = 6, dim: Int = 64,
                     tables: Int = 1): DataFrame = {
+    // The probe stream that fans out (planes+1)×tables rows per vector and
+    // feeds the self-join shuffle carries ONLY (vec_id, tbl, probe_sig) —
+    // 3 scalars. Shipping the embedding through the explode would amplify
+    // the largest column ~84× ((planes+1)×tables at the defaults) into the
+    // exchange, then drag 2×dim floats per pair through the distinct()
+    // exchange too. Ids are deduped first; embeddings re-join exactly once
+    // per side for scoring (one corpus-sized shuffle each, no fan-out).
     val sigStructs = (0 until tables).map { t =>
       struct(lit(t).as("tbl"),
         hyperplane_signature(col("embedding"), planes, dim, t).as("sig"))
     }
-    val sigs = embeddings.select(col("vec_id"), col("embedding"),
+    val sigs = embeddings.select(col("vec_id"),
         explode(array(sigStructs: _*)).as("ts"))
-      .select(col("vec_id"), col("embedding"),
-        col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
-    val probes = sigs.select(col("vec_id"), col("embedding"), col("tbl"),
+      .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    val probes = sigs.select(col("vec_id"), col("tbl"),
       explode(array((lit(-1) +: (0 until planes).map(lit(_))): _*)).as("flip"),
       col("sig"))
-      .select(col("vec_id"), col("embedding"), col("tbl"),
+      .select(col("vec_id"), col("tbl"),
         when(col("flip") === -1, col("sig"))
           .otherwise(col("sig").bitwiseXOR(expr("shiftleft(1, flip)")))
           .as("probe_sig"))
     val a = probes.alias("a")
     val b = probes.alias("b")
-    a.join(b, col("a.tbl") === col("b.tbl") &&
+    val idPairs = a.join(b, col("a.tbl") === col("b.tbl") &&
         col("a.probe_sig") === col("b.probe_sig") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("a.embedding").as("ea"),
-        col("b.vec_id").as("b_id"), col("b.embedding").as("eb"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
+    idPairs
+      .join(embeddings.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
+      .join(embeddings.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
+      .select(col("a_id"), col("ea"), col("b_id"), col("eb"))
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
@@ -171,25 +180,32 @@ object Similarity {
         struct(lit(t).as("tbl"),
           hyperplane_signature(col("embedding"), planes, dim, t).as("sig"))
       }: _*))
-    val sigs = embeddings.select(col("vec_id").as("n_id"),
-        col("embedding").as("ne"), tableSigs.as("ts"))
-      .select(col("n_id"), col("ne"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
-    val qsigs = queries.select(col("vec_id").as("q_id"),
-        col("embedding").as("qe"), tableSigs.as("ts"))
-      .select(col("q_id"), col("qe"), col("ts.tbl").as("tbl"), col("ts.sig").as("q_sig"))
+    // The corpus-side index stream fans out `tables` rows per vector and the
+    // candidate set another (planes+1)× on the probe side — both carry ids
+    // and signatures ONLY (the embedding would be ~`tables`×-amplified into
+    // the exchange and then dragged through the distinct()). Embeddings
+    // re-join once after the id-pair dedup: corpus side by one hash join,
+    // query side broadcast (the query set is small by contract).
+    val sigs = embeddings.select(col("vec_id").as("n_id"), tableSigs.as("ts"))
+      .select(col("n_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    val qsigs = queries.select(col("vec_id").as("q_id"), tableSigs.as("ts"))
+      .select(col("q_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("q_sig"))
     // query probes its own bucket + hamming-1 buckets, per table
-    val probes = qsigs.select(col("q_id"), col("qe"), col("tbl"),
+    val probes = qsigs.select(col("q_id"), col("tbl"),
       explode(array((lit(-1) +: (0 until planes).map(lit(_))): _*)).as("flip"), col("q_sig"))
-      .select(col("q_id"), col("qe"), col("tbl"),
+      .select(col("q_id"), col("tbl"),
         when(col("flip") === -1, col("q_sig"))
           .otherwise(col("q_sig").bitwiseXOR(expr("shiftleft(1, flip)")))
           .as("probe_sig"))
-    val cands = sigs.alias("s")
+    val candIds = sigs.alias("s")
       .join(broadcast(probes.alias("p")),
         col("s.tbl") === col("p.tbl") && col("s.sig") === col("p.probe_sig") &&
           col("p.q_id") =!= col("s.n_id"))
-      .select(col("q_id"), col("n_id"), col("qe"), col("ne"))
+      .select(col("q_id"), col("n_id"))
       .distinct()
+    val cands = candIds
+      .join(embeddings.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))), "q_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id").asc)
     cands.select(col("q_id"), col("n_id"),

@@ -122,13 +122,19 @@ private[sources] class UsersScanBuilder(rows: Long, pageSize: Int,
 
     /** Accepted filters are ANDed: with one pushed key the scan covers its
       * single page; two DIFFERENT pushed keys are unsatisfiable → zero
-      * pages. A malformed or out-of-range key matches no row → zero pages. */
+      * pages. A malformed or out-of-range key matches no row → zero pages.
+      *
+      * The key must round-trip EXACTLY (`"user-$i"` re-rendered equals the
+      * literal): this filter was reported as pushed, so Spark never
+      * re-applies it — a loose parse ("user-007" or "user-+7" → 7) would
+      * plan page 0 and hand back row user-7 for a predicate that matches
+      * nothing. Canonical ids only; everything else is zero pages. */
     private def keyOfPushed: Option[Option[Long]] = {
       val vals = pushed.collect { case EqualTo("id", v: String) => v }.toSet
       if (vals.isEmpty) None // no pushed key: full scan
       else if (vals.size > 1) Some(None) // contradictory equalities
       else Some(vals.head.stripPrefix("user-").toLongOption
-        .filter(i => vals.head.startsWith("user-") && i >= 0 && i < rows))
+        .filter(i => vals.head == s"user-$i" && i >= 0 && i < rows))
     }
 
     override def planInputPartitions(): Array[InputPartition] = {

@@ -64,6 +64,17 @@ class TransformSpec extends SparkTestBase {
     assert(got == Map(10L -> 1, 20L -> 2, 30L -> 3))
   }
 
+  test("withIngestOrder equals single-partition row_number on shuffled multi-partition input") {
+    val n = 1000
+    val xs = new scala.util.Random(7).shuffle((1 to n).toList).map(_.toLong)
+    val df = xs.toDF("k").repartition(13)
+    val got = Transform.withIngestOrder(df, "k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // dense 1..n in key order — exactly row_number() over a global sort,
+    // but computed with per-partition windows + offsets (no 1-task stage)
+    assert(got == (1 to n).map(i => i.toLong -> i).toMap)
+  }
+
   test("upsert replaces matched keys, passes through the rest, adds new ones") {
     val current = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
       .toDF("k", "status", "v")

@@ -93,6 +93,32 @@ class DedupSpec extends SparkTestBase {
     assert(got.size == 12 && got.values.forall(_ == 0L))
   }
 
+  test("large/small-star closes a path graph in O(log n) rounds, not diameter") {
+    import spark.implicits._
+    val n = 32
+    val path = (0L until n.toLong).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a_id", "b_id")
+    // one-hop min-label propagation needs diameter = n−1 = 31 rounds; the
+    // star rounds must come in well under half that (theory: O(log₂ n) ≈ 5)
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(path, maxIters = 16)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L))
+    assert(rounds <= 10, s"expected O(log n) star rounds, got $rounds")
+  }
+
+  test("star rounds collapse a star graph immediately and label shuffled components") {
+    import spark.implicits._
+    // a 50-leaf star plus a disjoint triangle entered in descending order
+    val star = (1L to 50L).map(i => (0L, i))
+    val tri = Seq((102L, 101L), (101L, 100L), (102L, 100L))
+    val (labels, rounds) =
+      Dedup.duplicateClustersWithRounds((star ++ tri).toDF("a_id", "b_id"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 50L).forall(got(_) == 0L) && got(0L) == 0L)
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
+    assert(rounds <= 4, s"star graph should collapse in O(1) rounds, got $rounds")
+  }
+
   test("df-cutoff prunes mega-frequent shingles but rescoring stays exact") {
     // every doc shares the mega-shingle "the common tail"; without a cutoff
     // the inverted index pairs ALL docs through it. The near-dup pair also

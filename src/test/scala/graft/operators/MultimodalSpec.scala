@@ -53,6 +53,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.length > 5)
   }
 
+  test("decodeImageHeader parses real PNG and JPEG bytes, rejects junk") {
+    // hand-assembled 5×3 PNG: signature + IHDR(len,tag) + w + h + ihdr tail + crc
+    val png = (Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 5, 0, 0, 0, 3,
+      8, 6, 0, 0, 0, 0, 0, 0, 0)).map(_.toByte)
+    assert(Multimodal.decodeImageHeader(png).contains(("png", 5, 3)))
+    // JPEG with a COM segment BEFORE the SOF0 — the marker walk must skip
+    // it by declared length, then read h=7, w=9 from the frame header
+    val jpeg = (Array(0xff, 0xd8,
+      0xff, 0xfe, 0, 4, 1, 2, // COM, length 4 (2 payload bytes)
+      0xff, 0xc0, 0, 17, 8, 0, 7, 0, 9, 3,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)).map(_.toByte)
+    assert(Multimodal.decodeImageHeader(jpeg).contains(("jpeg", 9, 7)))
+    assert(Multimodal.decodeImageHeader("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImageHeader(Array[Byte]()).isEmpty)
+  }
+
+  test("synthetic payload round-trips through the real header parser") {
+    import spark.implicits._
+    val docs = Seq(0L, 1L, 2L, 511L, 512L, 513L, 1000L).toDF("doc_id")
+    val media = docs.select($"doc_id",
+      Multimodal.syntheticImagePayload($"doc_id").as("payload"))
+    val got = Multimodal.decodeImages(spark, media).collect()
+      .map(f => f.doc_id -> ((f.fmt, f.width, f.height, f.byte_len))).toMap
+    assert(got.size == 7) // every payload parsed — none quarantined
+    for (id <- Seq(0L, 1L, 2L, 511L, 512L, 513L, 1000L)) {
+      val (fmt, w, h, len) = got(id)
+      assert(fmt == (if (id % 2 == 0) "png" else "jpeg"))
+      assert(w == 1 + id % 512 && h == 1 + (id * 7) % 512)
+      assert(len == (if (id % 2 == 0) 33 else 39))
+    }
+  }
+
   test("media table carries binary payload + typed metadata struct") {
     val media = Multimodal.asMediaTable(Tables.documents(spark, sf0001).limit(1))
     val schema = media.schema

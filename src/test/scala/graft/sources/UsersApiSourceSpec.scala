@@ -45,6 +45,19 @@ class UsersApiSourceSpec extends SparkTestBase {
     assert(users(2000).where(col("id") === "user-99999").count() == 0)
   }
 
+  test("non-canonical key literals match nothing (the filter is CONSUMED, not re-checked)") {
+    // the scan reports the equality as pushed, so Spark never re-applies
+    // it — a loose parse of 'user-007' (→ 7) would return row user-7 for a
+    // predicate no row satisfies. Only exact round-trips plan a page.
+    for (bad <- Seq("user-007", "user-+7", "user- 7", "user-7 ", "7")) {
+      val df = users(2000).where(col("id") === bad)
+      assert(df.rdd.getNumPartitions == 0, s"'$bad' must plan zero pages")
+      assert(df.count() == 0, s"'$bad' must match no rows")
+    }
+    // and the canonical form still hits its single page
+    assert(users(2000).where(col("id") === "user-7").count() == 1)
+  }
+
   test("a failing page fails the job by default (fetch errors surface)") {
     val df = spark.read.format("graft-users")
       .option("rows", 1000).option("pageSize", 250)
