@@ -31,6 +31,22 @@ object Queries {
   private def disc = col("l_discount").cast("decimal(4,2)")
   private def tax = col("l_tax").cast("decimal(4,2)")
 
+  /** Raw-SQL queries need temp views, but a fixed `createOrReplaceTempView`
+    * name mutates shared session state — two threads building the same
+    * query against different fixtures would race on the view. Scoped views:
+    * unique name per call (collision = loud failure, not silent replace),
+    * dropped as soon as `spark.sql` has ANALYZED the text (the returned
+    * DataFrame keeps its resolved plan; the catalog entry is only needed
+    * during analysis). */
+  private def withScopedViews(s: SparkSession, dfs: (String, DataFrame)*)(
+      build: Map[String, String] => DataFrame): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val named = dfs.map { case (role, df) => role -> (s"${role}_$tag", df) }.toMap
+    named.values.foreach { case (name, df) => df.createTempView(name) }
+    try build(named.view.mapValues(_._1).toMap)
+    finally named.values.foreach { case (name, _) => s.catalog.dropTempView(name) }
+  }
+
   // ───────────────────────────── core parity ─────────────────────────────
 
   /** E1 flagship: extract customer ⋈ nation ⋈ region, P1 enrich, F1 filter.
@@ -592,16 +608,16 @@ object Queries {
     * min-supplycost-per-part becomes max-acctbal-per-nation — the same
     * correlated scalar subquery over a join, decorrelated by Catalyst
     * into an aggregate + join with no per-row re-execution). */
-  val q2TopSupplier: Q = (s, d) => {
-    Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
-    Tables.nation(s, d).createOrReplaceTempView("nation_v")
-    s.sql(
-      """SELECT s_suppkey, s_name, n_name
-        |FROM supplier_v s JOIN nation_v n ON s_nationkey = n_nationkey
-        |WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier_v s2
-        |                   WHERE s2.s_nationkey = s.s_nationkey)
-        |""".stripMargin)
-  }
+  val q2TopSupplier: Q = (s, d) =>
+    withScopedViews(s, "supplier" -> Tables.supplier(s, d),
+      "nation" -> Tables.nation(s, d)) { v =>
+      s.sql(
+        s"""SELECT s_suppkey, s_name, n_name
+           |FROM ${v("supplier")} s JOIN ${v("nation")} n ON s_nationkey = n_nationkey
+           |WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM ${v("supplier")} s2
+           |                   WHERE s2.s_nationkey = s.s_nationkey)
+           |""".stripMargin)
+    }
 
   val q2TopSupplierSql: String =
     """SELECT s_suppkey, s_name, n_name
@@ -1284,15 +1300,15 @@ object Queries {
 
   /** Q8 — correlated scalar subquery through the engine's raw SQL surface
     * (Catalyst decorrelates it to an aggregate + join under the hood). */
-  val q8Correlated: Q = (s, d) => {
-    Tables.customer(s, d).createOrReplaceTempView("customer_v")
-    s.sql(
-      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
-        |FROM customer_v c
-        |WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer_v c2
-        |                   WHERE c2.c_nationkey = c.c_nationkey)
-        |""".stripMargin)
-  }
+  val q8Correlated: Q = (s, d) =>
+    withScopedViews(s, "customer" -> Tables.customer(s, d)) { v =>
+      s.sql(
+        s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal
+           |FROM ${v("customer")} c
+           |WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM ${v("customer")} c2
+           |                   WHERE c2.c_nationkey = c.c_nationkey)
+           |""".stripMargin)
+    }
 
   val q8CorrelatedSql: String =
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal
