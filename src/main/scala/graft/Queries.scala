@@ -40,11 +40,17 @@ object Queries {
     * during analysis). */
   private def withScopedViews(s: SparkSession, dfs: (String, DataFrame)*)(
       build: Map[String, String] => DataFrame): DataFrame = {
+    require(dfs.map(_._1).distinct.size == dfs.size,
+      s"duplicate view roles: ${dfs.map(_._1).mkString(", ")}")
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
-    val named = dfs.map { case (role, df) => role -> (s"${role}_$tag", df) }.toMap
-    named.values.foreach { case (name, df) => df.createTempView(name) }
-    try build(named.view.mapValues(_._1).toMap)
-    finally named.values.foreach { case (name, _) => s.catalog.dropTempView(name) }
+    val named = dfs.map { case (role, df) => (role, s"${role}_$tag", df) }
+    val created = scala.collection.mutable.ArrayBuffer.empty[String]
+    // creation itself sits inside the try: a failure part-way through must
+    // not leak the views already registered in the shared session catalog
+    try {
+      named.foreach { case (_, name, df) => df.createTempView(name); created += name }
+      build(named.map { case (role, name, _) => role -> name }.toMap)
+    } finally created.foreach(s.catalog.dropTempView)
   }
 
   // ───────────────────────────── core parity ─────────────────────────────

@@ -53,10 +53,13 @@ object Tables {
     // with the same basename (/a/sf01 vs /b/sf01) must not collide on the
     // idempotent-by-name table, or the second caller silently reads the
     // first caller's data
+    // hash the NORMALIZED absolute path, so "/x/sf0.1", "/x/sf0.1/" and
+    // "./sf0.1" resolve to one table instead of duplicate bucketed writes
     val tag = {
-      val base = d.split('/').last.replaceAll("[^A-Za-z0-9]", "_")
+      val canonical = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+      val base = canonical.split('/').last.replaceAll("[^A-Za-z0-9]", "_")
       val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+        .digest(canonical.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
       s"${base}_$h"
     }
     def ensure(name: String, key: String): DataFrame = {

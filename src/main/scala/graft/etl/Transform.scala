@@ -125,6 +125,8 @@ object Transform {
     * materialized run) order, exactly like the window formulation it
     * replaces — pass a unique key for full determinism. */
   def withIngestOrder(df: DataFrame, orderCol: String): DataFrame = {
+    require(!df.columns.contains("_pid"),
+      "column _pid is reserved by withIngestOrder")
     val ranged = df.repartitionByRange(col(orderCol))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()

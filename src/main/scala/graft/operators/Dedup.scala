@@ -281,6 +281,11 @@ object Dedup {
     //   small-star(u): orient edges (max,min); connect every v ∈ Γ≤(u) and
     //                  u itself to m = min(Γ≤(u) ∪ {u})
     // Both preserve connectivity; small-star strictly shrinks labels.
+    // node universe from the RAW pair list: a doc whose only pair is a
+    // self-loop must still appear in the labeling (as its own rep), even
+    // though the self-edge contributes nothing to connectivity
+    val allNodes = pairs.select(col("a_id").as("u"))
+      .union(pairs.select(col("b_id").as("u"))).distinct()
     val fwd = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .filter(col("u") =!= col("v"))
     def largeStar(e: DataFrame): DataFrame = {
@@ -308,16 +313,18 @@ object Dedup {
     while (!converged && rounds < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       rounds += 1
-      // fixpoint = identical edge set (both are distinct()-canonical)
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // fixpoint = identical edge set. Both sides are distinct()-canonical
+      // and materialized, so |A| == |B| plus one-directional A∖B = ∅ proves
+      // equality — one anti-join job per round, not two.
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
       edges = next
     }
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters did not converge in $maxIters rounds " +
         "— raise maxIters for this graph")
-    // stars: every non-root points at its component min; roots are their own
-    val nodes = fwd.select(col("u")).union(fwd.select(col("v"))).distinct()
-    val labels = nodes.join(edges, Seq("u"), "left")
+    // stars: every non-root points at its component min; roots (and
+    // self-loop-only isolates) are their own
+    val labels = allNodes.join(edges, Seq("u"), "left")
       .select(col("u").as("doc_id"), coalesce(col("v"), col("u")).as("cluster_rep"))
     (labels, rounds)
   }

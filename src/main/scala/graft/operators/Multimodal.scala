@@ -97,11 +97,18 @@ object Multimodal {
       Some(("png", be32(16), be32(20)))
     } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2
-      while (i + 9 <= p.length && u8(i) == 0xff) {
+      while (i + 3 < p.length && u8(i) == 0xff) {
+        // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while (i + 3 < p.length && u8(i + 1) == 0xff) i += 1
         val m = u8(i + 1)
         val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
-        if (isSof) return Some(("jpeg", be16(i + 7), be16(i + 5)))
-        i += 2 + be16(i + 2) // segment length includes its own 2 bytes
+        if (isSof) {
+          if (i + 9 <= p.length) return Some(("jpeg", be16(i + 7), be16(i + 5)))
+          else return None // truncated frame header
+        }
+        if (m == 0xda || m == 0xd9) return None // SOS/EOI before any SOF: no dims
+        if ((m >= 0xd0 && m <= 0xd8) || m == 0x01) i += 2 // standalone, no length
+        else i += 2 + be16(i + 2) // segment length includes its own 2 bytes
       }
       None
     } else None

@@ -106,6 +106,14 @@ class DedupSpec extends SparkTestBase {
     assert(rounds <= 10, s"expected O(log n) star rounds, got $rounds")
   }
 
+  test("self-loop-only docs stay in the labeling as their own reps") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (5L, 5L)).toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+  }
+
   test("star rounds collapse a star graph immediately and label shuffled components") {
     import spark.implicits._
     // a 50-leaf star plus a disjoint triangle entered in descending order

@@ -69,6 +69,19 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeImageHeader(jpeg).contains(("jpeg", 9, 7)))
     assert(Multimodal.decodeImageHeader("not an image".getBytes).isEmpty)
     assert(Multimodal.decodeImageHeader(Array[Byte]()).isEmpty)
+    // T.81 B.1.1.2 fill bytes: extra 0xFF padding before a marker is legal
+    // and must not desync the walk into reading the marker byte as a length
+    val padded = (Array(0xff, 0xd8,
+      0xff, 0xff, 0xff, 0xc0, 0, 17, 8, 0, 7, 0, 9, 3,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)).map(_.toByte)
+    assert(Multimodal.decodeImageHeader(padded).contains(("jpeg", 9, 7)))
+    // a restart/TEM standalone marker (no length field) must be stepped over
+    val withTem = (Array(0xff, 0xd8, 0xff, 0x01,
+      0xff, 0xc0, 0, 17, 8, 0, 5, 0, 6, 3,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)).map(_.toByte)
+    assert(Multimodal.decodeImageHeader(withTem).contains(("jpeg", 6, 5)))
+    // EOI before any SOF: dimensions genuinely absent
+    assert(Multimodal.decodeImageHeader(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
   }
 
   test("synthetic payload round-trips through the real header parser") {
