@@ -608,6 +608,69 @@ object Queries {
       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY l_returnflag""".stripMargin
 
+  /** TPC-H Q10-style returned-item report: revenue lost to returns
+    * (l_returnflag = 'R') per customer over a quarter, top 20. Fact⋈fact
+    * join owned by AQE, nation broadcast, exact-decimal revenue so the
+    * ranking is engine-identical; total order via (revenue DESC, custkey). */
+  val q10Returns: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), trim(col("c_name")).as("c_name"), col("n_name"))
+      .agg(sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    s"""SELECT c_custkey, trim(c_name) AS c_name, n_name,
+       |  CAST(sum($SQL_PRICE * (1 - $SQL_DISC)) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+       |GROUP BY c_custkey, trim(c_name), n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q14-style promo-revenue ratio: two-branch CASE inside the
+    * aggregate over one part⋈lineitem join — promo share of revenue in a
+    * month, one scalar row. Both sums stay exact-decimal; the ratio is one
+    * double division performed identically by both engines. */
+  val q14Promo: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-06-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+    val p = Tables.part(s, d)
+    val rev = price * (lit(1).cast("decimal(4,2)") - disc)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
+  }
+
+  val q14PromoSql: String =
+    s"""SELECT promo_revenue, total_revenue,
+       |       100.0 * promo_revenue / total_revenue AS promo_pct
+       |FROM (SELECT
+       |  CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN $SQL_PRICE * (1 - $SQL_DISC)
+       |                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+       |  CAST(sum($SQL_PRICE * (1 - $SQL_DISC)) AS DOUBLE) AS total_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00') t""".stripMargin
+
   /** TPC-H Q2's correlated-subquery SHAPE on the columns the fixture has:
     * the supplier(s) holding their nation's maximum account balance
     * (the fixture ships no partsupp/region tables, so the real Q2's
@@ -752,6 +815,22 @@ object Queries {
     """SELECT event_id, user_id, event_type, value,
       |       strftime(CAST(date_trunc('second', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS event_ts
       |FROM events""".stripMargin
+
+  /** ST5: stream-STATIC broadcast enrich — each micro-batch left-joins the
+    * static customer dim with default-on-miss 'Unknown' (the reference's
+    * lookup semantics as a continuous computation; the dim is restricted
+    * to custkey < 100 so the miss path genuinely runs). Exact batch
+    * parity: the oracle is the equivalent batch left join. */
+  val st5StreamEnrich: Q = (s, d) =>
+    graft.streaming.EventStream.runEnrichOverFixture(s, d)
+
+  val st5StreamEnrichSql: String =
+    """SELECT event_id, user_id,
+      |       coalesce(trim(c_name), 'Unknown') AS customer_name,
+      |       event_type, value
+      |FROM events
+      |LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
+      |  ON user_id = c_custkey""".stripMargin
 
   // ──────────────────────────── dedup family ─────────────────────────────
 
@@ -1515,6 +1594,18 @@ object Queries {
        |            ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  /** Z1 — Z-order layout rewrite on (custkey, totalprice): row content is
+    * IDENTICAL to the source (which is exactly what the oracle checks —
+    * layout ops must be invisible to semantics); the physical product is
+    * the two-dimensional file clustering the spec measures
+    * (LayoutSpec.meanExtent) and SCALE.md §layout explains. */
+  val z1Zorder: Q = (s, d) =>
+    graft.operators.Layout.zorderBy(Tables.orders(s, d), "o_custkey", "o_totalprice")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  val z1ZorderSql: String =
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+
   /** U5 — upsert/merge-by-key (the lake MERGE): a batch of updated order
     * rows replaces its keys in the base table, executed as union +
     * top-1-per-key through the TopKPerKeyExec heap (one shuffle, no sort). */
@@ -1683,6 +1774,7 @@ object Queries {
     "u3_intersect" -> u3Intersect,
     "u4_except" -> u4Except,
     "u5_upsert" -> u5Upsert,
+    "z1_zorder_layout" -> z1Zorder,
     "smp1_det_sample" -> smp1Sample,
     "smp2_dataset_split" -> smp2Split,
     "j6_semi_join" -> j6Semi,
@@ -1710,6 +1802,8 @@ object Queries {
     "q9_profit_rollup" -> q9Profit,
     "q4_order_priority" -> q4Priority,
     "q12_shipmode_case" -> q12Modes,
+    "q10_returned_items" -> q10Returns,
+    "q14_promo_revenue" -> q14Promo,
     "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
@@ -1724,6 +1818,7 @@ object Queries {
     "st2_stream_dedup" -> st2StreamDedup,
     "st3_stream_sessions" -> st3StreamSessions,
     "st4_stream_join" -> st4StreamJoin,
+    "st5_stream_enrich" -> st5StreamEnrich,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -1767,6 +1862,7 @@ object Queries {
     "u3_intersect" -> u3IntersectSql,
     "u4_except" -> u4ExceptSql,
     "u5_upsert" -> u5UpsertSql,
+    "z1_zorder_layout" -> z1ZorderSql,
     "smp1_det_sample" -> smp1SampleSql,
     "smp2_dataset_split" -> smp2SplitSql,
     "j6_semi_join" -> j6SemiSql,
@@ -1795,6 +1891,8 @@ object Queries {
     "q9_profit_rollup" -> q9ProfitSql,
     "q4_order_priority" -> q4PrioritySql,
     "q12_shipmode_case" -> q12ModesSql,
+    "q10_returned_items" -> q10ReturnsSql,
+    "q14_promo_revenue" -> q14PromoSql,
     "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
@@ -1808,6 +1906,7 @@ object Queries {
     "st2_stream_dedup" -> st2StreamDedupSql,
     "st3_stream_sessions" -> w3SessionsSql, // stateful sessionizer = batch w3
     "st4_stream_join" -> st4StreamJoinSql,
+    "st5_stream_enrich" -> st5StreamEnrichSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering.
+  *
+  * Bucketing and range partitioning cluster ONE key; a table queried by two
+  * independent selective dimensions (e.g. customer × date needle queries at
+  * 100 TB) wants file-level min/max pruning on BOTH. Sorting by the
+  * interleaved-bit Morton value places rows that are close in EITHER
+  * dimension into the same files, so each file's per-column min/max
+  * footer stats span a small rectangle of the key space instead of a full
+  * stripe — the scan planner can then drop most files for a predicate on
+  * either column (the DeltaLake/Iceberg `ZORDER BY` story, done with plain
+  * Spark primitives: rank → bit interleave → range partition + sort).
+  *
+  * Everything is expression-level (codegen'd shifts/masks); the only
+  * shuffles are the two rank windows and the final range exchange — the
+  * same costs any global sort pays.
+  */
+object Layout {
+
+  /** Morton value: interleave the low `bits` bits of two non-negative
+    * columns (a even positions, b odd). 16+16 bits fits a signed long. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      (shiftright(a, i).bitwiseAND(1).cast("long") * lit(1L << (2 * i))) +
+        (shiftright(b, i).bitwiseAND(1).cast("long") * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** Rewrite `df` in Z-order on two numeric/temporal columns: each column
+    * is reduced to a `bits`-bit bin by MONOTONE min–max scaling (the
+    * global min/max pair is one tiny aggregate — metadata, like a
+    * codebook; no global rank window, no single-partition stage), the
+    * Morton value of the two bins is computed per row inside codegen, and
+    * the frame is range-partitioned + sorted by it. Row content is
+    * untouched (oracle: identity); the LAYOUT is the product.
+    *
+    * Min–max binning is distribution-sensitive: heavy skew crowds rows
+    * into few bins and weakens (never breaks) the clustering. The upgrade
+    * path at scale is approximate-quantile boundaries
+    * (`percentile_approx`) in place of the linear scale — any monotone
+    * binning preserves correctness. */
+  def zorderBy(df: DataFrame, c1: String, c2: String, bits: Int = 8): DataFrame = {
+    require(!df.columns.exists(Set("_b1", "_b2", "_z")),
+      "columns _b1/_b2/_z are reserved by zorderBy")
+    val n = (1L << bits) - 1
+    val statsRow = df.agg(
+      min(col(c1).cast("double")), max(col(c1).cast("double")),
+      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    if (statsRow.isNullAt(0)) return df // empty input: nothing to lay out
+    val Array(lo1, hi1, lo2, hi2) =
+      (0 until 4).map(statsRow.getDouble).toArray
+    def bin(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * n), lit(n))
+        .cast("long")
+    val z = df
+      .withColumn("_b1", bin(c1, lo1, hi1))
+      .withColumn("_b2", bin(c2, lo2, hi2))
+      .withColumn("_z", zValue(col("_b1"), col("_b2"), bits))
+    z.repartitionByRange(col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_b1", "_b2", "_z")
+  }
+
+  /** Clustering diagnostic: per output-partition min/max extent of a
+    * column, as a fraction of its global extent — the stand-in for file
+    * footer min/max stats. Mean extent ≈ 1/√P for a z-ordered 2-dim
+    * layout vs ≈ 1 for an unclustered one. */
+  def meanExtent(df: DataFrame, c: String): Double = {
+    val parts = df
+      .select(spark_partition_id().as("p"), col(c).cast("double").as("v"))
+      .groupBy(col("p")).agg(min("v").as("lo"), max("v").as("hi"))
+    val row = parts
+      .agg(avg(col("hi") - col("lo")).as("mean_span"),
+        (max("hi") - min("lo")).as("global"))
+      .head()
+    row.getDouble(0) / row.getDouble(1)
+  }
+}

@@ -79,6 +79,39 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-STATIC join: every streaming micro-batch broadcast-joins the
+    * static dimension (re-read per batch by Spark if the source supports
+    * it; no state, no watermark needed — the static side never late-
+    * arrives). The lookup carries the reference's default-on-miss
+    * semantics (spacex.js:24,32): an unmatched FK enriches to 'Unknown'
+    * instead of dropping or nulling. The streaming-vs-batch contract is
+    * exact row parity with the batch left join, which is what the driver
+    * oracle replays. */
+  def enrichStream(stream: DataFrame, dim: DataFrame): DataFrame = {
+    val d = dim.select(col("c_custkey"), trim(col("c_name")).as("c_name"))
+    stream
+      .join(broadcast(d), stream("user_id") === d("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("c_name"), lit("Unknown")).as("customer_name"),
+        col("event_type"), col("value"))
+  }
+
+  /** Replay the fixture through the stream-static enrich against a
+    * RESTRICTED dim slice (so real misses exercise the default path). */
+  def runEnrichOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft-stream-enrich")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+    val dim = graft.Tables.customer(spark, sfDir).filter(col("c_custkey") < 100)
+    val queryName = "graft_stream_enrich"
+    val q = enrichStream(stream, dim).writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    spark.table(queryName)
+  }
+
   /** events schema with ts as raw nanos (nanosAsLong). */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("zValue interleaves bits (a even positions, b odd)") {
+    val got = Seq((3L, 1L), (1L, 3L), (0L, 0L), (255L, 0L))
+      .toDF("a", "b")
+      .select(Layout.zValue($"a", $"b", 8))
+      .collect().map(_.getLong(0)).toSeq
+    // (3,1): a bits 0,1 → 1+4 = 5; b bit 0 → 2 ⇒ 7
+    // (1,3): a bit 0 → 1; b bits 0,1 → 2+8 ⇒ 11
+    // (255,0): a bits 0..7 at even positions ⇒ 0b0101010101010101
+    assert(got == Seq(7L, 11L, 0L, 0x5555L))
+  }
+
+  test("zorderBy clusters BOTH dimensions; single-column sort clusters only one") {
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong, x * 64L + y)).toDF("x", "y", "id")
+      .repartition(7) // arbitrary incoming layout
+
+    val zed = Layout.zorderBy(grid, "x", "y").cache()
+    try {
+      // content untouched
+      assert(zed.count() == 64 * 64)
+      assert(zed.select("id").except(grid.select("id")).isEmpty)
+      // with 4 range partitions over the z-value the partitions are the
+      // four quadrants: both per-partition extents ≈ half the global
+      assert(Layout.meanExtent(zed, "x") <= 0.7,
+        s"x extent ${Layout.meanExtent(zed, "x")}")
+      assert(Layout.meanExtent(zed, "y") <= 0.7,
+        s"y extent ${Layout.meanExtent(zed, "y")}")
+      // control: range-partition by x alone → x clusters, y spans ~the full range
+      val byX = grid.repartitionByRange(org.apache.spark.sql.functions.col("x"))
+      assert(Layout.meanExtent(byX, "y") >= 0.85,
+        s"control y extent ${Layout.meanExtent(byX, "y")}")
+    } finally zed.unpersist()
+  }
+
+  test("zorderBy guards reserved columns and survives empty/constant input") {
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(Layout.zorderBy(empty, "x", "y").count() == 0)
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("x", "y")
+    assert(Layout.zorderBy(const, "x", "y").count() == 2) // span 0 → bin 0
+    val clash = Seq((1L, 2L)).toDF("x", "_z")
+    intercept[IllegalArgumentException](Layout.zorderBy(clash, "x", "_z"))
+  }
+}
