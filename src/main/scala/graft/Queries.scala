@@ -671,6 +671,222 @@ object Queries {
        |WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
        |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00') t""".stripMargin
 
+  /** TPC-H Q13-style customer-order-count distribution: LEFT OUTER join
+    * plus a two-level aggregation — the "distribution of group sizes"
+    * shape. The non-urgent predicate lives on the orders side BEFORE the
+    * join (equivalent to putting it in the ON clause of a left join, and
+    * it keeps the filter pushed to the orders scan), so customers whose
+    * only orders are urgent still appear with c_count = 0. The first agg
+    * shuffles on c_custkey; the second groups a customer-count-sized
+    * input into a handful of distinct counts — metadata-sized. */
+  val q13CustDist: Q = (s, d) => {
+    // aggregate-below-join: orders collapse to one (custkey, count) row
+    // per customer BEFORE meeting the customer table, so the outer join
+    // moves |customers| rows instead of |orders| — the partial-agg
+    // pushdown Catalyst doesn't do on its own (and at runtime AQE is
+    // free to broadcast the collapsed side). A customer with no
+    // non-urgent order has no match → coalesce to the 0 bucket, same as
+    // `count(o_orderkey)` over an outer join of the raw rows.
+    val perCust = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, d)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustDistSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15-style top supplier: quarterly revenue per supplier, then
+    * the supplier(s) at the exact maximum. The revenue CTE is referenced
+    * twice (join input + scalar max) — Catalyst's ReuseExchange dedups the
+    * underlying shuffle; the max is a one-row broadcast. Revenue stays
+    * exact decimal end to end, so `total_rev = max(total_rev)` is a safe
+    * equality in both engines (cast to double only on output). */
+  val q15TopSupplier: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(price * (lit(1).cast("decimal(4,2)") - disc)).as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .select(col("s_suppkey"), trim(col("s_name")).as("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey, sum($SQL_PRICE * (1 - $SQL_DISC)) AS total_rev
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, trim(s_name) AS s_name,
+       |       CAST(total_rev AS DOUBLE) AS total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+       |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17-style small-quantity lines: lines whose quantity falls
+    * below 20% of their part's average quantity, for one brand. The
+    * correlated per-part average is written decorrelated (global
+    * per-part agg + join — what Catalyst's decorrelation would produce),
+    * and the avg comparison is MULTIPLIED THROUGH
+    * (`5 * qty * cnt < sum_qty` ⟺ `qty < 0.2 * sum/cnt`): no division
+    * anywhere, so the boundary is exact decimal in both engines. */
+  val q17SmallQty: Q = (s, d) => {
+    val qty = col("l_quantity").cast("decimal(12,2)")
+    val li = Tables.lineitem(s, d)
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(qty).as("sum_qty"), count(lit(1)).as("cnt"))
+    val p = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(qty * lit(5) * col("cnt") < col("sum_qty"))
+      .agg(count(lit(1)).as("small_lines"),
+        sum(price).cast("double").as("total_price"))
+  }
+
+  val q17SmallQtySql: String =
+    s"""SELECT count(*) AS small_lines,
+       |       CAST(sum($SQL_PRICE) AS DOUBLE) AS total_price
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN (SELECT l_partkey AS pk,
+       |             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+       |             count(*) AS cnt
+       |      FROM lineitem GROUP BY l_partkey) per_part ON l_partkey = pk
+       |WHERE p_brand = 'Brand#23'
+       |  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty""".stripMargin
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds a threshold (semi-join against a HAVING aggregate), joined
+    * back to customer + lineitem for the report. The big-orders set is a
+    * LEFT SEMI join (no row multiplication, Spark can't reorder it into a
+    * fact-fact blowup); quantity sums are exact decimal so the HAVING
+    * boundary and the reported totals are engine-identical; the LIMIT has
+    * a total order via the (o_totalprice, o_orderkey) tiebreak. */
+  val q18LargeOrders: Q = (s, d) => {
+    // the reported sum(l_quantity) IS the HAVING aggregate — reuse it
+    // instead of the textbook IN-subquery's second lineitem join +
+    // re-aggregation (neither Catalyst nor DuckDB merges the two on its
+    // own; the DataFrame form simply keeps the value). big_ok is unique
+    // per order, so the inner join is a semi join that carries its
+    // payload: no row multiplication, and AQE broadcasts the
+    // threshold-filtered (tiny) aggregate side at runtime.
+    val qty = col("l_quantity").cast("decimal(12,2)")
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("big_ok"))
+      .agg(sum(qty).as("oqty"))
+      .filter(col("oqty") > 280)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("big_ok"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(trim(col("c_name")).as("c_name"), col("c_custkey"),
+        col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("oqty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  val q18LargeOrdersSql: String =
+    """SELECT trim(c_name) AS c_name, c_custkey, o_orderkey, o_orderdate,
+      |       o_totalprice,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey
+      |                     HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 280)
+      |GROUP BY trim(c_name), c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q19-style disjunctive join predicate: three (brand, size,
+    * quantity) AND-clauses OR'd together across the lineitem⋈part join.
+    * The equi-key is still extracted (hash join, not cartesian), and
+    * Catalyst derives the part-side disjunction
+    * `(brand∧size) ∨ (brand∧size) ∨ …` as a pushed filter below the join
+    * — the interesting thing to verify in the plan dump. */
+  val q19Disjunct: Q = (s, d) => {
+    val m1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+    val m2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+    val m3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(m1 || m2 || m3)
+      .agg(sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("double")
+        .as("revenue"),
+        count(lit(1)).as("lines"))
+  }
+
+  val q19DisjunctSql: String =
+    s"""SELECT CAST(sum($SQL_PRICE * (1 - $SQL_DISC)) AS DOUBLE) AS revenue,
+       |       count(*) AS lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |       AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q22-style idle-but-rich customers: above-average account
+    * balance AND no urgent order ever (the fixture has no order-less
+    * customers, so the real Q22's "no orders at all" would be empty —
+    * the ANTI-join shape is identical). The global-average threshold is
+    * multiplied through (`bal * cnt_pos > total_bal`): no division, the
+    * boundary stays exact decimal in both engines. The scalar aggregate
+    * is a one-row broadcast; the anti join builds on the urgent-customer
+    * id set only. */
+  val q22IdleRich: Q = (s, d) => {
+    val bal = col("c_acctbal").cast("decimal(12,2)")
+    val c = Tables.customer(s, d)
+    val pos = c.filter(col("c_acctbal") > 0)
+      .agg(sum(bal).as("total_bal"), count(lit(1)).as("cnt_pos"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(pos))
+      .filter(bal * col("cnt_pos") > col("total_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), sum(bal).cast("double").as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q22IdleRichSql: String =
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(12,2))
+      |        * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+      |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
+      |         WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** TPC-H Q2's correlated-subquery SHAPE on the columns the fixture has:
     * the supplier(s) holding their nation's maximum account balance
     * (the fixture ships no partsupp/region tables, so the real Q2's
@@ -1804,6 +2020,12 @@ object Queries {
     "q12_shipmode_case" -> q12Modes,
     "q10_returned_items" -> q10Returns,
     "q14_promo_revenue" -> q14Promo,
+    "q13_custdist" -> q13CustDist,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q17_small_qty" -> q17SmallQty,
+    "q18_large_orders" -> q18LargeOrders,
+    "q19_disjunct_join" -> q19Disjunct,
+    "q22_idle_rich" -> q22IdleRich,
     "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
@@ -1893,6 +2115,12 @@ object Queries {
     "q12_shipmode_case" -> q12ModesSql,
     "q10_returned_items" -> q10ReturnsSql,
     "q14_promo_revenue" -> q14PromoSql,
+    "q13_custdist" -> q13CustDistSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q17_small_qty" -> q17SmallQtySql,
+    "q18_large_orders" -> q18LargeOrdersSql,
+    "q19_disjunct_join" -> q19DisjunctSql,
+    "q22_idle_rich" -> q22IdleRichSql,
     "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
@@ -1938,6 +2166,9 @@ object Queries {
     "q1_pricing_summary", "q3_shipping_priority", "q3_bucketed", "q5_revenue_rollup",
     "q6_selective_agg", "q7_quantiles", "q8_correlated_subquery",
     "q9_profit_rollup", "q4_order_priority", "q12_shipmode_case",
+    "q10_returned_items", "q14_promo_revenue", "q13_custdist",
+    "q15_top_supplier", "q17_small_qty", "q18_large_orders",
+    "q19_disjunct_join", "q22_idle_rich",
     "asof1_attribution", "g1_rollup", "w4_pivot",
     "e1_users_pipeline", "e3_launches_pipeline", "w1_rank_window", "w6_topk_native",
     "w2_tumbling_window", "w3_sessionize", "d2_dedup_minhash",
