@@ -653,7 +653,7 @@ object Queries {
     val rev = price * (lit(1).cast("decimal(4,2)") - disc)
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .agg(
-        sum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0).cast("decimal(12,2)")))
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(12,2)")))
           .cast("double").as("promo_revenue"),
         sum(rev).cast("double").as("total_revenue"))
       .select(col("promo_revenue"), col("total_revenue"),
@@ -664,7 +664,7 @@ object Queries {
     s"""SELECT promo_revenue, total_revenue,
        |       100.0 * promo_revenue / total_revenue AS promo_pct
        |FROM (SELECT
-       |  CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN $SQL_PRICE * (1 - $SQL_DISC)
+       |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN $SQL_PRICE * (1 - $SQL_DISC)
        |                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
        |  CAST(sum($SQL_PRICE * (1 - $SQL_DISC)) AS DOUBLE) AS total_revenue
        |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -310,18 +310,22 @@ object Dedup {
     var edges = smallStar(fwd).localCheckpoint()
     var converged = false
     var rounds = 1
-    while (!converged && rounds < maxIters) {
+    while (!converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      rounds += 1
       // fixpoint = identical edge set. Both sides are distinct()-canonical
       // and materialized, so |A| == |B| plus one-directional A∖B = ∅ proves
-      // equality — one anti-join job per round, not two.
+      // equality — one anti-join job per round, not two. The check runs
+      // even when rounds == maxIters: an already-converged graph must
+      // never throw, whatever the cap (maxIters bounds REFINING rounds).
       converged = next.count() == edges.count() && next.except(edges).isEmpty
       edges = next
+      if (!converged) {
+        rounds += 1
+        if (rounds > maxIters) throw new IllegalStateException(
+          s"duplicateClusters did not converge in $maxIters rounds " +
+            "— raise maxIters for this graph")
+      }
     }
-    if (!converged) throw new IllegalStateException(
-      s"duplicateClusters did not converge in $maxIters rounds " +
-        "— raise maxIters for this graph")
     // stars: every non-root points at its component min; roots (and
     // self-loop-only isolates) are their own
     val labels = allNodes.join(edges, Seq("u"), "left")

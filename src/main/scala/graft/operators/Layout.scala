@@ -49,7 +49,9 @@ object Layout {
     val statsRow = df.agg(
       min(col(c1).cast("double")), max(col(c1).cast("double")),
       min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
-    if (statsRow.isNullAt(0)) return df // empty input: nothing to lay out
+    // empty input or an all-null clustering column: nothing to lay out
+    // (both columns checked — min(c1) can exist while min(c2) is null)
+    if ((0 until 4).exists(statsRow.isNullAt)) return df
     val Array(lo1, hi1, lo2, hi2) =
       (0 until 4).map(statsRow.getDouble).toArray
     def bin(c: String, lo: Double, hi: Double): Column =
@@ -77,6 +79,11 @@ object Layout {
       .agg(avg(col("hi") - col("lo")).as("mean_span"),
         (max("hi") - min("lo")).as("global"))
       .head()
-    row.getDouble(0) / row.getDouble(1)
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"meanExtent($c): no non-null values to measure")
+    val (span, global) = (row.getDouble(0), row.getDouble(1))
+    // constant column: every partition trivially spans the (zero-width)
+    // global extent — report 1 (unclustered), not NaN
+    if (global == 0.0) 1.0 else span / global
   }
 }

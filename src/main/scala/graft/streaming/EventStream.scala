@@ -25,6 +25,14 @@ object EventStream {
   private[streaming] def rmTree(p: java.nio.file.Path): Unit =
     graft.util.Fs.rmTree(p)
 
+  /** Unique memory-sink query name per replay: a FIXED name is shared
+    * session state — a second concurrent (or same-session repeated) run
+    * would either fail to start ("query with that name is already
+    * active") or read the other run's sink table. Same reasoning as the
+    * scoped temp views on the raw-SQL queries. */
+  private[streaming] def scopedQueryName(prefix: String): String =
+    s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
   /** Replay the fixture TWICE through the streaming dedup (two copies of
     * the parquet in the source dir → every event arrives duplicated) and
     * return the deduped rows: the result must equal the batch table
@@ -38,7 +46,7 @@ object EventStream {
       srcDir.resolve("events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
-    val queryName = "graft_stream_dedup"
+    val queryName = scopedQueryName("graft_stream_dedup")
     val q = dedupStream(stream).writeStream
       .outputMode("append").format("memory").queryName(queryName).start()
     try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
@@ -72,7 +80,7 @@ object EventStream {
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
         col("c_ts") <= col("p_ts"))
-    val queryName = "graft_stream_join"
+    val queryName = scopedQueryName("graft_stream_join")
     val q = joined.writeStream
       .outputMode("append").format("memory").queryName(queryName).start()
     try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
@@ -105,7 +113,7 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
     val dim = graft.Tables.customer(spark, sfDir).filter(col("c_custkey") < 100)
-    val queryName = "graft_stream_enrich"
+    val queryName = scopedQueryName("graft_stream_enrich")
     val q = enrichStream(stream, dim).writeStream
       .outputMode("append").format("memory").queryName(queryName).start()
     try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
@@ -159,7 +167,7 @@ object EventStream {
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
-    val queryName = "graft_stream_windows"
+    val queryName = scopedQueryName("graft_stream_windows")
     val q = windowedAgg(stream).writeStream
       .outputMode("complete").format("memory").queryName(queryName).start()
     try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }

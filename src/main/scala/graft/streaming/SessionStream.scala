@@ -123,7 +123,7 @@ object SessionStream {
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("user_id"), col("ts"), col("value")).as[SessEvent]
-    val queryName = "graft_stream_sessions"
+    val queryName = EventStream.scopedQueryName("graft_stream_sessions")
     val q = closedSessions(spark, stream, gapMinutes, watermarkDelay = "0 seconds")
       .writeStream.outputMode("append").format("memory").queryName(queryName).start()
     try q.processAllAvailable() finally {

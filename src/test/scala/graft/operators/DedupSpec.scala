@@ -106,6 +106,18 @@ class DedupSpec extends SparkTestBase {
     assert(rounds <= 10, s"expected O(log n) star rounds, got $rounds")
   }
 
+  test("an already-converged graph never throws, whatever the maxIters cap") {
+    import spark.implicits._
+    // one edge = already a star after the initial small-star pass; the
+    // convergence check must still run when maxIters == 1 (the cap bounds
+    // REFINING rounds, not the right to verify a fixpoint)
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(
+      Seq((1L, 2L)).toDF("a_id", "b_id"), maxIters = 1)
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L))
+    assert(rounds == 1)
+  }
+
   test("self-loop-only docs stay in the labeling as their own reps") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (5L, 5L)).toDF("a_id", "b_id")

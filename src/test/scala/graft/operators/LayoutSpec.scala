@@ -47,4 +47,18 @@ class LayoutSpec extends SparkTestBase {
     val clash = Seq((1L, 2L)).toDF("x", "_z")
     intercept[IllegalArgumentException](Layout.zorderBy(clash, "x", "_z"))
   }
+
+  test("zorderBy passes through when EITHER clustering column is all null") {
+    val nullY = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("x", "y")
+    assert(Layout.zorderBy(nullY, "x", "y").count() == 2)
+    assert(Layout.zorderBy(nullY, "y", "x").count() == 2)
+  }
+
+  test("meanExtent reports 1 (unclustered) for a constant column, rejects empty") {
+    val const = Seq((1L, 5L), (2L, 5L)).toDF("x", "y").repartition(2)
+    assert(Layout.meanExtent(const, "y") == 1.0)
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    intercept[IllegalArgumentException](Layout.meanExtent(empty, "y"))
+  }
 }
