@@ -887,6 +887,125 @@ object Queries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** TPC-H Q16-style supplier counts: DISTINCT suppliers per part
+    * attribute group, with a NOT-EXISTS supplier exclusion. The exclusion
+    * is a LEFT ANTI join against a 6-row set (broadcast); `NOT IN` is
+    * deliberately avoided — its three-valued NULL semantics differ
+    * between engines, anti-join/NOT EXISTS agree. count(DISTINCT) is
+    * exact (two-level hash agg under the hood — Spark expands to a
+    * partial distinct before the final count, no global sort). */
+  val q16SupplierCnt: Q = (s, d) => {
+    val p = Tables.part(s, d).filter(col("p_brand") =!= "Brand#5" &&
+      col("p_type") =!= "PROMO" && col("p_size").isin(1, 5, 10, 15, 20))
+    val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q16SupplierCntSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 10, 15, 20)
+      |  AND NOT EXISTS (SELECT 1 FROM supplier
+      |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20-style heavy promo suppliers: suppliers who shipped more
+    * than a threshold quantity of SOME single PROMO part — a semi join
+    * against a grouped-HAVING subquery (the real Q20's
+    * partsupp-availability chain re-expressed on the columns the fixture
+    * has). The aggregate runs on the (suppkey, partkey) grain first;
+    * only its distinct supplier ids (tiny) reach the supplier table. */
+  val q20PromoSuppliers: Q = (s, d) => {
+    val qty = col("l_quantity").cast("decimal(12,2)")
+    val promoParts = Tables.part(s, d).filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val heavy = Tables.lineitem(s, d)
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(qty).as("promo_qty"))
+      .filter(col("promo_qty") > 90)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), trim(col("s_name")).as("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q20PromoSuppliersSql: String =
+    """SELECT s_suppkey, trim(s_name) AS s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'PROMO'
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 90)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q21-style waiting suppliers: a supplier's line shipped late
+    * (> 60 days after the order date) on a multi-supplier order where NO
+    * OTHER supplier shipped late — the EXISTS + NOT-EXISTS pair over the
+    * same fact table with inequality correlation (`l2.supp <> l1.supp`).
+    * Both subqueries become one-pass joins on the order key: EXISTS →
+    * LEFT SEMI, NOT EXISTS → LEFT ANTI, each with the non-equi clause in
+    * the join condition (never a per-row re-execution; the anti side is
+    * pre-filtered to late lines only before it shuffles). */
+  val q21WaitingSuppliers: Q = (s, d) => {
+    // EXISTS → LEFT SEMI, NOT EXISTS → LEFT ANTI, each with the
+    // inequality correlation (`other supplier`, `also late`) riding the
+    // equi-join condition — no per-row subquery re-execution. The
+    // alternative per-order-aggregate form (n_supp ≥ 2 ∧ n_late_supp = 1
+    // via two countDistincts) is algebraically equivalent (spec-pinned)
+    // but measured SLOWER: the double distinct-aggregate Expand doubles
+    // the fact rows before two shuffles, costing more than the extra
+    // semi/anti pass — both join passes here move only
+    // (orderkey, suppkey [, shipdate]) and the anti side is pre-filtered
+    // to late lines before it shuffles.
+    val li = Tables.lineitem(s, d)
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")
+    val l1 = li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(late)
+      .select(col("l_orderkey").as("wk"), col("l_suppkey").as("ws"),
+        col("o_orderdate").as("wd"))
+    val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val l3 = li.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"),
+      col("l_shipdate").as("sd3"))
+    l1
+      .join(l2, col("wk") === col("ok2") && col("ws") =!= col("sk2"),
+        "left_semi")
+      .join(l3, col("wk") === col("ok3") && col("ws") =!= col("sk3") &&
+        col("sd3") > col("wd") + expr("INTERVAL 60 DAY"), "left_anti")
+      .join(Tables.supplier(s, d), col("ws") === col("s_suppkey"))
+      .groupBy(trim(col("s_name")).as("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21WaitingSuppliersSql: String =
+    """SELECT trim(s_name) AS s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY trim(s_name)
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   /** TPC-H Q2's correlated-subquery SHAPE on the columns the fixture has:
     * the supplier(s) holding their nation's maximum account balance
     * (the fixture ships no partsupp/region tables, so the real Q2's
@@ -2026,6 +2145,9 @@ object Queries {
     "q18_large_orders" -> q18LargeOrders,
     "q19_disjunct_join" -> q19Disjunct,
     "q22_idle_rich" -> q22IdleRich,
+    "q16_supplier_cnt" -> q16SupplierCnt,
+    "q20_promo_suppliers" -> q20PromoSuppliers,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers,
     "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
@@ -2121,6 +2243,9 @@ object Queries {
     "q18_large_orders" -> q18LargeOrdersSql,
     "q19_disjunct_join" -> q19DisjunctSql,
     "q22_idle_rich" -> q22IdleRichSql,
+    "q16_supplier_cnt" -> q16SupplierCntSql,
+    "q20_promo_suppliers" -> q20PromoSuppliersSql,
+    "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
     "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
@@ -2168,7 +2293,8 @@ object Queries {
     "q9_profit_rollup", "q4_order_priority", "q12_shipmode_case",
     "q10_returned_items", "q14_promo_revenue", "q13_custdist",
     "q15_top_supplier", "q17_small_qty", "q18_large_orders",
-    "q19_disjunct_join", "q22_idle_rich",
+    "q19_disjunct_join", "q22_idle_rich", "q16_supplier_cnt",
+    "q20_promo_suppliers", "q21_waiting_suppliers",
     "asof1_attribution", "g1_rollup", "w4_pivot",
     "e1_users_pipeline", "e3_launches_pipeline", "w1_rank_window", "w6_topk_native",
     "w2_tumbling_window", "w3_sessionize", "d2_dedup_minhash",

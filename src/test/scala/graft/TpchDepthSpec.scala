@@ -83,6 +83,68 @@ class TpchDepthSpec extends SparkTestBase {
     assert(got == expected, s"$got lines vs summed branches $expected")
   }
 
+  test("q16: anti-excluded suppliers never appear; counts are distinct-exact") {
+    val bad = Tables.supplier(spark, sf0001)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    // recompute one group's distinct supplier set directly and confirm
+    // the query's count matches and excludes every bad supplier
+    val out = Queries.q16SupplierCnt(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val r = out.head
+    val supps = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === r.getString(0) &&
+        col("p_type") === r.getString(1) && col("p_size") === r.getInt(2))
+      .select("l_suppkey").distinct().collect().map(_.getLong(0)).toSet
+    assert((supps -- bad).size == r.getLong(3).toInt)
+  }
+
+  test("q20: every returned supplier has a single promo part over threshold") {
+    val out = Queries.q20PromoSuppliers(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val qty = col("l_quantity").cast("decimal(12,2)")
+    val heavy = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001).filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(qty).as("q")).filter(col("q") > 90)
+      .select("l_suppkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == heavy)
+  }
+
+  test("q21: semi+anti form equals the per-order-aggregate form") {
+    val out = Queries.q21WaitingSuppliers(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) > 0))
+    val keys = out.map(r => (r.getLong(1), r.getString(0)))
+    assert(keys.sameElements(keys.sortBy { case (n, s) => (-n, s) }))
+    // equivalent aggregate formulation: a late line waits iff its order
+    // has ≥ 2 distinct suppliers (EXISTS another) and exactly 1 distinct
+    // LATE supplier (NOT EXISTS another late one; the late line itself
+    // guarantees its own supplier is that 1) — must agree row for row
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")
+    val lo = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+    val perOrder = lo.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"))
+    val aggForm = lo.filter(late)
+      .select(col("l_orderkey").as("wk"), col("l_suppkey").as("ws"))
+      .join(perOrder, col("wk") === col("ok"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(Tables.supplier(spark, sf0001), col("ws") === col("s_suppkey"))
+      .groupBy(trim(col("s_name")).as("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    assertSameRows(Queries.q21WaitingSuppliers(spark, sf0001), aggForm)
+    // no cartesian / nested-loop in the executed plan
+    val df = Queries.q21WaitingSuppliers(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q22: kept customers are above-average and urgent-free") {
     val kept = Queries.q22IdleRich(spark, sf0001).collect()
     val total = kept.map(_.getLong(1)).sum
