@@ -951,6 +951,41 @@ object Queries {
       |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 90)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q11-style important shares: suppliers whose total shipped
+    * value exceeds the ALL-supplier mean — a scalar-subquery threshold
+    * against a grouped aggregate (the real Q11's fraction-of-total
+    * HAVING, made SF-robust by comparing to the mean instead of a fixed
+    * fraction). Multiplied through (`v · n_supp > total`) so the
+    * boundary is exact decimal; the two global scalars ride ONE extra
+    * one-row broadcast (computed in the same single pass over the
+    * per-supplier aggregates). */
+  val q11ImportantShares: Q = (s, d) => {
+    val v = (col("l_extendedprice").cast("decimal(12,2)") *
+      col("l_quantity").cast("decimal(12,2)"))
+    val perSupp = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(v).as("supp_value"))
+    val totals = perSupp.agg(sum(col("supp_value")).as("total_value_all"),
+      count(lit(1)).as("n_supp"))
+    perSupp.crossJoin(broadcast(totals))
+      .filter(col("supp_value") * col("n_supp") > col("total_value_all"))
+      .select(col("l_suppkey"),
+        col("supp_value").cast("double").as("total_value"))
+      .orderBy(col("total_value").desc, col("l_suppkey"))
+  }
+
+  val q11ImportantSharesSql: String =
+    """WITH per_supp AS (
+      |  SELECT l_suppkey,
+      |         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * CAST(l_quantity AS DECIMAL(12,2))) AS supp_value
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT l_suppkey, CAST(supp_value AS DOUBLE) AS total_value
+      |FROM per_supp
+      |WHERE supp_value * (SELECT count(*) FROM per_supp)
+      |      > (SELECT sum(supp_value) FROM per_supp)
+      |ORDER BY total_value DESC, l_suppkey""".stripMargin
+
   /** TPC-H Q21-style waiting suppliers: a supplier's line shipped late
     * (> 60 days after the order date) on a multi-supplier order where NO
     * OTHER supplier shipped late — the EXISTS + NOT-EXISTS pair over the
@@ -2148,6 +2183,7 @@ object Queries {
     "q16_supplier_cnt" -> q16SupplierCnt,
     "q20_promo_suppliers" -> q20PromoSuppliers,
     "q21_waiting_suppliers" -> q21WaitingSuppliers,
+    "q11_important_shares" -> q11ImportantShares,
     "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
@@ -2246,6 +2282,7 @@ object Queries {
     "q16_supplier_cnt" -> q16SupplierCntSql,
     "q20_promo_suppliers" -> q20PromoSuppliersSql,
     "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
+    "q11_important_shares" -> q11ImportantSharesSql,
     "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
@@ -2294,7 +2331,7 @@ object Queries {
     "q10_returned_items", "q14_promo_revenue", "q13_custdist",
     "q15_top_supplier", "q17_small_qty", "q18_large_orders",
     "q19_disjunct_join", "q22_idle_rich", "q16_supplier_cnt",
-    "q20_promo_suppliers", "q21_waiting_suppliers",
+    "q20_promo_suppliers", "q21_waiting_suppliers", "q11_important_shares",
     "asof1_attribution", "g1_rollup", "w4_pivot",
     "e1_users_pipeline", "e3_launches_pipeline", "w1_rank_window", "w6_topk_native",
     "w2_tumbling_window", "w3_sessionize", "d2_dedup_minhash",

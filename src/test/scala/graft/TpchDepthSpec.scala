@@ -145,6 +145,21 @@ class TpchDepthSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q11: kept suppliers sit strictly above the mean share") {
+    val out = Queries.q11ImportantShares(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val v = col("l_extendedprice").cast("decimal(12,2)") *
+      col("l_quantity").cast("decimal(12,2)")
+    val perSupp = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_suppkey")).agg(sum(v).cast("double").as("sv"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mean = perSupp.values.sum / perSupp.size
+    val expect = perSupp.filter(_._2 > mean).keySet
+    assert(out.map(_.getLong(0)).toSet == expect)
+    // and a proper subset: the threshold actually discriminates
+    assert(expect.size < perSupp.size)
+  }
+
   test("q22: kept customers are above-average and urgent-free") {
     val kept = Queries.q22IdleRich(spark, sf0001).collect()
     val total = kept.map(_.getLong(1)).sum
