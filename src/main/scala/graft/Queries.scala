@@ -889,7 +889,8 @@ object Queries {
 
   /** TPC-H Q16-style supplier counts: DISTINCT suppliers per part
     * attribute group, with a NOT-EXISTS supplier exclusion. The exclusion
-    * is a LEFT ANTI join against a 6-row set (broadcast); `NOT IN` is
+    * is a LEFT ANTI join against a tiny negative-balance id set
+    * (6 rows at sf0.01, 81 at sf0.1 — broadcast either way); `NOT IN` is
     * deliberately avoided — its three-valued NULL semantics differ
     * between engines, anti-join/NOT EXISTS agree. count(DISTINCT) is
     * exact (two-level hash agg under the hood — Spark expands to a
@@ -962,9 +963,14 @@ object Queries {
   val q11ImportantShares: Q = (s, d) => {
     val v = (col("l_extendedprice").cast("decimal(12,2)") *
       col("l_quantity").cast("decimal(12,2)"))
+    // localCheckpoint pins the per-supplier aggregate (|suppliers| rows of
+    // metadata-class size) so the totals branch reads IT, not a second
+    // full fact scan — without it the two branches each rescan lineitem
+    // (plan-level ReuseExchange doesn't bridge the extra aggregate node)
     val perSupp = Tables.lineitem(s, d)
       .groupBy(col("l_suppkey"))
       .agg(sum(v).as("supp_value"))
+      .localCheckpoint()
     val totals = perSupp.agg(sum(col("supp_value")).as("total_value_all"),
       count(lit(1)).as("n_supp"))
     perSupp.crossJoin(broadcast(totals))
@@ -1003,8 +1009,7 @@ object Queries {
     // but measured SLOWER: the double distinct-aggregate Expand doubles
     // the fact rows before two shuffles, costing more than the extra
     // semi/anti pass — both join passes here move only
-    // (orderkey, suppkey [, shipdate]) and the anti side is pre-filtered
-    // to late lines before it shuffles.
+    // (orderkey, suppkey) and the anti side is the late-line set itself.
     val li = Tables.lineitem(s, d)
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")
     val l1 = li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -1012,13 +1017,19 @@ object Queries {
       .select(col("l_orderkey").as("wk"), col("l_suppkey").as("ws"),
         col("o_orderdate").as("wd"))
     val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
-    val l3 = li.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"),
-      col("l_shipdate").as("sd3"))
+    // the "another LATE supplier" anti side is the late-line set ITSELF
+    // (l1 re-aliased) — not the full fact re-checked against the date in
+    // the join condition: the anti join builds on late lines only. The
+    // l1 subtree computes twice in the static plan (column-pruned scans;
+    // AQE may still dedupe the stages at runtime) — what matters at
+    // scale is that only late (orderkey, suppkey) pairs enter the anti
+    // exchange, not every lineitem row
+    val l3 = l1.select(col("wk").as("ok3"), col("ws").as("sk3"))
     l1
       .join(l2, col("wk") === col("ok2") && col("ws") =!= col("sk2"),
         "left_semi")
-      .join(l3, col("wk") === col("ok3") && col("ws") =!= col("sk3") &&
-        col("sd3") > col("wd") + expr("INTERVAL 60 DAY"), "left_anti")
+      .join(l3, col("wk") === col("ok3") && col("ws") =!= col("sk3"),
+        "left_anti")
       .join(Tables.supplier(s, d), col("ws") === col("s_suppkey"))
       .groupBy(trim(col("s_name")).as("s_name"))
       .agg(count(lit(1)).as("numwait"))

@@ -148,13 +148,19 @@ class TpchDepthSpec extends SparkTestBase {
   test("q11: kept suppliers sit strictly above the mean share") {
     val out = Queries.q11ImportantShares(spark, sf0001).collect()
     assert(out.nonEmpty)
+    // recompute with the SAME multiplied-through exact-decimal boundary
+    // the query uses (a double `sv > mean` here could flip a supplier
+    // sitting exactly on, or within an ulp of, the boundary)
     val v = col("l_extendedprice").cast("decimal(12,2)") *
       col("l_quantity").cast("decimal(12,2)")
     val perSupp = Tables.lineitem(spark, sf0001)
-      .groupBy(col("l_suppkey")).agg(sum(v).cast("double").as("sv"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val mean = perSupp.values.sum / perSupp.size
-    val expect = perSupp.filter(_._2 > mean).keySet
+      .groupBy(col("l_suppkey")).agg(sum(v).as("sv"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val total = perSupp.values.reduce(_ add _)
+    val n = java.math.BigDecimal.valueOf(perSupp.size.toLong)
+    val expect = perSupp.filter { case (_, sv) =>
+      sv.multiply(n).compareTo(total) > 0
+    }.keySet
     assert(out.map(_.getLong(0)).toSet == expect)
     // and a proper subset: the threshold actually discriminates
     assert(expect.size < perSupp.size)
