@@ -7,10 +7,14 @@ import org.apache.spark.sql.{Encoder, Encoders}
   *
   * The user-facing typed-aggregation form of the same sketch
   * [[Dedup.minhashSignatures]] builds declaratively (64 min-columns). The
-  * declarative form wins in plans (codegen'd partial aggregation); this one
-  * exists for `Dataset.groupByKey(...).agg(...)` call sites and composes
-  * the same way any other `Aggregator` does. Both produce IDENTICAL
-  * signatures (spec-enforced) because they share the permutation scheme:
+  * declarative form wins in plans (codegen'd partial aggregation) — and
+  * measured: ~7× faster on the sf0.1 corpus (0.5 s vs 3.6 s; groupByKey
+  * pays object serialization per (id, tokenHash) pair and its partial
+  * aggregation runs un-codegen'd through ObjectHashAggregate). This one
+  * exists for
+  * `Dataset.groupByKey(...).agg(...)` call sites and composes the same
+  * way any other `Aggregator` does. Both produce IDENTICAL signatures
+  * (spec-enforced) because they share the permutation scheme:
   * `perm_i(h) = xxhash64(i, h)` over the token's xxhash64.
   */
 class MinHashAggregator(numHashes: Int = 64)
