@@ -1576,25 +1576,37 @@ object Queries {
     * ordered rule chain with an auditable reason per document. One
     * projection, no shuffle; every signal and the verdict are
     * oracle-checked. */
-  val t10CorpusFilter: Q = (s, d) => {
-    // the signals come from TextAnalysis's shared scoring expressions —
-    // the same definitions t1/t2/t9 run, so the composite verdict can
-    // never drift from the individual signals
+  /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
+    * expressions — the same definitions t1/t2/t9 run, so the composite
+    * can never drift from the individual signals. Shared by t10 (which
+    * reports it) and prep1 (which filters on it). */
+  private def corpusReasonExpr: org.apache.spark.sql.Column = {
     val nTok = TextAnalysis.nTokensExpr
     val quality = TextAnalysis.qualityExpr
     val predLang = TextAnalysis.predLangExpr()
     val dupRatio = TextAnalysis.dupRatioExpr
-    val reason = when(nTok < 10, "too_short")
+    when(nTok < 10, "too_short")
       .when(predLang === "und", "lang_und")
       .when(dupRatio > 0.2, "repetitive")
       .when(quality < 0.25, "low_quality")
       .otherwise("ok")
+  }
+
+  val t10CorpusFilter: Q = (s, d) => {
+    val nTok = TextAnalysis.nTokensExpr
+    val quality = TextAnalysis.qualityExpr
+    val predLang = TextAnalysis.predLangExpr()
+    val dupRatio = TextAnalysis.dupRatioExpr
+    val reason = corpusReasonExpr
     Tables.documents(s, d).select(col("doc_id"), nTok.cast("long").as("n_tokens"),
       predLang.as("pred_lang"), quality.as("quality"), dupRatio.as("dup_ratio"),
       reason.as("reason"), (reason === "ok").as("keep"))
   }
 
-  val t10CorpusFilterSql: String = {
+  /** DuckDB CTE computing the per-document corpus signals (t10's `b`
+    * table, plus raw `text` for content-dedup consumers) — shared between
+    * t10's report and prep1's pipeline so the SQL twins can't diverge. */
+  private def corpusSignalsCteSql: String = {
     val nTok = "len(string_split(text, ' '))"
     val stopHits = s"len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x)))"
     val stopRatio = s"(CAST($stopHits AS DOUBLE) / $nTok)"
@@ -1605,27 +1617,76 @@ object Queries {
       s"WHEN $stopRatio >= 0.08 THEN 'en' ELSE 'und' END"
     val shingles = "[t.tk[i] || ' ' || t.tk[i+1] || ' ' || t.tk[i+2] FOR i IN RANGE(1, len(t.tk) - 1)]"
     s"""WITH t AS (SELECT *, string_split(text, ' ') AS tk FROM documents),
-       |b AS (SELECT doc_id, CAST($nTok AS BIGINT) AS n_tokens,
+       |b AS (SELECT doc_id, text, CAST($nTok AS BIGINT) AS n_tokens,
        |        $predLang AS pred_lang,
        |        $quality AS quality,
        |        CASE WHEN len(t.tk) >= 3 THEN
        |          floor((1.0 - CAST(len(list_distinct($shingles)) AS DOUBLE)
        |                 / len($shingles)) * 10000 + 0.5) / 10000
        |        END AS dup_ratio
-       |      FROM t)
-       |SELECT doc_id, n_tokens, pred_lang, quality, dup_ratio,
-       |       CASE WHEN n_tokens < 10 THEN 'too_short'
-       |            WHEN pred_lang = 'und' THEN 'lang_und'
-       |            WHEN dup_ratio > 0.2 THEN 'repetitive'
-       |            WHEN quality < 0.25 THEN 'low_quality'
-       |            ELSE 'ok' END AS reason,
-       |       (CASE WHEN n_tokens < 10 THEN 'too_short'
-       |             WHEN pred_lang = 'und' THEN 'lang_und'
-       |             WHEN dup_ratio > 0.2 THEN 'repetitive'
-       |             WHEN quality < 0.25 THEN 'low_quality'
-       |             ELSE 'ok' END = 'ok') AS keep
-       |FROM b""".stripMargin
+       |      FROM t)""".stripMargin
   }
+
+  private val corpusReasonSql: String =
+    """CASE WHEN n_tokens < 10 THEN 'too_short'
+      |     WHEN pred_lang = 'und' THEN 'lang_und'
+      |     WHEN dup_ratio > 0.2 THEN 'repetitive'
+      |     WHEN quality < 0.25 THEN 'low_quality'
+      |     ELSE 'ok' END""".stripMargin
+
+  val t10CorpusFilterSql: String =
+    s"""$corpusSignalsCteSql
+       |SELECT doc_id, n_tokens, pred_lang, quality, dup_ratio,
+       |       $corpusReasonSql AS reason,
+       |       ($corpusReasonSql = 'ok') AS keep
+       |FROM b""".stripMargin
+
+  /** PREP1 — the training-data prep pipeline end to end, as ONE
+    * oracle-checked plan: quality/language filter (t10's shared verdict)
+    * → exact content dedup (min doc_id per md5 digest — the shuffle key
+    * is the 32-char digest, never the document text; at 100 TB that is
+    * the difference between shuffling content and shuffling fingerprints)
+    * → deterministic train/val/test split (md5-bucket of the surviving
+    * doc_id — layout- and growth-stable, smp2's operator) → per-split
+    * audit (docs, tokens, exact-decimal quality mass). Every stage is an
+    * operator the suite verifies individually; this entry pins their
+    * COMPOSITION against a DuckDB re-derivation of the whole pipeline. */
+  val prep1CorpusPrep: Q = (s, d) => {
+    val kept = Tables.documents(s, d)
+      .filter(corpusReasonExpr === "ok")
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.nTokensExpr.cast("long").as("n_tokens"),
+        TextAnalysis.qualityExpr.as("quality"))
+    // exact dedup: all rows sharing a digest carry identical text, hence
+    // identical token/quality signals — min() picks the representative
+    val deduped = kept.groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"),
+        min(col("quality")).as("quality"))
+    graft.operators.Sampling.datasetSplit(deduped, col("doc_id"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("quality").cast("decimal(18,4)")).cast("double")
+          .as("sum_quality"))
+      .orderBy(col("split"))
+  }
+
+  val prep1CorpusPrepSql: String =
+    s"""$corpusSignalsCteSql,
+       |kept AS (SELECT doc_id, text, n_tokens, quality FROM b
+       |         WHERE $corpusReasonSql = 'ok'),
+       |deduped AS (SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+       |                   min(quality) AS quality
+       |            FROM kept GROUP BY md5(text))
+       |SELECT CASE WHEN ${md5BucketSql("CAST(doc_id AS VARCHAR)")} < 9000 THEN 'train'
+       |            WHEN ${md5BucketSql("CAST(doc_id AS VARCHAR)")} < 9500 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |       CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality
+       |FROM deduped
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** D7: near-dup clusters — connected components over the exact 3-shingle
     * Jaccard pair graph (j > 0.6), each doc labeled with its component's
@@ -2195,6 +2256,7 @@ object Queries {
     "q20_promo_suppliers" -> q20PromoSuppliers,
     "q21_waiting_suppliers" -> q21WaitingSuppliers,
     "q11_important_shares" -> q11ImportantShares,
+    "prep1_corpus_prep" -> prep1CorpusPrep,
     "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
@@ -2294,6 +2356,7 @@ object Queries {
     "q20_promo_suppliers" -> q20PromoSuppliersSql,
     "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
     "q11_important_shares" -> q11ImportantSharesSql,
+    "prep1_corpus_prep" -> prep1CorpusPrepSql,
     "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
@@ -2349,5 +2412,5 @@ object Queries {
     "d3_dedup_simhash", "d4_ngram_jaccard", "d5_embedding_neardup",
     "d6_neardup_lsh", "sim2_ann_lsh",
     "sim1_cosine_topk", "t4_fingerprint", "t7_tfidf", "mm1_binary_decode",
-    "st1_stream_window")
+    "prep1_corpus_prep", "st1_stream_window")
 }
