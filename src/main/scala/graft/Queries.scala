@@ -1570,12 +1570,6 @@ object Queries {
       |       floor((1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s)) * 10000 + 0.5) / 10000 > 0.2 AS flagged
       |FROM sh""".stripMargin
 
-  /** T10: the composite corpus filter — the keep/drop decision a
-    * pre-training pipeline actually runs, combining the t1 language
-    * heuristic, the t2 quality score and the t9 repetition signal into an
-    * ordered rule chain with an auditable reason per document. One
-    * projection, no shuffle; every signal and the verdict are
-    * oracle-checked. */
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
     * can never drift from the individual signals. Shared by t10 (which
@@ -1592,6 +1586,12 @@ object Queries {
       .otherwise("ok")
   }
 
+  /** T10: the composite corpus filter — the keep/drop decision a
+    * pre-training pipeline actually runs, combining the t1 language
+    * heuristic, the t2 quality score and the t9 repetition signal into an
+    * ordered rule chain with an auditable reason per document. One
+    * projection, no shuffle; every signal and the verdict are
+    * oracle-checked. */
   val t10CorpusFilter: Q = (s, d) => {
     val nTok = TextAnalysis.nTokensExpr
     val quality = TextAnalysis.qualityExpr
@@ -1657,11 +1657,8 @@ object Queries {
       .select(col("doc_id"), col("text"),
         TextAnalysis.nTokensExpr.cast("long").as("n_tokens"),
         TextAnalysis.qualityExpr.as("quality"))
-    // exact dedup: all rows sharing a digest carry identical text, hence
-    // identical token/quality signals — min() picks the representative
-    val deduped = kept.groupBy(md5(col("text")).as("digest"))
-      .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"),
-        min(col("quality")).as("quality"))
+    val deduped = graft.operators.Dedup.exactByDigest(kept, col("text"),
+      carry = Seq("n_tokens", "quality"))
     graft.operators.Sampling.datasetSplit(deduped, col("doc_id"),
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
       .groupBy(col("split"))

@@ -29,6 +29,20 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
+  /** [[exact]]'s scale form: group on the md5 digest of the content so
+    * the shuffle key is 32 chars regardless of document size — at 100 TB
+    * the difference between shuffling fingerprints and shuffling the
+    * corpus. `carry` columns ride as min() (for rows sharing a digest the
+    * content — hence any content-derived signal — is identical, so min is
+    * just "pick the representative's value"). */
+  def exactByDigest(documents: DataFrame, textCol: Column,
+                    carry: Seq[String] = Nil): DataFrame = {
+    val aggs = min(col("doc_id")).as("doc_id") +:
+      carry.map(c => min(col(c)).as(c))
+    documents.groupBy(md5(textCol).as("digest"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact-dedup run metrics, the reference's `dedup_removed` accounting
     * (users.js:65-79) generalized to a key: rows_in/rows_out/dedup_removed. */
   def exactMetrics(df: DataFrame, key: Column): DataFrame =
