@@ -1337,10 +1337,13 @@ object Queries {
       |WHERE floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 10000 + 0.5) / 10000 >= 0.35""".stripMargin
 
   /** The 100 TB near-dup path as a runnable query: multi-table LSH bucket
-    * candidates (12 hyperplane families, hamming-≤2 multiprobe), exactly
-    * rescored. The candidate set is approximate but its QUALITY is driver-
-    * checked by [[d6Gate]]: zero false pairs, zero misses at ≥ 0.35, and
-    * ≥ 99.5% recall at the 0.2 threshold (measured 99.97–100% across SFs). */
+    * candidates with the (radius, tables) config derived from the 0.2
+    * threshold by [[graft.operators.Similarity.lshPlan]] (boundary-pair
+    * collision math; asymmetric exactly-once probes), exactly rescored.
+    * The candidate set is approximate but its QUALITY is driver-checked
+    * by [[d6Gate]]: zero false pairs, zero misses at ≥ 0.35, and ≥ 99.5%
+    * recall at the 0.2 threshold (theoretical boundary-pair miss ≤ 5e-5;
+    * measured 100% on the fixtures). */
   val d6LshNeardup: Q = (s, d) =>
     Dedup.cosinePairsLsh(Tables.embeddings(s, d), 0.2)
 

@@ -391,15 +391,17 @@ object Dedup {
   }
 
   /** The scale path: LSH bucket candidates, exactly rescored. Same output
-    * columns and scoring arithmetic as [[cosinePairsBrute]]; the result is
-    * a subset whose recall is set by (planes, tables) — see the recall
-    * gate in DedupSpec and the d6 driver gate. */
+    * columns and scoring arithmetic as [[cosinePairsBrute]] (norms
+    * precomputed per vector, one dot product per pair); the result is a
+    * subset whose recall is set by the threshold-driven
+    * [[Similarity.lshPlan]] config — see the recall gate in DedupSpec and
+    * the d6 driver gate. */
   def cosinePairsLsh(embeddings: DataFrame, minCosine: Double,
-                     planes: Int = 6, dim: Int = 64, tables: Int = 12): DataFrame =
-    Similarity.annCandidates(embeddings, planes, dim, tables)
+                     planes: Int = 6, dim: Int = 64,
+                     targetRecall: Double = 0.9999): DataFrame =
+    Similarity.annCandidates(embeddings, minCosine, planes, dim, targetRecall)
       .select(col("a_id"), col("b_id"),
         portableRound(dot_product(col("ea"), col("eb")) /
-          (sqrt(dot_product(col("ea"), col("ea"))) *
-            sqrt(dot_product(col("eb"), col("eb")))), 4).as("cosine"))
+          (col("na") * col("nb")), 4).as("cosine"))
       .filter(col("cosine") >= minCosine)
 }

@@ -43,22 +43,73 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Candidate pairs from LSH buckets with hamming-≤1 multiprobe on both
-    * sides (pairs within hamming ≤ 2 of each other meet in some probe
-    * bucket): each vector emits, per table, its signature plus all 1-bit
-    * flips; candidates come from ONE shuffle join on `(table, probe_sig)`
-    * — never a cross join. `tables` independent hyperplane families
-    * multiply recall (miss rates compound per table) at linear cost.
-    * Used as the pair source for near-dup and ANN at scale. */
-  def annCandidates(embeddings: DataFrame, planes: Int = 6, dim: Int = 64,
-                    tables: Int = 1): DataFrame = {
-    // The probe stream that fans out (planes+1)×tables rows per vector and
-    // feeds the self-join shuffle carries ONLY (vec_id, tbl, probe_sig) —
-    // 3 scalars. Shipping the embedding through the explode would amplify
-    // the largest column ~84× ((planes+1)×tables at the defaults) into the
-    // exchange, then drag 2×dim floats per pair through the distinct()
-    // exchange too. Ids are deduped first; embeddings re-join exactly once
-    // per side for scoring (one corpus-sized shuffle each, no fan-out).
+  /** Bucket masks for a hamming-≤`radius` probe: every `planes`-bit int
+    * with popcount ≤ radius. */
+  private[operators] def probeMasks(planes: Int, radius: Int): Seq[Int] =
+    (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius)
+
+  /** Pick the cheapest `(radius, tables)` LSH config that reaches
+    * `targetRecall` for a pair at exactly `minCosine` (every pair above
+    * the threshold collides more often, so the boundary pair is the
+    * worst case). The math is the classic sign-LSH collision model: a
+    * random hyperplane splits a pair at angle θ with p = θ/π, so a
+    * boundary pair lands within hamming `r` of itself in one table with
+    * p_hit = Σ_{k≤r} C(planes,k) p^k (1-p)^(planes-k), and the miss rate
+    * compounds as (1-p_hit)^tables. Cost is ranked by expected RANDOM
+    * candidate volume per pair — tables × Σ_{k≤r} C(planes,k) / 2^planes
+    * (an orthogonal pair collides on any given bit with p = 1/2) —
+    * because at 100 TB the candidate join output is the dominant byte
+    * stream, not the probe fan-out. `radius = planes` is excluded: that
+    * config enumerates every pair once (brute force by hash join) — if
+    * nothing cheaper reaches the target, the honest answer is the brute
+    * path, which is exactly what [[graft.operators.Dedup.cosinePairs]]'s
+    * stats switch decides. */
+  def lshPlan(minCosine: Double, planes: Int = 6,
+              targetRecall: Double = 0.9999): (Int, Int) = {
+    val pDiff = math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi
+    def choose(n: Int, k: Int): Double =
+      (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    val configs = (0 until planes).flatMap { r =>
+      val pHit = (0 to r).map(k =>
+        choose(planes, k) * math.pow(pDiff, k) *
+          math.pow(1 - pDiff, planes - k)).sum
+      if (pHit <= 0.0 || pHit >= 1.0) None
+      else {
+        val tables = math.max(1, math.ceil(
+          math.log1p(-targetRecall) / math.log1p(-pHit)).toInt)
+        val randFrac = (0 to r).map(choose(planes, _)).sum / (1 << planes)
+        val miss = math.pow(1 - pHit, tables)
+        Some((r, tables, tables * randFrac, miss))
+      }
+    }
+    require(configs.nonEmpty, s"no LSH config for minCosine=$minCosine")
+    // cost ties happen (ceil quantizes `tables`); prefer the config whose
+    // overshoot buys more recall, then the one with fewer tables (less
+    // probe fan-out and fewer signature computations per vector)
+    val best = configs.minBy(c => (c._3, c._4, c._2))
+    (best._1, best._2)
+  }
+
+  /** Candidate pairs from multi-table LSH buckets, hamming-≤radius
+    * multiprobe, with `(radius, tables)` derived from the threshold by
+    * [[lshPlan]]. The probe scheme is ASYMMETRIC and meets each pair
+    * exactly once per table: the index side emits one bare signature per
+    * (vector, table); the probe side emits `sig XOR mask` for every mask
+    * of popcount ≤ radius; the join keeps `index.vec_id < probe.vec_id`.
+    * A pair at hamming h ≤ radius then matches on exactly one mask (the
+    * XOR of its two signatures) in exactly one direction — unlike the
+    * both-sides-flip scheme, which meets the same pair in up to
+    * 2·radius+… buckets per table and multiplies the join output by the
+    * duplication factor before `distinct()` can cut it.
+    *
+    * Shuffle discipline (the 100 TB constraint): both join inputs carry
+    * ONLY (vec_id, tbl, sig) — 3 scalars. Ids are deduped first;
+    * embeddings re-join exactly once per side for scoring, with their
+    * norms precomputed so the scorer does ONE dot product per pair. */
+  def annCandidates(embeddings: DataFrame, minCosine: Double,
+                    planes: Int = 6, dim: Int = 64,
+                    targetRecall: Double = 0.999): DataFrame = {
+    val (radius, tables) = lshPlan(minCosine, planes, targetRecall)
     val sigStructs = (0 until tables).map { t =>
       struct(lit(t).as("tbl"),
         hyperplane_signature(col("embedding"), planes, dim, t).as("sig"))
@@ -67,23 +118,25 @@ object Similarity {
         explode(array(sigStructs: _*)).as("ts"))
       .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
     val probes = sigs.select(col("vec_id"), col("tbl"),
-      explode(array((lit(-1) +: (0 until planes).map(lit(_))): _*)).as("flip"),
+      explode(array(probeMasks(planes, radius).map(lit(_)): _*)).as("mask"),
       col("sig"))
       .select(col("vec_id"), col("tbl"),
-        when(col("flip") === -1, col("sig"))
-          .otherwise(col("sig").bitwiseXOR(expr("shiftleft(1, flip)")))
-          .as("probe_sig"))
-    val a = probes.alias("a")
-    val b = probes.alias("b")
-    val idPairs = a.join(b, col("a.tbl") === col("b.tbl") &&
-        col("a.probe_sig") === col("b.probe_sig") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        col("sig").bitwiseXOR(col("mask")).as("probe_sig"))
+    val idPairs = sigs.alias("i")
+      .join(probes.alias("p"), col("i.tbl") === col("p.tbl") &&
+        col("i.sig") === col("p.probe_sig") &&
+        col("i.vec_id") < col("p.vec_id"))
+      .select(col("i.vec_id").as("a_id"), col("p.vec_id").as("b_id"))
       .distinct()
+    val normed = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
     idPairs
-      .join(embeddings.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
-      .join(embeddings.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
-      .select(col("a_id"), col("ea"), col("b_id"), col("eb"))
+      .join(normed.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("norm").as("na")), "a_id")
+      .join(normed.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("norm").as("nb")), "b_id")
+      .select(col("a_id"), col("ea"), col("na"),
+        col("b_id"), col("eb"), col("nb"))
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids

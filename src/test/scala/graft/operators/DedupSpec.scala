@@ -160,8 +160,8 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("LSH pair source reproduces the brute-force d5 result exactly at 0.35") {
-    // the scale path's recall contract at the d5 threshold: 12 hyperplane
-    // families cover every qualifying pair on the fixture (measured across
+    // the scale path's recall contract at the d5 threshold: the lshPlan
+    // config covers every qualifying pair on the fixture (measured across
     // sf0.001/0.01/0.1), and rescoring is exact — so the two paths are
     // row-identical, not merely close
     val e = graft.Tables.embeddings(spark, sf0001)
