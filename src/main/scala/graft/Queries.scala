@@ -2,7 +2,7 @@ package graft
 
 import graft.etl.{Extract, Metrics, Transform}
 import graft.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Windows}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis, Windows}
 import graft.streaming.EventStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1726,6 +1726,148 @@ object Queries {
       |SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
       |FROM reach GROUP BY node""".stripMargin
 
+  // ─────────────────────────── corpus curation ───────────────────────────
+
+  /** DC1 — benchmark decontamination: corpus docs sharing any 5-gram with
+    * the benchmark slice (doc_id % 7 == 0 plays the eval set), with hit
+    * shingle/doc counts and contaminated fraction. Real pipelines run
+    * 8–13-grams; 5 matches the fixture's d4 shingling so the oracle
+    * replays the identical shingle stream. */
+  val dc1Decontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Curation.decontaminate(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0), n = 5)
+  }
+
+  val dc1DecontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+      |                        FOR i IN RANGE(1, len(t) - 3)]) AS s
+      |       FROM toks WHERE len(t) >= 5),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |corp AS (SELECT doc_id, sg FROM ex WHERE doc_id % 7 <> 0),
+      |bench AS (SELECT doc_id AS bench_id, sg FROM ex WHERE doc_id % 7 = 0),
+      |hits AS (SELECT c.doc_id,
+      |                CAST(count(DISTINCT c.sg) AS BIGINT) AS n_hit_shingles,
+      |                CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+      |         FROM corp c JOIN bench b ON c.sg = b.sg GROUP BY 1),
+      |sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh)
+      |SELECT h.doc_id, n_hit_shingles, n_bench_docs,
+      |       floor((CAST(n_hit_shingles AS DOUBLE) / n_sh) * 10000 + 0.5) / 10000 AS hit_ratio
+      |FROM hits h JOIN sz ON sz.doc_id = h.doc_id""".stripMargin
+
+  /** INC1 — incremental (new-batch-vs-corpus) dedup: the nightly-ingest
+    * admission list. Incoming = doc_id % 10 == 7; everything else is the
+    * standing corpus. Admit digests unseen in the corpus, first-in-batch
+    * per digest. */
+  val inc1IncrementalDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Curation.dedupIncremental(
+      docs.filter(col("doc_id") % 10 === 7),
+      docs.filter(col("doc_id") % 10 =!= 7))
+  }
+
+  val inc1IncrementalDedupSql: String =
+    """WITH inc AS (SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 10 = 7),
+      |corp AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 10 <> 7)
+      |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, i.digest
+      |FROM inc i
+      |WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE c.digest = i.digest)
+      |GROUP BY i.digest""".stripMargin
+
+  /** HH1 — exact heavy hitters: top-20 corpus tokens by frequency.
+    * Global top-k executes as TakeOrderedAndProject (each partition ships
+    * only its own top 20), never a global sort. */
+  val hh1HeavyHitters: Q = (s, d) =>
+    Curation.heavyHittersExact(Tables.documents(s, d), 20)
+
+  val hh1HeavyHittersSql: String =
+    """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
+  /** HH2 — the Misra–Gries sketch at a budget ≥ the fixture vocabulary
+    * (31 tokens): the summary provably never decrements, so its estimates
+    * EQUAL the exact counts and the row is full-parity oracle-checked —
+    * end-to-end proof of the mapPartitions summary + merge plumbing. The
+    * lossy regime (budget < vocab: lower bounds, N/(budget+1) error cap,
+    * heavy-token survival) is pinned by CurationSpec on crafted skew. */
+  val hh2MgSketch: Q = (s, d) =>
+    Curation.heavyHittersSketch(Tables.documents(s, d), 64)
+      .select(col("token"), col("est").as("cnt"))
+
+  val hh2MgSketchSql: String =
+    """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token""".stripMargin
+
+  /** EMB2 — per-group embedding mean-pool (the feature-store rollup:
+    * centroid per shard/topic/source). Elements fixed-point-quantized
+    * (1e7) BEFORE the sum, so the per-dimension accumulator is an exact
+    * long — partition- and AQE-order invariant, and DuckDB agrees on
+    * every bit without decimal-division semantics entering the picture.
+    * The mean serializes 1e6-scaled, emb1-style (the harness can't
+    * sort/hash bare array cells). */
+  val emb2MeanPool: Q = (s, d) => {
+    val quant = transform(col("embedding"),
+      x => floor(x.cast("double") * 10000000d + lit(0.5)).cast("long"))
+    Tables.embeddings(s, d)
+      .select((col("vec_id") % 16).as("grp"),
+        posexplode(quant).as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("grp"), col("pos"),
+        floor(col("s").cast("double") / (col("n") * 10d) + lit(0.5))
+          .cast("long").as("m"))
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("grp"), concat_ws(",", col("pm.m")).as("mean_vec_s"))
+  }
+
+  val emb2MeanPoolSql: String =
+    """WITH e AS (SELECT vec_id % 16 AS grp, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT grp, i AS pos, CAST(floor(emb[i] * 10000000 + 0.5) AS BIGINT) AS v
+      |      FROM e CROSS JOIN range(1, 65) t(i)),
+      |m AS (SELECT grp, pos,
+      |             CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / (count(*) * 10) + 0.5) AS BIGINT) AS m
+      |      FROM q GROUP BY grp, pos)
+      |SELECT grp, array_to_string(list(m ORDER BY pos), ',') AS mean_vec_s
+      |FROM m GROUP BY grp""".stripMargin
+
+  /** SCD1 — slowly-changing-dimension (type 2) history: each user's
+    * event_type regime changes as effective-dated rows. Consecutive
+    * repeats collapse; `valid_to` is the next change's timestamp (open
+    * interval sentinel for the current row). One window partitioned by
+    * the dimension key — no global sort anywhere. */
+  val scd1History: Q = (s, d) =>
+    Curation.scd2(
+      Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      key = col("user_id"), attr = col("event_type"),
+      ts = col("ts"), tiebreak = col("event_id"))
+      .select(col("key").as("user_id"), col("attr").as("event_type"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")).as("valid_to"),
+        col("is_current"))
+
+  val scd1HistorySql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      |  FROM o WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_type,
+      |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |       coalesce(strftime(CAST(next_ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+      |                '9999-12-31 00:00:00') AS valid_to,
+      |       next_ts IS NULL AS is_current
+      |FROM c""".stripMargin
+
   // ─────────────────── analytics breadth (round-1 extras) ────────────────
 
   /** TPC-H Q6-style selective filter+agg (pushdown showcase). */
@@ -2257,6 +2399,12 @@ object Queries {
     "q21_waiting_suppliers" -> q21WaitingSuppliers,
     "q11_important_shares" -> q11ImportantShares,
     "prep1_corpus_prep" -> prep1CorpusPrep,
+    "dc1_decontaminate" -> dc1Decontaminate,
+    "inc1_incremental_dedup" -> inc1IncrementalDedup,
+    "hh1_heavy_hitters" -> hh1HeavyHitters,
+    "hh2_mg_sketch" -> hh2MgSketch,
+    "emb2_mean_pool" -> emb2MeanPool,
+    "scd1_history" -> scd1History,
     "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
@@ -2357,6 +2505,12 @@ object Queries {
     "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
     "q11_important_shares" -> q11ImportantSharesSql,
     "prep1_corpus_prep" -> prep1CorpusPrepSql,
+    "dc1_decontaminate" -> dc1DecontaminateSql,
+    "inc1_incremental_dedup" -> inc1IncrementalDedupSql,
+    "hh1_heavy_hitters" -> hh1HeavyHittersSql,
+    "hh2_mg_sketch" -> hh2MgSketchSql,
+    "emb2_mean_pool" -> emb2MeanPoolSql,
+    "scd1_history" -> scd1HistorySql,
     "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,

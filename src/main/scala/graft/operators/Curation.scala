@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and training: benchmark decontamination,
+  * incremental (new-batch-vs-corpus) dedup, and heavy-hitter token
+  * statistics. All batch-declarative except the Misra–Gries summary,
+  * which is genuine per-partition imperative state (the sanctioned
+  * `mapPartitions` case) merged by one hash aggregation. */
+object Curation {
+
+  /** Benchmark decontamination: flag corpus documents that share any
+    * token n-gram with an evaluation/benchmark document. Output one row
+    * per contaminated doc: the number of its distinct shingles that occur
+    * anywhere in the benchmark set, the number of distinct benchmark docs
+    * hit, and the contaminated fraction of its shingles (portably
+    * rounded).
+    *
+    * Scale shape: inverted-index join on the shingle — the benchmark
+    * side of a real decontamination run is a few MB (eval sets) against
+    * a 100 TB corpus, so Spark broadcasts it and the corpus side never
+    * shuffles; the per-doc rollup is one hash aggregation. At corpus
+    * scale the join key would be `xxhash64(shingle)` (8 bytes, as in
+    * [[Dedup.ngramJaccardPairsPruned]]); the oracle-checked form keeps
+    * the string key so DuckDB replays it verbatim. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
+    val corpusSh = Dedup.shingleStream(corpus, n)
+    val benchSh = Dedup.shingleStream(benchmark, n)
+      .select(col("doc_id").as("bench_id"), col("sg"))
+    val perDoc = Dedup.shingles(corpus, n)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
+    corpusSh.join(benchSh, "sg")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sg")).as("n_hit_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), col("n_hit_shingles"), col("n_bench_docs"),
+        graft.functions.portableRound(
+          col("n_hit_shingles").cast("double") / col("n_shingles"), 4)
+          .as("hit_ratio"))
+  }
+
+  /** Incremental dedup: admit only incoming documents whose content
+    * digest is (a) unseen in the existing corpus and (b) first within the
+    * incoming batch (lowest doc_id per digest). This is the nightly-ingest
+    * shape: the corpus side is only ever probed by digest, so at 100 TB it
+    * is one shuffle of 16-byte digests (or a bloom-filter pre-pass that
+    * skips the shuffle for the ~99% of novel documents); the in-batch
+    * winner is one top-1-per-key aggregation, not a sort.
+    *
+    * Output: admitted rows as (doc_id, digest), plus nothing for
+    * duplicates — the caller joins back to the payload by doc_id. */
+  def dedupIncremental(incoming: DataFrame, corpus: DataFrame): DataFrame = {
+    val inDig = incoming.select(col("doc_id"), md5(col("text")).as("digest"))
+    val corpusDig = corpus.select(md5(col("text")).as("digest")).distinct()
+    inDig
+      .join(corpusDig, Seq("digest"), "left_anti")
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("digest"))
+  }
+
+  /** Exact heavy hitters: the k most frequent whitespace tokens across
+    * the corpus. One partial-aggregated count (map-side combine absorbs
+    * per-partition repetition) and a global top-k, which Spark executes
+    * as TakeOrderedAndProject — every partition ships only its own top-k
+    * candidates, never a global sort. Ties break token-ascending. */
+  def heavyHittersExact(documents: DataFrame, k: Int): DataFrame =
+    documents.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** Slowly-changing-dimension (type 2) history: collapse an ordered
+    * change stream into effective-dated regime rows per key. Consecutive
+    * repeats of `attr` drop; each surviving row's interval runs to the
+    * next change (`valid_to` null on the current row — the caller picks
+    * its own open-interval sentinel). `orderBy` must be a deterministic
+    * total order within the key (pass a tiebreaker column). Both windows
+    * partition by the dimension key — no global sort at any scale. */
+  def scd2(changes: DataFrame, key: org.apache.spark.sql.Column,
+           attr: org.apache.spark.sql.Column, ts: org.apache.spark.sql.Column,
+           tiebreak: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changes
+      .withColumn("_prev_attr", lag(attr, 1).over(w))
+      .filter(col("_prev_attr").isNull || col("_prev_attr") =!= attr)
+      .withColumn("_next_ts", lead(ts, 1).over(w))
+      .select(key.as("key"), attr.as("attr"), ts.as("valid_from"),
+        col("_next_ts").as("valid_to"), col("_next_ts").isNull.as("is_current"))
+  }
+
+  /** Distributed Misra–Gries heavy-hitter summary: each partition keeps at
+    * most `budget` counters over its token stream (decrement-all on
+    * overflow), then one hash aggregation sums the surviving counters.
+    * Guarantees, merged (with N = total token count, P = partitions):
+    * every estimate is a LOWER bound on the true count, the underestimate
+    * is at most N/(budget+1) (the per-partition bounds Σ n_p/(budget+1)
+    * telescope), and any token with true count above that bound is
+    * present. So the exact top-k is contained in the summary whenever the
+    * k-th count clears N/(budget+1) — the driver gate checks exactly
+    * that, plus the bound itself, against the exact counts.
+    *
+    * This is the 100 TB shape for "top tokens over everything": the
+    * per-partition state is O(budget), the merge is one shuffle of at
+    * most P×budget rows, and nothing ever materializes the full token
+    * vocabulary. */
+  def heavyHittersSketch(documents: DataFrame, budget: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tokens: Dataset[String] =
+      documents.select(explode(split(col("text"), " ")).as("token")).as[String]
+    tokens.mapPartitions { it =>
+      val counters = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1L
+        else if (counters.size < budget) counters(t) = 1L
+        else {
+          // decrement-all; drop zeroed counters (classic Misra–Gries step).
+          // Snapshot the keys: removing while iterating a mutable map is
+          // undefined, and overflows are rare (≤ N/(budget+1) of them).
+          counters.keys.toArray.foreach { k =>
+            val c = counters(k) - 1L
+            if (c == 0L) counters.remove(k) else counters(k) = c
+          }
+        }
+      }
+      counters.iterator.map { case (t, c) => (t, c) }
+    }.toDF("token", "est")
+      .groupBy(col("token")).agg(sum(col("est")).as("est"))
+  }
+}

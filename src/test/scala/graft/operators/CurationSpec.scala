@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // = bench doc 100
+      (2L, "a totally different sentence with no overlap at all"),
+      (3L, "something quick brown fox jumps over something else entirely"),
+      (100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = Curation.decontaminate(
+      docs.filter($"doc_id" < 100), docs.filter($"doc_id" >= 100), n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_hit_shingles"), r.getAs[Long]("n_bench_docs"))).toMap
+    // doc 1 is an exact copy: all 5 of its 5-shingles hit; doc 3 shares
+    // exactly one 5-gram ("quick brown fox jumps over"); doc 2 is clean
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == (5L, 1L))
+    assert(got(3L) == (1L, 1L))
+  }
+
+  test("dedupIncremental admits only corpus-unseen, first-in-batch digests") {
+    val corpus = Seq((10L, "alpha"), (11L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, "alpha"),  // dup of corpus -> rejected
+      (21L, "gamma"), (25L, "gamma"), // in-batch dup -> lowest id wins
+      (22L, "delta")).toDF("doc_id", "text")
+    val got = Curation.dedupIncremental(incoming, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(21L, 22L))
+  }
+
+  test("heavy hitters: exact top-k matches a hand count; ties break token-asc") {
+    val docs = Seq((1L, "b b b a a c"), (2L, "a c d")).toDF("doc_id", "text")
+    val got = Curation.heavyHittersExact(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 3L), ("b", 3L), ("c", 2L))) // a before b at 3
+  }
+
+  test("Misra-Gries sketch: exact when budget >= vocabulary") {
+    val docs = Tables.documents(spark, sf0001)
+    val exact = Curation.heavyHittersExact(docs, 1000).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = Curation.heavyHittersSketch(docs, budget = 64).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch == exact) // vocab 31 <= 64: no decrement can ever fire
+  }
+
+  test("Misra-Gries sketch honors its guarantees in the lossy regime") {
+    // crafted skew: one heavy token (40%), long uniform tail, budget 4
+    val tail = (0 until 120).map(i => s"t$i")
+    val text = (Seq.fill(80)("heavy") ++ tail).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text").repartition(2)
+    val n = 200.0
+    val budget = 4
+    val exact = Curation.heavyHittersExact(docs, 1000).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = Curation.heavyHittersSketch(docs, budget).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size <= budget * 2) // <= budget counters per partition
+    // every estimate is a lower bound with error at most N/(budget+1)
+    sketch.foreach { case (t, est) =>
+      assert(est <= exact(t), s"$t overestimated: $est > ${exact(t)}")
+      assert(exact(t) - est <= n / (budget + 1), s"$t bound violated")
+    }
+    // a token heavier than N/(budget+1) must survive
+    assert(sketch.contains("heavy"))
+    assert(sketch("heavy") >= exact("heavy") - n / (budget + 1))
+  }
+
+  test("scd2: consecutive repeats collapse, intervals chain, regimes can recur") {
+    // user 1: a(100), a(200) [repeat: collapses], b(300), a(400) [a recurs
+    // as a NEW regime]; user 2: one regime. Longs as the time axis keep
+    // timestamp formatting out of the algebra under test.
+    val changes = Seq(
+      (1L, 1L, "a", 100L), (1L, 2L, "a", 200L), (1L, 3L, "b", 300L),
+      (1L, 4L, "a", 400L), (2L, 5L, "x", 100L))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Curation.scd2(changes, key = $"user_id", attr = $"event_type",
+        ts = $"ts", tiebreak = $"event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(-1L), r.getBoolean(4)))
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(got == Seq(
+      (1L, "a", 100L, 300L, false), (1L, "b", 300L, 400L, false),
+      (1L, "a", 400L, -1L, true), (2L, "x", 100L, -1L, true)))
+  }
+}

@@ -16,6 +16,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == Seq(1L, 2L, 3L)) // descending cosine from query (1,0)
   }
 
+  test("lshPlan picks threshold-driven configs that meet the recall target") {
+    for (minCosine <- Seq(0.2, 0.35, 0.5, 0.8, 0.9);
+         target <- Seq(0.999, 0.9999)) {
+      val (radius, tables) = Similarity.lshPlan(minCosine, 6, target)
+      assert(radius >= 0 && radius < 6, "radius = planes is brute force by hash join")
+      assert(tables >= 1)
+      // re-derive the compounded boundary-pair miss and check the contract
+      val p = math.acos(minCosine) / math.Pi
+      val pHit = (0 to radius).map(k =>
+        (0 until k).map(i => (6 - i).toDouble / (i + 1)).product *
+          math.pow(p, k) * math.pow(1 - p, 6 - k)).sum
+      assert(math.pow(1 - pHit, tables) <= 1 - target + 1e-12,
+        s"minCosine=$minCosine target=$target -> ($radius, $tables)")
+    }
+    // tight thresholds genuinely prune: at 0.8 the planner needs few,
+    // narrow probes; at 0.2 it is forced toward near-enumeration
+    val (rTight, tTight) = Similarity.lshPlan(0.8, 6, 0.9999)
+    val tightCost = tTight * Similarity.probeMasks(6, rTight).size / 64.0
+    val (rLoose, tLoose) = Similarity.lshPlan(0.2, 6, 0.9999)
+    val looseCost = tLoose * Similarity.probeMasks(6, rLoose).size / 64.0
+    assert(tightCost < looseCost / 2,
+      s"0.8 cost $tightCost should be far below 0.2 cost $looseCost")
+  }
+
   test("ANN top-k achieves useful recall vs brute force on fixture embeddings") {
     val e = graft.Tables.embeddings(spark, sf0001)
     val q = e.filter($"vec_id" < 10)
