@@ -2190,6 +2190,31 @@ object Queries {
   val z1ZorderSql: String =
     "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
 
+  /** Z2 — compaction planning as a query: a synthetic file manifest
+    * (ship-month partitions × orderkey-mod files, bytes ∝ row count)
+    * binned to ~8 KiB targets by [[graft.operators.Layout.compactionPlan]].
+    * The oracle replays the identical running-sum packing, which pins the
+    * planner's semantics: in-order packing, no cross-partition merges. */
+  val z2Compaction: Q = (s, d) => {
+    val manifest = Tables.lineitem(s, d)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("part"),
+        (col("l_orderkey") % 50).as("file_id"))
+      .agg((count(lit(1)) * 128).as("bytes"))
+    graft.operators.Layout.compactionPlan(manifest, 8192)
+  }
+
+  val z2CompactionSql: String =
+    """WITH m AS (SELECT strftime(l_shipdate, '%Y-%m') AS part,
+      |                  CAST(l_orderkey % 50 AS BIGINT) AS file_id,
+      |                  CAST(count(*) * 128 AS BIGINT) AS bytes
+      |           FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT part, file_id, bytes,
+      |             CAST(sum(bytes) OVER (PARTITION BY part ORDER BY file_id) - bytes AS BIGINT) AS cb
+      |      FROM m)
+      |SELECT part, file_id, bytes,
+      |       CAST(floor(CAST(cb AS DOUBLE) / 8192) AS BIGINT) AS bin
+      |FROM c""".stripMargin
+
   /** U5 — upsert/merge-by-key (the lake MERGE): a batch of updated order
     * rows replaces its keys in the base table, executed as union +
     * top-1-per-key through the TopKPerKeyExec heap (one shuffle, no sort). */
@@ -2405,6 +2430,7 @@ object Queries {
     "hh2_mg_sketch" -> hh2MgSketch,
     "emb2_mean_pool" -> emb2MeanPool,
     "scd1_history" -> scd1History,
+    "z2_compaction_plan" -> z2Compaction,
     "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
@@ -2511,6 +2537,7 @@ object Queries {
     "hh2_mg_sketch" -> hh2MgSketchSql,
     "emb2_mean_pool" -> emb2MeanPoolSql,
     "scd1_history" -> scd1HistorySql,
+    "z2_compaction_plan" -> z2CompactionSql,
     "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,

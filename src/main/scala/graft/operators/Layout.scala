@@ -67,6 +67,29 @@ object Layout {
       .drop("_b1", "_b2", "_z")
   }
 
+  /** Small-file compaction planner: assign each data file to an output
+    * bin so consecutive files pack ~`targetBytes` per bin, planned AS A
+    * QUERY over the table's file manifest (`part`, `file_id`, `bytes`).
+    * At 100 TB a manifest is millions of rows — the plan must be a
+    * dataframe computation, not a driver loop over a file listing. Files
+    * bin in (partition, file_id) order by running byte sum:
+    * `bin = floor(bytes_before_this_file / targetBytes)` — the classic
+    * sorted running-sum packing (each bin lands in [target, target+max
+    * file); a rewrite job then merges each bin with one task). The window
+    * partitions by the table partition, so files NEVER merge across
+    * partition boundaries (compaction must preserve partition pruning),
+    * and no stage is a global sort. */
+  def compactionPlan(manifest: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("part")).orderBy(col("file_id"))
+    manifest
+      .withColumn("_cum_before", sum(col("bytes")).over(w) - col("bytes"))
+      .select(col("part"), col("file_id"), col("bytes"),
+        floor(col("_cum_before").cast("double") / targetBytes)
+          .cast("long").as("bin"))
+  }
+
   /** Clustering diagnostic: per output-partition min/max extent of a
     * column, as a fraction of its global extent — the stand-in for file
     * footer min/max stats. Mean extent ≈ 1/√P for a z-ordered 2-dim

@@ -61,4 +61,25 @@ class LayoutSpec extends SparkTestBase {
     val empty = Seq.empty[(Long, Long)].toDF("x", "y")
     intercept[IllegalArgumentException](Layout.meanExtent(empty, "y"))
   }
+
+  test("compactionPlan packs in order, near target, never across partitions") {
+    val manifest = Seq(
+      // partition "a": 6 small files of 40 -> two bins of ~100 at target 100
+      ("a", 1L, 40L), ("a", 2L, 40L), ("a", 3L, 40L),
+      ("a", 4L, 40L), ("a", 5L, 40L), ("a", 6L, 40L),
+      // partition "b": one oversized file -> its own bin, stays bin 0
+      ("b", 1L, 500L), ("b", 2L, 40L))
+      .toDF("part", "file_id", "bytes")
+    val plan = Layout.compactionPlan(manifest, 100L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // in-order running-sum packing: 40+40+40 crosses 100 at file 3's START
+    // of 80 -> files 1-3 land in bin 0 (bin = floor(bytes_before/100))
+    assert(plan(("a", 1L)) == 0 && plan(("a", 2L)) == 0 && plan(("a", 3L)) == 0)
+    assert(plan(("a", 4L)) == 1 && plan(("a", 5L)) == 1 && plan(("a", 6L)) == 2)
+    // the oversized file occupies bin 0; its successor starts bin 5
+    assert(plan(("b", 1L)) == 0 && plan(("b", 2L)) == 5)
+    // bins restart per partition (no cross-partition merge): both "a" and
+    // "b" have a bin 0 even though "a" already filled several bins
+    intercept[IllegalArgumentException](Layout.compactionPlan(manifest, 0L))
+  }
 }
