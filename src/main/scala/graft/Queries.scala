@@ -2593,5 +2593,7 @@ object Queries {
     "d3_dedup_simhash", "d4_ngram_jaccard", "d5_embedding_neardup",
     "d6_neardup_lsh", "sim2_ann_lsh",
     "sim1_cosine_topk", "t4_fingerprint", "t7_tfidf", "mm1_binary_decode",
-    "prep1_corpus_prep", "st1_stream_window")
+    "prep1_corpus_prep", "dc1_decontaminate", "inc1_incremental_dedup",
+    "hh2_mg_sketch", "emb2_mean_pool", "scd1_history", "z2_compaction_plan",
+    "st1_stream_window")
 }

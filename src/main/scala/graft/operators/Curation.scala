@@ -21,16 +21,23 @@ object Curation {
     * Scale shape: inverted-index join on the shingle — the benchmark
     * side of a real decontamination run is a few MB (eval sets) against
     * a 100 TB corpus, so Spark broadcasts it and the corpus side never
-    * shuffles; the per-doc rollup is one hash aggregation. At corpus
-    * scale the join key would be `xxhash64(shingle)` (8 bytes, as in
-    * [[Dedup.ngramJaccardPairsPruned]]); the oracle-checked form keeps
-    * the string key so DuckDB replays it verbatim. */
+    * shuffles. Shingling runs the one-pass codegen'd
+    * [[graft.functions.ShingleHashes]] kernel inside the scan stage (no
+    * per-doc window exchange — [[Dedup.shingleStream]] trades one
+    * token-stream shuffle for codegen'd CPU, the right trade for d4's
+    * pair join but wrong here, where the whole point is a shuffle-free
+    * corpus pass), and the join key is the 8-byte shingle hash. The
+    * string-level DuckDB oracle replays the counts from the shingles
+    * themselves, so a hash collision that perturbed any count would fail
+    * the round's parity gate (p ≈ 10⁻⁹ at fixture cardinality); the
+    * per-doc rollup is one hash aggregation. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
-    val corpusSh = Dedup.shingleStream(corpus, n)
-    val benchSh = Dedup.shingleStream(benchmark, n)
-      .select(col("doc_id").as("bench_id"), col("sg"))
-    val perDoc = Dedup.shingles(corpus, n)
-      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
+    val sh = array_distinct(graft.functions.shingle_hashes(col("text"), n))
+    val corpusSh = corpus.select(col("doc_id"), explode(sh).as("sg"))
+    val benchSh = benchmark.select(col("doc_id").as("bench_id"), explode(sh).as("sg"))
+    val perDoc = corpus
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), size(sh).cast("long").as("n_shingles"))
     corpusSh.join(benchSh, "sg")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("sg")).as("n_hit_shingles"),
