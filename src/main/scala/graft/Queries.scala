@@ -1868,6 +1868,53 @@ object Queries {
       |       next_ts IS NULL AS is_current
       |FROM c""".stripMargin
 
+  /** MIX1 — training-data source mixing: keep a per-source deterministic
+    * fraction (here: keep all of src0, 80% of src1, half of src2, a
+    * quarter of the rest). Same portable md5-bucket predicate as
+    * smp1/smp2, thresholded per source — reproducible across engines,
+    * runs, and corpus growth. */
+  val mix1SourceMix: Q = (s, d) =>
+    graft.operators.Sampling.mixSources(Tables.documents(s, d),
+      col("source"), col("doc_id"),
+      Map("src0" -> 1.0, "src1" -> 0.8, "src2" -> 0.5), defaultRate = 0.25)
+      .select(col("doc_id"), col("source"))
+
+  val mix1SourceMixSql: String =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${md5BucketSql("CAST(doc_id AS VARCHAR)")} <
+       |      CASE WHEN source = 'src0' THEN 10000
+       |           WHEN source = 'src1' THEN 8000
+       |           WHEN source = 'src2' THEN 5000
+       |           ELSE 2500 END""".stripMargin
+
+  /** PK1 — sequence packing: documents bin-packed into ~512-token
+    * context windows per language, planned by the SAME running-sum
+    * packer as z2 ([[graft.operators.Layout.compactionPlan]] — a file
+    * and a document are both "bytes that must fill a target bin in
+    * deterministic order"). Greedy in-order packing is the streaming-
+    * friendly variant real pretraining pipelines use when doc order is
+    * fixed by an upstream shuffle; per-language partitions keep contexts
+    * monolingual. */
+  val pk1SequencePack: Q = (s, d) =>
+    graft.operators.Layout.compactionPlan(
+      Tables.documents(s, d).select(col("lang").as("part"),
+        col("doc_id").as("file_id"),
+        size(split(col("text"), " ")).cast("long").as("bytes")),
+      targetBytes = 512)
+      .select(col("part").as("lang"), col("file_id").as("doc_id"),
+        col("bytes").as("n_tokens"), col("bin"))
+
+  val pk1SequencePackSql: String =
+    """WITH m AS (SELECT lang, doc_id,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT lang, doc_id, n_tokens,
+      |             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens AS BIGINT) AS cb
+      |      FROM m)
+      |SELECT lang, doc_id, n_tokens,
+      |       CAST(floor(CAST(cb AS DOUBLE) / 512) AS BIGINT) AS bin
+      |FROM c""".stripMargin
+
   // ─────────────────── analytics breadth (round-1 extras) ────────────────
 
   /** TPC-H Q6-style selective filter+agg (pushdown showcase). */
@@ -2431,6 +2478,8 @@ object Queries {
     "emb2_mean_pool" -> emb2MeanPool,
     "scd1_history" -> scd1History,
     "z2_compaction_plan" -> z2Compaction,
+    "mix1_source_mix" -> mix1SourceMix,
+    "pk1_sequence_pack" -> pk1SequencePack,
     "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
@@ -2538,6 +2587,8 @@ object Queries {
     "emb2_mean_pool" -> emb2MeanPoolSql,
     "scd1_history" -> scd1HistorySql,
     "z2_compaction_plan" -> z2CompactionSql,
+    "mix1_source_mix" -> mix1SourceMixSql,
+    "pk1_sequence_pack" -> pk1SequencePackSql,
     "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
@@ -2595,5 +2646,5 @@ object Queries {
     "sim1_cosine_topk", "t4_fingerprint", "t7_tfidf", "mm1_binary_decode",
     "prep1_corpus_prep", "dc1_decontaminate", "inc1_incremental_dedup",
     "hh2_mg_sketch", "emb2_mean_pool", "scd1_history", "z2_compaction_plan",
-    "st1_stream_window")
+    "mix1_source_mix", "pk1_sequence_pack", "st1_stream_window")
 }

@@ -50,4 +50,22 @@ object Sampling {
       }
     df.withColumn("split", assigned)
   }
+
+  /** Training-mix resampling: keep a deterministic per-source fraction of
+    * rows ("oversample curated, downsample crawl"). The keep decision is
+    * the same pure hash-of-key predicate as [[deterministicSample]], with
+    * the threshold selected per source by a literal CASE — one projection
+    * + filter, no shuffle, no RNG, and a row's fate never changes when
+    * the corpus grows or the mix of OTHER sources is retuned. Rates > 1
+    * are rejected: true oversampling (row duplication) is an explicit
+    * epoch-level concern, not a filter's. */
+  def mixSources(df: DataFrame, sourceCol: Column, key: Column,
+                 rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "mix rates must be in [0, 1]")
+    val threshold = rates.foldLeft(lit((defaultRate * 10000).round): Column) {
+      case (acc, (s, r)) => when(sourceCol === s, lit((r * 10000).round)).otherwise(acc)
+    }
+    df.filter(hashBucket(key) < threshold)
+  }
 }

@@ -16,6 +16,28 @@ class SamplingSpec extends SparkTestBase {
     assert(rate > 0.15 && rate < 0.25, s"rate=$rate")
   }
 
+  test("mixSources keeps per-source fractions, deterministically") {
+    val docs = Tables.documents(spark, sf0001)
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5)
+    val kept = Sampling.mixSources(docs, col("source"), col("doc_id"), rates, 0.2)
+    val bySource = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") == total("src0")) // rate 1.0 keeps everything
+    assert(bySource.getOrElse("src1", 0L) < total("src1"))
+    // a source's kept SET is independent of every other source's rate:
+    // retuning the mix never churns rows you already trained on
+    val retuned = Sampling.mixSources(docs, col("source"), col("doc_id"),
+      Map("src0" -> 0.1, "src1" -> 0.5), 0.9)
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("source") === "src1").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(kept) == ids(retuned))
+    intercept[IllegalArgumentException](
+      Sampling.mixSources(docs, col("source"), col("doc_id"), Map("a" -> 1.5), 0.2))
+  }
+
   test("dataset split covers every row once with stable assignment") {
     val docs = Tables.documents(spark, sf0001)
     val split = Sampling.datasetSplit(docs, col("doc_id"),
