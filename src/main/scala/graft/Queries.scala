@@ -1915,6 +1915,140 @@ object Queries {
       |       CAST(floor(CAST(cb AS DOUBLE) / 512) AS BIGINT) AS bin
       |FROM c""".stripMargin
 
+  /** D8 — canonical-document selection ("dedup keep-best"): the d7
+    * cluster graph re-resolved to each cluster's HIGHEST-quality member
+    * (t2's exact quality expression; ties doc_id-ascending) instead of
+    * the minimum id — the policy a curation pipeline actually ships.
+    * Election runs through the bounded-heap TopKPerKey operator: one
+    * shuffle on the cluster label, no per-partition sort. Oracle: the
+    * d7 recursive-CTE components + the t2 quality formula + a window
+    * election — three independently-proven pieces recomposed. */
+  val d8KeepBest: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Curation.keepBest(docs,
+      Dedup.ngramJaccardPairs(docs, 3, 0.6))
+  }
+
+  val d8KeepBestSql: String =
+    s"""WITH RECURSIVE
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                        FOR i IN RANGE(1, len(t) - 1)]) AS s
+       |       FROM toks WHERE len(t) >= 3),
+       |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+       |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |j AS (SELECT a_id, b_id,
+       |             floor((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)) * 10000 + 0.5) / 10000 AS jac
+       |      FROM pairs
+       |      JOIN sz na ON na.doc_id = a_id
+       |      JOIN sz nb ON nb.doc_id = b_id),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM j WHERE jac > 0.6
+       |          UNION ALL
+       |          SELECT b_id AS s, a_id AS d FROM j WHERE jac > 0.6),
+       |nodes AS (SELECT DISTINCT s AS node FROM edges),
+       |reach(node, lab) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+       |lab AS (SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
+       |        FROM reach GROUP BY node),
+       |q AS (SELECT doc_id,
+       |  floor((least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+       |        + (CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
+       |           / len(string_split(text, ' '))) * 0.3
+       |        + least((CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+       |                 / len(string_split(text, ' '))) / 10.0, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality
+       |  FROM documents),
+       |m AS (SELECT l.cluster_rep, l.doc_id, q.quality
+       |      FROM lab l JOIN q ON q.doc_id = l.doc_id),
+       |r AS (SELECT cluster_rep, doc_id, quality,
+       |             row_number() OVER (PARTITION BY cluster_rep
+       |                                ORDER BY quality DESC, doc_id) AS rn,
+       |             count(*) OVER (PARTITION BY cluster_rep) AS n_members
+       |      FROM m)
+       |SELECT cluster_rep, doc_id AS kept_id, quality AS kept_quality,
+       |       CAST(n_members AS BIGINT) AS n_members
+       |FROM r WHERE rn = 1""".stripMargin
+
+  /** DIFF1 — corpus snapshot diff: previous generation (doc_id % 10 ≠ 7)
+    * vs current (doc_id % 10 ≠ 3, with % 13 == 0 docs rewritten), every
+    * doc classified added/removed/changed/unchanged by content digest.
+    * The only exchange shuffles (doc_id, 16-byte digest) — payloads
+    * never move, whatever the document size. */
+  val diff1SnapshotDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Curation.snapshotDiff(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+  }
+
+  val diff1SnapshotDiffSql: String =
+    """WITH prev AS (SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 10 <> 7),
+      |cur AS (SELECT doc_id,
+      |               md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS dg
+      |        FROM documents WHERE doc_id % 10 <> 3)
+      |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+      |       CASE WHEN p.doc_id IS NULL THEN 'added'
+      |            WHEN c.doc_id IS NULL THEN 'removed'
+      |            WHEN p.dg = c.dg THEN 'unchanged'
+      |            ELSE 'changed' END AS status
+      |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id""".stripMargin
+
+  /** T11 — robust length-outlier flagging (Tukey IQR fence on token
+    * counts): exact interpolated quartiles in one aggregation, fences
+    * broadcast back as a 1-row join (the t7 scalar pattern). The 100 TB
+    * form swaps `percentile` for the `percentile_approx` sketch, as q7's
+    * approx twin does. */
+  val t11LengthOutliers: Q = (s, d) =>
+    TextAnalysis.lengthOutliers(Tables.documents(s, d))
+
+  val t11LengthOutliersSql: String =
+    """WITH lens AS (SELECT doc_id,
+      |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |              FROM documents),
+      |f AS (SELECT quantile_cont(n_tokens, 0.25) AS q1,
+      |             quantile_cont(n_tokens, 0.75) AS q3
+      |      FROM lens),
+      |fence AS (SELECT floor((q1 - (q3 - q1) * 1.5) * 10000 + 0.5) / 10000 AS lo,
+      |                 floor((q3 + (q3 - q1) * 1.5) * 10000 + 0.5) / 10000 AS hi
+      |          FROM f)
+      |SELECT doc_id, n_tokens, lo, hi,
+      |       (n_tokens < lo OR n_tokens > hi) AS is_outlier
+      |FROM lens CROSS JOIN fence""".stripMargin
+
+  /** HLL1 — mergeable distinct-count rollup: per-nation DataSketches HLL
+    * sketches of ordering customers, UNIONED (sketch bytes, not data) to
+    * region grain and compared against the exact region-level distinct.
+    * Gate: every region estimate within 5% (HLL lgK=12 ⇒ σ≈1.6%). The
+    * mergeability is the 100 TB story: each extra rollup level costs a
+    * sketch-merge shuffle of |groups| fixed-size rows, not another scan
+    * of the fact table. */
+  val hll1SketchRollup: Q = (s, d) => {
+    val joined = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey"), col("n_nationkey"), col("o_custkey"))
+    val approx = graft.operators.Sketches.hllDistinctRollup(joined,
+      col("n_nationkey"), col("n_regionkey"), col("o_custkey"))
+    val exact = joined.groupBy(col("n_regionkey").as("coarse"))
+      .agg(countDistinct(col("o_custkey")).as("exact_d"))
+    approx.join(exact, "coarse")
+      .agg(count(lit(1)).as("n_regions"),
+        bool_and(abs(col("approx_distinct") - col("exact_d")).cast("double")
+          / col("exact_d") <= 0.05).as("within_tol"))
+  }
+
+  val hll1SketchRollupSql: String =
+    """SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_regions,
+      |       true AS within_tol
+      |FROM nation""".stripMargin
+
   // ─────────────────── analytics breadth (round-1 extras) ────────────────
 
   /** TPC-H Q6-style selective filter+agg (pushdown showcase). */
@@ -2480,6 +2614,10 @@ object Queries {
     "z2_compaction_plan" -> z2Compaction,
     "mix1_source_mix" -> mix1SourceMix,
     "pk1_sequence_pack" -> pk1SequencePack,
+    "d8_keep_best" -> d8KeepBest,
+    "diff1_snapshot_diff" -> diff1SnapshotDiff,
+    "t11_length_outliers" -> t11LengthOutliers,
+    "hll1_sketch_rollup" -> hll1SketchRollup,
     "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
@@ -2589,6 +2727,10 @@ object Queries {
     "z2_compaction_plan" -> z2CompactionSql,
     "mix1_source_mix" -> mix1SourceMixSql,
     "pk1_sequence_pack" -> pk1SequencePackSql,
+    "d8_keep_best" -> d8KeepBestSql,
+    "diff1_snapshot_diff" -> diff1SnapshotDiffSql,
+    "t11_length_outliers" -> t11LengthOutliersSql,
+    "hll1_sketch_rollup" -> hll1SketchRollupSql,
     "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,

@@ -138,4 +138,56 @@ object Curation {
     }.toDF("token", "est")
       .groupBy(col("token")).agg(sum(col("est")).as("est"))
   }
+
+  /** Canonical-document selection ("dedup keep-best"): after near-dup
+    * pair detection, keep each duplicate cluster's HIGHEST-QUALITY member
+    * instead of an arbitrary id — the curation policy real training
+    * pipelines run (drop the boilerplate copy, keep the clean one).
+    *
+    * Composition, all shared machinery so the semantics cannot drift:
+    * clusters from [[Dedup.duplicateClusters]] (large/small-star
+    * contraction, O(log diameter) rounds), quality from
+    * [[TextAnalysis.qualityExpr]] (the same expression t2/t10 score
+    * with), and the per-cluster election through the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator — one shuffle on the cluster
+    * label, no per-partition sort. Ties break doc_id-ascending, making
+    * the winner a pure function of the corpus.
+    *
+    * Output: one row per cluster — (cluster_rep, kept_id, kept_quality,
+    * n_members). Scale: the pair graph is near-dup-sparse by
+    * construction (LSH/banded upstream), member scoring is one
+    * projection, and the election state is O(1) per cluster. */
+  def keepBest(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val members = Dedup.duplicateClusters(pairs)
+      .join(documents.select(col("doc_id"),
+        TextAnalysis.qualityExpr.as("quality")), "doc_id")
+    val sizes = members.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+    graft.plans.TopKPerKey(members, keys = Seq("cluster_rep"),
+      order = Seq("quality" -> false, "doc_id" -> true), k = 1)
+      .join(sizes, "cluster_rep")
+      .select(col("cluster_rep"), col("doc_id").as("kept_id"),
+        col("quality").as("kept_quality"), col("n_members"))
+  }
+
+  /** Corpus snapshot diff: classify every document across two snapshot
+    * generations as added / removed / changed / unchanged — the audit
+    * step between nightly crawls that tells you what actually moved
+    * before you pay for a re-dedup or re-training run.
+    *
+    * Scale shape: both sides reduce to (doc_id, 16-byte content digest)
+    * IN THE SCAN, so the full-outer join — the only exchange — shuffles
+    * fixed-width rows no matter how large the documents are; payload
+    * bytes never move. At 100 TB this is the difference between diffing
+    * manifests and diffing the corpus. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val a = prev.select(col("doc_id"), md5(col("text")).as("_dg_prev"))
+    val b = cur.select(col("doc_id"), md5(col("text")).as("_dg_cur"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_dg_prev").isNull, "added")
+          .when(col("_dg_cur").isNull, "removed")
+          .when(col("_dg_prev") === col("_dg_cur"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

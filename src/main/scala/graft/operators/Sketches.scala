@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Mergeable-sketch operators — the pre-aggregation pattern that makes
+  * distinct-count rollups cheap at 100 TB: build a fixed-size sketch once
+  * per fine-grained group, then MERGE sketches (bytes, not data) to every
+  * coarser grain. Re-scanning the fact table per rollup level is the thing
+  * this avoids; a day→month→year rollup touches the data exactly once.
+  *
+  * Uses Spark's built-in Apache DataSketches HLL functions
+  * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`) — codegen'd
+  * aggregates with partial (map-side) merge, so the shuffle carries one
+  * ~2^lgK-byte sketch per group, never the value stream.
+  */
+object Sketches {
+
+  /** Distinct-count rollup via mergeable HLL sketches: one sketch per
+    * (coarse, fine) group, unioned — never rebuilt — to the coarse grain.
+    * Returns (coarse, approx_distinct). The two-level groupBy is the
+    * point: the second aggregation's input is |fine groups| sketch rows,
+    * so adding rollup levels costs sketch-merge time, not another pass
+    * over the fact table. Standard error ≈ 1.04/√2^lgK (~1.6% at the
+    * default lgK=12). */
+  def hllDistinctRollup(df: DataFrame, fine: Column, coarse: Column,
+                        value: Column, lgK: Int = 12): DataFrame =
+    df.groupBy(coarse.as("coarse"), fine.as("fine"))
+      .agg(hll_sketch_agg(value, lit(lgK)).as("sk"))
+      .groupBy(col("coarse"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("approx_distinct"))
+}

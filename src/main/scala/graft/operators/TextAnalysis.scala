@@ -139,4 +139,29 @@ object TextAnalysis {
         size(graft.functions.shingle_hashes(col("text"), 3)).cast("long").as("n_shingles"),
         dupRatioExpr.as("dup_ratio"),
         (dupRatioExpr > maxDupRatio).as("flagged"))
+
+  /** Robust length-outlier flagging: Tukey's IQR fence over the per-doc
+    * token count — the standard "drop the truncated fragments and the
+    * concatenation monsters" pass before training. A doc is an outlier
+    * outside [q1 − k·IQR, q3 + k·IQR] (k = 1.5 classic).
+    *
+    * Scale shape: the quantiles are ONE aggregation over a single double
+    * column (exact interpolated percentile here for oracle parity; at
+    * 100 TB swap in the `percentile_approx` sketch exactly as q7 does —
+    * the fence moves by the sketch's ε, nothing else changes), broadcast
+    * back as a 1-row literal join — the t7 scalar pattern, no driver
+    * round-trip. Fences are portably rounded so both engines compare the
+    * same 4-decimal boundary against integer counts. */
+  def lengthOutliers(documents: DataFrame, k: Double = 1.5): DataFrame = {
+    val lens = documents.select(col("doc_id"), nTokensExpr.cast("long").as("n_tokens"))
+    val fences = lens.agg(
+      percentile(col("n_tokens"), lit(0.25)).as("q1"),
+      percentile(col("n_tokens"), lit(0.75)).as("q3"))
+      .select(
+        portableRound(col("q1") - (col("q3") - col("q1")) * k, 4).as("lo"),
+        portableRound(col("q3") + (col("q3") - col("q1")) * k, 4).as("hi"))
+    lens.crossJoin(broadcast(fences))
+      .select(col("doc_id"), col("n_tokens"), col("lo"), col("hi"),
+        (col("n_tokens") < col("lo") || col("n_tokens") > col("hi")).as("is_outlier"))
+  }
 }

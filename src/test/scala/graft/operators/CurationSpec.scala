@@ -24,6 +24,40 @@ class CurationSpec extends SparkTestBase {
     assert(got(3L) == (1L, 1L))
   }
 
+  test("keepBest elects the highest-quality cluster member, not the min id") {
+    // doc 2 is all stopwords (stop_ratio 1 → quality beats doc 1's 0);
+    // cluster {3,4}: doc 3 wins on quality; doc_id tiebreak never fires
+    val docs = Seq(
+      (1L, "xxxx yyyy zzzz", 14L),
+      (2L, "the of and in", 13L),
+      (3L, "the the the of", 14L),
+      (4L, "qqqq wwww eeee", 14L))
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val got = Curation.keepBest(docs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got == Map(1L -> (2L, 2L), 3L -> (3L, 2L)))
+  }
+
+  test("keepBest breaks quality ties on the lower doc id") {
+    val docs = Seq(
+      (7L, "same text here", 14L),
+      (9L, "same text here", 14L))
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((7L, 9L)).toDF("a_id", "b_id")
+    val got = Curation.keepBest(docs, pairs).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 7L)
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val cur = Seq((1L, "alpha"), (2L, "beta v2"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(prev, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("dedupIncremental admits only corpus-unseen, first-in-batch digests") {
     val corpus = Seq((10L, "alpha"), (11L, "beta")).toDF("doc_id", "text")
     val incoming = Seq(

@@ -78,4 +78,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!got(2L).getAs[Boolean]("flagged"))
     assert(got(2L).getAs[Double]("dup_ratio") == 0.0)
   }
+
+  test("lengthOutliers flags only docs outside the IQR fence") {
+    // 12 docs of 10±1 tokens, one 1-token fragment, one 200-token monster:
+    // q1≈q3≈10 so the fence is tight and exactly the two extremes flag
+    val mid = (1L to 12L).map(i => doc(i, Seq.fill(10)("w").mkString(" ")))
+    val d = docsDF(mid ++ Seq(
+      doc(90, "w"),
+      doc(91, Seq.fill(200)("w").mkString(" "))): _*)
+    val got = TextAnalysis.lengthOutliers(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_outlier")).toMap
+    assert(got(90L) && got(91L))
+    assert((1L to 12L).forall(i => !got(i)))
+  }
 }
