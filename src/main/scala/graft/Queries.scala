@@ -2788,5 +2788,7 @@ object Queries {
     "sim1_cosine_topk", "t4_fingerprint", "t7_tfidf", "mm1_binary_decode",
     "prep1_corpus_prep", "dc1_decontaminate", "inc1_incremental_dedup",
     "hh2_mg_sketch", "emb2_mean_pool", "scd1_history", "z2_compaction_plan",
-    "mix1_source_mix", "pk1_sequence_pack", "st1_stream_window")
+    "mix1_source_mix", "pk1_sequence_pack", "d8_keep_best",
+    "diff1_snapshot_diff", "t11_length_outliers", "hll1_sketch_rollup",
+    "st1_stream_window")
 }

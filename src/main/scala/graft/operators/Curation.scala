@@ -146,29 +146,28 @@ object Curation {
     *
     * Composition, all shared machinery so the semantics cannot drift:
     * clusters from [[Dedup.duplicateClusters]] (large/small-star
-    * contraction, O(log diameter) rounds), quality from
+    * contraction, O(log diameter) rounds) and quality from
     * [[TextAnalysis.qualityExpr]] (the same expression t2/t10 score
-    * with), and the per-cluster election through the bounded-heap
-    * [[graft.plans.TopKPerKey]] operator — one shuffle on the cluster
-    * label, no per-partition sort. Ties break doc_id-ascending, making
-    * the winner a pure function of the corpus.
+    * with). The k=1 election + member count fold into ONE hash
+    * aggregation via a struct-max argmax — partial (map-side) argmax per
+    * partition, one shuffle of O(1)-state rows per cluster, no sort and
+    * no second join ([[graft.plans.TopKPerKey]] stays the shape for
+    * k>1). Ties break doc_id-ascending (negated id inside the max
+    * struct), making the winner a pure function of the corpus.
     *
     * Output: one row per cluster — (cluster_rep, kept_id, kept_quality,
     * n_members). Scale: the pair graph is near-dup-sparse by
     * construction (LSH/banded upstream), member scoring is one
     * projection, and the election state is O(1) per cluster. */
-  def keepBest(documents: DataFrame, pairs: DataFrame): DataFrame = {
-    val members = Dedup.duplicateClusters(pairs)
+  def keepBest(documents: DataFrame, pairs: DataFrame): DataFrame =
+    Dedup.duplicateClusters(pairs)
       .join(documents.select(col("doc_id"),
         TextAnalysis.qualityExpr.as("quality")), "doc_id")
-    val sizes = members.groupBy(col("cluster_rep"))
-      .agg(count(lit(1)).as("n_members"))
-    graft.plans.TopKPerKey(members, keys = Seq("cluster_rep"),
-      order = Seq("quality" -> false, "doc_id" -> true), k = 1)
-      .join(sizes, "cluster_rep")
-      .select(col("cluster_rep"), col("doc_id").as("kept_id"),
-        col("quality").as("kept_quality"), col("n_members"))
-  }
+      .groupBy(col("cluster_rep"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_rep"), (-col("best.neg_id")).as("kept_id"),
+        col("best.quality").as("kept_quality"), col("n_members"))
 
   /** Corpus snapshot diff: classify every document across two snapshot
     * generations as added / removed / changed / unchanged — the audit

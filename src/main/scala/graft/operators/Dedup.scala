@@ -297,10 +297,16 @@ object Dedup {
     // Both preserve connectivity; small-star strictly shrinks labels.
     // node universe from the RAW pair list: a doc whose only pair is a
     // self-loop must still appear in the labeling (as its own rep), even
-    // though the self-edge contributes nothing to connectivity
-    val allNodes = pairs.select(col("a_id").as("u"))
-      .union(pairs.select(col("b_id").as("u"))).distinct()
-    val fwd = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+    // though the self-edge contributes nothing to connectivity.
+    // localCheckpoint the pair list ONCE before deriving anything: it is
+    // typically an expensive near-dup query (shingle join / LSH), and
+    // without the cut it would replay under the first edge
+    // materialization AND again under the final labels join — at sf0.1
+    // that replay alone more than doubled d7/d8
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val allNodes = p.select(col("a_id").as("u"))
+      .union(p.select(col("b_id").as("u"))).distinct()
+    val fwd = p.select(col("a_id").as("u"), col("b_id").as("v"))
       .filter(col("u") =!= col("v"))
     def largeStar(e: DataFrame): DataFrame = {
       val bi = e.union(e.select(col("v").as("u"), col("u").as("v")))
