@@ -2448,6 +2448,47 @@ object Queries {
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** G3 — explicit GROUPING SETS: two non-hierarchical slices (by
+    * returnflag, by linestatus) that neither ROLLUP nor CUBE expresses
+    * without extra groups, disambiguated by `grouping_id()`. Executes as
+    * one scan + Expand (2 rows/input) + one hash agg — grouping breadth
+    * costs an Expand factor, never a second scan. */
+  val g3GroupingSets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+
+  val g3GroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       count(*) AS n,
+      |       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
+
+  /** TOK1 — vocabulary build + token-id encoding (top-32 tokens → stable
+    * ids, OOV → 0, each doc serialized as its id sequence): the
+    * tokenize-to-ids step before sequence packing. Vocabulary is
+    * TakeOrdered metadata, the dictionary join is broadcast. */
+  val tok1VocabEncode: Q = (s, d) =>
+    TextAnalysis.vocabEncode(Tables.documents(s, d), 32)
+
+  val tok1VocabEncodeSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |flat AS (SELECT doc_id,
+      |                unnest([{'pos': i, 'token': t[i]
+      |                        } FOR i IN RANGE(1, len(t) + 1)], recursive := true)
+      |         FROM toks),
+      |cnt AS (SELECT token, count(*) AS cnt FROM flat GROUP BY token),
+      |vocab AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS tid
+      |          FROM cnt ORDER BY cnt DESC, token LIMIT 32),
+      |enc AS (SELECT f.doc_id, f.pos, coalesce(v.tid, 0) AS tid
+      |        FROM flat f LEFT JOIN vocab v ON v.token = f.token)
+      |SELECT doc_id, array_to_string(list(tid ORDER BY pos), ' ') AS token_ids
+      |FROM enc GROUP BY doc_id""".stripMargin
+
   /** W5 — analytic windows beyond ranking: lag delta + running total per
     * customer in explicit (date, key) order. */
   val w5Running: Q = (s, d) => {
@@ -2618,6 +2659,8 @@ object Queries {
     "diff1_snapshot_diff" -> diff1SnapshotDiff,
     "t11_length_outliers" -> t11LengthOutliers,
     "hll1_sketch_rollup" -> hll1SketchRollup,
+    "g3_grouping_sets" -> g3GroupingSets,
+    "tok1_vocab_encode" -> tok1VocabEncode,
     "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
@@ -2731,6 +2774,8 @@ object Queries {
     "diff1_snapshot_diff" -> diff1SnapshotDiffSql,
     "t11_length_outliers" -> t11LengthOutliersSql,
     "hll1_sketch_rollup" -> hll1SketchRollupSql,
+    "g3_grouping_sets" -> g3GroupingSetsSql,
+    "tok1_vocab_encode" -> tok1VocabEncodeSql,
     "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,

@@ -164,4 +164,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("lo"), col("hi"),
         (col("n_tokens") < col("lo") || col("n_tokens") > col("hi")).as("is_outlier"))
   }
+
+  /** Vocabulary build + token-id encoding — the tokenize-to-ids step a
+    * pretraining pipeline runs before packing: the top-`vocabSize`
+    * corpus tokens get stable ids (frequency-descending, token-ascending
+    * ties; id 0 = OOV/unknown), and every document becomes its id
+    * sequence, serialized space-joined so the harness can sort/hash it.
+    *
+    * Scale shape: the vocabulary count is one map-side-combined
+    * aggregation + TakeOrderedAndProject (each partition ships only its
+    * own top V); id assignment is a window over the ALREADY-LIMITED
+    * V-row dictionary (codebook-class metadata, like the IVF centroids —
+    * not a data-sized global sort); encoding is a broadcast dictionary
+    * join; reassembly is one shuffle of (doc_id, pos, int) triples. At
+    * 100 TB the dictionary stays a few MB however large the corpus. */
+  def vocabEncode(documents: DataFrame, vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flat = documents.select(col("doc_id"),
+      posexplode(toks).as(Seq("pos", "token")))
+    val vocab = flat.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+      .withColumn("tid", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .select(col("token"), col("tid"))
+    flat.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"),
+        coalesce(col("tid"), lit(0)).as("tid")))).as("s"))
+      .select(col("doc_id"), concat_ws(" ", col("s.tid")).as("token_ids"))
+  }
 }

@@ -79,6 +79,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(2L).getAs[Double]("dup_ratio") == 0.0)
   }
 
+  test("vocabEncode assigns frequency-ranked ids and 0 for OOV") {
+    val d = docsDF(
+      doc(1, "cat dog cat bird"),
+      doc(2, "dog cat zebra"))
+    // counts: cat 3, dog 2, bird 1, zebra 1 → vocab(3): cat=1 dog=2 bird=3
+    // (bird beats zebra on the token-ascending tie); zebra → OOV 0
+    val got = TextAnalysis.vocabEncode(d, 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "1 2 1 3", 2L -> "2 1 0"))
+  }
+
   test("lengthOutliers flags only docs outside the IQR fence") {
     // 12 docs of 10±1 tokens, one 1-token fragment, one 200-token monster:
     // q1≈q3≈10 so the fence is tight and exactly the two extremes flag
