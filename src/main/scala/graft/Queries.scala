@@ -200,6 +200,33 @@ object Queries {
   val s1ScanSql: String =
     "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 100"
 
+  /** S2 — dynamic partition pruning over the date-partitioned fact
+    * layout: orders lives Hive-partitioned by order year
+    * ([[Tables.ensurePartitionedOrders]]), the dim side is a filtered
+    * year list derived at runtime (not constant-foldable), and Catalyst
+    * injects the partition filter as a DPP subquery — the fact scan
+    * reads ONLY the surviving year directories. At 100 TB this is the
+    * difference between scanning 7 years and scanning the 3 the query
+    * touches, decided at run time. Plan dump shows
+    * `PartitionFilters: [..., dynamicpruning#...]`. */
+  val s2DynamicPrune: Q = (s, d) => {
+    val part = Tables.ensurePartitionedOrders(s, d)
+    val dim = Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("yr")).distinct()
+      .filter(col("yr") % 2 === 1)
+    part.join(dim, part("o_orderyear") === dim("yr"))
+      .groupBy(col("o_orderyear").cast("long").as("o_orderyear"))
+      .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+  }
+
+  val s2DynamicPruneSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_orderyear,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_orders
+      |FROM orders
+      |WHERE year(o_orderdate) % 2 = 1
+      |GROUP BY 1""".stripMargin
+
   /** F5/S5/J4: point lookup with JS loose-`==` string key comparison. */
   val f5Point: Q = (s, d) =>
     Transform.pointLookup(Tables.orders(s, d), "o_orderkey", "42")
@@ -2661,6 +2688,7 @@ object Queries {
     "hll1_sketch_rollup" -> hll1SketchRollup,
     "g3_grouping_sets" -> g3GroupingSets,
     "tok1_vocab_encode" -> tok1VocabEncode,
+    "s2_dynamic_prune" -> s2DynamicPrune,
     "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
@@ -2776,6 +2804,7 @@ object Queries {
     "hll1_sketch_rollup" -> hll1SketchRollupSql,
     "g3_grouping_sets" -> g3GroupingSetsSql,
     "tok1_vocab_encode" -> tok1VocabEncodeSql,
+    "s2_dynamic_prune" -> s2DynamicPruneSql,
     "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
     "q3_shipping_priority" -> q3PrioritySql,
@@ -2818,7 +2847,8 @@ object Queries {
     * 100 TB LSH scale paths — benched alongside their brute twins so the
     * path users actually run at scale has a tracked number. */
   val benchNames: Seq[String] = Seq(
-    "q1_pricing_summary", "q3_shipping_priority", "q3_bucketed", "q5_revenue_rollup",
+    "q1_pricing_summary", "q3_shipping_priority", "q3_bucketed", "s2_dynamic_prune",
+    "q5_revenue_rollup",
     "q6_selective_agg", "q7_quantiles", "q8_correlated_subquery",
     "q9_profit_rollup", "q4_order_priority", "q12_shipmode_case",
     "q10_returned_items", "q14_promo_revenue", "q13_custdist",

@@ -77,4 +77,29 @@ object Tables {
     }
     (ensure("lineitem", "l_orderkey"), ensure("orders", "o_orderkey"))
   }
+
+  /** Date-partitioned twin of `orders` (Hive-style `o_orderyear=` dirs) —
+    * the time-partitioned-fact layout every 100 TB warehouse uses, so a
+    * year predicate prunes FILES (the scan's PartitionFilters), and a
+    * join against a filtered dim prunes at RUNTIME via dynamic partition
+    * pruning. Same idempotent-by-(fixture-path-hash) registration as
+    * [[ensureBucketed]]. */
+  def ensurePartitionedOrders(s: SparkSession, d: String): DataFrame = {
+    val canonical = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    val table = s"orders_part_${canonical.split('/').last.replaceAll("[^A-Za-z0-9]", "_")}_$h"
+    if (!s.catalog.tableExists(table)) {
+      val loc = java.nio.file.Paths.get(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      graft.util.Fs.rmTree(loc)
+      apply(s, d, "orders")
+        .withColumn("o_orderyear",
+          org.apache.spark.sql.functions.year(
+            org.apache.spark.sql.functions.col("o_orderdate")))
+        .write.partitionBy("o_orderyear")
+        .mode("overwrite").saveAsTable(table)
+    }
+    s.table(table)
+  }
 }

@@ -45,6 +45,20 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("s2_dynamic_prune: fact scan carries a runtime partition filter") {
+    val df = Queries.s2DynamicPrune(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    // and the result equals the unpartitioned formulation
+    val direct = Tables.orders(spark, sf0001)
+      .filter(year(col("o_orderdate")) % 2 === 1)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_orderyear"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+    assertSameRows(df, direct)
+  }
+
   test("q3_bucketed: full query plans with zero hash exchanges, matches q3") {
     val bucketed = Queries.q3Bucketed(spark, sf0001)
     bucketed.collect()
