@@ -1240,6 +1240,23 @@ object Queries {
       |LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
       |  ON user_id = c_custkey""".stripMargin
 
+  /** ST6 — streaming CDC merge (foreachBatch lake-MERGE): the fixture
+    * replays as three micro-batches, each folded latest-wins into a
+    * per-user state table; the converged state must equal the batch
+    * per-user argmax by (ts, event_id) — associativity of the merge is
+    * the contract under test. */
+  val st6StreamCdc: Q = (s, d) =>
+    graft.streaming.EventStream.runCdcMergeOverFixture(s, d)
+
+  val st6StreamCdcSql: String =
+    """SELECT user_id, event_type,
+      |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS last_ts
+      |FROM (SELECT user_id, event_type, ts,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin
+
   // ──────────────────────────── dedup family ─────────────────────────────
 
   val d1Exact: Q = (s, d) => Dedup.exact(Tables.documents(s, d))
@@ -2704,6 +2721,7 @@ object Queries {
     "st3_stream_sessions" -> st3StreamSessions,
     "st4_stream_join" -> st4StreamJoin,
     "st5_stream_enrich" -> st5StreamEnrich,
+    "st6_stream_cdc" -> st6StreamCdc,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -2819,6 +2837,7 @@ object Queries {
     "st3_stream_sessions" -> w3SessionsSql, // stateful sessionizer = batch w3
     "st4_stream_join" -> st4StreamJoinSql,
     "st5_stream_enrich" -> st5StreamEnrichSql,
+    "st6_stream_cdc" -> st6StreamCdcSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,

@@ -173,4 +173,49 @@ object EventStream {
     try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
     spark.table(queryName)
   }
+
+  /** Streaming CDC merge — the `foreachBatch` lake-MERGE sink pattern:
+    * every micro-batch folds into a latest-per-user state table by
+    * (ts, event_id)-max. The fixture is staged as THREE parquet files
+    * (`repartition(3)`) and replayed with `maxFilesPerTrigger=1`, so the
+    * merge really runs across multiple micro-batches.
+    *
+    * The merge — top-1-per-key over (state ∪ batch) — is associative and
+    * commutative across batches, so ANY split of the stream into batches
+    * (and any arrival order) converges to the global per-user argmax the
+    * batch oracle computes. That, not the plumbing, is the contract.
+    *
+    * State here is an in-memory checkpointed frame (per-user rows —
+    * fixture-sized); at 100 TB the same foreachBatch body MERGEs into a
+    * keyed lake table (the u5 upsert shape: one shuffle per batch on the
+    * merge key, costed by batch size + touched keys, never by stream
+    * history). */
+  def runCdcMergeOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft-stream-cdc")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .repartition(3)
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val mergeOrder = Seq("ts" -> false, "event_id" -> false)
+    var state = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_id", LongType), StructField("event_type", StringType))))
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = graft.plans.TopKPerKey(batch, Seq("user_id"), mergeOrder, 1)
+        state = graft.plans.TopKPerKey(state.unionByName(latest),
+          Seq("user_id"), mergeOrder, 1).localCheckpoint()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    state.select(col("user_id"), col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+  }
 }
