@@ -1240,6 +1240,50 @@ object Queries {
       |LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
       |  ON user_id = c_custkey""".stripMargin
 
+  /** FUNNEL1 — ordered conversion funnel (view → click → purchase, each
+    * stage strictly after the previous): one conditional-min aggregation
+    * per stage, every exchange on user_id — no self-join explosion, no
+    * full-stream window. Fixture ts is micro-exact in both engines, so
+    * the strict inequalities agree cross-engine. */
+  val funnel1Conversion: Q = (s, d) =>
+    graft.operators.Windows.funnel(Tables.events(s, d),
+      Seq("view", "click", "purchase"))
+
+  val funnel1ConversionSql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+      |SELECT s1.user_id,
+      |       strftime(CAST(s1.t1 AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_stage_1,
+      |       strftime(CAST(s2.t2 AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_stage_2,
+      |       strftime(CAST(s3.t3 AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_stage_3,
+      |       CAST(1 + CAST(s2.user_id IS NOT NULL AS INT)
+      |              + CAST(s3.user_id IS NOT NULL AS INT) AS BIGINT) AS reached
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
+  /** EMB3 — sparse random projection (Achlioptas ±1/0, √(3/16) scale):
+    * JL dimensionality reduction 64 → 16 as 16 codegen'd dot kernels in
+    * one scan-stage projection; the matrix regenerates from (i,j)
+    * arithmetic on every engine, so the oracle replays it exactly. */
+  val emb3RandomProjection: Q = (s, d) =>
+    graft.operators.Similarity.randomProjection(Tables.embeddings(s, d))
+
+  val emb3RandomProjectionSql: String = {
+    val terms = (0 until 16).map { j =>
+      s"CAST(floor(list_sum([emb[i+1] * (((i*31 + $j*17) % 3) - 1) FOR i IN RANGE(0, 64)])" +
+        s" * sqrt(3.0/16) * 10000 + 0.5) AS BIGINT)"
+    }.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+       |SELECT vec_id, array_to_string($terms, ',') AS proj_vec_s FROM e""".stripMargin
+  }
+
   /** ST6 — streaming CDC merge (foreachBatch lake-MERGE): the fixture
     * replays as three micro-batches, each folded latest-wins into a
     * per-user state table; the converged state must equal the batch
@@ -2722,6 +2766,8 @@ object Queries {
     "st4_stream_join" -> st4StreamJoin,
     "st5_stream_enrich" -> st5StreamEnrich,
     "st6_stream_cdc" -> st6StreamCdc,
+    "funnel1_conversion" -> funnel1Conversion,
+    "emb3_random_projection" -> emb3RandomProjection,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -2838,6 +2884,8 @@ object Queries {
     "st4_stream_join" -> st4StreamJoinSql,
     "st5_stream_enrich" -> st5StreamEnrichSql,
     "st6_stream_cdc" -> st6StreamCdcSql,
+    "funnel1_conversion" -> funnel1ConversionSql,
+    "emb3_random_projection" -> emb3RandomProjectionSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,

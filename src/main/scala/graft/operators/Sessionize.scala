@@ -48,4 +48,38 @@ object Windows {
       .select(col("user_id"), date_trunc("second", col("start_ts")).as("session_start"),
         col("n_events"), col("sum_value"))
   }
+
+  /** Ordered funnel analysis: for each user, the earliest time each stage
+    * of `stages` was reached with every stage STRICTLY after the previous
+    * one (first view, first click after that view, first purchase after
+    * that click) — the conversion-path query behind every product
+    * dashboard.
+    *
+    * Shape: one conditional-min aggregation per stage, each keyed on
+    * user_id — every exchange reuses the same hash partitioning, so AQE
+    * plans one real shuffle's worth of movement; no self-join explosion,
+    * no window over the full event stream. A user appears once they have
+    * stage 1; `reached` counts completed stages. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val s0 = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_1"))
+    val chained = stages.zipWithIndex.tail.foldLeft(s0) { case (acc, (stage, i)) =>
+      val prev = s"t_$i"
+      val cur = s"t_${i + 1}"
+      val next = events.filter(col("event_type") === stage)
+        .select(col("user_id"), col("ts").as("_cand"))
+        .join(acc.select(col("user_id"), col(prev)), "user_id")
+        .filter(col("_cand") > col(prev))
+        .groupBy(col("user_id")).agg(min(col("_cand")).as(cur))
+      acc.join(next, Seq("user_id"), "left")
+    }
+    val stageCols = (1 to stages.length).map(i => col(s"t_$i"))
+    chained.select(
+      col("user_id") +:
+        (stageCols.map(c => date_format(c, "yyyy-MM-dd HH:mm:ss")
+          .as(c.toString.replace("t_", "ts_stage_"))) :+
+          stageCols.map(c => when(c.isNotNull, 1).otherwise(0))
+            .reduce(_ + _).cast("long").as("reached")): _*)
+  }
 }

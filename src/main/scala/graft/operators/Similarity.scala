@@ -265,4 +265,29 @@ object Similarity {
         portableRound(cosine_similarity(col("qe"), col("ne")), 4).as("cosine"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Sparse random projection (Achlioptas-style ±1/0 matrix, scaled by
+    * √(3/outDim)) — Johnson–Lindenstrauss dimensionality reduction for
+    * the embedding pipeline: project 64 → `outDim` dims BEFORE LSH/IVF
+    * and every downstream distance costs outDim/64 of the original.
+    *
+    * The matrix is a pure function of (i, j) — `((i·31 + j·17) mod 3) −
+    * 1` — so every executor (and the DuckDB oracle) regenerates it
+    * bit-identically with no broadcast of learned state. Execution is
+    * `outDim` codegen'd [[graft.functions.DotProduct]] kernels in ONE
+    * projection — no shuffle, no UDF, scan-stage only. Components are
+    * emitted emb1-style (scaled-long CSV) so the harness can sort/hash
+    * them. */
+  def randomProjection(embeddings: DataFrame, inDim: Int = 64,
+                       outDim: Int = 16): DataFrame = {
+    val scale = math.sqrt(3.0 / outDim)
+    val comps = (0 until outDim).map { j =>
+      val plane = array((0 until inDim).map { i =>
+        lit((((i * 31 + j * 17) % 3) - 1).toFloat)
+      }: _*)
+      floor(dot_product(col("embedding"), plane) * scale * 10000 + lit(0.5))
+        .cast("long").cast("string")
+    }
+    embeddings.select(col("vec_id"), concat_ws(",", comps: _*).as("proj_vec_s"))
+  }
 }
