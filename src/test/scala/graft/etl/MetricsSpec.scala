@@ -45,4 +45,24 @@ class MetricsSpec extends SparkTestBase {
     val approx = r.getAs[Long]("approx_distinct").toDouble
     assert(math.abs(approx - exact) / exact < 0.05)
   }
+
+  test("integrityAudit counts each violation class exactly once") {
+    import spark.implicits._
+    val fact = Seq(
+      (1L, Option(10L), 5.0),   // clean
+      (2L, Option(10L), -1.0),  // non-positive measure
+      (2L, Option(10L), 3.0),   // duplicate pk
+      (3L, None, 2.0),          // null fk (NOT an orphan: null joins nothing but is its own class)
+      (4L, Option(99L), 1.0))   // orphan fk
+      .toDF("pk", "fk", "m")
+    val dim = Seq(10L).toDF("k")
+    val r = Metrics.integrityAudit(fact, dim,
+      col("pk"), col("fk"), col("k"), col("m")).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 5)
+    assert(r.getAs[Long]("n_null_fk") == 1)
+    assert(r.getAs[Long]("n_nonpositive") == 1)
+    assert(r.getAs[Long]("n_dup_pk") == 1)
+    // anti join: both the unknown fk AND the null fk fail to find a dim row
+    assert(r.getAs[Long]("n_orphans") == 2)
+  }
 }
