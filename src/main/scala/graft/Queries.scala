@@ -2957,5 +2957,7 @@ object Queries {
     "hh2_mg_sketch", "emb2_mean_pool", "scd1_history", "z2_compaction_plan",
     "mix1_source_mix", "pk1_sequence_pack", "d8_keep_best",
     "diff1_snapshot_diff", "t11_length_outliers", "hll1_sketch_rollup",
-    "st1_stream_window")
+    "tok1_vocab_encode", "g3_grouping_sets", "funnel1_conversion",
+    "emb3_random_projection", "dq1_integrity_audit",
+    "st1_stream_window", "st6_stream_cdc")
 }
