@@ -1551,6 +1551,24 @@ object Queries {
     annRecallGate(sim3Ivf(s, d), Similarity.bruteForceTopK(e, q, 5))
   }
 
+  /** SIM4 — kNN graph: every vector's top-5 cosine neighbors from LSH
+    * candidates (never all-pairs); the election is the bounded-heap
+    * top-k operator keyed on the vector id. Approximate list → gated by
+    * recall ≥ 0.9 against brute top-5 on the vec_id < 30 probe set. */
+  val sim4Knn: Q = (s, d) =>
+    Similarity.knnGraph(Tables.embeddings(s, d), 5)
+
+  val sim4Gate: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    annRecallGate(
+      sim4Knn(s, d).select(col("a_id").as("q_id"), col("b_id").as("n_id")),
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 30), 5))
+  }
+
+  val sim4GateSql: String =
+    """SELECT count(*) AS n_queries, 5 * count(*) AS n_exact, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 30""".stripMargin
+
   private val annGateSql: String =
     """SELECT count(*) AS n_queries, 5 * count(*) AS n_exact, true AS recall_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
@@ -2792,6 +2810,8 @@ object Queries {
     "funnel1_conversion" -> funnel1Conversion,
     "emb3_random_projection" -> emb3RandomProjection,
     "dq1_integrity_audit" -> dq1IntegrityAudit,
+    "sim4_knn_graph" -> sim4Knn,
+    "sim4_knn_gate" -> sim4Gate,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -2911,6 +2931,7 @@ object Queries {
     "funnel1_conversion" -> funnel1ConversionSql,
     "emb3_random_projection" -> emb3RandomProjectionSql,
     "dq1_integrity_audit" -> dq1IntegrityAuditSql,
+    "sim4_knn_gate" -> sim4GateSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,

@@ -266,6 +266,35 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** kNN GRAPH construction: every vector's k nearest neighbors by
+    * cosine, built from the SAME multi-table LSH candidate generator as
+    * d6 — never all-pairs. This is the primitive under embedding-space
+    * clustering, label propagation, and graph-based dedup review.
+    *
+    * Scale shape: candidates arrive as id pairs with precomputed norms
+    * (one dot per pair); symmetrization doubles rows but not exchanges
+    * (union is partition-local); the per-vector election runs through
+    * the bounded-heap [[graft.plans.TopKPerKey]] operator — one shuffle
+    * keyed on the vector id, O(k) state per key, no sort. The `minCosine`
+    * floor is the LSH planning target: neighbors below it are allowed to
+    * be missed, which is what bounds candidate volume (the sim4 gate
+    * measures achieved recall against brute force ABOVE that floor). */
+  def knnGraph(embeddings: DataFrame, k: Int,
+               minCosine: Double = 0.2): DataFrame = {
+    val scored = annCandidates(embeddings, minCosine)
+      .select(col("a_id"), col("b_id"),
+        portableRound(dot_product(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 4).as("cosine"))
+    val sym = scored.unionByName(scored.select(
+      col("b_id").as("a_id"), col("a_id").as("b_id"), col("cosine")))
+    val top = graft.plans.TopKPerKey(sym, keys = Seq("a_id"),
+      order = Seq("cosine" -> false, "b_id" -> true), k = k)
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    // rank assignment runs over ≤ k rows per key (already heap-bounded)
+    top.withColumn("rank", row_number().over(w))
+  }
+
   /** Sparse random projection (Achlioptas-style ±1/0 matrix, scaled by
     * √(3/outDim)) — Johnson–Lindenstrauss dimensionality reduction for
     * the embedding pipeline: project 64 → `outDim` dims BEFORE LSH/IVF

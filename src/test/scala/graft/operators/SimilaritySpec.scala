@@ -110,6 +110,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(s1 == s2)
   }
 
+  test("knnGraph emits at most k ranked neighbors per vector, sorted by cosine") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val g = Similarity.knnGraph(e, 3).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank")))
+    assert(g.nonEmpty)
+    g.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.length <= 3, s"vector $a has ${rows.length} neighbors")
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rows.length), s"ranks not contiguous for $a")
+      // cosine non-increasing in rank; no self-edges
+      assert(byRank.toList.sliding(2).forall {
+        case List(x, y) => x._3 >= y._3
+        case _ => true
+      })
+      assert(rows.forall(_._2 != a))
+    }
+  }
+
   test("randomProjection matches a hand-computed projection of a unit basis vector") {
     import spark.implicits._
     // e_0 (1 at dim 0): y_j = R(0,j) * sqrt(3/16); R(0,j) = ((j*17) % 3) - 1
