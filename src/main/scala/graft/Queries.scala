@@ -2717,6 +2717,205 @@ object Queries {
       |  FROM scored) t
       |WHERE rnk <= 3""".stripMargin
 
+  // ─────────────────── product analytics & profiling ─────────────────────
+
+  /** RET1 — weekly retention cohorts over the event stream (operator doc:
+    * [[graft.operators.Analytics.retentionCohorts]]). */
+  val ret1Retention: Q = (s, d) =>
+    graft.operators.Analytics.retentionCohorts(Tables.events(s, d))
+
+  val ret1RetentionSql: String =
+    """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT e.user_id, f.cw,
+      |             CAST(datediff('day', f.cw, date_trunc('week', e.ts)) / 7 AS BIGINT) AS woff
+      |      FROM events e JOIN f USING (user_id))
+      |SELECT strftime(CAST(cw AS TIMESTAMP), '%Y-%m-%d') AS cohort_week,
+      |       woff AS week_offset,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      |FROM a GROUP BY 1, 2""".stripMargin
+
+  /** TS1 — daily activity on a continuous date spine: gap days filled with
+    * zeros, plus LOCF carry of the last real daily total
+    * ([[graft.operators.Analytics.gapFillDaily]]). */
+  val ts1GapFill: Q = (s, d) =>
+    graft.operators.Analytics.gapFillDaily(Tables.events(s, d))
+
+  val ts1GapFillSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+      |spine AS (SELECT t.event_type,
+      |                 CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |          FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN b)
+      |SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+      |       coalesce(d.n_events, 0) AS n_events,
+      |       coalesce(d.day_value, 0.0) AS sum_value,
+      |       coalesce(last_value(d.day_value IGNORE NULLS) OVER (
+      |         PARTITION BY s.event_type ORDER BY s.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS last_seen_value
+      |FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day""".stripMargin
+
+  /** ANOM1 — trailing-7-day z-score anomaly flags on daily totals
+    * ([[graft.operators.Analytics.dailyAnomalies]]); the z-score is
+    * rounded BEFORE the threshold compare so the flag is reproducible. */
+  val anom1Zscore: Q = (s, d) =>
+    graft.operators.Analytics.dailyAnomalies(Tables.events(s, d))
+
+  val anom1ZscoreSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, cents,
+      |         count(*) OVER win AS n,
+      |         sum(CAST(cents AS DECIMAL(19,0))) OVER win AS s1,
+      |         sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) OVER win AS s2
+      |  FROM daily
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+      |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |z AS (
+      |  SELECT event_type, day, cents, n,
+      |         CASE WHEN n > 1 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) > 0
+      |              THEN floor(((CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+      |                          / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))) * 10000 + 0.5) / 10000
+      |              ELSE 0.0 END AS zr
+      |  FROM w)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+      |       CAST(cents AS DOUBLE) / 100 AS day_value,
+      |       zr AS z_score, abs(zr) > 2.0 AS is_anomaly
+      |FROM z""".stripMargin
+
+  /** HIST1 — 20-bin equi-width histogram of order totals
+    * ([[graft.operators.Analytics.equiWidthHistogram]]): bounds from a
+    * 1-row aggregate broadcast in-DAG, binning as one map-side count. */
+  val hist1Histogram: Q = (s, d) =>
+    graft.operators.Analytics.equiWidthHistogram(
+      Tables.orders(s, d), col("o_totalprice"), 20)
+
+  val hist1HistogramSql: String =
+    """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+      |binned AS (
+      |  SELECT CASE WHEN mx = mn THEN 0
+      |              ELSE CAST(least(floor((o_totalprice - mn) * 20 / (mx - mn)), 19) AS BIGINT) END AS bin,
+      |         mn, mx
+      |  FROM orders CROSS JOIN b)
+      |SELECT bin,
+      |       floor((mn + bin * (mx - mn) / 20) * 100 + 0.5) / 100 AS bin_lo,
+      |       floor((mn + (bin + 1) * (mx - mn) / 20) * 100 + 0.5) / 100 AS bin_hi,
+      |       count(*) AS n
+      |FROM binned GROUP BY bin, mn, mx""".stripMargin
+
+  /** CORR1 — per-returnflag bivariate profile (means, sample variances,
+    * covariance, Pearson corr) from one pass of EXACT decimal raw moments
+    * ([[graft.operators.Analytics.numericProfile]]) — reproducible where
+    * the built-in co-moment mergers are partition-order-sensitive. */
+  val corr1Profile: Q = (s, d) =>
+    graft.operators.Analytics.numericProfile(Tables.lineitem(s, d),
+      col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+
+  val corr1ProfileSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag AS grp, count(*) AS n,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      |  FROM lineitem GROUP BY 1),
+      |d AS (SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+      |             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+      |             CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+      |             CAST(sxy AS DOUBLE) AS sxy
+      |      FROM m)
+      |SELECT grp, n,
+      |       floor((sx / nd) * 10000 + 0.5) / 10000 AS mean_x,
+      |       floor((sy / nd) * 10000 + 0.5) / 10000 AS mean_y,
+      |       floor(((sxx - sx * sx / nd) / (nd - 1)) * 10000 + 0.5) / 10000 AS var_x,
+      |       floor(((syy - sy * sy / nd) / (nd - 1)) * 10000 + 0.5) / 10000 AS var_y,
+      |       floor(((sxy - sx * sy / nd) / (nd - 1)) * 10000 + 0.5) / 10000 AS covar,
+      |       floor(((nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))) * 1000000 + 0.5) / 1000000 AS corr
+      |FROM d""".stripMargin
+
+  /** SMP3 — stratified sample with an exact per-language cap of 120 docs,
+    * selected by md5-of-key order on the native top-k-per-key operator
+    * ([[graft.operators.Sampling.stratifiedCap]]). */
+  val smp3StratifiedCap: Q = (s, d) =>
+    graft.operators.Sampling.stratifiedCap(Tables.documents(s, d), "lang", "doc_id", 120)
+
+  val smp3StratifiedCapSql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 120""".stripMargin
+
+  /** UNP1 — unpivot/melt: the wide per-flag aggregate turned into long
+    * (flag, measure, value) form via Dataset.unpivot — the inverse of w4's
+    * pivot, and like it a zero-shuffle reshape of an aggregated frame. */
+  val unp1Unpivot: Q = (s, d) => {
+    val wide = Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+      decSum(col("l_quantity")).as("sum_qty"),
+      decSum(col("l_extendedprice")).as("sum_price"),
+      decSum(col("l_discount")).as("sum_disc"))
+    wide.unpivot(Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+      "measure", "value")
+  }
+
+  val unp1UnpivotSql: String =
+    """WITH w AS (SELECT l_returnflag,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+      |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+      |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w""".stripMargin
+
+  /** PMI1 — bigram collocation mining by pointwise mutual information
+    * ([[graft.operators.TextAnalysis.bigramPmi]]). */
+  val pmi1Collocations: Q = (s, d) =>
+    graft.operators.TextAnalysis.bigramPmi(Tables.documents(s, d), minCount = 10)
+
+  val pmi1CollocationsSql: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |pairs AS (SELECT t[i] AS a, t[i+1] AS b
+      |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) u
+      |          WHERE len(t) >= 2),
+      |big AS (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY 1, 2),
+      |uni AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |unic AS (SELECT tok, count(*) AS n_tok FROM uni GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(sum(n_tok) AS BIGINT) FROM unic) AS n_total,
+      |               (SELECT CAST(sum(n_ab) AS BIGINT) FROM big) AS n_big)
+      |SELECT big.a, big.b, n_ab,
+      |       floor((ln((CAST(n_ab AS DOUBLE) / n_big) /
+      |                 ((CAST(na.n_tok AS DOUBLE) / n_total) * (CAST(nb.n_tok AS DOUBLE) / n_total)))) * 10000 + 0.5) / 10000 AS pmi
+      |FROM big
+      |JOIN unic na ON big.a = na.tok
+      |JOIN unic nb ON big.b = nb.tok
+      |CROSS JOIN tot
+      |WHERE n_ab >= 10""".stripMargin
+
+  /** LM1 — per-document unigram-LM surprisal, the CCNet-style fluency
+    * score ([[graft.operators.TextAnalysis.unigramSurprisal]]). */
+  val lm1Surprisal: Q = (s, d) =>
+    graft.operators.TextAnalysis.unigramSurprisal(Tables.documents(s, d))
+
+  val lm1SurprisalSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS n_w FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total, count(*) AS v_size FROM c),
+      |s AS (SELECT doc_id,
+      |        floor((-ln(CAST(n_w + 1 AS DOUBLE) / CAST(n_total + v_size AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS surp
+      |      FROM toks JOIN c USING (tok) CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       floor((CAST(sum(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_surprisal
+      |FROM s GROUP BY doc_id""".stripMargin
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -2812,6 +3011,15 @@ object Queries {
     "dq1_integrity_audit" -> dq1IntegrityAudit,
     "sim4_knn_graph" -> sim4Knn,
     "sim4_knn_gate" -> sim4Gate,
+    "ret1_retention" -> ret1Retention,
+    "ts1_gap_fill" -> ts1GapFill,
+    "anom1_daily_zscore" -> anom1Zscore,
+    "hist1_equiwidth" -> hist1Histogram,
+    "corr1_profile" -> corr1Profile,
+    "smp3_stratified_cap" -> smp3StratifiedCap,
+    "unp1_unpivot" -> unp1Unpivot,
+    "pmi1_collocations" -> pmi1Collocations,
+    "lm1_surprisal" -> lm1Surprisal,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -2932,6 +3140,15 @@ object Queries {
     "emb3_random_projection" -> emb3RandomProjectionSql,
     "dq1_integrity_audit" -> dq1IntegrityAuditSql,
     "sim4_knn_gate" -> sim4GateSql,
+    "ret1_retention" -> ret1RetentionSql,
+    "ts1_gap_fill" -> ts1GapFillSql,
+    "anom1_daily_zscore" -> anom1ZscoreSql,
+    "hist1_equiwidth" -> hist1HistogramSql,
+    "corr1_profile" -> corr1ProfileSql,
+    "smp3_stratified_cap" -> smp3StratifiedCapSql,
+    "unp1_unpivot" -> unp1UnpivotSql,
+    "pmi1_collocations" -> pmi1CollocationsSql,
+    "lm1_surprisal" -> lm1SurprisalSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
@@ -2980,5 +3197,7 @@ object Queries {
     "diff1_snapshot_diff", "t11_length_outliers", "hll1_sketch_rollup",
     "tok1_vocab_encode", "g3_grouping_sets", "funnel1_conversion",
     "emb3_random_projection", "dq1_integrity_audit",
+    "ret1_retention", "ts1_gap_fill", "anom1_daily_zscore", "hist1_equiwidth",
+    "corr1_profile", "smp3_stratified_cap", "pmi1_collocations", "lm1_surprisal",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -20,7 +20,13 @@ object Verify {
     spark.experimental.extraOptimizations = Seq(graft.plans.PushableKeyCast)
     spark.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset filter (tools/check.py iterates over the dirs that
+    // exist); the driver sets no filter and always dumps everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Product/ops analytics over the event stream and fact tables: retention
+  * cohorts, date-spine gap fill, trailing-window anomaly flags, equi-width
+  * histograms and exact moment-based correlation profiles.
+  *
+  * Float determinism: every statistic that feeds a comparison or a flag is
+  * computed from EXACT integer/decimal aggregates first (order-independent
+  * under any partitioning or AQE re-plan) and only then converted to double
+  * with the same textual formula the DuckDB oracle uses, so both engines
+  * round identical values.
+  */
+object Analytics {
+
+  /** Weekly retention cohorts: users grouped by the week of their first
+    * event; for each (cohort_week, week_offset) the number of distinct
+    * cohort members active that week — the grid behind every retention
+    * curve dashboard.
+    *
+    * Shape: one aggregation keyed on user_id (first-event week), one join
+    * back on user_id (AQE reuses the hash partitioning), then a count
+    * distinct on the cohort grid — partial aggregation handles the
+    * (cohort, offset, user) dedup map-side. No windows, no self-join; at
+    * 100 TB every exchange carries ids + 2 small ints. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val activity = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .join(firsts, "user_id")
+      // both sides are Monday-midnight truncations, so the day delta is an
+      // exact multiple of 7 in any engine
+      .withColumn("week_offset",
+        (datediff(col("w"), col("cohort_week")) / 7).cast("long"))
+    activity.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"))
+  }
+
+  /** Daily per-type activity on a continuous date spine: missing days
+    * appear with zero counts, and `last_seen_value` carries the most
+    * recent real daily total forward (LOCF). The spine is built in-DAG
+    * from a 1-row min/max aggregate (broadcast) — no driver collect.
+    *
+    * Scale note: the LOCF window partitions by event_type only, so one
+    * partition holds the full day range of a type. That is the right
+    * plan here because the window input is the ALREADY-AGGREGATED daily
+    * grid (|types| × |days| rows, metadata-sized at any corpus scale) —
+    * never raw events. A LOCF over raw-event-sized data would instead be
+    * segmented (per-month carry + boundary join, see SCALE.md). */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("day_value"))
+    val bounds = events.agg(to_date(min(col("ts"))).as("d0"),
+      to_date(max(col("ts"))).as("d1"))
+    val spine = events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val locf = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("last_seen_value",
+        coalesce(last(col("day_value"), ignoreNulls = true).over(locf), lit(0.0)))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("day_value"), lit(0.0)).as("sum_value"),
+        col("last_seen_value"))
+  }
+
+  /** Trailing-window z-score anomaly flags over daily per-type totals.
+    * Each day is scored against the mean/stddev of its own trailing
+    * `trailing`-day window (inclusive). The window aggregates are exact
+    * integer sums of cents (Σv, Σv² as decimals), so mean/variance are
+    * bit-identical under any evaluation order; the z-score is then one
+    * fixed double formula, rounded before the threshold compare so the
+    * flag cannot flip on a low-bit difference.
+    *
+    * The window input is the daily grid (small at any scale); the raw
+    * event reduction to that grid is the usual map-side-combinable sum. */
+  def dailyAnomalies(events: DataFrame, trailing: Int = 7,
+                     zThreshold: Double = 2.0): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(trailing - 1), 0)
+    val c = col("cents").cast("decimal(19,0)")
+    val stats = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(c).over(w))
+      .withColumn("s2", sum(c * c).over(w))
+    val nD = col("n").cast("double")
+    val s1D = col("s1").cast("double")
+    val s2D = col("s2").cast("double")
+    val mean = s1D / nD
+    val variance = (s2D - s1D * s1D / nD) / (nD - 1)
+    val z = (col("cents").cast("double") - mean) / sqrt(variance)
+    stats
+      .withColumn("zr", when(col("n") > 1 && variance > 0,
+        portableRound(z, 4)).otherwise(lit(0.0)))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("cents").cast("double") / 100).as("day_value"),
+        col("zr").as("z_score"),
+        (abs(col("zr")) > zThreshold).as("is_anomaly"))
+  }
+
+  /** Equi-width histogram of a numeric column: `bins` buckets between the
+    * observed min and max (max lands in the last bucket). Bounds come from
+    * a 1-row aggregate broadcast back over the scan — two passes over the
+    * data, zero driver-side state, and the binning pass is a map-side
+    * combinable count. The bin expression keeps one fixed operation order
+    * so both engines floor identical doubles. */
+  def equiWidthHistogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val bounds = df.agg(min(value).as("mn"), max(value).as("mx"))
+    val bin = when(col("mx") === col("mn"), lit(0L)).otherwise(
+      least(floor((col("v") - col("mn")) * bins / (col("mx") - col("mn"))),
+        lit(bins - 1L)).cast("long"))
+    df.select(value.as("v")).crossJoin(broadcast(bounds))
+      .withColumn("bin", bin)
+      .groupBy(col("bin"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        portableRound(col("mn") + col("bin") * (col("mx") - col("mn")) / bins, 2).as("bin_lo"),
+        portableRound(col("mn") + (col("bin") + 1) * (col("mx") - col("mn")) / bins, 2).as("bin_hi"),
+        col("n"))
+  }
+
+  /** Per-group bivariate profile — n, means, sample variances/stddevs,
+    * covariance and Pearson correlation — from ONE pass of exact decimal
+    * raw moments (Σx, Σy, Σx², Σy², Σxy at 2-decimal input scale).
+    *
+    * Spark's built-in `corr`/`covar_samp` merge co-moments in partition
+    * order, which perturbs low bits under AQE; raw decimal moments are
+    * order-independent, and the final double formulas are fixed, so the
+    * rounded statistics are reproducible — and the aggregation is still a
+    * single map-side-combinable pass. */
+  def numericProfile(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val xd = x.cast("decimal(18,2)")
+    val yd = y.cast("decimal(18,2)")
+    val m = df.groupBy(group.as("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("sx"), sum(yd).as("sy"),
+      sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"), sum(xd * yd).as("sxy"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val varX = (sxx - sx * sx / nD) / (nD - 1)
+    val varY = (syy - sy * sy / nD) / (nD - 1)
+    val cov = (sxy - sx * sy / nD) / (nD - 1)
+    val corr = (nD * sxy - sx * sy) /
+      (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy))
+    m.select(col("grp"), col("n"),
+      portableRound(sx / nD, 4).as("mean_x"),
+      portableRound(sy / nD, 4).as("mean_y"),
+      portableRound(varX, 4).as("var_x"),
+      portableRound(varY, 4).as("var_y"),
+      portableRound(cov, 4).as("covar"),
+      portableRound(corr, 6).as("corr"))
+  }
+}

@@ -68,4 +68,24 @@ object Sampling {
     }
     df.filter(hashBucket(key) < threshold)
   }
+
+  /** Stratified sample with an exact per-stratum CAP: deterministically
+    * keep at most `cap` rows from every `stratumCol` group ("120 docs per
+    * language"), chosen by md5-of-key order so membership is a pure
+    * function of the row's own key — stable across engines, runs and
+    * layouts, like every sampler here.
+    *
+    * Rate-based stratified sampling falls out of [[mixSources]]; the cap
+    * form needs a per-group rank, which runs on the native top-k-per-key
+    * physical operator (bounded heap per group, one shuffle, no sort of
+    * the full stratum — the window-rank formulation would sort every
+    * group end-to-end at 100 TB). */
+  def stratifiedCap(df: DataFrame, stratumCol: String, keyCol: String,
+                    cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    graft.plans.TopKPerKey(
+      df.withColumn("_h", md5(col(keyCol).cast("string"))),
+      Seq(stratumCol), Seq(("_h", true), (keyCol, true)), cap)
+      .drop("_h")
+  }
 }

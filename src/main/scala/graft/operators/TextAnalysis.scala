@@ -193,4 +193,62 @@ object TextAnalysis {
         coalesce(col("tid"), lit(0)).as("tid")))).as("s"))
       .select(col("doc_id"), concat_ws(" ", col("s.tid")).as("token_ids"))
   }
+
+  /** Bigram collocations by pointwise mutual information: adjacent token
+    * pairs whose corpus count ≥ `minCount`, scored by
+    * ln(p(ab) / (p(a)·p(b))) — the standard collocation detector
+    * (phrases like "new york" score high, chance pairs near 0).
+    *
+    * Shape: the pair stream comes from an in-scan array transform (no
+    * self-join on position), then two count aggregations keyed on the
+    * token — at 100 TB those are plain shuffles on 8-byte-ish keys, and
+    * the two unigram-count joins ride the same token partitioning. The
+    * corpus totals are 1-row aggregates broadcast in-DAG. The PMI double
+    * formula is fixed (divide-then-multiply order) and rounded, so both
+    * engines rank identical values. */
+  def bigramPmi(documents: DataFrame, minCount: Long = 10): DataFrame = {
+    val pairs = documents.select(toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i+1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val big = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val uni = documents.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val totals = uni.agg(sum(col("n_tok")).as("n_total"))
+      .crossJoin(big.agg(sum(col("n_ab")).as("n_big")))
+    val pmi = log((col("n_ab").cast("double") / col("n_big")) /
+      ((col("n_a").cast("double") / col("n_total")) *
+        (col("n_b").cast("double") / col("n_total"))))
+    big.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("tok").as("a"), col("n_tok").as("n_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("n_tok").as("n_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_ab"), portableRound(pmi, 4).as("pmi"))
+  }
+
+  /** Per-document unigram-LM surprisal — the CCNet-style fluency signal:
+    * score every document by the mean negative log Laplace-smoothed
+    * unigram probability of its tokens under a model fit on the corpus
+    * itself (gibberish and rare-token soup scores high, plain prose low).
+    *
+    * Shape: one token-count aggregation, one join of the token stream
+    * back to the counts on the token key (same partitioning), one per-doc
+    * aggregation. Per-token surprisals are rounded then summed as exact
+    * decimals, so the per-doc mean is independent of accumulation order. */
+  def unigramSurprisal(documents: DataFrame): DataFrame = {
+    val tokStream = documents.select(col("doc_id"), explode(toks).as("tok"))
+    val counts = tokStream.groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
+    val totals = counts.agg(sum(col("n_w")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    val surp = portableRound(
+      -log((col("n_w") + 1).cast("double") / (col("n_total") + col("v_size")).cast("double")), 6)
+    tokStream.join(counts, "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("surp", surp)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        portableRound(sum(col("surp").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 4).as("avg_surprisal"))
+  }
 }

@@ -71,7 +71,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("every registered query has either an oracle or a documented skip") {
-    val rowsOnly = Set("a4_distinct_hll", "d2_dedup_minhash", "sim2_ann_lsh", "sim3_ann_ivf", "d6_neardup_lsh", "src1_users_api")
+    val rowsOnly = Set("a4_distinct_hll", "d2_dedup_minhash", "sim2_ann_lsh", "sim3_ann_ivf", "d6_neardup_lsh", "src1_users_api", "sim4_knn_graph")
     val missing = Queries.all.keySet -- Queries.oracles.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle or skip-list entry: $missing")
   }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String, Double)*) =
+    rows.toDF("user_id", "tss", "event_type", "value")
+      .select(col("user_id"), to_timestamp(col("tss")).as("ts"),
+        col("event_type"), col("value"))
+
+  test("retentionCohorts: offsets measured from each user's first week") {
+    // user 1: active weeks 0, 1 and 3 of its cohort; user 2: week 0 only,
+    // one week later (its own cohort)
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1.0), // Mon wk0
+      (1L, "2024-01-03 10:00:00", "view", 1.0), // same week
+      (1L, "2024-01-10 10:00:00", "view", 1.0), // wk1
+      (1L, "2024-01-24 10:00:00", "view", 1.0), // wk3
+      (2L, "2024-01-08 10:00:00", "view", 1.0)) // Mon wk1 = own cohort 0
+    val got = Analytics.retentionCohorts(events)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-01", 3L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
+  test("gapFillDaily: zero rows on gap days, LOCF carries the last total") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 5.0),
+      (1L, "2024-01-04 10:00:00", "view", 7.0)) // days 2,3 missing
+    val got = Analytics.gapFillDaily(events)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(got("2024-01-02") == ((0L, 0.0, 5.0))) // zero-filled, carry 5.0
+    assert(got("2024-01-03") == ((0L, 0.0, 5.0)))
+    assert(got("2024-01-04") == ((1L, 7.0, 7.0)))
+  }
+
+  test("dailyAnomalies: an injected spike is flagged, steady days are not") {
+    val steady = (1 to 13).map(i =>
+      (1L, f"2024-01-$i%02d 10:00:00", "view", 100.0 + (i % 3)))
+    val spike = Seq((1L, "2024-01-14 10:00:00", "view", 5000.0))
+    val got = Analytics.dailyAnomalies(ev(steady ++ spike: _*))
+      .collect().map(r => r.getString(1) -> r.getBoolean(4)).toMap
+    assert(got("2024-01-14"), "spike day must be flagged")
+    assert(!got.filterKeys(_ != "2024-01-14").values.exists(identity),
+      "no steady day may be flagged")
+  }
+
+  test("equiWidthHistogram: bins partition the data, max lands in last bin") {
+    val orders = Tables.orders(spark, sf0001)
+    val h = Analytics.equiWidthHistogram(orders, col("o_totalprice"), 20).collect()
+    assert(h.map(_.getLong(3)).sum == orders.count())
+    val bins = h.map(_.getLong(0))
+    assert(bins.forall(b => b >= 0 && b <= 19))
+    assert(bins.contains(19L), "the max value must land in the last bin")
+    // single-value edge: everything in bin 0, no division blow-up
+    val one = Seq(5.0, 5.0).toDF("v")
+    val hc = Analytics.equiWidthHistogram(one, col("v"), 20).collect()
+    assert(hc.length == 1 && hc.head.getLong(0) == 0L && hc.head.getLong(3) == 2L)
+  }
+
+  test("numericProfile agrees with Spark's built-in corr/covar_samp") {
+    val li = Tables.lineitem(spark, sf0001)
+    val got = Analytics.numericProfile(li, col("l_returnflag"),
+      col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(7), r.getDouble(6))).toMap
+    val ref = li.groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((flag, (c, cv)) <- ref) {
+      assert(math.abs(got(flag)._1 - c) < 1e-4, s"corr($flag)")
+      assert(math.abs(got(flag)._2 - cv) < math.abs(cv) * 1e-6 + 1e-4, s"covar($flag)")
+    }
+  }
+
+  test("stratifiedCap: exact per-stratum cap, layout-independent membership") {
+    val docs = Tables.documents(spark, sf0001)
+    val k = 7
+    val capped = Sampling.stratifiedCap(docs, "lang", "doc_id", k)
+    val perLang = capped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- totals)
+      assert(perLang.getOrElse(lang, 0L) == math.min(n, k), s"lang=$lang")
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(capped) ==
+      ids(Sampling.stratifiedCap(docs.repartition(7), "lang", "doc_id", k)))
+  }
+
+  test("bigramPmi: a glued pair scores far above an independent pair") {
+    // "aa bb" always adjacent; "cc"/"dd" co-occur only by chance
+    val glued = (1 to 30).map(i => (i.toLong, "aa bb xx yy zz"))
+    val chance = (31 to 60).map(i => (i.toLong, s"cc ${"w" + i} dd xx yy"))
+    val docs = (glued ++ chance).toDF("doc_id", "text")
+    val pmi = TextAnalysis.bigramPmi(docs, minCount = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(pmi(("aa", "bb")) > 1.0)
+    assert(!pmi.contains(("cc", "dd")), "non-adjacent tokens form no bigram")
+  }
+
+  test("unigramSurprisal: rare-token documents score higher than common ones") {
+    val common = (1 to 20).map(i => (i.toLong, "the the the the"))
+    val rare = Seq((21L, "qqq zzz vvv www"))
+    val scores = TextAnalysis.unigramSurprisal((common ++ rare).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(21L) > scores(1L) + 1.0)
+    // every doc has 4 tokens
+    val nt = TextAnalysis.unigramSurprisal((common ++ rare).toDF("doc_id", "text"))
+      .collect().map(_.getLong(1)).toSet
+    assert(nt == Set(4L))
+  }
+}
