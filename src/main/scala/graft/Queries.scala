@@ -2916,6 +2916,129 @@ object Queries {
       |       floor((CAST(sum(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_surprisal
       |FROM s GROUP BY doc_id""".stripMargin
 
+  /** PATH1 — first-order Markov transitions over user event paths
+    * ([[graft.operators.Analytics.pathTransitions]]). */
+  val path1Transitions: Q = (s, d) =>
+    graft.operators.Analytics.pathTransitions(Tables.events(s, d))
+
+  val path1TransitionsSql: String =
+    """WITH steps AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM steps
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       floor((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)) * 1000000 + 0.5) / 1000000 AS p
+      |FROM c""".stripMargin
+
+  /** NU1 — daily new users + cumulative acquisition curve
+    * ([[graft.operators.Analytics.newUsersCurve]]). */
+  val nu1NewUsers: Q = (s, d) =>
+    graft.operators.Analytics.newUsersCurve(Tables.events(s, d))
+
+  val nu1NewUsersSql: String =
+    """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS day FROM events GROUP BY 1),
+      |d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, n_new,
+      |       CAST(sum(n_new) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM d""".stripMargin
+
+  /** EXP1 — A/B experiment readout with deterministic arm assignment and
+    * a pooled two-proportion z-statistic
+    * ([[graft.operators.Analytics.abTest]]). */
+  val exp1AbTest: Q = (s, d) =>
+    graft.operators.Analytics.abTest(Tables.events(s, d))
+
+  val exp1AbTestSql: String = {
+    val bucket = md5BucketSql("CAST(user_id AS VARCHAR)")
+    s"""WITH u AS (SELECT user_id,
+       |             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+       |                               THEN CAST(value AS DECIMAL(18,2)) END), 0) > 500 AS BIGINT) AS converted
+       |           FROM events GROUP BY 1),
+       |a AS (SELECT CASE WHEN $bucket < 5000 THEN 'A' ELSE 'B' END AS variant, converted FROM u),
+       |m AS (SELECT
+       |        CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |        CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+       |        CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |        CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+       |      FROM a),
+       |dd AS (SELECT n_a, conv_a, n_b, conv_b,
+       |              CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+       |              CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+       |              CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+       |              CAST(conv_a + conv_b AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+       |       FROM m)
+       |SELECT n_a, conv_a, n_b, conv_b,
+       |       CASE WHEN n_a > 0 THEN floor(pa * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS rate_a,
+       |       CASE WHEN n_b > 0 THEN floor(pb * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS rate_b,
+       |       CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0 AND pp < 1
+       |            THEN floor(((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd))) * 10000 + 0.5) / 10000
+       |            ELSE 0.0 END AS z_score
+       |FROM dd""".stripMargin
+  }
+
+  /** PR1 — PageRank over the nation-level trade graph: edges are each
+    * nation's top-5 supplier nations by order volume (sparsified on the
+    * native top-k-per-key operator), ranks from 5 bulk-synchronous
+    * iterations ([[graft.operators.Graph.pageRank]]); the oracle replays
+    * the identical rounds as a DuckDB recursive CTE. */
+  val pr1Pagerank: Q = (s, d) => {
+    val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
+    val c = Tables.customer(s, d); val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val cn = n.select(col("n_nationkey").as("ck"), col("n_name").as("src"))
+    val sn = n.select(col("n_nationkey").as("sk"), col("n_name").as("dst"))
+    val ew = l
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(cn), c("c_nationkey") === cn("ck"))
+      .join(broadcast(sn), sup("s_nationkey") === sn("sk"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val edges = graft.plans.TopKPerKey(ew, Seq("src"),
+      Seq(("w", false), ("dst", true)), 5).select("src", "dst")
+    graft.operators.Graph.pageRank(
+      n.select(col("n_name").as("node")), edges, iters = 5)
+  }
+
+  val pr1PagerankSql: String =
+    """WITH RECURSIVE
+      |ew AS (SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+      |       FROM lineitem l
+      |       JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |       JOIN customer c ON o.o_custkey = c.c_custkey
+      |       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |       JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |       JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |       GROUP BY 1, 2),
+      |edges AS (SELECT src, dst FROM (
+      |            SELECT src, dst, row_number() OVER (PARTITION BY src
+      |                     ORDER BY w DESC, dst) AS rn
+      |            FROM ew) t
+      |          WHERE rn <= 5),
+      |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      |contribs AS (
+      |  SELECT e.src, e.dst,
+      |         floor((0.85 / od.deg) * 1000000000000 + 0.5) / 1000000000000 AS w
+      |  FROM edges e JOIN outdeg od ON e.src = od.src
+      |  UNION ALL
+      |  SELECT n_name, n_name, 0.0 FROM nation),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+      |pr AS (
+      |  SELECT 0 AS iter, n_name AS node, 1.0 / (SELECT n FROM nn) AS r FROM nation
+      |  UNION ALL
+      |  SELECT p.iter + 1, c.dst,
+      |         floor((0.15 / (SELECT n FROM nn) +
+      |                CAST(sum(CAST(floor(p.r * c.w * 1000000000000 + 0.5) / 1000000000000 AS DECIMAL(28,12))) AS DOUBLE))
+      |               * 10000000000 + 0.5) / 10000000000
+      |  FROM pr p JOIN contribs c ON p.node = c.src
+      |  WHERE p.iter < 5
+      |  GROUP BY p.iter + 1, c.dst)
+      |SELECT node, r AS rank FROM pr WHERE iter = 5""".stripMargin
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -3020,6 +3143,10 @@ object Queries {
     "unp1_unpivot" -> unp1Unpivot,
     "pmi1_collocations" -> pmi1Collocations,
     "lm1_surprisal" -> lm1Surprisal,
+    "path1_transitions" -> path1Transitions,
+    "nu1_new_users" -> nu1NewUsers,
+    "exp1_ab_test" -> exp1AbTest,
+    "pr1_pagerank" -> pr1Pagerank,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -3149,6 +3276,10 @@ object Queries {
     "unp1_unpivot" -> unp1UnpivotSql,
     "pmi1_collocations" -> pmi1CollocationsSql,
     "lm1_surprisal" -> lm1SurprisalSql,
+    "path1_transitions" -> path1TransitionsSql,
+    "nu1_new_users" -> nu1NewUsersSql,
+    "exp1_ab_test" -> exp1AbTestSql,
+    "pr1_pagerank" -> pr1PagerankSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
@@ -3199,5 +3330,6 @@ object Queries {
     "emb3_random_projection", "dq1_integrity_audit",
     "ret1_retention", "ts1_gap_fill", "anom1_daily_zscore", "hist1_equiwidth",
     "corr1_profile", "smp3_stratified_cap", "pmi1_collocations", "lm1_surprisal",
+    "path1_transitions", "nu1_new_users", "exp1_ab_test", "pr1_pagerank",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -164,4 +164,76 @@ object Analytics {
       portableRound(cov, 4).as("covar"),
       portableRound(corr, 6).as("corr"))
   }
+
+  /** First-order Markov transition matrix over each user's event path:
+    * count of (event_type → next event_type) steps in timestamp order,
+    * with the per-source transition probability.
+    *
+    * Shape: one `lead` window per user (bounded per-user state — the
+    * sessionize shape, safe at any user count), one count aggregation on
+    * the (from, to) pair, and the probability normalization is a window
+    * over the |types|² transition matrix — metadata-sized whatever the
+    * event volume. */
+  def pathTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")) // event_id breaks ts ties
+    val steps = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+    val counts = steps
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val perFrom = Window.partitionBy(col("from_type"))
+    counts.withColumn("p",
+      portableRound(col("n").cast("double") / sum(col("n")).over(perFrom), 6))
+  }
+
+  /** Daily new-user counts with the cumulative acquisition curve. The
+    * first-seen reduction is the only data-sized aggregation; the
+    * cumulative sum runs over the daily frame (≤ |days| rows), where an
+    * unpartitioned window is metadata-class, not a global data sort —
+    * the same codebook-size argument as tok1's dictionary window. */
+  def newUsersCurve(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("day"))
+    val daily = firsts.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.withColumn("cum_users", sum(col("n_new")).over(cum))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_new"), col("cum_users"))
+  }
+
+  /** A/B experiment readout: variants assigned by the deterministic
+    * md5-bucket split (a user's arm never changes — [[Sampling]]'s
+    * reproducibility contract), outcome = did the user ever purchase,
+    * result = one row with per-arm counts, rates and the two-proportion
+    * pooled z-statistic. All inputs to the z formula are exact integer
+    * counts, so the statistic is reproducible to the rounded digit. */
+  def abTest(events: DataFrame): DataFrame = {
+    // outcome: lifetime purchase value above 500 (exact decimal sum, so
+    // the boundary compare can't flip on float accumulation order)
+    val users = events.groupBy(col("user_id")).agg(
+      (coalesce(sum(when(col("event_type") === "purchase", col("value"))
+        .cast("decimal(18,2)")), lit(0)) > 500).cast("int").as("converted"))
+    val assigned = users.withColumn("variant",
+      when(Sampling.hashBucket(col("user_id")) < 5000, "A").otherwise("B"))
+    val m = assigned.agg(
+      sum(when(col("variant") === "A", 1).otherwise(0)).as("n_a"),
+      sum(when(col("variant") === "A", col("converted")).otherwise(0)).as("conv_a"),
+      sum(when(col("variant") === "B", 1).otherwise(0)).as("n_b"),
+      sum(when(col("variant") === "B", col("converted")).otherwise(0)).as("conv_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") / (na + nb)
+    val z = (pa - pb) / sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / na + lit(1.0) / nb))
+    m.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") > 0, portableRound(pa, 6)).otherwise(lit(0.0)).as("rate_a"),
+      when(col("n_b") > 0, portableRound(pb, 6)).otherwise(lit(0.0)).as("rate_b"),
+      // empty arms or degenerate pooled rates (0%/100%) have no sampling
+      // variance — report z = 0 instead of dividing by zero
+      when(col("n_a") > 0 && col("n_b") > 0 && pooled > 0 && pooled < 1,
+        portableRound(z, 4)).otherwise(lit(0.0)).as("z_score"))
+  }
 }

@@ -106,6 +106,47 @@ class AnalyticsSpec extends SparkTestBase {
     assert(!pmi.contains(("cc", "dd")), "non-adjacent tokens form no bigram")
   }
 
+  test("pathTransitions: counts ordered steps, probabilities sum to 1 per source") {
+    val events = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 1L, "2024-01-01 10:01:00", "click", 1.0),
+      (3L, 1L, "2024-01-01 10:02:00", "purchase", 1.0),
+      (4L, 2L, "2024-01-01 11:00:00", "view", 1.0),
+      (5L, 2L, "2024-01-01 11:01:00", "view", 1.0))
+      .toDF("event_id", "user_id", "tss", "event_type", "value")
+      .select(col("event_id"), col("user_id"), to_timestamp(col("tss")).as("ts"),
+        col("event_type"), col("value"))
+    val got = Analytics.pathTransitions(events)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("view", "click")) == ((1L, 0.5)))
+    assert(got(("view", "view")) == ((1L, 0.5)))
+    assert(got(("click", "purchase")) == ((1L, 1.0)))
+    assert(!got.contains(("purchase", "view")), "paths never cross users")
+  }
+
+  test("newUsersCurve: cumulative curve counts each user once, on first day") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, "2024-01-01 12:00:00", "view", 1.0),
+      (1L, "2024-01-05 10:00:00", "view", 1.0), // not new again
+      (3L, "2024-01-03 10:00:00", "view", 1.0))
+    val got = Analytics.newUsersCurve(events)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("2024-01-01" -> ((2L, 2L)), "2024-01-03" -> ((1L, 3L))))
+  }
+
+  test("abTest: arms partition the users; degenerate experiment yields z = 0") {
+    val events = Tables.events(spark, sf0001)
+    val r = Analytics.abTest(events).collect().head
+    val users = events.select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(2) == users)
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    // no purchases at all -> pooled rate 0 -> guarded z, not a crash
+    val z0 = Analytics.abTest(ev((1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, "2024-01-01 10:00:00", "click", 1.0))).collect().head
+    assert(z0.getDouble(6) == 0.0)
+  }
+
   test("unigramSurprisal: rare-token documents score higher than common ones") {
     val common = (1 to 20).map(i => (i.toLong, "the the the the"))
     val rare = Seq((21L, "qqq zzz vvv www"))

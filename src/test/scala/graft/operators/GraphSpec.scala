@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val nodes = Seq("a", "b", "c", "d").toDF("node")
+
+  test("pageRank: in-link-rich node ranks first, mass is conserved") {
+    // b, c, d all point at a; a points back at b only
+    val edges = Seq(("b", "a"), ("c", "a"), ("d", "a"), ("a", "b"))
+      .toDF("src", "dst")
+    // the a<->b 2-cycle oscillates with period 2 and amplitude decaying
+    // by d^2 per round; 50 rounds leave ~1e-5 of swing against a fixed-
+    // point gap of ~0.035, so the order assertion is stable
+    val r = Graph.pageRank(nodes, edges, iters = 50)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("a") > r("b") && r("b") > r("c"), r.toString)
+    assert(r("c") == r("d")) // symmetric peers tie exactly
+    // every node has an out-edge, so no dangling leak: mass sums to ~1
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, r.values.sum.toString)
+  }
+
+  test("pageRank: deterministic under repartitioning") {
+    val edges = Seq(("b", "a"), ("c", "a"), ("d", "a"), ("a", "b"))
+      .toDF("src", "dst")
+    val r1 = Graph.pageRank(nodes, edges, iters = 5).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val r2 = Graph.pageRank(nodes.repartition(3), edges.repartition(5), iters = 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r1 == r2) // bit-identical, not approximately equal
+  }
+
+  test("pageRank: node without in-edges keeps ~the teleport rank") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val r = Graph.pageRank(nodes, edges, iters = 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("c") - 0.15 / 4) < 1e-9, r("c").toString)
+    assert(r("d") == r("c"))
+  }
+}
