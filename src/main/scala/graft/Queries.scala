@@ -3039,6 +3039,132 @@ object Queries {
       |  GROUP BY p.iter + 1, c.dst)
       |SELECT node, r AS rank FROM pr WHERE iter = 5""".stripMargin
 
+  /** ROLL1 — exact rolling 7-day distinct active users (the WAU curve;
+    * [[graft.operators.Analytics.rollingActiveUsers]]). */
+  val roll1Rolling: Q = (s, d) =>
+    graft.operators.Analytics.rollingActiveUsers(Tables.events(s, d))
+
+  val roll1RollingSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |mx AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
+      |e AS (SELECT user_id,
+      |             CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+      |                    CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS w_day
+      |      FROM ud)
+      |SELECT strftime(w_day, '%Y-%m-%d') AS day,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      |FROM e CROSS JOIN mx WHERE w_day <= dmax GROUP BY 1""".stripMargin
+
+  /** SEG1 — RFM segmentation with percentile-fence quartile scores
+    * ([[graft.operators.Analytics.rfmSegments]]). */
+  val seg1Rfm: Q = (s, d) =>
+    graft.operators.Analytics.rfmSegments(Tables.events(s, d))
+
+  val seg1RfmSql: String =
+    """WITH per AS (
+      |  SELECT user_id, CAST(max(ts) AS DATE) AS last_day, count(*) AS frequency,
+      |         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      |                           THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS monetary
+      |  FROM events GROUP BY 1),
+      |ref AS (SELECT CAST(max(ts) AS DATE) AS ref_day FROM events),
+      |s AS (SELECT per.*, CAST(datediff('day', last_day, ref_day) AS BIGINT) AS recency_days
+      |      FROM per CROSS JOIN ref),
+      |f AS (SELECT
+      |  floor(quantile_cont(recency_days, 0.25) * 10000 + 0.5) / 10000 AS r25,
+      |  floor(quantile_cont(recency_days, 0.5) * 10000 + 0.5) / 10000 AS r50,
+      |  floor(quantile_cont(recency_days, 0.75) * 10000 + 0.5) / 10000 AS r75,
+      |  floor(quantile_cont(frequency, 0.25) * 10000 + 0.5) / 10000 AS f25,
+      |  floor(quantile_cont(frequency, 0.5) * 10000 + 0.5) / 10000 AS f50,
+      |  floor(quantile_cont(frequency, 0.75) * 10000 + 0.5) / 10000 AS f75,
+      |  floor(quantile_cont(monetary, 0.25) * 10000 + 0.5) / 10000 AS m25,
+      |  floor(quantile_cont(monetary, 0.5) * 10000 + 0.5) / 10000 AS m50,
+      |  floor(quantile_cont(monetary, 0.75) * 10000 + 0.5) / 10000 AS m75
+      |  FROM s),
+      |sc AS (SELECT user_id, recency_days, frequency, monetary,
+      |        1 + CAST(recency_days < r75 AS INT) + CAST(recency_days < r50 AS INT)
+      |          + CAST(recency_days < r25 AS INT) AS r_score,
+      |        1 + CAST(frequency > f25 AS INT) + CAST(frequency > f50 AS INT)
+      |          + CAST(frequency > f75 AS INT) AS f_score,
+      |        1 + CAST(monetary > m25 AS INT) + CAST(monetary > m50 AS INT)
+      |          + CAST(monetary > m75 AS INT) AS m_score
+      |       FROM s CROSS JOIN f)
+      |SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+      |       CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+      |            WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+      |            WHEN r_score >= 3 THEN 'recent'
+      |            WHEN f_score >= 3 OR m_score >= 3 THEN 'at_risk'
+      |            ELSE 'hibernating' END AS segment
+      |FROM sc""".stripMargin
+
+  /** U6 — bag-semantics EXCEPT ALL: order custkeys minus one occurrence
+    * per known customer (multiplicity-aware, unlike u4's set EXCEPT). */
+  val u6ExceptAll: Q = (s, d) =>
+    Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      .exceptAll(Tables.customer(s, d).select(col("c_custkey").as("custkey")))
+
+  val u6ExceptAllSql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |EXCEPT ALL
+      |SELECT c_custkey AS custkey FROM customer""".stripMargin
+
+  /** U7 — bag-semantics INTERSECT ALL between two overlapping lineitem
+    * slices (min-multiplicity per part key). */
+  val u7IntersectAll: Q = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    l.filter(col("l_discount") <= 0.05).select(col("l_partkey"))
+      .intersectAll(l.filter(col("l_quantity") >= 25).select(col("l_partkey")))
+  }
+
+  val u7IntersectAllSql: String =
+    """SELECT l_partkey FROM lineitem WHERE l_discount <= 0.05
+      |INTERSECT ALL
+      |SELECT l_partkey FROM lineitem WHERE l_quantity >= 25""".stripMargin
+
+  /** MM3 — REAL WAV/RIFF header decode over an in-plan binary audio
+    * fixture ([[graft.operators.Multimodal.decodeAudio]]): the audio twin
+    * of mm1's PNG/JPEG parse — the oracle recomputes the expected fields
+    * from the id arithmetic the fixture embeds into genuine RIFF bytes. */
+  val mm3Audio: Q = (s, d) => {
+    val media = Tables.documents(s, d).select(col("doc_id"),
+      graft.operators.Multimodal.syntheticWavPayload(col("doc_id")).as("payload"))
+    graft.operators.Multimodal.decodeAudio(s, media).toDF()
+  }
+
+  val mm3AudioSql: String =
+    """SELECT doc_id,
+      |  CAST((1 + doc_id % 5) * 8000 AS INT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INT) AS n_channels,
+      |  CAST(16 AS INT) AS bits,
+      |  CAST((doc_id % 1000 + 1) * (1 + doc_id % 2) * 2 * 16 AS BIGINT) AS data_bytes,
+      |  CAST(floor(((doc_id % 1000 + 1) * (1 + doc_id % 2) * 2 * 16) * 1000.0 /
+      |             ((1 + doc_id % 5) * 8000 * (1 + doc_id % 2) * 2)) AS BIGINT) AS duration_ms
+      |FROM documents""".stripMargin
+
+  /** ASOF2 — as-of attribution with a 1-hour tolerance window: the asof1
+    * join, but matches older than the attribution window are nulled
+    * ([[graft.operators.AsOf.asOfJoinTolerance]]). */
+  val asof2Windowed: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.operators.AsOf.asOfJoinTolerance(purchases, clicks, "user_id", "ts",
+      Seq("click_id"), 3600L * 1000000L)
+      .select(col("user_id"), col("purchase_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("asof_click_id").as("click_id"))
+  }
+
+  val asof2WindowedSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id,
+      |       strftime(CAST(date_trunc('second', p.ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |       CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 1 HOUR
+      |            THEN c.event_id END AS click_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -3147,6 +3273,12 @@ object Queries {
     "nu1_new_users" -> nu1NewUsers,
     "exp1_ab_test" -> exp1AbTest,
     "pr1_pagerank" -> pr1Pagerank,
+    "roll1_rolling_active" -> roll1Rolling,
+    "seg1_rfm" -> seg1Rfm,
+    "u6_except_all" -> u6ExceptAll,
+    "u7_intersect_all" -> u7IntersectAll,
+    "mm3_audio_decode" -> mm3Audio,
+    "asof2_windowed" -> asof2Windowed,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -3280,6 +3412,12 @@ object Queries {
     "nu1_new_users" -> nu1NewUsersSql,
     "exp1_ab_test" -> exp1AbTestSql,
     "pr1_pagerank" -> pr1PagerankSql,
+    "roll1_rolling_active" -> roll1RollingSql,
+    "seg1_rfm" -> seg1RfmSql,
+    "u6_except_all" -> u6ExceptAllSql,
+    "u7_intersect_all" -> u7IntersectAllSql,
+    "mm3_audio_decode" -> mm3AudioSql,
+    "asof2_windowed" -> asof2WindowedSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
@@ -3331,5 +3469,6 @@ object Queries {
     "ret1_retention", "ts1_gap_fill", "anom1_daily_zscore", "hist1_equiwidth",
     "corr1_profile", "smp3_stratified_cap", "pmi1_collocations", "lm1_surprisal",
     "path1_transitions", "nu1_new_users", "exp1_ab_test", "pr1_pagerank",
+    "roll1_rolling_active", "seg1_rfm", "mm3_audio_decode", "asof2_windowed",
     "st1_stream_window", "st6_stream_cdc")
 }

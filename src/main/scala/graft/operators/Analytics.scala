@@ -204,6 +204,74 @@ object Analytics {
         col("n_new"), col("cum_users"))
   }
 
+  /** Rolling `days`-day distinct active users per day (the WAU/MAU curve),
+    * EXACT: each (user, active-day) pair is expanded to the `days` window
+    * end-dates it supports, then one distinct-count per end-date. That is
+    * the standard exact formulation — the shuffle carries id-width rows
+    * × `days`, nothing heavier, and sliding windows never re-scan raw
+    * events. At 100 TB the sketch twin (per-day HLL sketches merged over
+    * the trailing window, hll1's machinery) answers the same question in
+    * |days| × 4 KB per group; the exact form here is the oracle-checkable
+    * semantics both share (q7/q7_approx pattern). */
+  def rollingActiveUsers(events: DataFrame, days: Int = 7): DataFrame = {
+    require(days >= 1, s"days must be >= 1: $days")
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = events.agg(to_date(max(col("ts"))).as("dmax"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), days - 1))).as("w_day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("w_day") <= col("dmax")) // windows past the data end are partial lies
+      .groupBy(col("w_day"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .select(date_format(col("w_day"), "yyyy-MM-dd").as("day"), col("n_active"))
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation with
+    * quartile scores from PERCENTILE FENCES, not a global ntile: the three
+    * exact quartile boundaries come from one 1-row aggregate (broadcast
+    * in-DAG, t11's fence pattern), and each user's score is a pure
+    * projection against them — no global sort of the user universe, which
+    * is what an ntile(4) window would cost at 100 TB (swap the exact
+    * percentile for the approx sketch there, exactly as q7 documents).
+    * Scores run 1–4 (4 best); fences are portably rounded so both engines
+    * compare the same boundary. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val per = events.groupBy(col("user_id")).agg(
+      to_date(max(col("ts"))).as("last_day"),
+      count(lit(1)).as("frequency"),
+      coalesce(decSum(when(col("event_type") === "purchase", col("value"))),
+        lit(0.0)).as("monetary"))
+    val ref = events.agg(to_date(max(col("ts"))).as("ref_day"))
+    val scored = per.crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        datediff(col("ref_day"), col("last_day")).cast("long"))
+    val fences = scored.agg(
+      portableRound(percentile(col("recency_days"), lit(0.25)), 4).as("r25"),
+      portableRound(percentile(col("recency_days"), lit(0.5)), 4).as("r50"),
+      portableRound(percentile(col("recency_days"), lit(0.75)), 4).as("r75"),
+      portableRound(percentile(col("frequency"), lit(0.25)), 4).as("f25"),
+      portableRound(percentile(col("frequency"), lit(0.5)), 4).as("f50"),
+      portableRound(percentile(col("frequency"), lit(0.75)), 4).as("f75"),
+      portableRound(percentile(col("monetary"), lit(0.25)), 4).as("m25"),
+      portableRound(percentile(col("monetary"), lit(0.5)), 4).as("m50"),
+      portableRound(percentile(col("monetary"), lit(0.75)), 4).as("m75"))
+    def up(c: Column, lo: Column, mid: Column, hi: Column): Column =
+      (lit(1) + (c > lo).cast("int") + (c > mid).cast("int") + (c > hi).cast("int"))
+    def down(c: Column, lo: Column, mid: Column, hi: Column): Column =
+      (lit(1) + (c < hi).cast("int") + (c < mid).cast("int") + (c < lo).cast("int"))
+    val withScores = scored.crossJoin(broadcast(fences))
+      .withColumn("r_score", down(col("recency_days"), col("r25"), col("r50"), col("r75")))
+      .withColumn("f_score", up(col("frequency"), col("f25"), col("f50"), col("f75")))
+      .withColumn("m_score", up(col("monetary"), col("m25"), col("m50"), col("m75")))
+    withScores.select(col("user_id"), col("recency_days"), col("frequency"),
+      col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3, "champion")
+        .when(col("r_score") >= 3 && col("f_score") >= 3, "loyal")
+        .when(col("r_score") >= 3, "recent")
+        .when(col("f_score") >= 3 || col("m_score") >= 3, "at_risk")
+        .otherwise("hibernating").as("segment"))
+  }
+
   /** A/B experiment readout: variants assigned by the deterministic
     * md5-bucket split (a user's arm never changes — [[Sampling]]'s
     * reproducibility contract), outcome = did the user ever purchase,

@@ -47,4 +47,24 @@ object AsOf {
       .select((Seq(keyCol, timeCol) ++ leftCols ++ carry.map(c => s"asof_$c"))
         .map(col): _*)
   }
+
+  /** As-of join with a TOLERANCE bound: like [[asOfJoin]], but a match
+    * older than `toleranceMicros` is nulled out — "attribute the purchase
+    * to the last click, but only within the attribution window". Same
+    * plan as the unbounded form (the matched right timestamp rides along
+    * as one extra carried column, then one projection applies the gap
+    * test); micros-exact comparison so sub-second boundaries agree with
+    * the oracle engine. */
+  def asOfJoinTolerance(leftDf: DataFrame, rightDf: DataFrame,
+                        keyCol: String, timeCol: String,
+                        carry: Seq[String], toleranceMicros: Long): DataFrame = {
+    require(toleranceMicros > 0, s"tolerance must be positive: $toleranceMicros")
+    val joined = asOfJoin(leftDf, rightDf.withColumn("_rts", col(timeCol)),
+      keyCol, timeCol, carry :+ "_rts")
+    val within = col("asof__rts").isNotNull &&
+      (unix_micros(col(timeCol)) - unix_micros(col("asof__rts")) <= toleranceMicros)
+    carry.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", when(within, col(s"asof_$c")))
+    }.drop("asof__rts")
+  }
 }

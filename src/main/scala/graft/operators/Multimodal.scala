@@ -34,6 +34,12 @@ final case class ResizedMedia(doc_id: Long, payload: Array[Byte], byte_len: Int)
 
 final case class Frame(doc_id: Long, frame_idx: Int, byte_len: Int, payload: Array[Byte])
 
+/** Output of the REAL WAV-header decode: PCM format fields + duration
+  * computed from the data-chunk size, all parsed from the payload bytes. */
+final case class AudioFeatures(
+    doc_id: Long, sample_rate: Int, n_channels: Int, bits: Int,
+    data_bytes: Long, duration_ms: Long)
+
 object Multimodal {
 
   /** Model the documents table as a media table: payload = utf8 bytes of
@@ -196,6 +202,80 @@ object Multimodal {
         r.payload.grouped(frameBytes).zipWithIndex
           .filter { case (_, i) => i % everyK == 0 }
           .map { case (bytes, i) => Frame(r.doc_id, i, bytes.length, bytes) }
+      }
+  }
+
+  // little-endian hex of a 16/32-bit value, for building RIFF structures
+  // in-plan (hex() is big-endian; RIFF integers are little-endian)
+  private def le16c(v: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(v), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le32c(v: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(v), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Deterministic binary audio fixture: a REAL canonical 44-byte PCM WAV
+    * header (RIFF/WAVE/fmt/data) with rate, channels and data size derived
+    * from the id — built in-plan from hex, like [[syntheticImagePayload]],
+    * so the audio decode path is exercised on genuine RIFF structure.
+    * channels = 1 + id%2, rate = (1 + id%5)·8 kHz, 16-bit,
+    * data = (id%1000 + 1)·block·16 bytes. */
+  def syntheticWavPayload(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val channels = lit(1) + pmod(docId, lit(2))
+    val rate = (lit(1) + pmod(docId, lit(5))) * 8000
+    val blockAlign = channels * 2
+    val byteRate = rate * blockAlign
+    val dataSize = (pmod(docId, lit(1000)) + 1) * blockAlign * 16
+    unhex(concat(
+      lit("52494646"), le32c(dataSize + 36), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), le32c(lit(16)), le16c(lit(1)),         // 'fmt ' 16 PCM
+      le16c(channels), le32c(rate), le32c(byteRate),
+      le16c(blockAlign), le16c(lit(16)),                      // block, 16-bit
+      lit("64617461"), le32c(dataSize)))                      // 'data' size
+  }
+
+  /** REAL WAV (RIFF) header parse — pure-JVM byte walking, nothing but the
+    * payload:
+    *   - "RIFF" sig + "WAVE" form type + canonical "fmt " at offset 12
+    *     (RIFF spec / Microsoft WAVE format, multimedia programming
+    *     interface rev 1.0 §"WAVE Form");
+    *   - little-endian u16/u32 fields: PCM tag, channels, sample rate,
+    *     bits; "data" chunk size at the canonical 44-byte layout.
+    * Non-PCM or non-canonical layouts return None (quarantine path, like
+    * [[decodeImageHeader]]). */
+  def decodeWavHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (p.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE" &&
+        tag(12) == "fmt " && le32(16) == 16 && le16(20) == 1 && tag(36) == "data") {
+      val channels = le16(22)
+      val rate = le32(24)
+      val bits = le16(34)
+      if (channels > 0 && rate > 0 && rate <= Int.MaxValue && bits > 0)
+        Some((rate.toInt, channels, bits, le32(40)))
+      else None
+    } else None
+  }
+
+  /** Partition-parallel REAL audio-header decode (the mapPartitions batch
+    * shape of [[decodeImages]]); duration from data size over byte rate. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeWavHeader(r.payload).map { case (rate, channels, bits, dataBytes) =>
+            val byteRate = rate.toLong * channels * (bits / 8)
+            AudioFeatures(r.doc_id, rate, channels, bits, dataBytes,
+              Math.floorDiv(dataBytes * 1000L, byteRate))
+          }
+        }
       }
   }
 

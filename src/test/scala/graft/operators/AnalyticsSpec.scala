@@ -147,6 +147,41 @@ class AnalyticsSpec extends SparkTestBase {
     assert(z0.getDouble(6) == 0.0)
   }
 
+  test("rollingActiveUsers: trailing window unions users, caps at data end") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, "2024-01-03 10:00:00", "view", 1.0),
+      (1L, "2024-01-09 10:00:00", "view", 1.0))
+    val got = Analytics.rollingActiveUsers(events, days = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("2024-01-01") == 1L)
+    assert(got("2024-01-03") == 2L) // users 1 (Jan 1) + 2 (Jan 3)
+    assert(got("2024-01-07") == 2L) // Jan 1 still inside the 7-day window
+    assert(got("2024-01-08") == 1L) // Jan 1 aged out; Jan 3 remains
+    assert(got("2024-01-09") == 2L) // user 1 returns
+    assert(!got.contains("2024-01-10"), "windows past the data end are not emitted")
+  }
+
+  test("rfmSegments: scores stay in 1..4 and rank users consistently") {
+    // heavy: recent, frequent, big spender; light: old, single small event
+    val heavy = (0 until 8).map(i =>
+      (1L, f"2024-01-${20 + i % 8}%02d 10:00:00", "purchase", 500.0))
+    val light = Seq((2L, "2024-01-01 10:00:00", "view", 1.0))
+    val mid = (3L to 6L).flatMap(u => Seq(
+      (u, "2024-01-10 10:00:00", "view", 1.0),
+      (u, "2024-01-15 10:00:00", "purchase", 50.0)))
+    val got = Analytics.rfmSegments(ev(heavy ++ light ++ mid: _*))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))).toMap
+    for ((_, (r, f, m, _)) <- got) {
+      assert(r >= 1 && r <= 4 && f >= 1 && f <= 4 && m >= 1 && m <= 4)
+    }
+    val (r1, f1, m1, seg1) = got(1L)
+    val (r2, f2, m2, seg2) = got(2L)
+    assert(r1 > r2 && f1 > f2 && m1 > m2, s"$r1 $f1 $m1 vs $r2 $f2 $m2")
+    assert(seg1 == "champion" && seg2 == "hibernating")
+  }
+
   test("unigramSurprisal: rare-token documents score higher than common ones") {
     val common = (1 to 20).map(i => (i.toLong, "the the the the"))
     val rare = Seq((21L, "qqq zzz vvv www"))

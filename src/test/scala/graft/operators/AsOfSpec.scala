@@ -26,6 +26,26 @@ class AsOfSpec extends SparkTestBase {
     assert(got("t3").isEmpty)         // no quote at or before t3 → null (left join)
   }
 
+  test("tolerance as-of keeps in-window matches, nulls stale ones") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:30"), "fresh"),  // quote 25s earlier: in window
+      (1L, ts("2024-01-01 10:02:00"), "stale"),  // quote 115s earlier: out
+      (2L, ts("2024-01-01 10:00:00"), "none"))   // no quote at all
+      .toDF("key", "ts", "trade")
+    val quotes = Seq((1L, ts("2024-01-01 10:00:05"), 100.0)).toDF("key", "ts", "price")
+    val got = AsOf.asOfJoinTolerance(trades, quotes, "key", "ts",
+      Seq("price"), toleranceMicros = 60L * 1000000L)
+      .collect().map(r => r.getAs[String]("trade") -> Option(r.getAs[Any]("asof_price"))).toMap
+    assert(got("fresh").contains(100.0))
+    assert(got("stale").isEmpty)
+    assert(got("none").isEmpty)
+    // boundary is inclusive: exactly-60s-old match survives
+    val edge = Seq((1L, ts("2024-01-01 10:01:05"), "edge")).toDF("key", "ts", "trade")
+    val gotEdge = AsOf.asOfJoinTolerance(edge, quotes, "key", "ts",
+      Seq("price"), 60L * 1000000L).collect().head
+    assert(Option(gotEdge.getAs[Any]("asof_price")).contains(100.0))
+  }
+
   test("same-instant right row matches (inclusive <=)") {
     val l = Seq((1L, ts("2024-01-01 00:00:10"), "x")).toDF("key", "ts", "v")
     val r = Seq((1L, ts("2024-01-01 00:00:10"), 7.0)).toDF("key", "ts", "price")

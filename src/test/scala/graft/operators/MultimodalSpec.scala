@@ -100,6 +100,28 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("synthetic WAV payload round-trips through the real RIFF parser") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 4L, 5L, 999L, 1000L, 1001L)
+    val media = ids.toDF("doc_id").select($"doc_id",
+      Multimodal.syntheticWavPayload($"doc_id").as("payload"))
+    val got = Multimodal.decodeAudio(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(got.size == ids.size) // every payload parsed — none quarantined
+    for (id <- ids) {
+      val f = got(id)
+      val ch = (1 + id % 2).toInt
+      val rate = ((1 + id % 5) * 8000).toInt
+      val data = (id % 1000 + 1) * ch * 2 * 16
+      assert(f.sample_rate == rate && f.n_channels == ch && f.bits == 16, f.toString)
+      assert(f.data_bytes == data)
+      assert(f.duration_ms == data * 1000L / (rate.toLong * ch * 2))
+    }
+    // corrupted signature → quarantined, not crashed
+    val bad = Seq((1L, "definitely not RIFF bytes".getBytes)).toDF("doc_id", "payload")
+    assert(Multimodal.decodeAudio(spark, bad).collect().isEmpty)
+  }
+
   test("media table carries binary payload + typed metadata struct") {
     val media = Multimodal.asMediaTable(Tables.documents(spark, sf0001).limit(1))
     val schema = media.schema
