@@ -3165,6 +3165,55 @@ object Queries {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** CDC2 — change-feed apply WITH deletes: latest op per key wins, a
+    * winning delete removes the key — full I/U/D MERGE semantics on the
+    * native top-1-per-key exec
+    * ([[graft.operators.Curation.applyChangeFeed]]). The fixture derives
+    * ops from the stream itself ('error' events model tombstones). */
+  val cdc2Deletes: Q = (s, d) => {
+    val feed = Tables.events(s, d).withColumn("op",
+      when(col("event_type") === "error", "D").otherwise("U"))
+    graft.operators.Curation.applyChangeFeed(feed,
+      Seq("user_id"), Seq("ts", "event_id"), "op")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+  }
+
+  val cdc2DeletesSql: String =
+    """SELECT user_id, event_type,
+      |       strftime(CAST(date_trunc('second', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS last_ts
+      |FROM (SELECT user_id, event_type, ts,
+      |             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND op <> 'D'""".stripMargin
+
+  /** PCA1 — top principal component of the embedding matrix by power
+    * iteration ([[graft.operators.Similarity.topComponent]]); the oracle
+    * unrolls the same decimal-exact rounds as chained CTEs. */
+  val pca1Power: Q = (s, d) =>
+    graft.operators.Similarity.topComponent(Tables.embeddings(s, d))
+
+  val pca1PowerSql: String = {
+    def round9(e: String) = s"floor(($e) * 1000000000 + 0.5) / 1000000000"
+    def iter(i: Int, prev: String): String =
+      s"""d$i AS (SELECT vec_id,
+         |  floor(CAST(sum(CAST(${round9("x * v")} AS DECIMAL(18,9))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dot
+         |  FROM f JOIN $prev USING (j) GROUP BY vec_id),
+         |u$i AS (SELECT j, CAST(sum(CAST(${round9("dot * x")} AS DECIMAL(28,9))) AS DOUBLE) AS s
+         |  FROM f JOIN d$i USING (vec_id) GROUP BY j),
+         |n$i AS (SELECT sqrt(CAST(sum(CAST(${round9("s * s")} AS DECIMAL(28,9))) AS DOUBLE)) AS nrm FROM u$i),
+         |v$i AS (SELECT j, ${round9("s / nrm")} AS v FROM u$i CROSS JOIN n$i)""".stripMargin
+    val rounds = (1 to 5).map(i => iter(i, if (i == 1) "v0" else s"v${i - 1}"))
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |f AS (SELECT vec_id, CAST(j AS BIGINT) AS j, emb[j] AS x
+       |      FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) t),
+       |v0 AS (SELECT CAST(unnest(generate_series(1, 64)) AS BIGINT) AS j, 0.125 AS v),
+       |${rounds.mkString(",\n")}
+       |SELECT j, v AS component FROM v5""".stripMargin
+  }
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -3279,6 +3328,8 @@ object Queries {
     "u7_intersect_all" -> u7IntersectAll,
     "mm3_audio_decode" -> mm3Audio,
     "asof2_windowed" -> asof2Windowed,
+    "cdc2_apply_deletes" -> cdc2Deletes,
+    "pca1_power_iteration" -> pca1Power,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -3418,6 +3469,8 @@ object Queries {
     "u7_intersect_all" -> u7IntersectAllSql,
     "mm3_audio_decode" -> mm3AudioSql,
     "asof2_windowed" -> asof2WindowedSql,
+    "cdc2_apply_deletes" -> cdc2DeletesSql,
+    "pca1_power_iteration" -> pca1PowerSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
@@ -3470,5 +3523,6 @@ object Queries {
     "corr1_profile", "smp3_stratified_cap", "pmi1_collocations", "lm1_surprisal",
     "path1_transitions", "nu1_new_users", "exp1_ab_test", "pr1_pagerank",
     "roll1_rolling_active", "seg1_rfm", "mm3_audio_decode", "asof2_windowed",
+    "cdc2_apply_deletes", "pca1_power_iteration",
     "st1_stream_window", "st6_stream_cdc")
 }

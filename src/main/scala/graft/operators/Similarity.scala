@@ -319,4 +319,55 @@ object Similarity {
     }
     embeddings.select(col("vec_id"), concat_ws(",", comps: _*).as("proj_vec_s"))
   }
+
+  /** Top principal component of the embedding matrix by POWER ITERATION —
+    * the one-vector core of PCA, at corpus scale: v ← normalize(Xᵀ(Xv)),
+    * repeated `iters` times from the uniform unit start.
+    *
+    * Shape per round: the matrix never materializes a covariance — one
+    * join of the long-format (vec_id, j, x) stream against the broadcast
+    * 64-row v computes Xv (group by vec_id), a second join computes XᵀXv
+    * (group by j), and the norm is a 1-row aggregate. Both joins are
+    * data × codebook; the only data-sized exchanges key on vec_id/j.
+    * `localCheckpoint` per round (pr1/d7 discipline) keeps round N from
+    * replaying rounds 1..N-1.
+    *
+    * Determinism: every per-term product rounds at 1e-9 and sums as an
+    * exact decimal, dots round at 1e-6, the normalized components at
+    * 1e-9 — so five rounds of float work stay bit-identical across
+    * engines and layouts (the DuckDB oracle unrolls the same rounds). */
+  def topComponent(embeddings: DataFrame, dim: Int = 64, iters: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val flat = embeddings
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"), col("x"))
+      .localCheckpoint()
+    val v0 = lit(portableRoundValue(1.0 / math.sqrt(dim), 9))
+    var v = spark.range(1, dim + 1).select(col("id").as("j"), v0.as("v"))
+    for (_ <- 1 to iters) {
+      val dots = flat.join(broadcast(v), "j")
+        .groupBy(col("vec_id"))
+        .agg(portableRound(
+          sum(portableRound(col("x") * col("v"), 9).cast("decimal(18,9)"))
+            .cast("double"), 6).as("dot"))
+      val s = flat.join(dots, "vec_id")
+        .groupBy(col("j"))
+        .agg(sum(portableRound(col("dot") * col("x"), 9).cast("decimal(28,9)"))
+          .cast("double").as("s"))
+      val norm = s.agg(
+        sqrt(sum(portableRound(col("s") * col("s"), 9).cast("decimal(28,9)"))
+          .cast("double")).as("nrm"))
+      v = s.crossJoin(broadcast(norm))
+        .select(col("j"), portableRound(col("s") / col("nrm"), 9).as("v"))
+        .localCheckpoint()
+    }
+    v.select(col("j"), col("v").as("component"))
+  }
+
+  /** Scala-side twin of [[graft.functions.portableRound]] for literals. */
+  private def portableRoundValue(x: Double, scale: Int): Double = {
+    val p = math.pow(10.0, scale)
+    math.floor(x * p + 0.5) / p
+  }
 }

@@ -125,4 +125,18 @@ class CurationSpec extends SparkTestBase {
       (1L, "a", 100L, 300L, false), (1L, "b", 300L, 400L, false),
       (1L, "a", 400L, -1L, true), (2L, "x", 100L, -1L, true)))
   }
+
+  test("applyChangeFeed: latest op wins, deletes drop keys, reinserts revive") {
+    // key 1: U then D            -> gone
+    // key 2: U, D, then U again  -> present with the latest value
+    // key 3: single U            -> present
+    val feed = Seq(
+      (1L, 10L, "U", "v1"), (1L, 20L, "D", "x"),
+      (2L, 10L, "U", "v2"), (2L, 20L, "D", "x"), (2L, 30L, "U", "v2b"),
+      (3L, 10L, "U", "v3"))
+      .toDF("key", "seq", "op", "value")
+    val got = Curation.applyChangeFeed(feed, Seq("key"), Seq("seq"), "op")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(2L -> "v2b", 3L -> "v3"))
+  }
 }

@@ -110,6 +110,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(s1 == s2)
   }
 
+  test("topComponent recovers the dominant direction, unit norm, layout-proof") {
+    import spark.implicits._
+    // 30 vectors hugging axis 2, a little mass elsewhere: the top
+    // principal component must align with axis 2
+    val vecs = (1 to 30).map { i =>
+      (i.toLong, Array(0.05f * (i % 3), 1.0f + 0.01f * i, 0.02f * (i % 5), 0.01f))
+    }.toDF("vec_id", "embedding")
+    val c = Similarity.topComponent(vecs, dim = 4, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(c(2L)) > 0.99, c.toString) // axis-2 dominates
+    val norm = math.sqrt(c.values.map(v => v * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-6, norm.toString)
+    val c2 = Similarity.topComponent(vecs.repartition(7), dim = 4, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c == c2) // bit-identical under repartitioning
+  }
+
   test("knnGraph emits at most k ranked neighbors per vector, sorted by cosine") {
     val e = graft.Tables.embeddings(spark, sf0001)
     val g = Similarity.knnGraph(e, 3).collect()
