@@ -43,7 +43,13 @@ object Graph {
     val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
-    for (_ <- 1 to iters) {
+    // checkpoint the rank frame every few rounds, not every round: the
+    // expensive lineage (the edge build) is already cut by contribs'
+    // checkpoint, so short runs execute as one job — but Catalyst
+    // re-optimizes the whole accumulated plan per round, which grows
+    // superlinearly past a handful of nested join+agg rounds (measured:
+    // 50 unckeckpointed rounds hang analysis), so bound the segment depth
+    for (i <- 1 to iters) {
       ranks = ranks.join(contribs, ranks("node") === contribs("src"))
         .groupBy(col("dst"))
         .agg(sum(portableRound(col("r") * col("w"), 12).cast("decimal(28,12)"))
@@ -52,7 +58,7 @@ object Graph {
         .select(col("dst").as("node"),
           portableRound(lit(1.0 - damping) / col("n") +
             col("contrib").cast("double"), 10).as("r"))
-        .localCheckpoint()
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
