@@ -3214,6 +3214,49 @@ object Queries {
        |SELECT j, v AS component FROM v5""".stripMargin
   }
 
+  /** MIX2 — compute-and-apply a TARGET source mixture (water-filling):
+    * per-source keep rates derived in-plan from observed counts so the
+    * kept corpus matches the requested proportions
+    * ([[graft.operators.Sampling.targetMix]]). */
+  val mix2TargetMix: Q = (s, d) =>
+    graft.operators.Sampling.targetMix(Tables.documents(s, d),
+      col("source"), col("doc_id"),
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  val mix2TargetMixSql: String =
+    s"""WITH c AS (SELECT source AS src, count(*) AS n FROM documents GROUP BY 1),
+       |t AS (SELECT src, n,
+       |        CASE src WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+       |                 WHEN 'src2' THEN 0.2 ELSE 0.0 END AS tt
+       |      FROM c),
+       |cap AS (SELECT min(CAST(n AS DOUBLE) / tt) AS cp FROM t WHERE tt > 0),
+       |r AS (SELECT src,
+       |        CASE WHEN tt > 0
+       |             THEN CAST(floor(tt * cp / CAST(n AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+       |             ELSE 0 END AS thresh
+       |      FROM t CROSS JOIN cap)
+       |SELECT d.doc_id, d.source, d.lang
+       |FROM documents d JOIN r ON d.source = r.src
+       |WHERE ${md5BucketSql("CAST(d.doc_id AS VARCHAR)")} < r.thresh""".stripMargin
+
+  /** ST7 — stream-stream LEFT OUTER interval join with watermark-driven
+    * null emission ([[graft.streaming.EventStream
+    * .runLeftOuterJoinOverFixture]]); exact parity with the batch left
+    * range join is the contract — including the unmatched rows, which
+    * only exist because the watermark provably passed them. */
+  val st7StreamLeftJoin: Q = (s, d) =>
+    graft.streaming.EventStream.runLeftOuterJoinOverFixture(s, d)
+
+  val st7StreamLeftJoinSql: String =
+    """SELECT p.event_id AS p_id, p.user_id AS p_user,
+      |       strftime(CAST(date_trunc('second', p.ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS p_ts,
+      |       c.event_id AS c_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts""".stripMargin
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -3330,6 +3373,8 @@ object Queries {
     "asof2_windowed" -> asof2Windowed,
     "cdc2_apply_deletes" -> cdc2Deletes,
     "pca1_power_iteration" -> pca1Power,
+    "mix2_target_mix" -> mix2TargetMix,
+    "st7_stream_left_join" -> st7StreamLeftJoin,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -3471,6 +3516,8 @@ object Queries {
     "asof2_windowed" -> asof2WindowedSql,
     "cdc2_apply_deletes" -> cdc2DeletesSql,
     "pca1_power_iteration" -> pca1PowerSql,
+    "mix2_target_mix" -> mix2TargetMixSql,
+    "st7_stream_left_join" -> st7StreamLeftJoinSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,

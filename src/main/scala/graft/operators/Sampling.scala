@@ -69,6 +69,43 @@ object Sampling {
     df.filter(hashBucket(key) < threshold)
   }
 
+  /** Compute-and-apply a TARGET mixture: keep the largest possible corpus
+    * whose source proportions match `targetShares` (water-filling: the
+    * scarcest source relative to its target share caps the total, every
+    * other source downsamples to proportion), then apply the per-source
+    * rates with the same pure hash-of-key membership as [[mixSources]].
+    *
+    * Unlike mixSources (rates chosen by the caller), the rates here are
+    * DERIVED IN-PLAN from the observed source counts: one source-count
+    * aggregation (vocabulary-sized), a 1-row min for the cap, a broadcast
+    * rate join, one filter projection — so the mix recomputes correctly
+    * as the corpus grows, with no driver round-trip. Sources absent from
+    * `targetShares` drop; a targeted source with no rows makes its share
+    * unsatisfiable and is ignored by the cap (documented, not an error).
+    * Rounding: thresholds fix at bucket resolution (1e-4) so both engines
+    * keep identical rows. */
+  def targetMix(df: DataFrame, sourceCol: Column, key: Column,
+                targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty, "targetShares must not be empty")
+    val total = targetShares.values.sum
+    require(math.abs(total - 1.0) < 1e-9, s"target shares must sum to 1, got $total")
+    require(targetShares.values.forall(_ > 0), "target shares must be positive")
+    val counts = df.groupBy(sourceCol.as("_src")).agg(count(lit(1)).as("_n"))
+      .withColumn("_t", targetShares.foldLeft(lit(0.0)) { case (acc, (s, t)) =>
+        when(col("_src") === s, lit(t)).otherwise(acc)
+      })
+    val cap = counts.filter(col("_t") > 0)
+      .agg(min(col("_n").cast("double") / col("_t")).as("_cap"))
+    val rates = counts.crossJoin(broadcast(cap))
+      .select(col("_src"),
+        when(col("_t") > 0,
+          floor(col("_t") * col("_cap") / col("_n").cast("double") * 10000 + 0.5))
+          .otherwise(lit(0.0)).cast("long").as("_thresh"))
+    df.join(broadcast(rates), sourceCol === col("_src"))
+      .filter(hashBucket(key) < col("_thresh"))
+      .drop("_src", "_thresh")
+  }
+
   /** Stratified sample with an exact per-stratum CAP: deterministically
     * keep at most `cap` rows from every `stratumCol` group ("120 docs per
     * language"), chosen by md5-of-key order so membership is a pure

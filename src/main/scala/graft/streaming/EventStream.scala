@@ -87,6 +87,64 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-stream LEFT OUTER interval join — st4's attribution shape
+    * plus the outer-join semantics streaming makes hard: an unmatched
+    * purchase emits its null row only once the watermark proves no
+    * in-window click can still arrive (state eviction time), never
+    * speculatively.
+    *
+    * Exact batch parity needs the watermark to pass EVERY purchase, and
+    * a file stream's watermark stops at the last batch's max event time —
+    * so the replay appends a far-future sentinel pair (user −1, both
+    * event types, filtered back out of the result) as a SECOND
+    * micro-batch (`maxFilesPerTrigger=1`; file-stream batches follow
+    * modification order). The sentinel advances both sides' watermarks
+    * past the real data, which flushes every buffered outer row — the
+    * same trick a production pipeline plays with source heartbeats. */
+  def runLeftOuterJoinOverFixture(spark: SparkSession, sfDir: String,
+                                  windowMinutes: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val srcDir = Files.createTempDirectory("graft-stream-loj")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // sentinel: one click + one purchase ~400 days past the data end
+    val maxNanos = spark.read.schema(rawSchema)
+      .parquet(srcDir.resolve("events.parquet").toString)
+      .agg(max(col("ts"))).head.getLong(0)
+    val farNanos = maxNanos + 400L * 86400L * 1000000000L
+    import spark.implicits._
+    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"),
+        (-2L, farNanos, -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(srcDir.toString + "/sentinel")
+    def side(eventType: String, prefix: String) =
+      spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === eventType)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "0 seconds")
+    val purchases = side("purchase", "p")
+    val clicks = side("click", "c")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+    val queryName = scopedQueryName("graft_stream_loj")
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    spark.table(queryName).filter(col("p_user") =!= -1)
+      .select(col("p_id"), col("p_user"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+        col("c_id"))
+  }
+
   /** Stream-STATIC join: every streaming micro-batch broadcast-joins the
     * static dimension (re-read per batch by Spark if the source supports
     * it; no state, no watermark needed — the static side never late-

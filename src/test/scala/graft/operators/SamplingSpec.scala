@@ -38,6 +38,31 @@ class SamplingSpec extends SparkTestBase {
       Sampling.mixSources(docs, col("source"), col("doc_id"), Map("a" -> 1.5), 0.2))
   }
 
+  test("targetMix water-fills to the scarcest source and hits the proportions") {
+    import spark.implicits._
+    // A:100, B:50, C:10 rows, targets 0.5/0.3/0.2 → cap = min(200, 166.7,
+    // 50) = 50 → expected keeps ≈ 25/15/10; C is limiting and keeps ALL
+    val rows = (1 to 100).map(i => (i.toLong, "A")) ++
+      (101 to 150).map(i => (i.toLong, "B")) ++
+      (151 to 160).map(i => (i.toLong, "C")) ++
+      (161 to 180).map(i => (i.toLong, "D")) // untargeted: dropped
+    val df = rows.toDF("doc_id", "source")
+    val kept = Sampling.targetMix(df, col("source"), col("doc_id"),
+      Map("A" -> 0.5, "B" -> 0.3, "C" -> 0.2))
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("C") == 10L, s"limiting source keeps everything: $bySrc")
+    assert(!bySrc.contains("D"), "untargeted sources drop")
+    // hash granularity wobbles small samples; bound, don't pin
+    assert(bySrc("A") >= 15 && bySrc("A") <= 35, bySrc.toString)
+    assert(bySrc("B") >= 8 && bySrc("B") <= 22, bySrc.toString)
+    // deterministic under repartitioning
+    val kept2 = Sampling.targetMix(df.repartition(7), col("source"), col("doc_id"),
+      Map("A" -> 0.5, "B" -> 0.3, "C" -> 0.2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == kept2)
+  }
+
   test("dataset split covers every row once with stable assignment") {
     val docs = Tables.documents(spark, sf0001)
     val split = Sampling.datasetSplit(docs, col("doc_id"),

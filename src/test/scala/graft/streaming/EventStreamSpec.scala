@@ -23,4 +23,24 @@ class EventStreamSpec extends SparkTestBase {
     val merged = EventStream.runCdcMergeOverFixture(spark, sf0001)
     assertSameRows(batch, merged)
   }
+
+  test("streaming LEFT OUTER interval join equals the batch left join, nulls included") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("cts"))
+    val batch = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES") &&
+          col("cts") <= col("pts"), "left_outer")
+      .select(col("p_id"), col("p_user"),
+        date_format(col("pts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"), col("c_id"))
+    val streamed = EventStream.runLeftOuterJoinOverFixture(spark, sf0001)
+    assertSameRows(batch, streamed)
+    // the interesting rows are the UNMATCHED ones — watermark-proven nulls
+    assert(streamed.filter(col("c_id").isNull).count() > 0,
+      "expected watermark-flushed outer rows")
+  }
 }
