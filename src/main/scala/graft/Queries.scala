@@ -3257,6 +3257,42 @@ object Queries {
       |  ON p.user_id = c.user_id
       | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts""".stripMargin
 
+  /** D9 — SemDeDup-style semantic dedup over embeddings
+    * ([[graft.operators.Dedup.semanticDedup]]): sign-projection buckets →
+    * within-bucket exact cosine pairs → connected components → keep one
+    * representative per cluster. Fully oracle-replayed: the Achlioptas
+    * bucket signs, the cosine pairs AND the component labels all
+    * recompute in DuckDB (recursive CTE for the CC). */
+  val d9SemanticDedup: Q = (s, d) =>
+    graft.operators.Dedup.semanticDedup(Tables.embeddings(s, d), 0.35)
+
+  val d9SemanticDedupSql: String = {
+    def signTerm(j: Int): String =
+      s"(CASE WHEN list_sum([emb[i+1] * (((i*31 + $j*17) % 3) - 1) FOR i IN RANGE(0, 64)]) > 0 " +
+        s"THEN ${1 << j} ELSE 0 END)"
+    val bucket = (0 until 4).map(signTerm).mkString(" + ")
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b2.vec_id AS b_id
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |  WHERE floor(list_cosine_similarity(a.emb, b2.emb) * 10000 + 0.5) / 10000 >= 0.35),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT s AS node FROM edges),
+       |reach(node, lab) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e2.d, r.lab FROM reach r JOIN edges e2 ON e2.s = r.node),
+       |labs AS (SELECT node, min(lab) AS rep FROM reach GROUP BY node)
+       |SELECT v.vec_id,
+       |       CAST(coalesce(labs.rep, v.vec_id) AS BIGINT) AS rep_id,
+       |       v.vec_id = coalesce(labs.rep, v.vec_id) AS is_kept
+       |FROM (SELECT vec_id FROM embeddings) v
+       |LEFT JOIN labs ON v.vec_id = labs.node""".stripMargin
+  }
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -3375,6 +3411,7 @@ object Queries {
     "pca1_power_iteration" -> pca1Power,
     "mix2_target_mix" -> mix2TargetMix,
     "st7_stream_left_join" -> st7StreamLeftJoin,
+    "d9_semantic_dedup" -> d9SemanticDedup,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -3518,6 +3555,7 @@ object Queries {
     "pca1_power_iteration" -> pca1PowerSql,
     "mix2_target_mix" -> mix2TargetMixSql,
     "st7_stream_left_join" -> st7StreamLeftJoinSql,
+    "d9_semantic_dedup" -> d9SemanticDedupSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
@@ -3570,6 +3608,7 @@ object Queries {
     "corr1_profile", "smp3_stratified_cap", "pmi1_collocations", "lm1_surprisal",
     "path1_transitions", "nu1_new_users", "exp1_ab_test", "pr1_pagerank",
     "roll1_rolling_active", "seg1_rfm", "mm3_audio_decode", "asof2_windowed",
-    "cdc2_apply_deletes", "pca1_power_iteration",
+    "cdc2_apply_deletes", "pca1_power_iteration", "d9_semantic_dedup",
+    "mix2_target_mix",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -410,4 +410,56 @@ object Dedup {
         portableRound(dot_product(col("ea"), col("eb")) /
           (col("na") * col("nb")), 4).as("cosine"))
       .filter(col("cosine") >= minCosine)
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * partition the embedding space into coarse buckets, find cosine
+    * near-dups WITHIN buckets only, connect them into clusters, keep one
+    * representative per cluster. Returns the full decision table —
+    * (vec_id, rep_id, is_kept) for every vector, singletons kept.
+    *
+    * Bucketing here is the SIGNS of the first `signPlanes` Achlioptas
+    * projections (emb3's matrix — a pure function of (i, j), so any
+    * engine, including the DuckDB oracle, replays the buckets exactly;
+    * the paper's k-means partitioner is sim3's machinery and equally
+    * pluggable, but not oracle-replayable). Sign-LSH buckets correlate
+    * with cosine, so true near-dups overwhelmingly co-bucket; pairs are
+    * scored exactly with the d5 kernel and clustered by the d7
+    * large-star/small-star CC.
+    *
+    * Scale: `signPlanes` sets the bucket count (2^planes) and must grow
+    * with the corpus — ~log2(√N) planes keeps expected bucket size √N
+    * and within-bucket pair work linear-ish; at the fixture's 5 k
+    * vectors, 4 planes / 16 buckets is right-sized. The bucket join
+    * shuffles on the bucket key; for very skewed spaces, raise planes
+    * (smaller buckets) rather than salting — the bucket IS the blocking
+    * decision. */
+  def semanticDedup(embeddings: DataFrame, minCosine: Double,
+                    signPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    require(signPlanes >= 1 && signPlanes <= 30, s"signPlanes: $signPlanes")
+    val bucket = (0 until signPlanes).map { j =>
+      val plane = array((0 until dim).map { i =>
+        lit((((i * 31 + j * 17) % 3) - 1).toFloat)
+      }: _*)
+      (dot_product(col("embedding"), plane) > 0).cast("int") * lit(1 << j)
+    }.reduce(_ + _)
+    val normed = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"),
+      bucket.as("bucket"))
+    val a = normed.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = normed.select(col("bucket").as("bucket_b"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val pairs = a.join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        portableRound(dot_product(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+    val labels = duplicateClusters(pairs) // (doc_id, cluster_rep)
+    embeddings.select(col("vec_id"))
+      .join(labels, embeddings("vec_id") === labels("doc_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_rep"), col("vec_id")).as("rep_id"))
+      .withColumn("is_kept", col("vec_id") === col("rep_id"))
+  }
 }

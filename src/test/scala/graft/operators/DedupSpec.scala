@@ -188,4 +188,17 @@ class DedupSpec extends SparkTestBase {
     val got = Dedup.cosinePairs(e, 0.9).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 2L)))
   }
+
+  test("semanticDedup keeps one representative per cluster, singletons survive") {
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.01f, 0f, 0f)), // near-dup of 1, same sign bucket
+      (3L, Array(0f, 0f, 1f, 0f)))       // orthogonal singleton
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(e, 0.35, signPlanes = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)))
+    // the kept set is exactly one per rep
+    assert(got.filter(_._3).map(_._2) == got.map(_._2))
+  }
 }
