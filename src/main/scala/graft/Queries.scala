@@ -2985,7 +2985,11 @@ object Queries {
     * native top-k-per-key operator), ranks from 5 bulk-synchronous
     * iterations ([[graft.operators.Graph.pageRank]]); the oracle replays
     * the identical rounds as a DuckDB recursive CTE. */
-  val pr1Pagerank: Q = (s, d) => {
+  /** The sparsified nation-level trade graph shared by pr1/tri1: edge
+    * (customer nation → supplier nation) weighted by order-line volume,
+    * kept to each nation's top-5 counterparties on the native
+    * top-k-per-key operator. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
     val c = Tables.customer(s, d); val sup = Tables.supplier(s, d)
     val n = Tables.nation(s, d)
@@ -2998,15 +3002,13 @@ object Queries {
       .join(broadcast(cn), c("c_nationkey") === cn("ck"))
       .join(broadcast(sn), sup("s_nationkey") === sn("sk"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-    val edges = graft.plans.TopKPerKey(ew, Seq("src"),
+    graft.plans.TopKPerKey(ew, Seq("src"),
       Seq(("w", false), ("dst", true)), 5).select("src", "dst")
-    graft.operators.Graph.pageRank(
-      n.select(col("n_name").as("node")), edges, iters = 5)
   }
 
-  val pr1PagerankSql: String =
-    """WITH RECURSIVE
-      |ew AS (SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+  /** The matching DuckDB CTE prefix for [[tradeEdges]]. */
+  private val tradeEdgesCte: String =
+    """ew AS (SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
       |       FROM lineitem l
       |       JOIN orders o ON l.l_orderkey = o.o_orderkey
       |       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -3018,7 +3020,16 @@ object Queries {
       |            SELECT src, dst, row_number() OVER (PARTITION BY src
       |                     ORDER BY w DESC, dst) AS rn
       |            FROM ew) t
-      |          WHERE rn <= 5),
+      |          WHERE rn <= 5)""".stripMargin
+
+  val pr1Pagerank: Q = (s, d) =>
+    graft.operators.Graph.pageRank(
+      Tables.nation(s, d).select(col("n_name").as("node")),
+      tradeEdges(s, d), iters = 5)
+
+  val pr1PagerankSql: String =
+    s"""WITH RECURSIVE
+      |$tradeEdgesCte,
       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
       |contribs AS (
       |  SELECT e.src, e.dst,
@@ -3293,6 +3304,59 @@ object Queries {
        |LEFT JOIN labs ON v.vec_id = labs.node""".stripMargin
   }
 
+  /** PAT1 — consecutive event-pattern match (view→click→purchase, no
+    * gaps) per user — the MATCH_RECOGNIZE shape via chained leads
+    * ([[graft.operators.Analytics.sequenceMatch]]). */
+  val pat1SequenceMatch: Q = (s, d) =>
+    graft.operators.Analytics.sequenceMatch(Tables.events(s, d),
+      Seq("view", "click", "purchase"))
+
+  val pat1SequenceMatchSql: String =
+    """WITH s AS (SELECT user_id, event_id, ts, event_type,
+      |                  lead(event_type, 1) OVER w AS n1,
+      |                  lead(event_type, 2) OVER w AS n2
+      |           FROM events
+      |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id AS start_event_id,
+      |       strftime(CAST(date_trunc('second', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS start_ts
+      |FROM s
+      |WHERE event_type = 'view' AND n1 = 'click' AND n2 = 'purchase'""".stripMargin
+
+  /** TRI1 — exact triangle count over the undirected trade graph
+    * ([[graft.operators.Graph.triangleCount]]): the canonical ordered
+    * three-way self-join, each triangle counted once. */
+  val tri1Triangles: Q = (s, d) =>
+    graft.operators.Graph.triangleCount(tradeEdges(s, d))
+
+  val tri1TrianglesSql: String =
+    s"""WITH
+       |$tradeEdgesCte,
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM edges WHERE src <> dst)
+       |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM und e1
+       |JOIN und e2 ON e1.b = e2.a
+       |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
+
+  /** HIST2 — equi-depth histogram of order totals (10 buckets bounded by
+    * exact decile fences; [[graft.operators.Analytics.equiDepthHistogram]]). */
+  val hist2Equidepth: Q = (s, d) =>
+    graft.operators.Analytics.equiDepthHistogram(
+      Tables.orders(s, d), col("o_totalprice"), 10)
+
+  val hist2EquidepthSql: String = {
+    val fences = (1 to 9).map(i =>
+      s"floor(quantile_cont(o_totalprice, 0.$i) * 10000 + 0.5) / 10000 AS f$i")
+      .mkString(",\n|        ")
+    val bin = (1 to 9).map(i => s"CAST(o_totalprice > f$i AS INT)").mkString(" + ")
+    s"""WITH f AS (SELECT $fences
+       |  FROM orders)
+       |SELECT CAST($bin AS BIGINT) AS bin,
+       |       count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+       |FROM orders CROSS JOIN f
+       |GROUP BY 1""".stripMargin
+  }
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -3412,6 +3476,9 @@ object Queries {
     "mix2_target_mix" -> mix2TargetMix,
     "st7_stream_left_join" -> st7StreamLeftJoin,
     "d9_semantic_dedup" -> d9SemanticDedup,
+    "pat1_sequence_match" -> pat1SequenceMatch,
+    "tri1_triangles" -> tri1Triangles,
+    "hist2_equidepth" -> hist2Equidepth,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -3556,6 +3623,9 @@ object Queries {
     "mix2_target_mix" -> mix2TargetMixSql,
     "st7_stream_left_join" -> st7StreamLeftJoinSql,
     "d9_semantic_dedup" -> d9SemanticDedupSql,
+    "pat1_sequence_match" -> pat1SequenceMatchSql,
+    "tri1_triangles" -> tri1TrianglesSql,
+    "hist2_equidepth" -> hist2EquidepthSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
@@ -3609,6 +3679,6 @@ object Queries {
     "path1_transitions", "nu1_new_users", "exp1_ab_test", "pr1_pagerank",
     "roll1_rolling_active", "seg1_rfm", "mm3_audio_decode", "asof2_windowed",
     "cdc2_apply_deletes", "pca1_power_iteration", "d9_semantic_dedup",
-    "mix2_target_mix",
+    "mix2_target_mix", "pat1_sequence_match", "tri1_triangles",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -131,6 +131,25 @@ object Analytics {
         col("n"))
   }
 
+  /** Equi-DEPTH histogram: `bins` buckets holding ~equal row counts,
+    * bounded by exact percentile fences. Same two-pass scalar-broadcast
+    * shape as [[equiWidthHistogram]] (fences from ONE aggregate, binning
+    * as one map-side count); at 100 TB the exact percentile swaps for
+    * the `percentile_approx` sketch, q7-style. Bucket of a value = how
+    * many fences it exceeds, so bucket edges are closed on the left. */
+  def equiDepthHistogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val fenceCols = (1 until bins).map(i =>
+      portableRound(percentile(value, lit(i.toDouble / bins)), 4).as(s"f$i"))
+    val fences = df.agg(fenceCols.head, fenceCols.tail: _*)
+    val bin = (1 until bins).map(i => (col("v") > col(s"f$i")).cast("int"))
+      .reduce(_ + _).cast("long")
+    df.select(value.as("v")).crossJoin(broadcast(fences))
+      .withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
   /** Per-group bivariate profile — n, means, sample variances/stddevs,
     * covariance and Pearson correlation — from ONE pass of exact decimal
     * raw moments (Σx, Σy, Σx², Σy², Σxy at 2-decimal input scale).
@@ -202,6 +221,28 @@ object Analytics {
     daily.withColumn("cum_users", sum(col("n_new")).over(cum))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n_new"), col("cum_users"))
+  }
+
+  /** Fixed-length CONSECUTIVE event-pattern matching per user — the
+    * MATCH_RECOGNIZE shape Spark lacks natively, composed from chained
+    * `lead`s over the per-user event order: a row matches when its next
+    * `pattern.length − 1` events (no gaps allowed) complete the pattern.
+    * Same bounded-per-user window state as sessionization; the pattern
+    * length is a plan-time constant, so the match is one projection. */
+  def sequenceMatch(events: DataFrame, pattern: Seq[String]): DataFrame = {
+    require(pattern.size >= 2, "pattern needs at least 2 steps")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val withNexts = pattern.indices.tail.foldLeft(
+      events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))) {
+      (df, i) => df.withColumn(s"_n$i", lead(col("event_type"), i).over(byUser))
+    }
+    val matches = pattern.indices.tail.foldLeft(
+      withNexts.filter(col("event_type") === pattern.head)) { (df, i) =>
+      df.filter(col(s"_n$i") === pattern(i))
+    }
+    matches.select(col("user_id"), col("event_id").as("start_event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("start_ts"))
   }
 
   /** Rolling `days`-day distinct active users per day (the WAU/MAU curve),

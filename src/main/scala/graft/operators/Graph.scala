@@ -62,4 +62,29 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
+
+  /** Exact triangle count over an UNDIRECTED edge list, by the canonical
+    * ordered three-way join: orient every edge low→high, then
+    * e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c counts each triangle exactly
+    * once. Input edges may be directed/duplicated — they canonicalize
+    * and dedup first.
+    *
+    * Scale: the first join shuffles on the shared endpoint, the closing
+    * join on the (a, c) pair — both id-width. The a<b<c orientation IS
+    * the dedup (no ÷6 correction, no symmetric blowup); for skewed degree
+    * distributions the classic refinement (order by degree instead of id)
+    * drops the wedge count from Σd² on hubs to near-optimal — noted here,
+    * not needed at dimension-graph sizes. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val e1 = und.select(col("a"), col("b"))
+    val e2 = und.select(col("a").as("b"), col("b").as("c"))
+    val e3 = und.select(col("a").as("ca"), col("b").as("cb"))
+    e1.join(e2, "b")
+      .join(e3, col("a") === col("ca") && col("c") === col("cb"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

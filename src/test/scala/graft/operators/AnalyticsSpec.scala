@@ -147,6 +147,39 @@ class AnalyticsSpec extends SparkTestBase {
     assert(z0.getDouble(6) == 0.0)
   }
 
+  test("sequenceMatch: only gap-free consecutive runs match") {
+    val events = Seq(
+      // user 1: exact consecutive view->click->purchase
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:01:00", "click"),
+      (3L, 1L, "2024-01-01 10:02:00", "purchase"),
+      // user 2: an error interrupts the run -> no match
+      (4L, 2L, "2024-01-01 11:00:00", "view"),
+      (5L, 2L, "2024-01-01 11:01:00", "error"),
+      (6L, 2L, "2024-01-01 11:02:00", "click"),
+      (7L, 2L, "2024-01-01 11:03:00", "purchase"))
+      .toDF("event_id", "user_id", "tss", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("tss")).as("ts"), col("event_type"))
+    val got = Analytics.sequenceMatch(events, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L)))
+  }
+
+  test("equiDepthHistogram: buckets near-equal, ordered, partition the data") {
+    val orders = Tables.orders(spark, sf0001)
+    val h = Analytics.equiDepthHistogram(orders, col("o_totalprice"), 10)
+      .collect().sortBy(_.getLong(0))
+    val total = orders.count()
+    assert(h.map(_.getLong(1)).sum == total)
+    // each decile bucket within 2% of total/10 (ties can shift boundaries)
+    for (r <- h)
+      assert(math.abs(r.getLong(1) - total / 10.0) <= total * 0.02 + 1, r.toString)
+    // buckets are ordered and non-overlapping
+    for (Array(x, y) <- h.sliding(2))
+      assert(x.getDouble(3) <= y.getDouble(2), s"$x vs $y")
+  }
+
   test("rollingActiveUsers: trailing window unions users, caps at data end") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", "view", 1.0),

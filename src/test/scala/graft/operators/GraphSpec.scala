@@ -32,6 +32,17 @@ class GraphSpec extends SparkTestBase {
     assert(r1 == r2) // bit-identical, not approximately equal
   }
 
+  test("triangleCount: counts each triangle once, collapses direction/dups") {
+    // K4 minus one edge = 2 triangles; edges arrive directed, duplicated
+    // and with a self-loop — canonicalization must absorb all of it
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("a", "c"),
+      ("b", "d"), ("b", "d"), ("d", "d"))
+      .toDF("src", "dst")
+    val n = Graph.triangleCount(edges).collect().head.getLong(0)
+    assert(n == 2L, s"expected abc + bcd, got $n") // abc, bcd; no abd (no ad)
+  }
+
   test("pageRank: node without in-edges keeps ~the teleport rank") {
     val edges = Seq(("a", "b")).toDF("src", "dst")
     val r = Graph.pageRank(nodes, edges, iters = 5)
