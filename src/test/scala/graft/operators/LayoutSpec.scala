@@ -27,10 +27,12 @@ class LayoutSpec extends SparkTestBase {
       assert(zed.count() == 64 * 64)
       assert(zed.select("id").except(grid.select("id")).isEmpty)
       // with 4 range partitions over the z-value the partitions are the
-      // four quadrants: both per-partition extents ≈ half the global
-      assert(Layout.meanExtent(zed, "x") <= 0.7,
+      // four quadrants: both per-partition extents ≈ half the global.
+      // Bound at 0.75, not 0.5: repartitionByRange SAMPLES its boundaries,
+      // so quadrant edges wobble a few percent run to run (observed 0.70±)
+      assert(Layout.meanExtent(zed, "x") <= 0.75,
         s"x extent ${Layout.meanExtent(zed, "x")}")
-      assert(Layout.meanExtent(zed, "y") <= 0.7,
+      assert(Layout.meanExtent(zed, "y") <= 0.75,
         s"y extent ${Layout.meanExtent(zed, "y")}")
       // control: range-partition by x alone → x clusters, y spans ~the full range
       val byX = grid.repartitionByRange(org.apache.spark.sql.functions.col("x"))
