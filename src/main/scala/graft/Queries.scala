@@ -3357,6 +3357,67 @@ object Queries {
        |GROUP BY 1""".stripMargin
   }
 
+  /** ST8 — streaming consecutive-pattern detection: the MATCH_RECOGNIZE
+    * shape as bounded per-key state (last k−1 events) via
+    * flatMapGroupsWithState
+    * ([[graft.streaming.StatefulSessions.patternHits]]); oracle = the
+    * batch pat1 semantics, exact row parity. */
+  val st8StreamPattern: Q = (s, d) =>
+    graft.streaming.EventStream.runPatternOverFixture(s, d,
+      Seq("view", "click", "purchase"))
+
+  /** CARD1 — the dataset datasheet in one row: corpus size, token mass,
+    * exact dup rate, mean quality, and the Shannon entropy of the
+    * language mix — the summary a curation run publishes next to the
+    * data. One corpus pass for the scalar aggregates + one
+    * vocabulary-sized language aggregation; entropy terms are rounded
+    * then decimal-summed so the result is accumulation-order-free. */
+  val card1DatasetCard: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.operators.TextAnalysis.nTokensExpr.cast("long")).as("total_tokens"),
+      count_distinct(col("text")).as("n_unique_texts"),
+      portableRound(
+        sum(graft.operators.TextAnalysis.qualityExpr.cast("decimal(18,4)"))
+          .cast("double") / count(lit(1)), 4).as("mean_quality"))
+      .withColumn("dup_rate", portableRound(
+        lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"), 6))
+    val langTotal = docs.agg(count(lit(1)).cast("double").as("n_all"))
+    val entropy = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(langTotal))
+      .select(portableRound(
+        -(col("n").cast("double") / col("n_all")) * log(col("n").cast("double") / col("n_all")), 9)
+        .as("term"))
+      .agg(portableRound(sum(col("term").cast("decimal(18,9)")).cast("double"), 6)
+        .as("lang_entropy"))
+    base.crossJoin(broadcast(entropy))
+  }
+
+  val card1DatasetCardSql: String =
+    s"""WITH q AS (
+       |  SELECT text, lang,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    floor((least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+       |          + (CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
+       |             / len(string_split(text, ' '))) * 0.3
+       |          + least((CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+       |                   / len(string_split(text, ' '))) / 10.0, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality
+       |  FROM documents),
+       |base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |         CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+       |         floor((CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS mean_quality,
+       |         floor((1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS dup_rate
+       |  FROM q),
+       |lt AS (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM documents),
+       |terms AS (
+       |  SELECT floor((-(CAST(count(*) AS DOUBLE) / n_all) * ln(CAST(count(*) AS DOUBLE) / n_all)) * 1000000000 + 0.5) / 1000000000 AS term
+       |  FROM documents CROSS JOIN lt GROUP BY lang, n_all),
+       |ent AS (SELECT floor(CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS lang_entropy FROM terms)
+       |SELECT base.*, ent.lang_entropy FROM base CROSS JOIN ent""".stripMargin
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -3479,6 +3540,8 @@ object Queries {
     "pat1_sequence_match" -> pat1SequenceMatch,
     "tri1_triangles" -> tri1Triangles,
     "hist2_equidepth" -> hist2Equidepth,
+    "st8_stream_pattern" -> st8StreamPattern,
+    "card1_dataset_card" -> card1DatasetCard,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -3626,6 +3689,8 @@ object Queries {
     "pat1_sequence_match" -> pat1SequenceMatchSql,
     "tri1_triangles" -> tri1TrianglesSql,
     "hist2_equidepth" -> hist2EquidepthSql,
+    "st8_stream_pattern" -> pat1SequenceMatchSql, // stream/batch parity: same oracle
+    "card1_dataset_card" -> card1DatasetCardSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,

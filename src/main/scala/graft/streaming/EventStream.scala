@@ -145,6 +145,31 @@ object EventStream {
         col("c_id"))
   }
 
+  /** Replay the fixture through the stateful streaming pattern matcher
+    * ([[StatefulSessions.patternHits]]); exact parity with the batch
+    * `sequenceMatch` is the contract. */
+  def runPatternOverFixture(spark: SparkSession, sfDir: String,
+                            pattern: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-stream-pattern")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_micros"), col("event_type"))
+      .as[StatefulSessions.TypedEvent]
+    val queryName = scopedQueryName("graft_stream_pattern")
+    val q = StatefulSessions.patternHits(spark, stream, pattern).writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    spark.table(queryName).select(col("user_id"),
+      col("start_event_id"),
+      date_format(timestamp_micros(col("start_ts_micros")),
+        "yyyy-MM-dd HH:mm:ss").as("start_ts"))
+  }
+
   /** Stream-STATIC join: every streaming micro-batch broadcast-joins the
     * static dimension (re-read per batch by Spark if the source supports
     * it; no state, no watermark needed — the static side never late-

@@ -35,4 +35,46 @@ object StatefulSessions {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateTotals)
   }
+
+  final case class TypedEvent(user_id: Long, event_id: Long,
+                              ts_micros: Long, event_type: String)
+  final case class PatternHit(user_id: Long, start_event_id: Long,
+                              start_ts_micros: Long)
+
+  /** Streaming CONSECUTIVE-pattern matcher — the stateful twin of
+    * [[graft.operators.Analytics.sequenceMatch]]: per user, carry only
+    * the last `pattern.length − 1` events across micro-batches and emit
+    * a hit whenever a gap-free run completes the pattern.
+    *
+    * State is bounded at k−1 events per user regardless of history — the
+    * property that makes MATCH_RECOGNIZE-style detection streamable. A
+    * hit's last element is always from the CURRENT batch (the carried
+    * suffix is shorter than k), so nothing double-emits across batches.
+    * In-batch events sort by (ts, event_id); batches are assumed
+    * event-time-ordered per key (the replay's file order — a production
+    * deployment puts a watermark-sorted buffer in front, same as any
+    * order-sensitive stateful op). */
+  def matchPattern(pattern: Seq[String])(
+      userId: Long, events: Iterator[TypedEvent],
+      state: GroupState[Seq[TypedEvent]]): Iterator[PatternHit] = {
+    val k = pattern.length
+    val batch = events.toArray.sortBy(e => (e.ts_micros, e.event_id))
+    val seq = state.getOption.getOrElse(Seq.empty) ++ batch
+    val hits = seq.sliding(k).collect {
+      case w if w.length == k && w.map(_.event_type) == pattern =>
+        PatternHit(userId, w.head.event_id, w.head.ts_micros)
+    }.toVector
+    state.update(seq.takeRight(k - 1))
+    hits.iterator
+  }
+
+  /** Wire the pattern matcher over a (possibly streaming) typed Dataset. */
+  def patternHits(spark: SparkSession, events: Dataset[TypedEvent],
+                  pattern: Seq[String]): Dataset[PatternHit] = {
+    import spark.implicits._
+    require(pattern.size >= 2, "pattern needs at least 2 steps")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        matchPattern(pattern))
+  }
 }

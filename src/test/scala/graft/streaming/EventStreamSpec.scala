@@ -24,6 +24,14 @@ class EventStreamSpec extends SparkTestBase {
     assertSameRows(batch, merged)
   }
 
+  test("streaming pattern matcher equals the batch sequenceMatch (parity)") {
+    val batch = graft.operators.Analytics.sequenceMatch(
+      Tables.events(spark, sf0001), Seq("view", "click", "purchase"))
+    val streamed = EventStream.runPatternOverFixture(spark, sf0001,
+      Seq("view", "click", "purchase"))
+    assertSameRows(batch, streamed)
+  }
+
   test("streaming LEFT OUTER interval join equals the batch left join, nulls included") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf0001)
