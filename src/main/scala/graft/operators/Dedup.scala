@@ -327,18 +327,31 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
+    // fixpoint probe: both sides are distinct()-canonical sets, so
+    // (count, exact decimal sum of per-edge hashes) is a multiset
+    // signature — equal signatures ⇒ equal sets up to a 2⁻⁶⁴-class hash
+    // collision between SUCCESSIVE rounds of the same shrinking graph
+    // (and maxIters still bounds the loop if the impossible happens).
+    // One aggregation job per round, vs count + except anti-join before
+    // (measured: the except dominated round cost on the d8/d9 paths).
+    def signature(df: DataFrame): (Long, Option[java.math.BigDecimal]) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      (r.getLong(0), Option(r.getDecimal(1)))
+    }
     var edges = smallStar(fwd).localCheckpoint()
+    var edgeSig = signature(edges)
     var converged = false
     var rounds = 1
     while (!converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // fixpoint = identical edge set. Both sides are distinct()-canonical
-      // and materialized, so |A| == |B| plus one-directional A∖B = ∅ proves
-      // equality — one anti-join job per round, not two. The check runs
-      // even when rounds == maxIters: an already-converged graph must
-      // never throw, whatever the cap (maxIters bounds REFINING rounds).
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      // the check runs even when rounds == maxIters: an already-converged
+      // graph must never throw, whatever the cap (maxIters bounds
+      // REFINING rounds)
+      val nextSig = signature(next)
+      converged = nextSig == edgeSig
       edges = next
+      edgeSig = nextSig
       if (!converged) {
         rounds += 1
         if (rounds > maxIters) throw new IllegalStateException(
