@@ -3418,6 +3418,42 @@ object Queries {
        |ent AS (SELECT floor(CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS lang_entropy FROM terms)
        |SELECT base.*, ent.lang_entropy FROM base CROSS JOIN ent""".stripMargin
 
+  /** CUR1 — the curation WATERFALL: survivors after each stage of t10's
+    * ordered rule chain (length → language → repetition → quality), as
+    * conditional sums riding ONE corpus scan — the per-stage ablation
+    * report every filtering run publishes, at the cost of a single pass
+    * however many stages there are. */
+  val cur1Waterfall: Q = (s, d) => {
+    val nTok = TextAnalysis.nTokensExpr
+    val c1 = nTok >= 10
+    val c2 = c1 && TextAnalysis.predLangExpr() =!= "und"
+    val c3 = c2 && coalesce(TextAnalysis.dupRatioExpr <= 0.2, lit(true))
+    val c4 = c3 && TextAnalysis.qualityExpr >= 0.25
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("n_total"),
+      sum(c1.cast("long")).as("after_length"),
+      sum(c2.cast("long")).as("after_lang"),
+      sum(c3.cast("long")).as("after_repetition"),
+      sum(c4.cast("long")).as("after_quality"))
+  }
+
+  val cur1WaterfallSql: String =
+    s"""$corpusSignalsCteSql,
+       |c AS (SELECT
+       |  (n_tokens >= 10) AS c1,
+       |  (n_tokens >= 10 AND pred_lang <> 'und') AS c2,
+       |  (n_tokens >= 10 AND pred_lang <> 'und'
+       |   AND coalesce(dup_ratio <= 0.2, TRUE)) AS c3,
+       |  (n_tokens >= 10 AND pred_lang <> 'und'
+       |   AND coalesce(dup_ratio <= 0.2, TRUE) AND quality >= 0.25) AS c4
+       |  FROM b)
+       |SELECT CAST(count(*) AS BIGINT) AS n_total,
+       |       CAST(sum(CAST(c1 AS INT)) AS BIGINT) AS after_length,
+       |       CAST(sum(CAST(c2 AS INT)) AS BIGINT) AS after_lang,
+       |       CAST(sum(CAST(c3 AS INT)) AS BIGINT) AS after_repetition,
+       |       CAST(sum(CAST(c4 AS INT)) AS BIGINT) AS after_quality
+       |FROM c""".stripMargin
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -3542,6 +3578,7 @@ object Queries {
     "hist2_equidepth" -> hist2Equidepth,
     "st8_stream_pattern" -> st8StreamPattern,
     "card1_dataset_card" -> card1DatasetCard,
+    "cur1_filter_waterfall" -> cur1Waterfall,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -3691,6 +3728,7 @@ object Queries {
     "hist2_equidepth" -> hist2EquidepthSql,
     "st8_stream_pattern" -> pat1SequenceMatchSql, // stream/batch parity: same oracle
     "card1_dataset_card" -> card1DatasetCardSql,
+    "cur1_filter_waterfall" -> cur1WaterfallSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
@@ -3745,5 +3783,6 @@ object Queries {
     "roll1_rolling_active", "seg1_rfm", "mm3_audio_decode", "asof2_windowed",
     "cdc2_apply_deletes", "pca1_power_iteration", "d9_semantic_dedup",
     "mix2_target_mix", "pat1_sequence_match", "tri1_triangles",
+    "card1_dataset_card", "cur1_filter_waterfall",
     "st1_stream_window", "st6_stream_cdc")
 }
