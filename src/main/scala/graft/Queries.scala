@@ -3454,6 +3454,30 @@ object Queries {
        |       CAST(sum(CAST(c4 AS INT)) AS BIGINT) AS after_quality
        |FROM c""".stripMargin
 
+  /** W8 — RANGE-frame window: each order's trailing-7-DAY spend for its
+    * customer (value-range frame over epoch days — rows at the same day
+    * aggregate together and gap days genuinely age out, which a
+    * ROWS-frame window cannot express). Key-partitioned like every
+    * window here; the frame bound is a plan-time constant. */
+  val w8RangeFrame: Q = (s, d) => {
+    val days = datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(days)
+      .rangeBetween(-6, Window.currentRow)
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").as("trailing_7d"))
+  }
+
+  val w8RangeFrameSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |         PARTITION BY o_custkey
+      |         ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+      |FROM orders""".stripMargin
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -3579,6 +3603,7 @@ object Queries {
     "st8_stream_pattern" -> st8StreamPattern,
     "card1_dataset_card" -> card1DatasetCard,
     "cur1_filter_waterfall" -> cur1Waterfall,
+    "w8_range_frame" -> w8RangeFrame,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -3729,6 +3754,7 @@ object Queries {
     "st8_stream_pattern" -> pat1SequenceMatchSql, // stream/batch parity: same oracle
     "card1_dataset_card" -> card1DatasetCardSql,
     "cur1_filter_waterfall" -> cur1WaterfallSql,
+    "w8_range_frame" -> w8RangeFrameSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
