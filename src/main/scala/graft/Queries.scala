@@ -2775,8 +2775,9 @@ object Queries {
       |         sum(CAST(cents AS DECIMAL(19,0))) OVER win AS s1,
       |         sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) OVER win AS s2
       |  FROM daily
-      |  WINDOW win AS (PARTITION BY event_type ORDER BY day
-      |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |  WINDOW win AS (PARTITION BY event_type
+      |                 ORDER BY datediff('day', DATE '1970-01-01', day)
+      |                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
       |z AS (
       |  SELECT event_type, day, cents, n,
       |         CASE WHEN n > 1 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) > 0

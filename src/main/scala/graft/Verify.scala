@@ -21,9 +21,17 @@ object Verify {
     spark.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
     new java.io.File(outDir).mkdirs()
     // dev-only subset filter (tools/check.py iterates over the dirs that
-    // exist); the driver sets no filter and always dumps everything
+    // exist); the driver sets no filter and always dumps everything.
+    // Unknown names fail LOUDLY — a typo that silently dumps nothing
+    // would let an unverified query look checked; empty value = no filter
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -57,9 +57,11 @@ object Analytics {
   def gapFillDaily(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("day_value"))
-    val bounds = events.agg(to_date(min(col("ts"))).as("d0"),
-      to_date(max(col("ts"))).as("d1"))
-    val spine = events.select(col("event_type")).distinct()
+    // bounds and the type list derive from the ALREADY-AGGREGATED daily
+    // grid, not from a second/third pass over raw events — at 100 TB each
+    // avoided raw pass is a full-table scan
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = daily.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
     val locf = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -87,8 +89,12 @@ object Analytics {
                      zThreshold: Double = 2.0): DataFrame = {
     val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      .rowsBetween(-(trailing - 1), 0)
+    // RANGE frame over epoch days, not a ROWS frame: for a sparse event
+    // type, rows-based trailing-N would silently include arbitrarily old
+    // days in the baseline; the day-valued range genuinely ages them out
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      .rangeBetween(-(trailing - 1).toLong, Window.currentRow)
     val c = col("cents").cast("decimal(19,0)")
     val stats = daily
       .withColumn("n", count(lit(1)).over(w))
@@ -257,7 +263,8 @@ object Analytics {
   def rollingActiveUsers(events: DataFrame, days: Int = 7): DataFrame = {
     require(days >= 1, s"days must be >= 1: $days")
     val ud = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val bounds = events.agg(to_date(max(col("ts"))).as("dmax"))
+    // data end from the already-reduced (user, day) frame — no second raw pass
+    val bounds = ud.agg(max(col("day")).as("dmax"))
     ud.select(col("user_id"),
         explode(sequence(col("day"), date_add(col("day"), days - 1))).as("w_day"))
       .crossJoin(broadcast(bounds))
@@ -282,7 +289,9 @@ object Analytics {
       count(lit(1)).as("frequency"),
       coalesce(decSum(when(col("event_type") === "purchase", col("value"))),
         lit(0.0)).as("monetary"))
-    val ref = events.agg(to_date(max(col("ts"))).as("ref_day"))
+    // reference day from the per-user frame (max of per-user maxes = the
+    // corpus max) — no second raw-events pass
+    val ref = per.agg(max(col("last_day")).as("ref_day"))
     val scored = per.crossJoin(broadcast(ref))
       .withColumn("recency_days",
         datediff(col("ref_day"), col("last_day")).cast("long"))

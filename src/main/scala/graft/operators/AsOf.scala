@@ -59,12 +59,19 @@ object AsOf {
                         keyCol: String, timeCol: String,
                         carry: Seq[String], toleranceMicros: Long): DataFrame = {
     require(toleranceMicros > 0, s"tolerance must be positive: $toleranceMicros")
-    val joined = asOfJoin(leftDf, rightDf.withColumn("_rts", col(timeCol)),
-      keyCol, timeCol, carry :+ "_rts")
-    val within = col("asof__rts").isNotNull &&
-      (unix_micros(col(timeCol)) - unix_micros(col("asof__rts")) <= toleranceMicros)
+    // carry ONE struct, not independent columns: plain asOfJoin LOCFs each
+    // carried column independently (skipping nulls), so a null field on
+    // the as-of row could surface an OLDER row's value past the tolerance
+    // gate — packing makes every carried field come from the same matched
+    // row as the timestamp the gap test inspects
+    val packed = rightDf.withColumn("_pack",
+      struct(carry.map(col) :+ col(timeCol).as("_rts"): _*))
+    val joined = asOfJoin(leftDf, packed, keyCol, timeCol, Seq("_pack"))
+    val within = col("asof__pack").isNotNull &&
+      (unix_micros(col(timeCol)) -
+        unix_micros(col("asof__pack").getField("_rts")) <= toleranceMicros)
     carry.foldLeft(joined) { (df, c) =>
-      df.withColumn(s"asof_$c", when(within, col(s"asof_$c")))
-    }.drop("asof__rts")
+      df.withColumn(s"asof_$c", when(within, col("asof__pack").getField(c)))
+    }.drop("asof__pack")
   }
 }

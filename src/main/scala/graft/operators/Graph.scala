@@ -56,8 +56,11 @@ object Graph {
           .as("contrib"))
         .crossJoin(broadcast(nn))
         .select(col("dst").as("node"),
-          portableRound(lit(1.0 - damping) / col("n") +
-            col("contrib").cast("double"), 10).as("r"))
+          // teleport literal rounded to 1e-12 so it is BIT-identical to
+          // the oracle's decimal literal: 1.0 - 0.85 in binary floating
+          // point is 0.15000000000000002, one ulp above the parsed 0.15
+          portableRound(lit(math.floor((1.0 - damping) * 1e12 + 0.5) / 1e12) /
+            col("n") + col("contrib").cast("double"), 10).as("r"))
       if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank"))

@@ -257,7 +257,11 @@ object Multimodal {
       val channels = le16(22)
       val rate = le32(24)
       val bits = le16(34)
-      if (channels > 0 && rate > 0 && rate <= Int.MaxValue && bits > 0)
+      // bits must be a positive byte multiple: a corrupt 1..7-bit field
+      // would make the byte rate zero and crash duration math downstream
+      // — quarantine it here like every other malformed header
+      if (channels > 0 && rate > 0 && rate <= Int.MaxValue &&
+          bits >= 8 && bits % 8 == 0)
         Some((rate.toInt, channels, bits, le32(40)))
       else None
     } else None

@@ -120,6 +120,11 @@ class MultimodalSpec extends SparkTestBase {
     // corrupted signature → quarantined, not crashed
     val bad = Seq((1L, "definitely not RIFF bytes".getBytes)).toDF("doc_id", "payload")
     assert(Multimodal.decodeAudio(spark, bad).collect().isEmpty)
+    // structurally valid header with a sub-byte bits field (4-bit) →
+    // quarantined too (a zero byte rate must not crash duration math)
+    val wav = media.limit(1).select("payload").collect().head.getAs[Array[Byte]](0).clone()
+    wav(34) = 4
+    assert(Multimodal.decodeWavHeader(wav).isEmpty)
   }
 
   test("media table carries binary payload + typed metadata struct") {
