@@ -3479,6 +3479,74 @@ object Queries {
       |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
       |FROM orders""".stripMargin
 
+  /** W9 — top-k WITH TIES per group (RANK semantics): every row whose
+    * quantity ranks in the top 3 values of its return flag, ties kept —
+    * the keep-ties nuance neither w6's bounded heap nor row_number
+    * expresses. Same key-partitioned window class as w1. */
+  val w9TopkTies: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+  }
+
+  val w9TopkTiesSql: String =
+    """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
+      |       CAST(rank() OVER (PARTITION BY l_returnflag
+      |                         ORDER BY l_quantity DESC) AS BIGINT) AS rnk
+      |FROM lineitem
+      |QUALIFY rnk <= 3""".stripMargin
+
+  /** CHI1 — chi-square test of independence for event type × ISO weekday:
+    * the categorical-association statistic, from ONE contingency-grid
+    * aggregation (map-side combinable) — expected counts, the statistic
+    * and the degrees of freedom all derive from the 35-row grid, with
+    * per-cell terms rounded then decimal-summed so the statistic is
+    * accumulation-order-free. */
+  val chi1Independence: Q = (s, d) => {
+    val grid = Tables.events(s, d)
+      .groupBy(col("event_type"), (weekday(col("ts")) + 1).as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val byRow = Window.partitionBy(col("event_type"))
+    val byCol = Window.partitionBy(col("dow"))
+    val all = Window.partitionBy()
+    val withMargins = grid
+      .withColumn("r", sum(col("n")).over(byRow))
+      .withColumn("c", sum(col("n")).over(byCol))
+      .withColumn("t", sum(col("n")).over(all))
+    val e = col("r").cast("double") * col("c").cast("double") / col("t").cast("double")
+    val term = portableRound(
+      (col("n").cast("double") - e) * (col("n").cast("double") - e) / e, 6)
+    withMargins
+      .withColumn("term", term)
+      .agg(
+        portableRound(sum(col("term").cast("decimal(18,6)")).cast("double"), 4).as("chi2"),
+        ((count_distinct(col("event_type")) - 1) *
+          (count_distinct(col("dow")) - 1)).as("dof"),
+        sum(col("n")).as("n_events"))
+  }
+
+  val chi1IndependenceSql: String =
+    """WITH g AS (SELECT event_type, isodow(ts) AS dow, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, dow, n,
+      |             sum(n) OVER (PARTITION BY event_type) AS r,
+      |             sum(n) OVER (PARTITION BY dow) AS c,
+      |             sum(n) OVER () AS t
+      |      FROM g),
+      |terms AS (SELECT event_type, dow, n,
+      |            floor(((CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+      |                   * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+      |                   / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS term
+      |          FROM m)
+      |SELECT floor(CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) * 10000 + 0.5) / 10000 AS chi2,
+      |       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+      |       CAST(sum(n) AS BIGINT) AS n_events
+      |FROM terms""".stripMargin
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -3605,6 +3673,8 @@ object Queries {
     "card1_dataset_card" -> card1DatasetCard,
     "cur1_filter_waterfall" -> cur1Waterfall,
     "w8_range_frame" -> w8RangeFrame,
+    "w9_topk_ties" -> w9TopkTies,
+    "chi1_independence" -> chi1Independence,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -3756,6 +3826,8 @@ object Queries {
     "card1_dataset_card" -> card1DatasetCardSql,
     "cur1_filter_waterfall" -> cur1WaterfallSql,
     "w8_range_frame" -> w8RangeFrameSql,
+    "w9_topk_ties" -> w9TopkTiesSql,
+    "chi1_independence" -> chi1IndependenceSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
