@@ -44,4 +44,24 @@ class QueriesSpec extends SparkTestBase {
         c.isNullAt(2) && c.isNullAt(3)
     })
   }
+
+  test("w9 keeps ties: at most 3 distinct values but potentially many rows per flag") {
+    val rows = Queries.w9TopkTies(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val byFlag = rows.groupBy(_._1)
+    for ((flag, fr) <- byFlag) {
+      val values = fr.map(_._2).distinct
+      assert(values.length <= 3, s"$flag carries ${values.length} values")
+      assert(fr.length >= values.length, flag) // ties kept, never truncated
+    }
+  }
+
+  test("chi1 statistic is non-negative with the right degrees of freedom") {
+    val r = Queries.chi1Independence(spark, sf0001).head()
+    assert(r.getDouble(0) >= 0.0)
+    val ev = Tables.events(spark, sf0001)
+    val types = ev.select("event_type").distinct().count()
+    assert(r.getLong(1) == (types - 1) * 6) // 7 ISO weekdays in the fixture
+    assert(r.getLong(2) == ev.count())
+  }
 }
