@@ -3547,6 +3547,57 @@ object Queries {
       |       CAST(sum(n) AS BIGINT) AS n_events
       |FROM terms""".stripMargin
 
+  /** GINI1 — Gini coefficient of order-value concentration per customer
+    * nation: the rank formula G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over a
+    * within-group total order. Both Σ terms are exact decimals (the rank
+    * weight multiplies cents), so G is one fixed double formula. The
+    * rank window partitions by nation — group-sized, never global; at
+    * extreme group sizes the histogram/fence approximation (hist1/hist2
+    * machinery) stands in, same as every exact-percentile op here. */
+  val gini1Concentration: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val base = o
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("cents"), col("o_orderkey")) // total order: exact ties broken
+    val ranked = base.withColumn("i", row_number().over(w).cast("long"))
+    val g = ranked.groupBy(col("nation")).agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast("decimal(28,0)")).as("sx"),
+      sum((col("i").cast("decimal(19,0)") * col("cents").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("six"))
+    g.select(col("nation"), col("n"),
+      portableRound(
+        lit(2.0) * col("six").cast("double") /
+          (col("n").cast("double") * col("sx").cast("double")) -
+          (col("n").cast("double") + 1) / col("n").cast("double"), 6).as("gini"))
+  }
+
+  val gini1ConcentrationSql: String =
+    """WITH base AS (
+      |  SELECT n.n_name AS nation, o.o_orderkey,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |r AS (SELECT nation, cents,
+      |             CAST(row_number() OVER (PARTITION BY nation
+      |                    ORDER BY cents, o_orderkey) AS BIGINT) AS i
+      |      FROM base),
+      |g AS (SELECT nation, count(*) AS n,
+      |             sum(CAST(cents AS DECIMAL(28,0))) AS sx,
+      |             sum(CAST(CAST(i AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS six
+      |      FROM r GROUP BY nation)
+      |SELECT nation, n,
+      |       floor((2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+      |              - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS gini
+      |FROM g""".stripMargin
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -3675,6 +3726,7 @@ object Queries {
     "w8_range_frame" -> w8RangeFrame,
     "w9_topk_ties" -> w9TopkTies,
     "chi1_independence" -> chi1Independence,
+    "gini1_concentration" -> gini1Concentration,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -3828,6 +3880,7 @@ object Queries {
     "w8_range_frame" -> w8RangeFrameSql,
     "w9_topk_ties" -> w9TopkTiesSql,
     "chi1_independence" -> chi1IndependenceSql,
+    "gini1_concentration" -> gini1ConcentrationSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
