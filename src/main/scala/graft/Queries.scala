@@ -3598,6 +3598,52 @@ object Queries {
       |              - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS gini
       |FROM g""".stripMargin
 
+  /** STREAK1 — gaps-and-islands: each customer's LONGEST run of
+    * consecutive months with at least one order, via the rank-difference
+    * trick (month_number − row_number is constant exactly within a
+    * consecutive island). Distinct months first (vocabulary-sized per
+    * customer), then two key-partitioned windows over that reduced frame
+    * — the classic streak/retention-streak shape that neither sessions
+    * (time-gap) nor windows (fixed frames) express. */
+  val streak1Streaks: Q = (s, d) => {
+    val months = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("m"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+    val islands = months
+      .withColumn("island", col("m") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("m")).as("start_m"))
+    // longest streak per customer; earliest start breaks length ties
+    graft.plans.TopKPerKey(islands, Seq("o_custkey"),
+      Seq(("len", false), ("start_m", true)), 1)
+      .select(col("o_custkey"), col("len").as("streak_months"),
+        concat((col("start_m") / 12).cast("long") - (col("start_m") % 12 === 0).cast("long"),
+          lit("-"),
+          lpad(when(col("start_m") % 12 === 0, 12)
+            .otherwise(col("start_m") % 12).cast("string"), 2, "0")).as("streak_start"))
+  }
+
+  val streak1StreaksSql: String =
+    """WITH months AS (
+      |  SELECT DISTINCT o_custkey,
+      |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+      |  FROM orders),
+      |isl AS (SELECT o_custkey, m,
+      |               m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS island
+      |        FROM months),
+      |runs AS (SELECT o_custkey, island, count(*) AS len, min(m) AS start_m
+      |         FROM isl GROUP BY 1, 2),
+      |best AS (SELECT o_custkey, len, start_m,
+      |                row_number() OVER (PARTITION BY o_custkey
+      |                                   ORDER BY len DESC, start_m) AS rn
+      |         FROM runs)
+      |SELECT o_custkey, CAST(len AS BIGINT) AS streak_months,
+      |       (CAST(start_m // 12 AS BIGINT) - CAST(start_m % 12 = 0 AS BIGINT)) || '-' ||
+      |       lpad(CAST(CASE WHEN start_m % 12 = 0 THEN 12 ELSE start_m % 12 END AS VARCHAR), 2, '0') AS streak_start
+      |FROM best WHERE rn = 1""".stripMargin
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -3727,6 +3773,7 @@ object Queries {
     "w9_topk_ties" -> w9TopkTies,
     "chi1_independence" -> chi1Independence,
     "gini1_concentration" -> gini1Concentration,
+    "streak1_order_streaks" -> streak1Streaks,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -3881,6 +3928,7 @@ object Queries {
     "w9_topk_ties" -> w9TopkTiesSql,
     "chi1_independence" -> chi1IndependenceSql,
     "gini1_concentration" -> gini1ConcentrationSql,
+    "streak1_order_streaks" -> streak1StreaksSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
