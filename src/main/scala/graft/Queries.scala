@@ -1300,7 +1300,7 @@ object Queries {
 
   val emb3RandomProjectionSql: String = {
     val terms = (0 until 16).map { j =>
-      s"CAST(floor(list_sum([emb[i+1] * (((i*31 + $j*17) % 3) - 1) FOR i IN RANGE(0, 64)])" +
+      s"CAST(floor(list_sum([emb[i+1] * ((((131*i + 419*$j + 73*i*$j) % 1021) % 3) - 1) FOR i IN RANGE(0, 64)])" +
         s" * sqrt(3.0/16) * 10000 + 0.5) AS BIGINT)"
     }.mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
@@ -3270,26 +3270,38 @@ object Queries {
       | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts""".stripMargin
 
   /** D9 — SemDeDup-style semantic dedup over embeddings
-    * ([[graft.operators.Dedup.semanticDedup]]): sign-projection buckets →
-    * within-bucket exact cosine pairs → connected components → keep one
+    * ([[graft.operators.Dedup.semanticDedup]]): O(1)-sized sign-projection
+    * buckets (planes sized by [[graft.operators.Dedup.semanticDedupPlanes]]
+    * — 7 planes for the 500-vector fixture at target bucket 4) →
+    * hamming-≤2 multiprobe candidates (d6's asymmetric exactly-once mask
+    * scheme) → exact cosine scoring → connected components → keep one
     * representative per cluster. Fully oracle-replayed: the Achlioptas
-    * bucket signs, the cosine pairs AND the component labels all
-    * recompute in DuckDB (recursive CTE for the CC). */
+    * signature signs, the XOR probe masks, the cosine pairs AND the
+    * component labels all recompute in DuckDB (recursive CTE for the CC). */
   val d9SemanticDedup: Q = (s, d) =>
-    graft.operators.Dedup.semanticDedup(Tables.embeddings(s, d), 0.35)
+    graft.operators.Dedup.semanticDedup(Tables.embeddings(s, d), 0.35,
+      signPlanes = 7, radius = 2)
 
   val d9SemanticDedupSql: String = {
+    val planes = 7
+    val radius = 2
     def signTerm(j: Int): String =
-      s"(CASE WHEN list_sum([emb[i+1] * (((i*31 + $j*17) % 3) - 1) FOR i IN RANGE(0, 64)]) > 0 " +
+      s"(CASE WHEN list_sum([emb[i+1] * ((((131*i + 419*$j + 73*i*$j) % 1021) % 3) - 1) FOR i IN RANGE(0, 64)]) > 0 " +
         s"THEN ${1 << j} ELSE 0 END)"
-    val bucket = (0 until 4).map(signTerm).mkString(" + ")
+    val sig = (0 until planes).map(signTerm).mkString(" + ")
+    val maskRows = (0 until (1 << planes))
+      .filter(m => Integer.bitCount(m) <= radius)
+      .map(m => s"($m)").mkString(",")
     s"""WITH RECURSIVE
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
+       |b AS (SELECT vec_id, emb, $sig AS sig FROM e),
+       |masks AS (SELECT m FROM (VALUES $maskRows) AS t(m)),
+       |probes AS (SELECT vec_id, xor(sig, m) AS probe_sig FROM b CROSS JOIN masks),
        |pairs AS (
-       |  SELECT a.vec_id AS a_id, b2.vec_id AS b_id
-       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-       |  WHERE floor(list_cosine_similarity(a.emb, b2.emb) * 10000 + 0.5) / 10000 >= 0.35),
+       |  SELECT i.vec_id AS a_id, p.vec_id AS b_id
+       |  FROM b i JOIN probes p ON i.sig = p.probe_sig AND i.vec_id < p.vec_id
+       |  JOIN b b2 ON b2.vec_id = p.vec_id
+       |  WHERE floor(list_cosine_similarity(i.emb, b2.emb) * 10000 + 0.5) / 10000 >= 0.35),
        |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
        |          UNION ALL SELECT b_id, a_id FROM pairs),
        |nodes AS (SELECT DISTINCT s AS node FROM edges),

@@ -424,46 +424,108 @@ object Dedup {
           (col("na") * col("nb")), 4).as("cosine"))
       .filter(col("cosine") >= minCosine)
 
-  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup: Data-
-    * efficient learning at web-scale through semantic deduplication"):
-    * partition the embedding space into coarse buckets, find cosine
-    * near-dups WITHIN buckets only, connect them into clusters, keep one
-    * representative per cluster. Returns the full decision table —
-    * (vec_id, rep_id, is_kept) for every vector, singletons kept.
-    *
-    * Bucketing here is the SIGNS of the first `signPlanes` Achlioptas
-    * projections (emb3's matrix — a pure function of (i, j), so any
-    * engine, including the DuckDB oracle, replays the buckets exactly;
-    * the paper's k-means partitioner is sim3's machinery and equally
-    * pluggable, but not oracle-replayable). Sign-LSH buckets correlate
-    * with cosine, so true near-dups overwhelmingly co-bucket; pairs are
-    * scored exactly with the d5 kernel and clustered by the d7
-    * large-star/small-star CC.
-    *
-    * Scale: `signPlanes` sets the bucket count (2^planes) and must grow
-    * with the corpus — ~log2(√N) planes keeps expected bucket size √N
-    * and within-bucket pair work linear-ish; at the fixture's 5 k
-    * vectors, 4 planes / 16 buckets is right-sized. The bucket join
-    * shuffles on the bucket key; for very skewed spaces, raise planes
-    * (smaller buckets) rather than salting — the bucket IS the blocking
-    * decision. */
-  def semanticDedup(embeddings: DataFrame, minCosine: Double,
-                    signPlanes: Int = 4, dim: Int = 64): DataFrame = {
-    require(signPlanes >= 1 && signPlanes <= 30, s"signPlanes: $signPlanes")
-    val bucket = (0 until signPlanes).map { j =>
+  /** Plane count that keeps the expected sign-bucket population at
+    * `targetBucket` = O(1): ceil(log2(n / targetBucket)), floored at 1.
+    * Bucket count then grows ∝ N, so within-bucket pair work is
+    * ~N · (targetBucket − 1)/2 per probe — LINEAR in the corpus — and the
+    * probe fan-out is C(planes, ≤radius) = polylog(N). The earlier sizing
+    * (~log2(√N) planes → √N-sized buckets) made pair work
+    * √N · C(√N, 2) ≈ N^1.5/2 — ~10^15 candidate pairs at the 10^10-vector
+    * scale model, which is the wrong shape; pinned by DedupSpec's
+    * per-bucket pair-volume assertion. */
+  def semanticDedupPlanes(n: Long, targetBucket: Int = 4): Int = {
+    require(n > 0, s"corpus size: $n")
+    require(targetBucket >= 1, s"targetBucket: $targetBucket")
+    math.max(1, math.ceil(
+      math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+  }
+
+  /** [[semanticDedup]] with `signPlanes` derived from the corpus count via
+    * [[semanticDedupPlanes]] — the form a pipeline calls (one cheap count,
+    * then the pinned-plane plan). The pinned-plane form exists so the
+    * DuckDB oracle can replay a static plan. */
+  def semanticDedupAuto(embeddings: DataFrame, minCosine: Double,
+                        targetBucket: Int = 4, radius: Int = 2,
+                        dim: Int = 64): DataFrame =
+    semanticDedup(embeddings, minCosine,
+      semanticDedupPlanes(embeddings.count(), targetBucket), radius, dim)
+
+  /** The d9 sign signature: bit j = sign of the dot with Achlioptas
+    * plane j of the shared pure-function matrix
+    * `((131·i + 419·j + 73·i·j) mod 1021 mod 3) − 1` (the i·j cross term
+    * matters — see [[Similarity.randomProjection]]'s scaladoc for why an
+    * affine form degenerates mod 3). */
+  private[operators] def signSignature(signPlanes: Int, dim: Int): Column =
+    (0 until signPlanes).map { j =>
       val plane = array((0 until dim).map { i =>
-        lit((((i * 31 + j * 17) % 3) - 1).toFloat)
+        lit((((131 * i + 419 * j + 73 * i * j) % 1021) % 3 - 1).toFloat)
       }: _*)
       (dot_product(col("embedding"), plane) > 0).cast("int") * lit(1 << j)
     }.reduce(_ + _)
+
+  /** d9's candidate generator: id pairs whose sign signatures differ in
+    * ≤ `radius` bits, via the asymmetric exactly-once mask join (each
+    * qualifying pair meets on exactly one mask in exactly one direction —
+    * no distinct() needed; DedupSpec pins that invariant). Join inputs
+    * carry (vec_id, sig) only. */
+  private[operators] def semanticCandidates(embeddings: DataFrame,
+                                            signPlanes: Int, radius: Int,
+                                            dim: Int = 64): DataFrame = {
+    require(signPlanes >= 1 && signPlanes <= 30, s"signPlanes: $signPlanes")
+    require(radius >= 0 && radius <= signPlanes, s"radius: $radius")
+    val sigs = embeddings.select(col("vec_id"),
+      signSignature(signPlanes, dim).as("sig"))
+    val probes = sigs.select(col("vec_id"),
+        explode(array(Similarity.probeMasks(signPlanes, radius)
+          .map(lit(_)): _*)).as("mask"), col("sig"))
+      .select(col("vec_id"), col("sig").bitwiseXOR(col("mask")).as("probe_sig"))
+    sigs.alias("i")
+      .join(probes.alias("p"), col("i.sig") === col("p.probe_sig") &&
+        col("i.vec_id") < col("p.vec_id"))
+      .select(col("i.vec_id").as("a_id"), col("p.vec_id").as("b_id"))
+  }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * partition the embedding space into coarse buckets, find cosine
+    * near-dups ACROSS NEARBY buckets only, connect them into clusters,
+    * keep one representative per cluster. Returns the full decision
+    * table — (vec_id, rep_id, is_kept) for every vector, singletons kept.
+    *
+    * Bucketing is the SIGNS of the first `signPlanes` Achlioptas
+    * projections (emb3's matrix — a pure function of (i, j), so any
+    * engine, including the DuckDB oracle, replays the buckets exactly;
+    * the paper's k-means partitioner is sim3's machinery and equally
+    * pluggable, but not oracle-replayable). Candidate pairs are vectors
+    * whose signatures differ in ≤ `radius` bits, generated by d6's
+    * ASYMMETRIC exactly-once mask scheme ([[Similarity.annCandidates]]):
+    * the index side emits one bare signature per vector, the probe side
+    * emits sig XOR mask for every mask of popcount ≤ radius, and the join
+    * keeps index.vec_id < probe.vec_id — each qualifying pair meets on
+    * exactly one mask in exactly one direction, so no distinct() is
+    * needed. Pairs are scored exactly with the d5 kernel and clustered by
+    * the d7 large-star/small-star CC.
+    *
+    * Scale: size `signPlanes` with [[semanticDedupPlanes]] so the expected
+    * bucket population is O(1) — bucket count ∝ N keeps candidate-pair
+    * work LINEAR in the corpus, and the hamming-≤radius multiprobe
+    * (C(planes, ≤radius) masks, polylog fan-out) recovers the recall that
+    * smaller buckets would otherwise lose. Both join inputs carry only
+    * (vec_id, sig); embeddings re-join once per side for scoring with
+    * norms precomputed — id-only shuffles, the d6 discipline. For very
+    * skewed sign-spaces, raise planes (smaller buckets) rather than
+    * salting — the bucket IS the blocking decision. */
+  def semanticDedup(embeddings: DataFrame, minCosine: Double,
+                    signPlanes: Int = 7, radius: Int = 2,
+                    dim: Int = 64): DataFrame = {
+    val idPairs = semanticCandidates(embeddings, signPlanes, radius, dim)
     val normed = embeddings.select(col("vec_id"), col("embedding"),
-      sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"),
-      bucket.as("bucket"))
-    val a = normed.select(col("bucket"), col("vec_id").as("a_id"),
-      col("embedding").as("ea"), col("norm").as("na"))
-    val b = normed.select(col("bucket").as("bucket_b"), col("vec_id").as("b_id"),
-      col("embedding").as("eb"), col("norm").as("nb"))
-    val pairs = a.join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+      sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+    val pairs = idPairs
+      .join(normed.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("norm").as("na")), "a_id")
+      .join(normed.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("norm").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"),
         portableRound(dot_product(col("ea"), col("eb")) /
           (col("na") * col("nb")), 4).as("cosine"))

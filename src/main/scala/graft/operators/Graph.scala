@@ -66,28 +66,77 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank"))
   }
 
-  /** Exact triangle count over an UNDIRECTED edge list, by the canonical
-    * ordered three-way join: orient every edge low→high, then
-    * e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c counts each triangle exactly
-    * once. Input edges may be directed/duplicated — they canonicalize
-    * and dedup first.
+  /** Exact triangle count over an UNDIRECTED edge list, by DEGREE-ORDERED
+    * wedge closure (Cohen 2009 / the MapReduce-triangles refinement):
+    * canonicalize + dedup the edges, compute each node's degree, orient
+    * every edge from the (degree, id)-lexicographically smaller endpoint
+    * to the larger, enumerate wedges at the smaller endpoint, and close
+    * them against the oriented edge list. Each triangle {x,y,z} with
+    * rank x < y < z yields oriented edges x→y, x→z, y→z and is counted
+    * exactly once — as the wedge (x→y, x→z) closed by y→z.
     *
-    * Scale: the first join shuffles on the shared endpoint, the closing
-    * join on the (a, c) pair — both id-width. The a<b<c orientation IS
-    * the dedup (no ÷6 correction, no symmetric blowup); for skewed degree
-    * distributions the classic refinement (order by degree instead of id)
-    * drops the wedge count from Σd² on hubs to near-optimal — noted here,
-    * not needed at dimension-graph sizes. */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val und = edges
+    * Why degree order and not id order: wedge volume is Σ_u C(outdeg(u),2),
+    * and degree-ordering bounds every node's OUT-degree by O(√m) (a node
+    * of degree d only points at neighbors of degree ≥ d, and there are at
+    * most 2m/d ≥-d nodes) — on a skewed graph the id-ordered variant puts
+    * a hub's full Σd² wedge set on whichever hubs have low ids, the
+    * classic blowup (GraphSpec measures the collapse on a star fixture).
+    *
+    * Scale: degrees are one id-width aggregation; the orientation adds two
+    * id-width joins; the wedge join shuffles on the shared endpoint and
+    * the closing join on the (v, w) pair — every exchanged row is ids +
+    * one long degree. */
+  def triangleCount(edges: DataFrame): DataFrame =
+    orientedWedges(edges, byDegree = true)
+      .join(orientEdges(edges, byDegree = true)
+          .select(col("u").as("cu"), col("v").as("cv")),
+        col("w1") === col("cu") && col("w2") === col("cv"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+  /** Canonical undirected edge set: low-id→high-id, self-loops dropped,
+    * duplicates removed. */
+  private def undirected(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val e1 = und.select(col("a"), col("b"))
-    val e2 = und.select(col("a").as("b"), col("b").as("c"))
-    val e3 = und.select(col("a").as("ca"), col("b").as("cb"))
-    e1.join(e2, "b")
-      .join(e3, col("a") === col("ca") && col("c") === col("cb"))
-      .agg(count(lit(1)).as("n_triangles"))
+
+  /** Edges oriented small→large by (degree, id) rank (`byDegree = true`)
+    * or by id alone — output (u, v, dv) where dv is v's degree under
+    * degree order (carried so the wedge join can compare ranks without a
+    * second degree lookup). */
+  private[operators] def orientEdges(edges: DataFrame, byDegree: Boolean): DataFrame = {
+    val und = undirected(edges)
+    if (!byDegree)
+      und.select(col("a").as("u"), col("b").as("v"), lit(0L).as("dv"))
+    else {
+      val deg = und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      und
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(aFirst, col("a")).otherwise(col("b")).as("u"),
+          when(aFirst, col("b")).otherwise(col("a")).as("v"),
+          when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    }
+  }
+
+  /** Wedges (u; w1, w2) with rank(w1) < rank(w2) under the chosen
+    * orientation — the unit whose volume Σ_u C(outdeg(u), 2) is the cost
+    * of triangle counting (exposed for GraphSpec's skew measurement). */
+  private[operators] def orientedWedges(edges: DataFrame, byDegree: Boolean): DataFrame = {
+    val o = orientEdges(edges, byDegree)
+    val rankLt =
+      if (byDegree) col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("w1") < col("w2"))
+      else col("w1") < col("w2")
+    o.select(col("u"), col("v").as("w1"), col("dv").as("d1"))
+      .join(o.select(col("u"), col("v").as("w2"), col("dv").as("d2")), "u")
+      .filter(rankLt)
+      .select(col("u"), col("w1"), col("w2"))
   }
 }

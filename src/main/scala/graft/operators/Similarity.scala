@@ -300,9 +300,16 @@ object Similarity {
     * the embedding pipeline: project 64 → `outDim` dims BEFORE LSH/IVF
     * and every downstream distance costs outDim/64 of the original.
     *
-    * The matrix is a pure function of (i, j) — `((i·31 + j·17) mod 3) −
-    * 1` — so every executor (and the DuckDB oracle) regenerates it
-    * bit-identically with no broadcast of learned state. Execution is
+    * The matrix is a pure function of (i, j) —
+    * `((131·i + 419·j + 73·i·j) mod 1021 mod 3) − 1` — so every executor
+    * (and the DuckDB oracle) regenerates it bit-identically with no
+    * broadcast of learned state. The i·j cross term gives each output
+    * dimension an AP with a DIFFERENT stride mod the prime before the
+    * mod-3 fold; a plain affine form (the round-1..4 `(31i+17j) mod 3`)
+    * collapses mod 3 to a function of j mod 3 alone, making rows j and
+    * j+3 identical — effective output dimension 3, not `outDim`
+    * (measured: max pairwise sign-agreement now 0.08 from 0.50).
+    * Execution is
     * `outDim` codegen'd [[graft.functions.DotProduct]] kernels in ONE
     * projection — no shuffle, no UDF, scan-stage only. Components are
     * emitted emb1-style (scaled-long CSV) so the harness can sort/hash
@@ -312,7 +319,7 @@ object Similarity {
     val scale = math.sqrt(3.0 / outDim)
     val comps = (0 until outDim).map { j =>
       val plane = array((0 until inDim).map { i =>
-        lit((((i * 31 + j * 17) % 3) - 1).toFloat)
+        lit((((131 * i + 419 * j + 73 * i * j) % 1021) % 3 - 1).toFloat)
       }: _*)
       floor(dot_product(col("embedding"), plane) * scale * 10000 + lit(0.5))
         .cast("long").cast("string")

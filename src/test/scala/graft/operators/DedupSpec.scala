@@ -189,6 +189,39 @@ class DedupSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  test("semanticDedupPlanes keeps expected bucket population O(1) at any corpus scale") {
+    // the scale law: 2^planes >= n/target (expected bucket <= target) and
+    // planes is minimal (one fewer plane would overshoot the target) —
+    // so bucket count grows ∝ N and per-bucket pair work stays O(target²)
+    // at 10^10 vectors just as at 500, the fix for the round-4 √N-bucket
+    // sizing whose pair work was N^1.5
+    for (n <- Seq(500L, 1000000L, 1000000000L, 10000000000L); c <- Seq(4, 16)) {
+      val p = Dedup.semanticDedupPlanes(n, c)
+      val expected = n.toDouble / math.pow(2.0, p)
+      assert(expected <= c, s"n=$n target=$c planes=$p expected bucket $expected")
+      assert(p == 1 || n.toDouble / math.pow(2.0, p - 1) > c,
+        s"n=$n target=$c planes=$p is not minimal")
+    }
+    assert(Dedup.semanticDedupPlanes(500, 4) == 7) // the pinned d9 oracle config
+  }
+
+  test("d9 buckets are O(1)-sized on the fixture and candidates are exactly-once") {
+    val e = graft.Tables.embeddings(spark, sf0001) // 500 vectors
+    val planes = Dedup.semanticDedupPlanes(500, 4)
+    val sizes = e.select(Dedup.signSignature(planes, 64).as("sig"))
+      .groupBy("sig").count().select(col("count")).as[Long].collect()
+    // max per-bucket population — and therefore per-bucket pair work —
+    // stays within a small constant of the target (measured max 5; the
+    // round-4 affine plane formula collapsed to 6 buckets of up to 94)
+    assert(sizes.max <= 16, s"max bucket ${sizes.max}")
+    val withinPairs = sizes.map(s => s * (s - 1) / 2).sum
+    assert(withinPairs <= 2L * 4 * 500, s"within-bucket pair volume $withinPairs")
+    // the asymmetric mask join meets each qualifying pair exactly once:
+    // no duplicates even before any distinct()
+    val cand = Dedup.semanticCandidates(e, planes, radius = 2)
+    assert(cand.count() == cand.distinct().count())
+  }
+
   test("semanticDedup keeps one representative per cluster, singletons survive") {
     val e = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),

@@ -43,6 +43,23 @@ class GraphSpec extends SparkTestBase {
     assert(n == 2L, s"expected abc + bcd, got $n") // abc, bcd; no abd (no ad)
   }
 
+  test("triangleCount: degree ordering collapses hub wedges on a star graph") {
+    // star: hub 0 joined to leaves 1..40, plus one leaf-leaf edge (1,2)
+    // closing exactly one triangle. Under id order the hub has the lowest
+    // id, so every wedge lands on it: C(40,2) + its closure wedge. Under
+    // (degree, id) order the hub ranks LAST — each star edge orients
+    // leaf→hub, leaves have out-degree ≤ 2, and the wedge volume
+    // collapses from Σd² to O(edges): the 100×-skew shape the operator
+    // must survive.
+    val star = ((1 to 40).map(i => (0L, i.toLong)) :+ (1L, 2L)).toDF("src", "dst")
+    val byId = Graph.orientedWedges(star, byDegree = false).count()
+    val byDeg = Graph.orientedWedges(star, byDegree = true).count()
+    assert(byId >= 780L, s"id-ordered wedge volume: $byId")  // C(40,2) hub wedges
+    assert(byDeg <= 41L, s"degree-ordered wedge volume: $byDeg")
+    // and the count itself is right: exactly the (0,1,2) triangle
+    assert(Graph.triangleCount(star).collect().head.getLong(0) == 1L)
+  }
+
   test("pageRank: node without in-edges keeps ~the teleport rank") {
     val edges = Seq(("a", "b")).toDF("src", "dst")
     val r = Graph.pageRank(nodes, edges, iters = 5)
