@@ -3186,7 +3186,7 @@ object Queries {
     val feed = Tables.events(s, d).withColumn("op",
       when(col("event_type") === "error", "D").otherwise("U"))
     graft.operators.Curation.applyChangeFeed(feed,
-      Seq("user_id"), Seq("ts", "event_id"), "op")
+      Seq("user_id"), Seq("ts" -> false, "event_id" -> false), "op")
       .select(col("user_id"), col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
   }

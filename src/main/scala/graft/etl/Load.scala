@@ -69,11 +69,20 @@ object Load {
     * one JSON object `{users, metrics, fallbackUsed, sourceUrl, fetchedAt}`.
     * Driver-side assembly by design — the envelope is a response payload,
     * not a dataset; `users` is expected to be display-sized (the reference
-    * sends its full 500-row page). */
+    * sends its full 500-row page).
+    *
+    * `maxRows` ENFORCES that contract: the collect is capped at
+    * maxRows+1, and finding more than maxRows rows throws rather than
+    * silently truncating a payload the caller believed complete — a
+    * caller handed a fact table fails fast instead of OOMing the driver. */
   def apiEnvelope(users: DataFrame, metrics: DataFrame,
                   fallbackUsed: Boolean, fetchedAt: java.time.Instant,
-                  sourceUrl: String = ""): String = {
-    val usersJson = users.toJSON.collect().mkString("[", ",", "]")
+                  sourceUrl: String = "", maxRows: Int = 10000): String = {
+    val capped = users.limit(maxRows + 1).toJSON.collect()
+    if (capped.length > maxRows) throw new IllegalArgumentException(
+      s"apiEnvelope: users exceeds maxRows=$maxRows — the envelope is a " +
+        "display-sized response payload; aggregate or page the frame first")
+    val usersJson = capped.mkString("[", ",", "]")
     val metricsJson = metrics.toJSON.collect().headOption.getOrElse("{}")
     s"""{"users":$usersJson,"metrics":$metricsJson,""" +
       s""""fallbackUsed":$fallbackUsed,"sourceUrl":"${jsonEscape(sourceUrl)}",""" +

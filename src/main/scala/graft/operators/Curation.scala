@@ -100,19 +100,23 @@ object Curation {
   }
 
   /** Apply a CDC change feed WITH delete support: for each key, the
-    * latest change by `orderCols` wins, and a winning delete op removes
+    * winning change by `orderCols` wins, and a winning delete op removes
     * the key from the result entirely — the full I/U/D MERGE semantics
     * on top of u5/st6's latest-wins upsert.
+    *
+    * `orderCols` follows [[graft.plans.TopKPerKey]]'s convention:
+    * `(column, ascending)` pairs, so mixed-direction version orderings
+    * (e.g. version desc, ingest-epoch asc as tiebreak) are expressible.
+    * "Latest wins" is `(col, false)` — descending.
     *
     * The election runs on the native top-k-per-key operator (bounded
     * heap, one shuffle on the key, no sort), and the delete filter is a
     * post-projection — applying a feed of C changes against any table
     * size costs C plus the touched keys, never the table. */
   def applyChangeFeed(changes: DataFrame, keyCols: Seq[String],
-                      orderCols: Seq[String], opCol: String,
+                      orderCols: Seq[(String, Boolean)], opCol: String,
                       deleteOp: String = "D"): DataFrame =
-    graft.plans.TopKPerKey(changes, keyCols,
-      orderCols.map(c => (c, false)), 1)
+    graft.plans.TopKPerKey(changes, keyCols, orderCols, 1)
       .filter(col(opCol) =!= deleteOp)
 
   /** Distributed Misra–Gries heavy-hitter summary: each partition keeps at

@@ -328,16 +328,21 @@ object Dedup {
         .distinct()
     }
     // fixpoint probe: both sides are distinct()-canonical sets, so
-    // (count, exact decimal sum of per-edge hashes) is a multiset
-    // signature — equal signatures ⇒ equal sets up to a 2⁻⁶⁴-class hash
-    // collision between SUCCESSIVE rounds of the same shrinking graph
-    // (and maxIters still bounds the loop if the impossible happens).
-    // One aggregation job per round, vs count + except anti-join before
-    // (measured: the except dominated round cost on the d8/d9 paths).
-    def signature(df: DataFrame): (Long, Option[java.math.BigDecimal]) = {
+    // (count, exact decimal sums of TWO independent per-edge hashes) is a
+    // multiset signature — equal signatures ⇒ equal sets up to a
+    // 2⁻¹²⁸-class double collision between SUCCESSIVE rounds of the same
+    // shrinking graph (and maxIters still bounds the loop if the
+    // impossible happens). The second hash prepends a salt literal, which
+    // changes every block input — the two sums collide independently.
+    // Still one aggregation job per round, vs count + except anti-join
+    // before (measured: the except dominated round cost on d8/d9 paths).
+    def signature(df: DataFrame)
+        : (Long, Option[java.math.BigDecimal], Option[java.math.BigDecimal]) = {
       val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
-      (r.getLong(0), Option(r.getDecimal(1)))
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        sum(xxhash64(lit(0x9e3779b97f4a7c15L), col("u"), col("v"))
+          .cast("decimal(38,0)"))).head
+      (r.getLong(0), Option(r.getDecimal(1)), Option(r.getDecimal(2)))
     }
     var edges = smallStar(fwd).localCheckpoint()
     var edgeSig = signature(edges)

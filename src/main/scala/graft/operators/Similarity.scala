@@ -370,6 +370,8 @@ object Similarity {
           .cast("double").as(s"s$j")
       }
       val row = e.withColumn("_dot", dot).agg(sAggs.head, sAggs.tail: _*).head()
+      require(!row.isNullAt(0),
+        "topComponent: embeddings input is empty (all aggregate sums null)")
       val s = (0 until dim).map(j => row.getDouble(j))
       // norm and the state update replay the oracle's formulas exactly:
       // exact BigDecimal sum of rounded squares, nearest-double cast
@@ -394,9 +396,4 @@ object Similarity {
       (acc, x) => (acc + x.cast("decimal(28,9)")).cast("decimal(28,9)"))
       .cast("double")
 
-  /** Scala-side twin of [[graft.functions.portableRound]] for literals. */
-  private def portableRoundValue(x: Double, scale: Int): Double = {
-    val p = math.pow(10.0, scale)
-    math.floor(x * p + 0.5) / p
-  }
 }

@@ -118,6 +118,18 @@ object EventStream {
         (-2L, farNanos, -1L, "purchase", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("append").parquet(srcDir.toString + "/sentinel")
+    // batch order = file modification order: pin it EXPLICITLY so the
+    // sentinel can never share (or precede, on a coarse-granularity FS)
+    // the events file's mtime tick — a sentinel-first batch would advance
+    // the watermark past the data and drop every real row as late
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(srcDir.resolve("events.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(now - 60000L))
+    Files.walk(Paths.get(srcDir.toString + "/sentinel")).forEach { f =>
+      if (Files.isRegularFile(f))
+        Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(now))
+    }
     def side(eventType: String, prefix: String) =
       spark.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", "1")

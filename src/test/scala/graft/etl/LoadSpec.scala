@@ -57,4 +57,19 @@ class LoadSpec extends SparkTestBase {
     val preview = Load.previewJson(df, 1)
     assert(preview.length == 1 && preview.head.startsWith("{"))
   }
+
+  test("K1 API envelope rejects an over-cap users frame loudly") {
+    val users = (1 to 5).map(i => (i.toLong, s"u$i")).toDF("id", "name")
+    val metrics = Seq((5L, 5L)).toDF("rows_in", "rows_out")
+    val at = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    // at the cap: fine
+    val ok = Load.apiEnvelope(users, metrics, fallbackUsed = false, at,
+      maxRows = 5)
+    assert(ok.contains(""""rows_in":5"""))
+    // over the cap: throws instead of silently truncating / OOMing
+    val e = intercept[IllegalArgumentException] {
+      Load.apiEnvelope(users, metrics, fallbackUsed = false, at, maxRows = 4)
+    }
+    assert(e.getMessage.contains("maxRows"))
+  }
 }

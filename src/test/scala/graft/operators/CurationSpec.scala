@@ -135,8 +135,21 @@ class CurationSpec extends SparkTestBase {
       (2L, 10L, "U", "v2"), (2L, 20L, "D", "x"), (2L, 30L, "U", "v2b"),
       (3L, 10L, "U", "v3"))
       .toDF("key", "seq", "op", "value")
-    val got = Curation.applyChangeFeed(feed, Seq("key"), Seq("seq"), "op")
+    val got = Curation.applyChangeFeed(feed, Seq("key"), Seq("seq" -> false), "op")
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(got == Map(2L -> "v2b", 3L -> "v3"))
+  }
+
+  test("applyChangeFeed: mixed-direction ordering elects asc tiebreak") {
+    // same seq for key 1's two ops: epoch ASC tiebreak must pick the
+    // EARLIER epoch as winner (first-writer-wins semantics)
+    val feed = Seq(
+      (1L, 10L, 5L, "U", "early"), (1L, 10L, 9L, "D", "late"),
+      (2L, 10L, 1L, "U", "only"))
+      .toDF("key", "seq", "epoch", "op", "value")
+    val got = Curation.applyChangeFeed(feed, Seq("key"),
+      Seq("seq" -> false, "epoch" -> true), "op")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got == Map(1L -> "early", 2L -> "only"))
   }
 }

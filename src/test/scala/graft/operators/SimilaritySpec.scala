@@ -148,12 +148,13 @@ class SimilaritySpec extends SparkTestBase {
 
   test("randomProjection matches a hand-computed projection of a unit basis vector") {
     import spark.implicits._
-    // e_0 (1 at dim 0): y_j = R(0,j) * sqrt(3/16); R(0,j) = ((j*17) % 3) - 1
+    // e_0 (1 at dim 0): y_j = R(0,j) * sqrt(3/16);
+    // R(0,j) = (((419*j) % 1021) % 3) - 1 (the i=0 row of the cross-term form)
     val e = Seq((1L, Array(1.0f) ++ Array.fill(63)(0.0f))).toDF("vec_id", "embedding")
     val got = Similarity.randomProjection(e).collect()(0).getString(1).split(",")
     val scale = math.sqrt(3.0 / 16)
     val want = (0 until 16).map { j =>
-      math.floor((((j * 17) % 3) - 1) * scale * 10000 + 0.5).toLong.toString
+      math.floor(((((419 * j) % 1021) % 3) - 1) * scale * 10000 + 0.5).toLong.toString
     }
     assert(got.toSeq == want)
   }
