@@ -55,7 +55,26 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // canaries: code-untouched queries whose drift measures VM noise, not
+    // regressions — BASELINE.md records them moving in lockstep across
+    // identical-config runs (51→90 s totals). Reported so any round-over-
+    // round comparison can normalize by them.
+    val canaries = Seq("q1_pricing_summary", "t7_tfidf", "d4_ngram_jaccard")
+      .flatMap(c => results.collectFirst { case (`c`, v, true) => "\"" + c + "\":" + v })
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"canaries":$canaries,"note":"canaries are code-untouched VM-noise yardsticks; see BASELINE.md","sf":"$sfDir"}"""
+    println(json)
+    // stdout through sbt is interleaved with log spew and can truncate —
+    // also persist the full machine-readable artifact to a file
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/bench/bench_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -2667,18 +2667,50 @@ object Queries {
       |       CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END AS BIGINT) AS byte_len
       |FROM documents""".stripMargin
 
-  /** MM2: frame-sample rollup — typed flatMap plumbing, SQL-checkable
-    * because the stub kernel is pure arithmetic. */
+  /** MM2: REAL frame sampling — each doc carries a motion-sequence
+    * container (the concatenation of `1 + doc_id % 8` complete PNG
+    * streams, synthesized in-plan), demuxed at the PNG chunk level and
+    * sampled every 2nd frame ([[Multimodal.frameSample]]). The kept-frame
+    * count is pure arithmetic in doc_id, so DuckDB replays it without a
+    * codec. */
   val mm2Frames: Q = (s, d) => {
-    val media = Multimodal.asMediaTable(Tables.documents(s, d))
-    Multimodal.frameSample(s, media, frameBytes = 32, everyK = 2)
+    val media = Multimodal.synthesizePngSequence(s,
+      Tables.documents(s, d).select(col("doc_id")))
+    Multimodal.frameSample(s, media, everyK = 2)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
   }
 
   val mm2FramesSql: String =
     """SELECT doc_id,
-      |       CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 2.0) AS BIGINT) AS n_frames
+      |       CAST(ceil((1 + doc_id % 8) / 2.0) AS BIGINT) AS n_frames
       |FROM documents""".stripMargin
+
+  /** MM4: REAL image resize — complete PNGs synthesized per doc (dims law
+    * `w = 1 + id % 64`, `h = 1 + 7·id % 64`), `javax.imageio`
+    * decode→scale→re-encode to fit 16 px ([[Multimodal.resize]]), and the
+    * answer dims are parsed BACK OUT of the resized bytes by the header
+    * parser — a full codec round trip. The aspect-preserving integer-floor
+    * target is exactly replayable in SQL. */
+  val mm4Resize: Q = (s, d) => {
+    val media = Multimodal.synthesizeFullPngs(s,
+      Tables.documents(s, d).select(col("doc_id")))
+    val resized = Multimodal.resize(s, media, maxDim = 16).toDF()
+    Multimodal.decodeImages(s, resized).toDF()
+      .select(col("doc_id"), col("fmt"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+  }
+
+  val mm4ResizeSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 1 + doc_id % 64 AS w, 1 + (doc_id * 7) % 64 AS h
+      |  FROM documents)
+      |SELECT doc_id, 'png' AS fmt,
+      |       CASE WHEN greatest(w, h) <= 16 THEN w
+      |            ELSE greatest(1, (w * 16) // greatest(w, h)) END AS width,
+      |       CASE WHEN greatest(w, h) <= 16 THEN h
+      |            ELSE greatest(1, (h * 16) // greatest(w, h)) END AS height
+      |FROM dims""".stripMargin
 
   /** T7: tf-idf top terms per doc (tf × ln(N/df), rounded before ranking).
     * N is a scalar aggregate INSIDE the DAG (broadcast cross join), not a
@@ -3812,6 +3844,7 @@ object Queries {
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
+    "mm4_image_resize" -> mm4Resize,
     "t7_tfidf" -> t7Tfidf)
 
   val oracles: Map[String, String] = Map(
@@ -3963,6 +3996,7 @@ object Queries {
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
+    "mm4_image_resize" -> mm4ResizeSql,
     "t7_tfidf" -> t7TfidfSql)
 
   /** Headline subset for the per-round bench (sf0.1). d6/sim2 are the

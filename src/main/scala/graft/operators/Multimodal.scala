@@ -175,33 +175,154 @@ object Multimodal {
       }
   }
 
-  /** STUB resize kernel: binary→binary with target dims carried in the
-    * features. Real build: a codec resize; here payload truncation keeps
-    * the batch/partition shape honest and deterministic. */
+  // ─────────────────── real image synth / resize / demux ──────────────────
+
+  /** REAL complete PNG: a deterministic w×h RGB raster (pixel colour is a
+    * pure function of (docId, frameIdx, x, y)) encoded through
+    * `javax.imageio` — signature, IHDR, IDAT zlib stream, IEND, the lot.
+    * Unlike [[syntheticImagePayload]] (header-only, for the header parser),
+    * these bytes survive a full `ImageIO.read` round trip, so the resize
+    * and frame-demux kernels exercise an actual codec. */
+  def synthesizePng(docId: Long, frameIdx: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (((docId * 31 + frameIdx * 101 + x * 7 + y * 13) % 0xffffff).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic REAL-PNG media table: one complete PNG per doc id with
+    * dims `w = 1 + id % dimMod`, `h = 1 + 7·id % dimMod` (the mm1 dims law
+    * folded to a cheap modulus — full rasters are generated per row, so the
+    * fixture stays scan-shaped, not driver-shipped). */
+  def synthesizeFullPngs(spark: SparkSession, ids: DataFrame,
+                         dimMod: Int = 64): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { rows =>
+      rows.map { id =>
+        val w = 1 + (id % dimMod).toInt
+        val h = 1 + (id * 7 % dimMod).toInt
+        MediaRow(id, synthesizePng(id, 0, w, h))
+      }
+    }.toDF()
+  }
+
+  /** Deterministic "video" fixture: a motion sequence container = the raw
+    * concatenation of `1 + id % framesMod` complete PNG streams (frame f of
+    * doc id varies by the pixel function's frameIdx term). Concatenated-PNG
+    * is a real, demuxable container: frame boundaries are recovered from
+    * the bytes alone by signature scan ([[frameSample]]). */
+  def synthesizePngSequence(spark: SparkSession, ids: DataFrame,
+                            framesMod: Int = 8, frameDim: Int = 8): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { rows =>
+      rows.map { id =>
+        val n = 1 + (id % framesMod).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < n) {
+          bos.write(synthesizePng(id, f, frameDim, frameDim)); f += 1
+        }
+        MediaRow(id, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** REAL image resize: decode → scale → re-encode through `javax.imageio`,
+    * partition-parallel (codec state and colour models amortize per
+    * partition, the mapPartitions batch shape). Aspect-preserving integer
+    * target: dims unchanged when `max(w,h) <= maxDim`, else
+    * `t = max(1, d·maxDim / max(w,h))` (integer floor — exactly replayable
+    * in SQL, so the oracle can verify the dims parsed back OUT of the
+    * resized bytes). Unreadable payloads are dropped (quarantine path, like
+    * [[decodeImages]]); re-encode is always PNG. */
   def resize(spark: SparkSession, media: DataFrame,
-             maxBytes: Int): Dataset[ResizedMedia] = {
+             maxDim: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions { rows =>
-        rows.map { r =>
-          // ??? <- real resize; deterministic stand-in: byte-truncate
-          ResizedMedia(r.doc_id, r.payload.take(maxBytes),
-            math.min(r.payload.length, maxBytes))
+        rows.flatMap { r =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val m = math.max(w, h)
+            val (tw, th) =
+              if (m <= maxDim) (w, h)
+              else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+            val out = new java.awt.image.BufferedImage(
+              tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.drawImage(img, 0, 0, tw, th, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val bytes = bos.toByteArray
+            Some(ResizedMedia(r.doc_id, bytes, bytes.length))
+          }
         }
       }
   }
 
-  /** STUB frame-sample kernel: one "video" payload → every k-th fixed-size
-    * chunk as a frame row (explode shape: rows multiply, schema typed). */
+  /** REAL frame sampling over a concatenated-PNG sequence: demux at the
+    * PNG chunk level — verify each frame's 8-byte signature, then walk its
+    * chunks (be32 length + tag + data + CRC) to IEND; the next frame starts
+    * right after IEND's CRC. Chunk walking (not signature scanning) makes
+    * the boundaries exact even if signature bytes occur inside compressed
+    * IDAT data. Keep every k-th frame by its ORIGINAL index, emit one typed
+    * row per kept frame (explode shape: rows multiply). Every emitted slice
+    * is a complete PNG stream — downstream [[decodeImages]]/[[resize]]
+    * consume them directly. A malformed tail stops the demux for that doc
+    * (quarantine-style: well-formed prefix frames still come out). */
   def frameSample(spark: SparkSession, media: DataFrame,
-                  frameBytes: Int, everyK: Int): Dataset[Frame] = {
+                  everyK: Int): Dataset[Frame] = {
     import spark.implicits._
+    val sig = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .flatMap { r =>
-        // ??? <- real demux/decode; chunking stands in for frame extraction
-        r.payload.grouped(frameBytes).zipWithIndex
+        val p = r.payload
+        def u8(i: Int): Int = p(i) & 0xff
+        def be32(i: Int): Int =
+          (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+        def sigAt(i: Int): Boolean =
+          i + sig.length <= p.length && sig.indices.forall(j => p(i + j) == sig(j))
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var i = 0
+        var ok = true
+        while (ok && i < p.length) {
+          if (!sigAt(i)) ok = false
+          else {
+            var j = i + sig.length
+            var end = -1
+            while (end < 0 && j + 8 <= p.length) {
+              val len = be32(j)
+              val isEnd = p(j + 4) == 'I' && p(j + 5) == 'E' &&
+                p(j + 6) == 'N' && p(j + 7) == 'D'
+              j += 8 + len + 4 // length + tag + data + CRC
+              if (isEnd) end = j
+            }
+            if (end > 0 && end <= p.length) { frames += ((i, end)); i = end }
+            else ok = false
+          }
+        }
+        frames.zipWithIndex
           .filter { case (_, i) => i % everyK == 0 }
-          .map { case (bytes, i) => Frame(r.doc_id, i, bytes.length, bytes) }
+          .map { case ((s0, e0), i) =>
+            val bytes = java.util.Arrays.copyOfRange(p, s0, e0)
+            Frame(r.doc_id, i, bytes.length, bytes)
+          }
       }
   }
 

@@ -36,21 +36,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(zh.width == 1 + 20013 % 64)
   }
 
-  test("resize stub caps payload bytes, keeps rows 1:1") {
-    val media = Multimodal.asMediaTable(Tables.documents(spark, sf0001).limit(20))
-    val resized = Multimodal.resize(spark, media, maxBytes = 64).collect()
-    assert(resized.length == 20)
-    assert(resized.forall(r => r.payload.length <= 64 && r.byte_len == r.payload.length))
+  test("resize really rescales: output dims parse back from the resized bytes") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 15L, 16L, 17L, 40L, 63L, 100L, 777L)
+    val media = Multimodal.synthesizeFullPngs(spark, ids.toDF("doc_id"))
+    val resized = Multimodal.resize(spark, media, maxDim = 16)
+    val got = Multimodal.decodeImages(spark, resized.toDF()).collect()
+      .map(f => f.doc_id -> ((f.fmt, f.width, f.height))).toMap
+    assert(got.size == ids.size) // every PNG decoded — none quarantined
+    for (id <- ids) {
+      val w = 1 + (id % 64).toInt
+      val h = 1 + (id * 7 % 64).toInt
+      val m = math.max(w, h)
+      val (tw, th) =
+        if (m <= 16) (w, h)
+        else (math.max(1, w * 16 / m), math.max(1, h * 16 / m))
+      assert(got(id) == (("png", tw, th)), s"doc $id: ${got(id)} != ($tw,$th)")
+    }
+    // small images pass through untouched dims-wise; big ones shrink
+    assert(got(40L)._2 <= 16 && got(40L)._3 <= 16)
+    // junk payload → quarantined, not crashed
+    val bad = Seq((1L, "not an image".getBytes)).toDF("doc_id", "payload")
+    assert(Multimodal.resize(spark, bad, maxDim = 16).collect().isEmpty)
   }
 
-  test("frame-sample stub explodes payloads into every-k-th typed frame") {
-    val media = Multimodal.asMediaTable(Tables.documents(spark, sf0001).limit(5))
-    val frames = Multimodal.frameSample(spark, media, frameBytes = 32, everyK = 2).collect()
-    assert(frames.nonEmpty)
-    assert(frames.forall(_.frame_idx % 2 == 0))
-    assert(frames.forall(f => f.byte_len <= 32 && f.payload.length == f.byte_len))
-    // row multiplication: more frames than source docs
-    assert(frames.length > 5)
+  test("frame demux recovers every-k-th complete PNG from a concatenated sequence") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 3L, 7L, 12L) // 1..8 frames each (1 + id % 8)
+    val media = Multimodal.synthesizePngSequence(spark, ids.toDF("doc_id"))
+    val frames = Multimodal.frameSample(spark, media, everyK = 2).collect()
+    // count law: kept = ceil(n/2) with n = 1 + id % 8, original indices even
+    val byDoc = frames.groupBy(_.doc_id)
+    for (id <- ids) {
+      val n = 1 + (id % 8).toInt
+      assert(byDoc(id).length == (n + 1) / 2, s"doc $id")
+      assert(byDoc(id).forall(_.frame_idx % 2 == 0))
+    }
+    // every emitted slice is a COMPLETE decodable PNG with the frame dims
+    frames.foreach { f =>
+      assert(Multimodal.decodeImageHeader(f.payload).contains(("png", 8, 8)))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.payload))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+    }
+    // malformed tail: well-formed prefix frames still demux (quarantine-style)
+    val seq3 = media.filter($"doc_id" === 3L).collect().head.getAs[Array[Byte]]("payload")
+    val truncated = java.util.Arrays.copyOfRange(seq3, 0, seq3.length - 10)
+    val partial = Seq((3L, truncated)).toDF("doc_id", "payload")
+    val pf = Multimodal.frameSample(spark, partial, everyK = 1).collect()
+    assert(pf.length == 3) // 4 frames, last one truncated away
   }
 
   test("decodeImageHeader parses real PNG and JPEG bytes, rejects junk") {
