@@ -2178,6 +2178,52 @@ object Queries {
       |       true AS within_tol
       |FROM nation""".stripMargin
 
+  /** KLL1 — mergeable quantile rollup: per-nation KLL sketches of order
+    * value, MERGED (sketch bytes, not data) to region grain
+    * ([[graft.operators.Sketches.kllQuantileRollup]], on the custom
+    * `TypedImperativeAggregate` trio). Gate at BOTH grains, in RANK space
+    * (the space KLL's guarantee lives in): each estimated p50/p90 is
+    * broadcast back into the fact scan and its observed inclusive rank
+    * must sit within 3% of the requested rank — k=200's proven bound is
+    * ~1.65% at 99% confidence, so 3% also absorbs the ±1/n step of small
+    * groups. Value-space tolerances would be distribution-dependent;
+    * rank-space is the honest gate. */
+  val kll1QuantileRollup: Q = (s, d) => {
+    val joined = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey"), col("n_nationkey"),
+        col("o_totalprice").cast("double").as("price"))
+    val (nationQ, regionQ) = graft.operators.Sketches.kllQuantileRollup(
+      joined, col("n_nationkey"), col("n_regionkey"), col("price"),
+      ranks = Seq(0.5, 0.9))
+    def rankGate(est: DataFrame, keys: Seq[String],
+                 grainKey: String): DataFrame =
+      joined.withColumnRenamed("n_regionkey", "coarse")
+        .withColumnRenamed("n_nationkey", "fine")
+        .join(broadcast(est), keys)
+        .groupBy(keys.map(col): _*)
+        .agg(
+          avg(when(col("price") <= col("p50"), 1.0).otherwise(0.0)).as("r50"),
+          avg(when(col("price") <= col("p90"), 1.0).otherwise(0.0)).as("r90"))
+        .agg(count(lit(1)).as(s"n_${grainKey}"),
+          bool_and(abs(col("r50") - 0.5) <= 0.03 &&
+            abs(col("r90") - 0.9) <= 0.03).as(s"${grainKey}_within_tol"))
+    rankGate(nationQ, Seq("coarse", "fine"), "nations")
+      .crossJoin(rankGate(regionQ, Seq("coarse"), "regions"))
+  }
+
+  val kll1QuantileRollupSql: String =
+    """WITH j AS (
+      |  SELECT n_regionkey, n_nationkey
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_nations,
+      |       true AS nations_within_tol,
+      |       CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_regions,
+      |       true AS regions_within_tol
+      |FROM j""".stripMargin
+
   // ─────────────────── analytics breadth (round-1 extras) ────────────────
 
   /** TPC-H Q6-style selective filter+agg (pushdown showcase). */
@@ -3759,6 +3805,7 @@ object Queries {
     "diff1_snapshot_diff" -> diff1SnapshotDiff,
     "t11_length_outliers" -> t11LengthOutliers,
     "hll1_sketch_rollup" -> hll1SketchRollup,
+    "kll1_quantile_rollup" -> kll1QuantileRollup,
     "g3_grouping_sets" -> g3GroupingSets,
     "tok1_vocab_encode" -> tok1VocabEncode,
     "s2_dynamic_prune" -> s2DynamicPrune,
@@ -3917,6 +3964,7 @@ object Queries {
     "diff1_snapshot_diff" -> diff1SnapshotDiffSql,
     "t11_length_outliers" -> t11LengthOutliersSql,
     "hll1_sketch_rollup" -> hll1SketchRollupSql,
+    "kll1_quantile_rollup" -> kll1QuantileRollupSql,
     "g3_grouping_sets" -> g3GroupingSetsSql,
     "tok1_vocab_encode" -> tok1VocabEncodeSql,
     "s2_dynamic_prune" -> s2DynamicPruneSql,
@@ -4021,7 +4069,7 @@ object Queries {
     "hh2_mg_sketch", "emb2_mean_pool", "scd1_history", "z2_compaction_plan",
     "mix1_source_mix", "pk1_sequence_pack", "d8_keep_best",
     "diff1_snapshot_diff", "t11_length_outliers", "hll1_sketch_rollup",
-    "tok1_vocab_encode", "g3_grouping_sets", "funnel1_conversion",
+    "tok1_vocab_encode", "g3_grouping_sets", "funnel1_conversion", "kll1_quantile_rollup",
     "emb3_random_projection", "dq1_integrity_audit",
     "ret1_retention", "ts1_gap_fill", "anom1_daily_zscore", "hist1_equiwidth",
     "corr1_profile", "smp3_stratified_cap", "pmi1_collocations", "lm1_surprisal",
