@@ -3457,6 +3457,16 @@ object Queries {
     graft.streaming.EventStream.runPatternOverFixture(s, d,
       Seq("view", "click", "purchase"))
 
+  /** ST9 — streaming retention cohorts, the stateful twin of ret1:
+    * per-user `flatMapGroupsWithState` emits each (cohort, offset) cell
+    * exactly once across time-ordered micro-batches; a far-future
+    * sentinel batch advances the watermark so EventTimeTimeout evicts
+    * every user's state inside the replay. Exact parity with the batch
+    * retention grid (same oracle as ret1). */
+  val st9StreamRetention: Q = (s, d) =>
+    graft.streaming.EventStream.retentionGrid(
+      graft.streaming.EventStream.runRetentionOverFixture(s, d))
+
   /** CARD1 — the dataset datasheet in one row: corpus size, token mass,
     * exact dup rate, mean quality, and the Shannon entropy of the
     * language mix — the summary a curation run publishes next to the
@@ -3858,6 +3868,7 @@ object Queries {
     "tri1_triangles" -> tri1Triangles,
     "hist2_equidepth" -> hist2Equidepth,
     "st8_stream_pattern" -> st8StreamPattern,
+    "st9_stream_retention" -> st9StreamRetention,
     "card1_dataset_card" -> card1DatasetCard,
     "cur1_filter_waterfall" -> cur1Waterfall,
     "w8_range_frame" -> w8RangeFrame,
@@ -4015,6 +4026,7 @@ object Queries {
     "tri1_triangles" -> tri1TrianglesSql,
     "hist2_equidepth" -> hist2EquidepthSql,
     "st8_stream_pattern" -> pat1SequenceMatchSql, // stream/batch parity: same oracle
+    "st9_stream_retention" -> ret1RetentionSql, // stream/batch parity: same oracle
     "card1_dataset_card" -> card1DatasetCardSql,
     "cur1_filter_waterfall" -> cur1WaterfallSql,
     "w8_range_frame" -> w8RangeFrameSql,

@@ -182,6 +182,76 @@ object EventStream {
         "yyyy-MM-dd HH:mm:ss").as("start_ts"))
   }
 
+  /** Streaming retention cohorts — the stateful twin of
+    * [[graft.operators.Analytics.retentionCohorts]]: per-user state emits
+    * each (cohort_week, week_offset) cell exactly once
+    * ([[StatefulSessions.retentionCells]]), and the retention grid is the
+    * count of emitted cells — exact batch parity (the ret1 oracle).
+    *
+    * The replay is genuinely multi-batch AND watermark-driven:
+    *   - the fixture is split into three TIME-RANGE files replayed in
+    *     mtime order (`maxFilesPerTrigger=1`), so per-user state really
+    *     carries across micro-batches and cohort assignment (first batch
+    *     containing the user) is stable;
+    *   - a far-future sentinel batch (user −1, +400 days) then advances
+    *     the event-time watermark past every user's last activity +
+    *     horizon, firing the EventTimeTimeout for ALL real users — the
+    *     state-eviction leg runs in the replay itself, not just in theory.
+    *     Eviction markers (week_offset −1) and the sentinel are filtered
+    *     from the result; the spec counts them to prove eviction fired. */
+  def runRetentionOverFixture(spark: SparkSession, sfDir: String,
+                              horizonDays: Int = 90): DataFrame = {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-stream-ret")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val b = raw.agg(min(col("ts")), max(col("ts"))).head
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    val span = (t1 - t0) / 3 + 1
+    for (i <- 0 until 3)
+      raw.filter(col("ts") >= t0 + i * span && col("ts") < t0 + (i + 1) * span)
+        .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
+    val farNanos = t1 + 400L * 86400L * 1000000000L
+    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
+    // pin mtimes strictly ascending so batch order is the time order
+    val now = System.currentTimeMillis()
+    for ((sub, i) <- Seq("b0", "b1", "b2", "b3_sentinel").zipWithIndex)
+      Files.walk(srcDir.resolve(sub)).forEach { f =>
+        if (Files.isRegularFile(f))
+          Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
+      }
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"))
+      .as[StatefulSessions.RetEvent]
+    val cells = StatefulSessions.retentionStream(spark, stream, horizonDays)
+    val queryName = scopedQueryName("graft_stream_ret")
+    val q = cells.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    spark.table(queryName)
+  }
+
+  /** The retention grid from the emitted cells (cells are exactly-once per
+    * (user, cohort, offset), so a plain count equals the batch grid's
+    * count_distinct) — split out so specs can also look at the raw cells. */
+  def retentionGrid(cells: DataFrame): DataFrame =
+    cells.filter(col("week_offset") >= 0 && col("user_id") >= 0)
+      .groupBy(col("cohort_week_days"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(
+        date_format(timestamp_seconds(col("cohort_week_days").cast("long") * 86400L),
+          "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset").cast("long").as("week_offset"),
+        col("n_active"))
+
   /** Stream-STATIC join: every streaming micro-batch broadcast-joins the
     * static dimension (re-read per batch by Spark if the source supports
     * it; no state, no watermark needed — the static side never late-

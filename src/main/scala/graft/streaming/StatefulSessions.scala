@@ -77,4 +77,71 @@ object StatefulSessions {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         matchPattern(pattern))
   }
+
+  // ───────────────────────── streaming retention ─────────────────────────
+
+  final case class RetEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** Per-user retention state: the Monday epoch-day of the first-seen week
+    * plus the set of week offsets already emitted — bounded by the
+    * retention horizon (horizonDays/7 small ints per user), and evicted
+    * outright by event-time timeout once the watermark passes the user's
+    * last activity + horizon. */
+  final case class RetState(first_week_days: Int, emitted: Seq[Int])
+  /** One NEW (user, cohort, offset) cell — or, with `week_offset == -1`,
+    * an eviction marker emitted when the user's state times out (filtered
+    * from results; specs use it to prove state really gets bounded). */
+  final case class RetCell(user_id: Long, cohort_week_days: Int, week_offset: Int)
+
+  /** Monday-midnight week truncation as an epoch-day number — the JVM twin
+    * of `date_trunc('week', ts)` under a UTC session. Epoch day 0
+    * (1970-01-01) was a Thursday, so the most recent Monday on-or-before
+    * day `e` is `e − ((e + 3) mod 7)`. */
+  private[streaming] def mondayOf(tsMillis: Long): Int = {
+    val e = Math.floorDiv(tsMillis, 86400000L).toInt
+    e - Math.floorMod(e + 3, 7)
+  }
+
+  /** Stateful retention cells: per user, emit each (cohort_week,
+    * week_offset) grid cell the FIRST time that user is active in that
+    * week — exactly-once per cell, so a downstream `count` of cells equals
+    * the batch grid's `count_distinct(user_id)`. The first batch that
+    * contains a user fixes their cohort week (the replay feeds
+    * event-time-ordered batches, so no earlier event can arrive later —
+    * the same ordering contract as [[matchPattern]]).
+    *
+    * State is evicted by EVENT-TIME TIMEOUT at last activity + horizon:
+    * total state is O(users active within the horizon), not O(all users
+    * ever) — the bound that makes per-entity streaming state survive an
+    * unbounded stream. A timed-out user re-appearing later would start a
+    * new cohort; the horizon is the declared semantics boundary, not a
+    * shortcut. */
+  def retentionCells(horizonDays: Int)(
+      userId: Long, events: Iterator[RetEvent],
+      state: GroupState[RetState]): Iterator[RetCell] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.single(RetCell(userId, -1, -1))
+    } else {
+      val weeks = events.map(e => (mondayOf(e.ts.getTime), e.ts.getTime)).toArray
+      val maxTs = weeks.iterator.map(_._2).max
+      val prev = state.getOption
+      val first = prev.map(_.first_week_days)
+        .getOrElse(weeks.iterator.map(_._1).min)
+      val already = prev.map(_.emitted.toSet).getOrElse(Set.empty[Int])
+      val fresh = weeks.iterator.map(w => (w._1 - first) / 7)
+        .filter(_ >= 0).toSet.diff(already).toSeq.sorted
+      state.update(RetState(first, (already ++ fresh).toSeq))
+      state.setTimeoutTimestamp(maxTs + horizonDays * 86400000L)
+      fresh.iterator.map(RetCell(userId, first, _))
+    }
+  }
+
+  /** Wire the retention-cell emitter over a watermarked typed Dataset. */
+  def retentionStream(spark: SparkSession, events: Dataset[RetEvent],
+                      horizonDays: Int = 90): Dataset[RetCell] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        retentionCells(horizonDays))
+  }
 }

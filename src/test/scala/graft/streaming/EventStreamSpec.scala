@@ -51,4 +51,19 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamed.filter(col("c_id").isNull).count() > 0,
       "expected watermark-flushed outer rows")
   }
+
+  test("streaming retention equals the batch cohort grid, and state evicts") {
+    import org.apache.spark.sql.functions._
+    val cells = EventStream.runRetentionOverFixture(spark, sf0001)
+    val streamed = EventStream.retentionGrid(cells)
+    val batch = graft.operators.Analytics.retentionCohorts(Tables.events(spark, sf0001))
+    assertSameRows(batch, streamed)
+    // the sentinel advanced the watermark past last activity + horizon for
+    // every real user: each must have fired its EventTimeTimeout exactly
+    // once (the −1 eviction marker) — bounded state, demonstrated in-replay
+    val users = Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct().count()
+    val evictions = cells.filter(col("week_offset") === -1 && col("user_id") >= 0).count()
+    assert(evictions == users, s"evictions $evictions != users $users")
+  }
 }
