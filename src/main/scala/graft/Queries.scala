@@ -2814,10 +2814,13 @@ object Queries {
       |FROM a GROUP BY 1, 2""".stripMargin
 
   /** TS1 — daily activity on a continuous date spine: gap days filled with
-    * zeros, plus LOCF carry of the last real daily total
-    * ([[graft.operators.Analytics.gapFillDaily]]). */
+    * zeros, plus LOCF carry of the last real daily total. Runs the
+    * SEGMENT-JOIN form ([[graft.operators.Analytics.gapFillDailySegmented]]):
+    * the LOCF window covers sparse observations only and gap days
+    * materialize by segment explode — no span-sized window partition, so a
+    * key alive for ten years costs its active days, not its calendar. */
   val ts1GapFill: Q = (s, d) =>
-    graft.operators.Analytics.gapFillDaily(Tables.events(s, d))
+    graft.operators.Analytics.gapFillDailySegmented(Tables.events(s, d))
 
   val ts1GapFillSql: String =
     """WITH daily AS (

@@ -75,6 +75,45 @@ object Analytics {
         col("last_seen_value"))
   }
 
+  /** Segment-join LOCF gap fill — the scale form of [[gapFillDaily]],
+    * identical output. The dense form's LOCF window runs over the FILLED
+    * spine, so one partition holds a key's whole day RANGE: a key with two
+    * events ten years apart costs a 3,650-row single-partition window.
+    * Here the window runs over the sparse OBSERVATIONS only (per-key cost
+    * = active days, data-sized): `lead(day)` closes each observation's
+    * segment `[day, next_day)`, and `explode(sequence(...))` materializes
+    * the gap days WITH their carried value in ordinary scan shape — fully
+    * parallel, no span-sized partition anywhere. The leading gap (before a
+    * key's first observation) generates from the first observation row.
+    * SCALE.md's "segmented per month + boundary join" note, realized. */
+  def gapFillDailySegmented(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("day_value"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val seg = daily.crossJoin(broadcast(bounds))
+      .withColumn("seg_end",
+        coalesce(date_sub(lead(col("day"), 1).over(w), 1), col("d1")))
+      .withColumn("rn", row_number().over(w))
+    val filled = seg.select(col("event_type"), col("day").as("obs_day"),
+        col("n_events"), col("day_value"),
+        explode(sequence(col("day"), col("seg_end"))).as("day"))
+      .select(col("event_type"), col("day"),
+        when(col("day") === col("obs_day"), col("n_events"))
+          .otherwise(lit(0L)).as("n_events"),
+        when(col("day") === col("obs_day"), col("day_value"))
+          .otherwise(lit(0.0)).as("sum_value"),
+        col("day_value").as("last_seen_value"))
+    val leading = seg.filter(col("rn") === 1 && col("day") > col("d0"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), date_sub(col("day"), 1))).as("day"),
+        lit(0L).as("n_events"), lit(0.0).as("sum_value"),
+        lit(0.0).as("last_seen_value"))
+    filled.unionByName(leading)
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("sum_value"), col("last_seen_value"))
+  }
+
   /** Trailing-window z-score anomaly flags over daily per-type totals.
     * Each day is scored against the mean/stddev of its own trailing
     * `trailing`-day window (inclusive). The window aggregates are exact

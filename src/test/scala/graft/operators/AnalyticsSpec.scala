@@ -40,6 +40,43 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got("2024-01-04") == ((1L, 7.0, 7.0)))
   }
 
+  test("segmented gap fill equals the dense form on the fixture") {
+    val events = Tables.events(spark, sf0001)
+    assertSameRows(Analytics.gapFillDaily(events),
+      Analytics.gapFillDailySegmented(events))
+  }
+
+  test("segmented gap fill handles a sparse 10-year key without a dense window") {
+    // two observations a decade apart + a second type starting later: the
+    // dense form would put ~3.7k spine rows of one key in ONE window
+    // partition; the segmented form's window sees 3 observation rows total
+    val events = ev(
+      (1L, "2014-03-05 10:00:00", "view", 2.0),
+      (1L, "2024-03-05 10:00:00", "view", 9.0),
+      (2L, "2020-01-01 00:00:00", "click", 4.0))
+    val got = Analytics.gapFillDailySegmented(events)
+    val view = got.filter(org.apache.spark.sql.functions.col("event_type") === "view")
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // full decade spine: 2014-03-05 .. 2024-03-05 inclusive = 3654 days
+    assert(view.size == 3654, s"got ${view.size}")
+    assert(view("2014-03-05") == ((1L, 2.0, 2.0)))
+    assert(view("2019-07-19") == ((0L, 0.0, 2.0))) // mid-gap: carried a decade
+    assert(view("2024-03-04") == ((0L, 0.0, 2.0)))
+    assert(view("2024-03-05") == ((1L, 9.0, 9.0)))
+    // click starts mid-range: leading days zero-filled from the GLOBAL d0
+    val click = got.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(click.size == 3654)
+    assert(click("2014-03-05") == ((0L, 0.0, 0.0))) // before first obs
+    assert(click("2019-12-31") == ((0L, 0.0, 0.0)))
+    assert(click("2020-01-01") == ((1L, 4.0, 4.0)))
+    assert(click("2024-03-05") == ((0L, 0.0, 4.0)))
+    // dense/segmented parity on this pathological shape too
+    assertSameRows(Analytics.gapFillDaily(events), got)
+  }
+
   test("dailyAnomalies: an injected spike is flagged, steady days are not") {
     val steady = (1 to 13).map(i =>
       (1L, f"2024-01-$i%02d 10:00:00", "view", 100.0 + (i % 3)))
