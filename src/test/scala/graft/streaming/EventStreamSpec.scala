@@ -66,4 +66,24 @@ class EventStreamSpec extends SparkTestBase {
     val evictions = cells.filter(col("week_offset") === -1 && col("user_id") >= 0).count()
     assert(evictions == users, s"evictions $evictions != users $users")
   }
+
+  test("streaming retention runs unchanged on the RocksDB state store") {
+    // the 100 TB configuration: per-user retention state off-heap — the
+    // RetState encoder (ints + Seq[Int]) must round-trip RocksDB too
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    SessionStream.useRocksDbStateStore(spark)
+    try {
+      val streamed = EventStream.retentionGrid(
+        EventStream.runRetentionOverFixture(spark, sf0001))
+      val batch = graft.operators.Analytics.retentionCohorts(Tables.events(spark, sf0001))
+      assertSameRows(batch, streamed)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
 }
