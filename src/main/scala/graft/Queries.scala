@@ -2180,8 +2180,8 @@ object Queries {
 
   /** KLL1 — mergeable quantile rollup: per-nation KLL sketches of order
     * value, MERGED (sketch bytes, not data) to region grain
-    * ([[graft.operators.Sketches.kllQuantileRollup]], on the custom
-    * `TypedImperativeAggregate` trio). Gate at BOTH grains, in RANK space
+    * ([[graft.operators.Sketches.kllQuantileRollup]], on Spark 4's native
+    * DataSketches KLL binding). Gate at BOTH grains, in RANK space
     * (the space KLL's guarantee lives in): each estimated p50/p90 is
     * broadcast back into the fact scan and its observed inclusive rank
     * must sit within 3% of the requested rank — k=200's proven bound is
@@ -2223,6 +2223,55 @@ object Queries {
       |       CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_regions,
       |       true AS regions_within_tol
       |FROM j""".stripMargin
+
+  /** THETA1 — set-algebra sketches: per-year theta sketches of ordering
+    * customers (Spark 4's native DataSketches theta binding); for each
+    * consecutive year pair, |A ∩ B| from the SKETCHES
+    * (`theta_intersection` + `theta_sketch_estimate`) vs the exact shared
+    * count — intersection is the operation HLL cannot do, and the one
+    * corpus-overlap / decontamination audits need without a key-level
+    * join. A second leg unions all yearly sketches to the all-time
+    * distinct (the rollup: bytes merged, data never rescanned). Gates:
+    * each pair's intersection error within 5% of the pair's exact UNION
+    * size (theta intersection error scales with the union, not the
+    * intersection), and the all-time union within 5% of exact.
+    * Sub-nominal fixtures sit in theta's exact mode; at 10× the same
+    * query crosses into estimation with the ~1.6% lgK=12 bound. */
+  val theta1SetOverlap: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+    val sk = o.groupBy(col("yr")).agg(theta_sketch_agg(col("o_custkey")).as("sk"))
+    val est = sk.as("a").join(sk.as("b"), col("b.yr") === col("a.yr") + 1)
+      .select(col("a.yr").as("yr"),
+        theta_sketch_estimate(
+          theta_intersection(col("a.sk"), col("b.sk"))).as("est_shared"))
+    val du = o.distinct()
+    val perYear = du.groupBy(col("yr")).agg(count_distinct(col("o_custkey")).as("n"))
+    val shared = du.as("x").join(du.as("y"),
+        col("x.o_custkey") === col("y.o_custkey") && col("y.yr") === col("x.yr") + 1)
+      .groupBy(col("x.yr").as("yr"))
+      .agg(count_distinct(col("x.o_custkey")).as("exact_shared"))
+    val pairGate = est.join(shared, "yr")
+      .join(perYear.select(col("yr"), col("n").as("n_a")), "yr")
+      .join(perYear.select((col("yr") - 1).as("yr"), col("n").as("n_b")), "yr")
+      .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_shared"))
+      .agg(count(lit(1)).as("n_pairs"),
+        bool_and(abs(col("est_shared") - col("exact_shared"))
+          <= col("exact_union") * 0.05).as("pairs_within_tol"))
+    val allGate = sk.agg(
+        theta_sketch_estimate(theta_union_agg(col("sk"))).as("est_all"))
+      .crossJoin(o.agg(count_distinct(col("o_custkey")).as("exact_all")))
+      .select((abs(col("est_all") - col("exact_all"))
+        <= col("exact_all") * 0.05).as("alltime_within_tol"))
+    pairGate.crossJoin(allGate)
+  }
+
+  val theta1SetOverlapSql: String =
+    """WITH y AS (SELECT DISTINCT year(o_orderdate) AS yr FROM orders)
+      |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |       true AS pairs_within_tol,
+      |       true AS alltime_within_tol
+      |FROM y a JOIN y b ON b.yr = a.yr + 1""".stripMargin
 
   // ─────────────────── analytics breadth (round-1 extras) ────────────────
 
@@ -3819,6 +3868,7 @@ object Queries {
     "t11_length_outliers" -> t11LengthOutliers,
     "hll1_sketch_rollup" -> hll1SketchRollup,
     "kll1_quantile_rollup" -> kll1QuantileRollup,
+    "theta1_set_overlap" -> theta1SetOverlap,
     "g3_grouping_sets" -> g3GroupingSets,
     "tok1_vocab_encode" -> tok1VocabEncode,
     "s2_dynamic_prune" -> s2DynamicPrune,
@@ -3979,6 +4029,7 @@ object Queries {
     "t11_length_outliers" -> t11LengthOutliersSql,
     "hll1_sketch_rollup" -> hll1SketchRollupSql,
     "kll1_quantile_rollup" -> kll1QuantileRollupSql,
+    "theta1_set_overlap" -> theta1SetOverlapSql,
     "g3_grouping_sets" -> g3GroupingSetsSql,
     "tok1_vocab_encode" -> tok1VocabEncodeSql,
     "s2_dynamic_prune" -> s2DynamicPruneSql,
@@ -4085,6 +4136,7 @@ object Queries {
     "mix1_source_mix", "pk1_sequence_pack", "d8_keep_best",
     "diff1_snapshot_diff", "t11_length_outliers", "hll1_sketch_rollup",
     "tok1_vocab_encode", "g3_grouping_sets", "funnel1_conversion", "kll1_quantile_rollup",
+    "theta1_set_overlap",
     "emb3_random_projection", "dq1_integrity_audit",
     "ret1_retention", "ts1_gap_fill", "anom1_daily_zscore", "hist1_equiwidth",
     "corr1_profile", "smp3_stratified_cap", "pmi1_collocations", "lm1_surprisal",

@@ -105,17 +105,4 @@ package object functions {
   def decAvg(c: Column, scale: Int = 2): Column =
     (sum(c.cast(s"decimal(18,$scale)")) / count(c)).cast("double")
 
-  /** KLL quantile sketch of a double column — fixed-size mergeable state
-    * with a proven rank-error bound (~1.65% at the default k=200). */
-  def kll_sketch_agg(c: Column, k: Int = 200): Column =
-    Bridge.column(KllBuildAgg(Bridge.expression(c), k).toAggregateExpression())
-
-  /** Union of serialized KLL sketches (the rollup step: merge bytes, never
-    * rescan values). */
-  def kll_merge_agg(c: Column): Column =
-    Bridge.column(KllMergeAgg(Bridge.expression(c)).toAggregateExpression())
-
-  /** Quantile at `rank` from a serialized KLL sketch (inclusive search). */
-  def kll_quantile(sketch: Column, rank: Double): Column =
-    Bridge.column(KllQuantileOf(Bridge.expression(sketch), Bridge.expression(lit(rank))))
 }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.{kll_merge_agg, kll_quantile, kll_sketch_agg}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -33,24 +32,29 @@ object Sketches {
         .as("approx_distinct"))
 
   /** Quantile rollup via mergeable KLL sketches — the percentile twin of
-    * [[hllDistinctRollup]], on the custom `TypedImperativeAggregate` trio
-    * in [[graft.functions]]: one ~3KB sketch per (coarse, fine) group,
-    * then the coarse grain MERGES sketch bytes (one shuffle of |fine
-    * groups| fixed-size blobs), never re-scanning values. Returns both
-    * grains, each with a column per requested rank (`p50`, `p90`, …) —
-    * a day→month→year percentile dashboard touches the data once. */
+    * [[hllDistinctRollup]], on Spark 4's native DataSketches KLL binding
+    * (`kll_sketch_agg_double` / `kll_merge_agg_double` /
+    * `kll_sketch_get_quantile_double` — codegen-registered aggregates
+    * with map-side partial merge; a custom `TypedImperativeAggregate`
+    * would only re-implement what these ship): one ~3KB sketch per
+    * (coarse, fine) group, then the coarse grain MERGES sketch bytes
+    * (one shuffle of |fine groups| fixed-size blobs), never re-scanning
+    * values. Returns both grains, each with a column per requested rank
+    * (`p50`, `p90`, …) — a day→month→year percentile dashboard touches
+    * the data once. KLL's normalized rank error is ~1.65% at the default
+    * k=200 (Karnin–Lang–Liberty, FOCS 2016). */
   def kllQuantileRollup(df: DataFrame, fine: Column, coarse: Column,
                         value: Column, ranks: Seq[Double], k: Int = 200)
       : (DataFrame, DataFrame) = {
     def qCols(ranks: Seq[Double]) = ranks.map { r =>
-      kll_quantile(col("sk"), r).as(s"p${math.round(r * 100)}")
+      kll_sketch_get_quantile_double(col("sk"), lit(r)).as(s"p${math.round(r * 100)}")
     }
     val fineSk = df.groupBy(coarse.as("coarse"), fine.as("fine"))
-      .agg(kll_sketch_agg(value, k).as("sk"))
+      .agg(kll_sketch_agg_double(value, k).as("sk"))
     val fineQ = fineSk.select(
       Seq(col("coarse"), col("fine")) ++ qCols(ranks): _*)
     val coarseQ = fineSk.groupBy(col("coarse"))
-      .agg(kll_merge_agg(col("sk")).as("sk"))
+      .agg(kll_merge_agg_double(col("sk"), k).as("sk"))
       .select(col("coarse") +: qCols(ranks): _*)
     (fineQ, coarseQ)
   }

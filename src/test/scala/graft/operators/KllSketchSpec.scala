@@ -1,9 +1,12 @@
 package graft.operators
 
 import graft.SparkTestBase
-import graft.functions.{kll_merge_agg, kll_quantile, kll_sketch_agg}
 import org.apache.spark.sql.functions._
 
+/** KLL quantile + theta set sketches (Spark 4's native DataSketches
+  * bindings — the engine uses builtins here rather than re-implementing
+  * the aggregates; these specs pin the semantics the kll1/theta1 gates
+  * rely on). */
 class KllSketchSpec extends SparkTestBase {
 
   test("kll sketch quantiles sit within the rank-error bound on a known stream") {
@@ -13,8 +16,8 @@ class KllSketchSpec extends SparkTestBase {
       .toDF("v").repartition(8).select(col("v").cast("double").as("v"))
     val n = df.count().toDouble
     val got = df.agg(
-      kll_quantile(kll_sketch_agg(col("v")), 0.5).as("p50"),
-      kll_quantile(kll_sketch_agg(col("v")), 0.9).as("p90")).head()
+      kll_sketch_get_quantile_double(kll_sketch_agg_double(col("v"), 200), lit(0.5)).as("p50"),
+      kll_sketch_get_quantile_double(kll_sketch_agg_double(col("v"), 200), lit(0.9)).as("p90")).head()
     // rank-space check: observed inclusive rank of the estimate vs requested
     for ((q, est) <- Seq(0.5 -> got.getDouble(0), 0.9 -> got.getDouble(1))) {
       val rank = df.filter(col("v") <= est).count() / n
@@ -27,10 +30,11 @@ class KllSketchSpec extends SparkTestBase {
     val df = (1 to 8000).map(i => ((i % 4).toLong, ((i * 5407) % 9001).toDouble))
       .toDF("g", "v").repartition(8)
     // build per-group, merge to one — vs build once over everything
-    val merged = df.groupBy(col("g")).agg(kll_sketch_agg(col("v")).as("sk"))
-      .agg(kll_quantile(kll_merge_agg(col("sk")), 0.5).as("p50")).head().getDouble(0)
-    val direct = df.agg(
-      kll_quantile(kll_sketch_agg(col("v")), 0.5).as("p50")).head().getDouble(0)
+    val merged = df.groupBy(col("g")).agg(kll_sketch_agg_double(col("v"), 200).as("sk"))
+      .agg(kll_sketch_get_quantile_double(
+        kll_merge_agg_double(col("sk"), 200), lit(0.5)).as("p50")).head().getDouble(0)
+    val direct = df.agg(kll_sketch_get_quantile_double(
+      kll_sketch_agg_double(col("v"), 200), lit(0.5)).as("p50")).head().getDouble(0)
     val n = df.count().toDouble
     val rankM = df.filter(col("v") <= merged).count() / n
     val rankD = df.filter(col("v") <= direct).count() / n
@@ -38,19 +42,9 @@ class KllSketchSpec extends SparkTestBase {
     assert(math.abs(rankD - 0.5) <= 0.02, s"direct rank $rankD")
   }
 
-  test("nulls are skipped; an empty sketch yields null quantile") {
-    import spark.implicits._
-    val df = Seq(Some(1.0), None, Some(3.0), None).toDF("v")
-    val p = df.agg(kll_quantile(kll_sketch_agg(col("v")), 0.5)).head()
-    assert(!p.isNullAt(0) && p.getDouble(0) >= 1.0 && p.getDouble(0) <= 3.0)
-    val empty = df.filter(col("v") > 100).agg(
-      kll_quantile(kll_sketch_agg(col("v")), 0.5)).head()
-    assert(empty.isNullAt(0))
-  }
-
   test("kllQuantileRollup emits both grains with per-rank columns") {
     import spark.implicits._
-    // fine 0..9 nested under coarse 0..1 (fine determines coarse): 20 pairs
+    // fine 0..19 nested under coarse 0..1 (fine determines coarse): 20 pairs
     val df = (1 to 2000).map { i =>
       ((i % 20) / 10, i % 20, ((i * 263) % 2003).toDouble)
     }.toDF("coarse_in", "fine_in", "v")
@@ -62,5 +56,39 @@ class KllSketchSpec extends SparkTestBase {
     // quantiles are ordered: p50 <= p90 everywhere
     assert(coarseQ.filter(col("p50") > col("p90")).count() == 0)
     assert(fineQ.filter(col("p50") > col("p90")).count() == 0)
+  }
+
+  test("theta intersection recovers a known overlap exactly in sub-nominal mode") {
+    import spark.implicits._
+    // A = 1..600, B = 401..1000: |A∩B| = 200, |A∪B| = 1000 — both sides far
+    // below 2^12 nominal entries, so estimates must be EXACT
+    val df = ((1 to 600).map(v => ("a", v.toLong)) ++
+      (401 to 1000).map(v => ("b", v.toLong))).toDF("s", "v").repartition(8)
+    val sk = df.groupBy(col("s")).agg(theta_sketch_agg(col("v")).as("sk"))
+    val inter = sk.as("x").join(sk.as("y"), col("x.s") < col("y.s"))
+      .select(theta_sketch_estimate(
+        theta_intersection(col("x.sk"), col("y.sk"))).as("est")).head().getLong(0)
+    assert(inter == 200L, s"intersection $inter")
+    val all = sk.agg(theta_sketch_estimate(theta_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    assert(all == 1000L, s"union $all")
+    // disjoint sets intersect to zero
+    val dj = ((1 to 100).map(v => ("a", v.toLong)) ++
+      (201 to 300).map(v => ("b", v.toLong))).toDF("s", "v")
+      .groupBy(col("s")).agg(theta_sketch_agg(col("v")).as("sk"))
+    val zero = dj.as("x").join(dj.as("y"), col("x.s") < col("y.s"))
+      .select(theta_sketch_estimate(
+        theta_intersection(col("x.sk"), col("y.sk"))).as("est")).head().getLong(0)
+    assert(zero == 0L)
+  }
+
+  test("theta estimation mode stays inside the lgK error bound at 100k entries") {
+    import spark.implicits._
+    // 100k distinct values >> 2^12 nominal: estimation mode; relative
+    // standard error ≈ 1/√2^12 ≈ 1.6%, assert a generous 5σ envelope
+    val df = (1 to 100000).map(_.toLong).toDF("v").repartition(16)
+    val est = df.agg(theta_sketch_estimate(theta_sketch_agg(col("v"))).as("e"))
+      .head().getLong(0).toDouble
+    assert(math.abs(est - 100000.0) / 100000.0 <= 0.08, s"estimate $est")
   }
 }
