@@ -1887,6 +1887,20 @@ object Queries {
       |       floor((CAST(n_hit_shingles AS DOUBLE) / n_sh) * 10000 + 0.5) / 10000 AS hit_ratio
       |FROM hits h JOIN sz ON sz.doc_id = h.doc_id""".stripMargin
 
+  /** DC2 — dc1 with a Bloom-filter pre-pass
+    * ([[graft.operators.Curation.decontaminateBloom]]): the eval set's
+    * shingle membership travels as ONE fixed-size filter blob instead of an
+    * exact broadcast, and only the ~hit-rate fraction of corpus shingles
+    * reaches the confirm join. No false negatives + exact confirm ⇒
+    * bit-identical to dc1, so it shares dc1's FULL oracle — the scale path
+    * is gated as hard as the exact one. */
+  val dc2DecontaminateBloom: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Curation.decontaminateBloom(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0), n = 5)
+  }
+
   /** INC1 — incremental (new-batch-vs-corpus) dedup: the nightly-ingest
     * admission list. Incoming = doc_id % 10 == 7; everything else is the
     * standing corpus. Admit digests unseen in the corpus, first-in-batch
@@ -2272,6 +2286,39 @@ object Queries {
       |       true AS pairs_within_tol,
       |       true AS alltime_within_tol
       |FROM y a JOIN y b ON b.yr = a.yr + 1""".stripMargin
+
+  /** CMS1 — mergeable Count-Min frequency rollup
+    * ([[graft.operators.Sketches.cmsFrequencyRollup]]): per-day sketches of
+    * the event user stream, MERGED (counter tables, not data) to one
+    * all-time sketch, probed for the exact top-20 users. Gate: every
+    * estimate ≥ its exact count (a hard CMS guarantee — collisions only
+    * add) and ≤ exact + 5ε·N (per sketch row P[excess > 5εN] ≤ (5e)⁻¹ by
+    * Markov, so over depth 5 the failure odds are ~(5e)⁻⁵ ≈ 2·10⁻⁶ per
+    * probe; the fixed seed makes the whole gate replay-deterministic).
+    * The oracle replays the gate's exact side: probe count + both flags. */
+  val cms1FreqRollup: Q = (s, d) => {
+    val eps = 1e-4
+    val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("user_id"))
+    val merged = graft.operators.Sketches.cmsFrequencyRollup(
+      ev, col("day"), lit("all"), col("user_id"),
+      eps = eps, confidence = 0.99, seed = 17)
+    val exactTop = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id").asc).limit(20)
+    exactTop
+      .crossJoin(broadcast(merged.select(col("sk"))))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("total_n"))))
+      .select(col("exact_n"), col("total_n"),
+        graft.functions.cms_estimate(col("sk"), col("user_id")).as("est_n"))
+      .agg(count(lit(1)).as("n_probes"),
+        bool_and(col("est_n") >= col("exact_n")).as("never_undercounts"),
+        bool_and(col("est_n") <= col("exact_n") +
+          ceil(lit(5.0 * eps) * col("total_n"))).as("within_tol"))
+  }
+
+  val cms1FreqRollupSql: String =
+    """SELECT CAST(least(20, count(DISTINCT user_id)) AS BIGINT) AS n_probes,
+      |       true AS never_undercounts, true AS within_tol
+      |FROM events""".stripMargin
 
   // ─────────────────── analytics breadth (round-1 extras) ────────────────
 
@@ -3519,6 +3566,16 @@ object Queries {
     graft.streaming.EventStream.retentionGrid(
       graft.streaming.EventStream.runRetentionOverFixture(s, d))
 
+  /** ST10 — streaming rolling 7-day active users, the stateful twin of
+    * roll1: explode-to-window-days → watermark-bounded streaming dedup →
+    * append-mode window count, two chained stateful operators whose
+    * watermark delay equals the window span (an event still contributes to
+    * the window starting 6 days later, so windows may only finalize once
+    * the lookback is provably complete). Time-split multi-batch replay +
+    * far-future sentinel flush; exact parity with roll1 (same oracle). */
+  val st10StreamRolling: Q = (s, d) =>
+    graft.streaming.EventStream.runRollingActiveOverFixture(s, d)
+
   /** CARD1 — the dataset datasheet in one row: corpus size, token mass,
     * exact dup rate, mean quality, and the Shannon entropy of the
     * language mix — the summary a curation run publishes next to the
@@ -3855,6 +3912,7 @@ object Queries {
     "q11_important_shares" -> q11ImportantShares,
     "prep1_corpus_prep" -> prep1CorpusPrep,
     "dc1_decontaminate" -> dc1Decontaminate,
+    "dc2_decontaminate_bloom" -> dc2DecontaminateBloom,
     "inc1_incremental_dedup" -> inc1IncrementalDedup,
     "hh1_heavy_hitters" -> hh1HeavyHitters,
     "hh2_mg_sketch" -> hh2MgSketch,
@@ -3869,6 +3927,7 @@ object Queries {
     "hll1_sketch_rollup" -> hll1SketchRollup,
     "kll1_quantile_rollup" -> kll1QuantileRollup,
     "theta1_set_overlap" -> theta1SetOverlap,
+    "cms1_freq_rollup" -> cms1FreqRollup,
     "g3_grouping_sets" -> g3GroupingSets,
     "tok1_vocab_encode" -> tok1VocabEncode,
     "s2_dynamic_prune" -> s2DynamicPrune,
@@ -3922,6 +3981,7 @@ object Queries {
     "hist2_equidepth" -> hist2Equidepth,
     "st8_stream_pattern" -> st8StreamPattern,
     "st9_stream_retention" -> st9StreamRetention,
+    "st10_stream_rolling" -> st10StreamRolling,
     "card1_dataset_card" -> card1DatasetCard,
     "cur1_filter_waterfall" -> cur1Waterfall,
     "w8_range_frame" -> w8RangeFrame,
@@ -4016,6 +4076,7 @@ object Queries {
     "q11_important_shares" -> q11ImportantSharesSql,
     "prep1_corpus_prep" -> prep1CorpusPrepSql,
     "dc1_decontaminate" -> dc1DecontaminateSql,
+    "dc2_decontaminate_bloom" -> dc1DecontaminateSql, // bloom prefilter is exact: same oracle
     "inc1_incremental_dedup" -> inc1IncrementalDedupSql,
     "hh1_heavy_hitters" -> hh1HeavyHittersSql,
     "hh2_mg_sketch" -> hh2MgSketchSql,
@@ -4030,6 +4091,7 @@ object Queries {
     "hll1_sketch_rollup" -> hll1SketchRollupSql,
     "kll1_quantile_rollup" -> kll1QuantileRollupSql,
     "theta1_set_overlap" -> theta1SetOverlapSql,
+    "cms1_freq_rollup" -> cms1FreqRollupSql,
     "g3_grouping_sets" -> g3GroupingSetsSql,
     "tok1_vocab_encode" -> tok1VocabEncodeSql,
     "s2_dynamic_prune" -> s2DynamicPruneSql,
@@ -4081,6 +4143,7 @@ object Queries {
     "hist2_equidepth" -> hist2EquidepthSql,
     "st8_stream_pattern" -> pat1SequenceMatchSql, // stream/batch parity: same oracle
     "st9_stream_retention" -> ret1RetentionSql, // stream/batch parity: same oracle
+    "st10_stream_rolling" -> roll1RollingSql, // stream/batch parity: same oracle
     "card1_dataset_card" -> card1DatasetCardSql,
     "cur1_filter_waterfall" -> cur1WaterfallSql,
     "w8_range_frame" -> w8RangeFrameSql,
@@ -4136,7 +4199,7 @@ object Queries {
     "mix1_source_mix", "pk1_sequence_pack", "d8_keep_best",
     "diff1_snapshot_diff", "t11_length_outliers", "hll1_sketch_rollup",
     "tok1_vocab_encode", "g3_grouping_sets", "funnel1_conversion", "kll1_quantile_rollup",
-    "theta1_set_overlap",
+    "theta1_set_overlap", "cms1_freq_rollup", "dc2_decontaminate_bloom",
     "emb3_random_projection", "dq1_integrity_audit",
     "ret1_retention", "ts1_gap_fill", "anom1_daily_zscore", "hist1_equiwidth",
     "corr1_profile", "smp3_stratified_cap", "pmi1_collocations", "lm1_surprisal",

@@ -94,6 +94,35 @@ package object functions {
     s"floor(($expr) * $p + 0.5) / $p"
   }
 
+  /** Union of serialized Count-Min sketch blobs — the frequency-rollup step
+    * Spark's native `count_min_sketch` build aggregate lacks
+    * ([[CmsMergeAgg]]). */
+  def cms_merge_agg(c: Column): Column =
+    Bridge.column(CmsMergeAgg(Bridge.expression(c)).toAggregateExpression())
+
+  /** Frequency estimate of `item` (long or string) from a serialized
+    * Count-Min sketch ([[CmsEstimate]]). */
+  def cms_estimate(sketch: Column, item: Column): Column =
+    Bridge.column(CmsEstimate(Bridge.expression(sketch), Bridge.expression(item)))
+
+  /** Distributed Bloom-filter build over a LONG column (Spark registers the
+    * `BloomFilterAggregate` expression for its own runtime row-filtering;
+    * this exposes it with explicit sizing — `numBits/estimatedItems` ≈ 8
+    * gives ~2% false positives, which a downstream exact confirm absorbs). */
+  def bloom_filter_agg(c: Column, estimatedItems: Long, numBits: Long): Column =
+    Bridge.column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(Bridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Membership probe of a LONG column against a serialized Bloom filter
+    * passed as a literal (the expression requires a foldable filter — the
+    * same contract Spark's own injected runtime filters obey). */
+  def might_contain(bloom: Column, v: Column): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(Bridge.expression(bloom), Bridge.expression(v)))
+
   /** Exact-decimal sum of a double column: each value is rounded to `scale`
     * decimals as a decimal(18,scale), summed exactly, and returned as double.
     * Sum order then cannot perturb low bits, so results are reproducible

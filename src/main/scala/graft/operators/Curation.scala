@@ -49,6 +49,43 @@ object Curation {
           .as("hit_ratio"))
   }
 
+  /** [[decontaminate]] with a Bloom-filter pre-pass — the shape for when the
+    * benchmark/eval set is too big to broadcast EXACTLY but its membership
+    * fits a fixed-size filter. The filter is built distributed over the
+    * benchmark shingle hashes (`BloomFilterAggregate` — Spark's own
+    * runtime-row-filter machinery), collected as ONE blob (`numBits/8`
+    * bytes — codebook-sized metadata, like a centroid table), and probed
+    * in-scan on the corpus side, so the shuffle into the confirm join
+    * carries only the ~hit-rate fraction of corpus shingles instead of all
+    * of them. Bloom filters have NO false negatives and the confirm join
+    * removes the ~2% false positives, so the result is bit-identical to
+    * [[decontaminate]] — same oracle, not a weaker gate. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                         estShingles: Long = 1000000L): DataFrame = {
+    val sh = array_distinct(graft.functions.shingle_hashes(col("text"), n))
+    val benchSh = benchmark.select(col("doc_id").as("bench_id"), explode(sh).as("sg"))
+    val corpusSh = corpus.select(col("doc_id"), explode(sh).as("sg"))
+    val perDoc = corpus
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), size(sh).cast("long").as("n_shingles"))
+    val bloomBytes = benchSh
+      .agg(graft.functions.bloom_filter_agg(col("sg"), estShingles,
+        estShingles * 8L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val candidates =
+      if (bloomBytes == null) corpusSh.limit(0) // empty benchmark: no filter, no hits
+      else corpusSh.filter(graft.functions.might_contain(lit(bloomBytes), col("sg")))
+    candidates.join(benchSh, "sg")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sg")).as("n_hit_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), col("n_hit_shingles"), col("n_bench_docs"),
+        graft.functions.portableRound(
+          col("n_hit_shingles").cast("double") / col("n_shingles"), 4)
+          .as("hit_ratio"))
+  }
+
   /** Incremental dedup: admit only incoming documents whose content
     * digest is (a) unseen in the existing corpus and (b) first within the
     * incoming batch (lowest doc_id per digest). This is the nightly-ingest

@@ -31,6 +31,28 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
         .as("approx_distinct"))
 
+  /** Frequency rollup via mergeable Count-Min sketches — the per-item-count
+    * twin of [[hllDistinctRollup]]: one `depth×width` counter table per fine
+    * group (Spark's native `count_min_sketch` aggregate — codegen-planned,
+    * map-side partial merge), then ONE merged sketch per coarse grain via
+    * [[graft.functions.CmsMergeAgg]] (counter tables add cell-wise; merge is
+    * exact). Returns (coarse, sk) — probe it with
+    * [[graft.functions.cms_estimate]] for any item, no fact rescans.
+    *
+    * Sizing: width ⌈e/ε⌉, depth ⌈ln(1/δ)⌉; estimate ≥ truth always, and
+    * ≤ truth + ε·N with prob ≥ 1−δ. At ε=10⁻⁴/δ=0.01 a sketch is ~1 MB —
+    * per GROUP, regardless of N: the 100 TB story is that a month→all-time
+    * frequency dashboard merges |days| megabyte blobs instead of re-counting
+    * 10¹² rows. The seed is explicit: merge REQUIRES equal seeds, and a
+    * deterministic seed makes estimates replayable for the oracle gate. */
+  def cmsFrequencyRollup(df: DataFrame, fine: Column, coarse: Column,
+                         value: Column, eps: Double, confidence: Double,
+                         seed: Int): DataFrame =
+    df.groupBy(coarse.as("coarse"), fine.as("fine"))
+      .agg(count_min_sketch(value, lit(eps), lit(confidence), lit(seed)).as("sk"))
+      .groupBy(col("coarse"))
+      .agg(graft.functions.cms_merge_agg(col("sk")).as("sk"))
+
   /** Quantile rollup via mergeable KLL sketches — the percentile twin of
     * [[hllDistinctRollup]], on Spark 4's native DataSketches KLL binding
     * (`kll_sketch_agg_double` / `kll_merge_agg_double` /

@@ -239,6 +239,87 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming rolling `days`-day distinct active users — the stateful twin
+    * of [[graft.operators.Analytics.rollingActiveUsers]] (the WAU curve as
+    * a continuous computation). Two chained stateful operators, both
+    * watermark-bounded:
+    *
+    *   1. each event explodes into the `days` window-start dates it keeps
+    *      active, and `dropDuplicates(user, w_day)` reduces that stream to
+    *      first-touch-per-(user, window) — state is one entry per live
+    *      (user, window) pair, evicted as the watermark passes;
+    *   2. an append-mode 1-day-window count over the deduped pairs equals
+    *      the batch `count_distinct(user)` exactly (duplicates are gone).
+    *
+    * The watermark delay must be ≥ the window span: an event on day d still
+    * contributes to the window starting d+(days−1), so a window may only
+    * finalize once the watermark proves no event in its lookback can still
+    * arrive — delay < span would drop cross-batch contributions (undercount),
+    * which the exact-parity oracle would catch.
+    *
+    * Replay: three TIME-RANGE batches (st9's shape, so dedup state really
+    * carries across micro-batches) + a far-future sentinel batch (user −1,
+    * filtered after the watermark node) that flushes the tail windows. */
+  def runRollingActiveOverFixture(spark: SparkSession, sfDir: String,
+                                  days: Int = 7): DataFrame = {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-stream-roll")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val b = raw.agg(min(col("ts")), max(col("ts"))).head
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    val span = (t1 - t0) / 3 + 1
+    for (i <- 0 until 3)
+      raw.filter(col("ts") >= t0 + i * span && col("ts") < t0 + (i + 1) * span)
+        .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
+    val farNanos = t1 + 400L * 86400L * 1000000000L
+    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
+    val now = System.currentTimeMillis()
+    for ((sub, i) <- Seq("b0", "b1", "b2", "b3_sentinel").zipWithIndex)
+      Files.walk(srcDir.resolve(sub)).forEach { f =>
+        if (Files.isRegularFile(f))
+          Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
+      }
+    val dmax = raw.select(to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+      .agg(max(col("d"))).head.getDate(0)
+    // the sentinel must FLOW THROUGH the stateful operators — a pre-watermark
+    // filter on the event-time column would remove it before the watermark
+    // node ever observes it and the tail windows would never finalize
+    // (observed: the last `delay − span + 1` days went missing). Sentinel
+    // windows and past-the-data-end partials are trimmed on the RESULT,
+    // st9-style, where they can no longer affect watermark arithmetic.
+    val deduped = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("w_day_ts", explode(sequence(
+        date_trunc("DAY", col("ts")),
+        date_trunc("DAY", col("ts")) + expr(s"INTERVAL ${days - 1} DAYS"),
+        expr("INTERVAL 1 DAY"))))
+      .withWatermark("w_day_ts", s"$days days")
+      .select(col("user_id"), col("w_day_ts"))
+      .dropDuplicates("user_id", "w_day_ts")
+    val counts = deduped
+      .groupBy(window(col("w_day_ts"), "1 day"))
+      .agg(count(lit(1)).as("n_active"),
+        max(col("user_id")).as("max_user"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("max_user"))
+    val queryName = scopedQueryName("graft_stream_roll")
+    val q = counts.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    // trim: sentinel-only windows (max_user < 0) and partial windows past
+    // the data end — the batch operator excludes both by construction
+    spark.table(queryName)
+      .filter(col("day") <= lit(dmax.toString) && col("max_user") >= 0)
+      .select(col("day"), col("n_active"))
+  }
+
   /** The retention grid from the emitted cells (cells are exactly-once per
     * (user, cohort, offset), so a plain count equals the batch grid's
     * count_distinct) — split out so specs can also look at the raw cells. */

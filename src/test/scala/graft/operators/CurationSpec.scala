@@ -24,6 +24,24 @@ class CurationSpec extends SparkTestBase {
     assert(got(3L) == (1L, 1L))
   }
 
+  test("decontaminateBloom is bit-identical to the exact decontaminate") {
+    // the bloom pre-pass may only PRUNE (no false negatives) and the
+    // confirm join removes its false positives — same rows, same counts
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val bench = docs.filter($"doc_id" % 7 === 0)
+    assertSameRows(
+      Curation.decontaminateBloom(corpus, bench, n = 5),
+      Curation.decontaminate(corpus, bench, n = 5))
+  }
+
+  test("decontaminateBloom on an empty benchmark finds nothing") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Curation.decontaminateBloom(
+      docs, docs.filter($"doc_id" < 0), n = 5)
+    assert(got.count() == 0L)
+  }
+
   test("keepBest elects the highest-quality cluster member, not the min id") {
     // doc 2 is all stopwords (stop_ratio 1 → quality beats doc 1's 0);
     // cluster {3,4}: doc 3 wins on quality; doc_id tiebreak never fires

@@ -67,6 +67,17 @@ class EventStreamSpec extends SparkTestBase {
     assert(evictions == users, s"evictions $evictions != users $users")
   }
 
+  test("streaming rolling active users equals the batch WAU curve") {
+    import org.apache.spark.sql.functions._
+    // chained dedup → window-count across a time-split multi-batch replay:
+    // exact parity proves the watermark delay (= window span) loses no
+    // cross-batch contribution and the dedup emits each (user, day) once
+    val streamed = EventStream.runRollingActiveOverFixture(spark, sf0001)
+    val batch = graft.operators.Analytics.rollingActiveUsers(Tables.events(spark, sf0001))
+    assertSameRows(batch, streamed)
+    assert(streamed.count() > 0)
+  }
+
   test("streaming retention runs unchanged on the RocksDB state store") {
     // the 100 TB configuration: per-user retention state off-heap — the
     // RetState encoder (ints + Seq[Int]) must round-trip RocksDB too
