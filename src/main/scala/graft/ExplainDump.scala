@@ -26,8 +26,15 @@ object ExplainDump {
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val adaptive = df.queryExecution.executedPlan.toString
-      Files.writeString(outDir.resolve(s"$name.txt"),
-        s"== explain(formatted), $sfDir ==\n$formatted\n== executed (AQE final) ==\n$adaptive\n")
+      // giant inline literals (e.g. a serialized Bloom filter rendered as
+      // hex) would bloat a dump to MBs without adding plan information —
+      // elide anything a reader wouldn't scan anyway
+      val elided = s"== explain(formatted), $sfDir ==\n$formatted\n== executed (AQE final) ==\n$adaptive\n"
+        .linesIterator.map { l =>
+          if (l.length <= 800) l
+          else l.take(800) + s"… [${l.length - 800} chars elided]"
+        }.mkString("\n")
+      Files.writeString(outDir.resolve(s"$name.txt"), elided)
       println(s"PLAN $name written")
     }
     spark.stop()

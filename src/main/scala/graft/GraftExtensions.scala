@@ -52,5 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("quantize_int8"),
       info("quantize_int8", "quantize_int8(vec) - symmetric max-abs/127 int8 quantization"),
       (args: Seq[Expression]) => QuantizeInt8(args(0))))
+    e.injectFunction((FunctionIdentifier("cms_merge_agg"),
+      info("cms_merge_agg",
+        "cms_merge_agg(sketch) - union of serialized Count-Min sketch blobs"),
+      (args: Seq[Expression]) =>
+        graft.functions.CmsMergeAgg(args(0)).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("cms_estimate"),
+      info("cms_estimate",
+        "cms_estimate(sketch, item) - frequency estimate of item from a Count-Min sketch"),
+      (args: Seq[Expression]) => graft.functions.CmsEstimate(args(0), args(1))))
   }
 }

@@ -3031,6 +3031,27 @@ object Queries {
       |  FROM documents) t
       |WHERE rn <= 120""".stripMargin
 
+  /** SMP4 — deterministic WEIGHTED sample without replacement (exactly 200
+    * docs, inclusion odds ∝ n_chars+1): the Efraimidis–Spirakis
+    * exponential race on md5-derived uniforms
+    * ([[graft.operators.Sampling.weightedSample]]). The race key's one
+    * libm call is grid-rounded before an IEEE-exact division, so the
+    * DuckDB oracle replays the identical draw row-for-row — a weighted
+    * sampler whose output is engine-portable, not merely "statistically
+    * equivalent". */
+  val smp4WeightedSample: Q = (s, d) =>
+    graft.operators.Sampling.weightedSample(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+      col("doc_id"), col("n_chars") + lit(1L), 200)
+
+  val smp4WeightedSampleSql: String =
+    """WITH r AS (SELECT doc_id, n_chars,
+      |  floor(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
+      |            / 281474976710656.0) * 100000000 + 0.5) / 100000000
+      |    / CAST(n_chars + 1 AS DOUBLE) AS race
+      |  FROM documents)
+      |SELECT doc_id, n_chars FROM r ORDER BY race, doc_id LIMIT 200""".stripMargin
+
   /** UNP1 — unpivot/melt: the wide per-flag aggregate turned into long
     * (flag, measure, value) form via Dataset.unpivot — the inverse of w4's
     * pivot, and like it a zero-shuffle reshape of an aggregated frame. */
@@ -3243,6 +3264,36 @@ object Queries {
       |SELECT strftime(w_day, '%Y-%m-%d') AS day,
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
       |FROM e CROSS JOIN mx WHERE w_day <= dmax GROUP BY 1""".stripMargin
+
+  /** ROLL2 — roll1's 100 TB twin made real: per-day HLL sketches of the
+    * active users, and each rolling window is a MERGE of its trailing 7
+    * blobs ([[graft.operators.Analytics.rollingActiveUsersApprox]]) — the
+    * raw events are scanned once, and every window after that is |days|×KB
+    * sketch unions instead of a re-deduplicated (user, day) explosion.
+    * Gate: every day's estimate within 5% of roll1's exact count (HLL
+    * lgK=12 ⇒ σ≈1.6%), plus day-set equality with the exact form. */
+  val roll2RollingApprox: Q = (s, d) => {
+    val approx = graft.operators.Analytics.rollingActiveUsersApprox(
+      Tables.events(s, d))
+    val exact = graft.operators.Analytics.rollingActiveUsers(Tables.events(s, d))
+      .withColumnRenamed("n_active", "exact_n")
+    approx.join(exact, Seq("day"), "full_outer")
+      .agg(count(lit(1)).as("n_days"),
+        bool_and(col("approx_active").isNotNull && col("exact_n").isNotNull)
+          .as("same_days"),
+        bool_and(abs(col("approx_active") - col("exact_n")).cast("double")
+          / col("exact_n") <= 0.05).as("within_tol"))
+  }
+
+  val roll2RollingApproxSql: String =
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |mx AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
+      |e AS (SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+      |             CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS w_day
+      |      FROM ud)
+      |SELECT CAST(count(DISTINCT w_day) AS BIGINT) AS n_days,
+      |       true AS same_days, true AS within_tol
+      |FROM e CROSS JOIN mx WHERE w_day <= dmax""".stripMargin
 
   /** SEG1 — RFM segmentation with percentile-fence quartile scores
     * ([[graft.operators.Analytics.rfmSegments]]). */
@@ -3575,6 +3626,38 @@ object Queries {
     * far-future sentinel flush; exact parity with roll1 (same oracle). */
   val st10StreamRolling: Q = (s, d) =>
     graft.streaming.EventStream.runRollingActiveOverFixture(s, d)
+
+  /** ST11 — streaming SKETCH PRODUCTION: each day's window finalizes into
+    * a mergeable HLL blob of its distinct users
+    * ([[graft.streaming.EventStream.runDailySketchOverFixture]]) — the
+    * stream feeds hll1's merge-don't-rescan economics continuously.
+    * Gate at two grains: every streamed daily estimate within 5% of the
+    * exact daily distinct, and the all-time estimate from MERGING the
+    * streamed blobs (never re-reading events) within 5% of the exact
+    * all-time distinct. */
+  val st11StreamSketch: Q = (s, d) => {
+    val daily = graft.streaming.EventStream.runDailySketchOverFixture(s, d)
+    val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("user_id"))
+    val exact = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("exact_users"))
+    val dayGate = daily.join(exact, "day")
+      .agg(count(lit(1)).as("n_days"),
+        bool_and(abs(col("approx_users") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.05).as("daily_within_tol"))
+    val rollup = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_total"))
+    val exactTotal = ev.agg(countDistinct(col("user_id")).as("exact_total"))
+    dayGate.crossJoin(rollup).crossJoin(exactTotal)
+      .select(col("n_days"), col("daily_within_tol"),
+        (abs(col("approx_total") - col("exact_total")).cast("double")
+          / col("exact_total") <= 0.05).as("rollup_within_tol"))
+  }
+
+  val st11StreamSketchSql: String =
+    """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |       true AS daily_within_tol, true AS rollup_within_tol
+      |FROM events""".stripMargin
 
   /** CARD1 — the dataset datasheet in one row: corpus size, token mass,
     * exact dup rate, mean quality, and the Shannon entropy of the
@@ -3958,6 +4041,7 @@ object Queries {
     "hist1_equiwidth" -> hist1Histogram,
     "corr1_profile" -> corr1Profile,
     "smp3_stratified_cap" -> smp3StratifiedCap,
+    "smp4_weighted_sample" -> smp4WeightedSample,
     "unp1_unpivot" -> unp1Unpivot,
     "pmi1_collocations" -> pmi1Collocations,
     "lm1_surprisal" -> lm1Surprisal,
@@ -3966,6 +4050,7 @@ object Queries {
     "exp1_ab_test" -> exp1AbTest,
     "pr1_pagerank" -> pr1Pagerank,
     "roll1_rolling_active" -> roll1Rolling,
+    "roll2_rolling_approx" -> roll2RollingApprox,
     "seg1_rfm" -> seg1Rfm,
     "u6_except_all" -> u6ExceptAll,
     "u7_intersect_all" -> u7IntersectAll,
@@ -3982,6 +4067,7 @@ object Queries {
     "st8_stream_pattern" -> st8StreamPattern,
     "st9_stream_retention" -> st9StreamRetention,
     "st10_stream_rolling" -> st10StreamRolling,
+    "st11_stream_sketch" -> st11StreamSketch,
     "card1_dataset_card" -> card1DatasetCard,
     "cur1_filter_waterfall" -> cur1Waterfall,
     "w8_range_frame" -> w8RangeFrame,
@@ -4120,6 +4206,7 @@ object Queries {
     "hist1_equiwidth" -> hist1HistogramSql,
     "corr1_profile" -> corr1ProfileSql,
     "smp3_stratified_cap" -> smp3StratifiedCapSql,
+    "smp4_weighted_sample" -> smp4WeightedSampleSql,
     "unp1_unpivot" -> unp1UnpivotSql,
     "pmi1_collocations" -> pmi1CollocationsSql,
     "lm1_surprisal" -> lm1SurprisalSql,
@@ -4128,6 +4215,7 @@ object Queries {
     "exp1_ab_test" -> exp1AbTestSql,
     "pr1_pagerank" -> pr1PagerankSql,
     "roll1_rolling_active" -> roll1RollingSql,
+    "roll2_rolling_approx" -> roll2RollingApproxSql,
     "seg1_rfm" -> seg1RfmSql,
     "u6_except_all" -> u6ExceptAllSql,
     "u7_intersect_all" -> u7IntersectAllSql,
@@ -4144,6 +4232,7 @@ object Queries {
     "st8_stream_pattern" -> pat1SequenceMatchSql, // stream/batch parity: same oracle
     "st9_stream_retention" -> ret1RetentionSql, // stream/batch parity: same oracle
     "st10_stream_rolling" -> roll1RollingSql, // stream/batch parity: same oracle
+    "st11_stream_sketch" -> st11StreamSketchSql,
     "card1_dataset_card" -> card1DatasetCardSql,
     "cur1_filter_waterfall" -> cur1WaterfallSql,
     "w8_range_frame" -> w8RangeFrameSql,
@@ -4202,9 +4291,9 @@ object Queries {
     "theta1_set_overlap", "cms1_freq_rollup", "dc2_decontaminate_bloom",
     "emb3_random_projection", "dq1_integrity_audit",
     "ret1_retention", "ts1_gap_fill", "anom1_daily_zscore", "hist1_equiwidth",
-    "corr1_profile", "smp3_stratified_cap", "pmi1_collocations", "lm1_surprisal",
+    "corr1_profile", "smp3_stratified_cap", "smp4_weighted_sample", "pmi1_collocations", "lm1_surprisal",
     "path1_transitions", "nu1_new_users", "exp1_ab_test", "pr1_pagerank",
-    "roll1_rolling_active", "seg1_rfm", "mm3_audio_decode", "asof2_windowed",
+    "roll1_rolling_active", "roll2_rolling_approx", "seg1_rfm", "mm3_audio_decode", "asof2_windowed",
     "cdc2_apply_deletes", "pca1_power_iteration", "d9_semantic_dedup",
     "mix2_target_mix", "pat1_sequence_match", "tri1_triangles",
     "card1_dataset_card", "cur1_filter_waterfall",

@@ -313,6 +313,33 @@ object Analytics {
       .select(date_format(col("w_day"), "yyyy-MM-dd").as("day"), col("n_active"))
   }
 
+  /** [[rollingActiveUsers]]'s sketch form — the shape that survives 100 TB:
+    * ONE pass builds a fixed-size HLL blob per (day), and each rolling
+    * window is a union of its trailing `days` blobs (KB-sized merges over
+    * the |days|-row daily frame), so window width changes the number of
+    * blob merges, never the data touched. The exact form re-deduplicates a
+    * (user, day)×window explosion — id-width rows, but still |events'|×7
+    * shuffle mass; here the post-scan mass is |days|×~1.5 KB. Estimates
+    * carry HLL's σ≈1.04/√2^lgK (~1.6% at lgK=12), gated by roll2 against
+    * the exact twin. */
+  def rollingActiveUsersApprox(events: DataFrame, days: Int = 7,
+                               lgK: Int = 12): DataFrame = {
+    require(days >= 1, s"days must be >= 1: $days")
+    val daily = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+    val bounds = daily.agg(max(col("day")).as("dmax"))
+    daily.select(col("sk"),
+        explode(sequence(col("day"), date_add(col("day"), days - 1))).as("w_day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("w_day") <= col("dmax"))
+      .groupBy(col("w_day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("approx_active"))
+      .select(date_format(col("w_day"), "yyyy-MM-dd").as("day"),
+        col("approx_active"))
+  }
+
   /** RFM (recency / frequency / monetary) customer segmentation with
     * quartile scores from PERCENTILE FENCES, not a global ntile: the three
     * exact quartile boundaries come from one 1-row aggregate (broadcast

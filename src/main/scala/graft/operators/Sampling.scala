@@ -125,4 +125,34 @@ object Sampling {
       Seq(stratumCol), Seq(("_h", true), (keyCol, true)), cap)
       .drop("_h")
   }
+
+  /** Deterministic weighted sample WITHOUT replacement of exactly `k` rows
+    * (Efraimidis–Spirakis exponential race): each row draws an Exp(weight)
+    * race key from an md5-derived uniform — key = −ln(u)/w, the k smallest
+    * win — so inclusion odds are proportional to weight, and the whole
+    * draw is a pure function of the keys (stable across engines, runs,
+    * partition layouts; re-runs and the DuckDB oracle replay it
+    * bit-for-bit).
+    *
+    * Portability is engineered, not assumed: u comes from 48 exact md5
+    * bits (so the uniform is the same double everywhere), the single libm
+    * call (ln, correct to ~1 ulp but not bit-specified) is rounded to the
+    * 1e-8 grid BEFORE the IEEE-exact division by the weight, so two
+    * engines cannot disagree on rank order; ties (and u=0 → key=∞) break
+    * on the key column.
+    *
+    * Plan shape: one projection + TakeOrdered — per-partition k-heaps,
+    * only k rows leave each partition; no global sort, no RNG state. At
+    * 100 TB the race scans once and ships k·partitions candidates. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("long").cast("double") / 281474976710656.0 // 2^48, exact division
+    val race = graft.functions.portableRound(-log(u), 8) / weight.cast("double")
+    df.withColumn("_race", race)
+      .orderBy(col("_race").asc, key.asc)
+      .limit(k)
+      .drop("_race")
+  }
 }

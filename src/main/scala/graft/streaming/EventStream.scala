@@ -333,6 +333,58 @@ object EventStream {
         col("week_offset").cast("long").as("week_offset"),
         col("n_active"))
 
+  /** Streaming SKETCH PRODUCTION — each day's window finalizes into a
+    * mergeable HLL sketch blob of its distinct users (plus the estimate),
+    * the lambda-architecture-free shape: the stream writes fixed-size
+    * daily blobs, and any later rollup (dashboard, backfill, month/year
+    * grain) MERGES blobs instead of replaying the stream — hll1's
+    * one-data-pass economics, fed continuously.
+    *
+    * HLL register state is order-insensitive (max of hashes), so the
+    * streamed estimates equal a batch build over the same days exactly —
+    * the spec pins that, and the driver gate compares against exact
+    * distinct counts. Far-future sentinel (user −1) flushes the last open
+    * window; its own far-future cell is trimmed on the result, st9-style. */
+  def runDailySketchOverFixture(spark: SparkSession, sfDir: String,
+                                lgK: Int = 12): DataFrame = {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-stream-sketch")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(srcDir.resolve("events.parquet").toString)
+    val maxNanos = raw.agg(max(col("ts"))).head.getLong(0)
+    val farNanos = maxNanos + 400L * 86400L * 1000000000L
+    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(srcDir.toString + "/sentinel")
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(srcDir.resolve("events.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(now - 60000L))
+    Files.walk(Paths.get(srcDir.toString + "/sentinel")).forEach { f =>
+      if (Files.isRegularFile(f))
+        Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(now))
+    }
+    val dmax = raw.select(to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+      .agg(max(col("d"))).head.getDate(0)
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("sk"), hll_sketch_estimate(col("sk")).as("approx_users"))
+    val queryName = scopedQueryName("graft_stream_sketch")
+    val q = stream.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    spark.table(queryName).filter(col("day") <= lit(dmax.toString))
+  }
+
   /** Stream-STATIC join: every streaming micro-batch broadcast-joins the
     * static dimension (re-read per batch by Spark if the source supports
     * it; no state, no watermark needed — the static side never late-

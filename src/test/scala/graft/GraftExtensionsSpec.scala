@@ -34,6 +34,18 @@ class GraftExtensionsSpec extends SparkTestBase {
       assert(r2.getLong(2) == ('a' * 31 + 'b') % 1000000007L)
       assert(r2.getSeq[Double](3) == Seq(0.6, 0.8))
       assert(r2.getSeq[Int](4) == Seq(127, -63)) // floor(-63.5 + 0.5)
+      // CMS merge + estimate are SQL-reachable: two per-group sketches
+      // merged, the item count read back (5 ones + 3 twos, exact at this ε)
+      val r3 = s2.sql(
+        """SELECT cms_estimate(cms_merge_agg(sk), 1L) AS n1,
+          |       cms_estimate(cms_merge_agg(sk), 2L) AS n2
+          |FROM (SELECT g, count_min_sketch(v, CAST(0.001 AS DOUBLE),
+          |                                 CAST(0.99 AS DOUBLE), 7) AS sk
+          |      FROM VALUES (0, 1L), (0, 1L), (0, 2L), (1, 1L), (1, 1L),
+          |                  (1, 1L), (1, 2L), (1, 2L) AS t(g, v)
+          |      GROUP BY g)
+          |""".stripMargin).collect()(0)
+      assert(r3.getLong(0) == 5L && r3.getLong(1) == 3L)
     } finally {
       prev.foreach { p =>
         SparkSession.setActiveSession(p)

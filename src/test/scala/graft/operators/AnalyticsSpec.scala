@@ -232,6 +232,20 @@ class AnalyticsSpec extends SparkTestBase {
     assert(!got.contains("2024-01-10"), "windows past the data end are not emitted")
   }
 
+  test("rollingActiveUsersApprox: same day set, within HLL tolerance of exact") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.events(spark, sf0001)
+    val exact = Analytics.rollingActiveUsers(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Analytics.rollingActiveUsersApprox(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet, "day sets differ")
+    exact.foreach { case (day, ex) =>
+      assert(math.abs(approx(day) - ex).toDouble / ex <= 0.05,
+        s"$day: approx ${approx(day)} vs exact $ex")
+    }
+  }
+
   test("rfmSegments: scores stay in 1..4 and rank users consistently") {
     // heavy: recent, frequent, big spender; light: old, single small event
     val heavy = (0 until 8).map(i =>

@@ -80,6 +80,36 @@ class SamplingSpec extends SparkTestBase {
     assert(half.forall { case (k, v) => full(k) == v })
   }
 
+  test("weighted sample: exact k, deterministic, and weight-biased") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("n_chars"))
+    val k = 100
+    val a = Sampling.weightedSample(docs, col("doc_id"), col("n_chars") + lit(1L), k)
+    assert(a.count() == k)
+    // pure function of the keys: a repartitioned rerun draws the same rows
+    val b = Sampling.weightedSample(docs.repartition(13),
+      col("doc_id"), col("n_chars") + lit(1L), k)
+    assertSameRows(a, b)
+    // inclusion odds ∝ weight: the sampled mean n_chars must exceed the
+    // corpus mean by a clear margin (chance ~2^-k for an unbiased draw)
+    val sampleMean = a.agg(avg(col("n_chars"))).head.getDouble(0)
+    val corpusMean = docs.agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("weighted sample: a heavily-weighted row dominates inclusion") {
+    import spark.implicits._
+    // one row carries ~10^6× the weight mass of any other: the race key
+    // −ln(u)/w makes its key ~10^6× smaller than a typical peer's, so it
+    // must be drawn into any k ≥ 2 sample
+    val rows = (1L to 500L).map(i => (i, if (i == 137L) 1000000L else 1L))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(rows, col("id"), col("w"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(137L))
+  }
+
   test("stratified rates: each subgroup converges to the global fraction") {
     val orders = Tables.orders(spark, sf0001)
     val rates = Sampling.deterministicSample(orders, col("o_orderkey"), 0.2)

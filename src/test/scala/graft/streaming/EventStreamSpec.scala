@@ -78,6 +78,27 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamed.count() > 0)
   }
 
+  test("streaming daily HLL sketches equal a batch build, and their blobs merge") {
+    import org.apache.spark.sql.functions._
+    // HLL register state is order-insensitive, so per-day estimates from
+    // the replay must EQUAL a batch sketch over the same data — and the
+    // all-time rollup must come from merging the streamed blobs alone
+    val daily = EventStream.runDailySketchOverFixture(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val batch = ev.groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("approx_users"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("approx_users"))
+    assertSameRows(daily.select(col("day"), col("approx_users")), batch)
+    val merged = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))))
+      .head.getLong(0)
+    val exactTotal = ev.select(col("user_id")).distinct().count()
+    assert(math.abs(merged - exactTotal).toDouble / exactTotal <= 0.05,
+      s"rollup estimate $merged vs exact $exactTotal")
+  }
+
   test("streaming retention runs unchanged on the RocksDB state store") {
     // the 100 TB configuration: per-user retention state off-heap — the
     // RetState encoder (ints + Seq[Int]) must round-trip RocksDB too
