@@ -1432,6 +1432,34 @@ object Queries {
       |JOIN sz nb ON nb.doc_id = b_id
       |WHERE floor((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)) * 10000 + 0.5) / 10000 > 0""".stripMargin
 
+  /** OVL1 — the cross-source contamination matrix
+    * ([[graft.operators.Dedup.sourceOverlap]]): for every source pair, the
+    * Jaccard overlap and per-side containment of their distinct 5-gram
+    * shingle sets. The inverted-index join is keyed on 8-byte shingle
+    * hashes and its output is bounded by C(|sources|, 2) — source
+    * cardinality is a dimension, so the audit is tiny at any corpus
+    * size. */
+  val ovl1SourceOverlap: Q = (s, d) =>
+    graft.operators.Dedup.sourceOverlap(Tables.documents(s, d))
+
+  val ovl1SourceOverlapSql: String =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT source,
+      |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+      |                 FOR i IN RANGE(1, len(t) - 3)]) AS sg
+      |       FROM toks WHERE len(t) >= 5),
+      |sz AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+      |pr AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
+      |       GROUP BY 1, 2)
+      |SELECT source_a, source_b, inter,
+      |       floor((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)) * 10000 + 0.5) / 10000 AS jaccard,
+      |       floor((CAST(inter AS DOUBLE) / na.n_sh) * 10000 + 0.5) / 10000 AS containment_a,
+      |       floor((CAST(inter AS DOUBLE) / nb.n_sh) * 10000 + 0.5) / 10000 AS containment_b
+      |FROM pr
+      |JOIN sz na ON na.source = pr.source_a
+      |JOIN sz nb ON nb.source = pr.source_b""".stripMargin
+
   /** Embedding-cosine near-dup pairs (threshold tuned to fixture geometry).
     * Pinned EXPLICITLY to the exact brute path: the oracle is an exact
     * all-pairs scan, and the stats-adaptive [[Dedup.cosinePairs]] switch
@@ -3052,6 +3080,37 @@ object Queries {
       |  FROM documents)
       |SELECT doc_id, n_chars FROM r ORDER BY race, doc_id LIMIT 200""".stripMargin
 
+  /** MB1 — market-basket pair mining over order item sets
+    * ([[graft.operators.Analytics.marketBasketPairs]]): top co-occurring
+    * part pairs by lift with support ≥ 2 orders. Pairs are generated
+    * map-side from each order's sorted item array (bounded by basket size,
+    * not catalog size — no items×items self-join); support and lift are
+    * single IEEE divisions of decimal-exact integer products, so the full
+    * DuckDB oracle hash-matches. */
+  val mb1MarketBasket: Q = (s, d) =>
+    graft.operators.Analytics.marketBasketPairs(
+      Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"))
+      .withColumnRenamed("item_a", "part_a")
+      .withColumnRenamed("item_b", "part_b")
+
+  val mb1MarketBasketSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS bkey, l_partkey AS item
+      |               FROM lineitem),
+      |n AS (SELECT count(DISTINCT bkey) AS n_baskets FROM items),
+      |pc AS (SELECT item, count(*) AS cnt FROM items GROUP BY 1),
+      |pr AS (SELECT a.item AS part_a, b.item AS part_b, count(*) AS n_pair
+      |       FROM items a JOIN items b ON a.bkey = b.bkey AND a.item < b.item
+      |       GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT part_a, part_b, n_pair,
+      |       CAST(n_pair AS DOUBLE) / n_baskets AS support,
+      |       CAST(CAST(n_pair AS DECIMAL(19,0)) * CAST(n_baskets AS DECIMAL(19,0)) AS DOUBLE)
+      |         / CAST(CAST(ca.cnt AS DECIMAL(19,0)) * CAST(cb.cnt AS DECIMAL(19,0)) AS DOUBLE) AS lift
+      |FROM pr CROSS JOIN n
+      |JOIN pc ca ON pr.part_a = ca.item
+      |JOIN pc cb ON pr.part_b = cb.item
+      |ORDER BY lift DESC, part_a, part_b
+      |LIMIT 100""".stripMargin
+
   /** UNP1 — unpivot/melt: the wide per-flag aggregate turned into long
     * (flag, measure, value) form via Dataset.unpivot — the inverse of w4's
     * pivot, and like it a zero-shuffle reshape of an aggregated frame. */
@@ -3188,25 +3247,39 @@ object Queries {
     * (customer nation → supplier nation) weighted by order-line volume,
     * kept to each nation's top-5 counterparties on the native
     * top-k-per-key operator. */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+  private def tradeEdgeWeights(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
     val c = Tables.customer(s, d); val sup = Tables.supplier(s, d)
     val n = Tables.nation(s, d)
     val cn = n.select(col("n_nationkey").as("ck"), col("n_name").as("src"))
     val sn = n.select(col("n_nationkey").as("sk"), col("n_name").as("dst"))
-    val ew = l
+    l
       .join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(cn), c("c_nationkey") === cn("ck"))
       .join(broadcast(sn), sup("s_nationkey") === sn("sk"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-    graft.plans.TopKPerKey(ew, Seq("src"),
-      Seq(("w", false), ("dst", true)), 5).select("src", "dst")
   }
 
-  /** The matching DuckDB CTE prefix for [[tradeEdges]]. */
-  private val tradeEdgesCte: String =
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerKey(tradeEdgeWeights(s, d), Seq("src"),
+      Seq(("w", false), ("dst", true)), 5).select("src", "dst")
+
+  /** The HEAVY trade graph for kcore1: nation pairs whose line volume is
+    * ≥ 1.2× the mean edge weight. The threshold compare is
+    * cross-multiplied to exact integers (`w·ne·10 ≥ tw·12`) so both
+    * engines cut on identical longs, never a float boundary. */
+  private def heavyTradeEdges(s: SparkSession, d: String): DataFrame = {
+    val ew = tradeEdgeWeights(s, d)
+    val tot = ew.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
+    ew.crossJoin(broadcast(tot))
+      .filter(col("w") * col("ne") * 10 >= col("tw") * 12)
+      .select(col("src"), col("dst"))
+  }
+
+  /** The matching DuckDB CTE for [[tradeEdgeWeights]]. */
+  private val tradeEwCte: String =
     """ew AS (SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
       |       FROM lineitem l
       |       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3214,7 +3287,11 @@ object Queries {
       |       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |       JOIN nation cn ON c.c_nationkey = cn.n_nationkey
       |       JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-      |       GROUP BY 1, 2),
+      |       GROUP BY 1, 2)""".stripMargin
+
+  /** The matching DuckDB CTE prefix for [[tradeEdges]]. */
+  private val tradeEdgesCte: String =
+    s"""$tradeEwCte,
       |edges AS (SELECT src, dst FROM (
       |            SELECT src, dst, row_number() OVER (PARTITION BY src
       |                     ORDER BY w DESC, dst) AS rn
@@ -3579,6 +3656,43 @@ object Queries {
        |JOIN und e2 ON e1.b = e2.a
        |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
 
+  /** KCORE1 — k-core decomposition of the heavy trade graph
+    * ([[graft.operators.Graph.kCore]] over [[heavyTradeEdges]]):
+    * iteratively peel nodes whose surviving degree is < 5 until fixpoint;
+    * emit the core's nodes with their within-core degrees. The oracle
+    * replays the peel as 25 unrolled MATERIALIZED rounds (each
+    * non-trivial round removes ≥ 1 of the ≤ 25 nation nodes, so the
+    * fixpoint is provably inside the unroll and extra rounds are no-ops;
+    * MATERIALIZED because inlined CTEs would expand the round chain
+    * exponentially). */
+  val kcore1DenseCore: Q = (s, d) =>
+    graft.operators.Graph.kCore(heavyTradeEdges(s, d), 5)
+
+  val kcore1DenseCoreSql: String = {
+    val k = 5
+    val rounds = 25
+    val steps = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT node
+         |  FROM (SELECT node, count(*) AS deg
+         |        FROM (SELECT a AS node FROM e${i - 1} UNION ALL SELECT b AS node FROM e${i - 1})
+         |        GROUP BY 1) dd
+         |  WHERE deg >= $k),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT node FROM k$i) AND b IN (SELECT node FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |$tradeEwCte,
+       |hv AS (SELECT src, dst FROM ew
+       |       CROSS JOIN (SELECT sum(w) AS tw, count(*) AS ne FROM ew) t
+       |       WHERE w * ne * 10 >= tw * 12),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM hv WHERE src <> dst),
+       |$steps
+       |SELECT node, count(*) AS core_deg
+       |FROM (SELECT a AS node FROM e$rounds UNION ALL SELECT b AS node FROM e$rounds)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** HIST2 — equi-depth histogram of order totals (10 buckets bounded by
     * exact decile fences; [[graft.operators.Analytics.equiDepthHistogram]]). */
   val hist2Equidepth: Q = (s, d) =>
@@ -3658,6 +3772,17 @@ object Queries {
     """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
       |       true AS daily_within_tol, true AS rollup_within_tol
       |FROM events""".stripMargin
+
+  /** ST12 — streaming anomaly detection, the stateful twin of anom1:
+    * per-event-type trailing-7-day z-scores emitted exactly once as the
+    * watermark seals each day
+    * ([[graft.streaming.EventStream.runAnomalyOverFixture]],
+    * [[graft.streaming.StatefulSessions.anomalyCells]]). Exact parity with
+    * the batch plan (same oracle as anom1): cent totals are
+    * arrival-order-exact longs and the z formula replays the batch double
+    * ops bit for bit. */
+  val st12StreamAnomaly: Q = (s, d) =>
+    graft.streaming.EventStream.runAnomalyOverFixture(s, d)
 
   /** CARD1 — the dataset datasheet in one row: corpus size, token mass,
     * exact dup rate, mean quality, and the Shannon entropy of the
@@ -4042,6 +4167,7 @@ object Queries {
     "corr1_profile" -> corr1Profile,
     "smp3_stratified_cap" -> smp3StratifiedCap,
     "smp4_weighted_sample" -> smp4WeightedSample,
+    "mb1_market_basket" -> mb1MarketBasket,
     "unp1_unpivot" -> unp1Unpivot,
     "pmi1_collocations" -> pmi1Collocations,
     "lm1_surprisal" -> lm1Surprisal,
@@ -4063,11 +4189,13 @@ object Queries {
     "d9_semantic_dedup" -> d9SemanticDedup,
     "pat1_sequence_match" -> pat1SequenceMatch,
     "tri1_triangles" -> tri1Triangles,
+    "kcore1_dense_core" -> kcore1DenseCore,
     "hist2_equidepth" -> hist2Equidepth,
     "st8_stream_pattern" -> st8StreamPattern,
     "st9_stream_retention" -> st9StreamRetention,
     "st10_stream_rolling" -> st10StreamRolling,
     "st11_stream_sketch" -> st11StreamSketch,
+    "st12_stream_anomaly" -> st12StreamAnomaly,
     "card1_dataset_card" -> card1DatasetCard,
     "cur1_filter_waterfall" -> cur1Waterfall,
     "w8_range_frame" -> w8RangeFrame,
@@ -4081,6 +4209,7 @@ object Queries {
     "d2_minhash_gate" -> d2Gate,
     "d3_dedup_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4Ngram,
+    "ovl1_source_overlap" -> ovl1SourceOverlap,
     "d5_embedding_neardup" -> d5Cosine,
     "d6_neardup_lsh" -> d6LshNeardup,
     "d6_lsh_gate" -> d6Gate,
@@ -4207,6 +4336,7 @@ object Queries {
     "corr1_profile" -> corr1ProfileSql,
     "smp3_stratified_cap" -> smp3StratifiedCapSql,
     "smp4_weighted_sample" -> smp4WeightedSampleSql,
+    "mb1_market_basket" -> mb1MarketBasketSql,
     "unp1_unpivot" -> unp1UnpivotSql,
     "pmi1_collocations" -> pmi1CollocationsSql,
     "lm1_surprisal" -> lm1SurprisalSql,
@@ -4228,11 +4358,13 @@ object Queries {
     "d9_semantic_dedup" -> d9SemanticDedupSql,
     "pat1_sequence_match" -> pat1SequenceMatchSql,
     "tri1_triangles" -> tri1TrianglesSql,
+    "kcore1_dense_core" -> kcore1DenseCoreSql,
     "hist2_equidepth" -> hist2EquidepthSql,
     "st8_stream_pattern" -> pat1SequenceMatchSql, // stream/batch parity: same oracle
     "st9_stream_retention" -> ret1RetentionSql, // stream/batch parity: same oracle
     "st10_stream_rolling" -> roll1RollingSql, // stream/batch parity: same oracle
     "st11_stream_sketch" -> st11StreamSketchSql,
+    "st12_stream_anomaly" -> anom1ZscoreSql, // stream/batch parity: same oracle
     "card1_dataset_card" -> card1DatasetCardSql,
     "cur1_filter_waterfall" -> cur1WaterfallSql,
     "w8_range_frame" -> w8RangeFrameSql,
@@ -4245,6 +4377,7 @@ object Queries {
     "d2_minhash_gate" -> d2GateSql,
     "d3_dedup_simhash" -> d3SimhashSql,
     "d4_ngram_jaccard" -> d4NgramSql,
+    "ovl1_source_overlap" -> ovl1SourceOverlapSql,
     "d5_embedding_neardup" -> d5CosineSql,
     "d6_lsh_gate" -> d6GateSql,
     "sim1_cosine_topk" -> sim1TopKSql,
@@ -4291,11 +4424,13 @@ object Queries {
     "theta1_set_overlap", "cms1_freq_rollup", "dc2_decontaminate_bloom",
     "emb3_random_projection", "dq1_integrity_audit",
     "ret1_retention", "ts1_gap_fill", "anom1_daily_zscore", "hist1_equiwidth",
-    "corr1_profile", "smp3_stratified_cap", "smp4_weighted_sample", "pmi1_collocations", "lm1_surprisal",
+    "corr1_profile", "smp3_stratified_cap", "smp4_weighted_sample",
+    "mb1_market_basket", "pmi1_collocations", "lm1_surprisal",
     "path1_transitions", "nu1_new_users", "exp1_ab_test", "pr1_pagerank",
     "roll1_rolling_active", "roll2_rolling_approx", "seg1_rfm", "mm3_audio_decode", "asof2_windowed",
     "cdc2_apply_deletes", "pca1_power_iteration", "d9_semantic_dedup",
     "mix2_target_mix", "pat1_sequence_match", "tri1_triangles",
+    "kcore1_dense_core", "ovl1_source_overlap",
     "card1_dataset_card", "cur1_filter_waterfall",
     "st1_stream_window", "st6_stream_cdc")
 }

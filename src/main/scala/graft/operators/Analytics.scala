@@ -420,4 +420,57 @@ object Analytics {
       when(col("n_a") > 0 && col("n_b") > 0 && pooled > 0 && pooled < 1,
         portableRound(z, 4)).otherwise(lit(0.0)).as("z_score"))
   }
+
+  /** Market-basket pair mining: for every unordered pair of items that
+    * co-occur in at least `minCount` baskets, the co-occurrence count,
+    * support (share of baskets containing both) and lift (observed
+    * co-occurrence vs the independence expectation) — the association-rule
+    * screen behind "frequently bought together".
+    *
+    * Shape: one shuffle groups each basket's distinct items into a sorted
+    * array, pairs explode MAP-SIDE from that array (bounded by basket size
+    * squared, never by catalog size), and one hash-aggregation shuffle
+    * counts pairs — there is no items×items self-join anywhere, so the
+    * catalog can be 10^9 wide. Item counts and the basket total are a
+    * dimension-sized broadcast and a 1-row broadcast.
+    *
+    * Float determinism: support and lift are single IEEE divisions of
+    * exactly-represented integers; the cross products go through
+    * decimal(38,0) first because `n_pair * n_baskets` overflows a long
+    * once baskets exceed ~3·10^9 (ANSI mode would throw at exactly the
+    * scale this engine targets). */
+  def marketBasketPairs(baskets: DataFrame, basketCol: Column, itemCol: Column,
+                        minCount: Long = 2, topK: Int = 100): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    // every downstream leg (pair explosion, item counts, basket total)
+    // derives from the SAME groupBy(bkey) aggregation, so the scan +
+    // basket exchange is planned once and reused (ReusedExchange), not
+    // recomputed three times — collect_set dedups within the basket, no
+    // separate distinct shuffle
+    val byBasket = baskets.select(basketCol.as("bkey"), itemCol.as("item"))
+      .groupBy(col("bkey"))
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+    val nBaskets = byBasket.agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = byBasket.select(explode(col("its")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val pairs = byBasket
+      .select(explode(expr(
+        """flatten(transform(its, (x, i) ->
+          |  transform(slice(its, i + 2, size(its)),
+          |            y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("pr"))
+      .select(col("pr.a").as("item_a"), col("pr.b").as("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    pairs
+      .join(broadcast(itemCnt.select(col("item").as("item_a"), col("cnt").as("cnt_a"))), "item_a")
+      .join(broadcast(itemCnt.select(col("item").as("item_b"), col("cnt").as("cnt_b"))), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_pair"),
+        (col("n_pair").cast("double") / col("n_baskets")).as("support"),
+        ((dec(col("n_pair")) * dec(col("n_baskets"))).cast("double")
+          / (dec(col("cnt_a")) * dec(col("cnt_b"))).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
 }

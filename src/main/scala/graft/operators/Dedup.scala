@@ -259,6 +259,41 @@ object Dedup {
       .filter(col("jaccard") > minJaccard)
   }
 
+  /** Corpus-level overlap audit: for every pair of sources, the Jaccard
+    * overlap and per-side containment of their distinct n-gram shingle
+    * sets — the matrix a curation run publishes to answer "how much of
+    * source B is already in source A" before mixing (cross-source
+    * contamination, licensing provenance, dedup-ordering decisions).
+    *
+    * Shape: the (source, shingle-hash) inventory is one distinct
+    * aggregation (8-byte hashes, map-side deduped); the pair count is an
+    * inverted-index self-join keyed on the hash whose output is bounded by
+    * C(|sources|, 2) groups — source cardinality is a dimension, so the
+    * result is always tiny no matter the corpus bytes. Set sizes ride a
+    * broadcast. Same exchange discipline as [[ngramJaccardPairs]]: ids and
+    * digests only, never text. */
+  def sourceOverlap(documents: DataFrame, n: Int = 5): DataFrame = {
+    val sh = documents
+      .select(col("source"),
+        explode(array_distinct(shingle_hashes(col("text"), n))).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_sh").as("na"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_sh").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        portableRound(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")), 4).as("jaccard"),
+        portableRound(col("inter").cast("double") / col("na"), 4).as("containment_a"),
+        portableRound(col("inter").cast("double") / col("nb"), 4).as("containment_b"))
+  }
+
   /** Near-dup CLUSTERS from a pair list — the step every dedup pipeline
     * needs after pair detection: assign each document to its connected
     * component and elect the minimum doc id as the canonical

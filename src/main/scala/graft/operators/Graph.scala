@@ -125,6 +125,49 @@ object Graph {
     }
   }
 
+  /** k-core decomposition (fixed k): iteratively peel every node whose
+    * degree in the SURVIVING subgraph is < k until nothing changes, and
+    * return the core's nodes with their within-core degrees — the dense
+    * backbone extractor (community seeds, near-dup cluster cores, spam
+    * farms).
+    *
+    * Each round is one degree aggregation + two broadcast semi-joins (the
+    * keep-set is node-dimension-sized); rounds needed = peel depth, which
+    * is ≤ the longest chain the peel erodes — bounded, like the CC
+    * fixpoint, by graph structure rather than size. Edges are
+    * `localCheckpoint`ed per round so the plan tree stays flat across
+    * iterations (same discipline as [[graft.operators.Dedup]]'s CC loop),
+    * and convergence is the edge COUNT reaching a fixpoint: peeling only
+    * ever removes edges, so an unchanged count is exactly "no node fell
+    * below k this round" — no probabilistic signature needed.
+    *
+    * At 100× scale the shape holds: degree agg shuffles (node, 1) pairs,
+    * the keep-set broadcast is O(nodes-still-in) ids, and each round's
+    * edge set only shrinks. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+    var e = undirected(edges).localCheckpoint()
+    var nEdges = e.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds && nEdges > 0) {
+      val keep = degrees(e).filter(col("core_deg") >= k).select(col("node"))
+      val e2 = e
+        .join(broadcast(keep.select(col("node").as("a"))), Seq("a"), "left_semi")
+        .join(broadcast(keep.select(col("node").as("b"))), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val n2 = e2.count()
+      converged = n2 == nEdges
+      e = e2; nEdges = n2; rounds += 1
+    }
+    degrees(e)
+  }
+
   /** Wedges (u; w1, w2) with rank(w1) < rank(w2) under the chosen
     * orientation — the unit whose volume Σ_u C(outdeg(u), 2) is the cost
     * of triangle counting (exposed for GraphSpec's skew measurement). */

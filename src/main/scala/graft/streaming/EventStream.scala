@@ -333,6 +333,58 @@ object EventStream {
         col("week_offset").cast("long").as("week_offset"),
         col("n_active"))
 
+  /** Streaming ANOMALY DETECTION — the stateful twin of anom1
+    * ([[graft.operators.Analytics.dailyAnomalies]]): three time-range
+    * micro-batches + a far-future sentinel replay the fixture through
+    * [[StatefulSessions.anomalyStream]]; each (event_type, day) z-score is
+    * emitted exactly once, when the watermark seals the day. The per-event
+    * `decimal(18,2) × 100` cent projection makes totals exact longs in any
+    * arrival order, and the scorer's double formula is the batch plan's —
+    * so the result hash-matches anom1's oracle (exact stream/batch
+    * parity, not a tolerance gate). Sentinel rows (user −1 at +400 days)
+    * advance the watermark to flush every key's tail days; their own
+    * never-sealed far-future day is trimmed by the `day ≤ dmax` filter. */
+  def runAnomalyOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-stream-anom")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val b = raw.agg(min(col("ts")), max(col("ts"))).head
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    val span = (t1 - t0) / 3 + 1
+    for (i <- 0 until 3)
+      raw.filter(col("ts") >= t0 + i * span && col("ts") < t0 + (i + 1) * span)
+        .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
+    val farNanos = t1 + 400L * 86400L * 1000000000L
+    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
+    val now = System.currentTimeMillis()
+    for ((sub, i) <- Seq("b0", "b1", "b2", "b3_sentinel").zipWithIndex)
+      Files.walk(srcDir.resolve(sub)).forEach { f =>
+        if (Files.isRegularFile(f))
+          Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
+      }
+    val dmax = raw.select(to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+      .agg(max(col("d"))).head.getDate(0)
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_type"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[StatefulSessions.AnomEvent]
+    val scored = StatefulSessions.anomalyStream(spark, stream)
+    val queryName = scopedQueryName("graft_stream_anom")
+    val q = scored.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    spark.table(queryName).filter(col("day") <= lit(dmax.toString))
+  }
+
   /** Streaming SKETCH PRODUCTION — each day's window finalizes into a
     * mergeable HLL sketch blob of its distinct users (plus the estimate),
     * the lambda-architecture-free shape: the stream writes fixed-size

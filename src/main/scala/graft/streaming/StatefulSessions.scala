@@ -144,4 +144,90 @@ object StatefulSessions {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         retentionCells(horizonDays))
   }
+
+  // ───────────────────────── streaming anomalies ─────────────────────────
+
+  final case class AnomEvent(event_type: String, ts: java.sql.Timestamp,
+                             cents: Long)
+  /** Per-event-type anomaly state: `open` accumulates cent totals for days
+    * the watermark has not yet sealed (at most watermark-delay + 1 days),
+    * `trail` carries the last `trailing − 1` SEALED (epoch_day, cents)
+    * observations — the z-score baseline. Both are O(trailing) entries per
+    * key, so total state is O(event types × trailing), unconditionally
+    * bounded. */
+  final case class AnomState(open: Seq[(Int, Long)], trail: Seq[(Int, Long)])
+  final case class AnomRow(event_type: String, day: String, day_value: Double,
+                           z_score: Double, is_anomaly: Boolean)
+
+  /** Streaming trailing-window z-score anomalies — the stateful twin of
+    * [[graft.operators.Analytics.dailyAnomalies]]: per event type, each
+    * day's cent total is sealed once the watermark passes the end of the
+    * day, scored against the trailing `trailing`-day baseline of sealed
+    * days (observed days only — a sparse key's missing days age out by the
+    * day-valued range, exactly like the batch RANGE frame), and emitted
+    * exactly once.
+    *
+    * A day with data is sealed by the NEXT invocation that sees the
+    * watermark past it — either new rows for the key or the event-time
+    * timeout this function re-arms at the earliest open day's end, so keys
+    * with no further traffic still flush when the watermark advances.
+    *
+    * Determinism: cent totals are exact longs (the per-event
+    * `decimal(18,2) × 100` projection sums associatively in any arrival
+    * order), and the double formula below is operation-for-operation the
+    * batch plan's, so streamed z-scores EQUAL the batch query's bit for
+    * bit — the parity the spec and the shared anom1 oracle pin. */
+  def anomalyCells(trailing: Int, zThreshold: Double)(
+      eventType: String, events: Iterator[AnomEvent],
+      state: GroupState[AnomState]): Iterator[AnomRow] = {
+    val prev = state.getOption.getOrElse(AnomState(Nil, Nil))
+    val open = scala.collection.mutable.Map[Int, Long](prev.open: _*)
+    if (!state.hasTimedOut)
+      events.foreach { e =>
+        val d = Math.floorDiv(e.ts.getTime, 86400000L).toInt
+        open(d) = open.getOrElse(d, 0L) + e.cents
+      }
+    // a day is sealed once no event of that day can still arrive: last
+    // possible ts = day end − 1ms < watermark  ⇔  epoch_day < wmDay
+    val wmDay = Math.floorDiv(state.getCurrentWatermarkMs, 86400000L).toInt
+    val sealedNow = open.keys.filter(_ < wmDay).toSeq.sorted
+    var trail = prev.trail
+    val out = Vector.newBuilder[AnomRow]
+    for (d <- sealedNow) {
+      val cents = open.remove(d).get
+      val base = trail.filter(t => t._1 >= d - (trailing - 1) && t._1 < d)
+      val n = base.length + 1
+      val s1 = base.iterator.map(_._2).sum + cents
+      val s2 = base.iterator.map(t => t._2 * t._2).sum + cents * cents
+      val nD = n.toDouble; val s1D = s1.toDouble; val s2D = s2.toDouble
+      val mean = s1D / nD
+      val variance = (s2D - s1D * s1D / nD) / (nD - 1)
+      val zr =
+        if (n > 1 && variance > 0)
+          math.floor((cents.toDouble - mean) / math.sqrt(variance) * 10000 + 0.5) / 10000
+        else 0.0
+      out += AnomRow(eventType,
+        java.time.LocalDate.ofEpochDay(d.toLong).toString,
+        cents.toDouble / 100, zr, math.abs(zr) > zThreshold)
+      trail = (trail :+ (d, cents)).filter(_._1 >= d - (trailing - 2))
+    }
+    state.update(AnomState(open.toSeq.sortBy(_._1), trail))
+    // re-arm at the earliest open day's end so the flush happens even if
+    // this key never receives another row ((minOpen+1)·day > watermark
+    // always holds — minOpen ≥ wmDay); with nothing open, no timer: the
+    // trail waits O(trailing entries) for the key's next active day
+    if (open.nonEmpty)
+      state.setTimeoutTimestamp((open.keys.min + 1).toLong * 86400000L)
+    out.result().iterator
+  }
+
+  /** Wire the anomaly scorer over a watermarked typed Dataset. */
+  def anomalyStream(spark: SparkSession, events: Dataset[AnomEvent],
+                    trailing: Int = 7,
+                    zThreshold: Double = 2.0): Dataset[AnomRow] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        anomalyCells(trailing, zThreshold))
+  }
 }

@@ -246,6 +246,38 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("marketBasketPairs: counts, support and lift on a known basket set") {
+    // baskets: {1,2} {1,2} {3,4} {3,4} {1,3}; the duplicate (b10, item 1)
+    // row must collapse — pair counts are over distinct basket membership
+    val rows = Seq(
+      (10L, 1L), (10L, 1L), (10L, 2L),
+      (11L, 1L), (11L, 2L),
+      (12L, 3L), (12L, 4L),
+      (13L, 3L), (13L, 4L),
+      (14L, 1L), (14L, 3L)).toDF("bkey", "item")
+    val got = Analytics.marketBasketPairs(rows, col("bkey"), col("item"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // both pairs: 2 of 5 baskets, lift 2*5/(3*2) = 5/3 — an exact lift tie,
+    // broken by (part_a, part_b); singleton pair (1,3) drops (min 2)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 0.4, 10.0 / 6.0),
+      (3L, 4L, 2L, 0.4, 10.0 / 6.0)))
+  }
+
+  test("marketBasketPairs: pair generation is basket-local (a < b, no self-pairs)") {
+    val li = Tables.lineitem(spark, sf0001)
+    val got = Analytics.marketBasketPairs(li, col("l_orderkey"), col("l_partkey"),
+      minCount = 1, topK = 1000000)
+    assert(got.filter(col("item_a") >= col("item_b")).count() == 0)
+    val nPairsTotal = got.agg(sum(col("n_pair"))).head.getLong(0)
+    // sum over pairs == sum over baskets of C(size,2), the map-side bound
+    val expected = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_orderkey").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2).cast("long")).head.getLong(0)
+    assert(nPairsTotal == expected)
+  }
+
   test("rfmSegments: scores stay in 1..4 and rank users consistently") {
     // heavy: recent, frequent, big spender; light: old, single small event
     val heavy = (0 until 8).map(i =>

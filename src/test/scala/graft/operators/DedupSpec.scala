@@ -73,6 +73,21 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(got(0).getDouble(2) - 1.0 / 3) < 1e-3)
   }
 
+  test("sourceOverlap: containment is per-side, disjoint sources emit no row") {
+    // s1 shingles {a..e, b..f} (2), s2 {a..e} (1), s3 disjoint
+    val d = Seq(
+      (1L, "a b c d e f", "s1"),
+      (2L, "a b c d e", "s2"),
+      (3L, "x y z w v u", "s3")).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(d).collect()
+    assert(got.length == 1, "only the overlapping pair appears")
+    val r = got(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == ("s1", "s2", 1L))
+    assert(r.getDouble(3) == 0.5) // jaccard 1/(2+1-1)
+    assert(r.getDouble(4) == 0.5) // half of s1 is shared
+    assert(r.getDouble(5) == 1.0) // ALL of s2 is contained in s1
+  }
+
   test("duplicateClusters labels connected components with their min id") {
     import spark.implicits._
     // components: {1,2,3} via chain 1-2-3, {7,9}, and 5 paired with 6

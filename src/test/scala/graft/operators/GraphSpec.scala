@@ -60,6 +60,28 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.triangleCount(star).collect().head.getLong(0) == 1L)
   }
 
+  test("kCore: peeling cascades — the tail unravels link by link, the clique stays") {
+    // K4 clique {a,b,c,d} with a pendant chain d-e-f: in the 2-core, f
+    // peels first (deg 1), which DROPS e to deg 1 — only the cascade
+    // removes e; a single-pass degree filter would keep it
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("e", "f")).toDF("src", "dst")
+    val core = Graph.kCore(edges, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("kCore: k above the densest core returns empty; dup/direction collapse first") {
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "b"), // dups + reverse = ONE edge
+      ("b", "c"), ("a", "c")).toDF("src", "dst")
+    assert(Graph.kCore(edges, 3).count() == 0) // triangle is only a 2-core
+    val two = Graph.kCore(edges, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
   test("pageRank: node without in-edges keeps ~the teleport rank") {
     val edges = Seq(("a", "b")).toDF("src", "dst")
     val r = Graph.pageRank(nodes, edges, iters = 5)

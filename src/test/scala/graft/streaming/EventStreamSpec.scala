@@ -99,6 +99,14 @@ class EventStreamSpec extends SparkTestBase {
       s"rollup estimate $merged vs exact $exactTotal")
   }
 
+  test("streaming anomaly z-scores equal the batch dailyAnomalies (exact parity)") {
+    val streamed = EventStream.runAnomalyOverFixture(spark, sf0001)
+    val batch = graft.operators.Analytics.dailyAnomalies(Tables.events(spark, sf0001))
+    // bit-for-bit: the scorer replays the batch plan's double ops, so this
+    // is row equality on doubles, not a tolerance gate
+    assertSameRows(batch, streamed)
+  }
+
   test("streaming retention runs unchanged on the RocksDB state store") {
     // the 100 TB configuration: per-user retention state off-heap — the
     // RetState encoder (ints + Seq[Int]) must round-trip RocksDB too

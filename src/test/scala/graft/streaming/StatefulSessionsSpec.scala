@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkTestBase
-import graft.streaming.StatefulSessions.{UserEvent, UserTotals}
+import graft.streaming.StatefulSessions.{AnomEvent, AnomState, UserEvent, UserTotals, anomalyCells}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 class StatefulSessionsSpec extends SparkTestBase {
@@ -51,6 +51,40 @@ class StatefulSessionsSpec extends SparkTestBase {
     // batch 3: nothing new completes -> no re-emission of the old hit
     val s3 = mkState(Some(s2.get), 3000L)
     assert(matchPattern(pat)(1L, Iterator(ev(4, 4, "a")), s3).isEmpty)
+  }
+
+  test("anomalyCells: days seal on watermark, timeout flushes a quiet key, trail stays bounded") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val dayMs = 86400000L
+    def ev(day: Int, cents: Long) =
+      AnomEvent("click", new java.sql.Timestamp(day * dayMs + 3600000L), cents)
+    def mkState(prev: Option[AnomState], wmMs: Long, timedOut: Boolean) =
+      TestGroupState.create[AnomState](
+        prev.map(Optional.of[AnomState]).getOrElse(Optional.empty()),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+        1000L, Optional.of(wmMs), hasTimedOut = timedOut)
+    val f = anomalyCells(7, 2.0) _
+    // batch 1: watermark 0 — nothing seals, totals accumulate in open state
+    val s1 = mkState(None, 0L, timedOut = false)
+    val o1 = f("click", Iterator(ev(100, 100), ev(100, 50), ev(101, 300)), s1).toSeq
+    assert(o1.isEmpty)
+    assert(s1.get.open.toMap == Map(100 -> 150L, 101 -> 300L))
+    assert(s1.getTimeoutTimestampMs.get() == 101L * dayMs,
+      "timer armed at the earliest open day's end")
+    // batch 2: watermark passes day 101 — days 100 and 101 seal in order
+    val s2 = mkState(Some(s1.get), 102L * dayMs, timedOut = false)
+    val o2 = f("click", Iterator(ev(102, 10)), s2).toSeq
+    assert(o2.map(r => (r.day, r.day_value, r.z_score)) == Seq(
+      ("1970-04-11", 1.5, 0.0), // first day: n = 1, no variance -> z = 0
+      ("1970-04-12", 3.0, 0.7071))) // (300-225)/sqrt(11250), floor-rounded
+    assert(s2.get.open.toMap == Map(102 -> 10L))
+    assert(s2.get.trail.length <= 6, "trail bounded at trailing-1 entries")
+    // batch 3: no new data — the EVENT-TIME TIMEOUT flushes day 102
+    val s3 = mkState(Some(s2.get), 1000L * dayMs, timedOut = true)
+    val o3 = f("click", Iterator.empty, s3).toSeq
+    assert(o3.map(_.day) == Seq("1970-04-13"))
+    assert(s3.get.open.isEmpty)
   }
 
   test("batch Dataset runs through the same stateful transformation") {
