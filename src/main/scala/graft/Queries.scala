@@ -3531,6 +3531,58 @@ object Queries {
        |SELECT j, v AS component FROM v5""".stripMargin
   }
 
+  /** KMEANS1 — full Lloyd k-means over the embeddings as a first-class
+    * query ([[graft.operators.Similarity.lloydClusters]]): deterministic
+    * init (k smallest vec_ids), 3 assign+mean rounds, final (vec_id, cid,
+    * dist) assignment. Every per-dimension term is 1e-9-grid-rounded and
+    * folded as an exact decimal, so the oracle unrolls the SAME rounds
+    * (MATERIALIZED — the round chain would inline exponentially) and the
+    * full result hash-matches: clustering with bit-exact cross-engine
+    * parity, not a quality gate. */
+  val kmeans1Lloyd: Q = (s, d) =>
+    graft.operators.Similarity.lloydClusters(Tables.embeddings(s, d))
+
+  val kmeans1LloydSql: String = {
+    def r9(x: String) = s"floor(($x) * 1000000000 + 0.5) / 1000000000"
+    val iters = 3
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM (SELECT f.vec_id, c.cid,
+         |                 CAST(sum(CAST(${r9("(f.x - c.c) * (f.x - c.c)")} AS DECIMAL(28,9))) AS DOUBLE) AS dist
+         |          FROM f JOIN c${r - 1} c USING (j) GROUP BY f.vec_id, c.cid) dd) rr
+         |  WHERE rn = 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT p.cid, p.j, COALESCE(m.m, p.c) AS c
+         |  FROM c${r - 1} p LEFT JOIN (
+         |    SELECT a.cid, f.j,
+         |           ${r9(s"CAST(sum(CAST(${r9("f.x")} AS DECIMAL(18,9))) AS DOUBLE) / count(*)")} AS m
+         |    FROM a$r a JOIN f USING (vec_id) GROUP BY a.cid, f.j) m
+         |  ON m.cid = p.cid AND m.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |f AS MATERIALIZED (SELECT vec_id, CAST(j AS BIGINT) AS j, emb[j] AS x
+       |     FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) t),
+       |init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4) ii),
+       |c0 AS MATERIALIZED (SELECT i.cid, f.j, f.x AS c
+       |     FROM init i JOIN f ON f.vec_id = i.vec_id),
+       |$rounds,
+       |afin AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM (SELECT f.vec_id, c.cid,
+       |                 CAST(sum(CAST(${r9("(f.x - c.c) * (f.x - c.c)")} AS DECIMAL(28,9))) AS DOUBLE) AS dist
+       |          FROM f JOIN c$iters c USING (j) GROUP BY f.vec_id, c.cid) dd) rr
+       |  WHERE rn = 1)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+       |       floor(dist * 1000000 + 0.5) / 1000000 AS dist
+       |FROM afin""".stripMargin
+  }
+
   /** MIX2 — compute-and-apply a TARGET source mixture (water-filling):
     * per-source keep rates derived in-plan from observed counts so the
     * kept corpus matches the requested proportions
@@ -4184,6 +4236,7 @@ object Queries {
     "asof2_windowed" -> asof2Windowed,
     "cdc2_apply_deletes" -> cdc2Deletes,
     "pca1_power_iteration" -> pca1Power,
+    "kmeans1_lloyd" -> kmeans1Lloyd,
     "mix2_target_mix" -> mix2TargetMix,
     "st7_stream_left_join" -> st7StreamLeftJoin,
     "d9_semantic_dedup" -> d9SemanticDedup,
@@ -4353,6 +4406,7 @@ object Queries {
     "asof2_windowed" -> asof2WindowedSql,
     "cdc2_apply_deletes" -> cdc2DeletesSql,
     "pca1_power_iteration" -> pca1PowerSql,
+    "kmeans1_lloyd" -> kmeans1LloydSql,
     "mix2_target_mix" -> mix2TargetMixSql,
     "st7_stream_left_join" -> st7StreamLeftJoinSql,
     "d9_semantic_dedup" -> d9SemanticDedupSql,
@@ -4428,7 +4482,7 @@ object Queries {
     "mb1_market_basket", "pmi1_collocations", "lm1_surprisal",
     "path1_transitions", "nu1_new_users", "exp1_ab_test", "pr1_pagerank",
     "roll1_rolling_active", "roll2_rolling_approx", "seg1_rfm", "mm3_audio_decode", "asof2_windowed",
-    "cdc2_apply_deletes", "pca1_power_iteration", "d9_semantic_dedup",
+    "cdc2_apply_deletes", "pca1_power_iteration", "kmeans1_lloyd", "d9_semantic_dedup",
     "mix2_target_mix", "pat1_sequence_match", "tri1_triangles",
     "kcore1_dense_core", "ovl1_source_overlap",
     "card1_dataset_card", "cur1_filter_waterfall",

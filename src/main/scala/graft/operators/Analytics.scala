@@ -443,13 +443,15 @@ object Analytics {
                         minCount: Long = 2, topK: Int = 100): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     // every downstream leg (pair explosion, item counts, basket total)
-    // derives from the SAME groupBy(bkey) aggregation, so the scan +
-    // basket exchange is planned once and reused (ReusedExchange), not
-    // recomputed three times — collect_set dedups within the basket, no
-    // separate distinct shuffle
+    // derives from the SAME groupBy(bkey) aggregation, materialized ONCE
+    // via localCheckpoint (collect_set is nondeterministic-tagged, which
+    // defeats exchange-reuse canonicalization — without the checkpoint
+    // Spark re-scans and re-shuffles the input three times; same
+    // discipline as the Dedup CC pair list)
     val byBasket = baskets.select(basketCol.as("bkey"), itemCol.as("item"))
       .groupBy(col("bkey"))
       .agg(sort_array(collect_set(col("item"))).as("its"))
+      .localCheckpoint()
     val nBaskets = byBasket.agg(count(lit(1)).as("n_baskets"))
     val itemCnt = byBasket.select(explode(col("its")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))

@@ -385,6 +385,67 @@ object Similarity {
       .toDF("j", "component")
   }
 
+  /** Full Lloyd k-means over the embedding corpus as a FIRST-CLASS query
+    * with bit-exact cross-engine parity (the sibling of [[kmeansCentroids]],
+    * which trains IVF codebooks on cosine and is gated, not oracled):
+    * deterministic init (the k smallest vec_ids), `iters` rounds of
+    * assign-to-nearest (squared L2) + centroid mean, then the final
+    * assignment (vec_id, cid, dist).
+    *
+    * Determinism is pca1's discipline: every per-dimension term is
+    * grid-rounded at 1e-9 and folded as an EXACT decimal (order-free under
+    * any partitioning/AQE re-plan), every derived double is one
+    * correctly-rounded cast or IEEE division, argmin ties break on cid —
+    * so the DuckDB oracle replays the identical rounds row for row.
+    *
+    * Shape: centroids are k×dim driver metadata (the codebook contract);
+    * each round joins the exploded (vec_id, j, x) long form against the
+    * BROADCAST centroid table — one data-sized shuffle per round
+    * (grouping the k·dim partial products back to (vec_id, cid)) and one
+    * k×dim-sized aggregation for the means. The corpus never collects. */
+  def lloydClusters(embeddings: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1: $k, $iters")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .localCheckpoint()
+    val f = e
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("j"), col("x"))
+    var cents: Seq[(Int, Seq[Double])] = e.orderBy(col("vec_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1) }.toSeq
+    require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
+    def assign(): DataFrame = {
+      val centsDf = cents.flatMap { case (cid, arr) =>
+        arr.zipWithIndex.map { case (c, j) => (cid, (j + 1).toLong, c) }
+      }.toDF("cid", "j", "c")
+      f.join(broadcast(centsDf), "j")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(portableRound((col("x") - col("c")) * (col("x") - col("c")), 9)
+          .cast("decimal(28,9)")).cast("double").as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+    }
+    for (_ <- 1 to iters) {
+      val means = assign().select(col("vec_id"), col("cid")).join(e, "vec_id")
+        .select(col("cid"), posexplode(col("emb")).as(Seq("p", "x")))
+        .groupBy(col("cid"), col("p"))
+        .agg(portableRound(
+          sum(portableRound(col("x"), 9).cast("decimal(18,9)")).cast("double")
+            / count(lit(1)), 9).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
+      cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    assign().select(col("vec_id"), col("cid").cast("long").as("cid"),
+      portableRound(col("dist"), 6).as("dist"))
+  }
+
   /** Exact decimal fold of a double array: Σ cast(decimal(28,9)) of the
     * elements, returned as double — the aggregation-order-free sum the
     * oracle's decimal SUM performs. */

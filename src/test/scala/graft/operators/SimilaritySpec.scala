@@ -93,6 +93,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(trained == rerun)
   }
 
+  test("lloydClusters separates obvious groups, assigns exactly once, layout-proof") {
+    // two tight groups at opposite corners; init = vec_ids 0 and 1 (one
+    // seed in each group), so 2 rounds must converge to the true split
+    val rows = Seq(
+      0L -> Array(1f, 1f, 0f, 0f), 2L -> Array(0.9f, 1.1f, 0f, 0f),
+      4L -> Array(1.1f, 0.9f, 0f, 0f),
+      1L -> Array(0f, 0f, 1f, 1f), 3L -> Array(0f, 0f, 1.1f, 0.9f),
+      5L -> Array(0f, 0f, 0.9f, 1.1f))
+    val e = rows.toDF("vec_id", "embedding")
+    val got = Similarity.lloydClusters(e, k = 2, iters = 2)
+    assert(got.count() == 6 && got.select("vec_id").distinct().count() == 6)
+    val byCid = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCid(0L) == byCid(2L) && byCid(0L) == byCid(4L))
+    assert(byCid(1L) == byCid(3L) && byCid(1L) == byCid(5L))
+    assert(byCid(0L) != byCid(1L))
+    // bit-deterministic under a different layout (the decimal folds are
+    // order-free; doubles would drift here)
+    assertSameRows(got, Similarity.lloydClusters(e.repartition(7), k = 2, iters = 2))
+  }
+
   test("IVF assignment puts every vector in exactly one list") {
     val e = graft.Tables.embeddings(spark, sf0001)
     val centroids = Similarity.centroidsOf(e, 8)

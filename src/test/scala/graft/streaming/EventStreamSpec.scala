@@ -107,6 +107,25 @@ class EventStreamSpec extends SparkTestBase {
     assertSameRows(batch, streamed)
   }
 
+  test("streaming anomaly runs unchanged on the RocksDB state store") {
+    // AnomState holds Seq[(Int, Long)] tuples — the tuple-in-Seq encoder
+    // must round-trip the off-heap store byte-for-byte for parity to hold
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    SessionStream.useRocksDbStateStore(spark)
+    try {
+      val streamed = EventStream.runAnomalyOverFixture(spark, sf0001)
+      val batch = graft.operators.Analytics.dailyAnomalies(Tables.events(spark, sf0001))
+      assertSameRows(batch, streamed)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("streaming retention runs unchanged on the RocksDB state store") {
     // the 100 TB configuration: per-user retention state off-heap — the
     // RetState encoder (ints + Seq[Int]) must round-trip RocksDB too
