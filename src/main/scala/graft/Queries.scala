@@ -2995,6 +2995,71 @@ object Queries {
       |       zr AS z_score, abs(zr) > 2.0 AS is_anomaly
       |FROM z""".stripMargin
 
+  /** ANOM2 — SEASONAL anomaly flags: each day scores against the trailing
+    * 4 same-WEEKDAY observations
+    * ([[graft.operators.Analytics.dailyAnomaliesSeasonal]]) — separates
+    * "weekends are always low" from a genuinely anomalous weekend. The
+    * weekday key is epoch_day mod 7 (engine-portable where locale
+    * DAYOFWEEK drifts). */
+  val anom2Seasonal: Q = (s, d) =>
+    graft.operators.Analytics.dailyAnomaliesSeasonal(Tables.events(s, d))
+
+  val anom2SeasonalSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT event_type, day, cents,
+      |              datediff('day', DATE '1970-01-01', day) AS eday,
+      |              datediff('day', DATE '1970-01-01', day) % 7 AS dow
+      |       FROM daily),
+      |w AS (
+      |  SELECT event_type, day, dow, cents,
+      |         count(*) OVER win AS n,
+      |         sum(CAST(cents AS DECIMAL(19,0))) OVER win AS s1,
+      |         sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) OVER win AS s2
+      |  FROM d2
+      |  WINDOW win AS (PARTITION BY event_type, dow ORDER BY eday
+      |                 RANGE BETWEEN 21 PRECEDING AND CURRENT ROW)),
+      |z AS (
+      |  SELECT event_type, day, dow, cents, n,
+      |         CASE WHEN n > 1 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) > 0
+      |              THEN floor(((CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+      |                          / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))) * 10000 + 0.5) / 10000
+      |              ELSE 0.0 END AS zr
+      |  FROM w)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+      |       CAST(dow AS BIGINT) AS dow,
+      |       CAST(cents AS DOUBLE) / 100 AS day_value,
+      |       zr AS z_score, abs(zr) > 2.0 AS is_anomaly
+      |FROM z""".stripMargin
+
+  /** LTV1 — cohort LTV curves ([[graft.operators.Analytics.cohortLtv]]):
+    * per (first-seen cohort week, week offset), the week's purchase
+    * revenue, cumulative revenue-to-date and distinct purchasers —
+    * retention's revenue twin, cent-exact end to end. */
+  val ltv1CohortLtv: Q = (s, d) =>
+    graft.operators.Analytics.cohortLtv(Tables.events(s, d))
+
+  val ltv1CohortLtvSql: String =
+    """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+      |           FROM events GROUP BY user_id),
+      |wk AS (SELECT e.user_id, date_trunc('week', e.ts) AS w,
+      |              CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |       FROM events e WHERE e.event_type = 'purchase'),
+      |g AS (SELECT f.cw,
+      |             CAST(datediff('day', f.cw, wk.w) / 7 AS BIGINT) AS week_offset,
+      |             sum(cents) AS wc,
+      |             CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_purchasers
+      |      FROM wk JOIN f ON wk.user_id = f.user_id GROUP BY 1, 2)
+      |SELECT strftime(CAST(cw AS TIMESTAMP), '%Y-%m-%d') AS cohort_week,
+      |       week_offset,
+      |       CAST(wc AS DOUBLE) / 100 AS week_revenue,
+      |       CAST(sum(wc) OVER (PARTITION BY cw ORDER BY week_offset
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS cum_revenue,
+      |       n_purchasers
+      |FROM g""".stripMargin
+
   /** HIST1 — 20-bin equi-width histogram of order totals
     * ([[graft.operators.Analytics.equiWidthHistogram]]): bounds from a
     * 1-row aggregate broadcast in-DAG, binning as one map-side count. */
@@ -3236,6 +3301,70 @@ object Queries {
        |            THEN floor(((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd))) * 10000 + 0.5) / 10000
        |            ELSE 0.0 END AS z_score
        |FROM dd""".stripMargin
+  }
+
+  /** EXP2 — CUPED-adjusted A/B readout
+    * ([[graft.operators.Analytics.cupedAbTest]]): θ = cov(pre, post)/
+    * var(pre) over per-user purchase cents split at the time-range
+    * midpoint, each variant's post mean adjusted by −θ·(pre mean −
+    * global pre mean). Exact decimal moments, fixed-formula doubles, and
+    * an integer-micros midpoint — the full oracle hash-matches. */
+  val exp2CupedAbTest: Q = (s, d) =>
+    graft.operators.Analytics.cupedAbTest(Tables.events(s, d))
+
+  val exp2CupedAbTestSql: String = {
+    val bucket = md5BucketSql("CAST(user_id AS VARCHAR)")
+    def d19(x: String) = s"CAST($x AS DECIMAL(19,0))"
+    s"""WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+       |                  max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1 FROM events),
+       |e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type,
+       |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |      FROM events),
+       |u AS (SELECT user_id,
+       |             coalesce(sum(CASE WHEN event_type = 'purchase' AND us < t0 + (t1 - t0) // 2 THEN cents END), 0) AS x,
+       |             coalesce(sum(CASE WHEN event_type = 'purchase' AND us >= t0 + (t1 - t0) // 2 THEN cents END), 0) AS y
+       |      FROM e CROSS JOIN b GROUP BY user_id),
+       |v AS (SELECT x, y, CASE WHEN $bucket < 5000 THEN 'A' ELSE 'B' END AS variant
+       |      FROM u),
+       |m AS (SELECT count(*) AS n,
+       |             sum(${d19("x")}) AS sx, sum(${d19("y")}) AS sy,
+       |             sum(${d19("x")} * ${d19("x")}) AS sxx,
+       |             sum(${d19("x")} * ${d19("y")}) AS sxy,
+       |             CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |             sum(CASE WHEN variant = 'A' THEN ${d19("x")} ELSE ${d19("0")} END) AS sxa,
+       |             sum(CASE WHEN variant = 'A' THEN ${d19("y")} ELSE ${d19("0")} END) AS sya,
+       |             CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |             sum(CASE WHEN variant = 'B' THEN ${d19("x")} ELSE ${d19("0")} END) AS sxb,
+       |             sum(CASE WHEN variant = 'B' THEN ${d19("y")} ELSE ${d19("0")} END) AS syb
+       |      FROM v),
+       |d AS (SELECT n, n_a, n_b,
+       |             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+       |             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+       |             CAST(sxy AS DOUBLE) AS sxyd,
+       |             CAST(sxa AS DOUBLE) AS sxad, CAST(sya AS DOUBLE) AS syad,
+       |             CAST(sxb AS DOUBLE) AS sxbd, CAST(syb AS DOUBLE) AS sybd
+       |      FROM m),
+       |t AS (SELECT *,
+       |             sxxd - sxd * sxd / nd AS varx,
+       |             (sxyd - sxd * syd / nd) / (sxxd - sxd * sxd / nd) AS th,
+       |             sxd / nd AS xbar
+       |      FROM d)
+       |SELECT n_a, n_b,
+       |       CASE WHEN n > 1 AND varx > 0
+       |            THEN floor(th * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS theta,
+       |       CASE WHEN n_a > 0
+       |            THEN floor((syad / CAST(n_a AS DOUBLE) / 100) * 10000 + 0.5) / 10000
+       |            ELSE 0.0 END AS raw_a,
+       |       CASE WHEN n_b > 0
+       |            THEN floor((sybd / CAST(n_b AS DOUBLE) / 100) * 10000 + 0.5) / 10000
+       |            ELSE 0.0 END AS raw_b,
+       |       CASE WHEN n_a > 0 AND n > 1 AND varx > 0
+       |            THEN floor(((syad / CAST(n_a AS DOUBLE) - th * (sxad / CAST(n_a AS DOUBLE) - xbar)) / 100) * 10000 + 0.5) / 10000
+       |            ELSE 0.0 END AS adj_a,
+       |       CASE WHEN n_b > 0 AND n > 1 AND varx > 0
+       |            THEN floor(((sybd / CAST(n_b AS DOUBLE) - th * (sxbd / CAST(n_b AS DOUBLE) - xbar)) / 100) * 10000 + 0.5) / 10000
+       |            ELSE 0.0 END AS adj_b
+       |FROM t""".stripMargin
   }
 
   /** PR1 — PageRank over the nation-level trade graph: edges are each
@@ -4215,6 +4344,8 @@ object Queries {
     "ret1_retention" -> ret1Retention,
     "ts1_gap_fill" -> ts1GapFill,
     "anom1_daily_zscore" -> anom1Zscore,
+    "anom2_seasonal_zscore" -> anom2Seasonal,
+    "ltv1_cohort_ltv" -> ltv1CohortLtv,
     "hist1_equiwidth" -> hist1Histogram,
     "corr1_profile" -> corr1Profile,
     "smp3_stratified_cap" -> smp3StratifiedCap,
@@ -4226,6 +4357,7 @@ object Queries {
     "path1_transitions" -> path1Transitions,
     "nu1_new_users" -> nu1NewUsers,
     "exp1_ab_test" -> exp1AbTest,
+    "exp2_cuped" -> exp2CupedAbTest,
     "pr1_pagerank" -> pr1Pagerank,
     "roll1_rolling_active" -> roll1Rolling,
     "roll2_rolling_approx" -> roll2RollingApprox,
@@ -4385,6 +4517,8 @@ object Queries {
     "ret1_retention" -> ret1RetentionSql,
     "ts1_gap_fill" -> ts1GapFillSql,
     "anom1_daily_zscore" -> anom1ZscoreSql,
+    "anom2_seasonal_zscore" -> anom2SeasonalSql,
+    "ltv1_cohort_ltv" -> ltv1CohortLtvSql,
     "hist1_equiwidth" -> hist1HistogramSql,
     "corr1_profile" -> corr1ProfileSql,
     "smp3_stratified_cap" -> smp3StratifiedCapSql,
@@ -4396,6 +4530,7 @@ object Queries {
     "path1_transitions" -> path1TransitionsSql,
     "nu1_new_users" -> nu1NewUsersSql,
     "exp1_ab_test" -> exp1AbTestSql,
+    "exp2_cuped" -> exp2CupedAbTestSql,
     "pr1_pagerank" -> pr1PagerankSql,
     "roll1_rolling_active" -> roll1RollingSql,
     "roll2_rolling_approx" -> roll2RollingApproxSql,
@@ -4477,10 +4612,11 @@ object Queries {
     "tok1_vocab_encode", "g3_grouping_sets", "funnel1_conversion", "kll1_quantile_rollup",
     "theta1_set_overlap", "cms1_freq_rollup", "dc2_decontaminate_bloom",
     "emb3_random_projection", "dq1_integrity_audit",
-    "ret1_retention", "ts1_gap_fill", "anom1_daily_zscore", "hist1_equiwidth",
+    "ret1_retention", "ts1_gap_fill", "anom1_daily_zscore",
+    "anom2_seasonal_zscore", "ltv1_cohort_ltv", "hist1_equiwidth",
     "corr1_profile", "smp3_stratified_cap", "smp4_weighted_sample",
     "mb1_market_basket", "pmi1_collocations", "lm1_surprisal",
-    "path1_transitions", "nu1_new_users", "exp1_ab_test", "pr1_pagerank",
+    "path1_transitions", "nu1_new_users", "exp1_ab_test", "exp2_cuped", "pr1_pagerank",
     "roll1_rolling_active", "roll2_rolling_approx", "seg1_rfm", "mm3_audio_decode", "asof2_windowed",
     "cdc2_apply_deletes", "pca1_power_iteration", "kmeans1_lloyd", "d9_semantic_dedup",
     "mix2_target_mix", "pat1_sequence_match", "tri1_triangles",

@@ -43,6 +43,41 @@ object Analytics {
         col("week_offset"), col("n_active"))
   }
 
+  /** Cohort LTV curves — [[retentionCohorts]]'s revenue twin: users grouped
+    * by first-seen week; for each (cohort_week, week_offset) the week's
+    * purchase revenue, the cumulative revenue-to-date, and the number of
+    * distinct purchasers — the payback-curve grid next to every retention
+    * dashboard. Offsets with no purchases emit nothing (the grid is
+    * sparse, like the retention grid); the CUMULATIVE column still jumps
+    * correctly because the running sum orders by offset within the cohort.
+    *
+    * Shape: one agg keyed on user (first week), one join back on user_id,
+    * one (cohort, offset) aggregation — cent-exact longs end to end, the
+    * running sum is a cohort-partitioned window over the tiny grid, and
+    * the only doubles are final ÷100 displays. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val wk = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .join(firsts, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("w"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(sum(col("cents")).as("wc"),
+        count_distinct(col("user_id")).as("n_purchasers"))
+    val cum = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wk.withColumn("cc", sum(col("wc")).over(cum))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"),
+        (col("wc").cast("double") / 100).as("week_revenue"),
+        (col("cc").cast("double") / 100).as("cum_revenue"),
+        col("n_purchasers"))
+  }
+
   /** Daily per-type activity on a continuous date spine: missing days
     * appear with zero counts, and `last_seen_value` carries the most
     * recent real daily total forward (LOCF). The spine is built in-DAG
@@ -149,6 +184,46 @@ object Analytics {
       .withColumn("zr", when(col("n") > 1 && variance > 0,
         portableRound(z, 4)).otherwise(lit(0.0)))
       .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("cents").cast("double") / 100).as("day_value"),
+        col("zr").as("z_score"),
+        (abs(col("zr")) > zThreshold).as("is_anomaly"))
+  }
+
+  /** [[dailyAnomalies]]'s SEASONAL twin: each day scores against the
+    * trailing same-WEEKDAY baseline (this Monday vs the previous `weeks−1`
+    * Mondays) instead of the previous 7 calendar days — the shape that
+    * separates "weekends are always low" from a genuinely anomalous
+    * weekend. The weekday key is `epoch_day mod 7` (engine-portable; both
+    * engines agree on epoch-day arithmetic where locale-dependent
+    * DAYOFWEEK would drift), and the day-valued RANGE frame ages sparse
+    * keys out exactly like the batch anom1 frame. Same exact-cents +
+    * fixed-formula discipline, so the oracle hash-matches. */
+  def dailyAnomaliesSeasonal(events: DataFrame, weeks: Int = 4,
+                             zThreshold: Double = 2.0): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+      .withColumn("eday",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("dow", pmod(col("eday"), lit(7L)))
+    val w = Window.partitionBy(col("event_type"), col("dow"))
+      .orderBy(col("eday"))
+      .rangeBetween(-(7L * (weeks - 1)), Window.currentRow)
+    val c = col("cents").cast("decimal(19,0)")
+    val stats = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(c).over(w))
+      .withColumn("s2", sum(c * c).over(w))
+    val nD = col("n").cast("double")
+    val s1D = col("s1").cast("double")
+    val s2D = col("s2").cast("double")
+    val mean = s1D / nD
+    val variance = (s2D - s1D * s1D / nD) / (nD - 1)
+    val z = (col("cents").cast("double") - mean) / sqrt(variance)
+    stats
+      .withColumn("zr", when(col("n") > 1 && variance > 0,
+        portableRound(z, 4)).otherwise(lit(0.0)))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dow"),
         (col("cents").cast("double") / 100).as("day_value"),
         col("zr").as("z_score"),
         (abs(col("zr")) > zThreshold).as("is_anomaly"))
@@ -419,6 +494,73 @@ object Analytics {
       // variance — report z = 0 instead of dividing by zero
       when(col("n_a") > 0 && col("n_b") > 0 && pooled > 0 && pooled < 1,
         portableRound(z, 4)).otherwise(lit(0.0)).as("z_score"))
+  }
+
+  /** CUPED-adjusted A/B readout (Controlled-experiment Using Pre-Existing
+    * Data): per user, purchase revenue splits into a PRE and POST period
+    * at the time-range midpoint; θ = cov(pre, post)/var(pre) over all
+    * users, and each variant's post-period mean is adjusted by
+    * −θ·(pre_mean − global pre_mean) — the industry-standard variance
+    * reduction that tightens experiment confidence intervals for free.
+    *
+    * One user-keyed aggregation + ONE 1-row moment aggregate; every moment
+    * is an exact decimal of cent-longs (order-free under any layout), and
+    * θ/means are fixed-formula doubles — the oracle replays them digit for
+    * digit. The midpoint uses integer micros arithmetic (`div`, not float
+    * division), so the pre/post boundary cannot flip between engines. */
+  def cupedAbTest(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val e = events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+      col("event_type"), cents.as("cents"))
+    val bounds = e.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+    val users = e.crossJoin(broadcast(bounds))
+      .withColumn("mid", col("t0") + expr("(t1 - t0) div 2"))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase" && col("us") < col("mid"),
+          col("cents"))), lit(0L)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase" && col("us") >= col("mid"),
+          col("cents"))), lit(0L)).as("y"))
+      .withColumn("variant",
+        when(Sampling.hashBucket(col("user_id")) < 5000, "A").otherwise("B"))
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    val isA = col("variant") === "A"
+    val m = users.agg(
+      count(lit(1)).as("n"),
+      sum(d19(col("x"))).as("sx"), sum(d19(col("y"))).as("sy"),
+      sum(d19(col("x")) * d19(col("x"))).as("sxx"),
+      sum(d19(col("x")) * d19(col("y"))).as("sxy"),
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(isA, d19(col("x"))).otherwise(lit(0L).cast("decimal(19,0)"))).as("sxa"),
+      sum(when(isA, d19(col("y"))).otherwise(lit(0L).cast("decimal(19,0)"))).as("sya"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!isA, d19(col("x"))).otherwise(lit(0L).cast("decimal(19,0)"))).as("sxb"),
+      sum(when(!isA, d19(col("y"))).otherwise(lit(0L).cast("decimal(19,0)"))).as("syb"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val sxxD = col("sxx").cast("double"); val sxyD = col("sxy").cast("double")
+    val varX = sxxD - sxD * sxD / nD
+    val theta = (sxyD - sxD * syD / nD) / varX
+    val xbar = sxD / nD
+    def adj(sy: Column, sx: Column, nv: Column): Column = {
+      val nvD = nv.cast("double")
+      (sy.cast("double") / nvD - theta * (sx.cast("double") / nvD - xbar)) / 100
+    }
+    def raw(sy: Column, nv: Column): Column =
+      sy.cast("double") / nv.cast("double") / 100
+    m.select(col("n_a"), col("n_b"),
+      when(col("n") > 1 && varX > 0, portableRound(theta, 6))
+        .otherwise(lit(0.0)).as("theta"),
+      when(col("n_a") > 0, portableRound(raw(col("sya"), col("n_a")), 4))
+        .otherwise(lit(0.0)).as("raw_a"),
+      when(col("n_b") > 0, portableRound(raw(col("syb"), col("n_b")), 4))
+        .otherwise(lit(0.0)).as("raw_b"),
+      when(col("n_a") > 0 && col("n") > 1 && varX > 0,
+        portableRound(adj(col("sya"), col("sxa"), col("n_a")), 4))
+        .otherwise(lit(0.0)).as("adj_a"),
+      when(col("n_b") > 0 && col("n") > 1 && varX > 0,
+        portableRound(adj(col("syb"), col("sxb"), col("n_b")), 4))
+        .otherwise(lit(0.0)).as("adj_b"))
   }
 
   /** Market-basket pair mining: for every unordered pair of items that

@@ -246,6 +246,67 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("cupedAbTest: perfect pre/post correlation gives theta = 1; no pre-signal gives raw = adj") {
+    // each user repeats the same purchase in both halves -> y = x exactly,
+    // so cov(x,y) = var(x) and theta rounds to exactly 1.0
+    val mirrored = ev(
+      (1L, "2024-01-01 10:00:00", "purchase", 10.0),
+      (1L, "2024-01-09 10:00:00", "purchase", 10.0),
+      (2L, "2024-01-01 10:00:00", "purchase", 50.0),
+      (2L, "2024-01-09 10:00:00", "purchase", 50.0),
+      (3L, "2024-01-01 10:00:00", "purchase", 200.0),
+      (3L, "2024-01-09 10:00:00", "purchase", 200.0))
+    val r1 = Analytics.cupedAbTest(mirrored).collect()(0)
+    assert(r1.getDouble(2) == 1.0, s"theta ${r1.getDouble(2)}")
+    // all revenue in the post period -> var(pre) = 0 -> theta 0 and the
+    // adjustment is a no-op (adj falls back to 0 by the guard)
+    val postOnly = ev(
+      (1L, "2024-01-09 10:00:00", "purchase", 10.0),
+      (2L, "2024-01-09 11:00:00", "purchase", 50.0),
+      (3L, "2024-01-01 10:00:00", "view", 1.0)) // fixes t0 in the pre half
+    val r2 = Analytics.cupedAbTest(postOnly).collect()(0)
+    assert(r2.getDouble(2) == 0.0)
+    assert(r2.getDouble(5) == 0.0 && r2.getDouble(6) == 0.0) // adj guarded off
+  }
+
+  test("dailyAnomaliesSeasonal: baseline is same-weekday only; calendar neighbors don't enter") {
+    // Mondays at 100, one spiking Monday; the Tuesdays in between sit at
+    // 5000 — a calendar-trailing baseline (anom1) would absorb them, the
+    // seasonal baseline must not
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 100.0), // Mon
+      (1L, "2024-01-02 10:00:00", "view", 5000.0), // Tue
+      (1L, "2024-01-08 10:00:00", "view", 100.0), // Mon
+      (1L, "2024-01-09 10:00:00", "view", 5000.0), // Tue
+      (1L, "2024-01-15 10:00:00", "view", 160.0)) // Mon, mild spike
+    val got = Analytics.dailyAnomaliesSeasonal(events)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getDouble(4))).toMap
+    // all three Mondays share one dow key; Tuesdays another
+    assert(got("2024-01-01")._1 == got("2024-01-08")._1)
+    assert(got("2024-01-01")._1 != got("2024-01-02")._1)
+    // first obs of each weekday: n = 1 -> z = 0
+    assert(got("2024-01-01")._2 == 0.0 && got("2024-01-02")._2 == 0.0)
+    // the third Monday scores against {100, 100, 160}: clearly positive,
+    // and the 5000-value Tuesdays never entered the baseline (if they
+    // had, 160 would be far BELOW the mean and z would be negative)
+    assert(got("2024-01-15")._2 > 0.0, got.toString)
+  }
+
+  test("cohortLtv: cumulative revenue accumulates across sparse offsets") {
+    // user 1: cohort wk0, purchases wk0 (10.00) and wk2 (5.00) — offset 1
+    // missing entirely; user 2 joins wk0 with views only -> no LTV rows
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "purchase", 10.0),
+      (1L, "2024-01-17 10:00:00", "purchase", 5.0),
+      (2L, "2024-01-03 10:00:00", "view", 999.0))
+    val got = Analytics.cohortLtv(events)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq.sortBy(t => (t._1, t._2))
+    assert(got == Seq(
+      ("2024-01-01", 0L, 10.0, 10.0, 1L),
+      ("2024-01-01", 2L, 5.0, 15.0, 1L)))
+  }
+
   test("marketBasketPairs: counts, support and lift on a known basket set") {
     // baskets: {1,2} {1,2} {3,4} {3,4} {1,3}; the duplicate (b10, item 1)
     // row must collapse — pair counts are over distinct basket membership
