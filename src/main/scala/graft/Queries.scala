@@ -3367,6 +3367,197 @@ object Queries {
        |FROM t""".stripMargin
   }
 
+  /** TT1 — Welch's unequal-variance t-test
+    * ([[graft.operators.Analytics.welchTTest]]) between the deterministic
+    * A/B split on per-user purchase revenue: t statistic +
+    * Welch–Satterthwaite df from one exact-decimal moment aggregate. */
+  val tt1WelchTTest: Q = (s, d) =>
+    graft.operators.Analytics.welchTTest(Tables.events(s, d))
+
+  val tt1WelchTTestSql: String = {
+    val bucket = md5BucketSql("CAST(user_id AS VARCHAR)")
+    def d19(x: String) = s"CAST($x AS DECIMAL(19,0))"
+    s"""WITH u AS (SELECT user_id,
+       |                  sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+       |           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |v AS (SELECT x, CASE WHEN $bucket < 5000 THEN 'A' ELSE 'B' END AS variant
+       |      FROM u),
+       |m AS (SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |             sum(CASE WHEN variant = 'A' THEN ${d19("x")} ELSE ${d19("0")} END) AS s_a,
+       |             sum(CASE WHEN variant = 'A' THEN ${d19("x")} * ${d19("x")} ELSE ${d19("0")} END) AS ss_a,
+       |             CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |             sum(CASE WHEN variant = 'B' THEN ${d19("x")} ELSE ${d19("0")} END) AS s_b,
+       |             sum(CASE WHEN variant = 'B' THEN ${d19("x")} * ${d19("x")} ELSE ${d19("0")} END) AS ss_b
+       |      FROM v),
+       |t AS (SELECT n_a, n_b,
+       |             CAST(n_a AS DOUBLE) AS nad, CAST(s_a AS DOUBLE) AS sad,
+       |             CAST(ss_a AS DOUBLE) AS ssad,
+       |             CAST(n_b AS DOUBLE) AS nbd, CAST(s_b AS DOUBLE) AS sbd,
+       |             CAST(ss_b AS DOUBLE) AS ssbd
+       |      FROM m),
+       |f AS (SELECT n_a, n_b, nad, nbd, sad / nad AS ma, sbd / nbd AS mb,
+       |             (ssad - sad * sad / nad) / (nad - 1.0) AS va,
+       |             (ssbd - sbd * sbd / nbd) / (nbd - 1.0) AS vb
+       |      FROM t),
+       |g AS (SELECT *, va / nad + vb / nbd AS se2 FROM f)
+       |SELECT n_a, n_b,
+       |       CASE WHEN n_a > 0 THEN floor((ma / 100) * 10000 + 0.5) / 10000
+       |            ELSE 0.0 END AS mean_a,
+       |       CASE WHEN n_b > 0 THEN floor((mb / 100) * 10000 + 0.5) / 10000
+       |            ELSE 0.0 END AS mean_b,
+       |       CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+       |            THEN floor(((ma - mb) / sqrt(se2)) * 10000 + 0.5) / 10000
+       |            ELSE 0.0 END AS t_stat,
+       |       CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+       |            THEN floor((se2 * se2 / ((va / nad) * (va / nad) / (nad - 1.0)
+       |                                     + (vb / nbd) * (vb / nbd) / (nbd - 1.0))) * 100 + 0.5) / 100
+       |            ELSE 0.0 END AS welch_df
+       |FROM g""".stripMargin
+  }
+
+  /** CP1 — single mean-shift changepoint per event-type daily series
+    * ([[graft.operators.Analytics.meanShiftChangepoint]]): argmax over
+    * split points of `|meanL − meanR|·sqrt(i(n−i)/n)`, ties to the
+    * earliest day; reports the split day and both segment means. */
+  val cp1Changepoint: Q = (s, d) =>
+    graft.operators.Analytics.meanShiftChangepoint(Tables.events(s, d))
+
+  val cp1ChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day,
+      |         count(*) OVER pre AS i,
+      |         sum(CAST(cents AS DECIMAL(19,0))) OVER pre AS sp,
+      |         count(*) OVER alln AS n,
+      |         sum(CAST(cents AS DECIMAL(19,0))) OVER alln AS st
+      |  FROM daily
+      |  WINDOW pre AS (PARTITION BY event_type ORDER BY day
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         alln AS (PARTITION BY event_type)),
+      |s AS (
+      |  SELECT event_type, day, i, n,
+      |         CAST(sp AS DOUBLE) / CAST(i AS DOUBLE) AS ml,
+      |         CAST(st - sp AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)) AS mr
+      |  FROM w WHERE i < n),
+      |z AS (
+      |  SELECT event_type, day, i, n, ml, mr,
+      |         floor((abs(ml - mr) * sqrt(CAST(i AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)) / CAST(n AS DOUBLE)) / 100) * 10000 + 0.5) / 10000 AS stat
+      |  FROM s),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |                               ORDER BY stat DESC, day ASC) AS rn
+      |  FROM z)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS change_after_day,
+      |       stat AS shift_stat,
+      |       floor((ml / 100) * 10000 + 0.5) / 10000 AS mean_before,
+      |       floor((mr / 100) * 10000 + 0.5) / 10000 AS mean_after,
+      |       i AS n_before, n - i AS n_after
+      |FROM r WHERE rn = 1""".stripMargin
+
+  /** ER1 — blocked fuzzy-match entity resolution
+    * ([[graft.operators.Linkage.blockedFuzzyMatch]]): same-brand part
+    * pairs within Levenshtein distance 2 of each other's names, via
+    * brand blocking + length prefilter + codegen'd edit-distance DP. */
+  val er1FuzzyMatch: Q = (s, d) =>
+    graft.operators.Linkage.blockedFuzzyMatch(
+      Tables.part(s, d), "p_brand", "p_partkey", "p_name", maxDist = 2)
+
+  val er1FuzzyMatchSql: String =
+    """SELECT a.p_brand AS block, a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |       a.p_name AS name_a, b.p_name AS name_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
+
+  /** SKEW1 — join-key skew audit on orders.o_custkey
+    * ([[graft.operators.Layout.joinKeySkewAudit]]): rows-per-key profile
+    * (max/mean/skew ratio/top-10 share) and the salt factor a salted join
+    * of this key would need. */
+  val skew1KeySkew: Q = (s, d) =>
+    graft.operators.Layout.joinKeySkewAudit(Tables.orders(s, d), "o_custkey")
+
+  val skew1KeySkewSql: String =
+    """WITH c AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |             CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |             CAST(max(cnt) AS BIGINT) AS max_cnt
+      |      FROM c),
+      |top AS (SELECT CAST(sum(cnt) AS BIGINT) AS top_cnt
+      |        FROM (SELECT cnt FROM c ORDER BY cnt DESC, k ASC LIMIT 10))
+      |SELECT n_keys, n_rows, max_cnt,
+      |       floor((CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) * 10000 + 0.5) / 10000 AS mean_cnt,
+      |       floor((CAST(max_cnt AS DOUBLE) / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))) * 10000 + 0.5) / 10000 AS skew_ratio,
+      |       floor((CAST(top_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS top10_share,
+      |       CAST(ceil(CAST(max_cnt AS DOUBLE) / 1000) AS BIGINT) AS salt_factor
+      |FROM t CROSS JOIN top""".stripMargin
+
+  /** QN1 — per-(lang, source) quantile normalization of document length
+    * ([[graft.operators.Curation.quantileNormalize]]): each doc's
+    * n_chars becomes its empirical CDF position inside its stratum —
+    * the scale-free curriculum/mixing signal. */
+  val qn1QuantileNormalize: Q = (s, d) =>
+    graft.operators.Curation.quantileNormalize(
+      Tables.documents(s, d), Seq("lang", "source"), "n_chars")
+      .select("doc_id", "lang", "source", "n_chars", "qn")
+
+  val qn1QuantileNormalizeSql: String =
+    """SELECT doc_id, lang, source, n_chars,
+      |       CASE WHEN count(*) OVER (PARTITION BY lang, source) > 1
+      |            THEN floor((CAST(rank() OVER (PARTITION BY lang, source ORDER BY n_chars) - 1 AS DOUBLE)
+      |                        / CAST(count(*) OVER (PARTITION BY lang, source) - 1 AS DOUBLE)) * 1000000 + 0.5) / 1000000
+      |            ELSE 0.0 END AS qn
+      |FROM documents""".stripMargin
+
+  /** DP1 — ε-differentially-private per-type distinct-user counts
+    * ([[graft.operators.Privacy.privateGroupCounts]]): Laplace(1/ε)
+    * noise from the seeded engine-portable hash (inverse-CDF), so the
+    * release is reproducible and oracle-replayable. */
+  val dp1PrivateCounts: Q = (s, d) =>
+    graft.operators.Privacy.privateGroupCounts(Tables.events(s, d))
+
+  val dp1PrivateCountsSql: String = {
+    val bucket = md5BucketSql("'dp-release-0' || ':' || event_type")
+    s"""WITH g AS (SELECT event_type,
+       |                  CAST(count(DISTINCT user_id) AS BIGINT) AS n
+       |           FROM events GROUP BY 1),
+       |b AS (SELECT event_type, n,
+       |             (CAST($bucket AS DOUBLE) + 0.5) / 10000.0 - 0.5 AS v
+       |      FROM g)
+       |SELECT event_type,
+       |       floor((CAST(n AS DOUBLE) + (-1.0) * sign(v) * ln(1.0 - abs(v) * 2.0)) * 10000 + 0.5) / 10000 AS noisy_users,
+       |       1.0 AS epsilon
+       |FROM b""".stripMargin
+  }
+
+  /** IVM1 — incremental view maintenance
+    * ([[graft.operators.Incremental.mergeAggDeltas]]): the per-customer
+    * order rollup maintained as base-aggregate ⊎ delta-aggregate (orders
+    * split at a date), never rescanned; the oracle is the FULL-SCAN
+    * aggregate, so the hash match proves the merge algebra exactly. */
+  val ivm1DeltaAgg: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    def agg(df: DataFrame) = df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    val split = to_timestamp(lit("1997-01-01 00:00:00"))
+    val view = graft.operators.Incremental.mergeAggDeltas(
+      agg(o.filter(col("o_orderdate") < split)),
+      agg(o.filter(col("o_orderdate") >= split)),
+      Seq("o_custkey"), "n_orders", Seq("sum_cents"))
+    view.select(col("o_custkey"), col("n_orders"),
+      (col("sum_cents").cast("double") / 100).as("total_price"))
+  }
+
+  val ivm1DeltaAggSql: String =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 AS total_price
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** PR1 — PageRank over the nation-level trade graph: edges are each
     * nation's top-5 supplier nations by order volume (sparsified on the
     * native top-k-per-key operator), ranks from 5 bulk-synchronous
@@ -4358,6 +4549,13 @@ object Queries {
     "nu1_new_users" -> nu1NewUsers,
     "exp1_ab_test" -> exp1AbTest,
     "exp2_cuped" -> exp2CupedAbTest,
+    "tt1_welch_ttest" -> tt1WelchTTest,
+    "cp1_changepoint" -> cp1Changepoint,
+    "er1_fuzzy_match" -> er1FuzzyMatch,
+    "skew1_key_skew" -> skew1KeySkew,
+    "qn1_quantile_normalize" -> qn1QuantileNormalize,
+    "dp1_private_counts" -> dp1PrivateCounts,
+    "ivm1_delta_agg" -> ivm1DeltaAgg,
     "pr1_pagerank" -> pr1Pagerank,
     "roll1_rolling_active" -> roll1Rolling,
     "roll2_rolling_approx" -> roll2RollingApprox,
@@ -4531,6 +4729,13 @@ object Queries {
     "nu1_new_users" -> nu1NewUsersSql,
     "exp1_ab_test" -> exp1AbTestSql,
     "exp2_cuped" -> exp2CupedAbTestSql,
+    "tt1_welch_ttest" -> tt1WelchTTestSql,
+    "cp1_changepoint" -> cp1ChangepointSql,
+    "er1_fuzzy_match" -> er1FuzzyMatchSql,
+    "skew1_key_skew" -> skew1KeySkewSql,
+    "qn1_quantile_normalize" -> qn1QuantileNormalizeSql,
+    "dp1_private_counts" -> dp1PrivateCountsSql,
+    "ivm1_delta_agg" -> ivm1DeltaAggSql,
     "pr1_pagerank" -> pr1PagerankSql,
     "roll1_rolling_active" -> roll1RollingSql,
     "roll2_rolling_approx" -> roll2RollingApproxSql,
@@ -4616,7 +4821,10 @@ object Queries {
     "anom2_seasonal_zscore", "ltv1_cohort_ltv", "hist1_equiwidth",
     "corr1_profile", "smp3_stratified_cap", "smp4_weighted_sample",
     "mb1_market_basket", "pmi1_collocations", "lm1_surprisal",
-    "path1_transitions", "nu1_new_users", "exp1_ab_test", "exp2_cuped", "pr1_pagerank",
+    "path1_transitions", "nu1_new_users", "exp1_ab_test", "exp2_cuped",
+    "tt1_welch_ttest", "cp1_changepoint", "er1_fuzzy_match",
+    "skew1_key_skew", "qn1_quantile_normalize", "dp1_private_counts",
+    "ivm1_delta_agg", "pr1_pagerank",
     "roll1_rolling_active", "roll2_rolling_approx", "seg1_rfm", "mm3_audio_decode", "asof2_windowed",
     "cdc2_apply_deletes", "pca1_power_iteration", "kmeans1_lloyd", "d9_semantic_dedup",
     "mix2_target_mix", "pat1_sequence_match", "tri1_triangles",

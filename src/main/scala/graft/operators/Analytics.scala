@@ -563,6 +563,91 @@ object Analytics {
         .otherwise(lit(0.0)).as("adj_b"))
   }
 
+  /** Single mean-shift changepoint per event-type daily series (binary
+    * segmentation's first split): for every candidate split after day i,
+    * the statistic `|mean_left − mean_right| · sqrt(i·(n−i)/n)` — the
+    * CUSUM-equivalent normalization that doesn't reward splitting off one
+    * wild day — and the argmax split wins. The day reported is the LAST
+    * day of the left segment ("the level changed after this day").
+    *
+    * Shape: one daily aggregation, then two windows over the tiny per-key
+    * grid (a running prefix sum and a whole-partition total); the argmax
+    * is a row_number over the ROUNDED statistic (ties → earliest day), so
+    * engine float agreement is by construction, not luck. Recursing on the
+    * two halves gives full binary segmentation; each level is this same
+    * operator on a keyed sub-range. */
+  def meanShiftChangepoint(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+    val wPre = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = col("cents").cast("decimal(19,0)")
+    val grid = daily
+      .withColumn("i", count(lit(1)).over(wPre))
+      .withColumn("sp", sum(c).over(wPre))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("st", sum(c).over(wAll))
+      .filter(col("i") < col("n")) // split must leave a non-empty right side
+    val iD = col("i").cast("double"); val nD = col("n").cast("double")
+    val meanL = col("sp").cast("double") / iD
+    val meanR = (col("st") - col("sp")).cast("double") / (nD - iD)
+    val stat = abs(meanL - meanR) * sqrt(iD * (nD - iD) / nD) / 100
+    val scored = grid.withColumn("stat", portableRound(stat, 4))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(col("stat").desc, col("day").asc)
+    scored.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("change_after_day"),
+        col("stat").as("shift_stat"),
+        portableRound(meanL / 100, 4).as("mean_before"),
+        portableRound(meanR / 100, 4).as("mean_after"),
+        col("i").as("n_before"), (col("n") - col("i")).as("n_after"))
+  }
+
+  /** Welch's unequal-variance t-test between the deterministic A/B split
+    * on per-user purchase revenue: t statistic and Welch–Satterthwaite
+    * degrees of freedom, the readout that goes next to [[cupedAbTest]]'s
+    * adjusted means. One user-keyed agg + ONE 1-row moment aggregate
+    * (exact decimal sums of cent-longs), then fixed-formula doubles — the
+    * oracle replays every digit. Degenerate inputs (a one-user variant,
+    * zero variance) report 0 rather than NaN. */
+  def welchTTest(events: DataFrame): DataFrame = {
+    val users = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .withColumn("variant",
+        when(Sampling.hashBucket(col("user_id")) < 5000, "A").otherwise("B"))
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val isA = col("variant") === "A"
+    def side(p: org.apache.spark.sql.Column, tag: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(p, d19(col("x"))).otherwise(lit(0L).cast("decimal(19,0)"))).as(s"s_$tag"),
+      sum(when(p, d19(col("x")) * d19(col("x")))
+        .otherwise(lit(0L).cast("decimal(19,0)"))).as(s"ss_$tag"))
+    val agg = side(isA, "a") ++ side(!isA, "b")
+    val m = users.agg(agg.head, agg.tail: _*)
+    def stats(tag: String) = {
+      val n = col(s"n_$tag").cast("double")
+      val s = col(s"s_$tag").cast("double")
+      val ss = col(s"ss_$tag").cast("double")
+      (n, s / n, (ss - s * s / n) / (n - 1.0))
+    }
+    val (na, ma, va) = stats("a"); val (nb, mb, vb) = stats("b")
+    val se2 = va / na + vb / nb
+    val t = (ma - mb) / sqrt(se2)
+    val dfW = se2 * se2 /
+      ((va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0))
+    val ok = col("n_a") > 1 && col("n_b") > 1 && se2 > 0
+    m.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0, portableRound(ma / 100, 4)).otherwise(0.0).as("mean_a"),
+      when(col("n_b") > 0, portableRound(mb / 100, 4)).otherwise(0.0).as("mean_b"),
+      when(ok, portableRound(t, 4)).otherwise(0.0).as("t_stat"),
+      when(ok, portableRound(dfW, 2)).otherwise(0.0).as("welch_df"))
+  }
+
   /** Market-basket pair mining: for every unordered pair of items that
     * co-occur in at least `minCount` baskets, the co-occurrence count,
     * support (share of baskets containing both) and lift (observed

@@ -246,4 +246,37 @@ object Curation {
           .when(col("_dg_prev") === col("_dg_cur"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** Quantile (rank) normalization of a numeric signal within strata:
+    * each row's value becomes its empirical CDF position
+    * `(rank − 1)/(n − 1)` inside its stratum — the scale-free form every
+    * curriculum/mixing policy wants ("the 90th-percentile-longest doc OF
+    * ITS SOURCE"), immune to the cross-source scale drift that breaks
+    * absolute thresholds. Ties share a rank (same value ⇒ same quantile,
+    * in both engines by SQL `rank()` semantics); a one-row stratum maps
+    * to 0. Computed with explicit rank/count windows rather than the
+    * engine's `percent_rank` so the n = 1 edge case is pinned by OUR
+    * formula, not each engine's.
+    *
+    * Scale shape: two frames over one stratum-keyed sort — rank and
+    * stratum size share the same exchange, values never leave their
+    * stratum, and the output is a projection (no data-width shuffle). A
+    * stratum is a (lang, source) shard, orders of magnitude smaller than
+    * the corpus; skew lives with the biggest source, which is exactly
+    * what [[Layout.joinKeySkewAudit]] measures. */
+  def quantileNormalize(df: DataFrame, strataCols: Seq[String],
+                        valueCol: String, outCol: String = "qn"): DataFrame = {
+    import graft.functions.portableRound
+    import org.apache.spark.sql.expressions.Window
+    val strata = strataCols.map(col)
+    val wRank = Window.partitionBy(strata: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(strata: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val n = count(lit(1)).over(wAll)
+    df.withColumn(outCol,
+      when(n > 1,
+        portableRound((rank().over(wRank) - 1).cast("double") /
+          (n - 1).cast("double"), 6))
+        .otherwise(0.0))
+  }
 }

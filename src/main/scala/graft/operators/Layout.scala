@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -108,5 +109,42 @@ object Layout {
     // constant column: every partition trivially spans the (zero-width)
     // global extent — report 1 (unclustered), not NaN
     if (global == 0.0) 1.0 else span / global
+  }
+
+  /** Join-key skew audit: the one-row distribution profile of rows-per-key
+    * that decides, BEFORE a 100 TB join runs, whether it needs salting —
+    * key count, row count, max and mean rows/key, skew ratio (max/mean),
+    * the row share held by the `topK` hottest keys, and the salt factor a
+    * salted join would need (`ceil(max_cnt / targetRowsPerKey)`, the fan-out
+    * [[graft.Queries]]' j8 applies). AQE's skew handling fixes one join at
+    * runtime; this audit is the planning-time signal that persists into the
+    * layout decision (bucket count, salt, broadcast).
+    *
+    * Shape: one count aggregation keyed on the join key, a top-K
+    * TakeOrdered over it (K rows to the driver-side plan, like any top-k),
+    * and a 1-row moment aggregate — the audit never shuffles data rows,
+    * only (key, count) pairs. All outputs are exact integers or
+    * fixed-formula rounded doubles; top-K ties cannot disturb the SUM of
+    * the K largest counts, so the oracle hash-matches. */
+  def joinKeySkewAudit(df: DataFrame, keyCol: String, topK: Int = 10,
+                       targetRowsPerKey: Long = 1000L): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    // orderBy+limit plans as TakeOrderedAndProject: per-partition top-K
+    // then a K-row merge — no single-partition window over all keys
+    val top = counts.orderBy(col("cnt").desc, col("k").asc).limit(topK)
+      .agg(sum(col("cnt")).as("top_cnt"))
+    val avg = col("n_rows").cast("double") / col("n_keys").cast("double")
+    totals.crossJoin(top).select(
+      col("n_keys"), col("n_rows"), col("max_cnt"),
+      portableRound(avg, 4).as("mean_cnt"),
+      portableRound(col("max_cnt").cast("double") / avg, 4).as("skew_ratio"),
+      portableRound(col("top_cnt").cast("double") / col("n_rows").cast("double"), 6)
+        .as(s"top${topK}_share"),
+      ceil(col("max_cnt").cast("double") / targetRowsPerKey).cast("long")
+        .as("salt_factor"))
   }
 }

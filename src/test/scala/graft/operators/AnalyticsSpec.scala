@@ -307,6 +307,61 @@ class AnalyticsSpec extends SparkTestBase {
       ("2024-01-01", 2L, 5.0, 15.0, 1L)))
   }
 
+  test("meanShiftChangepoint: finds the level shift, not the single outlier") {
+    // level 10 for 4 days, then 50 for 4 days: best split is after day 4;
+    // a per-day outlier on day 2 (value 11) must not win over the shift
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 10.0),
+      (1L, "2024-01-02 10:00:00", "view", 11.0),
+      (1L, "2024-01-03 10:00:00", "view", 10.0),
+      (1L, "2024-01-04 10:00:00", "view", 10.0),
+      (1L, "2024-01-05 10:00:00", "view", 50.0),
+      (1L, "2024-01-06 10:00:00", "view", 50.0),
+      (1L, "2024-01-07 10:00:00", "view", 50.0),
+      (1L, "2024-01-08 10:00:00", "view", 50.0))
+    val r = Analytics.meanShiftChangepoint(events).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getString(1) == "2024-01-04", row.toString) // last day of left
+    assert(row.getDouble(3) == 10.25 && row.getDouble(4) == 50.0) // means
+    assert(row.getLong(5) == 4L && row.getLong(6) == 4L)
+    // constant series: every split has stat 0 — ties resolve to day 1
+    val flat = ev(
+      (1L, "2024-02-01 10:00:00", "buy", 5.0),
+      (1L, "2024-02-02 10:00:00", "buy", 5.0),
+      (1L, "2024-02-03 10:00:00", "buy", 5.0))
+    val f = Analytics.meanShiftChangepoint(flat).collect()(0)
+    assert(f.getString(1) == "2024-02-01" && f.getDouble(2) == 0.0)
+  }
+
+  test("welchTTest: known two-sample values; degenerate variants guarded") {
+    // users 6,7,8,10 hash to A and 1,3,5 to B under the md5 bucket (checked
+    // via Sampling.hashBucket below, so the fixture can't silently drift)
+    val perUser = Seq(6L -> 10.0, 7L -> 12.0, 8L -> 14.0, 10L -> 16.0,
+      1L -> 20.0, 3L -> 22.0, 5L -> 24.0)
+    val events = ev(perUser.map { case (u, v) =>
+      (u, "2024-01-01 10:00:00", "purchase", v) }: _*)
+    val variants = events.select(col("user_id"),
+      when(Sampling.hashBucket(col("user_id")) < 5000, "A").otherwise("B").as("v"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(6L, 7L, 8L, 10L).forall(variants(_) == "A"), variants.toString)
+    assert(Set(1L, 3L, 5L).forall(variants(_) == "B"), variants.toString)
+    val r = Analytics.welchTTest(events).collect()(0)
+    // A: {10,12,14,16} mean 13 var 20/3; B: {20,22,24} mean 22 var 4
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 13.0 && r.getDouble(3) == 22.0)
+    val se2 = (20.0 / 3) / 4 + 4.0 / 3
+    // cents cancel in t, so the hand formula works in dollars; 4dp rounding
+    val expT = math.floor((13.0 - 22.0) / math.sqrt(se2) * 10000 + 0.5) / 10000
+    assert(r.getDouble(4) == expT, r.toString)
+    assert(r.getDouble(5) > 0) // Welch df defined
+    // single-user variant: t/df guarded to 0
+    val tiny = ev((8L, "2024-01-01 10:00:00", "purchase", 10.0),
+      (1L, "2024-01-01 11:00:00", "purchase", 20.0))
+    val g = Analytics.welchTTest(tiny).collect()(0)
+    assert(g.getDouble(4) == 0.0 && g.getDouble(5) == 0.0)
+  }
+
   test("marketBasketPairs: counts, support and lift on a known basket set") {
     // baskets: {1,2} {1,2} {3,4} {3,4} {1,3}; the duplicate (b10, item 1)
     // row must collapse — pair counts are over distinct basket membership

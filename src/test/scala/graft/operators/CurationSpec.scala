@@ -170,4 +170,24 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
     assert(got == Map(1L -> "early", 2L -> "only"))
   }
+
+  test("quantileNormalize: CDF position per stratum; ties share; n=1 is 0") {
+    val docs = Seq(
+      ("en", "web", 10L), ("en", "web", 20L), ("en", "web", 20L),
+      ("en", "web", 40L), ("en", "web", 50L),
+      ("fr", "web", 999L), // singleton stratum -> 0
+      ("en", "book", 1L), ("en", "book", 2L)) // separate stratum
+      .toDF("lang", "source", "n_chars")
+    val got = Curation.quantileNormalize(docs, Seq("lang", "source"), "n_chars")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val enWeb = got.filter(t => t._1 == "en" && t._2 == "web")
+      .map(t => t._3 -> t._4).toMap
+    // ranks over {10,20,20,40,50}: 1,2,2,4,5 -> (r-1)/4
+    assert(enWeb == Map(10L -> 0.0, 20L -> 0.25, 40L -> 0.75, 50L -> 1.0))
+    assert(got.count(t => t._1 == "en" && t._2 == "web" && t._3 == 20L && t._4 == 0.25) == 2)
+    assert(got.find(_._1 == "fr").get._4 == 0.0)
+    // stratum isolation: the book docs rank only against each other
+    assert(got.find(t => t._2 == "book" && t._3 == 2L).get._4 == 1.0)
+  }
 }

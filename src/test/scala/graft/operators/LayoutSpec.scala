@@ -84,4 +84,21 @@ class LayoutSpec extends SparkTestBase {
     // "b" have a bin 0 even though "a" already filled several bins
     intercept[IllegalArgumentException](Layout.compactionPlan(manifest, 0L))
   }
+
+  test("joinKeySkewAudit: profile and salt factor on a known skewed key") {
+    // key 1 holds 6 of 10 rows; keys 2..5 hold one each
+    val rows = (Seq.fill(6)(1L) ++ Seq(2L, 3L, 4L, 5L)).toDF("k")
+    val r = Layout.joinKeySkewAudit(rows, "k", topK = 3,
+      targetRowsPerKey = 2L).collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == 2.0)          // mean rows/key
+    assert(r.getDouble(4) == 3.0)          // skew = max/mean
+    assert(r.getDouble(5) == 0.8)          // top-3 = 6+1+1 of 10
+    assert(r.getLong(6) == 3L)             // ceil(6/2)
+    // uniform key: skew 1, salt 1
+    val flat = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val f = Layout.joinKeySkewAudit(flat, "k", topK = 3,
+      targetRowsPerKey = 2L).collect()(0)
+    assert(f.getDouble(4) == 1.0 && f.getLong(6) == 1L)
+  }
 }
