@@ -3534,6 +3534,87 @@ object Queries {
        |FROM b""".stripMargin
   }
 
+  /** ANOM3 — robust median/MAD anomaly flags
+    * ([[graft.operators.Analytics.robustDailyAnomalies]]): modified
+    * z-score `0.6745·(x − median)/MAD`, the outlier-resistant baseline
+    * that a masking spike cannot inflate. */
+  val anom3Robust: Q = (s, d) =>
+    graft.operators.Analytics.robustDailyAnomalies(Tables.events(s, d))
+
+  val anom3RobustSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+      |        FROM daily GROUP BY 1),
+      |dev AS (SELECT d.event_type, d.day, d.cents, m.med,
+      |               abs(CAST(d.cents AS DOUBLE) - m.med) AS dev
+      |        FROM daily d JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |        FROM dev GROUP BY 1),
+      |z AS (SELECT v.event_type, v.day, v.cents,
+      |             CASE WHEN a.mad > 0
+      |                  THEN floor(((0.6745 * (CAST(v.cents AS DOUBLE) - v.med)) / a.mad) * 10000 + 0.5) / 10000
+      |                  ELSE 0.0 END AS rz
+      |      FROM dev v JOIN mad a USING (event_type))
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+      |       CAST(cents AS DOUBLE) / 100 AS day_value,
+      |       rz AS robust_z, abs(rz) > 3.5 AS is_anomaly
+      |FROM z""".stripMargin
+
+  /** SMP5 — GROUP-leakage-safe dataset split: the split key is the
+    * document's SOURCE, not the document, so every doc of a source lands
+    * in the same train/val/test split — near-duplicates and templated
+    * documents within a source can never straddle the eval boundary
+    * ([[graft.operators.Sampling.datasetSplit]] keyed on the group). */
+  val smp5GroupSplit: Q = (s, d) =>
+    graft.operators.Sampling.datasetSplit(Tables.documents(s, d),
+      col("source"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "source", "split")
+
+  val smp5GroupSplitSql: String = {
+    val bucket = md5BucketSql("CAST(source AS VARCHAR)")
+    s"""SELECT doc_id, source,
+       |       CASE WHEN $bucket < 8000 THEN 'train'
+       |            WHEN $bucket < 9000 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
+  /** FUNNEL2 — time-to-convert by start weekday
+    * ([[graft.operators.Analytics.timeToConvert]]): first-view →
+    * first-subsequent-purchase delay per user, conversion rate and exact
+    * p50/p90 delay hours per weekday of the funnel start. */
+  val funnel2TimeToConvert: Q = (s, d) =>
+    graft.operators.Analytics.timeToConvert(Tables.events(s, d))
+
+  val funnel2TimeToConvertSql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |      JOIN s1 ON e.user_id = s1.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1),
+      |j AS (SELECT datediff('day', DATE '1970-01-01', CAST(s1.t1 AS DATE)) % 7 AS dow,
+      |             CASE WHEN c.t2 IS NOT NULL
+      |                  THEN epoch_us(CAST(c.t2 AS TIMESTAMP)) - epoch_us(CAST(s1.t1 AS TIMESTAMP))
+      |             END AS delta_us
+      |      FROM s1 LEFT JOIN c ON s1.user_id = c.user_id),
+      |g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_started,
+      |             CAST(count(delta_us) AS BIGINT) AS n_converted,
+      |             quantile_cont(delta_us, 0.5) AS p50,
+      |             quantile_cont(delta_us, 0.9) AS p90
+      |      FROM j GROUP BY 1)
+      |SELECT CAST(dow AS BIGINT) AS dow, n_started, n_converted,
+      |       floor((CAST(n_converted AS DOUBLE) / CAST(n_started AS DOUBLE)) * 10000 + 0.5) / 10000 AS cvr,
+      |       CASE WHEN n_converted > 0
+      |            THEN floor((p50 / 3600000000.0) * 10000 + 0.5) / 10000
+      |            ELSE 0.0 END AS p50_hours,
+      |       CASE WHEN n_converted > 0
+      |            THEN floor((p90 / 3600000000.0) * 10000 + 0.5) / 10000
+      |            ELSE 0.0 END AS p90_hours
+      |FROM g""".stripMargin
+
   /** IVM1 — incremental view maintenance
     * ([[graft.operators.Incremental.mergeAggDeltas]]): the per-customer
     * order rollup maintained as base-aggregate ⊎ delta-aggregate (orders
@@ -4556,6 +4637,9 @@ object Queries {
     "qn1_quantile_normalize" -> qn1QuantileNormalize,
     "dp1_private_counts" -> dp1PrivateCounts,
     "ivm1_delta_agg" -> ivm1DeltaAgg,
+    "anom3_robust_zscore" -> anom3Robust,
+    "smp5_group_split" -> smp5GroupSplit,
+    "funnel2_time_to_convert" -> funnel2TimeToConvert,
     "pr1_pagerank" -> pr1Pagerank,
     "roll1_rolling_active" -> roll1Rolling,
     "roll2_rolling_approx" -> roll2RollingApprox,
@@ -4736,6 +4820,9 @@ object Queries {
     "qn1_quantile_normalize" -> qn1QuantileNormalizeSql,
     "dp1_private_counts" -> dp1PrivateCountsSql,
     "ivm1_delta_agg" -> ivm1DeltaAggSql,
+    "anom3_robust_zscore" -> anom3RobustSql,
+    "smp5_group_split" -> smp5GroupSplitSql,
+    "funnel2_time_to_convert" -> funnel2TimeToConvertSql,
     "pr1_pagerank" -> pr1PagerankSql,
     "roll1_rolling_active" -> roll1RollingSql,
     "roll2_rolling_approx" -> roll2RollingApproxSql,
@@ -4824,7 +4911,8 @@ object Queries {
     "path1_transitions", "nu1_new_users", "exp1_ab_test", "exp2_cuped",
     "tt1_welch_ttest", "cp1_changepoint", "er1_fuzzy_match",
     "skew1_key_skew", "qn1_quantile_normalize", "dp1_private_counts",
-    "ivm1_delta_agg", "pr1_pagerank",
+    "ivm1_delta_agg", "anom3_robust_zscore", "smp5_group_split",
+    "funnel2_time_to_convert", "pr1_pagerank",
     "roll1_rolling_active", "roll2_rolling_approx", "seg1_rfm", "mm3_audio_decode", "asof2_windowed",
     "cdc2_apply_deletes", "pca1_power_iteration", "kmeans1_lloyd", "d9_semantic_dedup",
     "mix2_target_mix", "pat1_sequence_match", "tri1_triangles",

@@ -229,6 +229,74 @@ object Analytics {
         (abs(col("zr")) > zThreshold).as("is_anomaly"))
   }
 
+  /** Robust (median/MAD) anomaly flags — [[dailyAnomalies]]'s
+    * outlier-resistant twin: each day's modified z-score is
+    * `0.6745·(x − median)/MAD` (Iglewicz–Hoaglin), flagged above 3.5. A
+    * mean/stddev baseline suffers MASKING — one huge spike inflates σ
+    * enough to hide itself and its neighbors; median and MAD have a 50%
+    * breakdown point, so half the days can be corrupt before the fence
+    * moves. Exact interpolated percentiles on integer cents (the q7
+    * cross-engine anchor), two tiny per-type codebook joins, and the flag
+    * compares the ROUNDED score, so both engines agree by construction. */
+  def robustDailyAnomalies(events: DataFrame, threshold: Double = 3.5): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+    val med = daily.groupBy(col("event_type"))
+      .agg(percentile(col("cents"), lit(0.5)).as("med"))
+    val dev = daily.join(med, "event_type")
+      .withColumn("dev", abs(col("cents").cast("double") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(mad, "event_type")
+      .withColumn("rz", when(col("mad") > 0,
+        portableRound(lit(0.6745) * (col("cents").cast("double") - col("med"))
+          / col("mad"), 4)).otherwise(lit(0.0)))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("cents").cast("double") / 100).as("day_value"),
+        col("rz").as("robust_z"),
+        (abs(col("rz")) > threshold).as("is_anomaly"))
+  }
+
+  /** Time-to-convert distribution by start weekday: for each user, the
+    * delay from first `from` event to the first `to` event AFTER it
+    * (funnel stage semantics), summarized per weekday-of-start as
+    * conversion rate and exact p50/p90 delay hours — the "do weekend
+    * starters convert slower?" readout next to funnel1's counts.
+    *
+    * Delays are integer micros (exact), percentiles are the q7
+    * cross-engine interpolated-percentile anchor over those integers,
+    * and the weekday key is epoch-day mod 7 (engine-portable). Shape:
+    * two user-keyed aggregations + one 7-row rollup; only ids and
+    * timestamps shuffle. */
+  def timeToConvert(events: DataFrame, from: String = "view",
+                    to: String = "purchase"): DataFrame = {
+    val s1 = events.filter(col("event_type") === from)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val conv = events.filter(col("event_type") === to)
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val j = s1.join(conv, Seq("user_id"), "left")
+      .select(
+        pmod(datediff(to_date(col("t1")), lit("1970-01-01").cast("date"))
+          .cast("long"), lit(7L)).as("dow"),
+        when(col("t2").isNotNull,
+          unix_micros(col("t2")) - unix_micros(col("t1"))).as("delta_us"))
+    j.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_started"),
+        count(col("delta_us")).as("n_converted"),
+        percentile(col("delta_us"), lit(0.5)).as("p50"),
+        percentile(col("delta_us"), lit(0.9)).as("p90"))
+      .select(col("dow"), col("n_started"), col("n_converted"),
+        portableRound(col("n_converted").cast("double")
+          / col("n_started").cast("double"), 4).as("cvr"),
+        when(col("n_converted") > 0,
+          portableRound(col("p50") / 3600000000.0, 4)).otherwise(0.0)
+          .as("p50_hours"),
+        when(col("n_converted") > 0,
+          portableRound(col("p90") / 3600000000.0, 4)).otherwise(0.0)
+          .as("p90_hours"))
+  }
+
   /** Equi-width histogram of a numeric column: `bins` buckets between the
     * observed min and max (max lands in the last bucket). Bounds come from
     * a 1-row aggregate broadcast back over the scan — two passes over the

@@ -307,6 +307,48 @@ class AnalyticsSpec extends SparkTestBase {
       ("2024-01-01", 2L, 5.0, 15.0, 1L)))
   }
 
+  test("robustDailyAnomalies: MAD fence flags the spike; constant series guarded") {
+    // 6 quiet days at ~100 (slight jitter so MAD > 0) and one 100× spike:
+    // median/MAD ignore the spike's own magnitude when setting the fence
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 100.0),
+      (1L, "2024-01-02 10:00:00", "view", 102.0),
+      (1L, "2024-01-03 10:00:00", "view", 98.0),
+      (1L, "2024-01-04 10:00:00", "view", 101.0),
+      (1L, "2024-01-05 10:00:00", "view", 99.0),
+      (1L, "2024-01-06 10:00:00", "view", 100.0),
+      (1L, "2024-01-07 10:00:00", "view", 10000.0),
+      // a constant-valued type: MAD = 0 -> all scores guarded to 0
+      (1L, "2024-01-01 11:00:00", "buy", 5.0),
+      (1L, "2024-01-02 11:00:00", "buy", 5.0))
+    val got = Analytics.robustDailyAnomalies(events)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got(("view", "2024-01-07"))._2, got.toString) // spike flagged
+    assert(got(("view", "2024-01-07"))._1 > 1000.0)      // ~0.6745*9900/1
+    // quiet days sit inside the fence
+    assert((1 to 6).forall(i => !got(("view", f"2024-01-0$i"))._2))
+    assert(got(("buy", "2024-01-01")) == (0.0, false))
+  }
+
+  test("timeToConvert: stage order enforced; non-converters counted in cvr") {
+    val events = ev(
+      // user 1: view Mon 10:00 -> purchase Tue 10:00 = 24h delay
+      (1L, "2024-01-01 10:00:00", "view", 1.0),
+      (1L, "2024-01-02 10:00:00", "purchase", 5.0),
+      // user 2: purchase BEFORE first view -> not a conversion
+      (2L, "2024-01-01 08:00:00", "purchase", 5.0),
+      (2L, "2024-01-01 09:00:00", "view", 1.0),
+      // user 3: view only, same Monday
+      (3L, "2024-01-01 12:00:00", "view", 1.0))
+    val got = Analytics.timeToConvert(events).collect()
+    assert(got.length == 1) // all three started on the same weekday key
+    val r = got(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L) // started, converted
+    assert(r.getDouble(3) == 0.3333)                 // 1/3 rounded at 4dp
+    assert(r.getDouble(4) == 24.0 && r.getDouble(5) == 24.0)
+  }
+
   test("meanShiftChangepoint: finds the level shift, not the single outlier") {
     // level 10 for 4 days, then 50 for 4 days: best split is after day 4;
     // a per-day outlier on day 2 (value 11) must not win over the shift
