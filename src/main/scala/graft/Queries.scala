@@ -4514,6 +4514,204 @@ object Queries {
       |       lpad(CAST(CASE WHEN start_m % 12 = 0 THEN 12 ELSE start_m % 12 END AS VARCHAR), 2, '0') AS streak_start
       |FROM best WHERE rn = 1""".stripMargin
 
+  /** REG1 — per-type OLS trend of daily revenue on the rebased day index
+    * ([[graft.operators.Analytics.olsTrend]]): slope/day, intercept at the
+    * type's first day, r², from one exact-decimal moment aggregate. */
+  val reg1OlsTrend: Q = (s, d) =>
+    graft.operators.Analytics.olsTrend(Tables.events(s, d))
+
+  val reg1OlsTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT event_type, cents,
+      |              datediff('day', DATE '1970-01-01', day)
+      |                - min(datediff('day', DATE '1970-01-01', day))
+      |                    OVER (PARTITION BY event_type) AS x
+      |       FROM daily),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |             sum(CAST(x AS DECIMAL(19,0))) AS sx,
+      |             sum(CAST(cents AS DECIMAL(19,0))) AS sy,
+      |             sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxy,
+      |             sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx,
+      |             sum(CAST(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS syy
+      |      FROM d2 GROUP BY 1),
+      |f AS (SELECT event_type, n_days, CAST(n_days AS DOUBLE) AS n,
+      |             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+      |             CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+      |             CAST(syy AS DOUBLE) AS syyd
+      |      FROM m),
+      |g AS (SELECT event_type, n_days, n, syd,
+      |             n * sxyd - sxd * syd AS covn,
+      |             n * sxxd - sxd * sxd AS varx,
+      |             n * syyd - syd * syd AS vary,
+      |             sxd
+      |      FROM f)
+      |SELECT event_type, n_days,
+      |       CASE WHEN n_days > 1 AND varx > 0
+      |            THEN floor((covn / varx / 100) * 1000000 + 0.5) / 1000000
+      |            ELSE 0.0 END AS slope_per_day,
+      |       CASE WHEN n_days > 1 AND varx > 0
+      |            THEN floor(((syd - covn / varx * sxd) / n / 100) * 10000 + 0.5) / 10000
+      |            ELSE 0.0 END AS intercept,
+      |       CASE WHEN n_days > 1 AND varx > 0 AND vary > 0
+      |            THEN floor((covn * covn / (varx * vary)) * 1000000 + 0.5) / 1000000
+      |            ELSE 0.0 END AS r2
+      |FROM g""".stripMargin
+
+  /** ACF1 — lag-1..7 autocorrelation of total daily revenue
+    * ([[graft.operators.Analytics.autocorrelation]]): Pearson correlation
+    * of (day t, day t−k) over day pairs where both ends exist. */
+  val acf1Autocorr: Q = (s, d) =>
+    graft.operators.Analytics.autocorrelation(Tables.events(s, d))
+
+  val acf1AutocorrSql: String =
+    """WITH daily AS (
+      |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
+      |p AS (SELECT l.lag, a.cents AS xa, b.cents AS xb
+      |      FROM lags l
+      |      CROSS JOIN daily a
+      |      JOIN daily b ON b.eday = a.eday - l.lag),
+      |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+      |             sum(CAST(xa AS DECIMAL(19,0))) AS sa,
+      |             sum(CAST(xb AS DECIMAL(19,0))) AS sb,
+      |             sum(CAST(CAST(xa AS DECIMAL(19,0)) * CAST(xb AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sab,
+      |             sum(CAST(CAST(xa AS DECIMAL(19,0)) * CAST(xa AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS saa,
+      |             sum(CAST(CAST(xb AS DECIMAL(19,0)) * CAST(xb AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sbb
+      |      FROM p GROUP BY 1),
+      |f AS (SELECT lag, n_pairs, CAST(n_pairs AS DOUBLE) AS n,
+      |             CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+      |             CAST(sab AS DOUBLE) AS sabd, CAST(saa AS DOUBLE) AS saad,
+      |             CAST(sbb AS DOUBLE) AS sbbd
+      |      FROM m),
+      |g AS (SELECT lag, n_pairs,
+      |             n * sabd - sad * sbd AS cov,
+      |             n * saad - sad * sad AS va,
+      |             n * sbbd - sbd * sbd AS vb
+      |      FROM f)
+      |SELECT lag, n_pairs,
+      |       CASE WHEN n_pairs > 1 AND va > 0 AND vb > 0
+      |            THEN floor((cov / (sqrt(va) * sqrt(vb))) * 10000 + 0.5) / 10000
+      |            ELSE 0.0 END AS acf
+      |FROM g""".stripMargin
+
+  /** TS2 — day-distance-weighted EWMA of daily revenue per event type
+    * ([[graft.operators.Analytics.ewmaDaily]]): trailing-10-calendar-day
+    * band join with (1−α)^k weights embedded as identical decimal
+    * literals in both engines. */
+  val ts2Ewma: Q = (s, d) =>
+    graft.operators.Analytics.ewmaDaily(Tables.events(s, d))
+
+  val ts2EwmaSql: String = {
+    val cases = graft.operators.Analytics.ewmaWeights(0.3, 10).zipWithIndex
+      .map { case (w, k) => s"WHEN $k THEN CAST(${w.toPlainString} AS DECIMAL(10,6))" }
+      .mkString(" ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |d2 AS (SELECT event_type, day, cents,
+       |              datediff('day', DATE '1970-01-01', day) AS eday
+       |       FROM daily),
+       |j AS (SELECT a.event_type, a.day,
+       |             CASE a.eday - b.eday $cases END AS w,
+       |             CAST(b.cents AS DECIMAL(19,0)) AS bcents
+       |      FROM d2 a JOIN d2 b ON b.event_type = a.event_type
+       |        AND b.eday <= a.eday AND b.eday > a.eday - 10)
+       |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       |       CAST(count(*) AS BIGINT) AS n_obs,
+       |       floor((CAST(sum(w * bcents) AS DOUBLE) / CAST(sum(w) AS DOUBLE) / 100) * 10000 + 0.5) / 10000 AS ewma
+       |FROM j GROUP BY event_type, day""".stripMargin
+  }
+
+  /** OHLC1 — weekly open/high/low/close bars per event type
+    * ([[graft.operators.Analytics.weeklyOhlc]]): epoch-week buckets,
+    * (ts, event_id)-deterministic open/close, exact-cent totals. */
+  val ohlc1Weekly: Q = (s, d) =>
+    graft.operators.Analytics.weeklyOhlc(Tables.events(s, d))
+
+  val ohlc1WeeklySql: String =
+    """WITH e AS (
+      |  SELECT event_type, ts, event_id,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |         CAST(floor(CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS DOUBLE) / 7) AS BIGINT) AS week
+      |  FROM events),
+      |r AS (SELECT *,
+      |             row_number() OVER (PARTITION BY event_type, week
+      |                                ORDER BY ts, event_id) AS rn,
+      |             row_number() OVER (PARTITION BY event_type, week
+      |                                ORDER BY ts DESC, event_id DESC) AS rd
+      |      FROM e)
+      |SELECT event_type,
+      |       strftime(DATE '1970-01-01' + CAST(week * 7 AS INTEGER), '%Y-%m-%d') AS week_start,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(max(CASE WHEN rn = 1 THEN cents END) AS DOUBLE) / 100 AS open,
+      |       CAST(max(cents) AS DOUBLE) / 100 AS high,
+      |       CAST(min(cents) AS DOUBLE) / 100 AS low,
+      |       CAST(max(CASE WHEN rd = 1 THEN cents END) AS DOUBLE) / 100 AS close,
+      |       CAST(sum(CAST(cents AS DECIMAL(19,0))) AS DOUBLE) / 100 AS total
+      |FROM r GROUP BY event_type, week""".stripMargin
+
+  /** FE1 — leave-one-out target encoding of order priority on order value
+    * ([[graft.operators.Analytics.targetEncodeLoo]]): each row's feature
+    * is its category's mean target excluding itself; singletons fall back
+    * to the global mean. */
+  val fe1TargetEncode: Q = (s, d) =>
+    graft.operators.Analytics.targetEncodeLoo(Tables.orders(s, d))
+
+  val fe1TargetEncodeSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |c AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_cat,
+      |             sum(CAST(cents AS DECIMAL(19,0))) AS s_cat
+      |      FROM o GROUP BY 1),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+      |             sum(CAST(cents AS DECIMAL(19,0))) AS s_all
+      |      FROM o)
+      |SELECT o.o_orderkey, o.o_orderpriority,
+      |       floor((CASE WHEN n_cat > 1
+      |                   THEN CAST(s_cat - cents AS DOUBLE) / CAST(n_cat - 1 AS DOUBLE)
+      |                   ELSE CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE) END
+      |              / 100) * 10000 + 0.5) / 10000 AS loo_target_mean
+      |FROM o JOIN c USING (o_orderpriority) CROSS JOIN g""".stripMargin
+
+  /** T12 — Okapi BM25 of every document against the fixed query
+    * {spark, join, vector} ([[graft.operators.TextAnalysis.bm25]]):
+    * RSJ idf, k1=1.2, b=0.75, corpus stats from one broadcast 1-row
+    * aggregate. */
+  val t12Bm25: Q = (s, d) =>
+    TextAnalysis.bm25(Tables.documents(s, d))
+
+  val t12Bm25Sql: String = {
+    val terms = Seq("spark", "join", "vector")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(string_split(text, ' '), '$t') THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(",\n      |       ")
+    val contribs = terms.zipWithIndex.map { case (t, i) =>
+      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5))
+         | * (CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS DOUBLE) * 2.2)
+         | / (CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS DOUBLE)
+         |    + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
+        .stripMargin.linesIterator.mkString(" ")
+    }.mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tot_tokens,
+       |       $dfCols
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |       floor(($contribs) * 10000 + 0.5) / 10000 AS bm25
+       |FROM documents CROSS JOIN s""".stripMargin
+  }
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -4670,6 +4868,12 @@ object Queries {
     "chi1_independence" -> chi1Independence,
     "gini1_concentration" -> gini1Concentration,
     "streak1_order_streaks" -> streak1Streaks,
+    "reg1_ols_trend" -> reg1OlsTrend,
+    "acf1_autocorr" -> acf1Autocorr,
+    "ts2_ewma" -> ts2Ewma,
+    "ohlc1_weekly_bars" -> ohlc1Weekly,
+    "fe1_target_encode" -> fe1TargetEncode,
+    "t12_bm25" -> t12Bm25,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -4853,6 +5057,12 @@ object Queries {
     "chi1_independence" -> chi1IndependenceSql,
     "gini1_concentration" -> gini1ConcentrationSql,
     "streak1_order_streaks" -> streak1StreaksSql,
+    "reg1_ols_trend" -> reg1OlsTrendSql,
+    "acf1_autocorr" -> acf1AutocorrSql,
+    "ts2_ewma" -> ts2EwmaSql,
+    "ohlc1_weekly_bars" -> ohlc1WeeklySql,
+    "fe1_target_encode" -> fe1TargetEncodeSql,
+    "t12_bm25" -> t12Bm25Sql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
@@ -4918,5 +5128,7 @@ object Queries {
     "mix2_target_mix", "pat1_sequence_match", "tri1_triangles",
     "kcore1_dense_core", "ovl1_source_overlap",
     "card1_dataset_card", "cur1_filter_waterfall",
+    "reg1_ols_trend", "acf1_autocorr", "ts2_ewma", "ohlc1_weekly_bars",
+    "fe1_target_encode", "t12_bm25",
     "st1_stream_window", "st6_stream_cdc")
 }

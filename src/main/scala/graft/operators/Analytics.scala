@@ -770,4 +770,214 @@ object Analytics {
       .orderBy(col("lift").desc, col("item_a"), col("item_b"))
       .limit(topK)
   }
+
+  /** Per-type OLS trend of daily revenue on the day index — the "is this
+    * metric growing, and how fast" readout: slope (per day), intercept (at
+    * each type's first observed day, so the number is a real level, not a
+    * 1970 extrapolation) and r².
+    *
+    * Shape: one daily aggregation, a window min over the tiny per-type
+    * grid to rebase x, then ONE moment aggregate per type (n, Σx, Σy,
+    * Σxy, Σx², Σy² as exact decimals) — the classic one-pass normal-
+    * equations form, map-side combinable however wide the raw events are.
+    * The closed-form doubles are fixed-order, so the oracle replays every
+    * digit; degenerate series (one day, zero x-variance) report 0. */
+  def olsTrend(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+      .withColumn("eday",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val perType = Window.partitionBy(col("event_type"))
+    val based = daily.withColumn("x", col("eday") - min(col("eday")).over(perType))
+    // 19-digit operands so products land exactly in decimal(38,0) in BOTH
+    // engines (38×38 would exceed DuckDB's precision cap)
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    val m = based.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      sum(d19(col("x"))).as("sx"),
+      sum(d19(col("cents"))).as("sy"),
+      sum((d19(col("x")) * d19(col("cents"))).cast("decimal(38,0)")).as("sxy"),
+      sum((d19(col("x")) * d19(col("x"))).cast("decimal(38,0)")).as("sxx"),
+      sum((d19(col("cents")) * d19(col("cents"))).cast("decimal(38,0)")).as("syy"))
+    val n = col("n_days").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double"); val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val covN = n * sxy - sx * sy
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    val slope = covN / varX
+    val intercept = (sy - slope * sx) / n
+    val ok = col("n_days") > 1 && varX > 0
+    m.select(col("event_type"), col("n_days"),
+      when(ok, portableRound(slope / 100, 6)).otherwise(0.0).as("slope_per_day"),
+      when(ok, portableRound(intercept / 100, 4)).otherwise(0.0).as("intercept"),
+      when(ok && varY > 0, portableRound(covN * covN / (varX * varY), 6))
+        .otherwise(0.0).as("r2"))
+  }
+
+  /** Lag-k autocorrelation of total daily revenue, k = 1..`maxLag` — the
+    * seasonality fingerprint (a weekly cycle shows as a peak at lag 7)
+    * that motivates [[dailyAnomaliesSeasonal]]'s weekday baseline. Each
+    * lag's coefficient is the Pearson correlation of (day t, day t−k)
+    * over the day pairs where BOTH ends exist — sparse calendars drop
+    * pairs rather than fabricating zero-revenue days.
+    *
+    * Shape: after the daily rollup the series is one row per day —
+    * codebook-sized forever — so the lag×day cross join and the
+    * epoch-day equi self-join are metadata work, and each lag reduces to
+    * ONE exact-decimal moment aggregate with a fixed-order double
+    * formula. */
+  def autocorrelation(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+      .withColumn("eday",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val lags = events.sparkSession.range(1, maxLag + 1).select(col("id").as("lag"))
+    val a = daily.select(col("eday").as("ea"), col("cents").as("xa"))
+    val b = daily.select(col("eday").as("eb"), col("cents").as("xb"))
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    val m = lags.crossJoin(a)
+      .join(b, col("eb") === col("ea") - col("lag"))
+      .groupBy(col("lag")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(d19(col("xa"))).as("sa"),
+        sum(d19(col("xb"))).as("sb"),
+        sum((d19(col("xa")) * d19(col("xb"))).cast("decimal(38,0)")).as("sab"),
+        sum((d19(col("xa")) * d19(col("xa"))).cast("decimal(38,0)")).as("saa"),
+        sum((d19(col("xb")) * d19(col("xb"))).cast("decimal(38,0)")).as("sbb"))
+    val n = col("n_pairs").cast("double")
+    val sa = col("sa").cast("double"); val sb = col("sb").cast("double")
+    val sab = col("sab").cast("double"); val saa = col("saa").cast("double")
+    val sbb = col("sbb").cast("double")
+    val cov = n * sab - sa * sb
+    val va = n * saa - sa * sa
+    val vb = n * sbb - sb * sb
+    val ok = col("n_pairs") > 1 && va > 0 && vb > 0
+    m.select(col("lag"), col("n_pairs"),
+      when(ok, portableRound(cov / (sqrt(va) * sqrt(vb)), 4))
+        .otherwise(0.0).as("acf"))
+  }
+
+  /** Day-distance-weighted exponential moving average of daily revenue per
+    * event type: each day's smoothed value averages the trailing `span`
+    * CALENDAR days with weight (1−α)^distance — a gap ages out of the
+    * smooth exactly as it would in the recursive EWMA, unlike a rows-frame
+    * that would let month-old observations masquerade as "yesterday" for
+    * sparse types.
+    *
+    * The weights are (1−α)^k rounded to 6 decimals IN THE PLAN (BigDecimal
+    * constants, identical literals in both engines), each weighted term is
+    * an exact decimal product, and only the final num/den division is
+    * IEEE — so the result is independent of accumulation order AND of
+    * libm's pow, which is not guaranteed bit-equal across engines.
+    *
+    * Shape: the band self-join runs on the post-rollup daily grid (one
+    * row per type×day — codebook-sized), each row meeting at most `span`
+    * partners; at 100 TB the only data-sized work is the first daily
+    * aggregation. */
+  /** The (1−α)^k weight ladder [[ewmaDaily]] embeds as decimal literals —
+    * public so the oracle SQL is generated from the SAME constants (the
+    * whole point: no cross-engine pow in the plan). */
+  def ewmaWeights(alpha: Double, span: Int): Seq[java.math.BigDecimal] = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    require(span >= 1, s"span must be >= 1, got $span")
+    (0 until span).map { k =>
+      new java.math.BigDecimal(1.0 - alpha).pow(k)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+  }
+
+  def ewmaDaily(events: DataFrame, alpha: Double = 0.3, span: Int = 10): DataFrame = {
+    val weights = ewmaWeights(alpha, span)
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+      .withColumn("eday",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val cur = daily.select(col("event_type"), col("day"), col("eday"))
+    val past = daily.select(col("event_type").as("bt"),
+      col("eday").as("beday"), col("cents").as("bcents"))
+    val wExpr = element_at(
+      array(weights.map(w => lit(w).cast("decimal(10,6)")): _*),
+      (col("eday") - col("beday")).cast("int") + 1)
+    cur.join(past, col("bt") === col("event_type") &&
+        col("beday") <= col("eday") && col("beday") > col("eday") - span)
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(wExpr * col("bcents").cast("decimal(19,0)")).as("num"),
+        sum(wExpr).as("den"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_obs"),
+        portableRound(col("num").cast("double") / col("den").cast("double") / 100, 4)
+          .as("ewma"))
+  }
+
+  /** Weekly OHLC bars per event type — open/high/low/close/volume, the
+    * downsampling that turns a raw event stream into a chartable series.
+    * Open/close are the values at the earliest/latest (ts, event_id) in
+    * the bar (the id tiebreak makes simultaneous events deterministic);
+    * high/low/total are plain extrema and an exact-decimal sum.
+    *
+    * Shape: ONE shuffle on (event_type, week) serves both the row_number
+    * windows and the final aggregation (same keys → the exchange is
+    * reused), and every aggregate is map-side combinable. Weeks are epoch
+    * weeks (floor(epoch_day / 7)) — engine-portable, no locale WEEKOFYEAR
+    * drift. */
+  def weeklyOhlc(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"), col("ts"), col("event_id"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      floor(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) / 7)
+        .cast("long").as("week"))
+    val asc = Window.partitionBy(col("event_type"), col("week"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val desc = Window.partitionBy(col("event_type"), col("week"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy(col("event_type"), col("week"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(when(col("rn") === 1, col("cents"))).cast("double") / 100).as("open"),
+        (max(col("cents")).cast("double") / 100).as("high"),
+        (min(col("cents")).cast("double") / 100).as("low"),
+        (max(when(col("rd") === 1, col("cents"))).cast("double") / 100).as("close"),
+        (sum(col("cents").cast("decimal(19,0)")).cast("double") / 100).as("total"))
+      .select(col("event_type"),
+        date_format(date_add(lit("1970-01-01").cast("date"),
+          (col("week") * 7).cast("int")), "yyyy-MM-dd").as("week_start"),
+        col("n_events"), col("open"), col("high"), col("low"), col("close"),
+        col("total"))
+  }
+
+  /** Leave-one-out target encoding of a categorical key — the standard
+    * leakage-safe way to turn a high-cardinality category into a numeric
+    * feature: each row gets the mean target of its category EXCLUDING
+    * ITSELF ((Σ_cat − y)/(n_cat − 1)), so the feature never contains the
+    * row's own label; singleton categories fall back to the global mean.
+    *
+    * Shape: one hash aggregation on the category key (map-side
+    * combinable), the per-category sums broadcast back (dimension-sized),
+    * the global mean a 1-row broadcast — no window, no self-join, one
+    * data-sized pass. Exact decimal sums; the subtraction happens in
+    * decimals and only the final division is IEEE. */
+  def targetEncodeLoo(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderkey"), col("o_orderpriority"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val cat = o.groupBy(col("o_orderpriority")).agg(
+      count(lit(1)).as("n_cat"),
+      sum(col("cents").cast("decimal(19,0)")).as("s_cat"))
+    val glob = o.agg(count(lit(1)).as("n_all"),
+      sum(col("cents").cast("decimal(19,0)")).as("s_all"))
+    o.join(broadcast(cat), Seq("o_orderpriority"))
+      .crossJoin(broadcast(glob))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        portableRound(
+          when(col("n_cat") > 1,
+            (col("s_cat") - col("cents")).cast("double") /
+              (col("n_cat") - 1).cast("double"))
+            .otherwise(col("s_all").cast("double") / col("n_all").cast("double"))
+            / 100, 4).as("loo_target_mean"))
+  }
 }

@@ -251,4 +251,44 @@ object TextAnalysis {
         portableRound(sum(col("surp").cast("decimal(18,6)")).cast("double") /
           count(lit(1)), 4).as("avg_surprisal"))
   }
+
+  /** Okapi BM25 relevance of every document against a fixed query-term
+    * set — the retrieval scorer a decontamination / curation pipeline runs
+    * to find eval-set-like or topic-targeted documents in the corpus
+    * (t7's tf-idf generalized with the saturation and length
+    * normalization that made BM25 the lexical-retrieval default).
+    * Per term: idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the
+    * non-negative Robertson–Spärck Jones form), and the doc contribution
+    * tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Shape: corpus stats (N, total tokens, one df per term) are ONE
+    * 1-row aggregate broadcast to a single data-sized projection — no
+    * per-term join, no inverted index needed because the query is fixed
+    * and tiny. Term contributions are summed in fixed query order, so the
+    * double result is reproducible; only the final score is rounded. */
+  def bm25(documents: DataFrame,
+           terms: Seq[String] = Seq("spark", "join", "vector"),
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.forall(t => t.nonEmpty && !t.contains("'") && !t.contains(" ")),
+      s"terms must be single quoteless tokens: $terms")
+    val statAggs =
+      count(lit(1)).as("n_docs") +:
+        sum(size(toks).cast("long")).as("tot_tokens") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"df_$i")
+        }
+    val stats = documents.agg(statAggs.head, statAggs.tail: _*)
+    val dl = size(toks).cast("double")
+    val avgdl = col("tot_tokens").cast("double") / col("n_docs").cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = expr(s"size(filter(split(text, ' '), x -> x = '$t'))").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+    }.reduce(_ + _)
+    documents.crossJoin(broadcast(stats))
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        portableRound(score, 4).as("bm25"))
+  }
 }

@@ -467,4 +467,80 @@ class AnalyticsSpec extends SparkTestBase {
       .collect().map(_.getLong(1)).toSet
     assert(nt == Set(4L))
   }
+
+  test("olsTrend: exact slope/intercept/r2 on a perfect line, 0s on a flat singleton") {
+    // type a: y = 10 + 2x dollars on days 0,1,2 → slope 2, intercept 10, r2 1
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "a", 10.0),
+      (1L, "2024-01-02 10:00:00", "a", 12.0),
+      (1L, "2024-01-03 10:00:00", "a", 14.0),
+      (2L, "2024-01-01 10:00:00", "b", 5.0)) // single day → degenerate
+    val got = Analytics.olsTrend(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("a") == ((3L, 2.0, 10.0, 1.0)))
+    assert(got("b") == ((1L, 0.0, 0.0, 0.0)))
+  }
+
+  test("autocorrelation: alternating series gives acf −1 at lag 1, +1 at lag 2") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "a", 1.0),
+      (1L, "2024-01-02 10:00:00", "a", 2.0),
+      (1L, "2024-01-03 10:00:00", "a", 1.0),
+      (1L, "2024-01-04 10:00:00", "a", 2.0))
+    val got = Analytics.autocorrelation(events, maxLag = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, -1.0)))
+    assert(got(2L) == ((2L, 1.0)))
+  }
+
+  test("ewmaDaily: day-distance weights, gaps age out by distance not row count") {
+    // days 1,2 then a 20-day gap to day 22: the gap day sees ONLY itself
+    // (both earlier days are outside the 10-day band), so its ewma is its
+    // own value — a rows-frame would have blended the stale history in
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "a", 1.0),
+      (1L, "2024-01-02 10:00:00", "a", 2.0),
+      (1L, "2024-01-22 10:00:00", "a", 9.0))
+    val got = Analytics.ewmaDaily(events).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("2024-01-01") == ((1L, 1.0)))
+    // (1.0·200 + 0.7·100) / 1.7 = 158.8235… cents → 1.5882
+    assert(got("2024-01-02") == ((2L, 1.5882)))
+    assert(got("2024-01-22") == ((1L, 9.0)))
+  }
+
+  test("weeklyOhlc: open/close follow (ts, event_id) order incl. ties") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // same epoch week (1970-01-01 is day 0 → week 0 spans Jan 1–7 1970);
+    // two events share a ts — event_id must break the tie for open
+    val e = Seq(
+      (3L, "1970-01-02 12:00:00", 7L, "a", 5.0),
+      (1L, "1970-01-02 12:00:00", 7L, "a", 2.0), // tie: id 1 < 3 → open
+      (9L, "1970-01-03 12:00:00", 7L, "a", 11.0)) // latest → close
+      .toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val r = Analytics.weeklyOhlc(e).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getString(1) == "1970-01-01")
+    assert(row.getLong(2) == 3L)
+    assert(row.getDouble(3) == 2.0)  // open: the tie-broken earlier event
+    assert(row.getDouble(4) == 11.0) // high
+    assert(row.getDouble(5) == 2.0)  // low
+    assert(row.getDouble(6) == 11.0) // close
+    assert(row.getDouble(7) == 18.0) // total
+  }
+
+  test("targetEncodeLoo: excludes the row's own target; singletons get the global mean") {
+    val orders = Seq(
+      (1L, 10.0, "P"), (2L, 20.0, "P"), (3L, 30.0, "Q"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    val got = Analytics.targetEncodeLoo(orders).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == 20.0) // P mean excluding 10 → 20
+    assert(got(2L) == 10.0)
+    assert(got(3L) == 20.0) // singleton Q → global mean (10+20+30)/3
+  }
 }

@@ -11,6 +11,21 @@ class TextAnalysisSpec extends SparkTestBase {
   private def docsDF(ds: (Long, String, String, Long)*) =
     ds.toSeq.toDF("doc_id", "text", "lang", "n_chars")
 
+  test("bm25: zero score without query terms, saturating boost with them") {
+    val d = docsDF(
+      doc(1, "spark join vector spark"),       // all three terms, spark ×2
+      doc(2, "spark other other other"),       // one term once
+      doc(3, "other words only here"))         // no query terms → exactly 0
+    val got = TextAnalysis.bm25(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(got(3L) == 0.0)
+    assert(got(1L) > got(2L) && got(2L) > 0.0)
+    // n_tokens carried for downstream length diagnostics
+    val nt = TextAnalysis.bm25(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(nt == Map(1L -> 4L, 2L -> 4L, 3L -> 4L))
+  }
+
   test("langId: CJK → zh, stopword-rich → en, else und") {
     val d = docsDF(
       doc(1, "the cat sat on the mat with a hat"),
