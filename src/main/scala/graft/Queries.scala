@@ -4237,6 +4237,14 @@ object Queries {
   val st12StreamAnomaly: Q = (s, d) =>
     graft.streaming.EventStream.runAnomalyOverFixture(s, d)
 
+  /** ST13 — streaming weekly OHLC bars, the windowed-aggregation twin of
+    * ohlc1 ([[graft.streaming.EventStream.runOhlcOverFixture]]):
+    * epoch-aligned 7-day windows sealed by the watermark, open/close via
+    * order-insensitive `min_by`/`max_by` on (ts, event_id) — exact row
+    * parity with the batch bars (same oracle as ohlc1). */
+  val st13StreamOhlc: Q = (s, d) =>
+    graft.streaming.EventStream.runOhlcOverFixture(s, d)
+
   /** CARD1 — the dataset datasheet in one row: corpus size, token mass,
     * exact dup rate, mean quality, and the Shannon entropy of the
     * language mix — the summary a curation run publishes next to the
@@ -4861,6 +4869,7 @@ object Queries {
     "st10_stream_rolling" -> st10StreamRolling,
     "st11_stream_sketch" -> st11StreamSketch,
     "st12_stream_anomaly" -> st12StreamAnomaly,
+    "st13_stream_ohlc" -> st13StreamOhlc,
     "card1_dataset_card" -> card1DatasetCard,
     "cur1_filter_waterfall" -> cur1Waterfall,
     "w8_range_frame" -> w8RangeFrame,
@@ -5050,6 +5059,7 @@ object Queries {
     "st10_stream_rolling" -> roll1RollingSql, // stream/batch parity: same oracle
     "st11_stream_sketch" -> st11StreamSketchSql,
     "st12_stream_anomaly" -> anom1ZscoreSql, // stream/batch parity: same oracle
+    "st13_stream_ohlc" -> ohlc1WeeklySql, // stream/batch parity: same oracle
     "card1_dataset_card" -> card1DatasetCardSql,
     "cur1_filter_waterfall" -> cur1WaterfallSql,
     "w8_range_frame" -> w8RangeFrameSql,

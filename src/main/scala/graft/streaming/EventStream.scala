@@ -524,6 +524,76 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming OHLC bars — the windowed-aggregation twin of
+    * [[graft.operators.Analytics.weeklyOhlc]]: each 7-day event-time
+    * window (epoch-aligned, so the buckets equal the batch operator's
+    * floor(epoch_day/7) weeks exactly) finalizes one bar per event type
+    * with open/close = `min_by`/`max_by` on the (ts, event_id) struct —
+    * ORDER-INSENSITIVE aggregates, which is the whole point: however the
+    * replay slices into micro-batches, the per-window argmin/argmax are
+    * the same rows the batch row_number picks, so the contract is exact
+    * row parity with the ohlc1 oracle (the driver replays it).
+    *
+    * State per open window is six scalars per (type, week) — O(types ×
+    * open windows), evicted by the watermark; the far-future sentinel
+    * flushes the last open week, and its own week is trimmed st9-style.
+    * Append mode: each bar emits exactly once, when its window seals. */
+  def runOhlcOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft-stream-ohlc")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(rawSchema).parquet(srcDir.resolve("events.parquet").toString)
+    val maxNanos = raw.agg(max(col("ts"))).head.getLong(0)
+    val farNanos = maxNanos + 400L * 86400L * 1000000000L
+    import spark.implicits._
+    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(srcDir.toString + "/sentinel")
+    // pin batch order: data strictly older than the sentinel (st7 fix)
+    val now = System.currentTimeMillis()
+    Files.setLastModifiedTime(srcDir.resolve("events.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(now - 60000L))
+    Files.walk(Paths.get(srcDir.toString + "/sentinel")).forEach { f =>
+      if (Files.isRegularFile(f))
+        Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(now))
+    }
+    val dmax = raw.agg(max(timestamp_micros(expr("ts div 1000")))).head
+      .getTimestamp(0)
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+      .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .groupBy(col("event_type"), window(col("ts"), "7 days").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min_by(col("cents"), struct(col("ts"), col("event_id"))).as("open_c"),
+        max(col("cents")).as("high_c"),
+        min(col("cents")).as("low_c"),
+        max_by(col("cents"), struct(col("ts"), col("event_id"))).as("close_c"),
+        sum(col("cents").cast("decimal(19,0)")).as("total_c"))
+      .select(col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd").as("week_start"),
+        col("n_events"),
+        (col("open_c").cast("double") / 100).as("open"),
+        (col("high_c").cast("double") / 100).as("high"),
+        (col("low_c").cast("double") / 100).as("low"),
+        (col("close_c").cast("double") / 100).as("close"),
+        (col("total_c").cast("double") / 100).as("total"),
+        col("w.start").as("wstart"))
+    val queryName = scopedQueryName("graft_stream_ohlc")
+    val q = stream.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    spark.table(queryName)
+      .filter(col("wstart") <= lit(dmax)) // trim the sentinel's own week
+      .drop("wstart")
+  }
+
   /** Streaming CDC merge — the `foreachBatch` lake-MERGE sink pattern:
     * every micro-batch folds into a latest-per-user state table by
     * (ts, event_id)-max. The fixture is staged as THREE parquet files

@@ -107,6 +107,14 @@ class EventStreamSpec extends SparkTestBase {
     assertSameRows(batch, streamed)
   }
 
+  test("streaming weekly OHLC equals the batch weeklyOhlc (exact parity)") {
+    val streamed = EventStream.runOhlcOverFixture(spark, sf0001)
+    val batch = graft.operators.Analytics.weeklyOhlc(Tables.events(spark, sf0001))
+    // min_by/max_by on (ts, event_id) pick the same rows the batch
+    // row_number picks, so this is row equality on doubles
+    assertSameRows(batch, streamed)
+  }
+
   test("streaming anomaly runs unchanged on the RocksDB state store") {
     // AnomState holds Seq[(Int, Long)] tuples — the tuple-in-Seq encoder
     // must round-trip the off-heap store byte-for-byte for parity to hold
