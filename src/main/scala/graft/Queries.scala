@@ -4720,6 +4720,147 @@ object Queries {
        |FROM documents CROSS JOIN s""".stripMargin
   }
 
+  /** SURV1 — Kaplan–Meier survival of user lifetime
+    * ([[graft.operators.Analytics.survivalCurve]]): right-censored
+    * first→last-event durations, Ŝ(t) via the rounded-ln product. */
+  val surv1KaplanMeier: Q = (s, d) =>
+    graft.operators.Analytics.survivalCurve(Tables.events(s, d))
+
+  val surv1KaplanMeierSql: String =
+    """WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+      |                  max(CAST(ts AS DATE)) AS ld
+      |           FROM events GROUP BY 1),
+      |e AS (SELECT max(CAST(ts AS DATE)) AS end_day FROM events),
+      |dd AS (SELECT CAST(datediff('day', fd, ld) AS BIGINT) AS t,
+      |              datediff('day', ld, end_day) < 7 AS censored
+      |       FROM u CROSS JOIN e),
+      |g AS (SELECT t, CAST(count(*) AS BIGINT) AS m,
+      |             CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d
+      |      FROM dd GROUP BY 1),
+      |s AS (SELECT t, m, d,
+      |             CAST(sum(m) OVER ()
+      |                  - COALESCE(sum(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |                  AS BIGINT) AS n_risk
+      |      FROM g),
+      |l AS (SELECT t, d, n_risk,
+      |             CAST(CASE WHEN d > 0 AND d < n_risk
+      |                  THEN floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 100000000 + 0.5) / 100000000
+      |                  ELSE 0.0 END AS DECIMAL(18,8)) AS lnterm,
+      |             CASE WHEN d = n_risk THEN 1 ELSE 0 END AS deadrow
+      |      FROM s),
+      |r AS (SELECT t, d, n_risk,
+      |             sum(lnterm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+      |             max(deadrow) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+      |      FROM l)
+      |SELECT t, n_risk, d AS d_events,
+      |       CASE WHEN dead = 1 THEN 0.0
+      |            ELSE floor(exp(CAST(lnsum AS DOUBLE)) * 10000 + 0.5) / 10000 END AS survival
+      |FROM r WHERE d > 0""".stripMargin
+
+  /** DQ2 — Benford first-digit audit of order totals
+    * ([[graft.operators.Analytics.benfordAudit]]): observed vs
+    * log10(1+1/d) shares from the exact cent representation, per-digit
+    * chi-square contribution. */
+  val dq2BenfordAudit: Q = (s, d) =>
+    graft.operators.Analytics.benfordAudit(Tables.orders(s, d))
+
+  val dq2BenfordAuditSql: String = {
+    val vals = (1 to 9).map { dd =>
+      val p = BigDecimal(math.log10(1.0 + 1.0 / dd))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      s"('$dd', CAST(${p.underlying.toPlainString} AS DECIMAL(10,8)))"
+    }.mkString(", ")
+    s"""WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |           FROM orders),
+       |b AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+       |             CAST(count(*) AS BIGINT) AS n
+       |      FROM c WHERE cents > 0 GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM b),
+       |e AS (SELECT * FROM (VALUES $vals) AS v(digit, p_benford))
+       |SELECT digit, n,
+       |       floor((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS p_observed,
+       |       CAST(p_benford AS DOUBLE) AS p_benford,
+       |       floor(((CAST(n AS DOUBLE) - CAST(p_benford AS DOUBLE) * CAST(n_total AS DOUBLE))
+       |              * (CAST(n AS DOUBLE) - CAST(p_benford AS DOUBLE) * CAST(n_total AS DOUBLE))
+       |              / (CAST(p_benford AS DOUBLE) * CAST(n_total AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS chi2_term
+       |FROM b JOIN e USING (digit) CROSS JOIN t""".stripMargin
+  }
+
+  /** WOE1 — weight-of-evidence quartile binning of order value against
+    * the urgent-or-high target ([[graft.operators.Analytics.woeBins]]):
+    * Laplace-smoothed good/bad shares, per-bin WOE + IV contribution,
+    * total IV on every row. */
+  val woe1WoeIv: Q = (s, d) =>
+    graft.operators.Analytics.woeBins(Tables.orders(s, d))
+
+  val woe1WoeIvSql: String =
+    """WITH f AS (SELECT
+      |    floor(quantile_cont(o_totalprice, 0.25) * 10000 + 0.5) / 10000 AS f1,
+      |    floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS f2,
+      |    floor(quantile_cont(o_totalprice, 0.75) * 10000 + 0.5) / 10000 AS f3
+      |  FROM orders),
+      |cells AS (SELECT
+      |    CAST(CAST(o_totalprice > f1 AS INT) + CAST(o_totalprice > f2 AS INT)
+      |         + CAST(o_totalprice > f3 AS INT) AS BIGINT) AS bin,
+      |    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      |    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
+      |  FROM orders CROSS JOIN f GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_good) AS BIGINT) AS g_all,
+      |             CAST(sum(n_bad) AS BIGINT) AS b_all FROM cells),
+      |s AS (SELECT bin, n_good, n_bad,
+      |             CAST(n_good + 1 AS DOUBLE) / CAST(g_all + 4 AS DOUBLE) AS pg,
+      |             CAST(n_bad + 1 AS DOUBLE) / CAST(b_all + 4 AS DOUBLE) AS pb
+      |      FROM cells CROSS JOIN t),
+      |w AS (SELECT bin, n_good, n_bad, pg, pb,
+      |             floor(ln(pg / pb) * 1000000 + 0.5) / 1000000 AS woe
+      |      FROM s),
+      |v AS (SELECT bin, n_good, n_bad, woe,
+      |             CAST(floor((pg - pb) * woe * 100000000 + 0.5) / 100000000 AS DECIMAL(18,8)) AS iv_term
+      |      FROM w)
+      |SELECT bin, n_good, n_bad, woe,
+      |       CAST(iv_term AS DOUBLE) AS iv_term,
+      |       floor(CAST(sum(iv_term) OVER () AS DOUBLE) * 10000 + 0.5) / 10000 AS iv_total
+      |FROM v""".stripMargin
+
+  /** PSI1 — population-stability drift of each source's length
+    * distribution vs src0 ([[graft.operators.Curation.psiDrift]]):
+    * reference-decile bins, Laplace-smoothed shares,
+    * Σ(q−p)·ln(q/p) with rounded-then-decimal-summed terms. */
+  val psi1DistDrift: Q = (s, d) =>
+    Curation.psiDrift(Tables.documents(s, d))
+
+  val psi1DistDriftSql: String = {
+    val fences = (1 to 9).map(i =>
+      s"floor(quantile_cont(n_chars, 0.$i) * 10000 + 0.5) / 10000 AS f$i")
+      .mkString(",\n      |    ")
+    val bin = (1 to 9).map(i => s"CAST(n_chars > f$i AS INT)").mkString(" + ")
+    s"""WITH f AS (SELECT
+       |    $fences
+       |  FROM documents WHERE source = 'src0'),
+       |b AS (SELECT source, CAST($bin AS BIGINT) AS bin
+       |      FROM documents CROSS JOIN f),
+       |c AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT source FROM c),
+       |grid AS (SELECT s.source, g.bin, COALESCE(c.cnt, 0) AS cnt
+       |         FROM srcs s
+       |         CROSS JOIN (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)) g
+       |         LEFT JOIN c ON c.source = s.source AND c.bin = g.bin),
+       |n AS (SELECT source, bin, cnt,
+       |             CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_src
+       |      FROM grid),
+       |r AS (SELECT bin, cnt AS ref_cnt, n_src AS n_ref FROM n WHERE source = 'src0'),
+       |term AS (SELECT n.source, n.n_src,
+       |    CAST(floor(((CAST(n.cnt + 1 AS DOUBLE) / CAST(n.n_src + 10 AS DOUBLE))
+       |                - (CAST(r.ref_cnt + 1 AS DOUBLE) / CAST(r.n_ref + 10 AS DOUBLE)))
+       |               * ln((CAST(n.cnt + 1 AS DOUBLE) / CAST(n.n_src + 10 AS DOUBLE))
+       |                    / (CAST(r.ref_cnt + 1 AS DOUBLE) / CAST(r.n_ref + 10 AS DOUBLE)))
+       |               * 100000000 + 0.5) / 100000000 AS DECIMAL(18,8)) AS term
+       |    FROM n JOIN r ON n.bin = r.bin)
+       |SELECT source, CAST(max(n_src) AS BIGINT) AS n_docs,
+       |       floor(CAST(sum(term) AS DOUBLE) * 10000 + 0.5) / 10000 AS psi
+       |FROM term GROUP BY 1""".stripMargin
+  }
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -4883,6 +5024,10 @@ object Queries {
     "ohlc1_weekly_bars" -> ohlc1Weekly,
     "fe1_target_encode" -> fe1TargetEncode,
     "t12_bm25" -> t12Bm25,
+    "surv1_kaplan_meier" -> surv1KaplanMeier,
+    "dq2_benford_audit" -> dq2BenfordAudit,
+    "woe1_woe_iv" -> woe1WoeIv,
+    "psi1_dist_drift" -> psi1DistDrift,
     "d1_dedup_exact" -> d1Exact,
     "d1_dedup_metrics" -> d1Metrics,
     "d2_dedup_minhash" -> d2Minhash,
@@ -5073,6 +5218,10 @@ object Queries {
     "ohlc1_weekly_bars" -> ohlc1WeeklySql,
     "fe1_target_encode" -> fe1TargetEncodeSql,
     "t12_bm25" -> t12Bm25Sql,
+    "surv1_kaplan_meier" -> surv1KaplanMeierSql,
+    "dq2_benford_audit" -> dq2BenfordAuditSql,
+    "woe1_woe_iv" -> woe1WoeIvSql,
+    "psi1_dist_drift" -> psi1DistDriftSql,
     "d1_dedup_exact" -> d1ExactSql,
     "d1_dedup_metrics" -> d1MetricsSql,
     "d2_minhash_gate" -> d2GateSql,
@@ -5139,6 +5288,7 @@ object Queries {
     "kcore1_dense_core", "ovl1_source_overlap",
     "card1_dataset_card", "cur1_filter_waterfall",
     "reg1_ols_trend", "acf1_autocorr", "ts2_ewma", "ohlc1_weekly_bars",
-    "fe1_target_encode", "t12_bm25",
+    "fe1_target_encode", "t12_bm25", "surv1_kaplan_meier",
+    "dq2_benford_audit", "woe1_woe_iv", "psi1_dist_drift",
     "st1_stream_window", "st6_stream_cdc")
 }

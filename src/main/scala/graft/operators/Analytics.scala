@@ -951,6 +951,134 @@ object Analytics {
         col("total"))
   }
 
+  /** Kaplan–Meier survival curve of user lifetime (first→last event day):
+    * the non-parametric estimator Ŝ(t) = Π_{u≤t}(1 − d_u/n_u) over death
+    * times, with right-censoring — a user whose last activity falls
+    * within `censorDays` of the corpus end hasn't "churned", they're
+    * still at risk, and counting them as deaths (the naive churn query)
+    * biases every survival estimate down.
+    *
+    * Float discipline for the product: each factor's ln is rounded to 8
+    * decimals, the running sum is exact decimal, and exp is applied once
+    * per output row — the lm1/card1 entropy precedent, so both engines
+    * replay identical values. A time point where EVERYONE at risk dies
+    * (d = n) sends the curve exactly to 0 from then on (flag carried by a
+    * prefix max, no ln(0) evaluated).
+    *
+    * Shape: one user-keyed aggregation (data-sized), then everything
+    * runs on the distinct-duration grid — bounded by the observation
+    * span in days, codebook-sized forever. */
+  def survivalCurve(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0, s"censorDays: $censorDays")
+    val byUser = events.groupBy(col("user_id")).agg(
+      to_date(min(col("ts"))).as("first_day"),
+      to_date(max(col("ts"))).as("last_day"))
+    val end = events.agg(to_date(max(col("ts"))).as("end_day"))
+    val durs = byUser.crossJoin(broadcast(end))
+      .select(
+        datediff(col("last_day"), col("first_day")).cast("long").as("t"),
+        (datediff(col("end_day"), col("last_day")) < censorDays).as("censored"))
+    val grid = durs.groupBy(col("t")).agg(
+      count(lit(1)).as("m"),
+      sum(when(col("censored"), 0L).otherwise(1L)).as("d"))
+    val ord = Window.orderBy(col("t"))
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = grid
+      .withColumn("n_risk", sum(col("m")).over(whole) -
+        coalesce(sum(col("m")).over(pre), lit(0L)))
+      .withColumn("lnterm",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          portableRound(log(lit(1.0) -
+            col("d").cast("double") / col("n_risk").cast("double")), 8))
+          .otherwise(lit(0.0)).cast("decimal(18,8)"))
+      .withColumn("dead", max((col("d") === col("n_risk")).cast("int")).over(run))
+      .withColumn("lnsum", sum(col("lnterm")).over(run))
+    staged.filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d").as("d_events"),
+        when(col("dead") === 1, 0.0)
+          .otherwise(portableRound(exp(col("lnsum").cast("double")), 4))
+          .as("survival"))
+  }
+
+  /** Benford first-digit audit of order totals — the classic fabricated-
+    * numbers screen: the observed first-significant-digit distribution of
+    * o_totalprice against Benford's log10(1 + 1/d) expectation, with the
+    * per-digit chi-square contribution. Organic multiplicative data
+    * tracks Benford; invented or clipped values don't.
+    *
+    * First digit is taken from the EXACT cent representation (leading
+    * char of the decimal string — no float formatting drift). One
+    * map-side-combinable digit aggregation; expectations are literals. */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1)
+    val byDigit = orders.filter(cents > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = byDigit.agg(sum(col("n")).as("n_total"))
+    val expected = (1 to 9).map { dd =>
+      (dd.toString, BigDecimal(math.log10(1.0 + 1.0 / dd))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val expDf = orders.sparkSession.createDataFrame(expected)
+      .toDF("digit", "p_benford")
+      .select(col("digit"), col("p_benford").cast("decimal(10,8)"))
+    byDigit.join(broadcast(expDf), Seq("digit"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        portableRound(col("n").cast("double") / col("n_total").cast("double"), 6)
+          .as("p_observed"),
+        col("p_benford").cast("double").as("p_benford"),
+        portableRound(
+          (col("n").cast("double") -
+            col("p_benford").cast("double") * col("n_total").cast("double")) *
+            (col("n").cast("double") -
+              col("p_benford").cast("double") * col("n_total").cast("double")) /
+            (col("p_benford").cast("double") * col("n_total").cast("double")), 6)
+          .as("chi2_term"))
+  }
+
+  /** Weight-of-evidence binning of order value against a binary target
+    * (urgent-or-high priority) — the credit-scoring feature transform:
+    * per value-quartile WOE = ln(good-share / bad-share) with +1 Laplace
+    * smoothing (so empty cells stay finite and deterministic), plus the
+    * bin's information-value contribution and the total IV on every row.
+    *
+    * Shape: fences are ONE exact-percentile aggregate broadcast back
+    * (the q7/hist2 anchor, swap in the sketch at 100 TB); the rest is a
+    * digit-sized grid. WOE doubles follow the ln-then-round discipline;
+    * IV sums the ROUNDED terms as decimals. */
+  def woeBins(orders: DataFrame, bins: Int = 4): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val good = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val fenceCols = (1 until bins).map(i =>
+      portableRound(percentile(col("o_totalprice"), lit(i.toDouble / bins)), 4)
+        .as(s"f$i"))
+    val fences = orders.agg(fenceCols.head, fenceCols.tail: _*)
+    val bin = (1 until bins).map(i =>
+      (col("o_totalprice") > col(s"f$i")).cast("int")).reduce(_ + _).cast("long")
+    val cells = orders.crossJoin(broadcast(fences))
+      .select(bin.as("bin"), good.as("good"))
+      .groupBy(col("bin")).agg(
+        sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("good"), 0L).otherwise(1L)).as("n_bad"))
+    val totals = cells.agg(sum(col("n_good")).as("g_all"), sum(col("n_bad")).as("b_all"))
+    val pg = (col("n_good") + 1).cast("double") / (col("g_all") + bins).cast("double")
+    val pb = (col("n_bad") + 1).cast("double") / (col("b_all") + bins).cast("double")
+    val woe = portableRound(log(pg / pb), 6)
+    val scored = cells.crossJoin(broadcast(totals))
+      .withColumn("woe", woe)
+      .withColumn("iv_term",
+        portableRound((pg - pb) * col("woe"), 8).cast("decimal(18,8)"))
+    val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored
+      .withColumn("iv_total", portableRound(sum(col("iv_term")).over(whole).cast("double"), 4))
+      .select(col("bin"), col("n_good"), col("n_bad"), col("woe"),
+        col("iv_term").cast("double").as("iv_term"), col("iv_total"))
+  }
+
   /** Leave-one-out target encoding of a categorical key — the standard
     * leakage-safe way to turn a high-cardinality category into a numeric
     * feature: each row gets the mean target of its category EXCLUDING

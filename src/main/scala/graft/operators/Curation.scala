@@ -279,4 +279,54 @@ object Curation {
           (n - 1).cast("double"), 6))
         .otherwise(0.0))
   }
+
+  /** Population-stability-index drift of each source's document-length
+    * distribution against a reference source — the monitoring metric that
+    * catches "this crawl snapshot's length profile shifted" before it
+    * poisons a mixture: PSI = Σ_bins (q_i − p_i)·ln(q_i/p_i) over the
+    * REFERENCE'S decile bins (fences frozen from the reference, applied
+    * to everyone — drift is measured against the reference's geometry,
+    * not each source's own). +1 Laplace smoothing keeps empty bins
+    * finite and deterministic. Rule of thumb: <0.1 stable, >0.25 shifted.
+    *
+    * Shape: fences are one exact-percentile aggregate on the reference
+    * slice broadcast to a single data-sized binning pass (the q7/hist2
+    * anchor — swap the sketch in at 100 TB); the PSI arithmetic runs on
+    * the sources×bins grid. ln terms are rounded then decimal-summed. */
+  def psiDrift(documents: DataFrame, refSource: String = "src0",
+               bins: Int = 10): DataFrame = {
+    import graft.functions.portableRound
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val fenceCols = (1 until bins).map(i =>
+      portableRound(percentile(col("n_chars"), lit(i.toDouble / bins)), 4)
+        .as(s"f$i"))
+    val fences = documents.filter(col("source") === refSource)
+      .agg(fenceCols.head, fenceCols.tail: _*)
+    val bin = (1 until bins).map(i =>
+      (col("n_chars") > col(s"f$i")).cast("int")).reduce(_ + _).cast("long")
+    val binned = documents.crossJoin(broadcast(fences))
+      .select(col("source"), bin.as("bin"))
+    val counts = binned.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // dense sources×bins grid: a bin missing from a source still carries
+    // its Laplace mass — dropping it would understate the drift
+    val grid = counts.select(col("source")).distinct()
+      .crossJoin(documents.sparkSession.range(0, bins).select(col("id").as("bin")))
+      .join(counts, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val perSource = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val withN = grid.withColumn("n_src", sum(col("cnt")).over(perSource))
+    val ref = withN.filter(col("source") === refSource)
+      .select(col("bin"), col("cnt").as("ref_cnt"), col("n_src").as("n_ref"))
+    val q = (col("cnt") + 1).cast("double") / (col("n_src") + bins).cast("double")
+    val p = (col("ref_cnt") + 1).cast("double") / (col("n_ref") + bins).cast("double")
+    val term = portableRound((q - p) * log(q / p), 8).cast("decimal(18,8)")
+    withN.join(broadcast(ref), Seq("bin"))
+      .withColumn("term", term)
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"),
+        portableRound(sum(col("term")).cast("double"), 4).as("psi"))
+  }
 }

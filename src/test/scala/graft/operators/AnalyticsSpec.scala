@@ -533,6 +533,53 @@ class AnalyticsSpec extends SparkTestBase {
     assert(row.getDouble(7) == 18.0) // total
   }
 
+  test("survivalCurve: censored users stay at risk but never count as deaths") {
+    // corpus end 01-20; u3/u4 active within 7 days of the end → censored
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 1.0),
+      (1L, "2024-01-03 10:00:00", "view", 1.0), // t=2, died
+      (2L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, "2024-01-05 10:00:00", "view", 1.0), // t=4, died
+      (3L, "2024-01-01 10:00:00", "view", 1.0),
+      (3L, "2024-01-16 10:00:00", "view", 1.0), // t=15, censored
+      (4L, "2024-01-01 10:00:00", "view", 1.0),
+      (4L, "2024-01-20 10:00:00", "view", 1.0)) // t=19, censored
+    val got = Analytics.survivalCurve(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // only death times surface; censoring shrinks n_risk but adds no step
+    assert(got == Map(
+      2L -> ((4L, 1L, 0.75)),  // 4 at risk, 1 death → S = 3/4
+      4L -> ((3L, 1L, 0.5))))  // 3 at risk, 1 death → S = 3/4 · 2/3
+  }
+
+  test("benfordAudit: digits from exact cents, observed shares sum to 1") {
+    val orders = Seq(
+      (1L, 1.00, "x"), (2L, 1.50, "x"), (3L, 2.00, "x"), (4L, 9.99, "x"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    val rows = Analytics.benfordAudit(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // cents 100, 150 → digit 1; 200 → 2; 999 → 9
+    assert(rows.keySet == Set("1", "2", "9"))
+    assert(rows("1") == ((2L, 0.5)))
+    assert(rows("2")._1 == 1L && rows("9")._1 == 1L)
+    val shares = Analytics.benfordAudit(orders).collect().map(_.getDouble(2)).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+  }
+
+  test("woeBins: symmetric quartile separation gives symmetric WOE and exact IV") {
+    // values 1..8, quartile fences 2.75/4.5/6.25; good = top half
+    val orders = (1 to 8).map { i =>
+      (i.toLong, i.toDouble, if (i >= 5) "1-URGENT" else "5-LOW")
+    }.toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    val got = Analytics.woeBins(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5))))
+      .toMap
+    // pg=1/8 vs pb=3/8 → woe = ±ln(3) = ±1.098612 at 6 decimals
+    assert(got(0L) == ((0L, 2L, -1.098612, 1.0986)))
+    assert(got(3L) == ((2L, 0L, 1.098612, 1.0986)))
+    assert(got(1L)._3 == -1.098612 && got(2L)._3 == 1.098612)
+  }
+
   test("targetEncodeLoo: excludes the row's own target; singletons get the global mean") {
     val orders = Seq(
       (1L, 10.0, "P"), (2L, 20.0, "P"), (3L, 30.0, "Q"))

@@ -190,4 +190,20 @@ class CurationSpec extends SparkTestBase {
     // stratum isolation: the book docs rank only against each other
     assert(got.find(t => t._2 == "book" && t._3 == 2L).get._4 == 1.0)
   }
+
+  test("psiDrift: reference scores 0, a fully shifted source scores the closed form") {
+    // ref 'a': lengths 1..4, median fence 2.5 → two balanced bins;
+    // 'b' lives entirely in the upper bin
+    val docs = Seq(
+      (1L, "x", "en", "a", 1L), (2L, "x", "en", "a", 2L),
+      (3L, "x", "en", "a", 3L), (4L, "x", "en", "a", 4L),
+      (5L, "x", "en", "b", 3L), (6L, "x", "en", "b", 4L),
+      (7L, "x", "en", "b", 3L), (8L, "x", "en", "b", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.psiDrift(docs, refSource = "a", bins = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("a") == ((4L, 0.0)))
+    // p=(3/6, 3/6), q=(1/6, 5/6) → (-1/3)ln(1/3) + (1/3)ln(5/3) = 0.5365
+    assert(got("b") == ((4L, 0.5365)))
+  }
 }
