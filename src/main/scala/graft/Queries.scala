@@ -4822,6 +4822,43 @@ object Queries {
       |       floor(CAST(sum(iv_term) OVER () AS DOUBLE) * 10000 + 0.5) / 10000 AS iv_total
       |FROM v""".stripMargin
 
+  /** LP1 — label-propagation communities on the top-5 trade graph
+    * ([[graft.operators.Graph.labelPropagation]]): 4 synchronous rounds,
+    * most-frequent-neighbor-label vote with smallest-label ties; the
+    * oracle replays the identical rounds as unrolled CTEs. */
+  val lp1Communities: Q = (s, d) =>
+    graft.operators.Graph.labelPropagation(
+      Tables.nation(s, d).select(col("n_name").as("node")),
+      tradeEdges(s, d), rounds = 4)
+
+  val lp1CommunitiesSql: String = {
+    val rounds = 4
+    val steps = (1 to rounds).map { i =>
+      s"""v$i AS (SELECT nb.node, l.lbl, count(*) AS c
+         |  FROM nb JOIN l${i - 1} l ON l.node = nb.nbr GROUP BY 1, 2),
+         |p$i AS (SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |             ORDER BY c DESC, lbl) AS rn FROM v$i) t
+         |  WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT l${i - 1}.node,
+         |    COALESCE(p$i.lbl, l${i - 1}.lbl) AS lbl
+         |  FROM l${i - 1} LEFT JOIN p$i ON p$i.node = l${i - 1}.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |$tradeEdgesCte,
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM edges WHERE src <> dst),
+       |nb AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
+       |       UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT n_name AS node, n_name AS lbl FROM nation),
+       |$steps
+       |SELECT l$rounds.node, l$rounds.lbl AS community, s.community_size
+       |FROM l$rounds
+       |JOIN (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+       |      FROM l$rounds GROUP BY 1) s ON s.lbl = l$rounds.lbl""".stripMargin
+  }
+
   /** PSI1 — population-stability drift of each source's length
     * distribution vs src0 ([[graft.operators.Curation.psiDrift]]):
     * reference-decile bins, Laplace-smoothed shares,
@@ -5025,6 +5062,7 @@ object Queries {
     "fe1_target_encode" -> fe1TargetEncode,
     "t12_bm25" -> t12Bm25,
     "surv1_kaplan_meier" -> surv1KaplanMeier,
+    "lp1_communities" -> lp1Communities,
     "dq2_benford_audit" -> dq2BenfordAudit,
     "woe1_woe_iv" -> woe1WoeIv,
     "psi1_dist_drift" -> psi1DistDrift,
@@ -5219,6 +5257,7 @@ object Queries {
     "fe1_target_encode" -> fe1TargetEncodeSql,
     "t12_bm25" -> t12Bm25Sql,
     "surv1_kaplan_meier" -> surv1KaplanMeierSql,
+    "lp1_communities" -> lp1CommunitiesSql,
     "dq2_benford_audit" -> dq2BenfordAuditSql,
     "woe1_woe_iv" -> woe1WoeIvSql,
     "psi1_dist_drift" -> psi1DistDriftSql,
@@ -5289,6 +5328,6 @@ object Queries {
     "card1_dataset_card", "cur1_filter_waterfall",
     "reg1_ols_trend", "acf1_autocorr", "ts2_ewma", "ohlc1_weekly_bars",
     "fe1_target_encode", "t12_bm25", "surv1_kaplan_meier",
-    "dq2_benford_audit", "woe1_woe_iv", "psi1_dist_drift",
+    "dq2_benford_audit", "woe1_woe_iv", "psi1_dist_drift", "lp1_communities",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -89,4 +89,19 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(r("c") - 0.15 / 4) < 1e-9, r("c").toString)
     assert(r("d") == r("c"))
   }
+
+  test("labelPropagation: disjoint cliques converge to their min label; isolates keep their own") {
+    // two triangles + an isolated node: tie-breaks walk each triangle to
+    // its smallest member within 3 sync rounds (a→"b", b/c→"a", then all
+    // "a"); the isolate never votes and stays itself
+    val ns = Seq("a", "b", "c", "x", "y", "z", "q").toDF("node")
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z")).toDF("src", "dst")
+    val got = Graph.labelPropagation(ns, edges, rounds = 4)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got("a") == (("a", 3L)) && got("b") == (("a", 3L)) && got("c") == (("a", 3L)))
+    assert(got("x") == (("x", 3L)) && got("y") == (("x", 3L)) && got("z") == (("x", 3L)))
+    assert(got("q") == (("q", 1L)))
+  }
 }
