@@ -4898,6 +4898,74 @@ object Queries {
        |FROM term GROUP BY 1""".stripMargin
   }
 
+  /** FH1 — hashing-trick bag-of-words features
+    * ([[graft.operators.TextAnalysis.featureHash]]): tokens → 64 dims by
+    * the engine-portable md5 bucket, sparse (doc_id, dim, weight)
+    * triples, no vocabulary pass. */
+  val fh1FeatureHash: Q = (s, d) =>
+    TextAnalysis.featureHash(Tables.documents(s, d))
+
+  val fh1FeatureHashSql: String = {
+    val bucket = md5BucketSql("token")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |             FROM documents)
+       |SELECT doc_id, CAST(($bucket) % 64 AS BIGINT) AS dim,
+       |       CAST(count(*) AS BIGINT) AS weight
+       |FROM tok GROUP BY 1, 2""".stripMargin
+  }
+
+  /** NDCG1 — NDCG@10 of the BM25 ranking against term-coverage gains
+    * ([[graft.operators.TextAnalysis.ndcgAtK]]): exact integer gains,
+    * rounded log2 discounts summed as decimals, one final division. */
+  val ndcg1RankEval: Q = (s, d) =>
+    TextAnalysis.ndcgAtK(Tables.documents(s, d))
+
+  val ndcg1RankEvalSql: String = {
+    val terms = Seq("spark", "join", "vector")
+    val gainExpr = terms.map(t =>
+      s"CAST(list_contains(string_split(text, ' '), '$t') AS INT)").mkString(" + ")
+    // the bm25 scoring expression, identical to t12's oracle
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(string_split(text, ' '), '$t') THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(",\n      |       ")
+    val contribs = terms.zipWithIndex.map { case (t, i) =>
+      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5))
+         | * (CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS DOUBLE) * 2.2)
+         | / (CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS DOUBLE)
+         |    + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |             / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))"""
+        .stripMargin.linesIterator.mkString(" ")
+    }.mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tot_tokens,
+       |       $dfCols
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |         floor(($contribs) * 10000 + 0.5) / 10000 AS bm25,
+       |         CAST($gainExpr AS BIGINT) AS gain
+       |  FROM documents CROSS JOIN s),
+       |ds AS (SELECT CAST(floor(((CAST((1 << gain) - 1 AS DOUBLE))
+       |                / log2(CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS DOUBLE) + 1.0))
+       |               * 100000000 + 0.5) / 100000000 AS DECIMAL(18,8)) AS term,
+       |              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+       |       FROM scored QUALIFY pos <= 10),
+       |di AS (SELECT CAST(floor(((CAST((1 << gain) - 1 AS DOUBLE))
+       |                / log2(CAST(row_number() OVER (ORDER BY gain DESC, doc_id) AS DOUBLE) + 1.0))
+       |               * 100000000 + 0.5) / 100000000 AS DECIMAL(18,8)) AS term,
+       |              row_number() OVER (ORDER BY gain DESC, doc_id) AS pos
+       |       FROM scored QUALIFY pos <= 10),
+       |a AS (SELECT sum(term) AS dcg FROM ds),
+       |b AS (SELECT sum(term) AS idcg FROM di)
+       |SELECT floor(CAST(dcg AS DOUBLE) * 10000 + 0.5) / 10000 AS dcg_10,
+       |       floor(CAST(idcg AS DOUBLE) * 10000 + 0.5) / 10000 AS idcg_10,
+       |       CASE WHEN idcg > 0
+       |            THEN floor((CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)) * 10000 + 0.5) / 10000
+       |            ELSE 0.0 END AS ndcg_10
+       |FROM a CROSS JOIN b""".stripMargin
+  }
+
   // ───────────────────────────── registry ────────────────────────────────
 
   val all: Map[String, Q] = Map(
@@ -5063,6 +5131,8 @@ object Queries {
     "t12_bm25" -> t12Bm25,
     "surv1_kaplan_meier" -> surv1KaplanMeier,
     "lp1_communities" -> lp1Communities,
+    "fh1_feature_hash" -> fh1FeatureHash,
+    "ndcg1_rank_eval" -> ndcg1RankEval,
     "dq2_benford_audit" -> dq2BenfordAudit,
     "woe1_woe_iv" -> woe1WoeIv,
     "psi1_dist_drift" -> psi1DistDrift,
@@ -5258,6 +5328,8 @@ object Queries {
     "t12_bm25" -> t12Bm25Sql,
     "surv1_kaplan_meier" -> surv1KaplanMeierSql,
     "lp1_communities" -> lp1CommunitiesSql,
+    "fh1_feature_hash" -> fh1FeatureHashSql,
+    "ndcg1_rank_eval" -> ndcg1RankEvalSql,
     "dq2_benford_audit" -> dq2BenfordAuditSql,
     "woe1_woe_iv" -> woe1WoeIvSql,
     "psi1_dist_drift" -> psi1DistDriftSql,
@@ -5329,5 +5401,6 @@ object Queries {
     "reg1_ols_trend", "acf1_autocorr", "ts2_ewma", "ohlc1_weekly_bars",
     "fe1_target_encode", "t12_bm25", "surv1_kaplan_meier",
     "dq2_benford_audit", "woe1_woe_iv", "psi1_dist_drift", "lp1_communities",
+    "fh1_feature_hash", "ndcg1_rank_eval",
     "st1_stream_window", "st6_stream_cdc")
 }

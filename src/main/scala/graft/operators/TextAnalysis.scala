@@ -291,4 +291,66 @@ object TextAnalysis {
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         portableRound(score, 4).as("bm25"))
   }
+
+  /** Hashing-trick bag-of-words features: every token maps to a fixed
+    * dimension by the engine-portable md5 bucket, emitted as sparse
+    * (doc_id, dim, weight) triples — the linear-model/embedding-free
+    * featurization that needs NO vocabulary pass, no dictionary state,
+    * and a fixed output width however large the corpus grows (the
+    * Weinberger et al. hashing trick). Collisions are the accepted
+    * trade; `dims` sets the collision/width balance.
+    *
+    * Shape: one explode + one (doc, dim) hash aggregation — map-side
+    * combinable, no broadcast, no second pass; the triple form keeps the
+    * output schema hashable by the oracle (and a downstream `collect_list`
+    * turns it into vectors without re-scanning text). */
+  def featureHash(documents: DataFrame, dims: Int = 64): DataFrame = {
+    require(dims >= 2 && dims <= 100000, s"dims out of range: $dims")
+    documents.select(col("doc_id"), explode(toks).as("token"))
+      .select(col("doc_id"),
+        pmod(Sampling.hashBucket(col("token")), lit(dims.toLong)).as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** NDCG@k of the [[bm25]] ranking against a term-coverage relevance
+    * label (gain = number of distinct query terms a document contains) —
+    * the retrieval-quality readout a curation pipeline runs to check its
+    * lexical scorer before trusting it to mine eval-like documents.
+    * DCG@k = Σ (2^gain − 1)/log2(pos+1) over the top-k by (bm25 desc,
+    * doc_id); the ideal ranking sorts by gain directly.
+    *
+    * Determinism: gains and 2^gain − 1 are exact integers (shiftleft, no
+    * float pow), positions come from total orders, discount terms are
+    * rounded then decimal-summed, and the final ratio is one IEEE
+    * division. The rank windows run on the scored frame (top-k sized
+    * work at the TakeOrdered level at scale — same contract as w6). */
+  def ndcgAtK(documents: DataFrame,
+              terms: Seq[String] = Seq("spark", "join", "vector"),
+              k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val gain = terms.map(t =>
+      array_contains(toks, t).cast("int")).reduce(_ + _).cast("long")
+    val scored = bm25(documents, terms)
+      .join(documents.select(col("doc_id"), gain.as("gain")), "doc_id")
+    val byScore = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val byGain = Window.orderBy(col("gain").desc, col("doc_id"))
+    def dcg(w: org.apache.spark.sql.expressions.WindowSpec, tag: String) = {
+      val pos = row_number().over(w)
+      scored.withColumn("pos", pos).filter(col("pos") <= k)
+        .select(portableRound(
+          expr("shiftleft(1, cast(gain as int)) - 1").cast("double") /
+            log2(col("pos").cast("double") + 1.0), 8)
+          .cast("decimal(18,8)").as("term"))
+        .agg(sum(col("term")).as(tag))
+    }
+    dcg(byScore, "dcg").crossJoin(dcg(byGain, "idcg"))
+      .select(
+        portableRound(col("dcg").cast("double"), 4).as(s"dcg_$k"),
+        portableRound(col("idcg").cast("double"), 4).as(s"idcg_$k"),
+        when(col("idcg") > 0,
+          portableRound(col("dcg").cast("double") / col("idcg").cast("double"), 4))
+          .otherwise(0.0).as(s"ndcg_$k"))
+  }
 }

@@ -26,6 +26,45 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(nt == Map(1L -> 4L, 2L -> 4L, 3L -> 4L))
   }
 
+  test("featureHash: per-dim counts partition the token mass; same token → same dim") {
+    val d = docsDF(
+      doc(1, "aa bb aa cc"),
+      doc(2, "aa dd"))
+    val got = TextAnalysis.featureHash(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // total weight = total tokens, per doc
+    assert(got.filter(_._1._1 == 1L).values.sum == 4L)
+    assert(got.filter(_._1._1 == 2L).values.sum == 2L)
+    // 'aa' hashes identically everywhere: doc 1 holds 2 in that dim,
+    // doc 2 holds at least 1 there
+    val aaDim = got.collect { case ((1L, dim), 2L) => dim }
+    assert(aaDim.nonEmpty, "the duplicated token must land twice in one dim")
+    assert(got.contains((2L, aaDim.head)))
+    assert(got.values.forall(_ >= 1L))
+    assert(got.keys.forall { case (_, dim) => dim >= 0 && dim < 64 })
+  }
+
+  test("ndcgAtK: perfect ranking scores 1, an anti-correlated scorer scores below") {
+    // gains: doc 1 has all three terms, doc 2 one, doc 3 none — bm25
+    // ranks them in exactly that order → ndcg = 1.0
+    val aligned = docsDF(
+      doc(1, "spark join vector"),
+      doc(2, "spark aa bb"),
+      doc(3, "cc dd ee"))
+    val r = TextAnalysis.ndcgAtK(aligned).collect()(0)
+    assert(r.getDouble(2) == 1.0, s"ndcg: ${r.getDouble(2)}")
+    assert(r.getDouble(0) == r.getDouble(1)) // dcg == idcg
+    // force a gain inversion: 'spark' is rare (1 of 10 docs → high idf),
+    // 'join'/'vector' near-universal (9 of 10 → idf ≈ 0.15) — the
+    // gain-1 rare-term doc outscores every gain-2 doc, so the bm25 order
+    // disagrees with the ideal order and ndcg drops below 1
+    val inverted = docsDF(
+      (doc(1L, "spark aa bb") +:
+        (2L to 10L).map(i => doc(i, "join vector cc"))): _*)
+    val r2 = TextAnalysis.ndcgAtK(inverted).collect()(0)
+    assert(r2.getDouble(2) < 1.0, s"ndcg: ${r2.getDouble(2)}")
+  }
+
   test("langId: CJK → zh, stopword-rich → en, else und") {
     val d = docsDF(
       doc(1, "the cat sat on the mat with a hat"),
