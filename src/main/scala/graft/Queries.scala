@@ -114,7 +114,7 @@ object Queries {
     val c = Tables.customer(s, d).select(col("c_custkey"), trim(col("c_name")).as("customer_name"), col("c_nationkey"))
     val n = Tables.nation(s, d)
     val joined = unioned
-      .join(broadcast(c), unioned("o_custkey") === c("c_custkey"), "left")
+      .join(c, unioned("o_custkey") === c("c_custkey"), "left") // customer scales with SF: AQE decides
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
         col("customer_name"), col("n_name").as("nation"), col("o_totalprice"))
@@ -152,7 +152,7 @@ object Queries {
         col("c_mktsegment"), col("c_nationkey"))
     val dim = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("n_name"))
-    val joined = unioned.join(broadcast(dim),
+    val joined = unioned.join(dim, // customer-derived dim scales with SF: AQE decides
       unioned("o_custkey") === dim("c_custkey"), "left")
     val customerStruct = when(dim("c_custkey").isNotNull,
         struct(dim("c_custkey").as("id"), dim("c_name").as("name"),
@@ -261,7 +261,7 @@ object Queries {
       .agg(collect_set(col("l_partkey")).as("payload_ids"))
     val exploded = arrays.select(col("l_orderkey"), explode(col("payload_ids")).as("pid"))
     val p = Tables.part(s, d)
-    exploded.join(broadcast(p), col("pid") === p("p_partkey"))
+    exploded.join(p, col("pid") === p("p_partkey")) // part scales with SF: AQE decides
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("payloads_count"),
         decSum(col("p_retailprice")).as("payload_value"))
@@ -287,7 +287,7 @@ object Queries {
     val li = Tables.lineitem(s, d)
     val p = Tables.part(s, d)
     val members = li.select(col("l_orderkey"), col("l_partkey")).distinct()
-    members.join(broadcast(p), col("l_partkey") === p("p_partkey"))
+    members.join(p, col("l_partkey") === p("p_partkey")) // part scales with SF: AQE decides
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_list(struct(
         col("p_partkey").as("pid"),
@@ -477,8 +477,12 @@ object Queries {
       .filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp"))
+    // No broadcast hint on customer: it scales with SF, so the right join
+    // strategy differs by scale. AQE picks BHJ at bench SF (the filtered
+    // BUILDING slice is small) and falls back to a shuffled join at 100×
+    // where a forced hint would OOM the driver.
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -510,7 +514,7 @@ object Queries {
     val o = oB.filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
     val li = liB.filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp"))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey")) // unhinted: AQE decides (see q3)
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -526,7 +530,7 @@ object Queries {
     val n = Tables.nation(s, d)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+      .join(sup, li("l_suppkey") === sup("s_suppkey") && // supplier scales with SF: AQE decides
         c("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("order_year"))
@@ -560,8 +564,8 @@ object Queries {
     // on half-way rounding)
     val cost = col("p_retailprice").cast("decimal(12,2)") * lit(0.6).cast("decimal(2,1)")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(p, li("l_partkey") === p("p_partkey")) // part/supplier scale with SF: AQE decides
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).cast("long").as("o_year"))
@@ -678,7 +682,7 @@ object Queries {
         col("l_shipdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
     val p = Tables.part(s, d)
     val rev = price * (lit(1).cast("decimal(4,2)") - disc)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey")) // part scales with SF: AQE decides
       .agg(
         sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(12,2)")))
           .cast("double").as("promo_revenue"),
@@ -782,7 +786,7 @@ object Queries {
     val perPart = li.groupBy(col("l_partkey").as("pk"))
       .agg(sum(qty).as("sum_qty"), count(lit(1)).as("cnt"))
     val p = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey")) // filtered part still scales with SF: AQE decides
       .join(perPart, col("l_partkey") === col("pk"))
       .filter(qty * lit(5) * col("cnt") < col("sum_qty"))
       .agg(count(lit(1)).as("small_lines"),
@@ -858,7 +862,7 @@ object Queries {
     val m3 = col("p_brand") === "Brand#3" &&
       col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey")) // part scales with SF: AQE decides
       .filter(m1 || m2 || m3)
       .agg(sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("double")
         .as("revenue"),
@@ -928,8 +932,8 @@ object Queries {
     val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
       .select(col("s_suppkey"))
     Tables.lineitem(s, d)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey")) // part/supplier slices scale with SF: AQE decides
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -958,7 +962,7 @@ object Queries {
     val promoParts = Tables.part(s, d).filter(col("p_type") === "PROMO")
       .select(col("p_partkey"))
     val heavy = Tables.lineitem(s, d)
-      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(promoParts, col("l_partkey") === col("p_partkey")) // filtered part still scales with SF: AQE decides
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(qty).as("promo_qty"))
       .filter(col("promo_qty") > 90)
@@ -2623,12 +2627,12 @@ object Queries {
   /** DuckDB fragment for [[graft.operators.Sampling.hashBucket]]: the md5
     * first-8-hex-chars integer, digit-by-digit (the d3 simhash trick), mod
     * 10000 — bit-identical to Spark's conv(substr(md5, 1, 8), 16, 10). */
-  private def md5BucketSql(keyExpr: String): String = {
+  private def md5BucketSql(keyExpr: String, buckets: Int = 10000): String = {
     val pow16 = Array(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
     val digits = (0 until 8)
       .map(k => s"(strpos('0123456789abcdef', substr(md5($keyExpr), ${k + 1}, 1)) - 1) * ${pow16(k)}")
       .mkString(" + ")
-    s"(($digits) % 10000)"
+    s"(($digits) % $buckets)"
   }
 
   /** SMP1 — deterministic 20% sample by key hash: membership is a pure
@@ -2893,7 +2897,7 @@ object Queries {
       .withColumn("n_tok", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
     val df_ = toks.select(col("doc_id"), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df_), "tok")
+    val scored = tf.join(df_, "tok") // vocab table scales with corpus: AQE decides
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         portableRound(col("cnt") / col("n_tok") * log(col("n_docs") / col("df")), 6))
@@ -3654,10 +3658,14 @@ object Queries {
     val n = Tables.nation(s, d)
     val cn = n.select(col("n_nationkey").as("ck"), col("n_name").as("src"))
     val sn = n.select(col("n_nationkey").as("sk"), col("n_name").as("dst"))
+    // customer/supplier scale with SF, so they carry NO broadcast hint —
+    // AQE broadcasts them while they fit and shuffles at 100× where a
+    // forced hint would OOM. nation is a fixed 25-row dimension, the one
+    // case where a hard broadcast hint is right at every scale.
     l
       .join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(cn), c("c_nationkey") === cn("ck"))
       .join(broadcast(sn), sup("s_nationkey") === sn("sk"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
@@ -4437,7 +4445,7 @@ object Queries {
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
     val base = o
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey")) // customer scales with SF: AQE decides
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .select(col("n_name").as("nation"), col("o_orderkey"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
@@ -4799,12 +4807,16 @@ object Queries {
       |    floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS f2,
       |    floor(quantile_cont(o_totalprice, 0.75) * 10000 + 0.5) / 10000 AS f3
       |  FROM orders),
-      |cells AS (SELECT
+      |obs AS (SELECT
       |    CAST(CAST(o_totalprice > f1 AS INT) + CAST(o_totalprice > f2 AS INT)
       |         + CAST(o_totalprice > f3 AS INT) AS BIGINT) AS bin,
       |    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
       |    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
       |  FROM orders CROSS JOIN f GROUP BY 1),
+      |cells AS (SELECT CAST(g.range AS BIGINT) AS bin,
+      |    COALESCE(n_good, CAST(0 AS BIGINT)) AS n_good,
+      |    COALESCE(n_bad, CAST(0 AS BIGINT)) AS n_bad
+      |  FROM range(4) g LEFT JOIN obs ON obs.bin = g.range),
       |t AS (SELECT CAST(sum(n_good) AS BIGINT) AS g_all,
       |             CAST(sum(n_bad) AS BIGINT) AS b_all FROM cells),
       |s AS (SELECT bin, n_good, n_bad,
@@ -4906,10 +4918,10 @@ object Queries {
     TextAnalysis.featureHash(Tables.documents(s, d))
 
   val fh1FeatureHashSql: String = {
-    val bucket = md5BucketSql("token")
+    val bucket = md5BucketSql("token", buckets = 64) // direct-to-dims, same as featureHash
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
        |             FROM documents)
-       |SELECT doc_id, CAST(($bucket) % 64 AS BIGINT) AS dim,
+       |SELECT doc_id, CAST($bucket AS BIGINT) AS dim,
        |       CAST(count(*) AS BIGINT) AS weight
        |FROM tok GROUP BY 1, 2""".stripMargin
   }

@@ -760,8 +760,9 @@ object Analytics {
       .filter(col("n_pair") >= minCount)
     def dec(c: Column): Column = c.cast("decimal(19,0)")
     pairs
-      .join(broadcast(itemCnt.select(col("item").as("item_a"), col("cnt").as("cnt_a"))), "item_a")
-      .join(broadcast(itemCnt.select(col("item").as("item_b"), col("cnt").as("cnt_b"))), "item_b")
+      // item dimension scales with the catalog — no hard hint, AQE decides
+      .join(itemCnt.select(col("item").as("item_a"), col("cnt").as("cnt_a")), "item_a")
+      .join(itemCnt.select(col("item").as("item_b"), col("cnt").as("cnt_b")), "item_b")
       .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("n_pair"),
         (col("n_pair").cast("double") / col("n_baskets")).as("support"),
@@ -1059,11 +1060,20 @@ object Analytics {
     val fences = orders.agg(fenceCols.head, fenceCols.tail: _*)
     val bin = (1 until bins).map(i =>
       (col("o_totalprice") > col(s"f$i")).cast("int")).reduce(_ + _).cast("long")
-    val cells = orders.crossJoin(broadcast(fences))
+    val observed = orders.crossJoin(broadcast(fences))
       .select(bin.as("bin"), good.as("good"))
       .groupBy(col("bin")).agg(
         sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
         sum(when(col("good"), 0L).otherwise(1L)).as("n_bad"))
+    // Densify onto the full 0..bins-1 grid: percentile fences can
+    // collapse on skewed/discrete values, leaving bins with no rows —
+    // those must still emit their Laplace-smoothed WOE rows (the
+    // smoothing denominators already count ALL `bins` cells).
+    val grid = orders.sparkSession.range(bins).select(col("id").as("bin"))
+    val cells = grid.join(observed, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_good"), lit(0L)).as("n_good"),
+        coalesce(col("n_bad"), lit(0L)).as("n_bad"))
     val totals = cells.agg(sum(col("n_good")).as("g_all"), sum(col("n_bad")).as("b_all"))
     val pg = (col("n_good") + 1).cast("double") / (col("g_all") + bins).cast("double")
     val pb = (col("n_bad") + 1).cast("double") / (col("b_all") + bins).cast("double")

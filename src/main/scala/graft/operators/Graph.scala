@@ -131,8 +131,8 @@ object Graph {
     * backbone extractor (community seeds, near-dup cluster cores, spam
     * farms).
     *
-    * Each round is one degree aggregation + two broadcast semi-joins (the
-    * keep-set is node-dimension-sized); rounds needed = peel depth, which
+    * Each round is one degree aggregation + two keep-set semi-joins
+    * (strategy left to AQE — see below); rounds needed = peel depth, which
     * is ≤ the longest chain the peel erodes — bounded, like the CC
     * fixpoint, by graph structure rather than size. Edges are
     * `localCheckpoint`ed per round so the plan tree stays flat across
@@ -142,30 +142,42 @@ object Graph {
     * below k this round" — no probabilistic signature needed.
     *
     * At 100× scale the shape holds: degree agg shuffles (node, 1) pairs,
-    * the keep-set broadcast is O(nodes-still-in) ids, and each round's
-    * edge set only shrinks. */
+    * the keep-set semi-joins carry id-only rows, and each round's edge
+    * set only shrinks. The semi-joins deliberately carry NO broadcast
+    * hint: in round 1 the keep set is close to ALL nodes (peeling has
+    * removed nothing yet), so a forced broadcast would ship a multi-GB
+    * node set to every executor on a 10⁹-node graph. Left unhinted, AQE
+    * picks BroadcastHashJoin from runtime sizes once late-round peeling
+    * has shrunk the set, and a shuffled semi-join before that — the
+    * decision that is right at both scales. */
+  private def coreDegrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+
+  /** One peel round, exposed (package-private) so the spec can assert the
+    * plan shape: the keep-set semi-joins must carry no mandatory
+    * broadcast hint — the scale contract documented on [[kCore]]. */
+  private[graft] def kCorePeelRound(e: DataFrame, k: Int): DataFrame = {
+    val keep = coreDegrees(e).filter(col("core_deg") >= k).select(col("node"))
+    e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
+  }
+
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("a").as("node"))
-        .unionByName(e.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
     var e = undirected(edges).localCheckpoint()
     var nEdges = e.count()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds && nEdges > 0) {
-      val keep = degrees(e).filter(col("core_deg") >= k).select(col("node"))
-      val e2 = e
-        .join(broadcast(keep.select(col("node").as("a"))), Seq("a"), "left_semi")
-        .join(broadcast(keep.select(col("node").as("b"))), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint()
+      val e2 = kCorePeelRound(e, k).localCheckpoint()
       val n2 = e2.count()
       converged = n2 == nEdges
       e = e2; nEdges = n2; rounds += 1
     }
-    degrees(e)
+    coreDegrees(e)
   }
 
   /** Synchronous label-propagation community detection with a fixed round

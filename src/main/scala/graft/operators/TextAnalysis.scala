@@ -306,9 +306,13 @@ object TextAnalysis {
     * turns it into vectors without re-scanning text). */
   def featureHash(documents: DataFrame, dims: Int = 64): DataFrame = {
     require(dims >= 2 && dims <= 100000, s"dims out of range: $dims")
+    // Hash straight into `dims` buckets (no intermediate mod-10000 pass:
+    // a double mod would leave dims >= 10000 unreachable and bias
+    // non-divisor widths). Residual bias is only 2^32 % dims over the
+    // 32-bit md5 prefix — exactly zero for power-of-two dims, < 1e-5
+    // relative for the allowed range.
     documents.select(col("doc_id"), explode(toks).as("token"))
-      .select(col("doc_id"),
-        pmod(Sampling.hashBucket(col("token")), lit(dims.toLong)).as("dim"))
+      .select(col("doc_id"), Sampling.hashBucket(col("token"), dims).as("dim"))
       .groupBy(col("doc_id"), col("dim"))
       .agg(count(lit(1)).as("weight"))
   }
@@ -336,16 +340,20 @@ object TextAnalysis {
       .join(documents.select(col("doc_id"), gain.as("gain")), "doc_id")
     val byScore = Window.orderBy(col("bm25").desc, col("doc_id"))
     val byGain = Window.orderBy(col("gain").desc, col("doc_id"))
-    def dcg(w: org.apache.spark.sql.expressions.WindowSpec, tag: String) = {
-      val pos = row_number().over(w)
-      scored.withColumn("pos", pos).filter(col("pos") <= k)
-        .select(portableRound(
-          expr("shiftleft(1, cast(gain as int)) - 1").cast("double") /
-            log2(col("pos").cast("double") + 1.0), 8)
-          .cast("decimal(18,8)").as("term"))
-        .agg(sum(col("term")).as(tag))
-    }
-    dcg(byScore, "dcg").crossJoin(dcg(byGain, "idcg"))
+    // Both ranks in ONE pass over `scored` (it embeds the bm25 stats
+    // broadcast and the per-term projections — executing it twice would
+    // double the data-sized scan): two row_numbers on the same frame,
+    // then one aggregation with the top-k filters as conditional sums.
+    def term(pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column = portableRound(
+      expr("shiftleft(1, cast(gain as int)) - 1").cast("double") /
+        log2(pos.cast("double") + 1.0), 8)
+      .cast("decimal(18,8)")
+    scored
+      .withColumn("pos_score", row_number().over(byScore))
+      .withColumn("pos_gain", row_number().over(byGain))
+      .agg(
+        sum(when(col("pos_score") <= k, term(col("pos_score")))).as("dcg"),
+        sum(when(col("pos_gain") <= k, term(col("pos_gain")))).as("idcg"))
       .select(
         portableRound(col("dcg").cast("double"), 4).as(s"dcg_$k"),
         portableRound(col("idcg").cast("double"), 4).as(s"idcg_$k"),

@@ -33,6 +33,32 @@ object EventStream {
   private[streaming] def scopedQueryName(prefix: String): String =
     s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
+  /** Pin micro-batch order for the data-then-sentinel fixtures: the data
+    * file's mtime is set 60 s behind every sentinel file's, then READ
+    * BACK and asserted strictly ascending — a filesystem that truncates
+    * mtimes to a coarser tick (and could silently let the sentinel batch
+    * fire first, advancing the watermark past the data and dropping every
+    * real row as late) fails loudly here instead. */
+  private[streaming] def pinDataBeforeSentinel(srcDir: java.nio.file.Path): Unit = {
+    val now = System.currentTimeMillis()
+    val data = srcDir.resolve("events.parquet")
+    Files.setLastModifiedTime(data,
+      java.nio.file.attribute.FileTime.fromMillis(now - 60000L))
+    Files.walk(Paths.get(srcDir.toString + "/sentinel")).forEach { f =>
+      if (Files.isRegularFile(f))
+        Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(now))
+    }
+    val dataM = Files.getLastModifiedTime(data).toMillis
+    Files.walk(Paths.get(srcDir.toString + "/sentinel")).forEach { f =>
+      if (Files.isRegularFile(f)) {
+        val m = Files.getLastModifiedTime(f).toMillis
+        require(dataM < m,
+          s"fixture mtime order not preserved by this filesystem: data=$dataM sentinel=$m")
+      }
+    }
+  }
+
   /** Replay the fixture TWICE through the streaming dedup (two copies of
     * the parquet in the source dir → every event arrives duplicated) and
     * return the deduped rows: the result must equal the batch table
@@ -122,14 +148,7 @@ object EventStream {
     // sentinel can never share (or precede, on a coarse-granularity FS)
     // the events file's mtime tick — a sentinel-first batch would advance
     // the watermark past the data and drop every real row as late
-    val now = System.currentTimeMillis()
-    Files.setLastModifiedTime(srcDir.resolve("events.parquet"),
-      java.nio.file.attribute.FileTime.fromMillis(now - 60000L))
-    Files.walk(Paths.get(srcDir.toString + "/sentinel")).forEach { f =>
-      if (Files.isRegularFile(f))
-        Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(now))
-    }
+    pinDataBeforeSentinel(srcDir)
     def side(eventType: String, prefix: String) =
       spark.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", "1")
@@ -410,14 +429,7 @@ object EventStream {
     Seq((-1L, farNanos, -1L, "click", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(srcDir.toString + "/sentinel")
-    val now = System.currentTimeMillis()
-    Files.setLastModifiedTime(srcDir.resolve("events.parquet"),
-      java.nio.file.attribute.FileTime.fromMillis(now - 60000L))
-    Files.walk(Paths.get(srcDir.toString + "/sentinel")).forEach { f =>
-      if (Files.isRegularFile(f))
-        Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(now))
-    }
+    pinDataBeforeSentinel(srcDir)
     val dmax = raw.select(to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
       .agg(max(col("d"))).head.getDate(0)
     val stream = spark.readStream.schema(rawSchema)
@@ -444,7 +456,13 @@ object EventStream {
     * semantics (spacex.js:24,32): an unmatched FK enriches to 'Unknown'
     * instead of dropping or nulling. The streaming-vs-batch contract is
     * exact row parity with the batch left join, which is what the driver
-    * oracle replays. */
+    * oracle replays.
+    *
+    * The broadcast hint is part of this operator's CONTRACT: the dim here
+    * is a lookup slice that must fit in executor memory (the streaming
+    * planner has no AQE to re-decide per batch). For a dim that scales
+    * with the fact (10⁸+ rows) the right tool is a shuffled stream-static
+    * join — drop the hint at the call site, not here. */
   def enrichStream(stream: DataFrame, dim: DataFrame): DataFrame = {
     val d = dim.select(col("c_custkey"), trim(col("c_name")).as("c_name"))
     stream
@@ -551,14 +569,7 @@ object EventStream {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(srcDir.toString + "/sentinel")
     // pin batch order: data strictly older than the sentinel (st7 fix)
-    val now = System.currentTimeMillis()
-    Files.setLastModifiedTime(srcDir.resolve("events.parquet"),
-      java.nio.file.attribute.FileTime.fromMillis(now - 60000L))
-    Files.walk(Paths.get(srcDir.toString + "/sentinel")).forEach { f =>
-      if (Files.isRegularFile(f))
-        Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(now))
-    }
+    pinDataBeforeSentinel(srcDir)
     val dmax = raw.agg(max(timestamp_micros(expr("ts div 1000")))).head
       .getTimestamp(0)
     val stream = spark.readStream.schema(rawSchema)

@@ -72,6 +72,26 @@ class GraphSpec extends SparkTestBase {
     assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("kCore: peel round has NO mandatory broadcast of the keep set") {
+    // The scale contract: in round 1 the keep set is ~all nodes, so a
+    // hard broadcast() hint would force shipping a data-sized id set to
+    // every executor. The plan must leave the strategy to AQE — i.e. the
+    // analyzed plan carries no ResolvedHint anywhere, and both keep-set
+    // joins are LeftSemi.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")).toDF("a", "b")
+    val round = Graph.kCorePeelRound(e, 2)
+    val analyzed = round.queryExecution.analyzed
+    val hints = analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"mandatory join hints in kCore peel: $hints")
+    val semis = analyzed.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.size == 2, s"expected 2 keep-set semi-joins, got ${semis.size}")
+    // and the round itself is correct: d (deg 1) peels, triangle survives
+    assert(round.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b"), ("b", "c"), ("a", "c")))
+  }
+
   test("kCore: k above the densest core returns empty; dup/direction collapse first") {
     val edges = Seq(
       ("a", "b"), ("b", "a"), ("a", "b"), // dups + reverse = ONE edge
