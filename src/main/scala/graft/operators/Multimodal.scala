@@ -17,12 +17,6 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *   - decoded features land as columns, keeping everything downstream
   *     (filters, joins, dedup) in Catalyst.
   */
-/** A decoded media record: what a real image decoder would emit.
-  * (Top-level, non-private: encoder codegen cannot access private nested
-  * case classes — janino "Private member cannot be accessed".) */
-final case class MediaFeatures(
-    doc_id: Long, byte_len: Int, header: String, width: Int, height: Int)
-
 /** Output of the REAL image-header decode: format + dimensions parsed from
   * the payload bytes themselves. */
 final case class ImageFeatures(
@@ -41,41 +35,6 @@ final case class AudioFeatures(
     data_bytes: Long, duration_ms: Long)
 
 object Multimodal {
-
-  /** Model the documents table as a media table: payload = utf8 bytes of
-    * `text` (stands in for image bytes), metadata carried alongside. */
-  def asMediaTable(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      struct(col("source"), col("lang"), col("n_chars")).as("meta"))
-
-  /** STUB decode kernel for TEXT payloads (the text-as-media modeling of
-    * [[asMediaTable]]). A production build would replace the body with a
-    * real codec call — the signature, batching and determinism contract are
-    * the real interface; for actual image bytes use [[decodeImageHeader]],
-    * which is a real parser.
-    *
-    * BMP-ONLY contract: the first-character basis is `codePointAt(0)`,
-    * which for a payload starting with a SUPPLEMENTARY character (emoji)
-    * returns the full code point while the SQL twin's `ascii()` (Spark)
-    * returns the first UTF-16 code unit (duck's `unicode()` returns the
-    * code point). The engines themselves disagree outside the BMP, so the
-    * contract is pinned where they agree: BMP text (all fixture corpora).
-    */
-  private def decodeStub(payload: Array[Byte]): (Int, String, Int, Int) = {
-    // ??? <- real codec goes here; deterministic fake below keeps tests honest
-    val len = payload.length
-    val header = payload.take(4).map(b => f"${b & 0xff}%02X").mkString
-    // FIRST CODEPOINT of the UTF-8 payload (0 when empty) — the same basis
-    // as the SQL twin's ascii(cast(payload AS string)): a payload starting
-    // with a multibyte character (zh text) must decode identically on the
-    // typed and declarative paths.
-    val cp0 =
-      if (len == 0) 0
-      else new String(payload, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
-    (len, header, 1 + cp0 % 64, 1 + len % 64)
-  }
 
   // ─────────────────────── real image-header decode ───────────────────────
 
@@ -157,20 +116,6 @@ object Multimodal {
           decodeImageHeader(r.payload).map { case (fmt, w, h) =>
             ImageFeatures(r.doc_id, fmt, w, h, r.payload.length)
           }
-        }
-      }
-  }
-
-  /** Partition-parallel decode: `mapPartitions` over the typed payload
-    * Dataset — one iterator per partition (batch shape), codegen resumes
-    * after the resulting typed columns. */
-  def decode(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[MediaRow]
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val (len, header, w, h) = decodeStub(r.payload)
-          MediaFeatures(r.doc_id, len, header, w, h)
         }
       }
   }
@@ -404,13 +349,4 @@ object Multimodal {
       }
   }
 
-  /** Pure-SQL twin of the decode (possible because the stub is arithmetic):
-    * lets the DuckDB oracle verify the plumbing end-to-end. */
-  def decodeSql(media: DataFrame): DataFrame =
-    media.select(
-      col("doc_id"),
-      length(col("payload")).cast("int").as("byte_len"),
-      hex(substring(col("payload"), 1, 4)).as("header"),
-      (lit(1) + pmod(ascii(col("payload").cast("string")), lit(64))).as("width"),
-      (lit(1) + pmod(length(col("payload")), lit(64))).cast("int").as("height"))
 }

@@ -5,9 +5,9 @@ import graft.{SparkTestBase, Tables}
 class MultimodalSpec extends SparkTestBase {
 
   test("mapPartitions decode and SQL twin produce identical features") {
-    val media = Multimodal.asMediaTable(Tables.documents(spark, sf0001).limit(50))
-    val viaDs = Multimodal.decode(spark, media).toDF()
-    val viaSql = Multimodal.decodeSql(media)
+    val media = TextMediaStub.asMediaTable(Tables.documents(spark, sf0001).limit(50))
+    val viaDs = TextMediaStub.decode(spark, media).toDF()
+    val viaSql = TextMediaStub.decodeSql(media)
       .select("doc_id", "byte_len", "header", "width", "height")
     assertSameRows(viaDs.select("doc_id", "byte_len", "header", "width", "height"), viaSql)
   }
@@ -24,15 +24,15 @@ class MultimodalSpec extends SparkTestBase {
       (3L, "plain ascii text", "synthetic", "en", 16L),
       (4L, "", "synthetic", "und", 0L))
       .toDF("doc_id", "text", "source", "lang", "n_chars")
-    val media = Multimodal.asMediaTable(docs)
-    val viaDs = Multimodal.decode(spark, media).toDF()
+    val media = TextMediaStub.asMediaTable(docs)
+    val viaDs = TextMediaStub.decode(spark, media).toDF()
       .select("doc_id", "byte_len", "header", "width", "height")
-    val viaSql = Multimodal.decodeSql(media)
+    val viaSql = TextMediaStub.decodeSql(media)
       .select("doc_id", "byte_len", "header", "width", "height")
     assertSameRows(viaDs, viaSql)
     // and the zh row really exercises the multibyte path: codepoint of 中
     // is 20013 → width 1 + 20013 % 64 = 46 (first-byte 0xE4 would give 37)
-    val zh = Multimodal.decode(spark, media).filter(_.doc_id == 1L).head()
+    val zh = TextMediaStub.decode(spark, media).filter(_.doc_id == 1L).head()
     assert(zh.width == 1 + 20013 % 64)
   }
 
@@ -161,7 +161,7 @@ class MultimodalSpec extends SparkTestBase {
   }
 
   test("media table carries binary payload + typed metadata struct") {
-    val media = Multimodal.asMediaTable(Tables.documents(spark, sf0001).limit(1))
+    val media = TextMediaStub.asMediaTable(Tables.documents(spark, sf0001).limit(1))
     val schema = media.schema
     assert(schema("payload").dataType.typeName == "binary")
     assert(schema("meta").dataType.typeName == "struct")
