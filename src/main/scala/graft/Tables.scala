@@ -23,15 +23,45 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and
-    * convert with integer division — `ts div 1000` — NOT double division,
-    * which loses precision above 2^53 ns (~1970+104 days). */
-  def events(s: SparkSession, d: String): DataFrame = {
+  /** Physical type of `events.ts`, probed from the parquet FOOTER — never
+    * assumed. The fixture has shipped as both int64 TIMESTAMP(NANOS) and
+    * plain `timestamp[us]` across regenerations; hard-coding either breaks
+    * the other (round 6: every events query threw or silently collapsed to
+    * ~1970 when the encoding drifted under a pinned schema).
+    *
+    * The probe itself runs with `nanosAsLong` ON so a NANOS footer reports
+    * `LongType` instead of throwing [PARQUET_TYPE_ILLEGAL]; the conf is
+    * harmless for non-NANOS columns, so it is left set either way. */
+  def eventsTsType(s: SparkSession, path: String): org.apache.spark.sql.types.DataType = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val t = s.read.parquet(path).schema("ts").dataType
+    import org.apache.spark.sql.types._
+    require(t == LongType || t == TimestampType || t == TimestampNTZType,
+      s"events.ts has unsupported physical type $t at $path — expected " +
+        "int64 TIMESTAMP(NANOS) (read as LongType), timestamp, or timestamp_ntz")
+    t
+  }
+
+  /** Schema-ADAPTIVE events reader: branch on the probed `ts` type.
+    *  - int64 TIMESTAMP(NANOS) → raw nanos (legacy conf) converted with
+    *    integer division — `ts div 1000` — NOT double division, which loses
+    *    precision above 2^53 ns (~1970+104 days);
+    *  - timestamp_ntz → cast to the session TimestampType (UTC session, so
+    *    the underlying micros are preserved exactly);
+    *  - timestamp → already the session convention, used as-is.
+    * Every path lands on TimestampType at microsecond precision, so
+    * downstream operators never see the physical encoding. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    eventsTsType(s, s"$d/events.parquet") match {
+      case LongType =>
+        apply(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        apply(s, d, "events").withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        apply(s, d, "events")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

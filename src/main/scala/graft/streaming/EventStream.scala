@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
@@ -13,9 +13,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * `writeStream`, with batch parity enforced by the DuckDB oracle (the
   * streaming query's result must hash-match the batch window aggregation).
   *
-  * `events.ts` is TIMESTAMP(NANOS) parquet, which the vectorized reader
-  * rejects — streamed as raw nanos (legacy conf) and converted via integer
-  * division, same as the batch path in graft.Tables.
+  * `events.ts` has shipped as both int64 TIMESTAMP(NANOS) and plain
+  * `timestamp[us]` across fixture regenerations, so every replay PROBES the
+  * parquet footer and derives its read schema + conversions from a
+  * [[TsCodec]] — the streaming twin of the schema-adaptive batch path in
+  * [[graft.Tables.events]]. Nothing below assumes the physical encoding.
   */
 object EventStream {
 
@@ -70,8 +72,9 @@ object EventStream {
       srcDir.resolve("events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+    val codec = codecFor(spark, srcDir.resolve("events_a.parquet").toString)
+    val stream = spark.readStream.schema(codec.rawSchema).parquet(srcDir.toString)
+      .withColumn("ts", codec.tsTimestamp)
     val queryName = scopedQueryName("graft_stream_dedup")
     val q = dedupStream(stream).writeStream
       .outputMode("append").format("memory").queryName(queryName).start()
@@ -92,10 +95,10 @@ object EventStream {
     val srcDir = Files.createTempDirectory("graft-stream-join")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val codec = codecFor(spark, srcDir.resolve("events.parquet").toString)
     def side(eventType: String, prefix: String) =
-      spark.readStream.schema(rawSchema).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      spark.readStream.schema(codec.rawSchema).parquet(srcDir.toString)
+        .withColumn("ts", codec.tsTimestamp)
         .filter(col("event_type") === eventType)
         .select(col("event_id").as(s"${prefix}_id"),
           col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
@@ -133,16 +136,14 @@ object EventStream {
     val srcDir = Files.createTempDirectory("graft-stream-loj")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val codec = codecFor(spark, srcDir.resolve("events.parquet").toString)
     // sentinel: one click + one purchase ~400 days past the data end
-    val maxNanos = spark.read.schema(rawSchema)
+    val maxMicros = spark.read.schema(codec.rawSchema)
       .parquet(srcDir.resolve("events.parquet").toString)
-      .agg(max(col("ts"))).head.getLong(0)
-    val farNanos = maxNanos + 400L * 86400L * 1000000000L
-    import spark.implicits._
-    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"),
-        (-2L, farNanos, -1L, "purchase", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .agg(max(codec.tsMicros)).head.getLong(0)
+    val farMicros = maxMicros + 400L * 86400L * 1000000L
+    sentinelDf(spark, codec, Seq((-1L, farMicros, -1L, "click", 0.0, "{}"),
+        (-2L, farMicros, -1L, "purchase", 0.0, "{}")))
       .coalesce(1).write.mode("append").parquet(srcDir.toString + "/sentinel")
     // batch order = file modification order: pin it EXPLICITLY so the
     // sentinel can never share (or precede, on a coarse-granularity FS)
@@ -150,11 +151,11 @@ object EventStream {
     // the watermark past the data and drop every real row as late
     pinDataBeforeSentinel(srcDir)
     def side(eventType: String, prefix: String) =
-      spark.readStream.schema(rawSchema)
+      spark.readStream.schema(codec.rawSchema)
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", codec.tsTimestamp)
         .filter(col("event_type") === eventType)
         .select(col("event_id").as(s"${prefix}_id"),
           col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
@@ -186,10 +187,10 @@ object EventStream {
     val srcDir = Files.createTempDirectory("graft-stream-pattern")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+    val codec = codecFor(spark, srcDir.resolve("events.parquet").toString)
+    val stream = spark.readStream.schema(codec.rawSchema).parquet(srcDir.toString)
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("ts_micros"), col("event_type"))
+        codec.tsMicros.as("ts_micros"), col("event_type"))
       .as[StatefulSessions.TypedEvent]
     val queryName = scopedQueryName("graft_stream_pattern")
     val q = StatefulSessions.patternHits(spark, stream, pattern).writeStream
@@ -222,17 +223,16 @@ object EventStream {
                               horizonDays: Int = 90): DataFrame = {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft-stream-ret")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
-    val b = raw.agg(min(col("ts")), max(col("ts"))).head
+    val codec = codecFor(spark, s"$sfDir/events.parquet")
+    val raw = spark.read.schema(codec.rawSchema).parquet(s"$sfDir/events.parquet")
+    val b = raw.agg(min(codec.tsMicros), max(codec.tsMicros)).head
     val (t0, t1) = (b.getLong(0), b.getLong(1))
     val span = (t1 - t0) / 3 + 1
     for (i <- 0 until 3)
-      raw.filter(col("ts") >= t0 + i * span && col("ts") < t0 + (i + 1) * span)
+      raw.filter(codec.tsMicros >= t0 + i * span && codec.tsMicros < t0 + (i + 1) * span)
         .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
-    val farNanos = t1 + 400L * 86400L * 1000000000L
-    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val farMicros = t1 + 400L * 86400L * 1000000L
+    sentinelDf(spark, codec, Seq((-1L, farMicros, -1L, "click", 0.0, "{}")))
       .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
     // pin mtimes strictly ascending so batch order is the time order
     val now = System.currentTimeMillis()
@@ -242,11 +242,11 @@ object EventStream {
           Files.setLastModifiedTime(f,
             java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
       }
-    val stream = spark.readStream.schema(rawSchema)
+    val stream = spark.readStream.schema(codec.rawSchema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
       .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", codec.tsTimestamp)
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("ts"))
       .as[StatefulSessions.RetEvent]
@@ -283,17 +283,16 @@ object EventStream {
                                   days: Int = 7): DataFrame = {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft-stream-roll")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
-    val b = raw.agg(min(col("ts")), max(col("ts"))).head
+    val codec = codecFor(spark, s"$sfDir/events.parquet")
+    val raw = spark.read.schema(codec.rawSchema).parquet(s"$sfDir/events.parquet")
+    val b = raw.agg(min(codec.tsMicros), max(codec.tsMicros)).head
     val (t0, t1) = (b.getLong(0), b.getLong(1))
     val span = (t1 - t0) / 3 + 1
     for (i <- 0 until 3)
-      raw.filter(col("ts") >= t0 + i * span && col("ts") < t0 + (i + 1) * span)
+      raw.filter(codec.tsMicros >= t0 + i * span && codec.tsMicros < t0 + (i + 1) * span)
         .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
-    val farNanos = t1 + 400L * 86400L * 1000000000L
-    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val farMicros = t1 + 400L * 86400L * 1000000L
+    sentinelDf(spark, codec, Seq((-1L, farMicros, -1L, "click", 0.0, "{}")))
       .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
     val now = System.currentTimeMillis()
     for ((sub, i) <- Seq("b0", "b1", "b2", "b3_sentinel").zipWithIndex)
@@ -302,7 +301,7 @@ object EventStream {
           Files.setLastModifiedTime(f,
             java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
       }
-    val dmax = raw.select(to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+    val dmax = raw.select(to_date(codec.tsTimestamp).as("d"))
       .agg(max(col("d"))).head.getDate(0)
     // the sentinel must FLOW THROUGH the stateful operators — a pre-watermark
     // filter on the event-time column would remove it before the watermark
@@ -310,11 +309,11 @@ object EventStream {
     // (observed: the last `delay − span + 1` days went missing). Sentinel
     // windows and past-the-data-end partials are trimmed on the RESULT,
     // st9-style, where they can no longer affect watermark arithmetic.
-    val deduped = spark.readStream.schema(rawSchema)
+    val deduped = spark.readStream.schema(codec.rawSchema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
       .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", codec.tsTimestamp)
       .withColumn("w_day_ts", explode(sequence(
         date_trunc("DAY", col("ts")),
         date_trunc("DAY", col("ts")) + expr(s"INTERVAL ${days - 1} DAYS"),
@@ -366,17 +365,16 @@ object EventStream {
   def runAnomalyOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft-stream-anom")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
-    val b = raw.agg(min(col("ts")), max(col("ts"))).head
+    val codec = codecFor(spark, s"$sfDir/events.parquet")
+    val raw = spark.read.schema(codec.rawSchema).parquet(s"$sfDir/events.parquet")
+    val b = raw.agg(min(codec.tsMicros), max(codec.tsMicros)).head
     val (t0, t1) = (b.getLong(0), b.getLong(1))
     val span = (t1 - t0) / 3 + 1
     for (i <- 0 until 3)
-      raw.filter(col("ts") >= t0 + i * span && col("ts") < t0 + (i + 1) * span)
+      raw.filter(codec.tsMicros >= t0 + i * span && codec.tsMicros < t0 + (i + 1) * span)
         .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
-    val farNanos = t1 + 400L * 86400L * 1000000000L
-    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val farMicros = t1 + 400L * 86400L * 1000000L
+    sentinelDf(spark, codec, Seq((-1L, farMicros, -1L, "click", 0.0, "{}")))
       .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
     val now = System.currentTimeMillis()
     for ((sub, i) <- Seq("b0", "b1", "b2", "b3_sentinel").zipWithIndex)
@@ -385,13 +383,13 @@ object EventStream {
           Files.setLastModifiedTime(f,
             java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
       }
-    val dmax = raw.select(to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+    val dmax = raw.select(to_date(codec.tsTimestamp).as("d"))
       .agg(max(col("d"))).head.getDate(0)
-    val stream = spark.readStream.schema(rawSchema)
+    val stream = spark.readStream.schema(codec.rawSchema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
       .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", codec.tsTimestamp)
       .withWatermark("ts", "0 seconds")
       .select(col("event_type"), col("ts"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
@@ -422,21 +420,20 @@ object EventStream {
     val srcDir = Files.createTempDirectory("graft-stream-sketch")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(srcDir.resolve("events.parquet").toString)
-    val maxNanos = raw.agg(max(col("ts"))).head.getLong(0)
-    val farNanos = maxNanos + 400L * 86400L * 1000000000L
-    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val codec = codecFor(spark, srcDir.resolve("events.parquet").toString)
+    val raw = spark.read.schema(codec.rawSchema).parquet(srcDir.resolve("events.parquet").toString)
+    val maxMicros = raw.agg(max(codec.tsMicros)).head.getLong(0)
+    val farMicros = maxMicros + 400L * 86400L * 1000000L
+    sentinelDf(spark, codec, Seq((-1L, farMicros, -1L, "click", 0.0, "{}")))
       .coalesce(1).write.parquet(srcDir.toString + "/sentinel")
     pinDataBeforeSentinel(srcDir)
-    val dmax = raw.select(to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+    val dmax = raw.select(to_date(codec.tsTimestamp).as("d"))
       .agg(max(col("d"))).head.getDate(0)
-    val stream = spark.readStream.schema(rawSchema)
+    val stream = spark.readStream.schema(codec.rawSchema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
       .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", codec.tsTimestamp)
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 day"))
       .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
@@ -478,8 +475,8 @@ object EventStream {
     val srcDir = Files.createTempDirectory("graft-stream-enrich")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+    val codec = codecFor(spark, srcDir.resolve("events.parquet").toString)
+    val stream = spark.readStream.schema(codec.rawSchema).parquet(srcDir.toString)
     val dim = graft.Tables.customer(spark, sfDir).filter(col("c_custkey") < 100)
     val queryName = scopedQueryName("graft_stream_enrich")
     val q = enrichStream(stream, dim).writeStream
@@ -488,19 +485,71 @@ object EventStream {
     spark.table(queryName)
   }
 
-  /** events schema with ts as raw nanos (nanosAsLong). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** PROBED encoding of one events fixture's `ts` column — the streaming
+    * twin of [[graft.Tables.eventsTsType]]'s schema-adaptive branch. A file
+    * stream needs an explicit schema, and round 6 proved why it must be
+    * DERIVED, not assumed: with `ts` pinned to LongType, a regenerated
+    * `timestamp[us]` fixture read its raw micros AS nanos — ÷1000 landed
+    * every event in ~January 1970 and 11 streaming queries returned
+    * plausible-shaped wrong answers with `schema_match` still green.
+    *
+    * Everything type-dependent goes through here: the read schema, the
+    * normalize-to-TimestampType column, the epoch-micros projection for
+    * split/sentinel arithmetic, and the sentinel encoder — which writes
+    * sentinel files in the SAME physical type as the data file, so a mixed
+    * srcDir can never exist. [[graft.Tables.eventsTsType]] rejects any type
+    * outside {int64-nanos, timestamp, timestamp_ntz} loudly, which is the
+    * drift guard: the next encoding change fails at probe time in every
+    * mode instead of corrupting event time. */
+  private[streaming] final case class TsCodec(tsType: DataType) {
+    /** Explicit read schema for (batch or stream) reads over this fixture. */
+    def rawSchema: StructType = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    /** Raw `ts` → session TimestampType at exact microsecond precision
+      * (integer `div` on the nanos leg; UTC session makes the NTZ cast the
+      * identity on the underlying micros). */
+    def tsTimestamp: Column = tsType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _ => col("ts")
+    }
+    /** Raw `ts` → epoch micros as a long (for min/max/range-split math). */
+    def tsMicros: Column = tsType match {
+      case LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast(TimestampType))
+    }
+    /** Epoch-micros long column → the fixture's RAW representation, for
+      * sentinel rows that must coexist with the data file under one read
+      * schema. */
+    def microsToRaw(us: Column): Column = tsType match {
+      case LongType => us * lit(1000L)
+      case t => timestamp_micros(us).cast(t)
+    }
+  }
+
+  /** Probe the codec for a fixture (or staged) events parquet. */
+  private[streaming] def codecFor(spark: SparkSession, path: String): TsCodec =
+    TsCodec(graft.Tables.eventsTsType(spark, path))
+
+  /** Sentinel rows carry epoch-MICROS in `ts`; encode into the fixture's
+    * raw type before writing so the source dir stays single-schema. */
+  private def sentinelDf(spark: SparkSession, codec: TsCodec,
+                         rows: Seq[(Long, Long, Long, String, Double, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", codec.microsToRaw(col("ts")))
+  }
 
   /** Tumbling-window counts as an unbounded streaming transformation —
     * watermark bounds state so a year-long stream holds only ~1 window of
-    * per-key state per watermark delay. */
+    * per-key state per watermark delay. Expects `ts` already normalized to
+    * TimestampType (ingest, via [[TsCodec.tsTimestamp]], owns the physical
+    * encoding — transforms never see it). */
   def windowedAgg(stream: DataFrame, width: String = "1 day",
                   watermark: String = "1 hour"): DataFrame =
     stream
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -512,10 +561,10 @@ object EventStream {
     * watermark bounding the dedup state — the streaming twin of
     * [[graft.operators.Dedup.exact]]. State held per key is one timestamp;
     * keys older than the watermark are evicted, so state is O(events within
-    * the watermark window), not O(stream history). */
+    * the watermark window), not O(stream history). Expects `ts` already
+    * normalized to TimestampType (ingest owns the physical encoding). */
   def dedupStream(stream: DataFrame, watermark: String = "1 hour"): DataFrame =
     stream
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
@@ -533,8 +582,9 @@ object EventStream {
     val srcDir = Files.createTempDirectory("graft-stream-src")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+    val codec = codecFor(spark, srcDir.resolve("events.parquet").toString)
+    val stream = spark.readStream.schema(codec.rawSchema).parquet(srcDir.toString)
+      .withColumn("ts", codec.tsTimestamp)
     val queryName = scopedQueryName("graft_stream_windows")
     val q = windowedAgg(stream).writeStream
       .outputMode("complete").format("memory").queryName(queryName).start()
@@ -560,23 +610,21 @@ object EventStream {
     val srcDir = Files.createTempDirectory("graft-stream-ohlc")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(rawSchema).parquet(srcDir.resolve("events.parquet").toString)
-    val maxNanos = raw.agg(max(col("ts"))).head.getLong(0)
-    val farNanos = maxNanos + 400L * 86400L * 1000000000L
-    import spark.implicits._
-    Seq((-1L, farNanos, -1L, "click", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val codec = codecFor(spark, srcDir.resolve("events.parquet").toString)
+    val raw = spark.read.schema(codec.rawSchema).parquet(srcDir.resolve("events.parquet").toString)
+    val maxMicros = raw.agg(max(codec.tsMicros)).head.getLong(0)
+    val farMicros = maxMicros + 400L * 86400L * 1000000L
+    sentinelDf(spark, codec, Seq((-1L, farMicros, -1L, "click", 0.0, "{}")))
       .coalesce(1).write.parquet(srcDir.toString + "/sentinel")
     // pin batch order: data strictly older than the sentinel (st7 fix)
     pinDataBeforeSentinel(srcDir)
-    val dmax = raw.agg(max(timestamp_micros(expr("ts div 1000")))).head
+    val dmax = raw.agg(max(codec.tsTimestamp)).head
       .getTimestamp(0)
-    val stream = spark.readStream.schema(rawSchema)
+    val stream = spark.readStream.schema(codec.rawSchema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
       .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", codec.tsTimestamp)
       .withWatermark("ts", "0 seconds")
       .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
       .groupBy(col("event_type"), window(col("ts"), "7 days").as("w"))
@@ -623,8 +671,8 @@ object EventStream {
     * history). */
   def runCdcMergeOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
     val srcDir = Files.createTempDirectory("graft-stream-cdc")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val codec = codecFor(spark, s"$sfDir/events.parquet")
+    spark.read.schema(codec.rawSchema).parquet(s"$sfDir/events.parquet")
       .repartition(3)
       .write.mode("overwrite").parquet(srcDir.toString)
     val mergeOrder = Seq("ts" -> false, "event_id" -> false)
@@ -633,9 +681,9 @@ object EventStream {
       StructType(Seq(
         StructField("user_id", LongType), StructField("ts", TimestampType),
         StructField("event_id", LongType), StructField("event_type", StringType))))
-    val stream = spark.readStream.schema(rawSchema)
+    val stream = spark.readStream.schema(codec.rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", codec.tsTimestamp)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>

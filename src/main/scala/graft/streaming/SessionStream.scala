@@ -95,20 +95,20 @@ object SessionStream {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
 
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val srcDir = Files.createTempDirectory("graft-stream-sessions")
     val eventsFile = srcDir.resolve("a_events.parquet")
     Files.copy(Paths.get(s"$sfDir/events.parquet"), eventsFile,
       StandardCopyOption.REPLACE_EXISTING)
-    // sentinel: one far-future event in its own file, strictly later mtime
+    // probed, never assumed: the fixture's ts encoding has drifted between
+    // int64 TIMESTAMP(NANOS) and timestamp[us] across regenerations
+    val codec = EventStream.codecFor(spark, eventsFile.toString)
+    // sentinel: one far-future event in its own file, strictly later mtime,
+    // written in the SAME physical ts type as the data file
     val sentinelDir = Files.createTempDirectory("graft-sentinel")
-    val farFutureNanos = 4102444800L * 1000000000L // 2100-01-01, nanos
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Seq((-1L, farFutureNanos, -1L, "sentinel", 0.0, "{}"))
+    val farFutureMicros = 4102444800L * 1000000L // 2100-01-01, micros
+    Seq((-1L, farFutureMicros, -1L, "sentinel", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", codec.microsToRaw(col("ts")))
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
     val part = Files.list(sentinelDir).toArray.map(_.toString)
       .find(_.endsWith(".parquet")).get
@@ -119,9 +119,9 @@ object SessionStream {
     Files.setLastModifiedTime(sentinelFile,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
 
-    val stream = spark.readStream.schema(rawSchema)
+    val stream = spark.readStream.schema(codec.rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", codec.tsTimestamp)
       .select(col("user_id"), col("ts"), col("value")).as[SessEvent]
     val queryName = EventStream.scopedQueryName("graft_stream_sessions")
     val q = closedSessions(spark, stream, gapMinutes, watermarkDelay = "0 seconds")

@@ -4,7 +4,7 @@ import graft.SparkTestBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-final case class RawEvent(event_id: Long, ts: Long, user_id: Long,
+final case class RawEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                           event_type: String, value: Double, props: String)
 
 class DedupStreamSpec extends SparkTestBase {
@@ -13,7 +13,8 @@ class DedupStreamSpec extends SparkTestBase {
     implicit val sql = spark.sqlContext
     import spark.implicits._
     val source = MemoryStream[RawEvent]
-    def ev(id: Long) = RawEvent(id, id * 1000000000L, 1L, "click", 1.0, "{}")
+    // dedupStream expects ingest-normalized TimestampType event time
+    def ev(id: Long) = RawEvent(id, new java.sql.Timestamp(id * 1000L), 1L, "click", 1.0, "{}")
     val q = EventStream.dedupStream(source.toDS().toDF())
       .writeStream.outputMode("append").format("memory")
       .queryName("dedup_stream").start()
