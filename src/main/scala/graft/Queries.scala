@@ -4253,6 +4253,16 @@ object Queries {
   val st13StreamOhlc: Q = (s, d) =>
     graft.streaming.EventStream.runOhlcOverFixture(s, d)
 
+  /** ST14 — streaming time-to-convert
+    * ([[graft.streaming.EventStream.runTimeToConvertOverFixture]]):
+    * per-user funnel state emits each started user's outcome exactly once
+    * (convert → micros delta at the first qualifying purchase; no-convert
+    * → at the first-view + horizon event-time timer), and the weekday
+    * rollup over the cells is the batch funnel2 plan itself — exact hash
+    * parity with the funnel2 oracle. */
+  val st14StreamFunnel: Q = (s, d) =>
+    graft.streaming.EventStream.runTimeToConvertOverFixture(s, d)
+
   /** CARD1 — the dataset datasheet in one row: corpus size, token mass,
     * exact dup rate, mean quality, and the Shannon entropy of the
     * language mix — the summary a curation run publishes next to the
@@ -5128,6 +5138,7 @@ object Queries {
     "st11_stream_sketch" -> st11StreamSketch,
     "st12_stream_anomaly" -> st12StreamAnomaly,
     "st13_stream_ohlc" -> st13StreamOhlc,
+    "st14_stream_funnel" -> st14StreamFunnel,
     "card1_dataset_card" -> card1DatasetCard,
     "cur1_filter_waterfall" -> cur1Waterfall,
     "w8_range_frame" -> w8RangeFrame,
@@ -5325,6 +5336,7 @@ object Queries {
     "st11_stream_sketch" -> st11StreamSketchSql,
     "st12_stream_anomaly" -> anom1ZscoreSql, // stream/batch parity: same oracle
     "st13_stream_ohlc" -> ohlc1WeeklySql, // stream/batch parity: same oracle
+    "st14_stream_funnel" -> funnel2TimeToConvertSql, // stream/batch parity: same oracle
     "card1_dataset_card" -> card1DatasetCardSql,
     "cur1_filter_waterfall" -> cur1WaterfallSql,
     "w8_range_frame" -> w8RangeFrameSql,

@@ -281,7 +281,17 @@ object Analytics {
           .cast("long"), lit(7L)).as("dow"),
         when(col("t2").isNotNull,
           unix_micros(col("t2")) - unix_micros(col("t1"))).as("delta_us"))
-    j.groupBy(col("dow"))
+    timeToConvertGrid(j)
+  }
+
+  /** The 7-row weekday rollup over a per-user `(dow, delta_us)` frame
+    * (`delta_us` null for non-converters) — split out so the streaming
+    * twin (st14) aggregates its exactly-once per-user cells through the
+    * IDENTICAL plan: percentile interpolation, rounding, and zero-guard
+    * are shared by construction, which is what makes the stream/batch
+    * hash parity a statement about the stateful operator alone. */
+  def timeToConvertGrid(perUser: DataFrame): DataFrame =
+    perUser.groupBy(col("dow"))
       .agg(count(lit(1)).as("n_started"),
         count(col("delta_us")).as("n_converted"),
         percentile(col("delta_us"), lit(0.5)).as("p50"),
@@ -295,7 +305,6 @@ object Analytics {
         when(col("n_converted") > 0,
           portableRound(col("p90") / 3600000000.0, 4)).otherwise(0.0)
           .as("p90_hours"))
-  }
 
   /** Equi-width histogram of a numeric column: `bins` buckets between the
     * observed min and max (max lands in the last bucket). Bounds come from

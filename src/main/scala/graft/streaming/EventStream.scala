@@ -258,6 +258,64 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming TIME-TO-CONVERT — the stateful twin of funnel2
+    * ([[graft.operators.Analytics.timeToConvert]]): per-user funnel state
+    * ([[StatefulSessions.ttcCells]]) emits one outcome cell per started
+    * user exactly once — at the first qualifying purchase, or at the
+    * first-view + horizon event-time timer for non-converters — and the
+    * weekday grid over those cells runs through the SAME
+    * `timeToConvertGrid` plan as the batch query, so the contract is hash
+    * parity with funnel2's oracle.
+    *
+    * Replay: st9's shape — three time-range micro-batches (state really
+    * carries across batches: a user can view in batch 0 and purchase in
+    * batch 2) + a far-future sentinel that advances the watermark past
+    * every open user's timer, firing the no-convert leg in the replay
+    * itself. The horizon is sized past the data end (span + 1 day), so
+    * no user can emit −1 while their conversion is still in flight —
+    * which is exactly the batch query's unbounded-lookahead semantics on
+    * a finite fixture. */
+  def runTimeToConvertOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-stream-ttc")
+    val codec = codecFor(spark, s"$sfDir/events.parquet")
+    val raw = spark.read.schema(codec.rawSchema).parquet(s"$sfDir/events.parquet")
+    val b = raw.agg(min(codec.tsMicros), max(codec.tsMicros)).head
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    val span = (t1 - t0) / 3 + 1
+    for (i <- 0 until 3)
+      raw.filter(codec.tsMicros >= t0 + i * span && codec.tsMicros < t0 + (i + 1) * span)
+        .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
+    val farMicros = t1 + 400L * 86400L * 1000000L
+    sentinelDf(spark, codec, Seq((-1L, farMicros, -1L, "click", 0.0, "{}")))
+      .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
+    val now = System.currentTimeMillis()
+    for ((sub, i) <- Seq("b0", "b1", "b2", "b3_sentinel").zipWithIndex)
+      Files.walk(srcDir.resolve(sub)).forEach { f =>
+        if (Files.isRegularFile(f))
+          Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
+      }
+    val horizonUs = (t1 - t0) + 86400L * 1000000L // past the data end for every user
+    val stream = spark.readStream.schema(codec.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+      .withColumn("ts", codec.tsTimestamp)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[StatefulSessions.TtcEvent]
+    val cells = StatefulSessions.ttcStream(spark, stream, horizonUs)
+    val queryName = scopedQueryName("graft_stream_ttc")
+    val q = cells.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    val perUser = spark.table(queryName).filter(col("user_id") >= 0)
+      .select(col("dow"),
+        when(col("delta_us") >= 0, col("delta_us")).as("delta_us"))
+    graft.operators.Analytics.timeToConvertGrid(perUser)
+  }
+
   /** Streaming rolling `days`-day distinct active users — the stateful twin
     * of [[graft.operators.Analytics.rollingActiveUsers]] (the WAU curve as
     * a continuous computation). Two chained stateful operators, both

@@ -230,4 +230,81 @@ object StatefulSessions {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         anomalyCells(trailing, zThreshold))
   }
+
+  // ─────────────────────── streaming time-to-convert ───────────────────────
+
+  final case class TtcEvent(user_id: Long, ts: java.sql.Timestamp,
+                            event_id: Long, event_type: String)
+  /** Per-user funnel state: the first-`from` event time plus a `done`
+    * marker. The state must OUTLIVE the conversion (until the horizon
+    * timer evicts it): removing it at emit time would let a later `from`
+    * event of the same user re-open the funnel and double-emit, breaking
+    * the one-row-per-user contract the batch grid aggregates over. */
+  final case class TtcState(first_view_us: Long, done: Boolean)
+  /** One per-user funnel outcome, emitted exactly once: `delta_us` is the
+    * first-view → first-subsequent-purchase delay in micros, or −1 for a
+    * user whose horizon expired unconverted. */
+  final case class TtcCell(user_id: Long, dow: Long, delta_us: Long)
+
+  private def epochUsOf(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Weekday of a micros instant as epoch-day mod 7 — the JVM twin of the
+    * batch `pmod(datediff(to_date(t1), '1970-01-01'), 7)` under UTC. */
+  private def dowOf(us: Long): Long =
+    Math.floorMod(Math.floorDiv(us, 86400000000L), 7L)
+
+  /** Stateful time-to-convert — the streaming twin of
+    * [[graft.operators.Analytics.timeToConvert]]'s per-user leg: a user's
+    * state opens at their first `from` event and closes EXACTLY once,
+    * either at the first later `to` event (convert: emit the micros delta —
+    * arrival is event-time ordered across batches and (ts, event_id)-sorted
+    * within one, so the first qualifying `to` seen IS the minimum) or when
+    * the event-time timer at first-view + horizon fires (no-convert: emit
+    * −1). The horizon is the finite-replay stand-in for the batch query's
+    * unbounded lookahead — the caller sizes it past the data end, so a
+    * conversion can never land after its user already emitted −1.
+    *
+    * State is ONE long per open user, removed on either exit path: total
+    * state O(users inside the horizon), the bound that lets the same
+    * operator run against an unbounded clickstream where funnel1's batch
+    * self-join cannot. */
+  def ttcCells(from: String, to: String, horizonUs: Long)(
+      userId: Long, events: Iterator[TtcEvent],
+      state: GroupState[TtcState]): Iterator[TtcCell] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      if (s.done) Iterator.empty
+      else Iterator.single(TtcCell(userId, dowOf(s.first_view_us), -1L))
+    } else if (state.getOption.exists(_.done)) {
+      Iterator.empty // already emitted; hold state until the horizon evicts it
+    } else {
+      val sorted = events.toArray.sortBy(e => (epochUsOf(e.ts), e.event_id))
+      var firstView = state.getOption.map(_.first_view_us)
+      var hit: Option[TtcCell] = None
+      for (e <- sorted if hit.isEmpty) {
+        val t = epochUsOf(e.ts)
+        if (e.event_type == from && firstView.isEmpty)
+          firstView = Some(t)
+        else if (e.event_type == to && firstView.exists(t > _))
+          hit = Some(TtcCell(userId, dowOf(firstView.get), t - firstView.get))
+      }
+      firstView.foreach { fv =>
+        state.update(TtcState(fv, done = hit.isDefined))
+        state.setTimeoutTimestamp(fv / 1000L + horizonUs / 1000L)
+      }
+      hit.iterator
+    }
+  }
+
+  /** Wire the time-to-convert emitter over a watermarked typed Dataset. */
+  def ttcStream(spark: SparkSession, events: Dataset[TtcEvent],
+                horizonUs: Long, from: String = "view",
+                to: String = "purchase"): Dataset[TtcCell] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        ttcCells(from, to, horizonUs))
+  }
 }

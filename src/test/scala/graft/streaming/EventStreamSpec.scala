@@ -115,6 +115,14 @@ class EventStreamSpec extends SparkTestBase {
     assertSameRows(batch, streamed)
   }
 
+  test("streaming time-to-convert equals the batch funnel2 grid (exact parity)") {
+    val streamed = EventStream.runTimeToConvertOverFixture(spark, sf0001)
+    val batch = graft.operators.Analytics.timeToConvert(Tables.events(spark, sf0001))
+    // the cells feed the batch timeToConvertGrid plan itself, so this is
+    // row equality incl. the interpolated percentiles, not a tolerance gate
+    assertSameRows(batch, streamed)
+  }
+
   test("streaming anomaly runs unchanged on the RocksDB state store") {
     // AnomState holds Seq[(Int, Long)] tuples — the tuple-in-Seq encoder
     // must round-trip the off-heap store byte-for-byte for parity to hold
