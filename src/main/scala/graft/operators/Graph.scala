@@ -205,9 +205,7 @@ object Graph {
       .localCheckpoint() // reused every round: never replay the edge build
     var labels = nodes.select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to rounds) {
-      val l = labels.select(col("node").as("ln"), col("lbl"))
-      val votes = nbrs.join(l, col("nbr") === col("ln"))
-        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+      val votes = lpVotes(nbrs, labels)
       val top = graft.plans.TopKPerKey(votes, Seq("node"),
         Seq(("c", false), ("lbl", true)), 1)
         .select(col("node"), col("lbl").as("newl"))
@@ -218,6 +216,17 @@ object Graph {
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "lbl")
       .select(col("node"), col("lbl").as("community"), col("community_size"))
+  }
+
+  /** One propagation round's vote table — each node's neighbor labels
+    * counted. Exposed for GraphSpec's skew assertions (the orientedWedges
+    * treatment): a 10⁵-degree hub contributes 10⁵ (node, lbl) vote rows,
+    * and the count MUST partial-aggregate map-side so the hub's shuffle
+    * payload is per-(partition, label), never per-edge. */
+  private[operators] def lpVotes(nbrs: DataFrame, labels: DataFrame): DataFrame = {
+    val l = labels.select(col("node").as("ln"), col("lbl"))
+    nbrs.join(l, col("nbr") === col("ln"))
+      .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
   }
 
   /** Wedges (u; w1, w2) with rank(w1) < rank(w2) under the chosen

@@ -60,6 +60,43 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.triangleCount(star).collect().head.getLong(0) == 1L)
   }
 
+  test("labelPropagation: 1e5-degree hub — votes combine map-side, top-1 spills not OOMs") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // star graph: hub 0 — leaves 1..1e5. The hub's vote table is 1e5
+    // (node, lbl) rows; per-edge shuffling or an in-memory-only top-1
+    // would be the two ways this shape dies at 100 TB.
+    val n = 100000L
+    val edges = spark.range(1L, n + 1L)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+    val starNodes = spark.range(0L, n + 1L).select(col("id").as("node"))
+
+    // (a) the vote count partial-aggregates BEFORE the exchange: the hub's
+    // shuffle payload is one partial count per (partition, label), not one
+    // row per incident edge
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val labels = starNodes.select(col("node"), col("node").as("lbl"))
+    val votePlan = Graph.lpVotes(nbrs, labels).queryExecution.executedPlan.toString
+    assert(votePlan.contains("partial_count"),
+      s"vote aggregation lost its map-side partial:\n$votePlan")
+
+    // (b) the per-round top-1 survives a zero heap budget — TopKPerKeyExec
+    // must take its sort-based spill path, not OOM, and the result must be
+    // bit-identical to the in-memory path
+    def communities() = Graph.labelPropagation(starNodes, edges, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val inMemory = communities()
+    spark.conf.set("spark.graft.topk.maxMemoryBytes", "0") // force spill every partition
+    val spilled = try communities()
+      finally spark.conf.unset("spark.graft.topk.maxMemoryBytes")
+    assert(spilled == inMemory)
+    // and the dynamics are right: the star bipartitions (hub vs leaves
+    // oscillate), so exactly two communities of sizes {1, n}
+    assert(inMemory.map(_._2).distinct.length == 2)
+    assert(inMemory.map(_._3).toSet == Set(1L, n))
+  }
+
   test("kCore: peeling cascades — the tail unravels link by link, the clique stays") {
     // K4 clique {a,b,c,d} with a pendant chain d-e-f: in the 2-core, f
     // peels first (deg 1), which DROPS e to deg 1 — only the cascade
