@@ -46,12 +46,14 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      // a failed query must be visible in the JSON, not reported as a fast
-      // success: value -1 and a spot in the errors array
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // a failed query must be visible in the JSON but must NOT poison naive
+    // consumers that sum the queries map: JSON null, plus the errors array
+    // (a -1.0 sentinel here once skewed a 32-error round's totals)
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v.toString else "null")
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
