@@ -1488,7 +1488,7 @@ object Queries {
     * recall at the 0.2 threshold (theoretical boundary-pair miss ≤ 5e-5;
     * measured 100% on the fixtures). */
   val d6LshNeardup: Q = (s, d) =>
-    Dedup.cosinePairsLsh(Tables.embeddings(s, d), 0.2)
+    Dedup.cosinePairsLshAuto(Tables.embeddings(s, d), 0.2)
 
   /** Driver gate for d6: containment (every emitted pair is a true ≥ 0.2
     * pair — DuckDB recomputes nothing LSH-specific, it just pins the
@@ -1546,7 +1546,7 @@ object Queries {
     * [[sim2Gate]] (measured recall@5 = 0.96–0.98 across SFs). */
   val sim2Ann: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5, tables = 16)
+    Similarity.annTopKAuto(e, e.filter(col("vec_id") < 10), 5, tables = 16)
   }
 
   /** IVF ANN top-k; recall contract driver-checked by [[sim3Gate]]

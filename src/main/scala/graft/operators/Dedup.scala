@@ -430,7 +430,7 @@ object Dedup {
       (32L * 1024 * 1024).toString).toLong)
     val planBytes = embeddings.queryExecution.optimizedPlan.stats.sizeInBytes
     if (planBytes <= bruteMax) cosinePairsBrute(embeddings, minCosine)
-    else cosinePairsLsh(embeddings, minCosine)
+    else cosinePairsLshAuto(embeddings, minCosine)
   }
 
   /** Exact all-pairs scoring (the small-corpus / oracle twin). */
@@ -459,6 +459,21 @@ object Dedup {
                      planes: Int = 6, dim: Int = 64,
                      targetRecall: Double = 0.9999): DataFrame =
     Similarity.annCandidates(embeddings, minCosine, planes, dim, targetRecall)
+      .select(col("a_id"), col("b_id"),
+        portableRound(dot_product(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+
+  /** [[cosinePairsLsh]] with the whole `(planes, radius, tables)` config
+    * cost-ranked from the corpus count ([[Similarity.lshAutoPlan]]):
+    * log-scaled planes where bucketing pays (candidate work then scales
+    * with the corpus, not its square), the historical planes=6 where the
+    * threshold forces near-enumeration anyway. The pinned form above
+    * stays for specs/oracles that need a static plan. */
+  def cosinePairsLshAuto(embeddings: DataFrame, minCosine: Double,
+                         dim: Int = 64,
+                         targetRecall: Double = 0.9999): DataFrame =
+    Similarity.annCandidatesAuto(embeddings, minCosine, dim, targetRecall)
       .select(col("a_id"), col("b_id"),
         portableRound(dot_product(col("ea"), col("eb")) /
           (col("na") * col("nb")), 4).as("cosine"))

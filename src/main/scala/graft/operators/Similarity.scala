@@ -44,9 +44,29 @@ object Similarity {
   }
 
   /** Bucket masks for a hamming-≤`radius` probe: every `planes`-bit int
-    * with popcount ≤ radius. */
+    * with popcount ≤ radius — generated from bit-position combinations
+    * (C(planes, ≤radius) masks), NOT by filtering 0..2^planes: corpus-
+    * adaptive sizing takes planes to ~log2(N), where the enumeration
+    * would be 2^28+ candidates for a few hundred survivors. */
   private[operators] def probeMasks(planes: Int, radius: Int): Seq[Int] =
-    (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius)
+    (0 to math.min(radius, planes)).flatMap(k =>
+      (0 until planes).combinations(k)
+        .map(_.foldLeft(0)((m, b) => m | (1 << b))).toSeq)
+
+  /** Plane count that keeps the expected LSH bucket population at
+    * `targetBucket` = O(1): max(6, ceil(log2(n / targetBucket))) — the
+    * same corpus-adaptive law as d9's `semanticDedupPlanes`, floored at
+    * the historical 6 so fixture-scale behavior (and every driver gate,
+    * which runs at sf0.01 where n ≤ 500) is unchanged. A FIXED plane
+    * count is a silent quadratic: 2^planes buckets hold n/2^planes
+    * vectors each, so within-bucket pair work grows n²/2^planes — the
+    * sfx10 scaling run measured exactly that shape before this sizing
+    * existed (SCALE.md §sf1). */
+  def lshPlanes(n: Long, targetBucket: Int = 8): Int = {
+    require(n > 0, s"corpus size: $n")
+    math.max(6, math.ceil(
+      math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+  }
 
   /** Pick the cheapest `(radius, tables)` LSH config that reaches
     * `targetRecall` for a pair at exactly `minCosine` (every pair above
@@ -90,6 +110,62 @@ object Similarity {
     (best._1, best._2)
   }
 
+  /** Corpus-size-aware LSH plan: pick `(planes, radius, tables)` jointly by
+    * minimizing the MODELED row volume of the whole candidate stage —
+    * `tables × (|masks| × n  +  randFrac × n²/2)`, probe stream plus
+    * expected random-collision candidates — subject to [[lshPlan]]'s
+    * recall constraint at each plane count.
+    *
+    * Why planes must be chosen, not pinned: a fixed plane count is a
+    * silent quadratic (2^planes buckets hold n/2^planes vectors, so
+    * collision volume grows n²/2^planes — measured at 185× wall clock for
+    * 10× corpus on the sfx10 run, SCALE.md §sf1). But unconditionally
+    * taking planes to log2(n) is wrong too: in the low-threshold
+    * enumeration regime lshPlan must pick radius ≈ planes−1 to hold
+    * recall, and the probe-mask fan-out Σ C(planes, ≤r) then grows
+    * EXPONENTIALLY with planes (observed: a 4095-mask explode at
+    * planes=12 OOM'd a broadcast). Ranking total modeled rows picks log-
+    * scaled planes exactly when bucketing pays (high thresholds) and
+    * falls back to the historical planes=6 when it cannot (low
+    * thresholds, where the honest answer is the brute path anyway —
+    * [[graft.operators.Dedup.cosinePairs]]'s stats switch). The floor of
+    * 6 keeps every fixture-scale plan (n ≤ 2000: driver gates, specs)
+    * inside the historical search space. */
+  def lshAutoPlan(n: Long, minCosine: Double,
+                  targetRecall: Double = 0.9999,
+                  maxPlanes: Int = 30,
+                  maskBudget: Int = 1024): (Int, Int, Int) = {
+    require(n > 0, s"corpus size: $n")
+    val pDiff = math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi
+    def choose(m: Int, k: Int): Double =
+      (0 until k).map(i => (m - i).toDouble / (i + 1)).product
+    val hi = math.min(maxPlanes,
+      math.max(6, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt))
+    val best = (6 to hi).flatMap { planes =>
+      (0 until planes).flatMap { r =>
+        val pHit = (0 to r).map(k =>
+          choose(planes, k) * math.pow(pDiff, k) *
+            math.pow(1 - pDiff, planes - k)).sum
+        val masks = (0 to r).map(choose(planes, _)).sum
+        // maskBudget bounds the per-row probe explode width — row-count
+        // models treat 4096 cheap masks as negligible next to candidates,
+        // but a 4095-wide explode is real memory pressure (and feeds
+        // Spark's size estimator garbage, which is how the pre-budget
+        // model OOM'd a broadcast); past ~2^10 the enumeration-regime
+        // configs it enables are not better than planes=6 anyway
+        if (pHit <= 0.0 || pHit >= 1.0 || masks > maskBudget) None
+        else {
+          val tables = math.max(1, math.ceil(
+            math.log1p(-targetRecall) / math.log1p(-pHit)).toInt)
+          val randFrac = masks / math.pow(2.0, planes)
+          val cost = tables * (masks * n + randFrac * n.toDouble * n / 2)
+          Some(((planes, r, tables), cost))
+        }
+      }
+    }.minBy { case ((planes, _, tables), cost) => (cost, planes, tables) }
+    best._1
+  }
+
   /** Candidate pairs from multi-table LSH buckets, hamming-≤radius
     * multiprobe, with `(radius, tables)` derived from the threshold by
     * [[lshPlan]]. The probe scheme is ASYMMETRIC and meets each pair
@@ -110,6 +186,15 @@ object Similarity {
                     planes: Int = 6, dim: Int = 64,
                     targetRecall: Double = 0.999): DataFrame = {
     val (radius, tables) = lshPlan(minCosine, planes, targetRecall)
+    annCandidatesWith(embeddings, planes, radius, tables, dim)
+  }
+
+  /** The candidate generator at an explicit `(planes, radius, tables)` —
+    * the shared core of the threshold-derived ([[annCandidates]]) and
+    * corpus-aware ([[annCandidatesAuto]]) forms. */
+  private def annCandidatesWith(embeddings: DataFrame, planes: Int,
+                                radius: Int, tables: Int,
+                                dim: Int): DataFrame = {
     val sigStructs = (0 until tables).map { t =>
       struct(lit(t).as("tbl"),
         hyperplane_signature(col("embedding"), planes, dim, t).as("sig"))
@@ -137,6 +222,19 @@ object Similarity {
         col("norm").as("nb")), "b_id")
       .select(col("a_id"), col("ea"), col("na"),
         col("b_id"), col("eb"), col("nb"))
+  }
+
+  /** [[annCandidates]] with the whole `(planes, radius, tables)` config
+    * derived from the corpus count via [[lshAutoPlan]] — the form a
+    * pipeline calls (one cheap count, then the cost-ranked plan); the
+    * pinned-planes form remains for specs and oracle replays that need a
+    * static plan. */
+  def annCandidatesAuto(embeddings: DataFrame, minCosine: Double,
+                        dim: Int = 64,
+                        targetRecall: Double = 0.999): DataFrame = {
+    val (planes, radius, tables) =
+      lshAutoPlan(embeddings.count(), minCosine, targetRecall)
+    annCandidatesWith(embeddings, planes, radius, tables, dim)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
@@ -266,6 +364,29 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** [[annTopK]] with `planes` derived from the CORPUS count via
+    * [[lshPlanes]]: per (table, probe) a query then touches a
+    * targetBucket-sized bucket — O(1) corpus rows — instead of the
+    * n/2^6 slice a fixed plane count degrades to. Wider signatures
+    * lower each table's hit probability, so `tables` is compensated to
+    * preserve the compounded recall of the caller's (tables, planes=6)
+    * request at the ANN design similarity: per-query probe work is then
+    * tables′ × (planes+1) × targetBucket rows — polylog(n), not n/64.
+    * At fixture scale (n ≤ 2000 → planes floor 6) the compensation is
+    * the identity, so the sim2 gate's measured recall stands. */
+  def annTopKAuto(embeddings: DataFrame, queries: DataFrame, k: Int,
+                  dim: Int = 64, tables: Int = 8,
+                  targetBucket: Int = 8,
+                  designCosine: Double = 0.8): DataFrame = {
+    val planes = lshPlanes(embeddings.count(), targetBucket)
+    val pd = math.acos(designCosine) / math.Pi
+    def pHit(p: Int): Double =
+      math.pow(1 - pd, p) + p * pd * math.pow(1 - pd, p - 1)
+    val compensated = math.max(tables, math.ceil(
+      tables * math.log1p(-pHit(6)) / math.log1p(-pHit(planes))).toInt)
+    annTopK(embeddings, queries, k, planes, dim, compensated)
+  }
+
   /** kNN GRAPH construction: every vector's k nearest neighbors by
     * cosine, built from the SAME multi-table LSH candidate generator as
     * d6 — never all-pairs. This is the primitive under embedding-space
@@ -281,7 +402,7 @@ object Similarity {
     * measures achieved recall against brute force ABOVE that floor). */
   def knnGraph(embeddings: DataFrame, k: Int,
                minCosine: Double = 0.2): DataFrame = {
-    val scored = annCandidates(embeddings, minCosine)
+    val scored = annCandidatesAuto(embeddings, minCosine)
       .select(col("a_id"), col("b_id"),
         portableRound(dot_product(col("ea"), col("eb")) /
           (col("na") * col("nb")), 4).as("cosine"))

@@ -16,6 +16,63 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == Seq(1L, 2L, 3L)) // descending cosine from query (1,0)
   }
 
+  test("probeMasks: combination form equals the popcount filter, at any planes") {
+    for (planes <- Seq(4, 6, 10); radius <- 0 to 3) {
+      val got = Similarity.probeMasks(planes, radius).sorted
+      val ref = (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius)
+      assert(got == ref, s"planes=$planes radius=$radius")
+    }
+    // the point of the combination form: planes ~ log2(corpus) stays
+    // enumerable (28 planes, radius 2 -> 407 masks, not 2^28 candidates)
+    assert(Similarity.probeMasks(28, 2).size == 1 + 28 + 28 * 27 / 2)
+  }
+
+  test("corpus-adaptive planes keep LSH candidate volume subquadratic") {
+    // fixed planes = fixed bucket count: on 4x the corpus each bucket
+    // holds 4x the vectors and pair work grows ~16x. lshPlanes grows the
+    // bucket count with the corpus instead, holding expected population
+    // at O(targetBucket). Measured on candidate COUNTS (noise-free), not
+    // wall clock; vectors are seeded-deterministic.
+    val rnd = new scala.util.Random(7)
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val small = corpus(1000).cache()
+    val big = corpus(4000).cache()
+    def cands(df: org.apache.spark.sql.DataFrame, planes: Int): Long =
+      Similarity.annCandidates(df, 0.8, planes = planes).count()
+    val pinnedRatio = cands(big, 6).toDouble / cands(small, 6)
+    val autoRatio = cands(big, Similarity.lshPlanes(4000)).toDouble /
+      cands(small, Similarity.lshPlanes(1000))
+    small.unpersist(); big.unpersist()
+    assert(pinnedRatio > 10, f"fixed planes should grow ~quadratic: $pinnedRatio%.1f")
+    assert(autoRatio < 9, f"adaptive planes should stay near-linear: $autoRatio%.1f")
+    // and the sizing law itself: constant expected bucket population
+    assert(Similarity.lshPlanes(500) == 6)   // fixture scale: unchanged
+    assert(Similarity.lshPlanes(4000) == 9)
+    assert(Similarity.lshPlanes(1L << 40, targetBucket = 8) == 37)
+  }
+
+  test("lshAutoPlan: log-scales planes where bucketing pays, floors where it cannot") {
+    // enumeration regime (recall 0.9999 at cosine 0.2, near-random data):
+    // lshPlan must take radius ~ planes−1 there, so wider signatures only
+    // inflate the probe-mask fan-out exponentially (a planes=12 config
+    // exploded 4095 masks into a broadcast OOM before the cost rank
+    // existed) — the total-row model must keep the floor
+    val (p02, r02, _) = Similarity.lshAutoPlan(20000, 0.2)
+    assert(p02 == 6, s"enumeration regime must stay at the floor, got $p02")
+    assert(Similarity.probeMasks(p02, r02).size <= 64)
+    // production near-dup regime (0.8): bucketing pays, planes grow with
+    // the corpus and keep the probe fan-out polynomial, not exponential
+    val (p08a, r08a, _) = Similarity.lshAutoPlan(20000, 0.8)
+    val (p08b, r08b, _) = Similarity.lshAutoPlan(2000000, 0.8)
+    assert(p08a > 6, s"bucketing should pay at 0.8/20k, got planes=$p08a")
+    assert(p08b >= p08a, s"planes should not shrink with the corpus: $p08a -> $p08b")
+    assert(Similarity.probeMasks(p08b, r08b).size < 10000)
+    // fixture scale: inside the historical search space, gates unaffected
+    assert(Similarity.lshAutoPlan(500, 0.2)._1 == 6)
+  }
+
   test("lshPlan picks threshold-driven configs that meet the recall target") {
     for (minCosine <- Seq(0.2, 0.35, 0.5, 0.8, 0.9);
          target <- Seq(0.999, 0.9999)) {
