@@ -133,6 +133,84 @@ case class HyperplaneSignature(child: Expression, planes: Int, dim: Int, table: 
     copy(child = newChild)
 }
 
+/** All `tables` hyperplane signatures of a vector in ONE kernel —
+  * `array<int>`, element t = [[HyperplaneSignature]](planes, dim, table=t)
+  * bit for bit (same weight chain, one concatenated reference array).
+  *
+  * Why this exists instead of `array(sig_0 … sig_{T-1})`: multi-table LSH
+  * at corpus-adaptive sizing wants tens of tables, and an array of T
+  * independent expressions inlines T copies of the dot-product loop into
+  * one generated method — past JIT method-size limits the projection falls
+  * to the interpreter tier, measured 10×+ slower at T=55 on the sfx10
+  * fixture while T=16 still JITs. One loop over a (tables × planes × dim)
+  * matrix keeps the method small at ANY table count; flops are identical. */
+case class HyperplaneSignatures(child: Expression, planes: Int, dim: Int, tables: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_signatures"
+
+  @transient private lazy val weights: Array[Double] =
+    HyperplaneSignature.weightsAllTables(planes, dim, tables)
+
+  private def signaturesOf(arr: ArrayData): ArrayData = {
+    val w = weights
+    val n = math.min(dim, arr.numElements())
+    val sigs = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var d = 0
+        val base = (t * planes + p) * dim
+        while (d < n) { dot += arr.getFloat(d).toDouble * w(base + d); d += 1 }
+        if (dot > 0) sig |= (1 << p)
+        p += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  override def nullSafeEval(v: Any): Any = signaturesOf(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val w = ctx.addReferenceObj("hyperplaneWeightsAll", weights, "double[]")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val sig = ctx.freshName("sig")
+      val base = ctx.freshName("base")
+      val sigs = ctx.freshName("sigs")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |int[] $sigs = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $sig = 0;
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    double $dot = 0.0;
+         |    int $base = ($t * $planes + $p) * $dim;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $dot += (double) $a.getFloat($d) * $w[$base + $d];
+         |    }
+         |    if ($dot > 0) $sig |= (1 << $p);
+         |  }
+         |  $sigs[$t] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HyperplaneSignature {
   /** Deterministic weight matrix: plane index is offset by table×planes so
     * each table is an independent family; the (hash of plane, then hash of
@@ -152,6 +230,20 @@ object HyperplaneSignature {
       p += 1
     }
     w
+  }
+
+  /** Concatenation of [[weights]](planes, dim, t) for t < tables — the one
+    * reference array behind [[HyperplaneSignatures]]; layout
+    * `((t*planes + p)*dim + d)`, so each table slice is bit-compatible
+    * with the single-table expression. */
+  def weightsAllTables(planes: Int, dim: Int, tables: Int): Array[Double] = {
+    val all = new Array[Double](tables * planes * dim)
+    var t = 0
+    while (t < tables) {
+      System.arraycopy(weights(planes, dim, t), 0, all, t * planes * dim, planes * dim)
+      t += 1
+    }
+    all
   }
 }
 

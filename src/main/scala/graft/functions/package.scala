@@ -29,6 +29,13 @@ package object functions {
   def hyperplane_signature(c: Column, planes: Int, dim: Int, table: Int = 0): Column =
     Bridge.column(HyperplaneSignature(Bridge.expression(c), planes, dim, table))
 
+  /** All `tables` LSH signatures in one compiled loop (`array<int>`,
+    * element t ≡ `hyperplane_signature(c, planes, dim, t)`): the
+    * table-count-safe form — an array of T independent signature
+    * expressions stops JIT-compiling in the tens of tables. */
+  def hyperplane_signatures(c: Column, planes: Int, dim: Int, tables: Int): Column =
+    Bridge.column(HyperplaneSignatures(Bridge.expression(c), planes, dim, tables))
+
   /** All n-token shingle xxhash64s of a text in one compiled pass
     * (replaces split→explode→window→hash for hash-consuming pipelines). */
   def shingle_hashes(c: Column, n: Int): Column =

@@ -195,13 +195,11 @@ object Similarity {
   private def annCandidatesWith(embeddings: DataFrame, planes: Int,
                                 radius: Int, tables: Int,
                                 dim: Int): DataFrame = {
-    val sigStructs = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        hyperplane_signature(col("embedding"), planes, dim, t).as("sig"))
-    }
+    // one multi-table kernel + posexplode — NOT an array of per-table
+    // expressions, which stops JIT-compiling in the tens of tables
     val sigs = embeddings.select(col("vec_id"),
-        explode(array(sigStructs: _*)).as("ts"))
-      .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+        posexplode(hyperplane_signatures(col("embedding"), planes, dim, tables)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("sig"))
     val probes = sigs.select(col("vec_id"), col("tbl"),
       explode(array(probeMasks(planes, radius).map(lit(_)): _*)).as("mask"),
       col("sig"))
@@ -325,22 +323,21 @@ object Similarity {
     * stays bucket-sized per (table, probe); recall compounds across tables. */
   def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 6, dim: Int = 64, tables: Int = 8): DataFrame = {
-    // unresolved column expression: binds to whichever frame selects it
+    // one multi-table signature kernel + posexplode (an array of per-table
+    // expressions stops JIT-compiling in the tens of tables); unresolved
+    // column expression: binds to whichever frame selects it
     val tableSigs: org.apache.spark.sql.Column =
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("tbl"),
-          hyperplane_signature(col("embedding"), planes, dim, t).as("sig"))
-      }: _*))
+      posexplode(hyperplane_signatures(col("embedding"), planes, dim, tables))
     // The corpus-side index stream fans out `tables` rows per vector and the
     // candidate set another (planes+1)× on the probe side — both carry ids
     // and signatures ONLY (the embedding would be ~`tables`×-amplified into
     // the exchange and then dragged through the distinct()). Embeddings
     // re-join once after the id-pair dedup: corpus side by one hash join,
     // query side broadcast (the query set is small by contract).
-    val sigs = embeddings.select(col("vec_id").as("n_id"), tableSigs.as("ts"))
-      .select(col("n_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
-    val qsigs = queries.select(col("vec_id").as("q_id"), tableSigs.as("ts"))
-      .select(col("q_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("q_sig"))
+    val sigs = embeddings.select(col("vec_id").as("n_id"), tableSigs)
+      .select(col("n_id"), col("pos").as("tbl"), col("col").as("sig"))
+    val qsigs = queries.select(col("vec_id").as("q_id"), tableSigs)
+      .select(col("q_id"), col("pos").as("tbl"), col("col").as("q_sig"))
     // query probes its own bucket + hamming-1 buckets, per table
     val probes = qsigs.select(col("q_id"), col("tbl"),
       explode(array((lit(-1) +: (0 until planes).map(lit(_))): _*)).as("flip"), col("q_sig"))
