@@ -4253,6 +4253,15 @@ object Queries {
   val st13StreamOhlc: Q = (s, d) =>
     graft.streaming.EventStream.runOhlcOverFixture(s, d)
 
+  /** ST15 — streaming LOCF gap fill
+    * ([[graft.streaming.EventStream.runGapFillOverFixture]]): per-type
+    * daily totals seal as the watermark passes each day, interior gaps
+    * emit zeros + the carried value exactly once, and the global spine
+    * (leading zeros, trailing LOCF) aligns deterministically on the
+    * spine-sized result — exact hash parity with ts1's oracle. */
+  val st15StreamGapFill: Q = (s, d) =>
+    graft.streaming.EventStream.runGapFillOverFixture(s, d)
+
   /** ST14 — streaming time-to-convert
     * ([[graft.streaming.EventStream.runTimeToConvertOverFixture]]):
     * per-user funnel state emits each started user's outcome exactly once
@@ -5139,6 +5148,7 @@ object Queries {
     "st12_stream_anomaly" -> st12StreamAnomaly,
     "st13_stream_ohlc" -> st13StreamOhlc,
     "st14_stream_funnel" -> st14StreamFunnel,
+    "st15_stream_gapfill" -> st15StreamGapFill,
     "card1_dataset_card" -> card1DatasetCard,
     "cur1_filter_waterfall" -> cur1Waterfall,
     "w8_range_frame" -> w8RangeFrame,
@@ -5337,6 +5347,7 @@ object Queries {
     "st12_stream_anomaly" -> anom1ZscoreSql, // stream/batch parity: same oracle
     "st13_stream_ohlc" -> ohlc1WeeklySql, // stream/batch parity: same oracle
     "st14_stream_funnel" -> funnel2TimeToConvertSql, // stream/batch parity: same oracle
+    "st15_stream_gapfill" -> ts1GapFillSql, // stream/batch parity: same oracle
     "card1_dataset_card" -> card1DatasetCardSql,
     "cur1_filter_waterfall" -> cur1WaterfallSql,
     "w8_range_frame" -> w8RangeFrameSql,

@@ -316,6 +316,84 @@ object EventStream {
     graft.operators.Analytics.timeToConvertGrid(perUser)
   }
 
+  /** Streaming GAP FILL — the stateful twin of ts1
+    * ([[graft.operators.Analytics.gapFillDailySegmented]]): per event
+    * type, [[StatefulSessions.gapFillCells]] emits each day of the key's
+    * observed span exactly once as the watermark seals it (exact cent
+    * totals on observation days, zeros + LOCF on interior gaps), and the
+    * global spine alignment — leading zeros from the corpus start,
+    * trailing LOCF rows to the corpus end — is synthesized
+    * deterministically from the emitted cells on the (days × types)-sized
+    * result. Exact hash parity with ts1's oracle is the contract.
+    *
+    * The sentinel carries its own event type (`__sentinel__`), NOT a real
+    * one: keyed-by-type state would otherwise absorb the far-future row
+    * as a real observation and stretch that key's span by 400 days. */
+  def runGapFillOverFixture(spark: SparkSession, sfDir: String,
+                            horizonDays: Int = 60): DataFrame = {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-stream-gap")
+    val codec = codecFor(spark, s"$sfDir/events.parquet")
+    val raw = spark.read.schema(codec.rawSchema).parquet(s"$sfDir/events.parquet")
+    val b = raw.agg(min(codec.tsMicros), max(codec.tsMicros)).head
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    val span = (t1 - t0) / 3 + 1
+    for (i <- 0 until 3)
+      raw.filter(codec.tsMicros >= t0 + i * span && codec.tsMicros < t0 + (i + 1) * span)
+        .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
+    val farMicros = t1 + 400L * 86400L * 1000000L
+    sentinelDf(spark, codec, Seq((-1L, farMicros, -1L, "__sentinel__", 0.0, "{}")))
+      .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
+    val now = System.currentTimeMillis()
+    for ((sub, i) <- Seq("b0", "b1", "b2", "b3_sentinel").zipWithIndex)
+      Files.walk(srcDir.resolve(sub)).forEach { f =>
+        if (Files.isRegularFile(f))
+          Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
+      }
+    val stream = spark.readStream.schema(codec.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+      .withColumn("ts", codec.tsTimestamp)
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_type"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[StatefulSessions.GapEvent]
+    val cells = StatefulSessions.gapFillStream(spark, stream, horizonDays)
+    val queryName = scopedQueryName("graft_stream_gap")
+    val q = cells.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    val emitted = spark.table(queryName)
+      .filter(col("event_type") =!= "__sentinel__")
+    // global spine alignment: the corpus bounds are epoch days of the
+    // fixture's min/max ts (the same bounds the batch spine derives)
+    val d0 = Math.floorDiv(t0, 86400000000L).toInt
+    val d1 = Math.floorDiv(t1, 86400000000L).toInt
+    val byType = emitted.groupBy(col("event_type"))
+      .agg(min(col("day")).as("fd"), max(col("day")).as("ld"),
+        max_by(col("locf_cents"), col("day")).as("last_locf"))
+    val leading = byType.filter(col("fd") > d0)
+      .select(col("event_type"),
+        explode(sequence(lit(d0), col("fd") - 1)).as("day"),
+        lit(0L).as("n_events"), lit(0L).as("cents"), lit(0L).as("locf_cents"))
+    val trailing = byType.filter(col("ld") < d1)
+      .select(col("event_type"),
+        explode(sequence(col("ld") + 1, lit(d1))).as("day"),
+        lit(0L).as("n_events"), lit(0L).as("cents"),
+        col("last_locf").as("locf_cents"))
+    emitted.select(col("event_type"), col("day"), col("n_events"),
+        col("cents"), col("locf_cents"))
+      .unionByName(leading).unionByName(trailing)
+      .select(col("event_type"),
+        date_format(date_add(lit(java.sql.Date.valueOf("1970-01-01")), col("day")),
+          "yyyy-MM-dd").as("day"),
+        col("n_events"),
+        (col("cents").cast("double") / 100).as("sum_value"),
+        (col("locf_cents").cast("double") / 100).as("last_seen_value"))
+  }
+
   /** Streaming rolling `days`-day distinct active users — the stateful twin
     * of [[graft.operators.Analytics.rollingActiveUsers]] (the WAU curve as
     * a continuous computation). Two chained stateful operators, both

@@ -231,6 +231,89 @@ object StatefulSessions {
         anomalyCells(trailing, zThreshold))
   }
 
+  // ───────────────────────── streaming gap fill ─────────────────────────
+
+  final case class GapEvent(event_type: String, ts: java.sql.Timestamp, cents: Long)
+  /** Per-key LOCF state: the last EMITTED day + its carried cent value,
+    * the last activity time (drives eviction), and the open (day, n,
+    * cents) totals the watermark has not yet sealed — O(open days) per
+    * key, bounded by the watermark delay. */
+  final case class GapState(last_day: Int, last_cents: Long, last_ms: Long,
+                            open: Seq[(Int, Long, Long)])
+  /** One sealed (key, day) row, emitted exactly once in day order:
+    * an observation day carries its totals, an interior gap day carries
+    * zeros + the LOCF value. Days outside [first obs, last obs] are NEVER
+    * emitted here — leading/trailing spine alignment is deterministic
+    * from these cells and happens on the (spine-sized) result, not in
+    * per-key state. */
+  final case class GapCell(event_type: String, day: Int, n_events: Long,
+                           cents: Long, locf_cents: Long)
+
+  /** Streaming LOCF gap fill — the stateful twin of ts1
+    * ([[graft.operators.Analytics.gapFillDailySegmented]]): per event
+    * type, every day between the key's first and last observation emits
+    * exactly once when the watermark seals it — observation days with
+    * their exact cent totals (order-insensitive longs, the anom1
+    * discipline), interior gap days with zeros and the carried value.
+    * Emission is capped at the key's LAST OPEN OBSERVATION, so a
+    * far-future sentinel flushes the real span without spewing trailing
+    * gap rows; the timer re-arms at the earliest open day's end (quiet
+    * keys still flush) or, with nothing open, at last activity + horizon,
+    * where the state evicts — total state O(keys × open days). */
+  def gapFillCells(horizonDays: Int)(
+      eventType: String, events: Iterator[GapEvent],
+      state: GroupState[GapState]): Iterator[GapCell] = {
+    val prev = state.getOption
+    val open = scala.collection.mutable.Map[Int, (Long, Long)](
+      prev.map(_.open.map(t => t._1 -> ((t._2, t._3)))).getOrElse(Nil).toSeq: _*)
+    var lastMs = prev.map(_.last_ms).getOrElse(Long.MinValue)
+    if (!state.hasTimedOut)
+      events.foreach { e =>
+        val d = Math.floorDiv(e.ts.getTime, 86400000L).toInt
+        val (n, c) = open.getOrElse(d, (0L, 0L))
+        open(d) = (n + 1, c + e.cents)
+        lastMs = math.max(lastMs, e.ts.getTime)
+      }
+    val wmDay = Math.floorDiv(state.getCurrentWatermarkMs, 86400000L).toInt
+    var last = prev.map(_.last_day).filter(_ > Int.MinValue)
+    var locf = prev.map(_.last_cents).getOrElse(0L)
+    val out = Vector.newBuilder[GapCell]
+    if (open.nonEmpty) {
+      val sealTo = math.min(wmDay - 1, open.keys.max)
+      var d = last.map(_ + 1).getOrElse(open.keys.min)
+      while (d <= sealTo) {
+        open.remove(d) match {
+          case Some((n, c)) =>
+            locf = c; out += GapCell(eventType, d, n, c, c)
+          case None =>
+            out += GapCell(eventType, d, 0L, 0L, locf)
+        }
+        last = Some(d)
+        d += 1
+      }
+    }
+    if (state.hasTimedOut && open.isEmpty) {
+      state.remove()
+    } else {
+      state.update(GapState(last.getOrElse(Int.MinValue), locf, lastMs,
+        open.toSeq.map(t => (t._1, t._2._1, t._2._2)).sortBy(_._1)))
+      if (open.nonEmpty)
+        state.setTimeoutTimestamp((open.keys.min + 1).toLong * 86400000L)
+      else
+        state.setTimeoutTimestamp(lastMs + horizonDays.toLong * 86400000L)
+    }
+    out.result().iterator
+  }
+
+  /** Wire the gap-fill emitter over a watermarked typed Dataset. */
+  def gapFillStream(spark: SparkSession, events: Dataset[GapEvent],
+                    horizonDays: Int = 60): Dataset[GapCell] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        gapFillCells(horizonDays))
+  }
+
   // ─────────────────────── streaming time-to-convert ───────────────────────
 
   final case class TtcEvent(user_id: Long, ts: java.sql.Timestamp,

@@ -123,6 +123,14 @@ class EventStreamSpec extends SparkTestBase {
     assertSameRows(batch, streamed)
   }
 
+  test("streaming gap fill equals the batch LOCF grid (exact parity)") {
+    val streamed = EventStream.runGapFillOverFixture(spark, sf0001)
+    val batch = graft.operators.Analytics.gapFillDailySegmented(Tables.events(spark, sf0001))
+    // cent totals are order-insensitive longs and /100 doubles equal the
+    // batch decimal casts bit for bit, so this is row equality
+    assertSameRows(batch, streamed)
+  }
+
   test("streaming anomaly runs unchanged on the RocksDB state store") {
     // AnomState holds Seq[(Int, Long)] tuples — the tuple-in-Seq encoder
     // must round-trip the off-heap store byte-for-byte for parity to hold
