@@ -131,6 +131,23 @@ class EventStreamSpec extends SparkTestBase {
     assertSameRows(batch, streamed)
   }
 
+  test("streaming gap fill runs unchanged on the RocksDB state store") {
+    // GapState carries Seq[(Int, Long, Long)] — the tuple-in-Seq encoder
+    // must round-trip the off-heap store byte-for-byte for parity to hold
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    SessionStream.useRocksDbStateStore(spark)
+    try {
+      val streamed = EventStream.runGapFillOverFixture(spark, sf0001)
+      val batch = graft.operators.Analytics.gapFillDailySegmented(Tables.events(spark, sf0001))
+      assertSameRows(batch, streamed)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming anomaly runs unchanged on the RocksDB state store") {
     // AnomState holds Seq[(Int, Long)] tuples — the tuple-in-Seq encoder
     // must round-trip the off-heap store byte-for-byte for parity to hold
