@@ -29,17 +29,66 @@ object Tables {
     * the other (round 6: every events query threw or silently collapsed to
     * ~1970 when the encoding drifted under a pinned schema).
     *
-    * The probe itself runs with `nanosAsLong` ON so a NANOS footer reports
-    * `LongType` instead of throwing [PARQUET_TYPE_ILLEGAL]; the conf is
-    * harmless for non-NANOS columns, so it is left set either way. */
+    * The probe runs with `nanosAsLong` ON so a NANOS footer reports
+    * `LongType` instead of throwing [PARQUET_TYPE_ILLEGAL] — but a
+    * LongType report is AMBIGUOUS (Spark shows the same for a plain
+    * unannotated int64, whose values could be epoch micros — applying the
+    * nanos ÷1000 to those would re-create the silent ~1970 collapse this
+    * probe exists to prevent), so the LongType branch re-reads the
+    * footer's logical-type annotation and accepts ONLY genuine
+    * TIMESTAMP(NANOS), failing loudly on anything else.
+    *
+    * Memoized per canonical path: the fixture is immutable within a run,
+    * and every events query + streaming replay probes — a map lookup
+    * beats a footer read per call. */
   def eventsTsType(s: SparkSession, path: String): org.apache.spark.sql.types.DataType = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val t = s.read.parquet(path).schema("ts").dataType
     import org.apache.spark.sql.types._
-    require(t == LongType || t == TimestampType || t == TimestampNTZType,
-      s"events.ts has unsupported physical type $t at $path — expected " +
-        "int64 TIMESTAMP(NANOS) (read as LongType), timestamp, or timestamp_ntz")
-    t
+    val key = java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+    tsTypeCache.computeIfAbsent(key, { _ =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val t = s.read.parquet(path).schema("ts").dataType
+      require(t == LongType || t == TimestampType || t == TimestampNTZType,
+        s"events.ts has unsupported physical type $t at $path — expected " +
+          "int64 TIMESTAMP(NANOS), timestamp, or timestamp_ntz")
+      if (t == LongType) {
+        val ann = tsFooterAnnotation(s, path)
+        val isNanos = ann.exists {
+          case a: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            a.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        }
+        require(isNanos,
+          s"events.ts is int64 with annotation ${ann.orNull} at $path — only " +
+            "TIMESTAMP(NANOS) int64 is supported (an unannotated int64 could " +
+            "be any epoch unit; refusing to guess nanos)")
+      }
+      t
+    })
+  }
+
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
+
+  /** The `ts` column's parquet logical-type annotation, straight from the
+    * file footer (first file if `path` is a directory of parts). */
+  private def tsFooterAnnotation(s: SparkSession,
+      path: String): Option[org.apache.parquet.schema.LogicalTypeAnnotation] = {
+    val conf = s.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalArgumentException(s"no parquet part under $path"))
+      else p
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val idx = schema.getFieldIndex("ts")
+      Option(schema.getFields.get(idx).asPrimitiveType().getLogicalTypeAnnotation)
+    } finally reader.close()
   }
 
   /** Schema-ADAPTIVE events reader: branch on the probed `ts` type.

@@ -141,7 +141,7 @@ object Similarity {
       (0 until k).map(i => (m - i).toDouble / (i + 1)).product
     val hi = math.min(maxPlanes,
       math.max(6, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt))
-    val best = (6 to hi).flatMap { planes =>
+    val candidates = (6 to hi).flatMap { planes =>
       (0 until planes).flatMap { r =>
         val pHit = (0 to r).map(k =>
           choose(planes, k) * math.pow(pDiff, k) *
@@ -162,8 +162,12 @@ object Similarity {
           Some(((planes, r, tables), cost))
         }
       }
-    }.minBy { case ((planes, _, tables), cost) => (cost, planes, tables) }
-    best._1
+    }
+    // degenerate thresholds (±1.0 → pDiff 0 or 1) make every config's
+    // pHit hit the 0/1 guard — mirror lshPlan's clear failure instead of
+    // an anonymous empty.minBy
+    require(candidates.nonEmpty, s"no LSH config for minCosine=$minCosine")
+    candidates.minBy { case ((planes, _, tables), cost) => (cost, planes, tables) }._1
   }
 
   /** Candidate pairs from multi-table LSH buckets, hamming-≤radius

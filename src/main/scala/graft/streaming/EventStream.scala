@@ -222,26 +222,11 @@ object EventStream {
   def runRetentionOverFixture(spark: SparkSession, sfDir: String,
                               horizonDays: Int = 90): DataFrame = {
     import spark.implicits._
-    val srcDir = Files.createTempDirectory("graft-stream-ret")
     val codec = codecFor(spark, s"$sfDir/events.parquet")
-    val raw = spark.read.schema(codec.rawSchema).parquet(s"$sfDir/events.parquet")
-    val b = raw.agg(min(codec.tsMicros), max(codec.tsMicros)).head
-    val (t0, t1) = (b.getLong(0), b.getLong(1))
-    val span = (t1 - t0) / 3 + 1
-    for (i <- 0 until 3)
-      raw.filter(codec.tsMicros >= t0 + i * span && codec.tsMicros < t0 + (i + 1) * span)
-        .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
-    val farMicros = t1 + 400L * 86400L * 1000000L
-    sentinelDf(spark, codec, Seq((-1L, farMicros, -1L, "click", 0.0, "{}")))
-      .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
-    // pin mtimes strictly ascending so batch order is the time order
-    val now = System.currentTimeMillis()
-    for ((sub, i) <- Seq("b0", "b1", "b2", "b3_sentinel").zipWithIndex)
-      Files.walk(srcDir.resolve(sub)).forEach { f =>
-        if (Files.isRegularFile(f))
-          Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
-      }
+    // eviction timers sit at last-activity + horizon; last activity ≤ t1,
+    // so horizon + 1 day past the data end fires every one of them
+    val (srcDir, _, _) = stageTimeRangeReplay(spark, sfDir, codec, "click",
+      (_, _) => (horizonDays + 1).toLong * DayUs)
     val stream = spark.readStream.schema(codec.rawSchema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
@@ -277,26 +262,14 @@ object EventStream {
     * a finite fixture. */
   def runTimeToConvertOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val srcDir = Files.createTempDirectory("graft-stream-ttc")
     val codec = codecFor(spark, s"$sfDir/events.parquet")
-    val raw = spark.read.schema(codec.rawSchema).parquet(s"$sfDir/events.parquet")
-    val b = raw.agg(min(codec.tsMicros), max(codec.tsMicros)).head
-    val (t0, t1) = (b.getLong(0), b.getLong(1))
-    val span = (t1 - t0) / 3 + 1
-    for (i <- 0 until 3)
-      raw.filter(codec.tsMicros >= t0 + i * span && codec.tsMicros < t0 + (i + 1) * span)
-        .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
-    val farMicros = t1 + 400L * 86400L * 1000000L
-    sentinelDf(spark, codec, Seq((-1L, farMicros, -1L, "click", 0.0, "{}")))
-      .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
-    val now = System.currentTimeMillis()
-    for ((sub, i) <- Seq("b0", "b1", "b2", "b3_sentinel").zipWithIndex)
-      Files.walk(srcDir.resolve(sub)).forEach { f =>
-        if (Files.isRegularFile(f))
-          Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
-      }
-    val horizonUs = (t1 - t0) + 86400L * 1000000L // past the data end for every user
+    // no-convert timers sit at first-view + (span + 1 day); first view
+    // ≤ t1, so span + 2 days past the data end clears every timer at ANY
+    // fixture span (a fixed +400d sentinel silently under-shoots the
+    // span-derived horizon once the fixture spans > 399 days)
+    val (srcDir, t0, t1) = stageTimeRangeReplay(spark, sfDir, codec, "click",
+      (s0, s1) => (s1 - s0) + 2 * DayUs)
+    val horizonUs = (t1 - t0) + DayUs // past the data end for every user
     val stream = spark.readStream.schema(codec.rawSchema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
@@ -329,28 +302,13 @@ object EventStream {
     * The sentinel carries its own event type (`__sentinel__`), NOT a real
     * one: keyed-by-type state would otherwise absorb the far-future row
     * as a real observation and stretch that key's span by 400 days. */
-  def runGapFillOverFixture(spark: SparkSession, sfDir: String,
-                            horizonDays: Int = 60): DataFrame = {
+  def runGapFillOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val srcDir = Files.createTempDirectory("graft-stream-gap")
     val codec = codecFor(spark, s"$sfDir/events.parquet")
-    val raw = spark.read.schema(codec.rawSchema).parquet(s"$sfDir/events.parquet")
-    val b = raw.agg(min(codec.tsMicros), max(codec.tsMicros)).head
-    val (t0, t1) = (b.getLong(0), b.getLong(1))
-    val span = (t1 - t0) / 3 + 1
-    for (i <- 0 until 3)
-      raw.filter(codec.tsMicros >= t0 + i * span && codec.tsMicros < t0 + (i + 1) * span)
-        .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
-    val farMicros = t1 + 400L * 86400L * 1000000L
-    sentinelDf(spark, codec, Seq((-1L, farMicros, -1L, "__sentinel__", 0.0, "{}")))
-      .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
-    val now = System.currentTimeMillis()
-    for ((sub, i) <- Seq("b0", "b1", "b2", "b3_sentinel").zipWithIndex)
-      Files.walk(srcDir.resolve(sub)).forEach { f =>
-        if (Files.isRegularFile(f))
-          Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
-      }
+    // flush timers sit at (earliest open day + 1 day); 2 days past the
+    // data end clears them all — day-granular bounds, not span-derived
+    val (srcDir, t0, t1) = stageTimeRangeReplay(spark, sfDir, codec, "__sentinel__",
+      (_, _) => 2 * DayUs)
     val stream = spark.readStream.schema(codec.rawSchema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
@@ -360,7 +318,7 @@ object EventStream {
       .select(col("event_type"), col("ts"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .as[StatefulSessions.GapEvent]
-    val cells = StatefulSessions.gapFillStream(spark, stream, horizonDays)
+    val cells = StatefulSessions.gapFillStream(spark, stream)
     val queryName = scopedQueryName("graft_stream_gap")
     val q = cells.writeStream
       .outputMode("append").format("memory").queryName(queryName).start()
@@ -418,27 +376,14 @@ object EventStream {
   def runRollingActiveOverFixture(spark: SparkSession, sfDir: String,
                                   days: Int = 7): DataFrame = {
     import spark.implicits._
-    val srcDir = Files.createTempDirectory("graft-stream-roll")
     val codec = codecFor(spark, s"$sfDir/events.parquet")
-    val raw = spark.read.schema(codec.rawSchema).parquet(s"$sfDir/events.parquet")
-    val b = raw.agg(min(codec.tsMicros), max(codec.tsMicros)).head
-    val (t0, t1) = (b.getLong(0), b.getLong(1))
-    val span = (t1 - t0) / 3 + 1
-    for (i <- 0 until 3)
-      raw.filter(codec.tsMicros >= t0 + i * span && codec.tsMicros < t0 + (i + 1) * span)
-        .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
-    val farMicros = t1 + 400L * 86400L * 1000000L
-    sentinelDf(spark, codec, Seq((-1L, farMicros, -1L, "click", 0.0, "{}")))
-      .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
-    val now = System.currentTimeMillis()
-    for ((sub, i) <- Seq("b0", "b1", "b2", "b3_sentinel").zipWithIndex)
-      Files.walk(srcDir.resolve(sub)).forEach { f =>
-        if (Files.isRegularFile(f))
-          Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
-      }
-    val dmax = raw.select(to_date(codec.tsTimestamp).as("d"))
-      .agg(max(col("d"))).head.getDate(0)
+    // the w_day_ts watermark lags by `days` and real window-starts reach
+    // day(t1) + (days − 1): day-granular bounds, so 3·days + 3 past the
+    // data end seals every real window at any fixture span
+    val (srcDir, _, t1) = stageTimeRangeReplay(spark, sfDir, codec, "click",
+      (_, _) => (3L * days + 3) * DayUs)
+    val dmaxStr =
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(t1, DayUs)).toString
     // the sentinel must FLOW THROUGH the stateful operators — a pre-watermark
     // filter on the event-time column would remove it before the watermark
     // node ever observes it and the tail windows would never finalize
@@ -470,7 +415,7 @@ object EventStream {
     // trim: sentinel-only windows (max_user < 0) and partial windows past
     // the data end — the batch operator excludes both by construction
     spark.table(queryName)
-      .filter(col("day") <= lit(dmax.toString) && col("max_user") >= 0)
+      .filter(col("day") <= lit(dmaxStr) && col("max_user") >= 0)
       .select(col("day"), col("n_active"))
   }
 
@@ -500,27 +445,14 @@ object EventStream {
     * never-sealed far-future day is trimmed by the `day ≤ dmax` filter. */
   def runAnomalyOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val srcDir = Files.createTempDirectory("graft-stream-anom")
     val codec = codecFor(spark, s"$sfDir/events.parquet")
-    val raw = spark.read.schema(codec.rawSchema).parquet(s"$sfDir/events.parquet")
-    val b = raw.agg(min(codec.tsMicros), max(codec.tsMicros)).head
-    val (t0, t1) = (b.getLong(0), b.getLong(1))
-    val span = (t1 - t0) / 3 + 1
-    for (i <- 0 until 3)
-      raw.filter(codec.tsMicros >= t0 + i * span && codec.tsMicros < t0 + (i + 1) * span)
-        .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
-    val farMicros = t1 + 400L * 86400L * 1000000L
-    sentinelDf(spark, codec, Seq((-1L, farMicros, -1L, "click", 0.0, "{}")))
-      .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
-    val now = System.currentTimeMillis()
-    for ((sub, i) <- Seq("b0", "b1", "b2", "b3_sentinel").zipWithIndex)
-      Files.walk(srcDir.resolve(sub)).forEach { f =>
-        if (Files.isRegularFile(f))
-          Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
-      }
-    val dmax = raw.select(to_date(codec.tsTimestamp).as("d"))
-      .agg(max(col("d"))).head.getDate(0)
+    // day-seal timers re-arm at (earliest open day + 1 day); 2 + trailing
+    // days past the data end clears every key's tail — day-granular, not
+    // span-derived
+    val (srcDir, _, t1) = stageTimeRangeReplay(spark, sfDir, codec, "click",
+      (_, _) => 30L * DayUs)
+    val dmaxStr =
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(t1, DayUs)).toString
     val stream = spark.readStream.schema(codec.rawSchema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
@@ -535,7 +467,7 @@ object EventStream {
     val q = scored.writeStream
       .outputMode("append").format("memory").queryName(queryName).start()
     try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
-    spark.table(queryName).filter(col("day") <= lit(dmax.toString))
+    spark.table(queryName).filter(col("day") <= lit(dmaxStr))
   }
 
   /** Streaming SKETCH PRODUCTION — each day's window finalizes into a
@@ -677,6 +609,42 @@ object EventStream {
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", codec.microsToRaw(col("ts")))
   }
+
+  /** Stage the fixture for a genuinely multi-batch replay: three
+    * TIME-RANGE files in strictly ascending mtime order (so per-key state
+    * really carries across micro-batches) plus one far-future sentinel
+    * file (user −1) that advances the event-time watermark past every
+    * timer the replay arms. The sentinel's offset past the data end is
+    * the CALLER's statement, as a function of (t0, t1) — a fixed offset
+    * is a latent bug for span-derived horizons (a +400d sentinel silently
+    * under-shoots a span+1d timer once the fixture spans >399 days, and
+    * the unfired timers' rows just go missing). Returns (srcDir, t0, t1)
+    * in epoch micros; the staged dir is the caller's to delete. */
+  private def stageTimeRangeReplay(spark: SparkSession, sfDir: String,
+      codec: TsCodec, sentinelType: String,
+      sentinelOffsetUs: (Long, Long) => Long): (java.nio.file.Path, Long, Long) = {
+    val srcDir = Files.createTempDirectory("graft-stream-replay")
+    val raw = spark.read.schema(codec.rawSchema).parquet(s"$sfDir/events.parquet")
+    val b = raw.agg(min(codec.tsMicros), max(codec.tsMicros)).head
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    val span = (t1 - t0) / 3 + 1
+    for (i <- 0 until 3)
+      raw.filter(codec.tsMicros >= t0 + i * span && codec.tsMicros < t0 + (i + 1) * span)
+        .coalesce(1).write.parquet(srcDir.toString + s"/b$i")
+    sentinelDf(spark, codec,
+      Seq((-1L, t1 + sentinelOffsetUs(t0, t1), -1L, sentinelType, 0.0, "{}")))
+      .coalesce(1).write.parquet(srcDir.toString + "/b3_sentinel")
+    val now = System.currentTimeMillis()
+    for ((sub, i) <- Seq("b0", "b1", "b2", "b3_sentinel").zipWithIndex)
+      Files.walk(srcDir.resolve(sub)).forEach { f =>
+        if (Files.isRegularFile(f))
+          Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(now - (60000L * (4 - i))))
+      }
+    (srcDir, t0, t1)
+  }
+
+  private val DayUs = 86400L * 1000000L
 
   /** Tumbling-window counts as an unbounded streaming transformation —
     * watermark bounds state so a year-long stream holds only ~1 window of

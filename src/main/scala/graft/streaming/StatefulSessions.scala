@@ -257,10 +257,19 @@ object StatefulSessions {
     * discipline), interior gap days with zeros and the carried value.
     * Emission is capped at the key's LAST OPEN OBSERVATION, so a
     * far-future sentinel flushes the real span without spewing trailing
-    * gap rows; the timer re-arms at the earliest open day's end (quiet
-    * keys still flush) or, with nothing open, at last activity + horizon,
-    * where the state evicts — total state O(keys × open days). */
-  def gapFillCells(horizonDays: Int)(
+    * gap rows; the timer re-arms at the earliest open day's end, so
+    * quiet keys still flush.
+    *
+    * Once a key's open days drain, its state shrinks to the 3-scalar
+    * LOCF core (last day, last cents, last activity) and the timer is
+    * simply not re-armed — the core is NEVER evicted. That is the
+    * semantics, not a leak: LOCF carries across arbitrarily long
+    * silences (evicting after a horizon would restart the carried value
+    * at 0 and skip the silent days' gap rows — breaking the exact ts1
+    * parity on any span longer than the horizon), and the key space is
+    * the event-type vocabulary, inherently bounded. Total state:
+    * O(keys × open days) while sealing, O(keys) at rest. */
+  def gapFillCells(
       eventType: String, events: Iterator[GapEvent],
       state: GroupState[GapState]): Iterator[GapCell] = {
     val prev = state.getOption
@@ -292,26 +301,20 @@ object StatefulSessions {
         d += 1
       }
     }
-    if (state.hasTimedOut && open.isEmpty) {
-      state.remove()
-    } else {
-      state.update(GapState(last.getOrElse(Int.MinValue), locf, lastMs,
-        open.toSeq.map(t => (t._1, t._2._1, t._2._2)).sortBy(_._1)))
-      if (open.nonEmpty)
-        state.setTimeoutTimestamp((open.keys.min + 1).toLong * 86400000L)
-      else
-        state.setTimeoutTimestamp(lastMs + horizonDays.toLong * 86400000L)
-    }
+    state.update(GapState(last.getOrElse(Int.MinValue), locf, lastMs,
+      open.toSeq.map(t => (t._1, t._2._1, t._2._2)).sortBy(_._1)))
+    if (open.nonEmpty)
+      state.setTimeoutTimestamp((open.keys.min + 1).toLong * 86400000L)
+    // open empty: no timer — the LOCF core rests until the key's next data
     out.result().iterator
   }
 
   /** Wire the gap-fill emitter over a watermarked typed Dataset. */
-  def gapFillStream(spark: SparkSession, events: Dataset[GapEvent],
-                    horizonDays: Int = 60): Dataset[GapCell] = {
+  def gapFillStream(spark: SparkSession, events: Dataset[GapEvent]): Dataset[GapCell] = {
     import spark.implicits._
     events.groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        gapFillCells(horizonDays))
+        gapFillCells)
   }
 
   // ─────────────────────── streaming time-to-convert ───────────────────────

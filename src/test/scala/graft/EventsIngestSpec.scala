@@ -44,9 +44,16 @@ class EventsIngestSpec extends SparkTestBase {
     dir.toString
   }
 
-  // int64 nanos (the legacy TIMESTAMP(NANOS) generation probes as LongType
-  // under nanosAsLong, so this is branch-for-branch the same ingest path)
-  private lazy val nanosDir = stage(baseDf.withColumn("ts", col("ts") * 1000L))
+  // a REAL int64 TIMESTAMP(NANOS) file (committed resource; Spark cannot
+  // write the NANOS annotation, and the probe rightly rejects unannotated
+  // int64 — see the loud-rejection test below), same rows as baseDf
+  private lazy val nanosDir = {
+    val dir = Files.createTempDirectory("graft-ingest-fixture")
+    val res = getClass.getResourceAsStream("/events_nanos.parquet")
+    Files.copy(res, dir.resolve("events.parquet"))
+    res.close()
+    dir.toString
+  }
   // timestamp[us] without timezone — the current fixture generation
   private lazy val ntzDir = stage(
     baseDf.withColumn("ts", timestamp_micros(col("ts")).cast(TimestampNTZType)))
@@ -103,5 +110,18 @@ class EventsIngestSpec extends SparkTestBase {
       Tables.events(spark, dir)
     }
     assert(e.getMessage.contains("unsupported physical type"))
+  }
+
+  test("unannotated int64 ts is rejected, not guessed to be nanos") {
+    // Spark reports plain int64 and TIMESTAMP(NANOS) identically under
+    // nanosAsLong (both LongType) — but an unannotated int64 could be any
+    // epoch unit, and applying the nanos ÷1000 to micros values is the
+    // round-6 silent ~1970 collapse. The footer annotation disambiguates;
+    // no annotation must be a LOUD failure.
+    val dir = stage(baseDf) // ts stays a plain long (micros values)
+    val e = intercept[IllegalArgumentException] {
+      Tables.events(spark, dir)
+    }
+    assert(e.getMessage.contains("refusing to guess"), e.getMessage)
   }
 }
