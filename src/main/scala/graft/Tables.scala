@@ -38,36 +38,35 @@ object Tables {
     * footer's logical-type annotation and accepts ONLY genuine
     * TIMESTAMP(NANOS), failing loudly on anything else.
     *
-    * Memoized per canonical path: the fixture is immutable within a run,
-    * and every events query + streaming replay probes — a map lookup
-    * beats a footer read per call. */
+    * Deliberately NOT memoized: the probe runs once per plan construction
+    * (a footer read, microseconds against any real query), and caching by
+    * path would (a) skip the `nanosAsLong` conf-set for a second
+    * SparkSession in the same JVM — whose subsequent NANOS read then
+    * throws [PARQUET_TYPE_ILLEGAL] — and (b) return a stale type for a
+    * fixture the driver regenerated in place mid-JVM, which is exactly
+    * the drift scenario the probe exists to catch. */
   def eventsTsType(s: SparkSession, path: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
-    val key = java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
-    tsTypeCache.computeIfAbsent(key, { _ =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val t = s.read.parquet(path).schema("ts").dataType
-      require(t == LongType || t == TimestampType || t == TimestampNTZType,
-        s"events.ts has unsupported physical type $t at $path — expected " +
-          "int64 TIMESTAMP(NANOS), timestamp, or timestamp_ntz")
-      if (t == LongType) {
-        val ann = tsFooterAnnotation(s, path)
-        val isNanos = ann.exists {
-          case a: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            a.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
-          case _ => false
-        }
-        require(isNanos,
-          s"events.ts is int64 with annotation ${ann.orNull} at $path — only " +
-            "TIMESTAMP(NANOS) int64 is supported (an unannotated int64 could " +
-            "be any epoch unit; refusing to guess nanos)")
+    // unconditional: the caller's own read of a NANOS fixture needs it too
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val t = s.read.parquet(path).schema("ts").dataType
+    require(t == LongType || t == TimestampType || t == TimestampNTZType,
+      s"events.ts has unsupported physical type $t at $path — expected " +
+        "int64 TIMESTAMP(NANOS), timestamp, or timestamp_ntz")
+    if (t == LongType) {
+      val ann = tsFooterAnnotation(s, path)
+      val isNanos = ann.exists {
+        case a: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          a.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ => false
       }
-      t
-    })
+      require(isNanos,
+        s"events.ts is int64 with annotation ${ann.orNull} at $path — only " +
+          "TIMESTAMP(NANOS) int64 is supported (an unannotated int64 could " +
+          "be any epoch unit; refusing to guess nanos)")
+    }
+    t
   }
-
-  private val tsTypeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
 
   /** The `ts` column's parquet logical-type annotation, straight from the
     * file footer (first file if `path` is a directory of parts). */

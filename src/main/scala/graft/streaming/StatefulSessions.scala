@@ -364,7 +364,16 @@ object StatefulSessions {
       if (s.done) Iterator.empty
       else Iterator.single(TtcCell(userId, dowOf(s.first_view_us), -1L))
     } else if (state.getOption.exists(_.done)) {
-      Iterator.empty // already emitted; hold state until the horizon evicts it
+      // Spark clears a key's timer on every invocation with data, so a
+      // converted user who keeps producing events would otherwise lose the
+      // horizon timer and hold the done marker forever. Re-arm it (clamped
+      // to the watermark — setTimeoutTimestamp rejects earlier instants);
+      // the state itself must survive until the horizon so a later `from`
+      // event cannot re-open the funnel and double-emit.
+      val fv = state.get.first_view_us
+      state.setTimeoutTimestamp(
+        math.max(fv / 1000L + horizonUs / 1000L, state.getCurrentWatermarkMs))
+      Iterator.empty
     } else {
       val sorted = events.toArray.sortBy(e => (epochUsOf(e.ts), e.event_id))
       var firstView = state.getOption.map(_.first_view_us)

@@ -87,6 +87,43 @@ class StatefulSessionsSpec extends SparkTestBase {
     assert(s3.get.open.isEmpty)
   }
 
+  test("ttcCells: a chatty converted user re-arms the horizon timer, never double-emits") {
+    import StatefulSessions.{TtcCell, TtcEvent, TtcState, ttcCells}
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    def ev(id: Long, ms: Long, t: String) = TtcEvent(1L, new java.sql.Timestamp(ms), id, t)
+    def mkState(prev: Option[TtcState], wmMs: Long, timedOut: Boolean) =
+      TestGroupState.create[TtcState](
+        prev.map(Optional.of[TtcState]).getOrElse(Optional.empty()),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+        1000L, Optional.of(wmMs), hasTimedOut = timedOut)
+    val horizonUs = 10000000L // 10 s
+    val f = ttcCells("view", "purchase", horizonUs) _
+    // batch 1: view at 1 s, purchase at 2 s -> one cell, done state, timer at fv+horizon
+    val s1 = mkState(None, 0L, timedOut = false)
+    val o1 = f(1L, Iterator(ev(1, 1000L, "view"), ev(2, 2000L, "purchase")), s1).toSeq
+    assert(o1 == Seq(TtcCell(1L, 0L, 1000000L))) // epoch day 0 -> dow 0
+    assert(s1.get == TtcState(1000000L, done = true))
+    assert(s1.getTimeoutTimestampMs.get() == 11000L)
+    // batch 2: the user keeps producing events after converting. Spark cleared
+    // the timer on invocation; the done branch must RE-ARM it (the leak fixed
+    // here) and must not re-open the funnel on a fresh view+purchase pair.
+    val s2 = mkState(Some(s1.get), 3000L, timedOut = false)
+    val o2 = f(1L, Iterator(ev(3, 4000L, "view"), ev(4, 5000L, "purchase")), s2).toSeq
+    assert(o2.isEmpty, "a converted user never emits a second cell")
+    assert(s2.get == TtcState(1000000L, done = true), "done marker survives")
+    assert(s2.getTimeoutTimestampMs.get() == 11000L, "horizon timer re-armed")
+    // batch 2b: data arriving AFTER the horizon already passed the watermark —
+    // the re-arm clamps to the watermark instead of throwing
+    val s2b = mkState(Some(s1.get), 20000L, timedOut = false)
+    assert(f(1L, Iterator(ev(5, 20500L, "click")), s2b).isEmpty)
+    assert(s2b.getTimeoutTimestampMs.get() == 20000L, "clamped to watermark")
+    // batch 3: horizon timer fires -> state evicted, done user emits nothing
+    val s3 = mkState(Some(s2.get), 12000L, timedOut = true)
+    assert(f(1L, Iterator.empty, s3).isEmpty)
+    assert(s3.isRemoved, "state evicted on the horizon exit path")
+  }
+
   test("batch Dataset runs through the same stateful transformation") {
     import spark.implicits._
     val ds = Seq(UserEvent(7, "click", 1.5), UserEvent(7, "view", 2.5)).toDS()
