@@ -61,11 +61,30 @@ object Bench {
     // regressions — BASELINE.md records them moving in lockstep across
     // identical-config runs (51→90 s totals). Reported so any round-over-
     // round comparison can normalize by them.
-    val canaries = Seq("q1_pricing_summary", "t7_tfidf", "d4_ngram_jaccard")
-      .flatMap(c => results.collectFirst { case (`c`, v, true) => "\"" + c + "\":" + v })
-      .mkString("{", ",", "}")
+    val canaryNames = Seq("q1_pricing_summary", "t7_tfidf", "d4_ngram_jaccard")
+    val canaryTimes = canaryNames.flatMap(c =>
+      results.collectFirst { case (`c`, v, true) => c -> v })
+    val canaries = canaryTimes
+      .map { case (c, v) => "\"" + c + "\":" + v }.mkString("{", ",", "}")
+    // canary ENFORCEMENT (BASELINE.md §rounds 5–7): the protocol's decision
+    // rule lives here, not in reviewer discipline. Reference = the r7
+    // quiet-machine levels at sf0.1/local[32]; a run whose worst canary
+    // sits >1.35× above them is stamped `contended` — its raw totals must
+    // not be compared (r7's mildly contended run: max ratio 1.41; round
+    // 6's bad run: 2.9; the quiet reference itself: 1.0). Other SFs have
+    // no recorded reference → `uncalibrated`.
+    val quietRef = Map(
+      "q1_pricing_summary" -> 1.22, "t7_tfidf" -> 0.96, "d4_ngram_jaccard" -> 0.76)
+    val ratios = canaryTimes.collect { case (c, v) if quietRef.contains(c) =>
+      v / quietRef(c) }
+    val quality =
+      if (!sfDir.replace("/", "").endsWith("sf0.1")) "uncalibrated"
+      else if (ratios.size < quietRef.size) "contended" // a canary errored
+      else if (ratios.max <= 1.35) "quiet"
+      else "contended"
+    val maxRatio = if (ratios.isEmpty) "null" else f"${ratios.max}%.2f"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"canaries":$canaries,"note":"canaries are code-untouched VM-noise yardsticks; see BASELINE.md","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"note":"canaries are code-untouched VM-noise yardsticks; quality is the runner-enforced canary verdict vs the quiet reference (BASELINE.md rounds 5-7)","sf":"$sfDir"}"""
     println(json)
     // stdout through sbt is interleaved with log spew and can truncate —
     // also persist the full machine-readable artifact to a file

@@ -1522,6 +1522,76 @@ object Queries {
       |       true AS recall_020_ok
       |FROM p""".stripMargin
 
+  /** Deterministic near-dup PLANT for the production-regime LSH twins
+    * (d6_production / sim2_production): the fixture embeddings are
+    * near-random 64-dim vectors whose max pairwise cosine is ~0.51 (sf0.01)
+    * to ~0.60 (sf0.1), so the corpus-dedup threshold (≥ 0.8) — the regime
+    * where [[graft.operators.Similarity.lshAutoPlan]]'s bucketing prunes
+    * by orders of magnitude instead of enumerating (SCALE.md §near-dup) —
+    * has no natural pairs to find. Every 20th vector gets a twin,
+    * `emb + 0.3 × successor's emb`, computed in DOUBLE and cast to float32
+    * exactly once so the DuckDB oracle replays the floats bit-for-bit.
+    * Twin↔source cosine lands at ~0.93–0.97: comfortably above 0.8 and far
+    * from the recall boundary — the real corpus-dedup shape, where
+    * near-dups cluster high and the bulk sits far below threshold. Nothing
+    * else crosses 0.8: twin-vs-mixin is ~0.3, twin-vs-unrelated ≤ ~0.6. */
+  private[graft] def plantNearDups(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    val succ = e.select((col("vec_id") - 1).as("vec_id"),
+      col("embedding").as("succ_emb"))
+    val twins = base.join(succ, "vec_id")
+      .filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          col("succ_emb").cast("array<double>"),
+          (x, y) => x + lit(0.3) * y).cast("array<float>").as("embedding"))
+    base.unionByName(twins)
+  }
+
+  /** D6 in its PRODUCTION regime: the same operator as d6_neardup_lsh
+    * ([[Dedup.cosinePairsLshAuto]]) at the corpus-dedup threshold 0.8,
+    * where the cost-ranked plan actually buckets — candidate volume scales
+    * with the corpus, not its square. The registered d6_neardup_lsh (0.2
+    * over near-random vectors) is the enumeration-regime fixture contract
+    * by design; THIS row is the wall-clock evidence for the path a 100 TB
+    * dedup runs. Ground truth comes from [[plantNearDups]]; quality is
+    * pinned by [[d6ProductionGate]]. */
+  val d6Production: Q = (s, d) =>
+    Dedup.cosinePairsLshAuto(plantNearDups(Tables.embeddings(s, d)), 0.8)
+
+  /** Gate for d6_production: exact planted-pair count (the cross-engine
+    * anchor DuckDB brute-forces independently), containment (structural:
+    * both paths share the rounded scoring arithmetic, so an emitted pair
+    * is always a true ≥ 0.8 pair), and zero misses — the planted pairs sit
+    * ≥ 0.93, where the 0.9999-recall-at-0.8 design's per-pair miss
+    * probability is ~1e-9. */
+  val d6ProductionGate: Q = (s, d) => {
+    val planted = plantNearDups(Tables.embeddings(s, d))
+    val lshPairs = d6Production(s, d).select(col("a_id"), col("b_id"))
+    val exact = Dedup.cosinePairsBrute(planted, 0.8).select(col("a_id"), col("b_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact_08"))
+    val violations = lshPairs.join(exact, Seq("a_id", "b_id"), "left_anti")
+      .agg(count(lit(1)).as("containment_violations"))
+    val missed = exact.join(lshPairs, Seq("a_id", "b_id"), "left_anti")
+      .agg(count(lit(1)).as("missed_08"))
+    nExact.crossJoin(violations).crossJoin(missed)
+  }
+
+  val d6ProductionGateSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |tw AS (SELECT a.vec_id + 10000000 AS vec_id,
+      |              CAST(CAST([a.emb[i] + 0.3 * b.emb[i] FOR i IN RANGE(1, 65)] AS FLOAT[]) AS DOUBLE[]) AS emb
+      |       FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      |       WHERE a.vec_id % 20 = 0),
+      |al AS (SELECT vec_id, emb FROM e UNION ALL SELECT vec_id, emb FROM tw),
+      |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |             floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5) / 10000 AS c
+      |      FROM al a JOIN al b ON a.vec_id < b.vec_id)
+      |SELECT CAST(count(*) FILTER (WHERE c >= 0.8) AS BIGINT) AS n_exact_08,
+      |       CAST(0 AS BIGINT) AS containment_violations,
+      |       CAST(0 AS BIGINT) AS missed_08
+      |FROM p""".stripMargin
+
   // ───────────────────────── similarity search ───────────────────────────
 
   /** Brute-force exact cosine top-k for a small query set. */
@@ -1607,6 +1677,52 @@ object Queries {
 
   val sim2GateSql: String = annGateSql
   val sim3GateSql: String = annGateSql
+
+  /** SIM2 in its PRODUCTION regime: ANN top-k where the corpus HAS near
+    * neighbors to find — each [[plantNearDups]] twin queries the planted
+    * corpus, and its true nearest neighbor is its known source vector
+    * (~0.95 cosine vs ≤ ~0.6 for everything else), so the index is doing
+    * real retrieval work rather than ranking the random tail. Same
+    * operator as sim2_ann_lsh ([[Similarity.annTopKAuto]], 16-table
+    * request, corpus-adaptive planes); quality pinned by
+    * [[sim2ProductionGate]]. */
+  val sim2Production: Q = (s, d) => {
+    val planted = plantNearDups(Tables.embeddings(s, d))
+    Similarity.annTopKAuto(planted,
+      planted.filter(col("vec_id") >= 10000000L), 5, tables = 16)
+  }
+
+  /** Gate for sim2_production: the standard recall floor vs brute top-5,
+    * PLUS the planted ground truth — every twin's rank-1 neighbor must be
+    * its source vector (deterministic by construction; a multi-table miss
+    * of a 0.95-cosine pair has probability ~1e-15). `n_queries`/`n_exact`
+    * anchor the twin count cross-engine. */
+  val sim2ProductionGate: Q = (s, d) => {
+    val planted = plantNearDups(Tables.embeddings(s, d))
+    val queries = planted.filter(col("vec_id") >= 10000000L)
+    val ann = sim2Production(s, d)
+    val exact = Similarity.bruteForceTopK(planted, queries, 5)
+      .select(col("q_id"), col("n_id"))
+    val hits = exact.join(ann.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val top1 = ann.filter(col("rank") === 1)
+      .filter(col("n_id") === col("q_id") - 10000000L)
+      .agg(count(lit(1)).as("top1_hits"))
+    exact.agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(hits).crossJoin(top1)
+      .select(col("n_queries"), col("n_exact"),
+        (col("hits") >= col("n_exact") * 0.9).as("recall_ok"),
+        (col("top1_hits") === col("n_queries")).as("top1_ok"))
+  }
+
+  val sim2ProductionGateSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(5 * count(*) AS BIGINT) AS n_exact,
+      |       true AS recall_ok, true AS top1_ok
+      |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |WHERE a.vec_id % 20 = 0""".stripMargin
 
   /** EMB1 — embedding feature-store prep: L2 normalization (unit vectors,
     * elements portably rounded) and symmetric int8 quantization (4× size
@@ -5179,9 +5295,13 @@ object Queries {
     "d5_embedding_neardup" -> d5Cosine,
     "d6_neardup_lsh" -> d6LshNeardup,
     "d6_lsh_gate" -> d6Gate,
+    "d6_production" -> d6Production,
+    "d6_production_gate" -> d6ProductionGate,
     "sim1_cosine_topk" -> sim1TopK,
     "sim2_ann_lsh" -> sim2Ann,
     "sim2_ann_gate" -> sim2Gate,
+    "sim2_production" -> sim2Production,
+    "sim2_production_gate" -> sim2ProductionGate,
     "sim3_ann_ivf" -> sim3Ivf,
     "sim3_ivf_gate" -> sim3Gate,
     "emb1_normalize_quantize" -> emb1Normalize,
@@ -5376,8 +5496,10 @@ object Queries {
     "ovl1_source_overlap" -> ovl1SourceOverlapSql,
     "d5_embedding_neardup" -> d5CosineSql,
     "d6_lsh_gate" -> d6GateSql,
+    "d6_production_gate" -> d6ProductionGateSql,
     "sim1_cosine_topk" -> sim1TopKSql,
     "sim2_ann_gate" -> sim2GateSql,
+    "sim2_production_gate" -> sim2ProductionGateSql,
     "sim3_ivf_gate" -> sim3GateSql,
     "emb1_normalize_quantize" -> emb1NormalizeSql,
     "t1_lang_id" -> t1LangSql,
@@ -5411,6 +5533,7 @@ object Queries {
     "w2_tumbling_window", "w3_sessionize", "d2_dedup_minhash",
     "d3_dedup_simhash", "d4_ngram_jaccard", "d5_embedding_neardup",
     "d6_neardup_lsh", "sim2_ann_lsh",
+    "d6_production", "sim2_production",
     "sim1_cosine_topk", "t4_fingerprint", "t7_tfidf", "mm1_binary_decode",
     "prep1_corpus_prep", "dc1_decontaminate", "inc1_incremental_dedup",
     "hh2_mg_sketch", "emb2_mean_pool", "scd1_history", "z2_compaction_plan",

@@ -73,6 +73,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.lshAutoPlan(500, 0.2)._1 == 6)
   }
 
+  test("production-regime plant: twins score >=0.9 vs source, LSH at 0.8 finds exactly them") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val planted = graft.Queries.plantNearDups(e)
+    val n = e.count()
+    // one twin per 20th vector that has a successor to mix in
+    val expectedTwins = e.filter(col("vec_id") % 20 === 0 && col("vec_id") < n - 1).count()
+    assert(planted.filter(col("vec_id") >= 10000000L).count() == expectedTwins)
+    assert(expectedTwins > 0, "fixture too small to plant anything")
+    // the production path (cost-ranked LSH at the 0.8 corpus-dedup
+    // threshold) returns exactly the planted (source, twin) pairs — same
+    // set as brute force — each at >= 0.9 cosine
+    val got = graft.operators.Dedup.cosinePairsLshAuto(planted, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expectedTwins)
+    assert(got.forall { case (a, b, c) => b == a + 10000000L && c >= 0.9 },
+      s"unexpected pair shape: ${got.mkString(", ")}")
+    val exact = graft.operators.Dedup.cosinePairsBrute(planted, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)).toSet == exact)
+  }
+
   test("lshPlan picks threshold-driven configs that meet the recall target") {
     for (minCosine <- Seq(0.2, 0.35, 0.5, 0.8, 0.9);
          target <- Seq(0.999, 0.9999)) {
