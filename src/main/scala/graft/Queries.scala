@@ -3594,6 +3594,39 @@ object Queries {
       |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
       |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
 
+  /** ER2 — entity resolution with BOUNDED hot-group output
+    * ([[graft.operators.Linkage.blockedFuzzyMatchStar]]): er1's operator
+    * in its production form — exact-duplicate name groups collapse to a
+    * min-key representative and emit a distance-0 spanning star (m−1
+    * rows, not C(m,2)), fuzzy matches link representatives once. Same
+    * connected components as er1's clique output, linear in block
+    * population. */
+  val er2StarResolve: Q = (s, d) =>
+    graft.operators.Linkage.blockedFuzzyMatchStar(
+      Tables.part(s, d), "p_brand", "p_partkey", "p_name", maxDist = 2)
+
+  val er2StarResolveSql: String =
+    """WITH r AS (SELECT p_brand AS block, p_partkey AS key, p_name AS name FROM part),
+      |g AS (SELECT block, name, min(key) AS rep FROM r GROUP BY 1, 2),
+      |fz AS (SELECT a.block, a.name AS na, b.name AS nb,
+      |              CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |       FROM g a JOIN g b ON a.block = b.block AND a.name < b.name
+      |       WHERE abs(length(a.name) - length(b.name)) <= 2
+      |         AND levenshtein(a.name, b.name) <= 2),
+      |rp AS (SELECT f.block,
+      |              least(ga.rep, gb.rep) AS key_a, greatest(ga.rep, gb.rep) AS key_b,
+      |              CASE WHEN ga.rep < gb.rep THEN f.na ELSE f.nb END AS name_a,
+      |              CASE WHEN ga.rep < gb.rep THEN f.nb ELSE f.na END AS name_b,
+      |              dist
+      |       FROM fz f
+      |       JOIN g ga ON ga.block = f.block AND ga.name = f.na
+      |       JOIN g gb ON gb.block = f.block AND gb.name = f.nb),
+      |st AS (SELECT r.block, g.rep AS key_a, r.key AS key_b,
+      |              r.name AS name_a, r.name AS name_b, CAST(0 AS BIGINT) AS dist
+      |       FROM r JOIN g ON g.block = r.block AND g.name = r.name
+      |       WHERE r.key <> g.rep)
+      |SELECT * FROM rp UNION ALL SELECT * FROM st""".stripMargin
+
   /** SKEW1 — join-key skew audit on orders.o_custkey
     * ([[graft.operators.Layout.joinKeySkewAudit]]): rows-per-key profile
     * (max/mean/skew ratio/top-10 share) and the salt factor a salted join
@@ -5232,6 +5265,7 @@ object Queries {
     "tt1_welch_ttest" -> tt1WelchTTest,
     "cp1_changepoint" -> cp1Changepoint,
     "er1_fuzzy_match" -> er1FuzzyMatch,
+    "er2_star_resolve" -> er2StarResolve,
     "skew1_key_skew" -> skew1KeySkew,
     "qn1_quantile_normalize" -> qn1QuantileNormalize,
     "dp1_private_counts" -> dp1PrivateCounts,
@@ -5435,6 +5469,7 @@ object Queries {
     "tt1_welch_ttest" -> tt1WelchTTestSql,
     "cp1_changepoint" -> cp1ChangepointSql,
     "er1_fuzzy_match" -> er1FuzzyMatchSql,
+    "er2_star_resolve" -> er2StarResolveSql,
     "skew1_key_skew" -> skew1KeySkewSql,
     "qn1_quantile_normalize" -> qn1QuantileNormalizeSql,
     "dp1_private_counts" -> dp1PrivateCountsSql,
@@ -5548,6 +5583,7 @@ object Queries {
     "mb1_market_basket", "pmi1_collocations", "lm1_surprisal",
     "path1_transitions", "nu1_new_users", "exp1_ab_test", "exp2_cuped",
     "tt1_welch_ttest", "cp1_changepoint", "er1_fuzzy_match",
+    "er2_star_resolve",
     "skew1_key_skew", "qn1_quantile_normalize", "dp1_private_counts",
     "ivm1_delta_agg", "anom3_robust_zscore", "smp5_group_split",
     "funnel2_time_to_convert", "pr1_pagerank",

@@ -70,4 +70,57 @@ object Linkage {
         lit(0L).as("dist"))
     cross.unionByName(same)
   }
+
+  /** [[blockedFuzzyMatch]] with BOUNDED output on exact-duplicate hot
+    * groups — the production ER shape. The full-clique form is quadratic
+    * in group MULTIPLICITY by contract: m records sharing one name emit
+    * C(m,2) distance-0 pairs, and a matched name pair with multiplicities
+    * (m_a, m_b) emits m_a·m_b rows — the sfx10 sweep's 15× er1 blow-up
+    * was exactly this ("many entities named John Smith" is a real corpus
+    * shape, not just a synthesis artifact). No blocking key can shrink a
+    * quadratic OUTPUT, so this form changes what is emitted, preserving
+    * the pair graph's connected components exactly:
+    *
+    *   - each exact (block, name) group collapses to its min-key
+    *     REPRESENTATIVE, and the group emits a distance-0 STAR
+    *     (representative ↔ each other member): m−1 rows, not C(m,2);
+    *   - each fuzzy-matched distinct name pair emits ONE pair between
+    *     the two groups' representatives: 1 row, not m_a·m_b.
+    *
+    * Total output is O(N + distinct matches) — linear in block
+    * population — while any downstream merge/cluster step (connected
+    * components, d7 discipline) sees the identical partition: a star
+    * spans its group, and the representative edge links the two stars.
+    * The distinct-name Levenshtein kernel is unchanged (its cost is the
+    * caller's blocking-key contract, same as the clique form). */
+  def blockedFuzzyMatchStar(df: DataFrame, blockCol: String, keyCol: String,
+                            nameCol: String, maxDist: Int): DataFrame = {
+    val rows = df.select(col(blockCol).as("block"), col(keyCol).as("key"),
+      col(nameCol).as("name"))
+    val groups = rows.groupBy(col("block"), col("name"))
+      .agg(min(col("key")).as("rep"))
+    val fuzzy = groups.select(col("block"), col("name").as("na"))
+      .join(groups.select(col("block"), col("name").as("nb")), Seq("block"))
+      .filter(col("na") < col("nb"))
+      .filter(abs(length(col("na")) - length(col("nb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+    val repPairs = fuzzy
+      .join(groups.select(col("block"), col("name").as("na"), col("rep").as("r1")),
+        Seq("block", "na"))
+      .join(groups.select(col("block"), col("name").as("nb"), col("rep").as("r2")),
+        Seq("block", "nb"))
+      .select(col("block"),
+        least(col("r1"), col("r2")).as("key_a"),
+        greatest(col("r1"), col("r2")).as("key_b"),
+        when(col("r1") < col("r2"), col("na")).otherwise(col("nb")).as("name_a"),
+        when(col("r1") < col("r2"), col("nb")).otherwise(col("na")).as("name_b"),
+        col("dist"))
+    // rep = min key of the group, so key_a < key_b holds by construction
+    val star = rows.join(groups, Seq("block", "name"))
+      .filter(col("key") =!= col("rep"))
+      .select(col("block"), col("rep").as("key_a"), col("key").as("key_b"),
+        col("name").as("name_a"), col("name").as("name_b"), lit(0L).as("dist"))
+    repPairs.unionByName(star)
+  }
 }
