@@ -20,6 +20,15 @@ object Verify {
     spark.experimental.extraOptimizations = Seq(graft.plans.PushableKeyCast)
     spark.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
     new java.io.File(outDir).mkdirs()
+    // fixture preflight: a regenerated-and-drifted fixture fails HERE as
+    // one error naming every violated table.column, instead of as N
+    // scattered per-query analysis errors (round 6's failure mode)
+    try Preflight.check(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] PREFLIGHT FAILED: ${e.getMessage}")
+      spark.stop()
+      sys.exit(2)
+    }
     // dev-only subset filter (tools/check.py iterates over the dirs that
     // exist); the driver sets no filter and always dumps everything.
     // Unknown names fail LOUDLY — a typo that silently dumps nothing
