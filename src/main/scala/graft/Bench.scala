@@ -20,7 +20,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations = Seq(graft.plans.PushableKeyCast)
     spark.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
+    // dev-only subset filter (tools/scale_sweep.py uses it to time its
+    // canary-scale subset); the driver sets nothing and measures all.
+    // Unknown names fail loudly, same contract as Verify's filter.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { ns =>
+      val unknown = ns -- Queries.benchNames.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in benchNames: ${unknown.mkString(", ")}")
+    }
     val names = Queries.benchNames.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     // warm every query shape at the smallest SF first: moves Janino codegen
     // compilation + JIT out of the measured runs (steady-state throughput is
     // what the 100 TB story depends on, not per-plan compile time)
@@ -78,7 +90,8 @@ object Bench {
     val ratios = canaryTimes.collect { case (c, v) if quietRef.contains(c) =>
       v / quietRef(c) }
     val quality =
-      if (!sfDir.replace("/", "").endsWith("sf0.1")) "uncalibrated"
+      if (only.nonEmpty) "subset" // filtered runs aren't protocol artifacts
+      else if (!sfDir.replace("/", "").endsWith("sf0.1")) "uncalibrated"
       else if (ratios.size < quietRef.size) "contended" // a canary errored
       else if (ratios.max <= 1.35) "quiet"
       else "contended"

@@ -195,6 +195,30 @@ class DedupSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.neardup.bruteMaxBytes")
   }
 
+  test("cosinePairs boundary is exact: planBytes <= bruteMaxBytes is brute, one past is LSH") {
+    // the documented switch law on the REAL fixture estimate, not the
+    // degenerate bruteMaxBytes=0: at exactly the corpus's estimated plan
+    // bytes the brute arm runs, one byte below it the LSH arm runs — so
+    // the 32 MB default (~120k 64-dim float vectors) is a real boundary,
+    // not a dead conf
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val est = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > 1, s"fixture estimate should be real, got $est")
+    def planAt(maxBytes: BigInt): String = {
+      spark.conf.set("spark.graft.neardup.bruteMaxBytes", maxBytes.toString)
+      try Dedup.cosinePairs(e, 0.35).queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.graft.neardup.bruteMaxBytes")
+    }
+    val atBoundary = planAt(est)
+    assert(atBoundary.contains("BroadcastNestedLoopJoin"),
+      "planBytes == bruteMaxBytes must stay on the brute arm")
+    val pastBoundary = planAt(est - 1)
+    assert(!pastBoundary.contains("BroadcastNestedLoopJoin"),
+      "planBytes > bruteMaxBytes must route to the LSH arm")
+    assert(pastBoundary.contains("Generate"),
+      "the LSH arm is recognizable by its probe-mask explode")
+  }
+
   test("cosine near-dup pairs on crafted vectors") {
     val mk = (id: Long, v: Array[Float]) => (id, v)
     val e = Seq(
