@@ -95,7 +95,11 @@ object Bench {
       else if (ratios.size < quietRef.size) "contended" // a canary errored
       else if (ratios.max <= 1.35) "quiet"
       else "contended"
-    val maxRatio = if (ratios.isEmpty) "null" else f"${ratios.max}%.2f"
+    // NOT the f-interpolator: it is default-locale-sensitive (comma
+    // decimal separators would corrupt the JSON); Double.toString is not
+    val maxRatio =
+      if (ratios.isEmpty) "null"
+      else (math.round(ratios.max * 100) / 100.0).toString
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"note":"canaries are code-untouched VM-noise yardsticks; quality is the runner-enforced canary verdict vs the quiet reference (BASELINE.md rounds 5-7)","sf":"$sfDir"}"""
     println(json)

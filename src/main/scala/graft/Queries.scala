@@ -1536,6 +1536,14 @@ object Queries {
     * near-dups cluster high and the bulk sits far below threshold. Nothing
     * else crosses 0.8: twin-vs-mixin is ~0.3, twin-vs-unrelated ≤ ~0.6. */
   private[graft] def plantNearDups(e: DataFrame): DataFrame = {
+    // twin ids live at +10M; a corpus whose real ids reach that range
+    // would silently classify originals as twins (sim2_production's
+    // query filter, the gate's top1 check) — fail loudly instead. One
+    // scalar agg, trivial next to any consumer of the plant.
+    val maxRow = e.agg(max(col("vec_id"))).head
+    require(!maxRow.isNullAt(0), "plantNearDups: empty corpus")
+    require(maxRow.getLong(0) < 10000000L,
+      s"plantNearDups: corpus vec_id reaches ${maxRow.getLong(0)} >= 10M twin-id offset")
     val base = e.select(col("vec_id"), col("embedding"))
     val succ = e.select((col("vec_id") - 1).as("vec_id"),
       col("embedding").as("succ_emb"))

@@ -387,7 +387,12 @@ object StatefulSessions {
       }
       firstView.foreach { fv =>
         state.update(TtcState(fv, done = hit.isDefined))
-        state.setTimeoutTimestamp(fv / 1000L + horizonUs / 1000L)
+        // clamped like the done branch: a LATE first-stage event (FMGWS
+        // does not drop below-watermark rows for us) can put fv + horizon
+        // behind the watermark, and an unclamped set would throw and kill
+        // the query
+        state.setTimeoutTimestamp(
+          math.max(fv / 1000L + horizonUs / 1000L, state.getCurrentWatermarkMs))
       }
       hit.iterator
     }

@@ -45,7 +45,8 @@ class FixtureContractSpec extends SparkTestBase {
         .parquet(s"$dir/region.parquet")
       val problems = Preflight.problems(spark, dir)
       // every OTHER contract table reports unreadable, region is clean
-      assert(!problems.exists(_.startsWith("region.")))
+      // (column problems print "region.", an unreadable table "region:")
+      assert(!problems.exists(p => p.startsWith("region.") || p.startsWith("region:")))
       for (t <- Preflight.contract.keys if t != "region")
         assert(problems.exists(_.startsWith(s"$t:")), s"no problem line for $t")
       assert(problems.exists(_.startsWith("events")))

@@ -122,6 +122,15 @@ class StatefulSessionsSpec extends SparkTestBase {
     val s3 = mkState(Some(s2.get), 12000L, timedOut = true)
     assert(f(1L, Iterator.empty, s3).isEmpty)
     assert(s3.isRemoved, "state evicted on the horizon exit path")
+    // LATE first-stage event (flatMapGroupsWithState does not drop
+    // below-watermark rows): a fresh view whose horizon already trails the
+    // watermark must clamp its timer instead of throwing and killing the
+    // query
+    val sLate = mkState(None, 20000L, timedOut = false)
+    assert(f(1L, Iterator(ev(9, 1000L, "view")), sLate).isEmpty)
+    assert(sLate.get == TtcState(1000000L, done = false))
+    assert(sLate.getTimeoutTimestampMs.get() == 20000L,
+      "open-arm timer clamped to the watermark")
   }
 
   test("batch Dataset runs through the same stateful transformation") {

@@ -10,7 +10,7 @@ scales (rep-min of 2 runs each, through graft.Bench's noop-write
 harness), and fails if any 10x-data ratio exceeds the bound.
 
 Usage:
-    python3 tools/scale_sweep.py [--bound 9] [--sf0.1 DIR] [--x10 DIR]
+    python3 tools/scale_sweep.py [--bound 9] [--sf01 DIR] [--x10 DIR]
 
 Synthesis (mirrors SCALE.md section "sf1-equivalent validation"):
   - embeddings x10: replica k offsets vec_id by k*n and flips the sign
@@ -48,11 +48,21 @@ def synthesize(src: str, dst: str, force: bool) -> None:
     con = duckdb.connect()
     for table in sorted(TABLES):
         out = os.path.join(dst, f"{table}.parquet")
+        src_file = f"{src}/{table}.parquet"
+        n = con.execute(f"SELECT count(*) FROM '{src_file}'").fetchone()[0]
         if os.path.exists(out) and not force:
-            print(f"[synth] {table}: exists, keeping (use --force to rebuild)")
-            continue
-        n = con.execute(
-            f"SELECT count(*) FROM '{src}/{table}.parquet'").fetchone()[0]
+            # the driver regenerates the source fixtures at will: a cached
+            # x10 of an OLDER generation would make the ratio meaningless,
+            # so reuse only if the source hasn't changed since synthesis
+            # (mtime) and the row contract still holds
+            fresh = os.path.getmtime(out) > os.path.getmtime(src_file)
+            n10 = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+            if fresh and n10 == 10 * n:
+                print(f"[synth] {table}: up to date, keeping "
+                      f"(use --force to rebuild)")
+                continue
+            print(f"[synth] {table}: stale (source regenerated or row "
+                  f"mismatch {n10} != 10*{n}), rebuilding")
         if table == "embeddings":
             sql = f"""
             COPY (
@@ -90,6 +100,10 @@ def synthesize(src: str, dst: str, force: bool) -> None:
 
 
 def bench_once(sf_dir: str, out_file: str) -> dict:
+    # Bench swallows artifact-write failures (stderr + exit 0); never let
+    # a stale file from a previous sweep satisfy the existence check
+    if os.path.exists(out_file):
+        os.remove(out_file)
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
