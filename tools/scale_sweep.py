@@ -5,7 +5,7 @@ Round 7's one-off sweep caught a silent n^2/2^planes quadratic that had
 sat invisible for four rounds (d6's pinned LSH plane count, 185x wall
 clock at 10x data). This tool makes that check cheap enough to run every
 round: it synthesizes a structure-preserving 10x copy of the sf0.1
-fixtures the subset needs, times a 5-query canary-scale subset at both
+fixtures the subset needs, times a 6-query canary-scale subset at both
 scales (rep-min of 2 runs each, through graft.Bench's noop-write
 harness), and fails if any 10x-data ratio exceeds the bound.
 
@@ -21,6 +21,9 @@ Synthesis (mirrors SCALE.md section "sf1-equivalent validation"):
   - documents x10: replica k offsets doc_id by k*n and suffixes every
     whitespace token with "_k" (k>0), pushing cross-replica shingle
     Jaccard to 0 while preserving within-replica dup structure verbatim.
+  - part x10: keys offset per replica, every other column VERBATIM — the
+    10x-repeated names are the identical-name hot-block stress for the
+    entity-resolution row, deliberately adversarial.
 
 Validation data only — correctness oracles always run against the
 driver fixtures.
@@ -38,18 +41,24 @@ SUBSET = [
     "d8_keep_best",       # pair rounds + one argmax exchange (linear claim)
     "d9_semantic_dedup",  # sign buckets + multiprobe + CC (linear x polylog)
     "kmeans1_lloyd",      # rounds x N (linear claim)
+    "er2_star_resolve",   # bounded-output ER on the VERBATIM-name replicas —
+                          # the exact hot-block shape that put er1 (the
+                          # clique form, known-quadratic output) at 15x
 ]
-TABLES = {"embeddings", "documents"}  # all the subset reads
+TABLES = {"embeddings", "documents", "part"}  # all the subset reads
 
 
 def synthesize(src: str, dst: str, force: bool) -> None:
     import duckdb
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    key_of = {"embeddings": "vec_id", "documents": "doc_id", "part": "p_partkey"}
     for table in sorted(TABLES):
         out = os.path.join(dst, f"{table}.parquet")
         src_file = f"{src}/{table}.parquet"
-        n = con.execute(f"SELECT count(*) FROM '{src_file}'").fetchone()[0]
+        n, off = con.execute(
+            f"SELECT count(*), max({key_of[table]}) + 1 FROM '{src_file}'"
+        ).fetchone()
         if os.path.exists(out) and not force:
             # the driver regenerates the source fixtures at will: a cached
             # x10 of an OLDER generation would make the ratio meaningless,
@@ -66,7 +75,7 @@ def synthesize(src: str, dst: str, force: bool) -> None:
         if table == "embeddings":
             sql = f"""
             COPY (
-              SELECT e.vec_id + k.k * {n} AS vec_id,
+              SELECT e.vec_id + k.k * {off} AS vec_id,
                      CAST([CASE WHEN bit_count(CAST(i - 1 AS BIGINT) & k.k) % 2 = 1
                                 THEN -e.embedding[i] ELSE e.embedding[i] END
                            FOR i IN RANGE(1, 1 + len(e.embedding))] AS FLOAT[]) AS embedding,
@@ -75,6 +84,21 @@ def synthesize(src: str, dst: str, force: bool) -> None:
               CROSS JOIN (SELECT unnest(range(10)) AS k) k
               ORDER BY vec_id
             ) TO '{out}' (FORMAT PARQUET)"""
+        elif table == "part":
+            # keys offset per replica, every OTHER column VERBATIM — names
+            # repeating 10x across replicas is the adversarial
+            # identical-name hot-block shape for entity resolution
+            cols = [r[0] for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{src}/part.parquet'").fetchall()]
+            passthrough = ", ".join(
+                f"p.{c}" for c in cols if c != "p_partkey")
+            sql = f"""
+            COPY (
+              SELECT p.p_partkey + k.k * {off} AS p_partkey, {passthrough}
+              FROM '{src}/part.parquet' p
+              CROSS JOIN (SELECT unnest(range(10)) AS k) k
+              ORDER BY p_partkey
+            ) TO '{out}' (FORMAT PARQUET)"""
         else:  # documents
             cols = [r[0] for r in con.execute(
                 f"DESCRIBE SELECT * FROM '{src}/documents.parquet'").fetchall()]
@@ -82,7 +106,7 @@ def synthesize(src: str, dst: str, force: bool) -> None:
                 f"d.{c}" for c in cols if c not in ("doc_id", "text"))
             sql = f"""
             COPY (
-              SELECT d.doc_id + k.k * {n} AS doc_id,
+              SELECT d.doc_id + k.k * {off} AS doc_id,
                      CASE WHEN k.k = 0 THEN d.text
                           ELSE array_to_string(
                             list_transform(string_split(d.text, ' '),
