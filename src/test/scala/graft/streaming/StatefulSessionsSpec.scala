@@ -133,6 +133,47 @@ class StatefulSessionsSpec extends SparkTestBase {
       "open-arm timer clamped to the watermark")
   }
 
+  test("ttc stream end-to-end: chatty converted user's state evicts at the horizon") {
+    // integration twin of the TestGroupState test above: pins SPARK's
+    // actual timer semantics (a data invocation clears the key's timer;
+    // the done branch must re-arm it) by watching the state-store row
+    // count of a real query — before the re-arm fix, the converted
+    // user's row survived the horizon forever
+    implicit val sql = spark.sqlContext
+    import StatefulSessions.{TtcCell, TtcEvent}
+    import spark.implicits._
+    def ev(user: Long, id: Long, ms: Long, t: String) =
+      TtcEvent(user, new java.sql.Timestamp(ms), id, t)
+    val source = MemoryStream[TtcEvent]
+    val cells = StatefulSessions.ttcStream(spark,
+      source.toDS().withWatermark("ts", "0 seconds"), horizonUs = 10000000L)
+    val q = cells.writeStream.outputMode("append").format("memory")
+      .queryName("ttc_evict").start()
+    def stateRows: Long = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      // batch 1: user 1 converts (view@1s -> purchase@2s); timer armed
+      source.addData(ev(1, 1, 1000, "view"), ev(1, 2, 2000, "purchase"))
+      q.processAllAvailable()
+      assert(stateRows == 1L, "converted user holds the done marker")
+      // batch 2: the user keeps clicking AFTER converting — Spark clears
+      // the timer for the data call; the done branch re-arms it
+      source.addData(ev(1, 3, 3000, "click"))
+      q.processAllAvailable()
+      assert(stateRows == 1L)
+      // batch 3: another user's event drives the watermark past the
+      // horizon (11 s); batch 4 lets the timer fire
+      source.addData(ev(2, 4, 20000, "view"))
+      q.processAllAvailable()
+      source.addData(ev(2, 5, 21000, "click"))
+      q.processAllAvailable()
+      assert(stateRows == 1L,
+        s"user 1's done marker must be evicted at the horizon (got $stateRows rows)")
+      // and no second cell was ever emitted for user 1
+      val out = spark.table("ttc_evict").as[TtcCell].collect()
+      assert(out.count(_.user_id == 1L) == 1, out.mkString(", "))
+    } finally q.stop()
+  }
+
   test("batch Dataset runs through the same stateful transformation") {
     import spark.implicits._
     val ds = Seq(UserEvent(7, "click", 1.5), UserEvent(7, "view", 2.5)).toDS()
