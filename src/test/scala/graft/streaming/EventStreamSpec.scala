@@ -131,6 +131,24 @@ class EventStreamSpec extends SparkTestBase {
     assertSameRows(batch, streamed)
   }
 
+  test("streaming time-to-convert runs unchanged on the RocksDB state store") {
+    // TtcState is one long + a boolean; the off-heap round-trip must
+    // preserve the done marker (its loss would double-emit) and the
+    // micros (their corruption would shift the percentile grid)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    SessionStream.useRocksDbStateStore(spark)
+    try {
+      val streamed = EventStream.runTimeToConvertOverFixture(spark, sf0001)
+      val batch = graft.operators.Analytics.timeToConvert(Tables.events(spark, sf0001))
+      assertSameRows(batch, streamed)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming gap fill runs unchanged on the RocksDB state store") {
     // GapState carries Seq[(Int, Long, Long)] — the tuple-in-Seq encoder
     // must round-trip the off-heap store byte-for-byte for parity to hold
