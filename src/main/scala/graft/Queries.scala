@@ -1858,6 +1858,47 @@ object Queries {
       |       floor((1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s)) * 10000 + 0.5) / 10000 > 0.2 AS flagged
       |FROM sh""".stripMargin
 
+  /** CHUNK1 — RAG-style token-window chunking with overlap (window 64,
+    * stride 48): the context-preparation pass before embedding. Pure
+    * narrow projection — sequence of starts + posexplode + slice, no
+    * shuffle, output ≤ ⌈64/48⌉× corpus. See
+    * [[graft.operators.TextAnalysis.chunkDocuments]]. */
+  val chunk1DocChunks: Q = (s, d) =>
+    TextAnalysis.chunkDocuments(Tables.documents(s, d), window = 64, stride = 48)
+
+  val chunk1DocChunksSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS start FROM t)
+      |SELECT doc_id,
+      |       CAST(start // 48 AS BIGINT) AS chunk_idx,
+      |       CAST(least(64, len(tk) - start) AS BIGINT) AS n_tokens,
+      |       array_to_string(list_slice(tk, start + 1, start + 64), ' ') AS chunk_text
+      |FROM c""".stripMargin
+
+  /** D10 — cross-document repeated-span detection (Lee et al. 2022): per
+    * document, the fraction of its distinct 8-token spans that also occur
+    * in ≥1 OTHER document — the boilerplate signal exact dedup misses.
+    * Spans shuffle as md5 digests only; two compact-key shuffles total.
+    * See [[graft.operators.Dedup.dupSpans]]. */
+  val d10DupSpans: Q = (s, d) => Dedup.dupSpans(Tables.documents(s, d), k = 8)
+
+  val d10DupSpansSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sp AS (SELECT doc_id,
+       |         list_distinct([array_to_string(list_slice(tk, i, i + 7), ' ')
+       |                        FOR i IN RANGE(1, len(tk) - 6)]) AS s
+       |       FROM t WHERE len(tk) >= 8),
+       |ex AS (SELECT doc_id, unnest(s) AS sg FROM sp),
+       |hx AS (SELECT doc_id, md5(sg) AS h FROM ex),
+       |c AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS n_docs FROM hx),
+       |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |             CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |      FROM c GROUP BY doc_id)
+       |SELECT doc_id, n_spans, n_shared,
+       |       ${portableRoundSql("CAST(n_shared AS DOUBLE) / n_spans", 4)} AS shared_ratio,
+       |       ${portableRoundSql("CAST(n_shared AS DOUBLE) / n_spans", 4)} > 0.2 AS flagged
+       |FROM r""".stripMargin
+
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
     * can never drift from the individual signals. Shared by t10 (which
@@ -5355,6 +5396,8 @@ object Queries {
     "t8_pii_scrub" -> t8Scrub,
     "t9_repetition" -> t9Repetition,
     "t10_corpus_filter" -> t10CorpusFilter,
+    "chunk1_doc_chunks" -> chunk1DocChunks,
+    "d10_dup_spans" -> d10DupSpans,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -5553,6 +5596,8 @@ object Queries {
     "t8_pii_scrub" -> t8ScrubSql,
     "t9_repetition" -> t9RepetitionSql,
     "t10_corpus_filter" -> t10CorpusFilterSql,
+    "chunk1_doc_chunks" -> chunk1DocChunksSql,
+    "d10_dup_spans" -> d10DupSpansSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -5604,5 +5649,6 @@ object Queries {
     "fe1_target_encode", "t12_bm25", "surv1_kaplan_meier",
     "dq2_benford_audit", "woe1_woe_iv", "psi1_dist_drift", "lp1_communities",
     "fh1_feature_hash", "ndcg1_rank_eval",
+    "chunk1_doc_chunks", "d10_dup_spans",
     "st1_stream_window", "st6_stream_cdc")
 }

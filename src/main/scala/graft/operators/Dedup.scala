@@ -592,4 +592,45 @@ object Dedup {
         coalesce(col("cluster_rep"), col("vec_id")).as("rep_id"))
       .withColumn("is_kept", col("vec_id") === col("rep_id"))
   }
+
+  /** D10 — cross-document repeated-span detection (the Lee et al. 2022
+    * "Deduplicating Training Data" signal): for each document, the
+    * fraction of its distinct `k`-token spans that also occur in at least
+    * one OTHER document. High `shared_ratio` marks boilerplate-heavy docs
+    * (licence blocks, templated pages) that exact dedup misses because the
+    * surrounding text differs; within-doc repetition stays t9's job
+    * (spans are de-duplicated per document before counting).
+    *
+    * Scale shape: spans are md5 digests from the first projection on —
+    * long strings never enter a shuffle. One exchange on the digest
+    * computes per-span document counts as a window aggregate (distinct
+    * per-doc spans ⇒ count(*) = document count), then one hash-agg
+    * shuffle on doc_id rolls the verdict up: two shuffles total, both on
+    * compact keys, output one row per document. At 100 TB the digest
+    * group-by is the standard suffix-array substitute — linear in corpus
+    * size, skew-safe under AQE because digests are uniform. */
+  def dupSpans(documents: DataFrame, k: Int = 8,
+               maxSharedRatio: Double = 0.2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val spanArr = transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => array_join(slice(toks, i, lit(k)), " "))
+    val spanDigests = documents
+      .filter(size(toks) >= k)
+      .select(col("doc_id"), explode(array_distinct(spanArr)).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("h"))
+    spanDigests
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(
+        col("doc_id"), col("n_spans"), col("n_shared"),
+        portableRound(col("n_shared").cast("double") / col("n_spans"), 4)
+          .as("shared_ratio"),
+        (portableRound(col("n_shared").cast("double") / col("n_spans"), 4)
+          > maxSharedRatio).as("flagged"))
+  }
 }

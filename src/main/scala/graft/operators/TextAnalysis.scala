@@ -140,6 +140,31 @@ object TextAnalysis {
         dupRatioExpr.as("dup_ratio"),
         (dupRatioExpr > maxDupRatio).as("flagged"))
 
+  /** CHUNK1 — RAG-style token-window chunking with overlap: every document
+    * is split into `window`-token chunks starting every `stride` tokens
+    * (stride < window ⇒ adjacent chunks share window−stride tokens; the
+    * trailing chunks may be shorter). This is the context-preparation pass
+    * a retrieval or fine-tuning pipeline runs before embedding, and the
+    * inverse of [[graft.Queries.pk1SequencePack]]'s packing.
+    *
+    * Scale shape: a pure narrow projection — `sequence` of chunk starts,
+    * `posexplode`, `slice` over the once-split token array, all inside
+    * whole-stage codegen; no shuffle anywhere, and the output is at most
+    * ⌈window/stride⌉× the corpus (linear). Chunk ids are (doc_id,
+    * chunk_idx) so downstream embedding joins need no global counter. */
+  def chunkDocuments(documents: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1, s"window/stride must be >= 1, got $window/$stride")
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0), size(col("tk")) - 1, lit(stride))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        least(lit(window), size(col("tk")) - col("col")).cast("long").as("n_tokens"),
+        array_join(slice(col("tk"), col("col") + 1, lit(window)), " ").as("chunk_text"))
+  }
+
   /** Robust length-outlier flagging: Tukey's IQR fence over the per-doc
     * token count — the standard "drop the truncated fragments and the
     * concatenation monsters" pass before training. A doc is an outlier

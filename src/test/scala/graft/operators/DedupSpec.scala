@@ -273,4 +273,29 @@ class DedupSpec extends SparkTestBase {
     // the kept set is exactly one per rep
     assert(got.filter(_._3).map(_._2) == got.map(_._2))
   }
+
+  test("dupSpans counts cross-document spans only; short docs drop out") {
+    val d = docsDF(
+      1L -> "a b c d",   // spans: "a b","b c","c d" — shares "a b" with doc 2
+      2L -> "x y a b",   // spans: "x y","y a","a b"
+      3L -> "p q r s",   // no shared spans
+      4L -> "solo")      // 1 token < k=2 → excluded
+    val got = Dedup.dupSpans(d, k = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("shared_ratio"), r.getAs[Boolean]("flagged")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((3L, 1L, 0.3333, true)))
+    assert(got(2L) == ((3L, 1L, 0.3333, true)))
+    assert(got(3L) == ((3L, 0L, 0.0, false)))
+  }
+
+  test("dupSpans ignores within-document repetition (that's t9's signal)") {
+    val d = docsDF(
+      1L -> "a b a b a b", // distinct spans {"a b","b a"} — no other doc has them
+      2L -> "c d e f")
+    val got = Dedup.dupSpans(d, k = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+  }
 }

@@ -156,4 +156,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(90L) && got(91L))
     assert((1L to 12L).forall(i => !got(i)))
   }
+
+  test("chunkDocuments: stride-overlapped windows cover every token in order") {
+    val d = docsDF(doc(1, (1 to 10).map(i => s"t$i").mkString(" ")))
+    val got = TextAnalysis.chunkDocuments(d, window = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text"))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 4L, "t1 t2 t3 t4"),
+      (1L, 4L, "t4 t5 t6 t7"),
+      (2L, 4L, "t7 t8 t9 t10"),
+      (3L, 1L, "t10")))
+    // stitching chunks back with the window−stride=1-token overlap dropped
+    // reconstructs the document exactly
+    val stitched = (got.head._3 +: got.tail.map(_._3.split(" ").drop(1).mkString(" ")))
+      .filter(_.nonEmpty).mkString(" ")
+    assert(stitched == (1 to 10).map(i => s"t$i").mkString(" "))
+  }
+
+  test("chunkDocuments: a doc shorter than one window is one short chunk") {
+    val d = docsDF(doc(1, "a b"), doc(2, "c"))
+    val got = TextAnalysis.chunkDocuments(d, window = 64, stride = 48).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("chunk_idx"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("chunk_text")))).toMap
+    assert(got == Map(1L -> ((0L, 2L, "a b")), 2L -> ((0L, 1L, "c"))))
+  }
 }
