@@ -20,7 +20,16 @@ object ExplainDump {
     spark.experimental.extraOptimizations = Seq(graft.plans.PushableKeyCast)
     spark.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
     Files.createDirectories(outDir)
-    Queries.benchNames.foreach { name =>
+    // SPARK_GRAFT_ONLY=a,b,c limits the dump (same contract as Verify);
+    // unknown names fail loudly rather than silently writing nothing
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- Queries.benchNames.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in Queries.benchNames: ${unknown.mkString(", ")}")
+    }
+    Queries.benchNames.filter(n => only.forall(_.contains(n))).foreach { name =>
       val df = Queries.all(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
       val formatted = df.queryExecution.explainString(

@@ -1899,6 +1899,76 @@ object Queries {
        |       ${portableRoundSql("CAST(n_shared AS DOUBLE) / n_spans", 4)} > 0.2 AS flagged
        |FROM r""".stripMargin
 
+  /** DSIR1 — importance-resampling weights (Xie et al. 2023): every doc
+    * scored by the log-likelihood ratio of its hashed-unigram bag under
+    * the target slice (here: `lang = 'en'`) vs the raw pool. Model tables
+    * are `featureBuckets` rows → broadcast; the only corpus shuffle is the
+    * per-doc rollup, summing exact micro-units (order-free, hashable).
+    * See [[graft.operators.Importance.dsirWeights]]. */
+  val dsir1Importance: Q = (s, d) =>
+    graft.operators.Importance.dsirWeights(Tables.documents(s, d),
+      col("doc_id"), col("text"), col("lang") === "en", featureBuckets = 128)
+
+  val dsir1ImportanceSql: String =
+    s"""WITH tok AS (SELECT doc_id, (lang = 'en') AS tgt,
+       |                    unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |h AS (SELECT doc_id, tgt, ${md5BucketSql("t", 128)} AS f FROM tok),
+       |c AS (SELECT f, CAST(count(*) AS DOUBLE) AS c_all,
+       |             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS c_tgt
+       |      FROM h GROUP BY f),
+       |tot AS (SELECT sum(c_all) AS n_all, sum(c_tgt) AS n_tgt FROM c),
+       |lr AS (SELECT f, CAST(floor((ln((c_tgt + 1.0) / (n_tgt + 128.0))
+       |                           - ln((c_all + 1.0) / (n_all + 128.0))) * 1000000 + 0.5) AS BIGINT) AS micro
+       |       FROM c CROSS JOIN tot),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |             CAST(sum(micro) AS BIGINT) AS m
+       |      FROM h JOIN lr USING (f) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |       CAST(m AS DOUBLE) / 1000000 AS dsir_logw,
+       |       m > 0 AS keep
+       |FROM d""".stripMargin
+
+  /** MIX3 — temperature-scaled source mixing (τ=0.5): kept proportions
+    * follow p_s^0.5 renormalized, rates derived in-plan from the observed
+    * counts with an order-free min (no float sum over sources — the
+    * normalizer cancels). See [[graft.operators.Sampling.temperatureMix]]. */
+  val mix3TemperatureMix: Q = (s, d) =>
+    graft.operators.Sampling.temperatureMix(Tables.documents(s, d),
+      col("source"), col("doc_id"), tau = 0.5)
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  val mix3TemperatureMixSql: String =
+    s"""WITH c AS (SELECT source AS src, CAST(count(*) AS DOUBLE) AS n
+       |           FROM documents GROUP BY 1),
+       |w AS (SELECT src, n, sqrt(n) AS w FROM c),
+       |cap AS (SELECT min(n / w) AS cp FROM w),
+       |r AS (SELECT src, CAST(floor(cp * w / n * 10000 + 0.5) AS BIGINT) AS thresh
+       |      FROM w CROSS JOIN cap)
+       |SELECT d.doc_id, d.source, d.lang
+       |FROM documents d JOIN r ON d.source = r.src
+       |WHERE ${md5BucketSql("CAST(d.doc_id AS VARCHAR)")} < r.thresh""".stripMargin
+
+  /** SHUF1 — deterministic epoch-shuffle manifest (epoch 1, 8 shards):
+    * shard + dense within-shard position, both pure salted-md5 functions
+    * of the key — the training order a 100 TB run READS instead of
+    * shuffling; per-shard sort only, never a global one.
+    * See [[graft.operators.Sampling.epochShuffle]]. */
+  val shuf1EpochOrder: Q = (s, d) =>
+    graft.operators.Sampling.epochShuffle(Tables.documents(s, d),
+      col("doc_id"), epoch = 1, shards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  val shuf1EpochOrderSql: String = {
+    val shardE = md5BucketSql("'ep1-sh:' || CAST(doc_id AS VARCHAR)", 8)
+    val ordE = md5BucketSql("'ep1-ord:' || CAST(doc_id AS VARCHAR)", 100000000)
+    s"""SELECT doc_id,
+       |       CAST($shardE AS BIGINT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY $shardE
+       |                               ORDER BY $ordE, doc_id) AS BIGINT) AS pos
+       |FROM documents""".stripMargin
+  }
+
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
     * can never drift from the individual signals. Shared by t10 (which
@@ -5398,6 +5468,9 @@ object Queries {
     "t10_corpus_filter" -> t10CorpusFilter,
     "chunk1_doc_chunks" -> chunk1DocChunks,
     "d10_dup_spans" -> d10DupSpans,
+    "dsir1_importance" -> dsir1Importance,
+    "mix3_temperature_mix" -> mix3TemperatureMix,
+    "shuf1_epoch_order" -> shuf1EpochOrder,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -5598,6 +5671,9 @@ object Queries {
     "t10_corpus_filter" -> t10CorpusFilterSql,
     "chunk1_doc_chunks" -> chunk1DocChunksSql,
     "d10_dup_spans" -> d10DupSpansSql,
+    "dsir1_importance" -> dsir1ImportanceSql,
+    "mix3_temperature_mix" -> mix3TemperatureMixSql,
+    "shuf1_epoch_order" -> shuf1EpochOrderSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -5650,5 +5726,6 @@ object Queries {
     "dq2_benford_audit", "woe1_woe_iv", "psi1_dist_drift", "lp1_communities",
     "fh1_feature_hash", "ndcg1_rank_eval",
     "chunk1_doc_chunks", "d10_dup_spans",
+    "dsir1_importance", "mix3_temperature_mix", "shuf1_epoch_order",
     "st1_stream_window", "st6_stream_cdc")
 }

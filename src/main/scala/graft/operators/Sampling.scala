@@ -126,6 +126,69 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Temperature-scaled source mixing (the multilingual-sampling rule from
+    * the mBERT/XLM-R line of work, τ-scaling, public): resample so the kept
+    * corpus's source proportions follow p_s^τ renormalized — τ=1 keeps the
+    * natural distribution, τ→0 flattens toward uniform, τ=0.5 is the
+    * common compromise that up-weights small sources without drowning
+    * large ones. Unlike [[targetMix]] (caller-chosen shares), the shares
+    * here are DERIVED from the observed counts, entirely in-plan.
+    *
+    * The math is arranged to be order-free for engine parity: the kept
+    * count for source s is `C·n_s^τ` with `C = min_t n_t^(1−τ)` (the
+    * normalizing Σp^τ cancels out of the keep-rate, so no float sum over
+    * sources exists anywhere — only a `min`, which is order-safe). The
+    * smallest source keeps rate 1 exactly; every larger source downsamples
+    * toward the tempered share. τ=0.5 routes through `sqrt` (IEEE
+    * correctly-rounded in every engine) rather than `pow` (libm-dependent),
+    * so the registered query's thresholds are bit-identical in the oracle.
+    *
+    * Plan shape at 100 TB: one source-cardinality count aggregation, a
+    * 1-row min, a broadcast rate join, one map-side hash filter — the
+    * corpus itself is scanned once and never shuffled. */
+  def temperatureMix(df: DataFrame, sourceCol: Column, key: Column,
+                     tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    def tempered(n: Column): Column =
+      if (tau == 1.0) n else if (tau == 0.5) sqrt(n) else pow(n, tau)
+    val counts = df.groupBy(sourceCol.as("_src"))
+      .agg(count(lit(1)).cast("double").as("_n"))
+      .withColumn("_w", tempered(col("_n")))
+    val cap = counts.agg(min(col("_n") / col("_w")).as("_cap")) // min n^(1−τ)
+    val rates = counts.crossJoin(broadcast(cap))
+      .select(col("_src"),
+        floor(col("_cap") * col("_w") / col("_n") * 10000 + 0.5)
+          .cast("long").as("_thresh"))
+    df.join(broadcast(rates), sourceCol === col("_src"))
+      .filter(hashBucket(key) < col("_thresh"))
+      .drop("_src", "_thresh")
+  }
+
+  /** Deterministic epoch shuffle: the training-order manifest a pretraining
+    * run reads instead of shuffling 100 TB at epoch start. Each row gets a
+    * `shard` and a dense position within it, both pure functions of
+    * `(epoch, key)` via salted md5 — so the order is (a) reproducible
+    * across engines/runs/layouts, (b) DIFFERENT every epoch (the salt
+    * includes the epoch number), and (c) resumable mid-epoch from
+    * `(shard, pos)` alone. Shard and position use independent salts, so
+    * shard membership carries no information about within-shard order.
+    *
+    * Plan shape: one hash-partition exchange on `shard` plus a per-shard
+    * sort — never a global single-partition sort. `shards` is the
+    * parallelism knob: at 100 TB you run tens of thousands of shards, each
+    * a few GB, and trainers stream shards independently. */
+  def epochShuffle(df: DataFrame, key: Column, epoch: Int,
+                   shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val k = key.cast("string")
+    val shard = hashBucket(concat(lit(s"ep$epoch-sh:"), k), shards)
+    val ord = hashBucket(concat(lit(s"ep$epoch-ord:"), k), 100000000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(ord.asc, key.asc)
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Deterministic weighted sample WITHOUT replacement of exactly `k` rows
     * (Efraimidis–Spirakis exponential race): each row draws an Exp(weight)
     * race key from an md5-derived uniform — key = −ln(u)/w, the k smallest

@@ -110,6 +110,56 @@ class SamplingSpec extends SparkTestBase {
     assert(got.contains(137L))
   }
 
+  test("temperatureMix: τ=1 is identity, τ=0.5 tempers toward uniform") {
+    val docs = Tables.documents(spark, sf0001)
+    // τ=1: tempered shares equal natural shares → every rate is 1
+    assert(Sampling.temperatureMix(docs, col("source"), col("doc_id"), 1.0)
+      .count() == docs.count())
+
+    val kept = Sampling.temperatureMix(docs, col("source"), col("doc_id"), 0.5)
+    val keptBy = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totBy = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the scarcest source is kept whole (its rate is exactly 1)...
+    val smallest = totBy.minBy(t => (t._2, t._1))._1
+    assert(keptBy(smallest) == totBy(smallest))
+    // ...and kept counts track C·sqrt(n) at bucket resolution: the ratio
+    // kept/sqrt(total) must be near-constant across sources
+    val ratios = totBy.keys.toSeq.map(s =>
+      keptBy.getOrElse(s, 0L).toDouble / math.sqrt(totBy(s).toDouble))
+    assert(ratios.max / ratios.min < 1.6,
+      s"tempered shares drifted: ${ratios.min} .. ${ratios.max}")
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(docs, col("source"), col("doc_id"), 0.0))
+  }
+
+  test("epochShuffle: per-shard permutation, epoch-dependent, layout-stable") {
+    val docs = Tables.documents(spark, sf0001)
+    val m = Sampling.epochShuffle(docs, col("doc_id"), epoch = 1, shards = 8)
+      .select("doc_id", "shard", "pos").cache()
+    assert(m.count() == docs.count())
+    // positions are dense 1..n within every shard (a true permutation)
+    val bad = m.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("d"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("d") =!= col("n"))
+    assert(bad.count() == 0)
+    // the manifest is a pure function of (epoch, key): stable under layout
+    val m2 = Sampling.epochShuffle(docs.repartition(11), col("doc_id"), 1, 8)
+      .select("doc_id", "shard", "pos")
+    assert(m.exceptAll(m2).isEmpty && m2.exceptAll(m).isEmpty)
+    // a different epoch reorders: same rows, mostly different (shard, pos)
+    val m3 = Sampling.epochShuffle(docs, col("doc_id"), epoch = 2, shards = 8)
+      .select("doc_id", "shard", "pos")
+    val moved = m.join(m3, "doc_id")
+    assert(moved.count() == docs.count())
+    val same = m.intersect(m3).count()
+    assert(same < docs.count() / 4,
+      s"epoch 2 left $same of ${docs.count()} rows in place")
+    m.unpersist()
+  }
+
   test("stratified rates: each subgroup converges to the global fraction") {
     val orders = Tables.orders(spark, sf0001)
     val rates = Sampling.deterministicSample(orders, col("o_orderkey"), 0.2)
