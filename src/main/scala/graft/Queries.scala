@@ -1969,6 +1969,94 @@ object Queries {
        |FROM documents""".stripMargin
   }
 
+  /** MIX4 — epoch-level oversampling with row duplication (rates > 1):
+    * src0 ships 2.5 epochs, src1 exactly 1, everything else 0.4 — the
+    * "repeat the small curated source" recipe. Narrow end to end
+    * (projection + explode); each copy carries its index.
+    * See [[graft.operators.Sampling.oversampleMix]]. */
+  val mix4Oversample: Q = (s, d) =>
+    graft.operators.Sampling.oversampleMix(Tables.documents(s, d),
+      col("source"), col("doc_id"),
+      Map("src0" -> 2.5, "src1" -> 1.0), defaultRate = 0.4)
+      .select(col("doc_id"), col("source"), col("copy"))
+
+  val mix4OversampleSql: String =
+    s"""WITH r AS (SELECT doc_id, source,
+       |             CAST(CASE WHEN source = 'src0' THEN 2.5
+       |                       WHEN source = 'src1' THEN 1.0
+       |                       ELSE 0.4 END AS DOUBLE) AS rate
+       |           FROM documents),
+       |c AS (SELECT doc_id, source,
+       |        CAST(floor(rate) AS BIGINT)
+       |        + CASE WHEN ${md5BucketSql("'ov:' || CAST(doc_id AS VARCHAR)")} <
+       |                    CAST(floor((rate - floor(rate)) * 10000 + 0.5) AS BIGINT)
+       |               THEN 1 ELSE 0 END AS n
+       |      FROM r)
+       |SELECT doc_id, source, unnest(range(1, n + 1)) AS copy
+       |FROM c WHERE n > 0""".stripMargin
+
+  /** T13 — per-doc unigram Shannon entropy + length-normalized form: the
+    * lexical-diversity quality signal. Two compact-key exchanges; exact
+    * micro-unit folds. See [[graft.operators.TextAnalysis.tokenEntropy]]. */
+  val t13Entropy: Q = (s, d) =>
+    TextAnalysis.tokenEntropy(Tables.documents(s, d))
+
+  val t13EntropySql: String = {
+    val hRaw = "ln(CAST(n_tokens AS DOUBLE)) - (CAST(ms AS DOUBLE) / 1000000) / CAST(n_tokens AS DOUBLE)"
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+       |m AS (SELECT doc_id, c,
+       |        CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS mi
+       |      FROM h),
+       |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |             CAST(count(*) AS BIGINT) AS distinct_tokens,
+       |             CAST(sum(mi) AS BIGINT) AS ms
+       |      FROM m GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, distinct_tokens,
+       |       ${portableRoundSql(hRaw, 4)} AS entropy,
+       |       CASE WHEN n_tokens > 1
+       |            THEN ${portableRoundSql(s"($hRaw) / ln(CAST(n_tokens AS DOUBLE))", 4)}
+       |            ELSE 0.0 END AS norm_entropy
+       |FROM d""".stripMargin
+  }
+
+  /** RRF1 — hybrid retrieval by reciprocal-rank fusion: t12's BM25 arm
+    * (query {spark, join, vector}) fused with a dense cosine arm (query =
+    * embedding 0; brute arm here for the exact oracle — the ANN paths
+    * sim2/sim3 are the drop-in at scale), top-100 each, k0 = 60, top-20
+    * fused. Contributions fold as exact 1e-8 units.
+    * See [[graft.operators.Retrieval.rrfFuse]]. */
+  val rrf1HybridFusion: Q = (s, d) => {
+    val sparse = graft.operators.Retrieval.topKRanks(
+      TextAnalysis.bm25(Tables.documents(s, d)),
+      col("bm25"), col("doc_id"), 100)
+    val e = Tables.embeddings(s, d)
+    val dense = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), 100)
+      .select(col("n_id").as("doc_id"), col("rank"))
+    graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), k0 = 60, topK = 20)
+  }
+
+  // lazy: embeds t12Bm25Sql, which is declared later in this file
+  lazy val rrf1HybridFusionSql: String =
+    s"""WITH bm AS (SELECT doc_id, bm25 FROM ($t12Bm25Sql)),
+       |sr AS (SELECT * FROM (SELECT doc_id,
+       |                             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+       |                      FROM bm) WHERE rank <= 100),
+       |de AS (SELECT * FROM (
+       |        SELECT b.vec_id AS doc_id,
+       |               row_number() OVER (ORDER BY floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 DESC, b.vec_id) AS rank
+       |        FROM embeddings b
+       |        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |        WHERE b.vec_id <> 0) WHERE rank <= 100),
+       |u AS (SELECT doc_id, CAST(floor(100000000.0 / (60 + CAST(rank AS DOUBLE)) + 0.5) AS BIGINT) AS m FROM sr
+       |      UNION ALL
+       |      SELECT doc_id, CAST(floor(100000000.0 / (60 + CAST(rank AS DOUBLE)) + 0.5) AS BIGINT) AS m FROM de),
+       |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_arms,
+       |             CAST(sum(m) AS BIGINT) AS ms
+       |      FROM u GROUP BY doc_id)
+       |SELECT doc_id, n_arms, CAST(ms AS DOUBLE) / 100000000 AS rrf
+       |FROM g ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
     * can never drift from the individual signals. Shared by t10 (which
@@ -5471,6 +5559,9 @@ object Queries {
     "dsir1_importance" -> dsir1Importance,
     "mix3_temperature_mix" -> mix3TemperatureMix,
     "shuf1_epoch_order" -> shuf1EpochOrder,
+    "mix4_oversample" -> mix4Oversample,
+    "t13_entropy" -> t13Entropy,
+    "rrf1_hybrid_fusion" -> rrf1HybridFusion,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -5674,6 +5765,9 @@ object Queries {
     "dsir1_importance" -> dsir1ImportanceSql,
     "mix3_temperature_mix" -> mix3TemperatureMixSql,
     "shuf1_epoch_order" -> shuf1EpochOrderSql,
+    "mix4_oversample" -> mix4OversampleSql,
+    "t13_entropy" -> t13EntropySql,
+    "rrf1_hybrid_fusion" -> rrf1HybridFusionSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -5727,5 +5821,6 @@ object Queries {
     "fh1_feature_hash", "ndcg1_rank_eval",
     "chunk1_doc_chunks", "d10_dup_spans",
     "dsir1_importance", "mix3_temperature_mix", "shuf1_epoch_order",
+    "mix4_oversample", "t13_entropy", "rrf1_hybrid_fusion",
     "st1_stream_window", "st6_stream_cdc")
 }

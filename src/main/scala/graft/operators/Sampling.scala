@@ -126,6 +126,36 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Epoch-level oversampling mix: the row-DUPLICATION counterpart to
+    * [[mixSources]] (which caps rates at 1 and points here for true
+    * oversampling). Rates may exceed 1: a rate of 2.5 emits every row
+    * twice plus a deterministic half of the source a third time — the
+    * "epochs per source" weighting published corpus recipes use for
+    * small-but-high-quality sources. Each emitted row carries a `copy`
+    * index (1..k), so downstream consumers can still dedup or shard by
+    * (key, copy).
+    *
+    * Copy counts are `⌊rate⌋ + [hash(key) < frac]` with a dedicated
+    * `ov:` salt — a pure function of the row key, independent of every
+    * other sampler's verdict on the same key. Plan shape: a literal CASE
+    * projection + `explode(sequence(1, k))` — narrow end to end, no
+    * shuffle, output exactly Σ_s rate_s·n_s rows (±hash granularity). */
+  def oversampleMix(df: DataFrame, sourceCol: Column, key: Column,
+                    rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0),
+      "oversample rates must be >= 0")
+    val rate = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (s, r)) => when(sourceCol === s, lit(r)).otherwise(acc)
+    }
+    val frac = floor((rate - floor(rate)) * 10000 + 0.5).cast("long")
+    val extra = when(
+      hashBucket(concat(lit("ov:"), key.cast("string"))) < frac, 1L).otherwise(0L)
+    df.withColumn("_copies", floor(rate).cast("long") + extra)
+      .filter(col("_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("_copies"))))
+      .drop("_copies")
+  }
+
   /** Temperature-scaled source mixing (the multilingual-sampling rule from
     * the mBERT/XLM-R line of work, τ-scaling, public): resample so the kept
     * corpus's source proportions follow p_s^τ renormalized — τ=1 keeps the

@@ -165,6 +165,38 @@ object TextAnalysis {
         array_join(slice(col("tk"), col("col") + 1, lit(window)), " ").as("chunk_text"))
   }
 
+  /** Per-document unigram Shannon entropy — the lexical-diversity quality
+    * signal (low entropy = boilerplate/keyword-stuffed text even when
+    * t9's adjacent-repetition ratio looks clean; filtering pipelines use
+    * it next to length and stop-ratio). H = ln(n) − (Σ_t c_t·ln c_t)/n
+    * over the doc's token histogram; `norm_entropy` divides by ln(n)
+    * (the max for n tokens) so thresholds transfer across lengths.
+    *
+    * Scale shape: two compact-key exchanges — a (doc_id, token) count
+    * (map-side combinable) and the per-doc rollup — carrying counts
+    * only, never text. Determinism: each c·ln c term snaps to integer
+    * micro-units and the per-doc sum folds BIGINTs (exact, order-free —
+    * the [[graft.operators.Importance]] discipline), so the oracle hash
+    * is partition-independent; the two outer `ln` calls take
+    * integer-valued doubles, identical bits in any engine. */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val perTok = documents.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("_m",
+        floor(col("c").cast("double") * log(col("c").cast("double")) * 1000000.0 + 0.5)
+          .cast("long"))
+    val nD = col("n_tokens").cast("double")
+    val hRaw = log(nD) - (col("_ms").cast("double") / 1000000.0) / nD
+    perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(col("_m")).as("_ms"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        portableRound(hRaw, 4).as("entropy"),
+        when(col("n_tokens") > 1, portableRound(hRaw / log(nD), 4))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+  }
+
   /** Robust length-outlier flagging: Tukey's IQR fence over the per-doc
     * token count — the standard "drop the truncated fragments and the
     * concatenation monsters" pass before training. A doc is an outlier

@@ -160,6 +160,37 @@ class SamplingSpec extends SparkTestBase {
     m.unpersist()
   }
 
+  test("oversampleMix duplicates deterministically with copy indices") {
+    val docs = Tables.documents(spark, sf0001)
+    val rates = Map("src0" -> 2.5, "src1" -> 1.0)
+    val out = Sampling.oversampleMix(docs, col("source"), col("doc_id"),
+      rates, defaultRate = 0.4).cache()
+    val totBy = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outBy = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate 1.0 → exactly one copy of every row; copy index is 1
+    assert(outBy("src1") == totBy("src1"))
+    assert(out.filter(col("source") === "src1" && col("copy") =!= 1).count() == 0)
+    // rate 2.5 → every row at least twice, roughly half a third time
+    val s0 = outBy("src0").toDouble / totBy("src0")
+    assert(s0 >= 2.0 && s0 <= 3.0, s"src0 multiplicity $s0")
+    assert(out.filter(col("source") === "src0").groupBy("doc_id").count()
+      .filter(col("count") < 2 || col("count") > 3).count() == 0)
+    // copies are indexed 1..k: (doc_id, copy) is unique
+    assert(out.groupBy("doc_id", "copy").count().filter(col("count") > 1).count() == 0)
+    // deterministic under repartitioning
+    val out2 = Sampling.oversampleMix(docs.repartition(9), col("source"),
+      col("doc_id"), rates, defaultRate = 0.4)
+      .select("doc_id", "copy")
+    val a = out.select("doc_id", "copy")
+    assert(a.exceptAll(out2).isEmpty && out2.exceptAll(a).isEmpty)
+    out.unpersist()
+    intercept[IllegalArgumentException](
+      Sampling.oversampleMix(docs, col("source"), col("doc_id"),
+        Map("a" -> -0.1), 0.4))
+  }
+
   test("stratified rates: each subgroup converges to the global fraction") {
     val orders = Tables.orders(spark, sf0001)
     val rates = Sampling.deterministicSample(orders, col("o_orderkey"), 0.2)

@@ -174,6 +174,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(stitched == (1 to 10).map(i => s"t$i").mkString(" "))
   }
 
+  test("tokenEntropy: uniform text maxes the norm, repetition zeroes it") {
+    val d = docsDF(
+      doc(1, "a b c d"),       // 4 distinct tokens: H = ln 4, norm = 1
+      doc(2, "x x x x"),       // all identical: H = 0
+      doc(3, "a a b b"))       // two pairs: H = ln 2
+    val got = TextAnalysis.tokenEntropy(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("distinct_tokens"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("norm_entropy")))).toMap
+    assert(got(1L)._1 == 4L && got(1L)._2 == 4L)
+    assert(math.abs(got(1L)._3 - 1.3863) < 1e-9 && got(1L)._4 == 1.0)
+    assert(got(2L)._2 == 1L && got(2L)._3 == 0.0 && got(2L)._4 == 0.0)
+    assert(math.abs(got(3L)._3 - 0.6931) < 1e-9)
+    assert(math.abs(got(3L)._4 - 0.5) < 1e-3)
+    // layout-stable on the fixture corpus
+    val docs = graft.Tables.documents(spark, sf0001)
+    val e1 = TextAnalysis.tokenEntropy(docs)
+    val e2 = TextAnalysis.tokenEntropy(docs.repartition(7))
+    assert(e1.exceptAll(e2).isEmpty && e2.exceptAll(e1).isEmpty)
+    // entropy is bounded by ln(distinct) and nonnegative
+    import org.apache.spark.sql.functions.col
+    assert(e1.filter(col("entropy") < -1e-9).count() == 0)
+    assert(e1.filter(col("norm_entropy") > 1.0 + 1e-9).count() == 0)
+  }
+
   test("chunkDocuments: a doc shorter than one window is one short chunk") {
     val d = docsDF(doc(1, "a b"), doc(2, "c"))
     val got = TextAnalysis.chunkDocuments(d, window = 64, stride = 48).collect()
