@@ -2057,6 +2057,50 @@ object Queries {
        |SELECT doc_id, n_arms, CAST(ms AS DOUBLE) / 100000000 AS rrf
        |FROM g ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** ML1 — in-engine logistic-regression training (full-batch GD, 3
+    * iterations, lr 0.5) on orders: P(status = 'F' | price, urgency).
+    * Gradient/loss terms fold as exact micro-unit BIGINTs and the
+    * coefficients re-snap to the 1e-6 grid each step, so the whole
+    * training trajectory replays bit-for-bit in the unrolled DuckDB
+    * oracle. See [[graft.operators.Analytics.logisticGd]]. */
+  val ml1LogregGd: Q = (s, d) =>
+    graft.operators.Analytics.logisticGd(Tables.orders(s, d), iters = 3, lr = 0.5)
+
+  val ml1LogregGdSql: String = {
+    val iters = 3
+    def microSum(expr: String, as: String) =
+      s"CAST(sum(CAST(floor(($expr) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS $as"
+    val sb = new StringBuilder
+    sb ++= """WITH d AS (SELECT CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+             |              CAST(1.0 AS DOUBLE) AS x0,
+             |              CAST(o_totalprice AS DOUBLE) / 100000.0 AS x1,
+             |              CAST(CASE WHEN o_orderpriority LIKE '1-%' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS x2
+             |       FROM orders),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+             |b0 AS (SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1, CAST(0.0 AS DOUBLE) AS c2)""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s""",
+                |s$k AS (SELECT y, x0, x1, x2,
+                |              1.0 / (1.0 + exp(-(c0 * x0 + c1 * x1 + c2 * x2))) AS sg
+                |       FROM d CROSS JOIN b${k - 1}),
+                |g$k AS (SELECT ${microSum("(sg - y) * x0", "g0")},
+                |              ${microSum("(sg - y) * x1", "g1")},
+                |              ${microSum("(sg - y) * x2", "g2")},
+                |              ${microSum("-(y * ln(sg) + (1.0 - y) * ln(1.0 - sg))", "ll")}
+                |       FROM s$k),
+                |b$k AS (SELECT floor((c0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS c0,
+                |              floor((c1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS c1,
+                |              floor((c2 - 0.5 * (CAST(g2 AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS c2,
+                |              floor(CAST(ll AS DOUBLE) / 1000000 / n * 1000000 + 0.5) / 1000000 AS loss
+                |       FROM g$k CROSS JOIN b${k - 1} CROSS JOIN nn)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to iters).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS iter, c0 AS b0, c1 AS b1, c2 AS b2, loss AS logloss_prev FROM b$k")
+      .mkString("\nUNION ALL\n")
+    sb.toString
+  }
+
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
     * can never drift from the individual signals. Shared by t10 (which
@@ -5562,6 +5606,7 @@ object Queries {
     "mix4_oversample" -> mix4Oversample,
     "t13_entropy" -> t13Entropy,
     "rrf1_hybrid_fusion" -> rrf1HybridFusion,
+    "ml1_logreg_gd" -> ml1LogregGd,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -5768,6 +5813,7 @@ object Queries {
     "mix4_oversample" -> mix4OversampleSql,
     "t13_entropy" -> t13EntropySql,
     "rrf1_hybrid_fusion" -> rrf1HybridFusionSql,
+    "ml1_logreg_gd" -> ml1LogregGdSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -5822,5 +5868,6 @@ object Queries {
     "chunk1_doc_chunks", "d10_dup_spans",
     "dsir1_importance", "mix3_temperature_mix", "shuf1_epoch_order",
     "mix4_oversample", "t13_entropy", "rrf1_hybrid_fusion",
+    "ml1_logreg_gd",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -792,6 +792,59 @@ object Analytics {
     * equations form, map-side combinable however wide the raw events are.
     * The closed-form doubles are fixed-order, so the oracle replays every
     * digit; degenerate series (one day, zero x-variance) report 0. */
+  /** In-engine logistic-regression training by full-batch gradient
+    * descent — the "train the quality/classifier head where the data
+    * already lives" primitive (reg1 is the closed-form linear sibling;
+    * this is the iterative GLM one). Fixed feature map over `orders`:
+    * intercept, scaled total price, is-urgent dummy; label = status 'F'.
+    *
+    * Determinism is engineered like [[graft.operators.Importance]] and
+    * kmeans1: every per-row gradient/loss term snaps to integer
+    * micro-units and sums as BIGINTs (exact, order-free), and the updated
+    * coefficients snap back to the 1e-6 grid each step — so iteration
+    * t+1 feeds bit-identical β into every engine, and the whole unrolled
+    * trajectory replays exactly in the DuckDB oracle. The one libm call
+    * (`exp` inside σ) happens before the snap; a 1-ulp engine difference
+    * must cross a 0.5-micro boundary to matter (~1e-10 per row-term).
+    *
+    * Shape at 100 TB: per iteration, ONE map-side-combinable aggregate
+    * over the feature projection (4 BIGINT sums), a driver update of
+    * k coefficients (driver state = O(k), like kmeans1's codebook), and
+    * a re-broadcast via literals in the next plan. `iters` full scans
+    * total — the standard full-batch GD cost; nothing corpus-sized ever
+    * shuffles or collects. */
+  def logisticGd(orders: DataFrame, iters: Int = 3, lr: Double = 1.0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val d = orders.select(
+      when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"),
+      lit(1.0).as("x0"),
+      (col("o_totalprice").cast("double") / 100000.0).as("x1"),
+      when(col("o_orderpriority").startsWith("1-"), 1.0).otherwise(0.0).as("x2"))
+    val n = d.count().toDouble
+    def micro(c: Column): Column = floor(c * 1000000.0 + 0.5).cast("long")
+    var beta = Array(0.0, 0.0, 0.0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double, Double)]
+    for (it <- 1 to iters) {
+      val z = lit(beta(0)) * col("x0") + lit(beta(1)) * col("x1") + lit(beta(2)) * col("x2")
+      val sg = lit(1.0) / (lit(1.0) + exp(-z))
+      val a = d.agg(
+        sum(micro((sg - col("y")) * col("x0"))).as("g0"),
+        sum(micro((sg - col("y")) * col("x1"))).as("g1"),
+        sum(micro((sg - col("y")) * col("x2"))).as("g2"),
+        sum(micro(-(col("y") * log(sg) + (lit(1.0) - col("y")) * log(lit(1.0) - sg)))).as("ll"))
+        .head
+      def upd(b: Double, m: Long): Double =
+        math.floor((b - lr * (m.toDouble / 1000000.0 / n)) * 1000000.0 + 0.5) / 1000000.0
+      beta = Array(upd(beta(0), a.getLong(0)), upd(beta(1), a.getLong(1)),
+        upd(beta(2), a.getLong(2)))
+      val loss = math.floor(a.getLong(3).toDouble / 1000000.0 / n * 1000000.0 + 0.5) / 1000000.0
+      out += ((it.toLong, beta(0), beta(1), beta(2), loss))
+    }
+    val spark = orders.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("iter", "b0", "b1", "b2", "logloss_prev")
+  }
+
   def olsTrend(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))

@@ -590,4 +590,30 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got(2L) == 10.0)
     assert(got(3L) == 20.0) // singleton Q → global mean (10+20+30)/3
   }
+
+  test("logisticGd: loss decreases, trajectory is layout-stable") {
+    val orders = graft.Tables.orders(spark, sf0001)
+    val t = Analytics.logisticGd(orders, iters = 3, lr = 0.5)
+      .orderBy("iter").collect()
+    assert(t.length == 3)
+    // iteration 1 evaluates beta = 0: logloss is exactly ln 2 (to the
+    // micro-grid) because sigma(0) = 0.5 for every row
+    assert(math.abs(t(0).getDouble(4) - math.log(2.0)) < 1e-4)
+    // full-batch GD on a convex loss with a sane step must descend:
+    // each reported pre-update loss is evaluated at the previous betas
+    assert(t(2).getDouble(4) < t(1).getDouble(4))
+    assert(t(1).getDouble(4) < t(0).getDouble(4) + 1e-9)
+    // coefficients moved off zero and landed on the 1e-6 snap grid
+    assert(t.exists(r => r.getDouble(1) != 0.0 || r.getDouble(2) != 0.0))
+    t.foreach { r =>
+      (1 to 3).foreach { i =>
+        val b = r.getDouble(i)
+        assert(b == math.floor(b * 1e6 + 0.5) / 1e6, s"off-grid beta $b")
+      }
+    }
+    // bit-identical trajectory under a different input layout
+    val t2 = Analytics.logisticGd(orders.repartition(7), iters = 3, lr = 0.5)
+      .orderBy("iter").collect()
+    assert(t.toSeq == t2.toSeq)
+  }
 }
