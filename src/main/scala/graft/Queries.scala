@@ -2066,8 +2066,9 @@ object Queries {
   val ml1LogregGd: Q = (s, d) =>
     graft.operators.Analytics.logisticGd(Tables.orders(s, d), iters = 3, lr = 0.5)
 
-  val ml1LogregGdSql: String = {
-    val iters = 3
+  /** Shared CTE chain for the ml1/ml2/ml3 oracles: features, totals, and
+    * the unrolled GD iterations ending at coefficients CTE `b<iters>`. */
+  private def logregCtesSql(iters: Int): String = {
     def microSum(expr: String, as: String) =
       s"CAST(sum(CAST(floor(($expr) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS $as"
     val sb = new StringBuilder
@@ -2094,12 +2095,64 @@ object Queries {
                 |              floor(CAST(ll AS DOUBLE) / 1000000 / n * 1000000 + 0.5) / 1000000 AS loss
                 |       FROM g$k CROSS JOIN b${k - 1} CROSS JOIN nn)""".stripMargin
     }
-    sb ++= "\n"
-    sb ++= (1 to iters).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS iter, c0 AS b0, c1 AS b1, c2 AS b2, loss AS logloss_prev FROM b$k")
-      .mkString("\nUNION ALL\n")
     sb.toString
   }
+
+  val ml1LogregGdSql: String = {
+    val iters = 3
+    logregCtesSql(iters) + "\n" + (1 to iters).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS iter, c0 AS b0, c1 AS b1, c2 AS b2, loss AS logloss_prev FROM b$k")
+      .mkString("\nUNION ALL\n")
+  }
+
+  /** Per-row grid-snapped score CTE `sc`, appended to the training chain —
+    * the scoring expression mirrors `Analytics.logregScores` exactly. */
+  private def logregScoreCteSql(iters: Int): String =
+    logregCtesSql(iters) + s""",
+      |sc AS (SELECT y,
+      |              floor((1.0 / (1.0 + exp(-(c0 * x0 + c1 * x1 + c2 * x2)))) * 1000000 + 0.5) / 1000000 AS s6
+      |       FROM d CROSS JOIN b$iters)""".stripMargin
+
+  /** ML2 — reliability bins of the ml1-trained model: decile bins of
+    * predicted probability vs observed positive rate.
+    * See [[graft.operators.Analytics.calibrationBins]]. */
+  val ml2Calibration: Q = (s, d) =>
+    graft.operators.Analytics.calibrationBins(Tables.orders(s, d),
+      iters = 3, lr = 0.5, bins = 10)
+
+  val ml2CalibrationSql: String =
+    s"""${logregScoreCteSql(3)},
+       |bb AS (SELECT y, s6, least(CAST(floor(s6 * 10) AS BIGINT), 9) AS bin FROM sc),
+       |gg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(CAST(floor(s6 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ps,
+       |              sum(y) AS ys
+       |       FROM bb GROUP BY bin)
+       |SELECT bin, n,
+       |       floor((CAST(ps AS DOUBLE) / 1000000 / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS avg_pred,
+       |       floor((ys / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS obs_rate
+       |FROM gg""".stripMargin
+
+  /** ML3 — exact AUC (grouped Mann–Whitney rank-sum, midrank ties) +
+    * accuracy at 0.5 for the ml1-trained model: the 1e-6 score snap
+    * bounds the group count at any corpus size.
+    * See [[graft.operators.Analytics.logisticAuc]]. */
+  val ml3Auc: Q = (s, d) =>
+    graft.operators.Analytics.logisticAuc(Tables.orders(s, d), iters = 3, lr = 0.5)
+
+  val ml3AucSql: String =
+    s"""${logregScoreCteSql(3)},
+       |gg AS (SELECT s6, CAST(count(*) AS DOUBLE) AS n_s, sum(y) AS pos_s
+       |       FROM sc GROUP BY s6),
+       |cc AS (SELECT s6, n_s, pos_s, n_s - pos_s AS neg_s,
+       |              sum(n_s - pos_s) OVER (ORDER BY s6 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                - (n_s - pos_s) AS cum_neg_below
+       |       FROM gg)
+       |SELECT CAST(sum(n_s) AS BIGINT) AS n,
+       |       CAST(sum(pos_s) AS BIGINT) AS n_pos,
+       |       floor((sum(pos_s * (cum_neg_below + neg_s / 2.0))
+       |              / (sum(pos_s) * (sum(n_s) - sum(pos_s)))) * 1000000 + 0.5) / 1000000 AS auc,
+       |       floor((sum(CASE WHEN s6 >= 0.5 THEN pos_s ELSE neg_s END) / sum(n_s)) * 1000000 + 0.5) / 1000000 AS accuracy
+       |FROM cc""".stripMargin
 
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
@@ -5607,6 +5660,8 @@ object Queries {
     "t13_entropy" -> t13Entropy,
     "rrf1_hybrid_fusion" -> rrf1HybridFusion,
     "ml1_logreg_gd" -> ml1LogregGd,
+    "ml2_calibration" -> ml2Calibration,
+    "ml3_auc" -> ml3Auc,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -5814,6 +5869,8 @@ object Queries {
     "t13_entropy" -> t13EntropySql,
     "rrf1_hybrid_fusion" -> rrf1HybridFusionSql,
     "ml1_logreg_gd" -> ml1LogregGdSql,
+    "ml2_calibration" -> ml2CalibrationSql,
+    "ml3_auc" -> ml3AucSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -5868,6 +5925,6 @@ object Queries {
     "chunk1_doc_chunks", "d10_dup_spans",
     "dsir1_importance", "mix3_temperature_mix", "shuf1_epoch_order",
     "mix4_oversample", "t13_entropy", "rrf1_hybrid_fusion",
-    "ml1_logreg_gd",
+    "ml1_logreg_gd", "ml2_calibration", "ml3_auc",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -845,6 +845,84 @@ object Analytics {
     out.toSeq.toDF("iter", "b0", "b1", "b2", "logloss_prev")
   }
 
+  /** The ml1 feature projection, shared by training and evaluation so the
+    * two can never drift. */
+  private def logregFeatures(orders: DataFrame): DataFrame =
+    orders.select(
+      when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"),
+      lit(1.0).as("x0"),
+      (col("o_totalprice").cast("double") / 100000.0).as("x1"),
+      when(col("o_orderpriority").startsWith("1-"), 1.0).otherwise(0.0).as("x2"))
+
+  /** Per-row scores of the ml1-trained model, σ snapped to the 1e-6 grid
+    * (so every downstream comparison/bin/rank is engine-portable). The
+    * coefficient collect is O(k) driver state — [[logisticGd]]'s own
+    * contract. */
+  private def logregScores(orders: DataFrame, iters: Int, lr: Double): DataFrame = {
+    val last = logisticGd(orders, iters, lr).orderBy(col("iter").desc).head
+    val (b0, b1, b2) = (last.getDouble(1), last.getDouble(2), last.getDouble(3))
+    val d = logregFeatures(orders)
+    val z = lit(b0) * col("x0") + lit(b1) * col("x1") + lit(b2) * col("x2")
+    val sg = lit(1.0) / (lit(1.0) + exp(-z))
+    d.select(col("y"), (floor(sg * 1000000.0 + 0.5) / 1000000.0).as("s6"))
+  }
+
+  /** ML2 — reliability (calibration) bins of the trained model: decile
+    * bins of predicted probability vs the observed positive rate — the
+    * standard "is the classifier's confidence honest" readout after ml1.
+    *
+    * Shape: training (iters scans, §ml1) + ONE grouped aggregate over 10
+    * bins; mean-predicted sums snap to micro-units (exact fold), observed
+    * rates are integer ratios — every emitted double is a deterministic
+    * function of exact integers. */
+  def calibrationBins(orders: DataFrame, iters: Int = 3, lr: Double = 0.5,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val scored = logregScores(orders, iters, lr)
+    scored
+      .withColumn("bin",
+        least(floor(col("s6") * bins).cast("long"), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("s6") * 1000000.0 + 0.5).cast("long")).as("_ps"),
+        sum(col("y")).as("_ys"))
+      .select(col("bin"), col("n"),
+        portableRound(col("_ps").cast("double") / 1000000.0 / col("n").cast("double"), 6)
+          .as("avg_pred"),
+        portableRound(col("_ys") / col("n").cast("double"), 6).as("obs_rate"))
+  }
+
+  /** ML3 — threshold-free discrimination of the trained model: exact AUC
+    * by the grouped rank-sum (Mann–Whitney with midrank tie handling) +
+    * accuracy at the 0.5 threshold.
+    *
+    * The AUC is computed over SCORE GROUPS, not rows: σ lives on the 1e-6
+    * snap grid, so there are at most 10⁶ distinct scores AT ANY CORPUS
+    * SIZE — the grouped cumulative window is bounded-size by construction
+    * (the reason the snap exists), where a per-row rank window would be a
+    * global sort of the corpus. Per-group contributions pos·(cumNegBelow
+    * + neg/2) are half-integer-exact doubles, so the final sum is
+    * order-free. */
+  def logisticAuc(orders: DataFrame, iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    val scored = logregScores(orders, iters, lr)
+    val g = scored.groupBy(col("s6"))
+      .agg(count(lit(1)).cast("double").as("n_s"), sum(col("y")).as("pos_s"))
+      .withColumn("neg_s", col("n_s") - col("pos_s"))
+    val w = Window.orderBy(col("s6").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val contrib = g
+      .withColumn("cum_neg_below", sum(col("neg_s")).over(w) - col("neg_s"))
+      .select(col("pos_s"), col("neg_s"), col("n_s"),
+        (col("pos_s") * (col("cum_neg_below") + col("neg_s") / 2.0)).as("c"),
+        (when(col("s6") >= 0.5, col("pos_s")).otherwise(col("neg_s"))).as("correct"))
+    contrib.agg(
+      sum(col("n_s")).cast("long").as("n"),
+      sum(col("pos_s")).cast("long").as("n_pos"),
+      portableRound(sum(col("c")) /
+        (sum(col("pos_s")) * (sum(col("n_s")) - sum(col("pos_s")))), 6).as("auc"),
+      portableRound(sum(col("correct")) / sum(col("n_s")), 6).as("accuracy"))
+  }
+
   def olsTrend(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))

@@ -616,4 +616,34 @@ class AnalyticsSpec extends SparkTestBase {
       .orderBy("iter").collect()
     assert(t.toSeq == t2.toSeq)
   }
+
+  test("calibrationBins: bins partition the data, rates are honest averages") {
+    val orders = graft.Tables.orders(spark, sf0001)
+    val c = Analytics.calibrationBins(orders).collect()
+    assert(c.map(_.getLong(1)).sum == orders.count())
+    // bin b holds predictions in [b/10, (b+1)/10): the bin's mean
+    // prediction must lie inside its own bounds
+    c.foreach { r =>
+      val (bin, avg) = (r.getLong(0), r.getDouble(2))
+      assert(avg >= bin / 10.0 - 1e-9 && avg < (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin avg_pred $avg out of range")
+      val obs = r.getDouble(3)
+      assert(obs >= 0.0 && obs <= 1.0)
+    }
+  }
+
+  test("logisticAuc: one row; AUC beats coin flip; sanity vs a direct count") {
+    val orders = graft.Tables.orders(spark, sf0001)
+    val a = Analytics.logisticAuc(orders).collect()
+    assert(a.length == 1)
+    val r = a.head
+    assert(r.getLong(0) == orders.count())
+    // the model separates at least slightly (price/urgency carry signal);
+    // exact-0.5 would mean the features are pure noise
+    val auc = r.getDouble(2)
+    assert(auc > 0.4 && auc < 1.0, s"auc=$auc")
+    assert(auc != 0.5)
+    val acc = r.getDouble(3)
+    assert(acc > 0.5 && acc <= 1.0, s"accuracy=$acc") // majority class is ~2/3
+  }
 }
