@@ -2154,6 +2154,73 @@ object Queries {
        |       floor((sum(CASE WHEN s6 >= 0.5 THEN pos_s ELSE neg_s END) / sum(n_s)) * 1000000 + 0.5) / 1000000 AS accuracy
        |FROM cc""".stripMargin
 
+  /** IVM2 — incremental JOIN maintenance by the delta-join identity:
+    * orders after 2001-05-01 are the fact delta, customers with
+    * custkey % 13 = 5 the dimension delta; the view absorbs them by
+    * computing ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB only — the base-⋈-base term is
+    * never recomputed. Each row is tagged with its producing term.
+    * See [[graft.operators.Incremental.deltaJoin]]. */
+  val ivm2DeltaJoin: Q = (s, d) => {
+    val split = lit("2001-05-01 00:00:00").cast("timestamp")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_orderdate"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    graft.operators.Incremental.deltaJoin(
+      o.filter(col("o_orderdate") < split).drop("o_orderdate"),
+      o.filter(col("o_orderdate") >= split).drop("o_orderdate"),
+      c.filter(col("custkey") % 13 =!= 5),
+      c.filter(col("custkey") % 13 === 5),
+      Seq("custkey"))
+      .select(col("custkey"), col("o_orderkey"), col("c_name"), col("delta_term"))
+  }
+
+  val ivm2DeltaJoinSql: String =
+    """WITH a AS (SELECT o_orderkey, o_custkey AS custkey FROM orders
+      |           WHERE o_orderdate < TIMESTAMP '2001-05-01 00:00:00'),
+      |da AS (SELECT o_orderkey, o_custkey AS custkey FROM orders
+      |       WHERE o_orderdate >= TIMESTAMP '2001-05-01 00:00:00'),
+      |b AS (SELECT c_custkey AS custkey, c_name FROM customer WHERE c_custkey % 13 <> 5),
+      |db AS (SELECT c_custkey AS custkey, c_name FROM customer WHERE c_custkey % 13 = 5)
+      |SELECT custkey, o_orderkey, c_name, 'da_b' AS delta_term FROM da JOIN b USING (custkey)
+      |UNION ALL
+      |SELECT custkey, o_orderkey, c_name, 'a_db' AS delta_term FROM a JOIN db USING (custkey)
+      |UNION ALL
+      |SELECT custkey, o_orderkey, c_name, 'da_db' AS delta_term FROM da JOIN db USING (custkey)""".stripMargin
+
+  /** BOOT1 — deterministic Poisson bootstrap of mean order price: 32
+    * replicate means from salted-hash Poisson(1) multiplicities — the
+    * one-pass large-scale bootstrap (no draw-n-of-n coordination), CI
+    * readable off the replicate distribution.
+    * See [[graft.operators.Sampling.bootstrapMeans]]. */
+  val boot1BootstrapCi: Q = (s, d) =>
+    graft.operators.Sampling.bootstrapMeans(Tables.orders(s, d),
+      col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"), b = 32)
+
+  val boot1BootstrapCiSql: String = {
+    val ladder = graft.operators.Sampling.poisson1Cum.zipWithIndex
+      .map { case (c, k) => f"WHEN u < $c%.9f THEN CAST($k AS BIGINT)" }
+      .mkString("\n      |             ")
+    s"""WITH r AS (SELECT o_orderkey,
+       |                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |                  unnest(range(0, 32)) AS rep
+       |           FROM orders),
+       |u AS (SELECT rep, cents,
+       |             CAST(${md5BucketSql("'bs' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)", 1000000)} AS DOUBLE) / 1000000.0 AS u
+       |      FROM r),
+       |w AS (SELECT rep, cents,
+       |             CASE $ladder
+       |             ELSE CAST(9 AS BIGINT) END AS w
+       |      FROM u),
+       |g AS (SELECT rep, CAST(sum(w) AS BIGINT) AS n_resampled,
+       |             CAST(sum(w * cents) AS BIGINT) AS s
+       |      FROM w GROUP BY rep)
+       |SELECT rep AS replicate, n_resampled,
+       |       ${portableRoundSql("CAST(s AS DOUBLE) / CAST(n_resampled AS DOUBLE) / 100.0", 4)} AS mean_price
+       |FROM g""".stripMargin
+  }
+
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
     * can never drift from the individual signals. Shared by t10 (which
@@ -5662,6 +5729,8 @@ object Queries {
     "ml1_logreg_gd" -> ml1LogregGd,
     "ml2_calibration" -> ml2Calibration,
     "ml3_auc" -> ml3Auc,
+    "ivm2_delta_join" -> ivm2DeltaJoin,
+    "boot1_bootstrap_ci" -> boot1BootstrapCi,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -5871,6 +5940,8 @@ object Queries {
     "ml1_logreg_gd" -> ml1LogregGdSql,
     "ml2_calibration" -> ml2CalibrationSql,
     "ml3_auc" -> ml3AucSql,
+    "ivm2_delta_join" -> ivm2DeltaJoinSql,
+    "boot1_bootstrap_ci" -> boot1BootstrapCiSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -5925,6 +5996,7 @@ object Queries {
     "chunk1_doc_chunks", "d10_dup_spans",
     "dsir1_importance", "mix3_temperature_mix", "shuf1_epoch_order",
     "mix4_oversample", "t13_entropy", "rrf1_hybrid_fusion",
-    "ml1_logreg_gd", "ml2_calibration", "ml3_auc",
+    "ml1_logreg_gd", "ml2_calibration", "ml3_auc", "ivm2_delta_join",
+    "boot1_bootstrap_ci",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -40,4 +40,31 @@ object Incremental {
     merged.select(keyCols.map(col) ++ maintained: _*)
       .filter(col(countCol) > 0)
   }
+
+  /** Incremental JOIN maintenance — the classic delta-join identity:
+    *
+    *   (A ∪ ΔA) ⋈ (B ∪ ΔB) = (A ⋈ B) ∪ [ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB]
+    *
+    * so a stored join view absorbs a day's inserts by computing only the
+    * bracketed delta — cost ∝ |Δ|·selectivity, never |A|·|B|. Each output
+    * row is tagged with the term that produced it (`da_b`, `a_db`,
+    * `da_db`), which is what a downstream retraction/compaction step keys
+    * on. Inputs must be disjoint from their deltas (the insert-only IVM
+    * contract; deletes ride [[mergeAggDeltas]]-style retractions at the
+    * aggregate layer).
+    *
+    * Scale shape: ΔA and ΔB are delta-sized → Spark broadcasts them into
+    * the two base-side joins (the base tables stream map-side, never
+    * shuffling), and ΔA ⋈ ΔB is delta × delta. The base-⋈-base term —
+    * the expensive one — is precisely what incremental maintenance never
+    * recomputes. */
+  def deltaJoin(baseA: DataFrame, deltaA: DataFrame,
+                baseB: DataFrame, deltaB: DataFrame,
+                joinKeys: Seq[String]): DataFrame = {
+    def term(l: DataFrame, r: DataFrame, tag: String) =
+      l.join(r, joinKeys).withColumn("delta_term", lit(tag))
+    term(deltaA, baseB, "da_b")
+      .unionByName(term(baseA, deltaB, "a_db"))
+      .unionByName(term(deltaA, deltaB, "da_db"))
+  }
 }

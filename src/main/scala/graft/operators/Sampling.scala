@@ -219,6 +219,57 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Cumulative Poisson(1) probabilities, snapped to 9 decimals — the SAME
+    * literals are embedded in the DuckDB oracle, so the inverse-CDF ladder
+    * is engine-portable by construction. P(X > 8) ≈ 1.1e-6 rides in the
+    * last rung. */
+  private[graft] val poisson1Cum: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    val raw = (0 to 8).scanLeft(0.0) { (acc, k) =>
+      acc + e1 / (1 to k).foldLeft(1.0)(_ * _)
+    }.tail
+    raw.map(c => math.floor(c * 1e9 + 0.5) / 1e9)
+  }
+
+  /** Deterministic Poisson bootstrap — the standard one-pass resampling
+    * scheme for distributed data (each row draws an independent
+    * Poisson(1) multiplicity per replicate instead of the classic
+    * draw-n-of-n, which needs global coordination): `b` replicate means
+    * of a cent-exact measure, from which the caller reads a bootstrap CI.
+    * The multiplicity is a pure salted-hash function of (replicate, key):
+    * reproducible across engines, runs and layouts, like every sampler
+    * here.
+    *
+    * Determinism: u comes from the md5 bucket grid (1e-6 resolution); the
+    * inverse-CDF ladder compares against [[poisson1Cum]]'s snapped
+    * literals; replicate sums are exact integer folds (Σ w·cents, Σ w as
+    * longs) — the only doubles are the final division and round.
+    *
+    * Scale shape: the replicate explode is narrow (×b map-side); the one
+    * exchange is a `b`-group aggregate of two longs each. One scan, any
+    * corpus size — the reason Poisson bootstrap IS the large-scale
+    * bootstrap. */
+  def bootstrapMeans(df: DataFrame, key: Column, cents: Column,
+                     b: Int = 32): DataFrame = {
+    require(b >= 2, s"need at least 2 replicates, got $b")
+    val u = hashBucket(concat(lit("bs"), col("_rep"), lit(":"), col("_k").cast("string")),
+      1000000).cast("double") / 1000000.0
+    val w = poisson1Cum.zipWithIndex.reverse
+      .foldLeft(lit(9L): Column) { case (acc, (c, k)) =>
+        when(u < c, k.toLong).otherwise(acc)
+      }
+    df.select(key.as("_k"), cents.as("_c"),
+        explode(sequence(lit(0L), lit(b - 1L))).as("_rep"))
+      .withColumn("_w", w)
+      .groupBy(col("_rep"))
+      .agg(sum(col("_w")).as("n_resampled"),
+        sum(col("_w") * col("_c")).as("_sum"))
+      .select(col("_rep").as("replicate"), col("n_resampled"),
+        graft.functions.portableRound(
+          col("_sum").cast("double") / col("n_resampled").cast("double") / 100.0, 4)
+          .as("mean_price"))
+  }
+
   /** Deterministic weighted sample WITHOUT replacement of exactly `k` rows
     * (Efraimidis–Spirakis exponential race): each row draws an Exp(weight)
     * race key from an md5-derived uniform — key = −ln(u)/w, the k smallest

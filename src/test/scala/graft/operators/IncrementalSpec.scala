@@ -31,4 +31,33 @@ class IncrementalSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(partial == Set((1L, 1L, 40L), (2L, 1L, 50L)))
   }
+
+  test("deltaJoin: view + delta equals full recompute (the IVM identity)") {
+    import org.apache.spark.sql.functions.col
+    val o = graft.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_orderdate"))
+    val c = graft.Tables.customer(spark, sf0001)
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    val split = org.apache.spark.sql.functions.lit("2001-05-01 00:00:00").cast("timestamp")
+    val (a, da) = (o.filter(col("o_orderdate") < split).drop("o_orderdate"),
+      o.filter(col("o_orderdate") >= split).drop("o_orderdate"))
+    val (b, db) = (c.filter(col("custkey") % 13 =!= 5),
+      c.filter(col("custkey") % 13 === 5))
+    val delta = Incremental.deltaJoin(a, da, b, db, Seq("custkey"))
+    val proj = Seq("custkey", "o_orderkey", "c_name").map(col)
+    // stored view (A join B) plus the delta = join of the full tables
+    val maintained = a.join(b, "custkey").select(proj: _*)
+      .unionByName(delta.select(proj: _*))
+    val recomputed = o.drop("o_orderdate").join(c, "custkey").select(proj: _*)
+    assert(maintained.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(maintained).isEmpty)
+    // every term tag appears...
+    val tags = delta.select("delta_term").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(tags == Set("da_b", "a_db", "da_db"))
+    // ...and the delta only produces NEW rows: nothing it emits was
+    // already in the stored view (the base-join-base work is untouched)
+    assert(delta.select(proj: _*)
+      .intersect(a.join(b, "custkey").select(proj: _*)).isEmpty)
+  }
 }

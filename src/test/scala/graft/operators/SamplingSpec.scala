@@ -191,6 +191,31 @@ class SamplingSpec extends SparkTestBase {
         Map("a" -> -0.1), 0.4))
   }
 
+  test("bootstrapMeans: replicate means bracket the truth, layout-stable") {
+    val orders = Tables.orders(spark, sf0001)
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    val m = Sampling.bootstrapMeans(orders, col("o_orderkey"), cents, b = 32)
+      .cache()
+    assert(m.count() == 32)
+    val means = m.collect().map(_.getDouble(2))
+    val truth = orders.agg(avg(col("o_totalprice"))).head.getDouble(0)
+    // every replicate mean sits within a loose band of the true mean
+    // (Poisson-bootstrap spread of a 1.5k-row mean is ~2-3%)
+    assert(means.forall(x => math.abs(x - truth) / truth < 0.15),
+      s"truth=$truth means=${means.min}..${means.max}")
+    // the replicates genuinely differ (they are the CI signal)
+    assert(means.distinct.length > 16)
+    // Poisson(1) multiplicities: resampled sizes concentrate around n
+    val sizes = m.collect().map(_.getLong(1))
+    val n = orders.count()
+    assert(sizes.forall(s => s > n * 8 / 10 && s < n * 12 / 10))
+    // pure function of (replicate, key): identical under repartition
+    val m2 = Sampling.bootstrapMeans(orders.repartition(7),
+      col("o_orderkey"), cents, b = 32)
+    assert(m.exceptAll(m2).isEmpty && m2.exceptAll(m).isEmpty)
+    m.unpersist()
+  }
+
   test("stratified rates: each subgroup converges to the global fraction") {
     val orders = Tables.orders(spark, sf0001)
     val rates = Sampling.deterministicSample(orders, col("o_orderkey"), 0.2)

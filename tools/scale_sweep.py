@@ -44,6 +44,8 @@ SUBSET = [
     "er2_star_resolve",   # bounded-output ER on the VERBATIM-name replicas —
                           # the exact hot-block shape that put er1 (the
                           # clique form, known-quadratic output) at 15x
+    "dsir1_importance",   # two token scans + 128-row model tables + one
+                          # doc rollup (linear claim; round-8 addition)
 ]
 TABLES = {"embeddings", "documents", "part"}  # all the subset reads
 
