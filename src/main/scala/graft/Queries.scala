@@ -2221,6 +2221,34 @@ object Queries {
        |FROM g""".stripMargin
   }
 
+  /** ZM1 — zone-map data skipping, quantified: orders cut into 512-row
+    * files under two layouts (clustered on the predicate column vs
+    * natural key order), per-file min/max zone maps, and the scan verdict
+    * of `o_totalprice ∈ [200k, 250k]` against each file. The clustered
+    * layout's scanned-file fraction ≈ the predicate's selectivity; the
+    * natural layout scans nearly everything — the measured argument for
+    * z1/z2's write-time sorting. See [[graft.operators.Layout.zoneMapStats]]. */
+  val zm1ZoneMap: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    graft.operators.Layout.zoneMapStats(o, col("o_totalprice"), col("o_orderkey"),
+        col("o_totalprice"), 512, "clustered", 200000.0, 250000.0)
+      .unionByName(graft.operators.Layout.zoneMapStats(o, col("o_orderkey"),
+        col("o_orderkey"), col("o_totalprice"), 512, "natural", 200000.0, 250000.0))
+  }
+
+  val zm1ZoneMapSql: String = {
+    def layoutSql(orderBy: String, name: String) =
+      s"""SELECT '$name' AS layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |       min(s) AS min_stat, max(s) AS max_stat,
+         |       max(s) >= 200000.0 AND min(s) <= 250000.0 AS scanned
+         |FROM (SELECT CAST(o_totalprice AS DOUBLE) AS s,
+         |             CAST(floor((row_number() OVER (ORDER BY $orderBy) - 1) / 512.0) AS BIGINT) AS file_id
+         |      FROM orders)
+         |GROUP BY file_id""".stripMargin
+    layoutSql("o_totalprice, o_orderkey", "clustered") + "\nUNION ALL\n" +
+      layoutSql("o_orderkey, o_orderkey", "natural")
+  }
+
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
     * can never drift from the individual signals. Shared by t10 (which
@@ -5731,6 +5759,7 @@ object Queries {
     "ml3_auc" -> ml3Auc,
     "ivm2_delta_join" -> ivm2DeltaJoin,
     "boot1_bootstrap_ci" -> boot1BootstrapCi,
+    "zm1_zone_map" -> zm1ZoneMap,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -5942,6 +5971,7 @@ object Queries {
     "ml3_auc" -> ml3AucSql,
     "ivm2_delta_join" -> ivm2DeltaJoinSql,
     "boot1_bootstrap_ci" -> boot1BootstrapCiSql,
+    "zm1_zone_map" -> zm1ZoneMapSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -5997,6 +6027,6 @@ object Queries {
     "dsir1_importance", "mix3_temperature_mix", "shuf1_epoch_order",
     "mix4_oversample", "t13_entropy", "rrf1_hybrid_fusion",
     "ml1_logreg_gd", "ml2_calibration", "ml3_auc", "ivm2_delta_join",
-    "boot1_bootstrap_ci",
+    "boot1_bootstrap_ci", "zm1_zone_map",
     "st1_stream_window", "st6_stream_cdc")
 }

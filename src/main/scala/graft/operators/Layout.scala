@@ -91,6 +91,42 @@ object Layout {
           .cast("long").as("bin"))
   }
 
+  /** Zone-map (file-footer min/max) statistics for a simulated file
+    * layout, plus the scan verdict of a range predicate against them —
+    * the data-skipping arithmetic every lakehouse reader runs before
+    * touching a byte. Rows are laid out in `(orderCol, tieCol)` order and
+    * cut into `rowsPerFile` files; each file's min/max of `statCol` is
+    * its zone map; a file is `scanned` iff its [min, max] overlaps
+    * [lo, hi]. Running it twice — once ordered by the predicate column,
+    * once in natural order — quantifies exactly what clustering buys:
+    * the clustered layout scans O(selectivity) of the files, the natural
+    * one scans nearly all of them.
+    *
+    * Scale shape: the global ordering is WRITE-time work (COST.md rule 2 —
+    * a range-partitioned sort paid once per rewrite, exactly like
+    * [[zorderBy]]); the fixture-sized `row_number` stands in for the
+    * range partitioner's file cut. The zone-map table itself is
+    * files-sized (corpus/rowsPerFile), and predicate evaluation against
+    * it is the planner-side metadata scan — that metadata table being
+    * small IS the operator's point. */
+  def zoneMapStats(df: DataFrame, orderCol: Column, tieCol: Column,
+                   statCol: Column, rowsPerFile: Int, layoutName: String,
+                   lo: Double, hi: Double): DataFrame = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
+    require(lo <= hi, s"empty predicate range [$lo, $hi]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("_o").asc, col("_t").asc)
+    df.select(statCol.cast("double").as("_s"), orderCol.as("_o"), tieCol.as("_t"))
+      .withColumn("file_id",
+        floor((row_number().over(w) - 1) / lit(rowsPerFile.toDouble)).cast("long"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("_s")).as("min_stat"), max(col("_s")).as("max_stat"))
+      .select(lit(layoutName).as("layout"), col("file_id"), col("n_rows"),
+        col("min_stat"), col("max_stat"),
+        (col("max_stat") >= lo && col("min_stat") <= hi).as("scanned"))
+  }
+
   /** Clustering diagnostic: per output-partition min/max extent of a
     * column, as a fraction of its global extent — the stand-in for file
     * footer min/max stats. Mean extent ≈ 1/√P for a z-ordered 2-dim

@@ -101,4 +101,32 @@ class LayoutSpec extends SparkTestBase {
       targetRowsPerKey = 2L).collect()(0)
     assert(f.getDouble(4) == 1.0 && f.getLong(6) == 1L)
   }
+
+  test("zoneMapStats: clustering turns a range scan into file skipping") {
+    import org.apache.spark.sql.functions.col
+    val o = graft.Tables.orders(spark, sf0001)
+    val n = o.count()
+    def stats(orderBy: org.apache.spark.sql.Column, name: String) =
+      Layout.zoneMapStats(o, orderBy, col("o_orderkey"), col("o_totalprice"),
+        128, name, 200000.0, 250000.0).collect()
+    val clustered = stats(col("o_totalprice"), "clustered")
+    val natural = stats(col("o_orderkey"), "natural")
+    // both layouts cover every row exactly once
+    assert(clustered.map(_.getLong(2)).sum == n)
+    assert(natural.map(_.getLong(2)).sum == n)
+    // zone maps are consistent: min <= max, and files are range-disjoint
+    // under the clustered layout (file i's max <= file i+1's min)
+    val byId = clustered.sortBy(_.getLong(1))
+    byId.foreach(r => assert(r.getDouble(3) <= r.getDouble(4)))
+    byId.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(4) <= b.getDouble(3) + 1e-9)
+      case _ =>
+    }
+    // the point of the operator: clustering skips most files for a
+    // selective predicate; natural order scans nearly all of them
+    val scannedC = clustered.count(_.getBoolean(5)).toDouble / clustered.length
+    val scannedN = natural.count(_.getBoolean(5)).toDouble / natural.length
+    assert(scannedC < 0.35, s"clustered scanned fraction $scannedC")
+    assert(scannedN > 0.8, s"natural scanned fraction $scannedN")
+  }
 }
