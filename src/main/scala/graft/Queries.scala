@@ -2249,6 +2249,77 @@ object Queries {
       layoutSql("o_orderkey, o_orderkey", "natural")
   }
 
+  /** D11 — cross-document containment via shared rare 8-token spans
+    * (df ≤ 5 blocking bound): directional "A is a subset of B" signal.
+    * See [[graft.operators.Dedup.spanContainment]]. */
+  val d11Containment: Q = (s, d) =>
+    Dedup.spanContainment(Tables.documents(s, d), k = 8, maxDf = 5,
+      threshold = 0.8)
+
+  val d11ContainmentSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sp AS (SELECT doc_id,
+       |         list_distinct([array_to_string(list_slice(tk, i, i + 7), ' ')
+       |                        FOR i IN RANGE(1, len(tk) - 6)]) AS s
+       |       FROM t WHERE len(tk) >= 8),
+       |ex AS (SELECT doc_id, md5(unnest(s)) AS h FROM sp),
+       |rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM ex GROUP BY h)
+       |         WHERE df BETWEEN 2 AND 5),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM ex a JOIN rare USING (h) JOIN ex b USING (h)
+       |         WHERE a.doc_id < b.doc_id),
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
+       |sh AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS n_shared
+       |       FROM cand c
+       |       JOIN ex ea ON ea.doc_id = c.a_id
+       |       JOIN ex eb ON eb.doc_id = c.b_id AND eb.h = ea.h
+       |       GROUP BY 1, 2)
+       |SELECT a_id, b_id, na.n AS n_a, nb.n AS n_b, n_shared,
+       |       ${portableRoundSql("CAST(n_shared AS DOUBLE) / na.n", 4)} AS containment_a,
+       |       ${portableRoundSql("CAST(n_shared AS DOUBLE) / nb.n", 4)} AS containment_b,
+       |       ${portableRoundSql("CAST(n_shared AS DOUBLE) / na.n", 4)} >= 0.8 OR
+       |       ${portableRoundSql("CAST(n_shared AS DOUBLE) / nb.n", 4)} >= 0.8 AS contained
+       |FROM sh JOIN n na ON na.doc_id = sh.a_id
+       |        JOIN n nb ON nb.doc_id = sh.b_id""".stripMargin
+
+  /** EMB4 — matryoshka truncation recall: how much of the exact 64-dim
+    * cosine top-5 survives when the index stores only the first 16 dims —
+    * the storage/recall trade every truncated-embedding deployment
+    * measures before shipping. Both arms are the sim1 brute ranking
+    * (rounded-cosine total order); the oracle replays both and the
+    * overlap. */
+  val emb4MatryoshkaRecall: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    def trunc(df: DataFrame) = df.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val full = Similarity.bruteForceTopK(e, q, 5).select(col("q_id"), col("n_id"))
+    val tr = Similarity.bruteForceTopK(trunc(e), trunc(q), 5)
+      .select(col("q_id"), col("n_id"), lit(1L).as("_hit"))
+    full.join(tr, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_overlap"))
+      .select(col("q_id"), col("n_overlap"),
+        graft.functions.portableRound(col("n_overlap").cast("double") / 5.0, 4)
+          .as("recall"))
+  }
+
+  val emb4MatryoshkaRecallSql: String = {
+    def arm(name: String, vec: String => String) =
+      s"""$name AS (SELECT q_id, n_id FROM (
+         |  SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY floor(list_cosine_similarity(${vec("q.embedding")}, ${vec("b.embedding")}) * 10000 + 0.5) / 10000 DESC, b.vec_id) AS rnk
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+         |  JOIN embeddings b ON b.vec_id <> q.vec_id) WHERE rnk <= 5)""".stripMargin
+    s"""WITH ${arm("fl", e => s"CAST($e AS DOUBLE[])")},
+       |${arm("tr", e => s"list_slice(CAST($e AS DOUBLE[]), 1, 16)")}
+       |SELECT fl.q_id, CAST(count(tr.n_id) AS BIGINT) AS n_overlap,
+       |       ${portableRoundSql("CAST(count(tr.n_id) AS DOUBLE) / 5.0", 4)} AS recall
+       |FROM fl LEFT JOIN tr ON tr.q_id = fl.q_id AND tr.n_id = fl.n_id
+       |GROUP BY fl.q_id""".stripMargin
+  }
+
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
     * can never drift from the individual signals. Shared by t10 (which
@@ -5760,6 +5831,8 @@ object Queries {
     "ivm2_delta_join" -> ivm2DeltaJoin,
     "boot1_bootstrap_ci" -> boot1BootstrapCi,
     "zm1_zone_map" -> zm1ZoneMap,
+    "d11_containment" -> d11Containment,
+    "emb4_matryoshka_recall" -> emb4MatryoshkaRecall,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -5972,6 +6045,8 @@ object Queries {
     "ivm2_delta_join" -> ivm2DeltaJoinSql,
     "boot1_bootstrap_ci" -> boot1BootstrapCiSql,
     "zm1_zone_map" -> zm1ZoneMapSql,
+    "d11_containment" -> d11ContainmentSql,
+    "emb4_matryoshka_recall" -> emb4MatryoshkaRecallSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -6028,5 +6103,6 @@ object Queries {
     "mix4_oversample", "t13_entropy", "rrf1_hybrid_fusion",
     "ml1_logreg_gd", "ml2_calibration", "ml3_auc", "ivm2_delta_join",
     "boot1_bootstrap_ci", "zm1_zone_map",
+    "d11_containment", "emb4_matryoshka_recall",
     "st1_stream_window", "st6_stream_cdc")
 }

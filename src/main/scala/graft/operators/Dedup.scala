@@ -609,18 +609,23 @@ object Dedup {
     * compact keys, output one row per document. At 100 TB the digest
     * group-by is the standard suffix-array substitute — linear in corpus
     * size, skew-safe under AQE because digests are uniform. */
+  /** Each doc's DISTINCT k-token spans as md5 digests — the unit both
+    * [[dupSpans]] and [[spanContainment]] shuffle (never span text). */
+  private def spanDigests(documents: DataFrame, k: Int): DataFrame = {
+    val spanArr = transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => array_join(slice(toks, i, lit(k)), " "))
+    documents
+      .filter(size(toks) >= k)
+      .select(col("doc_id"), explode(array_distinct(spanArr)).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("h"))
+  }
+
   def dupSpans(documents: DataFrame, k: Int = 8,
                maxSharedRatio: Double = 0.2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val spanArr = transform(
-      sequence(lit(1), size(toks) - (k - 1)),
-      i => array_join(slice(toks, i, lit(k)), " "))
-    val spanDigests = documents
-      .filter(size(toks) >= k)
-      .select(col("doc_id"), explode(array_distinct(spanArr)).as("span"))
-      .select(col("doc_id"), md5(col("span")).as("h"))
-    spanDigests
+    spanDigests(documents, k)
       .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(
@@ -632,5 +637,51 @@ object Dedup {
           .as("shared_ratio"),
         (portableRound(col("n_shared").cast("double") / col("n_spans"), 4)
           > maxSharedRatio).as("flagged"))
+  }
+
+  /** D11 — cross-document CONTAINMENT detection (the directional signal
+    * d10's symmetric ratio can't give): for every candidate pair, the
+    * fraction of each side's distinct k-token spans that the other side
+    * also has — containment ≈ 1 on one side means "this document is a
+    * copy/subset of that one" (quote farms, boilerplate wrappers,
+    * re-posted articles), which keep-best dedup treats differently from
+    * mutual overlap.
+    *
+    * Candidates come ONLY from spans shared by 2..`maxDf` documents: the
+    * df ceiling is the blocking bound — a ubiquitous span (a common
+    * phrase) never generates pairs, so pair work is Σ_rare-span C(df,2)
+    * ≤ maxDf·|rare spans|, not corpus². Everything shuffles as (id,
+    * digest) pairs; span text never leaves the map side.
+    *
+    * Output per candidate pair: span counts, shared count, directional
+    * containments (rounded), and the `contained` verdict at
+    * `threshold`. */
+  def spanContainment(documents: DataFrame, k: Int = 8, maxDf: Int = 5,
+                      threshold: Double = 0.8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val ex = spanDigests(documents, k)
+    val ea = ex.select(col("doc_id").as("a_id"), col("h"))
+    val eb = ex.select(col("doc_id").as("b_id"), col("h"))
+    val rare = ex.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .select(col("h"))
+    val cand = ea.join(rare, "h").join(eb, "h")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(ea, "a_id")
+      .join(eb, Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val ca = portableRound(col("n_shared").cast("double") / col("n_a"), 4)
+    val cb = portableRound(col("n_shared").cast("double") / col("n_b"), 4)
+    shared
+      .join(counts.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
+      .join(counts.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"), col("n_shared"),
+        ca.as("containment_a"), cb.as("containment_b"),
+        (ca >= threshold || cb >= threshold).as("contained"))
   }
 }

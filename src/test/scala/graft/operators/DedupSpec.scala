@@ -4,6 +4,29 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkTestBase {
+
+  test("spanContainment: a planted subset doc is detected directionally") {
+    import spark.implicits._
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val sub = (9 to 24).map(i => s"w$i").mkString(" ")       // inside big
+    val other = (100 to 140).map(i => s"u$i").mkString(" ")  // disjoint
+    val docs = Seq((1L, big), (2L, sub), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.spanContainment(docs, k = 8, maxDf = 5, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)))).toMap
+    // only the (big, sub) pair shares spans; sub's spans are ALL in big
+    assert(got.keySet == Set((1L, 2L)))
+    val (nShared, ca, cb, contained) = got((1L, 2L))
+    assert(nShared == 9)         // 16-token sub has 9 distinct 8-spans
+    assert(cb == 1.0)            // every sub span is in big
+    assert(ca < 0.8)             // big is NOT contained in sub
+    assert(contained)
+    // a ubiquitous span (df > maxDf) never generates pairs
+    val common = (1 to 8).map(i => s"c$i").mkString(" ")
+    val many = (1L to 7L).map(i => (10L + i, common)).toDF("doc_id", "text")
+    assert(Dedup.spanContainment(many, k = 8, maxDf = 5, threshold = 0.8)
+      .isEmpty)
+  }
   import spark.implicits._
 
   private def docsDF(texts: (Long, String)*) =

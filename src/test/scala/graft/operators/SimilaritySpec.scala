@@ -256,4 +256,19 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(got.toSeq == want)
   }
+
+  test("matryoshka recall: one row per query, bounded, truncation loses some") {
+    val df = graft.Queries.all("emb4_matryoshka_recall")(spark, sf0001)
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == (0L until 10L).toSet)
+    rows.values.foreach { case (n, rec) =>
+      assert(n >= 0 && n <= 5)
+      assert(rec == n / 5.0)
+    }
+    // 16 of 64 random dims can't preserve every neighborhood perfectly,
+    // but must beat chance (random top-5 of 500 would overlap ~0.01)
+    val mean = rows.values.map(_._2).sum / rows.size
+    assert(mean > 0.1 && mean < 1.0, s"mean recall $mean")
+  }
 }
