@@ -2149,8 +2149,10 @@ object Queries {
        |       FROM gg)
        |SELECT CAST(sum(n_s) AS BIGINT) AS n,
        |       CAST(sum(pos_s) AS BIGINT) AS n_pos,
-       |       floor((sum(pos_s * (cum_neg_below + neg_s / 2.0))
-       |              / (sum(pos_s) * (sum(n_s) - sum(pos_s)))) * 1000000 + 0.5) / 1000000 AS auc,
+       |       CASE WHEN sum(pos_s) > 0 AND sum(n_s) - sum(pos_s) > 0
+       |            THEN floor((sum(pos_s * (cum_neg_below + neg_s / 2.0))
+       |                        / (sum(pos_s) * (sum(n_s) - sum(pos_s)))) * 1000000 + 0.5) / 1000000
+       |            ELSE 0.5 END AS auc,
        |       floor((sum(CASE WHEN s6 >= 0.5 THEN pos_s ELSE neg_s END) / sum(n_s)) * 1000000 + 0.5) / 1000000 AS accuracy
        |FROM cc""".stripMargin
 

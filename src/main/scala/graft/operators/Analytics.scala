@@ -815,12 +815,9 @@ object Analytics {
     * shuffles or collects. */
   def logisticGd(orders: DataFrame, iters: Int = 3, lr: Double = 1.0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val d = orders.select(
-      when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"),
-      lit(1.0).as("x0"),
-      (col("o_totalprice").cast("double") / 100000.0).as("x1"),
-      when(col("o_orderpriority").startsWith("1-"), 1.0).otherwise(0.0).as("x2"))
+    val d = logregFeatures(orders)
     val n = d.count().toDouble
+    require(n > 0, "logisticGd needs a non-empty training set")
     def micro(c: Column): Column = floor(c * 1000000.0 + 0.5).cast("long")
     var beta = Array(0.0, 0.0, 0.0)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double, Double)]
@@ -915,11 +912,16 @@ object Analytics {
       .select(col("pos_s"), col("neg_s"), col("n_s"),
         (col("pos_s") * (col("cum_neg_below") + col("neg_s") / 2.0)).as("c"),
         (when(col("s6") >= 0.5, col("pos_s")).otherwise(col("neg_s"))).as("correct"))
+    // a single-class input has no rankable pairs: report the coin-flip
+    // 0.5 instead of dividing by zero (reg1's degenerate-series posture)
+    val nPos = sum(col("pos_s"))
+    val nNeg = sum(col("n_s")) - sum(col("pos_s"))
     contrib.agg(
       sum(col("n_s")).cast("long").as("n"),
       sum(col("pos_s")).cast("long").as("n_pos"),
-      portableRound(sum(col("c")) /
-        (sum(col("pos_s")) * (sum(col("n_s")) - sum(col("pos_s")))), 6).as("auc"),
+      when(nPos > 0 && nNeg > 0,
+        portableRound(sum(col("c")) / (nPos * nNeg), 6))
+        .otherwise(0.5).as("auc"),
       portableRound(sum(col("correct")) / sum(col("n_s")), 6).as("accuracy"))
   }
 
