@@ -2068,22 +2068,23 @@ object Queries {
 
   /** Shared CTE chain for the ml1/ml2/ml3 oracles: features, totals, and
     * the unrolled GD iterations ending at coefficients CTE `b<iters>`. */
-  private def logregCtesSql(iters: Int): String = {
+  private def logregCtesSql(iters: Int, trainWhere: String = ""): String = {
     def microSum(expr: String, as: String) =
       s"CAST(sum(CAST(floor(($expr) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS $as"
     val sb = new StringBuilder
-    sb ++= """WITH d AS (SELECT CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+    sb ++= s"""WITH d AS (SELECT CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
              |              CAST(1.0 AS DOUBLE) AS x0,
              |              CAST(o_totalprice AS DOUBLE) / 100000.0 AS x1,
-             |              CAST(CASE WHEN o_orderpriority LIKE '1-%' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS x2
+             |              CAST(CASE WHEN o_orderpriority LIKE '1-%' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS x2,
+             |              ${md5BucketSql("CAST(o_orderkey AS VARCHAR)", 3)} AS fold
              |       FROM orders),
-             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d $trainWhere),
              |b0 AS (SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1, CAST(0.0 AS DOUBLE) AS c2)""".stripMargin
     for (k <- 1 to iters) {
       sb ++= s""",
                 |s$k AS (SELECT y, x0, x1, x2,
                 |              1.0 / (1.0 + exp(-(c0 * x0 + c1 * x1 + c2 * x2))) AS sg
-                |       FROM d CROSS JOIN b${k - 1}),
+                |       FROM d CROSS JOIN b${k - 1} $trainWhere),
                 |g$k AS (SELECT ${microSum("(sg - y) * x0", "g0")},
                 |              ${microSum("(sg - y) * x1", "g1")},
                 |              ${microSum("(sg - y) * x2", "g2")},
@@ -2321,6 +2322,30 @@ object Queries {
        |FROM fl LEFT JOIN tr ON tr.q_id = fl.q_id AND tr.n_id = fl.n_id
        |GROUP BY fl.q_id""".stripMargin
   }
+
+  /** ML4 — 3-fold cross-validation of the ml1 trainer: per fold, the full
+    * GD trajectory runs on the other two md5-bucket folds and is scored
+    * on the held-out one (log-loss + accuracy, micro-unit exact). The
+    * oracle replays each fold's training AND evaluation digit-exact.
+    * See [[graft.operators.Analytics.crossValLogreg]]. */
+  val ml4Cv: Q = (s, d) =>
+    graft.operators.Analytics.crossValLogreg(Tables.orders(s, d),
+      folds = 3, iters = 3, lr = 0.5)
+
+  val ml4CvSql: String = (0 until 3).map { f =>
+    val chain = logregCtesSql(3, s"WHERE fold <> $f")
+    s"""SELECT * FROM (
+       |$chain,
+       |ev AS (SELECT CAST(count(*) AS BIGINT) AS n_val,
+       |         CAST(sum(CAST(floor(-(y * ln(sg) + (1.0 - y) * ln(1.0 - sg)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ll,
+       |         CAST(sum(CASE WHEN (floor(sg * 1000000 + 0.5) / 1000000 >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS ok
+       |       FROM (SELECT y, 1.0 / (1.0 + exp(-(c0 * x0 + c1 * x1 + c2 * x2))) AS sg
+       |             FROM d CROSS JOIN b3 WHERE fold = $f))
+       |SELECT CAST($f AS BIGINT) AS fold, n_val,
+       |       floor(CAST(ll AS DOUBLE) / 1000000 / CAST(n_val AS DOUBLE) * 1000000 + 0.5) / 1000000 AS val_logloss,
+       |       floor(CAST(ok AS DOUBLE) / CAST(n_val AS DOUBLE) * 1000000 + 0.5) / 1000000 AS val_acc
+       |FROM ev)""".stripMargin
+  }.mkString("\nUNION ALL\n")
 
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
@@ -5835,6 +5860,7 @@ object Queries {
     "zm1_zone_map" -> zm1ZoneMap,
     "d11_containment" -> d11Containment,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecall,
+    "ml4_cv" -> ml4Cv,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -6049,6 +6075,7 @@ object Queries {
     "zm1_zone_map" -> zm1ZoneMapSql,
     "d11_containment" -> d11ContainmentSql,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecallSql,
+    "ml4_cv" -> ml4CvSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -6105,6 +6132,6 @@ object Queries {
     "mix4_oversample", "t13_entropy", "rrf1_hybrid_fusion",
     "ml1_logreg_gd", "ml2_calibration", "ml3_auc", "ivm2_delta_join",
     "boot1_bootstrap_ci", "zm1_zone_map",
-    "d11_containment", "emb4_matryoshka_recall",
+    "d11_containment", "emb4_matryoshka_recall", "ml4_cv",
     "st1_stream_window", "st6_stream_cdc")
 }

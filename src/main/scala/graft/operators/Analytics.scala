@@ -864,6 +864,44 @@ object Analytics {
     d.select(col("y"), (floor(sg * 1000000.0 + 0.5) / 1000000.0).as("s6"))
   }
 
+  /** ML4 — k-fold cross-validation of the ml1 trainer: per fold, train on
+    * the other folds (the SAME [[logisticGd]] trajectory, on the
+    * hash-filtered subset) and report held-out log-loss and accuracy.
+    * Folds are md5-bucket assignments of the row key — the engine-portable
+    * split every sampler here uses, so the oracle replays each fold's
+    * full training AND its evaluation digit-exact.
+    *
+    * Shape: folds × (training scans + one eval aggregate); driver state
+    * is folds × k coefficients. Eval terms fold as micro-unit BIGINTs
+    * and accuracy compares the 1e-6-snapped score — deterministic on
+    * both sides of the oracle. */
+  def crossValLogreg(orders: DataFrame, folds: Int = 3, iters: Int = 3,
+                     lr: Double = 0.5): DataFrame = {
+    require(folds >= 2, s"folds must be >= 2, got $folds")
+    val foldOf = Sampling.hashBucket(col("o_orderkey"), folds)
+    val perFold = (0 until folds).map { f =>
+      val last = logisticGd(orders.filter(foldOf =!= f), iters, lr)
+        .orderBy(col("iter").desc).head
+      val (b0, b1, b2) = (last.getDouble(1), last.getDouble(2), last.getDouble(3))
+      val v = logregFeatures(orders.filter(foldOf === f))
+      val z = lit(b0) * col("x0") + lit(b1) * col("x1") + lit(b2) * col("x2")
+      val sg = (lit(1.0) / (lit(1.0) + exp(-z))).as("sg")
+      v.select(col("y"), sg)
+        .agg(count(lit(1)).as("n_val"),
+          sum(floor(-(col("y") * log(col("sg")) +
+              (lit(1.0) - col("y")) * log(lit(1.0) - col("sg"))) * 1000000.0 + 0.5)
+            .cast("long")).as("_ll"),
+          sum(when((floor(col("sg") * 1000000.0 + 0.5) / 1000000.0 >= 0.5)
+              === (col("y") === 1.0), 1L).otherwise(0L)).as("_ok"))
+        .select(lit(f.toLong).as("fold"), col("n_val"),
+          portableRound(col("_ll").cast("double") / 1000000.0 /
+            col("n_val").cast("double"), 6).as("val_logloss"),
+          portableRound(col("_ok").cast("double") /
+            col("n_val").cast("double"), 6).as("val_acc"))
+    }
+    perFold.reduce(_ unionByName _)
+  }
+
   /** ML2 — reliability (calibration) bins of the trained model: decile
     * bins of predicted probability vs the observed positive rate — the
     * standard "is the classifier's confidence honest" readout after ml1.

@@ -617,6 +617,21 @@ class AnalyticsSpec extends SparkTestBase {
     assert(t.toSeq == t2.toSeq)
   }
 
+  test("crossValLogreg: folds partition the data, held-out metrics are sane") {
+    val orders = graft.Tables.orders(spark, sf0001)
+    val cv = Analytics.crossValLogreg(orders, folds = 3).orderBy("fold").collect()
+    assert(cv.length == 3)
+    assert(cv.map(_.getLong(1)).sum == orders.count()) // every row held out once
+    cv.foreach { r =>
+      // held-out log-loss near the ln-2 ballpark (3 GD steps on a weak
+      // signal), never NaN or wildly off
+      assert(r.getDouble(2) > 0.3 && r.getDouble(2) < 1.2,
+        s"fold ${r.getLong(0)} logloss ${r.getDouble(2)}")
+      // accuracy at least the majority class would suggest
+      assert(r.getDouble(3) > 0.5 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("calibrationBins: bins partition the data, rates are honest averages") {
     val orders = graft.Tables.orders(spark, sf0001)
     val c = Analytics.calibrationBins(orders).collect()
