@@ -2205,13 +2205,22 @@ object Queries {
     val ladder = graft.operators.Sampling.poisson1Cum.zipWithIndex
       .map { case (c, k) => f"WHEN u < $c%.9f THEN CAST($k AS BIGINT)" }
       .mkString("\n      |             ")
+    // the digit-trick integer of the md5 hex WINDOW [1 + 8·(rep%4), 8],
+    // mirroring Sampling.bootstrapMeans's four-draws-per-digest scheme
+    val pow16 = Array(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
+    val winDigits = (0 until 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(m, CAST((rep % 4) * 8 + ${i + 1} AS BIGINT), 1)) - 1) * ${pow16(i)}")
+      .mkString(" + ")
     s"""WITH r AS (SELECT o_orderkey,
        |                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
        |                  unnest(range(0, 32)) AS rep
        |           FROM orders),
-       |u AS (SELECT rep, cents,
-       |             CAST(${md5BucketSql("'bs' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)", 1000000)} AS DOUBLE) / 1000000.0 AS u
+       |h AS (SELECT rep, cents,
+       |             md5('bs' || CAST(rep // 4 AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)) AS m
        |      FROM r),
+       |u AS (SELECT rep, cents,
+       |             CAST(($winDigits) % 1000000 AS DOUBLE) / 1000000.0 AS u
+       |      FROM h),
        |w AS (SELECT rep, cents,
        |             CASE $ladder
        |             ELSE CAST(9 AS BIGINT) END AS w

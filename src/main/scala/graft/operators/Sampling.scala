@@ -251,15 +251,28 @@ object Sampling {
     * bootstrap. */
   def bootstrapMeans(df: DataFrame, key: Column, cents: Column,
                      b: Int = 32): DataFrame = {
-    require(b >= 2, s"need at least 2 replicates, got $b")
-    val u = hashBucket(concat(lit("bs"), col("_rep"), lit(":"), col("_k").cast("string")),
-      1000000).cast("double") / 1000000.0
+    require(b >= 4 && b % 4 == 0, s"b must be a positive multiple of 4, got $b")
+    // one md5 feeds FOUR replicates (8 hex chars = 32 uniform bits each):
+    // the digest is the dominant per-row cost, and 128 independent bits
+    // buy four draws, not one — so the digest-group explode happens
+    // FIRST (b/4 rows) and the four hex windows posexplode after, giving
+    // b/4 hashes per input row instead of b. The DuckDB oracle reads the
+    // same hex windows of the same digests.
+    val u = col("_u").cast("double") / 1000000.0
     val w = poisson1Cum.zipWithIndex.reverse
       .foldLeft(lit(9L): Column) { case (acc, (c, k)) =>
         when(u < c, k.toLong).otherwise(acc)
       }
     df.select(key.as("_k"), cents.as("_c"),
-        explode(sequence(lit(0L), lit(b - 1L))).as("_rep"))
+        explode(sequence(lit(0L), lit(b / 4 - 1L))).as("_grp"))
+      .withColumn("_m",
+        md5(concat(lit("bs"), col("_grp"), lit(":"), col("_k").cast("string"))))
+      .select(col("_c"), col("_grp"),
+        posexplode(transform(sequence(lit(0L), lit(3L)), j =>
+          pmod(conv(col("_m").substr((j * 8 + 1).cast("int"), lit(8)), 16, 10)
+            .cast("long"), lit(1000000L)))))
+      .select(col("_c"), (col("_grp") * 4 + col("pos")).as("_rep"),
+        col("col").as("_u"))
       .withColumn("_w", w)
       .groupBy(col("_rep"))
       .agg(sum(col("_w")).as("n_resampled"),
