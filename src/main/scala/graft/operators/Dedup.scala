@@ -660,7 +660,11 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    val ex = spanDigests(documents, k)
+    // the digest table feeds FIVE consumers (df filter, both candidate
+    // sides, per-doc counts, the intersection recount): pin it once
+    // (pr1/d7 localCheckpoint discipline) instead of re-running the
+    // explode+md5 scan per consumer
+    val ex = spanDigests(documents, k).localCheckpoint()
     val ea = ex.select(col("doc_id").as("a_id"), col("h"))
     val eb = ex.select(col("doc_id").as("b_id"), col("h"))
     val rare = ex.groupBy(col("h")).agg(count(lit(1)).as("_df"))
