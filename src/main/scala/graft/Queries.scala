@@ -2356,6 +2356,32 @@ object Queries {
        |FROM ev)""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** FD1 — functional-dependency verification over orders: a key FD that
+    * holds (orderkey → custkey), two that don't, and their g3 errors —
+    * the schema-inference profiling pass. Each candidate is two compact
+    * hash aggregations. See [[graft.operators.Analytics.functionalDeps]]. */
+  val fd1FunctionalDeps: Q = (s, d) =>
+    graft.operators.Analytics.functionalDeps(Tables.orders(s, d), Seq(
+      ("o_orderkey", "o_custkey"),
+      ("o_custkey", "o_orderpriority"),
+      ("o_orderpriority", "o_orderstatus")))
+
+  val fd1FunctionalDepsSql: String = {
+    Seq(("o_orderkey", "o_custkey"),
+      ("o_custkey", "o_orderpriority"),
+      ("o_orderpriority", "o_orderstatus")).map { case (det, dep) =>
+      s"""SELECT '$det' AS det, '$dep' AS dep,
+         |       CAST(count(*) AS BIGINT) AS n_groups,
+         |       CAST(sum(ndep - 1) AS BIGINT) AS violations,
+         |       ${portableRoundSql("CAST(sum(n) - sum(maxf) AS DOUBLE) / CAST(sum(n) AS DOUBLE)", 6)} AS g3_error,
+         |       CAST(sum(ndep - 1) AS BIGINT) = 0 AS holds
+         |FROM (SELECT _det, sum(c) AS n, count(*) AS ndep, max(c) AS maxf
+         |      FROM (SELECT $det AS _det, $dep AS _dep, count(*) AS c
+         |            FROM orders GROUP BY 1, 2)
+         |      GROUP BY _det)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
     * can never drift from the individual signals. Shared by t10 (which
@@ -5870,6 +5896,7 @@ object Queries {
     "d11_containment" -> d11Containment,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecall,
     "ml4_cv" -> ml4Cv,
+    "fd1_functional_deps" -> fd1FunctionalDeps,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -6085,6 +6112,7 @@ object Queries {
     "d11_containment" -> d11ContainmentSql,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecallSql,
     "ml4_cv" -> ml4CvSql,
+    "fd1_functional_deps" -> fd1FunctionalDepsSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -6142,5 +6170,6 @@ object Queries {
     "ml1_logreg_gd", "ml2_calibration", "ml3_auc", "ivm2_delta_join",
     "boot1_bootstrap_ci", "zm1_zone_map",
     "d11_containment", "emb4_matryoshka_recall", "ml4_cv",
+    "fd1_functional_deps",
     "st1_stream_window", "st6_stream_cdc")
 }

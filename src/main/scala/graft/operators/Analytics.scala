@@ -864,6 +864,38 @@ object Analytics {
     d.select(col("y"), (floor(sg * 1000000.0 + 0.5) / 1000000.0).as("s6"))
   }
 
+  /** FD profiling (the Metanome/Tane family's verification step, done
+    * declaratively): for each candidate dependency det → dep, the g3
+    * error — the minimum fraction of rows to delete for the FD to hold
+    * (1 − Σ_groups max-dep-frequency / N) — plus the violating-group
+    * count. `holds` means zero violations. The discovery half (candidate
+    * lattice search) is a driver concern; verification of a candidate
+    * SET is the data-sized work, and each candidate costs two compact
+    * hash aggregations ((det, dep) counts, then det rollup) — map-side
+    * combinable, no row wider than its keys ever shuffles.
+    */
+  def functionalDeps(df: DataFrame,
+                     candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate FD")
+    candidates.map { case (det, dep) =>
+      val perPair = df.groupBy(col(det).as("_det"), col(dep).as("_dep"))
+        .agg(count(lit(1)).as("_c"))
+      val perDet = perPair.groupBy(col("_det"))
+        .agg(sum(col("_c")).as("_n"), count(lit(1)).as("_ndep"),
+          max(col("_c")).as("_maxf"))
+      perDet.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("_ndep") - 1).as("violations"),
+        sum(col("_n")).as("_nrows"),
+        sum(col("_maxf")).as("_support"))
+        .select(lit(det).as("det"), lit(dep).as("dep"),
+          col("n_groups"), col("violations"),
+          portableRound((col("_nrows") - col("_support")).cast("double") /
+            col("_nrows").cast("double"), 6).as("g3_error"),
+          (col("violations") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** ML4 — k-fold cross-validation of the ml1 trainer: per fold, train on
     * the other folds (the SAME [[logisticGd]] trajectory, on the
     * hash-filtered subset) and report held-out log-loss and accuracy.

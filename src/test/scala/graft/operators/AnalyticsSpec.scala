@@ -617,6 +617,26 @@ class AnalyticsSpec extends SparkTestBase {
     assert(t.toSeq == t2.toSeq)
   }
 
+  test("functionalDeps: key FDs hold with zero g3, broken FDs quantify") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"), // a -> dep broken once
+      (4L, "b", "z"), (5L, "b", "z"))
+      .toDF("id", "det", "dep")
+    val got = Analytics.functionalDeps(df, Seq(("id", "det"), ("det", "dep")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    // id is a key: FD holds exactly
+    assert(got("id") == ((5L, 0L, 0.0, true)))
+    // det=a maps to two dep values: one violating group, g3 = 1/5 (drop
+    // the single 'y' row and the FD holds)
+    assert(got("det") == ((2L, 1L, 0.2, false)))
+    // fixture sanity: the registered candidates produce one held FD
+    val fx = graft.Queries.all("fd1_functional_deps")(spark, sf0001).collect()
+    assert(fx.length == 3)
+    assert(fx.count(_.getBoolean(5)) == 1) // only orderkey -> custkey holds
+  }
+
   test("crossValLogreg: folds partition the data, held-out metrics are sane") {
     val orders = graft.Tables.orders(spark, sf0001)
     val cv = Analytics.crossValLogreg(orders, folds = 3).orderBy("fold").collect()
