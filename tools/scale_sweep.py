@@ -46,6 +46,9 @@ SUBSET = [
                           # clique form, known-quadratic output) at 15x
     "dsir1_importance",   # two token scans + 128-row model tables + one
                           # doc rollup (linear claim; round-8 addition)
+    "d11_containment",    # df-bounded span-blocked pair generation — the
+                          # round-8 op whose pair work COULD go quadratic
+                          # if the df ceiling failed to bound it
 ]
 TABLES = {"embeddings", "documents", "part"}  # all the subset reads
 
