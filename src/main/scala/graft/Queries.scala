@@ -2382,6 +2382,42 @@ object Queries {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** Shared DuckDB fragment for the aug1/aug2 per-position hash verdict:
+    * md5 bucket of 'salt:doc_id:pos' under `thresh` (1-based positions,
+    * matching the Spark lambda's i+1). */
+  private def augHitSql(salt: String, thresh: Long): String =
+    s"${md5BucketSql(s"'$salt:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} < $thresh"
+
+  /** AUG1 — deterministic word-dropout augmentation (10%): per-position
+    * salted-hash verdicts, zero exchanges.
+    * See [[graft.operators.TextAnalysis.tokenPerturb]]. */
+  val aug1TokenDropout: Q = (s, d) =>
+    TextAnalysis.tokenPerturb(Tables.documents(s, d), "dropout", 0.1)
+
+  val aug1TokenDropoutSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+       |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |       CAST(len([i FOR i IN RANGE(1, len(tk) + 1)
+       |                 IF ${augHitSql("aug1", 1000)}]) AS BIGINT) AS n_affected,
+       |       array_to_string([tk[i] FOR i IN RANGE(1, len(tk) + 1)
+       |                        IF NOT (${augHitSql("aug1", 1000)})], ' ') AS new_text
+       |FROM t""".stripMargin
+
+  /** AUG2 — deterministic [MASK] corruption (15%): the masked-LM input
+    * prep. Same machinery, replacement instead of removal. */
+  val aug2TokenMask: Q = (s, d) =>
+    TextAnalysis.tokenPerturb(Tables.documents(s, d), "mask", 0.15, salt = "aug2")
+
+  val aug2TokenMaskSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+       |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |       CAST(len([i FOR i IN RANGE(1, len(tk) + 1)
+       |                 IF ${augHitSql("aug2", 1500)}]) AS BIGINT) AS n_affected,
+       |       array_to_string([CASE WHEN ${augHitSql("aug2", 1500)}
+       |                             THEN '[MASK]' ELSE tk[i] END
+       |                        FOR i IN RANGE(1, len(tk) + 1)], ' ') AS new_text
+       |FROM t""".stripMargin
+
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
     * can never drift from the individual signals. Shared by t10 (which
@@ -5897,6 +5933,8 @@ object Queries {
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecall,
     "ml4_cv" -> ml4Cv,
     "fd1_functional_deps" -> fd1FunctionalDeps,
+    "aug1_token_dropout" -> aug1TokenDropout,
+    "aug2_token_mask" -> aug2TokenMask,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -6113,6 +6151,8 @@ object Queries {
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecallSql,
     "ml4_cv" -> ml4CvSql,
     "fd1_functional_deps" -> fd1FunctionalDepsSql,
+    "aug1_token_dropout" -> aug1TokenDropoutSql,
+    "aug2_token_mask" -> aug2TokenMaskSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -6170,6 +6210,6 @@ object Queries {
     "ml1_logreg_gd", "ml2_calibration", "ml3_auc", "ivm2_delta_join",
     "boot1_bootstrap_ci", "zm1_zone_map",
     "d11_containment", "emb4_matryoshka_recall", "ml4_cv",
-    "fd1_functional_deps",
+    "fd1_functional_deps", "aug1_token_dropout", "aug2_token_mask",
     "st1_stream_window", "st6_stream_cdc")
 }

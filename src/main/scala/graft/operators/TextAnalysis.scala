@@ -197,6 +197,42 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("norm_entropy"))
   }
 
+  /** Deterministic token perturbation — the augmentation / masked-LM prep
+    * pass of a training pipeline, with the same engine-portable
+    * determinism contract as every sampler here: the per-position verdict
+    * is a pure salted-md5 function of (doc, position), so the augmented
+    * corpus is identical across engines, runs, partitionings and epochs
+    * (vary the salt to get a fresh draw — the [[Sampling.epochShuffle]]
+    * convention).
+    *
+    * `mode = "dropout"` removes selected tokens (word-dropout
+    * augmentation); `mode = "mask"` replaces them with `[MASK]` (the
+    * BERT-style denoising objective's input). Rates are bucket-resolution
+    * (1e-4).
+    *
+    * Scale shape: one narrow projection — the lambda runs inside the
+    * array functions with zero exchanges; cost is one md5 per token.
+    */
+  def tokenPerturb(documents: DataFrame, mode: String,
+                   rate: Double, salt: String = "aug1"): DataFrame = {
+    require(mode == "dropout" || mode == "mask", s"unknown mode: $mode")
+    require(rate > 0 && rate < 1, s"rate must be in (0, 1), got $rate")
+    val thresh = (rate * 10000).round
+    // 1-based position, matching the oracle's RANGE(1, len+1)
+    def hit(i: org.apache.spark.sql.Column) =
+      Sampling.hashBucket(concat(lit(s"$salt:"), col("doc_id").cast("string"),
+        lit(":"), (i + 1).cast("string"))) < thresh
+    val out = mode match {
+      case "dropout" => filter(toks, (_, i) => !hit(i))
+      case "mask" => transform(toks, (t, i) => when(hit(i), lit("[MASK]")).otherwise(t))
+    }
+    val affected = filter(toks, (_, i) => hit(i))
+    documents.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(affected).cast("long").as("n_affected"),
+      array_join(out, " ").as("new_text"))
+  }
+
   /** Robust length-outlier flagging: Tukey's IQR fence over the per-doc
     * token count — the standard "drop the truncated fragments and the
     * concatenation monsters" pass before training. A doc is an outlier

@@ -199,6 +199,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(e1.filter(col("norm_entropy") > 1.0 + 1e-9).count() == 0)
   }
 
+  test("tokenPerturb: dropout removes, mask preserves length, both pure") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val drop = TextAnalysis.tokenPerturb(docs, "dropout", 0.1).cache()
+    // dropped count is consistent with the emitted text
+    import org.apache.spark.sql.functions.{col, size, split}
+    assert(drop.filter(
+      size(split(col("new_text"), " ")) =!= (col("n_tokens") - col("n_affected"))
+        && col("n_tokens") =!= col("n_affected")).count() == 0)
+    // ~10% of all tokens affected, corpus-wide
+    val tot = drop.agg(org.apache.spark.sql.functions.sum("n_tokens"),
+      org.apache.spark.sql.functions.sum("n_affected")).head
+    val frac = tot.getLong(1).toDouble / tot.getLong(0)
+    assert(frac > 0.06 && frac < 0.14, s"dropout fraction $frac")
+    // masking keeps length and plants [MASK] exactly n_affected times
+    val mask = TextAnalysis.tokenPerturb(docs, "mask", 0.15, salt = "aug2")
+    assert(mask.filter(size(split(col("new_text"), " ")) =!= col("n_tokens"))
+      .count() == 0)
+    val bad = mask.filter(
+      size(org.apache.spark.sql.functions.filter(split(col("new_text"), " "),
+        t => t === "[MASK]")) =!= col("n_affected")).count()
+    assert(bad == 0)
+    // pure function of (salt, doc, position): layout-stable
+    val drop2 = TextAnalysis.tokenPerturb(docs.repartition(7), "dropout", 0.1)
+    assert(drop.exceptAll(drop2).isEmpty && drop2.exceptAll(drop).isEmpty)
+    // a different salt redraws the verdicts
+    val reSalt = TextAnalysis.tokenPerturb(docs, "dropout", 0.1, salt = "ep2")
+    assert(drop.exceptAll(reSalt).count() > 0)
+    drop.unpersist()
+    intercept[IllegalArgumentException](
+      TextAnalysis.tokenPerturb(docs, "shuffle", 0.1))
+  }
+
   test("chunkDocuments: a doc shorter than one window is one short chunk") {
     val d = docsDF(doc(1, "a b"), doc(2, "c"))
     val got = TextAnalysis.chunkDocuments(d, window = 64, stride = 48).collect()
