@@ -2418,6 +2418,33 @@ object Queries {
        |                        FOR i IN RANGE(1, len(tk) + 1)], ' ') AS new_text
        |FROM t""".stripMargin
 
+  /** ZIPF1 — Zipf-law fit over the top-500 token frequencies: OLS of
+    * ln(count) on ln(rank) with exact-integer moment folds.
+    * See [[graft.operators.TextAnalysis.zipfFit]]. */
+  val zipf1TokenZipf: Q = (s, d) =>
+    TextAnalysis.zipfFit(Tables.documents(s, d), topK = 500)
+
+  val zipf1TokenZipfSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rank
+      |      FROM c ORDER BY c DESC, t LIMIT 500),
+      |m AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+      |             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+      |      FROM r),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |      FROM m)
+      |SELECT n_terms,
+      |       CASE WHEN n_terms > 1 THEN floor(((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                                          / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 10000 + 0.5) / 10000
+      |            ELSE 0.0 END AS slope,
+      |       CASE WHEN n_terms > 1 THEN floor(((CAST(sy AS DOUBLE) / 1000000 - ((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                                                                           / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * (CAST(sx AS DOUBLE) / 1000000)) / CAST(n_terms AS DOUBLE)) * 10000 + 0.5) / 10000
+      |            ELSE 0.0 END AS intercept_ln
+      |FROM s""".stripMargin
+
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
     * can never drift from the individual signals. Shared by t10 (which
@@ -5935,6 +5962,7 @@ object Queries {
     "fd1_functional_deps" -> fd1FunctionalDeps,
     "aug1_token_dropout" -> aug1TokenDropout,
     "aug2_token_mask" -> aug2TokenMask,
+    "zipf1_token_zipf" -> zipf1TokenZipf,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -6153,6 +6181,7 @@ object Queries {
     "fd1_functional_deps" -> fd1FunctionalDepsSql,
     "aug1_token_dropout" -> aug1TokenDropoutSql,
     "aug2_token_mask" -> aug2TokenMaskSql,
+    "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -6211,5 +6240,6 @@ object Queries {
     "boot1_bootstrap_ci", "zm1_zone_map",
     "d11_containment", "emb4_matryoshka_recall", "ml4_cv",
     "fd1_functional_deps", "aug1_token_dropout", "aug2_token_mask",
+    "zipf1_token_zipf",
     "st1_stream_window", "st6_stream_cdc")
 }

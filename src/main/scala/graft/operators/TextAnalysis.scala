@@ -233,6 +233,44 @@ object TextAnalysis {
       array_join(out, " ").as("new_text"))
   }
 
+  /** Zipf-law fit of the token frequency distribution: OLS slope of
+    * ln(count) on ln(rank) over the top-`topK` tokens — the corpus-health
+    * fingerprint (natural language sits near slope −1; templated or
+    * synthetic text shows up as a flat or broken power law).
+    *
+    * Scale shape: one token-count aggregation (vocabulary-sized), a
+    * TakeOrdered top-K cut (the fit set is CONSTANT-bounded at any corpus
+    * size — that is what the cap is for), and a single-partition
+    * row_number over those K rows only. Determinism: the two `ln` values
+    * snap to micro-units per term and every OLS moment is an exact BIGINT
+    * fold; only the final closed-form division runs in doubles, on
+    * identical operands in both engines. */
+  def zipfFit(documents: DataFrame, topK: Int = 500): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("tok").asc)
+    val ranked = counts.orderBy(col("c").desc, col("tok").asc).limit(topK)
+      .withColumn("rank", row_number().over(w))
+    def micro(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1000000.0 + 0.5).cast("long")
+    val m = ranked.select(micro(col("rank")).as("_x"), micro(col("c")).as("_y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+    val n = col("n_terms").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxy = col("_sxy").cast("double"); val sxx = col("_sxx").cast("double")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy / 1000000.0 - slope * (sx / 1000000.0)) / n
+    m.select(col("n_terms"),
+      when(col("n_terms") > 1, portableRound(slope, 4)).otherwise(0.0).as("slope"),
+      when(col("n_terms") > 1, portableRound(intercept, 4)).otherwise(0.0)
+        .as("intercept_ln"))
+  }
+
   /** Robust length-outlier flagging: Tukey's IQR fence over the per-doc
     * token count — the standard "drop the truncated fragments and the
     * concatenation monsters" pass before training. A doc is an outlier

@@ -231,6 +231,25 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.tokenPerturb(docs, "shuffle", 0.1))
   }
 
+  test("zipfFit recovers a planted power law") {
+    import spark.implicits._
+    // counts EXACTLY c_r = round(1000 / r): a planted slope-(-1) law
+    val rows = (1 to 20).flatMap { r =>
+      val c = math.round(1000.0 / r).toInt
+      Seq.fill(c)(s"w$r")
+    }
+    val docs = Seq((1L, rows.mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs, topK = 20).collect().head
+    assert(got.getLong(0) == 20)
+    assert(math.abs(got.getDouble(1) - (-1.0)) < 0.02, s"slope ${got.getDouble(1)}")
+    // intercept_ln ~ ln(1000)
+    assert(math.abs(got.getDouble(2) - math.log(1000.0)) < 0.05)
+    // degenerate single-term corpus reports zeros, no NaN
+    val one = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val g1 = TextAnalysis.zipfFit(one, topK = 10).collect().head
+    assert(g1.getLong(0) == 1 && g1.getDouble(1) == 0.0)
+  }
+
   test("chunkDocuments: a doc shorter than one window is one short chunk") {
     val d = docsDF(doc(1, "a b"), doc(2, "c"))
     val got = TextAnalysis.chunkDocuments(d, window = 64, stride = 48).collect()
