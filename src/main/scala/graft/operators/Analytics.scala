@@ -813,11 +813,28 @@ object Analytics {
     * a re-broadcast via literals in the next plan. `iters` full scans
     * total — the standard full-batch GD cost; nothing corpus-sized ever
     * shuffles or collects. */
-  def logisticGd(orders: DataFrame, iters: Int = 3, lr: Double = 1.0): DataFrame = {
+  def logisticGd(orders: DataFrame, iters: Int = 3, lr: Double = 1.0): DataFrame =
+    logisticGdOnFeatures(logregFeatures(orders), iters, lr)
+
+  /** The ml1 feature projection, shared by training and evaluation so the
+    * two can never drift. */
+  private def logregFeatures(orders: DataFrame,
+                             extra: Seq[Column] = Nil): DataFrame =
+    orders.select(Seq(
+      when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"),
+      lit(1.0).as("x0"),
+      (col("o_totalprice").cast("double") / 100000.0).as("x1"),
+      when(col("o_orderpriority").startsWith("1-"), 1.0).otherwise(0.0).as("x2"))
+      ++ extra: _*)
+
+  /** The GD loop over an already-projected feature frame — shared by
+    * [[logisticGd]] (one projection from orders) and [[crossValLogreg]]
+    * (one pinned projection reused across all folds). The row count rides
+    * in the SAME aggregate as the gradients, so each iteration is exactly
+    * one job — no separate count scan. */
+  private def logisticGdOnFeatures(d: DataFrame, iters: Int,
+                                   lr: Double): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val d = logregFeatures(orders)
-    val n = d.count().toDouble
-    require(n > 0, "logisticGd needs a non-empty training set")
     def micro(c: Column): Column = floor(c * 1000000.0 + 0.5).cast("long")
     var beta = Array(0.0, 0.0, 0.0)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double, Double)]
@@ -825,31 +842,25 @@ object Analytics {
       val z = lit(beta(0)) * col("x0") + lit(beta(1)) * col("x1") + lit(beta(2)) * col("x2")
       val sg = lit(1.0) / (lit(1.0) + exp(-z))
       val a = d.agg(
+        count(lit(1)).as("n"),
         sum(micro((sg - col("y")) * col("x0"))).as("g0"),
         sum(micro((sg - col("y")) * col("x1"))).as("g1"),
         sum(micro((sg - col("y")) * col("x2"))).as("g2"),
         sum(micro(-(col("y") * log(sg) + (lit(1.0) - col("y")) * log(lit(1.0) - sg)))).as("ll"))
         .head
+      val n = a.getLong(0).toDouble
+      require(n > 0, "logisticGd needs a non-empty training set")
       def upd(b: Double, m: Long): Double =
         math.floor((b - lr * (m.toDouble / 1000000.0 / n)) * 1000000.0 + 0.5) / 1000000.0
-      beta = Array(upd(beta(0), a.getLong(0)), upd(beta(1), a.getLong(1)),
-        upd(beta(2), a.getLong(2)))
-      val loss = math.floor(a.getLong(3).toDouble / 1000000.0 / n * 1000000.0 + 0.5) / 1000000.0
+      beta = Array(upd(beta(0), a.getLong(1)), upd(beta(1), a.getLong(2)),
+        upd(beta(2), a.getLong(3)))
+      val loss = math.floor(a.getLong(4).toDouble / 1000000.0 / n * 1000000.0 + 0.5) / 1000000.0
       out += ((it.toLong, beta(0), beta(1), beta(2), loss))
     }
-    val spark = orders.sparkSession
+    val spark = d.sparkSession
     import spark.implicits._
     out.toSeq.toDF("iter", "b0", "b1", "b2", "logloss_prev")
   }
-
-  /** The ml1 feature projection, shared by training and evaluation so the
-    * two can never drift. */
-  private def logregFeatures(orders: DataFrame): DataFrame =
-    orders.select(
-      when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"),
-      lit(1.0).as("x0"),
-      (col("o_totalprice").cast("double") / 100000.0).as("x1"),
-      when(col("o_orderpriority").startsWith("1-"), 1.0).otherwise(0.0).as("x2"))
 
   /** Per-row scores of the ml1-trained model, σ snapped to the 1e-6 grid
     * (so every downstream comparison/bin/rank is engine-portable). The
@@ -911,11 +922,17 @@ object Analytics {
                      lr: Double = 0.5): DataFrame = {
     require(folds >= 2, s"folds must be >= 2, got $folds")
     val foldOf = Sampling.hashBucket(col("o_orderkey"), folds)
+    // pin the feature projection ONCE: every fold's training iterations
+    // and its eval read the cached frame instead of re-scanning the
+    // source — the standard persist-the-training-set discipline for
+    // iterative ML (folds × iters scans become one)
+    val feat = logregFeatures(orders, Seq(foldOf.as("_fold"))).localCheckpoint()
     val perFold = (0 until folds).map { f =>
-      val last = logisticGd(orders.filter(foldOf =!= f), iters, lr)
+      val last = logisticGdOnFeatures(
+        feat.filter(col("_fold") =!= f).drop("_fold"), iters, lr)
         .orderBy(col("iter").desc).head
       val (b0, b1, b2) = (last.getDouble(1), last.getDouble(2), last.getDouble(3))
-      val v = logregFeatures(orders.filter(foldOf === f))
+      val v = feat.filter(col("_fold") === f).drop("_fold")
       val z = lit(b0) * col("x0") + lit(b1) * col("x1") + lit(b2) * col("x2")
       val sg = (lit(1.0) / (lit(1.0) + exp(-z))).as("sg")
       v.select(col("y"), sg)
