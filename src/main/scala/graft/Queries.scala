@@ -1784,6 +1784,37 @@ object Queries {
        |       ELSE 'und' END AS pred_lang
        |FROM documents""".stripMargin
 
+  /** LID1 — confusion matrix of the t1 language-ID heuristic against the
+    * fixture's ground-truth labels, plus each cell's share of its true
+    * class (row-normalized recall). Uses t1's SHARED predictor expression,
+    * so the eval can never drift from the operator it scores. One
+    * (lang, pred) aggregate — |langs|² cells at any corpus size. */
+  val lid1Confusion: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pred = TextAnalysis.predLangExpr()
+    val cells = docs.select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("_t"))
+    cells.join(totals, "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        graft.functions.portableRound(
+          col("n").cast("double") / col("_t").cast("double"), 4).as("class_share"))
+  }
+
+  val lid1ConfusionSql: String =
+    s"""WITH p AS (SELECT lang,
+       |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |       WHEN CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
+       |            / len(string_split(text, ' ')) >= 0.08 THEN 'en'
+       |       ELSE 'und' END AS pred_lang
+       |  FROM documents),
+       |c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |      FROM p GROUP BY 1, 2),
+       |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tt FROM c GROUP BY lang)
+       |SELECT c.lang, c.pred_lang, c.n,
+       |       floor((CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE)) * 10000 + 0.5) / 10000 AS class_share
+       |FROM c JOIN t ON c.lang = t.lang""".stripMargin
+
   val t2Quality: Q = (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))
 
   val t2QualitySql: String =
@@ -5963,6 +5994,7 @@ object Queries {
     "aug1_token_dropout" -> aug1TokenDropout,
     "aug2_token_mask" -> aug2TokenMask,
     "zipf1_token_zipf" -> zipf1TokenZipf,
+    "lid1_confusion" -> lid1Confusion,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -6182,6 +6214,7 @@ object Queries {
     "aug1_token_dropout" -> aug1TokenDropoutSql,
     "aug2_token_mask" -> aug2TokenMaskSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
+    "lid1_confusion" -> lid1ConfusionSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -6240,6 +6273,6 @@ object Queries {
     "boot1_bootstrap_ci", "zm1_zone_map",
     "d11_containment", "emb4_matryoshka_recall", "ml4_cv",
     "fd1_functional_deps", "aug1_token_dropout", "aug2_token_mask",
-    "zipf1_token_zipf",
+    "zipf1_token_zipf", "lid1_confusion",
     "st1_stream_window", "st6_stream_cdc")
 }
