@@ -2476,6 +2476,35 @@ object Queries {
       |            ELSE 0.0 END AS intercept_ln
       |FROM s""".stripMargin
 
+  /** DP2 — ε-DP median of order totals via the exponential mechanism
+    * (Gumbel-max over a 101-cell grid, keyed-PRF noise): the second
+    * textbook DP release next to dp1's Laplace counts.
+    * See [[graft.operators.Privacy.privateMedian]]. */
+  val dp2PrivateMedian: Q = (s, d) =>
+    graft.operators.Privacy.privateMedian(Tables.orders(s, d),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+      eps = 1.0, gridSize = 101, seed = "dp2-release-0")
+
+  val dp2PrivateMedianSql: String = {
+    val uExpr = s"(CAST(${md5BucketSql("'dp2-release-0:' || CAST(g.k AS VARCHAR)", 1000000)} AS DOUBLE) + 0.5) / 1000000.0"
+    s"""WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders),
+       |mm AS (SELECT min(v) AS mn, max(v) AS mx, CAST(count(*) AS BIGINT) AS n FROM v),
+       |h AS (SELECT least(CAST(floor(CAST(v.v - mm.mn AS DOUBLE) * 101 / CAST(mm.mx - mm.mn + 1 AS DOUBLE)) AS BIGINT), 100) AS k,
+       |             CAST(count(*) AS BIGINT) AS c
+       |      FROM v CROSS JOIN mm GROUP BY 1),
+       |g AS (SELECT mn, mx, n, unnest(range(0, 101)) AS k FROM mm),
+       |s AS (SELECT g.k, g.mn, g.mx, g.n,
+       |             CAST(sum(COALESCE(h.c, 0)) OVER (ORDER BY g.k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |             floor(-ln(-ln($uExpr)) * 1000000 + 0.5) / 1000000 AS gum
+       |      FROM g LEFT JOIN h ON h.k = g.k),
+       |sc AS (SELECT k, mn, mx, n,
+       |              0.5 * (-abs(CAST(cum AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)) + gum AS score
+       |       FROM s)
+       |SELECT n, CAST(1.0 AS DOUBLE) AS epsilon, k AS grid_cell,
+       |       CAST(mn + CAST(floor(CAST(k + 1 AS DOUBLE) * CAST(mx - mn + 1 AS DOUBLE) / 101) AS BIGINT) - 1 AS DOUBLE) / 100.0 AS private_median
+       |FROM sc ORDER BY score DESC, k LIMIT 1""".stripMargin
+  }
+
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
     * can never drift from the individual signals. Shared by t10 (which
@@ -5995,6 +6024,7 @@ object Queries {
     "aug2_token_mask" -> aug2TokenMask,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
+    "dp2_private_median" -> dp2PrivateMedian,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -6215,6 +6245,7 @@ object Queries {
     "aug2_token_mask" -> aug2TokenMaskSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
+    "dp2_private_median" -> dp2PrivateMedianSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -6273,6 +6304,6 @@ object Queries {
     "boot1_bootstrap_ci", "zm1_zone_map",
     "d11_containment", "emb4_matryoshka_recall", "ml4_cv",
     "fd1_functional_deps", "aug1_token_dropout", "aug2_token_mask",
-    "zipf1_token_zipf", "lid1_confusion",
+    "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "st1_stream_window", "st6_stream_cdc")
 }

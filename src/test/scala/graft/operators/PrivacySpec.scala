@@ -39,4 +39,31 @@ class PrivacySpec extends SparkTestBase {
     assert(math.abs(noise(0.5) - 2 * noise(1.0)) < 2e-4,
       s"${noise(0.5)} vs ${noise(1.0)}")
   }
+
+  test("privateMedian: lands near the true median at sane epsilon, replays") {
+    import org.apache.spark.sql.functions.col
+    val orders = graft.Tables.orders(spark, sf0001)
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    val r = Privacy.privateMedian(orders, cents, eps = 1.0).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == orders.count())
+    val released = row.getDouble(3)
+    val truth = orders.stat.approxQuantile("o_totalprice", Array(0.5), 0.0).head
+    val (mn, mx) = (orders.agg(org.apache.spark.sql.functions.min("o_totalprice"))
+      .head.getDouble(0),
+      orders.agg(org.apache.spark.sql.functions.max("o_totalprice")).head.getDouble(0))
+    // exponential mechanism at eps=1, n~1.5k: utility gap to a far cell is
+    // hundreds of nats - the release must land within a few grid cells of
+    // the true median
+    assert(math.abs(released - truth) < (mx - mn) * 0.06,
+      s"released $released vs median $truth (range $mn..$mx)")
+    // deterministic replay: same seed, any layout
+    val r2 = Privacy.privateMedian(orders.repartition(7), cents, eps = 1.0).collect()
+    assert(r.toSeq == r2.toSeq)
+    // a rotated seed may move the release; the mechanism stays in range
+    val r3 = Privacy.privateMedian(orders, cents, eps = 1.0,
+      seed = "dp2-release-1").head
+    assert(r3.getDouble(3) >= mn - 1 && r3.getDouble(3) <= mx + 1)
+  }
 }
