@@ -2114,12 +2114,13 @@ object Queries {
     for (k <- 1 to iters) {
       sb ++= s""",
                 |s$k AS (SELECT y, x0, x1, x2,
-                |              1.0 / (1.0 + exp(-(c0 * x0 + c1 * x1 + c2 * x2))) AS sg
+                |              1.0 / (1.0 + exp(-(c0 * x0 + c1 * x1 + c2 * x2))) AS sg,
+                |              least(greatest(1.0 / (1.0 + exp(-(c0 * x0 + c1 * x1 + c2 * x2))), 1e-9), 1.0 - 1e-9) AS sgc
                 |       FROM d CROSS JOIN b${k - 1} $trainWhere),
                 |g$k AS (SELECT ${microSum("(sg - y) * x0", "g0")},
                 |              ${microSum("(sg - y) * x1", "g1")},
                 |              ${microSum("(sg - y) * x2", "g2")},
-                |              ${microSum("-(y * ln(sg) + (1.0 - y) * ln(1.0 - sg))", "ll")}
+                |              ${microSum("-(y * ln(sgc) + (1.0 - y) * ln(1.0 - sgc))", "ll")}
                 |       FROM s$k),
                 |b$k AS (SELECT floor((c0 - 0.5 * (CAST(g0 AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS c0,
                 |              floor((c1 - 0.5 * (CAST(g1 AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS c1,
@@ -2233,8 +2234,13 @@ object Queries {
       (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"), b = 32)
 
   val boot1BootstrapCiSql: String = {
+    // NOT the f-interpolator: it formats with the JVM default locale, and
+    // a decimal-comma locale would emit syntactically invalid SQL
     val ladder = graft.operators.Sampling.poisson1Cum.zipWithIndex
-      .map { case (c, k) => f"WHEN u < $c%.9f THEN CAST($k AS BIGINT)" }
+      .map { case (c, k) =>
+        val lit9 = String.format(java.util.Locale.ROOT, "%.9f", Double.box(c))
+        s"WHEN u < $lit9 THEN CAST($k AS BIGINT)"
+      }
       .mkString("\n      |             ")
     // the digit-trick integer of the md5 hex WINDOW [1 + 8·(rep%4), 8],
     // mirroring Sampling.bootstrapMeans's four-draws-per-digest scheme
@@ -2377,7 +2383,7 @@ object Queries {
     s"""SELECT * FROM (
        |$chain,
        |ev AS (SELECT CAST(count(*) AS BIGINT) AS n_val,
-       |         CAST(sum(CAST(floor(-(y * ln(sg) + (1.0 - y) * ln(1.0 - sg)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ll,
+       |         CAST(sum(CAST(floor(-(y * ln(least(greatest(sg, 1e-9), 1.0 - 1e-9)) + (1.0 - y) * ln(1.0 - least(greatest(sg, 1e-9), 1.0 - 1e-9))) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ll,
        |         CAST(sum(CASE WHEN (floor(sg * 1000000 + 0.5) / 1000000 >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS ok
        |       FROM (SELECT y, 1.0 / (1.0 + exp(-(c0 * x0 + c1 * x1 + c2 * x2))) AS sg
        |             FROM d CROSS JOIN b3 WHERE fold = $f))
@@ -2478,30 +2484,35 @@ object Queries {
 
   /** DP2 — ε-DP median of order totals via the exponential mechanism
     * (Gumbel-max over a 101-cell grid, keyed-PRF noise): the second
-    * textbook DP release next to dp1's Laplace counts.
-    * See [[graft.operators.Privacy.privateMedian]]. */
+    * textbook DP release next to dp1's Laplace counts. The grid spans the
+    * PUBLIC domain bound [$0, $600,000] (TPC-H's published o_totalprice
+    * range is ~[857, 555,285] at any SF — the bound is schema knowledge,
+    * not data), so the candidate set is data-independent as the
+    * mechanism's ε-DP proof requires; the exact n never leaves the
+    * utility computation. See [[graft.operators.Privacy.privateMedian]]. */
   val dp2PrivateMedian: Q = (s, d) =>
     graft.operators.Privacy.privateMedian(Tables.orders(s, d),
       (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+      loCents = 0L, hiCents = 60000000L,
       eps = 1.0, gridSize = 101, seed = "dp2-release-0")
 
   val dp2PrivateMedianSql: String = {
     val uExpr = s"(CAST(${md5BucketSql("'dp2-release-0:' || CAST(g.k AS VARCHAR)", 1000000)} AS DOUBLE) + 0.5) / 1000000.0"
-    s"""WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders),
-       |mm AS (SELECT min(v) AS mn, max(v) AS mx, CAST(count(*) AS BIGINT) AS n FROM v),
-       |h AS (SELECT least(CAST(floor(CAST(v.v - mm.mn AS DOUBLE) * 101 / CAST(mm.mx - mm.mn + 1 AS DOUBLE)) AS BIGINT), 100) AS k,
+    s"""WITH v AS (SELECT greatest(least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 60000000), 0) AS v FROM orders),
+       |h AS (SELECT least(CAST(floor(CAST(v - 0 AS DOUBLE) * 101 / 60000001.0) AS BIGINT), 100) AS k,
        |             CAST(count(*) AS BIGINT) AS c
-       |      FROM v CROSS JOIN mm GROUP BY 1),
-       |g AS (SELECT mn, mx, n, unnest(range(0, 101)) AS k FROM mm),
-       |s AS (SELECT g.k, g.mn, g.mx, g.n,
+       |      FROM v GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+       |g AS (SELECT n, unnest(range(0, 101)) AS k FROM nn),
+       |s AS (SELECT g.k, g.n,
        |             CAST(sum(COALESCE(h.c, 0)) OVER (ORDER BY g.k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
        |             floor(-ln(-ln($uExpr)) * 1000000 + 0.5) / 1000000 AS gum
        |      FROM g LEFT JOIN h ON h.k = g.k),
-       |sc AS (SELECT k, mn, mx, n,
+       |sc AS (SELECT k,
        |              0.5 * (-abs(CAST(cum AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)) + gum AS score
        |       FROM s)
-       |SELECT n, CAST(1.0 AS DOUBLE) AS epsilon, k AS grid_cell,
-       |       CAST(mn + CAST(floor(CAST(k + 1 AS DOUBLE) * CAST(mx - mn + 1 AS DOUBLE) / 101) AS BIGINT) - 1 AS DOUBLE) / 100.0 AS private_median
+       |SELECT CAST(1.0 AS DOUBLE) AS epsilon, k AS grid_cell,
+       |       CAST(0 + CAST(floor(CAST(k + 1 AS DOUBLE) * 60000001.0 / 101) AS BIGINT) - 1 AS DOUBLE) / 100.0 AS private_median
        |FROM sc ORDER BY score DESC, k LIMIT 1""".stripMargin
   }
 

@@ -841,12 +841,18 @@ object Analytics {
     for (it <- 1 to iters) {
       val z = lit(beta(0)) * col("x0") + lit(beta(1)) * col("x1") + lit(beta(2)) * col("x2")
       val sg = lit(1.0) / (lit(1.0) + exp(-z))
+      // clamp σ away from {0,1} before the log terms: a saturated sigmoid
+      // (|z| ≳ 37 in doubles — reachable with caller-set lr/features)
+      // would make 0·(−Inf) = NaN and poison the whole aggregate. Both
+      // bounds are computed as 1.0∓1e-9 in IEEE doubles, mirrored
+      // literally in the DuckDB oracle.
+      val sgc = least(greatest(sg, lit(1e-9)), lit(1.0) - lit(1e-9))
       val a = d.agg(
         count(lit(1)).as("n"),
         sum(micro((sg - col("y")) * col("x0"))).as("g0"),
         sum(micro((sg - col("y")) * col("x1"))).as("g1"),
         sum(micro((sg - col("y")) * col("x2"))).as("g2"),
-        sum(micro(-(col("y") * log(sg) + (lit(1.0) - col("y")) * log(lit(1.0) - sg)))).as("ll"))
+        sum(micro(-(col("y") * log(sgc) + (lit(1.0) - col("y")) * log(lit(1.0) - sgc)))).as("ll"))
         .head
       val n = a.getLong(0).toDouble
       require(n > 0, "logisticGd needs a non-empty training set")
@@ -935,10 +941,12 @@ object Analytics {
       val v = feat.filter(col("_fold") === f).drop("_fold")
       val z = lit(b0) * col("x0") + lit(b1) * col("x1") + lit(b2) * col("x2")
       val sg = (lit(1.0) / (lit(1.0) + exp(-z))).as("sg")
+      // same saturation clamp as the training loss (see logisticGdOnFeatures)
+      val sgcV = least(greatest(col("sg"), lit(1e-9)), lit(1.0) - lit(1e-9))
       v.select(col("y"), sg)
         .agg(count(lit(1)).as("n_val"),
-          sum(floor(-(col("y") * log(col("sg")) +
-              (lit(1.0) - col("y")) * log(lit(1.0) - col("sg"))) * 1000000.0 + 0.5)
+          sum(floor(-(col("y") * log(sgcV) +
+              (lit(1.0) - col("y")) * log(lit(1.0) - sgcV)) * 1000000.0 + 0.5)
             .cast("long")).as("_ll"),
           sum(when((floor(col("sg") * 1000000.0 + 0.5) / 1000000.0 >= 0.5)
               === (col("y") === 1.0), 1L).otherwise(0L)).as("_ok"))

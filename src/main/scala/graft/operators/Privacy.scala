@@ -47,34 +47,51 @@ object Privacy {
 
   /** ε-DP median via the EXPONENTIAL mechanism (McSherry–Talwar, public) —
     * the second textbook DP primitive next to [[privateGroupCounts]]'
-    * Laplace: candidates are a fixed `gridSize`-point grid over the value
-    * range, utility u(c) = −|#{v ≤ c} − n/2| (rank distance to the
-    * median, sensitivity 1), and the release samples ∝ exp(ε·u/2) — here
-    * realized EXACTLY by the Gumbel-max trick: add a Gumbel(0,1) draw to
-    * ε·u/2 and take the argmax. The Gumbel comes from the same keyed-PRF
-    * uniform as the Laplace noise (portable md5 grid, per-candidate
-    * salt), snapped to 1e-6 so the double-`ln` composition can never
-    * disagree between engines; the whole release replays in the oracle.
+    * Laplace: candidates are a fixed `gridSize`-point grid over the
+    * PUBLIC, data-independent range `[loCents, hiCents]` (the mechanism's
+    * ε-DP proof requires the candidate set not depend on the data — a
+    * min/max-derived grid would leak the exact extremes through the
+    * released cell edges), utility u(c) = −|#{v ≤ c} − n/2| (rank
+    * distance to the median, sensitivity 1 under add/remove-one), and the
+    * release samples ∝ exp(ε·u/2) — here realized EXACTLY by the
+    * Gumbel-max trick: add a Gumbel(0,1) draw to ε·u/2 and take the
+    * argmax. The Gumbel comes from the same keyed-PRF uniform as the
+    * Laplace noise (portable md5 grid, per-candidate salt), snapped to
+    * 1e-6 so the double-`ln` composition can never disagree between
+    * engines; the whole release replays in the oracle.
     *
-    * Scale shape: one min/max/count aggregate, one `gridSize`-bucket
-    * histogram (map-side combinable — the ONLY corpus-sized pass), a
-    * grid-sized cumulative window (constant-bounded by construction, the
-    * ml3 argument), and a TakeOrdered-1 pick. Nothing corpus-sized ever
+    * The exact row count n participates ONLY in the utility (where the
+    * mechanism's privacy analysis covers it); it is NOT part of the
+    * released row — privateGroupCounts' rule that an exact count must
+    * never appear next to its noisy release applies here too. Values
+    * outside the public bounds are clamped in (standard DP practice: the
+    * clamp is part of the query, its effect bounded by the sensitivity
+    * argument).
+    *
+    * Scale shape: one count aggregate, one `gridSize`-bucket histogram
+    * (map-side combinable — the ONLY corpus-sized pass), a grid-sized
+    * cumulative window (constant-bounded by construction, the ml3
+    * argument), and a TakeOrdered-1 pick. Nothing corpus-sized ever
     * shuffles or sorts. */
   def privateMedian(df: DataFrame, valueCents: org.apache.spark.sql.Column,
+                    loCents: Long, hiCents: Long,
                     eps: Double = 1.0, gridSize: Int = 101,
                     seed: String = "dp2-release-0"): DataFrame = {
     require(gridSize >= 3, s"gridSize must be >= 3, got $gridSize")
-    val v = df.select(valueCents.cast("long").as("_v"))
-    val mm = v.agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
-      count(lit(1)).as("_n"))
-    val span = (col("_mx") - col("_mn") + 1L).cast("double")
+    require(hiCents > loCents,
+      s"public bounds must satisfy hi > lo, got [$loCents, $hiCents]")
+    val span = (hiCents - loCents + 1L).toDouble
+    // clamp into the public domain, then bucket against the PUBLIC grid —
+    // every constant below is caller-supplied, nothing derives from data
+    val v = df.select(
+      greatest(least(valueCents.cast("long"), lit(hiCents)), lit(loCents)).as("_v"))
     val bucket = least(
-      floor((col("_v") - col("_mn")).cast("double") * gridSize / span).cast("long"),
+      floor((col("_v") - loCents).cast("double") * gridSize / span).cast("long"),
       lit(gridSize - 1L))
-    val hist = v.crossJoin(broadcast(mm))
-      .groupBy(bucket.as("k")).agg(count(lit(1)).as("_c"))
-    val grid = mm.select(col("_mn"), col("_mx"), col("_n"),
+    val hist = v.groupBy(bucket.as("k")).agg(count(lit(1)).as("_c"))
+    // n: internal utility input only — never selected into the release
+    val nDf = df.agg(count(lit(1)).as("_n"))
+    val grid = nDf.select(col("_n"),
       explode(sequence(lit(0L), lit(gridSize - 1L))).as("k"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("k").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -89,10 +106,10 @@ object Privacy {
         -abs(col("_cum").cast("double") - col("_n").cast("double") / 2.0))
       .withColumn("_score", lit(eps / 2.0) * col("_util") + gumbel)
     scored.orderBy(col("_score").desc, col("k").asc).limit(1)
-      .select(col("_n").as("n"), lit(eps).as("epsilon"),
-        col("k").as("grid_cell"),
-        // the cell's upper edge, in dollars — the released value
-        ((col("_mn") + floor((col("k") + 1).cast("double") * span / gridSize)
+      .select(lit(eps).as("epsilon"), col("k").as("grid_cell"),
+        // the cell's upper edge, in dollars — the released value; a pure
+        // function of (k, public bounds), data-free by construction
+        ((lit(loCents) + floor((col("k") + 1).cast("double") * span / gridSize)
           .cast("long") - 1L).cast("double") / 100.0).as("private_median"))
   }
 }

@@ -245,41 +245,51 @@ object Sampling {
     * literals; replicate sums are exact integer folds (Σ w·cents, Σ w as
     * longs) — the only doubles are the final division and round.
     *
-    * Scale shape: the replicate explode is narrow (×b map-side); the one
-    * exchange is a `b`-group aggregate of two longs each. One scan, any
-    * corpus size — the reason Poisson bootstrap IS the large-scale
-    * bootstrap. */
+    * Scale shape: NO row blowup at all — all `b` replicate draws are
+    * computed as in-row expressions (one md5 per digest-group per row,
+    * four 8-hex uniform windows per digest, same bits the DuckDB oracle
+    * reads), and all 2·b replicate sums ride in ONE map-side-combinable
+    * aggregate over the un-exploded scan. The only post-scan work is
+    * unpivoting the single 2·b-column result row into `b` output rows.
+    * One scan, one 1-row exchange, any corpus size — the reason Poisson
+    * bootstrap IS the large-scale bootstrap. (The previous form exploded
+    * ×b/4 before aggregating; same draws, ~b/4× the row volume under the
+    * aggregate.) */
   def bootstrapMeans(df: DataFrame, key: Column, cents: Column,
                      b: Int = 32): DataFrame = {
     require(b >= 4 && b % 4 == 0, s"b must be a positive multiple of 4, got $b")
     // one md5 feeds FOUR replicates (8 hex chars = 32 uniform bits each):
     // the digest is the dominant per-row cost, and 128 independent bits
-    // buy four draws, not one — so the digest-group explode happens
-    // FIRST (b/4 rows) and the four hex windows posexplode after, giving
-    // b/4 hashes per input row instead of b. The DuckDB oracle reads the
-    // same hex windows of the same digests.
-    val u = col("_u").cast("double") / 1000000.0
-    val w = poisson1Cum.zipWithIndex.reverse
+    // buy four draws, not one — b/4 digests per input row
+    val groups = b / 4
+    val withM = df.select(
+      cents.as("_c") +: (0 until groups).map(g =>
+        md5(concat(lit("bs"), lit(g.toLong), lit(":"), key.cast("string")))
+          .as(s"_m$g")): _*)
+    def uOf(g: Int, j: Int): Column =
+      pmod(conv(col(s"_m$g").substr(j * 8 + 1, 8), 16, 10).cast("long"),
+        lit(1000000L)).cast("double") / 1000000.0
+    def wOf(u: Column): Column = poisson1Cum.zipWithIndex.reverse
       .foldLeft(lit(9L): Column) { case (acc, (c, k)) =>
         when(u < c, k.toLong).otherwise(acc)
       }
-    df.select(key.as("_k"), cents.as("_c"),
-        explode(sequence(lit(0L), lit(b / 4 - 1L))).as("_grp"))
-      .withColumn("_m",
-        md5(concat(lit("bs"), col("_grp"), lit(":"), col("_k").cast("string"))))
-      .select(col("_c"), col("_grp"),
-        posexplode(transform(sequence(lit(0L), lit(3L)), j =>
-          pmod(conv(col("_m").substr((j * 8 + 1).cast("int"), lit(8)), 16, 10)
-            .cast("long"), lit(1000000L)))))
-      .select(col("_c"), (col("_grp") * 4 + col("pos")).as("_rep"),
-        col("col").as("_u"))
-      .withColumn("_w", w)
-      .groupBy(col("_rep"))
-      .agg(sum(col("_w")).as("n_resampled"),
-        sum(col("_w") * col("_c")).as("_sum"))
-      .select(col("_rep").as("replicate"), col("n_resampled"),
+    val proj = withM.select(
+      col("_c") +: (0 until b).map(rep =>
+        wOf(uOf(rep / 4, rep % 4)).as(s"_w$rep")): _*)
+    val aggExprs = (0 until b).flatMap { rep =>
+      Seq(sum(col(s"_w$rep")).as(s"_n$rep"),
+        sum(col(s"_w$rep") * col("_c")).as(s"_s$rep"))
+    }
+    val one = proj.agg(aggExprs.head, aggExprs.tail: _*)
+    // unpivot the 1-row, 2b-column aggregate into b output rows — b tiny
+    // structs, nothing data-sized
+    val pairs = array((0 until b).map(rep =>
+      struct(lit(rep.toLong).as("rep"), col(s"_n$rep").as("n"),
+        col(s"_s$rep").as("s"))): _*)
+    one.select(explode(pairs).as("r"))
+      .select(col("r.rep").as("replicate"), col("r.n").as("n_resampled"),
         graft.functions.portableRound(
-          col("_sum").cast("double") / col("n_resampled").cast("double") / 100.0, 4)
+          col("r.s").cast("double") / col("r.n").cast("double") / 100.0, 4)
           .as("mean_price"))
   }
 

@@ -44,26 +44,38 @@ class PrivacySpec extends SparkTestBase {
     import org.apache.spark.sql.functions.col
     val orders = graft.Tables.orders(spark, sf0001)
     val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-    val r = Privacy.privateMedian(orders, cents, eps = 1.0).collect()
+    // public domain bound for o_totalprice: [$0, $600,000] — schema
+    // knowledge, not computed from the data
+    val (lo, hi) = (0L, 60000000L)
+    val r = Privacy.privateMedian(orders, cents, lo, hi, eps = 1.0).collect()
     assert(r.length == 1)
     val row = r.head
-    assert(row.getLong(0) == orders.count())
-    val released = row.getDouble(3)
+    // the released row must NOT carry the exact count — epsilon, cell, value only
+    assert(r.head.schema.fieldNames.toSeq ==
+      Seq("epsilon", "grid_cell", "private_median"))
+    val released = row.getDouble(2)
     val truth = orders.stat.approxQuantile("o_totalprice", Array(0.5), 0.0).head
-    val (mn, mx) = (orders.agg(org.apache.spark.sql.functions.min("o_totalprice"))
-      .head.getDouble(0),
-      orders.agg(org.apache.spark.sql.functions.max("o_totalprice")).head.getDouble(0))
     // exponential mechanism at eps=1, n~1.5k: utility gap to a far cell is
     // hundreds of nats - the release must land within a few grid cells of
-    // the true median
-    assert(math.abs(released - truth) < (mx - mn) * 0.06,
-      s"released $released vs median $truth (range $mn..$mx)")
+    // the true median (grid cell width = span/101 ≈ $5,941)
+    assert(math.abs(released - truth) < (hi - lo) / 100.0 / 101.0 * 3,
+      s"released $released vs median $truth")
     // deterministic replay: same seed, any layout
-    val r2 = Privacy.privateMedian(orders.repartition(7), cents, eps = 1.0).collect()
+    val r2 = Privacy.privateMedian(orders.repartition(7), cents, lo, hi,
+      eps = 1.0).collect()
     assert(r.toSeq == r2.toSeq)
-    // a rotated seed may move the release; the mechanism stays in range
-    val r3 = Privacy.privateMedian(orders, cents, eps = 1.0,
+    // a rotated seed may move the release; the mechanism stays in the
+    // public domain
+    val r3 = Privacy.privateMedian(orders, cents, lo, hi, eps = 1.0,
       seed = "dp2-release-1").head
-    assert(r3.getDouble(3) >= mn - 1 && r3.getDouble(3) <= mx + 1)
+    assert(r3.getDouble(2) >= lo / 100.0 - 1 && r3.getDouble(2) <= hi / 100.0 + 1)
+    // the grid is data-independent: shifting every value by a constant
+    // must keep every candidate edge identical (only the histogram moves)
+    val shifted = Privacy.privateMedian(orders, cents + lit(500000L), lo, hi,
+      eps = 1.0).head
+    val cellEdge = (k: Long) => (lo + math.floor((k + 1).toDouble *
+      (hi - lo + 1).toDouble / 101).toLong - 1).toDouble / 100.0
+    assert(shifted.getDouble(2) == cellEdge(shifted.getLong(1)))
+    assert(row.getDouble(2) == cellEdge(row.getLong(1)))
   }
 }
