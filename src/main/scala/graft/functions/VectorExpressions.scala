@@ -499,6 +499,63 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All `b` Poisson(1) bootstrap multiplicities of one row, as one compiled
+  * kernel: md5("bs<g>:<key>") per digest-group (b/4 digests, four 8-hex
+  * uniform windows each, the EXACT bits `md5()`/`conv`/`pmod` would read),
+  * inverse-CDF against the caller's snapped cumulative ladder.
+  *
+  * Exists because the declarative form could not survive codegen: 32
+  * `when`-ladder columns over 8 inlined md5 calls blew the 64 KB Janino
+  * method limit, and the whole-stage fallback then evaluated every
+  * collapsed expression interpreted — including 4× duplicated digests.
+  * Here the per-row cost is b/4 digests + b table walks inside one JIT'd
+  * method, and the downstream aggregate sees a plain `array<long>`. */
+case class PoissonBootstrapWeights(child: Expression, b: Int, cum: Seq[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "poisson_bootstrap_weights"
+
+  private val cumArr = cum.toArray
+
+  def computeJava(key: UTF8String): ArrayData = {
+    val ks = key.toString
+    val out = new Array[Long](b)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var g = 0
+    while (g < b / 4) {
+      val digest = md.digest(("bs" + g + ":" + ks).getBytes("UTF-8"))
+      var j = 0
+      while (j < 4) {
+        // hex window [j*8+1, 8] of the digest string = bytes [4j, 4j+4)
+        // big-endian — the same unsigned 32-bit value conv(...,16,10) reads
+        var v = 0L
+        var bi = j * 4
+        while (bi < j * 4 + 4) { v = (v << 8) | (digest(bi) & 0xffL); bi += 1 }
+        val u = (v % 1000000L).toDouble / 1000000.0
+        var k = 0
+        while (k < cumArr.length && !(u < cumArr(k))) k += 1
+        out(g * 4 + j) = k.toLong
+        j += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = computeJava(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("bootstrapper", this,
+        "graft.functions.PoissonBootstrapWeights")
+      s"${ev.value} = $self.computeJava($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Dot product over two `array<float>` columns — same codegen rationale. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

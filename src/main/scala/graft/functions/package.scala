@@ -46,6 +46,13 @@ package object functions {
   def rolling_hash(c: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(c)))
 
+  /** All `b` Poisson(1) bootstrap multiplicities of a row key as one
+    * compiled `array<long>` kernel (b/4 md5 digests, four 8-hex uniform
+    * windows each, inverse-CDF against the snapped ladder) — replaces a
+    * 32-column `when`-ladder projection that blew the Janino method limit. */
+  def poisson_bootstrap_weights(key: Column, b: Int, cum: Seq[Double]): Column =
+    Bridge.column(PoissonBootstrapWeights(Bridge.expression(key), b, cum))
+
   /** Multiset count of array elements inside a fixed vocabulary (compiled
     * hash-set probe; replaces the filter/array_contains HOF). */
   def tokens_in_set(c: Column, vocab: Seq[String]): Column =

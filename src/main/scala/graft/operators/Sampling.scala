@@ -260,25 +260,15 @@ object Sampling {
     require(b >= 4 && b % 4 == 0, s"b must be a positive multiple of 4, got $b")
     // one md5 feeds FOUR replicates (8 hex chars = 32 uniform bits each):
     // the digest is the dominant per-row cost, and 128 independent bits
-    // buy four draws, not one — b/4 digests per input row
-    val groups = b / 4
-    val withM = df.select(
-      cents.as("_c") +: (0 until groups).map(g =>
-        md5(concat(lit("bs"), lit(g.toLong), lit(":"), key.cast("string")))
-          .as(s"_m$g")): _*)
-    def uOf(g: Int, j: Int): Column =
-      pmod(conv(col(s"_m$g").substr(j * 8 + 1, 8), 16, 10).cast("long"),
-        lit(1000000L)).cast("double") / 1000000.0
-    def wOf(u: Column): Column = poisson1Cum.zipWithIndex.reverse
-      .foldLeft(lit(9L): Column) { case (acc, (c, k)) =>
-        when(u < c, k.toLong).otherwise(acc)
-      }
-    val proj = withM.select(
-      col("_c") +: (0 until b).map(rep =>
-        wOf(uOf(rep / 4, rep % 4)).as(s"_w$rep")): _*)
+    // buy four draws, not one — b/4 digests per input row, all inside ONE
+    // compiled kernel (a 32-column when-ladder projection blew the 64 KB
+    // Janino method limit and fell back to interpreted eval)
+    val proj = df.select(cents.as("_c"),
+      graft.functions.poisson_bootstrap_weights(
+        key.cast("string"), b, poisson1Cum).as("_ws"))
     val aggExprs = (0 until b).flatMap { rep =>
-      Seq(sum(col(s"_w$rep")).as(s"_n$rep"),
-        sum(col(s"_w$rep") * col("_c")).as(s"_s$rep"))
+      Seq(sum(col("_ws").getItem(rep)).as(s"_n$rep"),
+        sum(col("_ws").getItem(rep) * col("_c")).as(s"_s$rep"))
     }
     val one = proj.agg(aggExprs.head, aggExprs.tail: _*)
     // unpivot the 1-row, 2b-column aggregate into b output rows — b tiny
