@@ -47,7 +47,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed setup failed: ${e.getMessage}")
     }
-    val results = names.map { name =>
+    def measure(): Seq[(String, Double, Boolean)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       // settle the JVM between queries: prior queries' shuffle/broadcast
       // garbage otherwise lands in the next query's measurement
@@ -60,24 +60,11 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // a failed query must be visible in the JSON but must NOT poison naive
-    // consumers that sum the queries map: JSON null, plus the errors array
-    // (a -1.0 sentinel here once skewed a 32-error round's totals)
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v.toString else "null")
-    }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
     // canaries: code-untouched queries whose drift measures VM noise, not
     // regressions — BASELINE.md records them moving in lockstep across
     // identical-config runs (51→90 s totals). Reported so any round-over-
     // round comparison can normalize by them.
     val canaryNames = Seq("q1_pricing_summary", "t7_tfidf", "d4_ngram_jaccard")
-    val canaryTimes = canaryNames.flatMap(c =>
-      results.collectFirst { case (`c`, v, true) => c -> v })
-    val canaries = canaryTimes
-      .map { case (c, v) => "\"" + c + "\":" + v }.mkString("{", ",", "}")
     // canary ENFORCEMENT (BASELINE.md §rounds 5–7): the protocol's decision
     // rule lives here, not in reviewer discipline. Reference = the r7
     // quiet-machine levels at sf0.1/local[32]; a run whose worst canary
@@ -87,21 +74,61 @@ object Bench {
     // no recorded reference → `uncalibrated`.
     val quietRef = Map(
       "q1_pricing_summary" -> 1.22, "t7_tfidf" -> 0.96, "d4_ngram_jaccard" -> 0.76)
-    val ratios = canaryTimes.collect { case (c, v) if quietRef.contains(c) =>
-      v / quietRef(c) }
-    val quality =
+    def ratiosOf(results: Seq[(String, Double, Boolean)]): Seq[Double] = {
+      val canaryTimes = canaryNames.flatMap(c =>
+        results.collectFirst { case (`c`, v, true) => c -> v })
+      canaryTimes.collect { case (c, v) if quietRef.contains(c) => v / quietRef(c) }
+    }
+    def qualityOf(ratios: Seq[Double]): String =
       if (only.nonEmpty) "subset" // filtered runs aren't protocol artifacts
       else if (!sfDir.replace("/", "").endsWith("sf0.1")) "uncalibrated"
       else if (ratios.size < quietRef.size) "contended" // a canary errored
       else if (ratios.max <= 1.35) "quiet"
       else "contended"
+    // contended auto-rerun (round-8 verdict item): a `contended` stamp on
+    // a full protocol run means VM noise, not code — so the runner itself
+    // retries ONCE after a cool-down instead of leaving the round artifact
+    // for a human to adjudicate. If the retry is also contended, keep
+    // whichever attempt had the calmer canaries and stamp it honestly.
+    var results = measure()
+    var ratios = ratiosOf(results)
+    var quality = qualityOf(ratios)
+    var reruns = 0
+    if (quality == "contended") {
+      System.err.println(s"[bench] contended run (canary max ratio " +
+        s"${if (ratios.isEmpty) "n/a" else ratios.max.toString}); cooling " +
+        "down 30s and re-measuring once")
+      System.gc()
+      Thread.sleep(30000)
+      val again = measure()
+      val againRatios = ratiosOf(again)
+      reruns = 1
+      val firstKey = if (ratios.isEmpty) Double.MaxValue else ratios.max
+      val againKey = if (againRatios.isEmpty) Double.MaxValue else againRatios.max
+      if (againKey < firstKey) {
+        results = again; ratios = againRatios; quality = qualityOf(againRatios)
+      }
+    }
+    // a failed query must be visible in the JSON but must NOT poison naive
+    // consumers that sum the queries map: JSON null, plus the errors array
+    // (a -1.0 sentinel here once skewed a 32-error round's totals)
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v.toString else "null")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val canaryTimes = canaryNames.flatMap(c =>
+      results.collectFirst { case (`c`, v, true) => c -> v })
+    val canaries = canaryTimes
+      .map { case (c, v) => "\"" + c + "\":" + v }.mkString("{", ",", "}")
     // NOT the f-interpolator: it is default-locale-sensitive (comma
     // decimal separators would corrupt the JSON); Double.toString is not
     val maxRatio =
       if (ratios.isEmpty) "null"
       else (math.round(ratios.max * 100) / 100.0).toString
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"note":"canaries are code-untouched VM-noise yardsticks; quality is the runner-enforced canary verdict vs the quiet reference (BASELINE.md rounds 5-7)","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"reruns":$reruns,"note":"canaries are code-untouched VM-noise yardsticks; quality is the runner-enforced canary verdict vs the quiet reference (BASELINE.md rounds 5-7); reruns counts contended-triggered re-measurements","sf":"$sfDir"}"""
     println(json)
     // stdout through sbt is interleaved with log spew and can truncate —
     // also persist the full machine-readable artifact to a file

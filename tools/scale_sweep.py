@@ -3,11 +3,12 @@
 
 Round 7's one-off sweep caught a silent n^2/2^planes quadratic that had
 sat invisible for four rounds (d6's pinned LSH plane count, 185x wall
-clock at 10x data). This tool makes that check cheap enough to run every
-round: it synthesizes a structure-preserving 10x copy of the sf0.1
-fixtures the subset needs, times a 6-query canary-scale subset at both
-scales (rep-min of 2 runs each, through graft.Bench's noop-write
-harness), and fails if any 10x-data ratio exceeds the bound.
+clock at 10x data). Round 9 widens the measured set from 8 queries to the
+full heavy tier (every benched query over ~1.5 s quiet, plus the original
+8): it synthesizes a structure-preserving 10x copy of every sf0.1 fixture
+the subset needs, times the subset at both scales (rep-min of 2 runs
+each, through graft.Bench's noop-write harness), and fails if any
+10x-data ratio exceeds the bound.
 
 Usage:
     python3 tools/scale_sweep.py [--bound 9] [--sf01 DIR] [--x10 DIR]
@@ -24,6 +25,19 @@ Synthesis (mirrors SCALE.md section "sf1-equivalent validation"):
   - part x10: keys offset per replica, every other column VERBATIM — the
     10x-repeated names are the identical-name hot-block stress for the
     entity-resolution row, deliberately adversarial.
+  - orders/lineitem/customer/supplier x10: every key column offset by
+    k * (max over its OWN key domain) — the same offset constant wherever
+    a domain appears (l_orderkey uses orders' offset, l_partkey uses
+    part's), so replica-k facts join replica-k dimensions exactly and the
+    join/group structure is that of an organically 10x corpus. Nation
+    keys stay VERBATIM: nation/region are bounded dimension tables at any
+    corpus size, so the 25-node trade graph keeps its shape while its
+    edge-building scans grow 10x — exactly the 100 TB regime for the
+    graph family.
+  - events x10: event_id/user_id offset per replica, timestamps VERBATIM
+    — 10x event density over the same time range (windows keep their
+    count, per-window and per-user state grows 10x).
+  - nation/region: copied 1x (dimension tables don't scale with corpus).
 
 Validation data only — correctness oracles always run against the
 driver fixtures.
@@ -31,11 +45,13 @@ driver fixtures.
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
 
 SUBSET = [
+    # the original 8 (rounds 7-8)
     "d6_production",      # cost-ranked LSH at the 0.8 corpus-dedup threshold
     "sim2_production",    # corpus-adaptive ANN over the planted corpus
     "d8_keep_best",       # pair rounds + one argmax exchange (linear claim)
@@ -45,25 +61,71 @@ SUBSET = [
                           # the exact hot-block shape that put er1 (the
                           # clique form, known-quadratic output) at 15x
     "dsir1_importance",   # two token scans + 128-row model tables + one
-                          # doc rollup (linear claim; round-8 addition)
-    "d11_containment",    # df-bounded span-blocked pair generation — the
-                          # round-8 op whose pair work COULD go quadratic
-                          # if the df ceiling failed to bound it
+                          # doc rollup (linear claim)
+    "d11_containment",    # df-bounded span-blocked pair generation — pair
+                          # work COULD go quadratic if the df ceiling failed
+    # round-9 widening: the rest of the heavy tier (> ~1.5 s quiet)
+    "boot1_bootstrap_ci",    # one-kernel draws + 64-sum aggregate (linear)
+    "pca1_power_iteration",  # rounds x N over embeddings (linear)
+    "d10_dup_spans",         # window-over-digest spans (linear x per-part sort)
+    "mb1_market_basket",     # within-basket pairs (bounded by basket size)
+    "lp1_communities",       # edge build 10x, 25-node graph constant
+    "pr1_pagerank",          # same shape as lp1
+    "tri1_triangles",        # ordered 3-way self-join on the tiny edge set
+    "kcore1_dense_core",     # peel rounds on the tiny heavy-edge set
+    "ml4_cv",                # folds x iters one-aggregate scans (linear)
+    "woe1_woe_iv",           # quantile bins + one grouped agg (linear)
+    "st1_stream_window",     # streaming windowed agg over events (linear)
+    "st6_stream_cdc",        # streaming last-per-user merge, state ~ users
+    "q18_large_orders",      # group-filter-join TPC-H heavy hitter
+    "q21_waiting_suppliers", # multi-join TPC-H heavy hitter
 ]
-TABLES = {"embeddings", "documents", "part"}  # all the subset reads
+
+# key columns offset per replica, by table: (column -> key-domain table)
+# the offset constant for a domain is max(key in domain table) + 1, shared
+# by every referencing column so joins stay replica-consistent
+KEYS = {
+    "embeddings": {"vec_id": ("embeddings", "vec_id")},
+    "documents": {"doc_id": ("documents", "doc_id")},
+    "part": {"p_partkey": ("part", "p_partkey")},
+    "orders": {"o_orderkey": ("orders", "o_orderkey"),
+               "o_custkey": ("customer", "c_custkey")},
+    "lineitem": {"l_orderkey": ("orders", "o_orderkey"),
+                 "l_partkey": ("part", "p_partkey"),
+                 "l_suppkey": ("supplier", "s_suppkey")},
+    "customer": {"c_custkey": ("customer", "c_custkey")},
+    "supplier": {"s_suppkey": ("supplier", "s_suppkey")},
+    "events": {"event_id": ("events", "event_id"),
+               "user_id": ("events", "user_id")},
+}
+COPY_1X = ["nation", "region"]  # bounded dims: verbatim, unscaled
 
 
 def synthesize(src: str, dst: str, force: bool) -> None:
     import duckdb
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    key_of = {"embeddings": "vec_id", "documents": "doc_id", "part": "p_partkey"}
-    for table in sorted(TABLES):
+    # one offset constant per key domain, computed up-front and shared
+    domains = sorted({dom for t in KEYS.values() for dom in t.values()})
+    off = {}
+    for table, colname in domains:
+        off[(table, colname)] = con.execute(
+            f"SELECT max({colname}) + 1 FROM '{src}/{table}.parquet'"
+        ).fetchone()[0]
+    for table in COPY_1X:
         out = os.path.join(dst, f"{table}.parquet")
         src_file = f"{src}/{table}.parquet"
-        n, off = con.execute(
-            f"SELECT count(*), max({key_of[table]}) + 1 FROM '{src_file}'"
-        ).fetchone()
+        if (os.path.exists(out)
+                and os.path.getmtime(out) > os.path.getmtime(src_file)
+                and not force):
+            continue
+        shutil.copyfile(src_file, out)
+        print(f"[synth] {table}: copied 1x (dimension table)")
+    for table in sorted(KEYS):
+        out = os.path.join(dst, f"{table}.parquet")
+        src_file = f"{src}/{table}.parquet"
+        n = con.execute(
+            f"SELECT count(*) FROM '{src_file}'").fetchone()[0]
         if os.path.exists(out) and not force:
             # the driver regenerates the source fixtures at will: a cached
             # x10 of an OLDER generation would make the ratio meaningless,
@@ -77,58 +139,44 @@ def synthesize(src: str, dst: str, force: bool) -> None:
                 continue
             print(f"[synth] {table}: stale (source regenerated or row "
                   f"mismatch {n10} != 10*{n}), rebuilding")
-        if table == "embeddings":
-            sql = f"""
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{src_file}'").fetchall()]
+        keycols = KEYS[table]
+        order_key = next(iter(keycols))
+        sel = []
+        for c in cols:
+            if c in keycols:
+                sel.append(f"t.{c} + k.k * {off[keycols[c]]} AS {c}")
+            elif table == "documents" and c == "text":
+                # suffix every token with _k (k>0): cross-replica shingle
+                # Jaccard -> 0, within-replica dup structure verbatim
+                sel.append(
+                    "CASE WHEN k.k = 0 THEN t.text ELSE array_to_string("
+                    "list_transform(string_split(t.text, ' '), "
+                    "s -> s || '_' || CAST(k.k AS VARCHAR)), ' ') END AS text")
+            elif table == "embeddings" and c == "embedding":
+                # Hadamard-style sign flip: within-replica geometry exact,
+                # cross-replica cosine ~ 0
+                sel.append(
+                    "CAST([CASE WHEN bit_count(CAST(i - 1 AS BIGINT) & k.k) "
+                    "% 2 = 1 THEN -t.embedding[i] ELSE t.embedding[i] END "
+                    "FOR i IN RANGE(1, 1 + len(t.embedding))] AS FLOAT[]) "
+                    "AS embedding")
+            else:
+                sel.append(f"t.{c}")
+        con.execute(f"""
             COPY (
-              SELECT e.vec_id + k.k * {off} AS vec_id,
-                     CAST([CASE WHEN bit_count(CAST(i - 1 AS BIGINT) & k.k) % 2 = 1
-                                THEN -e.embedding[i] ELSE e.embedding[i] END
-                           FOR i IN RANGE(1, 1 + len(e.embedding))] AS FLOAT[]) AS embedding,
-                     e.label
-              FROM '{src}/embeddings.parquet' e
+              SELECT {', '.join(sel)}
+              FROM '{src_file}' t
               CROSS JOIN (SELECT unnest(range(10)) AS k) k
-              ORDER BY vec_id
-            ) TO '{out}' (FORMAT PARQUET)"""
-        elif table == "part":
-            # keys offset per replica, every OTHER column VERBATIM — names
-            # repeating 10x across replicas is the adversarial
-            # identical-name hot-block shape for entity resolution
-            cols = [r[0] for r in con.execute(
-                f"DESCRIBE SELECT * FROM '{src}/part.parquet'").fetchall()]
-            passthrough = ", ".join(
-                f"p.{c}" for c in cols if c != "p_partkey")
-            sql = f"""
-            COPY (
-              SELECT p.p_partkey + k.k * {off} AS p_partkey, {passthrough}
-              FROM '{src}/part.parquet' p
-              CROSS JOIN (SELECT unnest(range(10)) AS k) k
-              ORDER BY p_partkey
-            ) TO '{out}' (FORMAT PARQUET)"""
-        else:  # documents
-            cols = [r[0] for r in con.execute(
-                f"DESCRIBE SELECT * FROM '{src}/documents.parquet'").fetchall()]
-            passthrough = ", ".join(
-                f"d.{c}" for c in cols if c not in ("doc_id", "text"))
-            sql = f"""
-            COPY (
-              SELECT d.doc_id + k.k * {off} AS doc_id,
-                     CASE WHEN k.k = 0 THEN d.text
-                          ELSE array_to_string(
-                            list_transform(string_split(d.text, ' '),
-                                           t -> t || '_' || CAST(k.k AS VARCHAR)), ' ')
-                     END AS text,
-                     {passthrough}
-              FROM '{src}/documents.parquet' d
-              CROSS JOIN (SELECT unnest(range(10)) AS k) k
-              ORDER BY doc_id
-            ) TO '{out}' (FORMAT PARQUET)"""
-        con.execute(sql)
+              ORDER BY {order_key}
+            ) TO '{out}' (FORMAT PARQUET)""")
         n10 = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
         assert n10 == 10 * n, f"{table}: {n10} != 10*{n}"
         print(f"[synth] {table}: {n} -> {n10} rows")
 
 
-def bench_once(sf_dir: str, out_file: str) -> dict:
+def bench_once(sf_dir: str, out_file: str, subset) -> dict:
     # Bench swallows artifact-write failures (stderr + exit 0); never let
     # a stale file from a previous sweep satisfy the existence check
     if os.path.exists(out_file):
@@ -136,7 +184,7 @@ def bench_once(sf_dir: str, out_file: str) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
-               SPARK_GRAFT_BENCH_ONLY=",".join(SUBSET),
+               SPARK_GRAFT_BENCH_ONLY=",".join(subset),
                SPARK_GRAFT_BENCH_OUT=out_file)
     r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                        env=env, capture_output=True, text=True)
@@ -150,11 +198,11 @@ def bench_once(sf_dir: str, out_file: str) -> dict:
     return d["queries"]
 
 
-def rep_min(sf_dir: str, tag: str, reps: int) -> dict:
+def rep_min(sf_dir: str, tag: str, reps: int, subset) -> dict:
     runs = []
     for i in range(reps):
         out = os.path.join(tempfile.gettempdir(), f"sweep_{tag}_{i}.json")
-        q = bench_once(sf_dir, out)
+        q = bench_once(sf_dir, out, subset)
         print(f"[bench] {tag} rep {i}: " +
               " ".join(f"{k}={v:.2f}" for k, v in q.items()))
         runs.append(q)
@@ -168,17 +216,26 @@ def main() -> None:
     ap.add_argument("--sf01", default="/root/testdata/sf0.1")
     ap.add_argument("--x10", default="/tmp/sfx10_sweep")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of SUBSET to run")
     ap.add_argument("--force", action="store_true",
                     help="rebuild the synthesized fixtures")
     args = ap.parse_args()
+    subset = SUBSET
+    if args.only:
+        want = [q.strip() for q in args.only.split(",") if q.strip()]
+        unknown = set(want) - set(SUBSET)
+        if unknown:
+            raise SystemExit(f"--only names not in SUBSET: {sorted(unknown)}")
+        subset = want
 
     synthesize(args.sf01, args.x10, args.force)
-    base = rep_min(args.sf01, "sf01", args.reps)
-    big = rep_min(args.x10, "x10", args.reps)
+    base = rep_min(args.sf01, "sf01", args.reps, subset)
+    big = rep_min(args.x10, "x10", args.reps, subset)
 
     print(f"\n{'query':<22} {'sf0.1':>7} {'x10':>8} {'ratio':>7}  verdict")
     failed = []
-    for q in SUBSET:
+    for q in subset:
         ratio = big[q] / base[q]
         ok = ratio <= args.bound
         if not ok:
