@@ -3629,16 +3629,30 @@ object Queries {
     * sampled every 2nd frame ([[Multimodal.frameSample]]). The kept-frame
     * count is pure arithmetic in doc_id, so DuckDB replays it without a
     * codec. */
+  /** MM2: REAL video demux — one MJPEG-in-RIFF (AVI) container per doc
+    * ([[Multimodal.synthesizeAvis]]: avih/strh/strf headers + '00dc' JPEG
+    * frames + idx1, every size field little-endian from the actual bytes),
+    * frames recovered by walking the RIFF tree
+    * ([[Multimodal.aviFrameSample]]), every 2nd kept, and each kept
+    * frame's dims parsed back OUT of its JPEG bytes by the header parser —
+    * container AND codec verified end to end from the payload alone. */
   val mm2Frames: Q = (s, d) => {
-    val media = Multimodal.synthesizePngSequence(s,
+    val media = Multimodal.synthesizeAvis(s,
       Tables.documents(s, d).select(col("doc_id")))
-    Multimodal.frameSample(s, media, everyK = 2)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    val frames = Multimodal.aviFrameSample(s, media, everyK = 2).toDF()
+      .select(col("doc_id"), col("payload"))
+    Multimodal.decodeImages(s, frames).toDF()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), min(col("fmt")).as("fmt"),
+        max(col("width")).cast("long").as("width"),
+        max(col("height")).cast("long").as("height"))
   }
 
   val mm2FramesSql: String =
     """SELECT doc_id,
-      |       CAST(ceil((1 + doc_id % 8) / 2.0) AS BIGINT) AS n_frames
+      |       CAST(ceil((1 + doc_id % 8) / 2.0) AS BIGINT) AS n_frames,
+      |       'jpeg' AS fmt,
+      |       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
       |FROM documents""".stripMargin
 
   /** MM4: REAL image resize — complete PNGs synthesized per doc (dims law

@@ -333,6 +333,207 @@ object Multimodal {
     } else None
   }
 
+// ─────────────────── real MJPEG-in-RIFF (AVI) video ──────────────────
+
+  // little-endian byte writers for building RIFF structures in JVM code
+  // (the in-plan le16c/le32c above are their Column twins)
+  private def le16b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def fourcc(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL complete JPEG frame: the same deterministic raster law as
+    * [[synthesizePng]], encoded through `javax.imageio`'s JPEG writer —
+    * SOI, JFIF/APP0, quant/huffman tables, SOF0, entropy-coded data, EOI.
+    * The MJPEG frames inside [[synthesizeAvi]]'s containers. */
+  def synthesizeJpeg(docId: Long, frameIdx: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (((docId * 31 + frameIdx * 101 + x * 7 + y * 13) % 0xffffff).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** REAL AVI container around MJPEG frames (OpenDML/VfW layout): RIFF
+    * 'AVI ' → LIST 'hdrl' ('avih' main header + LIST 'strl' with 'strh'
+    * vids/MJPG + 'strf' BITMAPINFOHEADER) → LIST 'movi' ('00dc' chunk per
+    * JPEG frame, even-padded) → 'idx1' (one AVIINDEXENTRY per frame).
+    * Every size field is computed little-endian from the actual frame
+    * bytes — the output is a spec-shaped AVI a real demuxer reads. */
+  def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty, "an AVI needs at least one frame")
+    val n = frames.length
+    val maxFrame = frames.map(_.length).max
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(fourcc(tag)); bos.write(le32b(data.length)); bos.write(data)
+      if (data.length % 2 == 1) bos.write(0) // RIFF chunks are even-aligned
+      bos.toByteArray
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(fourcc("LIST")); bos.write(le32b(body.length + 4))
+      bos.write(fourcc(listType)); bos.write(body)
+      bos.toByteArray
+    }
+    val avih = { // MainAVIHeader, 56 bytes
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(le32b(100000))   // dwMicroSecPerFrame: 10 fps
+      b.write(le32b(0)); b.write(le32b(0))
+      b.write(le32b(0x10))     // dwFlags: AVIF_HASINDEX
+      b.write(le32b(n))        // dwTotalFrames
+      b.write(le32b(0))
+      b.write(le32b(1))        // dwStreams
+      b.write(le32b(maxFrame)) // dwSuggestedBufferSize
+      b.write(le32b(w)); b.write(le32b(h))
+      (1 to 4).foreach(_ => b.write(le32b(0))) // dwReserved
+      b.toByteArray
+    }
+    val strh = { // AVIStreamHeader, 56 bytes
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(fourcc("vids")); b.write(fourcc("MJPG"))
+      b.write(le32b(0))                  // dwFlags
+      b.write(le16b(0)); b.write(le16b(0)) // wPriority, wLanguage
+      b.write(le32b(0))                  // dwInitialFrames
+      b.write(le32b(1)); b.write(le32b(10)) // dwScale/dwRate: 10 fps
+      b.write(le32b(0))                  // dwStart
+      b.write(le32b(n))                  // dwLength (frames)
+      b.write(le32b(maxFrame))           // dwSuggestedBufferSize
+      b.write(le32b(-1))                 // dwQuality: default
+      b.write(le32b(0))                  // dwSampleSize
+      b.write(le16b(0)); b.write(le16b(0)) // rcFrame
+      b.write(le16b(w)); b.write(le16b(h))
+      b.toByteArray
+    }
+    val strf = { // BITMAPINFOHEADER, 40 bytes
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(le32b(40))
+      b.write(le32b(w)); b.write(le32b(h))
+      b.write(le16b(1)); b.write(le16b(24)) // biPlanes, biBitCount
+      b.write(fourcc("MJPG"))               // biCompression
+      b.write(le32b(w * h * 3))             // biSizeImage
+      (1 to 4).foreach(_ => b.write(le32b(0)))
+      b.toByteArray
+    }
+    val strl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+    val hdrl = list("hdrl", chunk("avih", avih) ++ strl)
+    val moviBody = new java.io.ByteArrayOutputStream()
+    val offsets = frames.map { f =>
+      val off = moviBody.size() + 4 // from 'movi' fourcc to this chunk's tag
+      moviBody.write(chunk("00dc", f))
+      off
+    }
+    val movi = list("movi", moviBody.toByteArray)
+    val idx1 = { // AVIINDEXENTRY per frame
+      val b = new java.io.ByteArrayOutputStream()
+      frames.zip(offsets).foreach { case (f, off) =>
+        b.write(fourcc("00dc"))
+        b.write(le32b(0x10)) // AVIIF_KEYFRAME
+        b.write(le32b(off))
+        b.write(le32b(f.length))
+      }
+      b.toByteArray
+    }
+    val riffBody = fourcc("AVI ") ++ hdrl ++ movi ++ chunk("idx1", idx1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(fourcc("RIFF")); out.write(le32b(riffBody.length))
+    out.write(riffBody)
+    out.toByteArray
+  }
+
+  /** Deterministic REAL-AVI media table: one MJPEG AVI per doc id with
+    * `1 + id % framesMod` frames of `frameDim`² pixels (same laws as the
+    * concatenated-PNG fixture it replaces, so mm2's oracle is unchanged).
+    * Full containers are generated per row — scan-shaped, not
+    * driver-shipped. */
+  def synthesizeAvis(spark: SparkSession, ids: DataFrame,
+                     framesMod: Int = 8, frameDim: Int = 8): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { rows =>
+      rows.map { id =>
+        val n = 1 + (id % framesMod).toInt
+        val frames = (0 until n).map(f => synthesizeJpeg(id, f, frameDim, frameDim))
+        MediaRow(id, buildAvi(frames, frameDim, frameDim))
+      }
+    }.toDF()
+  }
+
+  /** REAL AVI demux: walk the RIFF tree by declared chunk sizes (the same
+    * byte discipline as [[decodeWavHeader]]'s canonical-WAV walk, here over
+    * the nested LIST structure) to the LIST('movi') payload, slice every
+    * '00dc'/'00db' chunk — each slice is a complete JPEG stream — and keep
+    * every k-th frame by ORIGINAL index. Downstream [[decodeImages]] /
+    * [[resize]] consume the emitted frames directly, exactly like the PNG
+    * path. A malformed tail stops the demux for that doc (quarantine-style:
+    * well-formed prefix frames still come out). */
+  def aviFrameSample(spark: SparkSession, media: DataFrame,
+                     everyK: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .flatMap { r =>
+        val p = r.payload
+        def u8(i: Int): Int = p(i) & 0xff
+        def le32(i: Int): Int =
+          u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+        def tag(i: Int): String =
+          new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        if (p.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ") {
+          val riffEnd = math.min(p.length, 8 + le32(4))
+          // top-level chunk walk to LIST('movi'); a chunk whose declared
+          // size overruns the buffer (truncated container) still gets its
+          // in-bounds prefix walked — well-formed prefix frames come out,
+          // the same quarantine policy as the PNG demux
+          var i = 12
+          var ok = true
+          while (ok && i + 8 <= riffEnd) {
+            val size = le32(i + 4)
+            val declaredEnd = i + 8 + size
+            if (size < 0) ok = false
+            else {
+              if (tag(i) == "LIST" && size >= 4 && i + 12 <= riffEnd &&
+                  tag(i + 8) == "movi") {
+                // sub-chunk walk: every video-data chunk is one frame
+                val end = math.min(declaredEnd, riffEnd)
+                var j = i + 12
+                var sub = true
+                while (sub && j + 8 <= end) {
+                  val flen = le32(j + 4)
+                  if (flen < 0 || j + 8 + flen > end) sub = false
+                  else {
+                    val t = tag(j)
+                    if (t == "00dc" || t == "00db") frames += ((j + 8, j + 8 + flen))
+                    j += 8 + flen + (flen & 1) // even-aligned
+                  }
+                }
+              }
+              if (declaredEnd > riffEnd) ok = false
+              else i = declaredEnd + (size & 1)
+            }
+          }
+        }
+        frames.zipWithIndex
+          .filter { case (_, idx) => idx % everyK == 0 }
+          .map { case ((s0, e0), idx) =>
+            val bytes = java.util.Arrays.copyOfRange(p, s0, e0)
+            Frame(r.doc_id, idx, bytes.length, bytes)
+          }
+      }
+  }
+
   /** Partition-parallel REAL audio-header decode (the mapPartitions batch
     * shape of [[decodeImages]]); duration from data size over byte rate. */
   def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {

@@ -86,6 +86,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(pf.length == 3) // 4 frames, last one truncated away
   }
 
+  test("AVI demux recovers every-k-th MJPEG frame from a real RIFF container") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 3L, 7L, 12L) // 1..8 frames each (1 + id % 8)
+    val media = Multimodal.synthesizeAvis(spark, ids.toDF("doc_id"))
+    val frames = Multimodal.aviFrameSample(spark, media, everyK = 2).collect()
+    // count law: kept = ceil(n/2) with n = 1 + id % 8, original indices even
+    val byDoc = frames.groupBy(_.doc_id)
+    for (id <- ids) {
+      val n = 1 + (id % 8).toInt
+      assert(byDoc(id).length == (n + 1) / 2, s"doc $id")
+      assert(byDoc(id).forall(_.frame_idx % 2 == 0))
+    }
+    // every emitted slice is a COMPLETE decodable JPEG with the frame dims
+    frames.foreach { f =>
+      assert(Multimodal.decodeImageHeader(f.payload).contains(("jpeg", 8, 8)))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.payload))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+    }
+    // the container is literal spec-shaped AVI: fourccs at their offsets,
+    // declared RIFF size covering the file exactly, avih's dwTotalFrames
+    // matching the frame law
+    val p = media.filter($"doc_id" === 3L).collect().head.getAs[Array[Byte]]("payload")
+    def tag(i: Int) = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le32(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+      ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+    assert(tag(0) == "RIFF" && tag(8) == "AVI ")
+    assert(tag(12) == "LIST" && tag(20) == "hdrl" && tag(24) == "avih")
+    assert(8 + le32(4) == p.length)      // RIFF size covers the file
+    assert(le32(24 + 8 + 16) == 4)       // avih dwTotalFrames: 1 + 3 % 8
+    assert(p.sliding(4).exists(_.sameElements("MJPG".getBytes))) // strh/strf fourcc
+    // malformed tail (idx1 and part of the last frame cut off): well-formed
+    // prefix frames still demux (quarantine-style)
+    val cut = p.length - (8 + 16 * 4 + 30) // idx1 chunk + 30 bytes of frame 4
+    val partial = Seq((3L, java.util.Arrays.copyOfRange(p, 0, cut)))
+      .toDF("doc_id", "payload")
+    val pf = Multimodal.aviFrameSample(spark, partial, everyK = 1).collect()
+    assert(pf.length == 3) // 4 frames, last one truncated away
+  }
+
   test("decodeImageHeader parses real PNG and JPEG bytes, rejects junk") {
     // hand-assembled 5×3 PNG: signature + IHDR(len,tag) + w + h + ihdr tail + crc
     val png = (Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
