@@ -2000,6 +2000,40 @@ object Queries {
        |FROM documents""".stripMargin
   }
 
+  /** PACK1 — the sequence-packing manifest: where each document lands in
+    * the fixed-capacity concatenated token stream (capacity 512, 8
+    * shards) — shard, deterministic order, stream offset, first sequence
+    * id, offset within it, and whether the doc straddles a sequence
+    * boundary (concat-and-cut packing, GPT-style). One exchange on shard
+    * + a per-shard running sum; the oracle replays shard, order and every
+    * cumulative position digit-exact.
+    * See [[graft.operators.Sampling.packSequences]]. */
+  val pack1SequencePacking: Q = (s, d) =>
+    graft.operators.Sampling.packSequences(Tables.documents(s, d),
+      col("doc_id"), TextAnalysis.nTokensExpr, capacity = 512, shards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"),
+        col("start_tok"), col("seq_id"), col("seq_offset"), col("straddles"))
+
+  val pack1SequencePackingSql: String = {
+    val shardE = md5BucketSql("'pack0-sh:' || CAST(doc_id AS VARCHAR)", 8)
+    val ordE = md5BucketSql("'pack0-ord:' || CAST(doc_id AS VARCHAR)", 100000000)
+    s"""WITH t AS (SELECT doc_id,
+       |             CAST($shardE AS BIGINT) AS shard,
+       |             CAST($ordE AS BIGINT) AS ord,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |w AS (SELECT doc_id, shard, n_tok,
+       |        CAST(row_number() OVER sh AS BIGINT) AS pos,
+       |        CAST(COALESCE(sum(n_tok) OVER (sh ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                       AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |      FROM t WINDOW sh AS (PARTITION BY shard ORDER BY ord, doc_id))
+       |SELECT doc_id, shard, pos, n_tok, start_tok,
+       |       start_tok // 512 AS seq_id,
+       |       start_tok % 512 AS seq_offset,
+       |       (start_tok + n_tok - 1) // 512 > start_tok // 512 AS straddles
+       |FROM w""".stripMargin
+  }
+
   /** MIX4 — epoch-level oversampling with row duplication (rates > 1):
     * src0 ships 2.5 epochs, src1 exactly 1, everything else 0.4 — the
     * "repeat the small curated source" recipe. Narrow end to end
@@ -6032,6 +6066,7 @@ object Queries {
     "dsir1_importance" -> dsir1Importance,
     "mix3_temperature_mix" -> mix3TemperatureMix,
     "shuf1_epoch_order" -> shuf1EpochOrder,
+    "pack1_sequence_packing" -> pack1SequencePacking,
     "mix4_oversample" -> mix4Oversample,
     "t13_entropy" -> t13Entropy,
     "rrf1_hybrid_fusion" -> rrf1HybridFusion,
@@ -6253,6 +6288,7 @@ object Queries {
     "dsir1_importance" -> dsir1ImportanceSql,
     "mix3_temperature_mix" -> mix3TemperatureMixSql,
     "shuf1_epoch_order" -> shuf1EpochOrderSql,
+    "pack1_sequence_packing" -> pack1SequencePackingSql,
     "mix4_oversample" -> mix4OversampleSql,
     "t13_entropy" -> t13EntropySql,
     "rrf1_hybrid_fusion" -> rrf1HybridFusionSql,
@@ -6324,6 +6360,7 @@ object Queries {
     "fh1_feature_hash", "ndcg1_rank_eval",
     "chunk1_doc_chunks", "d10_dup_spans",
     "dsir1_importance", "mix3_temperature_mix", "shuf1_epoch_order",
+    "pack1_sequence_packing",
     "mix4_oversample", "t13_entropy", "rrf1_hybrid_fusion",
     "ml1_logreg_gd", "ml2_calibration", "ml3_auc", "ivm2_delta_join",
     "boot1_bootstrap_ci", "zm1_zone_map",

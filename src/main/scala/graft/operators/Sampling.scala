@@ -219,6 +219,58 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Sequence-packing manifest: where each document lands in the
+    * fixed-capacity concatenated token stream a pretraining run feeds the
+    * model. Documents are sharded and ordered exactly like
+    * [[epochShuffle]] (salted-md5 shard + independent salted-md5 order —
+    * reproducible across engines/runs/layouts), then each shard's token
+    * counts accumulate into a running stream position: a document starting
+    * at `start_tok` with `n_tok` tokens occupies sequences
+    * `start_tok / capacity .. (start_tok + n_tok - 1) / capacity` — the
+    * standard concat-and-cut packing (GPT-style), where documents may
+    * straddle a sequence boundary; `straddles` flags those so a loader can
+    * mask cross-document attention. Emitted per doc: shard, position,
+    * stream offset, first sequence id, offset within it, and the straddle
+    * flag — the complete manifest, no token material moved.
+    *
+    * Plan shape: one token-count projection, ONE hash exchange on `shard`,
+    * a per-shard sort + running sum (never a global sort) — identical to
+    * epochShuffle's cost. `shards` is the parallelism knob: at 100 TB you
+    * pack tens of thousands of shards independently and trainers stream
+    * them; sequence ids are shard-local by construction. */
+  def packSequences(df: DataFrame, key: Column, nTokens: Column,
+                    capacity: Int, shards: Int,
+                    salt: String = "pack0"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val k = key.cast("string")
+    val shard = hashBucket(concat(lit(s"$salt-sh:"), k), shards)
+    val ord = hashBucket(concat(lit(s"$salt-ord:"), k), 100000000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_ord").asc, key.asc)
+    df.withColumn("shard", shard)
+      .withColumn("_ord", ord)
+      .withColumn("n_tok", nTokens.cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tok")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      // floor division via subtract-mod-then-divide: the numerator is an
+      // exact multiple of capacity, so the double division is EXACT — no
+      // float-floor boundary case for any capacity (DuckDB mirrors with
+      // integer `//`)
+      .withColumn("seq_offset", pmod(col("start_tok"), lit(capacity.toLong)))
+      .withColumn("seq_id",
+        ((col("start_tok") - col("seq_offset")) / capacity).cast("long"))
+      .withColumn("straddles", {
+        val last = col("start_tok") + col("n_tok") - 1
+        ((last - pmod(last, lit(capacity.toLong))) / capacity).cast("long") >
+          col("seq_id")
+      })
+      .drop("_ord")
+  }
+
   /** Cumulative Poisson(1) probabilities, snapped to 9 decimals — the SAME
     * literals are embedded in the DuckDB oracle, so the inverse-CDF ladder
     * is engine-portable by construction. P(X > 8) ≈ 1.1e-6 rides in the

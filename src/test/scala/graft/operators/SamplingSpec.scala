@@ -134,6 +134,42 @@ class SamplingSpec extends SparkTestBase {
       Sampling.temperatureMix(docs, col("source"), col("doc_id"), 0.0))
   }
 
+  test("packSequences: contiguous per-shard stream, exact cut math, layout-stable") {
+    val docs = Tables.documents(spark, sf0001)
+    val nTok = org.apache.spark.sql.functions.size(split(col("text"), " "))
+    val m = Sampling.packSequences(docs, col("doc_id"), nTok,
+      capacity = 512, shards = 8)
+      .select("doc_id", "shard", "pos", "n_tok", "start_tok",
+        "seq_id", "seq_offset", "straddles").cache()
+    assert(m.count() == docs.count())
+    // the stream is gapless: each doc starts exactly where the previous
+    // one in its shard ended, and pos 1 starts at 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("pos")
+    val gaps = m.withColumn("_prev_end",
+        coalesce(lag(col("start_tok") + col("n_tok"), 1).over(w), lit(0L)))
+      .filter(col("start_tok") =!= col("_prev_end"))
+    assert(gaps.count() == 0)
+    // cut math: seq_id/seq_offset are the floor-div/mod pair, and the
+    // straddle flag is exactly "ends in a later sequence than it starts"
+    val badMath = m.filter(
+      col("seq_id") * 512 + col("seq_offset") =!= col("start_tok") ||
+        col("straddles") =!= (((col("start_tok") + col("n_tok") - 1) -
+          pmod(col("start_tok") + col("n_tok") - 1, lit(512L))) / 512 >
+          col("seq_id")))
+    assert(badMath.count() == 0)
+    // both straddling and fitting docs exist at this capacity
+    assert(m.filter(col("straddles")).count() > 0)
+    assert(m.filter(!col("straddles")).count() > 0)
+    // pure function of the keys: stable under layout
+    val m2 = Sampling.packSequences(docs.repartition(11), col("doc_id"), nTok,
+      capacity = 512, shards = 8)
+      .select("doc_id", "shard", "pos", "n_tok", "start_tok",
+        "seq_id", "seq_offset", "straddles")
+    assert(m.exceptAll(m2).isEmpty && m2.exceptAll(m).isEmpty)
+    m.unpersist()
+  }
+
   test("epochShuffle: per-shard permutation, epoch-dependent, layout-stable") {
     val docs = Tables.documents(spark, sf0001)
     val m = Sampling.epochShuffle(docs, col("doc_id"), epoch = 1, shards = 8)
