@@ -2034,6 +2034,38 @@ object Queries {
        |FROM w""".stripMargin
   }
 
+  /** BPE1 — the first 6 BPE tokenizer merges learned from the corpus
+    * (Sennrich-style greedy pair merging): ONE corpus-sized word-count
+    * pass, then vocab-table-sized merge iterations; every pair count is
+    * an exact BIGINT and ties break lexicographically, so the DuckDB
+    * oracle replays all 6 iterations digit-exact.
+    * See [[graft.operators.TextAnalysis.bpeTrain]]. */
+  val bpe1TrainMerges: Q = (s, d) =>
+    TextAnalysis.bpeTrain(Tables.documents(s, d), merges = 6)
+
+  val bpe1TrainMergesSql: String = {
+    val k = 6
+    val stages = (1 to k).map { t =>
+      s"""p$t AS (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest([[syms[i], syms[i+1]] FOR i IN RANGE(1, len(syms))]) AS pr
+         |        FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM v${t - 1}))
+         |  GROUP BY 1, 2),
+         |m$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$t AS (SELECT replace(v${t - 1}.seq, ' ' || m$t.l || '  ' || m$t.r || ' ',
+         |                       ' ' || m$t.l || m$t.r || ' ') AS seq, freq
+         |        FROM v${t - 1} CROSS JOIN m$t)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, l AS \"left\", r AS \"right\", l || r AS merged, cnt AS pair_count FROM m$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |v0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq, freq FROM wf),
+       |$stages
+       |$out""".stripMargin
+  }
+
   /** MIX4 — epoch-level oversampling with row duplication (rates > 1):
     * src0 ships 2.5 epochs, src1 exactly 1, everything else 0.4 — the
     * "repeat the small curated source" recipe. Narrow end to end
@@ -6067,6 +6099,7 @@ object Queries {
     "mix3_temperature_mix" -> mix3TemperatureMix,
     "shuf1_epoch_order" -> shuf1EpochOrder,
     "pack1_sequence_packing" -> pack1SequencePacking,
+    "bpe1_train_merges" -> bpe1TrainMerges,
     "mix4_oversample" -> mix4Oversample,
     "t13_entropy" -> t13Entropy,
     "rrf1_hybrid_fusion" -> rrf1HybridFusion,
@@ -6289,6 +6322,7 @@ object Queries {
     "mix3_temperature_mix" -> mix3TemperatureMixSql,
     "shuf1_epoch_order" -> shuf1EpochOrderSql,
     "pack1_sequence_packing" -> pack1SequencePackingSql,
+    "bpe1_train_merges" -> bpe1TrainMergesSql,
     "mix4_oversample" -> mix4OversampleSql,
     "t13_entropy" -> t13EntropySql,
     "rrf1_hybrid_fusion" -> rrf1HybridFusionSql,
@@ -6360,7 +6394,7 @@ object Queries {
     "fh1_feature_hash", "ndcg1_rank_eval",
     "chunk1_doc_chunks", "d10_dup_spans",
     "dsir1_importance", "mix3_temperature_mix", "shuf1_epoch_order",
-    "pack1_sequence_packing",
+    "pack1_sequence_packing", "bpe1_train_merges",
     "mix4_oversample", "t13_entropy", "rrf1_hybrid_fusion",
     "ml1_logreg_gd", "ml2_calibration", "ml3_auc", "ivm2_delta_join",
     "boot1_bootstrap_ci", "zm1_zone_map",

@@ -492,4 +492,66 @@ object TextAnalysis {
           portableRound(col("dcg").cast("double") / col("idcg").cast("double"), 4))
           .otherwise(0.0).as(s"ndcg_$k"))
   }
+
+  /** BPE tokenizer-merge training (Sennrich et al. 2016, the public
+    * subword algorithm): learn the first `merges` byte-pair merges over
+    * the corpus — the data-side half of training a tokenizer, which a
+    * pretraining pipeline runs BEFORE tokenizing 100 TB.
+    *
+    * Structure is the reason this is cheap at scale: the corpus is
+    * scanned ONCE (a word-frequency groupBy — the only corpus-sized
+    * job); every merge iteration then works on the VOCAB table (distinct
+    * words + counts — ~10⁵-10⁶ rows at any corpus size). Symbol
+    * sequences ride as delimited strings (` a  b  c `: single sentinel
+    * spaces at the ends, double between symbols), so
+    *   - adjacent-pair counting is a slice/zip/explode over the split,
+    *   - applying merge (l, r) is ONE literal `replace(' l  r ', ' lr ')`
+    *     whose sequential non-overlapping semantics exactly reproduce
+    *     BPE's greedy left-to-right merge (` a  a  a  a ` → ` aa  aa `,
+    *     the overlap case, works because each match consumes its
+    *     trailing sentinel so the next pair anchors correctly),
+    *   - the SAME string ops exist verbatim in DuckDB, so the oracle
+    *     replays every iteration digit-exact with zero float anywhere.
+    * The per-iteration driver state is one (left, right, count) row —
+    * codebook-sized, the kmeans/ml1 contract; ties break
+    * lexicographically so the argmax is total.
+    *
+    * Emits one row per learned merge: rank, left, right, merged symbol,
+    * weighted pair count. */
+  def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = docs.sparkSession
+    // corpus pass: ONE groupBy to the word-frequency (vocab) table, then
+    // chars → sentinel-delimited symbol string; checkpointed because all
+    // `merges` iterations re-read it (vocab-sized, not corpus-sized)
+    var vocab = docs.select(explode(toks).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("seq"), col("freq"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    for (t <- 1 to merges) {
+      val syms = split(trim(col("seq")), "  ")
+      val pairs = vocab
+        .select(col("freq"),
+          slice(syms, lit(1), size(syms) - 1).as("a"),
+          slice(syms, lit(2), size(syms) - 1).as("b"))
+        .select(col("freq"), explode(arrays_zip(col("a"), col("b"))).as("pr"))
+        .select(col("freq"), col("pr.a").as("l"), col("pr.b").as("r"))
+      val top = pairs.groupBy(col("l"), col("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      require(top.nonEmpty, s"no adjacent pairs left at merge $t")
+      val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      learned += ((t.toLong, l, r, l + r, cnt))
+      vocab = vocab
+        .withColumn("seq",
+          replace(col("seq"), lit(s" $l  $r "), lit(s" ${l + r} ")))
+        .localCheckpoint()
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
 }

@@ -275,4 +275,30 @@ class TextAnalysisSpec extends SparkTestBase {
           r.getAs[String]("chunk_text")))).toMap
     assert(got == Map(1L -> ((0L, 2L, "a b")), 2L -> ((0L, 1L, "c"))))
   }
+
+  test("bpeTrain: greedy pair merges with exact counts and lexicographic ties") {
+    // corpus: aa×3, ab×1, b×1 — merge 1 must be (a,a) weight 3, and after
+    // it the only adjacent pair left is (a,b) in 'ab'
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, merges = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, "a", "a", "aa", 3L), (2L, "a", "b", "ab", 1L)))
+    // the overlap law: 'aaaa' counts 3 overlapping (a,a) positions, and
+    // the greedy left-to-right merge yields [aa, aa] — so merge 2 is
+    // (aa, aa), proving replace() consumed pairs exactly like BPE does
+    val over = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.bpeTrain(over, merges = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got2.toSeq == Seq((1L, "a", "a", "aa", 3L), (2L, "aa", "aa", "aaaa", 1L)))
+    // deterministic under layout: repartitioned corpus learns the same table
+    val again = TextAnalysis.bpeTrain(docs.repartition(5), merges = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(again.toSeq == got.toSeq)
+  }
 }
