@@ -1619,6 +1619,39 @@ object Queries {
       |      FROM sc)
       |SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
+  /** HN1 — hard-negative mining over the PLANTED corpus: each planted
+    * twin anchors a top-3 search restricted to the cosine band
+    * [0.2, 0.8) — the contrastive-training recipe (informative
+    * negatives, positives excluded). The twin's own source sits at
+    * ~0.95 cosine and is excluded by the band's upper bound BY THE
+    * OPERATOR, not by luck; the full DuckDB oracle replays the plant,
+    * the band and the ranking digit-exact.
+    * See [[graft.operators.Similarity.hardNegatives]]. */
+  val hn1HardNegatives: Q = (s, d) => {
+    val planted = plantNearDups(Tables.embeddings(s, d))
+    Similarity.hardNegatives(planted,
+      planted.filter(col("vec_id") >= 10000000L), k = 3,
+      loCos = 0.2, hiCos = 0.8)
+      .select(col("q_id"), col("n_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  val hn1HardNegativesSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |tw AS (SELECT a.vec_id + 10000000 AS vec_id,
+      |              CAST(CAST([a.emb[i] + 0.3 * b.emb[i] FOR i IN RANGE(1, 65)] AS FLOAT[]) AS DOUBLE[]) AS emb
+      |       FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      |       WHERE a.vec_id % 20 = 0),
+      |al AS (SELECT vec_id, emb FROM e UNION ALL SELECT vec_id, emb FROM tw),
+      |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |              floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS cosine
+      |       FROM tw q JOIN al c ON q.vec_id <> c.vec_id),
+      |b AS (SELECT q_id, n_id, cosine FROM sc WHERE cosine >= 0.2 AND cosine < 0.8),
+      |r AS (SELECT q_id, n_id, cosine,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |      FROM b)
+      |SELECT q_id, n_id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3""".stripMargin
+
   /** LSH-bucketed ANN top-k: 16 hyperplane families, hamming-1 multiprobe.
     * Approximate by design; its recall contract is driver-checked by
     * [[sim2Gate]] (measured recall@5 = 0.96–0.98 across SFs). */
@@ -6100,6 +6133,7 @@ object Queries {
     "shuf1_epoch_order" -> shuf1EpochOrder,
     "pack1_sequence_packing" -> pack1SequencePacking,
     "bpe1_train_merges" -> bpe1TrainMerges,
+    "hn1_hard_negatives" -> hn1HardNegatives,
     "mix4_oversample" -> mix4Oversample,
     "t13_entropy" -> t13Entropy,
     "rrf1_hybrid_fusion" -> rrf1HybridFusion,
@@ -6323,6 +6357,7 @@ object Queries {
     "shuf1_epoch_order" -> shuf1EpochOrderSql,
     "pack1_sequence_packing" -> pack1SequencePackingSql,
     "bpe1_train_merges" -> bpe1TrainMergesSql,
+    "hn1_hard_negatives" -> hn1HardNegativesSql,
     "mix4_oversample" -> mix4OversampleSql,
     "t13_entropy" -> t13EntropySql,
     "rrf1_hybrid_fusion" -> rrf1HybridFusionSql,
@@ -6394,7 +6429,7 @@ object Queries {
     "fh1_feature_hash", "ndcg1_rank_eval",
     "chunk1_doc_chunks", "d10_dup_spans",
     "dsir1_importance", "mix3_temperature_mix", "shuf1_epoch_order",
-    "pack1_sequence_packing", "bpe1_train_merges",
+    "pack1_sequence_packing", "bpe1_train_merges", "hn1_hard_negatives",
     "mix4_oversample", "t13_entropy", "rrf1_hybrid_fusion",
     "ml1_logreg_gd", "ml2_calibration", "ml3_auc", "ivm2_delta_join",
     "boot1_bootstrap_ci", "zm1_zone_map",

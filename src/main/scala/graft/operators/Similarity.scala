@@ -30,6 +30,30 @@ object Similarity {
     embeddings.withColumn("lsh_sig",
       hyperplane_signature(col("embedding"), planes, dim, table))
 
+  /** Hard-negative mining for contrastive training data: per anchor, the
+    * top-k most similar candidates INSIDE the cosine band `[loCos, hiCos)`
+    * — similar enough to be informative negatives, strictly below the
+    * positive/duplicate threshold (the anchor's own near-dup twin falls
+    * above `hiCos` and is excluded by construction). This registered form
+    * is the exact band-filtered scan with a full oracle; at corpus scale
+    * the candidate side routes through the same signature machinery as
+    * [[annTopK]] (the band's upper bound excludes the near-dup buckets,
+    * scoring stays per-candidate), and the scored exchange carries ids +
+    * one rounded double per pair — never payloads. */
+  def hardNegatives(embeddings: DataFrame, queries: DataFrame, k: Int,
+                    loCos: Double, hiCos: Double): DataFrame = {
+    require(loCos < hiCos, s"band must satisfy lo < hi, got [$loCos, $hiCos)")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = embeddings.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        portableRound(cosine_similarity(col("qe"), col("ne")), 4).as("cosine"))
+      .filter(col("cosine") >= loCos && col("cosine") < hiCos)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact top-k neighbors for each query vector (query set must be small —
     * it is broadcast). Output: q_id, n_id, cosine, rank. */
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -271,4 +271,32 @@ class SimilaritySpec extends SparkTestBase {
     val mean = rows.values.map(_._2).sum / rows.size
     assert(mean > 0.1 && mean < 1.0, s"mean recall $mean")
   }
+
+  test("hardNegatives: band respected, positives excluded, crafted ranking") {
+    // anchor 0 points at x; candidates at decreasing cosine: the 0.97 twin
+    // (a positive — must be excluded by the band's upper bound), two hard
+    // negatives inside [0.2, 0.8), and a near-orthogonal one below it
+    val e = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.97f, 0.25f)),  // cos ≈ 0.968 → above band, excluded
+      (2L, Array(0.7f, 0.714f)),  // cos ≈ 0.700 → in band, rank 1
+      (3L, Array(0.3f, 0.954f)),  // cos ≈ 0.300 → in band, rank 2
+      (4L, Array(0.05f, 0.999f))  // cos ≈ 0.050 → below band, excluded
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(e, e.filter(col("vec_id") === 0L),
+      k = 3, loCos = 0.2, hiCos = 0.8)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((2L, 1), (3L, 2)))
+    // on the planted fixture corpus: no anchor's own source (the ~0.95
+    // positive) may appear, and every returned cosine is inside the band
+    val planted = graft.Queries.all("hn1_hard_negatives")(spark, sf0001)
+    val rows = planted.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(n != q - 10000000L, s"anchor $q returned its own source")
+      assert(c >= 0.2 && c < 0.8, s"cosine $c outside band")
+    }
+  }
 }
