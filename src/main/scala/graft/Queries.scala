@@ -2076,28 +2076,53 @@ object Queries {
   val bpe1TrainMerges: Q = (s, d) =>
     TextAnalysis.bpeTrain(Tables.documents(s, d), merges = 6)
 
-  val bpe1TrainMergesSql: String = {
-    val k = 6
+  /** The shared DuckDB training-replay chain for bpe1/bpe2: word counts,
+    * per-word symbol strings, and `k` unrolled merge stages ending at
+    * vocab CTE `v<k>` (with the word kept alongside its evolving symbol
+    * string so bpe2's encode join can read the final segmentation). */
+  private def bpeCtesSql(k: Int): String = {
     val stages = (1 to k).map { t =>
       s"""p$t AS (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, unnest([[syms[i], syms[i+1]] FOR i IN RANGE(1, len(syms))]) AS pr
          |        FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM v${t - 1}))
          |  GROUP BY 1, 2),
          |m$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
-         |v$t AS (SELECT replace(v${t - 1}.seq, ' ' || m$t.l || '  ' || m$t.r || ' ',
+         |v$t AS (SELECT v${t - 1}.w, replace(v${t - 1}.seq, ' ' || m$t.l || '  ' || m$t.r || ' ',
          |                       ' ' || m$t.l || m$t.r || ' ') AS seq, freq
          |        FROM v${t - 1} CROSS JOIN m$t)""".stripMargin
     }.mkString(",\n")
+    s"""wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |v0 AS (SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq, freq FROM wf),
+       |$stages""".stripMargin
+  }
+
+  val bpe1TrainMergesSql: String = {
+    val k = 6
     val out = (1 to k).map(t =>
       s"SELECT CAST($t AS BIGINT) AS rank, l AS \"left\", r AS \"right\", l || r AS merged, cnt AS pair_count FROM m$t")
       .mkString("\nUNION ALL\n")
-    s"""WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE len(w) > 0 GROUP BY w),
-       |v0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq, freq FROM wf),
-       |$stages
+    s"""WITH ${bpeCtesSql(k)}
        |$out""".stripMargin
   }
+
+  /** BPE2 — the encode half: per-document subword statistics under the 6
+    * bpe1 merges. Merges apply to the DISTINCT-WORD table only; the
+    * corpus pays one broadcast word→pieces join + a per-doc aggregate.
+    * See [[graft.operators.TextAnalysis.bpeEncodeStats]]. */
+  val bpe2EncodeStats: Q = (s, d) =>
+    TextAnalysis.bpeEncodeStats(Tables.documents(s, d), merges = 6)
+
+  val bpe2EncodeStatsSql: String =
+    s"""WITH ${bpeCtesSql(6)},
+       |pc AS (SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_pieces_w FROM v6),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |j AS (SELECT t.doc_id, pc.n_pieces_w FROM tok t JOIN pc ON t.w = pc.w WHERE len(t.w) > 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_pieces_w) AS BIGINT) AS n_pieces,
+       |       ${portableRoundSql("CAST(sum(n_pieces_w) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS pieces_per_word
+       |FROM j GROUP BY doc_id""".stripMargin
 
   /** MIX4 — epoch-level oversampling with row duplication (rates > 1):
     * src0 ships 2.5 epochs, src1 exactly 1, everything else 0.4 — the
@@ -6134,6 +6159,7 @@ object Queries {
     "pack1_sequence_packing" -> pack1SequencePacking,
     "bpe1_train_merges" -> bpe1TrainMerges,
     "hn1_hard_negatives" -> hn1HardNegatives,
+    "bpe2_encode_stats" -> bpe2EncodeStats,
     "mix4_oversample" -> mix4Oversample,
     "t13_entropy" -> t13Entropy,
     "rrf1_hybrid_fusion" -> rrf1HybridFusion,
@@ -6358,6 +6384,7 @@ object Queries {
     "pack1_sequence_packing" -> pack1SequencePackingSql,
     "bpe1_train_merges" -> bpe1TrainMergesSql,
     "hn1_hard_negatives" -> hn1HardNegativesSql,
+    "bpe2_encode_stats" -> bpe2EncodeStatsSql,
     "mix4_oversample" -> mix4OversampleSql,
     "t13_entropy" -> t13EntropySql,
     "rrf1_hybrid_fusion" -> rrf1HybridFusionSql,
@@ -6429,7 +6456,8 @@ object Queries {
     "fh1_feature_hash", "ndcg1_rank_eval",
     "chunk1_doc_chunks", "d10_dup_spans",
     "dsir1_importance", "mix3_temperature_mix", "shuf1_epoch_order",
-    "pack1_sequence_packing", "bpe1_train_merges", "hn1_hard_negatives",
+    "pack1_sequence_packing", "bpe1_train_merges", "bpe2_encode_stats",
+    "hn1_hard_negatives",
     "mix4_oversample", "t13_entropy", "rrf1_hybrid_fusion",
     "ml1_logreg_gd", "ml2_calibration", "ml3_auc", "ivm2_delta_join",
     "boot1_bootstrap_ci", "zm1_zone_map",

@@ -554,4 +554,40 @@ object TextAnalysis {
     import spark.implicits._
     learned.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
+
+  /** BPE ENCODE — the apply half of [[bpeTrain]]: tokenize the corpus
+    * into subword pieces under the first `merges` learned merges, and
+    * report per-document piece statistics (word count, piece count,
+    * pieces-per-word). The decisive scale property: merges are applied to
+    * the DISTINCT-WORD table only (vocab-sized — the k chained `replace`s
+    * run on ~10⁵–10⁶ rows no matter the corpus), and the corpus pays ONE
+    * broadcast join word→pieces plus a per-doc count aggregate. This is
+    * exactly how production tokenizers run at 100 TB: the expensive
+    * segmentation is a vocab-keyed lookup, not per-token work.
+    *
+    * The k replaces chain in ONE projection (no per-merge materialization
+    * — the vocab frame is small and the composition is a single codegen'd
+    * expression); piece counts are exact integers, so the oracle replays
+    * train + encode end to end. */
+  def bpeEncodeStats(docs: DataFrame, merges: Int): DataFrame = {
+    // driver state: the k learned (left, right) pairs — codebook-sized
+    val table = bpeTrain(docs, merges).orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = docs.select(explode(toks).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val seq0 = regexp_replace(col("w"), "(.)", " $1 ")
+    val seqK = table.foldLeft(seq0) { case (acc, (l, r)) =>
+      replace(acc, lit(s" $l  $r "), lit(s" ${l + r} "))
+    }
+    val pieces = words.select(col("w"),
+      size(split(trim(seqK), "  ")).cast("long").as("n_pieces_w"))
+    docs.select(col("doc_id"), explode(toks).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(pieces), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces_w")).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        portableRound(col("n_pieces").cast("double") /
+          col("n_words").cast("double"), 4).as("pieces_per_word"))
+  }
 }

@@ -301,4 +301,19 @@ class TextAnalysisSpec extends SparkTestBase {
         r.getString(3), r.getLong(4)))
     assert(again.toSeq == got.toSeq)
   }
+
+  test("bpeEncodeStats: pieces follow the learned merges exactly") {
+    // same corpus as the training test: merges learned are (a,a)->aa then
+    // (a,b)->ab, so 'aa'→[aa]=1 piece, 'ab'→[ab]=1, 'b'→[b]=1
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodeStats(docs, merges = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 3L, 3L, 1.0), (2L, 2L, 2L, 1.0)))
+    // one merge only: (a,a)->aa still fuses 'aa', but 'ab' stays [a, b]
+    val one = TextAnalysis.bpeEncodeStats(docs, merges = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(one.toSeq == Seq((1L, 3L, 4L, 1.3333), (2L, 2L, 2L, 1.0)))
+  }
 }
