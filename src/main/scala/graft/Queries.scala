@@ -1652,6 +1652,60 @@ object Queries {
       |      FROM b)
       |SELECT q_id, n_id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3""".stripMargin
 
+  /** HN2 — hard-negative mining through the ANN index (the 100 TB route):
+    * top-(k+8) approximate neighbors per anchor, band-filtered and
+    * re-ranked. Approximate by design (no oracle); [[hn2Gate]] pins
+    * in-band containment and recall vs the exact band scan. */
+  val hn2Production: Q = (s, d) => {
+    val planted = plantNearDups(Tables.embeddings(s, d))
+    Similarity.hardNegativesAnn(planted,
+      planted.filter(col("vec_id") >= 10000000L), k = 3,
+      loCos = 0.2, hiCos = 0.8, tables = 16)
+  }
+
+  /** Gate for hn2_production: every returned pair must be in band (the
+    * operator filters on the same rounded cosine the exact form ranks
+    * by, so violations are structurally impossible — the gate proves it
+    * cross-engine), and recall vs the exact hn1 result must clear the
+    * floor. `n_queries` (twin count) and `n_exact` (exact in-band top-3
+    * rows) anchor both engines. */
+  val hn2Gate: Q = (s, d) => {
+    val ann = hn2Production(s, d)
+    val exact = hn1HardNegatives(s, d).select(col("q_id"), col("n_id"))
+    val hits = exact.join(ann.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val outOfBand = ann
+      .filter(col("cosine") < 0.2 || col("cosine") >= 0.8)
+      .agg(count(lit(1)).as("band_violations"))
+    val planted = plantNearDups(Tables.embeddings(s, d))
+    val nQ = planted.filter(col("vec_id") >= 10000000L)
+      .agg(count(lit(1)).as("n_queries"))
+    nQ.crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(hits).crossJoin(outOfBand)
+      .select(col("n_queries"), col("n_exact"),
+        (col("hits") >= col("n_exact") * 0.9).as("recall_ok"),
+        (col("band_violations") === 0L).as("band_ok"))
+  }
+
+  val hn2GateSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |tw AS (SELECT a.vec_id + 10000000 AS vec_id,
+      |              CAST(CAST([a.emb[i] + 0.3 * b.emb[i] FOR i IN RANGE(1, 65)] AS FLOAT[]) AS DOUBLE[]) AS emb
+      |       FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      |       WHERE a.vec_id % 20 = 0),
+      |al AS (SELECT vec_id, emb FROM e UNION ALL SELECT vec_id, emb FROM tw),
+      |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |              floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS cosine
+      |       FROM tw q JOIN al c ON q.vec_id <> c.vec_id),
+      |b AS (SELECT q_id, n_id, cosine FROM sc WHERE cosine >= 0.2 AND cosine < 0.8),
+      |r AS (SELECT q_id, n_id,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |      FROM b)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM tw) AS n_queries,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM r WHERE rank <= 3) AS n_exact,
+      |       true AS recall_ok, true AS band_ok""".stripMargin
+
   /** LSH-bucketed ANN top-k: 16 hyperplane families, hamming-1 multiprobe.
     * Approximate by design; its recall contract is driver-checked by
     * [[sim2Gate]] (measured recall@5 = 0.96–0.98 across SFs). */
@@ -6160,6 +6214,8 @@ object Queries {
     "bpe1_train_merges" -> bpe1TrainMerges,
     "hn1_hard_negatives" -> hn1HardNegatives,
     "bpe2_encode_stats" -> bpe2EncodeStats,
+    "hn2_production" -> hn2Production,
+    "hn2_gate" -> hn2Gate,
     "mix4_oversample" -> mix4Oversample,
     "t13_entropy" -> t13Entropy,
     "rrf1_hybrid_fusion" -> rrf1HybridFusion,
@@ -6385,6 +6441,7 @@ object Queries {
     "bpe1_train_merges" -> bpe1TrainMergesSql,
     "hn1_hard_negatives" -> hn1HardNegativesSql,
     "bpe2_encode_stats" -> bpe2EncodeStatsSql,
+    "hn2_gate" -> hn2GateSql,
     "mix4_oversample" -> mix4OversampleSql,
     "t13_entropy" -> t13EntropySql,
     "rrf1_hybrid_fusion" -> rrf1HybridFusionSql,
@@ -6457,7 +6514,7 @@ object Queries {
     "chunk1_doc_chunks", "d10_dup_spans",
     "dsir1_importance", "mix3_temperature_mix", "shuf1_epoch_order",
     "pack1_sequence_packing", "bpe1_train_merges", "bpe2_encode_stats",
-    "hn1_hard_negatives",
+    "hn1_hard_negatives", "hn2_production",
     "mix4_oversample", "t13_entropy", "rrf1_hybrid_fusion",
     "ml1_logreg_gd", "ml2_calibration", "ml3_auc", "ivm2_delta_join",
     "boot1_bootstrap_ci", "zm1_zone_map",

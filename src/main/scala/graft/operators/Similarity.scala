@@ -54,6 +54,26 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** [[hardNegatives]] through the ANN index — the corpus-scale route:
+    * retrieve the top `k + slack` approximate neighbors per anchor (the
+    * positives occupy the top slots; `slack` must exceed the expected
+    * positive count), band-filter, re-rank inside the band, keep k. Same
+    * candidate economics as [[annTopKAuto]] (signature buckets + multi-
+    * probe, ids-only exchanges); its recall contract vs the exact band
+    * scan is driver-checked by the hn2 gate. */
+  def hardNegativesAnn(embeddings: DataFrame, queries: DataFrame, k: Int,
+                       loCos: Double, hiCos: Double,
+                       tables: Int = 16, slack: Int = 8): DataFrame = {
+    require(loCos < hiCos, s"band must satisfy lo < hi, got [$loCos, $hiCos)")
+    require(slack >= 1, s"slack must be >= 1, got $slack")
+    val wide = annTopKAuto(embeddings, queries, k + slack, tables = tables)
+    val band = wide.filter(col("cosine") >= loCos && col("cosine") < hiCos)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    band.select(col("q_id"), col("n_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact top-k neighbors for each query vector (query set must be small —
     * it is broadcast). Output: q_id, n_id, cosine, rank. */
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
