@@ -79,6 +79,9 @@ SUBSET = [
     "st6_stream_cdc",        # streaming last-per-user merge, state ~ users
     "q18_large_orders",      # group-filter-join TPC-H heavy hitter
     "q21_waiting_suppliers", # multi-join TPC-H heavy hitter
+    # round-9 additions: the new operators with corpus-scan shapes
+    "bpe2_encode_stats",     # vocab-sized merges + one broadcast corpus join
+    "hn2_production",        # ANN-routed band mining (r9 spot-check: 5.0x)
 ]
 
 # key columns offset per replica, by table: (column -> key-domain table)
