@@ -4529,16 +4529,23 @@ object Queries {
     * noise from the seeded engine-portable hash (inverse-CDF), so the
     * release is reproducible and oracle-replayable. */
   val dp1PrivateCounts: Q = (s, d) =>
-    graft.operators.Privacy.privateGroupCounts(Tables.events(s, d))
+    // the release domain is the event-type ENUM — schema knowledge, not
+    // data: the released key set must be data-independent (a group that
+    // appears/vanishes with one user would itself leak)
+    graft.operators.Privacy.privateGroupCounts(Tables.events(s, d),
+      publicDomain = Seq("view", "click", "purchase", "signup", "error"))
 
   val dp1PrivateCountsSql: String = {
-    val bucket = md5BucketSql("'dp-release-0' || ':' || event_type")
-    s"""WITH g AS (SELECT event_type,
-       |                  CAST(count(DISTINCT user_id) AS BIGINT) AS n
-       |           FROM events GROUP BY 1),
-       |b AS (SELECT event_type, n,
+    val bucket = md5BucketSql("'dp-release-0' || ':' || dom.event_type")
+    s"""WITH dom AS (SELECT unnest(['view', 'click', 'purchase', 'signup', 'error']) AS event_type),
+       |g AS (SELECT event_type,
+       |             CAST(count(DISTINCT user_id) AS BIGINT) AS n
+       |      FROM events
+       |      WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')
+       |      GROUP BY 1),
+       |b AS (SELECT dom.event_type, COALESCE(g.n, CAST(0 AS BIGINT)) AS n,
        |             (CAST($bucket AS DOUBLE) + 0.5) / 10000.0 - 0.5 AS v
-       |      FROM g)
+       |      FROM dom LEFT JOIN g ON g.event_type = dom.event_type)
        |SELECT event_type,
        |       floor((CAST(n AS DOUBLE) + (-1.0) * sign(v) * ln(1.0 - abs(v) * 2.0)) * 10000 + 0.5) / 10000 AS noisy_users,
        |       1.0 AS epsilon

@@ -28,19 +28,36 @@ import org.apache.spark.sql.functions._
   */
 object Privacy {
 
-  /** ε-DP noisy distinct-user counts per `groupCol`. Emits the noisy count
-    * only — the exact count must not appear next to its noisy release. */
-  def privateGroupCounts(events: DataFrame, groupCol: String = "event_type",
+  /** ε-DP noisy distinct-user counts per `groupCol`, released over a
+    * PUBLIC, data-independent group domain. Emits the noisy count only —
+    * the exact count must not appear next to its noisy release — and
+    * emits exactly one row per `publicDomain` value: a group key that
+    * appears or vanishes with a single user would itself leak (the
+    * partition-selection problem), so groups absent from the data release
+    * noise around 0, and observed values OUTSIDE the public domain are
+    * discarded (the standard rule: contributions outside the public
+    * partition set don't enter the release; for unknown domains the
+    * (ε,δ) thresholding mechanism applies instead — deliberately not
+    * implemented here, pass the domain). */
+  def privateGroupCounts(events: DataFrame, publicDomain: Seq[String],
+                         groupCol: String = "event_type",
                          eps: Double = 1.0, seed: String = "dp-release-0"): DataFrame = {
-    val g = events.groupBy(col(groupCol))
-      .agg(count_distinct(col("user_id")).as("n"))
+    require(publicDomain.nonEmpty, "publicDomain must not be empty")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val domain = publicDomain.toDF(groupCol)
+    val g = events.filter(col(groupCol).isin(publicDomain: _*))
+      .groupBy(col(groupCol))
+      .agg(count_distinct(col("user_id")).as("_n"))
+    val full = domain.join(g, Seq(groupCol), "left")
+      .select(col(groupCol), coalesce(col("_n"), lit(0L)).as("n"))
     // u ∈ (0,1) on a 1e-4 grid, centered; the +0.5 half-step keeps v
     // strictly inside (−½, ½) so ln(1−2|v|) is finite
     val u = (Sampling.hashBucket(concat(lit(seed), lit(":"), col(groupCol)))
       .cast("double") + 0.5) / 10000.0
     val v = u - 0.5
     val noise = lit(-1.0 / eps) * signum(v) * log(lit(1.0) - abs(v) * 2.0)
-    g.select(col(groupCol),
+    full.select(col(groupCol),
       portableRound(col("n").cast("double") + noise, 4).as("noisy_users"),
       lit(eps).as("epsilon"))
   }

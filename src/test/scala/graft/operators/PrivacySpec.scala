@@ -9,30 +9,49 @@ class PrivacySpec extends SparkTestBase {
   private def ev(rows: (Long, String)*) =
     rows.toDF("user_id", "event_type")
 
+  private val testDomain = Seq("view", "buy")
+
   test("privateGroupCounts: distinct-user base, bounded deterministic noise") {
     // user 1 appears 3× in 'view' but contributes 1 to its count
     val events = ev((1L, "view"), (1L, "view"), (1L, "view"), (2L, "view"),
       (1L, "buy"), (3L, "buy"))
-    val got = Privacy.privateGroupCounts(events, eps = 1.0)
+    val got = Privacy.privateGroupCounts(events, testDomain, eps = 1.0)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     // exact distinct counts are 2 ('view') and 2 ('buy'); Laplace(1) noise
     // from the 1e-4-grid uniform is bounded by ln(10000) ≈ 9.21
     assert(math.abs(got("view") - 2.0) <= 9.22)
     assert(math.abs(got("buy") - 2.0) <= 9.22)
     // reproducible: same seed -> identical release
-    val again = Privacy.privateGroupCounts(events, eps = 1.0)
+    val again = Privacy.privateGroupCounts(events, testDomain, eps = 1.0)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == again)
     // a rotated seed re-draws the noise (different release epoch)
-    val rotated = Privacy.privateGroupCounts(events, eps = 1.0, seed = "dp-release-1")
+    val rotated = Privacy.privateGroupCounts(events, testDomain, eps = 1.0,
+      seed = "dp-release-1")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rotated != got)
+  }
+
+  test("privateGroupCounts: the released key set is the PUBLIC domain") {
+    // 'gift' is observed but NOT public -> discarded; 'buy' is public but
+    // unobserved -> released as noise around 0. The key set cannot depend
+    // on the data (a one-user group appearing/vanishing would leak).
+    val events = ev((1L, "view"), (2L, "gift"))
+    val got = Privacy.privateGroupCounts(events, testDomain, eps = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == testDomain.toSet)
+    assert(math.abs(got("buy") - 0.0) <= 9.22) // noisy zero, still released
+    // identical key set on data missing 'buy' entirely vs data having it
+    val withBuy = Privacy.privateGroupCounts(
+      ev((1L, "view"), (2L, "buy")), testDomain, eps = 1.0)
+      .collect().map(_.getString(0)).toSet
+    assert(withBuy == got.keySet)
   }
 
   test("privateGroupCounts: tighter epsilon means proportionally smaller noise") {
     val events = ev((1L, "view"), (2L, "view"))
     def noise(eps: Double): Double =
-      Privacy.privateGroupCounts(events, eps = eps)
+      Privacy.privateGroupCounts(events, Seq("view"), eps = eps)
         .collect()(0).getDouble(1) - 2.0
     // same uniform draw, scale 1/eps: noise(0.5) = 2 × noise(1) (± the 4dp
     // rounding of each release)
