@@ -125,6 +125,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(pf.length == 3) // 4 frames, last one truncated away
   }
 
+  test("AVI demux never crashes and never emits a broken frame at ANY cut point") {
+    import spark.implicits._
+    // sweep truncation across the whole container in 97-byte steps (plus
+    // the pathological 0..16 region): whatever survives the cut must be a
+    // complete, decodable JPEG — prefix-only, no torn slices, no throw
+    val full = Multimodal.synthesizeAvis(spark, Seq(5L).toDF("doc_id"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    val cuts = (0 to 16) ++ (17 until full.length by 97) :+ full.length
+    val media = cuts.map(c =>
+      (c.toLong, java.util.Arrays.copyOfRange(full, 0, c))).toDF("doc_id", "payload")
+    val frames = Multimodal.aviFrameSample(spark, media, everyK = 1).collect()
+    frames.foreach { f =>
+      val hdr = Multimodal.decodeImageHeader(f.payload)
+      assert(hdr.contains(("jpeg", 8, 8)), s"cut=${f.doc_id} idx=${f.frame_idx}")
+    }
+    // the uncut container yields all 6 frames (doc 5: 1 + 5 % 8)
+    assert(frames.count(_.doc_id == full.length.toLong) == 6)
+    // monotone: a longer prefix never yields FEWER frames
+    val byCut = frames.groupBy(_.doc_id).view.mapValues(_.length).toMap
+    val counts = cuts.map(c => byCut.getOrElse(c.toLong, 0))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a <= b },
+      s"frame count not monotone in prefix length: $counts")
+  }
+
   test("decodeImageHeader parses real PNG and JPEG bytes, rejects junk") {
     // hand-assembled 5×3 PNG: signature + IHDR(len,tag) + w + h + ihdr tail + crc
     val png = (Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,

@@ -134,6 +134,36 @@ class SamplingSpec extends SparkTestBase {
       Sampling.temperatureMix(docs, col("source"), col("doc_id"), 0.0))
   }
 
+  test("PoissonBootstrapWeights kernel matches the declarative md5-window draws") {
+    // the kernel re-implements digest-window parsing in JVM byte code; pin
+    // it bit-for-bit against the declarative conv/substr/pmod form it
+    // replaced (which is also what the DuckDB oracle reads)
+    import org.apache.spark.sql.functions._
+    val b = 8
+    val df = spark.range(500).select(col("id").cast("string").as("k"))
+    val kernel = df.select(col("k"),
+      graft.functions.poisson_bootstrap_weights(col("k"), b,
+        Sampling.poisson1Cum).as("ws"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val uLadder = (u: org.apache.spark.sql.Column) =>
+      Sampling.poisson1Cum.zipWithIndex.reverse
+        .foldLeft(lit(9L): org.apache.spark.sql.Column) { case (acc, (c, kk)) =>
+          when(u < c, kk.toLong).otherwise(acc)
+        }
+    val declared = df.select(col("k") +: (0 until b).map { rep =>
+        val m = md5(concat(lit("bs"), lit((rep / 4).toLong), lit(":"), col("k")))
+        val u = pmod(conv(m.substr((rep % 4) * 8 + 1, 8), 16, 10).cast("long"),
+          lit(1000000L)).cast("double") / 1000000.0
+        uLadder(u).as(s"w$rep")
+      }: _*)
+      .collect().map(r => r.getString(0) ->
+        (1 to b).map(i => r.getLong(i)).toSeq).toMap
+    assert(kernel.keySet == declared.keySet)
+    kernel.foreach { case (k, ws) =>
+      assert(ws == declared(k), s"key $k: kernel $ws vs declarative ${declared(k)}")
+    }
+  }
+
   test("packSequences: contiguous per-shard stream, exact cut math, layout-stable") {
     val docs = Tables.documents(spark, sf0001)
     val nTok = org.apache.spark.sql.functions.size(split(col("text"), " "))
