@@ -2094,6 +2094,13 @@ object Queries {
     * boundary (concat-and-cut packing, GPT-style). One exchange on shard
     * + a per-shard running sum; the oracle replays shard, order and every
     * cumulative position digit-exact.
+    *
+    * Relationship to [[pk1SequencePack]]: pk1 assigns WHOLE documents to
+    * target-size bins in doc_id order (the compaction/packing-for-storage
+    * form, via `Layout.compactionPlan`); pack1 is the TRAINING form —
+    * documents cut mid-stream at capacity boundaries over the salted
+    * epoch-shuffle order, emitting the offsets and straddle flags a
+    * loader needs for resumption and cross-document attention masking.
     * See [[graft.operators.Sampling.packSequences]]. */
   val pack1SequencePacking: Q = (s, d) =>
     graft.operators.Sampling.packSequences(Tables.documents(s, d),
