@@ -556,6 +556,79 @@ case class PoissonBootstrapWeights(child: Expression, b: Int, cum: Seq[Double])
     copy(child = newChild)
 }
 
+/** Clipped n-gram overlap between two token arrays — the per-row core of
+  * BLEU-style evaluation: Σ over distinct candidate n-grams of
+  * min(count_in_candidate, count_in_reference). One compiled hash-count
+  * pass per row (a declarative form needs nested higher-order lambdas,
+  * which are CodegenFallback and O(L·distinct) interpreted). Tokens are
+  * joined with  so multi-token grams can't collide with a literal
+  * token containing a space (tokens are whitespace-split, so  never
+  * occurs inside one). */
+case class NgramClippedOverlap(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ngram_clipped_overlap"
+
+  private def grams(a: ArrayData): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    val len = a.numElements()
+    var i = 0
+    while (i + n <= len) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append('')
+        sb.append(a.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val g = sb.toString
+      val prev = m.get(g)
+      m.put(g, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    m
+  }
+
+  def computeJava(c: ArrayData, r: ArrayData): Long = {
+    val refCounts = grams(r)
+    var clipped = 0L
+    val len = c.numElements()
+    var i = 0
+    while (i + n <= len) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append('')
+        sb.append(c.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val g = sb.toString
+      val left = refCounts.get(g)
+      if (left != null && left > 0) {
+        clipped += 1
+        refCounts.put(g, left - 1)
+      }
+      i += 1
+    }
+    clipped
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    computeJava(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val self = ctx.addReferenceObj("overlapper", this,
+        "graft.functions.NgramClippedOverlap")
+      s"${ev.value} = $self.computeJava($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Dot product over two `array<float>` columns — same codegen rationale. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
