@@ -2640,6 +2640,57 @@ object Queries {
        |                        FOR i IN RANGE(1, len(tk) + 1)], ' ') AS new_text
        |FROM t""".stripMargin
 
+  /** BLEU1 — corpus BLEU (clipped n-gram precision n=1..4 + brevity
+    * penalty) of deterministic dropout twins against the originals: the
+    * text-generation leg of the model-eval family. Clipped counts fold as
+    * exact BIGINTs through the compiled
+    * [[graft.functions.NgramClippedOverlap]] kernel; p_n and BP snap to
+    * the 1e-6 grid before the log/exp combination, so the oracle replays
+    * the whole readout. See [[graft.operators.TextAnalysis.corpusBleu]]. */
+  val bleu1Eval: Q = (s, d) => TextAnalysis.corpusBleu(Tables.documents(s, d))
+
+  val bleu1EvalSql: String = {
+    val maxN = 4
+    val hit = md5BucketSql(
+      "'bleu:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+    val perN = (1 to maxN).map { n =>
+      val m = n - 1
+      s"""gc$n AS (SELECT doc_id, unnest([array_to_string(cl[i:i+$m], chr(1))
+         |                               FOR i IN RANGE(1, len(cl) - $m + 1)]) AS g FROM c),
+         |gr$n AS (SELECT doc_id, unnest([array_to_string(rl[i:i+$m], chr(1))
+         |                               FOR i IN RANGE(1, len(rl) - $m + 1)]) AS g FROM c),
+         |nc$n AS (SELECT doc_id, g, count(*) AS k FROM gc$n GROUP BY 1, 2),
+         |nr$n AS (SELECT doc_id, g, count(*) AS k FROM gr$n GROUP BY 1, 2),
+         |ov$n AS (SELECT COALESCE(CAST(sum(least(nc$n.k, nr$n.k)) AS BIGINT), 0) AS clipped_$n
+         |         FROM nc$n JOIN nr$n USING (doc_id, g)),
+         |tot$n AS (SELECT CAST(sum(greatest(len(cl) - $m, 0)) AS BIGINT) AS total_$n FROM c)""".stripMargin
+    }.mkString(",\n")
+    val pCols = (1 to maxN).map { n =>
+      s"""clipped_$n, total_$n,
+         |       CASE WHEN total_$n > 0
+         |            THEN floor(CAST(clipped_$n AS DOUBLE) / CAST(total_$n AS DOUBLE) * 1000000 + 0.5) / 1000000
+         |            ELSE 0.0 END AS p_$n""".stripMargin
+    }.mkString(",\n       ")
+    val joins = (1 to maxN).map(n => s"CROSS JOIN ov$n CROSS JOIN tot$n").mkString(" ")
+    val lnSum = (1 to maxN).map(n => s"ln(greatest(p_$n, 1e-9))").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS rl FROM documents),
+       |c AS (SELECT doc_id, rl,
+       |        [rl[i] FOR i IN RANGE(1, len(rl) + 1) IF NOT ($hit < 1000)] AS cl
+       |      FROM t),
+       |$perN,
+       |base AS (SELECT CAST(sum(len(cl)) AS BIGINT) AS cand_tokens,
+       |                CAST(sum(len(rl)) AS BIGINT) AS ref_tokens FROM c),
+       |f AS (SELECT cand_tokens, ref_tokens,
+       |       $pCols,
+       |       CASE WHEN cand_tokens >= ref_tokens THEN 1.0
+       |            WHEN cand_tokens > 0
+       |            THEN floor(exp(1.0 - CAST(ref_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE)) * 1000000 + 0.5) / 1000000
+       |            ELSE 0.0 END AS bp
+       |      FROM base $joins)
+       |SELECT *, floor(bp * exp(($lnSum) * (1.0 / $maxN)) * 1000000 + 0.5) / 1000000 AS bleu
+       |FROM f""".stripMargin
+  }
+
   /** ZIPF1 — Zipf-law fit over the top-500 token frequencies: OLS of
     * ln(count) on ln(rank) with exact-integer moment folds.
     * See [[graft.operators.TextAnalysis.zipfFit]]. */
@@ -6245,6 +6296,7 @@ object Queries {
     "fd1_functional_deps" -> fd1FunctionalDeps,
     "aug1_token_dropout" -> aug1TokenDropout,
     "aug2_token_mask" -> aug2TokenMask,
+    "bleu1_eval" -> bleu1Eval,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
     "dp2_private_median" -> dp2PrivateMedian,
@@ -6471,6 +6523,7 @@ object Queries {
     "fd1_functional_deps" -> fd1FunctionalDepsSql,
     "aug1_token_dropout" -> aug1TokenDropoutSql,
     "aug2_token_mask" -> aug2TokenMaskSql,
+    "bleu1_eval" -> bleu1EvalSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
     "dp2_private_median" -> dp2PrivateMedianSql,
@@ -6535,5 +6588,6 @@ object Queries {
     "d11_containment", "emb4_matryoshka_recall", "ml4_cv",
     "fd1_functional_deps", "aug1_token_dropout", "aug2_token_mask",
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
+    "bleu1_eval",
     "st1_stream_window", "st6_stream_cdc")
 }

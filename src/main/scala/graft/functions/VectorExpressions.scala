@@ -513,6 +513,13 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 case class PoissonBootstrapWeights(child: Expression, b: Int, cum: Seq[Double])
     extends UnaryExpression {
 
+  // the g < b/4 digest loop covers replicates in whole groups of 4; a
+  // non-multiple b would silently leave the trailing b % 4 replicates at
+  // weight 0 (biased means) for any caller that bypasses
+  // Sampling.bootstrapMeans' own validation — fail loudly here instead
+  require(b >= 4 && b % 4 == 0, s"b must be a positive multiple of 4, got $b")
+  require(cum.nonEmpty, "cumulative ladder must not be empty")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "poisson_bootstrap_weights"
 
@@ -566,6 +573,8 @@ case class PoissonBootstrapWeights(child: Expression, b: Int, cum: Seq[Double])
   * occurs inside one). */
 case class NgramClippedOverlap(left: Expression, right: Expression, n: Int)
     extends BinaryExpression {
+
+  require(n >= 1, s"n must be >= 1, got $n")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "ngram_clipped_overlap"

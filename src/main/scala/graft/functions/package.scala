@@ -53,6 +53,13 @@ package object functions {
   def poisson_bootstrap_weights(key: Column, b: Int, cum: Seq[Double]): Column =
     Bridge.column(PoissonBootstrapWeights(Bridge.expression(key), b, cum))
 
+  /** Clipped n-gram overlap of two token arrays — Σ over candidate n-grams
+    * of min(count in candidate, count in reference), the per-row core of
+    * BLEU-style evaluation, as one compiled hash-count pass. */
+  def ngram_clipped_overlap(cand: Column, ref: Column, n: Int): Column =
+    Bridge.column(NgramClippedOverlap(
+      Bridge.expression(cand), Bridge.expression(ref), n))
+
   /** Multiset count of array elements inside a fixed vocabulary (compiled
     * hash-set probe; replaces the filter/array_contains HOF). */
   def tokens_in_set(c: Column, vocab: Seq[String]): Column =

@@ -481,6 +481,9 @@ object Multimodal {
     * well-formed prefix frames still come out). */
   def aviFrameSample(spark: SparkSession, media: DataFrame,
                      everyK: Int): Dataset[Frame] = {
+    // validate on the driver: everyK <= 0 would only surface as an
+    // ArithmeticException (idx % 0) inside an executor task
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .flatMap { r =>

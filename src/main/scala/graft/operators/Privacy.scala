@@ -38,7 +38,16 @@ object Privacy {
     * discarded (the standard rule: contributions outside the public
     * partition set don't enter the release; for unknown domains the
     * (ε,δ) thresholding mechanism applies instead — deliberately not
-    * implemented here, pass the domain). */
+    * implemented here, pass the domain).
+    *
+    * Budget composition: `epsilon` on each row is the PER-GROUP budget.
+    * A single user_id may contribute to several groups (e.g. both 'view'
+    * and 'click'), so by basic composition the release as a whole is
+    * (g·ε)-DP where g is the max number of domain groups one user touches
+    * (≤ |publicDomain|). Callers accounting a total budget must divide by
+    * their g bound (or clip contributions to one group upstream); the
+    * per-row label deliberately reports the mechanism parameter, not the
+    * composed total, matching how per-query budgets are tracked. */
   def privateGroupCounts(events: DataFrame, publicDomain: Seq[String],
                          groupCol: String = "event_type",
                          eps: Double = 1.0, seed: String = "dp-release-0"): DataFrame = {

@@ -233,6 +233,68 @@ object TextAnalysis {
       array_join(out, " ").as("new_text"))
   }
 
+  /** Corpus BLEU of a deterministic candidate set against the documents
+    * as references — the text-generation leg of the model-eval family
+    * (ml2 calibration / ml3 AUC / ndcg1 are the classifier and ranking
+    * legs). Candidates are the [[tokenPerturb]]-style dropout twins
+    * (salted per-position hash verdicts, so the "model output" is
+    * reproducible across engines): modified n-gram precision p_n for
+    * n = 1..`maxN` — Σ clipped counts / Σ candidate n-gram counts, the
+    * Papineni et al. corpus form, NOT a mean of sentence scores — plus
+    * the brevity penalty exp(1 − ref/cand) and
+    * BLEU = BP · exp(Σ ln p_n / maxN).
+    *
+    * Determinism: every count is an exact BIGINT folded map-side (the
+    * clipped counter is the compiled
+    * [[graft.functions.NgramClippedOverlap]] kernel — one hash-count pass
+    * per row; a declarative form needs nested CodegenFallback lambdas);
+    * p_n and BP snap to the 1e-6 grid BEFORE entering the log/exp
+    * combination, so the whole readout replays digit-exact in the DuckDB
+    * oracle (ml1's discipline). p_n = 0 is clamped to 1e-9 inside the
+    * log, mirrored in the oracle.
+    *
+    * Scale shape: ONE projection + ONE map-side-combinable aggregate over
+    * the corpus (2 + 2·maxN BIGINT sums) — no shuffle wider than the
+    * 1-row result, any corpus size. */
+  def corpusBleu(documents: DataFrame, rate: Double = 0.1,
+                 salt: String = "bleu", maxN: Int = 4): DataFrame = {
+    require(rate > 0 && rate < 1, s"rate must be in (0, 1), got $rate")
+    require(maxN >= 1 && maxN <= 8, s"maxN out of range: $maxN")
+    val thresh = (rate * 10000).round
+    def hitAt(i: org.apache.spark.sql.Column) =
+      Sampling.hashBucket(concat(lit(s"$salt:"), col("doc_id").cast("string"),
+        lit(":"), (i + 1).cast("string"))) < thresh
+    val cand = filter(toks, (_, i) => !hitAt(i))
+    val proj = documents.select(toks.as("_ref"), cand.as("_cand"))
+    val aggs =
+      Seq(sum(size(col("_cand")).cast("long")).as("cand_tokens"),
+        sum(size(col("_ref")).cast("long")).as("ref_tokens")) ++
+      (1 to maxN).flatMap { n =>
+        Seq(
+          sum(graft.functions.ngram_clipped_overlap(
+            col("_cand"), col("_ref"), n)).as(s"clipped_$n"),
+          sum(greatest(size(col("_cand")) - (n - 1), lit(0)).cast("long"))
+            .as(s"total_$n"))
+      }
+    val a = proj.agg(aggs.head, aggs.tail: _*)
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000.0 + 0.5) / 1000000.0
+    val withP = a.select(Seq(col("cand_tokens"), col("ref_tokens")) ++
+      (1 to maxN).flatMap(n => Seq(col(s"clipped_$n"), col(s"total_$n"),
+        when(col(s"total_$n") > 0,
+          r6(col(s"clipped_$n").cast("double") / col(s"total_$n").cast("double")))
+          .otherwise(0.0).as(s"p_$n"))): _*)
+    val bp = when(col("cand_tokens") >= col("ref_tokens"), lit(1.0))
+      .otherwise(when(col("cand_tokens") > 0,
+        r6(exp(lit(1.0) -
+          col("ref_tokens").cast("double") / col("cand_tokens").cast("double"))))
+        .otherwise(lit(0.0)))
+    val logSum = (1 to maxN)
+      .map(n => log(greatest(col(s"p_$n"), lit(1e-9)))).reduce(_ + _)
+    withP.withColumn("bp", bp)
+      .withColumn("bleu", r6(col("bp") * exp(logSum * (lit(1.0) / maxN))))
+  }
+
   /** Zipf-law fit of the token frequency distribution: OLS slope of
     * ln(count) on ln(rank) over the top-`topK` tokens — the corpus-health
     * fingerprint (natural language sits near slope −1; templated or
@@ -517,7 +579,17 @@ object TextAnalysis {
     * lexicographically so the argmax is total.
     *
     * Emits one row per learned merge: rank, left, right, merged symbol,
-    * weighted pair count. */
+    * weighted pair count.
+    *
+    * Exhaustion contract: if the corpus runs out of adjacent pairs before
+    * `merges` iterations, the loop THROWS rather than returning a short
+    * table — intentional, because the DuckDB oracle unrolls exactly
+    * `merges` stages and a silently-shorter vocabulary would let an
+    * under-provisioned corpus masquerade as a trained tokenizer. Callers
+    * wanting best-effort semantics should pass
+    * `merges <= distinct-char-pair capacity` of their corpus (standard
+    * BPE implementations stop early; this one is a fixed-budget trainer
+    * by design). */
   def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     val spark = docs.sparkSession

@@ -143,4 +143,67 @@ class FunctionsSpec extends SparkTestBase {
     val s8 = li.repartition(8).agg(decSum($"l_extendedprice")).collect()(0).getDouble(0)
     assert(s1 == s8) // bit-identical, not approximately equal
   }
+
+  test("ngram_clipped_overlap matches hand counts, incl. the clipping case") {
+    def arr(s: String) = s.split(" ")
+    val df = Seq(
+      // identical → every n-gram matches
+      (arr("a b c d"), arr("a b c d"), 1, 4L),
+      (arr("a b c d"), arr("a b c d"), 2, 3L),
+      // candidate repeats "the" 4×, reference has it twice → clipped at 2
+      (arr("the the the the"), arr("the cat the"), 1, 2L),
+      // bigram overlap across a repeat: cand [a a a] has (a,a)×2, ref [a a] has it once
+      (arr("a a a"), arr("a a"), 2, 1L),
+      // disjoint → 0
+      (arr("x y z"), arr("p q r"), 1, 0L),
+      // candidate shorter than n → 0 grams → 0
+      (arr("a"), arr("a b c"), 2, 0L))
+      .toDF("cand", "ref", "n", "expected")
+    df.collect() // materialize input
+    Seq(1, 2).foreach { n =>
+      val got = df.filter($"n" === n)
+        .select(ngram_clipped_overlap($"cand", $"ref", n).as("c"), $"expected")
+        .collect()
+      got.foreach(r => assert(r.getLong(0) == r.getLong(1), s"n=$n row=$r"))
+    }
+  }
+
+  test("ngram_clipped_overlap: null in → null out, and n >= 1 is enforced") {
+    val df = Seq((Array("a", "b"), null.asInstanceOf[Array[String]]))
+      .toDF("cand", "ref")
+    val got = df.select(ngram_clipped_overlap($"cand", $"ref", 1)).collect()
+    assert(got(0).isNullAt(0))
+    intercept[IllegalArgumentException] {
+      ngram_clipped_overlap($"cand", $"ref", 0)
+    }
+  }
+
+  test("ngram_clipped_overlap agrees with a naive recount on fixture docs") {
+    def naive(cand: Seq[String], ref: Seq[String], n: Int): Long = {
+      def grams(t: Seq[String]) = t.sliding(n).filter(_.size == n).map(_.mkString("")).toSeq
+      val rc = grams(ref).groupBy(identity).view.mapValues(_.size).toMap
+      grams(cand).groupBy(identity).map { case (g, occ) =>
+        math.min(occ.size, rc.getOrElse(g, 0)).toLong }.sum
+    }
+    val docs = graft.Tables.documents(spark, sf0001).limit(40)
+      .select($"doc_id", split($"text", " ").as("ref"),
+        slice(split($"text", " "), 3, 1000).as("cand"))
+    Seq(1, 2, 3, 4).foreach { n =>
+      val got = docs.select($"cand", $"ref",
+        ngram_clipped_overlap($"cand", $"ref", n).as("c")).collect()
+      got.foreach { r =>
+        val cand = r.getSeq[String](0); val ref = r.getSeq[String](1)
+        assert(r.getLong(2) == naive(cand, ref, n), s"n=$n doc diverges")
+      }
+    }
+  }
+
+  test("ngram_clipped_overlap stays inside whole-stage codegen") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(split($"text", " ").as("t"))
+    val df = docs.select(ngram_clipped_overlap($"t", $"t", 2).as("c"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
+  }
 }

@@ -316,4 +316,39 @@ class TextAnalysisSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(one.toSeq == Seq((1L, 3L, 4L, 1.3333), (2L, 2L, 2L, 1.0)))
   }
+
+  test("corpusBleu: dropout twins give p_1 = 1, monotone p_n, BLEU in (0, 1]") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val r = TextAnalysis.corpusBleu(docs).collect()(0)
+    def l(c: String) = r.getLong(r.fieldIndex(c))
+    def d(c: String) = r.getDouble(r.fieldIndex(c))
+    // dropout candidates are subsequences of the reference, so every
+    // candidate unigram exists in the reference with at least its
+    // multiplicity: p_1 is exactly 1
+    assert(l("clipped_1") == l("total_1") && d("p_1") == 1.0)
+    // clipped can never exceed total at any n
+    (1 to 4).foreach(n => assert(l(s"clipped_$n") <= l(s"total_$n")))
+    // higher-order precision can only fall for subsequence candidates
+    assert(d("p_1") >= d("p_2") && d("p_2") >= d("p_3") && d("p_3") >= d("p_4"))
+    // dropout shortens the candidate stream → BP strictly below 1
+    assert(l("cand_tokens") < l("ref_tokens") && d("bp") < 1.0 && d("bp") > 0.0)
+    assert(d("bleu") > 0.0 && d("bleu") <= 1.0)
+    // BLEU recomputes from its own reported components (1e-6 grid)
+    val expect = math.floor(d("bp") * math.exp(
+      (1 to 4).map(n => math.log(math.max(d(s"p_$n"), 1e-9))).sum / 4.0)
+      * 1e6 + 0.5) / 1e6
+    assert(d("bleu") == expect)
+  }
+
+  test("corpusBleu: identical candidate and reference scores BLEU = 1") {
+    // rate ~ 0: threshold rounds to 0, no token is ever dropped
+    val docs = graft.Tables.documents(spark, sf0001)
+    val r = TextAnalysis.corpusBleu(docs, rate = 1e-9).collect()(0)
+    def d(c: String) = r.getDouble(r.fieldIndex(c))
+    (1 to 4).foreach(n => assert(d(s"p_$n") == 1.0))
+    assert(d("bp") == 1.0 && d("bleu") == 1.0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.corpusBleu(docs, rate = 1.5)
+    }
+  }
 }
