@@ -1902,6 +1902,83 @@ object Queries {
        |       floor((CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE)) * 10000 + 0.5) / 10000 AS class_share
        |FROM c JOIN t ON c.lang = t.lang""".stripMargin
 
+  /** ML5 — in-engine TRAINED language-ID (hashed-bag-of-words one-vs-rest
+    * logistic heads, ml1's bit-exact GD discipline), scored into the same
+    * confusion shape as lid1 so the trained-vs-heuristic delta reads off
+    * directly. The class list is the declared label space of the model
+    * head (fixture langs), not sniffed from data. The oracle replays
+    * featurize → 5 classes × 3 GD iterations → score → confuse digit for
+    * digit. See [[graft.operators.TextAnalysis.langTrainConfusion]]. */
+  val ml5Classes: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  val ml5LangTrain: Q = (s, d) =>
+    TextAnalysis.langTrainConfusion(Tables.documents(s, d), ml5Classes)
+
+  val ml5LangTrainSql: String = {
+    val dims = 16; val iters = 3; val lr = "2.0"; val k = dims + 1
+    val classes = ml5Classes
+    def microSum(expr: String, as: String) =
+      s"CAST(sum(CAST(floor(($expr) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS $as"
+    def zExpr(pfx: String) =
+      (0 until k).map(j => s"$pfx.c$j * x$j").mkString(" + ")
+    val xdefs = (0 until dims).map(j =>
+      s"CAST(sum(CASE WHEN b = $j THEN 1 ELSE 0 END) AS DOUBLE) / nt AS x${j + 1}")
+      .mkString(",\n       ")
+    val sb = new StringBuilder
+    sb ++= s"""WITH tok AS (SELECT doc_id, lang, nt, ${md5BucketSql("tk", dims)} AS b
+              |             FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS nt,
+              |                          unnest(string_split(text, ' ')) AS tk
+              |                   FROM documents)),
+              |d AS MATERIALIZED (SELECT doc_id, lang, CAST(1.0 AS DOUBLE) AS x0,
+              |       $xdefs
+              |     FROM tok GROUP BY doc_id, lang, nt),
+              |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d)""".stripMargin
+    for (c <- classes) {
+      sb ++= s""",
+                |b_${c}_0 AS (SELECT ${(0 until k).map(j => s"CAST(0.0 AS DOUBLE) AS c$j").mkString(", ")})""".stripMargin
+      for (t <- 1 to iters) {
+        val grads = (0 until k).map(j => microSum(s"(sg - y) * x$j", s"g$j"))
+          .mkString(",\n       ")
+        val upds = (0 until k).map(j =>
+          s"floor((c$j - $lr * (CAST(g$j AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS c$j")
+          .mkString(",\n       ")
+        sb ++= s""",
+                  |s_${c}_$t AS (SELECT d.*, CASE WHEN lang = '$c' THEN 1.0 ELSE 0.0 END AS y,
+                  |       1.0 / (1.0 + exp(-(${zExpr(s"b_${c}_${t - 1}")}))) AS sg
+                  |       FROM d CROSS JOIN b_${c}_${t - 1}),
+                  |g_${c}_$t AS (SELECT
+                  |       $grads
+                  |       FROM s_${c}_$t),
+                  |b_${c}_$t AS (SELECT
+                  |       $upds
+                  |       FROM g_${c}_$t CROSS JOIN b_${c}_${t - 1} CROSS JOIN nn)""".stripMargin
+      }
+    }
+    val scoreCols = classes.map(c =>
+      s"floor((1.0 / (1.0 + exp(-(${zExpr(s"b_${c}_$iters")})))) * 1000000 + 0.5) / 1000000 AS s_$c")
+      .mkString(",\n       ")
+    val scJoins = classes.map(c => s"CROSS JOIN b_${c}_$iters").mkString(" ")
+    val predCase = classes.init.zipWithIndex.map { case (c, i) =>
+      val wins = classes.drop(i + 1).map(o => s"s_$c >= s_$o").mkString(" AND ")
+      s"WHEN $wins THEN '$c'"
+    }.mkString("\n            ")
+    sb ++= s""",
+              |sc AS (SELECT lang,
+              |       $scoreCols
+              |       FROM d $scJoins),
+              |p AS (SELECT lang,
+              |       CASE $predCase
+              |            ELSE '${classes.last}' END AS pred_lang
+              |      FROM sc),
+              |cc AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+              |       FROM p GROUP BY 1, 2),
+              |tl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tt FROM cc GROUP BY lang)
+              |SELECT cc.lang, cc.pred_lang, cc.n,
+              |       floor((CAST(cc.n AS DOUBLE) / CAST(tl.tt AS DOUBLE)) * 10000 + 0.5) / 10000 AS class_share
+              |FROM cc JOIN tl ON cc.lang = tl.lang""".stripMargin
+    sb.toString
+  }
+
   val t2Quality: Q = (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))
 
   val t2QualitySql: String =
@@ -6297,6 +6374,7 @@ object Queries {
     "aug1_token_dropout" -> aug1TokenDropout,
     "aug2_token_mask" -> aug2TokenMask,
     "bleu1_eval" -> bleu1Eval,
+    "ml5_lang_train" -> ml5LangTrain,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
     "dp2_private_median" -> dp2PrivateMedian,
@@ -6524,6 +6602,7 @@ object Queries {
     "aug1_token_dropout" -> aug1TokenDropoutSql,
     "aug2_token_mask" -> aug2TokenMaskSql,
     "bleu1_eval" -> bleu1EvalSql,
+    "ml5_lang_train" -> ml5LangTrainSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
     "dp2_private_median" -> dp2PrivateMedianSql,
@@ -6588,6 +6667,6 @@ object Queries {
     "d11_containment", "emb4_matryoshka_recall", "ml4_cv",
     "fd1_functional_deps", "aug1_token_dropout", "aug2_token_mask",
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
-    "bleu1_eval",
+    "bleu1_eval", "ml5_lang_train",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -868,6 +868,34 @@ object Analytics {
     out.toSeq.toDF("iter", "b0", "b1", "b2", "logloss_prev")
   }
 
+  /** Generalized [[logisticGdOnFeatures]]: full-batch GD over feature
+    * columns `x0..x{k-1}` and label `y`, any width — the same micro-unit
+    * discipline (gradients fold as exact BIGINTs, coefficients re-snap to
+    * the 1e-6 grid each step), returning the final coefficient vector.
+    * The z linear form folds left-to-right, matching the oracle's
+    * left-associative `+` chain term for term. Driver state is O(k) per
+    * iteration; each iteration is ONE map-side-combinable aggregate. */
+  private[operators] def logisticGdVector(d: DataFrame, k: Int, iters: Int,
+                                          lr: Double): Array[Double] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(k >= 1, s"k must be >= 1, got $k")
+    def micro(c: Column): Column = floor(c * 1000000.0 + 0.5).cast("long")
+    var beta = Array.fill(k)(0.0)
+    for (_ <- 1 to iters) {
+      val z = (0 until k).map(j => lit(beta(j)) * col(s"x$j")).reduce(_ + _)
+      val sg = lit(1.0) / (lit(1.0) + exp(-z))
+      val aggs = count(lit(1)).as("n") +: (0 until k).map(j =>
+        sum(micro((sg - col("y")) * col(s"x$j"))).as(s"g$j"))
+      val a = d.agg(aggs.head, aggs.tail: _*).head
+      val n = a.getLong(0).toDouble
+      require(n > 0, "logisticGdVector needs a non-empty training set")
+      beta = Array.tabulate(k)(j =>
+        math.floor((beta(j) - lr * (a.getLong(j + 1).toDouble / 1000000.0 / n))
+          * 1000000.0 + 0.5) / 1000000.0)
+    }
+    beta
+  }
+
   /** Per-row scores of the ml1-trained model, σ snapped to the 1e-6 grid
     * (so every downstream comparison/bin/rank is engine-portable). The
     * coefficient collect is O(k) driver state — [[logisticGd]]'s own

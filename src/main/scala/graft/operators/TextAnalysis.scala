@@ -510,6 +510,82 @@ object TextAnalysis {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** In-engine TRAINED language-ID — the model the t1 heuristic stands in
+    * for: one hashed-bag-of-words logistic head per class (one-vs-rest
+    * over a caller-declared label space, the fixed production model-head
+    * contract — like [[Privacy.privateGroupCounts]]' public domain, the
+    * class list is part of the interface, not sniffed from data), trained
+    * by [[Analytics.logisticGdVector]]'s full-batch GD, and scored into a
+    * lid1-shaped confusion matrix against the ground-truth labels.
+    *
+    * Features are [[featureHash]]'s trick applied dense: token counts
+    * hashed into `dims` buckets by the engine-portable md5 bucket,
+    * normalized by the document's token count, plus an intercept — no
+    * vocabulary pass, fixed width at any corpus size. Training follows
+    * ml1's bit-exact discipline (micro-unit BIGINT gradient folds,
+    * 1e-6-grid coefficient snaps), predictions take the arg-max of
+    * 1e-6-snapped sigmoids with first-wins ties in class-list order — so
+    * the DuckDB oracle replays the ENTIRE pipeline (featurize → classes ×
+    * iters GD steps → score → confuse) digit for digit.
+    *
+    * Scale shape: one explode + ONE (doc, label) hash aggregation builds
+    * the feature frame (map-side combinable, checkpointed once — classes
+    * × iters aggregates re-read it, never the corpus); per iteration ONE
+    * 1-row aggregate; driver state = classes × (dims+1) coefficients.
+    * Scoring is one projection + a |classes|²-cell aggregate. */
+  def langTrainConfusion(documents: DataFrame, classes: Seq[String],
+                         dims: Int = 16, iters: Int = 3,
+                         lr: Double = 2.0): DataFrame = {
+    require(classes.nonEmpty && classes.distinct == classes,
+      "classes must be non-empty and distinct")
+    require(dims >= 2 && dims <= 1024, s"dims out of range: $dims")
+    val k = dims + 1
+    val bucket = Sampling.hashBucket(col("_tok"), dims)
+    val xCols = (0 until dims).map(j =>
+      (sum(when(col("_b") === j, 1).otherwise(0)).cast("double") /
+        col("_nt")).as(s"x${j + 1}"))
+    val feat = documents
+      .select(col("doc_id"), col("lang"),
+        nTokensExpr.cast("double").as("_nt"), explode(toks).as("_tok"))
+      .withColumn("_b", bucket)
+      .groupBy(col("doc_id"), col("lang"), col("_nt"))
+      .agg(xCols.head, xCols.tail: _*)
+      .withColumn("x0", lit(1.0))
+      .localCheckpoint()
+    // classes × (dims+1) driver-held coefficients — the model head
+    val betas = classes.map { c =>
+      val d = feat.withColumn("y",
+        when(col("lang") === c, 1.0).otherwise(0.0))
+      c -> Analytics.logisticGdVector(d, k, iters, lr)
+    }
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000.0 + 0.5) / 1000000.0
+    val scoreCols = betas.map { case (c, b) =>
+      val z = (0 until k).map(j => lit(b(j)) * col(s"x$j")).reduce(_ + _)
+      r6(lit(1.0) / (lit(1.0) + exp(-z))).as(s"_s_$c")
+    }
+    // arg-max with first-wins ties in class-list order (scores sit on the
+    // 1e-6 grid, so ties are engine-identical)
+    val pred = classes.zipWithIndex.foldRight(
+      lit(classes.last): org.apache.spark.sql.Column) { case ((c, i), rest) =>
+      if (i == classes.size - 1) rest
+      else {
+        val wins = classes.drop(i + 1)
+          .map(o => col(s"_s_$c") >= col(s"_s_$o")).reduce(_ && _)
+        when(wins, c).otherwise(rest)
+      }
+    }
+    val scored = feat.select(col("lang") +: scoreCols: _*)
+      .withColumn("pred_lang", pred)
+    val cells = scored.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("_t"))
+    cells.join(totals, "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        portableRound(col("n").cast("double") / col("_t").cast("double"), 4)
+          .as("class_share"))
+  }
+
   /** NDCG@k of the [[bm25]] ranking against a term-coverage relevance
     * label (gain = number of distinct query terms a document contains) —
     * the retrieval-quality readout a curation pipeline runs to check its

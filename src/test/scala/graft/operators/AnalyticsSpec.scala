@@ -681,4 +681,33 @@ class AnalyticsSpec extends SparkTestBase {
     val acc = r.getDouble(3)
     assert(acc > 0.5 && acc <= 1.0, s"accuracy=$acc") // majority class is ~2/3
   }
+
+  test("logisticGdVector replays a hand-rolled micro-snapped GD exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      (1.0, 1.0, 0.2, 0.9), (0.0, 1.0, 0.7, 0.1), (1.0, 1.0, 0.4, 0.8),
+      (0.0, 1.0, 0.9, 0.3), (1.0, 1.0, 0.1, 0.6), (0.0, 1.0, 0.8, 0.2))
+    val d = rows.toDF("y", "x0", "x1", "x2")
+    val got = Analytics.logisticGdVector(d, k = 3, iters = 4, lr = 1.0)
+    // independent reimplementation of the micro-unit discipline
+    var beta = Array(0.0, 0.0, 0.0)
+    def micro(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+    for (_ <- 1 to 4) {
+      val g = Array(0L, 0L, 0L)
+      rows.foreach { case (y, x0, x1, x2) =>
+        val z = beta(0) * x0 + beta(1) * x1 + beta(2) * x2
+        val sg = 1.0 / (1.0 + math.exp(-z))
+        g(0) += micro((sg - y) * x0)
+        g(1) += micro((sg - y) * x1)
+        g(2) += micro((sg - y) * x2)
+      }
+      beta = Array.tabulate(3)(j =>
+        math.floor((beta(j) - 1.0 * (g(j).toDouble / 1e6 / rows.size))
+          * 1e6 + 0.5) / 1e6)
+    }
+    assert(got.toSeq == beta.toSeq, s"${got.toSeq} vs ${beta.toSeq}")
+    // the trained separator must point the right way: x1 anti-correlates
+    // with y, x2 correlates
+    assert(got(1) < 0 && got(2) > 0)
+  }
 }

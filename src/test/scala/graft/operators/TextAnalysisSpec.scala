@@ -351,4 +351,40 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.corpusBleu(docs, rate = 1.5)
     }
   }
+
+  test("langTrainConfusion learns a planted vocabulary signal") {
+    import spark.implicits._
+    // class 'aa' speaks token xx, class 'bb' speaks token yy — fully
+    // separable, so the trained heads must produce a diagonal confusion
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "aa", "xx xx xx shared")
+      else (i.toLong, "bb", "yy yy yy shared")
+    }.toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val got = TextAnalysis.langTrainConfusion(docs, Seq("aa", "bb"),
+      dims = 8, iters = 8, lr = 4.0)
+      .orderBy("lang", "pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("aa", "aa", 20L, 1.0), ("bb", "bb", 20L, 1.0)),
+      got.toSeq.toString)
+  }
+
+  test("langTrainConfusion: fixture shares sum to 1 per class; inputs validated") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val classes = Seq("de", "en", "es", "fr", "zh")
+    val cells = TextAnalysis.langTrainConfusion(docs, classes).collect()
+    val byLang = cells.groupBy(_.getString(0))
+    byLang.foreach { case (_, rows) =>
+      val share = rows.map(_.getDouble(3)).sum
+      assert(math.abs(share - 1.0) < 1e-3, s"shares sum to $share")
+    }
+    // every predicted label comes from the declared class list
+    cells.foreach(r => assert(classes.contains(r.getString(1))))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.langTrainConfusion(docs, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.langTrainConfusion(docs, Seq("en", "en"))
+    }
+  }
 }
