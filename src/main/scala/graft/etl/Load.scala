@@ -49,6 +49,72 @@ object Load {
     rmTree(old)
   }
 
+  /** File manifest of a hive-layout parquet directory, in the shape
+    * [[graft.operators.Layout.compactionPlan]] consumes — (part, file_id,
+    * file, bytes), `file_id` ordered by file name within each partition.
+    * Listing is metadata-sized work; at 100 TB this frame comes from the
+    * table format's manifest store rather than an FS walk — the SHAPE
+    * (one row per data file, keyed by partition) is the contract, and
+    * the plan over it stays a dataframe computation either way. */
+  def parquetManifest(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val rows = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .toSeq.sortBy(_.getFileName.toString)
+      .flatMap { pd =>
+        val part = pd.getFileName.toString
+        Files.list(pd).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString).zipWithIndex
+          .map { case (f, i) => (part, i.toLong, f.toString, Files.size(f)) }
+      }
+    import spark.implicits._
+    rows.toDF("part", "file_id", "file", "bytes")
+  }
+
+  /** Execute ONE partition of a [[graft.operators.Layout.compactionPlan]]:
+    * every planned bin's files are rewritten as exactly one file, with
+    * [[compact]]'s write-beside-and-swap discipline (a crash at any step
+    * leaves a complete copy of the partition live). `plan` must carry
+    * (part, file, bin) — the planner output joined back to the manifest's
+    * file paths. The driver loop is over BINS of one partition — the
+    * rewrite-job orchestration unit (at scale each partition executes
+    * independently, one task tree per bin); nothing data-sized ever
+    * collects. Returns the achieved file count for the partition, which
+    * the caller asserts against the plan's bin count. */
+  def executeCompaction(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, part: String,
+                        plan: DataFrame): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.util.Fs.rmTree
+    import org.apache.spark.sql.functions.col
+    val bins = plan.filter(col("part") === part)
+      .select(col("bin").cast("long"), col("file")).collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (bin, rs) => bin -> rs.map(_.getString(1)).sorted }
+    require(bins.nonEmpty, s"plan has no files for partition $part")
+    val target = Paths.get(dir, part)
+    val tmp = Paths.get(dir, part + ".compacting")
+    val old = Paths.get(dir, part + ".precompact")
+    // interrupted-run recovery, same as compact: restore a stranded
+    // original before starting over
+    if (Files.exists(old) && !Files.exists(target)) Files.move(old, target)
+    else if (Files.exists(old)) rmTree(old)
+    rmTree(tmp)
+    bins.foreach { case (_, files) =>
+      spark.read.parquet(files: _*).coalesce(1)
+        .write.mode("append").parquet(tmp.toString)
+    }
+    Files.move(target, old)
+    Files.move(tmp, target)
+    rmTree(old)
+    Files.list(target).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+  }
+
   /** K1 — JSON sink (one object per line, the API envelope's rows). */
   def json(df: DataFrame, out: String): Unit =
     df.write.mode("overwrite").json(out)

@@ -49,6 +49,65 @@ class LoadSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == orders.count())
   }
 
+  test("z2 executed end-to-end: planned bins become exactly that many files, " +
+    "and the zone-map scan fraction matches the plan's prediction") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables.orders(spark, sf0001)
+    val out = Files.createTempDirectory("graft-z2").resolve("t").toString
+    // a partitioned table that has accumulated many small files
+    orders.repartition(8).write.partitionBy("o_orderpriority").parquet(out)
+    val manifest = Load.parquetManifest(spark, out)
+    val parts = manifest.select("part").distinct().collect().map(_.getString(0))
+    assert(parts.length == 5, parts.mkString(","))
+    val part = parts.sorted.head
+    val nFilesBefore = manifest.filter($"part" === part).count()
+    assert(nFilesBefore == 8, s"$nFilesBefore files before")
+    // plan ~3 files' worth of bytes per bin → fewer bins than files
+    val targetBytes = manifest.filter($"part" === part)
+      .agg(sum($"bytes")).collect()(0).getLong(0) / 3
+    val plan = graft.operators.Layout
+      .compactionPlan(manifest.select("part", "file_id", "bytes"), targetBytes)
+      .join(manifest.select("part", "file_id", "file"), Seq("part", "file_id"))
+    val plannedBins = plan.filter($"part" === part)
+      .select("bin").distinct().count()
+    assert(plannedBins > 1 && plannedBins < nFilesBefore,
+      s"degenerate plan: $plannedBins bins")
+    // the plan also predicts the post-compaction zone maps: each bin's
+    // min/max is the extent of its constituent files
+    val partDir = s"$out/$part"
+    def fileStats(paths: String) = spark.read.parquet(paths)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"o_orderkey").as("lo"), max($"o_orderkey").as("hi"))
+    val preStats = fileStats(partDir)
+      .withColumn("fname", element_at(split($"f", "/"), -1))
+      .orderBy("fname").collect()
+    // manifest file_id is by-name order, matching fname order here
+    val predictedBinExtents = plan.filter($"part" === part)
+      .select($"file_id", $"bin").orderBy("file_id").collect()
+      .map(r => (r.getLong(1), preStats(r.getLong(0).toInt)))
+      .groupBy(_._1).map { case (bin, rs) =>
+        bin -> (rs.map(_._2.getLong(1)).min, rs.map(_._2.getLong(2)).max)
+      }
+    // execute and check planned-vs-achieved
+    val rowsBefore = spark.read.parquet(partDir).count()
+    val achieved = Load.executeCompaction(spark, out, part, plan)
+    assert(achieved == plannedBins, s"achieved $achieved vs planned $plannedBins")
+    assert(spark.read.parquet(partDir).count() == rowsBefore)
+    // zm1-style verdict: a range predicate must scan exactly the files
+    // the plan's predicted bin extents said it would
+    val keys = spark.read.parquet(partDir).select($"o_orderkey")
+      .orderBy("o_orderkey").collect().map(_.getLong(0))
+    val (lo, hi) = (keys(keys.length / 4), keys(keys.length / 2))
+    val predictedScanned = predictedBinExtents.values
+      .count { case (bLo, bHi) => bHi >= lo && bLo <= hi }
+    val postScanned = fileStats(partDir).collect()
+      .count(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+    assert(postScanned == predictedScanned,
+      s"scanned $postScanned files vs predicted $predictedScanned")
+    // whole-table integrity across the untouched partitions
+    assert(spark.read.parquet(out).count() == orders.count())
+  }
+
   test("K1 JSON sink + K3 preview emit one object per row") {
     val df = Seq(("x", 1), ("y", 2)).toDF("k", "v")
     val out = Files.createTempDirectory("graft-json").toString
