@@ -2205,6 +2205,47 @@ object Queries {
        |FROM w""".stripMargin
   }
 
+  /** PACK2 — non-straddling greedy next-fit packing (pack1's sibling for
+    * loaders that cannot mask cross-document attention): a document that
+    * would cross a sequence boundary starts a fresh sequence. The Spark
+    * side is a per-shard sequential fold (the one genuinely iterative
+    * packing variant); the oracle replays the fold as a recursive CTE
+    * advancing every shard in lockstep.
+    * See [[graft.operators.Sampling.packSequencesNoStraddle]]. */
+  val pack2NoStraddle: Q = (s, d) =>
+    graft.operators.Sampling.packSequencesNoStraddle(Tables.documents(s, d),
+      col("doc_id"), TextAnalysis.nTokensExpr, capacity = 512, shards = 8)
+      .select(col("pk").as("doc_id"), col("shard"), col("pos"), col("n_tok"),
+        col("eff_tok"), col("seq_id"), col("seq_offset"), col("truncated"))
+
+  val pack2NoStraddleSql: String = {
+    val cap = 512
+    val shardE = md5BucketSql("'pack0-sh:' || CAST(doc_id AS VARCHAR)", 8)
+    val ordE = md5BucketSql("'pack0-ord:' || CAST(doc_id AS VARCHAR)", 100000000)
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, shard, n_tok, least(n_tok, $cap) AS eff_tok,
+       |         CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+       |  FROM (SELECT doc_id,
+       |          CAST($shardE AS BIGINT) AS shard,
+       |          CAST($ordE AS BIGINT) AS ord,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |        FROM documents)),
+       |rec AS (
+       |  SELECT doc_id, shard, pos, n_tok, eff_tok,
+       |         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+       |         eff_tok AS fill
+       |  FROM t WHERE pos = 1
+       |  UNION ALL
+       |  SELECT t.doc_id, t.shard, t.pos, t.n_tok, t.eff_tok,
+       |         CASE WHEN rec.fill + t.eff_tok > $cap THEN rec.seq_id + 1 ELSE rec.seq_id END,
+       |         CASE WHEN rec.fill + t.eff_tok > $cap THEN CAST(0 AS BIGINT) ELSE rec.fill END,
+       |         CASE WHEN rec.fill + t.eff_tok > $cap THEN t.eff_tok ELSE rec.fill + t.eff_tok END
+       |  FROM rec JOIN t ON t.shard = rec.shard AND t.pos = rec.pos + 1)
+       |SELECT doc_id, shard, pos, n_tok, eff_tok, seq_id, seq_offset,
+       |       n_tok > $cap AS truncated
+       |FROM rec""".stripMargin
+  }
+
   /** BPE1 — the first 6 BPE tokenizer merges learned from the corpus
     * (Sennrich-style greedy pair merging): ONE corpus-sized word-count
     * pass, then vocab-table-sized merge iterations; every pair count is
@@ -6375,6 +6416,7 @@ object Queries {
     "aug2_token_mask" -> aug2TokenMask,
     "bleu1_eval" -> bleu1Eval,
     "ml5_lang_train" -> ml5LangTrain,
+    "pack2_nostraddle" -> pack2NoStraddle,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
     "dp2_private_median" -> dp2PrivateMedian,
@@ -6603,6 +6645,7 @@ object Queries {
     "aug2_token_mask" -> aug2TokenMaskSql,
     "bleu1_eval" -> bleu1EvalSql,
     "ml5_lang_train" -> ml5LangTrainSql,
+    "pack2_nostraddle" -> pack2NoStraddleSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
     "dp2_private_median" -> dp2PrivateMedianSql,
@@ -6667,6 +6710,6 @@ object Queries {
     "d11_containment", "emb4_matryoshka_recall", "ml4_cv",
     "fd1_functional_deps", "aug1_token_dropout", "aug2_token_mask",
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
-    "bleu1_eval", "ml5_lang_train",
+    "bleu1_eval", "ml5_lang_train", "pack2_nostraddle",
     "st1_stream_window", "st6_stream_cdc")
 }

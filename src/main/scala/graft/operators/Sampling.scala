@@ -271,6 +271,105 @@ object Sampling {
       .drop("_ord")
   }
 
+  /** Materialize ONE shard of [[packSequences]]' manifest into the actual
+    * fixed-capacity token sequences a trainer loads — the manifest's
+    * zm1-moment: the plan is only trustworthy once bytes obey it, and
+    * this is the operator that makes them. Each document's tokens land at
+    * stream position `start_tok + i`; a sequence is the `capacity`-sized
+    * cut of that stream, so every sequence except the shard's last holds
+    * exactly `capacity` tokens and straddling documents continue into the
+    * next sequence — precisely the concat-and-cut layout the manifest's
+    * `seq_id`/`seq_offset`/`straddles` columns describe.
+    *
+    * Shape: the shard's manifest (same one exchange as packSequences) +
+    * one posexplode projection + ONE hash aggregation on `seq_id` whose
+    * per-group state is bounded by `capacity` — corpus-linear, and shards
+    * materialize independently (the parallelism unit at 100 TB). */
+  def materializeShard(df: DataFrame, key: Column, tokens: Column,
+                       capacity: Int, shards: Int, shard: Int,
+                       salt: String = "pack0"): DataFrame = {
+    require(shard >= 0 && shard < shards,
+      s"shard must be in [0, $shards), got $shard")
+    val manifest = packSequences(df.withColumn("_toks", tokens), key,
+      size(col("_toks")), capacity, shards, salt)
+      .filter(col("shard") === shard)
+    manifest
+      .select(col("start_tok"), posexplode(col("_toks")).as(Seq("_p", "_tok")))
+      .withColumn("_sp", col("start_tok") + col("_p"))
+      .withColumn("_off", pmod(col("_sp"), lit(capacity.toLong)))
+      .withColumn("seq_id",
+        ((col("_sp") - col("_off")) / capacity).cast("long"))
+      .groupBy(col("seq_id"))
+      .agg(array_sort(collect_list(struct(col("_off"), col("_tok")))).as("_s"))
+      .select(col("seq_id"),
+        transform(col("_s"), s => s.getField("_tok")).as("tokens"),
+        size(col("_s")).cast("long").as("n_tokens"))
+  }
+
+  /** Non-straddling sequence packing — [[packSequences]]' sibling for
+    * loaders that cannot mask cross-document attention: documents are
+    * sharded and ordered EXACTLY like packSequences (same salted-md5
+    * shard and order), but a document that would cross a sequence
+    * boundary starts a fresh sequence instead (greedy next-fit).
+    * Documents longer than `capacity` are truncated to it (flagged
+    * `truncated`) so the no-straddle invariant is total. Emits the same
+    * manifest shape plus `eff_tok` (tokens actually packed) and the
+    * truncation flag; `seq_offset + eff_tok <= capacity` on every row.
+    *
+    * This is the ONE packing variant that is genuinely a sequential fold:
+    * each placement depends on the running fill of the current sequence
+    * (a window sum cannot express reset-on-overflow), so the per-shard
+    * scan is imperative — the documented mapPartitions case. Rows are
+    * hash-clustered by shard and (shard, pos)-sorted within partitions
+    * first; state is three longs per shard, shards stay the independent
+    * parallelism unit, and nothing collects. The DuckDB oracle replays
+    * the fold as a recursive CTE advancing all shards in lockstep. */
+  def packSequencesNoStraddle(df: DataFrame, key: Column, nTokens: Column,
+                              capacity: Int, shards: Int,
+                              salt: String = "pack0"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val k = key.cast("string")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_ord").asc, key.asc)
+    val slim = df
+      .withColumn("shard", hashBucket(concat(lit(s"$salt-sh:"), k), shards))
+      .withColumn("_ord", hashBucket(concat(lit(s"$salt-ord:"), k), 100000000))
+      .withColumn("n_tok", nTokens.cast("long"))
+      .withColumn("eff_tok", least(col("n_tok"), lit(capacity.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), key.as("pk"),
+        col("n_tok"), col("eff_tok"))
+    val parted = slim.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+    val cap = capacity.toLong
+    val rdd = parted.rdd.mapPartitions { it =>
+      var curShard = Long.MinValue
+      var seq = 0L
+      var fill = 0L
+      it.map { r =>
+        val sh = r.getLong(0)
+        val eff = r.getLong(4)
+        if (sh != curShard) { curShard = sh; seq = 0L; fill = 0L }
+        if (fill + eff > cap) { seq += 1; fill = 0L }
+        val off = fill
+        fill += eff
+        org.apache.spark.sql.Row(sh, r.getLong(1), r.get(2), r.getLong(3),
+          eff, seq, off, r.getLong(3) > cap)
+      }
+    }
+    import org.apache.spark.sql.types._
+    df.sparkSession.createDataFrame(rdd, StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      slim.schema("pk").copy(name = "pk"),
+      StructField("n_tok", LongType, nullable = true),
+      StructField("eff_tok", LongType, nullable = true),
+      StructField("seq_id", LongType, nullable = false),
+      StructField("seq_offset", LongType, nullable = false),
+      StructField("truncated", BooleanType, nullable = false))))
+  }
+
   /** Cumulative Poisson(1) probabilities, snapped to 9 decimals — the SAME
     * literals are embedded in the DuckDB oracle, so the inverse-CDF ladder
     * is engine-portable by construction. P(X > 8) ≈ 1.1e-6 rides in the

@@ -291,4 +291,84 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(_.getDouble(0))
     assert(rates.forall(r => r > 0.1 && r < 0.3), rates.mkString(","))
   }
+
+  test("materializeShard: packed sequences obey the manifest — capacity cuts, " +
+    "offset round-trip, straddle flags — and survive a parquet round-trip") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val (capacity, shards, shard) = (64, 4, 0)
+    val toksCol = split(col("text"), " ")
+    val manifest = Sampling.packSequences(docs, col("doc_id"),
+      size(toksCol), capacity, shards)
+      .filter(col("shard") === shard)
+      .select("doc_id", "n_tok", "start_tok", "seq_id", "seq_offset", "straddles")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(manifest.nonEmpty)
+    // materialize, write, re-read: bytes on disk are the contract
+    val out = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    Sampling.materializeShard(docs, col("doc_id"), toksCol,
+      capacity, shards, shard).write.mode("overwrite").parquet(out)
+    val packed = spark.read.parquet(out).orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
+    // sequence ids are dense from 0; every sequence but the last is FULL
+    assert(packed.map(_._1).toSeq == (0L until packed.length).toSeq)
+    packed.init.foreach { case (id, toks, n) =>
+      assert(n == capacity && toks.length == capacity, s"seq $id not full") }
+    // total tokens match the manifest's accounting
+    assert(packed.map(_._3).sum == manifest.map(_._2).sum)
+    // the packed stream replays every document verbatim at its offsets
+    val stream = packed.flatMap(_._2)
+    val original = docs.select(col("doc_id"), toksCol.as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    manifest.foreach { case (docId, nTok, startTok, seqId, seqOff, straddles) =>
+      val slice = stream.slice(startTok.toInt, (startTok + nTok).toInt).toSeq
+      assert(slice == original(docId), s"doc $docId does not round-trip")
+      // manifest geometry is self-consistent with the materialized cut
+      assert(seqId == startTok / capacity && seqOff == startTok % capacity)
+      assert(straddles == (seqOff + nTok > capacity),
+        s"doc $docId straddle flag inconsistent")
+    }
+  }
+
+  test("packSequencesNoStraddle: no document crosses a boundary, sequences " +
+    "fill greedily, and the order matches packSequences exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val (capacity, shards) = (128, 4)
+    val toksN = size(split(col("text"), " "))
+    val got = Sampling.packSequencesNoStraddle(docs, col("doc_id"), toksN,
+      capacity, shards).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+      .sortBy(t => (t._1, t._2)) // (shard, pos)
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, _, nTok, eff, _, off, trunc) =>
+      // the no-straddle invariant is total, via truncation when needed
+      assert(off + eff <= capacity)
+      assert(trunc == (nTok > capacity) && eff == math.min(nTok, capacity))
+    }
+    // replay the greedy fold per shard: offsets and seq ids must match
+    got.groupBy(_._1).foreach { case (shard, rows) =>
+      var seq = 0L; var fill = 0L
+      rows.sortBy(_._2).foreach { case (_, pos, _, _, eff, gotSeq, gotOff, _) =>
+        if (fill + eff > capacity) { seq += 1; fill = 0L }
+        assert(gotSeq == seq && gotOff == fill,
+          s"shard $shard pos $pos diverges from the greedy fold")
+        fill += eff
+      }
+    }
+    // same shard assignment and order as the straddling packer — the two
+    // variants are drop-in siblings over one shuffle discipline
+    val p1 = Sampling.packSequences(docs, col("doc_id"), toksN,
+      capacity, shards).select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val p2 = got.map(t => (t._3, t._1, t._2)).sorted
+    assert(p1.toSeq == p2.toSeq)
+    // greedy next-fit can only use MORE sequences than concat-and-cut
+    val seqsUsed = got.groupBy(_._1).view.mapValues(_.map(_._6).max + 1)
+    val minimal = got.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._5).sum + capacity - 1) / capacity)
+    seqsUsed.foreach { case (sh, n) => assert(n >= minimal(sh)) }
+  }
 }
