@@ -2246,6 +2246,84 @@ object Queries {
        |FROM rec""".stripMargin
   }
 
+  /** UNI1 — unigram-LM tokenizer training (Viterbi-EM over a seeded
+    * substring vocabulary, SentencePiece-style): the merge-free sibling
+    * of bpe1. Costs are micro-unit −ln p BIGINTs so the per-word DP is
+    * pure integer arithmetic; the oracle replays seed → unrolled
+    * set-based DP → recursive backtrace → count folds → re-estimation
+    * for both EM rounds. See
+    * [[graft.operators.TextAnalysis.unigramTrain]]. */
+  val uni1UnigramTrain: Q = (s, d) =>
+    TextAnalysis.unigramTrain(Tables.documents(s, d))
+
+  val uni1UnigramTrainSql: String = {
+    val seedSize = 40; val maxPieceLen = 4; val emIters = 2; val maxWordLen = 12
+    def vocabCte(name: String, src: String) =
+      s"""$name AS MATERIALIZED (SELECT piece, cnt,
+         |       -CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER () AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS cost
+         |       FROM $src)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH RECURSIVE ww AS MATERIALIZED (
+              |  SELECT tk AS w, CAST(count(*) AS BIGINT) AS freq
+              |  FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
+              |  WHERE len(tk) > 0 GROUP BY tk),
+              |sub AS (${(1 to maxPieceLen).map(l =>
+                s"""SELECT unnest([substr(w, i, $l) FOR i IN RANGE(1, len(w) - $l + 2)]) AS piece, freq
+                   |        FROM ww WHERE len(w) >= $l""".stripMargin)
+                .mkString("\n        UNION ALL\n        ")}),
+              |sc0 AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM sub GROUP BY 1),
+              |nch AS (SELECT count(*) AS n FROM sc0 WHERE len(piece) = 1),
+              |n0 AS (SELECT piece, cnt FROM sc0 WHERE len(piece) = 1
+              |       UNION ALL
+              |       SELECT piece, cnt
+              |       FROM (SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+              |             FROM sc0 WHERE len(piece) > 1)
+              |       WHERE rn <= $seedSize - (SELECT n FROM nch)),
+              |${vocabCte("v0", "n0")}""".stripMargin
+    for (e <- 1 to emIters) {
+      val v = s"v${e - 1}"
+      // set-based Viterbi DP, unrolled to the maxWordLen bound: stage i
+      // holds each live word's best (cost, backlen) at position i
+      sb ++= s""",
+                |d${e}_0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS cost, 0 AS bl FROM ww)""".stripMargin
+      for (i <- 1 to maxWordLen) {
+        val cands = (1 to math.min(maxPieceLen, i)).map { j =>
+          s"""SELECT p.w, p.cost + v.cost AS cost, $j AS bl
+             |        FROM d${e}_${i - j} p JOIN $v v ON v.piece = substr(p.w, ${i - j + 1}, $j)
+             |        WHERE len(p.w) >= $i""".stripMargin
+        }.mkString("\n        UNION ALL\n        ")
+        sb ++= s""",
+                  |d${e}_$i AS MATERIALIZED (SELECT w, cost, bl FROM (
+                  |  SELECT w, cost, bl, row_number() OVER (PARTITION BY w ORDER BY cost ASC, bl DESC) AS rn
+                  |  FROM ($cands)) WHERE rn = 1)""".stripMargin
+      }
+      val dall = (1 to maxWordLen).map(i => s"SELECT w, $i AS i, bl FROM d${e}_$i")
+        .mkString("\n        UNION ALL\n        ")
+      sb ++= s""",
+                |dall$e AS MATERIALIZED ($dall),
+                |bt$e AS (
+                |  SELECT w, len(w) AS cur, CAST(NULL AS VARCHAR) AS piece FROM ww
+                |  UNION ALL
+                |  SELECT b.w, b.cur - d.bl, substr(b.w, b.cur - d.bl + 1, d.bl)
+                |  FROM bt$e b JOIN dall$e d ON d.w = b.w AND d.i = b.cur
+                |  WHERE b.cur > 0),
+                |c$e AS MATERIALIZED (SELECT b.piece, CAST(sum(ww.freq) AS BIGINT) AS cnt
+                |        FROM bt$e b JOIN ww ON ww.w = b.w
+                |        WHERE b.piece IS NOT NULL GROUP BY 1),
+                |n$e AS (SELECT piece, cnt FROM c$e
+                |        UNION ALL
+                |        SELECT v.piece, CAST(1 AS BIGINT) AS cnt FROM $v v
+                |        WHERE len(v.piece) = 1
+                |          AND v.piece NOT IN (SELECT piece FROM c$e)),
+                |${vocabCte(s"v$e", s"n$e")}""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, cnt,
+              |       floor(CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER () AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p6
+              |FROM v$emIters""".stripMargin
+    sb.toString
+  }
+
   /** BPE1 — the first 6 BPE tokenizer merges learned from the corpus
     * (Sennrich-style greedy pair merging): ONE corpus-sized word-count
     * pass, then vocab-table-sized merge iterations; every pair count is
@@ -6417,6 +6495,7 @@ object Queries {
     "bleu1_eval" -> bleu1Eval,
     "ml5_lang_train" -> ml5LangTrain,
     "pack2_nostraddle" -> pack2NoStraddle,
+    "uni1_unigram_train" -> uni1UnigramTrain,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
     "dp2_private_median" -> dp2PrivateMedian,
@@ -6646,6 +6725,7 @@ object Queries {
     "bleu1_eval" -> bleu1EvalSql,
     "ml5_lang_train" -> ml5LangTrainSql,
     "pack2_nostraddle" -> pack2NoStraddleSql,
+    "uni1_unigram_train" -> uni1UnigramTrainSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
     "dp2_private_median" -> dp2PrivateMedianSql,
@@ -6710,6 +6790,6 @@ object Queries {
     "d11_containment", "emb4_matryoshka_recall", "ml4_cv",
     "fd1_functional_deps", "aug1_token_dropout", "aug2_token_mask",
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
-    "bleu1_eval", "ml5_lang_train", "pack2_nostraddle",
+    "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -673,3 +673,86 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Viterbi segmentation of one word under a unigram piece model — the
+  * per-row core of SentencePiece-style tokenization: the piece sequence
+  * minimizing total cost, where each piece's cost is its micro-unit
+  * negative log-probability (an exact BIGINT, so the DP is pure integer
+  * arithmetic and replays digit-exact in the set-based SQL oracle). Ties
+  * on cost prefer the LONGER piece — a total, engine-portable order.
+  * The model (piece → cost) rides as a broadcast reference object: the
+  * production-tokenizer shape, vocab-keyed native segmentation over the
+  * distinct-word table, never per-corpus-token work. Unsegmentable input
+  * (a character outside the vocabulary) throws rather than degrading —
+  * the trainer guarantees character coverage, so this is a contract
+  * violation, not data. */
+case class UnigramViterbiPieces(child: Expression,
+                                pieces: Seq[(String, Long)],
+                                maxPieceLen: Int)
+    extends UnaryExpression {
+
+  require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+  require(pieces.nonEmpty, "piece model must not be empty")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "unigram_viterbi_pieces"
+
+  @transient private lazy val costOf: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    pieces.foreach { case (p, c) => m.put(p, c) }
+    m
+  }
+
+  def computeJava(word: UTF8String): ArrayData = {
+    val w = word.toString
+    val n = w.length
+    val INF = Long.MaxValue / 4
+    val cost = new Array[Long](n + 1)
+    val bl = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) { cost(i) = INF; i += 1 }
+    i = 1
+    while (i <= n) {
+      var j = 1
+      val jMax = math.min(maxPieceLen, i)
+      while (j <= jMax) {
+        if (cost(i - j) < INF) {
+          val c = costOf.get(w.substring(i - j, i))
+          if (c != null) {
+            val cand = cost(i - j) + c.longValue()
+            // tie on cost → prefer the longer piece (j ascends, so >=)
+            if (cand < cost(i) || (cand == cost(i) && j > bl(i))) {
+              cost(i) = cand
+              bl(i) = j
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (n > 0 && cost(n) >= INF)
+      throw new IllegalStateException(s"unsegmentable word under model: $w")
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var cur = n
+    while (cur > 0) {
+      val j = bl(cur)
+      out.prepend(UTF8String.fromString(w.substring(cur - j, cur)))
+      cur -= j
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override def nullSafeEval(v: Any): Any = computeJava(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("viterbi", this,
+        "graft.functions.UnigramViterbiPieces")
+      s"${ev.value} = $self.computeJava($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -60,6 +60,15 @@ package object functions {
     Bridge.column(NgramClippedOverlap(
       Bridge.expression(cand), Bridge.expression(ref), n))
 
+  /** Viterbi segmentation of a word under a unigram piece model (piece →
+    * micro-unit negative log-prob cost); ties prefer the longer piece.
+    * The model rides as a broadcast reference object — the production
+    * vocab-keyed tokenizer shape. */
+  def unigram_viterbi_pieces(word: Column, pieces: Seq[(String, Long)],
+                             maxPieceLen: Int): Column =
+    Bridge.column(UnigramViterbiPieces(
+      Bridge.expression(word), pieces, maxPieceLen))
+
   /** Multiset count of array elements inside a fixed vocabulary (compiled
     * hash-set probe; replaces the filter/array_contains HOF). */
   def tokens_in_set(c: Column, vocab: Seq[String]): Column =

@@ -703,6 +703,93 @@ object TextAnalysis {
     learned.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** Unigram-LM tokenizer training (the SentencePiece family's other
+    * half, next to [[bpeTrain]]'s merge-based one): seed a substring
+    * vocabulary from the corpus, then run Viterbi-EM — each round
+    * segments every distinct word into the piece sequence of minimum
+    * total cost under the current model (cost = micro-unit −ln p, an
+    * exact BIGINT, so the DP is pure integer arithmetic), folds hard
+    * piece counts weighted by word frequency, and re-estimates piece
+    * probabilities from the counts. Emits the final vocabulary:
+    * (piece, piece_len, cnt, p6).
+    *
+    * Determinism, engineered like ml1/kmeans1/bpe1: the seed is all
+    * single characters plus the top (seedSize − #chars) multi-character
+    * substrings by (weighted count desc, piece asc); DP ties prefer the
+    * longer piece; counts fold as BIGINTs; probabilities snap through the
+    * micro-unit cost grid each round. Single characters keep a count
+    * floor of 1 (character coverage — every word stays segmentable);
+    * unused multi-character pieces drop out (the SentencePiece prune).
+    * The DuckDB oracle replays seed → unrolled set-based DP → recursive
+    * backtrace → count folds → re-estimation for every EM round, digit
+    * for digit.
+    *
+    * Scale shape: ONE corpus pass (the word-frequency groupBy); all EM
+    * work runs on the DISTINCT-WORD table with the model as a broadcast
+    * reference object inside a compiled per-word kernel
+    * ([[graft.functions.UnigramViterbiPieces]]) — exactly how production
+    * tokenizers train at 100 TB (vocab-keyed segmentation, never
+    * per-corpus-token work). Driver state is the ≤ seedSize-row model
+    * head, the kmeans-codebook contract. `maxWordLen` bounds the
+    * oracle's DP unroll; the trainer fails loudly if the corpus exceeds
+    * it (words longer than the bound would silently vanish from a
+    * fixed-depth replay). */
+  def unigramTrain(docs: DataFrame, seedSize: Int = 40, maxPieceLen: Int = 4,
+                   emIters: Int = 2, maxWordLen: Int = 12): DataFrame = {
+    require(seedSize >= 2, s"seedSize must be >= 2, got $seedSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(emIters >= 1, s"emIters must be >= 1, got $emIters")
+    val spark = docs.sparkSession
+    val words = docs.select(explode(toks).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val wl = words.agg(max(length(col("w")))).head.getInt(0)
+    require(wl <= maxWordLen,
+      s"longest word ($wl chars) exceeds the DP unroll bound $maxWordLen")
+    val sub = (1 to maxPieceLen).map { l =>
+      words.filter(length(col("w")) >= l)
+        .select(explode(expr(
+          s"transform(sequence(1, length(w) - ${l - 1}), i -> substr(w, i, $l))"))
+          .as("piece"), col("freq"))
+    }.reduce(_ unionByName _)
+    val seedCnt = sub.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint()
+    val charPieces = seedCnt.filter(length(col("piece")) === 1)
+    val nChars = charPieces.count()
+    require(seedSize > nChars,
+      s"seedSize $seedSize must exceed the $nChars single characters")
+    val multi = seedCnt.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit((seedSize - nChars).toInt)
+    // the model head: ≤ seedSize (piece, count) rows of driver state
+    var vocab = charPieces.unionByName(multi)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def costsOf(v: Array[(String, Long)]): Seq[(String, Long)] = {
+      val total = v.map(_._2).sum.toDouble
+      v.toSeq.map { case (p, c) =>
+        (p, -math.floor(math.log(c / total) * 1000000.0 + 0.5).toLong) }
+    }
+    for (_ <- 1 to emIters) {
+      val segCol = graft.functions.unigram_viterbi_pieces(
+        col("w"), costsOf(vocab), maxPieceLen)
+      val counted = words.select(explode(segCol).as("piece"), col("freq"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val chars = vocab.map(_._1).filter(_.length == 1)
+      vocab = (counted.keySet ++ chars).toSeq.sorted.map { p =>
+        val c = counted.getOrElse(p, 0L)
+        (p, if (p.length == 1) math.max(c, 1L) else c)
+      }.filter(_._2 > 0).toArray
+    }
+    val total = vocab.map(_._2).sum.toDouble
+    val rows = vocab.toSeq.map { case (p, c) =>
+      (p, p.length.toLong, c, math.floor(c / total * 1000000.0 + 0.5) / 1000000.0)
+    }
+    import spark.implicits._
+    rows.toDF("piece", "piece_len", "cnt", "p6")
+  }
+
   /** BPE ENCODE — the apply half of [[bpeTrain]]: tokenize the corpus
     * into subword pieces under the first `merges` learned merges, and
     * report per-document piece statistics (word count, piece count,

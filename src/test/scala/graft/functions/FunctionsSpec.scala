@@ -198,6 +198,38 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("unigram_viterbi_pieces: min-cost segmentation, longer-piece ties, " +
+    "loud failure on uncovered characters") {
+    // micro-unit costs; lower = more probable
+    val model = Seq("a" -> 100L, "b" -> 100L, "c" -> 100L,
+      "ab" -> 150L, "bc" -> 500L, "abc" -> 120L)
+    val df = Seq("abc", "ab", "cab").toDF("w")
+    val got = df.select($"w",
+      unigram_viterbi_pieces($"w", model, 3).as("p")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // abc: whole-word piece (120) beats ab+c (250) and a+bc (600)
+    assert(got("abc") == List("abc"))
+    // ab: 150 beats a+b (200)
+    assert(got("ab") == List("ab"))
+    assert(got("cab") == List("c", "ab"))
+    // tie case: cost(xy) == cost(x)+cost(y) → longer piece wins
+    val tied = Seq("x" -> 100L, "y" -> 100L, "xy" -> 200L)
+    val t = Seq("xy").toDF("w")
+      .select(unigram_viterbi_pieces($"w", tied, 2)).collect()
+    assert(t(0).getSeq[String](0).toList == List("xy"))
+    // a character outside the model is a contract violation, not data
+    // (surfaces driver-side when the local relation constant-folds,
+    // executor-side wrapped in SparkException otherwise)
+    val err = intercept[Exception] {
+      Seq("az").toDF("w")
+        .select(unigram_viterbi_pieces($"w", model, 3)).collect()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("unsegmentable")) ||
+        mentions(t.getCause))
+    assert(mentions(err))
+  }
+
   test("ngram_clipped_overlap stays inside whole-stage codegen") {
     val docs = graft.Tables.documents(spark, sf0001)
       .select(split($"text", " ").as("t"))

@@ -352,6 +352,42 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("unigramTrain: character coverage, mass conservation, planted-piece recovery") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val vocab = TextAnalysis.unigramTrain(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every character of the corpus is a piece (coverage guarantee)
+    val corpusChars = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(split(col("w"), "")).as("ch"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val pieceSet = vocab.map(_._1).toSet
+    assert(corpusChars.subsetOf(pieceSet), (corpusChars -- pieceSet).toString)
+    // Viterbi tiles every word exactly: piece mass equals corpus char mass
+    // (up to the +1 floor of any unused character)
+    val charMass = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    val pieceMass = vocab.map(t => t._2 * t._3).sum
+    assert(pieceMass >= charMass && pieceMass <= charMass + corpusChars.size,
+      s"$pieceMass vs $charMass")
+    // probabilities are a distribution on the 1e-6 grid
+    val pSum = vocab.map(_._4).sum
+    assert(math.abs(pSum - 1.0) < 1e-3, s"p6 sum $pSum")
+    // EM kept at least one multi-character piece with real mass
+    assert(vocab.exists(t => t._2 > 1 && t._3 > 100), vocab.mkString(","))
+    // a corpus that is ONE repeated word must concentrate mass on its pieces
+    import spark.implicits._
+    val tiny = (1 to 30).map(i => (i.toLong, "abab abab"))
+      .toDF("doc_id", "text")
+    val tv = TextAnalysis.unigramTrain(tiny, seedSize = 6, maxPieceLen = 4)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    // the dominant piece covers "abab" whole or as ab+ab
+    val top = tv.maxBy(_._2)._1
+    assert(top == "abab" || top == "ab", tv.mkString(","))
+  }
+
   test("langTrainConfusion learns a planted vocabulary signal") {
     import spark.implicits._
     // class 'aa' speaks token xx, class 'bb' speaks token yy — fully
