@@ -202,7 +202,19 @@ object Similarity {
           val tables = math.max(1, math.ceil(
             math.log1p(-targetRecall) / math.log1p(-pHit)).toInt)
           val randFrac = masks / math.pow(2.0, planes)
-          val cost = tables * (masks * n + randFrac * n.toDouble * n / 2)
+          // the row terms: probe stream + expected random collisions.
+          // The tables·planes·n term charges for SIGNATURE COMPUTATION
+          // (tables × planes dots of dim mult-adds per vector, ≈ one
+          // candidate-row's cost per plane at dim 64). Without it the
+          // model is free to buy recall with tables alone and picks
+          // radius-0 / hundreds-of-tables configs whose signature work
+          // grows ~n^1.4: measured 24.5× wall clock for 10× data on the
+          // second decade (SCALE.md §Round 10) with 1130 tables at 2M
+          // vectors. Charged, the optimum shifts to radius-1 multiprobe
+          // (37→66→142 tables across the same decades) — same 0.9999
+          // recall target, ~8× less signature work at 2M vectors.
+          val cost = tables * (masks * n + randFrac * n.toDouble * n / 2) +
+            tables.toDouble * planes * n
           Some(((planes, r, tables), cost))
         }
       }
@@ -422,13 +434,26 @@ object Similarity {
   def annTopKAuto(embeddings: DataFrame, queries: DataFrame, k: Int,
                   dim: Int = 64, tables: Int = 8,
                   targetBucket: Int = 8,
-                  designCosine: Double = 0.8): DataFrame = {
+                  designCosine: Double = 0.8,
+                  maxTables: Int = 64): DataFrame = {
     val planes = lshPlanes(embeddings.count(), targetBucket)
     val pd = math.acos(designCosine) / math.Pi
     def pHit(p: Int): Double =
       math.pow(1 - pd, p) + p * pd * math.pow(1 - pd, p - 1)
-    val compensated = math.max(tables, math.ceil(
-      tables * math.log1p(-pHit(6)) / math.log1p(-pHit(planes))).toInt)
+    // Uncapped, the compensation grows ~n^0.33 (holding the 6-plane
+    // 16-table miss rate as planes track log2 n needs 55 tables at 20k
+    // vectors, 98 at 200k, 174 at 2M — measured as a 1.53 two-decade
+    // wall-clock exponent, SCALE.md §Round 10), because every table
+    // multiplies BOTH the corpus signature stream and the probe fan-out.
+    // The cap keeps total work ~linear and spends recall instead, from a
+    // position of enormous surplus: the uncapped design miss at the 0.8
+    // boundary is ~1e-7, while capped-64 miss is 0.2% at 2M vectors and
+    // ~3% at ~270M (planes 25) — the ≥0.9 gate contract holds for ~three
+    // more decades, and real pairs (planted twins ~0.95 cosine) sit far
+    // inside the boundary worst case. Fixture-scale plans (≤ 55 tables
+    // at sf0.1) are below the cap: driver-visible results unchanged.
+    val compensated = math.min(maxTables, math.max(tables, math.ceil(
+      tables * math.log1p(-pHit(6)) / math.log1p(-pHit(planes))).toInt))
     annTopK(embeddings, queries, k, planes, dim, compensated)
   }
 

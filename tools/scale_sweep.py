@@ -82,6 +82,11 @@ SUBSET = [
     # round-9 additions: the new operators with corpus-scan shapes
     "bpe2_encode_stats",     # vocab-sized merges + one broadcast corpus join
     "hn2_production",        # ANN-routed band mining (r9 spot-check: 5.0x)
+    # round-10 additions: novel iterative/kernel shapes
+    "bleu1_eval",            # 4 clipped-count kernel passes, 1-row aggregate
+    "ml5_lang_train",        # featurize once + classes x iters 1-row aggs
+    "uni1_unigram_train",    # one corpus pass + vocab-sized Viterbi-EM
+    "pack2_nostraddle",      # shard exchange + sequential per-shard fold
 ]
 
 # key columns offset per replica, by table: (column -> key-domain table)
