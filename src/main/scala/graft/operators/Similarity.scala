@@ -202,19 +202,28 @@ object Similarity {
           val tables = math.max(1, math.ceil(
             math.log1p(-targetRecall) / math.log1p(-pHit)).toInt)
           val randFrac = masks / math.pow(2.0, planes)
-          // the row terms: probe stream + expected random collisions.
-          // The tables·planes·n term charges for SIGNATURE COMPUTATION
-          // (tables × planes dots of dim mult-adds per vector, ≈ one
-          // candidate-row's cost per plane at dim 64). Without it the
-          // model is free to buy recall with tables alone and picks
-          // radius-0 / hundreds-of-tables configs whose signature work
-          // grows ~n^1.4: measured 24.5× wall clock for 10× data on the
-          // second decade (SCALE.md §Round 10) with 1130 tables at 2M
-          // vectors. Charged, the optimum shifts to radius-1 multiprobe
-          // (37→66→142 tables across the same decades) — same 0.9999
-          // recall target, ~8× less signature work at 2M vectors.
+          // the row terms: probe stream + expected random collisions,
+          // PLUS a calibrated charge for signature computation (tables ×
+          // planes dot products of dim mult-adds per vector). Without
+          // any signature term the model buys recall with tables alone
+          // and its radius-0 table count grows ~n^0.4 (224→566→1130
+          // across sf0.1→×10→×100; signature work then grew ~23× per
+          // decade and dominated the measured 24.5× second-decade wall
+          // clock — SCALE.md §Round 10). The WEIGHT matters as much as
+          // the term: charging planes 1:1 with candidate rows shifted
+          // the ×100 optimum to radius-1 multiprobe whose 5.7e9
+          // random-collision pairs spilled past the disk — a candidate
+          // row costs a shuffle + hash join + dot product (~10³
+          // mult-add equivalents), not one plane's 64. At 1/16 plane-
+          // per-row (≈1024 mult-adds per candidate row) the optimum
+          // keeps the bounded-candidate radius-0 shape with ~20% fewer
+          // tables at every scale. The residual growth is not a defect:
+          // an all-pairs similarity join at FIXED recall is Θ(n^{1+ρ})
+          // for sign-LSH (ρ ≈ 0.3–0.4 at 0.8 cosine) — the linear-at-
+          // scale routes are d9's cluster-then-pair (SemDeDup) or a
+          // recall target that relaxes with n, both documented there.
           val cost = tables * (masks * n + randFrac * n.toDouble * n / 2) +
-            tables.toDouble * planes * n
+            tables.toDouble * planes * n / 16.0
           Some(((planes, r, tables), cost))
         }
       }

@@ -552,11 +552,34 @@ object TextAnalysis {
       .agg(xCols.head, xCols.tail: _*)
       .withColumn("x0", lit(1.0))
       .localCheckpoint()
-    // classes × (dims+1) driver-held coefficients — the model head
-    val betas = classes.map { c =>
-      val d = feat.withColumn("y",
-        when(col("lang") === c, 1.0).otherwise(0.0))
-      c -> Analytics.logisticGdVector(d, k, iters, lr)
+    // classes × (dims+1) driver-held coefficients — the model head.
+    // All heads train in ONE aggregate per iteration (each class's
+    // micro-unit gradient sums are independent, so batching changes job
+    // count, not arithmetic — the per-class trajectory is bit-identical
+    // to logisticGdVector's): iters corpus-frame scans total instead of
+    // classes × iters, which is also the 100 TB shape (one pass fans out
+    // to every head's partial sums map-side).
+    def micro(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000.0 + 0.5).cast("long")
+    var betas: Seq[(String, Array[Double])] =
+      classes.map(_ -> Array.fill(k)(0.0))
+    for (_ <- 1 to iters) {
+      val aggs = count(lit(1)).as("n") +: betas.flatMap { case (c, b) =>
+        val z = (0 until k).map(j => lit(b(j)) * col(s"x$j")).reduce(_ + _)
+        val sg = lit(1.0) / (lit(1.0) + exp(-z))
+        val y = when(col("lang") === c, 1.0).otherwise(0.0)
+        (0 until k).map(j => sum(micro((sg - y) * col(s"x$j"))).as(s"g_${c}_$j"))
+      }
+      val a = feat.agg(aggs.head, aggs.tail: _*).head
+      val n = a.getLong(0).toDouble
+      require(n > 0, "langTrainConfusion needs a non-empty corpus")
+      betas = betas.zipWithIndex.map { case ((c, b), ci) =>
+        c -> Array.tabulate(k) { j =>
+          val g = a.getLong(1 + ci * k + j)
+          math.floor((b(j) - lr * (g.toDouble / 1000000.0 / n))
+            * 1000000.0 + 0.5) / 1000000.0
+        }
+      }
     }
     def r6(c: org.apache.spark.sql.Column) =
       floor(c * 1000000.0 + 0.5) / 1000000.0
