@@ -756,3 +756,55 @@ case class UnigramViterbiPieces(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Hashed bag-of-words counts of a whitespace-split text in ONE compiled
+  * pass: element j = how many tokens land in md5 bucket j (the EXACT
+  * bucket `Sampling.hashBucket` computes — unsigned first-4-bytes of the
+  * digest mod dims — so oracles replaying the per-token md5 keep
+  * matching). Replaces explode → per-token hash → (doc, dim) aggregation
+  * for consumers that want the DENSE per-document vector: the corpus
+  * never explodes, the plan keeps zero exchanges, and the per-row cost
+  * is one digest per token inside one JIT'd method. Empty tokens (from
+  * repeated separators, or an empty text) count like `split` emits them,
+  * matching the declarative form exactly. */
+case class HashedBagCounts(child: Expression, dims: Int)
+    extends UnaryExpression {
+
+  require(dims >= 2 && dims <= 100000, s"dims out of range: $dims")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_bag_counts"
+
+  def computeJava(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new Array[Long](dims)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = s.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        val digest = md.digest(s.substring(start, i).getBytes("UTF-8"))
+        var v = 0L
+        var bi = 0
+        while (bi < 4) { v = (v << 8) | (digest(bi) & 0xffL); bi += 1 }
+        out((v % dims).toInt) += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = computeJava(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("bagCounter", this,
+        "graft.functions.HashedBagCounts")
+      s"${ev.value} = $self.computeJava($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

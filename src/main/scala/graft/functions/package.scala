@@ -60,6 +60,12 @@ package object functions {
     Bridge.column(NgramClippedOverlap(
       Bridge.expression(cand), Bridge.expression(ref), n))
 
+  /** Hashed bag-of-words bucket counts of a whitespace-split text
+    * (`array<long>` of length dims, the dense form of the feature-hashing
+    * trick) in one compiled pass — no explode, no exchange. */
+  def hashed_bag_counts(text: Column, dims: Int): Column =
+    Bridge.column(HashedBagCounts(Bridge.expression(text), dims))
+
   /** Viterbi segmentation of a word under a unigram piece model (piece →
     * micro-unit negative log-prob cost); ties prefer the longer piece.
     * The model rides as a broadcast reference object — the production

@@ -540,17 +540,19 @@ object TextAnalysis {
       "classes must be non-empty and distinct")
     require(dims >= 2 && dims <= 1024, s"dims out of range: $dims")
     val k = dims + 1
-    val bucket = Sampling.hashBucket(col("_tok"), dims)
-    val xCols = (0 until dims).map(j =>
-      (sum(when(col("_b") === j, 1).otherwise(0)).cast("double") /
-        col("_nt")).as(s"x${j + 1}"))
+    // dense featurization as ONE compiled kernel projection (per-token
+    // md5 bucket counts, the same buckets Sampling.hashBucket computes) —
+    // no explode, no exchange; the earlier explode → (doc, label) hash
+    // aggregation form paid one corpus-token-sized shuffle for the same
+    // vectors
     val feat = documents
       .select(col("doc_id"), col("lang"),
-        nTokensExpr.cast("double").as("_nt"), explode(toks).as("_tok"))
-      .withColumn("_b", bucket)
-      .groupBy(col("doc_id"), col("lang"), col("_nt"))
-      .agg(xCols.head, xCols.tail: _*)
-      .withColumn("x0", lit(1.0))
+        nTokensExpr.cast("double").as("_nt"),
+        graft.functions.hashed_bag_counts(col("text"), dims).as("_c"))
+      .select(Seq(col("doc_id"), col("lang"), lit(1.0).as("x0")) ++
+        (0 until dims).map(j =>
+          (element_at(col("_c"), j + 1).cast("double") / col("_nt"))
+            .as(s"x${j + 1}")): _*)
       .localCheckpoint()
     // classes × (dims+1) driver-held coefficients — the model head.
     // All heads train in ONE aggregate per iteration (each class's

@@ -198,6 +198,30 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("hashed_bag_counts matches the explode + hashBucket aggregation exactly") {
+    val docs = graft.Tables.documents(spark, sf0001).limit(60)
+    val dims = 16
+    val viaKernel = docs.select($"doc_id",
+        hashed_bag_counts($"text", dims).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaExplode = docs
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .withColumn("b", graft.operators.Sampling.hashBucket($"t", dims))
+      .groupBy($"doc_id", $"b").count().collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getLong(1).toInt -> r.getLong(2)).toMap).toMap
+    viaKernel.foreach { case (id, counts) =>
+      assert(counts.length == dims)
+      val expect = viaExplode(id)
+      counts.zipWithIndex.foreach { case (c, j) =>
+        assert(c == expect.getOrElse(j, 0L), s"doc $id dim $j") }
+    }
+    // empty and repeated-separator tokens count like split emits them
+    val edge = Seq((1L, "a  b "), (2L, "")).toDF("doc_id", "text")
+      .select($"doc_id", hashed_bag_counts($"text", dims).as("c")).collect()
+    assert(edge.map(_.getSeq[Long](1).sum).toSeq == Seq(4L, 1L))
+  }
+
   test("unigram_viterbi_pieces: min-cost segmentation, longer-piece ties, " +
     "loud failure on uncovered characters") {
     // micro-unit costs; lower = more probable
