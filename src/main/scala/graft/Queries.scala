@@ -2324,6 +2324,95 @@ object Queries {
     sb.toString
   }
 
+  /** PASSK1 — unbiased pass@k (Chen et al. 2021) over a deterministic
+    * per-problem sample table: per source, mean pass@1 and pass@5 from
+    * exact per-problem correct counts via the stable product form.
+    * See [[graft.operators.Analytics.passAtK]]. */
+  val passk1Eval: Q = (s, d) =>
+    graft.operators.Analytics.passAtK(Tables.documents(s, d))
+
+  val passk1EvalSql: String = {
+    val n = 10; val ks = Seq(1, 5)
+    val verdicts = (1 to n).map(s =>
+      s"(CASE WHEN ${md5BucketSql(s"'passk:' || CAST(doc_id AS VARCHAR) || ':$s'")} < (doc_id % 11) * 1000 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    def passExpr(k: Int): String = {
+      val prod = (0 until k).map(j =>
+        s"(greatest(${(n - j).toDouble} - CAST(c AS DOUBLE), 0.0) / ${(n - j).toDouble})")
+        .mkString(" * ")
+      s"floor((1.0 - $prod) * 1000000 + 0.5) / 1000000"
+    }
+    val pCols = ks.map(k => s"${passExpr(k)} AS p$k").mkString(",\n       ")
+    val mCols = ks.map(k =>
+      s"""floor((CAST(sum(CAST(floor(p$k * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000
+         |             / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS pass_at_$k""".stripMargin)
+      .mkString(",\n       ")
+    s"""WITH d AS (SELECT source, $verdicts AS c FROM documents),
+       |p AS (SELECT source, c,
+       |       $pCols
+       |      FROM d)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_problems,
+       |       CAST(sum(c) AS BIGINT) AS total_passed,
+       |       $mCols
+       |FROM p GROUP BY source""".stripMargin
+  }
+
+  /** BT1 — Bradley–Terry preference ranking (Zermelo MM, 5 unrolled
+    * iterations) over deterministic quality-duel comparisons between
+    * langs: the RLHF/arena leaderboard primitive, micro-unit folds end
+    * to end. See [[graft.operators.Analytics.bradleyTerry]]. */
+  val bt1PairwiseRank: Q = (s, d) =>
+    graft.operators.Analytics.bradleyTerry(Tables.documents(s, d))
+
+  val bt1PairwiseRankSql: String = {
+    val iters = 5
+    val qExpr =
+      s"""floor((least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+         |  + (CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
+         |     / len(string_split(text, ' '))) * 0.3
+         |  + least((CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         |           / len(string_split(text, ' '))) / 10.0, 1.0) * 0.2) * 10000 + 0.5) / 10000""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH sc AS MATERIALIZED (SELECT doc_id, lang, $qExpr AS q FROM documents),
+              |pr AS (SELECT CASE WHEN x.q > y.q THEN x.lang ELSE y.lang END AS winner,
+              |              CASE WHEN x.q > y.q THEN y.lang ELSE x.lang END AS loser
+              |       FROM sc x JOIN sc y ON x.doc_id + 1 = y.doc_id
+              |       WHERE x.lang <> y.lang AND x.q <> y.q),
+              |cells AS MATERIALIZED (SELECT winner, loser, CAST(count(*) AS BIGINT) AS w
+              |          FROM pr GROUP BY 1, 2),
+              |itm AS (SELECT DISTINCT winner AS i FROM cells
+              |        UNION SELECT DISTINCT loser FROM cells),
+              |nn AS MATERIALIZED (SELECT i, j, CAST(sum(w) AS BIGINT) AS nij FROM (
+              |         SELECT winner AS i, loser AS j, w FROM cells
+              |         UNION ALL SELECT loser, winner, w FROM cells)
+              |       GROUP BY 1, 2),
+              |wt AS MATERIALIZED (SELECT itm.i, CAST(COALESCE(sum(cells.w), 0) AS BIGINT) AS wins
+              |       FROM itm LEFT JOIN cells ON cells.winner = itm.i GROUP BY itm.i),
+              |s0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS s FROM itm)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+                |den$t AS MATERIALIZED (SELECT nn.i,
+                |       CAST(sum(CAST(floor(CAST(nn.nij AS DOUBLE) / (si.s + sj.s) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS den
+                |       FROM nn JOIN s${t - 1} si ON si.i = nn.i JOIN s${t - 1} sj ON sj.i = nn.j
+                |       GROUP BY nn.i),
+                |raw$t AS MATERIALIZED (SELECT wt.i,
+                |       floor((CAST(wt.wins AS DOUBLE) * 1000000 / CAST(den AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS s1
+                |       FROM wt JOIN den$t ON den$t.i = wt.i),
+                |tot$t AS MATERIALIZED (SELECT CAST(sum(CAST(floor(s1 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS tot,
+                |                 CAST(count(*) AS DOUBLE) AS ni FROM raw$t),
+                |s$t AS MATERIALIZED (SELECT i,
+                |       floor((s1 * ni * 1000000 / CAST(tot AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS s
+                |       FROM raw$t CROSS JOIN tot$t)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT wt.i AS lang, wt.wins,
+              |       CAST((SELECT sum(nij) FROM nn WHERE nn.i = wt.i) AS BIGINT) AS comparisons,
+              |       s$iters.s AS strength,
+              |       CAST(row_number() OVER (ORDER BY s$iters.s DESC, wt.i) AS BIGINT) AS rank
+              |FROM wt JOIN s$iters ON s$iters.i = wt.i""".stripMargin
+    sb.toString
+  }
+
   /** BPE1 — the first 6 BPE tokenizer merges learned from the corpus
     * (Sennrich-style greedy pair merging): ONE corpus-sized word-count
     * pass, then vocab-table-sized merge iterations; every pair count is
@@ -6496,6 +6585,8 @@ object Queries {
     "ml5_lang_train" -> ml5LangTrain,
     "pack2_nostraddle" -> pack2NoStraddle,
     "uni1_unigram_train" -> uni1UnigramTrain,
+    "passk1_eval" -> passk1Eval,
+    "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
     "dp2_private_median" -> dp2PrivateMedian,
@@ -6726,6 +6817,8 @@ object Queries {
     "ml5_lang_train" -> ml5LangTrainSql,
     "pack2_nostraddle" -> pack2NoStraddleSql,
     "uni1_unigram_train" -> uni1UnigramTrainSql,
+    "passk1_eval" -> passk1EvalSql,
+    "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
     "dp2_private_median" -> dp2PrivateMedianSql,
@@ -6791,5 +6884,6 @@ object Queries {
     "fd1_functional_deps", "aug1_token_dropout", "aug2_token_mask",
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
+    "passk1_eval", "bt1_pairwise_rank",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -1383,4 +1383,117 @@ object Analytics {
             .otherwise(col("s_all").cast("double") / col("n_all").cast("double"))
             / 100, 4).as("loo_target_mean"))
   }
+
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code"): per problem with `n` samples of which `c`
+    * pass, pass@k = 1 − C(n−c, k)/C(n, k), computed in the numerically
+    * stable product form 1 − Π_{j=0..k−1} (n−c−j)/(n−j) — the estimator
+    * every code-eval harness reports. Problems are the documents;
+    * per-sample verdicts are salted-hash draws (sample s of problem d
+    * passes iff md5Bucket("passk:d:s") clears a per-problem threshold),
+    * so the whole "eval run" is reproducible cross-engine — scoring a
+    * REAL eval table swaps the verdict expression for a column.
+    *
+    * Determinism: c is an exact integer fold of `n` in-row hash
+    * verdicts; each problem's pass@k is a fixed-order product of exact
+    * small-integer ratios snapped to 1e-6; per-source means fold the
+    * snapped values as micro-unit BIGINTs. One projection + ONE
+    * aggregation on source — corpus-linear, no joins. */
+  def passAtK(documents: DataFrame, n: Int = 10, ks: Seq[Int] = Seq(1, 5),
+              salt: String = "passk"): DataFrame = {
+    require(n >= 1 && n <= 64, s"n out of range: $n")
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= n),
+      s"each k must be in [1, $n]: $ks")
+    // per-problem pass rate varies by doc_id so c spans the full range
+    val thresh = pmod(col("doc_id"), lit(11)) * 1000
+    val c = (1 to n).map { s =>
+      (graft.operators.Sampling.hashBucket(
+        concat(lit(s"$salt:"), col("doc_id").cast("string"),
+          lit(":"), lit(s.toString))) < thresh).cast("int")
+    }.reduce(_ + _)
+    def r6(x: Column) = floor(x * 1000000.0 + 0.5) / 1000000.0
+    // Π greatest(n−c−j, 0)/(n−j), j ascending — a zero factor (c > n−k)
+    // pins the product at 0 → pass@k = 1, the C(n−c,k) = 0 case
+    def passK(k: Int): Column = r6(lit(1.0) - (0 until k).map(j =>
+      greatest(lit((n - j).toDouble) - col("_c").cast("double"), lit(0.0)) /
+        lit((n - j).toDouble)).reduce(_ * _))
+    val perDoc = documents.select(col("source"), c.as("_c"))
+    val aggs = Seq(count(lit(1)).as("n_problems"),
+      sum(col("_c").cast("long")).as("total_passed")) ++
+      ks.map(k => sum(floor(col(s"_p$k") * 1000000.0 + 0.5).cast("long"))
+        .as(s"_m$k"))
+    val withP = ks.foldLeft(perDoc)((d, k) => d.withColumn(s"_p$k", passK(k)))
+    withP.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("source"), col("n_problems"), col("total_passed")) ++
+        ks.map(k => r6(col(s"_m$k").cast("double") / 1000000.0 /
+          col("n_problems").cast("double")).as(s"pass_at_$k")): _*)
+  }
+
+  /** Bradley–Terry strengths from pairwise preferences, fit by Zermelo's
+    * MM iteration — the preference-ranking primitive under RLHF reward
+    * evaluation and arena-style model leaderboards: given win counts
+    * w_ij, iterate s_i ← W_i / Σ_j n_ij/(s_i + s_j), renormalizing to
+    * mean 1. Preferences here are deterministic: consecutive documents
+    * (doc_id, doc_id+1) with different langs are a comparison between
+    * their langs, won by the higher t2 quality score (snapped — ties
+    * skipped), so the tournament replays cross-engine; a REAL preference
+    * table drops in by swapping the pair construction.
+    *
+    * Determinism, the ml1/kmeans discipline end to end: per-iteration
+    * denominator TERMS snap to micro-units and fold as exact BIGINTs
+    * (order-free), strengths snap to the 1e-6 grid after the update AND
+    * after the integer-total renormalization, so the DuckDB oracle
+    * unrolls all `iters` MM steps digit-exact. Two items that compared
+    * can never both sit at strength 0 (one of them won), so the update
+    * is total.
+    *
+    * Scale shape: one corpus-sized self-join on the consecutive-id key +
+    * ONE aggregation to the ≤ items² win matrix; MM runs on the matrix
+    * (driver state = items × strengths, the codebook contract). */
+  def bradleyTerry(documents: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val scored = documents.select(col("doc_id"), col("lang"),
+      graft.operators.TextAnalysis.qualityExpr.as("q"))
+    val pairs = scored.alias("x").join(scored.alias("y"),
+        col("x.doc_id") + 1 === col("y.doc_id"))
+      .filter(col("x.lang") =!= col("y.lang") && col("x.q") =!= col("y.q"))
+      .select(
+        when(col("x.q") > col("y.q"), col("x.lang")).otherwise(col("y.lang"))
+          .as("winner"),
+        when(col("x.q") > col("y.q"), col("y.lang")).otherwise(col("x.lang"))
+          .as("loser"))
+    val cells = pairs.groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("w")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.nonEmpty, "no comparisons — need ≥ 2 langs with quality ties broken")
+    val items = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val wins = items.map(i => i -> cells.filter(_._1 == i).map(_._3).sum).toMap
+    val nij = items.map(i => i -> items.map(j =>
+      j -> (cells.filter(c => c._1 == i && c._2 == j).map(_._3).sum +
+        cells.filter(c => c._1 == j && c._2 == i).map(_._3).sum)).toMap).toMap
+    var s = items.map(_ => 1.0).toArray
+    for (_ <- 1 to iters) {
+      val raw = items.zipWithIndex.map { case (i, ii) =>
+        val den = items.zipWithIndex.collect {
+          case (j, jj) if j != i && nij(i)(j) > 0 =>
+            math.floor(nij(i)(j).toDouble / (s(ii) + s(jj)) * 1000000.0 + 0.5).toLong
+        }.sum
+        val r = wins(i).toDouble * 1000000.0 / den.toDouble
+        math.floor(r * 1000000.0 + 0.5) / 1000000.0
+      }
+      val tot = raw.map(v => math.floor(v * 1000000.0 + 0.5).toLong).sum
+      s = raw.map(v => math.floor(
+        v * items.size.toDouble * 1000000.0 / tot.toDouble * 1000000.0 + 0.5)
+        / 1000000.0).toArray
+    }
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ranked = items.zipWithIndex
+      .map { case (i, ii) => (i, wins(i), items.collect {
+        case j if j != i => nij(i)(j) }.sum, s(ii)) }
+      .sortBy { case (i, _, _, st) => (-st, i) }
+      .zipWithIndex
+      .map { case ((i, w, nc, st), r) => (i, w, nc, st, (r + 1).toLong) }
+    ranked.toSeq.toDF("lang", "wins", "comparisons", "strength", "rank")
+  }
 }

@@ -710,4 +710,55 @@ class AnalyticsSpec extends SparkTestBase {
     // with y, x2 correlates
     assert(got(1) < 0 && got(2) > 0)
   }
+
+  test("passAtK: estimator identities — pass@1 = c/n in the mean, monotone in k") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val got = Analytics.passAtK(docs).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (np, tp) = (r.getLong(1), r.getLong(2))
+      val (p1, p5) = (r.getDouble(3), r.getDouble(4))
+      // per-problem pass@1 is exactly c/n, so the source mean collapses
+      // to total_passed / (n * n_problems) (both sides on the 1e-6 grid)
+      val expect1 = math.floor(tp.toDouble / 10.0 / np.toDouble * 1e6 + 0.5) / 1e6
+      assert(math.abs(p1 - expect1) <= 1e-6 + 1e-12, s"$p1 vs $expect1")
+      // more attempts can only help
+      assert(p5 >= p1 && p1 >= 0.0 && p5 <= 1.0)
+    }
+    // a problem set that never passes scores zero at every k
+    import spark.implicits._
+    val dead = Seq((0L, "x", "s"), (11L, "y", "s"), (22L, "z", "s"))
+      .toDF("doc_id", "text", "source")
+    val z = Analytics.passAtK(dead).collect()(0)
+    assert(z.getLong(2) == 0L && z.getDouble(3) == 0.0 && z.getDouble(4) == 0.0)
+    intercept[IllegalArgumentException] { Analytics.passAtK(docs, n = 4, ks = Seq(5)) }
+  }
+
+  test("bradleyTerry: tournament accounting holds and a planted favorite wins") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val got = Analytics.bradleyTerry(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // every comparison produced one win and touched two items
+    assert(got.map(_._3).sum == 2 * got.map(_._2).sum)
+    // normalization: strengths are non-negative with mean ~1
+    assert(got.forall(_._4 >= 0.0))
+    assert(math.abs(got.map(_._4).sum / got.length - 1.0) < 0.01)
+    // ranks are a permutation of 1..m following strength order
+    assert(got.map(_._5).sorted.toSeq == (1L to got.length).toSeq)
+    // planted dominance: 'aa' docs are quality-rich, 'bb' docs are junk →
+    // 'aa' must out-rank 'bb'
+    import spark.implicits._
+    val tiny = (0 until 40).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, "aa", "the spark of a good and long document " * 3)
+      else (i.toLong, "bb", "x")
+    }.toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+    val duel = Analytics.bradleyTerry(tiny).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getLong(4))).toMap
+    assert(duel("aa")._1 > duel("bb")._1 && duel("aa")._2 == 1L, duel.toString)
+  }
 }
