@@ -2324,6 +2324,86 @@ object Queries {
     sb.toString
   }
 
+  /** ROUGE1 — corpus ROUGE-N recall + F1 of the SAME candidate set bleu1
+    * scores (shared clipped-count kernel; ROUGE divides by reference
+    * totals where BLEU divides by candidate totals).
+    * See [[graft.operators.TextAnalysis.corpusRouge]]. */
+  val rouge1Eval: Q = (s, d) => TextAnalysis.corpusRouge(Tables.documents(s, d))
+
+  val rouge1EvalSql: String = {
+    val maxN = 2
+    val hit = md5BucketSql(
+      "'bleu:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+    val perN = (1 to maxN).map { n =>
+      val m = n - 1
+      s"""gc$n AS (SELECT doc_id, unnest([array_to_string(cl[i:i+$m], chr(1))
+         |                               FOR i IN RANGE(1, len(cl) - $m + 1)]) AS g FROM c),
+         |gr$n AS (SELECT doc_id, unnest([array_to_string(rl[i:i+$m], chr(1))
+         |                               FOR i IN RANGE(1, len(rl) - $m + 1)]) AS g FROM c),
+         |nc$n AS (SELECT doc_id, g, count(*) AS k FROM gc$n GROUP BY 1, 2),
+         |nr$n AS (SELECT doc_id, g, count(*) AS k FROM gr$n GROUP BY 1, 2),
+         |ov$n AS (SELECT COALESCE(CAST(sum(least(nc$n.k, nr$n.k)) AS BIGINT), 0) AS clipped_$n
+         |         FROM nc$n JOIN nr$n USING (doc_id, g)),
+         |tot$n AS (SELECT CAST(sum(greatest(len(cl) - $m, 0)) AS BIGINT) AS cand_total_$n,
+         |                 CAST(sum(greatest(len(rl) - $m, 0)) AS BIGINT) AS ref_total_$n FROM c)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 to maxN).map(n => s"CROSS JOIN ov$n CROSS JOIN tot$n").mkString(" ")
+    def ratio(num: String, den: String) =
+      s"""CASE WHEN $den > 0
+         |            THEN floor(CAST($num AS DOUBLE) / CAST($den AS DOUBLE) * 1000000 + 0.5) / 1000000
+         |            ELSE 0.0 END""".stripMargin
+    val prCols = (1 to maxN).map { n =>
+      s"""clipped_$n, cand_total_$n, ref_total_$n,
+         |       ${ratio(s"clipped_$n", s"cand_total_$n")} AS precision_$n,
+         |       ${ratio(s"clipped_$n", s"ref_total_$n")} AS rouge_$n""".stripMargin
+    }.mkString(",\n       ")
+    val f1Cols = (1 to maxN).map { n =>
+      s"""CASE WHEN precision_$n + rouge_$n > 0
+         |            THEN floor(2.0 * precision_$n * rouge_$n / (precision_$n + rouge_$n) * 1000000 + 0.5) / 1000000
+         |            ELSE 0.0 END AS f1_$n""".stripMargin
+    }.mkString(",\n       ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS rl FROM documents),
+       |c AS (SELECT doc_id, rl,
+       |        [rl[i] FOR i IN RANGE(1, len(rl) + 1) IF NOT ($hit < 1000)] AS cl
+       |      FROM t),
+       |$perN,
+       |f AS (SELECT $prCols FROM (SELECT 1) $joins)
+       |SELECT *,
+       |       $f1Cols
+       |FROM f""".stripMargin
+  }
+
+  /** MMD1 — linear-kernel MMD² between the even- and odd-id embedding
+    * populations: the vector sibling of psi1's scalar drift score, one
+    * pass of exact per-dimension moment folds (no pairwise kernel
+    * matrix). See [[graft.operators.Curation.mmdShift]]. */
+  val mmd1DistShift: Q = (s, d) =>
+    graft.operators.Curation.mmdShift(Tables.embeddings(s, d),
+      pmod(col("vec_id"), lit(2)))
+
+  val mmd1DistShiftSql: String = {
+    val dim = 64
+    def microE(d: Int) =
+      s"CAST(floor(CAST(embedding[$d] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+    val sums = (1 to dim).map(d =>
+      s"""CAST(sum(CASE WHEN vec_id % 2 = 0 THEN ${microE(d)} ELSE 0 END) AS BIGINT) AS a$d,
+         |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN ${microE(d)} ELSE 0 END) AS BIGINT) AS b$d""".stripMargin)
+      .mkString(",\n  ")
+    def diff(d: Int) =
+      s"(CAST(a$d AS DOUBLE) / 1000000 / CAST(n_a AS DOUBLE) - CAST(b$d AS DOUBLE) / 1000000 / CAST(n_b AS DOUBLE))"
+    val sq = (1 to dim).map(d => s"${diff(d)} * ${diff(d)}").mkString(" + ")
+    val ab = (1 to dim).map(d => s"abs(${diff(d)})").mkString(" + ")
+    s"""WITH m AS (SELECT
+       |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |  $sums
+       |FROM embeddings)
+       |SELECT n_a, n_b,
+       |       floor(($sq) * 1000000000 + 0.5) / 1000000000 AS mmd2,
+       |       floor(($ab) / $dim * 1000000000 + 0.5) / 1000000000 AS mean_abs_gap
+       |FROM m""".stripMargin
+  }
+
   /** PASSK1 — unbiased pass@k (Chen et al. 2021) over a deterministic
     * per-problem sample table: per source, mean pass@1 and pass@5 from
     * exact per-problem correct counts via the stable product form.
@@ -6586,6 +6666,8 @@ object Queries {
     "pack2_nostraddle" -> pack2NoStraddle,
     "uni1_unigram_train" -> uni1UnigramTrain,
     "passk1_eval" -> passk1Eval,
+    "rouge1_eval" -> rouge1Eval,
+    "mmd1_dist_shift" -> mmd1DistShift,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -6818,6 +6900,8 @@ object Queries {
     "pack2_nostraddle" -> pack2NoStraddleSql,
     "uni1_unigram_train" -> uni1UnigramTrainSql,
     "passk1_eval" -> passk1EvalSql,
+    "rouge1_eval" -> rouge1EvalSql,
+    "mmd1_dist_shift" -> mmd1DistShiftSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -6884,6 +6968,6 @@ object Queries {
     "fd1_functional_deps", "aug1_token_dropout", "aug2_token_mask",
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
-    "passk1_eval", "bt1_pairwise_rank",
+    "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
     "st1_stream_window", "st6_stream_cdc")
 }

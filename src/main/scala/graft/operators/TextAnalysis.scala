@@ -295,6 +295,48 @@ object TextAnalysis {
       .withColumn("bleu", r6(col("bp") * exp(logSum * (lit(1.0) / maxN))))
   }
 
+  /** Corpus ROUGE-N (recall-oriented n-gram overlap) of the SAME
+    * deterministic candidate set [[corpusBleu]] scores — the two metrics
+    * share the clipped-count kernel because Σ_g min(count_cand, count_ref)
+    * is symmetric in role: BLEU divides it by candidate n-gram totals
+    * (precision), ROUGE by REFERENCE totals (recall); F1 combines the two
+    * snapped ratios. One projection + one map-side aggregate, same scale
+    * shape as corpusBleu. */
+  def corpusRouge(documents: DataFrame, rate: Double = 0.1,
+                  salt: String = "bleu", maxN: Int = 2): DataFrame = {
+    require(rate > 0 && rate < 1, s"rate must be in (0, 1), got $rate")
+    require(maxN >= 1 && maxN <= 8, s"maxN out of range: $maxN")
+    val thresh = (rate * 10000).round
+    def hitAt(i: org.apache.spark.sql.Column) =
+      Sampling.hashBucket(concat(lit(s"$salt:"), col("doc_id").cast("string"),
+        lit(":"), (i + 1).cast("string"))) < thresh
+    val cand = filter(toks, (_, i) => !hitAt(i))
+    val proj = documents.select(toks.as("_ref"), cand.as("_cand"))
+    val aggs = (1 to maxN).flatMap { n =>
+      Seq(
+        sum(graft.functions.ngram_clipped_overlap(
+          col("_cand"), col("_ref"), n)).as(s"clipped_$n"),
+        sum(greatest(size(col("_cand")) - (n - 1), lit(0)).cast("long"))
+          .as(s"cand_total_$n"),
+        sum(greatest(size(col("_ref")) - (n - 1), lit(0)).cast("long"))
+          .as(s"ref_total_$n"))
+    }
+    val a = proj.agg(aggs.head, aggs.tail: _*)
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000.0 + 0.5) / 1000000.0
+    def ratio(num: String, den: String) =
+      when(col(den) > 0,
+        r6(col(num).cast("double") / col(den).cast("double"))).otherwise(0.0)
+    val withPr = a.select((1 to maxN).flatMap(n => Seq(
+      col(s"clipped_$n"), col(s"cand_total_$n"), col(s"ref_total_$n"),
+      ratio(s"clipped_$n", s"cand_total_$n").as(s"precision_$n"),
+      ratio(s"clipped_$n", s"ref_total_$n").as(s"rouge_$n"))): _*)
+    (1 to maxN).foldLeft(withPr)((d, n) => d.withColumn(s"f1_$n",
+      when(col(s"precision_$n") + col(s"rouge_$n") > 0,
+        r6(lit(2.0) * col(s"precision_$n") * col(s"rouge_$n") /
+          (col(s"precision_$n") + col(s"rouge_$n")))).otherwise(0.0)))
+  }
+
   /** Zipf-law fit of the token frequency distribution: OLS slope of
     * ln(count) on ln(rank) over the top-`topK` tokens — the corpus-health
     * fingerprint (natural language sits near slope −1; templated or

@@ -206,4 +206,28 @@ class CurationSpec extends SparkTestBase {
     // p=(3/6, 3/6), q=(1/6, 5/6) → (-1/3)ln(1/3) + (1/3)ln(5/3) = 0.5365
     assert(got("b") == ((4L, 0.5365)))
   }
+
+  test("mmdShift: parity split of one population is ~0, a planted shift is not") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val total = e.count()
+    val same = Curation.mmdShift(e, pmod(col("vec_id"), lit(2))).collect()(0)
+    assert(same.getLong(0) + same.getLong(1) == total)
+    val mmdSame = same.getDouble(2)
+    assert(mmdSame >= 0.0)
+    // plant a mean shift of +0.5 on every dimension for the odd group
+    val shifted = e.withColumn("embedding",
+      when(pmod(col("vec_id"), lit(2)) === 1,
+        transform(col("embedding"), x => (x + lit(0.5f)).cast("float")))
+        .otherwise(col("embedding")))
+    val far = Curation.mmdShift(shifted, pmod(col("vec_id"), lit(2)))
+      .collect()(0)
+    // ||mu_a - mu_b||^2 ~ 64 * 0.25 = 16 >> the parity-split noise
+    assert(far.getDouble(2) > 10.0 && far.getDouble(2) > 100 * mmdSame,
+      s"planted ${far.getDouble(2)} vs same-pop $mmdSame")
+    assert(far.getDouble(3) > 0.4, s"mean_abs_gap ${far.getDouble(3)}")
+    intercept[IllegalArgumentException] {
+      Curation.mmdShift(e, pmod(col("vec_id"), lit(2)), dim = 0)
+    }
+  }
 }

@@ -388,6 +388,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(top == "abab" || top == "ab", tv.mkString(","))
   }
 
+  test("corpusRouge: subsequence candidates give precision 1, recall = length ratio") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val r = TextAnalysis.corpusRouge(docs).collect()(0)
+    def l(c: String) = r.getLong(r.fieldIndex(c))
+    def d(c: String) = r.getDouble(r.fieldIndex(c))
+    // dropout candidates are subsequences → every candidate unigram is
+    // clipped-matched: precision_1 = 1 and recall_1 = cand/ref exactly
+    assert(d("precision_1") == 1.0)
+    val expect = math.floor(l("cand_total_1").toDouble /
+      l("ref_total_1").toDouble * 1e6 + 0.5) / 1e6
+    assert(d("rouge_1") == expect)
+    // recall can only fall with n; F1 sits between precision and recall
+    assert(d("rouge_1") >= d("rouge_2"))
+    Seq(1, 2).foreach { n =>
+      val (p, rr, f) = (d(s"precision_$n"), d(s"rouge_$n"), d(s"f1_$n"))
+      assert(f >= math.min(p, rr) - 1e-6 && f <= math.max(p, rr) + 1e-6)
+    }
+  }
+
   test("langTrainConfusion learns a planted vocabulary signal") {
     import spark.implicits._
     // class 'aa' speaks token xx, class 'bb' speaks token yy — fully
