@@ -2256,8 +2256,14 @@ object Queries {
   val uni1UnigramTrain: Q = (s, d) =>
     TextAnalysis.unigramTrain(Tables.documents(s, d))
 
-  val uni1UnigramTrainSql: String = {
-    val seedSize = 40; val maxPieceLen = 4; val emIters = 2; val maxWordLen = 12
+  /** Shared replay chain for uni1/uni2: seed → per-EM-round set-based DP
+    * + recursive backtrace + count folds + re-estimation, optionally one
+    * EXTRA segmentation round under the FINAL model (the encode pass).
+    * Every non-recursive CTE is materialized — inlined DP stages expand
+    * exponentially. Ends at vocab CTE v<emIters> (and, with the extra
+    * round, backtrace CTE bt<emIters+1>). */
+  private def unigramCtesSql(emIters: Int, extraSegment: Boolean): String = {
+    val seedSize = 40; val maxPieceLen = 4; val maxWordLen = 12
     def vocabCte(name: String, src: String) =
       s"""$name AS MATERIALIZED (SELECT piece, cnt,
          |       -CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER () AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS cost
@@ -2280,7 +2286,8 @@ object Queries {
               |             FROM sc0 WHERE len(piece) > 1)
               |       WHERE rn <= $seedSize - (SELECT n FROM nch)),
               |${vocabCte("v0", "n0")}""".stripMargin
-    for (e <- 1 to emIters) {
+    val rounds = if (extraSegment) emIters + 1 else emIters
+    for (e <- 1 to rounds) {
       val v = s"v${e - 1}"
       // set-based Viterbi DP, unrolled to the maxWordLen bound: stage i
       // holds each live word's best (cost, backlen) at position i
@@ -2306,22 +2313,49 @@ object Queries {
                 |  UNION ALL
                 |  SELECT b.w, b.cur - d.bl, substr(b.w, b.cur - d.bl + 1, d.bl)
                 |  FROM bt$e b JOIN dall$e d ON d.w = b.w AND d.i = b.cur
-                |  WHERE b.cur > 0),
-                |c$e AS MATERIALIZED (SELECT b.piece, CAST(sum(ww.freq) AS BIGINT) AS cnt
-                |        FROM bt$e b JOIN ww ON ww.w = b.w
-                |        WHERE b.piece IS NOT NULL GROUP BY 1),
-                |n$e AS (SELECT piece, cnt FROM c$e
-                |        UNION ALL
-                |        SELECT v.piece, CAST(1 AS BIGINT) AS cnt FROM $v v
-                |        WHERE len(v.piece) = 1
-                |          AND v.piece NOT IN (SELECT piece FROM c$e)),
-                |${vocabCte(s"v$e", s"n$e")}""".stripMargin
+                |  WHERE b.cur > 0)""".stripMargin
+      if (e <= emIters) {
+        sb ++= s""",
+                  |c$e AS MATERIALIZED (SELECT b.piece, CAST(sum(ww.freq) AS BIGINT) AS cnt
+                  |        FROM bt$e b JOIN ww ON ww.w = b.w
+                  |        WHERE b.piece IS NOT NULL GROUP BY 1),
+                  |n$e AS (SELECT piece, cnt FROM c$e
+                  |        UNION ALL
+                  |        SELECT v.piece, CAST(1 AS BIGINT) AS cnt FROM $v v
+                  |        WHERE len(v.piece) = 1
+                  |          AND v.piece NOT IN (SELECT piece FROM c$e)),
+                  |${vocabCte(s"v$e", s"n$e")}""".stripMargin
+      }
     }
-    sb ++= s"""
-              |SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, cnt,
-              |       floor(CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER () AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p6
-              |FROM v$emIters""".stripMargin
     sb.toString
+  }
+
+  val uni1UnigramTrainSql: String = {
+    val emIters = 2
+    s"""${unigramCtesSql(emIters, extraSegment = false)}
+       |SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, cnt,
+       |       floor(CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER () AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p6
+       |FROM v$emIters""".stripMargin
+  }
+
+  /** UNI2 — the apply half of uni1, mirroring bpe2 for the merge-free
+    * tokenizer family: per-document piece statistics under the TRAINED
+    * unigram model (one extra replayed Viterbi round with the final
+    * costs). See [[graft.operators.TextAnalysis.unigramEncodeStats]]. */
+  val uni2EncodeStats: Q = (s, d) =>
+    TextAnalysis.unigramEncodeStats(Tables.documents(s, d))
+
+  val uni2EncodeStatsSql: String = {
+    val emIters = 2
+    s"""${unigramCtesSql(emIters, extraSegment = true)},
+       |wp AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS np
+       |      FROM bt${emIters + 1} WHERE piece IS NOT NULL GROUP BY w)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(np) AS BIGINT) AS n_pieces,
+       |       floor(CAST(sum(np) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS pieces_per_word
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) dd
+       |JOIN wp ON wp.w = dd.tk
+       |GROUP BY doc_id""".stripMargin
   }
 
   /** ROUGE1 — corpus ROUGE-N recall + F1 of the SAME candidate set bleu1
@@ -6665,6 +6699,7 @@ object Queries {
     "ml5_lang_train" -> ml5LangTrain,
     "pack2_nostraddle" -> pack2NoStraddle,
     "uni1_unigram_train" -> uni1UnigramTrain,
+    "uni2_encode_stats" -> uni2EncodeStats,
     "passk1_eval" -> passk1Eval,
     "rouge1_eval" -> rouge1Eval,
     "mmd1_dist_shift" -> mmd1DistShift,
@@ -6899,6 +6934,7 @@ object Queries {
     "ml5_lang_train" -> ml5LangTrainSql,
     "pack2_nostraddle" -> pack2NoStraddleSql,
     "uni1_unigram_train" -> uni1UnigramTrainSql,
+    "uni2_encode_stats" -> uni2EncodeStatsSql,
     "passk1_eval" -> passk1EvalSql,
     "rouge1_eval" -> rouge1EvalSql,
     "mmd1_dist_shift" -> mmd1DistShiftSql,
@@ -6969,5 +7005,6 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
+    "uni2_encode_stats",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -803,10 +803,32 @@ object TextAnalysis {
     * fixed-depth replay). */
   def unigramTrain(docs: DataFrame, seedSize: Int = 40, maxPieceLen: Int = 4,
                    emIters: Int = 2, maxWordLen: Int = 12): DataFrame = {
+    val vocab = unigramTrainModel(docs, seedSize, maxPieceLen, emIters, maxWordLen)
+    val total = vocab.map(_._2).sum.toDouble
+    val rows = vocab.toSeq.map { case (p, c) =>
+      (p, p.length.toLong, c, math.floor(c / total * 1000000.0 + 0.5) / 1000000.0)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    rows.toDF("piece", "piece_len", "cnt", "p6")
+  }
+
+  /** Micro-unit −ln p costs of a (piece, count) vocabulary — shared by
+    * the trainer's EM rounds and [[unigramEncodeStats]]' final pass. */
+  private def unigramCostsOf(v: Array[(String, Long)]): Seq[(String, Long)] = {
+    val total = v.map(_._2).sum.toDouble
+    v.toSeq.map { case (p, c) =>
+      (p, -math.floor(math.log(c / total) * 1000000.0 + 0.5).toLong) }
+  }
+
+  /** The [[unigramTrain]] loop, returning the final (piece, count) model
+    * head instead of a frame — the encode half re-uses it. */
+  private[operators] def unigramTrainModel(docs: DataFrame, seedSize: Int,
+                                           maxPieceLen: Int, emIters: Int,
+                                           maxWordLen: Int): Array[(String, Long)] = {
     require(seedSize >= 2, s"seedSize must be >= 2, got $seedSize")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(emIters >= 1, s"emIters must be >= 1, got $emIters")
-    val spark = docs.sparkSession
     val words = docs.select(explode(toks).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -832,14 +854,9 @@ object TextAnalysis {
     // the model head: ≤ seedSize (piece, count) rows of driver state
     var vocab = charPieces.unionByName(multi)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    def costsOf(v: Array[(String, Long)]): Seq[(String, Long)] = {
-      val total = v.map(_._2).sum.toDouble
-      v.toSeq.map { case (p, c) =>
-        (p, -math.floor(math.log(c / total) * 1000000.0 + 0.5).toLong) }
-    }
     for (_ <- 1 to emIters) {
       val segCol = graft.functions.unigram_viterbi_pieces(
-        col("w"), costsOf(vocab), maxPieceLen)
+        col("w"), unigramCostsOf(vocab), maxPieceLen)
       val counted = words.select(explode(segCol).as("piece"), col("freq"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
@@ -849,12 +866,34 @@ object TextAnalysis {
         (p, if (p.length == 1) math.max(c, 1L) else c)
       }.filter(_._2 > 0).toArray
     }
-    val total = vocab.map(_._2).sum.toDouble
-    val rows = vocab.toSeq.map { case (p, c) =>
-      (p, p.length.toLong, c, math.floor(c / total * 1000000.0 + 0.5) / 1000000.0)
-    }
-    import spark.implicits._
-    rows.toDF("piece", "piece_len", "cnt", "p6")
+    vocab
+  }
+
+  /** UNIGRAM ENCODE — the apply half of [[unigramTrain]], mirroring
+    * [[bpeEncodeStats]] for the merge-free tokenizer family: segment the
+    * corpus under the TRAINED unigram model (one extra Viterbi pass with
+    * the final costs) and report per-document piece statistics. The
+    * decisive scale property is identical to bpe2's: segmentation runs
+    * on the DISTINCT-WORD table only (the compiled DP kernel with the
+    * broadcast model), and the corpus pays ONE broadcast word→count join
+    * plus a per-doc aggregate. */
+  def unigramEncodeStats(docs: DataFrame, seedSize: Int = 40,
+                         maxPieceLen: Int = 4, emIters: Int = 2,
+                         maxWordLen: Int = 12): DataFrame = {
+    val vocab = unigramTrainModel(docs, seedSize, maxPieceLen, emIters, maxWordLen)
+    val costs = unigramCostsOf(vocab)
+    val wp = docs.select(explode(toks).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .select(col("w"), size(graft.functions.unigram_viterbi_pieces(
+        col("w"), costs, maxPieceLen)).cast("long").as("np"))
+    docs.select(col("doc_id"), explode(toks).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(wp), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        portableRound(col("n_pieces").cast("double") /
+          col("n_words").cast("double"), 4).as("pieces_per_word"))
   }
 
   /** BPE ENCODE — the apply half of [[bpeTrain]]: tokenize the corpus

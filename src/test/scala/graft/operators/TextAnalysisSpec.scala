@@ -407,6 +407,31 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("unigramEncodeStats: every word yields >= 1 piece, totals account for " +
+    "all tokens, ratio matches its own counts") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val got = TextAnalysis.unigramEncodeStats(docs).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"doc ${r.getLong(0)}")
+      val ppw = math.floor(r.getLong(2).toDouble / r.getLong(1).toDouble
+        * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(3) == ppw)
+    }
+    val totalWords = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(got.map(_.getLong(1)).sum == totalWords)
+    // a single-word corpus segments every occurrence identically
+    import spark.implicits._
+    val tiny = (1 to 20).map(i => (i.toLong, "abab abab abab"))
+      .toDF("doc_id", "text")
+    val t = TextAnalysis.unigramEncodeStats(tiny, seedSize = 6)
+      .select("n_words", "n_pieces").distinct().collect()
+    assert(t.length == 1 && t(0).getLong(0) == 3L)
+  }
+
   test("langTrainConfusion learns a planted vocabulary signal") {
     import spark.implicits._
     // class 'aa' speaks token xx, class 'bb' speaks token yy — fully
