@@ -108,6 +108,31 @@ class LoadSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == orders.count())
   }
 
+  test("executeCompaction recovers from an interrupted previous attempt") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables.orders(spark, sf0001)
+    val out = Files.createTempDirectory("graft-z2r").resolve("t").toString
+    orders.repartition(4).write.partitionBy("o_orderpriority").parquet(out)
+    val manifest = Load.parquetManifest(spark, out)
+    val part = manifest.select("part").distinct().collect()
+      .map(_.getString(0)).sorted.head
+    val plan = graft.operators.Layout
+      .compactionPlan(manifest.select("part", "file_id", "bytes"), Long.MaxValue)
+      .join(manifest.select("part", "file_id", "file"), Seq("part", "file_id"))
+    val rowsBefore = spark.read.parquet(s"$out/$part").count()
+    // simulate a crash after the first move: original stranded at
+    // .precompact, no live partition dir
+    val target = java.nio.file.Paths.get(out, part)
+    val stranded = java.nio.file.Paths.get(out, part + ".precompact")
+    java.nio.file.Files.move(target, stranded)
+    assert(!java.nio.file.Files.exists(target))
+    val achieved = Load.executeCompaction(spark, out, part, plan)
+    // recovery restored the original before compacting; one bin → one file
+    assert(achieved == 1)
+    assert(spark.read.parquet(s"$out/$part").count() == rowsBefore)
+    assert(!java.nio.file.Files.exists(stranded))
+  }
+
   test("K1 JSON sink + K3 preview emit one object per row") {
     val df = Seq(("x", 1), ("y", 2)).toDF("k", "v")
     val out = Files.createTempDirectory("graft-json").toString

@@ -371,4 +371,23 @@ class SamplingSpec extends SparkTestBase {
       .mapValues(rs => (rs.map(_._5).sum + capacity - 1) / capacity)
     seqsUsed.foreach { case (sh, n) => assert(n >= minimal(sh)) }
   }
+
+  test("packSequencesNoStraddle truncates over-capacity documents and flags them") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    // capacity 8 makes essentially every fixture document over-capacity
+    val got = Sampling.packSequencesNoStraddle(docs, col("doc_id"),
+      size(split(col("text"), " ")), capacity = 8, shards = 2).collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getLong(6), r.getBoolean(7)))
+    assert(got.nonEmpty)
+    val truncated = got.filter(_._4)
+    assert(truncated.nonEmpty, "expected over-capacity docs at capacity 8")
+    truncated.foreach { case (nTok, eff, off, _) =>
+      assert(nTok > 8 && eff == 8L && off == 0L,
+        "a truncated doc fills exactly one whole sequence from offset 0")
+    }
+    got.filterNot(_._4).foreach { case (nTok, eff, off, _) =>
+      assert(eff == nTok && off + eff <= 8L)
+    }
+  }
 }
