@@ -59,15 +59,15 @@ object Load {
   def parquetManifest(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val rows = Files.list(Paths.get(dir)).iterator().asScala
+    import graft.util.Fs.listDir
+    val rows = listDir(Paths.get(dir))
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
       .flatMap { pd =>
         val part = pd.getFileName.toString
-        Files.list(pd).iterator().asScala
+        listDir(pd)
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toSeq.sortBy(_.getFileName.toString).zipWithIndex
+          .sortBy(_.getFileName.toString).zipWithIndex
           .map { case (f, i) => (part, i.toLong, f.toString, Files.size(f)) }
       }
     import spark.implicits._
@@ -88,8 +88,7 @@ object Load {
                         dir: String, part: String,
                         plan: DataFrame): Int = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    import graft.util.Fs.rmTree
+    import graft.util.Fs.{listDir, rmTree}
     import org.apache.spark.sql.functions.col
     val bins = plan.filter(col("part") === part)
       .select(col("bin").cast("long"), col("file")).collect()
@@ -99,10 +98,25 @@ object Load {
     val target = Paths.get(dir, part)
     val tmp = Paths.get(dir, part + ".compacting")
     val old = Paths.get(dir, part + ".precompact")
+    def achieved(): Int =
+      listDir(target).count(_.getFileName.toString.endsWith(".parquet"))
     // interrupted-run recovery, same as compact: restore a stranded
-    // original before starting over
+    // original before starting over. One extra state is reachable here
+    // that compact never sees: a crash AFTER the tmp→target swap but
+    // BEFORE rmTree(old) leaves target holding the compacted copy while
+    // the plan's source files are gone (they lived in the pre-swap
+    // target). Re-running the bins against those paths would fail
+    // midway — detect the completed swap, finish the cleanup, and
+    // report the achieved count instead.
     if (Files.exists(old) && !Files.exists(target)) Files.move(old, target)
-    else if (Files.exists(old)) rmTree(old)
+    else if (Files.exists(old)) {
+      val planned = bins.flatMap(_._2)
+      if (planned.forall(f => !Files.exists(Paths.get(f)))) {
+        rmTree(old)
+        return achieved()
+      }
+      rmTree(old)
+    }
     rmTree(tmp)
     bins.foreach { case (_, files) =>
       spark.read.parquet(files: _*).coalesce(1)
@@ -111,8 +125,7 @@ object Load {
     Files.move(target, old)
     Files.move(tmp, target)
     rmTree(old)
-    Files.list(target).iterator().asScala
-      .count(_.getFileName.toString.endsWith(".parquet"))
+    achieved()
   }
 
   /** K1 — JSON sink (one object per line, the API envelope's rows). */

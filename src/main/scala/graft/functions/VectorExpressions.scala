@@ -568,8 +568,8 @@ case class PoissonBootstrapWeights(child: Expression, b: Int, cum: Seq[Double])
   * min(count_in_candidate, count_in_reference). One compiled hash-count
   * pass per row (a declarative form needs nested higher-order lambdas,
   * which are CodegenFallback and O(L·distinct) interpreted). Tokens are
-  * joined with  so multi-token grams can't collide with a literal
-  * token containing a space (tokens are whitespace-split, so  never
+  * joined with \u0001 so multi-token grams can't collide with a literal
+  * token containing a space (tokens are whitespace-split, so \u0001 never
   * occurs inside one). */
 case class NgramClippedOverlap(left: Expression, right: Expression, n: Int)
     extends BinaryExpression {
@@ -587,7 +587,7 @@ case class NgramClippedOverlap(left: Expression, right: Expression, n: Int)
       val sb = new java.lang.StringBuilder()
       var j = 0
       while (j < n) {
-        if (j > 0) sb.append('')
+        if (j > 0) sb.append('\u0001')
         sb.append(a.getUTF8String(i + j).toString)
         j += 1
       }
@@ -608,7 +608,7 @@ case class NgramClippedOverlap(left: Expression, right: Expression, n: Int)
       val sb = new java.lang.StringBuilder()
       var j = 0
       while (j < n) {
-        if (j > 0) sb.append('')
+        if (j > 0) sb.append('\u0001')
         sb.append(c.getUTF8String(i + j).toString)
         j += 1
       }

@@ -335,7 +335,11 @@ object Sampling {
     val slim = df
       .withColumn("shard", hashBucket(concat(lit(s"$salt-sh:"), k), shards))
       .withColumn("_ord", hashBucket(concat(lit(s"$salt-ord:"), k), 100000000))
-      .withColumn("n_tok", nTokens.cast("long"))
+      // the fold below reads n_tok/eff_tok with getLong — a null token
+      // count (e.g. null text) must fail loudly here, not NPE in a task
+      .withColumn("n_tok", when(nTokens.cast("long").isNull, raise_error(lit(
+          "packSequencesNoStraddle: null nTokens — every document needs a " +
+            "token count"))).otherwise(nTokens.cast("long")))
       .withColumn("eff_tok", least(col("n_tok"), lit(capacity.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("shard"), col("pos"), key.as("pk"),
@@ -363,8 +367,8 @@ object Sampling {
       StructField("shard", LongType, nullable = false),
       StructField("pos", LongType, nullable = false),
       slim.schema("pk").copy(name = "pk"),
-      StructField("n_tok", LongType, nullable = true),
-      StructField("eff_tok", LongType, nullable = true),
+      StructField("n_tok", LongType, nullable = false),
+      StructField("eff_tok", LongType, nullable = false),
       StructField("seq_id", LongType, nullable = false),
       StructField("seq_offset", LongType, nullable = false),
       StructField("truncated", BooleanType, nullable = false))))

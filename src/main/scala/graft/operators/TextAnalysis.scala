@@ -833,7 +833,10 @@ object TextAnalysis {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .localCheckpoint()
-    val wl = words.agg(max(length(col("w")))).head.getInt(0)
+    val wlRow = words.agg(max(length(col("w")))).head
+    require(!wlRow.isNullAt(0),
+      "unigramTrain: corpus has no non-empty words — nothing to train on")
+    val wl = wlRow.getInt(0)
     require(wl <= maxWordLen,
       s"longest word ($wl chars) exceeds the DP unroll bound $maxWordLen")
     val sub = (1 to maxPieceLen).map { l =>

@@ -15,4 +15,15 @@ object Fs {
           .forEach(f => Files.delete(f))
       } finally stream.close()
     }
+
+  /** Materialized directory listing. `Files.list` returns a stream backed
+    * by an open directory handle — callers that never close it leak one fd
+    * per scan, which adds up across repeated manifest walks. */
+  def listDir(p: Path): Seq[Path] = {
+    val stream = Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.toVector
+    } finally stream.close()
+  }
 }

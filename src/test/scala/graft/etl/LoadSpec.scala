@@ -133,6 +133,31 @@ class LoadSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(stranded))
   }
 
+  test("executeCompaction is idempotent after a crash between swap and cleanup") {
+    val orders = graft.Tables.orders(spark, sf0001)
+    val out = Files.createTempDirectory("graft-z2i").resolve("t").toString
+    orders.repartition(4).write.partitionBy("o_orderpriority").parquet(out)
+    val manifest = Load.parquetManifest(spark, out)
+    val part = manifest.select("part").distinct().collect()
+      .map(_.getString(0)).sorted.head
+    val plan = graft.operators.Layout
+      .compactionPlan(manifest.select("part", "file_id", "bytes"), Long.MaxValue)
+      .join(manifest.select("part", "file_id", "file"), Seq("part", "file_id"))
+    assert(Load.executeCompaction(spark, out, part, plan) == 1)
+    val rows = spark.read.parquet(s"$out/$part").count()
+    // simulate a crash AFTER the tmp→target swap but BEFORE rmTree(old):
+    // target holds the compacted copy, a stranded .precompact backup
+    // remains, and the plan's source files no longer exist
+    val stranded = java.nio.file.Paths.get(out, part + ".precompact")
+    Files.createDirectory(stranded)
+    Files.write(stranded.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    // rerun must detect the completed swap: finish cleanup and report the
+    // achieved count instead of re-reading vanished source paths
+    assert(Load.executeCompaction(spark, out, part, plan) == 1)
+    assert(!Files.exists(stranded))
+    assert(spark.read.parquet(s"$out/$part").count() == rows)
+  }
+
   test("K1 JSON sink + K3 preview emit one object per row") {
     val df = Seq(("x", 1), ("y", 2)).toDF("k", "v")
     val out = Files.createTempDirectory("graft-json").toString

@@ -180,7 +180,7 @@ class FunctionsSpec extends SparkTestBase {
 
   test("ngram_clipped_overlap agrees with a naive recount on fixture docs") {
     def naive(cand: Seq[String], ref: Seq[String], n: Int): Long = {
-      def grams(t: Seq[String]) = t.sliding(n).filter(_.size == n).map(_.mkString("")).toSeq
+      def grams(t: Seq[String]) = t.sliding(n).filter(_.size == n).map(_.mkString("\u0001")).toSeq
       val rc = grams(ref).groupBy(identity).view.mapValues(_.size).toMap
       grams(cand).groupBy(identity).map { case (g, occ) =>
         math.min(occ.size, rc.getOrElse(g, 0)).toLong }.sum

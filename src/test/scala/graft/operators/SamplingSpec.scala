@@ -390,4 +390,19 @@ class SamplingSpec extends SparkTestBase {
       assert(eff == nTok && off + eff <= 8L)
     }
   }
+
+  test("packSequencesNoStraddle fails loudly on a null token count") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Sampling.packSequencesNoStraddle(docs, col("doc_id"),
+        size(split(col("text"), " ")), capacity = 8, shards = 1).collect()
+    }
+    // the fold's getLong would NPE opaquely; the guard names the contract
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null nTokens")), ex.toString)
+  }
 }

@@ -388,6 +388,15 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(top == "abab" || top == "ab", tv.mkString(","))
   }
 
+  test("unigramTrain refuses an empty corpus with a clear message") {
+    import spark.implicits._
+    val empty = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramTrain(empty, seedSize = 6, maxPieceLen = 4)
+    }
+    assert(ex.getMessage.contains("no non-empty words"), ex.getMessage)
+  }
+
   test("corpusRouge: subsequence candidates give precision 1, recall = length ratio") {
     val docs = graft.Tables.documents(spark, sf0001)
     val r = TextAnalysis.corpusRouge(docs).collect()(0)
