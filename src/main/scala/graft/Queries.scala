@@ -2438,6 +2438,41 @@ object Queries {
        |FROM m""".stripMargin
   }
 
+  /** KS1 — two-sample Kolmogorov–Smirnov D over purchase values across
+    * the deterministic A/B arms: the distribution-free drift test beside
+    * psi1 (binned) and mmd1 (vector). The sup runs as an exact
+    * decimal(38,0) integer maximization over the pooled cents grid;
+    * only the final D divides. See
+    * [[graft.operators.Analytics.ksTwoSample]]. */
+  val ks1TwoSample: Q = (s, d) =>
+    graft.operators.Analytics.ksTwoSample(Tables.events(s, d))
+
+  val ks1TwoSampleSql: String = {
+    val arm = md5BucketSql("CAST(user_id AS VARCHAR)")
+    s"""WITH p AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |             CASE WHEN $arm < 5000 THEN 'A' ELSE 'B' END AS arm
+       |           FROM events WHERE event_type = 'purchase'),
+       |v AS (SELECT cents,
+       |        CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+       |        CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS kb
+       |      FROM p GROUP BY 1),
+       |c AS (SELECT cents,
+       |        sum(ka) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+       |        sum(kb) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+       |      FROM v),
+       |t AS (SELECT CAST(sum(ka) AS BIGINT) AS na, CAST(sum(kb) AS BIGINT) AS nb FROM v),
+       |g AS (SELECT cents,
+       |        abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na) AS gap
+       |      FROM c CROSS JOIN t)
+       |SELECT na AS n_a, nb AS n_b,
+       |       CAST(cents AS DOUBLE) / 100 AS at_value,
+       |       CASE WHEN na > 0 AND nb > 0
+       |            THEN floor(CAST(gap AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000 + 0.5) / 1000000
+       |            ELSE 0.0 END AS d_stat
+       |FROM g CROSS JOIN t
+       |ORDER BY gap DESC, cents ASC LIMIT 1""".stripMargin
+  }
+
   /** PASSK1 — unbiased pass@k (Chen et al. 2021) over a deterministic
     * per-problem sample table: per source, mean pass@1 and pass@5 from
     * exact per-problem correct counts via the stable product form.
@@ -6703,6 +6738,7 @@ object Queries {
     "passk1_eval" -> passk1Eval,
     "rouge1_eval" -> rouge1Eval,
     "mmd1_dist_shift" -> mmd1DistShift,
+    "ks1_two_sample" -> ks1TwoSample,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -6938,6 +6974,7 @@ object Queries {
     "passk1_eval" -> passk1EvalSql,
     "rouge1_eval" -> rouge1EvalSql,
     "mmd1_dist_shift" -> mmd1DistShiftSql,
+    "ks1_two_sample" -> ks1TwoSampleSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7005,6 +7042,6 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats",
+    "uni2_encode_stats", "ks1_two_sample",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -573,6 +573,52 @@ object Analytics {
         portableRound(z, 4)).otherwise(lit(0.0)).as("z_score"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic over purchase values across
+    * the SAME deterministic A/B arms as [[abTest]]: D = sup_v
+    * |F_A(v) − F_B(v)|, the distribution-free companion to the binned
+    * drift readouts (psi1 sees only mass-per-bin; KS certifies the
+    * largest CDF gap at full value resolution, plus WHERE it opens).
+    *
+    * Exactness: values snap to cents, so each sample is an integer
+    * multiset and |F_A − F_B| at grid point v equals
+    * |cum_A·n_B − cum_B·n_A| / (n_A·n_B) — maximized as an exact
+    * decimal(38,0) integer BEFORE the one terminal division, so
+    * accumulation order, AQE re-plans, and float ties cannot move the
+    * answer. Location ties break toward the smallest value.
+    *
+    * Shape: one groupBy(cents) rollup first — the frame is then bounded
+    * by the price domain (cents resolution caps distinct rows regardless
+    * of corpus size), and the cumulative window plus top-1 run on that
+    * domain-sized frame, the same post-rollup-window discipline as
+    * nu1/acf1. The top-1 is a TakeOrdered, never a full sort. */
+  def ksTwoSample(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .withColumn("arm",
+        when(Sampling.hashBucket(col("user_id")) < 5000, "A").otherwise("B"))
+      .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    val byV = p.groupBy(col("cents")).agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ka"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("kb"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV.select(col("cents"),
+      sum(col("ka")).over(w).as("ca"), sum(col("kb")).over(w).as("cb"))
+    val tot = p.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).cast("decimal(19,0)").as("na"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).cast("decimal(19,0)").as("nb"))
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    val gap = cum.crossJoin(broadcast(tot))
+      .withColumn("gap", abs((d19(col("ca")) * col("nb") -
+        d19(col("cb")) * col("na")).cast("decimal(38,0)")))
+    gap.orderBy(col("gap").desc, col("cents").asc).limit(1)
+      .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        (col("cents").cast("double") / 100).as("at_value"),
+        when(col("na") > 0 && col("nb") > 0,
+          portableRound(col("gap").cast("double") /
+            (col("na").cast("double") * col("nb").cast("double")), 6))
+          .otherwise(lit(0.0)).as("d_stat"))
+  }
+
   /** CUPED-adjusted A/B readout (Controlled-experiment Using Pre-Existing
     * Data): per user, purchase revenue splits into a PRE and POST period
     * at the time-range midpoint; θ = cov(pre, post)/var(pre) over all

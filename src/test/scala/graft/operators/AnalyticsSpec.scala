@@ -761,4 +761,50 @@ class AnalyticsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> (r.getDouble(3), r.getLong(4))).toMap
     assert(duel("aa")._1 > duel("bb")._1 && duel("aa")._2 == 1L, duel.toString)
   }
+
+  test("ksTwoSample matches a naive sorted-CDF recompute on fixture data") {
+    val events = Tables.events(spark, sf0001)
+    val r = Analytics.ksTwoSample(events).collect()(0)
+    val (nA, nB, atV, d) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    // naive recompute: collect both samples, walk the pooled sorted grid
+    val rows = events.filter($"event_type" === "purchase")
+      .select(($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        Sampling.hashBucket($"user_id").as("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) < 5000))
+    val a = rows.filter(_._2).map(_._1).sorted
+    val b = rows.filterNot(_._2).map(_._1).sorted
+    assert(nA == a.length && nB == b.length)
+    val grid = (a ++ b).distinct.sorted
+    val naive = grid.map { v =>
+      val gap = math.abs(a.count(_ <= v).toLong * nB - b.count(_ <= v).toLong * nA)
+      (gap, v)
+    }
+    val (bestGap, bestV) = naive.maxBy(t => (t._1, -t._2))
+    assert(atV == bestV.toDouble / 100, s"location $atV vs ${bestV / 100.0}")
+    val expect = math.floor(bestGap.toDouble / (nA.toDouble * nB.toDouble)
+      * 1000000 + 0.5) / 1000000
+    assert(d == expect, s"D $d vs $expect")
+    assert(d >= 0.0 && d <= 1.0)
+  }
+
+  test("ksTwoSample: identical samples give D=0; disjoint samples give D=1") {
+    // 10 users per arm, engineered so arms A/B see the same multiset
+    val bucketOf = (id: Long) => // replicate hashBucket on the driver
+      java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(id.toString).substring(0, 8), 16) % 10000
+    val ids = (1L to 200L)
+    val (aIds, bIds) = (ids.filter(bucketOf(_) < 5000).take(10),
+      ids.filter(bucketOf(_) >= 5000).take(10))
+    def evFor(vals: Seq[Double], users: Seq[Long]) =
+      users.zip(vals).map { case (u, v) =>
+        (u, "2024-01-01 10:00:00", "purchase", v) }
+    val same = ev(evFor((1 to 10).map(_.toDouble), aIds) ++
+      evFor((1 to 10).map(_.toDouble), bIds): _*)
+    assert(Analytics.ksTwoSample(same).collect()(0).getDouble(3) == 0.0)
+    val disjoint = ev(evFor((1 to 10).map(_.toDouble), aIds) ++
+      evFor((11 to 20).map(_.toDouble), bIds): _*)
+    val r = Analytics.ksTwoSample(disjoint).collect()(0)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(2) == 10.0, r.toString)
+  }
 }
