@@ -3125,6 +3125,62 @@ object Queries {
        |FROM f""".stripMargin
   }
 
+  /** CHRF1 — corpus chrF (character n-gram F-β, β=2, n=1..6) of the SAME
+    * deterministic dropout candidates bleu1/rouge1 score: the MT-eval
+    * family's tokenization-robust leg. Char-gram clipped counts fold as
+    * exact BIGINTs through the compiled kernel; every ratio snaps to the
+    * 1e-6 grid before the fixed averaging/F-β formula.
+    * See [[graft.operators.TextAnalysis.corpusChrF]]. */
+  val chrf1Eval: Q = (s, d) => TextAnalysis.corpusChrF(Tables.documents(s, d))
+
+  val chrf1EvalSql: String = {
+    val maxN = 6
+    val hit = md5BucketSql(
+      "'bleu:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+    val perN = (1 to maxN).map { n =>
+      val m = n - 1
+      s"""gc$n AS (SELECT doc_id, unnest([substr(cs, i, $n)
+         |                               FOR i IN RANGE(1, len(cs) - $m + 1)]) AS g FROM s),
+         |gr$n AS (SELECT doc_id, unnest([substr(rs, i, $n)
+         |                               FOR i IN RANGE(1, len(rs) - $m + 1)]) AS g FROM s),
+         |nc$n AS (SELECT doc_id, g, count(*) AS k FROM gc$n GROUP BY 1, 2),
+         |nr$n AS (SELECT doc_id, g, count(*) AS k FROM gr$n GROUP BY 1, 2),
+         |ov$n AS (SELECT COALESCE(CAST(sum(least(nc$n.k, nr$n.k)) AS BIGINT), 0) AS clipped_$n
+         |         FROM nc$n JOIN nr$n USING (doc_id, g)),
+         |tot$n AS (SELECT CAST(sum(greatest(len(cs) - $m, 0)) AS BIGINT) AS cand_total_$n,
+         |                 CAST(sum(greatest(len(rs) - $m, 0)) AS BIGINT) AS ref_total_$n FROM s)""".stripMargin
+    }.mkString(",\n")
+    val prCols = (1 to maxN).map { n =>
+      s"""clipped_$n, cand_total_$n, ref_total_$n,
+         |       CASE WHEN cand_total_$n > 0
+         |            THEN floor(CAST(clipped_$n AS DOUBLE) / CAST(cand_total_$n AS DOUBLE) * 1000000 + 0.5) / 1000000
+         |            ELSE 0.0 END AS p_$n,
+         |       CASE WHEN ref_total_$n > 0
+         |            THEN floor(CAST(clipped_$n AS DOUBLE) / CAST(ref_total_$n AS DOUBLE) * 1000000 + 0.5) / 1000000
+         |            ELSE 0.0 END AS r_$n""".stripMargin
+    }.mkString(",\n       ")
+    val joins = (1 to maxN).map(n => s"CROSS JOIN ov$n CROSS JOIN tot$n").mkString(" ")
+    val pSum = (1 to maxN).map(n => s"p_$n").mkString(" + ")
+    val rSum = (1 to maxN).map(n => s"r_$n").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS rl FROM documents),
+       |c AS (SELECT doc_id, rl,
+       |        [rl[i] FOR i IN RANGE(1, len(rl) + 1) IF NOT ($hit < 1000)] AS cl
+       |      FROM t),
+       |s AS (SELECT doc_id, array_to_string(rl, '') AS rs,
+       |             array_to_string(cl, '') AS cs FROM c),
+       |$perN,
+       |f AS (SELECT $prCols FROM (SELECT 1) $joins),
+       |g AS (SELECT *,
+       |        floor(($pSum) / ${maxN.toDouble} * 1000000 + 0.5) / 1000000 AS chr_p,
+       |        floor(($rSum) / ${maxN.toDouble} * 1000000 + 0.5) / 1000000 AS chr_r
+       |      FROM f)
+       |SELECT *,
+       |       CASE WHEN 4.0 * chr_p + chr_r > 0
+       |            THEN floor(5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r) * 1000000 + 0.5) / 1000000
+       |            ELSE 0.0 END AS chrf
+       |FROM g""".stripMargin
+  }
+
   /** ZIPF1 — Zipf-law fit over the top-500 token frequencies: OLS of
     * ln(count) on ln(rank) with exact-integer moment folds.
     * See [[graft.operators.TextAnalysis.zipfFit]]. */
@@ -6739,6 +6795,7 @@ object Queries {
     "rouge1_eval" -> rouge1Eval,
     "mmd1_dist_shift" -> mmd1DistShift,
     "ks1_two_sample" -> ks1TwoSample,
+    "chrf1_eval" -> chrf1Eval,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -6975,6 +7032,7 @@ object Queries {
     "rouge1_eval" -> rouge1EvalSql,
     "mmd1_dist_shift" -> mmd1DistShiftSql,
     "ks1_two_sample" -> ks1TwoSampleSql,
+    "chrf1_eval" -> chrf1EvalSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7042,6 +7100,6 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -337,6 +337,72 @@ object TextAnalysis {
           (col(s"precision_$n") + col(s"rouge_$n")))).otherwise(0.0)))
   }
 
+  /** Corpus chrF (Popović 2015): character n-gram F-β of the SAME
+    * deterministic candidate set [[corpusBleu]] and [[corpusRouge]]
+    * score — the third leg of the MT-eval family, and the one that stays
+    * informative when tokenization is unreliable (sub-word edits move
+    * character grams smoothly where word grams flip whole tokens).
+    * Whitespace is removed before gram extraction (the paper's default);
+    * per n = 1..`maxN` the corpus-level clipped counts fold through the
+    * SAME compiled [[graft.functions.NgramClippedOverlap]] kernel on
+    * char arrays; chrP/chrR average the per-n snapped precisions/recalls
+    * and chrF = (1+β²)·P·R / (β²·P + R) with β = 2.
+    *
+    * Exactness: clipped and total counts are exact BIGINT folds
+    * (order-free); every ratio snaps to the 1e-6 grid before the fixed
+    * textual average/F-β formula, which the DuckDB oracle replays
+    * verbatim. Shape: one projection + ONE map-side aggregate over the
+    * corpus — no shuffle wider than a 1-row aggregate at any scale. */
+  def corpusChrF(documents: DataFrame, rate: Double = 0.1,
+                 salt: String = "bleu", maxN: Int = 6,
+                 beta: Double = 2.0): DataFrame = {
+    require(rate > 0 && rate < 1, s"rate must be in (0, 1), got $rate")
+    require(maxN >= 1 && maxN <= 8, s"maxN out of range: $maxN")
+    require(beta > 0, s"beta must be positive, got $beta")
+    val thresh = (rate * 10000).round
+    def hitAt(i: org.apache.spark.sql.Column) =
+      Sampling.hashBucket(concat(lit(s"$salt:"), col("doc_id").cast("string"),
+        lit(":"), (i + 1).cast("string"))) < thresh
+    val cand = filter(toks, (_, i) => !hitAt(i))
+    // whitespace-free char streams; split("") on "" yields [""] in the
+    // JVM, so empty docs are mapped to a genuinely empty array
+    def chars(tokensCol: org.apache.spark.sql.Column) = {
+      val joined = array_join(tokensCol, "")
+      when(length(joined) === 0, array().cast("array<string>"))
+        .otherwise(split(joined, ""))
+    }
+    val proj = documents.select(chars(toks).as("_ref"), chars(cand).as("_cand"))
+    val aggs = (1 to maxN).flatMap { n =>
+      Seq(
+        sum(graft.functions.ngram_clipped_overlap(
+          col("_cand"), col("_ref"), n)).as(s"clipped_$n"),
+        sum(greatest(size(col("_cand")) - (n - 1), lit(0)).cast("long"))
+          .as(s"cand_total_$n"),
+        sum(greatest(size(col("_ref")) - (n - 1), lit(0)).cast("long"))
+          .as(s"ref_total_$n"))
+    }
+    val a = proj.agg(aggs.head, aggs.tail: _*)
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000.0 + 0.5) / 1000000.0
+    def ratio(num: String, den: String) =
+      when(col(den) > 0,
+        r6(col(num).cast("double") / col(den).cast("double"))).otherwise(0.0)
+    val withPr = a.select((1 to maxN).flatMap(n => Seq(
+      col(s"clipped_$n"), col(s"cand_total_$n"), col(s"ref_total_$n"),
+      ratio(s"clipped_$n", s"cand_total_$n").as(s"p_$n"),
+      ratio(s"clipped_$n", s"ref_total_$n").as(s"r_$n"))): _*)
+    val chrP = r6((1 to maxN).map(n => col(s"p_$n")).reduce(_ + _) /
+      lit(maxN.toDouble))
+    val chrR = r6((1 to maxN).map(n => col(s"r_$n")).reduce(_ + _) /
+      lit(maxN.toDouble))
+    val b2 = beta * beta
+    withPr.withColumn("chr_p", chrP).withColumn("chr_r", chrR)
+      .withColumn("chrf", when(
+        lit(b2) * col("chr_p") + col("chr_r") > 0,
+        r6(lit(1.0 + b2) * col("chr_p") * col("chr_r") /
+          (lit(b2) * col("chr_p") + col("chr_r")))).otherwise(0.0))
+  }
+
   /** Zipf-law fit of the token frequency distribution: OLS slope of
     * ln(count) on ln(rank) over the top-`topK` tokens — the corpus-health
     * fingerprint (natural language sits near slope −1; templated or

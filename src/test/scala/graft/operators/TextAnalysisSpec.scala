@@ -416,6 +416,37 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("corpusChrF: char-unigram precision 1, precision >= recall, " +
+    "formula tail replays from the snapped per-n ratios") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val r = TextAnalysis.corpusChrF(docs).collect()(0)
+    def l(c: String) = r.getLong(r.fieldIndex(c))
+    def d(c: String) = r.getDouble(r.fieldIndex(c))
+    // whole-token dropout removes contiguous char blocks → candidate char
+    // unigrams are a sub-multiset of the reference's
+    assert(l("clipped_1") == l("cand_total_1") && d("p_1") == 1.0)
+    (1 to 6).foreach { n =>
+      assert(l(s"clipped_$n") <= math.min(l(s"cand_total_$n"), l(s"ref_total_$n")))
+      assert(d(s"p_$n") >= d(s"r_$n"), s"n=$n") // cand totals are smaller
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val chrP = r6((1 to 6).map(n => d(s"p_$n")).sum / 6.0)
+    val chrR = r6((1 to 6).map(n => d(s"r_$n")).sum / 6.0)
+    assert(d("chr_p") == chrP && d("chr_r") == chrR)
+    val f = if (4.0 * chrP + chrR > 0)
+      r6(5.0 * chrP * chrR / (4.0 * chrP + chrR)) else 0.0
+    assert(d("chrf") == f && f > 0.0 && f <= 1.0)
+  }
+
+  test("corpusChrF tolerates empty documents (no phantom grams)") {
+    import spark.implicits._
+    val tiny = Seq((1L, "ab cd"), (2L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.corpusChrF(tiny, maxN = 2).collect()(0)
+    // doc 2 contributes zero grams; totals reflect doc 1 (minus dropout)
+    assert(r.getLong(r.fieldIndex("ref_total_1")) == 4L)
+    assert(r.getLong(r.fieldIndex("cand_total_1")) <= 4L)
+  }
+
   test("unigramEncodeStats: every word yields >= 1 piece, totals account for " +
     "all tokens, ratio matches its own counts") {
     import org.apache.spark.sql.functions._
