@@ -4749,6 +4749,30 @@ object Queries {
       |CROSS JOIN tot
       |WHERE n_ab >= 10""".stripMargin
 
+  /** KN1 — interpolated Kneser–Ney bigram probabilities (D = 0.75) with
+    * exact count plumbing and a continuation-probability backoff: the
+    * production n-gram smoothing beside lm1's Laplace unigram.
+    * See [[graft.operators.TextAnalysis.kneserNeyBigrams]]. */
+  val kn1KneserNey: Q = (s, d) =>
+    graft.operators.TextAnalysis.kneserNeyBigrams(Tables.documents(s, d), minCount = 10)
+
+  val kn1KneserNeySql: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |pairs AS (SELECT t[i] AS a, t[i+1] AS b
+      |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) u
+      |          WHERE len(t) >= 2),
+      |big AS (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY 1, 2),
+      |l AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS c_a,
+      |             CAST(count(*) AS BIGINT) AS n1p_a FROM big GROUP BY 1),
+      |r AS (SELECT b, CAST(count(*) AS BIGINT) AS n1p_b FROM big GROUP BY 1),
+      |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM big)
+      |SELECT a, b, n_ab, c_a, n1p_a, n1p_b,
+      |       floor((greatest(CAST(n_ab AS DOUBLE) - 0.75, 0.0) / CAST(c_a AS DOUBLE)
+      |              + 0.75 * CAST(n1p_a AS DOUBLE) / CAST(c_a AS DOUBLE)
+      |                * (CAST(n1p_b AS DOUBLE) / CAST(n_types AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS p_kn
+      |FROM big JOIN l USING (a) JOIN r USING (b) CROSS JOIN ty
+      |WHERE n_ab >= 10""".stripMargin
+
   /** LM1 — per-document unigram-LM surprisal, the CCNet-style fluency
     * score ([[graft.operators.TextAnalysis.unigramSurprisal]]). */
   val lm1Surprisal: Q = (s, d) =>
@@ -6796,6 +6820,7 @@ object Queries {
     "mmd1_dist_shift" -> mmd1DistShift,
     "ks1_two_sample" -> ks1TwoSample,
     "chrf1_eval" -> chrf1Eval,
+    "kn1_kneser_ney" -> kn1KneserNey,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7033,6 +7058,7 @@ object Queries {
     "mmd1_dist_shift" -> mmd1DistShiftSql,
     "ks1_two_sample" -> ks1TwoSampleSql,
     "chrf1_eval" -> chrf1EvalSql,
+    "kn1_kneser_ney" -> kn1KneserNeySql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7100,6 +7126,6 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "kn1_kneser_ney",
     "st1_stream_window", "st6_stream_cdc")
 }

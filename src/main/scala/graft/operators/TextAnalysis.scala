@@ -528,6 +528,55 @@ object TextAnalysis {
       .select(col("a"), col("b"), col("n_ab"), portableRound(pmi, 4).as("pmi"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999 formulation) with absolute discount D = 0.75 —
+    * the production n-gram smoothing beside [[unigramSurprisal]]'s
+    * Laplace unigram: backoff mass goes to the CONTINUATION probability
+    * (how many distinct contexts a word follows), which is what keeps a
+    * frequent-but-single-context token ("Francisco") from stealing
+    * probability it never earns.
+    *
+    *   P(b|a) = max(c(ab)−D, 0)/c(a·)
+    *          + D·N1+(a,·)/c(a·) · N1+(·,b)/N1+(··)
+    *
+    * Exactness: every term is an exact BIGINT count (bigram counts,
+    * distinct-successor/predecessor type counts, the type total);
+    * D = 0.75 is exact in binary, the combination is ONE fixed textual
+    * double expression, and the result snaps to the 1e-6 grid — the
+    * oracle replays it digit for digit. Over each context the
+    * probabilities of observed successors sum to ≤ 1, with equality
+    * when the context has seen the whole vocabulary (spec-pinned).
+    *
+    * Shape: one bigram aggregation (the only data-sized shuffle), two
+    * vocabulary-sized context rollups joined back on the token keys,
+    * one broadcast 1-row type total — the same skeleton as [[bigramPmi]],
+    * so the two smoothing readouts share partitioning at scale. */
+  def kneserNeyBigrams(documents: DataFrame, minCount: Long = 10,
+                       discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val pairs = documents.select(toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i+1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val big = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val left = big.groupBy(col("a")).agg(
+      sum(col("n_ab")).as("c_a"), count(lit(1)).as("n1p_a"))
+    val right = big.groupBy(col("b")).agg(count(lit(1)).as("n1p_b"))
+    val types = big.agg(count(lit(1)).as("n_types"))
+    val pkn =
+      greatest(col("n_ab").cast("double") - lit(discount), lit(0.0)) /
+        col("c_a").cast("double") +
+      lit(discount) * col("n1p_a").cast("double") / col("c_a").cast("double") *
+        (col("n1p_b").cast("double") / col("n_types").cast("double"))
+    big.filter(col("n_ab") >= minCount)
+      .join(left, "a").join(right, "b")
+      .crossJoin(broadcast(types))
+      .select(col("a"), col("b"), col("n_ab"), col("c_a"),
+        col("n1p_a"), col("n1p_b"), portableRound(pkn, 6).as("p_kn"))
+  }
+
   /** Per-document unigram-LM surprisal — the CCNet-style fluency signal:
     * score every document by the mean negative log Laplace-smoothed
     * unigram probability of its tokens under a model fit on the corpus

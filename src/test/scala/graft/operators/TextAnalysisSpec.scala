@@ -416,6 +416,31 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("kneserNeyBigrams: hand-computed toy model, per-context mass <= 1 " +
+    "with equality on a saturated context") {
+    import spark.implicits._
+    // bigrams: (a,b)x2, (a,c)x1 → c_a=3, N1+(a,.)=2; N1+(.,b)=N1+(.,c)=1;
+    // N1+(..)=2 → Pcont = 1/2 each
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyBigrams(docs, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6)).toMap
+    // P(b|a) = (2-.75)/3 + .75*2/3*(1/2);  P(c|a) = (1-.75)/3 + .25
+    assert(got(("a", "b")) == 0.666667, got.toString)
+    assert(got(("a", "c")) == 0.333333, got.toString)
+    // context 'a' has seen its entire successor vocabulary → mass is 1
+    assert(math.abs(got(("a", "b")) + got(("a", "c")) - 1.0) < 2e-6)
+    // fixture corpus: observed-successor mass never exceeds 1 per context
+    val fix = TextAnalysis.kneserNeyBigrams(
+      graft.Tables.documents(spark, sf0001), minCount = 1).collect()
+    val perCtx = fix.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(6)).sum)
+    perCtx.foreach { case (a, m) =>
+      assert(m <= 1.0 + 1e-4, s"context $a mass $m") }
+    // discounting: every probability is positive and below 1
+    fix.foreach(r => assert(r.getDouble(6) > 0 && r.getDouble(6) < 1))
+  }
+
   test("corpusChrF: char-unigram precision 1, precision >= recall, " +
     "formula tail replays from the snapped per-n ratios") {
     val docs = graft.Tables.documents(spark, sf0001)
