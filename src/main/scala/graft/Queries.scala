@@ -6181,6 +6181,48 @@ object Queries {
       |            ELSE 0.0 END AS r2
       |FROM g""".stripMargin
 
+  /** RIDGE1 — closed-form ridge regression (price on quantity and
+    * discount, λ = 1000) from ONE distributed Gram-matrix fold and a
+    * 3×3 Cramer solve on the single result row: the "X^T X fits in a
+    * register" pattern. Exact decimal(38,0) moments, one fixed textual
+    * double formula. See [[graft.operators.Analytics.ridgeNormalEq]]. */
+  val ridge1NormalEq: Q = (s, d) =>
+    graft.operators.Analytics.ridgeNormalEq(Tables.lineitem(s, d))
+
+  val ridge1NormalEqSql: String =
+    """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+      |             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d,
+      |             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |           FROM lineitem),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        sum(CAST(q AS HUGEINT)) AS sx1, sum(CAST(d AS HUGEINT)) AS sx2,
+      |        sum(CAST(y AS HUGEINT)) AS sy,
+      |        sum(CAST(q AS HUGEINT) * q) AS sx11,
+      |        sum(CAST(q AS HUGEINT) * d) AS sx12,
+      |        sum(CAST(d AS HUGEINT) * d) AS sx22,
+      |        sum(CAST(q AS HUGEINT) * y) AS sx1y,
+      |        sum(CAST(d AS HUGEINT) * y) AS sx2y
+      |      FROM b),
+      |v AS (SELECT CAST(n AS DOUBLE) AS a11,
+      |        CAST(sx1 AS DOUBLE) AS a12, CAST(sx2 AS DOUBLE) AS a13,
+      |        CAST(sx11 AS DOUBLE) + 1000.0 AS a22,
+      |        CAST(sx12 AS DOUBLE) AS a23,
+      |        CAST(sx22 AS DOUBLE) + 1000.0 AS a33,
+      |        CAST(sy AS DOUBLE) AS b1, CAST(sx1y AS DOUBLE) AS b2,
+      |        CAST(sx2y AS DOUBLE) AS b3, n
+      |      FROM m),
+      |dd AS (SELECT n,
+      |         a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13) AS dA,
+      |         b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) + a13 * (b2 * a23 - a22 * b3) AS d0,
+      |         a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13) + a13 * (a12 * b3 - b2 * a13) AS d1,
+      |         a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13) + b1 * (a12 * a23 - a22 * a13) AS d2
+      |       FROM v)
+      |SELECT n,
+      |       CASE WHEN dA <> 0 THEN floor(d0 / dA / 100 * 10000 + 0.5) / 10000 ELSE 0.0 END AS intercept,
+      |       CASE WHEN dA <> 0 THEN floor(d1 / dA / 100 * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS beta_qty,
+      |       CASE WHEN dA <> 0 THEN floor(d2 / dA / 100 * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS beta_disc
+      |FROM dd""".stripMargin
+
   /** ACF1 — lag-1..7 autocorrelation of total daily revenue
     * ([[graft.operators.Analytics.autocorrelation]]): Pearson correlation
     * of (day t, day t−k) over day pairs where both ends exist. */
@@ -6821,6 +6863,7 @@ object Queries {
     "ks1_two_sample" -> ks1TwoSample,
     "chrf1_eval" -> chrf1Eval,
     "kn1_kneser_ney" -> kn1KneserNey,
+    "ridge1_normal_eq" -> ridge1NormalEq,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7059,6 +7102,7 @@ object Queries {
     "ks1_two_sample" -> ks1TwoSampleSql,
     "chrf1_eval" -> chrf1EvalSql,
     "kn1_kneser_ney" -> kn1KneserNeySql,
+    "ridge1_normal_eq" -> ridge1NormalEqSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7127,5 +7171,6 @@ object Queries {
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
     "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "kn1_kneser_ney",
+    "ridge1_normal_eq",
     "st1_stream_window", "st6_stream_cdc")
 }

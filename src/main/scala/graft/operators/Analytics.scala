@@ -1128,6 +1128,59 @@ object Analytics {
         .otherwise(0.0).as("r2"))
   }
 
+  /** Ridge regression by distributed normal equations — the multivariate
+    * sibling of [[olsTrend]]: price is regressed on quantity and discount
+    * with an L2 penalty on the non-intercept coefficients, solved in
+    * closed form from ONE Gram-matrix fold. This is the canonical
+    * "X^T X fits in a register, X doesn't fit anywhere" pattern: at
+    * 100 TB the only data-sized work is a map-side aggregate of nine
+    * moments; the 3×3 Cramer solve runs on the single result row.
+    *
+    * Exactness: inputs integerize losslessly (quantity units, discount
+    * hundredths, price cents), every Gram entry is an exact
+    * decimal(38,0) fold (order-free under any partitioning), and the
+    * Cramer determinants are ONE fixed textual double formula over
+    * those exact operands — the oracle replays them digit for digit.
+    * λ adds to the double-stage diagonal, so λ = 0 recovers OLS. */
+  def ridgeNormalEq(lineitem: DataFrame, lambda: Double = 1000.0): DataFrame = {
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    val base = lineitem.select(
+      col("l_quantity").cast("long").as("q"),
+      (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("d"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("y"))
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def p38(a: Column, b: Column): Column = (d19(a) * d19(b)).cast("decimal(38,0)")
+    val m = base.agg(
+      count(lit(1)).as("n"),
+      sum(d19(col("q"))).as("sx1"), sum(d19(col("d"))).as("sx2"),
+      sum(d19(col("y"))).as("sy"),
+      sum(p38(col("q"), col("q"))).as("sx11"),
+      sum(p38(col("q"), col("d"))).as("sx12"),
+      sum(p38(col("d"), col("d"))).as("sx22"),
+      sum(p38(col("q"), col("y"))).as("sx1y"),
+      sum(p38(col("d"), col("y"))).as("sx2y"))
+    val a11 = col("n").cast("double")
+    val a12 = col("sx1").cast("double"); val a13 = col("sx2").cast("double")
+    val a22 = col("sx11").cast("double") + lit(lambda)
+    val a23 = col("sx12").cast("double")
+    val a33 = col("sx22").cast("double") + lit(lambda)
+    val b1 = col("sy").cast("double"); val b2 = col("sx1y").cast("double")
+    val b3 = col("sx2y").cast("double")
+    val dA = a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * a23 - a22 * a13)
+    val d0 = b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) +
+      a13 * (b2 * a23 - a22 * b3)
+    val d1 = a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * b3 - b2 * a13)
+    val d2 = a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13) +
+      b1 * (a12 * a23 - a22 * a13)
+    val ok = dA =!= 0.0
+    m.select(col("n"),
+      when(ok, portableRound(d0 / dA / 100, 4)).otherwise(0.0).as("intercept"),
+      when(ok, portableRound(d1 / dA / 100, 6)).otherwise(0.0).as("beta_qty"),
+      when(ok, portableRound(d2 / dA / 100, 6)).otherwise(0.0).as("beta_disc"))
+  }
+
   /** Lag-k autocorrelation of total daily revenue, k = 1..`maxLag` — the
     * seasonality fingerprint (a weekly cycle shows as a peak at lag 7)
     * that motivates [[dailyAnomaliesSeasonal]]'s weekday baseline. Each

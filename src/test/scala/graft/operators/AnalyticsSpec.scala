@@ -762,6 +762,46 @@ class AnalyticsSpec extends SparkTestBase {
     assert(duel("aa")._1 > duel("bb")._1 && duel("aa")._2 == 1L, duel.toString)
   }
 
+  test("ridgeNormalEq: lambda=0 recovers an exact linear model; " +
+    "lambda>0 shrinks coefficients toward zero") {
+    // price cents = 300 + 200*q + 500*d exactly (non-collinear design)
+    val rows = Seq((1L, 0L), (2L, 1L), (3L, 3L), (5L, 2L), (7L, 8L))
+      .map { case (q, d) =>
+        (q.toDouble, d.toDouble / 100, (300 + 200 * q + 500 * d).toDouble / 100) }
+    val df = rows.toDF("l_quantity", "l_discount", "l_extendedprice")
+    val ols = Analytics.ridgeNormalEq(df, lambda = 0.0).collect()(0)
+    assert(ols.getDouble(1) == 3.0, s"intercept ${ols.getDouble(1)}")
+    assert(ols.getDouble(2) == 2.0, s"beta_qty ${ols.getDouble(2)}")
+    assert(ols.getDouble(3) == 5.0, s"beta_disc ${ols.getDouble(3)}")
+    // heavy regularization shrinks slopes strictly toward zero
+    val hard = Analytics.ridgeNormalEq(df, lambda = 1e6).collect()(0)
+    assert(math.abs(hard.getDouble(2)) < 2.0 && hard.getDouble(2) > 0)
+    assert(math.abs(hard.getDouble(3)) < 5.0)
+    // fixture: exact driver-side replay of the Gram fold + Cramer solve
+    val li = Tables.lineitem(spark, sf0001)
+    val fix = Analytics.ridgeNormalEq(li).collect()(0)
+    val data = li.select($"l_quantity".cast("long"),
+      ($"l_discount".cast("decimal(18,2)") * 100).cast("long"),
+      ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")).collect()
+      .map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    val n = data.length
+    def s(f: ((BigInt, BigInt, BigInt)) => BigInt) = data.map(f).sum
+    val (a11, a12, a13) = (n.toDouble, s(_._1).toDouble, s(_._2).toDouble)
+    val a22 = s(t => t._1 * t._1).toDouble + 1000.0
+    val a23 = s(t => t._1 * t._2).toDouble
+    val a33 = s(t => t._2 * t._2).toDouble + 1000.0
+    val (b1, b2, b3) = (s(_._3).toDouble, s(t => t._1 * t._3).toDouble,
+      s(t => t._2 * t._3).toDouble)
+    val dA = a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * a23 - a22 * a13)
+    val d1 = a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * b3 - b2 * a13)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(fix.getLong(0) == n)
+    assert(fix.getDouble(2) == r6(d1 / dA / 100),
+      s"beta_qty ${fix.getDouble(2)} vs ${r6(d1 / dA / 100)}")
+  }
+
   test("ksTwoSample matches a naive sorted-CDF recompute on fixture data") {
     val events = Tables.events(spark, sf0001)
     val r = Analytics.ksTwoSample(events).collect()(0)
