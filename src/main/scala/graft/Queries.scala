@@ -6291,6 +6291,45 @@ object Queries {
        |FROM j GROUP BY event_type, day""".stripMargin
   }
 
+  /** HW1 — Holt linear (level+trend) smoothing of total daily revenue
+    * with one-step-ahead forecasts, α=1/2 β=1/4: the trend-aware sibling
+    * of ts2's EWMA. Each step snaps to the 1e-6 grid (ml1 trajectory
+    * discipline); the oracle replays the fold as a recursive CTE.
+    * See [[graft.operators.Analytics.holtLinearDaily]]. */
+  val hw1HoltTrend: Q = (s, d) =>
+    graft.operators.Analytics.holtLinearDaily(Tables.events(s, d))
+
+  val hw1HoltTrendSql: String = {
+    val yd = "(CAST(d.cents AS DOUBLE) / 100)"
+    val lNew = s"floor((0.5 * $yd + 0.5 * (h.level + h.trend)) * 1000000 + 0.5) / 1000000"
+    s"""WITH RECURSIVE d AS MATERIALIZED (
+       |  SELECT day, cents, row_number() OVER (ORDER BY day) AS i FROM (
+       |    SELECT CAST(ts AS DATE) AS day,
+       |           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |    FROM events GROUP BY 1)),
+       |n2 AS (SELECT cents AS c2 FROM d WHERE i = 2),
+       |hw(i, level, trend) AS (
+       |  SELECT 1,
+       |         floor($yd * 1000000 + 0.5) / 1000000,
+       |         floor((CAST(n2.c2 AS DOUBLE) / 100 - $yd) * 1000000 + 0.5) / 1000000
+       |  FROM d CROSS JOIN n2 WHERE d.i = 1
+       |  UNION ALL
+       |  SELECT h.i + 1,
+       |         $lNew,
+       |         floor((0.25 * ($lNew - h.level) + 0.75 * h.trend) * 1000000 + 0.5) / 1000000
+       |  FROM hw h JOIN d ON d.i = h.i + 1),
+       |f AS (SELECT i, level, trend,
+       |        lag(level) OVER (ORDER BY i) AS pl,
+       |        lag(trend) OVER (ORDER BY i) AS pt
+       |      FROM hw)
+       |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       |       CAST(d.cents AS DOUBLE) / 100 AS revenue,
+       |       f.level AS level, f.trend AS trend,
+       |       CASE WHEN f.i = 1 THEN 0.0
+       |            ELSE floor((f.pl + f.pt) * 1000000 + 0.5) / 1000000 END AS forecast
+       |FROM f JOIN d ON d.i = f.i""".stripMargin
+  }
+
   /** OHLC1 — weekly open/high/low/close bars per event type
     * ([[graft.operators.Analytics.weeklyOhlc]]): epoch-week buckets,
     * (ts, event_id)-deterministic open/close, exact-cent totals. */
@@ -6864,6 +6903,7 @@ object Queries {
     "chrf1_eval" -> chrf1Eval,
     "kn1_kneser_ney" -> kn1KneserNey,
     "ridge1_normal_eq" -> ridge1NormalEq,
+    "hw1_holt_trend" -> hw1HoltTrend,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7103,6 +7143,7 @@ object Queries {
     "chrf1_eval" -> chrf1EvalSql,
     "kn1_kneser_ney" -> kn1KneserNeySql,
     "ridge1_normal_eq" -> ridge1NormalEqSql,
+    "hw1_holt_trend" -> hw1HoltTrendSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7171,6 +7212,6 @@ object Queries {
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
     "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "kn1_kneser_ney",
-    "ridge1_normal_eq",
+    "ridge1_normal_eq", "hw1_holt_trend",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -1279,6 +1279,51 @@ object Analytics {
           .as("ewma"))
   }
 
+  /** Holt linear (double-exponential) smoothing of total daily revenue —
+    * the level+trend sibling of [[ewmaDaily]]: l_t = α·y_t +
+    * (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, with
+    * the classic init l_1 = y_1, b_1 = y_2−y_1, plus the one-step-ahead
+    * forecast f_t = l_{t−1}+b_{t−1} that makes it a baseline
+    * forecaster. α = 1/2 and β = 1/4 are exact binary fractions.
+    *
+    * Determinism: the recurrence is genuinely sequential, so each step
+    * SNAPS level and trend to the 1e-6 grid (the ml1 trajectory
+    * discipline) and the DuckDB oracle replays the fold as a recursive
+    * CTE over the identical textual formula — bit-equal at every step.
+    *
+    * Shape: the ONLY data-sized work is the daily rollup (map-side
+    * combinable); the fold runs on the collected daily grid, which is
+    * calendar-bounded driver state (a decade of days is ~3.7k rows no
+    * matter how many petabytes feed each day) — same bounded-metadata
+    * discipline as the kmeans centroid collect. */
+  def holtLinearDaily(events: DataFrame, alpha: Double = 0.5,
+                      beta: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    require(beta > 0 && beta < 1, s"beta in (0,1), got $beta")
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+    val rows = daily.orderBy(col("day")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    require(rows.length >= 2, "holtLinearDaily needs at least 2 observed days")
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    def y(i: Int) = rows(i)._2.toDouble / 100
+    var level = r6(y(0))
+    var trend = r6(y(1) - y(0))
+    val out = Array.newBuilder[(String, Double, Double, Double, Double)]
+    out += ((rows(0)._1, y(0), level, trend, 0.0))
+    for (i <- 1 until rows.length) {
+      val f = r6(level + trend)
+      val lNew = r6(alpha * y(i) + (1 - alpha) * (level + trend))
+      val bNew = r6(beta * (lNew - level) + (1 - beta) * trend)
+      level = lNew; trend = bNew
+      out += ((rows(i)._1, y(i), level, trend, f))
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    out.result().toSeq
+      .toDF("day", "revenue", "level", "trend", "forecast")
+  }
+
   /** Weekly OHLC bars per event type — open/high/low/close/volume, the
     * downsampling that turns a raw event stream into a chartable series.
     * Open/close are the values at the earliest/latest (ts, event_id) in

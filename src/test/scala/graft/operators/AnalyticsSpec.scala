@@ -762,6 +762,41 @@ class AnalyticsSpec extends SparkTestBase {
     assert(duel("aa")._1 > duel("bb")._1 && duel("aa")._2 == 1L, duel.toString)
   }
 
+  test("holtLinearDaily: linear series tracked exactly, constant series " +
+    "pins trend at zero, fold replays by hand") {
+    // y = 10, 12, 14, 16 — exactly linear: l_t = y_t, b_t = 2, f_t = y_t
+    val lin = ev((1 to 4).map(i =>
+      (1L, f"2024-01-0$i 10:00:00", "view", 8.0 + 2 * i)): _*)
+    val gotLin = Analytics.holtLinearDaily(lin).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    gotLin.foreach { case (_, y, l, b, _) =>
+      assert(l == y && b == 2.0, gotLin.mkString(";")) }
+    gotLin.drop(1).foreach { case (_, y, _, _, f) => assert(f == y) }
+    // constant series: level stays, trend geometrically decays toward 0
+    val const = ev((1 to 6).map(i =>
+      (1L, f"2024-01-0$i 10:00:00", "view", 50.0)): _*)
+    val gotC = Analytics.holtLinearDaily(const).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(gotC.head._1 == 0.0) // b1 = y2 - y1 = 0
+    gotC.foreach { case (b, _) => assert(b == 0.0) }
+    // hand-replay the snapped fold on the sf0.001 fixture
+    val events = Tables.events(spark, sf0001)
+    val got = Analytics.holtLinearDaily(events).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    var l = r6(got(0)._2); var b = r6(got(1)._2 - got(0)._2)
+    assert(got(0)._3 == l && got(0)._4 == b && got(0)._5 == 0.0)
+    got.drop(1).foreach { case (day, y, gl, gb, gf) =>
+      val f = r6(l + b)
+      val lN = r6(0.5 * y + 0.5 * (l + b))
+      val bN = r6(0.25 * (lN - l) + 0.75 * b)
+      l = lN; b = bN
+      assert(gl == l && gb == b && gf == f, s"day $day diverges")
+    }
+  }
+
   test("ridgeNormalEq: lambda=0 recovers an exact linear model; " +
     "lambda>0 shrinks coefficients toward zero") {
     // price cents = 300 + 200*q + 500*d exactly (non-collinear design)
