@@ -2917,6 +2917,53 @@ object Queries {
       layoutSql("o_orderkey, o_orderkey", "natural")
   }
 
+  /** BF1 — per-file Bloom skipping index on an unclustered equality key
+    * (o_custkey in an o_orderkey-ordered layout): the point-lookup
+    * pruning story zone maps cannot tell. Per simulated file: Bloom
+    * verdict vs ground truth for a fixed probe set — zero false
+    * negatives, fill-bounded false positives.
+    * See [[graft.operators.Layout.bloomSkipStats]]. */
+  val bf1FileBloom: Q = (s, d) =>
+    graft.operators.Layout.bloomSkipStats(Tables.orders(s, d),
+      col("o_custkey"), col("o_orderkey"), rowsPerFile = 512,
+      bits = 4096, hashes = 3, probes = bf1Probes)
+
+  private val bf1Probes: Seq[Long] = Seq(7L, 421L, 1399L, 999999L, 123456789L)
+
+  val bf1FileBloomSql: String = {
+    val probeList = bf1Probes.mkString(", ")
+    def bitExprs(keyExpr: String) = (0 until 3)
+      .map(j => md5BucketSql(s"'bf$j:' || CAST($keyExpr AS VARCHAR)", 4096))
+      .mkString(", ")
+    s"""WITH f AS (SELECT CAST(o_custkey AS BIGINT) AS k,
+       |             CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 512.0) AS BIGINT) AS file_id
+       |           FROM orders),
+       |fk AS (SELECT file_id, k, count(*) AS cnt FROM f GROUP BY 1, 2),
+       |fb AS (SELECT DISTINCT file_id, bit FROM
+       |        (SELECT file_id, unnest([${bitExprs("k")}]) AS bit FROM fk)),
+       |pr AS (SELECT unnest([$probeList]) AS p),
+       |pb AS (SELECT DISTINCT p, bit FROM
+       |        (SELECT p, unnest([${bitExprs("p")}]) AS bit FROM pr)),
+       |need AS (SELECT p, count(*) AS need FROM pb GROUP BY 1),
+       |mt AS (SELECT fb.file_id, pb.p, count(*) AS got
+       |       FROM fb JOIN pb USING (bit) GROUP BY 1, 2),
+       |pass AS (SELECT file_id, mt.p FROM mt JOIN need USING (p) WHERE got = need),
+       |bs AS (SELECT file_id, CAST(count(*) AS BIGINT) AS bits_set FROM fb GROUP BY 1),
+       |np AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_probe_pass FROM pass GROUP BY 1),
+       |nt AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_probe_true FROM
+       |        (SELECT DISTINCT file_id, k FROM fk WHERE k IN ($probeList)) GROUP BY 1),
+       |st AS (SELECT file_id, CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |              CAST(count(*) AS BIGINT) AS n_keys FROM fk GROUP BY 1)
+       |SELECT st.file_id, n_rows, n_keys,
+       |       COALESCE(bits_set, 0) AS bits_set,
+       |       COALESCE(n_probe_pass, 0) AS n_probe_pass,
+       |       COALESCE(n_probe_true, 0) AS n_probe_true,
+       |       COALESCE(n_probe_pass, 0) > 0 AS scanned_bloom,
+       |       COALESCE(n_probe_true, 0) > 0 AS scanned_true
+       |FROM st LEFT JOIN bs USING (file_id) LEFT JOIN np USING (file_id)
+       |        LEFT JOIN nt USING (file_id)""".stripMargin
+  }
+
   /** D11 — cross-document containment via shared rare 8-token spans
     * (df ≤ 5 blocking bound): directional "A is a subset of B" signal.
     * See [[graft.operators.Dedup.spanContainment]]. */
@@ -6904,6 +6951,7 @@ object Queries {
     "kn1_kneser_ney" -> kn1KneserNey,
     "ridge1_normal_eq" -> ridge1NormalEq,
     "hw1_holt_trend" -> hw1HoltTrend,
+    "bf1_file_bloom" -> bf1FileBloom,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7144,6 +7192,7 @@ object Queries {
     "kn1_kneser_ney" -> kn1KneserNeySql,
     "ridge1_normal_eq" -> ridge1NormalEqSql,
     "hw1_holt_trend" -> hw1HoltTrendSql,
+    "bf1_file_bloom" -> bf1FileBloomSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7212,6 +7261,6 @@ object Queries {
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
     "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "kn1_kneser_ney",
-    "ridge1_normal_eq", "hw1_holt_trend",
+    "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "st1_stream_window", "st6_stream_cdc")
 }

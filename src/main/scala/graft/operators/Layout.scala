@@ -127,6 +127,72 @@ object Layout {
         (col("max_stat") >= lo && col("min_stat") <= hi).as("scanned"))
   }
 
+  /** Per-file Bloom-filter skipping index — the EQUALITY-predicate
+    * companion to [[zoneMapStats]]: a zone map prunes range predicates on
+    * the layout's sort key, but a point lookup on an UNCLUSTERED key
+    * (customer id in a price-sorted table) matches every file's min/max.
+    * A per-file Bloom of that key (k deterministic md5 hash positions in
+    * an m-bit space — the parquet `bloom_filter` footer story) lets the
+    * planner skip any file whose filter cannot contain the probe.
+    *
+    * Per simulated file (same row_number/rowsPerFile layout contract as
+    * zoneMapStats): row and distinct-key counts, the Bloom's set-bit
+    * cardinality, and for a fixed probe set both the Bloom verdict
+    * ("might contain any probe") and ground truth ("does contain") —
+    * zero false negatives by construction (spec-pinned), false
+    * positives bounded by the fill ratio.
+    *
+    * Shape: the bit table is id-only ((file, bit) pairs, ≤ m per file
+    * after dedup) and the probe side is a constant-sized literal set, so
+    * every join past the window is metadata work; at 100 TB file ids
+    * come from the real manifest and the same frame shapes hold. */
+  def bloomSkipStats(df: DataFrame, keyCol: Column, orderCol: Column,
+                     rowsPerFile: Int, bits: Int, hashes: Int,
+                     probes: Seq[Long]): DataFrame = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
+    require(bits > 0 && hashes > 0, s"need positive bits/hashes")
+    require(probes.nonEmpty, "need at least one probe key")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("_o").asc)
+    def bitOf(j: Int, c: Column): Column =
+      graft.operators.Sampling.hashBucket(
+        concat(lit(s"bf$j:"), c.cast("string")), bits)
+    val files = df.select(keyCol.cast("long").as("k"), orderCol.as("_o"))
+      .withColumn("file_id",
+        floor((row_number().over(w) - 1) / lit(rowsPerFile.toDouble)).cast("long"))
+    val fileKeys = files.groupBy(col("file_id"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val fb = fileKeys.select(col("file_id"),
+      explode(array((0 until hashes).map(j => bitOf(j, col("k"))): _*)).as("bit"))
+      .distinct()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pr = probes.toDF("p")
+    val pb = pr.select(col("p"),
+      explode(array((0 until hashes).map(j => bitOf(j, col("p"))): _*)).as("bit"))
+      .distinct()
+    val need = pb.groupBy(col("p")).agg(count(lit(1)).as("need"))
+    val pass = fb.join(broadcast(pb), "bit")
+      .groupBy(col("file_id"), col("p")).agg(count(lit(1)).as("got"))
+      .join(broadcast(need), "p").filter(col("got") === col("need"))
+    val np = pass.groupBy(col("file_id")).agg(count(lit(1)).as("n_probe_pass"))
+    val nt = fileKeys.join(broadcast(pr), col("k") === col("p"))
+      .groupBy(col("file_id")).agg(count(lit(1)).as("n_probe_true"))
+    val bs = fb.groupBy(col("file_id")).agg(count(lit(1)).as("bits_set"))
+    fileKeys.groupBy(col("file_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      .join(bs, Seq("file_id"), "left")
+      .join(np, Seq("file_id"), "left")
+      .join(nt, Seq("file_id"), "left")
+      .select(col("file_id"), col("n_rows"), col("n_keys"),
+        coalesce(col("bits_set"), lit(0L)).as("bits_set"),
+        coalesce(col("n_probe_pass"), lit(0L)).as("n_probe_pass"),
+        coalesce(col("n_probe_true"), lit(0L)).as("n_probe_true"),
+        (coalesce(col("n_probe_pass"), lit(0L)) > 0).as("scanned_bloom"),
+        (coalesce(col("n_probe_true"), lit(0L)) > 0).as("scanned_true"))
+  }
+
   /** Clustering diagnostic: per output-partition min/max extent of a
     * column, as a fraction of its global extent — the stand-in for file
     * footer min/max stats. Mean extent ≈ 1/√P for a z-ordered 2-dim

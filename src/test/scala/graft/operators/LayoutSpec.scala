@@ -129,4 +129,31 @@ class LayoutSpec extends SparkTestBase {
     assert(scannedC < 0.35, s"clustered scanned fraction $scannedC")
     assert(scannedN > 0.8, s"natural scanned fraction $scannedN")
   }
+
+  test("bloomSkipStats: zero false negatives, fill-bounded bitmaps, " +
+    "and real skipping on an unclustered key") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables.orders(spark, sf0001)
+    val probes = Seq(7L, 421L, 1399L, 999999L, 123456789L)
+    val got = graft.operators.Layout.bloomSkipStats(orders,
+      col("o_custkey"), col("o_orderkey"), rowsPerFile = 128,
+      bits = 4096, hashes = 3, probes = probes).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(1)).sum == orders.count())
+    got.foreach { r =>
+      val (nKeys, bitsSet) = (r.getLong(2), r.getLong(3))
+      val (nPass, nTrue) = (r.getLong(4), r.getLong(5))
+      val (sb, st) = (r.getBoolean(6), r.getBoolean(7))
+      // the Bloom contract: a file that truly contains a probe ALWAYS
+      // passes — false negatives are impossible by construction
+      assert(nPass >= nTrue && (!st || sb), s"file ${r.getLong(0)}")
+      assert(bitsSet >= 1 && bitsSet <= math.min(4096L, 3 * nKeys))
+    }
+    // a probe key known to be in the table must be found somewhere
+    val present = orders.select("o_custkey").where(col("o_custkey") === 7).count()
+    if (present > 0) assert(got.exists(r => r.getLong(5) > 0))
+    // the operator's point: some files are skipped for this probe set
+    assert(got.exists(r => !r.getBoolean(6)),
+      "no file skipped — filter saturated, raise bits in the query")
+  }
 }
