@@ -2100,6 +2100,52 @@ object Queries {
     * are `featureBuckets` rows → broadcast; the only corpus shuffle is the
     * per-doc rollup, summing exact micro-units (order-free, hashable).
     * See [[graft.operators.Importance.dsirWeights]]. */
+  /** DOREMI1 — multiplicative-weights domain reweighting (DoReMi, Xie et
+    * al. 2023): ten rounds of exp(η·excess-surprisal) updates over the
+    * 20 source domains with uniform smoothing, the baseline moving with
+    * the weights each round. One data-sized pass (the token-surprisal
+    * aggregation); the iteration runs on K-row micro-unit state replayed
+    * by ten materialized CTE stages in the oracle.
+    * See [[graft.operators.Curation.doremiWeights]]. */
+  val doremi1DomainWeights: Q = (s, d) =>
+    graft.operators.Curation.doremiWeights(Tables.documents(s, d))
+
+  val doremi1DomainWeightsSql: String = {
+    val (iters, eta, smooth) = (10, 0.5, 0.01)
+    val stages = (1 to iters).map { t =>
+      s"""it$t AS MATERIALIZED (
+         |  SELECT source, n_tokens, l_m, k,
+         |    CAST(floor(((1.0 - $smooth) * (CAST(g AS DOUBLE) / CAST(z AS DOUBLE))
+         |                + $smooth / CAST(k AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w
+         |  FROM (SELECT source, n_tokens, l_m, k, g, sum(g) OVER () AS z FROM (
+         |    SELECT source, n_tokens, l_m, k,
+         |      CAST(floor(CAST(w AS DOUBLE) / 1000000
+         |             * exp($eta * (CAST(l_m AS DOUBLE) / 1000000 - CAST(b AS DOUBLE) / 1000000000000))
+         |             * 1000000 + 0.5) AS BIGINT) AS g
+         |    FROM (SELECT source, n_tokens, l_m, k, w, sum(w * l_m) OVER () AS b
+         |          FROM it${t - 1}))))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |c AS (SELECT tok, count(*) AS n_w FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total, count(*) AS v_size FROM c),
+       |sp AS (SELECT doc_id,
+       |         floor((-ln(CAST(n_w + 1 AS DOUBLE) / CAST(n_total + v_size AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS surp
+       |       FROM toks JOIN c USING (tok) CROSS JOIN tot),
+       |dm AS MATERIALIZED (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(floor(CAST(sum(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1000000 + 0.5) AS BIGINT) AS l_m
+       |  FROM sp JOIN documents USING (doc_id) GROUP BY source),
+       |it0 AS MATERIALIZED (
+       |  SELECT source, n_tokens, l_m, k,
+       |         CAST(floor(1000000.0 / k) AS BIGINT) AS w
+       |  FROM dm CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS k FROM dm)),
+       |$stages
+       |SELECT source, n_tokens,
+       |       CAST(l_m AS DOUBLE) / 1000000 AS loss,
+       |       CAST(w AS DOUBLE) / 1000000 AS weight
+       |FROM it$iters""".stripMargin
+  }
+
   val dsir1Importance: Q = (s, d) =>
     graft.operators.Importance.dsirWeights(Tables.documents(s, d),
       col("doc_id"), col("text"), col("lang") === "en", featureBuckets = 128)
@@ -6952,6 +6998,7 @@ object Queries {
     "ridge1_normal_eq" -> ridge1NormalEq,
     "hw1_holt_trend" -> hw1HoltTrend,
     "bf1_file_bloom" -> bf1FileBloom,
+    "doremi1_domain_weights" -> doremi1DomainWeights,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7193,6 +7240,7 @@ object Queries {
     "ridge1_normal_eq" -> ridge1NormalEqSql,
     "hw1_holt_trend" -> hw1HoltTrendSql,
     "bf1_file_bloom" -> bf1FileBloomSql,
+    "doremi1_domain_weights" -> doremi1DomainWeightsSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7262,5 +7310,6 @@ object Queries {
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
     "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
+    "doremi1_domain_weights",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -293,6 +293,73 @@ object Curation {
     * slice broadcast to a single data-sized binning pass (the q7/hist2
     * anchor — swap the sketch in at 100 TB); the PSI arithmetic runs on
     * the sources×bins grid. ln terms are rounded then decimal-summed. */
+  /** DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429):
+    * multiplicative-weights over source domains driven by EXCESS loss —
+    * each round, a domain whose proxy loss exceeds the current
+    * weight-averaged baseline gains weight (exp(η·excess)), then weights
+    * renormalize and mix with uniform smoothing c/K. The proxy loss here
+    * is the domain's token-weighted unigram surprisal (lm1's fluency
+    * model) — deterministic, data-derived, and recomputed against a
+    * baseline that MOVES with the weights, which is what makes the
+    * iteration genuinely sequential.
+    *
+    * Determinism: the domain loss L_d lands as a micro-unit BIGINT; the
+    * per-round baseline Σ w·L and normalizer Σ g fold as exact integers
+    * (order-free), and every per-domain update is one fixed textual
+    * double formula snapped back to micro-units — the oracle unrolls the
+    * ten rounds as materialized CTE stages and replays digit for digit.
+    *
+    * Shape: ONE data-sized pass (the token-surprisal aggregation);
+    * iterations run on K-row domain state (K = distinct sources —
+    * codebook-sized forever). */
+  def doremiWeights(documents: DataFrame, iters: Int = 10, eta: Double = 0.5,
+                    smooth: Double = 0.01): DataFrame = {
+    import graft.functions.portableRound
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(eta > 0, s"eta must be positive, got $eta")
+    require(smooth >= 0 && smooth < 1, s"smooth in [0,1), got $smooth")
+    val toks = split(col("text"), " ")
+    val tokStream = documents.select(col("doc_id"), explode(toks).as("tok"))
+    val counts = tokStream.groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
+    val totals = counts.agg(sum(col("n_w")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    val surp = portableRound(-log((col("n_w") + 1).cast("double") /
+      (col("n_total") + col("v_size")).cast("double")), 6)
+    val perSource = tokStream.join(counts, "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("surp", surp)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_tokens"),
+        floor(sum(col("surp").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)) * 1000000.0 + 0.5).cast("long").as("l_micro"))
+    val rows = perSource.orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val k = rows.length
+    require(k >= 2, s"doremiWeights needs >= 2 domains, got $k")
+    val ls = rows.map(_._3)
+    var w: Array[Long] = Array.fill(k)(math.floor(1000000.0 / k).toLong)
+    for (_ <- 1 to iters) {
+      val bMicro2 = (0 until k).map(i => BigInt(w(i)) * BigInt(ls(i))).sum
+      val base = bMicro2.toDouble / 1000000000000.0
+      val g = (0 until k).map { i =>
+        math.floor(w(i).toDouble / 1000000 *
+          math.exp(eta * (ls(i).toDouble / 1000000 - base)) * 1000000 + 0.5)
+          .toLong
+      }
+      val z = g.map(BigInt(_)).sum
+      w = (0 until k).map { i =>
+        math.floor(((1.0 - smooth) * (g(i).toDouble / z.toDouble) +
+          smooth / k) * 1000000 + 0.5).toLong
+      }.toArray
+    }
+    val spark = documents.sparkSession
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((src, nTok, l), i) =>
+      (src, nTok, l.toDouble / 1000000, w(i).toDouble / 1000000)
+    }.toSeq.toDF("source", "n_tokens", "loss", "weight")
+  }
+
   def psiDrift(documents: DataFrame, refSource: String = "src0",
                bins: Int = 10): DataFrame = {
     import graft.functions.portableRound

@@ -230,4 +230,35 @@ class CurationSpec extends SparkTestBase {
       Curation.mmdShift(e, pmod(col("vec_id"), lit(2)), dim = 0)
     }
   }
+
+  test("doremiWeights: weights form a smoothed distribution aligned with " +
+    "excess loss; a planted hard domain wins") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val got = Curation.doremiWeights(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    val k = got.length
+    assert(k >= 2)
+    // weights form a distribution (up to K half-ulps of micro rounding)
+    assert(math.abs(got.map(_._3).sum - 1.0) <= k * 1e-6 + 1e-9)
+    // uniform smoothing floor: no domain ever starves below ~c/K
+    got.foreach { case (s, _, w) =>
+      assert(w >= 0.01 / k - 1e-6, s"domain $s starved at $w") }
+    // multiplicative weights tilt toward excess loss: max-loss domain at
+    // or above uniform, min-loss at or below
+    val hi = got.maxBy(_._2); val lo = got.minBy(_._2)
+    assert(hi._3 >= 1.0 / k - 1e-6, s"hard domain ${hi._1} below uniform")
+    assert(lo._3 <= 1.0 / k + 1e-6, s"easy domain ${lo._1} above uniform")
+    // planted: a gibberish (rare-token) domain must take the top weight
+    import spark.implicits._
+    val easy = (1 to 30).map(i =>
+      (i.toLong, "the cat sat on the mat again and again", "common"))
+    val hard = (31 to 60).map(i =>
+      (i.toLong, s"zqx$i vbnk$i wfjp$i qqzz$i xkcd$i", "rare"))
+    val tiny = (easy ++ hard).toDF("doc_id", "text", "source")
+    val duel = Curation.doremiWeights(tiny).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(duel("rare")._1 > duel("common")._1) // surprisal ordering sane
+    assert(duel("rare")._2 > duel("common")._2,
+      s"hard domain must out-weigh: $duel")
+  }
 }
