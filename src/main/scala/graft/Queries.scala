@@ -5924,6 +5924,15 @@ object Queries {
   val st12StreamAnomaly: Q = (s, d) =>
     graft.streaming.EventStream.runAnomalyOverFixture(s, d)
 
+  /** ST16 — streaming Holt forecaster, the stateful twin of hw1
+    * ([[graft.streaming.EventStream.runHoltOverFixture]],
+    * [[graft.streaming.StatefulSessions.holtCells]]): each sealed day
+    * updates the global (level, trend) pair by the SAME snapped
+    * recurrence and emits exactly once, in day order — digit-for-digit
+    * parity with the batch fold (same oracle as hw1). */
+  val st16StreamHolt: Q = (s, d) =>
+    graft.streaming.EventStream.runHoltOverFixture(s, d)
+
   /** ST13 — streaming weekly OHLC bars, the windowed-aggregation twin of
     * ohlc1 ([[graft.streaming.EventStream.runOhlcOverFixture]]):
     * epoch-aligned 7-day windows sealed by the watermark, open/close via
@@ -6907,6 +6916,7 @@ object Queries {
     "st10_stream_rolling" -> st10StreamRolling,
     "st11_stream_sketch" -> st11StreamSketch,
     "st12_stream_anomaly" -> st12StreamAnomaly,
+    "st16_stream_holt" -> st16StreamHolt,
     "st13_stream_ohlc" -> st13StreamOhlc,
     "st14_stream_funnel" -> st14StreamFunnel,
     "st15_stream_gapfill" -> st15StreamGapFill,
@@ -7159,6 +7169,7 @@ object Queries {
     "st13_stream_ohlc" -> ohlc1WeeklySql, // stream/batch parity: same oracle
     "st14_stream_funnel" -> funnel2TimeToConvertSql, // stream/batch parity: same oracle
     "st15_stream_gapfill" -> ts1GapFillSql, // stream/batch parity: same oracle
+    "st16_stream_holt" -> hw1HoltTrendSql, // stream/batch parity: same oracle
     "card1_dataset_card" -> card1DatasetCardSql,
     "cur1_filter_waterfall" -> cur1WaterfallSql,
     "w8_range_frame" -> w8RangeFrameSql,
@@ -7310,6 +7321,6 @@ object Queries {
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
     "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
-    "doremi1_domain_weights",
+    "doremi1_domain_weights", "st16_stream_holt",
     "st1_stream_window", "st6_stream_cdc")
 }

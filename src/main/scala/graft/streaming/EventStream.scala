@@ -470,6 +470,36 @@ object EventStream {
     spark.table(queryName).filter(col("day") <= lit(dmaxStr))
   }
 
+  /** Streaming Holt forecaster over the fixture — st16: total daily
+    * revenue streamed through [[StatefulSessions.holtStream]] with a
+    * 0-second watermark and a far-future sentinel flushing the tail;
+    * rows equal hw1's batch fold digit for digit (same oracle). The
+    * sentinel's own (unsealed) day never emits; the `day <= dmax` trim
+    * is belt and braces, st12-style. */
+  def runHoltOverFixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val codec = codecFor(spark, s"$sfDir/events.parquet")
+    val (srcDir, _, t1) = stageTimeRangeReplay(spark, sfDir, codec, "click",
+      (_, _) => 30L * DayUs)
+    val dmaxStr =
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(t1, DayUs)).toString
+    val stream = spark.readStream.schema(codec.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+      .withColumn("ts", codec.tsTimestamp)
+      .withWatermark("ts", "0 seconds")
+      .select(col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[StatefulSessions.HoltEvent]
+    val smoothed = StatefulSessions.holtStream(spark, stream)
+    val queryName = scopedQueryName("graft_stream_holt")
+    val q = smoothed.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    spark.table(queryName).filter(col("day") <= lit(dmaxStr))
+  }
+
   /** Streaming SKETCH PRODUCTION — each day's window finalizes into a
     * mergeable HLL sketch blob of its distinct users (plus the estimate),
     * the lambda-architecture-free shape: the stream writes fixed-size

@@ -231,6 +231,88 @@ object StatefulSessions {
         anomalyCells(trailing, zThreshold))
   }
 
+  // ───────────────────────── streaming Holt smoothing ─────────────────────────
+
+  final case class HoltEvent(ts: java.sql.Timestamp, cents: Long)
+  /** Global Holt state: `open` accumulates cent totals for unsealed days
+    * (watermark-delay bounded); once two days have sealed the whole model
+    * is the (level, trend) pair plus the sealed-day count — O(1) at rest.
+    * `pending_*` buffers the FIRST sealed day, whose emitted row needs
+    * y_2 for the classic b_1 = y_2 − y_1 init. */
+  final case class HoltState(open: Seq[(Int, Long)], sealed_n: Int,
+                             pending_day: Int, pending_cents: Long,
+                             level: Double, trend: Double)
+  final case class HoltRow(day: String, revenue: Double, level: Double,
+                           trend: Double, forecast: Double)
+
+  /** Streaming Holt linear smoothing — the stateful twin of hw1
+    * ([[graft.operators.Analytics.holtLinearDaily]]): each day the
+    * watermark seals updates (level, trend) by the SAME snapped
+    * recurrence and emits its row exactly once, in day order, with the
+    * one-step-ahead forecast made before the update. Day totals are
+    * order-insensitive cent longs, and the recurrence consumes each
+    * sealed day exactly once — so the streamed rows equal the batch fold
+    * digit for digit (the driver gate runs hw1's oracle against them).
+    *
+    * The group key is a constant: the model is one global (level, trend)
+    * pair, the same calendar-bounded state the batch fold collects. At
+    * scale the day totals would pre-aggregate upstream (the windowed-agg
+    * shape); the state itself never grows past open-day count + 4
+    * scalars. Timer re-arms at the earliest open day's end, st12-style,
+    * so the tail flushes without new data. */
+  def holtCells(alpha: Double, beta: Double)(
+      key: String, events: Iterator[HoltEvent],
+      state: GroupState[HoltState]): Iterator[HoltRow] = {
+    val prev = state.getOption.getOrElse(
+      HoltState(Nil, 0, Int.MinValue, 0L, 0.0, 0.0))
+    val open = scala.collection.mutable.Map[Int, Long](prev.open: _*)
+    if (!state.hasTimedOut)
+      events.foreach { e =>
+        val d = Math.floorDiv(e.ts.getTime, 86400000L).toInt
+        open(d) = open.getOrElse(d, 0L) + e.cents
+      }
+    val wmDay = Math.floorDiv(state.getCurrentWatermarkMs, 86400000L).toInt
+    val sealedNow = open.keys.filter(_ < wmDay).toSeq.sorted
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    def dayStr(d: Int) = java.time.LocalDate.ofEpochDay(d.toLong).toString
+    var n = prev.sealed_n
+    var pd = prev.pending_day; var pc = prev.pending_cents
+    var level = prev.level; var trend = prev.trend
+    val out = Vector.newBuilder[HoltRow]
+    def step(d: Int, cents: Long): Unit = {
+      val y = cents.toDouble / 100
+      val f = r6(level + trend)
+      val lNew = r6(alpha * y + (1 - alpha) * (level + trend))
+      val bNew = r6(beta * (lNew - level) + (1 - beta) * trend)
+      level = lNew; trend = bNew
+      out += HoltRow(dayStr(d), y, level, trend, f)
+    }
+    for (d <- sealedNow) {
+      val cents = open.remove(d).get
+      if (n == 0) { pd = d; pc = cents }
+      else if (n == 1) {
+        val y1 = pc.toDouble / 100
+        level = r6(y1); trend = r6(cents.toDouble / 100 - y1)
+        out += HoltRow(dayStr(pd), y1, level, trend, 0.0)
+        step(d, cents)
+      } else step(d, cents)
+      n += 1
+    }
+    state.update(HoltState(open.toSeq.sortBy(_._1), n, pd, pc, level, trend))
+    if (open.nonEmpty)
+      state.setTimeoutTimestamp((open.keys.min + 1).toLong * 86400000L)
+    out.result().iterator
+  }
+
+  /** Wire the Holt smoother over a watermarked typed Dataset. */
+  def holtStream(spark: SparkSession, events: Dataset[HoltEvent],
+                 alpha: Double = 0.5, beta: Double = 0.25): Dataset[HoltRow] = {
+    import spark.implicits._
+    events.groupByKey(_ => "all")
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        holtCells(alpha, beta))
+  }
+
   // ───────────────────────── streaming gap fill ─────────────────────────
 
   final case class GapEvent(event_type: String, ts: java.sql.Timestamp, cents: Long)

@@ -107,6 +107,14 @@ class EventStreamSpec extends SparkTestBase {
     assertSameRows(batch, streamed)
   }
 
+  test("streaming Holt forecaster equals the batch holtLinearDaily (exact parity)") {
+    val streamed = EventStream.runHoltOverFixture(spark, sf0001)
+    val batch = graft.operators.Analytics.holtLinearDaily(Tables.events(spark, sf0001))
+    // the cells replay the batch fold's snapped recurrence on sealed day
+    // totals, so this is row equality on doubles, not a tolerance gate
+    assertSameRows(batch, streamed)
+  }
+
   test("streaming weekly OHLC equals the batch weeklyOhlc (exact parity)") {
     val streamed = EventStream.runOhlcOverFixture(spark, sf0001)
     val batch = graft.operators.Analytics.weeklyOhlc(Tables.events(spark, sf0001))
