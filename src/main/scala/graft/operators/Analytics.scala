@@ -596,16 +596,20 @@ object Analytics {
       .withColumn("arm",
         when(Sampling.hashBucket(col("user_id")) < 5000, "A").otherwise("B"))
       .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    // domain-sized after the rollup; checkpointed so the corpus pass runs
+    // once for both consumers (cumulative grid + totals)
     val byV = p.groupBy(col("cents")).agg(
       sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ka"),
       sum(when(col("arm") === "B", 1L).otherwise(0L)).as("kb"))
+      .localCheckpoint()
     val w = Window.orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = byV.select(col("cents"),
       sum(col("ka")).over(w).as("ca"), sum(col("kb")).over(w).as("cb"))
-    val tot = p.agg(
-      sum(when(col("arm") === "A", 1L).otherwise(0L)).cast("decimal(19,0)").as("na"),
-      sum(when(col("arm") === "B", 1L).otherwise(0L)).cast("decimal(19,0)").as("nb"))
+    // totals fold from the grouped frame, not the base — one corpus pass
+    val tot = byV.agg(
+      sum(col("ka")).cast("decimal(19,0)").as("na"),
+      sum(col("kb")).cast("decimal(19,0)").as("nb"))
     def d19(c: Column): Column = c.cast("decimal(19,0)")
     val gap = cum.crossJoin(broadcast(tot))
       .withColumn("gap", abs((d19(col("ca")) * col("nb") -

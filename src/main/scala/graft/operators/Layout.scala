@@ -160,11 +160,17 @@ object Layout {
     val files = df.select(keyCol.cast("long").as("k"), orderCol.as("_o"))
       .withColumn("file_id",
         floor((row_number().over(w) - 1) / lit(rowsPerFile.toDouble)).cast("long"))
+    // the per-file key dictionary feeds both the bit table and the stats
+    // fold — checkpoint it so the layout window runs once (at real scale
+    // this materialization IS the per-file key dictionary the index
+    // builder writes, typically orders of magnitude below row count)
     val fileKeys = files.groupBy(col("file_id"), col("k"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val fb = fileKeys.select(col("file_id"),
       explode(array((0 until hashes).map(j => bitOf(j, col("k"))): _*)).as("bit"))
       .distinct()
+      .localCheckpoint()
     val spark = df.sparkSession
     import spark.implicits._
     val pr = probes.toDF("p")
@@ -176,15 +182,16 @@ object Layout {
       .groupBy(col("file_id"), col("p")).agg(count(lit(1)).as("got"))
       .join(broadcast(need), "p").filter(col("got") === col("need"))
     val np = pass.groupBy(col("file_id")).agg(count(lit(1)).as("n_probe_pass"))
-    val nt = fileKeys.join(broadcast(pr), col("k") === col("p"))
-      .groupBy(col("file_id")).agg(count(lit(1)).as("n_probe_true"))
     val bs = fb.groupBy(col("file_id")).agg(count(lit(1)).as("bits_set"))
+    // ground truth folds into the stats pass via literal membership —
+    // no extra corpus-deriving join
     fileKeys.groupBy(col("file_id"))
       .agg(sum(col("cnt")).cast("long").as("n_rows"),
-        count(lit(1)).as("n_keys"))
+        count(lit(1)).as("n_keys"),
+        sum(when(col("k").isin(probes: _*), 1L).otherwise(0L))
+          .as("n_probe_true"))
       .join(bs, Seq("file_id"), "left")
       .join(np, Seq("file_id"), "left")
-      .join(nt, Seq("file_id"), "left")
       .select(col("file_id"), col("n_rows"), col("n_keys"),
         coalesce(col("bits_set"), lit(0L)).as("bits_set"),
         coalesce(col("n_probe_pass"), lit(0L)).as("n_probe_pass"),

@@ -560,7 +560,11 @@ object TextAnalysis {
       .select(explode(expr(
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i+1] AS b))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+    // the bigram table feeds four consumers (result, both context
+    // rollups, the type total) — checkpoint it so the corpus-sized pair
+    // extraction runs ONCE, not once per consumer
     val big = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint()
     val left = big.groupBy(col("a")).agg(
       sum(col("n_ab")).as("c_a"), count(lit(1)).as("n1p_a"))
     val right = big.groupBy(col("b")).agg(count(lit(1)).as("n1p_b"))
