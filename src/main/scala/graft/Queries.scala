@@ -5671,6 +5671,61 @@ object Queries {
        |FROM afin""".stripMargin
   }
 
+  /** PQ1 — product quantization (Jégou et al. 2011): four independent
+    * 16-codeword Lloyd codebooks over contiguous 16-dim subspaces, the
+    * IVF-PQ compression leg of the vector-infra family. kmeans1's
+    * bit-exact discipline with the subspace id joined into every key;
+    * output is each vector's per-subspace code + quantization error.
+    * See [[graft.operators.Similarity.productQuantize]]. */
+  val pq1ProductQuantize: Q = (s, d) =>
+    graft.operators.Similarity.productQuantize(Tables.embeddings(s, d))
+
+  val pq1ProductQuantizeSql: String = {
+    def r9(x: String) = s"floor(($x) * 1000000000 + 0.5) / 1000000000"
+    val (m, k, iters, sub, dim) = (4, 16, 2, 16, 64)
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT vec_id, sm, cid, dist FROM (
+         |    SELECT vec_id, sm, cid, dist,
+         |           row_number() OVER (PARTITION BY vec_id, sm ORDER BY dist, cid) AS rn
+         |    FROM (SELECT f.vec_id, f.sm, c.cid,
+         |                 CAST(sum(CAST(${r9("(f.x - c.c) * (f.x - c.c)")} AS DECIMAL(28,9))) AS DOUBLE) AS dist
+         |          FROM f JOIN c${r - 1} c ON c.sm = f.sm AND c.j = f.j2
+         |          GROUP BY f.vec_id, f.sm, c.cid) dd) rr
+         |  WHERE rn = 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT p.sm, p.cid, p.j, COALESCE(m.mm, p.c) AS c
+         |  FROM c${r - 1} p LEFT JOIN (
+         |    SELECT a.sm, a.cid, f.j2 AS j,
+         |           ${r9(s"CAST(sum(CAST(${r9("f.x")} AS DECIMAL(18,9))) AS DOUBLE) / count(*)")} AS mm
+         |    FROM a$r a JOIN f ON f.vec_id = a.vec_id AND f.sm = a.sm
+         |    GROUP BY a.sm, a.cid, f.j2) m
+         |  ON m.sm = p.sm AND m.cid = p.cid AND m.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |f AS MATERIALIZED (
+       |  SELECT vec_id, CAST(floor((j - 1) / $sub.0) AS INT) AS sm,
+       |         CAST((j - 1) % $sub + 1 AS BIGINT) AS j2, emb[j] AS x
+       |  FROM e, LATERAL (SELECT unnest(generate_series(1, $dim)) AS j) t),
+       |init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k) ii),
+       |c0 AS MATERIALIZED (SELECT f.sm, i.cid, f.j2 AS j, f.x AS c
+       |     FROM init i JOIN f ON f.vec_id = i.vec_id),
+       |$rounds,
+       |afin AS (
+       |  SELECT vec_id, sm, cid, dist FROM (
+       |    SELECT vec_id, sm, cid, dist,
+       |           row_number() OVER (PARTITION BY vec_id, sm ORDER BY dist, cid) AS rn
+       |    FROM (SELECT f.vec_id, f.sm, c.cid,
+       |                 CAST(sum(CAST(${r9("(f.x - c.c) * (f.x - c.c)")} AS DECIMAL(28,9))) AS DOUBLE) AS dist
+       |          FROM f JOIN c$iters c ON c.sm = f.sm AND c.j = f.j2
+       |          GROUP BY f.vec_id, f.sm, c.cid) dd) rr
+       |  WHERE rn = 1)
+       |SELECT vec_id, CAST(sm AS BIGINT) AS sm, CAST(cid AS BIGINT) AS code,
+       |       floor(dist * 1000000 + 0.5) / 1000000 AS dist
+       |FROM afin""".stripMargin
+  }
+
   /** MIX2 — compute-and-apply a TARGET source mixture (water-filling):
     * per-source keep rates derived in-plan from observed counts so the
     * kept corpus matches the requested proportions
@@ -7009,6 +7064,7 @@ object Queries {
     "hw1_holt_trend" -> hw1HoltTrend,
     "bf1_file_bloom" -> bf1FileBloom,
     "doremi1_domain_weights" -> doremi1DomainWeights,
+    "pq1_product_quantize" -> pq1ProductQuantize,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7252,6 +7308,7 @@ object Queries {
     "hw1_holt_trend" -> hw1HoltTrendSql,
     "bf1_file_bloom" -> bf1FileBloomSql,
     "doremi1_domain_weights" -> doremi1DomainWeightsSql,
+    "pq1_product_quantize" -> pq1ProductQuantizeSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7321,6 +7378,6 @@ object Queries {
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
     "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
-    "doremi1_domain_weights", "st16_stream_holt",
+    "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
     "st1_stream_window", "st6_stream_cdc")
 }

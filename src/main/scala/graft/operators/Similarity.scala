@@ -646,6 +646,80 @@ object Similarity {
       portableRound(col("dist"), 6).as("dist"))
   }
 
+  /** Product quantization (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): split the embedding into `m` contiguous
+    * subspaces and train an independent k-codeword Lloyd codebook per
+    * subspace — the vector-compression workhorse behind IVF-PQ indexes
+    * (64-dim float → m 1-byte codes = 16× compression here). Completes
+    * the vector-infra family: emb1 quantizes per-dimension, pq1
+    * quantizes per-SUBSPACE with a learned codebook.
+    *
+    * Determinism is [[lloydClusters]]' discipline verbatim, with the
+    * subspace id joining the keys: deterministic init (the k smallest
+    * vec_ids' subvectors), per-dimension terms grid-rounded at 1e-9 and
+    * folded as exact decimals, argmin ties on code id — the oracle
+    * replays every round with `sm` in the group keys.
+    *
+    * Shape: codebooks are m×k×(dim/m) driver metadata (= dim·k values
+    * total, SAME size as one kmeans codebook); each round is one
+    * data-sized exchange keyed (vec_id, sm, code) against the BROADCAST
+    * codebook. The corpus never collects. */
+  def productQuantize(embeddings: DataFrame, m: Int = 4, k: Int = 16,
+                      iters: Int = 2): DataFrame = {
+    require(m >= 1 && k >= 1 && iters >= 1,
+      s"need m, k, iters >= 1: $m, $k, $iters")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .localCheckpoint()
+    val dim = e.select(size(col("emb"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val f = e
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("p", "x")))
+      .select(col("vec_id"),
+        floor(col("p") / sub).cast("int").as("sm"),
+        (pmod(col("p"), lit(sub)) + 1).cast("long").as("j"), col("x"))
+      .localCheckpoint()
+    val seed = e.orderBy(col("vec_id")).limit(k).collect().zipWithIndex
+    require(seed.length == k, s"need at least $k vectors, got ${seed.length}")
+    // codebook: ((sm, cid) -> subvector), m·k·sub values of driver state
+    var cents: Map[(Int, Int), Seq[Double]] = seed.flatMap { case (r, i) =>
+      val emb = r.getSeq[Double](1)
+      (0 until m).map(s => (s, i) -> emb.slice(s * sub, (s + 1) * sub))
+    }.toMap
+    def assign(): DataFrame = {
+      val centsDf = cents.toSeq.flatMap { case ((s, cid), arr) =>
+        arr.zipWithIndex.map { case (c, j) => (s, cid, (j + 1).toLong, c) }
+      }.toDF("sm", "cid", "j", "c")
+      f.join(broadcast(centsDf), Seq("sm", "j"))
+        .groupBy(col("vec_id"), col("sm"), col("cid"))
+        .agg(sum(portableRound((col("x") - col("c")) * (col("x") - col("c")), 9)
+          .cast("decimal(28,9)")).cast("double").as("dist"))
+        .groupBy(col("vec_id"), col("sm"))
+        .agg(min(struct(col("dist"), col("cid"))).as("mm"))
+        .select(col("vec_id"), col("sm"), col("mm.cid").as("cid"),
+          col("mm.dist").as("dist"))
+    }
+    for (_ <- 1 to iters) {
+      val means = assign().select(col("vec_id"), col("sm"), col("cid"))
+        .join(f, Seq("vec_id", "sm"))
+        .groupBy(col("sm"), col("cid"), col("j"))
+        .agg(portableRound(
+          sum(portableRound(col("x"), 9).cast("decimal(18,9)")).cast("double")
+            / count(lit(1)), 9).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(t => (t._1, t._2))
+        .map { case (key, rows) => key -> rows.sortBy(_._3).map(_._4).toSeq }
+      cents = cents.map { case (key, old) => key -> means.getOrElse(key, old) }
+    }
+    assign().select(col("vec_id"), col("sm").cast("long").as("sm"),
+      col("cid").cast("long").as("code"),
+      portableRound(col("dist"), 6).as("dist"))
+  }
+
   /** Exact decimal fold of a double array: Σ cast(decimal(28,9)) of the
     * elements, returned as double — the aggregation-order-free sum the
     * oracle's decimal SUM performs. */

@@ -299,4 +299,30 @@ class SimilaritySpec extends SparkTestBase {
       assert(c >= 0.2 && c < 0.8, s"cosine $c outside band")
     }
   }
+
+  test("productQuantize: one code per (vector, subspace), codes in range, " +
+    "live codebooks, objective non-increasing in iterations") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val got = Similarity.productQuantize(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every vector gets exactly one code per subspace, codes in [0, 16)
+    assert(got.length == n * 4)
+    assert(got.groupBy(t => (t._1, t._2)).forall(_._2.length == 1))
+    got.foreach { case (v, sm, code, dist) =>
+      assert(sm >= 0 && sm < 4 && code >= 0 && code < 16 && dist >= 0.0,
+        s"vec $v sm $sm code $code dist $dist")
+    }
+    // all 4 codebooks are actually used (multiple codes per subspace)
+    (0 until 4).foreach { s =>
+      assert(got.filter(_._2 == s).map(_._3).distinct.length > 1, s"sm $s")
+    }
+    // Lloyd objective (total quantization error) never increases with
+    // more iterations
+    def objective(iters: Int) =
+      Similarity.productQuantize(emb, iters = iters).collect()
+        .map(_.getDouble(3)).sum
+    assert(objective(2) <= objective(1) + 1e-6)
+  }
 }

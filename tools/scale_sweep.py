@@ -87,6 +87,10 @@ SUBSET = [
     "ml5_lang_train",        # featurize once + classes x iters 1-row aggs
     "uni1_unigram_train",    # one corpus pass + vocab-sized Viterbi-EM
     "pack2_nostraddle",      # shard exchange + sequential per-shard fold
+    # round-11 additions: new corpus-scan / layout shapes
+    "chrf1_eval",            # 12 char-gram kernel passes, 1-row aggregate
+    "kn1_kneser_ney",        # one bigram exchange, vocab-sized downstream
+    "bf1_file_bloom",        # layout window + id-only bit tables
 ]
 
 # key columns offset per replica, by table: (column -> key-domain table)
