@@ -90,6 +90,8 @@ SUBSET = [
     # round-11 additions: new corpus-scan / layout shapes
     "kn1_kneser_ney",        # one bigram exchange, vocab-sized downstream
     "bf1_file_bloom",        # layout window + id-only bit tables
+    "pq1_product_quantize",  # kmeans shape x subspace keys (heaviest new row)
+    "st16_stream_holt",      # single-key stateful stream, state O(open days)
     # chrf1_eval is deliberately NOT under the default bound: its work is
     # linear in CHAR mass, and this synthesis grows chars 13.99x (the
     # "_k" token suffixes) while rows/tokens grow 10x — measured 10.0x
