@@ -2722,6 +2722,37 @@ object Queries {
     * sim2/sim3 are the drop-in at scale), top-100 each, k0 = 60, top-20
     * fused. Contributions fold as exact 1e-8 units.
     * See [[graft.operators.Retrieval.rrfFuse]]. */
+  /** II1 — inverted-index build stats with the d-gap + varint postings
+    * compression model (Lucene VInt byte ladder): per term df/cf,
+    * postings extremes, exact compressed vs raw byte cost — the
+    * index-construction leg the scoring operators assume.
+    * See [[graft.operators.Retrieval.invertedIndexStats]]. */
+  val ii1InvertedIndex: Q = (s, d) =>
+    graft.operators.Retrieval.invertedIndexStats(Tables.documents(s, d))
+
+  val ii1InvertedIndexSql: String = {
+    val vb = (g: String) =>
+      s"""CASE WHEN $g < 128 THEN 1 WHEN $g < 16384 THEN 2
+         |     WHEN $g < 2097152 THEN 3 WHEN $g < 268435456 THEN 4
+         |     ELSE 5 END""".stripMargin
+    s"""WITH td AS (SELECT term, doc_id, count(*) AS tf FROM
+       |        (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |      GROUP BY 1, 2),
+       |p AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |        CAST(sum(tf) AS BIGINT) AS cf,
+       |        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |        list_sort(list(doc_id)) AS ds
+       |      FROM td GROUP BY term),
+       |b AS (SELECT term, df, cf, first_doc, last_doc,
+       |        CAST(list_sum([${vb("(CASE WHEN i = 1 THEN ds[1] ELSE ds[i] - ds[i-1] END)")}
+       |                       FOR i IN RANGE(1, len(ds) + 1)]) AS BIGINT) AS bytes_delta
+       |      FROM p WHERE df >= 5)
+       |SELECT term, df, cf, first_doc, last_doc, bytes_delta,
+       |       df * 8 AS bytes_raw,
+       |       floor(CAST(bytes_delta AS DOUBLE) / CAST(df * 8 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS ratio
+       |FROM b""".stripMargin
+  }
+
   val rrf1HybridFusion: Q = (s, d) => {
     val sparse = graft.operators.Retrieval.topKRanks(
       TextAnalysis.bm25(Tables.documents(s, d)),
@@ -7065,6 +7096,7 @@ object Queries {
     "bf1_file_bloom" -> bf1FileBloom,
     "doremi1_domain_weights" -> doremi1DomainWeights,
     "pq1_product_quantize" -> pq1ProductQuantize,
+    "ii1_inverted_index" -> ii1InvertedIndex,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7309,6 +7341,7 @@ object Queries {
     "bf1_file_bloom" -> bf1FileBloomSql,
     "doremi1_domain_weights" -> doremi1DomainWeightsSql,
     "pq1_product_quantize" -> pq1ProductQuantizeSql,
+    "ii1_inverted_index" -> ii1InvertedIndexSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7379,5 +7412,6 @@ object Queries {
     "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
+    "ii1_inverted_index",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -68,4 +68,52 @@ object Retrieval {
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(topK)
   }
+
+  /** Inverted-index BUILD with the classic postings compression model —
+    * the index-construction leg the scoring operators (t12 BM25, rrf1)
+    * assume exists: per term, document frequency, collection frequency,
+    * the sorted postings extremes, and the exact byte cost of the
+    * d-gap + varint encoding every production index (Lucene-style VInt)
+    * uses, against the 8-bytes-per-id raw baseline.
+    *
+    * Exactness: everything is integer arithmetic — postings sort inside
+    * an array, gaps and the varint byte ladder (<2^7 → 1B, <2^14 → 2B,
+    * <2^21 → 3B, <2^28 → 4B, else 5B) fold as exact BIGINTs; only the
+    * final compression ratio divides, snapped to 1e-6.
+    *
+    * Shape: one (term, doc) aggregation (the data-sized exchange; tf
+    * combines map-side), then one term-keyed aggregation whose
+    * collect_list is each term's OWN postings list — the honest cost of
+    * index build (real deployments shard hot terms' postings by doc
+    * range; the per-(term, shard) shape is identical). `minDf` keeps the
+    * report vocabulary-bounded. */
+  def invertedIndexStats(documents: DataFrame, minDf: Long = 5): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val td = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val p = td.groupBy(col("term")).agg(
+      count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+      min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+      sort_array(collect_list(col("doc_id"))).as("ds"))
+    val bytesDelta = expr(
+      """aggregate(
+        |  transform(sequence(1, size(ds)), i ->
+        |    CASE WHEN i = 1 THEN element_at(ds, 1)
+        |         ELSE element_at(ds, i) - element_at(ds, i - 1) END),
+        |  CAST(0 AS BIGINT),
+        |  (acc, g) -> acc + CASE WHEN g < 128 THEN 1
+        |                         WHEN g < 16384 THEN 2
+        |                         WHEN g < 2097152 THEN 3
+        |                         WHEN g < 268435456 THEN 4
+        |                         ELSE 5 END)""".stripMargin)
+    p.filter(col("df") >= minDf)
+      .withColumn("bytes_delta", bytesDelta)
+      .select(col("term"), col("df"), col("cf"),
+        col("first_doc"), col("last_doc"), col("bytes_delta"),
+        (col("df") * 8).as("bytes_raw"),
+        (floor(col("bytes_delta").cast("double") /
+          (col("df") * 8).cast("double") * 1000000.0 + 0.5) / 1000000.0)
+          .as("ratio"))
+  }
 }

@@ -46,4 +46,36 @@ class RetrievalSpec extends SparkTestBase {
     assert(rows.exists(_.getLong(1) == 2L))
     assert(rows.forall(_.getDouble(2) > 0.0))
   }
+
+  test("invertedIndexStats: hand-computed varint postings, ratio bounds " +
+    "on the fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // term "x": docs [1, 2, 130] → gaps [1, 1, 128] → 1 + 1 + 2 = 4 bytes
+    val tiny = Seq((1L, "x y x"), (2L, "x"), (130L, "x"),
+      (5L, "y"), (6L, "y"), (300L, "y z z z z"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.invertedIndexStats(tiny, minDf = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    assert(got("x") == ((3L, 4L, 1L, 130L, 4L, 24L, 0.166667)), got.toString)
+    // y: once in each of docs [1, 5, 6, 300] → gaps [1, 4, 1, 294] →
+    // 1+1+1+2 = 5 bytes
+    assert(got("y") == ((4L, 4L, 1L, 300L, 5L, 32L, 0.15625)), got.toString)
+    assert(!got.contains("z"), "df filter must drop single-doc terms")
+    // fixture: per-entry varint is 1..5 bytes vs 8 raw → ratio in bounds
+    val fix = Retrieval.invertedIndexStats(
+      graft.Tables.documents(spark, sf0001)).collect()
+    assert(fix.nonEmpty)
+    fix.foreach { r =>
+      val (df, delta, raw, ratio) =
+        (r.getLong(1), r.getLong(5), r.getLong(6), r.getDouble(7))
+      assert(df >= 5 && raw == 8 * df && r.getLong(3) <= r.getLong(4))
+      assert(delta >= df && delta <= 5 * df, s"term ${r.getString(0)}")
+      assert(ratio >= 0.125 && ratio <= 0.625)
+    }
+    // dense terms compress best: the highest-df term beats the average
+    val best = fix.maxBy(_.getLong(1))
+    assert(best.getDouble(7) <= fix.map(_.getDouble(7)).sum / fix.length)
+  }
 }
