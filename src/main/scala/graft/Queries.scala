@@ -6378,7 +6378,7 @@ object Queries {
     graft.operators.Analytics.ridgeNormalEq(Tables.lineitem(s, d))
 
   val ridge1NormalEqSql: String =
-    """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+    """WITH b AS (SELECT CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS q,
       |             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d,
       |             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
       |           FROM lineitem),

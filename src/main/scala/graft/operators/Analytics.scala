@@ -1149,7 +1149,10 @@ object Analytics {
   def ridgeNormalEq(lineitem: DataFrame, lambda: Double = 1000.0): DataFrame = {
     require(lambda >= 0, s"lambda must be >= 0, got $lambda")
     val base = lineitem.select(
-      col("l_quantity").cast("long").as("q"),
+      // via decimal, not a direct double→long cast: Spark ANSI truncates
+      // there while DuckDB rounds — the decimal route rounds HALF_UP in
+      // both engines, so a fractional quantity can never diverge
+      col("l_quantity").cast("decimal(18,0)").cast("long").as("q"),
       (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("d"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("y"))
     def d19(c: Column): Column = c.cast("decimal(19,0)")
