@@ -563,6 +563,74 @@ case class PoissonBootstrapWeights(child: Expression, b: Int, cum: Seq[Double])
     copy(child = newChild)
 }
 
+/** All chrF per-row statistics in ONE compiled pass: for n = 1..`maxN`,
+  * the clipped character-n-gram overlap between candidate and reference
+  * strings plus both gram totals, returned as `array<long>` of length
+  * 3·maxN laid out [clipped_1, cand_total_1, ref_total_1, clipped_2, …].
+  * Character grams are direct substrings (single chars need no separator,
+  * unlike the token kernel's \u0001 joins — the identities coincide).
+  * Replaces 2·maxN char-array materializations + maxN token-kernel calls
+  * per row with one string traversal per n; consumed via `element_at`
+  * sums (the PoissonBootstrapWeights pattern). */
+case class CharNgramStats(left: Expression, right: Expression, maxN: Int)
+    extends BinaryExpression {
+
+  require(maxN >= 1 && maxN <= 8, s"maxN out of range: $maxN")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_stats"
+
+  def computeJava(c: UTF8String, r: UTF8String): ArrayData = {
+    val cs = c.toString
+    val rs = r.toString
+    val out = new Array[Long](3 * maxN)
+    var n = 1
+    while (n <= maxN) {
+      val refTotal = math.max(rs.length - n + 1, 0)
+      val candTotal = math.max(cs.length - n + 1, 0)
+      val refCounts = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < refTotal) {
+        val g = rs.substring(i, i + n)
+        val prev = refCounts.get(g)
+        refCounts.put(g, if (prev == null) 1 else prev + 1)
+        i += 1
+      }
+      var clipped = 0L
+      i = 0
+      while (i < candTotal) {
+        val g = cs.substring(i, i + n)
+        val left = refCounts.get(g)
+        if (left != null && left > 0) {
+          clipped += 1
+          refCounts.put(g, left - 1)
+        }
+        i += 1
+      }
+      val base = 3 * (n - 1)
+      out(base) = clipped
+      out(base + 1) = candTotal.toLong
+      out(base + 2) = refTotal.toLong
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    computeJava(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val self = ctx.addReferenceObj("chrfStats", this,
+        "graft.functions.CharNgramStats")
+      s"${ev.value} = $self.computeJava($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Clipped n-gram overlap between two token arrays — the per-row core of
   * BLEU-style evaluation: Σ over distinct candidate n-grams of
   * min(count_in_candidate, count_in_reference). One compiled hash-count

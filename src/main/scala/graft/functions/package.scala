@@ -60,6 +60,13 @@ package object functions {
     Bridge.column(NgramClippedOverlap(
       Bridge.expression(cand), Bridge.expression(ref), n))
 
+  /** All chrF per-row counts (clipped/cand-total/ref-total for n = 1..maxN)
+    * over two character streams in one compiled pass — `array<long>` of
+    * length 3·maxN, consumed via `element_at` sums. */
+  def char_ngram_stats(cand: Column, ref: Column, maxN: Int): Column =
+    Bridge.column(CharNgramStats(
+      Bridge.expression(cand), Bridge.expression(ref), maxN))
+
   /** Hashed bag-of-words bucket counts of a whitespace-split text
     * (`array<long>` of length dims, the dense form of the feature-hashing
     * trick) in one compiled pass — no explode, no exchange. */

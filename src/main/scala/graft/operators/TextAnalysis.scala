@@ -364,22 +364,18 @@ object TextAnalysis {
       Sampling.hashBucket(concat(lit(s"$salt:"), col("doc_id").cast("string"),
         lit(":"), (i + 1).cast("string"))) < thresh
     val cand = filter(toks, (_, i) => !hitAt(i))
-    // whitespace-free char streams; split("") on "" yields [""] in the
-    // JVM, so empty docs are mapped to a genuinely empty array
-    def chars(tokensCol: org.apache.spark.sql.Column) = {
-      val joined = array_join(tokensCol, "")
-      when(length(joined) === 0, array().cast("array<string>"))
-        .otherwise(split(joined, ""))
-    }
-    val proj = documents.select(chars(toks).as("_ref"), chars(cand).as("_cand"))
+    // ONE compiled pass per row computes every (clipped, cand_total,
+    // ref_total) triple over the whitespace-free char streams — no char
+    // arrays materialize, no per-n kernel calls (the element_at-sums
+    // consumption pattern)
+    val proj = documents.select(graft.functions.char_ngram_stats(
+      array_join(cand, ""), array_join(toks, ""), maxN).as("_st"))
     val aggs = (1 to maxN).flatMap { n =>
+      val base = 3 * (n - 1)
       Seq(
-        sum(graft.functions.ngram_clipped_overlap(
-          col("_cand"), col("_ref"), n)).as(s"clipped_$n"),
-        sum(greatest(size(col("_cand")) - (n - 1), lit(0)).cast("long"))
-          .as(s"cand_total_$n"),
-        sum(greatest(size(col("_ref")) - (n - 1), lit(0)).cast("long"))
-          .as(s"ref_total_$n"))
+        sum(element_at(col("_st"), base + 1)).as(s"clipped_$n"),
+        sum(element_at(col("_st"), base + 2)).as(s"cand_total_$n"),
+        sum(element_at(col("_st"), base + 3)).as(s"ref_total_$n"))
     }
     val a = proj.agg(aggs.head, aggs.tail: _*)
     def r6(c: org.apache.spark.sql.Column) =

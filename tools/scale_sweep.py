@@ -94,9 +94,10 @@ SUBSET = [
     "st16_stream_holt",      # single-key stateful stream, state O(open days)
     # chrf1_eval is deliberately NOT under the default bound: its work is
     # linear in CHAR mass, and this synthesis grows chars 13.99x (the
-    # "_k" token suffixes) while rows/tokens grow 10x — measured 10.0x
-    # wall = 0.71x per unit char workload (SCALE.md round 11). To
-    # re-measure, temporarily add it back and run --bound 15.
+    # "_k" token suffixes) while rows/tokens grow 10x — measured 9.3x
+    # wall = 0.67x per unit char workload with the CharNgramStats kernel
+    # (SCALE.md round 11). To re-measure, temporarily add it back and
+    # run --bound 15.
 ]
 
 # key columns offset per replica, by table: (column -> key-domain table)
