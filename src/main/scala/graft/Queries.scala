@@ -6411,6 +6411,81 @@ object Queries {
       |       CASE WHEN dA <> 0 THEN floor(d2 / dA / 100 * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS beta_disc
       |FROM dd""".stripMargin
 
+  /** GBT1 — gradient-boosted stumps (5 rounds, squared loss, η=1/2) over
+    * pre-binned order features: the histogram-boosting family with an
+    * all-integer trajectory. The squared-loss + pre-binned combination
+    * contracts the corpus to the ≤480-cell bin grid in ONE scan; split
+    * gains, leaf weights and SSE replay as exact HUGEINT arithmetic in
+    * five materialized oracle stages.
+    * See [[graft.operators.Analytics.boostedStumps]]. */
+  val gbt1BoostedStumps: Q = (s, d) =>
+    graft.operators.Analytics.boostedStumps(Tables.orders(s, d))
+
+  val gbt1BoostedStumpsSql: String = {
+    val rounds = 5
+    val stages = (1 to rounds).map { t =>
+      s"""h$t AS MATERIALIZED (
+         |  SELECT f, b, sum(rs) AS g, sum(n) AS c FROM (
+         |    SELECT 0 AS f, b0 AS b, sy - n * p AS rs, n FROM cp${t - 1}
+         |    UNION ALL SELECT 1, b1, sy - n * p, n FROM cp${t - 1}
+         |    UNION ALL SELECT 2, b2, sy - n * p, n FROM cp${t - 1})
+         |  GROUP BY 1, 2),
+         |k$t AS (
+         |  SELECT f, split, gl, nl, gt - gl AS gr, nt - nl AS nr FROM (
+         |    SELECT f, b AS split,
+         |           sum(g) OVER w AS gl, sum(c) OVER w AS nl,
+         |           sum(g) OVER (PARTITION BY f) AS gt,
+         |           sum(c) OVER (PARTITION BY f) AS nt,
+         |           max(b) OVER (PARTITION BY f) AS bmax
+         |    FROM h$t WINDOW w AS (PARTITION BY f ORDER BY b))
+         |  WHERE split < bmax),
+         |p$t AS MATERIALIZED (
+         |  SELECT f, split, gl, nl, gr, nr,
+         |    (CAST(gl AS HUGEINT) * gl * nr + CAST(gr AS HUGEINT) * gr * nl)
+         |      * 1000000 // (CAST(nl AS HUGEINT) * nr) AS gain_micro,
+         |    CAST(CASE WHEN gl >= 0
+         |      THEN (2 * CAST(abs(gl) AS HUGEINT) + 2 * nl) // (4 * CAST(nl AS HUGEINT))
+         |      ELSE -((2 * CAST(abs(gl) AS HUGEINT) + 2 * nl) // (4 * CAST(nl AS HUGEINT))) END
+         |      AS BIGINT) AS wl,
+         |    CAST(CASE WHEN gr >= 0
+         |      THEN (2 * CAST(abs(gr) AS HUGEINT) + 2 * nr) // (4 * CAST(nr AS HUGEINT))
+         |      ELSE -((2 * CAST(abs(gr) AS HUGEINT) + 2 * nr) // (4 * CAST(nr AS HUGEINT))) END
+         |      AS BIGINT) AS wr
+         |  FROM k$t ORDER BY gain_micro DESC, f, split LIMIT 1),
+         |s$t AS (SELECT sum(1000000 * CAST(sy AS HUGEINT)
+         |                   - 2 * CAST(p AS HUGEINT) * sy
+         |                   + CAST(n AS HUGEINT) * p * p) AS sse FROM cp${t - 1}),
+         |cp$t AS MATERIALIZED (
+         |  SELECT b0, b1, b2, n, sy,
+         |         p + CASE WHEN (p$t.f = 0 AND b0 <= p$t.split)
+         |                    OR (p$t.f = 1 AND b1 <= p$t.split)
+         |                    OR (p$t.f = 2 AND b2 <= p$t.split)
+         |                  THEN p$t.wl ELSE p$t.wr END AS p
+         |  FROM cp${t - 1} CROSS JOIN p$t)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to rounds).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS iter,
+         |  CASE p$t.f WHEN 0 THEN 'price' WHEN 1 THEN 'priority' ELSE 'month' END AS feature,
+         |  CAST(p$t.split AS BIGINT) AS split,
+         |  CAST(p$t.nl AS BIGINT) AS n_left, CAST(p$t.nr AS BIGINT) AS n_right,
+         |  CAST(p$t.wl AS DOUBLE) / 1000000 AS wl,
+         |  CAST(p$t.wr AS DOUBLE) / 1000000 AS wr,
+         |  CAST(p$t.gain_micro AS DOUBLE) / 1000000 AS gain,
+         |  CAST(s$t.sse AS DOUBLE) / 1000000000000 AS sse_before
+         |FROM p$t CROSS JOIN s$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT LEAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 7500000, 7) AS b0,
+       |         CAST(substr(o_orderpriority, 1, 1) AS INTEGER) - 1 AS b1,
+       |         month(o_orderdate) - 1 AS b2,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1000000 ELSE 0 END) AS BIGINT) AS sy
+       |  FROM orders GROUP BY 1, 2, 3),
+       |cp0 AS MATERIALIZED (SELECT b0, b1, b2, n, sy, CAST(0 AS BIGINT) AS p FROM cells),
+       |$stages
+       |SELECT * FROM ($rows) ORDER BY iter""".stripMargin
+  }
+
   /** ACF1 — lag-1..7 autocorrelation of total daily revenue
     * ([[graft.operators.Analytics.autocorrelation]]): Pearson correlation
     * of (day t, day t−k) over day pairs where both ends exist. */
@@ -7097,6 +7172,7 @@ object Queries {
     "doremi1_domain_weights" -> doremi1DomainWeights,
     "pq1_product_quantize" -> pq1ProductQuantize,
     "ii1_inverted_index" -> ii1InvertedIndex,
+    "gbt1_boosted_stumps" -> gbt1BoostedStumps,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7342,6 +7418,7 @@ object Queries {
     "doremi1_domain_weights" -> doremi1DomainWeightsSql,
     "pq1_product_quantize" -> pq1ProductQuantizeSql,
     "ii1_inverted_index" -> ii1InvertedIndexSql,
+    "gbt1_boosted_stumps" -> gbt1BoostedStumpsSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7412,6 +7489,6 @@ object Queries {
     "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
-    "ii1_inverted_index",
+    "ii1_inverted_index", "gbt1_boosted_stumps",
     "st1_stream_window", "st6_stream_cdc")
 }

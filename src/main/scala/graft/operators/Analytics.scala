@@ -1647,4 +1647,107 @@ object Analytics {
       .map { case ((i, w, nc, st), r) => (i, w, nc, st, (r + 1).toLong) }
     ranked.toSeq.toDF("lang", "wins", "comparisons", "strength", "rank")
   }
+
+  /** GBT1 — gradient-boosted depth-1 regression trees (stumps) under
+    * squared loss, the XGBoost/LightGBM histogram discipline taken to its
+    * contraction limit. Features are PRE-BINNED (price cents into 8
+    * equi-width bins over the public [0, 600k) range, order priority
+    * ordinal 0..4, order month 0..11) and the loss is squared, so the
+    * per-row gradient is linear in the label — which means the ENTIRE
+    * boosted ensemble is a function of the ≤ 8·5·12 = 480-cell bin-grid
+    * contraction (per cell: row count + label sum). One map-side-
+    * combinable corpus aggregation, then every round runs on that
+    * bounded state: residual histograms, split gains, leaf weights and
+    * the training SSE are all exact integer functions of (n, Σy, pred)
+    * per cell. Per-round trees beat one deep tree here because each
+    * round re-fits the residual left by every earlier split.
+    *
+    * Determinism is total — there are NO floating-point steps in the
+    * trajectory: labels are micro-units (1e6·y), predictions are sums of
+    * micro-leaf weights, split gains compare as exact integers
+    * (gain_micro = (GL²·NR + GR²·NL)·1e6 div (NL·NR), all terms
+    * non-negative so floor = truncate in every engine), and leaf weights
+    * are half-up-rounded η·mean-residual in micro-units via the
+    * non-negative identity round(|G|/(2N)) = (2|G| + 2N) div (4N).
+    * Ties break on (feature, split) ascending. The DuckDB oracle replays
+    * each round as a materialized CTE chain over the same cell table
+    * (HUGEINT arithmetic; exact through ~sf10, unbounded BigInt here).
+    *
+    * Shape at 100 TB: ONE corpus scan contracting to ≤480 rows
+    * (partial-agg combines to 480/partition before the exchange), then
+    * `rounds` iterations of driver math on that grid — collect() is
+    * bounded by the bin-grid product, CONSTANT in corpus size (kmeans1's
+    * k×dim discipline). No per-round corpus passes: the classic
+    * boosting re-scan disappears because squared-loss gradients
+    * aggregate linearly. */
+  def boostedStumps(orders: DataFrame, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds out of range: $rounds")
+    val nbins = Array(8, 5, 12)
+    val featName = Array("price", "priority", "month")
+    val cells = orders.select(
+        least(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) div 7500000"),
+          lit(7L)).cast("int").as("b0"),
+        (substring(col("o_orderpriority"), 1, 1).cast("int") - 1).as("b1"),
+        (month(col("o_orderdate")) - 1).as("b2"),
+        when(col("o_orderstatus") === "F", 1000000L).otherwise(0L).as("ym"))
+      .groupBy(col("b0"), col("b1"), col("b2"))
+      .agg(count(lit(1)).as("n"), sum(col("ym")).as("sy"))
+      .collect()  // bounded: <= 480 bin-grid cells, constant in corpus size
+      .map(r => (Array(r.getInt(0), r.getInt(1), r.getInt(2)),
+        r.getLong(3), r.getLong(4)))
+    require(cells.nonEmpty, "boostedStumps needs a non-empty training set")
+    // half-up-rounded eta*mean-residual in micro-units (eta = 1/2):
+    // sign-split so both divisions are non-negative (floor = truncate)
+    def leaf(g: BigInt, cnt: BigInt): Long = {
+      val q = (2 * g.abs + 2 * cnt) / (4 * cnt)
+      (if (g < 0) -q else q).toLong
+    }
+    var stumps = Vector.empty[(Int, Int, Long, Long)] // (feat, split, wl, wr)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long, Double, Double, Double, Double)]
+    for (t <- 1 to rounds) {
+      val state = cells.map { case (b, n, sy) =>
+        val p = stumps.iterator
+          .map { case (f, s, wl, wr) => if (b(f) <= s) wl else wr }.sum
+        (b, BigInt(n), BigInt(sy), BigInt(p))
+      }
+      // SSE of the current ensemble: y in {0, 1e6} so sum(y^2) = 1e6*sy
+      val sse = state.iterator.map { case (_, n, sy, p) =>
+        BigInt(1000000) * sy - 2 * p * sy + n * p * p }.sum
+      // residual histograms over PRESENT bins only (mirrors the oracle,
+      // which can only see bins that occur in the cell table)
+      val g = Array.tabulate(3)(f => Array.fill(nbins(f))(BigInt(0)))
+      val c = Array.tabulate(3)(f => Array.fill(nbins(f))(BigInt(0)))
+      for ((b, n, sy, p) <- state; f <- 0 until 3) {
+        g(f)(b(f)) += sy - n * p
+        c(f)(b(f)) += n
+      }
+      // candidates: present bins below the top present bin of the feature
+      var best: (BigInt, Int, Int, BigInt, BigInt, BigInt, BigInt) = null
+      for (f <- 0 until 3) {
+        val present = (0 until nbins(f)).filter(b => c(f)(b) > 0)
+        val gt = present.map(g(f)(_)).sum
+        val nt = present.map(c(f)(_)).sum
+        var gl = BigInt(0); var nl = BigInt(0)
+        for (s <- present.dropRight(1)) {
+          gl += g(f)(s); nl += c(f)(s)
+          val (gr, nr) = (gt - gl, nt - nl)
+          val gain = (gl * gl * nr + gr * gr * nl) * 1000000 / (nl * nr)
+          if (best == null || gain > best._1) best = (gain, f, s, gl, nl, gr, nr)
+        }
+      }
+      require(best != null,
+        "boostedStumps found no valid split: every row falls in one bin cell")
+      val (gain, f, s, gl, nl, gr, nr) = best
+      val (wl, wr) = (leaf(gl, nl), leaf(gr, nr))
+      stumps :+= ((f, s, wl, wr))
+      out += ((t.toLong, featName(f), s.toLong, nl.toLong, nr.toLong,
+        wl.toDouble / 1e6, wr.toDouble / 1e6,
+        gain.toDouble / 1e6, sse.toDouble / 1e12))
+    }
+    val spark = orders.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("iter", "feature", "split", "n_left", "n_right",
+      "wl", "wr", "gain", "sse_before").orderBy(col("iter"))
+  }
 }

@@ -882,4 +882,51 @@ class AnalyticsSpec extends SparkTestBase {
     val r = Analytics.ksTwoSample(disjoint).collect()(0)
     assert(r.getDouble(3) == 1.0 && r.getDouble(2) == 10.0, r.toString)
   }
+
+  private def ord(rows: (Double, String, String, String)*) =
+    rows.toDF("o_totalprice", "o_orderpriority", "tss", "o_orderstatus")
+      .select(col("o_totalprice"), col("o_orderpriority"),
+        to_timestamp(col("tss")).as("o_orderdate"), col("o_orderstatus"))
+
+  test("boostedStumps: perfectly-separating feature chosen every round, " +
+    "leaf weights halve the residual, SSE replays exactly") {
+    // label follows month exactly; price/priority are single-bin (no
+    // candidate splits there), so every round must split month at 0
+    val df = ord(
+      (100.0, "1-URGENT", "1994-01-05 00:00:00", "F"),
+      (100.0, "1-URGENT", "1994-01-20 00:00:00", "F"),
+      (100.0, "1-URGENT", "1994-02-05 00:00:00", "O"),
+      (100.0, "1-URGENT", "1994-02-20 00:00:00", "O"))
+    val got = Analytics.boostedStumps(df, rounds = 2).collect()
+    val r1 = got(0)
+    assert(r1.getString(1) == "month" && r1.getLong(2) == 0L, r1.toString)
+    // round 1: residual 1.0 on the two January rows, eta=1/2 -> wl 0.5
+    assert(r1.getDouble(5) == 0.5 && r1.getDouble(6) == 0.0, r1.toString)
+    assert(r1.getDouble(8) == 2.0, s"sse ${r1.getDouble(8)}") // 2 rows x 1.0^2
+    val r2 = got(1)
+    // round 2: residual halved -> wl 0.25, SSE 2 x 0.5^2
+    assert(r2.getString(1) == "month" && r2.getDouble(5) == 0.25, r2.toString)
+    assert(r2.getDouble(8) == 0.5, s"sse ${r2.getDouble(8)}")
+  }
+
+  test("boostedStumps: trajectory is partitioning-invariant and SSE is " +
+    "non-increasing with positive gains on the fixture") {
+    val orders = Tables.orders(spark, sf0001)
+    val a = Analytics.boostedStumps(orders).collect()
+    val b = Analytics.boostedStumps(orders.repartition(7)).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "integer trajectory must not depend on partitioning")
+    val sses = a.map(_.getDouble(8)).toSeq
+    assert(sses == sses.sorted.reverse, s"SSE not non-increasing: $sses")
+    assert(a.forall(_.getDouble(7) >= 0), "negative split gain")
+    assert(a.length == 5)
+  }
+
+  test("boostedStumps: single-cell corpus fails loudly") {
+    val df = ord((100.0, "1-URGENT", "1994-01-05 00:00:00", "F"))
+    val e = intercept[IllegalArgumentException] {
+      Analytics.boostedStumps(df)
+    }
+    assert(e.getMessage.contains("no valid split"), e.getMessage)
+  }
 }
