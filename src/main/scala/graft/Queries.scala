@@ -6486,6 +6486,66 @@ object Queries {
        |SELECT * FROM ($rows) ORDER BY iter""".stripMargin
   }
 
+  /** ALS1 — rank-2 alternating least squares on the customer × part
+    * purchase matrix: hash-seeded item factors, one alternation of
+    * per-key closed-form 2×2 ridge solves (zero driver state), exact
+    * milli-grid trajectory with a per-item SSE readout.
+    * See [[graft.operators.Analytics.alternatingLs]]. */
+  val als1Factorization: Q = (s, d) =>
+    graft.operators.Analytics.alternatingLs(
+      Tables.lineitem(s, d), Tables.orders(s, d))
+
+  val als1FactorizationSql: String = {
+    // the shared 2x2 Cramer + half-up milli snap, once per half-step
+    def solveSql(src: String, key: String, f1: String, f2: String,
+                 out: String): String =
+      s"""${out}a AS (
+         |  SELECT $key, count(*) AS n,
+         |         sum(CAST($f1 AS HUGEINT) * $f1) + 100000 AS a11,
+         |         sum(CAST($f1 AS HUGEINT) * $f2) AS a12,
+         |         sum(CAST($f2 AS HUGEINT) * $f2) + 100000 AS a22,
+         |         sum(CAST($f1 AS HUGEINT) * r) AS b1,
+         |         sum(CAST($f2 AS HUGEINT) * r) AS b2
+         |  FROM $src GROUP BY $key),
+         |${out}d AS (
+         |  SELECT $key, n, a11 * a22 - a12 * a12 AS dd,
+         |         b1 * a22 - b2 * a12 AS n1, a11 * b2 - a12 * b1 AS n2
+         |  FROM ${out}a),
+         |$out AS MATERIALIZED (
+         |  SELECT $key, n,
+         |    CASE WHEN n1 >= 0 THEN (2 * n1 * 1000000 + dd) // (2 * dd)
+         |         ELSE -((2 * (-n1) * 1000000 + dd) // (2 * dd)) END AS f1m,
+         |    CASE WHEN n2 >= 0 THEN (2 * n2 * 1000000 + dd) // (2 * dd)
+         |         ELSE -((2 * (-n2) * 1000000 + dd) // (2 * dd)) END AS f2m
+         |  FROM ${out}d)""".stripMargin
+    s"""WITH r AS MATERIALIZED (
+       |  SELECT o_custkey AS u, l_partkey AS p,
+       |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS r
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |q0 AS (SELECT p, (p * 2654435761) % 1000 - 500 AS q1,
+       |              (p * 97003) % 1000 - 500 AS q2
+       |       FROM (SELECT DISTINCT p FROM r)),
+       |rq AS (SELECT r.u, r.p, r.r, q0.q1, q0.q2 FROM r JOIN q0 USING (p)),
+       |${solveSql("rq", "u", "q1", "q2", "uf")},
+       |ru AS MATERIALIZED (
+       |  SELECT r.u, r.p, r.r, uf.f1m AS u1, uf.f2m AS u2
+       |  FROM r JOIN uf USING (u)),
+       |${solveSql("ru", "p", "u1", "u2", "qf")},
+       |fit AS (
+       |  SELECT ru.p, qf.n AS n_ratings, qf.f1m AS nq1, qf.f2m AS nq2,
+       |         sum(CAST(ru.r * 1000000 - (ru.u1 * qf.f1m + ru.u2 * qf.f2m) AS HUGEINT)
+       |             * (ru.r * 1000000 - (ru.u1 * qf.f1m + ru.u2 * qf.f2m))) AS sse2
+       |  FROM ru JOIN qf USING (p) GROUP BY 1, 2, 3, 4)
+       |SELECT p AS p_partkey, n_ratings,
+       |       CAST((p * 2654435761) % 1000 - 500 AS DOUBLE) / 1000 AS q1_init,
+       |       CAST((p * 97003) % 1000 - 500 AS DOUBLE) / 1000 AS q2_init,
+       |       CAST(nq1 AS DOUBLE) / 1000 AS q1_new,
+       |       CAST(nq2 AS DOUBLE) / 1000 AS q2_new,
+       |       CAST(sse2 AS DOUBLE) / 1000000000000 AS sse
+       |FROM fit ORDER BY p_partkey""".stripMargin
+  }
+
   /** ACF1 — lag-1..7 autocorrelation of total daily revenue
     * ([[graft.operators.Analytics.autocorrelation]]): Pearson correlation
     * of (day t, day t−k) over day pairs where both ends exist. */
@@ -7173,6 +7233,7 @@ object Queries {
     "pq1_product_quantize" -> pq1ProductQuantize,
     "ii1_inverted_index" -> ii1InvertedIndex,
     "gbt1_boosted_stumps" -> gbt1BoostedStumps,
+    "als1_factorization" -> als1Factorization,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7419,6 +7480,7 @@ object Queries {
     "pq1_product_quantize" -> pq1ProductQuantizeSql,
     "ii1_inverted_index" -> ii1InvertedIndexSql,
     "gbt1_boosted_stumps" -> gbt1BoostedStumpsSql,
+    "als1_factorization" -> als1FactorizationSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7489,6 +7551,6 @@ object Queries {
     "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
-    "ii1_inverted_index", "gbt1_boosted_stumps",
+    "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -1750,4 +1750,108 @@ object Analytics {
     out.toSeq.toDF("iter", "feature", "split", "n_left", "n_right",
       "wl", "wr", "gain", "sse_before").orderBy(col("iter"))
   }
+
+  /** ALS1 — rank-2 alternating least squares on the customer × part
+    * purchase matrix (rating = total quantity), the matrix-factorization
+    * family done the Spark-classic way: NO driver state at all — each
+    * half-step is one grouped aggregation of Gram moments plus a per-row
+    * closed-form 2×2 ridge solve (Cramer), i.e. the per-key incarnation
+    * of ridge1's "X^T X fits in a register" pattern. Item factors seed
+    * from an integer hash of the part key (deterministic "random" init,
+    * identical in any engine); one full alternation solves users then
+    * re-solves items; per-item fit SSE against the updated factors is
+    * the readout.
+    *
+    * Exactness: factors live on the MILLI (1e-3) grid as integers, so
+    * every Gram entry (milli², scale 1e-6) and moment (milli·rating,
+    * scale 1e-3) folds as an exact decimal(38,0); λ = 0.1 is exactly
+    * 100000 in the shared 1e-6 Gram scale in BOTH half-steps. The solve
+    * snaps via the non-negative half-up identity
+    * sign(n)·((2|n|·1e6 + det) div (2·det)) — operands non-negative, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree; det > 0
+    * always (ridge-regularized PSD Gram). Prediction error is exact in
+    * micro-units (milli·milli), so the per-item SSE replays digit for
+    * digit. Magnitudes stay under decimal(38,0)/HUGEINT through ~sf10.
+    *
+    * Shape at 100 TB: the ratings rollup is the only corpus-sized
+    * exchange, localCheckpointed so its four consumers (item init, user
+    * solve, item solve, fit join) never re-scan lineitem; everything
+    * after is keyed by user or item and map-side combinable. Factors
+    * shuffle as 2 longs per key — never a dense matrix. */
+  def alternatingLs(lineitem: DataFrame, orders: DataFrame,
+                    lambdaGramMicro: Long = 100000L): DataFrame = {
+    require(lambdaGramMicro > 0,
+      s"lambdaGramMicro must be positive, got $lambdaGramMicro")
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    // total quantity a customer bought of a part — the rating matrix;
+    // quantity integerizes via decimal (ANSI-safe, HALF_UP both engines)
+    val ratings = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("p"))
+      .agg(sum(col("l_quantity").cast("decimal(18,0)").cast("long")).as("r"))
+      .localCheckpoint()
+    // hash-seeded item factors in milli-units, [-500, 500): two odd
+    // multipliers, replayed verbatim by the oracle
+    val q0 = ratings.select(col("p")).distinct()
+      .select(col("p"),
+        (col("p") * lit(2654435761L) % 1000 - 500).as("q1"),
+        (col("p") * lit(97003L) % 1000 - 500).as("q2"))
+    // one ridge-regularized 2x2 Cramer solve per group, milli-snapped:
+    // shared by both half-steps (same scales by construction)
+    def solve(grouped: DataFrame, key: String, f1: String, f2: String) = {
+      val a = grouped.groupBy(col(key))
+        .agg((sum(d38(col(f1)) * d38(col(f1))) + lambdaGramMicro).as("a11"),
+          sum(d38(col(f1)) * d38(col(f2))).as("a12"),
+          (sum(d38(col(f2)) * d38(col(f2))) + lambdaGramMicro).as("a22"),
+          sum(d38(col(f1)) * d38(col("r"))).as("b1"),
+          sum(d38(col(f2)) * d38(col("r"))).as("b2"),
+          count(lit(1)).as("n"))
+      val withDet = a.select(col(key), col("n"),
+        (col("a11") * col("a22") - col("a12") * col("a12")).as("dd"),
+        (col("b1") * col("a22") - col("b2") * col("a12")).as("n1"),
+        (col("a11") * col("b2") - col("a12") * col("b1")).as("n2"))
+      def snap(num: Column) = when(num >= 0, milliQuot(num, col("dd")))
+        .otherwise(-milliQuot(-num, col("dd")))
+      withDet.select(col(key), col("n"),
+        snap(col("n1")).as("f1m"), snap(col("n2")).as("f2m"))
+    }
+    val uf = solve(ratings.join(q0, "p"), "u", "q1", "q2")
+    // corpus-sized and consumed twice (item solve + fit): materialize so
+    // the user solve never replays
+    val withU = ratings.join(uf.select(col("u"), col("f1m").as("u1"),
+      col("f2m").as("u2")), "u").localCheckpoint()
+    val qf = solve(withU, "p", "u1", "u2")
+    // fit: per-item SSE of the updated factors against the solved users
+    // (prediction is exact micro-units: milli * milli)
+    val fit = withU
+      .join(qf.select(col("p"), col("n").as("n_ratings"),
+        col("f1m").as("nq1"), col("f2m").as("nq2")), "p")
+      .select(col("p"), col("n_ratings"), col("nq1"), col("nq2"),
+        (col("r") * 1000000L
+          - (col("u1") * col("nq1") + col("u2") * col("nq2"))).as("e"))
+      .groupBy(col("p"), col("n_ratings"), col("nq1"), col("nq2"))
+      .agg(sum(d38(col("e")) * d38(col("e"))).as("sse_micro2"))
+    // init factors are a pure function of p — recomputed inline, no join
+    fit.select(col("p").as("p_partkey"), col("n_ratings"),
+        ((col("p") * lit(2654435761L) % 1000 - 500).cast("double") / 1000)
+          .as("q1_init"),
+        ((col("p") * lit(97003L) % 1000 - 500).cast("double") / 1000)
+          .as("q2_init"),
+        (col("nq1").cast("double") / 1000).as("q1_new"),
+        (col("nq2").cast("double") / 1000).as("q2_new"),
+        (col("sse_micro2").cast("double") / 1e12).as("sse"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Half-up milli-grid quotient of two non-negative decimal(38,0)
+    * columns — round(1e6·num/det) = floor((2·num·1e6 + det)/(2·det)) —
+    * via the house subtract-mod-then-divide floor: the numerator becomes
+    * an exact multiple of the divisor, so the decimal division is exact
+    * at any magnitude (no double round-trip; DuckDB mirrors with `//`). */
+  private def milliQuot(num: Column, det: Column): Column = {
+    val a = num * 2000000L + det
+    val b = det * 2L
+    ((a - pmod(a, b)) / b).cast("long")
+  }
 }

@@ -922,6 +922,85 @@ class AnalyticsSpec extends SparkTestBase {
     assert(a.length == 5)
   }
 
+  // independent BigInt replay of one alternatingLs half-step chain used
+  // by the spec below: hash init -> user solve -> item solve -> item SSE
+  private def alsReplay(ratings: Seq[(Long, Long, Long)])
+      : Map[Long, (Long, Long, BigInt)] = {
+    def snap(n: BigInt, dd: BigInt): Long = {
+      val q = (2 * n.abs * 1000000 + dd) / (2 * dd)
+      (if (n < 0) -q else q).toLong
+    }
+    def solve(rows: Seq[(BigInt, BigInt, BigInt)]): (Long, Long) = {
+      val a11 = rows.map(t => t._1 * t._1).sum + 100000
+      val a12 = rows.map(t => t._1 * t._2).sum
+      val a22 = rows.map(t => t._2 * t._2).sum + 100000
+      val b1 = rows.map(t => t._1 * t._3).sum
+      val b2 = rows.map(t => t._2 * t._3).sum
+      val dd = a11 * a22 - a12 * a12
+      (snap(b1 * a22 - b2 * a12, dd), snap(a11 * b2 - a12 * b1, dd))
+    }
+    def q0(p: Long) = (BigInt(p) * BigInt(2654435761L) % 1000 - 500,
+      BigInt(p) * 97003 % 1000 - 500)
+    val users = ratings.groupBy(_._1).map { case (u, rs) =>
+      u -> solve(rs.map { case (_, p, r) =>
+        val (q1, q2) = q0(p); (q1, q2, BigInt(r)) })
+    }
+    ratings.groupBy(_._2).map { case (p, rs) =>
+      val (nq1, nq2) = solve(rs.map { case (u, _, r) =>
+        (BigInt(users(u)._1), BigInt(users(u)._2), BigInt(r)) })
+      val sse = rs.map { case (u, _, r) =>
+        val e = BigInt(r) * 1000000 -
+          (BigInt(users(u)._1) * nq1 + BigInt(users(u)._2) * nq2)
+        e * e
+      }.sum
+      p -> ((nq1, nq2, sse))
+    }
+  }
+
+  test("alternatingLs: engine trajectory matches an independent BigInt " +
+    "replay on a tiny matrix") {
+    val ratings = Seq((1L, 10L, 5L), (1L, 11L, 3L), (2L, 10L, 2L))
+    val orders = Seq((100L, 1L), (200L, 2L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq((100L, 10L, 5.0), (100L, 11L, 3.0), (200L, 10L, 2.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+    val got = Analytics.alternatingLs(li, orders).collect()
+      .map(r => r.getLong(0) -> ((math.round(r.getDouble(4) * 1000),
+        math.round(r.getDouble(5) * 1000), r.getDouble(6)))).toMap
+    val want = alsReplay(ratings)
+    assert(got.keySet == Set(10L, 11L))
+    for ((p, (q1, q2, sse)) <- want) {
+      assert(got(p)._1 == q1 && got(p)._2 == q2,
+        s"item $p factors ${got(p)} != ($q1, $q2)")
+      assert(got(p)._3 == sse.toDouble / 1e12, s"item $p sse")
+    }
+  }
+
+  test("alternatingLs: fixture-wide BigInt replay matches every item " +
+    "and the trajectory is partitioning-invariant") {
+    val li = Tables.lineitem(spark, sf0001)
+    val ords = Tables.orders(spark, sf0001)
+    val a = Analytics.alternatingLs(li, ords).collect()
+    val b = Analytics.alternatingLs(li.repartition(5), ords.repartition(3))
+      .collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "milli-grid trajectory must not depend on partitioning")
+    val ratings = li.join(ords.select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey", $"l_partkey")
+      .agg(sum($"l_quantity".cast("decimal(18,0)").cast("long")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = alsReplay(ratings)
+    assert(a.length == want.size)
+    for (r <- a) {
+      val p = r.getLong(0)
+      val (q1, q2, sse) = want(p)
+      assert(math.round(r.getDouble(4) * 1000) == q1 &&
+        math.round(r.getDouble(5) * 1000) == q2, s"item $p factors diverge")
+      assert(r.getDouble(6) == sse.toDouble / 1e12, s"item $p sse diverges")
+    }
+    assert(a.length > 100, s"fixture should have >100 items, got ${a.length}")
+  }
+
   test("boostedStumps: single-cell corpus fails loudly") {
     val df = ord((100.0, "1-URGENT", "1994-01-05 00:00:00", "F"))
     val e = intercept[IllegalArgumentException] {
