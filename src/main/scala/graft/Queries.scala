@@ -6546,6 +6546,48 @@ object Queries {
        |FROM fit ORDER BY p_partkey""".stripMargin
   }
 
+  /** ISO1 — isotonic (PAVA) calibration map of the ml1-trained model
+    * over 20 score-ventile bins: exact cross-product violation tests,
+    * deterministic first-violation merge order replayed by 19
+    * materialized oracle stages (identity once converged).
+    * See [[graft.operators.Analytics.isotonicCalibration]]. */
+  val iso1IsotonicCalibration: Q = (s, d) =>
+    graft.operators.Analytics.isotonicCalibration(Tables.orders(s, d),
+      iters = 3, lr = 0.5, bins = 20)
+
+  val iso1IsotonicCalibrationSql: String = {
+    val bins = 20
+    val stages = (1 until bins).map { k =>
+      s"""v$k AS (
+         |  SELECT lo AS mlo, nxt FROM (
+         |    SELECT lo, sy, n, lead(sy) OVER w AS sy2, lead(n) OVER w AS n2,
+         |           lead(lo) OVER w AS nxt
+         |    FROM seg${k - 1} WINDOW w AS (ORDER BY lo))
+         |  WHERE sy * n2 > sy2 * n ORDER BY lo LIMIT 1),
+         |seg$k AS MATERIALIZED (
+         |  SELECT CASE WHEN v.nxt IS NOT NULL AND s.lo = v.nxt
+         |              THEN v.mlo ELSE s.lo END AS lo,
+         |         CAST(sum(s.sy) AS BIGINT) AS sy,
+         |         CAST(sum(s.n) AS BIGINT) AS n
+         |  FROM seg${k - 1} s LEFT JOIN v$k v ON true GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""${logregScoreCteSql(3)},
+       |bb AS MATERIALIZED (
+       |  SELECT least(CAST(floor(s6 * $bins) AS BIGINT), ${bins - 1}) AS bin,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS sy
+       |  FROM sc GROUP BY 1),
+       |seg0 AS MATERIALIZED (SELECT bin AS lo, sy, n FROM bb),
+       |$stages
+       |SELECT b.bin, b.n, b.sy,
+       |       CAST(b.sy AS DOUBLE) / b.n AS raw_rate,
+       |       s.sy AS iso_sy, s.n AS iso_n,
+       |       CAST(s.sy AS DOUBLE) / s.n AS iso_rate
+       |FROM bb b JOIN seg${bins - 1} s
+       |  ON s.lo = (SELECT max(lo) FROM seg${bins - 1} WHERE lo <= b.bin)
+       |ORDER BY b.bin""".stripMargin
+  }
+
   /** ACF1 — lag-1..7 autocorrelation of total daily revenue
     * ([[graft.operators.Analytics.autocorrelation]]): Pearson correlation
     * of (day t, day t−k) over day pairs where both ends exist. */
@@ -7234,6 +7276,7 @@ object Queries {
     "ii1_inverted_index" -> ii1InvertedIndex,
     "gbt1_boosted_stumps" -> gbt1BoostedStumps,
     "als1_factorization" -> als1Factorization,
+    "iso1_isotonic_calibration" -> iso1IsotonicCalibration,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7481,6 +7524,7 @@ object Queries {
     "ii1_inverted_index" -> ii1InvertedIndexSql,
     "gbt1_boosted_stumps" -> gbt1BoostedStumpsSql,
     "als1_factorization" -> als1FactorizationSql,
+    "iso1_isotonic_calibration" -> iso1IsotonicCalibrationSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7552,5 +7596,6 @@ object Queries {
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
+    "iso1_isotonic_calibration",
     "st1_stream_window", "st6_stream_cdc")
 }

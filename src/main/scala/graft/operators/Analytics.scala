@@ -1844,6 +1844,71 @@ object Analytics {
       .orderBy(col("p_partkey"))
   }
 
+  /** ISO1 — isotonic calibration of the ml1-trained model by
+    * pool-adjacent-violators (PAVA) over score-ventile bins: the
+    * monotone calibration MAP that ml2's reliability diagram only
+    * diagnoses. Scores bin exactly as ml2 (floor(s6·bins) on the
+    * 1e-6-snapped sigmoid); per-bin (n, Σy) are exact longs; PAVA then
+    * repeatedly merges the FIRST adjacent violation — rate_i > rate_i+1
+    * compared as the exact cross product sy_i·n_i+1 > sy_i+1·n_i, no
+    * division anywhere — until the pooled rates are monotone. The
+    * deterministic first-violation order replays in the oracle as
+    * bins−1 materialized merge stages (identity stages once converged),
+    * and each original bin reports its pooled segment.
+    *
+    * Shape at 100 TB: the iters GD scans (ml1's budget) + ONE grouped
+    * aggregation to ≤ bins rows; PAVA runs on that constant-size state
+    * (collect bounded by `bins`, like gbt1's grid). The isotonic fit
+    * over B bins is O(B) — the classic in-core PAVA — because pooling
+    * only ever needs the bin sums, never the rows. */
+  def isotonicCalibration(orders: DataFrame, iters: Int = 3,
+                          lr: Double = 0.5, bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 64, s"bins out of range: $bins")
+    val raw = logregScores(orders, iters, lr)
+      .withColumn("bin",
+        least(floor(col("s6") * bins).cast("long"), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("sy"))
+      .collect()  // bounded: <= bins rows, constant in corpus size
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(raw.nonEmpty, "isotonicCalibration needs a non-empty corpus")
+    val segs = pava(raw.map { case (b, n, sy) => (b, sy, n) })
+    val rows = raw.map { case (b, n, sy) =>
+      val (_, psy, pn) = segs.filter(_._1 <= b).last
+      (b, n, sy, sy.toDouble / n, psy, pn, psy.toDouble / pn)
+    }
+    val spark = orders.sparkSession
+    import spark.implicits._
+    rows.toSeq
+      .toDF("bin", "n", "sy", "raw_rate", "iso_sy", "iso_n", "iso_rate")
+      .orderBy(col("bin"))
+  }
+
+  /** Pool-adjacent-violators on (leader, Σy, n) segments ordered by
+    * leader: merge the FIRST adjacent pair whose pooled rates violate
+    * monotonicity — compared as the exact cross product
+    * sy_i·n_i+1 > sy_i+1·n_i, division-free — until none remains. The
+    * first-violation order is what the oracle's unrolled merge stages
+    * replay, so it is part of the operator contract. */
+  private[operators] def pava(
+      bins: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
+    val segs = scala.collection.mutable.ArrayBuffer(bins: _*)
+    var merged = true
+    while (merged) {
+      val i = (0 until segs.length - 1).indexWhere { i =>
+        segs(i)._2 * segs(i + 1)._3 > segs(i + 1)._2 * segs(i)._3 }
+      merged = i >= 0
+      if (merged) {
+        val (lo, sy1, n1) = segs(i)
+        val (_, sy2, n2) = segs(i + 1)
+        segs.remove(i + 1)
+        segs(i) = (lo, sy1 + sy2, n1 + n2)
+      }
+    }
+    segs.toSeq
+  }
+
   /** Half-up milli-grid quotient of two non-negative decimal(38,0)
     * columns — round(1e6·num/det) = floor((2·num·1e6 + det)/(2·det)) —
     * via the house subtract-mod-then-divide floor: the numerator becomes

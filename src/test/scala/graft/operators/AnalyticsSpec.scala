@@ -1001,6 +1001,46 @@ class AnalyticsSpec extends SparkTestBase {
     assert(a.length > 100, s"fixture should have >100 items, got ${a.length}")
   }
 
+  test("pava: hand cases — already-monotone input unchanged, single " +
+    "violation pools, cascading violation re-pools backwards") {
+    // (leader, sum_y, n)
+    val mono = Seq((0L, 1L, 10L), (1L, 5L, 10L), (2L, 9L, 10L))
+    assert(Analytics.pava(mono) == mono)
+    // middle bin too high: pools with its successor (3+1)/(10+10)=0.2
+    val one = Seq((0L, 1L, 10L), (1L, 3L, 10L), (2L, 1L, 10L),
+      (3L, 9L, 10L))
+    assert(Analytics.pava(one) ==
+      Seq((0L, 1L, 10L), (1L, 4L, 20L), (3L, 9L, 10L)))
+    // pooling 2+3 (rate 0.2) then violates bin 1 (rate 0.3): cascades
+    // into one pooled segment (0.3+2+1)/(30) ... backward re-check
+    val cascade = Seq((0L, 3L, 10L), (1L, 2L, 10L), (2L, 1L, 10L))
+    assert(Analytics.pava(cascade) == Seq((0L, 6L, 30L)))
+    // exact-tie rates do NOT merge (strict violation only)
+    val tie = Seq((0L, 2L, 10L), (1L, 2L, 10L))
+    assert(Analytics.pava(tie) == tie)
+  }
+
+  test("isotonicCalibration: monotone pooled rates, mass conservation, " +
+    "and segment consistency on the fixture") {
+    val got = Analytics.isotonicCalibration(Tables.orders(spark, sf0001))
+      .collect()
+    assert(got.nonEmpty)
+    val rates = got.map(_.getDouble(6)).toSeq
+    assert(rates == rates.sorted, s"iso_rate not monotone: $rates")
+    // every bin's raw mass is conserved inside its segment
+    val bySeg = got.groupBy(r => (r.getLong(4), r.getLong(5)))
+    for (((isoSy, isoN), rows) <- bySeg) {
+      assert(rows.map(_.getLong(1)).sum == isoN,
+        s"segment n mismatch at ($isoSy, $isoN)")
+      assert(rows.map(_.getLong(2)).sum == isoSy,
+        s"segment sy mismatch at ($isoSy, $isoN)")
+    }
+    // pooled rates never under-shoot the running average constraint:
+    // total mass is preserved globally
+    assert(got.map(_.getLong(2)).sum ==
+      bySeg.keys.map(_._1).sum, "global y mass")
+  }
+
   test("boostedStumps: single-cell corpus fails loudly") {
     val df = ord((100.0, "1-URGENT", "1994-01-05 00:00:00", "F"))
     val e = intercept[IllegalArgumentException] {
