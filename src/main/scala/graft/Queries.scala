@@ -6588,6 +6588,47 @@ object Queries {
        |ORDER BY b.bin""".stripMargin
   }
 
+  /** TS3 — Theil–Sen robust daily-revenue trend: positional-median
+    * pairwise slope + matching intercept over the calendar-bounded
+    * daily rollup (pair work = days², constant in corpus size).
+    * See [[graft.operators.Analytics.theilSenDaily]]. */
+  val ts3TheilSen: Q = (s, d) =>
+    graft.operators.Analytics.theilSenDaily(Tables.events(s, d))
+
+  val ts3TheilSenSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |d AS MATERIALIZED (
+      |  SELECT datediff('day', (SELECT min(day) FROM daily), day) AS x, cents
+      |  FROM daily),
+      |p AS MATERIALIZED (
+      |  SELECT CASE WHEN b.cents - a.cents >= 0
+      |         THEN (2 * (b.cents - a.cents) * 1000000 + (b.x - a.x))
+      |                // (2 * (b.x - a.x))
+      |         ELSE -((2 * (a.cents - b.cents) * 1000000 + (b.x - a.x))
+      |                // (2 * (b.x - a.x))) END AS slope_micro
+      |  FROM d a JOIN d b ON a.x < b.x),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |              CAST(sum(CASE WHEN slope_micro > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rising
+      |       FROM p),
+      |med AS (SELECT slope_micro FROM
+      |          (SELECT slope_micro, row_number() OVER (ORDER BY slope_micro) AS rn FROM p)
+      |        CROSS JOIN st WHERE rn = (n_pairs + 1) // 2),
+      |ic AS (SELECT CAST(cents AS HUGEINT) * 1000000
+      |                - CAST(slope_micro AS HUGEINT) * x AS b_micro
+      |       FROM d CROSS JOIN med),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+      |ib AS (SELECT b_micro FROM
+      |          (SELECT b_micro, row_number() OVER (ORDER BY b_micro) AS rn FROM ic)
+      |        CROSS JOIN nd WHERE rn = (n_days + 1) // 2)
+      |SELECT n_days, n_pairs, n_rising,
+      |       CAST(slope_micro AS DOUBLE) / 100000000 AS slope_per_day,
+      |       CAST(b_micro AS DOUBLE) / 100000000 AS intercept,
+      |       CAST(n_rising AS DOUBLE) / n_pairs AS frac_rising
+      |FROM med CROSS JOIN st CROSS JOIN ib CROSS JOIN nd""".stripMargin
+
   /** ACF1 — lag-1..7 autocorrelation of total daily revenue
     * ([[graft.operators.Analytics.autocorrelation]]): Pearson correlation
     * of (day t, day t−k) over day pairs where both ends exist. */
@@ -7277,6 +7318,7 @@ object Queries {
     "gbt1_boosted_stumps" -> gbt1BoostedStumps,
     "als1_factorization" -> als1Factorization,
     "iso1_isotonic_calibration" -> iso1IsotonicCalibration,
+    "ts3_theil_sen" -> ts3TheilSen,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7525,6 +7567,7 @@ object Queries {
     "gbt1_boosted_stumps" -> gbt1BoostedStumpsSql,
     "als1_factorization" -> als1FactorizationSql,
     "iso1_isotonic_calibration" -> iso1IsotonicCalibrationSql,
+    "ts3_theil_sen" -> ts3TheilSenSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7596,6 +7639,6 @@ object Queries {
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
-    "iso1_isotonic_calibration",
+    "iso1_isotonic_calibration", "ts3_theil_sen",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -1885,6 +1885,67 @@ object Analytics {
       .orderBy(col("bin"))
   }
 
+  /** TS3 — Theil–Sen robust trend of daily revenue: the median of all
+    * pairwise day-to-day slopes plus the matching median intercept —
+    * reg1's distribution-free sibling (a single wild day moves OLS by
+    * its leverage; it moves a median by at most one rank). Pair
+    * generation is DOMAIN-bounded (ks1's discipline): the self-join runs
+    * on the calendar-sized daily rollup, so pair work is days², constant
+    * in corpus size — a decade is ~6.7M pairs regardless of how many
+    * events fold into each day.
+    *
+    * Exactness: slopes snap to the 1e-6 cents/day grid via the
+    * sign-split half-up identity (2|num|·1e6 + den) div (2·den) —
+    * non-negative operands, truncate == floor in every engine; the
+    * median is selected BY POSITION (rank (n+1) div 2, the lower median
+    * on even counts — deterministic, no averaging), and the intercept
+    * is the positional median of cents·1e6 − slope·x over observed days
+    * (decimal-routed so no magnitude can overflow). Ties in the ordered
+    * value are harmless: selection by rank over the same key always
+    * lands on the same value.
+    *
+    * Shape at 100 TB: ONE corpus-sized exchange (the daily rollup,
+    * localCheckpointed for its four consumers); everything downstream
+    * is calendar-bounded, including the single-partition median sorts. */
+  def theilSenDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("cents"))
+      .localCheckpoint()
+    require(daily.count() >= 2, "theilSenDaily needs at least 2 observed days")
+    val mn = daily.agg(min(col("day")).as("d0"))
+    val d = daily.crossJoin(broadcast(mn))
+      .select(datediff(col("day"), col("d0")).cast("long").as("x"),
+        col("cents"))
+      .localCheckpoint()
+    val slopes = d.as("a").join(d.as("b"), col("a.x") < col("b.x"))
+      .select((col("b.cents") - col("a.cents")).as("num"),
+        (col("b.x") - col("a.x")).as("den"))
+      .selectExpr("""CASE WHEN num >= 0
+        THEN (2 * num * 1000000 + den) div (2 * den)
+        ELSE -((2 * (-num) * 1000000 + den) div (2 * den)) END AS slope_micro""")
+      .localCheckpoint()
+    val st = slopes.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("slope_micro") > 0, 1L).otherwise(0L)).as("n_rising"))
+    val med = slopes
+      .withColumn("rn", row_number().over(Window.orderBy(col("slope_micro"))))
+      .crossJoin(broadcast(st))
+      .filter(expr("rn = (n_pairs + 1) div 2"))
+      .select(col("slope_micro"), col("n_pairs"), col("n_rising"))
+    val ic = d.crossJoin(broadcast(med.select(col("slope_micro"))))
+      .select((col("cents").cast("decimal(38,0)") * 1000000L
+        - col("slope_micro").cast("decimal(38,0)") * col("x")).as("b_micro"))
+    val ib = ic
+      .withColumn("rn", row_number().over(Window.orderBy(col("b_micro"))))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_days"))))
+      .filter(expr("rn = (n_days + 1) div 2"))
+      .select(col("b_micro"), col("n_days"))
+    med.crossJoin(ib).select(col("n_days"), col("n_pairs"), col("n_rising"),
+      (col("slope_micro").cast("double") / 100000000L).as("slope_per_day"),
+      (col("b_micro").cast("double") / 100000000L).as("intercept"),
+      (col("n_rising").cast("double") / col("n_pairs")).as("frac_rising"))
+  }
+
   /** Pool-adjacent-violators on (leader, Σy, n) segments ordered by
     * leader: merge the FIRST adjacent pair whose pooled rates violate
     * monotonicity — compared as the exact cross product

@@ -1041,6 +1041,48 @@ class AnalyticsSpec extends SparkTestBase {
       bySeg.keys.map(_._1).sum, "global y mass")
   }
 
+  test("theilSenDaily: hand-checked median slope and intercept on three " +
+    "days; all-rising fraction") {
+    // revenues 10, 20, 40 dollars on consecutive days: pair slopes
+    // 10, 20, 15 $/day -> median 15; intercepts 10, 5, 10 -> median 10
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 10.0),
+      (1L, "2024-01-02 10:00:00", "view", 20.0),
+      (1L, "2024-01-03 10:00:00", "view", 40.0))
+    val r = Analytics.theilSenDaily(events).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3 && r.getLong(2) == 3)
+    assert(r.getDouble(3) == 15.0, s"slope ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 10.0, s"intercept ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 1.0)
+  }
+
+  test("theilSenDaily: one wild day cannot move the median slope " +
+    "(the robustness OLS lacks)") {
+    val lin = (0 until 5).map(i =>
+      (1L, f"2024-01-${i + 1}%02d 10:00:00", "view", 10.0 + i * 1.0))
+    val wild = (1L, "2024-01-06 10:00:00", "view", 100000.0)
+    val r = Analytics.theilSenDaily(ev(lin :+ wild: _*)).collect()(0)
+    // 10 clean pairs at exactly 1 $/day, 5 contaminated: median stays 1
+    assert(r.getDouble(3) == 1.0, s"slope ${r.getDouble(3)}")
+  }
+
+  test("theilSenDaily: even pair count takes the LOWER median, ties " +
+    "included; <2 days fails loudly") {
+    // cents 0, 100, 300, 600 -> sorted slopes [100,150,200,200,250,300],
+    // position (6+1) div 2 = 3 -> 200 cents/day = 2 $/day
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view", 0.0),
+      (1L, "2024-01-02 10:00:00", "view", 1.0),
+      (1L, "2024-01-03 10:00:00", "view", 3.0),
+      (1L, "2024-01-04 10:00:00", "view", 6.0))
+    val r = Analytics.theilSenDaily(events).collect()(0)
+    assert(r.getLong(1) == 6 && r.getDouble(3) == 2.0, r.toString)
+    val e = intercept[IllegalArgumentException] {
+      Analytics.theilSenDaily(ev((1L, "2024-01-01 10:00:00", "view", 1.0)))
+    }
+    assert(e.getMessage.contains("at least 2"), e.getMessage)
+  }
+
   test("boostedStumps: single-cell corpus fails loudly") {
     val df = ord((100.0, "1-URGENT", "1994-01-05 00:00:00", "F"))
     val e = intercept[IllegalArgumentException] {
