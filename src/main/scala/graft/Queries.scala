@@ -6629,6 +6629,70 @@ object Queries {
       |       CAST(n_rising AS DOUBLE) / n_pairs AS frac_rising
       |FROM med CROSS JOIN st CROSS JOIN ib CROSS JOIN nd""".stripMargin
 
+  /** LOGRANK1 — two-arm log-rank (Mantel–Haenszel) test of user
+    * lifetimes on the shared deterministic A/B split: surv1's
+    * hypothesis-test companion, micro-snapped per-time terms so the
+    * fold is an exact integer sum. censorDays = 1 here (not surv1's 7):
+    * the fixture's activity is dense to the horizon (max last-activity
+    * gap 2 days), so 7 censors every user and the test would be vacuous
+    * — at 1, churn = "not active on the final day" (156 events at
+    * sf0.1). See [[graft.operators.Analytics.logrankTest]]. */
+  val logrank1SurvivalTest: Q = (s, d) =>
+    graft.operators.Analytics.logrankTest(Tables.events(s, d),
+      censorDays = 1)
+
+  val logrank1SurvivalTestSql: String = {
+    val arm = md5BucketSql("CAST(user_id AS VARCHAR)")
+    s"""WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+       |                  max(CAST(ts AS DATE)) AS ld
+       |           FROM events GROUP BY 1),
+       |ed AS (SELECT max(CAST(ts AS DATE)) AS end_day FROM events),
+       |durs AS MATERIALIZED (
+       |  SELECT datediff('day', fd, ld) AS t,
+       |         CASE WHEN datediff('day', ld, end_day) < 1 THEN 0 ELSE 1 END AS e,
+       |         CASE WHEN $arm < 5000 THEN 1 ELSE 0 END AS a
+       |  FROM u CROSS JOIN ed),
+       |grid AS (SELECT t,
+       |           CAST(sum(a) AS BIGINT) AS ma,
+       |           CAST(sum(1 - a) AS BIGINT) AS mb,
+       |           CAST(sum(e * a) AS BIGINT) AS da,
+       |           CAST(sum(e * (1 - a)) AS BIGINT) AS db
+       |         FROM durs GROUP BY t),
+       |stg AS (SELECT da, db, da + db AS d, na AS n1, na + nb AS n FROM (
+       |    SELECT da, db,
+       |           sum(ma) OVER w AS na, sum(mb) OVER w AS nb
+       |    FROM grid WINDOW w AS (ORDER BY t DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |  WHERE da + db > 0),
+       |tm AS (SELECT da, db, d,
+       |         (2 * CAST(d AS HUGEINT) * n1 * 1000000 + n)
+       |           // (2 * CAST(n AS HUGEINT)) AS e1_micro,
+       |         CASE WHEN n > 1 THEN
+       |           (2 * CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d) * 1000000
+       |              + CAST(n AS HUGEINT) * n * (n - 1))
+       |             // (2 * CAST(n AS HUGEINT) * n * (n - 1))
+       |         ELSE 0 END AS v_micro
+       |       FROM stg),
+       |m AS (SELECT CAST(coalesce(sum(da), 0) AS BIGINT) AS o1,
+       |             CAST(coalesce(sum(db), 0) AS BIGINT) AS o2,
+       |             CAST(coalesce(sum(d), 0) AS BIGINT) AS d_total,
+       |             CAST(coalesce(sum(e1_micro), 0) AS BIGINT) AS e1m,
+       |             CAST(coalesce(sum(v_micro), 0) AS BIGINT) AS vm
+       |      FROM tm),
+       |ar AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+       |              CAST(sum(1 - a) AS BIGINT) AS n_b FROM durs)
+       |SELECT n_a, n_b, d_total, o1, o2, e1, e2, v, z, z * z AS chi2 FROM (
+       |  SELECT n_a, n_b, d_total, o1, o2,
+       |         CAST(e1m AS DOUBLE) / 1000000 AS e1,
+       |         CAST(d_total * 1000000 - e1m AS DOUBLE) / 1000000 AS e2,
+       |         CAST(vm AS DOUBLE) / 1000000 AS v,
+       |         CASE WHEN vm > 0
+       |              THEN CAST(o1 * 1000000 - e1m AS DOUBLE) / 1000000
+       |                   / sqrt(CAST(vm AS DOUBLE) / 1000000)
+       |              ELSE 0.0 END AS z
+       |  FROM m CROSS JOIN ar)""".stripMargin
+  }
+
   /** ACF1 — lag-1..7 autocorrelation of total daily revenue
     * ([[graft.operators.Analytics.autocorrelation]]): Pearson correlation
     * of (day t, day t−k) over day pairs where both ends exist. */
@@ -7319,6 +7383,7 @@ object Queries {
     "als1_factorization" -> als1Factorization,
     "iso1_isotonic_calibration" -> iso1IsotonicCalibration,
     "ts3_theil_sen" -> ts3TheilSen,
+    "logrank1_survival_test" -> logrank1SurvivalTest,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7568,6 +7633,7 @@ object Queries {
     "als1_factorization" -> als1FactorizationSql,
     "iso1_isotonic_calibration" -> iso1IsotonicCalibrationSql,
     "ts3_theil_sen" -> ts3TheilSenSql,
+    "logrank1_survival_test" -> logrank1SurvivalTestSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7639,6 +7705,6 @@ object Queries {
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
-    "iso1_isotonic_calibration", "ts3_theil_sen",
+    "iso1_isotonic_calibration", "ts3_theil_sen", "logrank1_survival_test",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -1885,6 +1885,86 @@ object Analytics {
       .orderBy(col("bin"))
   }
 
+  /** LOGRANK1 — the two-arm log-rank test on user lifetimes: does arm A
+    * (the deterministic md5-bucket split every experiment op shares)
+    * churn at a different hazard than arm B? surv1 ESTIMATES the curve;
+    * this is the matching hypothesis TEST — the Mantel–Haenszel sum of
+    * per-event-time (observed − expected) under the pooled-hazard null,
+    * with the usual hypergeometric variance.
+    *
+    * Exactness: at-risk and death counts are exact longs from the same
+    * duration/censoring contract as surv1; each time's expectation and
+    * variance term snaps to the 1e-6 grid via the non-negative half-up
+    * identity ((2·num·1e6 + den) div (2·den)) BEFORE summation, so the
+    * fold is an exact integer sum in any order/engine (float Σ of
+    * rationals would be partitioning-dependent). O1+O2 = E1+E2 holds
+    * exactly in micro-units by construction. The z/chi² readouts are one
+    * fixed double formula over the snapped sums.
+    *
+    * Shape at 100 TB: one corpus-sized per-user rollup (map-side
+    * combinable); the event-time grid is calendar-bounded, so the
+    * descending at-risk window and the variance fold run on constant-
+    * size state — surv1's discipline with an arm dimension. */
+  def logrankTest(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0, s"censorDays: $censorDays")
+    val byUser = events.groupBy(col("user_id")).agg(
+      to_date(min(col("ts"))).as("first_day"),
+      to_date(max(col("ts"))).as("last_day"))
+    val end = events.agg(to_date(max(col("ts"))).as("end_day"))
+    val durs = byUser.crossJoin(broadcast(end))
+      .select(col("user_id"),
+        datediff(col("last_day"), col("first_day")).cast("long").as("t"),
+        when(datediff(col("end_day"), col("last_day")) < censorDays, 0L)
+          .otherwise(1L).as("e"))
+      .withColumn("a",
+        (Sampling.hashBucket(col("user_id")) < 5000).cast("long"))
+    val grid = durs.groupBy(col("t")).agg(
+      sum(col("a")).as("ma"), sum(lit(1L) - col("a")).as("mb"),
+      sum(col("e") * col("a")).as("da"),
+      sum(col("e") * (lit(1L) - col("a"))).as("db"))
+    val desc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val staged = grid
+      .withColumn("na", sum(col("ma")).over(desc))
+      .withColumn("nb", sum(col("mb")).over(desc))
+      .filter(col("da") + col("db") > 0)
+      .select(col("da"), col("db"),
+        (col("na") + col("nb")).as("n"), col("na").as("n1"),
+        (col("da") + col("db")).as("d"))
+    def halfUp(num: Column, den: Column): Column = {
+      val x = num * 2000000L + den
+      ((x - pmod(x, den * 2L)) / (den * 2L)).cast("long")
+    }
+    val terms = staged.select(col("da"), col("db"), col("d"),
+      halfUp(d38(col("d")) * d38(col("n1")), d38(col("n"))).as("e1_micro"),
+      when(col("n") > 1,
+        halfUp(d38(col("d")) * d38(col("n1")) * d38(col("n") - col("n1"))
+          * d38(col("n") - col("d")),
+          d38(col("n")) * d38(col("n")) * d38(col("n") - 1)))
+        .otherwise(0L).as("v_micro"))
+    // coalesce: an all-censored corpus (surv1's fixture regime) has an
+    // empty term table — report exact zeros, not NULLs
+    val m = terms.agg(coalesce(sum(col("da")), lit(0L)).as("o1"),
+      coalesce(sum(col("db")), lit(0L)).as("o2"),
+      coalesce(sum(col("d")), lit(0L)).as("d_total"),
+      coalesce(sum(col("e1_micro")), lit(0L)).as("e1m"),
+      coalesce(sum(col("v_micro")), lit(0L)).as("vm"))
+    val arms = durs.agg(sum(col("a")).as("n_a"),
+      sum(lit(1L) - col("a")).as("n_b"))
+    m.crossJoin(broadcast(arms)).select(
+      col("n_a"), col("n_b"), col("d_total"), col("o1"), col("o2"),
+      (col("e1m").cast("double") / 1000000).as("e1"),
+      ((col("d_total") * 1000000L - col("e1m")).cast("double") / 1000000)
+        .as("e2"),
+      (col("vm").cast("double") / 1000000).as("v"),
+      when(col("vm") > 0,
+        (col("o1") * 1000000L - col("e1m")).cast("double") / 1000000
+          / sqrt(col("vm").cast("double") / 1000000))
+        .otherwise(0.0).as("z"))
+      .withColumn("chi2", col("z") * col("z"))
+  }
+
   /** TS3 — Theil–Sen robust trend of daily revenue: the median of all
     * pairwise day-to-day slopes plus the matching median intercept —
     * reg1's distribution-free sibling (a single wild day moves OLS by

@@ -1083,6 +1083,48 @@ class AnalyticsSpec extends SparkTestBase {
     assert(e.getMessage.contains("at least 2"), e.getMessage)
   }
 
+  test("logrankTest: fixture-wide independent replay of the statistic, " +
+    "and all-censored degenerates to exact zeros") {
+    val events = Tables.events(spark, sf0001)
+    val got = Analytics.logrankTest(events, censorDays = 1).collect()(0)
+    // independent replay: collect per-user (t, e, arm) and fold the
+    // Mantel-Haenszel terms with plain BigInt arithmetic
+    val durs = events.groupBy($"user_id").agg(
+        to_date(min($"ts")).as("fd"), to_date(max($"ts")).as("ld"))
+      .crossJoin(broadcast(events.agg(to_date(max($"ts")).as("ed"))))
+      .select($"user_id", datediff($"ld", $"fd").cast("long").as("t"),
+        when(datediff($"ed", $"ld") < 1, 0L).otherwise(1L).as("e"),
+        (Sampling.hashBucket($"user_id") < 5000).cast("long").as("a"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    def half(num: BigInt, den: BigInt): Long =
+      ((2 * num * 1000000 + den) / (2 * den)).toLong
+    val times = durs.map(_._1).distinct.sorted
+    var (o1, dTot, e1m, vm) = (0L, 0L, BigInt(0), BigInt(0))
+    for (tj <- times) {
+      val atRisk = durs.filter(_._1 >= tj)
+      val deaths = durs.filter(x => x._1 == tj && x._2 == 1)
+      val (n, n1) = (BigInt(atRisk.length), BigInt(atRisk.count(_._3 == 1)))
+      val d = BigInt(deaths.length)
+      if (d > 0) {
+        o1 += deaths.count(_._3 == 1)
+        dTot += deaths.length
+        e1m += half(d * n1, n)
+        if (n > 1) vm += half(d * n1 * (n - n1) * (n - d), n * n * (n - 1))
+      }
+    }
+    assert(got.getLong(3) == o1, s"o1 ${got.getLong(3)} != $o1")
+    assert(got.getLong(2) == dTot)
+    assert(got.getDouble(5) == e1m.toDouble / 1e6, "e1 diverges")
+    assert(got.getDouble(7) == vm.toDouble / 1e6, "v diverges")
+    val z = (o1 * 1000000L - e1m).toDouble / 1000000 /
+      math.sqrt(vm.toDouble / 1e6)
+    assert(got.getDouble(8) == z, "z diverges")
+    // all-censored: censorDays beyond the corpus span -> exact zeros
+    val zero = Analytics.logrankTest(events, censorDays = 10000).collect()(0)
+    assert(zero.getLong(2) == 0 && zero.getLong(3) == 0 &&
+      zero.getDouble(8) == 0.0 && zero.getDouble(9) == 0.0, zero.toString)
+  }
+
   test("boostedStumps: single-cell corpus fails loudly") {
     val df = ord((100.0, "1-URGENT", "1994-01-05 00:00:00", "F"))
     val e = intercept[IllegalArgumentException] {
