@@ -5417,6 +5417,53 @@ object Queries {
       |            FROM ew) t
       |          WHERE rn <= 5)""".stripMargin
 
+  /** BFS1 — single-source shortest paths + geodesic counts from
+    * NATION_0 over the pr1 trade graph: 8 fixed min-plus relaxation
+    * rounds, then Brandes-forward path-count DP by layer. The data-sized
+    * work is the shared edge build; the rounds run node-table-bounded.
+    * See [[graft.operators.Graph.shortestPaths]]. */
+  val bfs1ShortestPaths: Q = (s, d) =>
+    graft.operators.Graph.shortestPaths(
+      Tables.nation(s, d).select(col("n_name").as("node")),
+      tradeEdges(s, d), source = "NATION_0", iters = 8)
+
+  val bfs1ShortestPathsSql: String = {
+    val iters = 8
+    val distStages = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM d${k - 1} d JOIN edges e ON d.node = e.src
+         |    WHERE d.dist IS NOT NULL)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    val cntStages = (1 to iters).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT f.node, f.dist,
+         |         CASE WHEN f.dist = $k THEN p.p ELSE f.paths END AS paths
+         |  FROM c${k - 1} f LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(s.paths) AS BIGINT) AS p
+         |    FROM c${k - 1} s JOIN edges e ON s.node = e.src
+         |    WHERE s.dist = ${k - 1} GROUP BY e.dst) p ON f.node = p.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradeEdgesCte,
+       |d0 AS (SELECT n_name AS node,
+       |              CASE WHEN n_name = 'NATION_0'
+       |                   THEN CAST(0 AS BIGINT) END AS dist
+       |       FROM nation),
+       |$distStages,
+       |c0 AS (SELECT node, dist,
+       |              CASE WHEN dist = 0 THEN CAST(1 AS BIGINT) END AS paths
+       |       FROM d$iters),
+       |$cntStages
+       |SELECT node, dist IS NOT NULL AS reached,
+       |       coalesce(dist, -1) AS dist, coalesce(paths, 0) AS paths
+       |FROM c$iters ORDER BY node""".stripMargin
+  }
+
   val pr1Pagerank: Q = (s, d) =>
     graft.operators.Graph.pageRank(
       Tables.nation(s, d).select(col("n_name").as("node")),
@@ -7384,6 +7431,7 @@ object Queries {
     "iso1_isotonic_calibration" -> iso1IsotonicCalibration,
     "ts3_theil_sen" -> ts3TheilSen,
     "logrank1_survival_test" -> logrank1SurvivalTest,
+    "bfs1_shortest_paths" -> bfs1ShortestPaths,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7634,6 +7682,7 @@ object Queries {
     "iso1_isotonic_calibration" -> iso1IsotonicCalibrationSql,
     "ts3_theil_sen" -> ts3TheilSenSql,
     "logrank1_survival_test" -> logrank1SurvivalTestSql,
+    "bfs1_shortest_paths" -> bfs1ShortestPathsSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7706,5 +7755,6 @@ object Queries {
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
     "iso1_isotonic_calibration", "ts3_theil_sen", "logrank1_survival_test",
+    "bfs1_shortest_paths",
     "st1_stream_window", "st6_stream_cdc")
 }

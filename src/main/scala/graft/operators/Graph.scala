@@ -243,4 +243,56 @@ object Graph {
       .filter(rankLt)
       .select(col("u"), col("w1"), col("w2"))
   }
+
+  /** BFS1 — single-source shortest paths + shortest-path COUNTS over a
+    * directed graph, the min-plus leg the graph family lacked (d7 finds
+    * components, pr1 ranks, tri1/kcore1 measure density, lp1 partitions
+    * — nothing answered "how far, and along how many geodesics").
+    *
+    * Distances: `iters` fixed bulk-synchronous relaxation rounds —
+    * dist_{k+1}(v) = min(dist_k(v), 1 + min over in-edges) — all exact
+    * longs, nodes still NULL after `iters` rounds report unreachable
+    * (iters must cover the diameter; on the bounded 25-node trade graph
+    * 8 is ample). Then path counts by layer DP over the FINAL distances:
+    * σ(v) = Σ_{u→v, dist u = dist v − 1} σ(u), one tiny join per layer —
+    * exact longs, the σ of Brandes' betweenness forward pass.
+    *
+    * Scale shape: the data-sized work is building `edges` (corpus scans
+    * — the caller's rollup, same as pr1); every round here runs on the
+    * node-table-bounded frames with the per-round localCheckpoint
+    * discipline. Fixed iteration counts mean the driver never inspects
+    * data between rounds and the oracle unrolls digit-exact. */
+  def shortestPaths(nodes: DataFrame, edges: DataFrame, source: String,
+                    iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters out of range: $iters")
+    val e = edges.localCheckpoint()
+    var dist = nodes.select(col("node"),
+      when(col("node") === source, 0L).as("dist"))
+    for (_ <- 1 to iters) {
+      val relaxed = dist.filter(col("dist").isNotNull).as("d")
+        .join(e, col("d.node") === col("src"))
+        .select(col("dst").as("node"), (col("d.dist") + 1L).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    var f = dist.withColumn("paths",
+      when(col("dist") === 0, 1L).otherwise(lit(null).cast("long")))
+      .localCheckpoint()
+    for (k <- 1 to iters) {
+      val contrib = f.filter(col("dist") === k - 1).as("s")
+        .join(e, col("s.node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("paths")).as("p"))
+        .withColumnRenamed("dst", "node")
+      f = f.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("dist"),
+          when(col("dist") === k, col("p")).otherwise(col("paths"))
+            .as("paths"))
+        .localCheckpoint()
+    }
+    f.select(col("node"), col("dist").isNotNull.as("reached"),
+      coalesce(col("dist"), lit(-1L)).as("dist"),
+      coalesce(col("paths"), lit(0L)).as("paths"))
+      .orderBy(col("node"))
+  }
 }

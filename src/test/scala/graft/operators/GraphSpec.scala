@@ -161,4 +161,36 @@ class GraphSpec extends SparkTestBase {
     assert(got("x") == (("x", 3L)) && got("y") == (("x", 3L)) && got("z") == (("x", 3L)))
     assert(got("q") == (("q", 1L)))
   }
+
+  test("shortestPaths: diamond counts both geodesics, unreachable " +
+    "reports -1/0, direction respected") {
+    val ns = Seq("a", "b", "c", "d", "e").toDF("node")
+    // a->b->d and a->c->d (two geodesics to d); e isolated; d->a makes
+    // a cycle but cannot shorten anything
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "a")).toDF("src", "dst")
+    val got = Graph.shortestPaths(ns, edges, source = "a").collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((true, 0L, 1L)))
+    assert(got("b") == ((true, 1L, 1L)) && got("c") == ((true, 1L, 1L)))
+    assert(got("d") == ((true, 2L, 2L)), s"two geodesics: ${got("d")}")
+    assert(got("e") == ((false, -1L, 0L)))
+  }
+
+  test("shortestPaths: deterministic under repartitioning and exact on " +
+    "a two-path-length asymmetry") {
+    val ns = Seq("a", "b", "c", "d").toDF("node")
+    // short route a->d direct, long route a->b->c->d: dist 1, count 1
+    val edges = Seq(("a", "d"), ("a", "b"), ("b", "c"), ("c", "d"))
+      .toDF("src", "dst")
+    val r1 = Graph.shortestPaths(ns, edges, source = "a").collect()
+      .map(_.toString).toSeq
+    val r2 = Graph.shortestPaths(ns.repartition(3), edges.repartition(5),
+      source = "a").collect().map(_.toString).toSeq
+    assert(r1 == r2)
+    val d = Graph.shortestPaths(ns, edges, source = "a").collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(d("d") == ((1L, 1L)), s"direct edge wins: ${d("d")}")
+  }
 }
