@@ -6570,10 +6570,8 @@ object Queries {
        |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS r
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  GROUP BY 1, 2),
-       |q0 AS (SELECT p, (p * 2654435761) % 1000 - 500 AS q1,
-       |              (p * 97003) % 1000 - 500 AS q2
-       |       FROM (SELECT DISTINCT p FROM r)),
-       |rq AS (SELECT r.u, r.p, r.r, q0.q1, q0.q2 FROM r JOIN q0 USING (p)),
+       |rq AS (SELECT u, p, r, (p * 2654435761) % 1000 - 500 AS q1,
+       |              (p * 97003) % 1000 - 500 AS q2 FROM r),
        |${solveSql("rq", "u", "q1", "q2", "uf")},
        |ru AS MATERIALIZED (
        |  SELECT r.u, r.p, r.r, uf.f1m AS u1, uf.f2m AS u2

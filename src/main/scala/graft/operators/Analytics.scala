@@ -1792,31 +1792,39 @@ object Analytics {
       .agg(sum(col("l_quantity").cast("decimal(18,0)").cast("long")).as("r"))
       .localCheckpoint()
     // hash-seeded item factors in milli-units, [-500, 500): two odd
-    // multipliers, replayed verbatim by the oracle
-    val q0 = ratings.select(col("p")).distinct()
-      .select(col("p"),
-        (col("p") * lit(2654435761L) % 1000 - 500).as("q1"),
-        (col("p") * lit(97003L) % 1000 - 500).as("q2"))
+    // multipliers, pure functions of p computed INLINE on the ratings
+    // (no distinct/join — the "factor table" for the init never exists)
+    val withQ0 = ratings
+      .withColumn("q1", col("p") * lit(2654435761L) % 1000 - 500)
+      .withColumn("q2", col("p") * lit(97003L) % 1000 - 500)
     // one ridge-regularized 2x2 Cramer solve per group, milli-snapped:
     // shared by both half-steps (same scales by construction)
     def solve(grouped: DataFrame, key: String, f1: String, f2: String) = {
+      // Gram moments fold as LONGS (codegen'd hash-agg fast path, ~2x
+      // the decimal fold): |factor| <= ~1e6 milli so each term is
+      // <= 1e12 and a group needs > ~9e6 ratings on one key to overflow
+      // — ANSI throws loudly there, never silently wrong. The Cramer
+      // products below go through decimal(38,0) where 128-bit is real.
       val a = grouped.groupBy(col(key))
-        .agg((sum(d38(col(f1)) * d38(col(f1))) + lambdaGramMicro).as("a11"),
-          sum(d38(col(f1)) * d38(col(f2))).as("a12"),
-          (sum(d38(col(f2)) * d38(col(f2))) + lambdaGramMicro).as("a22"),
-          sum(d38(col(f1)) * d38(col("r"))).as("b1"),
-          sum(d38(col(f2)) * d38(col("r"))).as("b2"),
+        .agg((sum(col(f1) * col(f1)) + lambdaGramMicro).as("a11"),
+          sum(col(f1) * col(f2)).as("a12"),
+          (sum(col(f2) * col(f2)) + lambdaGramMicro).as("a22"),
+          sum(col(f1) * col("r")).as("b1"),
+          sum(col(f2) * col("r")).as("b2"),
           count(lit(1)).as("n"))
       val withDet = a.select(col(key), col("n"),
-        (col("a11") * col("a22") - col("a12") * col("a12")).as("dd"),
-        (col("b1") * col("a22") - col("b2") * col("a12")).as("n1"),
-        (col("a11") * col("b2") - col("a12") * col("b1")).as("n2"))
+        (d38(col("a11")) * d38(col("a22"))
+          - d38(col("a12")) * d38(col("a12"))).as("dd"),
+        (d38(col("b1")) * d38(col("a22"))
+          - d38(col("b2")) * d38(col("a12"))).as("n1"),
+        (d38(col("a11")) * d38(col("b2"))
+          - d38(col("a12")) * d38(col("b1"))).as("n2"))
       def snap(num: Column) = when(num >= 0, milliQuot(num, col("dd")))
         .otherwise(-milliQuot(-num, col("dd")))
       withDet.select(col(key), col("n"),
         snap(col("n1")).as("f1m"), snap(col("n2")).as("f2m"))
     }
-    val uf = solve(ratings.join(q0, "p"), "u", "q1", "q2")
+    val uf = solve(withQ0, "u", "q1", "q2")
     // corpus-sized and consumed twice (item solve + fit): materialize so
     // the user solve never replays
     val withU = ratings.join(uf.select(col("u"), col("f1m").as("u1"),
