@@ -92,6 +92,11 @@ SUBSET = [
     "bf1_file_bloom",        # layout window + id-only bit tables
     "pq1_product_quantize",  # kmeans shape x subspace keys (heaviest new row)
     "st16_stream_holt",      # single-key stateful stream, state O(open days)
+    # round-11 second pass: the new ML/graph/robust-stats shapes
+    "als1_factorization",    # ratings rollup + two keyed Gram half-steps
+    "bfs1_shortest_paths",   # edge build 10x, bounded-graph rounds constant
+    "gbt1_boosted_stumps",   # ONE corpus scan to the 480-cell grid
+    "ts3_theil_sen",         # daily rollup 10x, days^2 pairs CONSTANT
     # chrf1_eval is deliberately NOT under the default bound: its work is
     # linear in CHAR mass, and this synthesis grows chars 13.99x (the
     # "_k" token suffixes) while rows/tokens grow 10x — measured 9.3x
