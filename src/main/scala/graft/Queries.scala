@@ -6738,6 +6738,51 @@ object Queries {
        |  FROM m CROSS JOIN ar)""".stripMargin
   }
 
+  /** ATT1 — U-shaped multi-touch attribution of purchase revenue across
+    * the user's preceding click/view touches (40/20/40, exact rational
+    * credit in micro-units), grouped to the (type × props-k) channel —
+    * asof1's many-touch complement, computed with two windows and zero
+    * joins. See [[graft.operators.Analytics.positionAttribution]]. */
+  val att1PositionAttribution: Q = (s, d) =>
+    graft.operators.Analytics.positionAttribution(Tables.events(s, d))
+
+  val att1PositionAttributionSql: String =
+    """WITH st AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN event_type = 'purchase' THEN event_id END AS pid,
+      |         CASE WHEN event_type = 'purchase'
+      |              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS cents,
+      |         CASE WHEN event_type IN ('click', 'view')
+      |              THEN event_type || '_' ||
+      |                   CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS VARCHAR)
+      |         END AS channel
+      |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+      |fl AS (SELECT channel,
+      |         last_value(pid IGNORE NULLS) OVER w AS cpid,
+      |         last_value(cents IGNORE NULLS) OVER w AS ccents,
+      |         user_id, ts, event_id
+      |       FROM st WINDOW w AS (PARTITION BY user_id
+      |         ORDER BY ts DESC, event_id DESC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |rk AS (SELECT channel, cpid, ccents,
+      |         row_number() OVER (PARTITION BY user_id, cpid
+      |                            ORDER BY ts, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY user_id, cpid) AS n
+      |       FROM fl WHERE channel IS NOT NULL AND cpid IS NOT NULL),
+      |cr AS (SELECT channel, cpid,
+      |         (2 * ccents * 1000000 * num + den) // (2 * den) AS credit_micro
+      |       FROM (SELECT channel, cpid, ccents,
+      |               CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN 1
+      |                    WHEN rn = 1 OR rn = n THEN 2 ELSE 1 END AS num,
+      |               CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN 2
+      |                    WHEN rn = 1 OR rn = n THEN 5
+      |                    ELSE 5 * (n - 2) END AS den
+      |             FROM rk))
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |       CAST(count(DISTINCT cpid) AS BIGINT) AS n_conversions,
+      |       CAST(sum(credit_micro) AS DOUBLE) / 100000000 AS credit
+      |FROM cr GROUP BY channel ORDER BY channel""".stripMargin
+
   /** ACF1 — lag-1..7 autocorrelation of total daily revenue
     * ([[graft.operators.Analytics.autocorrelation]]): Pearson correlation
     * of (day t, day t−k) over day pairs where both ends exist. */
@@ -7430,6 +7475,7 @@ object Queries {
     "ts3_theil_sen" -> ts3TheilSen,
     "logrank1_survival_test" -> logrank1SurvivalTest,
     "bfs1_shortest_paths" -> bfs1ShortestPaths,
+    "att1_position_attribution" -> att1PositionAttribution,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7681,6 +7727,7 @@ object Queries {
     "ts3_theil_sen" -> ts3TheilSenSql,
     "logrank1_survival_test" -> logrank1SurvivalTestSql,
     "bfs1_shortest_paths" -> bfs1ShortestPathsSql,
+    "att1_position_attribution" -> att1PositionAttributionSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7753,6 +7800,6 @@ object Queries {
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
     "iso1_isotonic_calibration", "ts3_theil_sen", "logrank1_survival_test",
-    "bfs1_shortest_paths",
+    "bfs1_shortest_paths", "att1_position_attribution",
     "st1_stream_window", "st6_stream_cdc")
 }

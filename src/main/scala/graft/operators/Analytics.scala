@@ -1893,6 +1893,71 @@ object Analytics {
       .orderBy(col("bin"))
   }
 
+  /** ATT1 — position-based (U-shaped) multi-touch attribution: each
+    * purchase's revenue splits across ALL the user's preceding touches
+    * since their prior purchase — 40% to the first touch, 40% to the
+    * last, 20% shared by the middles (1 touch → 100%, 2 → 50/50) — the
+    * many-touch complement of asof1's single last-click credit.
+    *
+    * Assignment is one backward fill: the union stream of touches and
+    * purchases, ordered per user by (ts, event_id) DESCENDING, carries
+    * each purchase's id and exact cents back to every earlier touch via
+    * `last(..., ignoreNulls)` — the nearest FOLLOWING purchase in real
+    * order. Touches after the user's final purchase stay unattributed
+    * and drop. Credit fractions are exact rationals (2/5, 1/2, 1,
+    * 1/(5·(n−2))) applied in micro-units with the half-up
+    * subtract-mod-divide floor — cents·1e6·num stays well under 2^53,
+    * so the double division is exact.
+    *
+    * Shape at 100 TB: two windows (the per-user backward fill, the
+    * per-conversion rank) and one grouped rollup to the channel
+    * dimension — no joins at all; the stream shuffles once on user_id
+    * and once on (user, purchase), both map-side combinable after. */
+  def positionAttribution(events: DataFrame): DataFrame = {
+    val st = events
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", col("event_id")).as("pid"),
+        when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")).as("cents"),
+        when(col("event_type").isin("click", "view"),
+          concat(col("event_type"), lit("_"),
+            (get_json_object(col("props"), "$.k").cast("long") % 4)
+              .cast("string"))).as("channel"))
+    val back = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assigned = st
+      .withColumn("cpid", last(col("pid"), ignoreNulls = true).over(back))
+      .withColumn("ccents", last(col("cents"), ignoreNulls = true).over(back))
+      .filter(col("channel").isNotNull && col("cpid").isNotNull)
+    val conv = Window.partitionBy(col("user_id"), col("cpid"))
+    val ranked = assigned
+      .withColumn("rn", row_number().over(
+        conv.orderBy(col("ts"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(conv))
+    val credited = ranked.select(col("channel"), col("cpid"),
+      when(col("n") === 1, struct(lit(1L).as("num"), lit(1L).as("den")))
+        .when(col("n") === 2, struct(lit(1L).as("num"), lit(2L).as("den")))
+        .when(col("rn") === 1 || col("rn") === col("n"),
+          struct(lit(2L).as("num"), lit(5L).as("den")))
+        .otherwise(struct(lit(1L).as("num"),
+          (lit(5L) * (col("n") - 2)).as("den"))).as("f"),
+      col("ccents"))
+      .select(col("channel"), col("cpid"), {
+        // half-up micro credit: floor((2·cents·1e6·num + den) / (2·den));
+        // numerator <= ~4e11 so the exact-multiple double division is safe
+        val a = col("ccents") * 1000000L * col("f.num") * 2 + col("f.den")
+        val b = col("f.den") * 2L
+        ((a - pmod(a, b)) / b).cast("long").as("credit_micro")
+      })
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("cpid")).as("n_conversions"),
+        (sum(col("credit_micro")).cast("double") / 100000000L).as("credit"))
+      .orderBy(col("channel"))
+  }
+
   /** LOGRANK1 — the two-arm log-rank test on user lifetimes: does arm A
     * (the deterministic md5-bucket split every experiment op shares)
     * churn at a different hazard than arm B? surv1 ESTIMATES the curve;

@@ -1125,6 +1125,83 @@ class AnalyticsSpec extends SparkTestBase {
       zero.getDouble(8) == 0.0 && zero.getDouble(9) == 0.0, zero.toString)
   }
 
+  private def evp(rows: (Long, Long, String, String, Double, Long)*) =
+    rows.toDF("event_id", "user_id", "tss", "event_type", "value", "k")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("tss")).as("ts"), col("event_type"), col("value"),
+        concat(lit("{\"k\": "), col("k"), lit("}")).as("props"))
+
+  test("positionAttribution: U-shape 40/20/40, single-touch full credit, " +
+    "post-purchase touches drop") {
+    val events = evp(
+      (1L, 1L, "2024-01-01 10:00:00", "click", 1.0, 0L),
+      (2L, 1L, "2024-01-01 10:05:00", "view", 1.0, 1L),
+      (3L, 1L, "2024-01-01 10:10:00", "click", 1.0, 2L),
+      (4L, 1L, "2024-01-01 10:15:00", "purchase", 10.0, 0L),
+      (5L, 2L, "2024-01-01 09:00:00", "view", 1.0, 3L),
+      (6L, 2L, "2024-01-01 09:30:00", "purchase", 5.0, 0L),
+      (7L, 3L, "2024-01-01 11:00:00", "click", 1.0, 0L)) // no purchase
+    val got = Analytics.positionAttribution(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      "click_0" -> ((1L, 1L, 4.0)), // first of three: 40% of 10
+      "view_1" -> ((1L, 1L, 2.0)),  // middle: 20%
+      "click_2" -> ((1L, 1L, 4.0)), // last: 40%
+      "view_3" -> ((1L, 1L, 5.0))), // single touch: 100% of 5
+      got.toString)
+  }
+
+  test("positionAttribution: fixture-wide independent replay matches " +
+    "every channel exactly") {
+    val events = Tables.events(spark, sf0001)
+    val got = Analytics.positionAttribution(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // plain-Scala replay: walk each user's stream backwards carrying the
+    // nearest following purchase, then U-shape credit per conversion
+    val rows = events
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+    case class Touch(channel: String, pid: Long, cents: Long, rn: Int,
+                     n: Int)
+    val touches = rows.groupBy(_._1).values.flatMap { us =>
+      val sorted = us.sortBy(t => (t._2, t._3))
+      var carry: Option[(Long, Long)] = None // (pid, cents), from the right
+      val assigned = sorted.reverse.flatMap { t =>
+        if (t._4 == "purchase") { carry = Some((t._3, t._5)); None }
+        else carry.map { case (pid, cents) =>
+          (s"${t._4}_${t._6 % 4}", pid, cents, t._2, t._3) }
+      }.reverse
+      assigned.groupBy(_._2).values.flatMap { grp =>
+        val ordered = grp.sortBy(g => (g._4, g._5))
+        val n = ordered.length
+        ordered.zipWithIndex.map { case ((ch, pid, cents, _, _), i) =>
+          Touch(ch, pid, cents, i + 1, n) }
+      }
+    }.toSeq
+    def credit(t: Touch): Long = {
+      val (num, den) =
+        if (t.n == 1) (1L, 1L)
+        else if (t.n == 2) (1L, 2L)
+        else if (t.rn == 1 || t.rn == t.n) (2L, 5L)
+        else (1L, 5L * (t.n - 2))
+      (2 * t.cents * 1000000 * num + den) / (2 * den)
+    }
+    val want = touches.groupBy(_.channel).map { case (ch, ts) =>
+      ch -> ((ts.length.toLong, ts.map(_.pid).distinct.length.toLong,
+        ts.map(credit).sum.toDouble / 1e8))
+    }
+    assert(got == want,
+      s"engine ${got.toSeq.sorted} != replay ${want.toSeq.sorted}")
+  }
+
   test("boostedStumps: single-cell corpus fails loudly") {
     val df = ord((100.0, "1-URGENT", "1994-01-05 00:00:00", "F"))
     val e = intercept[IllegalArgumentException] {
