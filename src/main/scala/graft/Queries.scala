@@ -6783,6 +6783,83 @@ object Queries {
       |       CAST(sum(credit_micro) AS DOUBLE) / 100000000 AS credit
       |FROM cr GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** DTW1 — banded Sakoe–Chiba dynamic time warping between the
+    * trailing-40-day purchase and click revenue series: exact-cents DP
+    * unrolled as 78 anti-diagonal materialized stages (uni1's bounded-
+    * contract discipline), deterministic diag≻up≻left backtrace as a
+    * recursive walk over stored directions.
+    * See [[graft.operators.Analytics.dtwDaily]]. */
+  val dtw1SeriesAlign: Q = (s, d) =>
+    graft.operators.Analytics.dtwDaily(Tables.events(s, d))
+
+  val dtw1SeriesAlignSql: String = {
+    val maxDays = 40
+    val inf = "4611686018427387903"
+    def series(name: String, idx: String, v: String, etype: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY day) AS $idx, cents AS $v FROM (
+         |    SELECT day, cents, row_number() OVER (ORDER BY day DESC) AS rd FROM (
+         |      SELECT CAST(ts AS DATE) AS day,
+         |             CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+         |      FROM events WHERE event_type = '$etype' GROUP BY 1))
+         |  WHERE rd <= $maxDays)""".stripMargin
+    val stages = (3 to 2 * maxDays).map { k =>
+      val dgJoin =
+        if (k == 3) ""
+        else s"\n  LEFT JOIN g${k - 2} dg ON dg.i = cc.i - 1 AND dg.j = cc.j - 1"
+      val dgTerm = if (k == 3) inf else "coalesce(dg.d, " + inf + ")"
+      s"""g$k AS MATERIALIZED (
+         |  SELECT cc.i, cc.j, cc.c + least(coalesce(up.d, $inf),
+         |           coalesce(lf.d, $inf), $dgTerm) AS d
+         |  FROM cc
+         |  LEFT JOIN g${k - 1} up ON up.i = cc.i - 1 AND up.j = cc.j
+         |  LEFT JOIN g${k - 1} lf ON lf.i = cc.i AND lf.j = cc.j - 1$dgJoin
+         |  WHERE cc.i + cc.j = $k)""".stripMargin
+    }.mkString(",\n")
+    val union = (2 to 2 * maxDays).map(k => s"SELECT * FROM g$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |${series("pa", "i", "av", "purchase")},
+       |${series("pb", "j", "bv", "click")},
+       |bw AS (SELECT n, m, greatest(7, abs(n - m) + 1) AS w FROM
+       |        (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pa) AS n,
+       |                (SELECT CAST(count(*) AS BIGINT) FROM pb) AS m)),
+       |cc AS MATERIALIZED (
+       |  SELECT i, j, abs(av - bv) AS c
+       |  FROM pa CROSS JOIN pb CROSS JOIN bw WHERE abs(i - j) <= w),
+       |g2 AS MATERIALIZED (SELECT i, j, c AS d FROM cc WHERE i = 1 AND j = 1),
+       |$stages,
+       |cells AS MATERIALIZED (
+       |  $union),
+       |dirs AS MATERIALIZED (
+       |  SELECT c.i, c.j,
+       |    CASE WHEN c.i = 1 AND c.j = 1 THEN 'S'
+       |         WHEN dg.d IS NOT NULL AND dg.d <= coalesce(up.d, $inf)
+       |              AND dg.d <= coalesce(lf.d, $inf) THEN 'D'
+       |         WHEN up.d IS NOT NULL AND up.d <= coalesce(lf.d, $inf) THEN 'U'
+       |         ELSE 'L' END AS dir
+       |  FROM cells c
+       |  LEFT JOIN cells dg ON dg.i = c.i - 1 AND dg.j = c.j - 1
+       |  LEFT JOIN cells up ON up.i = c.i - 1 AND up.j = c.j
+       |  LEFT JOIN cells lf ON lf.i = c.i AND lf.j = c.j - 1),
+       |bt AS (
+       |  SELECT n AS i, m AS j, CAST(1 AS BIGINT) AS ord FROM bw
+       |  UNION ALL
+       |  SELECT CASE WHEN d.dir = 'L' THEN b.i ELSE b.i - 1 END,
+       |         CASE WHEN d.dir = 'U' THEN b.j ELSE b.j - 1 END,
+       |         b.ord + 1
+       |  FROM bt b JOIN dirs d ON d.i = b.i AND d.j = b.j
+       |  WHERE d.dir <> 'S'),
+       |ln AS (SELECT max(ord) AS l FROM bt)
+       |SELECT l - ord + 1 AS step, i, j,
+       |       CAST(c AS DOUBLE) / 100 AS step_cost,
+       |       CAST(sum(c) OVER (ORDER BY ord DESC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         / 100 AS cum_cost
+       |FROM bt JOIN cc USING (i, j) CROSS JOIN ln
+       |ORDER BY step""".stripMargin
+  }
+
   /** ACF1 — lag-1..7 autocorrelation of total daily revenue
     * ([[graft.operators.Analytics.autocorrelation]]): Pearson correlation
     * of (day t, day t−k) over day pairs where both ends exist. */
@@ -7476,6 +7553,7 @@ object Queries {
     "logrank1_survival_test" -> logrank1SurvivalTest,
     "bfs1_shortest_paths" -> bfs1ShortestPaths,
     "att1_position_attribution" -> att1PositionAttribution,
+    "dtw1_series_align" -> dtw1SeriesAlign,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
@@ -7728,6 +7806,7 @@ object Queries {
     "logrank1_survival_test" -> logrank1SurvivalTestSql,
     "bfs1_shortest_paths" -> bfs1ShortestPathsSql,
     "att1_position_attribution" -> att1PositionAttributionSql,
+    "dtw1_series_align" -> dtw1SeriesAlignSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
@@ -7800,6 +7879,6 @@ object Queries {
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
     "iso1_isotonic_calibration", "ts3_theil_sen", "logrank1_survival_test",
-    "bfs1_shortest_paths", "att1_position_attribution",
+    "bfs1_shortest_paths", "att1_position_attribution", "dtw1_series_align",
     "st1_stream_window", "st6_stream_cdc")
 }

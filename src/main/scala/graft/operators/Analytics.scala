@@ -1893,6 +1893,83 @@ object Analytics {
       .orderBy(col("bin"))
   }
 
+  /** DTW1 — banded (Sakoe–Chiba) dynamic time warping between the
+    * purchase and click daily-revenue series: the sequence-alignment
+    * family's entry (acf1 compares a series to itself at a lag; DTW
+    * aligns two series allowing local tempo drift). Unit steps
+    * (diag/up/left), per-cell cost |a_i − b_j| in exact cents, band
+    * half-width max(7, |n−m|+1) so the corner is always reachable — the
+    * standard O(days·w) variant that survives long calendars where the
+    * full days² table would not. The alignment window is the TRAILING
+    * `maxDays` of each series (a static contract, like uni1's
+    * maxWordLen, so the oracle's DP stages unroll to a fixed count).
+    *
+    * Exactness: the DP is pure long arithmetic; the emitted warping
+    * path uses the deterministic backtrace tie order diag ≻ up ≻ left.
+    * The oracle replays the band DP as a recursive anti-diagonal
+    * wavefront (each generation carries the previous one, uni1's
+    * multi-recursive-CTE discipline) and the backtrace as a second
+    * recursion over the deduped cell table.
+    *
+    * Shape at 100 TB: ONE corpus scan (the (day, type) rollup,
+    * map-side combinable); the DP runs on calendar-bounded driver state
+    * — days·w cells, constant in corpus size (hw1's collect contract). */
+  def dtwDaily(events: DataFrame, minBand: Int = 7,
+               maxDays: Int = 40): DataFrame = {
+    require(minBand >= 1, s"minBand: $minBand")
+    require(maxDays >= 2 && maxDays <= 128, s"maxDays: $maxDays")
+    val daily = events
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("cents"))
+      .collect()  // calendar-bounded: <= 2 rows per observed day
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    // the alignment CONTRACT is the trailing maxDays of each series:
+    // it bounds the unrolled oracle stages and the DP table statically
+    val a = daily.filter(_._2 == "purchase").sortBy(_._1).map(_._3)
+      .takeRight(maxDays)
+    val b = daily.filter(_._2 == "click").sortBy(_._1).map(_._3)
+      .takeRight(maxDays)
+    require(a.nonEmpty && b.nonEmpty,
+      "dtwDaily needs both purchase and click days")
+    val (n, m) = (a.length, b.length)
+    val w = math.max(minBand, math.abs(n - m) + 1)
+    val INF = Long.MaxValue / 4
+    val d = Array.fill(n + 1, m + 1)(INF)
+    d(0)(0) = 0L
+    for (i <- 1 to n; j <- 1 to m if math.abs(i - j) <= w) {
+      val c = math.abs(a(i - 1) - b(j - 1))
+      d(i)(j) = c + math.min(d(i - 1)(j - 1), math.min(d(i - 1)(j), d(i)(j - 1)))
+    }
+    require(d(n)(m) < INF, "dtwDaily: band left the corner unreachable")
+    // backtrace, tie order diag > up > left (mirrored in the oracle)
+    var (i, j) = (n, m)
+    val path = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    while (i > 0 && j > 0) {
+      path += ((i, j, math.abs(a(i - 1) - b(j - 1))))
+      if (i == 1 && j == 1) { i = 0; j = 0 }
+      else {
+        val diag = if (i > 1 && j > 1) d(i - 1)(j - 1) else INF
+        val up = if (i > 1) d(i - 1)(j) else INF
+        val left = if (j > 1) d(i)(j - 1) else INF
+        val best = math.min(diag, math.min(up, left))
+        if (diag == best) { i -= 1; j -= 1 }
+        else if (up == best) { i -= 1 }
+        else { j -= 1 }
+      }
+    }
+    val ordered = path.reverse
+    val cum = ordered.scanLeft(0L)(_ + _._3).tail
+    val spark = events.sparkSession
+    import spark.implicits._
+    ordered.zip(cum).zipWithIndex.map { case (((pi, pj, c), cc), idx) =>
+      ((idx + 1).toLong, pi.toLong, pj.toLong,
+        c.toDouble / 100, cc.toDouble / 100)
+    }.toSeq.toDF("step", "i", "j", "step_cost", "cum_cost")
+      .orderBy(col("step"))
+  }
+
   /** ATT1 — position-based (U-shaped) multi-touch attribution: each
     * purchase's revenue splits across ALL the user's preceding touches
     * since their prior purchase — 40% to the first touch, 40% to the

@@ -1202,6 +1202,44 @@ class AnalyticsSpec extends SparkTestBase {
       s"engine ${got.toSeq.sorted} != replay ${want.toSeq.sorted}")
   }
 
+  test("dtwDaily: identical series align on the pure diagonal at zero " +
+    "cost; a 1-day lag warps to zero via an insertion") {
+    def series(tpe: String, vals: Seq[Double], u: Long) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (u, f"2024-01-${i + 1}%02d 10:00:00", tpe, v) }
+    val same = ev(series("purchase", Seq(1.0, 2.0, 3.0), 1L) ++
+      series("click", Seq(1.0, 2.0, 3.0), 2L): _*)
+    val d1 = Analytics.dtwDaily(same).collect()
+    assert(d1.length == 3)
+    assert(d1.forall(_.getDouble(3) == 0.0), "diagonal should cost zero")
+    assert(d1.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    // clicks = purchases delayed one day with a leading repeat: the
+    // warp absorbs the lag at zero total cost
+    val lag = ev(series("purchase", Seq(1.0, 2.0, 3.0), 1L) ++
+      series("click", Seq(1.0, 1.0, 2.0, 3.0), 2L): _*)
+    val d2 = Analytics.dtwDaily(lag).collect()
+    assert(d2.last.getDouble(4) == 0.0,
+      s"lagged series should align free: ${d2.last}")
+    assert(d2.length == 4)
+  }
+
+  test("dtwDaily: trailing-maxDays contract trims the head; missing " +
+    "series fails loudly") {
+    def series(tpe: String, vals: Seq[Double], u: Long) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (u, f"2024-01-${i + 1}%02d 10:00:00", tpe, v) }
+    // head values 90, 80 would dominate cost if not trimmed
+    val events = ev(series("purchase", Seq(90.0, 80.0, 1.0, 2.0), 1L) ++
+      series("click", Seq(1.0, 2.0), 2L): _*)
+    val got = Analytics.dtwDaily(events, maxDays = 2).collect()
+    assert(got.length == 2 && got.last.getDouble(4) == 0.0, got.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Analytics.dtwDaily(ev(series("purchase", Seq(1.0), 1L): _*))
+    }
+    assert(e.getMessage.contains("both purchase and click"), e.getMessage)
+  }
+
   test("boostedStumps: single-cell corpus fails loudly") {
     val df = ord((100.0, "1-URGENT", "1994-01-05 00:00:00", "F"))
     val e = intercept[IllegalArgumentException] {
