@@ -5464,6 +5464,105 @@ object Queries {
        |FROM c$iters ORDER BY node""".stripMargin
   }
 
+  /** HITS1 — hubs & authorities over the pr1 trade graph: 4 fixed
+    * mutual-reinforcement rounds, L1-normalized on the 1e-10 grid with
+    * exact decimal sums between roundings (pr1's discipline; L1 instead
+    * of Kleinberg's L2 keeps every intermediate a replayable rational).
+    * See [[graft.operators.Graph.hits]]. */
+  val hits1HubsAuth: Q = (s, d) =>
+    graft.operators.Graph.hits(
+      Tables.nation(s, d).select(col("n_name").as("node")),
+      tradeEdges(s, d), iters = 4)
+
+  val hits1HubsAuthSql: String = {
+    val iters = 4
+    // one L1-normalized half-step: raw = Σ over edges of the prior score
+    // (exact decimal sum of grid-rounded values), score = raw/Σraw on the
+    // 1e-10 grid; LEFT JOIN keeps in-edge-less nodes at 0
+    def half(out: String, in: String, from: String, to: String) =
+      s"""${out}raw AS (
+         |  SELECT e.$to AS node, sum(CAST(s.score AS DECIMAL(28,12))) AS raw
+         |  FROM $in s JOIN edges e ON s.node = e.$from GROUP BY 1),
+         |$out AS MATERIALIZED (
+         |  SELECT n.n_name AS node,
+         |    CASE WHEN t.tot IS NULL OR t.tot = 0 THEN 0.0
+         |         ELSE floor(CAST(coalesce(r.raw, 0) AS DOUBLE) /
+         |                CAST(t.tot AS DOUBLE) * 10000000000 + 0.5)
+         |              / 10000000000 END AS score
+         |  FROM nation n
+         |  LEFT JOIN ${out}raw r ON n.n_name = r.node
+         |  CROSS JOIN (SELECT sum(raw) AS tot FROM ${out}raw) t)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      half(s"a$k", s"h${k - 1}", "src", "dst") + ",\n" +
+        half(s"h$k", s"a$k", "dst", "src")
+    }.mkString(",\n")
+    s"""WITH $tradeEdgesCte,
+       |h0 AS (SELECT n_name AS node,
+       |         floor(1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM nation)
+       |               * 1000000000000 + 0.5) / 1000000000000 AS score
+       |       FROM nation),
+       |$steps
+       |SELECT h$iters.node, h$iters.score AS hub, a$iters.score AS authority
+       |FROM h$iters JOIN a$iters ON a$iters.node = h$iters.node
+       |ORDER BY h$iters.node""".stripMargin
+  }
+
+  /** MOD1 — modularity audit of lp1's community assignment over the pr1
+    * trade graph: per community e_c (internal edges), d_c (total degree)
+    * and the exact-integer contribution (4·m·e_c − d_c²)/4m² on the 1e-10
+    * grid. See [[graft.operators.Graph.modularity]]. */
+  val mod1Modularity: Q = (s, d) => {
+    val nodes = Tables.nation(s, d).select(col("n_name").as("node"))
+    val edges = tradeEdges(s, d)
+    graft.operators.Graph.modularity(
+      graft.operators.Graph.labelPropagation(nodes, edges, rounds = 4)
+        .select(col("node"), col("community")),
+      edges)
+  }
+
+  val mod1ModularitySql: String = {
+    // communities come from lp1's exact CTE chain; modularity itself is
+    // two integer aggregations over the community-tagged edge list
+    val rounds = 4
+    val steps = (1 to rounds).map { i =>
+      s"""v$i AS (SELECT nb.node, l.lbl, count(*) AS c
+         |  FROM nb JOIN l${i - 1} l ON l.node = nb.nbr GROUP BY 1, 2),
+         |p$i AS (SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |             ORDER BY c DESC, lbl) AS rn FROM v$i) t
+         |  WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT l${i - 1}.node,
+         |    COALESCE(p$i.lbl, l${i - 1}.lbl) AS lbl
+         |  FROM l${i - 1} LEFT JOIN p$i ON p$i.node = l${i - 1}.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |$tradeEdgesCte,
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM edges WHERE src <> dst),
+       |nb AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
+       |       UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT n_name AS node, n_name AS lbl FROM nation),
+       |$steps,
+       |tagged AS MATERIALIZED (
+       |  SELECT und.a, und.b, ca.lbl AS comm_a, cb.lbl AS comm_b
+       |  FROM und JOIN l$rounds ca ON ca.node = und.a
+       |           JOIN l$rounds cb ON cb.node = und.b),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tagged),
+       |deg AS (SELECT community, CAST(count(*) AS BIGINT) AS d_c FROM (
+       |          SELECT comm_a AS community FROM tagged
+       |          UNION ALL SELECT comm_b FROM tagged) GROUP BY 1),
+       |intr AS (SELECT comm_a AS community, CAST(count(*) AS BIGINT) AS e_c
+       |         FROM tagged WHERE comm_a = comm_b GROUP BY 1)
+       |SELECT deg.community, coalesce(intr.e_c, 0) AS e_c, deg.d_c,
+       |       floor(CAST(4 * m.m * coalesce(intr.e_c, 0) - deg.d_c * deg.d_c AS DOUBLE)
+       |             / CAST(4 * m.m * m.m AS DOUBLE) * 10000000000 + 0.5)
+       |       / 10000000000 AS q_contrib
+       |FROM deg LEFT JOIN intr ON intr.community = deg.community
+       |CROSS JOIN m
+       |ORDER BY deg.community""".stripMargin
+  }
+
   val pr1Pagerank: Q = (s, d) =>
     graft.operators.Graph.pageRank(
       Tables.nation(s, d).select(col("n_name").as("node")),
@@ -7470,6 +7569,8 @@ object Queries {
     "t12_bm25" -> t12Bm25,
     "surv1_kaplan_meier" -> surv1KaplanMeier,
     "lp1_communities" -> lp1Communities,
+    "hits1_hubs_auth" -> hits1HubsAuth,
+    "mod1_modularity" -> mod1Modularity,
     "fh1_feature_hash" -> fh1FeatureHash,
     "ndcg1_rank_eval" -> ndcg1RankEval,
     "dq2_benford_audit" -> dq2BenfordAudit,
@@ -7730,6 +7831,8 @@ object Queries {
     "t12_bm25" -> t12Bm25Sql,
     "surv1_kaplan_meier" -> surv1KaplanMeierSql,
     "lp1_communities" -> lp1CommunitiesSql,
+    "hits1_hubs_auth" -> hits1HubsAuthSql,
+    "mod1_modularity" -> mod1ModularitySql,
     "fh1_feature_hash" -> fh1FeatureHashSql,
     "ndcg1_rank_eval" -> ndcg1RankEvalSql,
     "dq2_benford_audit" -> dq2BenfordAuditSql,
@@ -7880,5 +7983,6 @@ object Queries {
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
     "iso1_isotonic_calibration", "ts3_theil_sen", "logrank1_survival_test",
     "bfs1_shortest_paths", "att1_position_attribution", "dtw1_series_align",
+    "hits1_hubs_auth", "mod1_modularity",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -244,6 +244,98 @@ object Graph {
       .select(col("u"), col("w1"), col("w2"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) with a fixed iteration count
+    * and L1 normalization — the mutual-reinforcement leg of the graph
+    * family (pr1 ranks by a single random-walk score; HITS separates "who
+    * points at the good ones" from "who the good ones point at", the
+    * asymmetry a directed trade graph actually has).
+    *
+    * Per half-step: authority_raw(v) = Σ_{u→v} hub(u) summed EXACTLY as
+    * decimals (scores are grid-rounded doubles, so the decimal sum is
+    * exact), then L1-normalized (divide by the exact decimal total) and
+    * grid-rounded to 1e-10 — Kleinberg's L2 norm would put an irrational
+    * sqrt between the engines, while the L1 variant (standard in the
+    * textbook treatments) keeps every intermediate a replayable rational.
+    * Nodes with no in-edges hold score 0 (no teleport in HITS); an empty
+    * raw total short-circuits to all-zero rather than 0/0.
+    *
+    * Scale shape: each half-step is one hash join of the score frame to
+    * the edge list on the node key + one map-side-combinable decimal sum,
+    * plus a 1-row broadcast for the normalizer — the same
+    * bulk-synchronous round as [[pageRank]], state one row per node.
+    * Fixed iteration count: the driver never inspects data between
+    * rounds, and the oracle unrolls digit-exact. */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val e = edges.localCheckpoint() // reused 2×iters times: build edges once
+    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val init = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), portableRound(lit(1.0) / col("n"), 12).as("score"))
+    // one push half-step: sum `scores` over edges from srcCol onto dstCol,
+    // L1-normalize, grid-round; left join keeps in-edge-less nodes at 0.
+    // `raw` is consumed TWICE (normalizer + join) — without a lineage cut
+    // here the plan doubles every half-step (measured: 5.4k-line dump at
+    // 8 half-steps); the checkpoint is one node-sized frame per half-step
+    def push(scores: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+      val raw = scores.as("s").join(e, col("s.node") === col(srcCol))
+        .groupBy(col(dstCol).as("node"))
+        .agg(sum(col("s.score").cast("decimal(28,12)")).as("raw"))
+        .localCheckpoint()
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(tot))
+        .select(col("node"),
+          when(col("tot").isNull || col("tot") === 0, lit(0.0))
+            .otherwise(portableRound(
+              coalesce(col("raw"), lit(0).cast("decimal(28,12)")).cast("double") /
+                col("tot").cast("double"), 10)).as("score"))
+    }
+    var h = init
+    var a = init
+    for (i <- 1 to iters) {
+      a = push(h, "src", "dst")
+      h = push(a, "dst", "src")
+      if (i % 2 == 0 && i < iters) { a = a.localCheckpoint(); h = h.localCheckpoint() }
+    }
+    h.select(col("node"), col("score").as("hub"))
+      .join(a.select(col("node"), col("score").as("authority")), "node")
+      .orderBy(col("node"))
+  }
+
+  /** Modularity audit of a community assignment (Newman 2004): per
+    * community, its internal edge count e_c, total degree d_c, and exact
+    * modularity contribution — Q = Σ_c [ e_c/m − (d_c/2m)² ]. The engine
+    * never leaves integer space: contribution × 4m² = 4·m·e_c − d_c², an
+    * exact BIGINT, divided once at the end on the 1e-10 grid. This is the
+    * quality readout lp1's fixed-round label propagation lacks — "did the
+    * partition actually concentrate edges inside communities?" — and the
+    * objective any Louvain-style refiner would climb.
+    *
+    * Scale shape: one hash join of the (node → community) map onto each
+    * edge endpoint (the map is node-table-sized; AQE broadcasts it while
+    * it fits), then two map-side-combinable integer aggregations. No
+    * iteration, no driver state. */
+  def modularity(communities: DataFrame, edges: DataFrame): DataFrame = {
+    val und = undirected(edges)
+    val ca = communities.select(col("node").as("a"), col("community").as("comm_a"))
+    val cb = communities.select(col("node").as("b"), col("community").as("comm_b"))
+    val tagged = und.join(ca, "a").join(cb, "b").localCheckpoint()
+    val m = tagged.agg(count(lit(1)).as("m"))
+    // d_c counts BOTH endpoints (a self-community edge adds 2 to d_c)
+    val deg = tagged.select(col("comm_a").as("community"))
+      .unionByName(tagged.select(col("comm_b").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("d_c"))
+    val internal = tagged.filter(col("comm_a") === col("comm_b"))
+      .groupBy(col("comm_a").as("community")).agg(count(lit(1)).as("e_c"))
+    deg.join(internal, Seq("community"), "left")
+      .select(col("community"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("e_c"), col("d_c"),
+        portableRound((lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+          .cast("double") / (lit(4L) * col("m") * col("m")).cast("double"), 10)
+          .as("q_contrib"))
+      .orderBy(col("community"))
+  }
+
   /** BFS1 — single-source shortest paths + shortest-path COUNTS over a
     * directed graph, the min-plus leg the graph family lacked (d7 finds
     * components, pr1 ranks, tri1/kcore1 measure density, lp1 partitions

@@ -193,4 +193,52 @@ class GraphSpec extends SparkTestBase {
       .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(d("d") == ((1L, 1L)), s"direct edge wins: ${d("d")}")
   }
+
+  test("hits: authority concentrates on the pointed-at node, hubs on its " +
+    "pointers, L1 mass sums to 1") {
+    // b and c both point at a; a points back at b; c has no in-edges
+    val ns = Seq("a", "b", "c").toDF("node")
+    val edges = Seq(("b", "a"), ("c", "a"), ("a", "b")).toDF("src", "dst")
+    val r = Graph.hits(ns, edges, iters = 8).collect()
+      .map(x => x.getString(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    val (hub, auth) = (r.view.mapValues(_._1).toMap, r.view.mapValues(_._2).toMap)
+    assert(auth("a") > auth("b") && auth("b") > 0, auth.toString)
+    assert(auth("c") == 0.0, "no in-edges => zero authority")
+    // b and c point at the same single target: hubs tie exactly, above a
+    assert(hub("b") == hub("c") && hub("b") > hub("a"), hub.toString)
+    assert(math.abs(hub.values.sum - 1.0) < 1e-8, hub.values.sum.toString)
+    assert(math.abs(auth.values.sum - 1.0) < 1e-8, auth.values.sum.toString)
+  }
+
+  test("hits: deterministic under repartitioning, zero graph short-circuits") {
+    val ns = Seq("a", "b", "c").toDF("node")
+    val edges = Seq(("b", "a"), ("c", "a"), ("a", "b")).toDF("src", "dst")
+    val r1 = Graph.hits(ns, edges, iters = 4).collect().map(_.toString).toSeq
+    val r2 = Graph.hits(ns.repartition(3), edges.repartition(5), iters = 4)
+      .collect().map(_.toString).toSeq
+    assert(r1 == r2) // bit-identical, not approximately equal
+    // edgeless graph: no 0/0 — every score is exactly 0 after one push
+    val none = Graph.hits(ns, Seq.empty[(String, String)].toDF("src", "dst"),
+      iters = 2).collect()
+    assert(none.forall(x => x.getDouble(1) == 0.0 && x.getDouble(2) == 0.0))
+  }
+
+  test("modularity: two cliques with a bridge score 35/196 each; " +
+    "one-community graph scores 0; degree mass = 2m") {
+    // K3 {a,b,c} + K3 {d,e,f} + bridge c-d: m = 7
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).toDF("src", "dst")
+    val comm = Seq(("a", "A"), ("b", "A"), ("c", "A"),
+      ("d", "B"), ("e", "B"), ("f", "B")).toDF("node", "community")
+    val r = Graph.modularity(comm, edges).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    // e_A = 3 internal, d_A = 7 endpoint slots; (4·7·3 − 49)/196 = 35/196
+    assert(r.toSeq == Seq(("A", 3L, 7L, 0.1785714286), ("B", 3L, 7L, 0.1785714286)),
+      r.mkString(", "))
+    assert(r.map(_._3).sum == 14L) // Σd_c = 2m exactly
+    val one = Seq(("a", "X"), ("b", "X"), ("c", "X"), ("d", "X"), ("e", "X"),
+      ("f", "X")).toDF("node", "community")
+    val q = Graph.modularity(one, edges).collect()
+    assert(q.length == 1 && q.head.getDouble(3) == 0.0, q.mkString(", "))
+  }
 }
