@@ -97,6 +97,11 @@ SUBSET = [
     "bfs1_shortest_paths",   # edge build 10x, bounded-graph rounds constant
     "gbt1_boosted_stumps",   # ONE corpus scan to the 480-cell grid
     "ts3_theil_sen",         # daily rollup 10x, days^2 pairs CONSTANT
+    # round-11 third pass: attribution/alignment/graph-audit shapes
+    "att1_position_attribution",  # two key exchanges on the touch stream
+    "dtw1_series_align",     # daily rollup 10x, days*w band DP constant
+    "hits1_hubs_auth",       # edge build 10x, 8 bounded-graph half-steps
+    "mod1_modularity",       # lp1's edge build + ONE tagging join + 2 aggs
     # chrf1_eval is deliberately NOT under the default bound: its work is
     # linear in CHAR mass, and this synthesis grows chars 13.99x (the
     # "_k" token suffixes) while rows/tokens grow 10x — measured 9.3x
