@@ -3305,6 +3305,40 @@ object Queries {
        |FROM g""".stripMargin
   }
 
+  /** WER1 — corpus word error rate of a deterministically corrupted
+    * candidate set (5% delete + 10% substitute on the per-position hash):
+    * token-level Levenshtein summed over the corpus / reference token
+    * mass, the alignment-cost leg bleu1/rouge1/chrf1 lack. Both engines
+    * run their built-in levenshtein over per-doc single-ASCII-char token
+    * encodings (edit distance is invariant under injective relabeling).
+    * See [[graft.operators.TextAnalysis.corpusWer]]. */
+  val wer1Eval: Q = (s, d) => TextAnalysis.corpusWer(Tables.documents(s, d))
+
+  val wer1EvalSql: String = {
+    val hit = md5BucketSql(
+      "'wer:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS rl FROM documents),
+       |c AS (SELECT doc_id, rl,
+       |        [CASE WHEN ($hit) < 1500 THEN chr(1) ELSE rl[i] END
+       |         FOR i IN RANGE(1, len(rl) + 1) IF NOT (($hit) < 500)] AS cl
+       |      FROM t),
+       |v AS (SELECT doc_id, rl, cl,
+       |        list_distinct(list_append(rl, chr(1))) AS vc FROM c),
+       |e AS (SELECT len(rl) AS nr, len(cl) AS nc,
+       |        levenshtein(
+       |          array_to_string([chr(32 + list_position(vc, x)) FOR x IN cl], ''),
+       |          array_to_string([chr(32 + list_position(vc, x)) FOR x IN rl], '')) AS dist
+       |      FROM v),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(nr) AS BIGINT) AS ref_tokens,
+       |        CAST(sum(nc) AS BIGINT) AS cand_tokens,
+       |        CAST(sum(dist) AS BIGINT) AS edits FROM e)
+       |SELECT *, CASE WHEN ref_tokens > 0
+       |  THEN floor(CAST(edits AS DOUBLE) / CAST(ref_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000
+       |  ELSE 0.0 END AS wer
+       |FROM a""".stripMargin
+  }
+
   /** ZIPF1 — Zipf-law fit over the top-500 token frequencies: OLS of
     * ln(count) on ln(rank) with exact-integer moment folds.
     * See [[graft.operators.TextAnalysis.zipfFit]]. */
@@ -7640,6 +7674,7 @@ object Queries {
     "mmd1_dist_shift" -> mmd1DistShift,
     "ks1_two_sample" -> ks1TwoSample,
     "chrf1_eval" -> chrf1Eval,
+    "wer1_eval" -> wer1Eval,
     "kn1_kneser_ney" -> kn1KneserNey,
     "ridge1_normal_eq" -> ridge1NormalEq,
     "hw1_holt_trend" -> hw1HoltTrend,
@@ -7895,6 +7930,7 @@ object Queries {
     "mmd1_dist_shift" -> mmd1DistShiftSql,
     "ks1_two_sample" -> ks1TwoSampleSql,
     "chrf1_eval" -> chrf1EvalSql,
+    "wer1_eval" -> wer1EvalSql,
     "kn1_kneser_ney" -> kn1KneserNeySql,
     "ridge1_normal_eq" -> ridge1NormalEqSql,
     "hw1_holt_trend" -> hw1HoltTrendSql,
@@ -7977,7 +8013,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

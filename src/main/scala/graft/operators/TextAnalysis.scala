@@ -399,6 +399,69 @@ object TextAnalysis {
           (lit(b2) * col("chr_p") + col("chr_r")))).otherwise(0.0))
   }
 
+  /** Corpus WER (word error rate): token-level Levenshtein distance
+    * between each reference and a deterministically corrupted candidate
+    * (delete below `delThresh`, substitute below `subThresh` on the same
+    * per-position hash — the bleu/rouge/chrf derivation extended with
+    * substitutions, which pure dropout can't exercise), summed over the
+    * corpus and divided by reference token mass. Completes the MT-eval
+    * family with its alignment-cost leg: BLEU/chrF score overlap
+    * regardless of order, WER charges every insertion/deletion/
+    * substitution an edit.
+    *
+    * The DP runs in BOTH engines through their built-in `levenshtein`
+    * by encoding each token as ONE printable-ASCII char from the doc's
+    * own vocabulary (ref tokens + the substitution marker). Levenshtein
+    * is invariant under injective relabeling, so the two engines'
+    * different vocab orders cannot disagree; ASCII keeps DuckDB's
+    * byte-level and Spark's codepoint-level DP on the same units. Docs
+    * with more than 94 distinct tokens fail LOUDLY (raise_error) rather
+    * than alias two tokens onto one char — the fixture max is 31; a
+    * corpus that trips this needs the marker alphabet widened, not a
+    * silent wrong distance.
+    *
+    * Exactness: distances and token counts are exact BIGINT folds; the
+    * single WER ratio snaps to the 1e-6 grid. Shape: per-row encode +
+    * per-row DP (row-local, whole-stage codegen'd) + ONE map-side 1-row
+    * aggregate — no shuffle wider than one row at any scale; the DP cost
+    * is O(len·len) per row against the fixture's ≤100-token docs and the
+    * operator is linear in rows. */
+  def corpusWer(documents: DataFrame, delThresh: Int = 500,
+                subThresh: Int = 1500, salt: String = "wer"): DataFrame = {
+    require(delThresh >= 0 && subThresh >= delThresh && subThresh <= 10000,
+      s"need 0 <= delThresh <= subThresh <= 10000, got $delThresh/$subThresh")
+    val SUB = "\u0001" // gram-separator plane: never a whitespace token
+    def hb(i: org.apache.spark.sql.Column) =
+      Sampling.hashBucket(concat(lit(s"$salt:"), col("doc_id").cast("string"),
+        lit(":"), (i + 1).cast("string")))
+    val idxed = transform(toks, (t, i) =>
+      struct(hb(i).as("h"), t.as("t")))
+    val cand = transform(
+      filter(idxed, x => x("h") >= delThresh),
+      x => when(x("h") < subThresh, lit(SUB)).otherwise(x("t")))
+    // per-doc vocab: ref tokens + SUB (every cand token is one of these);
+    // token -> chr(32 + 1-based position), printable single-byte ASCII
+    val vocab = array_distinct(concat(toks, array(lit(SUB))))
+    def enc(ts: org.apache.spark.sql.Column) = concat_ws("",
+      transform(ts, t => char(lit(32) + array_position(col("_v"), t))))
+    val proj = documents
+      .select(toks.as("_r"), cand.as("_c"), vocab.as("_v"))
+      .select(size(col("_r")).cast("long").as("nr"),
+        size(col("_c")).cast("long").as("nc"),
+        when(size(col("_v")) > 94, raise_error(concat(
+          lit("wer: doc vocabulary exceeds the 94-char encode alphabet ("),
+          size(col("_v")).cast("string"), lit(" distinct tokens)"))))
+          .otherwise(levenshtein(enc(col("_c")), enc(col("_r"))))
+          .cast("long").as("dist"))
+    proj.agg(count(lit(1)).as("n_docs"),
+        sum(col("nr")).as("ref_tokens"),
+        sum(col("nc")).as("cand_tokens"),
+        sum(col("dist")).as("edits"))
+      .withColumn("wer", when(col("ref_tokens") > 0,
+        floor(col("edits").cast("double") / col("ref_tokens").cast("double")
+          * 1000000.0 + 0.5) / 1000000.0).otherwise(0.0))
+  }
+
   /** Zipf-law fit of the token frequency distribution: OLS slope of
     * ln(count) on ln(rank) over the top-`topK` tokens — the corpus-health
     * fingerprint (natural language sits near slope −1; templated or

@@ -532,4 +532,75 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.langTrainConfusion(docs, Seq("en", "en"))
     }
   }
+
+  // independent md5 bucket replica of Sampling.hashBucket (first 8 hex
+  // chars of md5, parsed base 16, mod 10000) — NOT the Spark expression
+  private def md5Bucket(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) % 10000L
+  }
+
+  // classic O(nm) token-level Levenshtein, independent of both engines
+  private def lev(a: IndexedSeq[String], b: IndexedSeq[String]): Long = {
+    var prev = Array.tabulate(b.length + 1)(_.toLong)
+    for (i <- 1 to a.length) {
+      val cur = new Array[Long](b.length + 1); cur(0) = i.toLong
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      prev = cur
+    }
+    prev(b.length)
+  }
+
+  test("corpusWer: fixture-wide independent replay (md5 corruption + " +
+    "token DP) matches the engine's encoded-levenshtein path exactly") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    var refToks = 0L; var candToks = 0L; var edits = 0L
+    raw.foreach { case (id, text) =>
+      val ref = text.split(" ", -1).toIndexedSeq
+      val cand = ref.zipWithIndex.flatMap { case (t, i) =>
+        val h = md5Bucket(s"wer:$id:${i + 1}")
+        if (h < 500) None
+        else if (h < 1500) Some("\u0001")
+        else Some(t)
+      }
+      refToks += ref.length; candToks += cand.length
+      edits += lev(cand, ref)
+    }
+    val r = TextAnalysis.corpusWer(docs).collect()(0)
+    def l(c: String) = r.getLong(r.fieldIndex(c))
+    assert(l("n_docs") == raw.length)
+    assert(l("ref_tokens") == refToks, s"${l("ref_tokens")} vs $refToks")
+    assert(l("cand_tokens") == candToks)
+    assert(l("edits") == edits, s"${l("edits")} vs $edits")
+    val wer = math.floor(edits.toDouble / refToks * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(r.fieldIndex("wer")) == wer)
+    // edits can undercut applied-op count (alignment may be cheaper) but
+    // never exceed it, and never undercut pure length difference
+    assert(edits >= refToks - candToks && edits <= refToks)
+  }
+
+  test("corpusWer: identical twins cost 0; vocab over the 94-char " +
+    "alphabet fails loudly; bad thresholds rejected") {
+    val same = docsDF(doc(1, "a b c a"), doc(2, "x y"))
+    val r0 = TextAnalysis.corpusWer(same, delThresh = 0, subThresh = 0)
+      .collect()(0)
+    assert(r0.getLong(r0.fieldIndex("edits")) == 0L &&
+      r0.getDouble(r0.fieldIndex("wer")) == 0.0)
+    val wide = docsDF(doc(1, (1 to 95).map(i => s"tok$i").mkString(" ")))
+    val e = intercept[Exception] {
+      TextAnalysis.corpusWer(wide).collect()
+    }
+    assert(e.getMessage.contains("94-char encode alphabet") ||
+      Option(e.getCause).exists(_.getMessage.contains("94-char")),
+      e.getMessage)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.corpusWer(same, delThresh = 600, subThresh = 500)
+    }
+  }
 }
