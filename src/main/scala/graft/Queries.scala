@@ -5123,6 +5123,46 @@ object Queries {
        |FROM g""".stripMargin
   }
 
+  /** CUSUM1 — Page's CUSUM control chart per event-type daily revenue:
+    * exact-integer one-sided drift statistics via the prefix closed form
+    * S_i = P_i − min(0, min_{j≤i} P_j) (no sequential loop), reported in
+    * mean-day units on the 1e-6 grid, alarm at ratio > 1. cp1 finds the
+    * best retrospective split; cusum1 is the monitoring-time detector.
+    * See [[graft.operators.Analytics.cusumDrift]]. */
+  val cusum1Drift: Q = (s, d) =>
+    graft.operators.Analytics.cusumDrift(Tables.events(s, d))
+
+  val cusum1DriftSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS HUGEINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |g1 AS (
+      |  SELECT event_type, day, cents,
+      |         CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) AS dd,
+      |         sum(cents) OVER (PARTITION BY event_type) AS tt
+      |  FROM daily),
+      |g2 AS (
+      |  SELECT *, sum(dd * cents - tt) OVER pre AS p
+      |  FROM g1
+      |  WINDOW pre AS (PARTITION BY event_type ORDER BY day
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |g3 AS (
+      |  SELECT event_type, day, cents, tt,
+      |         p - least(CAST(0 AS HUGEINT), min(p) OVER pre) AS up,
+      |         greatest(CAST(0 AS HUGEINT), max(p) OVER pre) - p AS dn
+      |  FROM g2
+      |  WINDOW pre AS (PARTITION BY event_type ORDER BY day
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |g4 AS (
+      |  SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+      |         CAST(cents AS BIGINT) AS cents,
+      |         CASE WHEN tt <> 0 THEN floor(CAST(up AS DOUBLE) / CAST(tt AS DOUBLE) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS cusum_up,
+      |         CASE WHEN tt <> 0 THEN floor(CAST(dn AS DOUBLE) / CAST(tt AS DOUBLE) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS cusum_dn
+      |  FROM g3)
+      |SELECT *, cusum_up > 1.0 AS alarm_up, cusum_dn > 1.0 AS alarm_dn
+      |FROM g4 ORDER BY event_type, day""".stripMargin
+
   /** CP1 — single mean-shift changepoint per event-type daily series
     * ([[graft.operators.Analytics.meanShiftChangepoint]]): argmax over
     * split points of `|meanL − meanR|·sqrt(i(n−i)/n)`, ties to the
@@ -7551,6 +7591,7 @@ object Queries {
     "exp1_ab_test" -> exp1AbTest,
     "exp2_cuped" -> exp2CupedAbTest,
     "tt1_welch_ttest" -> tt1WelchTTest,
+    "cusum1_drift" -> cusum1Drift,
     "cp1_changepoint" -> cp1Changepoint,
     "er1_fuzzy_match" -> er1FuzzyMatch,
     "er2_star_resolve" -> er2StarResolve,
@@ -7814,6 +7855,7 @@ object Queries {
     "exp1_ab_test" -> exp1AbTestSql,
     "exp2_cuped" -> exp2CupedAbTestSql,
     "tt1_welch_ttest" -> tt1WelchTTestSql,
+    "cusum1_drift" -> cusum1DriftSql,
     "cp1_changepoint" -> cp1ChangepointSql,
     "er1_fuzzy_match" -> er1FuzzyMatchSql,
     "er2_star_resolve" -> er2StarResolveSql,
@@ -8013,7 +8055,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

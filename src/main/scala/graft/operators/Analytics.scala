@@ -690,6 +690,64 @@ object Analytics {
         .otherwise(lit(0.0)).as("adj_b"))
   }
 
+  /** Page's CUSUM control chart (Page 1954) over each event type's daily
+    * revenue series: the SEQUENTIAL drift detector next to
+    * [[meanShiftChangepoint]]'s retrospective argmax — the chart
+    * accumulates above-mean (and below-mean) excess day by day and alarms
+    * when the cumulative excess passes one mean day of revenue.
+    *
+    * Exactness: with x_i the day's cents, D the type's day count and T
+    * its total, z_i = D·x_i − T is an exact integer deviation-from-mean
+    * (scaled through D instead of dividing by it). The one-sided
+    * recurrences S_i = max(0, S_{i−1} + z_i) and T_i = max(0, T_{i−1} −
+    * z_i) are replaced by their prefix closed forms over P_i = Σ_{j≤i}
+    * z_j (see inline proof sketch), so the whole chart is exact-integer
+    * window arithmetic; the final mean-day-unit ratios snap to the 1e-6
+    * grid and both engines agree digit for digit.
+    *
+    * Shape: one corpus-sized daily aggregation, then three windows over
+    * the per-type calendar grid (a prefix sum, a prefix min, a prefix
+    * max) — no sequential driver loop, no recursion, one pass at any
+    * calendar length. */
+  def cusumDrift(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("decimal(38,0)").as("cents"))
+    val wAll = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPre = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // z_i = D·x_i − T: deviation from the per-type mean day, kept exact by
+    // scaling through the day count instead of dividing by it
+    val g = daily
+      .withColumn("dd", count(lit(1)).over(wAll).cast("decimal(38,0)"))
+      .withColumn("tt", sum(col("cents")).over(wAll))
+      .withColumn("p", sum(col("dd") * col("cents") - col("tt")).over(wPre))
+    // the recurrences S_i = max(0, S_{i-1} + z_i) and
+    // T_i = max(0, T_{i-1} - z_i) have the prefix closed forms
+    //   S_i = P_i - min(0, min_{j<=i} P_j),  T_i = max(0, max_{j<=i} P_j) - P_i
+    // (induction on i) — two stacked windows instead of a sequential loop,
+    // so the chart is one pass even on an unbounded calendar
+    val up = col("p") - least(lit(0).cast("decimal(38,0)"),
+      min(col("p")).over(wPre))
+    val dn = greatest(lit(0).cast("decimal(38,0)"),
+      max(col("p")).over(wPre)) - col("p")
+    // report in mean-day units (S_real/mean = S'·...: S' is D·cents, the
+    // mean day is T/D cents, so S'/T is the dimensionless multiple) on the
+    // 1e-6 grid; alarm at one mean day of cumulative excess (ratio > 1)
+    def ratio(c: Column) = when(col("tt") =!= 0,
+      portableRound(c.cast("double") / col("tt").cast("double"), 6))
+      .otherwise(lit(0.0))
+    g.select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cents").cast("long").as("cents"),
+        ratio(up).as("cusum_up"), ratio(dn).as("cusum_dn"))
+      .withColumn("alarm_up", col("cusum_up") > 1.0)
+      .withColumn("alarm_dn", col("cusum_dn") > 1.0)
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Single mean-shift changepoint per event-type daily series (binary
     * segmentation's first split): for every candidate split after day i,
     * the statistic `|mean_left − mean_right| · sqrt(i·(n−i)/n)` — the

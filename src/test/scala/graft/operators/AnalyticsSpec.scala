@@ -1247,4 +1247,59 @@ class AnalyticsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("no valid split"), e.getMessage)
   }
+
+  test("cusumDrift: prefix closed form equals the sequential recurrence, " +
+    "replayed independently") {
+    // an irregular series, exercising resets on both sides
+    val vals = Seq(10.0, 12.0, 3.0, 11.0, 30.0, 9.0, 8.0, 25.0)
+    val events = ev(vals.zipWithIndex.map { case (v, i) =>
+      (1L, f"2024-03-${i + 1}%02d 09:00:00", "view", v)
+    }: _*)
+    val got = Analytics.cusumDrift(events).collect()
+      .map(r => (r.getString(1), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5), r.getBoolean(6)))
+    // independent sequential replay in exact cents-longs
+    val cents = vals.map(v => (v * 100).round)
+    val dd = cents.length.toLong; val tt = cents.sum
+    var s = 0L; var t = 0L
+    val expect = cents.map { c =>
+      val z = dd * c - tt
+      s = math.max(0L, s + z); t = math.max(0L, t - z)
+      (math.floor(s.toDouble / tt * 1e6 + 0.5) / 1e6,
+        math.floor(t.toDouble / tt * 1e6 + 0.5) / 1e6)
+    }
+    assert(got.length == vals.length)
+    got.zip(expect).foreach { case ((day, up, dn, au, ad), (eu, ed)) =>
+      assert(up == eu && dn == ed, s"$day: got ($up,$dn) want ($eu,$ed)")
+      assert(au == (up > 1.0) && ad == (dn > 1.0))
+    }
+  }
+
+  test("cusumDrift: flat series never alarms; a step alarms the up side " +
+    "after sustained excess and stays keyed per event type") {
+    val flat = ev((1 to 6).map(i =>
+      (1L, f"2024-04-$i%02d 09:00:00", "buy", 5.0)): _*)
+    val f = Analytics.cusumDrift(flat).collect()
+    assert(f.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0 &&
+      !r.getBoolean(5) && !r.getBoolean(6)))
+    // 6 quiet days then 4 loud ones: the chart must alarm upward within
+    // the loud run (cumulative excess passes one mean day) and the quiet
+    // prefix must have pushed the DOWN side up first
+    val step = ev(((1 to 6).map(i =>
+      (1L, f"2024-05-$i%02d 09:00:00", "view", 10.0)) ++
+      (7 to 10).map(i => (1L, f"2024-05-$i%02d 09:00:00", "view", 100.0))): _*)
+    val r = Analytics.cusumDrift(step).collect()
+    assert(r.exists(x => x.getBoolean(5)), r.mkString(", "))
+    assert(r.take(6).exists(x => x.getDouble(4) > 0.0))
+    assert(r.take(6).forall(x => !x.getBoolean(5)))
+    // two types never mix their calendars
+    val mixed = ev(
+      (1L, "2024-06-01 09:00:00", "a", 1.0),
+      (1L, "2024-06-02 09:00:00", "a", 1.0),
+      (1L, "2024-06-01 09:00:00", "b", 9.0))
+    val m = Analytics.cusumDrift(mixed).collect()
+    assert(m.count(_.getString(0) == "a") == 2 &&
+      m.count(_.getString(0) == "b") == 1)
+    assert(m.forall(x => x.getDouble(3) == 0.0 || x.getString(0) == "a"))
+  }
 }
