@@ -5163,6 +5163,54 @@ object Queries {
       |SELECT *, cusum_up > 1.0 AS alarm_up, cusum_dn > 1.0 AS alarm_dn
       |FROM g4 ORDER BY event_type, day""".stripMargin
 
+  /** LORENZ1 — Lorenz decile table of per-customer order revenue: exact
+    * positional deciles over a corpus-GLOBAL total order built by a
+    * distributed two-phase rank (order-preserving range buckets +
+    * bucket-offset windows — no global-order window anywhere in the
+    * plan, unlike gini1's per-nation row_number). Boundary RLE groups
+    * split across deciles exactly. See
+    * [[graft.operators.Analytics.lorenzCurve]]. */
+  val lorenz1Deciles: Q = (s, d) =>
+    graft.operators.Analytics.lorenzCurve(Tables.orders(s, d))
+
+  val lorenz1DecilesSql: String =
+    """WITH users AS (
+      |  SELECT o_custkey,
+      |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |rle AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM users GROUP BY 1),
+      |mm AS (SELECT min(cents) AS vmin, max(cents) AS vmax,
+      |              CAST(sum(cnt) AS BIGINT) AS n,
+      |              sum(CAST(cents AS HUGEINT) * cnt) AS tot FROM rle),
+      |b AS (SELECT rle.*, mm.*,
+      |        ((cents - vmin) * 1024) // (vmax - vmin + 1) AS bkt
+      |      FROM rle CROSS JOIN mm),
+      |off AS (SELECT bkt,
+      |          coalesce(sum(bc) OVER (ORDER BY bkt
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_b
+      |        FROM (SELECT bkt, sum(cnt) AS bc FROM b GROUP BY 1)),
+      |r AS (SELECT b.*, before_b + coalesce(sum(cnt) OVER (PARTITION BY b.bkt
+      |          ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0
+      |      FROM b JOIN off USING (bkt)),
+      |sp AS (SELECT *, unnest(range(CAST(c0 * 10 // n + 1 AS BIGINT),
+      |                    CAST((c0 + cnt - 1) * 10 // n + 2 AS BIGINT))) AS decile
+      |       FROM r),
+      |sm AS (SELECT *, greatest(0, least(c0 + cnt, decile * n // 10)
+      |                          - greatest(c0, (decile - 1) * n // 10)) AS members
+      |       FROM sp),
+      |g AS (SELECT decile, CAST(sum(members) AS BIGINT) AS customers,
+      |             sum(CAST(cents AS HUGEINT) * members) AS rev,
+      |             any_value(tot) AS tot
+      |      FROM sm GROUP BY 1),
+      |c AS (SELECT *, sum(rev) OVER (ORDER BY decile
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      |      FROM g)
+      |SELECT CAST(decile AS BIGINT) AS decile, customers,
+      |       CAST(rev AS BIGINT) AS rev_cents,
+      |       CASE WHEN tot > 0 THEN floor(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS rev_share,
+      |       CASE WHEN tot > 0 THEN floor(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS cum_share
+      |FROM c ORDER BY decile""".stripMargin
+
   /** CP1 — single mean-shift changepoint per event-type daily series
     * ([[graft.operators.Analytics.meanShiftChangepoint]]): argmax over
     * split points of `|meanL − meanR|·sqrt(i(n−i)/n)`, ties to the
@@ -7592,6 +7640,7 @@ object Queries {
     "exp2_cuped" -> exp2CupedAbTest,
     "tt1_welch_ttest" -> tt1WelchTTest,
     "cusum1_drift" -> cusum1Drift,
+    "lorenz1_deciles" -> lorenz1Deciles,
     "cp1_changepoint" -> cp1Changepoint,
     "er1_fuzzy_match" -> er1FuzzyMatch,
     "er2_star_resolve" -> er2StarResolve,
@@ -7856,6 +7905,7 @@ object Queries {
     "exp2_cuped" -> exp2CupedAbTestSql,
     "tt1_welch_ttest" -> tt1WelchTTestSql,
     "cusum1_drift" -> cusum1DriftSql,
+    "lorenz1_deciles" -> lorenz1DecilesSql,
     "cp1_changepoint" -> cp1ChangepointSql,
     "er1_fuzzy_match" -> er1FuzzyMatchSql,
     "er2_star_resolve" -> er2StarResolveSql,
@@ -8055,7 +8105,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

@@ -690,6 +690,82 @@ object Analytics {
         .otherwise(lit(0.0)).as("adj_b"))
   }
 
+  /** Lorenz decile table of per-customer revenue — the concentration
+    * curve behind [[graft.Queries.gini1Concentration]]'s coefficient:
+    * customers sorted by spend, cut into ten EXACT positional deciles,
+    * each reporting its customer count, revenue, share and cumulative
+    * share ("the top decile holds 31% of revenue").
+    *
+    * Global ranks come from a DISTRIBUTED two-phase sort, not a global
+    * window (gini1's row_number partitions by nation; this operator
+    * needs a corpus-wide total order): per-customer totals collapse to a
+    * run-length-encoded value domain (cents → count), each distinct
+    * value lands in one of `buckets` order-preserving integer range
+    * buckets, a window over the ≤`buckets`-row summary yields each
+    * bucket's global rank offset, and a window PARTITIONED by bucket
+    * finishes inside it. No operator ever sees the whole domain in one
+    * partition, so the plan survives a value domain as large as the
+    * customer count.
+    *
+    * Exactness: decile d covers ranks (d−1)·n div 10 + 1 .. d·n div 10;
+    * an RLE group [c0+1, c0+cnt] splits across boundary deciles exactly
+    * because every member holds the same value (members-in-decile is a
+    * min/max of integer rank bounds, revenue is value × that count).
+    * Shares snap to the 1e-6 grid only at the end. */
+  def lorenzCurve(orders: DataFrame, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536, s"buckets out of range: $buckets")
+    val users = orders.groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    // rle feeds three consumers (the range agg, the bucket tagging, the
+    // offsets); cut lineage once or the plan re-scans orders per consumer
+    val rle = users.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val mm = rle.agg(min(col("cents")).as("vmin"), max(col("cents")).as("vmax"),
+      sum(col("cnt")).as("n"),
+      sum(col("cents").cast("decimal(38,0)") * col("cnt")).as("tot"))
+    // order-preserving integer range bucket; integral `div` (never
+    // floor-of-double) so both engines truncate identically
+    val b = rle.crossJoin(broadcast(mm))
+      .withColumn("bkt", expr(
+        s"(cents - vmin) * $buckets div (vmax - vmin + 1)"))
+    val wB = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = b.groupBy(col("bkt")).agg(sum(col("cnt")).as("bc"))
+      .withColumn("before_b", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .select(col("bkt"), col("before_b"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = b.join(broadcast(off), Seq("bkt"))
+      .withColumn("c0",
+        col("before_b") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+    // a group spans deciles dlo..dhi (each group explodes to ≤10 rows);
+    // members in decile d = overlap of [c0+1, c0+cnt] with the decile's
+    // exact positional rank range
+    val spread = ranked
+      .withColumn("decile", explode(sequence(
+        expr("c0 * 10 div n + 1"), expr("(c0 + cnt - 1) * 10 div n + 1"))))
+      .withColumn("members", greatest(lit(0L),
+        least(col("c0") + col("cnt"), expr("decile * n div 10")) -
+          greatest(col("c0"), expr("(decile - 1) * n div 10"))))
+    val byDecile = spread.groupBy(col("decile"))
+      .agg(sum(col("members")).as("customers"),
+        sum(col("cents").cast("decimal(38,0)") * col("members")).as("rev"),
+        first(col("tot")).as("tot"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def r6(c: Column) = portableRound(c, 6)
+    byDecile
+      .withColumn("cum_rev", sum(col("rev")).over(wCum))
+      .select(col("decile"), col("customers"),
+        col("rev").cast("long").as("rev_cents"),
+        when(col("tot") > 0, r6(col("rev").cast("double")
+          / col("tot").cast("double"))).otherwise(0.0).as("rev_share"),
+        when(col("tot") > 0, r6(col("cum_rev").cast("double")
+          / col("tot").cast("double"))).otherwise(0.0).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
   /** Page's CUSUM control chart (Page 1954) over each event type's daily
     * revenue series: the SEQUENTIAL drift detector next to
     * [[meanShiftChangepoint]]'s retrospective argmax — the chart

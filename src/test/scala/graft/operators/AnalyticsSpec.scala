@@ -1248,6 +1248,68 @@ class AnalyticsSpec extends SparkTestBase {
     assert(e.getMessage.contains("no valid split"), e.getMessage)
   }
 
+  test("lorenzCurve: known book gives exact decile shares; uniform ties " +
+    "split evenly; boundary groups split exactly") {
+    def orders(rows: (Long, Double)*) =
+      rows.toDF("o_custkey", "o_totalprice")
+    // 10 customers spending 1..10 dollars: decile d = customer d
+    val tenfold = orders((1L to 10L).map(i => (i, i.toDouble)): _*)
+    val r = Analytics.lorenzCurve(tenfold).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getDouble(4)))
+    assert(r.length == 10)
+    (1 to 10).foreach { d =>
+      val (dec, cust, cents, share, cum) = r(d - 1)
+      assert(dec == d && cust == 1L && cents == d * 100L)
+      assert(share == math.floor(d / 55.0 * 1e6 + 0.5) / 1e6)
+      assert(cum == math.floor(d * (d + 1) / 2.0 / 55.0 * 1e6 + 0.5) / 1e6)
+    }
+    // 20 identical customers: ONE RLE group spanning all ten deciles —
+    // the boundary split must hand each decile exactly 2 members, 10%
+    val flat = orders((1L to 20L).map(i => (i, 7.0)): _*)
+    val f = Analytics.lorenzCurve(flat).collect()
+    assert(f.length == 10)
+    assert(f.forall(x => x.getLong(1) == 2L && x.getDouble(3) == 0.1))
+    assert(f.last.getDouble(4) == 1.0)
+  }
+
+  test("lorenzCurve: fixture replay via a driver-side full sort matches " +
+    "the distributed two-phase rank digit for digit") {
+    val orders = graft.Tables.orders(spark, sf0001)
+    val got = Analytics.lorenzCurve(orders).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getDouble(4)))
+    // independent replay: collect per-customer cents, sort ascending,
+    // positional decile cut, exact integer sums
+    val cents = orders.groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("c"))
+      .collect().map(_.getLong(1)).sorted
+    val n = cents.length; val tot = cents.map(BigInt(_)).sum
+    val expect = (1 to 10).flatMap { d =>
+      val lo = (d - 1).toLong * n / 10; val hi = d.toLong * n / 10
+      if (hi == lo) None else {
+        val slice = cents.slice(lo.toInt, hi.toInt)
+        Some((d.toLong, (hi - lo), slice.map(BigInt(_)).sum,
+          cents.take(hi.toInt).map(BigInt(_)).sum))
+      }
+    }
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case ((d, cust, rev, share, cum),
+                                    (ed, ecust, erev, ecum)) =>
+      assert(d == ed && cust == ecust && rev == erev.toLong)
+      assert(share ==
+        math.floor(erev.toDouble / tot.toDouble * 1e6 + 0.5) / 1e6)
+      assert(cum ==
+        math.floor(ecum.toDouble / tot.toDouble * 1e6 + 0.5) / 1e6)
+    }
+    // bucket count must not change results (pure repartitioning of ranks)
+    val one = Analytics.lorenzCurve(orders, buckets = 7).collect()
+      .map(_.toString)
+    assert(one.toSeq == Analytics.lorenzCurve(orders).collect()
+      .map(_.toString).toSeq)
+  }
+
   test("cusumDrift: prefix closed form equals the sequential recurrence, " +
     "replayed independently") {
     // an irregular series, exercising resets on both sides
