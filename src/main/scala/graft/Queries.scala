@@ -5211,6 +5211,70 @@ object Queries {
       |       CASE WHEN tot > 0 THEN floor(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS cum_share
       |FROM c ORDER BY decile""".stripMargin
 
+  /** CONF1 — split-conformal prediction interval around ridge1's price
+    * model: 60/20/20 deterministic hash split, exact-integer micro-cent
+    * residuals, POSITIONAL calibration quantile via the distributed
+    * two-phase rank, guaranteed-coverage audit on the held-out split.
+    * See [[graft.operators.Analytics.conformalInterval]]. */
+  val conf1Interval: Q = (s, d) =>
+    graft.operators.Analytics.conformalInterval(Tables.lineitem(s, d))
+
+  val conf1IntervalSql: String = {
+    val hb = md5BucketSql(
+      "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS q,
+       |         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d,
+       |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+       |         $hb AS hb
+       |  FROM lineitem),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+       |        sum(CAST(q AS HUGEINT)) AS sx1, sum(CAST(d AS HUGEINT)) AS sx2,
+       |        sum(CAST(y AS HUGEINT)) AS sy,
+       |        sum(CAST(q AS HUGEINT) * q) AS sx11,
+       |        sum(CAST(q AS HUGEINT) * d) AS sx12,
+       |        sum(CAST(d AS HUGEINT) * d) AS sx22,
+       |        sum(CAST(q AS HUGEINT) * y) AS sx1y,
+       |        sum(CAST(d AS HUGEINT) * y) AS sx2y
+       |      FROM base WHERE hb < 6000),
+       |v AS (SELECT n_train, CAST(n_train AS DOUBLE) AS a11,
+       |        CAST(sx1 AS DOUBLE) AS a12, CAST(sx2 AS DOUBLE) AS a13,
+       |        CAST(sx11 AS DOUBLE) + 1000.0 AS a22,
+       |        CAST(sx12 AS DOUBLE) AS a23,
+       |        CAST(sx22 AS DOUBLE) + 1000.0 AS a33,
+       |        CAST(sy AS DOUBLE) AS b1, CAST(sx1y AS DOUBLE) AS b2,
+       |        CAST(sx2y AS DOUBLE) AS b3
+       |      FROM m),
+       |dd AS (SELECT n_train,
+       |         a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13) AS dA,
+       |         b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) + a13 * (b2 * a23 - a22 * b3) AS d0,
+       |         a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13) + a13 * (a12 * b3 - b2 * a13) AS d1,
+       |         a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13) + b1 * (a12 * a23 - a22 * a13) AS d2
+       |       FROM v),
+       |betas AS (SELECT n_train,
+       |         CASE WHEN dA <> 0 THEN CAST(floor(d0 / dA * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS b0m,
+       |         CASE WHEN dA <> 0 THEN CAST(floor(d1 / dA * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS b1m,
+       |         CASE WHEN dA <> 0 THEN CAST(floor(d2 / dA * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS b2m
+       |       FROM dd),
+       |cr AS (SELECT abs(y * 1000000 - (b0m + b1m * q + b2m * d)) AS r
+       |       FROM base, betas WHERE hb >= 6000 AND hb < 8000),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS n_calib,
+       |              ((count(*) + 1) * 900 + 999) // 1000 AS k FROM cr),
+       |cr2 AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cr),
+       |qh AS (SELECT max(r) AS qhat_micro FROM cr2, kk WHERE rn = kk.k),
+       |er AS (SELECT abs(y * 1000000 - (b0m + b1m * q + b2m * d)) AS r
+       |       FROM base, betas WHERE hb >= 8000),
+       |ev AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       |         sum(CASE WHEN qhat_micro IS NULL OR r <= qhat_micro THEN 1 ELSE 0 END) AS covered
+       |       FROM er, qh)
+       |SELECT betas.n_train, kk.n_calib, ev.n_eval,
+       |       floor(CAST(qhat_micro AS DOUBLE) / 100000000.0 * 1000000 + 0.5) / 1000000 AS qhat_dollars,
+       |       CASE WHEN n_eval > 0
+       |            THEN floor(CAST(covered AS DOUBLE) / CAST(n_eval AS DOUBLE) * 1000000 + 0.5) / 1000000
+       |            ELSE 1.0 END AS coverage
+       |FROM betas, kk, qh, ev""".stripMargin
+  }
+
   /** CP1 — single mean-shift changepoint per event-type daily series
     * ([[graft.operators.Analytics.meanShiftChangepoint]]): argmax over
     * split points of `|meanL − meanR|·sqrt(i(n−i)/n)`, ties to the
@@ -7641,6 +7705,7 @@ object Queries {
     "tt1_welch_ttest" -> tt1WelchTTest,
     "cusum1_drift" -> cusum1Drift,
     "lorenz1_deciles" -> lorenz1Deciles,
+    "conf1_interval" -> conf1Interval,
     "cp1_changepoint" -> cp1Changepoint,
     "er1_fuzzy_match" -> er1FuzzyMatch,
     "er2_star_resolve" -> er2StarResolve,
@@ -7906,6 +7971,7 @@ object Queries {
     "tt1_welch_ttest" -> tt1WelchTTestSql,
     "cusum1_drift" -> cusum1DriftSql,
     "lorenz1_deciles" -> lorenz1DecilesSql,
+    "conf1_interval" -> conf1IntervalSql,
     "cp1_changepoint" -> cp1ChangepointSql,
     "er1_fuzzy_match" -> er1FuzzyMatchSql,
     "er2_star_resolve" -> er2StarResolveSql,
@@ -8105,7 +8171,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

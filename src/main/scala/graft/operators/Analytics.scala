@@ -712,33 +712,50 @@ object Analytics {
     * because every member holds the same value (members-in-decile is a
     * min/max of integer rank bounds, revenue is value × that count).
     * Shares snap to the 1e-6 grid only at the end. */
-  def lorenzCurve(orders: DataFrame, buckets: Int = 1024): DataFrame = {
+  /** Distributed two-phase global rank over a long-valued column: the
+    * input collapses to a run-length-encoded value domain, each distinct
+    * value lands in one of `buckets` ORDER-PRESERVING integer range
+    * buckets (integral `div` — both engines truncate identically), a
+    * window over the ≤`buckets`-row summary carries each bucket's global
+    * rank offset, and a window PARTITIONED by bucket finishes inside it.
+    * Returns one row per distinct value: (value, cnt, c0, n) with ranks
+    * c0+1..c0+cnt — exact, and no operator ever holds the whole domain
+    * in one partition. The RLE frame feeds three consumers, so its
+    * lineage is cut once (or the plan re-scans the input per use).
+    * Shared by [[lorenzCurve]] (positional deciles) and
+    * [[conformalInterval]] (positional quantile). */
+  private[operators] def rankedRle(df: DataFrame, valueCol: String,
+                                   buckets: Int): DataFrame = {
     require(buckets >= 1 && buckets <= 65536, s"buckets out of range: $buckets")
-    val users = orders.groupBy(col("o_custkey"))
-      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
-        .cast("long").as("cents"))
-    // rle feeds three consumers (the range agg, the bucket tagging, the
-    // offsets); cut lineage once or the plan re-scans orders per consumer
-    val rle = users.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val mm = rle.agg(min(col("cents")).as("vmin"), max(col("cents")).as("vmax"),
-      sum(col("cnt")).as("n"),
-      sum(col("cents").cast("decimal(38,0)") * col("cnt")).as("tot"))
-    // order-preserving integer range bucket; integral `div` (never
-    // floor-of-double) so both engines truncate identically
+    val rle = df.groupBy(col(valueCol).as("value"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val mm = rle.agg(min(col("value")).as("vmin"),
+      max(col("value")).as("vmax"), sum(col("cnt")).as("n"))
     val b = rle.crossJoin(broadcast(mm))
       .withColumn("bkt", expr(
-        s"(cents - vmin) * $buckets div (vmax - vmin + 1)"))
+        s"(value - vmin) * $buckets div (vmax - vmin + 1)"))
     val wB = Window.orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val off = b.groupBy(col("bkt")).agg(sum(col("cnt")).as("bc"))
       .withColumn("before_b", coalesce(sum(col("bc")).over(wB), lit(0L)))
       .select(col("bkt"), col("before_b"))
-    val wIn = Window.partitionBy(col("bkt")).orderBy(col("cents"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = b.join(broadcast(off), Seq("bkt"))
+    b.join(broadcast(off), Seq("bkt"))
       .withColumn("c0",
         col("before_b") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+      .select(col("value"), col("cnt"), col("c0"), col("n"))
+  }
+
+  def lorenzCurve(orders: DataFrame, buckets: Int = 1024): DataFrame = {
+    val users = orders.groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val rr = rankedRle(users, "cents", buckets)
+    val tm = rr.agg(
+      sum(col("value").cast("decimal(38,0)") * col("cnt")).as("tot"))
+    val ranked = rr.withColumnRenamed("value", "cents")
+      .crossJoin(broadcast(tm))
     // a group spans deciles dlo..dhi (each group explodes to ≤10 rows);
     // members in decile d = overlap of [c0+1, c0+cnt] with the decile's
     // exact positional rank range
@@ -764,6 +781,105 @@ object Analytics {
         when(col("tot") > 0, r6(col("cum_rev").cast("double")
           / col("tot").cast("double"))).otherwise(0.0).as("cum_share"))
       .orderBy(col("decile"))
+  }
+
+  /** Split-conformal prediction interval (Vovk et al.; Lei et al. 2018)
+    * around [[ridgeNormalEq]]'s price model — the distribution-free
+    * uncertainty leg of the ML-eval family (ml2 calibrates
+    * probabilities; this calibrates a REGRESSOR's error): train the
+    * ridge on a deterministic 60% split, take the ⌈(m+1)(1−α)⌉-th
+    * smallest absolute residual on the 20% calibration split as q̂, and
+    * audit the guaranteed ≥1−α coverage on the held-out 20%.
+    *
+    * Exactness: the model's grid-rounded coefficients become BIGINT
+    * micro-cent units, so every residual |y·10⁶ − (b0m + b1m·q +
+    * b2m·d)| is an exact integer; the calibration quantile is a
+    * POSITIONAL order statistic selected from [[rankedRle]]'s exact
+    * distributed ranks (no percentile interpolation, no global window),
+    * and coverage is an exact count ratio on the 1e-6 grid. A
+    * calibration split too small for the quantile (k > m) reports the
+    * infinite interval: q̂ NULL, coverage 1.
+    *
+    * Shape: one 9-moment train fold (1-row), one calib residual scan →
+    * domain-RLE rank, one eval residual scan → 1-row count — three
+    * corpus passes, nothing wider than a broadcast anywhere. */
+  def conformalInterval(lineitem: DataFrame, lambda: Double = 1000.0,
+                        alpha: Double = 0.1,
+                        buckets: Int = 1024): DataFrame = {
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val pm = ((1 - alpha) * 1000).round // permille, keeps k integral
+    val base = lineitem.select(
+      col("l_quantity").cast("decimal(18,0)").cast("long").as("q"),
+      (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("d"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("y"),
+      Sampling.hashBucket(concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))).as("hb"))
+      .localCheckpoint() // three split consumers, one corpus materialize
+    val train = base.filter(col("hb") < 6000)
+    val calib = base.filter(col("hb") >= 6000 && col("hb") < 8000)
+    val hold = base.filter(col("hb") >= 8000)
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    def p38(a: Column, b: Column): Column = (d19(a) * d19(b)).cast("decimal(38,0)")
+    val m = train.agg(
+      count(lit(1)).as("n_train"),
+      sum(d19(col("q"))).as("sx1"), sum(d19(col("d"))).as("sx2"),
+      sum(d19(col("y"))).as("sy"),
+      sum(p38(col("q"), col("q"))).as("sx11"),
+      sum(p38(col("q"), col("d"))).as("sx12"),
+      sum(p38(col("d"), col("d"))).as("sx22"),
+      sum(p38(col("q"), col("y"))).as("sx1y"),
+      sum(p38(col("d"), col("y"))).as("sx2y"))
+    val a11 = col("n_train").cast("double")
+    val a12 = col("sx1").cast("double"); val a13 = col("sx2").cast("double")
+    val a22 = col("sx11").cast("double") + lit(lambda)
+    val a23 = col("sx12").cast("double")
+    val a33 = col("sx22").cast("double") + lit(lambda)
+    val b1 = col("sy").cast("double"); val b2 = col("sx1y").cast("double")
+    val b3 = col("sx2y").cast("double")
+    val dA = a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * a23 - a22 * a13)
+    val d0 = b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) +
+      a13 * (b2 * a23 - a22 * b3)
+    val d1 = a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * b3 - b2 * a13)
+    val d2 = a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13) +
+      b1 * (a12 * a23 - a22 * a13)
+    // grid-snap the cents coefficients to BIGINT micro-cents: residuals
+    // downstream are exact integer arithmetic in both engines
+    def micro(c: Column) = floor(c * 1000000.0 + 0.5).cast("long")
+    val ok = col("dA") =!= 0.0
+    val betas = m.withColumn("dA", dA)
+      .select(col("n_train"),
+        when(ok, micro(d0 / col("dA"))).otherwise(0L).as("b0m"),
+        when(ok, micro(d1 / col("dA"))).otherwise(0L).as("b1m"),
+        when(ok, micro(d2 / col("dA"))).otherwise(0L).as("b2m"))
+    def resid(df: DataFrame) = df.crossJoin(broadcast(betas))
+      .select(col("n_train"), abs(col("y") * lit(1000000L) -
+        (col("b0m") + col("b1m") * col("q") + col("b2m") * col("d")))
+        .as("r"))
+    val rr = rankedRle(resid(calib), "r", buckets).localCheckpoint()
+    // q̂ = the k-th smallest calib residual, k = ⌈(m+1)·pm/1000⌉ — the
+    // RLE group whose rank range contains k; NULL (infinite interval)
+    // when k > m, e.g. a calibration split too small for the level
+    val k = expr(s"((n + 1) * $pm + 999) div 1000")
+    val ncal = rr.agg(coalesce(max(col("n")), lit(0L)).as("n_calib"))
+    val qh = rr.filter(col("c0") < k && k <= col("c0") + col("cnt"))
+      .agg(max(col("value")).as("qhat_micro"))
+      .crossJoin(broadcast(ncal))
+    val ev = resid(hold).crossJoin(broadcast(qh))
+      .agg(first(col("n_train")).as("n_train"),
+        first(col("n_calib")).as("n_calib"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("qhat_micro").isNull ||
+          col("r") <= col("qhat_micro"), 1L).otherwise(0L)).as("covered"),
+        first(col("qhat_micro")).as("qhat_micro"))
+    ev.select(col("n_train"), col("n_calib"), col("n_eval"),
+      portableRound(col("qhat_micro").cast("double") / 1e8, 6)
+        .as("qhat_dollars"),
+      when(col("n_eval") > 0, portableRound(
+        col("covered").cast("double") / col("n_eval").cast("double"), 6))
+        .otherwise(1.0).as("coverage"))
   }
 
   /** Page's CUSUM control chart (Page 1954) over each event type's daily

@@ -1310,6 +1310,95 @@ class AnalyticsSpec extends SparkTestBase {
       .map(_.toString).toSeq)
   }
 
+  test("conformalInterval: a perfectly linear book gives a (near-)zero " +
+    "interval with full coverage; k > m reports the infinite interval") {
+    def li(rows: (Long, Long, Double, Double, Double)*) =
+      rows.toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_extendedprice")
+    // y = 200 + 3*q cents exactly, enough rows that every split is hit;
+    // lambda=0 so the normal equations recover the plane exactly
+    val perfect = li((1L to 200L).map(i =>
+      (i, 1L, (i % 7 + 1).toDouble, 0.01 * (i % 3),
+        (2.0 + 0.03 * (i % 7 + 1)) + 0.0)): _*)
+    val r = Analytics.conformalInterval(perfect, lambda = 0.0).collect()(0)
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) == 200L)
+    // grid-rounded micro-cent betas leave at most a few micro-cents of
+    // residual: the 90% interval is under a thousandth of a dollar wide
+    assert(r.getDouble(3) < 0.001, r.toString)
+    assert(r.getDouble(4) == 1.0)
+    // alpha so extreme that k = ceil((m+1)*0.999) > m: infinite interval
+    val tiny = li((1L to 30L).map(i =>
+      (i, 1L, 1.0, 0.0, i.toDouble)): _*)
+    val inf = Analytics.conformalInterval(tiny, alpha = 0.001).collect()(0)
+    assert(inf.isNullAt(3) && inf.getDouble(4) == 1.0, inf.toString)
+    intercept[IllegalArgumentException] {
+      Analytics.conformalInterval(tiny, alpha = 0.0)
+    }
+  }
+
+  test("conformalInterval: fixture replay (exact moments, same double " +
+    "formula, driver-side sort) matches every output field") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val got = Analytics.conformalInterval(li).collect()(0)
+    val rows = li.select(
+      col("l_quantity").cast("decimal(18,0)").cast("long"),
+      (col("l_discount").cast("decimal(18,2)") * 100).cast("long"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        md5Bucket(r.getString(3))))
+    val train = rows.filter(_._4 < 6000)
+    val calib = rows.filter(x => x._4 >= 6000 && x._4 < 8000)
+    val hold = rows.filter(_._4 >= 8000)
+    // exact integer moments, then the SAME fixed-order double formula
+    def bi(f: ((Long, Long, Long, Long)) => BigInt) = train.map(f).sum
+    val (a11, a12, a13) = (train.length.toDouble,
+      bi(t => BigInt(t._1)).toDouble, bi(t => BigInt(t._2)).toDouble)
+    val a22 = bi(t => BigInt(t._1) * t._1).toDouble + 1000.0
+    val a23 = bi(t => BigInt(t._1) * t._2).toDouble
+    val a33 = bi(t => BigInt(t._2) * t._2).toDouble + 1000.0
+    val b1 = bi(t => BigInt(t._3)).toDouble
+    val b2 = bi(t => BigInt(t._1) * t._3).toDouble
+    val b3 = bi(t => BigInt(t._2) * t._3).toDouble
+    val dA = a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * a23 - a22 * a13)
+    val d0 = b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) +
+      a13 * (b2 * a23 - a22 * b3)
+    val d1 = a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * b3 - b2 * a13)
+    val d2 = a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13) +
+      b1 * (a12 * a23 - a22 * a13)
+    def micro(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val (b0m, b1m, b2m) = (micro(d0 / dA), micro(d1 / dA), micro(d2 / dA))
+    def resid(t: (Long, Long, Long, Long)) =
+      math.abs(t._3 * 1000000L - (b0m + b1m * t._1 + b2m * t._2))
+    val cr = calib.map(resid).sorted
+    val k = (((cr.length + 1L) * 900) + 999) / 1000
+    val qhat = cr(k.toInt - 1)
+    val covered = hold.map(resid).count(_ <= qhat)
+    assert(got.getLong(0) == train.length && got.getLong(1) == calib.length
+      && got.getLong(2) == hold.length)
+    assert(got.getDouble(3) ==
+      math.floor(qhat.toDouble / 1e8 * 1e6 + 0.5) / 1e6, got.toString)
+    assert(got.getDouble(4) == math.floor(
+      covered.toDouble / hold.length * 1e6 + 0.5) / 1e6)
+    // the guarantee itself: coverage >= 1 - alpha on exchangeable splits
+    assert(got.getDouble(4) >= 0.9)
+    // bucket count is pure rank repartitioning: results identical
+    assert(Analytics.conformalInterval(li, buckets = 13).collect()(0)
+      .toString == got.toString)
+  }
+
+  // independent md5 bucket replica of Sampling.hashBucket — NOT the
+  // Spark expression (same replica as TextAnalysisSpec's)
+  private def md5Bucket(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) % 10000L
+  }
+
   test("cusumDrift: prefix closed form equals the sequential recurrence, " +
     "replayed independently") {
     // an irregular series, exercising resets on both sides
