@@ -5211,6 +5211,29 @@ object Queries {
       |       CASE WHEN tot > 0 THEN floor(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS cum_share
       |FROM c ORDER BY decile""".stripMargin
 
+  /** SKY1 — Pareto skyline of the part catalog (min price, max size):
+    * the undominated offers, via an exclusive prefix max over the
+    * price-sorted per-price maxima — bucketed two-phase, no global
+    * window, no pair generation. The DuckDB oracle is the INDEPENDENT
+    * quadratic dominance anti-join, so the staircase rewrite is checked
+    * against the definition itself. See
+    * [[graft.operators.Analytics.skyline]]. */
+  val sky1Skyline: Q = (s, d) =>
+    graft.operators.Analytics.skyline(Tables.part(s, d))
+
+  val sky1SkylineSql: String =
+    """WITH b AS (
+      |  SELECT p_partkey,
+      |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+      |         CAST(p_size AS BIGINT) AS size
+      |  FROM part)
+      |SELECT p_partkey, price_cents, size FROM b p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM b q
+      |  WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+      |    AND (q.price_cents < p.price_cents OR q.size > p.size))
+      |ORDER BY price_cents, p_partkey""".stripMargin
+
   /** CONF1 — split-conformal prediction interval around ridge1's price
     * model: 60/20/20 deterministic hash split, exact-integer micro-cent
     * residuals, POSITIONAL calibration quantile via the distributed
@@ -7706,6 +7729,7 @@ object Queries {
     "cusum1_drift" -> cusum1Drift,
     "lorenz1_deciles" -> lorenz1Deciles,
     "conf1_interval" -> conf1Interval,
+    "sky1_skyline" -> sky1Skyline,
     "cp1_changepoint" -> cp1Changepoint,
     "er1_fuzzy_match" -> er1FuzzyMatch,
     "er2_star_resolve" -> er2StarResolve,
@@ -7972,6 +7996,7 @@ object Queries {
     "cusum1_drift" -> cusum1DriftSql,
     "lorenz1_deciles" -> lorenz1DecilesSql,
     "conf1_interval" -> conf1IntervalSql,
+    "sky1_skyline" -> sky1SkylineSql,
     "cp1_changepoint" -> cp1ChangepointSql,
     "er1_fuzzy_match" -> er1FuzzyMatchSql,
     "er2_star_resolve" -> er2StarResolveSql,
@@ -8171,7 +8196,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

@@ -783,6 +783,62 @@ object Analytics {
       .orderBy(col("decile"))
   }
 
+  /** Pareto skyline of the part catalog — every part no other part
+    * dominates (cheaper-or-equal AND bigger-or-equal, strictly better in
+    * at least one): the multi-objective "best offers" operator
+    * (Börzsönyi et al. 2001) that no single ORDER BY can express.
+    * Minimizes price, maximizes size; ties on BOTH dimensions co-exist
+    * (neither dominates).
+    *
+    * NOT the textbook O(n²) self-join: only the max size at each price
+    * can survive, and among those per-price maxima a pair survives iff
+    * its size strictly exceeds every size at any strictly cheaper price
+    * — an EXCLUSIVE prefix max over the price-sorted domain. That prefix
+    * max is assembled with the [[rankedRle]] bucketing idiom
+    * (order-preserving range buckets, a ≤1024-row bucket summary carries
+    * cross-bucket maxima, the per-price window partitions BY BUCKET), so
+    * no global-order window and no pair generation exist anywhere in
+    * the plan. Surviving (price, size) pairs re-join the catalog once to
+    * emit the actual rows — the skyline is at most |size domain| pairs,
+    * so AQE broadcasts it.
+    *
+    * All comparisons are exact integers (price in cents); the output is
+    * a row subset, so cross-engine agreement needs no grids at all. */
+  def skyline(part: DataFrame, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536, s"buckets out of range: $buckets")
+    val base = part.select(col("p_partkey"),
+      (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("price_cents"),
+      col("p_size").cast("long").as("size"))
+    val perPrice = base.groupBy(col("price_cents"))
+      .agg(max(col("size")).as("msize")).localCheckpoint()
+    val mm = perPrice.agg(min(col("price_cents")).as("vmin"),
+      max(col("price_cents")).as("vmax"))
+    val b = perPrice.crossJoin(broadcast(mm))
+      .withColumn("bkt", expr(
+        s"(price_cents - vmin) * $buckets div (vmax - vmin + 1)"))
+    val wB = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = b.groupBy(col("bkt")).agg(max(col("msize")).as("bmax"))
+      .withColumn("pre_b", max(col("bmax")).over(wB))
+      .select(col("bkt"), col("pre_b"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("price_cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // exclusive prefix max = max(cross-bucket, within-bucket); both are
+    // NULL at the cheapest price, where survival is unconditional —
+    // coalesce each side separately so the engines' NULL semantics in
+    // greatest() never enter the comparison
+    val floorL = lit(Long.MinValue)
+    val stair = b.join(broadcast(off), Seq("bkt"))
+      .withColumn("pre_in", max(col("msize")).over(wIn))
+      .filter(col("msize") > greatest(coalesce(col("pre_b"), floorL),
+        coalesce(col("pre_in"), floorL)))
+      .select(col("price_cents"), col("msize").as("size"))
+    base.join(stair, Seq("price_cents", "size"))
+      .select(col("p_partkey"), col("price_cents"), col("size"))
+      .orderBy(col("price_cents"), col("p_partkey"))
+  }
+
   /** Split-conformal prediction interval (Vovk et al.; Lei et al. 2018)
     * around [[ridgeNormalEq]]'s price model — the distribution-free
     * uncertainty leg of the ML-eval family (ml2 calibrates

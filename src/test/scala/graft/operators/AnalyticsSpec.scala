@@ -1310,6 +1310,43 @@ class AnalyticsSpec extends SparkTestBase {
       .map(_.toString).toSeq)
   }
 
+  test("skyline: dominance, per-price maxima, exact-tie co-existence") {
+    def parts(rows: (Long, Double, Int)*) =
+      rows.toDF("p_partkey", "p_retailprice", "p_size")
+    val d = parts(
+      (1L, 0.50, 5),   // cheapest: survives unconditionally
+      (2L, 0.60, 5),   // same size, strictly pricier than 1 → dominated
+      (3L, 1.00, 10),  // beaten at its own price by 4
+      (4L, 1.00, 12),  // per-price max, bigger than all cheaper → survives
+      (5L, 1.00, 12),  // exact tie with 4 on BOTH dims → co-exists
+      (6L, 2.00, 12))  // equal size, pricier than 4 → dominated
+    val got = Analytics.skyline(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 50L, 5L), (4L, 100L, 12L), (5L, 100L, 12L)),
+      got.mkString(", "))
+  }
+
+  test("skyline: fixture replay against the quadratic dominance " +
+    "definition; bucket count is pure repartitioning") {
+    val part = graft.Tables.part(spark, sf0001)
+    val got = Analytics.skyline(part).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val all = part.select(col("p_partkey"),
+      (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"),
+      col("p_size").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = all.filter { p =>
+      !all.exists(q => q._2 <= p._2 && q._3 >= p._3 &&
+        (q._2 < p._2 || q._3 > p._3))
+    }.sortBy(p => (p._2, p._1))
+    assert(got.toSeq == expect.toSeq,
+      s"got ${got.length}, want ${expect.length}")
+    assert(got.nonEmpty) // the cheapest price's max size always survives
+    val coarse = Analytics.skyline(part, buckets = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(coarse.toSeq == got.toSeq)
+  }
+
   test("conformalInterval: a perfectly linear book gives a (near-)zero " +
     "interval with full coverage; k > m reports the infinite interval") {
     def li(rows: (Long, Long, Double, Double, Double)*) =
