@@ -6365,6 +6365,52 @@ object Queries {
   val st12StreamAnomaly: Q = (s, d) =>
     graft.streaming.EventStream.runAnomalyOverFixture(s, d)
 
+  /** ST17 — streaming CUSUM drift chart, the stateful twin of cusum1 in
+    * its deployable warmup-calibrated form
+    * ([[graft.streaming.EventStream.runCusumOverFixture]],
+    * [[graft.streaming.StatefulSessions.cusumCells]]): the first 10
+    * sealed days fix the target mean per event type, each later sealed
+    * day advances the exact-integer one-sided recurrences once and emits
+    * its row exactly once, in day order — digit-for-digit parity with
+    * [[graft.operators.Analytics.cusumWarmup]], whose fold the oracle
+    * replays. */
+  val st17StreamCusum: Q = (s, d) =>
+    graft.streaming.EventStream.runCusumOverFixture(s, d)
+
+  val st17StreamCusumSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |                                   ORDER BY day) AS rn FROM daily),
+      |warm AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS ws
+      |         FROM r WHERE rn <= 10 GROUP BY 1),
+      |mon AS (SELECT r.event_type, r.day, r.cents, warm.ws,
+      |          sum(10 * r.cents - warm.ws) OVER pre AS p
+      |        FROM r JOIN warm USING (event_type) WHERE rn > 10
+      |        WINDOW pre AS (PARTITION BY r.event_type ORDER BY r.day
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (SELECT *, p - least(0, min(p) OVER pre) AS up,
+      |             greatest(0, max(p) OVER pre) - p AS dn
+      |      FROM mon
+      |      WINDOW pre AS (PARTITION BY event_type ORDER BY day
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |m2 AS (SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+      |         CAST(cents AS DOUBLE) / 100 AS revenue,
+      |         CASE WHEN ws <> 0 THEN floor(CAST(up AS DOUBLE) / CAST(ws AS DOUBLE) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS cusum_up,
+      |         CASE WHEN ws <> 0 THEN floor(CAST(dn AS DOUBLE) / CAST(ws AS DOUBLE) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS cusum_dn
+      |       FROM s)
+      |SELECT event_type, day, revenue, cusum_up, cusum_dn,
+      |       cusum_up > 1.0 AS alarm_up, cusum_dn > 1.0 AS alarm_dn,
+      |       false AS is_warmup
+      |FROM m2
+      |UNION ALL
+      |SELECT event_type, strftime(day, '%Y-%m-%d'),
+      |       CAST(cents AS DOUBLE) / 100, 0.0, 0.0, false, false, true
+      |FROM r WHERE rn <= 10
+      |ORDER BY event_type, day""".stripMargin
+
   /** ST16 — streaming Holt forecaster, the stateful twin of hw1
     * ([[graft.streaming.EventStream.runHoltOverFixture]],
     * [[graft.streaming.StatefulSessions.holtCells]]): each sealed day
@@ -7764,6 +7810,7 @@ object Queries {
     "st11_stream_sketch" -> st11StreamSketch,
     "st12_stream_anomaly" -> st12StreamAnomaly,
     "st16_stream_holt" -> st16StreamHolt,
+    "st17_stream_cusum" -> st17StreamCusum,
     "st13_stream_ohlc" -> st13StreamOhlc,
     "st14_stream_funnel" -> st14StreamFunnel,
     "st15_stream_gapfill" -> st15StreamGapFill,
@@ -8034,6 +8081,7 @@ object Queries {
     "st14_stream_funnel" -> funnel2TimeToConvertSql, // stream/batch parity: same oracle
     "st15_stream_gapfill" -> ts1GapFillSql, // stream/batch parity: same oracle
     "st16_stream_holt" -> hw1HoltTrendSql, // stream/batch parity: same oracle
+    "st17_stream_cusum" -> st17StreamCusumSql,
     "card1_dataset_card" -> card1DatasetCardSql,
     "cur1_filter_waterfall" -> cur1WaterfallSql,
     "w8_range_frame" -> w8RangeFrameSql,
@@ -8198,7 +8246,7 @@ object Queries {
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
     "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
-    "doremi1_domain_weights", "st16_stream_holt", "pq1_product_quantize",
+    "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
     "iso1_isotonic_calibration", "ts3_theil_sen", "logrank1_survival_test",
     "bfs1_shortest_paths", "att1_position_attribution", "dtw1_series_align",

@@ -996,6 +996,55 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Warmup-calibrated CUSUM — [[cusumDrift]]'s deployable variant and
+    * the batch twin of the st17 stream: the full-series mean is
+    * retrospective knowledge a monitor cannot have, so here the FIRST
+    * `warmDays` sealed days fix the reference mean (z_i = W·x_i − S_warm,
+    * exact integers) and monitoring starts on day W+1; warmup days emit
+    * flagged zero rows. Same prefix closed forms, same mean-day-unit
+    * ratios on the 1e-6 grid, same alarm-at-1 contract — and the
+    * streaming cells replay THIS fold digit for digit as the watermark
+    * seals each day. */
+  def cusumWarmup(events: DataFrame, warmDays: Int = 10): DataFrame = {
+    require(warmDays >= 1 && warmDays <= 10000,
+      s"warmDays out of range: $warmDays")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+      .localCheckpoint() // two consumers: warm target + monitored rows
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wPre = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = daily.withColumn("rn", row_number().over(wOrd))
+    val warm = g.filter(col("rn") <= warmDays)
+      .groupBy(col("event_type")).agg(sum(col("cents")).as("ws"))
+    val mon = g.filter(col("rn") > warmDays)
+      .join(warm, Seq("event_type")) // rn > W guarantees W warm days exist
+      .withColumn("p",
+        sum(lit(warmDays.toLong) * col("cents") - col("ws")).over(wPre))
+      .withColumn("up", col("p") - least(lit(0L), min(col("p")).over(wPre)))
+      .withColumn("dn", greatest(lit(0L), max(col("p")).over(wPre)) - col("p"))
+    def ratio(c: Column) = when(col("ws") =!= 0,
+      portableRound(c.cast("double") / col("ws").cast("double"), 6))
+      .otherwise(lit(0.0))
+    val monitored = mon.select(col("event_type"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      (col("cents").cast("double") / 100).as("revenue"),
+      ratio(col("up")).as("cusum_up"), ratio(col("dn")).as("cusum_dn"))
+      .withColumn("alarm_up", col("cusum_up") > 1.0)
+      .withColumn("alarm_dn", col("cusum_dn") > 1.0)
+      .withColumn("is_warmup", lit(false))
+    val warmRows = g.filter(col("rn") <= warmDays)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("cents").cast("double") / 100).as("revenue"),
+        lit(0.0).as("cusum_up"), lit(0.0).as("cusum_dn"),
+        lit(false).as("alarm_up"), lit(false).as("alarm_dn"),
+        lit(true).as("is_warmup"))
+    warmRows.unionByName(monitored)
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Single mean-shift changepoint per event-type daily series (binary
     * segmentation's first split): for every candidate split after day i,
     * the statistic `|mean_left − mean_right| · sqrt(i·(n−i)/n)` — the

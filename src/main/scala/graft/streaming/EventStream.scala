@@ -470,6 +470,40 @@ object EventStream {
     spark.table(queryName).filter(col("day") <= lit(dmaxStr))
   }
 
+  /** Streaming CUSUM drift chart over the fixture — st17: per-type daily
+    * revenue streamed through [[StatefulSessions.cusumStream]], the
+    * deployable monitoring-time form of cusum1 (warmup days fix the
+    * target mean; the batch full-series mean is retrospective knowledge a
+    * monitor cannot have). Day totals are order-insensitive cent longs
+    * and each sealed day advances the exact-integer recurrence once, so
+    * rows equal [[graft.operators.Analytics.cusumWarmup]] digit for
+    * digit. Sentinel flushes the tail; its unsealed far-future day never
+    * emits, `day ≤ dmax` trims belt-and-braces. */
+  def runCusumOverFixture(spark: SparkSession, sfDir: String,
+                          warmDays: Int = 10): DataFrame = {
+    import spark.implicits._
+    val codec = codecFor(spark, s"$sfDir/events.parquet")
+    val (srcDir, _, t1) = stageTimeRangeReplay(spark, sfDir, codec, "click",
+      (_, _) => 30L * DayUs)
+    val dmaxStr =
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(t1, DayUs)).toString
+    val stream = spark.readStream.schema(codec.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+      .withColumn("ts", codec.tsTimestamp)
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_type"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[StatefulSessions.CusumEvent]
+    val charted = StatefulSessions.cusumStream(spark, stream, warmDays)
+    val queryName = scopedQueryName("graft_stream_cusum")
+    val q = charted.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
+    spark.table(queryName).filter(col("day") <= lit(dmaxStr))
+  }
+
   /** Streaming Holt forecaster over the fixture — st16: total daily
     * revenue streamed through [[StatefulSessions.holtStream]] with a
     * 0-second watermark and a far-future sentinel flushing the tail;

@@ -231,6 +231,78 @@ object StatefulSessions {
         anomalyCells(trailing, zThreshold))
   }
 
+  // ───────────────────────── streaming CUSUM drift ─────────────────────────
+
+  final case class CusumEvent(event_type: String, ts: java.sql.Timestamp,
+                              cents: Long)
+  /** Per-key CUSUM state: unsealed day totals (watermark-delay bounded)
+    * plus the 4-scalar chart core — warmup progress (n, sum) and the two
+    * one-sided statistics in W·cents units. O(open days) while sealing,
+    * O(1) at rest. */
+  final case class CusumState(open: Seq[(Int, Long)], warm_n: Int,
+                              warm_sum: Long, s_up: Long, s_dn: Long)
+  final case class CusumRow(event_type: String, day: String, revenue: Double,
+                            cusum_up: Double, cusum_dn: Double,
+                            alarm_up: Boolean, alarm_dn: Boolean,
+                            is_warmup: Boolean)
+
+  /** Streaming CUSUM cells — the stateful twin of
+    * [[graft.operators.Analytics.cusumWarmup]]: each day the watermark
+    * seals either feeds the warmup target (first `warmDays` days, flagged
+    * zero rows) or advances the exact-integer recurrences
+    * S = max(0, S + z), T = max(0, T − z) with z = W·cents − S_warm and
+    * emits its chart row exactly once, in day order. Day totals are
+    * order-insensitive cent longs and the recurrence consumes each sealed
+    * day exactly once, so the streamed rows equal the batch fold digit
+    * for digit. Timers re-arm at the earliest open day's end (quiet keys
+    * still flush); at rest the state is four scalars per event type. */
+  def cusumCells(warmDays: Int)(
+      eventType: String, events: Iterator[CusumEvent],
+      state: GroupState[CusumState]): Iterator[CusumRow] = {
+    val prev = state.getOption.getOrElse(CusumState(Nil, 0, 0L, 0L, 0L))
+    val open = scala.collection.mutable.Map[Int, Long](prev.open: _*)
+    if (!state.hasTimedOut)
+      events.foreach { e =>
+        val d = Math.floorDiv(e.ts.getTime, 86400000L).toInt
+        open(d) = open.getOrElse(d, 0L) + e.cents
+      }
+    val wmDay = Math.floorDiv(state.getCurrentWatermarkMs, 86400000L).toInt
+    val sealedNow = open.keys.filter(_ < wmDay).toSeq.sorted
+    var wn = prev.warm_n; var ws = prev.warm_sum
+    var su = prev.s_up; var sd = prev.s_dn
+    val out = Vector.newBuilder[CusumRow]
+    for (d <- sealedNow) {
+      val cents = open.remove(d).get
+      val dayStr = java.time.LocalDate.ofEpochDay(d.toLong).toString
+      if (wn < warmDays) {
+        wn += 1; ws += cents
+        out += CusumRow(eventType, dayStr, cents.toDouble / 100,
+          0.0, 0.0, alarm_up = false, alarm_dn = false, is_warmup = true)
+      } else {
+        val z = warmDays.toLong * cents - ws
+        su = math.max(0L, su + z); sd = math.max(0L, sd - z)
+        def ratio(s: Long) =
+          if (ws != 0) math.floor(s.toDouble / ws * 1e6 + 0.5) / 1e6 else 0.0
+        val (ru, rd) = (ratio(su), ratio(sd))
+        out += CusumRow(eventType, dayStr, cents.toDouble / 100,
+          ru, rd, alarm_up = ru > 1.0, alarm_dn = rd > 1.0, is_warmup = false)
+      }
+    }
+    state.update(CusumState(open.toSeq.sortBy(_._1), wn, ws, su, sd))
+    if (open.nonEmpty)
+      state.setTimeoutTimestamp((open.keys.min + 1).toLong * 86400000L)
+    out.result().iterator
+  }
+
+  /** Wire the CUSUM chart over a watermarked typed Dataset. */
+  def cusumStream(spark: SparkSession, events: Dataset[CusumEvent],
+                  warmDays: Int = 10): Dataset[CusumRow] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        cusumCells(warmDays))
+  }
+
   // ───────────────────────── streaming Holt smoothing ─────────────────────────
 
   final case class HoltEvent(ts: java.sql.Timestamp, cents: Long)

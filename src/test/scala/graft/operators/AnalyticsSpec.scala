@@ -1463,6 +1463,29 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("cusumWarmup: warmup rows are flagged zeros, the chart starts on " +
+    "day W+1 against the warm mean, short series stay all-warmup") {
+    // 3 warm days at 10, then a 40-excess day: z = 3*50 - 30 = 120,
+    // s_up = 120 > ws = 30 → alarm on the first monitored day
+    val ev4 = ev(
+      (1L, "2024-07-01 09:00:00", "view", 10.0),
+      (1L, "2024-07-02 09:00:00", "view", 10.0),
+      (1L, "2024-07-03 09:00:00", "view", 10.0),
+      (1L, "2024-07-04 09:00:00", "view", 50.0))
+    val r = Analytics.cusumWarmup(ev4, warmDays = 3).collect()
+    assert(r.length == 4)
+    assert(r.take(3).forall(x => x.getBoolean(7) && x.getDouble(3) == 0.0))
+    val mon = r(3)
+    assert(!mon.getBoolean(7) && mon.getBoolean(5), mon.toString)
+    assert(mon.getDouble(3) == 4.0) // 120 / 30 in mean-day units
+    // a series shorter than the warmup never monitors
+    val short = Analytics.cusumWarmup(ev4, warmDays = 10).collect()
+    assert(short.forall(_.getBoolean(7)))
+    intercept[IllegalArgumentException] {
+      Analytics.cusumWarmup(ev4, warmDays = 0)
+    }
+  }
+
   test("cusumDrift: flat series never alarms; a step alarms the up side " +
     "after sustained excess and stays keyed per event type") {
     val flat = ev((1 to 6).map(i =>

@@ -107,6 +107,15 @@ class EventStreamSpec extends SparkTestBase {
     assertSameRows(batch, streamed)
   }
 
+  test("streaming CUSUM chart equals the batch cusumWarmup (exact parity)") {
+    val streamed = EventStream.runCusumOverFixture(spark, sf0001)
+    val batch = graft.operators.Analytics.cusumWarmup(Tables.events(spark, sf0001))
+    // the cells advance the same exact-integer recurrence the batch
+    // prefix closed form computes, so this is row equality on doubles,
+    // not a tolerance gate
+    assertSameRows(batch, streamed)
+  }
+
   test("streaming Holt forecaster equals the batch holtLinearDaily (exact parity)") {
     val streamed = EventStream.runHoltOverFixture(spark, sf0001)
     val batch = graft.operators.Analytics.holtLinearDaily(Tables.events(spark, sf0001))

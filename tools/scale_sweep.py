@@ -102,6 +102,12 @@ SUBSET = [
     "dtw1_series_align",     # daily rollup 10x, days*w band DP constant
     "hits1_hubs_auth",       # edge build 10x, 8 bounded-graph half-steps
     "mod1_modularity",       # lp1's edge build + ONE tagging join + 2 aggs
+    # round-11 fourth pass: eval/rank/frontier shapes
+    "wer1_eval",             # row-local DP (token count grows exactly 10x)
+    "cusum1_drift",          # daily rollup 10x, per-type calendar windows
+    "lorenz1_deciles",       # two-phase rank over the RLE value domain
+    "conf1_interval",        # 3 corpus passes + rankedRle quantile
+    "sky1_skyline",          # per-price maxima + bucketed staircase
     # chrf1_eval is deliberately NOT under the default bound: its work is
     # linear in CHAR mass, and this synthesis grows chars 13.99x (the
     # "_k" token suffixes) while rows/tokens grow 10x — measured 9.3x
