@@ -5079,6 +5079,53 @@ object Queries {
     * ([[graft.operators.Analytics.welchTTest]]) between the deterministic
     * A/B split on per-user purchase revenue: t statistic +
     * Welch–Satterthwaite df from one exact-decimal moment aggregate. */
+  /** MW1 — Mann–Whitney U (Wilcoxon rank-sum) between the tt1 A/B arms
+    * on per-user purchase revenue: tt1's distribution-free sibling.
+    * Distributed ranks via rankedRle, exact half-integer midranks kept
+    * as DOUBLED BIGINT rank sums, exact Σ(t³−t) tie correction, normal
+    * z on the 1e-6 grid. See
+    * [[graft.operators.Analytics.mannWhitneyU]]. */
+  val mw1RankTest: Q = (s, d) =>
+    graft.operators.Analytics.mannWhitneyU(Tables.events(s, d))
+
+  val mw1RankTestSql: String = {
+    val bucket = md5BucketSql("CAST(user_id AS VARCHAR)")
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |u2 AS (SELECT x, CASE WHEN $bucket < 5000 THEN 1 ELSE 0 END AS a
+       |       FROM users),
+       |rle AS (SELECT x AS value, CAST(count(*) AS BIGINT) AS cnt,
+       |               CAST(sum(a) AS BIGINT) AS cnt_a
+       |        FROM u2 GROUP BY 1),
+       |r AS (SELECT *,
+       |        coalesce(sum(cnt) OVER (ORDER BY value
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0,
+       |        sum(cnt) OVER () AS n
+       |      FROM rle),
+       |agg AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+       |          CAST(max(n) AS BIGINT) AS n,
+       |          sum(CAST(cnt_a AS HUGEINT) * (2 * c0 + cnt + 1)) AS r2_a,
+       |          sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_cubes
+       |        FROM r),
+       |f AS (SELECT n_a, n - n_a AS n_b,
+       |        CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+       |        CAST(tie_cubes AS BIGINT) AS tie_cubes, n
+       |      FROM agg),
+       |g AS (SELECT *,
+       |        CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+       |          ((CAST(n AS DOUBLE) + 1.0) - CAST(tie_cubes AS DOUBLE)
+       |           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS var_u
+       |      FROM f)
+       |SELECT n_a, n_b, u2_a, tie_cubes,
+       |       CASE WHEN n_a > 0 AND n_a < n AND n > 1 AND var_u > 0
+       |            THEN floor((CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+       |                       / (2.0 * sqrt(var_u)) * 1000000 + 0.5) / 1000000
+       |            ELSE 0.0 END AS z_stat
+       |FROM g""".stripMargin
+  }
+
   val tt1WelchTTest: Q = (s, d) =>
     graft.operators.Analytics.welchTTest(Tables.events(s, d))
 
@@ -7772,6 +7819,7 @@ object Queries {
     "exp1_ab_test" -> exp1AbTest,
     "exp2_cuped" -> exp2CupedAbTest,
     "tt1_welch_ttest" -> tt1WelchTTest,
+    "mw1_rank_test" -> mw1RankTest,
     "cusum1_drift" -> cusum1Drift,
     "lorenz1_deciles" -> lorenz1Deciles,
     "conf1_interval" -> conf1Interval,
@@ -8040,6 +8088,7 @@ object Queries {
     "exp1_ab_test" -> exp1AbTestSql,
     "exp2_cuped" -> exp2CupedAbTestSql,
     "tt1_welch_ttest" -> tt1WelchTTestSql,
+    "mw1_rank_test" -> mw1RankTestSql,
     "cusum1_drift" -> cusum1DriftSql,
     "lorenz1_deciles" -> lorenz1DecilesSql,
     "conf1_interval" -> conf1IntervalSql,
@@ -8244,7 +8293,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

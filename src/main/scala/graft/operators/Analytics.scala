@@ -1088,6 +1088,56 @@ object Analytics {
         col("i").as("n_before"), (col("n") - col("i")).as("n_after"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between the deterministic A/B
+    * split on per-user purchase revenue — [[welchTTest]]'s
+    * distribution-free sibling: where Welch compares means (and a heavy
+    * tail can swamp it), U compares RANKS, so one whale moves the
+    * statistic by at most its rank. Normal approximation with the exact
+    * tie correction, no continuity correction.
+    *
+    * Exactness: ranks come from [[rankedRle]] (distributed, never a
+    * global window); every tie group's midrank is the half-integer
+    * (2·c0 + cnt + 1)/2, so DOUBLED rank sums are exact BIGINTs:
+    * 2R_A = Σ cntA·(2·c0 + cnt + 1), 2U_A = 2R_A − nA(nA+1), and the
+    * tie term Σ(t³−t) is an exact integer fold. The z statistic is one
+    * fixed double formula over those integers, snapped to the 1e-6
+    * grid; both engines replay it digit for digit. Degenerate inputs
+    * (an empty arm, all values tied) report z = 0. */
+  def mannWhitneyU(events: DataFrame, buckets: Int = 1024): DataFrame = {
+    val users = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .withColumn("variant",
+        when(Sampling.hashBucket(col("user_id")) < 5000, "A").otherwise("B"))
+      .localCheckpoint() // feeds the rank AND the per-arm value counts
+    val rr = rankedRle(users, "x", buckets)
+    val ca = users.filter(col("variant") === "A")
+      .groupBy(col("x").as("value")).agg(count(lit(1)).as("cnt_a"))
+    val joined = rr.join(ca, Seq("value"), "left")
+      .withColumn("cnt_a", coalesce(col("cnt_a"), lit(0L)))
+    val agg = joined.agg(
+      sum(col("cnt_a")).as("n_a"),
+      max(col("n")).as("n"),
+      sum(col("cnt_a").cast("decimal(38,0)")
+        * (lit(2) * col("c0") + col("cnt") + 1)).as("r2_a"),
+      sum((col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+        - col("cnt")).cast("decimal(38,0)")).as("tie_cubes"))
+    val nA = col("n_a").cast("double"); val nD = col("n").cast("double")
+    val nB = nD - nA
+    val u2a = col("r2_a") - col("n_a").cast("decimal(38,0)") * (col("n_a") + 1)
+    // Var(U) = nA·nB/12 · [(n+1) − Σ(t³−t)/(n(n−1))]; z from 2U to stay
+    // integral: z = (2U − nA·nB) / (2·sqrt(Var))
+    val varU = nA * nB / 12.0 *
+      ((nD + 1.0) - col("tie_cubes").cast("double") / (nD * (nD - 1.0)))
+    val z = (col("u2_a").cast("double") - nA * nB) / (lit(2.0) * sqrt(varU))
+    agg.withColumn("u2_a", u2a.cast("long"))
+      .select(col("n_a"), (col("n") - col("n_a")).as("n_b"), col("u2_a"),
+        col("tie_cubes").cast("long").as("tie_cubes"),
+        when(col("n_a") > 0 && col("n_a") < col("n") && col("n") > 1
+          && varU > 0, portableRound(z, 6)).otherwise(0.0).as("z_stat"))
+  }
+
   /** Welch's unequal-variance t-test between the deterministic A/B split
     * on per-user purchase revenue: t statistic and Welch–Satterthwaite
     * degrees of freedom, the readout that goes next to [[cupedAbTest]]'s

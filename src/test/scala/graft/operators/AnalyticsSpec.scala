@@ -1463,6 +1463,65 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("mannWhitneyU: hand-derived U and z on a 2x2 book; full ties " +
+    "zero the variance and the guard reports 0") {
+    // pick user ids on each side of the deterministic split by probing
+    val ids = (1L to 60L).toVector
+    val aIds = ids.filter(i => md5Bucket(i.toString) < 5000)
+    val bIds = ids.filter(i => md5Bucket(i.toString) >= 5000)
+    assert(aIds.size >= 2 && bIds.size >= 2)
+    def purchases(rows: (Long, Double)*) = ev(rows.zipWithIndex.map {
+      case ((uid, v), i) =>
+        (uid, f"2024-01-${i % 28 + 1}%02d 10:00:00", "purchase", v)
+    }: _*)
+    // A = {0.10, 0.30}, B = {0.20, 0.40}: ranks 1..4, R_A = 1+3,
+    // 2U_A = 8 − 2·3 = 2; var = (2·2/12)·5; z = (2 − 4)/(2·sqrt(5/3))
+    val d = purchases((aIds(0), 0.10), (aIds(1), 0.30),
+      (bIds(0), 0.20), (bIds(1), 0.40))
+    val r = Analytics.mannWhitneyU(d).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 2L, 0L)), r.toString)
+    val z = (2.0 - 2.0 * 2.0) / (2.0 * math.sqrt(2.0 * 2.0 / 12.0 * 5.0))
+    assert(r.getDouble(4) == math.floor(z * 1e6 + 0.5) / 1e6, r.toString)
+    // every value tied: tie term kills the variance, guard reports 0
+    val tied = purchases((aIds(0), 0.05), (bIds(0), 0.05))
+    val t = Analytics.mannWhitneyU(tied).collect()(0)
+    assert(t.getLong(2) == 1L && t.getLong(3) == 6L) // 2U = 2·1.5 − 2
+    assert(t.getDouble(4) == 0.0)
+  }
+
+  test("mannWhitneyU: fixture replay with driver-side midranks matches " +
+    "every field; rank identity 2U_A + 2U_B = 2·nA·nB holds") {
+    val events = graft.Tables.events(spark, sf0001)
+    val got = Analytics.mannWhitneyU(events).collect()(0)
+    val users = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byVal = users.groupBy(_._2).map { case (v, g) =>
+      (v, g.length.toLong, g.count(u => md5Bucket(u._1.toString) < 5000).toLong)
+    }.toSeq.sortBy(_._1)
+    var c0 = 0L; var r2a = BigInt(0); var ties = BigInt(0)
+    byVal.foreach { case (_, cnt, cntA) =>
+      r2a += BigInt(cntA) * (2 * c0 + cnt + 1)
+      ties += BigInt(cnt) * cnt * cnt - cnt
+      c0 += cnt
+    }
+    val n = users.length.toLong
+    val nA = users.count(u => md5Bucket(u._1.toString) < 5000).toLong
+    val u2a = r2a - BigInt(nA) * (nA + 1)
+    assert(got.getLong(0) == nA && got.getLong(1) == n - nA)
+    assert(got.getLong(2) == u2a.toLong && got.getLong(3) == ties.toLong)
+    val varU = nA.toDouble * (n - nA) / 12.0 *
+      ((n + 1.0) - ties.toDouble / (n.toDouble * (n - 1.0)))
+    val z = (u2a.toDouble - nA.toDouble * (n - nA)) / (2.0 * math.sqrt(varU))
+    assert(got.getDouble(4) == math.floor(z * 1e6 + 0.5) / 1e6)
+    // the complement arm's doubled rank sum closes the identity exactly
+    val r2b = BigInt(n) * (n + 1) - r2a
+    val u2b = r2b - BigInt(n - nA) * (n - nA + 1)
+    assert(u2a + u2b == BigInt(2) * nA * (n - nA))
+  }
+
   test("cusumWarmup: warmup rows are flagged zeros, the chart starts on " +
     "day W+1 against the warm mean, short series stay all-warmup") {
     // 3 warm days at 10, then a 40-excess day: z = 3*50 - 30 = 120,
