@@ -5079,6 +5079,43 @@ object Queries {
     * ([[graft.operators.Analytics.welchTTest]]) between the deterministic
     * A/B split on per-user purchase revenue: t statistic +
     * Welch–Satterthwaite df from one exact-decimal moment aggregate. */
+  /** TRIM1 — 5% trimmed and winsorized means of order totals: exact
+    * positional tail cuts over the distributed two-phase rank, boundary
+    * values selected (never interpolated), winsorized tails re-added as
+    * k·v_low + k·v_high. See
+    * [[graft.operators.Analytics.trimmedMeans]]. */
+  val trim1RobustMeans: Q = (s, d) =>
+    graft.operators.Analytics.trimmedMeans(Tables.orders(s, d))
+
+  val trim1RobustMeansSql: String =
+    """WITH vals AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |rle AS (SELECT cents AS value, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM vals GROUP BY 1),
+      |r AS (SELECT *,
+      |        coalesce(sum(cnt) OVER (ORDER BY value
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0,
+      |        sum(cnt) OVER () AS n
+      |      FROM rle),
+      |r2 AS (SELECT *, n * 500 // 10000 AS k FROM r),
+      |a AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+      |        sum(CAST(value AS HUGEINT) *
+      |            greatest(0, least(c0 + cnt, n - k) - greatest(c0, k))) AS kept_sum,
+      |        CAST(sum(CASE WHEN c0 < k + 1 AND k + 1 <= c0 + cnt
+      |                      THEN value END) AS BIGINT) AS low_cents,
+      |        CAST(sum(CASE WHEN c0 < n - k AND n - k <= c0 + cnt
+      |                      THEN value END) AS BIGINT) AS high_cents
+      |      FROM r2)
+      |SELECT n, k, low_cents, high_cents,
+      |       CASE WHEN n - 2 * k > 0
+      |            THEN floor(CAST(kept_sum AS DOUBLE) / CAST(n - 2 * k AS DOUBLE) / 100 * 1000000 + 0.5) / 1000000
+      |            ELSE 0.0 END AS trimmed_mean,
+      |       CASE WHEN n > 0 AND n - 2 * k > 0
+      |            THEN floor(CAST(kept_sum + CAST(k AS HUGEINT) * (low_cents + high_cents) AS DOUBLE) / CAST(n AS DOUBLE) / 100 * 1000000 + 0.5) / 1000000
+      |            ELSE 0.0 END AS winsor_mean
+      |FROM a""".stripMargin
+
   /** MW1 — Mann–Whitney U (Wilcoxon rank-sum) between the tt1 A/B arms
     * on per-user purchase revenue: tt1's distribution-free sibling.
     * Distributed ranks via rankedRle, exact half-integer midranks kept
@@ -7820,6 +7857,7 @@ object Queries {
     "exp2_cuped" -> exp2CupedAbTest,
     "tt1_welch_ttest" -> tt1WelchTTest,
     "mw1_rank_test" -> mw1RankTest,
+    "trim1_robust_means" -> trim1RobustMeans,
     "cusum1_drift" -> cusum1Drift,
     "lorenz1_deciles" -> lorenz1Deciles,
     "conf1_interval" -> conf1Interval,
@@ -8089,6 +8127,7 @@ object Queries {
     "exp2_cuped" -> exp2CupedAbTestSql,
     "tt1_welch_ttest" -> tt1WelchTTestSql,
     "mw1_rank_test" -> mw1RankTestSql,
+    "trim1_robust_means" -> trim1RobustMeansSql,
     "cusum1_drift" -> cusum1DriftSql,
     "lorenz1_deciles" -> lorenz1DecilesSql,
     "conf1_interval" -> conf1IntervalSql,
@@ -8293,7 +8332,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

@@ -1088,6 +1088,54 @@ object Analytics {
         col("i").as("n_before"), (col("n") - col("i")).as("n_after"))
   }
 
+  /** Trimmed and winsorized means of the order book — the robust-center
+    * readouts between the mean (outlier-hostage) and the median (throws
+    * the distribution away): drop the `trim` tail fraction on each side
+    * (trimmed), or clamp it to the surviving boundary values
+    * (winsorized). The outlier policy ml teams actually deploy before
+    * averaging a metric.
+    *
+    * Exactness: k = ⌊trim·n⌋ positional cuts over [[rankedRle]]'s exact
+    * distributed ranks; an RLE group overlaps the kept rank range
+    * [k+1, n−k] by an integer member count (every member holds the same
+    * value), the boundary values at ranks k+1 and n−k come from the
+    * groups containing those ranks, and the winsorized tails add
+    * k·v_low + k·v_high exactly. Sums fold as decimal(38,0); the two
+    * means snap to the 1e-6 dollar grid at the end. Degenerate input
+    * (n ≤ 2k after trimming) reports 0s rather than 0/0. */
+  def trimmedMeans(orders: DataFrame, trim: Double = 0.05,
+                   buckets: Int = 1024): DataFrame = {
+    require(trim >= 0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
+    val pm = (trim * 10000).round // positional cut in basis points
+    val vals = orders.select(
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+    val rr = rankedRle(vals, "cents", buckets).localCheckpoint()
+    val k = expr(s"n * $pm div 10000")
+    val kept = greatest(lit(0L),
+      least(col("c0") + col("cnt"), col("n") - k) - greatest(col("c0"), k))
+    val v38 = col("value").cast("decimal(38,0)")
+    val a = rr.agg(
+      max(col("n")).as("n"), max(k).as("k"),
+      sum(v38 * kept).as("kept_sum"),
+      sum(when(col("c0") < k + 1 && k + 1 <= col("c0") + col("cnt"),
+        col("value"))).as("v_low"),
+      sum(when(col("c0") < col("n") - k && col("n") - k <= col("c0") + col("cnt"),
+        col("value"))).as("v_high"))
+    def r6(c: Column) = portableRound(c, 6)
+    val keptN = col("n") - lit(2) * col("k")
+    a.select(col("n"), col("k"),
+      col("v_low").cast("long").as("low_cents"),
+      col("v_high").cast("long").as("high_cents"),
+      when(keptN > 0, r6(col("kept_sum").cast("double")
+        / keptN.cast("double") / 100)).otherwise(0.0).as("trimmed_mean"),
+      when(col("n") > 0 && keptN > 0, r6(
+        (col("kept_sum") + col("k").cast("decimal(38,0)")
+          * (col("v_low") + col("v_high"))).cast("double")
+          / col("n").cast("double") / 100)).otherwise(0.0)
+        .as("winsor_mean"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between the deterministic A/B
     * split on per-user purchase revenue — [[welchTTest]]'s
     * distribution-free sibling: where Welch compares means (and a heavy

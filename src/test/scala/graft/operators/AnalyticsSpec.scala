@@ -1463,6 +1463,43 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("trimmedMeans: one-each-side cut drops the outliers, winsor " +
+    "clamps them; trim 0 is the plain mean; fixture replay matches") {
+    def orders(vs: Double*) = vs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("o_custkey", "o_totalprice")
+    // 10 values incl. two wild tails; trim=0.1 → k=1: keep 2..9
+    val d = orders(0.01, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 999.0)
+    val r = Analytics.trimmedMeans(d, trim = 0.1).collect()(0)
+    assert(r.getLong(0) == 10L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 100L && r.getLong(3) == 800L) // boundary cents
+    assert(r.getDouble(4) == 4.5) // mean of 1..8 dollars
+    // winsor: 0.01→1.0 and 999→8.0 ⇒ (36 + 1 + 8) / 10
+    assert(r.getDouble(5) == 4.5)
+    val plain = Analytics.trimmedMeans(d, trim = 0.0).collect()(0)
+    assert(plain.getLong(1) == 0L)
+    assert(plain.getDouble(4) == plain.getDouble(5)) // no tails to treat
+    intercept[IllegalArgumentException] {
+      Analytics.trimmedMeans(d, trim = 0.5)
+    }
+    // fixture replay: driver-side sort + positional cuts
+    val orders0 = graft.Tables.orders(spark, sf0001)
+    val got = Analytics.trimmedMeans(orders0).collect()(0)
+    val cents = orders0.select(
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length; val k = (n.toLong * 500 / 10000).toInt
+    val kept = cents.slice(k, n - k)
+    val tm = math.floor(kept.map(BigInt(_)).sum.toDouble / kept.length / 100
+      * 1e6 + 0.5) / 1e6
+    val wm = math.floor((kept.map(BigInt(_)).sum + BigInt(k) *
+      (cents(k) + cents(n - k - 1))).toDouble / n / 100 * 1e6 + 0.5) / 1e6
+    assert(got.getLong(0) == n && got.getLong(1) == k)
+    assert(got.getLong(2) == cents(k) && got.getLong(3) == cents(n - k - 1))
+    assert(got.getDouble(4) == tm && got.getDouble(5) == wm)
+    assert(Analytics.trimmedMeans(orders0, buckets = 5).collect()(0)
+      .toString == got.toString)
+  }
+
   test("mannWhitneyU: hand-derived U and z on a 2x2 book; full ties " +
     "zero the variance and the guard reports 0") {
     // pick user ids on each side of the deterministic split by probing
