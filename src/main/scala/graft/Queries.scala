@@ -5079,6 +5079,56 @@ object Queries {
     * ([[graft.operators.Analytics.welchTTest]]) between the deterministic
     * A/B split on per-user purchase revenue: t statistic +
     * Welch–Satterthwaite df from one exact-decimal moment aggregate. */
+  /** DID1 — difference-in-differences on the tt1 A/B arms across the
+    * calendar's integer midpoint: per-user post−pre purchase deltas
+    * (exact zeros for silent periods), DiD = mean_A(d) − mean_B(d) with
+    * the Welch SE over deltas, all moments exact decimals, 1e-4 grid.
+    * See [[graft.operators.Analytics.diffInDiff]]. */
+  val did1DiffInDiff: Q = (s, d) =>
+    graft.operators.Analytics.diffInDiff(Tables.events(s, d))
+
+  val did1DiffInDiffSql: String = {
+    val bucket = md5BucketSql("CAST(user_id AS VARCHAR)")
+    s"""WITH p AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day,
+       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |span AS (SELECT min(day - DATE '1970-01-01') AS d0,
+       |                max(day - DATE '1970-01-01') AS d1 FROM p),
+       |users AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN (day - DATE '1970-01-01') < d0 + (d1 - d0 + 1) // 2
+       |             THEN cents ELSE 0 END) AS pre_c,
+       |    sum(CASE WHEN (day - DATE '1970-01-01') < d0 + (d1 - d0 + 1) // 2
+       |             THEN 0 ELSE cents END) AS post_c
+       |  FROM p CROSS JOIN span GROUP BY 1),
+       |u2 AS (SELECT post_c - pre_c AS dd,
+       |              CASE WHEN $bucket < 5000 THEN 1 ELSE 0 END AS a
+       |       FROM users),
+       |m AS (SELECT
+       |    CAST(sum(a) AS BIGINT) AS n_a,
+       |    CAST(count(*) - sum(a) AS BIGINT) AS n_b,
+       |    sum(CASE WHEN a = 1 THEN CAST(dd AS HUGEINT) ELSE 0 END) AS s_a,
+       |    sum(CASE WHEN a = 0 THEN CAST(dd AS HUGEINT) ELSE 0 END) AS s_b,
+       |    sum(CASE WHEN a = 1 THEN CAST(dd AS HUGEINT) * dd ELSE 0 END) AS ss_a,
+       |    sum(CASE WHEN a = 0 THEN CAST(dd AS HUGEINT) * dd ELSE 0 END) AS ss_b
+       |  FROM u2),
+       |v AS (SELECT n_a, n_b,
+       |        CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+       |        CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+       |        (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+       |        (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+       |      FROM m),
+       |w AS (SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2 FROM v)
+       |SELECT n_a, n_b,
+       |  CASE WHEN n_a > 0 THEN floor(ma / 100 * 10000 + 0.5) / 10000 ELSE 0.0 END AS delta_a,
+       |  CASE WHEN n_b > 0 THEN floor(mb / 100 * 10000 + 0.5) / 10000 ELSE 0.0 END AS delta_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN floor((ma - mb) / 100 * 10000 + 0.5) / 10000 ELSE 0.0 END AS did,
+       |  CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN floor(sqrt(se2) / 100 * 10000 + 0.5) / 10000 ELSE 0.0 END AS se,
+       |  CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN floor((ma - mb) / sqrt(se2) * 10000 + 0.5) / 10000 ELSE 0.0 END AS t_stat
+       |FROM w""".stripMargin
+  }
+
   /** TRIM1 — 5% trimmed and winsorized means of order totals: exact
     * positional tail cuts over the distributed two-phase rank, boundary
     * values selected (never interpolated), winsorized tails re-added as
@@ -7858,6 +7908,7 @@ object Queries {
     "tt1_welch_ttest" -> tt1WelchTTest,
     "mw1_rank_test" -> mw1RankTest,
     "trim1_robust_means" -> trim1RobustMeans,
+    "did1_diff_in_diff" -> did1DiffInDiff,
     "cusum1_drift" -> cusum1Drift,
     "lorenz1_deciles" -> lorenz1Deciles,
     "conf1_interval" -> conf1Interval,
@@ -8128,6 +8179,7 @@ object Queries {
     "tt1_welch_ttest" -> tt1WelchTTestSql,
     "mw1_rank_test" -> mw1RankTestSql,
     "trim1_robust_means" -> trim1RobustMeansSql,
+    "did1_diff_in_diff" -> did1DiffInDiffSql,
     "cusum1_drift" -> cusum1DriftSql,
     "lorenz1_deciles" -> lorenz1DecilesSql,
     "conf1_interval" -> conf1IntervalSql,
@@ -8332,7 +8384,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

@@ -1088,6 +1088,68 @@ object Analytics {
         col("i").as("n_before"), (col("n") - col("i")).as("n_after"))
   }
 
+  /** Difference-in-differences on the deterministic A/B split — the
+    * quasi-experimental leg of the experiment family (exp1 compares
+    * arms, exp2 CUPED-adjusts, tt1/mw1 test; DiD asks "did the treated
+    * arm's CHANGE differ?", which survives a level difference between
+    * arms that would bias a plain post comparison). The calendar splits
+    * at its integer midpoint day (pre = first half), computed from the
+    * data — no fixture dates hardcoded.
+    *
+    * Formulation: per user, d_u = post_cents − pre_cents (users with no
+    * purchases in a period contribute an exact 0 for it — the panel is
+    * the purchase-user universe, built by conditional sums, not a
+    * join); DiD = mean_A(d) − mean_B(d) with the Welch unequal-variance
+    * standard error over the per-user deltas — the paired form of the
+    * 2×2 cell-mean identity. Exact decimal moment folds; one fixed
+    * double formula on the 1e-4 grid (cents→dollars at the end).
+    * Degenerate arms report 0 rather than NaN. */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    // integer midpoint: pre ⇔ epoch_day < min + (span+1) div 2
+    val span = p.agg(min(unix_date(col("day"))).as("d0"),
+      max(unix_date(col("day"))).as("d1"))
+    val users = p.crossJoin(broadcast(span))
+      .withColumn("pre",
+        unix_date(col("day")) < expr("d0 + (d1 - d0 + 1) div 2"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("pre_c"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("post_c"))
+      .withColumn("dd", col("post_c") - col("pre_c"))
+      .withColumn("variant",
+        when(Sampling.hashBucket(col("user_id")) < 5000, "A").otherwise("B"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val isA = col("variant") === "A"
+    def side(pred: Column, tag: String) = Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(pred, d19(col("dd"))).otherwise(lit(0L).cast("decimal(19,0)")))
+        .as(s"s_$tag"),
+      sum(when(pred, (d19(col("dd")) * d19(col("dd"))).cast("decimal(38,0)"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"ss_$tag"))
+    val m = users.agg((side(isA, "a") ++ side(!isA, "b")).head,
+      (side(isA, "a") ++ side(!isA, "b")).tail: _*)
+    def stats(tag: String) = {
+      val n = col(s"n_$tag").cast("double")
+      val s = col(s"s_$tag").cast("double")
+      val ss = col(s"ss_$tag").cast("double")
+      (n, s / n, (ss - s * s / n) / (n - 1.0))
+    }
+    val (na, ma, va) = stats("a"); val (nb, mb, vb) = stats("b")
+    val se2 = va / na + vb / nb
+    def r4(c: Column) = portableRound(c, 4)
+    val okMeans = col("n_a") > 0 && col("n_b") > 0
+    val okT = col("n_a") > 1 && col("n_b") > 1
+    m.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0, r4(ma / 100)).otherwise(0.0).as("delta_a"),
+      when(col("n_b") > 0, r4(mb / 100)).otherwise(0.0).as("delta_b"),
+      when(okMeans, r4((ma - mb) / 100)).otherwise(0.0).as("did"),
+      when(okT && se2 > 0, r4(sqrt(se2) / 100)).otherwise(0.0).as("se"),
+      when(okT && se2 > 0, r4((ma - mb) / sqrt(se2))).otherwise(0.0)
+        .as("t_stat"))
+  }
+
   /** Trimmed and winsorized means of the order book — the robust-center
     * readouts between the mean (outlier-hostage) and the median (throws
     * the distribution away): drop the `trim` tail fraction on each side

@@ -1463,6 +1463,39 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("diffInDiff: a planted treatment lift is recovered exactly; a " +
+    "shared trend cancels; degenerate arms report 0") {
+    val ids = (1L to 60L).toVector
+    val aIds = ids.filter(i => md5Bucket(i.toString) < 5000).take(2)
+    val bIds = ids.filter(i => md5Bucket(i.toString) >= 5000).take(2)
+    // 4 days → midpoint after day 2; both arms drift +1.00 post, the
+    // treated arm adds +2.00 on top: DiD must be exactly 2, trend-free
+    def rows(uid: Long, pre: Double, post: Double) = Seq(
+      (uid, "2024-01-01 09:00:00", "purchase", pre),
+      (uid, "2024-01-04 09:00:00", "purchase", post))
+    val d = ev((Seq(rows(aIds(0), 5.0, 7.98), rows(aIds(1), 5.0, 8.02)) ++
+      Seq(rows(bIds(0), 9.0, 9.98), rows(bIds(1), 9.0, 10.02))).flatten: _*)
+    val r = Analytics.diffInDiff(d).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 1.0) // arm deltas
+    assert(r.getDouble(4) == 2.0, r.toString) // the planted lift
+    assert(r.getDouble(6) != 0.0) // jittered arms carry real variance
+    // identical deltas within each arm → se2 = 0 → the guard reports 0
+    val flat = ev((aIds.flatMap(u => rows(u, 5.0, 6.0)) ++
+      bIds.flatMap(u => rows(u, 5.0, 6.0))): _*)
+    val f = Analytics.diffInDiff(flat).collect()(0)
+    assert(f.getDouble(4) == 0.0 && f.getDouble(5) == 0.0 &&
+      f.getDouble(6) == 0.0)
+    // a user silent in one period contributes an exact zero for it
+    val lone = ev(
+      (aIds(0), "2024-02-01 09:00:00", "purchase", 4.0),
+      (bIds(0), "2024-02-02 09:00:00", "purchase", 4.0))
+    val l = Analytics.diffInDiff(lone).collect()(0)
+    // 2-day span: midpoint after day 1 — A is pre-only (delta −4),
+    // B post-only (delta +4)
+    assert(l.getDouble(2) == -4.0 && l.getDouble(3) == 4.0)
+  }
+
   test("trimmedMeans: one-each-side cut drops the outliers, winsor " +
     "clamps them; trim 0 is the plain mean; fixture replay matches") {
     def orders(vs: Double*) = vs.zipWithIndex
