@@ -108,6 +108,10 @@ SUBSET = [
     "lorenz1_deciles",       # two-phase rank over the RLE value domain
     "conf1_interval",        # 3 corpus passes + rankedRle quantile
     "sky1_skyline",          # per-price maxima + bucketed staircase
+    # round-11 fifth pass: rank-based stats + experiment shapes
+    "mw1_rank_test",         # user rollup + rankedRle + 1-row aggregate
+    "trim1_robust_means",    # projection + rankedRle + 1-row aggregate
+    "did1_diff_in_diff",     # user-keyed conditional rollup + 1-row agg
     # chrf1_eval is deliberately NOT under the default bound: its work is
     # linear in CHAR mass, and this synthesis grows chars 13.99x (the
     # "_k" token suffixes) while rows/tokens grow 10x — measured 9.3x
