@@ -5079,6 +5079,42 @@ object Queries {
     * ([[graft.operators.Analytics.welchTTest]]) between the deterministic
     * A/B split on per-user purchase revenue: t statistic +
     * Welch–Satterthwaite df from one exact-decimal moment aggregate. */
+  /** STL1 — classical seasonal-trend decomposition of per-type daily
+    * revenue: centered 7-day RANGE-frame trend (calendar gaps exclude a
+    * day rather than averaging non-adjacent ones), weekday seasonal
+    * means over the exact integer detrended series, residual — all on
+    * the 1e-4 dollar grid, weekday index engine-neutral pmod(epoch, 7).
+    * See [[graft.operators.Analytics.seasonalDecompose]]. */
+  val stl1Decompose: Q = (s, d) =>
+    graft.operators.Analytics.seasonalDecompose(Tables.events(s, d))
+
+  val stl1DecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS ed FROM daily),
+      |t AS (SELECT *, count(*) OVER w AS tn, sum(cents) OVER w AS tsum,
+      |        ((ed % 7) + 7) % 7 AS wd
+      |      FROM d2
+      |      WINDOW w AS (PARTITION BY event_type ORDER BY ed
+      |                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |t2 AS (SELECT *, CASE WHEN tn = 7
+      |                      THEN 700 * cents - 100 * tsum END AS d700 FROM t),
+      |seas AS (SELECT event_type, wd, sum(CAST(d700 AS HUGEINT)) AS dsum,
+      |                CAST(count(*) AS BIGINT) AS dn
+      |         FROM t2 WHERE d700 IS NOT NULL GROUP BY 1, 2)
+      |SELECT t2.event_type, strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(cents AS DOUBLE) / 100 AS revenue,
+      |  CASE WHEN tn = 7
+      |       THEN floor(CAST(tsum AS DOUBLE) / 7.0 / 100 * 10000 + 0.5) / 10000 END AS trend,
+      |  CASE WHEN d700 IS NOT NULL
+      |       THEN floor(CAST(dsum AS DOUBLE) / CAST(dn AS DOUBLE) / 70000.0 * 10000 + 0.5) / 10000 END AS seasonal,
+      |  CASE WHEN d700 IS NOT NULL
+      |       THEN floor((CAST(d700 AS DOUBLE) / 70000.0 - CAST(dsum AS DOUBLE) / CAST(dn AS DOUBLE) / 70000.0) * 10000 + 0.5) / 10000 END AS resid
+      |FROM t2 LEFT JOIN seas USING (event_type, wd)
+      |ORDER BY t2.event_type, day""".stripMargin
+
   /** DID1 — difference-in-differences on the tt1 A/B arms across the
     * calendar's integer midpoint: per-user post−pre purchase deltas
     * (exact zeros for silent periods), DiD = mean_A(d) − mean_B(d) with
@@ -7909,6 +7945,7 @@ object Queries {
     "mw1_rank_test" -> mw1RankTest,
     "trim1_robust_means" -> trim1RobustMeans,
     "did1_diff_in_diff" -> did1DiffInDiff,
+    "stl1_decompose" -> stl1Decompose,
     "cusum1_drift" -> cusum1Drift,
     "lorenz1_deciles" -> lorenz1Deciles,
     "conf1_interval" -> conf1Interval,
@@ -8180,6 +8217,7 @@ object Queries {
     "mw1_rank_test" -> mw1RankTestSql,
     "trim1_robust_means" -> trim1RobustMeansSql,
     "did1_diff_in_diff" -> did1DiffInDiffSql,
+    "stl1_decompose" -> stl1DecomposeSql,
     "cusum1_drift" -> cusum1DriftSql,
     "lorenz1_deciles" -> lorenz1DecilesSql,
     "conf1_interval" -> conf1IntervalSql,
@@ -8384,7 +8422,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

@@ -1088,6 +1088,66 @@ object Analytics {
         col("i").as("n_before"), (col("n") - col("i")).as("n_after"))
   }
 
+  /** Classical seasonal-trend decomposition of each event type's daily
+    * revenue (the moving-average STL ancestor: trend = centered 7-day
+    * mean, seasonal = weekday mean of the detrended series, residual =
+    * the rest) — the structural readout behind [[dailyAnomaliesSeasonal]]
+    * 's weekday baseline and [[holtLinearDaily]]'s trend: it SEPARATES
+    * the components those operators consume implicitly.
+    *
+    * Exactness: the trend window is a RANGE frame over epoch days (a
+    * calendar gap shrinks the count and the day is excluded, rather than
+    * silently averaging non-adjacent days); the detrended value is kept
+    * as the exact integer 700·cents − 100·Σ₇cents (dollars × 70000), the
+    * weekday index is the engine-neutral pmod(epoch_day, 7) (never the
+    * locale-dependent dayofweek), seasonal means divide exact decimal
+    * sums once, and trend/seasonal/residual snap to the 1e-4 dollar
+    * grid. Edge days (incomplete window) carry NULL components.
+    *
+    * Shape: one corpus-sized daily rollup, one RANGE window and one
+    * small join per type — the weekday table is |types|×7 rows and
+    * broadcasts. */
+  def seasonalDecompose(events: DataFrame, period: Int = 7): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      s"period must be odd and >= 3, got $period")
+    val half = period / 2
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+      .withColumn("ed", unix_date(col("day")).cast("long"))
+      .localCheckpoint() // feeds the trend window AND the seasonal join
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("ed"))
+      .rangeBetween(-half, half)
+    val t = daily
+      .withColumn("tn", count(lit(1)).over(wT))
+      .withColumn("tsum", sum(col("cents")).over(wT))
+      .withColumn("d700", when(col("tn") === period,
+        lit(period * 100L) * col("cents") - lit(100L) * col("tsum")))
+      .withColumn("wd", pmod(col("ed"), lit(7L)))
+    val seas = t.filter(col("d700").isNotNull)
+      .groupBy(col("event_type"), col("wd"))
+      .agg(sum(col("d700").cast("decimal(38,0)")).as("dsum"),
+        count(lit(1)).as("dn"))
+    val denom = lit(period * 10000L).cast("double") // ×100 cents ×100 grid
+    def r4(c: Column) = portableRound(c, 4)
+    t.join(broadcast(seas), Seq("event_type", "wd"), "left")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("cents").cast("double") / 100).as("revenue"),
+        when(col("tn") === period,
+          r4(col("tsum").cast("double") / lit(period.toDouble) / 100))
+          .as("trend"),
+        when(col("d700").isNotNull,
+          r4(col("dsum").cast("double") / col("dn").cast("double") / denom))
+          .as("seasonal"),
+        when(col("d700").isNotNull,
+          r4(col("d700").cast("double") / denom -
+            col("dsum").cast("double") / col("dn").cast("double") / denom))
+          .as("resid"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Difference-in-differences on the deterministic A/B split — the
     * quasi-experimental leg of the experiment family (exp1 compares
     * arms, exp2 CUPED-adjusts, tt1/mw1 test; DiD asks "did the treated

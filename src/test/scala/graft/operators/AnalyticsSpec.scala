@@ -1463,6 +1463,55 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("seasonalDecompose: a pure additive weekly pattern yields constant " +
+    "trend, the exact centered bumps, zero residual; gaps null the window") {
+    // 21 days, revenue = 10 + bump(weekday): the 7-day centered mean is
+    // the constant overall mean, seasonal recovers the centered bump
+    // exactly, residual is 0 on every interior day
+    val bump = Map(0L -> 0.07, 1L -> -0.14, 2L -> 0.21, 3L -> 0.0,
+      4L -> -0.07, 5L -> 0.14, 6L -> -0.21)
+    def dayOf(i: Int) = java.time.LocalDate.of(2024, 3, 1).plusDays(i.toLong)
+    val rows = (0 until 21).map { i =>
+      val d = dayOf(i)
+      (1L, s"$d 09:00:00", "view", 10.0 + bump(d.toEpochDay % 7))
+    }
+    val r = Analytics.seasonalDecompose(ev(rows: _*)).collect()
+    assert(r.length == 21)
+    val (edge, interior) = r.partition(_.isNullAt(3))
+    assert(edge.length == 6 && interior.length == 15) // 3 each side
+    interior.foreach { x =>
+      assert(x.getDouble(3) == 10.0, s"trend: $x") // mean(bump) = 0
+      val wd = java.time.LocalDate.parse(x.getString(1)).toEpochDay % 7
+      assert(x.getDouble(4) == math.floor(bump(wd) * 1e4 + 0.5) / 1e4,
+        s"seasonal: $x")
+      assert(x.getDouble(5) == 0.0, s"resid: $x")
+    }
+    // a calendar gap: the RANGE frame sees < 7 days around it → NULLs
+    // rather than a mean over non-adjacent days
+    val gapped = ev(((0 until 10).filter(_ != 5)).map { i =>
+      val d = dayOf(i); (1L, s"$d 09:00:00", "buy", 10.0)
+    }: _*)
+    val g = Analytics.seasonalDecompose(gapped).collect()
+    // 9 days with one hole: every candidate ±3 window touches the hole
+    // or an edge, so NO day decomposes — the gap never averages through
+    assert(g.length == 9 && g.forall(_.isNullAt(3)), g.mkString(", "))
+    intercept[IllegalArgumentException] {
+      Analytics.seasonalDecompose(gapped, period = 4)
+    }
+  }
+
+  test("seasonalDecompose: the decomposition identity holds on the " +
+    "fixture within the grid") {
+    val r = Analytics.seasonalDecompose(graft.Tables.events(spark, sf0001))
+      .collect().filterNot(_.isNullAt(3))
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val gap = math.abs(x.getDouble(2) -
+        (x.getDouble(3) + x.getDouble(4) + x.getDouble(5)))
+      assert(gap <= 2e-4, s"identity: $x gap $gap")
+    }
+  }
+
   test("diffInDiff: a planted treatment lift is recovered exactly; a " +
     "shared trend cancels; degenerate arms report 0") {
     val ids = (1L to 60L).toVector
