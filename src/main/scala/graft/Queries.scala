@@ -3339,6 +3339,51 @@ object Queries {
        |FROM a""".stripMargin
   }
 
+  /** TR1 — TextRank keywords: PageRank (5 fixed decimal-grid rounds)
+    * over the top-100-token co-occurrence graph — the graph family
+    * applied to the text family; a word ranks high when its NEIGHBORS
+    * rank high, not merely when it repeats (that's t7's tf-idf).
+    * See [[graft.operators.TextAnalysis.textRank]]. */
+  val tr1Textrank: Q = (s, d) => TextAnalysis.textRank(Tables.documents(s, d))
+
+  val tr1TextrankSql: String =
+    """WITH RECURSIVE
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+      |vv AS (SELECT t AS word, count(*) AS c
+      |       FROM (SELECT unnest(tl) AS t FROM tk) GROUP BY 1
+      |       ORDER BY c DESC, word ASC LIMIT 100),
+      |bg AS (SELECT q.p.a AS a, q.p.b AS b FROM (
+      |         SELECT unnest([{'a': tl[i], 'b': tl[i+1]}
+      |                        FOR i IN RANGE(1, len(tl))]) AS p
+      |         FROM tk) q
+      |       WHERE q.p.a <> q.p.b),
+      |pv AS (SELECT DISTINCT a, b FROM bg
+      |       JOIN vv wa ON wa.word = bg.a
+      |       JOIN vv wb ON wb.word = bg.b),
+      |edges AS (SELECT DISTINCT src, dst FROM (
+      |            SELECT a AS src, b AS dst FROM pv
+      |            UNION ALL SELECT b, a FROM pv)),
+      |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      |contribs AS (
+      |  SELECT e.src, e.dst,
+      |         floor((0.85 / od.deg) * 1000000000000 + 0.5) / 1000000000000 AS w
+      |  FROM edges e JOIN outdeg od ON e.src = od.src
+      |  UNION ALL
+      |  SELECT word, word, 0.0 FROM vv),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vv),
+      |pr AS (
+      |  SELECT 0 AS iter, word AS node, 1.0 / (SELECT n FROM nn) AS r FROM vv
+      |  UNION ALL
+      |  SELECT p.iter + 1, c.dst,
+      |         floor((0.15 / (SELECT n FROM nn) +
+      |                CAST(sum(CAST(floor(p.r * c.w * 1000000000000 + 0.5) / 1000000000000 AS DECIMAL(28,12))) AS DOUBLE))
+      |               * 10000000000 + 0.5) / 10000000000
+      |  FROM pr p JOIN contribs c ON p.node = c.src
+      |  WHERE p.iter < 5
+      |  GROUP BY p.iter + 1, c.dst)
+      |SELECT node AS word, r AS rank FROM pr WHERE iter = 5
+      |ORDER BY rank DESC, word ASC""".stripMargin
+
   /** ZIPF1 — Zipf-law fit over the top-500 token frequencies: OLS of
     * ln(count) on ln(rank) with exact-integer moment folds.
     * See [[graft.operators.TextAnalysis.zipfFit]]. */
@@ -8075,6 +8120,7 @@ object Queries {
     "ks1_two_sample" -> ks1TwoSample,
     "chrf1_eval" -> chrf1Eval,
     "wer1_eval" -> wer1Eval,
+    "tr1_textrank" -> tr1Textrank,
     "kn1_kneser_ney" -> kn1KneserNey,
     "ridge1_normal_eq" -> ridge1NormalEq,
     "hw1_holt_trend" -> hw1HoltTrend,
@@ -8340,6 +8386,7 @@ object Queries {
     "ks1_two_sample" -> ks1TwoSampleSql,
     "chrf1_eval" -> chrf1EvalSql,
     "wer1_eval" -> wer1EvalSql,
+    "tr1_textrank" -> tr1TextrankSql,
     "kn1_kneser_ney" -> kn1KneserNeySql,
     "ridge1_normal_eq" -> ridge1NormalEqSql,
     "hw1_holt_trend" -> hw1HoltTrendSql,
@@ -8422,7 +8469,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "tr1_textrank", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

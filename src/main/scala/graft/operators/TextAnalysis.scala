@@ -399,6 +399,48 @@ object TextAnalysis {
           (lit(b2) * col("chr_p") + col("chr_r")))).otherwise(0.0))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph — the graph family applied to the text
+    * family. Votes come from adjacency, not frequency alone: a word
+    * ranks high when its NEIGHBORS rank high, which is what separates
+    * connective corpus vocabulary from merely repeated tokens (t7's
+    * tf-idf scores the latter).
+    *
+    * Construction is deterministic end to end: the vocabulary is the top
+    * `vocab` corpus tokens (count desc, token asc on ties), edges are
+    * the distinct adjacent-token pairs with BOTH ends in vocabulary
+    * (symmetrized; self-pairs dropped), and the walk is
+    * [[Graph.pageRank]]'s fixed-iteration decimal-grid fold, so the
+    * oracle unrolls it digit for digit. Shape: one token scan → counts
+    * (map-side combinable), a driver-bounded top-`vocab` take, bigram
+    * pairs built INSIDE the row (a lambda over the token array — no
+    * positional self-join), broadcast vocabulary membership joins, then
+    * pr1's bounded-graph rounds: the corpus pays two scans, the graph
+    * work is vocabulary-sized forever. */
+  def textRank(documents: DataFrame, vocab: Int = 100,
+               iters: Int = 5): DataFrame = {
+    require(vocab >= 2 && vocab <= 10000, s"vocab out of range: $vocab")
+    val words = documents.select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word").asc).limit(vocab)
+      .select(col("word")).localCheckpoint()
+    val pairs = documents.select(explode(expr(
+      """transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),
+        |  (t, i) -> struct(t AS a, split(text, ' ')[i + 1] AS b))""".stripMargin))
+      .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val inVocab = pairs
+      .join(broadcast(words.withColumnRenamed("word", "a")), Seq("a"))
+      .join(broadcast(words.withColumnRenamed("word", "b")), Seq("b"))
+    val edges = inVocab.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(inVocab.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    Graph.pageRank(words.select(col("word").as("node")), edges, iters)
+      .select(col("node").as("word"), col("rank"))
+      .orderBy(col("rank").desc, col("word").asc)
+  }
+
   /** Corpus WER (word error rate): token-level Levenshtein distance
     * between each reference and a deterministically corrupted candidate
     * (delete below `delThresh`, substitute below `subThresh` on the same

@@ -555,6 +555,33 @@ class TextAnalysisSpec extends SparkTestBase {
     prev(b.length)
   }
 
+  test("textRank: a hub word outranks its spokes; frequency alone does " +
+    "not rank; vocabulary cap and determinism hold") {
+    // star graph: 'hub' is adjacent to every spoke; spokes only touch the
+    // hub. 'noise' repeats a lot but NEVER adjacent to a vocab word other
+    // than itself — drop it from pairs (self-pairs filtered), so its rank
+    // is pure teleport while the hub collects every spoke's vote.
+    val d = docsDF(
+      doc(1, "hub s1 hub s2 hub s3 hub s4"),
+      doc(2, "noise noise noise noise noise noise"))
+    val r = TextAnalysis.textRank(d, vocab = 6, iters = 5).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.size == 6)
+    assert(r("hub") > r("s1") && r("s1") > r("noise"),
+      r.toString) // votes, not counts: noise is the most frequent token
+    assert(r("s1") == r("s2") && r("s2") == r("s3")) // symmetric spokes
+    // determinism under repartitioning, bit-identical
+    val r2 = TextAnalysis.textRank(d.repartition(5), vocab = 6, iters = 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r2 == r)
+    // the vocabulary cap binds: only the top-k tokens appear
+    val capped = TextAnalysis.textRank(d, vocab = 2).collect()
+    assert(capped.length == 2)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.textRank(d, vocab = 1)
+    }
+  }
+
   test("corpusWer: fixture-wide independent replay (md5 corruption + " +
     "token DP) matches the engine's encoded-levenshtein path exactly") {
     val docs = graft.Tables.documents(spark, sf0001)

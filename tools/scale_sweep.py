@@ -112,6 +112,7 @@ SUBSET = [
     "mw1_rank_test",         # user rollup + rankedRle + 1-row aggregate
     "trim1_robust_means",    # projection + rankedRle + 1-row aggregate
     "did1_diff_in_diff",     # user-keyed conditional rollup + 1-row agg
+    "stl1_decompose",        # daily rollup 10x, RANGE window on the grid
     # chrf1_eval is deliberately NOT under the default bound: its work is
     # linear in CHAR mass, and this synthesis grows chars 13.99x (the
     # "_k" token suffixes) while rows/tokens grow 10x — measured 9.3x
