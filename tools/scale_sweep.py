@@ -113,6 +113,7 @@ SUBSET = [
     "trim1_robust_means",    # projection + rankedRle + 1-row aggregate
     "did1_diff_in_diff",     # user-keyed conditional rollup + 1-row agg
     "stl1_decompose",        # daily rollup 10x, RANGE window on the grid
+    "tr1_textrank",          # 2 corpus scans, vocabulary-sized walk
     # chrf1_eval is deliberately NOT under the default bound: its work is
     # linear in CHAR mass, and this synthesis grows chars 13.99x (the
     # "_k" token suffixes) while rows/tokens grow 10x — measured 9.3x
