@@ -5210,6 +5210,43 @@ object Queries {
        |FROM w""".stripMargin
   }
 
+  /** RHO1 — Spearman rank correlation between quantity and extended
+    * price: Pearson on exact doubled midranks from the distributed rank,
+    * tie-corrected by construction, one fixed double formula on the
+    * 1e-6 grid. See [[graft.operators.Analytics.spearmanRho]]. */
+  val rho1Spearman: Q = (s, d) =>
+    graft.operators.Analytics.spearmanRho(Tables.lineitem(s, d))
+
+  val rho1SpearmanSql: String =
+    """WITH base AS (
+      |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS q,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p
+      |  FROM lineitem),
+      |rq AS (SELECT q, 2 * coalesce(sum(cnt) OVER (ORDER BY q
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           + cnt + 1 AS m_q
+      |       FROM (SELECT q, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1)),
+      |rp AS (SELECT p, 2 * coalesce(sum(cnt) OVER (ORDER BY p
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           + cnt + 1 AS m_p
+      |       FROM (SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1)),
+      |r AS (SELECT m_q, m_p FROM base JOIN rq USING (q) JOIN rp USING (p)),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        sum(CAST(m_q AS HUGEINT)) AS sx, sum(CAST(m_p AS HUGEINT)) AS sy,
+      |        sum(CAST(m_q AS HUGEINT) * m_q) AS sxx,
+      |        sum(CAST(m_p AS HUGEINT) * m_p) AS syy,
+      |        sum(CAST(m_q AS HUGEINT) * m_p) AS sxy
+      |      FROM r),
+      |v AS (SELECT n,
+      |        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+      |        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      |      FROM m)
+      |SELECT n, CASE WHEN n > 1 AND vx > 0 AND vy > 0
+      |               THEN floor(cov / sqrt(vx * vy) * 1000000 + 0.5) / 1000000
+      |               ELSE 0.0 END AS rho
+      |FROM v""".stripMargin
+
   /** TRIM1 — 5% trimmed and winsorized means of order totals: exact
     * positional tail cuts over the distributed two-phase rank, boundary
     * values selected (never interpolated), winsorized tails re-added as
@@ -7989,6 +8026,7 @@ object Queries {
     "tt1_welch_ttest" -> tt1WelchTTest,
     "mw1_rank_test" -> mw1RankTest,
     "trim1_robust_means" -> trim1RobustMeans,
+    "rho1_spearman" -> rho1Spearman,
     "did1_diff_in_diff" -> did1DiffInDiff,
     "stl1_decompose" -> stl1Decompose,
     "cusum1_drift" -> cusum1Drift,
@@ -8262,6 +8300,7 @@ object Queries {
     "tt1_welch_ttest" -> tt1WelchTTestSql,
     "mw1_rank_test" -> mw1RankTestSql,
     "trim1_robust_means" -> trim1RobustMeansSql,
+    "rho1_spearman" -> rho1SpearmanSql,
     "did1_diff_in_diff" -> did1DiffInDiffSql,
     "stl1_decompose" -> stl1DecomposeSql,
     "cusum1_drift" -> cusum1DriftSql,
@@ -8469,7 +8508,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "tr1_textrank", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "tr1_textrank", "rho1_spearman", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

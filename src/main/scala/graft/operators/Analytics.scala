@@ -1258,6 +1258,50 @@ object Analytics {
         .as("winsor_mean"))
   }
 
+  /** Spearman rank correlation between line-item quantity and extended
+    * price — corr1's distribution-free sibling: Pearson on MIDRANKS, so
+    * one extreme price moves the coefficient by at most its rank and a
+    * monotone-but-curved relationship still scores 1. Ties get the
+    * textbook average rank, which keeps the tie correction exact.
+    *
+    * Exactness: each variable's ranks come from [[rankedRle]]; doubled
+    * midranks 2·c0 + cnt + 1 are exact integers joined back to the rows
+    * by value (domain-sized broadcast-able joins), the five moment sums
+    * fold as decimal(38,0), and ρ is ONE fixed double formula over them
+    * on the 1e-6 grid. Degenerate inputs (n < 2, zero rank variance —
+    * all ties) report 0. */
+  def spearmanRho(lineitem: DataFrame, buckets: Int = 1024): DataFrame = {
+    val base = lineitem.select(
+      col("l_quantity").cast("decimal(18,0)").cast("long").as("q"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("p"))
+      .localCheckpoint() // feeds both rank builds and the join-back
+    def mid(valueCol: String) =
+      rankedRle(base.select(col(valueCol)), valueCol, buckets)
+        .select(col("value").as(valueCol),
+          (lit(2) * col("c0") + col("cnt") + 1).as(s"m_$valueCol"))
+    // no broadcast hints: the quantity domain is tiny but the PRICE
+    // domain scales with the corpus — AQE picks BHJ while it fits and
+    // degrades to a shuffle join cleanly (the COST.md §3 discipline)
+    val ranked = base
+      .join(mid("q"), Seq("q"))
+      .join(mid("p"), Seq("p"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(d38(col("m_q"))).as("sx"), sum(d38(col("m_p"))).as("sy"),
+      sum(d38(col("m_q")) * col("m_q")).as("sxx"),
+      sum(d38(col("m_p")) * col("m_p")).as("syy"),
+      sum(d38(col("m_q")) * col("m_p")).as("sxy"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val cov = nD * col("sxy").cast("double") - sx * sy
+    val vx = nD * col("sxx").cast("double") - sx * sx
+    val vy = nD * col("syy").cast("double") - sy * sy
+    m.select(col("n"),
+      when(col("n") > 1 && vx > 0 && vy > 0,
+        portableRound(cov / sqrt(vx * vy), 6)).otherwise(0.0).as("rho"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between the deterministic A/B
     * split on per-user purchase revenue — [[welchTTest]]'s
     * distribution-free sibling: where Welch compares means (and a heavy

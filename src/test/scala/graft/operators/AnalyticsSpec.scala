@@ -1582,6 +1582,54 @@ class AnalyticsSpec extends SparkTestBase {
       .toString == got.toString)
   }
 
+  test("spearmanRho: monotone-nonlinear scores exactly 1, reversal -1, " +
+    "tied case matches the hand-computed 0.5, constant column guards 0") {
+    def li(rows: (Double, Double)*) = rows.zipWithIndex.map {
+      case ((q, p), i) => (i.toLong, q, p)
+    }.toDF("l_orderkey", "l_quantity", "l_extendedprice")
+    // y = x^3: wildly non-linear, perfectly monotone → ranks identical
+    val cubic = li((1 to 8).map(i => (i.toDouble, i * i * i / 100.0)): _*)
+    assert(Analytics.spearmanRho(cubic).collect()(0).getDouble(1) == 1.0)
+    val rev = li((1 to 8).map(i => (i.toDouble, (9 - i) * 1.0)): _*)
+    assert(Analytics.spearmanRho(rev).collect()(0).getDouble(1) == -1.0)
+    // ties: x = [1,1,2] cents-ranks (1.5,1.5,3), y = [.03,.04,.04] ranks
+    // (1,2.5,2.5) → Pearson on midranks = 0.5 by hand
+    val tied = li((1.0, 0.03), (1.0, 0.04), (2.0, 0.04))
+    assert(Analytics.spearmanRho(tied).collect()(0).getDouble(1) == 0.5)
+    val const = li((1.0, 0.05), (2.0, 0.05), (3.0, 0.05))
+    assert(Analytics.spearmanRho(const).collect()(0).getDouble(1) == 0.0)
+  }
+
+  test("spearmanRho: fixture replay with driver-side midranks matches " +
+    "digit for digit") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val got = Analytics.spearmanRho(li).collect()(0)
+    val rows = li.select(
+      col("l_quantity").cast("decimal(18,0)").cast("long"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def mid2(vs: Seq[Long]): Map[Long, Long] = {
+      val byV = vs.groupBy(identity).map { case (v, g) => (v, g.size.toLong) }
+        .toSeq.sortBy(_._1)
+      var c0 = 0L
+      byV.map { case (v, cnt) =>
+        val m = 2 * c0 + cnt + 1; c0 += cnt; v -> m
+      }.toMap
+    }
+    val mq = mid2(rows.map(_._1)); val mp = mid2(rows.map(_._2))
+    val n = rows.length.toLong
+    var sx, sy = BigInt(0); var sxx, syy, sxy = BigInt(0)
+    rows.foreach { case (q, p) =>
+      val (x, y) = (BigInt(mq(q)), BigInt(mp(p)))
+      sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
+    }
+    val cov = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+    val vx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    val vy = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+    val rho = math.floor(cov / math.sqrt(vx * vy) * 1e6 + 0.5) / 1e6
+    assert(got.getLong(0) == n && got.getDouble(1) == rho, got.toString)
+  }
+
   test("mannWhitneyU: hand-derived U and z on a 2x2 book; full ties " +
     "zero the variance and the guard reports 0") {
     // pick user ids on each side of the deterministic split by probing
