@@ -6024,6 +6024,43 @@ object Queries {
        |ORDER BY deg.community""".stripMargin
   }
 
+  /** PPR1 — personalized PageRank (random walk with restart) from
+    * NATION_0 over the pr1 trade graph: proximity, not global rank —
+    * every restart teleports to the source, unreached nodes hold exact
+    * 0. 5 fixed decimal-grid rounds, oracle-unrolled.
+    * See [[graft.operators.Graph.personalizedPageRank]]. */
+  val ppr1Proximity: Q = (s, d) =>
+    graft.operators.Graph.personalizedPageRank(
+      Tables.nation(s, d).select(col("n_name").as("node")),
+      tradeEdges(s, d), source = "NATION_0", iters = 5)
+
+  val ppr1ProximitySql: String =
+    s"""WITH RECURSIVE
+      |$tradeEdgesCte,
+      |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      |contribs AS (
+      |  SELECT e.src, e.dst,
+      |         floor((0.85 / od.deg) * 1000000000000 + 0.5) / 1000000000000 AS w
+      |  FROM edges e JOIN outdeg od ON e.src = od.src
+      |  UNION ALL
+      |  SELECT n_name, n_name, 0.0 FROM nation),
+      |pr AS (
+      |  SELECT 0 AS iter, n_name AS node,
+      |         -- CAST: the recursive CTE's column type is inferred from
+      |         -- the ANCHOR; a bare 1.0/0.0 CASE infers DECIMAL(2,1) and
+      |         -- silently truncates every later iteration to one decimal
+      |         CAST(CASE WHEN n_name = 'NATION_0' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS r
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT p.iter + 1, c.dst,
+      |         floor((CASE WHEN c.dst = 'NATION_0' THEN 0.15 ELSE 0.0 END +
+      |                CAST(sum(CAST(floor(p.r * c.w * 1000000000000 + 0.5) / 1000000000000 AS DECIMAL(28,12))) AS DOUBLE))
+      |               * 10000000000 + 0.5) / 10000000000
+      |  FROM pr p JOIN contribs c ON p.node = c.src
+      |  WHERE p.iter < 5
+      |  GROUP BY p.iter + 1, c.dst)
+      |SELECT node, r AS proximity FROM pr WHERE iter = 5""".stripMargin
+
   val pr1Pagerank: Q = (s, d) =>
     graft.operators.Graph.pageRank(
       Tables.nation(s, d).select(col("n_name").as("node")),
@@ -8086,6 +8123,7 @@ object Queries {
     "t12_bm25" -> t12Bm25,
     "surv1_kaplan_meier" -> surv1KaplanMeier,
     "lp1_communities" -> lp1Communities,
+    "ppr1_proximity" -> ppr1Proximity,
     "hits1_hubs_auth" -> hits1HubsAuth,
     "mod1_modularity" -> mod1Modularity,
     "fh1_feature_hash" -> fh1FeatureHash,
@@ -8360,6 +8398,7 @@ object Queries {
     "t12_bm25" -> t12Bm25Sql,
     "surv1_kaplan_meier" -> surv1KaplanMeierSql,
     "lp1_communities" -> lp1CommunitiesSql,
+    "ppr1_proximity" -> ppr1ProximitySql,
     "hits1_hubs_auth" -> hits1HubsAuthSql,
     "mod1_modularity" -> mod1ModularitySql,
     "fh1_feature_hash" -> fh1FeatureHashSql,
@@ -8514,6 +8553,6 @@ object Queries {
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
     "iso1_isotonic_calibration", "ts3_theil_sen", "logrank1_survival_test",
     "bfs1_shortest_paths", "att1_position_attribution", "dtw1_series_align",
-    "hits1_hubs_auth", "mod1_modularity",
+    "hits1_hubs_auth", "mod1_modularity", "ppr1_proximity",
     "st1_stream_window", "st6_stream_cdc")
 }

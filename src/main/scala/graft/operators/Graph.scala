@@ -336,6 +336,48 @@ object Graph {
       .orderBy(col("community"))
   }
 
+  /** Personalized PageRank / random walk with restart (Haveliwala 2002;
+    * Tong et al. 2006) from one source node: [[pageRank]] ranks globally,
+    * this measures PROXIMITY — every restart teleports back to the
+    * source, so a node's score is the stationary probability of a
+    * damping-decayed walk that always begins at `source`. The
+    * recommendation primitive ("what is near THIS node") the global walk
+    * cannot express.
+    *
+    * Same exactness discipline as [[pageRank]]: per-edge weights and
+    * per-round scores snap to decimal grids (1e-12 / 1e-10), sums fold
+    * as decimal(28,12), and the oracle unrolls the fixed rounds digit
+    * for digit. Init mass 1 at the source; the teleport term is
+    * (1−damping) AT THE SOURCE ONLY, so unreached nodes hold exact 0.
+    * Scale shape identical to pageRank: one hash join + one grouped sum
+    * per round on a node-sized frame, edges checkpointed once. */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+                           source: String, iters: Int = 5,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val contribs = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"),
+        portableRound(lit(damping) / col("deg"), 12).as("w"))
+      .unionByName(nodes.select(col("node").as("src"), col("node").as("dst"),
+        lit(0.0).as("w")))
+      .localCheckpoint()
+    val tele = math.floor((1.0 - damping) * 1e12 + 0.5) / 1e12
+    var ranks = nodes.select(col("node"),
+      when(col("node") === source, 1.0).otherwise(0.0).as("r"))
+    for (i <- 1 to iters) {
+      ranks = ranks.join(contribs, ranks("node") === contribs("src"))
+        .groupBy(col("dst"))
+        .agg(sum(portableRound(col("r") * col("w"), 12).cast("decimal(28,12)"))
+          .as("contrib"))
+        .select(col("dst").as("node"),
+          portableRound(when(col("dst") === source, lit(tele))
+            .otherwise(lit(0.0)) + col("contrib").cast("double"), 10).as("r"))
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("proximity"))
+  }
+
   /** BFS1 — single-source shortest paths + shortest-path COUNTS over a
     * directed graph, the min-plus leg the graph family lacked (d7 finds
     * components, pr1 ranks, tri1/kcore1 measure density, lp1 partitions

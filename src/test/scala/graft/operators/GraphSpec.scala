@@ -223,6 +223,26 @@ class GraphSpec extends SparkTestBase {
     assert(none.forall(x => x.getDouble(1) == 0.0 && x.getDouble(2) == 0.0))
   }
 
+  test("personalizedPageRank: proximity decays along the chain, " +
+    "unreached nodes hold exact 0, restart keeps the source on top") {
+    val ns = Seq("s", "x", "y", "z").toDF("node")
+    // s -> x -> y; z is disconnected from the walk
+    val edges = Seq(("s", "x"), ("x", "y"), ("z", "s")).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(ns, edges, "s", iters = 8).collect()
+      .map(p => p.getString(0) -> p.getDouble(1)).toMap
+    assert(r("s") > r("x") && r("x") > r("y"), r.toString)
+    assert(r("z") == 0.0) // the walk starts at s and can never reach z
+    assert(r.values.sum <= 1.0 + 1e-9)
+    // z -> s exists, so GLOBAL pagerank gives z mass; proximity must not
+    val global = Graph.pageRank(ns, edges, iters = 8).collect()
+      .map(p => p.getString(0) -> p.getDouble(1)).toMap
+    assert(global("z") > 0.0 && r("z") == 0.0)
+    val r2 = Graph.personalizedPageRank(ns.repartition(3),
+      edges.repartition(2), "s", iters = 8).collect()
+      .map(p => p.getString(0) -> p.getDouble(1)).toMap
+    assert(r2 == r) // bit-identical under repartitioning
+  }
+
   test("modularity: two cliques with a bridge score 35/196 each; " +
     "one-community graph scores 0; degree mass = 2m") {
     // K3 {a,b,c} + K3 {d,e,f} + bridge c-d: m = 7
