@@ -114,6 +114,8 @@ SUBSET = [
     "did1_diff_in_diff",     # user-keyed conditional rollup + 1-row agg
     "stl1_decompose",        # daily rollup 10x, RANGE window on the grid
     "tr1_textrank",          # 2 corpus scans, vocabulary-sized walk
+    "rho1_spearman",         # two rankedRle passes + value join-backs
+    "ppr1_proximity",        # pr1's edge build, bounded-graph rounds
     # chrf1_eval is deliberately NOT under the default bound: its work is
     # linear in CHAR mass, and this synthesis grows chars 13.99x (the
     # "_k" token suffixes) while rows/tokens grow 10x — measured 9.3x
