@@ -5124,6 +5124,76 @@ object Queries {
     * ([[graft.operators.Analytics.welchTTest]]) between the deterministic
     * A/B split on per-user purchase revenue: t statistic +
     * Welch–Satterthwaite df from one exact-decimal moment aggregate. */
+  /** IPW1 — inverse-propensity-weighted (Hájek) effect of view-dominant
+    * behavior (views > clicks — a non-randomized condition) on purchase
+    * revenue: logistic propensity on signup/error counts via the
+    * exact micro-unit GD, per-user p̂ snapped to the 1e-6 grid and
+    * clamped on-grid, weighted terms snapped to integer grids BEFORE
+    * the exact decimal folds, Hájek ratios on the 1e-4 dollar grid.
+    * See [[graft.operators.Analytics.ipwEffect]]. */
+  val ipw1Effect: Q = (s, d) =>
+    graft.operators.Analytics.ipwEffect(Tables.events(s, d))
+
+  val ipw1EffectSql: String = {
+    def microSum(expr: String, as: String) =
+      s"CAST(sum(CAST(floor(($expr) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS $as"
+    val iters = 3
+    val gd = (1 to iters).map { k =>
+      s""",
+         |s$k AS (SELECT y, x0, x1, x2,
+         |              1.0 / (1.0 + exp(-(c0 * x0 + c1 * x1 + c2 * x2))) AS sg
+         |       FROM d CROSS JOIN b${k - 1}),
+         |g$k AS (SELECT ${microSum("(sg - y) * x0", "g0")},
+         |              ${microSum("(sg - y) * x1", "g1")},
+         |              ${microSum("(sg - y) * x2", "g2")}
+         |       FROM s$k),
+         |b$k AS (SELECT floor((c0 - 1.0 * (CAST(g0 AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS c0,
+         |              floor((c1 - 1.0 * (CAST(g1 AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS c1,
+         |              floor((c2 - 1.0 * (CAST(g2 AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS c2
+         |       FROM g$k CROSS JOIN b${k - 1} CROSS JOIN nn)""".stripMargin
+    }.mkString
+    s"""WITH u AS (
+       |  SELECT user_id, signups, errors, y_cents,
+       |         CASE WHEN vmc > 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS t
+       |  FROM (SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+       |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       |    CAST(sum(CASE WHEN event_type = 'view' THEN 1
+       |             WHEN event_type = 'click' THEN -1 ELSE 0 END) AS BIGINT) AS vmc,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS y_cents
+       |  FROM events GROUP BY 1)),
+       |d AS (SELECT CAST(t AS DOUBLE) AS y, CAST(1.0 AS DOUBLE) AS x0,
+       |        CAST(signups AS DOUBLE) / 100.0 AS x1,
+       |        CAST(errors AS DOUBLE) / 100.0 AS x2 FROM u),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+       |b0 AS (SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1,
+       |              CAST(0.0 AS DOUBLE) AS c2)$gd,
+       |sc AS (SELECT u.*,
+       |         least(greatest(
+       |           floor((1.0 / (1.0 + exp(-(c0 * 1.0 +
+       |             c1 * (CAST(signups AS DOUBLE) / 100.0) +
+       |             c2 * (CAST(errors AS DOUBLE) / 100.0))))) * 1000000 + 0.5) / 1000000,
+       |           0.000001), 0.999999) AS p
+       |       FROM u CROSS JOIN b$iters),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |          CAST(sum(t) AS BIGINT) AS n_treated,
+       |          sum(CAST(CASE WHEN t = 1 THEN CAST(floor(CAST(y_cents AS DOUBLE) / p + 0.5) AS BIGINT) ELSE 0 END AS HUGEINT)) AS num1,
+       |          sum(CAST(CASE WHEN t = 1 THEN CAST(floor(1000000.0 / p + 0.5) AS BIGINT) ELSE 0 END AS HUGEINT)) AS den1,
+       |          sum(CAST(CASE WHEN t = 0 THEN CAST(floor(CAST(y_cents AS DOUBLE) / (1.0 - p) + 0.5) AS BIGINT) ELSE 0 END AS HUGEINT)) AS num0,
+       |          sum(CAST(CASE WHEN t = 0 THEN CAST(floor(1000000.0 / (1.0 - p) + 0.5) AS BIGINT) ELSE 0 END AS HUGEINT)) AS den0
+       |        FROM sc)
+       |SELECT n, n_treated, b$iters.c0 AS b0, b$iters.c1 AS b1, b$iters.c2 AS b2,
+       |  CASE WHEN den1 > 0 THEN floor((CAST(num1 AS DOUBLE) * 1000000.0 / CAST(den1 AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 ELSE 0.0 END AS mu_treated,
+       |  CASE WHEN den0 > 0 THEN floor((CAST(num0 AS DOUBLE) * 1000000.0 / CAST(den0 AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 ELSE 0.0 END AS mu_control,
+       |  CASE WHEN den1 > 0 AND den0 > 0
+       |       THEN floor((CAST(num1 AS DOUBLE) * 1000000.0 / CAST(den1 AS DOUBLE) / 100.0
+       |                   - CAST(num0 AS DOUBLE) * 1000000.0 / CAST(den0 AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000
+       |       ELSE 0.0 END AS ate
+       |FROM agg CROSS JOIN b$iters""".stripMargin
+  }
+
   /** STL1 — classical seasonal-trend decomposition of per-type daily
     * revenue: centered 7-day RANGE-frame trend (calendar gaps exclude a
     * day rather than averaging non-adjacent ones), weekday seasonal
@@ -8065,6 +8135,7 @@ object Queries {
     "trim1_robust_means" -> trim1RobustMeans,
     "rho1_spearman" -> rho1Spearman,
     "did1_diff_in_diff" -> did1DiffInDiff,
+    "ipw1_effect" -> ipw1Effect,
     "stl1_decompose" -> stl1Decompose,
     "cusum1_drift" -> cusum1Drift,
     "lorenz1_deciles" -> lorenz1Deciles,
@@ -8340,6 +8411,7 @@ object Queries {
     "trim1_robust_means" -> trim1RobustMeansSql,
     "rho1_spearman" -> rho1SpearmanSql,
     "did1_diff_in_diff" -> did1DiffInDiffSql,
+    "ipw1_effect" -> ipw1EffectSql,
     "stl1_decompose" -> stl1DecomposeSql,
     "cusum1_drift" -> cusum1DriftSql,
     "lorenz1_deciles" -> lorenz1DecilesSql,
@@ -8547,7 +8619,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "tr1_textrank", "rho1_spearman", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "tr1_textrank", "rho1_spearman", "ipw1_effect", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

@@ -1258,6 +1258,83 @@ object Analytics {
         .as("winsor_mean"))
   }
 
+  /** Inverse-propensity-weighted (Hájek) treatment-effect estimate —
+    * the OBSERVATIONAL causal leg beside [[diffInDiff]]'s
+    * quasi-experiment: the "treatment" here (the user viewed more
+    * than they clicked) is not randomized, so a raw treated-vs-control
+    * comparison confounds with activity; the propensity model (logistic
+    * on signup/error counts,
+    * trained by [[logisticGdVector]]'s exact micro-unit GD) reweights
+    * each user by 1/P(observed assignment) and the Hájek ratio
+    * μ̂₁ − μ̂₀ estimates the effect under unconfoundedness.
+    *
+    * Exactness: coefficients land on the 1e-6 grid (GD contract), each
+    * user's propensity snaps to the 1e-6 grid and clamps to
+    * [1e-6, 1−1e-6] (both bounds ON the grid), and every weighted term
+    * snaps to an integer grid BEFORE summation — outcome terms to whole
+    * cents, weight terms to micro-units — so the four folds are exact
+    * decimal sums and the final ratios are one fixed double formula on
+    * the 1e-4 dollar grid (the logrank1 discipline). An empty arm
+    * reports 0s rather than 0/0.
+    *
+    * Shape: one user-keyed rollup (checkpointed once), `iters` 1-row GD
+    * aggregates, ONE weighted 1-row aggregate. Driver state is the
+    * 3-vector of coefficients. */
+  def ipwEffect(events: DataFrame, iters: Int = 3,
+                lr: Double = 1.0): DataFrame = {
+    val users = events.groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("signups"),
+      sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
+      // "view-dominant" treatment: more views than clicks — a non-
+      // randomized behavioral condition with real prevalence on the
+      // fixture (a has-any-event flag would be 1 for every user)
+      sum(when(col("event_type") === "view", 1L)
+        .when(col("event_type") === "click", -1L).otherwise(0L)).as("vmc"),
+      sum(when(col("event_type") === "purchase",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .otherwise(0L)).as("y_cents"))
+      .withColumn("t", when(col("vmc") > 0, 1L).otherwise(0L))
+      .localCheckpoint() // feeds every GD iteration AND the weighting pass
+    val d = users.select(col("t").cast("double").as("y"),
+      lit(1.0).as("x0"),
+      (col("signups").cast("double") / 100.0).as("x1"),
+      (col("errors").cast("double") / 100.0).as("x2"))
+    val b = logisticGdVector(d, 3, iters, lr)
+    val z = lit(b(0)) * lit(1.0) +
+      lit(b(1)) * (col("signups").cast("double") / 100.0) +
+      lit(b(2)) * (col("errors").cast("double") / 100.0)
+    val p6 = floor((lit(1.0) / (lit(1.0) + exp(-z))) * 1000000.0 + 0.5) / 1000000.0
+    val p = least(greatest(p6, lit(0.000001)), lit(0.999999))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val w = users.withColumn("p", p)
+    val a = w.agg(count(lit(1)).as("n"), sum(col("t")).as("n_treated"),
+      sum(d38(when(col("t") === 1,
+        floor(col("y_cents").cast("double") / col("p") + 0.5)).otherwise(0.0)
+        .cast("long"))).as("num1"),
+      sum(d38(when(col("t") === 1,
+        floor(lit(1000000.0) / col("p") + 0.5)).otherwise(0.0)
+        .cast("long"))).as("den1"),
+      sum(d38(when(col("t") === 0,
+        floor(col("y_cents").cast("double") / (lit(1.0) - col("p")) + 0.5))
+        .otherwise(0.0).cast("long"))).as("num0"),
+      sum(d38(when(col("t") === 0,
+        floor(lit(1000000.0) / (lit(1.0) - col("p")) + 0.5)).otherwise(0.0)
+        .cast("long"))).as("den0"))
+    def r4(c: Column) = portableRound(c, 4)
+    // μ in dollars: (Σ snapped cents·weights) / (Σ micro-weights / 1e6) / 100
+    def mu(num: Column, den: Column) =
+      num.cast("double") * 1000000.0 / den.cast("double") / 100.0
+    val ok1 = col("den1") > 0; val ok0 = col("den0") > 0
+    a.select(col("n"), col("n_treated"),
+      lit(b(0)).as("b0"), lit(b(1)).as("b1"), lit(b(2)).as("b2"),
+      when(ok1, r4(mu(col("num1"), col("den1")))).otherwise(0.0)
+        .as("mu_treated"),
+      when(ok0, r4(mu(col("num0"), col("den0")))).otherwise(0.0)
+        .as("mu_control"),
+      when(ok1 && ok0, r4(mu(col("num1"), col("den1")) -
+        mu(col("num0"), col("den0")))).otherwise(0.0).as("ate"))
+  }
+
   /** Spearman rank correlation between line-item quantity and extended
     * price — corr1's distribution-free sibling: Pearson on MIDRANKS, so
     * one extreme price moves the coefficient by at most its rank and a

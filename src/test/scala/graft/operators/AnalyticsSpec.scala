@@ -1582,6 +1582,39 @@ class AnalyticsSpec extends SparkTestBase {
       .toString == got.toString)
   }
 
+  test("ipwEffect: with flat covariates the Hajek estimate collapses to " +
+    "the arm means; a planted confounder moves IPW toward the truth") {
+    // 4 users, identical covariates (propensity constant): IPW weights
+    // cancel inside each arm and ATE = plain difference of arm means.
+    // Treated = views > clicks.
+    def u(uid: Long, views: Int, clicks: Int, signups: Int, errors: Int,
+          cents: Double) = {
+      val vs = Seq.fill(views)("view") ++ Seq.fill(clicks)("click") ++
+        Seq.fill(signups)("signup") ++ Seq.fill(errors)("error")
+      vs.zipWithIndex.map { case (t, i) =>
+        (uid, f"2024-01-${i % 28 + 1}%02d 10:00:00", t, 0.0)
+      } :+ ((uid, "2024-01-01 09:00:00", "purchase", cents))
+    }
+    val flat = ev((u(1, 3, 1, 2, 2, 10.0) ++ u(2, 3, 1, 2, 2, 20.0) ++
+      u(3, 1, 3, 2, 2, 5.0) ++ u(4, 1, 3, 2, 2, 7.0)): _*)
+    val r = Analytics.ipwEffect(flat).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(5) == 15.0 && r.getDouble(6) == 6.0, r.toString)
+    assert(r.getDouble(7) == 9.0)
+    // planted confounder: high-signup users BOTH spend more and are
+    // more often treated. Raw arm difference over-credits treatment;
+    // IPW must land BELOW it (reweighting restores the signup balance)
+    val conf = ev((
+      u(11, 3, 1, 9, 0, 40.0) ++ u(12, 3, 1, 9, 0, 44.0) ++
+      u(13, 3, 1, 0, 9, 12.0) ++
+      u(14, 1, 3, 9, 0, 38.0) ++
+      u(15, 1, 3, 0, 9, 10.0) ++ u(16, 1, 3, 0, 9, 8.0)): _*)
+    val c = Analytics.ipwEffect(conf, iters = 30).collect()(0)
+    val rawDiff = (40.0 + 44 + 12) / 3 - (38.0 + 10 + 8) / 3
+    assert(c.getDouble(7) < rawDiff, s"ipw ${c.getDouble(7)} vs raw $rawDiff")
+    assert(c.getDouble(7) > 0.0)
+  }
+
   test("spearmanRho: monotone-nonlinear scores exactly 1, reversal -1, " +
     "tied case matches the hand-computed 0.5, constant column guards 0") {
     def li(rows: (Double, Double)*) = rows.zipWithIndex.map {
