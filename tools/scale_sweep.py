@@ -116,6 +116,7 @@ SUBSET = [
     "tr1_textrank",          # 2 corpus scans, vocabulary-sized walk
     "rho1_spearman",         # two rankedRle passes + value join-backs
     "ppr1_proximity",        # pr1's edge build, bounded-graph rounds
+    "ipw1_effect",           # user rollup + iters 1-row GD aggregates
     # chrf1_eval is deliberately NOT under the default bound: its work is
     # linear in CHAR mass, and this synthesis grows chars 13.99x (the
     # "_k" token suffixes) while rows/tokens grow 10x — measured 9.3x
