@@ -2842,6 +2842,47 @@ object Queries {
       |              floor((1.0 / (1.0 + exp(-(c0 * x0 + c1 * x1 + c2 * x2)))) * 1000000 + 0.5) / 1000000 AS s6
       |       FROM d CROSS JOIN b$iters)""".stripMargin
 
+  /** PLATT1 — Platt scaling of the ml1 model (iso1's parametric
+    * sibling): σ(a + b·s) fit by the exact micro-unit GD on the snapped
+    * raw scores, reported as ml2-style reliability bins of the
+    * CALIBRATED probabilities with (a, b) carried on every row.
+    * See [[graft.operators.Analytics.plattCalibration]]. */
+  val platt1Calibration: Q = (s, d) =>
+    graft.operators.Analytics.plattCalibration(Tables.orders(s, d))
+
+  val platt1CalibrationSql: String = {
+    def microSum(expr: String, as: String) =
+      s"CAST(sum(CAST(floor(($expr) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS $as"
+    val iters = 5
+    val gd = (1 to iters).map { k =>
+      s""",
+         |ps$k AS (SELECT y, s6, 1.0 / (1.0 + exp(-(a * 1.0 + b * s6))) AS sg
+         |        FROM sc CROSS JOIN p${k - 1}),
+         |pg$k AS (SELECT ${microSum("(sg - y) * 1.0", "g0")},
+         |               ${microSum("(sg - y) * s6", "g1")}
+         |        FROM ps$k),
+         |p$k AS (SELECT floor((a - 1.0 * (CAST(g0 AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS a,
+         |               floor((b - 1.0 * (CAST(g1 AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS b
+         |        FROM pg$k CROSS JOIN p${k - 1} CROSS JOIN pn)""".stripMargin
+    }.mkString
+    s"""${logregScoreCteSql(3)},
+       |pn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sc),
+       |p0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b)$gd,
+       |qq AS (SELECT y,
+       |         floor((1.0 / (1.0 + exp(-(a * 1.0 + b * s6)))) * 1000000 + 0.5) / 1000000 AS q6
+       |       FROM sc CROSS JOIN p$iters),
+       |bb AS (SELECT y, q6, least(CAST(floor(q6 * 10) AS BIGINT), 9) AS bin FROM qq),
+       |gg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(CAST(floor(q6 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ps,
+       |              sum(y) AS ys
+       |       FROM bb GROUP BY bin)
+       |SELECT bin, n, p$iters.a AS platt_a, p$iters.b AS platt_b,
+       |       floor((CAST(ps AS DOUBLE) / 1000000 / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS avg_cal,
+       |       floor((ys / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS obs_rate
+       |FROM gg CROSS JOIN p$iters
+       |ORDER BY bin""".stripMargin
+  }
+
   /** ML2 — reliability bins of the ml1-trained model: decile bins of
     * predicted probability vs observed positive rate.
     * See [[graft.operators.Analytics.calibrationBins]]. */
@@ -8246,6 +8287,7 @@ object Queries {
     "rrf1_hybrid_fusion" -> rrf1HybridFusion,
     "ml1_logreg_gd" -> ml1LogregGd,
     "ml2_calibration" -> ml2Calibration,
+    "platt1_calibration" -> platt1Calibration,
     "ml3_auc" -> ml3Auc,
     "ivm2_delta_join" -> ivm2DeltaJoin,
     "boot1_bootstrap_ci" -> boot1BootstrapCi,
@@ -8515,6 +8557,7 @@ object Queries {
     "rrf1_hybrid_fusion" -> rrf1HybridFusionSql,
     "ml1_logreg_gd" -> ml1LogregGdSql,
     "ml2_calibration" -> ml2CalibrationSql,
+    "platt1_calibration" -> platt1CalibrationSql,
     "ml3_auc" -> ml3AucSql,
     "ivm2_delta_join" -> ivm2DeltaJoinSql,
     "boot1_bootstrap_ci" -> boot1BootstrapCiSql,
@@ -8619,7 +8662,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "tr1_textrank", "rho1_spearman", "ipw1_effect", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "tr1_textrank", "rho1_spearman", "ipw1_effect", "platt1_calibration", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

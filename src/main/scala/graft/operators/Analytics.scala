@@ -1655,6 +1655,45 @@ object Analytics {
     d.select(col("y"), (floor(sg * 1000000.0 + 0.5) / 1000000.0).as("s6"))
   }
 
+  /** Platt scaling (Platt 1999) of the ml1 model — the PARAMETRIC
+    * calibration next to [[isotonicCalibration]]'s monotone step map:
+    * fit σ(a + b·s) to the labels by the same exact micro-unit GD (two
+    * features: intercept + the 1e-6-snapped raw score), then report the
+    * ml2-style reliability bins of the CALIBRATED probabilities. Platt
+    * needs ~2 parameters where isotonic spends a step per violation, so
+    * it generalizes from less data when the miscalibration is a smooth
+    * squash — the bins make the comparison measurable.
+    *
+    * Exactness: raw scores are ml1's snapped s6; (a, b) land on the
+    * 1e-6 grid each GD step; calibrated q6 = σ(a + b·s6) snaps to the
+    * 1e-6 grid; bin sums fold as exact micro-unit BIGINTs (ml2's
+    * accounting). Shape: iters+3 1-row aggregates over one projected
+    * frame + one 10-group rollup. */
+  def plattCalibration(orders: DataFrame, iters: Int = 5,
+                       scoreIters: Int = 3, lr: Double = 0.5,
+                       bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins out of range: $bins")
+    val sc = logregScores(orders, scoreIters, lr).localCheckpoint()
+    val d = sc.select(col("y"), lit(1.0).as("x0"), col("s6").as("x1"))
+    val b = logisticGdVector(d, 2, iters, lr = 1.0)
+    val q = floor((lit(1.0) / (lit(1.0) +
+      exp(-(lit(b(0)) * lit(1.0) + lit(b(1)) * col("s6")))))
+      * 1000000.0 + 0.5) / 1000000.0
+    val binned = sc.withColumn("q6", q)
+      .withColumn("bin", least(floor(col("q6") * bins).cast("long"),
+        lit(bins - 1L)))
+    binned.groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("q6") * 1000000.0 + 0.5).cast("long")).as("ps"),
+        sum(col("y")).as("ys"))
+      .select(col("bin"), col("n"),
+        lit(b(0)).as("platt_a"), lit(b(1)).as("platt_b"),
+        portableRound(col("ps").cast("double") / 1000000.0
+          / col("n").cast("double"), 6).as("avg_cal"),
+        portableRound(col("ys") / col("n").cast("double"), 6).as("obs_rate"))
+      .orderBy(col("bin"))
+  }
+
   /** FD profiling (the Metanome/Tane family's verification step, done
     * declaratively): for each candidate dependency det → dep, the g3
     * error — the minimum fraction of rows to delete for the FD to hold

@@ -1582,6 +1582,48 @@ class AnalyticsSpec extends SparkTestBase {
       .toString == got.toString)
   }
 
+  test("plattCalibration: an informative score earns a positive slope " +
+    "and pulls the mean to the base rate; the flat fixture score " +
+    "flattens correctly") {
+    // label == F exactly when totalprice is high: ml1's x1 feature is
+    // informative, so the raw score separates and Platt must USE it
+    val rows = (1 to 400).map { i =>
+      val hi = i % 2 == 0
+      (i.toLong, if (hi) 90000.0 + i else 1000.0 + i,
+        "3-MEDIUM", f"2024-01-${i % 28 + 1}%02d 00:00:00",
+        if (hi) "F" else "O")
+    }
+    val orders = rows.toDF("o_orderkey", "o_totalprice", "o_orderpriority",
+      "tss", "o_orderstatus")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+        to_timestamp(col("tss")).as("o_orderdate"), col("o_orderstatus"))
+    val r = Analytics.plattCalibration(orders, iters = 40).collect()
+    val b = r.head.getDouble(3)
+    assert(b > 0.0, s"platt_b: $b") // the slope must follow the signal
+    // a/b constant across rows
+    assert(r.forall(x => x.getDouble(2) == r.head.getDouble(2) &&
+      x.getDouble(3) == b))
+    // calibration's first-order claim: the calibrated mean sits closer
+    // to the 0.5 base rate than the raw model's mean (GD's intercept
+    // stationarity drives Σσ toward Σy)
+    def pooled(rows: Array[org.apache.spark.sql.Row],
+               avgIdx: Int, nIdx: Int = 1) = {
+      val n = rows.map(_.getLong(nIdx)).sum.toDouble
+      rows.map(x => x.getLong(nIdx) * x.getDouble(avgIdx)).sum / n
+    }
+    val calMean = pooled(r, 4)
+    val raw = Analytics.calibrationBins(orders).collect()
+    val rawMean = pooled(raw, 2)
+    assert(math.abs(calMean - 0.5) < math.abs(rawMean - 0.5),
+      s"cal $calMean raw $rawMean")
+    // fixture: a near-uninformative score correctly flattens to ~1 bin,
+    // and the bins partition the order book exactly
+    val f = Analytics.plattCalibration(graft.Tables.orders(spark, sf0001))
+      .collect()
+    assert(f.map(_.getLong(1)).sum ==
+      graft.Tables.orders(spark, sf0001).count())
+  }
+
   test("ipwEffect: with flat covariates the Hajek estimate collapses to " +
     "the arm means; a planted confounder moves IPW toward the truth") {
     // 4 users, identical covariates (propensity constant): IPW weights
