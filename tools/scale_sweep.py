@@ -117,6 +117,7 @@ SUBSET = [
     "rho1_spearman",         # two rankedRle passes + value join-backs
     "ppr1_proximity",        # pr1's edge build, bounded-graph rounds
     "ipw1_effect",           # user rollup + iters 1-row GD aggregates
+    "platt1_calibration",    # score GD: iters 1-row aggs + 10-bin rollup
     # chrf1_eval is deliberately NOT under the default bound: its work is
     # linear in CHAR mass, and this synthesis grows chars 13.99x (the
     # "_k" token suffixes) while rows/tokens grow 10x — measured 9.3x
