@@ -1902,6 +1902,42 @@ object Queries {
        |       floor((CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE)) * 10000 + 0.5) / 10000 AS class_share
        |FROM c JOIN t ON c.lang = t.lang""".stripMargin
 
+  /** KAPPA1 — Cohen's κ of the t1 heuristic's English call vs the
+    * ground-truth label: chance-corrected accuracy (an all-"en" rater on
+    * a mostly-English corpus scores high accuracy but κ = 0) — the
+    * acceptance readout lid1's raw confusion shares cannot express.
+    * See [[graft.operators.TextAnalysis.kappaAgreement]]. */
+  val kappa1Agreement: Q = (s, d) =>
+    TextAnalysis.kappaAgreement(Tables.documents(s, d))
+
+  val kappa1AgreementSql: String =
+    s"""WITH p AS (SELECT
+       |  CASE WHEN (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |       WHEN CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
+       |            / len(string_split(text, ' ')) >= 0.08 THEN 'en'
+       |       ELSE 'und' END) = 'en' THEN 1 ELSE 0 END AS a,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+       |  FROM documents),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |        CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |        CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |        CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |      FROM p),
+       |v AS (SELECT *,
+       |        CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       |        (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+       |         + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+       |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+       |      FROM m)
+       |SELECT n, tp, fp, fn, tn,
+       |  CASE WHEN n > 0 THEN floor(po * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS p_o,
+       |  CASE WHEN n > 0 THEN floor(pe * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS p_e,
+       |  CASE WHEN n > 0 AND pe < 1.0
+       |       THEN floor((po - pe) / (1.0 - pe) * 1000000 + 0.5) / 1000000
+       |       ELSE 0.0 END AS kappa
+       |FROM v""".stripMargin
+
   /** ML5 — in-engine TRAINED language-ID (hashed-bag-of-words one-vs-rest
     * logistic heads, ml1's bit-exact GD discipline), scored into the same
     * confusion shape as lid1 so the trained-vs-heuristic delta reads off
@@ -8328,6 +8364,7 @@ object Queries {
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
     "lid1_confusion" -> lid1Confusion,
+    "kappa1_agreement" -> kappa1Agreement,
     "dp2_private_median" -> dp2PrivateMedian,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
@@ -8598,6 +8635,7 @@ object Queries {
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
     "lid1_confusion" -> lid1ConfusionSql,
+    "kappa1_agreement" -> kappa1AgreementSql,
     "dp2_private_median" -> dp2PrivateMedianSql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
@@ -8662,7 +8700,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "tr1_textrank", "rho1_spearman", "ipw1_effect", "platt1_calibration", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "tr1_textrank", "rho1_spearman", "ipw1_effect", "platt1_calibration", "kappa1_agreement", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

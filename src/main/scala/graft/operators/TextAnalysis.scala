@@ -399,6 +399,42 @@ object TextAnalysis {
           (lit(b2) * col("chr_p") + col("chr_r")))).otherwise(0.0))
   }
 
+  /** Cohen's κ (Cohen 1960) of the [[langId]] heuristic's English call
+    * against the ground-truth label — the chance-corrected accuracy
+    * lid1's raw confusion shares cannot express: a detector that says
+    * "en" for everything on a 90%-English corpus scores 90% accuracy
+    * but κ = 0, because agreement-by-chance is subtracted out. The
+    * standard acceptance readout for any labeling heuristic.
+    *
+    * Exactness: the 2×2 cells are exact integer counts; p_o and p_e are
+    * integer ratios snapped to the 1e-6 grid, and κ = (p_o − p_e)/(1 −
+    * p_e) is one fixed double formula on the same grid (κ undefined at
+    * p_e = 1 — a constant-rater degenerate — reports 0). Shape: the
+    * langId projection + ONE map-side 1-row aggregate. */
+  def kappaAgreement(documents: DataFrame,
+                     enThreshold: Double = 0.08): DataFrame = {
+    val p = langId(documents, enThreshold)
+      .select((col("pred_lang") === "en").cast("long").as("a"),
+        (col("lang") === "en").cast("long").as("b"))
+    val m = p.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L)).as("tn"))
+    def r6(c: org.apache.spark.sql.Column) = portableRound(c, 6)
+    val nD = col("n").cast("double")
+    val po = (col("tp") + col("tn")).cast("double") / nD
+    val pe = ((col("tp") + col("fp")).cast("double") *
+      (col("tp") + col("fn")).cast("double") +
+      (col("fn") + col("tn")).cast("double") *
+        (col("fp") + col("tn")).cast("double")) / (nD * nD)
+    m.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("n") > 0, r6(po)).otherwise(0.0).as("p_o"),
+      when(col("n") > 0, r6(pe)).otherwise(0.0).as("p_e"),
+      when(col("n") > 0 && pe < 1.0, r6((po - pe) / (lit(1.0) - pe)))
+        .otherwise(0.0).as("kappa"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     * the word co-occurrence graph — the graph family applied to the text
     * family. Votes come from adjacency, not frequency alone: a word

@@ -555,6 +555,35 @@ class TextAnalysisSpec extends SparkTestBase {
     prev(b.length)
   }
 
+  test("kappaAgreement: perfect rater scores 1, a constant rater scores " +
+    "exactly 0 whatever its accuracy, mixed case matches the formula") {
+    val en = "the of and to in is it for on with"   // all stopwords
+    val xx = "zz yy ww vv uu tt ss rr qq pp"        // none
+    val perfect = docsDF(
+      doc(1, en, "en"), doc(2, en, "en"), doc(3, xx, "de"), doc(4, xx, "fr"))
+    val p = TextAnalysis.kappaAgreement(perfect).collect()(0)
+    assert(p.getDouble(7) == 1.0, p.toString)
+    // constant rater: says 'en' for every doc; half the labels are en —
+    // accuracy 0.5 but kappa must be EXACTLY 0 (all agreement is chance)
+    val const = docsDF(
+      doc(1, en, "en"), doc(2, en, "de"), doc(3, en, "en"), doc(4, en, "fr"))
+    val c = TextAnalysis.kappaAgreement(const).collect()(0)
+    assert(c.getDouble(5) == 0.5 && c.getDouble(7) == 0.0, c.toString)
+    // mixed 2x2: tp=1 fp=1 fn=1 tn=1 → po=0.5, pe=0.5, kappa=0
+    val mixed = docsDF(
+      doc(1, en, "en"), doc(2, en, "de"), doc(3, xx, "en"), doc(4, xx, "fr"))
+    val m = TextAnalysis.kappaAgreement(mixed).collect()(0)
+    assert((m.getLong(1), m.getLong(2), m.getLong(3), m.getLong(4)) ==
+      ((1L, 1L, 1L, 1L)))
+    assert(m.getDouble(7) == 0.0)
+    // asymmetric: tp=2 fp=0 fn=1 tn=1 → po=0.75, pe=(2*3+1*2)/16=0.5,
+    // kappa = 0.25/0.5 = 0.5
+    val asym = docsDF(doc(1, en, "en"), doc(2, en, "en"),
+      doc(3, xx, "en"), doc(4, xx, "de"))
+    val a = TextAnalysis.kappaAgreement(asym).collect()(0)
+    assert(a.getDouble(7) == 0.5, a.toString)
+  }
+
   test("textRank: a hub word outranks its spokes; frequency alone does " +
     "not rank; vocabulary cap and determinism hold") {
     // star graph: 'hub' is adjacent to every spoke; spokes only touch the
