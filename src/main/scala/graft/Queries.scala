@@ -5271,6 +5271,111 @@ object Queries {
        |FROM agg CROSS JOIN b$iters""".stripMargin
   }
 
+  /** DR1 — doubly-robust (AIPW) effect of view-dominant behavior on
+    * purchase revenue: per-arm closed-form ridge outcome models on the
+    * integer covariates (micro-cent BIGINT coefficients → exact
+    * predictions/residuals) + ipw1's snapped clamped propensity, each
+    * correction term snapped to whole cents before the exact folds;
+    * reported as g_formula + correction = ate on the 1e-4 dollar grid.
+    * See [[graft.operators.Analytics.doublyRobustEffect]]. */
+  val dr1DoublyRobust: Q = (s, d) =>
+    graft.operators.Analytics.doublyRobustEffect(Tables.events(s, d))
+
+  val dr1DoublyRobustSql: String = {
+    def microSum(expr: String, as: String) =
+      s"CAST(sum(CAST(floor(($expr) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS $as"
+    val iters = 3
+    def armCtes(arm: Int): String = {
+      val tag = s"a$arm"
+      s"""${tag}m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(signups AS HUGEINT)) AS sx1, sum(CAST(errors AS HUGEINT)) AS sx2,
+         |    sum(CAST(y_cents AS HUGEINT)) AS sy,
+         |    sum(CAST(signups AS HUGEINT) * signups) AS sx11,
+         |    sum(CAST(signups AS HUGEINT) * errors) AS sx12,
+         |    sum(CAST(errors AS HUGEINT) * errors) AS sx22,
+         |    sum(CAST(signups AS HUGEINT) * y_cents) AS sx1y,
+         |    sum(CAST(errors AS HUGEINT) * y_cents) AS sx2y
+         |  FROM u WHERE t = $arm),
+         |${tag}v AS (SELECT CAST(n AS DOUBLE) AS a11,
+         |    CAST(sx1 AS DOUBLE) AS a12, CAST(sx2 AS DOUBLE) AS a13,
+         |    CAST(sx11 AS DOUBLE) + 1000.0 AS a22, CAST(sx12 AS DOUBLE) AS a23,
+         |    CAST(sx22 AS DOUBLE) + 1000.0 AS a33,
+         |    CAST(sy AS DOUBLE) AS b1, CAST(sx1y AS DOUBLE) AS b2,
+         |    CAST(sx2y AS DOUBLE) AS b3
+         |  FROM ${tag}m),
+         |${tag}d AS (SELECT
+         |    a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13) AS dA,
+         |    b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) + a13 * (b2 * a23 - a22 * b3) AS d0,
+         |    a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13) + a13 * (a12 * b3 - b2 * a13) AS d1,
+         |    a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13) + b1 * (a12 * a23 - a22 * a13) AS d2
+         |  FROM ${tag}v),
+         |${tag}b AS (SELECT
+         |    CASE WHEN dA <> 0 THEN CAST(floor(d0 / dA * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS b0m,
+         |    CASE WHEN dA <> 0 THEN CAST(floor(d1 / dA * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS b1m,
+         |    CASE WHEN dA <> 0 THEN CAST(floor(d2 / dA * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS b2m
+         |  FROM ${tag}d)""".stripMargin
+    }
+    val gd = (1 to iters).map { k =>
+      s""",
+         |s$k AS (SELECT y, x0, x1, x2,
+         |              1.0 / (1.0 + exp(-(c0 * x0 + c1 * x1 + c2 * x2))) AS sg
+         |       FROM d CROSS JOIN b${k - 1}),
+         |g$k AS (SELECT ${microSum("(sg - y) * x0", "g0")},
+         |              ${microSum("(sg - y) * x1", "g1")},
+         |              ${microSum("(sg - y) * x2", "g2")}
+         |       FROM s$k),
+         |b$k AS (SELECT floor((c0 - 1.0 * (CAST(g0 AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS c0,
+         |              floor((c1 - 1.0 * (CAST(g1 AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS c1,
+         |              floor((c2 - 1.0 * (CAST(g2 AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS c2
+         |       FROM g$k CROSS JOIN b${k - 1} CROSS JOIN nn)""".stripMargin
+    }.mkString
+    s"""WITH u AS (
+       |  SELECT user_id, signups, errors, y_cents,
+       |         CASE WHEN vmc > 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS t
+       |  FROM (SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+       |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       |    CAST(sum(CASE WHEN event_type = 'view' THEN 1
+       |             WHEN event_type = 'click' THEN -1 ELSE 0 END) AS BIGINT) AS vmc,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |             ELSE 0 END) AS BIGINT) AS y_cents
+       |  FROM events GROUP BY 1)),
+       |${armCtes(1)},
+       |${armCtes(0)},
+       |d AS (SELECT CAST(t AS DOUBLE) AS y, CAST(1.0 AS DOUBLE) AS x0,
+       |        CAST(signups AS DOUBLE) / 100.0 AS x1,
+       |        CAST(errors AS DOUBLE) / 100.0 AS x2 FROM u),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+       |b0 AS (SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1,
+       |              CAST(0.0 AS DOUBLE) AS c2)$gd,
+       |sc AS (SELECT u.*,
+       |         least(greatest(
+       |           floor((1.0 / (1.0 + exp(-(c0 * 1.0 +
+       |             c1 * (CAST(signups AS DOUBLE) / 100.0) +
+       |             c2 * (CAST(errors AS DOUBLE) / 100.0))))) * 1000000 + 0.5) / 1000000,
+       |           0.000001), 0.999999) AS p,
+       |         a1b.b0m + a1b.b1m * signups + a1b.b2m * errors AS m1,
+       |         a0b.b0m + a0b.b1m * signups + a0b.b2m * errors AS m0
+       |       FROM u CROSS JOIN b$iters CROSS JOIN a1b CROSS JOIN a0b),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |          CAST(sum(t) AS BIGINT) AS n_treated,
+       |          sum(CAST(m1 - m0 AS HUGEINT)) AS gsum,
+       |          sum(CAST(CASE WHEN t = 1
+       |            THEN CAST(floor(CAST(y_cents * 1000000 - m1 AS DOUBLE) / p / 1000000.0 + 0.5) AS BIGINT)
+       |            ELSE 0 END AS HUGEINT)) AS c1s,
+       |          sum(CAST(CASE WHEN t = 0
+       |            THEN CAST(floor(CAST(y_cents * 1000000 - m0 AS DOUBLE) / (1.0 - p) / 1000000.0 + 0.5) AS BIGINT)
+       |            ELSE 0 END AS HUGEINT)) AS c0s
+       |        FROM sc)
+       |SELECT n, n_treated,
+       |  floor((CAST(gsum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 / 100.0) * 10000 + 0.5) / 10000 AS g_formula,
+       |  floor(((CAST(c1s AS DOUBLE) - CAST(c0s AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS correction,
+       |  floor((CAST(gsum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 / 100.0
+       |         + (CAST(c1s AS DOUBLE) - CAST(c0s AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS ate
+       |FROM agg""".stripMargin
+  }
+
   /** STL1 — classical seasonal-trend decomposition of per-type daily
     * revenue: centered 7-day RANGE-frame trend (calendar gaps exclude a
     * day rather than averaging non-adjacent ones), weekday seasonal
@@ -8213,6 +8318,7 @@ object Queries {
     "rho1_spearman" -> rho1Spearman,
     "did1_diff_in_diff" -> did1DiffInDiff,
     "ipw1_effect" -> ipw1Effect,
+    "dr1_doubly_robust" -> dr1DoublyRobust,
     "stl1_decompose" -> stl1Decompose,
     "cusum1_drift" -> cusum1Drift,
     "lorenz1_deciles" -> lorenz1Deciles,
@@ -8491,6 +8597,7 @@ object Queries {
     "rho1_spearman" -> rho1SpearmanSql,
     "did1_diff_in_diff" -> did1DiffInDiffSql,
     "ipw1_effect" -> ipw1EffectSql,
+    "dr1_doubly_robust" -> dr1DoublyRobustSql,
     "stl1_decompose" -> stl1DecomposeSql,
     "cusum1_drift" -> cusum1DriftSql,
     "lorenz1_deciles" -> lorenz1DecilesSql,
@@ -8700,7 +8807,7 @@ object Queries {
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
-    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "tr1_textrank", "rho1_spearman", "ipw1_effect", "platt1_calibration", "kappa1_agreement", "kn1_kneser_ney",
+    "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "tr1_textrank", "rho1_spearman", "ipw1_effect", "platt1_calibration", "kappa1_agreement", "dr1_doubly_robust", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

@@ -1335,6 +1335,106 @@ object Analytics {
         mu(col("num0"), col("den0")))).otherwise(0.0).as("ate"))
   }
 
+  /** Doubly-robust (AIPW) treatment-effect estimate — the third leg of
+    * the causal family: [[diffInDiff]] needs parallel trends,
+    * [[ipwEffect]] needs the propensity model right, AIPW (Robins et
+    * al. 1994) is consistent if EITHER the propensity OR the per-arm
+    * outcome regression is right:
+    * ψ = m₁(x) − m₀(x) + t·(y−m₁)/p̂ − (1−t)·(y−m₀)/(1−p̂).
+    *
+    * Same treatment/covariates as ipw1 (view-dominant behavior;
+    * signup/error counts). Outcome models are per-arm closed-form ridge
+    * fits on the INTEGER covariates (ridge1's 9-moment fold per arm),
+    * their coefficients grid-snapped to BIGINT micro-cents so every
+    * per-user prediction and residual is an exact integer; the
+    * propensity is ipw1's snapped clamped p̂; each correction term
+    * snaps to whole cents BEFORE the exact decimal folds. The estimate
+    * decomposes visibly: ate = g_formula (the regression-imputation
+    * mean of m₁−m₀) + correction (the IPW-weighted residual terms) —
+    * both reported on the 1e-4 dollar grid.
+    *
+    * Shape: one user rollup (checkpointed once), two 1-row ridge folds,
+    * `iters` 1-row GD aggregates, ONE final 1-row fold. */
+  def doublyRobustEffect(events: DataFrame, lambda: Double = 1000.0,
+                         iters: Int = 3, lr: Double = 1.0): DataFrame = {
+    val users = events.groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("signups"),
+      sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
+      sum(when(col("event_type") === "view", 1L)
+        .when(col("event_type") === "click", -1L).otherwise(0L)).as("vmc"),
+      sum(when(col("event_type") === "purchase",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .otherwise(0L)).as("y_cents"))
+      .withColumn("t", when(col("vmc") > 0, 1L).otherwise(0L))
+      .localCheckpoint()
+    // per-arm ridge on (1, signups, errors) → y_cents: exact moments,
+    // fixed-order double solve, micro-cent BIGINT coefficients
+    def armBetas(arm: Int): Array[Long] = {
+      val a = users.filter(col("t") === arm)
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      def p38(x: Column, y: Column) = (d19(x) * d19(y)).cast("decimal(38,0)")
+      val m = a.agg(count(lit(1)).as("n"),
+        sum(d19(col("signups"))).as("sx1"), sum(d19(col("errors"))).as("sx2"),
+        sum(d19(col("y_cents"))).as("sy"),
+        sum(p38(col("signups"), col("signups"))).as("sx11"),
+        sum(p38(col("signups"), col("errors"))).as("sx12"),
+        sum(p38(col("errors"), col("errors"))).as("sx22"),
+        sum(p38(col("signups"), col("y_cents"))).as("sx1y"),
+        sum(p38(col("errors"), col("y_cents"))).as("sx2y")).head
+      val a11 = m.getLong(0).toDouble
+      require(m.getLong(0) > 0, s"doublyRobustEffect: arm $arm is empty")
+      val a12 = m.getDecimal(1).doubleValue; val a13 = m.getDecimal(2).doubleValue
+      val a22 = m.getDecimal(4).doubleValue + lambda
+      val a23 = m.getDecimal(5).doubleValue
+      val a33 = m.getDecimal(6).doubleValue + lambda
+      val b1 = m.getDecimal(3).doubleValue
+      val b2 = m.getDecimal(7).doubleValue; val b3 = m.getDecimal(8).doubleValue
+      val dA = a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) +
+        a13 * (a12 * a23 - a22 * a13)
+      val d0 = b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) +
+        a13 * (b2 * a23 - a22 * b3)
+      val d1 = a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13) +
+        a13 * (a12 * b3 - b2 * a13)
+      val d2 = a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13) +
+        b1 * (a12 * a23 - a22 * a13)
+      def micro(x: Double) =
+        if (dA == 0.0) 0L else math.floor(x / dA * 1e6 + 0.5).toLong
+      Array(micro(d0), micro(d1), micro(d2))
+    }
+    val b1a = armBetas(1); val b0a = armBetas(0)
+    val d = users.select(col("t").cast("double").as("y"),
+      lit(1.0).as("x0"),
+      (col("signups").cast("double") / 100.0).as("x1"),
+      (col("errors").cast("double") / 100.0).as("x2"))
+    val pb = logisticGdVector(d, 3, iters, lr)
+    val z = lit(pb(0)) * lit(1.0) +
+      lit(pb(1)) * (col("signups").cast("double") / 100.0) +
+      lit(pb(2)) * (col("errors").cast("double") / 100.0)
+    val p6 = floor((lit(1.0) / (lit(1.0) + exp(-z))) * 1000000.0 + 0.5) / 1000000.0
+    val p = least(greatest(p6, lit(0.000001)), lit(0.999999))
+    def pred(b: Array[Long]) = lit(b(0)) +
+      lit(b(1)) * col("signups") + lit(b(2)) * col("errors") // micro-cents
+    val w = users.withColumn("p", p)
+      .withColumn("m1", pred(b1a)).withColumn("m0", pred(b0a))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val yMicro = col("y_cents") * lit(1000000L)
+    val a = w.agg(count(lit(1)).as("n"), sum(col("t")).as("n_treated"),
+      sum(d38(col("m1") - col("m0"))).as("gsum"),
+      sum(d38(when(col("t") === 1,
+        floor((yMicro - col("m1")).cast("double") / col("p") / 1000000.0 + 0.5))
+        .otherwise(0.0).cast("long"))).as("c1"),
+      sum(d38(when(col("t") === 0,
+        floor((yMicro - col("m0")).cast("double") / (lit(1.0) - col("p"))
+          / 1000000.0 + 0.5)).otherwise(0.0).cast("long"))).as("c0"))
+    def r4(c: Column) = portableRound(c, 4)
+    val nD = col("n").cast("double")
+    val g = col("gsum").cast("double") / nD / 1000000.0 / 100.0
+    val corr = (col("c1").cast("double") - col("c0").cast("double")) / nD / 100.0
+    a.select(col("n"), col("n_treated"),
+      r4(g).as("g_formula"), r4(corr).as("correction"),
+      r4(g + corr).as("ate"))
+  }
+
   /** Spearman rank correlation between line-item quantity and extended
     * price — corr1's distribution-free sibling: Pearson on MIDRANKS, so
     * one extreme price moves the coefficient by at most its rank and a

@@ -1582,6 +1582,46 @@ class AnalyticsSpec extends SparkTestBase {
       .toString == got.toString)
   }
 
+  test("doublyRobustEffect: flat covariates reduce AIPW to the arm " +
+    "difference with a vanishing correction; empty arms fail loudly") {
+    def u(uid: Long, views: Int, clicks: Int, cents: Double) = {
+      val vs = Seq.fill(views)("view") ++ Seq.fill(clicks)("click") ++
+        Seq.fill(2)("signup") ++ Seq.fill(2)("error")
+      vs.zipWithIndex.map { case (t, i) =>
+        (uid, f"2024-01-${i % 28 + 1}%02d 10:00:00", t, 0.0)
+      } :+ ((uid, "2024-01-01 09:00:00", "purchase", cents))
+    }
+    val flat = ev((u(1, 3, 1, 10.0) ++ u(2, 3, 1, 20.0) ++
+      u(3, 1, 3, 5.0) ++ u(4, 1, 3, 7.0)): _*)
+    val r = Analytics.doublyRobustEffect(flat).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    // outcome models predict each arm's (shrunken) mean, so the
+    // correction is near zero and the estimate sits at the plain
+    // 15 − 6 = 9 dollar difference up to ridge shrinkage
+    assert(math.abs(r.getDouble(4) - 9.0) < 0.5, r.toString)
+    assert(math.abs(r.getDouble(3)) < 0.5, r.toString)
+    // the reported decomposition closes within one grid step
+    assert(math.abs(r.getDouble(2) + r.getDouble(3) - r.getDouble(4))
+      <= 2e-4)
+    val oneArm = ev(u(1, 3, 1, 10.0): _*)
+    val e = intercept[IllegalArgumentException] {
+      Analytics.doublyRobustEffect(oneArm).collect()
+    }
+    assert(e.getMessage.contains("arm"), e.getMessage)
+  }
+
+  test("doublyRobustEffect: agrees with ipwEffect within dollars on the " +
+    "fixture (two estimators, one estimand)") {
+    val events = graft.Tables.events(spark, sf0001)
+    val dr = Analytics.doublyRobustEffect(events).collect()(0)
+    val ipw = Analytics.ipwEffect(events).collect()(0)
+    val (a, b) = (dr.getDouble(4), ipw.getDouble(7))
+    // same treatment, same estimand, different bias corrections: the
+    // two estimates must sit in the same neighborhood, not equal
+    assert(math.abs(a - b) < math.max(20.0, 0.5 * math.abs(b)),
+      s"aipw $a vs ipw $b")
+  }
+
   test("plattCalibration: an informative score earns a positive slope " +
     "and pulls the mean to the base rate; the flat fixture score " +
     "flattens correctly") {
