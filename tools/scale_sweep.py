@@ -118,6 +118,7 @@ SUBSET = [
     "ppr1_proximity",        # pr1's edge build, bounded-graph rounds
     "ipw1_effect",           # user rollup + iters 1-row GD aggregates
     "platt1_calibration",    # score GD: iters 1-row aggs + 10-bin rollup
+    "dr1_doubly_robust",     # user rollup + 2 ridge folds + GD + 1 fold
     # chrf1_eval is deliberately NOT under the default bound: its work is
     # linear in CHAR mass, and this synthesis grows chars 13.99x (the
     # "_k" token suffixes) while rows/tokens grow 10x — measured 9.3x
