@@ -5296,7 +5296,9 @@ object Queries {
          |    sum(CAST(signups AS HUGEINT) * y_cents) AS sx1y,
          |    sum(CAST(errors AS HUGEINT) * y_cents) AS sx2y
          |  FROM u WHERE t = $arm),
-         |${tag}v AS (SELECT CAST(n AS DOUBLE) AS a11,
+         |${tag}v AS (SELECT
+         |    CASE WHEN n = 0 THEN CAST(error('doublyRobustEffect: arm $arm is empty') AS DOUBLE)
+         |         ELSE CAST(n AS DOUBLE) END AS a11,
          |    CAST(sx1 AS DOUBLE) AS a12, CAST(sx2 AS DOUBLE) AS a13,
          |    CAST(sx11 AS DOUBLE) + 1000.0 AS a22, CAST(sx12 AS DOUBLE) AS a23,
          |    CAST(sx22 AS DOUBLE) + 1000.0 AS a33,
@@ -5696,8 +5698,8 @@ object Queries {
       |r AS (SELECT b.*, before_b + coalesce(sum(cnt) OVER (PARTITION BY b.bkt
       |          ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0
       |      FROM b JOIN off USING (bkt)),
-      |sp AS (SELECT *, unnest(range(CAST(c0 * 10 // n + 1 AS BIGINT),
-      |                    CAST((c0 + cnt - 1) * 10 // n + 2 AS BIGINT))) AS decile
+      |sp AS (SELECT *, unnest(range(CAST((10 * (c0 + 1) + n - 1) // n AS BIGINT),
+      |                    CAST((10 * (c0 + cnt) + n - 1) // n + 1 AS BIGINT))) AS decile
       |       FROM r),
       |sm AS (SELECT *, greatest(0, least(c0 + cnt, decile * n // 10)
       |                          - greatest(c0, (decile - 1) * n // 10)) AS members

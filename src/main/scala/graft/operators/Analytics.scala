@@ -729,11 +729,30 @@ object Analytics {
     require(buckets >= 1 && buckets <= 65536, s"buckets out of range: $buckets")
     val rle = df.groupBy(col(valueCol).as("value"))
       .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    // Stats-adaptive width: any ORDER-PRESERVING bucketing yields the
+    // identical output (c0 is the exact global rank regardless of which
+    // bucket a value routed through), so the checkpointed RLE frame's
+    // distinct count — free after materialization — widens the bucket
+    // grid until each bucket partition holds ~≤4096 distinct values
+    // (65536-cap: beyond ~2^28 distinct values partitions grow again at
+    // nd/65536, still window-safe at any realistic domain). A NEAR-UNIQUE
+    // value domain (per-customer cent totals at real scale: RLE gives no
+    // compression) is therefore bounded by design, not by the caller
+    // guessing `buckets` right. Oracle SQL keeps its fixed-1024 grid —
+    // outputs agree because the ranks, not the buckets, are the contract.
+    val nd = rle.count()
+    val eff = math.max(buckets.toLong, math.min(65536L, nd / 4096L + 1L))
     val mm = rle.agg(min(col("value")).as("vmin"),
       max(col("value")).as("vmax"), sum(col("cnt")).as("n"))
+    // bucket via a Long-safe step (span div eff + 1): the direct form
+    // (value - vmin) * eff div (span + 1) overflows Long once
+    // span × eff exceeds 2^63 (eff at the 65536 cap → any span above
+    // ~1.4e14 scrambles bucket order — conformalInterval's micro-cent
+    // residuals sit ~1e13, little headroom). The step form never leaves
+    // the value's own domain and is equally order-preserving.
     val b = rle.crossJoin(broadcast(mm))
       .withColumn("bkt", expr(
-        s"(value - vmin) * $buckets div (vmax - vmin + 1)"))
+        s"(value - vmin) div ((vmax - vmin) div $eff + 1)"))
     val wB = Window.orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val off = b.groupBy(col("bkt")).agg(sum(col("cnt")).as("bc"))
@@ -758,10 +777,17 @@ object Analytics {
       .crossJoin(broadcast(tm))
     // a group spans deciles dlo..dhi (each group explodes to ≤10 rows);
     // members in decile d = overlap of [c0+1, c0+cnt] with the decile's
-    // exact positional rank range
+    // exact positional rank range. Decile d covers ranks
+    // (d−1)·n div 10 + 1 .. d·n div 10, so the decile OF rank r is the
+    // smallest d with d·n div 10 ≥ r, i.e. ⌈10r/n⌉ = (10r + n − 1) div n
+    // — CEILING division, consistent with the member-overlap bounds
+    // below for every n (floor division over-assigned boundary ranks to
+    // the previous decile whenever n is not a multiple of 10, silently
+    // dropping them from the overlap sum).
     val spread = ranked
       .withColumn("decile", explode(sequence(
-        expr("c0 * 10 div n + 1"), expr("(c0 + cnt - 1) * 10 div n + 1"))))
+        expr("(10 * (c0 + 1) + n - 1) div n"),
+        expr("(10 * (c0 + cnt) + n - 1) div n"))))
       .withColumn("members", greatest(lit(0L),
         least(col("c0") + col("cnt"), expr("decile * n div 10")) -
           greatest(col("c0"), expr("(decile - 1) * n div 10"))))
@@ -814,9 +840,12 @@ object Analytics {
       .agg(max(col("size")).as("msize")).localCheckpoint()
     val mm = perPrice.agg(min(col("price_cents")).as("vmin"),
       max(col("price_cents")).as("vmax"))
+    // Long-safe step form (see rankedRle): the multiply form overflows
+    // once span × buckets exceeds 2^63; equally order-preserving, and
+    // any order-preserving bucketing leaves the staircase unchanged.
     val b = perPrice.crossJoin(broadcast(mm))
       .withColumn("bkt", expr(
-        s"(price_cents - vmin) * $buckets div (vmax - vmin + 1)"))
+        s"(price_cents - vmin) div ((vmax - vmin) div $buckets + 1)"))
     val wB = Window.orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val off = b.groupBy(col("bkt")).agg(max(col("msize")).as("bmax"))

@@ -1273,6 +1273,36 @@ class AnalyticsSpec extends SparkTestBase {
     assert(f.last.getDouble(4) == 1.0)
   }
 
+  test("lorenzCurve: n not divisible by 10 keeps every member — ceiling " +
+    "decile assignment agrees with the boundary overlap (r11 advice)") {
+    def orders(rows: (Long, Double)*) =
+      rows.toDF("o_custkey", "o_totalprice")
+    // floor-division decile assignment dropped boundary ranks whenever
+    // n % 10 != 0 (n=11 distinct: only 2 of 11 customers survived); the
+    // fixture masked it because customers-with-orders counts divide by 10
+    for (n <- Seq(7, 11, 23, 95, 101)) {
+      // distinct values AND a tie block straddling a boundary
+      val rows = (1 to n).map(i => (i.toLong, if (i <= 3) 5.0 else i * 1.0))
+      val r = Analytics.lorenzCurve(orders(rows: _*)).collect()
+        .map(x => (x.getLong(0), x.getLong(1), BigInt(x.getLong(2))))
+      assert(r.map(_._2).sum == n.toLong, s"n=$n lost members: ${r.toSeq}")
+      // decile d must hold exactly d*n div 10 - (d-1)*n div 10 members
+      r.foreach { case (d, cust, _) =>
+        val want = d * n / 10 - (d - 1) * n / 10
+        assert(cust == want, s"n=$n decile $d: $cust members, want $want")
+      }
+      // revenue replay: sort ascending, positional cut, exact sums
+      val cents = rows.map(t => math.round(t._2 * 100)).sorted
+      val byD = r.map(x => x._1 -> x._3).toMap
+      (1 to 10).foreach { d =>
+        val lo = (d - 1) * n / 10; val hi = d * n / 10
+        if (hi > lo)
+          assert(byD(d.toLong) ==
+            cents.slice(lo, hi).map(BigInt(_)).sum, s"n=$n decile $d rev")
+      }
+    }
+  }
+
   test("lorenzCurve: fixture replay via a driver-side full sort matches " +
     "the distributed two-phase rank digit for digit") {
     val orders = graft.Tables.orders(spark, sf0001)
