@@ -131,6 +131,16 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"reruns":$reruns,"note":"canaries are code-untouched VM-noise yardsticks; quality is the runner-enforced canary verdict vs the quiet reference (BASELINE.md rounds 5-7); reruns counts contended-triggered re-measurements","sf":"$sfDir"}"""
     println(json)
+    // The driver captures only a bounded TAIL of stdout; at ~200 benched
+    // queries the full line above is several KB, so its head gets cut and
+    // the round artifact records "parsed": null (BENCH_r10/r11). Emit a
+    // SHORT self-contained summary as the LAST line — it fits whole inside
+    // any tail window and parses wherever the driver looks (last line or
+    // first parseable line in the tail). The complete per-query map stays
+    // in the file below and in the long line above.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$canaries,"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"reruns":$reruns,"n_queries":${results.size},"compact":true,"full_artifact":"see docs/bench (SPARK_GRAFT_BENCH_OUT) for the per-query map","sf":"$sfDir"}"""
+    println(compact)
     // stdout through sbt is interleaved with log spew and can truncate —
     // also persist the full machine-readable artifact to a file
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/bench/bench_latest.json")

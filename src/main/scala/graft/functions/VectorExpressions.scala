@@ -876,3 +876,90 @@ case class HashedBagCounts(child: Expression, dims: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Per-row product-quantization assignment: for each of `m` contiguous
+  * subspaces of an `array<double>` embedding, the argmin codeword of that
+  * subspace's `k`-entry codebook plus the grid-exact squared distance —
+  * ONE compiled pass replacing posexplode → broadcast-join → N·m·k-row
+  * distance aggregate (the ml5 `HashedBagCounts` / chrf1 `CharNgramStats`
+  * kernelization precedent; this was the board's slowest row at 7.95 s).
+  *
+  * Replays [[graft.operators.Similarity.productQuantize]]'s declarative
+  * arithmetic DIGIT-EXACT so the unrolled DuckDB oracle keeps hashing
+  * identically: each per-dimension term is `floor((x−c)²·1e9 + 0.5)` in
+  * double (the `portableRound(…,9)` grid), terms fold as exact integers
+  * (decimal(28,9) summation ≡ integer micro-sum; sums stay < 2^53 for
+  * any bounded-magnitude embedding, far below overflow), the distance
+  * surfaces through the same decimal→double conversion the old plan's
+  * `cast("double")` performed, and argmin ties break on the smaller code
+  * id exactly like `min(struct(dist, cid))`.
+  *
+  * The codebook rides as a broadcast-able reference object of
+  * m·k·(dim/m) doubles (= dim·k values — driver metadata, same size as
+  * one k-means codebook); per-row cost is m·k·sub multiplies inside one
+  * JIT'd method, zero exchanges. */
+case class PqAssignCodes(child: Expression, codebook: Array[Double],
+                         m: Int, k: Int, sub: Int)
+    extends UnaryExpression {
+
+  require(m >= 1 && k >= 1 && sub >= 1, s"need m, k, sub >= 1: $m, $k, $sub")
+  require(codebook.length == m * k * sub,
+    s"codebook length ${codebook.length} != m*k*sub ${m * k * sub}")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sm", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("code", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "pq_assign_codes"
+
+  def computeJava(emb: ArrayData): ArrayData = {
+    val n = emb.numElements()
+    require(n == m * sub, s"embedding dim $n != m*sub ${m * sub}")
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var bestMicro = Long.MaxValue
+      var bestCid = -1
+      var bestDist = 0.0
+      var cid = 0
+      while (cid < k) {
+        val base = (s * k + cid) * sub
+        var micro = 0L
+        var j = 0
+        while (j < sub) {
+          val d = emb.getDouble(s * sub + j) - codebook(base + j)
+          micro += math.floor(d * d * 1e9 + 0.5).toLong
+          j += 1
+        }
+        if (micro < bestMicro) {
+          // the declarative plan compared DOUBLE dists (micro < 2^53 on
+          // bounded embeddings, so the long order IS the double order);
+          // ties on equal dist took the smaller cid — cid ascends here,
+          // so strict < reproduces min(struct(dist, cid)) exactly
+          bestMicro = micro; bestCid = cid
+          bestDist = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(micro), 9).doubleValue()
+        }
+        cid += 1
+      }
+      out(s) = org.apache.spark.sql.catalyst.InternalRow(
+        s.toLong, bestCid.toLong, bestDist)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = computeJava(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("pqAssign", this,
+        "graft.functions.PqAssignCodes")
+      s"${ev.value} = $self.computeJava($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -73,6 +73,14 @@ package object functions {
   def hashed_bag_counts(text: Column, dims: Int): Column =
     Bridge.column(HashedBagCounts(Bridge.expression(text), dims))
 
+  /** Per-row product-quantization assignment against a broadcast flat
+    * codebook (m·k·sub doubles): `array<struct<sm,code,dist>>`, one
+    * entry per subspace — digit-exact replay of the declarative
+    * posexplode/join/argmin plan in one compiled pass. */
+  def pq_assign_codes(emb: Column, codebook: Array[Double],
+                      m: Int, k: Int, sub: Int): Column =
+    Bridge.column(PqAssignCodes(Bridge.expression(emb), codebook, m, k, sub))
+
   /** Viterbi segmentation of a word under a unigram piece model (piece →
     * micro-unit negative log-prob cost); ties prefer the longer piece.
     * The model rides as a broadcast reference object — the production

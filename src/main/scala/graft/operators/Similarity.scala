@@ -676,12 +676,6 @@ object Similarity {
     val dim = e.select(size(col("emb"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val f = e
-      .select(col("vec_id"), posexplode(col("emb")).as(Seq("p", "x")))
-      .select(col("vec_id"),
-        floor(col("p") / sub).cast("int").as("sm"),
-        (pmod(col("p"), lit(sub)) + 1).cast("long").as("j"), col("x"))
-      .localCheckpoint()
     val seed = e.orderBy(col("vec_id")).limit(k).collect().zipWithIndex
     require(seed.length == k, s"need at least $k vectors, got ${seed.length}")
     // codebook: ((sm, cid) -> subvector), m·k·sub values of driver state
@@ -689,34 +683,48 @@ object Similarity {
       val emb = r.getSeq[Double](1)
       (0 until m).map(s => (s, i) -> emb.slice(s * sub, (s + 1) * sub))
     }.toMap
-    def assign(): DataFrame = {
-      val centsDf = cents.toSeq.flatMap { case ((s, cid), arr) =>
-        arr.zipWithIndex.map { case (c, j) => (s, cid, (j + 1).toLong, c) }
-      }.toDF("sm", "cid", "j", "c")
-      f.join(broadcast(centsDf), Seq("sm", "j"))
-        .groupBy(col("vec_id"), col("sm"), col("cid"))
-        .agg(sum(portableRound((col("x") - col("c")) * (col("x") - col("c")), 9)
-          .cast("decimal(28,9)")).cast("double").as("dist"))
-        .groupBy(col("vec_id"), col("sm"))
-        .agg(min(struct(col("dist"), col("cid"))).as("mm"))
-        .select(col("vec_id"), col("sm"), col("mm.cid").as("cid"),
-          col("mm.dist").as("dist"))
+    // Assignment is ONE compiled per-row kernel against the broadcast
+    // codebook reference object ([[graft.functions.PqAssignCodes]] —
+    // digit-exact replay of the former posexplode → broadcast-join →
+    // N·m·k-row distance aggregate, which was the board's slowest bench
+    // row at ~8 s; the HashedBagCounts/CharNgramStats kernelization
+    // precedent). Zero exchanges per round on the assignment side.
+    def assignCol: Column = {
+      val flat = new Array[Double](m * k * sub)
+      cents.foreach { case ((s, cid), arr) =>
+        var j = 0
+        while (j < sub) { flat((s * k + cid) * sub + j) = arr(j); j += 1 }
+      }
+      graft.functions.pq_assign_codes(col("emb"), flat, m, k, sub)
     }
+    def assign(): DataFrame =
+      e.select(col("vec_id"), explode(assignCol).as("a"))
+        .select(col("vec_id"), col("a.sm").as("sm"), col("a.code").as("cid"),
+          col("a.dist").as("dist"))
     for (_ <- 1 to iters) {
-      val means = assign().select(col("vec_id"), col("sm"), col("cid"))
-        .join(f, Seq("vec_id", "sm"))
+      // per-(subspace, code, dim) means in one pass over e: the kernel
+      // assigns, then the matching subvector re-explodes FROM THE SAME
+      // ROW — no join back to a position-exploded frame. The decimal
+      // fold is order-free, so the means (and the whole codebook
+      // trajectory) are bit-identical to the declarative form's.
+      val means = e.select(col("emb"), explode(assignCol).as("a"))
+        .select(col("a.sm").as("sm"), col("a.code").as("cid"),
+          posexplode(slice(col("emb"), (col("a.sm") * sub + 1).cast("int"),
+            lit(sub))).as(Seq("p", "x")))
+        .select(col("sm"), col("cid"), (col("p") + 1).cast("long").as("j"),
+          col("x"))
         .groupBy(col("sm"), col("cid"), col("j"))
         .agg(portableRound(
           sum(portableRound(col("x"), 9).cast("decimal(18,9)")).cast("double")
             / count(lit(1)), 9).as("mean"))
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2),
+          r.getDouble(3)))
         .groupBy(t => (t._1, t._2))
         .map { case (key, rows) => key -> rows.sortBy(_._3).map(_._4).toSeq }
       cents = cents.map { case (key, old) => key -> means.getOrElse(key, old) }
     }
-    assign().select(col("vec_id"), col("sm").cast("long").as("sm"),
-      col("cid").cast("long").as("code"),
+    assign().select(col("vec_id"), col("sm"), col("cid").as("code"),
       portableRound(col("dist"), 6).as("dist"))
   }
 
