@@ -6655,6 +6655,27 @@ object Queries {
        |FROM afin""".stripMargin
   }
 
+  /** PQ2 — IVF-PQ ADC search: pq1's codebooks composed into the actual
+    * query path a production vector index serves (coarse-probe → ADC
+    * scan of the PQ codes → exact re-rank of the top-64 survivors).
+    * Approximate by design (no oracle); recall contract driver-checked
+    * by [[pq2Gate]]. See [[graft.operators.Similarity.ivfPqTopK]]. */
+  val pq2AdcSearch: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    graft.operators.Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), 5)
+  }
+
+  /** Gate for pq2_adc_search: recall@5 vs the exact scan ≥ 0.9 — the
+    * sim3_ivf_gate contract on the composed IVF-PQ path. */
+  val pq2Gate: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    annRecallGate(pq2AdcSearch(s, d),
+      graft.operators.Similarity.bruteForceTopK(e, q, 5))
+  }
+
+  val pq2GateSql: String = annGateSql
+
   /** MIX2 — compute-and-apply a TARGET source mixture (water-filling):
     * per-source keep rates derived in-plan from observed counts so the
     * kept corpus matches the requested proportions
@@ -8460,6 +8481,8 @@ object Queries {
     "bf1_file_bloom" -> bf1FileBloom,
     "doremi1_domain_weights" -> doremi1DomainWeights,
     "pq1_product_quantize" -> pq1ProductQuantize,
+    "pq2_adc_search" -> pq2AdcSearch,
+    "pq2_adc_gate" -> pq2Gate,
     "ii1_inverted_index" -> ii1InvertedIndex,
     "gbt1_boosted_stumps" -> gbt1BoostedStumps,
     "als1_factorization" -> als1Factorization,
@@ -8732,6 +8755,7 @@ object Queries {
     "bf1_file_bloom" -> bf1FileBloomSql,
     "doremi1_domain_weights" -> doremi1DomainWeightsSql,
     "pq1_product_quantize" -> pq1ProductQuantizeSql,
+    "pq2_adc_gate" -> pq2GateSql,
     "ii1_inverted_index" -> ii1InvertedIndexSql,
     "gbt1_boosted_stumps" -> gbt1BoostedStumpsSql,
     "als1_factorization" -> als1FactorizationSql,
@@ -8812,6 +8836,7 @@ object Queries {
     "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "tr1_textrank", "rho1_spearman", "ipw1_effect", "platt1_calibration", "kappa1_agreement", "dr1_doubly_robust", "kn1_kneser_ney",
     "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
+    "pq2_adc_search",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
     "iso1_isotonic_calibration", "ts3_theil_sen", "logrank1_survival_test",
     "bfs1_shortest_paths", "att1_position_attribution", "dtw1_series_align",

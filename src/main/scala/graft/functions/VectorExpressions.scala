@@ -963,3 +963,46 @@ case class PqAssignCodes(child: Expression, codebook: Array[Double],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Asymmetric-distance (ADC) score of one PQ-coded corpus vector against
+  * one query's precomputed lookup tables (Jégou et al. 2011 §IV): the
+  * approximate squared distance is Σ_s lut[s·k + code_s], one array read
+  * per subspace — the scan kernel a production IVF-PQ index serves
+  * queries with. The per-query tables (m·k doubles each) ride as a
+  * broadcast reference map keyed by query id: candidate rows carry ONLY
+  * ids and m byte-sized codes through the exchange, never embeddings.
+  * An id absent from the map is a planner contract violation and throws
+  * rather than scoring garbage. */
+case class AdcLookupScore(left: Expression, right: Expression,
+                          luts: Map[Long, Array[Double]], k: Int)
+    extends BinaryExpression {
+
+  require(k >= 1, s"codebook size must be >= 1: $k")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_lookup_score"
+
+  def computeJava(qId: Long, codes: ArrayData): Double = {
+    val lut = luts.getOrElse(qId,
+      throw new IllegalStateException(s"no ADC table for query id $qId"))
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += lut(s * k + codes.getLong(s).toInt); s += 1 }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    computeJava(a.asInstanceOf[Long], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val self = ctx.addReferenceObj("adcScore", this,
+        "graft.functions.AdcLookupScore")
+      s"${ev.value} = $self.computeJava($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -81,6 +81,14 @@ package object functions {
                       m: Int, k: Int, sub: Int): Column =
     Bridge.column(PqAssignCodes(Bridge.expression(emb), codebook, m, k, sub))
 
+  /** Asymmetric-distance (ADC) score of a PQ-coded vector against a
+    * query's precomputed m·k lookup table (broadcast reference map keyed
+    * by query id): Σ_s lut[s·k + code_s]. */
+  def adc_lookup_score(qId: Column, codes: Column,
+                       luts: Map[Long, Array[Double]], k: Int): Column =
+    Bridge.column(AdcLookupScore(
+      Bridge.expression(qId), Bridge.expression(codes), luts, k))
+
   /** Viterbi segmentation of a word under a unigram piece model (piece →
     * micro-unit negative log-prob cost); ties prefer the longer piece.
     * The model rides as a broadcast reference object — the production

@@ -676,6 +676,49 @@ object Similarity {
     val dim = e.select(size(col("emb"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
+    val cents = pqTrainCodebook(e, m, k, iters, sub)
+    e.select(col("vec_id"),
+        explode(pqAssignCol(cents, m, k, sub)).as("a"))
+      .select(col("vec_id"), col("a.sm").as("sm"), col("a.code").as("code"),
+        portableRound(col("a.dist"), 6).as("dist"))
+  }
+
+  /** Flatten a ((sm, cid) → subvector) codebook into the dense layout
+    * [[graft.functions.PqAssignCodes]] reads: slot (s·k + cid)·sub + j. */
+  private def pqFlat(cents: Map[(Int, Int), Seq[Double]],
+                     m: Int, k: Int, sub: Int): Array[Double] = {
+    val flat = new Array[Double](m * k * sub)
+    cents.foreach { case ((s, cid), arr) =>
+      var j = 0
+      while (j < sub) { flat((s * k + cid) * sub + j) = arr(j); j += 1 }
+    }
+    flat
+  }
+
+  /** The compiled per-row assignment column for a codebook (see
+    * [[graft.functions.PqAssignCodes]]): `array<struct<sm,code,dist>>`
+    * over the `emb` column. */
+  private def pqAssignCol(cents: Map[(Int, Int), Seq[Double]],
+                          m: Int, k: Int, sub: Int): Column =
+    graft.functions.pq_assign_codes(col("emb"), pqFlat(cents, m, k, sub),
+      m, k, sub)
+
+  /** Lloyd training of the per-subspace PQ codebooks over a
+    * `(vec_id, emb: array<double>)` frame — the driver-metadata half of
+    * [[productQuantize]], shared with [[ivfPqTopK]]'s index build.
+    *
+    * Assignment is ONE compiled per-row kernel against the broadcast
+    * codebook reference object ([[graft.functions.PqAssignCodes]] —
+    * digit-exact replay of the former posexplode → broadcast-join →
+    * N·m·k-row distance aggregate, which was the board's slowest bench
+    * row at ~8 s; the HashedBagCounts/CharNgramStats kernelization
+    * precedent). Zero exchanges per round on the assignment side; the
+    * update step re-explodes each assigned subvector FROM THE SAME ROW
+    * (no join back to a position-exploded frame), and the decimal fold
+    * is order-free, so the codebook trajectory is bit-identical to the
+    * declarative form's. */
+  private[operators] def pqTrainCodebook(e: DataFrame, m: Int, k: Int,
+      iters: Int, sub: Int): Map[(Int, Int), Seq[Double]] = {
     val seed = e.orderBy(col("vec_id")).limit(k).collect().zipWithIndex
     require(seed.length == k, s"need at least $k vectors, got ${seed.length}")
     // codebook: ((sm, cid) -> subvector), m·k·sub values of driver state
@@ -683,31 +726,9 @@ object Similarity {
       val emb = r.getSeq[Double](1)
       (0 until m).map(s => (s, i) -> emb.slice(s * sub, (s + 1) * sub))
     }.toMap
-    // Assignment is ONE compiled per-row kernel against the broadcast
-    // codebook reference object ([[graft.functions.PqAssignCodes]] —
-    // digit-exact replay of the former posexplode → broadcast-join →
-    // N·m·k-row distance aggregate, which was the board's slowest bench
-    // row at ~8 s; the HashedBagCounts/CharNgramStats kernelization
-    // precedent). Zero exchanges per round on the assignment side.
-    def assignCol: Column = {
-      val flat = new Array[Double](m * k * sub)
-      cents.foreach { case ((s, cid), arr) =>
-        var j = 0
-        while (j < sub) { flat((s * k + cid) * sub + j) = arr(j); j += 1 }
-      }
-      graft.functions.pq_assign_codes(col("emb"), flat, m, k, sub)
-    }
-    def assign(): DataFrame =
-      e.select(col("vec_id"), explode(assignCol).as("a"))
-        .select(col("vec_id"), col("a.sm").as("sm"), col("a.code").as("cid"),
-          col("a.dist").as("dist"))
     for (_ <- 1 to iters) {
-      // per-(subspace, code, dim) means in one pass over e: the kernel
-      // assigns, then the matching subvector re-explodes FROM THE SAME
-      // ROW — no join back to a position-exploded frame. The decimal
-      // fold is order-free, so the means (and the whole codebook
-      // trajectory) are bit-identical to the declarative form's.
-      val means = e.select(col("emb"), explode(assignCol).as("a"))
+      val means = e.select(col("emb"),
+          explode(pqAssignCol(cents, m, k, sub)).as("a"))
         .select(col("a.sm").as("sm"), col("a.code").as("cid"),
           posexplode(slice(col("emb"), (col("a.sm") * sub + 1).cast("int"),
             lit(sub))).as(Seq("p", "x")))
@@ -724,8 +745,114 @@ object Similarity {
         .map { case (key, rows) => key -> rows.sortBy(_._3).map(_._4).toSeq }
       cents = cents.map { case (key, old) => key -> means.getOrElse(key, old) }
     }
-    assign().select(col("vec_id"), col("sm"), col("cid").as("code"),
-      portableRound(col("dist"), 6).as("dist"))
+    cents
+  }
+
+  /** IVF-PQ ADC search (Jégou et al. 2011; the production vector-search
+    * composition — what a 100 TB index actually serves): route each
+    * query through the [[ivfTopK]] coarse quantizer, score the probed
+    * cells' vectors by ASYMMETRIC DISTANCE against their PQ codes (one
+    * m·k-double lookup table per query, broadcast as driver metadata),
+    * exactly re-rank only the top-`rerank` ADC survivors, and emit the
+    * cosine top-k in [[bruteForceTopK]]'s schema.
+    *
+    * Index layout: `(n_id, cell, m codes)` — at m=16 one byte per code,
+    * a 16× compression of the 64-dim float corpus; candidates carry ids
+    * and codes ONLY through the exchange (the full embedding is touched
+    * again solely for the ≤`rerank` survivors per query). Corpus and
+    * queries are unit-normalized before coding, and the lookup tables
+    * hold per-subspace INNER PRODUCTS ⟨q_s, codeword⟩, so the ADC score
+    * estimates ⟨q, x̂⟩ = cosine directly. (The textbook L2-ADC form
+    * 1 + ‖x̂‖² − 2⟨q, x̂⟩ carries each candidate's reconstruction-norm
+    * variance into the ranking — measured on the random-uniform fixture
+    * that noise floor alone dropped recall@5 to 0.88-0.90 at sf0.1 even
+    * with a 12%-deep refine; the inner-product table removes the ‖x̂‖²
+    * term at identical cost and recall measured 0.96 at sf0.1 with a
+    * 5% refine depth — candidate generation itself is lossless there,
+    * full-refine recall is 1.0.)
+    *
+    * Scale shape: index build = one coarse-assign scan + `iters` PQ
+    * Lloyd scans (compiled kernel, codebook is dim·codes driver
+    * metadata); per query the ADC scan touches nprobe/nlist of the
+    * corpus at m array-reads per vector, and the exact stage touches
+    * `rerank` vectors. Approximate by design — the recall contract
+    * lives in the pq2 gate (≥0.9 vs the exact scan, the sim3/hn2
+    * pattern). */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 16,
+                codes: Int = 64, iters: Int = 2, rerank: Int = 64,
+                rerankFrac: Double = 0.05): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1: $rerank, $k")
+    val centroids = centroidsOf(embeddings, nlist)
+    def normalized(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
+      .select(col("vec_id"), transform(col("raw"),
+        x => x / sqrt(aggregate(col("raw"), lit(0.0),
+          (acc, y) => acc + y * y))).as("emb"))
+    val en = normalized(embeddings).localCheckpoint() // feeds train + code
+    val dim = en.select(size(col("emb"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // Corpus-adaptive refine depth: on a corpus with real neighbor
+    // structure (planted twins, clustered text embeddings) the true
+    // neighbors' ADC scores separate from the bulk and a CONSTANT
+    // rerank suffices; on a RANDOM-uniform corpus the margin between
+    // rank-5 and the bulk shrinks with n, so the expected ADC rank of a
+    // true neighbor grows ~linearly in the candidate count — the refine
+    // stage therefore re-ranks at least `rerankFrac` of the expected
+    // per-query candidate stream (n·nprobe/nlist). Exact work stays a
+    // small constant FRACTION of the ADC scan (the annTopKAuto
+    // compensation precedent: spend a bounded slice of the budget to
+    // keep the recall contract on the adversarial no-structure corpus).
+    val rerankEff = math.max(rerank.toLong, math.ceil(
+      en.count().toDouble * nprobe / nlist * rerankFrac).toLong)
+    val cb = pqTrainCodebook(en, m, codes, iters, sub)
+    // the index: coarse cell + m codes per vector, embeddings dropped
+    val cells = ivfAssign(embeddings, centroids, keep = 1)
+      .select(col("vec_id"), col("cid"))
+    val index = en.select(col("vec_id"),
+        pqAssignCol(cb, m, codes, sub).getField("code").as("codes"))
+      .join(cells, Seq("vec_id"))
+      .select(col("vec_id").as("n_id"), col("cid"), col("codes"))
+    // query side: distributed coarse probes + driver-built ADC tables
+    // (the query set is small by contract — the annTopK discipline)
+    val probes = ivfAssign(queries, centroids, keep = nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val luts: Map[Long, Array[Double]] = normalized(queries).collect()
+      .map { r =>
+        val qe = r.getSeq[Double](1)
+        val lut = new Array[Double](m * codes)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < codes) {
+            val cw = cb((s, c)); var acc = 0.0; var j = 0
+            while (j < sub) { acc += qe(s * sub + j) * cw(j); j += 1 }
+            lut(s * codes + c) = acc; c += 1
+          }
+          s += 1
+        }
+        r.getLong(0) -> lut
+      }.toMap
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("n_id").asc)
+    val survivors = index.join(broadcast(probes), Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.adc_lookup_score(col("q_id"), col("codes"),
+          luts, codes).as("adc"))
+      .withColumn("r", row_number().over(wAdc)).filter(col("r") <= rerankEff)
+      .select(col("q_id"), col("n_id"))
+    val wFinal = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    survivors
+      .join(embeddings.select(col("vec_id").as("n_id"),
+        col("embedding").as("ne")), Seq("n_id"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"))), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        portableRound(cosine_similarity(col("qe"), col("ne")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wFinal)).filter(col("rank") <= k)
   }
 
   /** Exact decimal fold of a double array: Σ cast(decimal(28,9)) of the

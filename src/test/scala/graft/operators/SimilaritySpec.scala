@@ -300,6 +300,30 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ivfPqTopK: brute-force schema, k rows per query, no self-matches, " +
+    "recall vs the exact scan clears the 0.9 gate floor") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 10)
+    val got = Similarity.ivfPqTopK(e, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val qn = q.count().toInt
+    assert(got.length == qn * 5, s"expected ${qn * 5} rows, got ${got.length}")
+    assert(got.forall(t => t._1 != t._2), "self-match leaked")
+    assert(got.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 5))
+    // returned cosines must equal the exact metric for those pairs
+    val exact = Similarity.bruteForceTopK(e, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactCos = Similarity.bruteForceTopK(e, q, 2000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case (qi, ni, c) =>
+      exactCos.get((qi, ni)).foreach(ec => assert(ec == c, s"($qi,$ni)")) }
+    // recall@5 vs exact — the pq2 gate contract
+    val hits = exact.count(t => got.exists(g => g._1 == t._1 && g._2 == t._2))
+    assert(hits >= exact.length * 0.9,
+      s"recall ${hits.toDouble / exact.length} below 0.9 floor")
+  }
+
   test("productQuantize: one code per (vector, subspace), codes in range, " +
     "live codebooks, objective non-increasing in iterations") {
     import org.apache.spark.sql.functions._
