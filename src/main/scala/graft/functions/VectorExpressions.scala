@@ -1006,3 +1006,79 @@ case class AdcLookupScore(left: Expression, right: Expression,
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Sakoe–Chiba-banded Levenshtein distance over two strings, `band`
+  * being a PER-ROW column: the DP visits only cells with |i−j| ≤ band
+  * (every cell outside satisfies d(i,j) ≥ |i−j| > band), so the cost is
+  * O(len·band) instead of O(len²) — the dtw1 band discipline applied to
+  * the wer1 edit DP, whose full quadratic was the board's worst 10×
+  * guard ratio. EXACT whenever the true distance is ≤ band; if the
+  * banded result exceeds the band the bound cannot be certified and the
+  * expression fails LOUDLY (the uni1 bounded-contract: a caller that
+  * can derive a certified bound — corpusWer's candidate is its
+  * reference minus known deletions/substitutions, so distance ≤
+  * #del + #sub by construction — never trips it; a caller that cannot
+  * must widen the band, not accept a silent lower bound). */
+case class BandedLevenshtein(first: Expression, second: Expression,
+                             third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "banded_levenshtein"
+
+  def computeJava(aStr: UTF8String, bStr: UTF8String, bandL: Long): Long = {
+    val a = aStr.toString
+    val b = bStr.toString
+    val n1 = a.length; val n2 = b.length
+    val w = math.min(bandL, Int.MaxValue / 4).toInt
+    def fail(): Nothing = throw new IllegalStateException(
+      s"banded_levenshtein: distance exceeds band $bandL — result would " +
+        "be a silent lower bound; widen the band")
+    if (math.abs(n1 - n2) > w) fail()
+    if (n1 == 0) return n2.toLong
+    if (n2 == 0) return n1.toLong
+    val INF = Int.MaxValue / 4
+    // rows over a, columns over b; only |i-j| <= w cells materialize
+    var prev = new Array[Int](n2 + 1)
+    var cur = new Array[Int](n2 + 1)
+    var j = 0
+    while (j <= math.min(n2, w)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n1) {
+      val lo = math.max(1, i - w); val hi = math.min(n2, i + w)
+      if (lo > 1) cur(lo - 1) = INF
+      if (i <= w) cur(0) = i else cur(0) = INF
+      j = lo
+      while (j <= hi) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        val del = if (j <= i + w - 1) prev(j) + 1 else INF
+        val ins = cur(j - 1) + 1
+        val sub = prev(j - 1) + cost
+        cur(j) = math.min(sub, math.min(del, ins))
+        j += 1
+      }
+      if (hi < n2) cur(hi + 1) = INF
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    val d = prev(n2)
+    if (d > w) fail()
+    d.toLong
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    computeJava(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+      c.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val self = ctx.addReferenceObj("bandedLev", this,
+        "graft.functions.BandedLevenshtein")
+      s"${ev.value} = $self.computeJava($a, $b, $c);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -89,6 +89,13 @@ package object functions {
     Bridge.column(AdcLookupScore(
       Bridge.expression(qId), Bridge.expression(codes), luts, k))
 
+  /** Sakoe–Chiba-banded Levenshtein distance (per-row band column):
+    * exact when the true distance ≤ band, LOUD failure otherwise —
+    * O(len·band) instead of O(len²). */
+  def banded_levenshtein(a: Column, b: Column, band: Column): Column =
+    Bridge.column(BandedLevenshtein(
+      Bridge.expression(a), Bridge.expression(b), Bridge.expression(band)))
+
   /** Viterbi segmentation of a word under a unigram piece model (piece →
     * micro-unit negative log-prob cost); ties prefer the longer piece.
     * The model rides as a broadcast reference object — the production

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.portableRound
+import graft.functions.{banded_levenshtein, portableRound}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -487,23 +487,26 @@ object TextAnalysis {
     * regardless of order, WER charges every insertion/deletion/
     * substitution an edit.
     *
-    * The DP runs in BOTH engines through their built-in `levenshtein`
-    * by encoding each token as ONE printable-ASCII char from the doc's
-    * own vocabulary (ref tokens + the substitution marker). Levenshtein
-    * is invariant under injective relabeling, so the two engines'
-    * different vocab orders cannot disagree; ASCII keeps DuckDB's
-    * byte-level and Spark's codepoint-level DP on the same units. Docs
-    * with more than 94 distinct tokens fail LOUDLY (raise_error) rather
-    * than alias two tokens onto one char — the fixture max is 31; a
-    * corpus that trips this needs the marker alphabet widened, not a
-    * silent wrong distance.
+    * Both engines run the DP over each token encoded as ONE
+    * printable-ASCII char from the doc's own vocabulary (ref tokens +
+    * the substitution marker) — Levenshtein is invariant under
+    * injective relabeling, so the two engines' different vocab orders
+    * cannot disagree; ASCII keeps DuckDB's byte-level and Spark's
+    * codepoint-level DP on the same units. Docs with more than 94
+    * distinct tokens fail LOUDLY (raise_error) rather than alias two
+    * tokens onto one char — the fixture max is 31; a corpus that trips
+    * this needs the marker alphabet widened, not a silent wrong
+    * distance. The oracle keeps DuckDB's built-in `levenshtein`; the
+    * engine runs [[graft.functions.BandedLevenshtein]] under a
+    * certified per-row band (see below) — identical distances, a band
+    * narrower than the true distance is structurally impossible here.
     *
     * Exactness: distances and token counts are exact BIGINT folds; the
     * single WER ratio snaps to the 1e-6 grid. Shape: per-row encode +
     * per-row DP (row-local, whole-stage codegen'd) + ONE map-side 1-row
-    * aggregate — no shuffle wider than one row at any scale; the DP cost
-    * is O(len·len) per row against the fixture's ≤100-token docs and the
-    * operator is linear in rows. */
+    * aggregate — no shuffle wider than one row at any scale; the banded
+    * DP costs O(len·band) per row with band = the row's own corruption
+    * count, and the operator is linear in rows. */
   def corpusWer(documents: DataFrame, delThresh: Int = 500,
                 subThresh: Int = 1500, salt: String = "wer"): DataFrame = {
     require(delThresh >= 0 && subThresh >= delThresh && subThresh <= 10000,
@@ -522,14 +525,26 @@ object TextAnalysis {
     val vocab = array_distinct(concat(toks, array(lit(SUB))))
     def enc(ts: org.apache.spark.sql.Column) = concat_ws("",
       transform(ts, t => char(lit(32) + array_position(col("_v"), t))))
+    // The DP is BANDED with a per-row CERTIFIED bound: the candidate is
+    // the reference minus known deletions and substitutions, so its true
+    // edit distance is ≤ #deleted + #substituted = (nr − nc) + #SUB — the
+    // banded DP is therefore exact by construction (distance ≤ band), at
+    // O(len·band) per row instead of the full O(len²) that made wer1 the
+    // board's worst 10× guard ratio. Both engines still agree digit for
+    // digit: banding never changes a distance it can certify, and the
+    // DuckDB oracle keeps its plain levenshtein.
     val proj = documents
       .select(toks.as("_r"), cand.as("_c"), vocab.as("_v"))
       .select(size(col("_r")).cast("long").as("nr"),
         size(col("_c")).cast("long").as("nc"),
+        size(filter(col("_c"), t => t === lit(SUB))).cast("long").as("nsub"),
+        col("_r"), col("_c"), col("_v"))
+      .select(col("nr"), col("nc"),
         when(size(col("_v")) > 94, raise_error(concat(
           lit("wer: doc vocabulary exceeds the 94-char encode alphabet ("),
           size(col("_v")).cast("string"), lit(" distinct tokens)"))))
-          .otherwise(levenshtein(enc(col("_c")), enc(col("_r"))))
+          .otherwise(banded_levenshtein(enc(col("_c")), enc(col("_r")),
+            col("nr") - col("nc") + col("nsub")))
           .cast("long").as("dist"))
     proj.agg(count(lit(1)).as("n_docs"),
         sum(col("nr")).as("ref_tokens"),

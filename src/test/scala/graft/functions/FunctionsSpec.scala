@@ -262,4 +262,40 @@ class FunctionsSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("banded_levenshtein: agrees with the built-in levenshtein whenever " +
+    "the band covers the true distance; loud when it cannot certify") {
+    val rnd = new scala.util.Random(42)
+    def word(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val pairs = (1 to 60).map { _ =>
+      (word(rnd.nextInt(30)), word(rnd.nextInt(30)))
+    } ++ Seq(("", ""), ("", "abc"), ("abc", ""), ("same", "same"))
+    val df = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), levenshtein(col("a"), col("b"))
+        .cast("long").as("d"))
+      // band exactly the true distance: the tightest certifiable bound
+      .select(col("d"), banded_levenshtein(col("a"), col("b"), col("d"))
+        .as("bd"),
+        // and a generous band
+        banded_levenshtein(col("a"), col("b"), col("d") + 7L).as("bd7"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getLong(0) == r.getLong(2), r)
+    }
+    // band below the true distance must FAIL, not return a lower bound
+    val e = intercept[Exception] {
+      Seq(("aaaa", "bbbb")).toDF("a", "b")
+        .select(banded_levenshtein(col("a"), col("b"), lit(2L))).collect()
+    }
+    assert(e.getMessage.contains("exceeds band") ||
+      Option(e.getCause).exists(_.getMessage.contains("exceeds band")),
+      e.getMessage)
+    // length gap alone beyond the band also fails loudly
+    val e2 = intercept[Exception] {
+      Seq(("a", "abcdefgh")).toDF("a", "b")
+        .select(banded_levenshtein(col("a"), col("b"), lit(3L))).collect()
+    }
+    assert(e2.getMessage.contains("exceeds band") ||
+      Option(e2.getCause).exists(_.getMessage.contains("exceeds band")),
+      e2.getMessage)
+  }
 }
