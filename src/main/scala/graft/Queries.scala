@@ -6278,6 +6278,92 @@ object Queries {
        |ORDER BY deg.community""".stripMargin
   }
 
+  /** LOUV1 — one synchronous Louvain local-move round over lp1's
+    * communities on the pr1 trade graph, with the before/after mod1
+    * tables as output: each node adopts the neighbor community with the
+    * best strictly-positive exact-integer modularity gain (ties to the
+    * smallest label), all moves apply at once. The optimizer mod1's
+    * audit exists for. See [[graft.operators.Graph.louvainMove]]. */
+  val louv1LocalMove: Q = (s, d) => {
+    val nodes = Tables.nation(s, d).select(col("n_name").as("node"))
+    val edges = tradeEdges(s, d).localCheckpoint()
+    graft.operators.Graph.louvainMove(
+      graft.operators.Graph.labelPropagation(nodes, edges, rounds = 4)
+        .select(col("node"), col("community")),
+      edges)
+  }
+
+  val louv1LocalMoveSql: String = {
+    // lp1's exact CTE chain → one integer-gain move round → the mod1
+    // modularity audit for BOTH label sets, phase-tagged
+    val rounds = 4
+    val steps = (1 to rounds).map { i =>
+      s"""v$i AS (SELECT nb.node, l.lbl, count(*) AS c
+         |  FROM nb JOIN l${i - 1} l ON l.node = nb.nbr GROUP BY 1, 2),
+         |p$i AS (SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |             ORDER BY c DESC, lbl) AS rn FROM v$i) t
+         |  WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT l${i - 1}.node,
+         |    COALESCE(p$i.lbl, l${i - 1}.lbl) AS lbl
+         |  FROM l${i - 1} LEFT JOIN p$i ON p$i.node = l${i - 1}.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    def audit(lbls: String, phase: String, tag: String) =
+      s"""tg$tag AS (SELECT und.a, und.b, ca.lbl AS comm_a, cb.lbl AS comm_b
+         |  FROM und JOIN $lbls ca ON ca.node = und.a
+         |           JOIN $lbls cb ON cb.node = und.b),
+         |dg$tag AS (SELECT community, CAST(count(*) AS BIGINT) AS d_c FROM (
+         |            SELECT comm_a AS community FROM tg$tag
+         |            UNION ALL SELECT comm_b FROM tg$tag) GROUP BY 1),
+         |in$tag AS (SELECT comm_a AS community, CAST(count(*) AS BIGINT) AS e_c
+         |           FROM tg$tag WHERE comm_a = comm_b GROUP BY 1),
+         |ph$tag AS (SELECT '$phase' AS phase, dg$tag.community,
+         |         coalesce(in$tag.e_c, 0) AS e_c, dg$tag.d_c,
+         |         floor(CAST(4 * m2.m * coalesce(in$tag.e_c, 0) - dg$tag.d_c * dg$tag.d_c AS DOUBLE)
+         |               / CAST(4 * m2.m * m2.m AS DOUBLE) * 10000000000 + 0.5)
+         |         / 10000000000 AS q_contrib
+         |  FROM dg$tag LEFT JOIN in$tag ON in$tag.community = dg$tag.community
+         |  CROSS JOIN m2)""".stripMargin
+    s"""WITH
+       |$tradeEdgesCte,
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM edges WHERE src <> dst),
+       |nb AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
+       |       UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT n_name AS node, n_name AS lbl FROM nation),
+       |$steps,
+       |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |kv AS (SELECT node, CAST(count(*) AS BIGINT) AS k_v FROM nb GROUP BY 1),
+       |nlab AS (SELECT nb.node, l.lbl AS cand, CAST(count(*) AS BIGINT) AS k_vc
+       |         FROM nb JOIN l$rounds l ON l.node = nb.nbr GROUP BY 1, 2),
+       |curc AS (SELECT node, lbl AS cur FROM l$rounds),
+       |dc AS (SELECT l.lbl AS community, CAST(sum(kv.k_v) AS BIGINT) AS d_c
+       |       FROM l$rounds l JOIN kv ON kv.node = l.node GROUP BY 1),
+       |kva AS (SELECT n.node, n.k_vc AS k_va FROM nlab n
+       |        JOIN curc c ON c.node = n.node AND n.cand = c.cur),
+       |gains AS (SELECT n.node, n.cand,
+       |            4 * m2.m * (n.k_vc - COALESCE(kva.k_va, 0))
+       |            - 2 * kv.k_v * (db.d_c - da.d_c + kv.k_v) AS gain
+       |          FROM nlab n
+       |          JOIN curc c ON c.node = n.node AND n.cand <> c.cur
+       |          LEFT JOIN kva ON kva.node = n.node
+       |          JOIN kv ON kv.node = n.node
+       |          JOIN dc db ON db.community = n.cand
+       |          JOIN dc da ON da.community = c.cur
+       |          CROSS JOIN m2),
+       |mv AS (SELECT node, cand AS newc FROM (
+       |         SELECT node, cand, row_number() OVER (PARTITION BY node
+       |                  ORDER BY gain DESC, cand) AS rn
+       |         FROM gains WHERE gain > 0) t WHERE rn = 1),
+       |lA AS MATERIALIZED (SELECT l.node, COALESCE(mv.newc, l.lbl) AS lbl
+       |      FROM l$rounds l LEFT JOIN mv ON mv.node = l.node),
+       |${audit(s"l$rounds", "before", "b")},
+       |${audit("lA", "after", "a")}
+       |SELECT * FROM phb UNION ALL SELECT * FROM pha
+       |ORDER BY phase, community""".stripMargin
+  }
+
   /** PPR1 — personalized PageRank (random walk with restart) from
     * NATION_0 over the pr1 trade graph: proximity, not global rank —
     * every restart teleports to the source, unreached nodes hold exact
@@ -8403,6 +8489,7 @@ object Queries {
     "ppr1_proximity" -> ppr1Proximity,
     "hits1_hubs_auth" -> hits1HubsAuth,
     "mod1_modularity" -> mod1Modularity,
+    "louv1_local_move" -> louv1LocalMove,
     "fh1_feature_hash" -> fh1FeatureHash,
     "ndcg1_rank_eval" -> ndcg1RankEval,
     "dq2_benford_audit" -> dq2BenfordAudit,
@@ -8684,6 +8771,7 @@ object Queries {
     "ppr1_proximity" -> ppr1ProximitySql,
     "hits1_hubs_auth" -> hits1HubsAuthSql,
     "mod1_modularity" -> mod1ModularitySql,
+    "louv1_local_move" -> louv1LocalMoveSql,
     "fh1_feature_hash" -> fh1FeatureHashSql,
     "ndcg1_rank_eval" -> ndcg1RankEvalSql,
     "dq2_benford_audit" -> dq2BenfordAuditSql,
@@ -8840,6 +8928,6 @@ object Queries {
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
     "iso1_isotonic_calibration", "ts3_theil_sen", "logrank1_survival_test",
     "bfs1_shortest_paths", "att1_position_attribution", "dtw1_series_align",
-    "hits1_hubs_auth", "mod1_modularity", "ppr1_proximity",
+    "hits1_hubs_auth", "mod1_modularity", "louv1_local_move", "ppr1_proximity",
     "st1_stream_window", "st6_stream_cdc")
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -334,6 +335,77 @@ object Graph {
           .cast("double") / (lit(4L) * col("m") * col("m")).cast("double"), 10)
           .as("q_contrib"))
       .orderBy(col("community"))
+  }
+
+  /** One SYNCHRONOUS Louvain local-move round (Blondel et al. 2008 §2,
+    * the move step) over an existing community assignment: every node
+    * evaluates, against the CURRENT assignment, the exact modularity
+    * gain of adopting each neighbor community, moves iff the best gain
+    * is strictly positive (ties to the smallest community label), and
+    * all moves apply at once. Turns [[modularity]]'s audit into the
+    * optimizer it measures for: output is the before/after per-community
+    * modularity table (`phase` ∈ before|after), so the climb — or a
+    * synchronous round's occasional overshoot — is visible row by row.
+    *
+    * Exactness: the gain never leaves integer space — moving v from A
+    * to B changes Q by ΔQ·4m² = 4m·(k_vB − k_vA\v) − 2·k_v·(d_B − d_A +
+    * k_v), every term a BIGINT count (k_vc = v's edges into community c,
+    * k_v = v's degree, d_c = community degree mass, m = edge count) — so
+    * the argmax and the applied assignment replay digit-exact in SQL.
+    * The synchronous sweep (vs the paper's sequential scan) is the
+    * BSP-determinism trade [[labelPropagation]] makes: a pure function
+    * of the graph, oracle-replayable, one exchange per table instead of
+    * a driver-sequenced node loop.
+    *
+    * Scale shape: k_vc is ONE (node, community) count off the
+    * label-tagged neighbor list (map-side combinable), d_c one grouped
+    * sum, the argmax a TopK-per-node window — all keyed exchanges on
+    * node/community ids; no driver state beyond the 1-row m. */
+  def louvainMove(communities: DataFrame, edges: DataFrame): DataFrame = {
+    val und = undirected(edges).localCheckpoint() // feeds nbrs + 2 audits
+    val lbl = communities.select(col("node"), col("community"))
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val kv = nbrs.groupBy(col("node")).agg(count(lit(1)).as("k_v"))
+    val nlab = nbrs
+      .join(lbl.select(col("node").as("nbr"), col("community").as("cand")),
+        Seq("nbr"))
+      .groupBy(col("node"), col("cand")).agg(count(lit(1)).as("k_vc"))
+    val cur = lbl.select(col("node"), col("community").as("cur"))
+    val dC = lbl.join(kv, Seq("node"))
+      .groupBy(col("community")).agg(sum(col("k_v")).as("d_c"))
+    val mDf = und.agg(count(lit(1)).as("m"))
+    val kvA = nlab.join(cur, Seq("node"))
+      .filter(col("cand") === col("cur"))
+      .select(col("node"), col("k_vc").as("k_va"))
+    val gains = nlab.join(cur, Seq("node"))
+      .filter(col("cand") =!= col("cur"))
+      .join(kvA, Seq("node"), "left")
+      .join(kv, Seq("node"))
+      .join(dC.select(col("community").as("cand"), col("d_c").as("d_b")),
+        Seq("cand"))
+      .join(dC.select(col("community").as("cur"), col("d_c").as("d_a")),
+        Seq("cur"))
+      .crossJoin(broadcast(mDf))
+      .select(col("node"), col("cand"),
+        (lit(4L) * col("m") * (col("k_vc") - coalesce(col("k_va"), lit(0L)))
+          - lit(2L) * col("k_v")
+            * (col("d_b") - col("d_a") + col("k_v"))).as("gain"))
+      .filter(col("gain") > 0)
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("gain").desc, col("cand").asc)
+    val moves = gains.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("node"), col("cand").as("newc"))
+    val after = lbl.join(moves, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("newc"), col("community")).as("community"))
+    def phased(ls: DataFrame, phase: String) =
+      modularity(ls, und.select(col("a").as("src"), col("b").as("dst")))
+        .withColumn("phase", lit(phase))
+    phased(lbl, "before").unionByName(phased(after, "after"))
+      .select(col("phase"), col("community"), col("e_c"), col("d_c"),
+        col("q_contrib"))
+      .orderBy(col("phase"), col("community"))
   }
 
   /** Personalized PageRank / random walk with restart (Haveliwala 2002;

@@ -261,4 +261,36 @@ class GraphSpec extends SparkTestBase {
     val q = Graph.modularity(one, edges).collect()
     assert(q.length == 1 && q.head.getDouble(3) == 0.0, q.mkString(", "))
   }
+
+  test("louvainMove: a misassigned clique member moves home (exact gain), " +
+    "nodes with no better community stay, and the optimal split is a " +
+    "fixed point") {
+    // K3 {a,b,c} + K3 {d,e,f} + bridge c-d, but c starts in B: moving c
+    // to A gains ΔQ·4m² = 4·7·(2−1) − 2·3·(4−10+3) = 46 > 0; a and b
+    // would LOSE by following the bridge (−32), d/e/f see no foreign
+    // community at a gain — so exactly one move happens
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).toDF("src", "dst")
+    val comm = Seq(("a", "A"), ("b", "A"), ("c", "B"),
+      ("d", "B"), ("e", "B"), ("f", "B")).toDF("node", "community")
+    val r = Graph.louvainMove(comm, edges).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))
+    val before = r.filter(_._1 == "before").map(t => (t._2, t._3, t._4, t._5))
+    val after = r.filter(_._1 == "after").map(t => (t._2, t._3, t._4, t._5))
+    // before: A={a,b} e=1 d=4 → 12/196; B={c,d,e,f} e=4 d=10 → 12/196
+    assert(before.toSeq == Seq(("A", 1L, 4L, 0.0612244898),
+      ("B", 4L, 10L, 0.0612244898)), before.mkString(", "))
+    // after: the two cliques, 35/196 each — Q climbed 0.122 → 0.357
+    assert(after.toSeq == Seq(("A", 3L, 7L, 0.1785714286),
+      ("B", 3L, 7L, 0.1785714286)), after.mkString(", "))
+    // the optimal partition is a fixed point: before == after
+    val opt = Seq(("a", "A"), ("b", "A"), ("c", "A"),
+      ("d", "B"), ("e", "B"), ("f", "B")).toDF("node", "community")
+    val fp = Graph.louvainMove(opt, edges).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))
+    assert(fp.filter(_._1 == "before").map(_.copy(_1 = "")).toSeq ==
+      fp.filter(_._1 == "after").map(_.copy(_1 = "")).toSeq, fp.mkString(", "))
+  }
 }
