@@ -75,6 +75,9 @@ SUBSET = [
     "kcore1_dense_core",     # peel rounds on the tiny heavy-edge set
     "ml4_cv",                # folds x iters one-aggregate scans (linear)
     "woe1_woe_iv",           # quantile bins + one grouped agg (linear)
+    # round-12 additions
+    "pq2_adc_search",        # coarse scan + compiled ADC over byte codes
+    "louv1_local_move",      # lp1 edge build + vote-shaped count + 2 audits
     "st1_stream_window",     # streaming windowed agg over events (linear)
     "st6_stream_cdc",        # streaming last-per-user merge, state ~ users
     "q18_large_orders",      # group-filter-join TPC-H heavy hitter
