@@ -3740,6 +3740,46 @@ object Queries {
       |WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE c.digest = i.digest)
       |GROUP BY i.digest""".stripMargin
 
+  /** INC2 — incremental NEAR-dup admission: inc1's nightly-ingest gate
+    * upgraded to 5-gram Jaccard. Incoming = doc_id % 10 == 7 (inc1's
+    * split); a doc is rejected iff some standing-corpus doc or
+    * smaller-id batch doc reaches J ≥ 0.5 (blocker = highest rounded J,
+    * ties to the smallest id). See
+    * [[graft.operators.Dedup.nearDupAdmission]]. */
+  val inc2NearDupAdmission: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.nearDupAdmission(
+      docs.filter(col("doc_id") % 10 === 7),
+      docs.filter(col("doc_id") % 10 =!= 7))
+  }
+
+  val inc2NearDupAdmissionSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+      |                        FOR i IN RANGE(1, len(t) - 3)]) AS s
+      |       FROM toks WHERE len(t) >= 5),
+      |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |inc AS (SELECT * FROM ex WHERE doc_id % 10 = 7),
+      |cand AS (SELECT i.doc_id, o.doc_id AS blocker_id, count(*) AS inter
+      |         FROM inc i JOIN ex o ON o.sg = i.sg
+      |         WHERE (o.doc_id % 10 <> 7) OR (o.doc_id < i.doc_id)
+      |         GROUP BY 1, 2),
+      |j AS (SELECT c.doc_id, c.blocker_id,
+      |        floor(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) * 10000 + 0.5) / 10000 AS jaccard
+      |      FROM cand c JOIN sz na ON na.doc_id = c.doc_id
+      |                  JOIN sz nb ON nb.doc_id = c.blocker_id),
+      |best AS (SELECT doc_id, blocker_id, jaccard FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |             ORDER BY jaccard DESC, blocker_id) AS rn
+      |    FROM j WHERE jaccard >= 0.5) t WHERE rn = 1)
+      |SELECT d.doc_id, best.blocker_id IS NULL AS admitted,
+      |       best.blocker_id, best.jaccard
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+      |LEFT JOIN best ON best.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** HH1 — exact heavy hitters: top-20 corpus tokens by frequency.
     * Global top-k executes as TakeOrderedAndProject (each partition ships
     * only its own top 20), never a global sort. */
@@ -8366,6 +8406,7 @@ object Queries {
     "dc1_decontaminate" -> dc1Decontaminate,
     "dc2_decontaminate_bloom" -> dc2DecontaminateBloom,
     "inc1_incremental_dedup" -> inc1IncrementalDedup,
+    "inc2_neardup_admission" -> inc2NearDupAdmission,
     "hh1_heavy_hitters" -> hh1HeavyHitters,
     "hh2_mg_sketch" -> hh2MgSketch,
     "emb2_mean_pool" -> emb2MeanPool,
@@ -8650,6 +8691,7 @@ object Queries {
     "dc1_decontaminate" -> dc1DecontaminateSql,
     "dc2_decontaminate_bloom" -> dc1DecontaminateSql, // bloom prefilter is exact: same oracle
     "inc1_incremental_dedup" -> inc1IncrementalDedupSql,
+    "inc2_neardup_admission" -> inc2NearDupAdmissionSql,
     "hh1_heavy_hitters" -> hh1HeavyHittersSql,
     "hh2_mg_sketch" -> hh2MgSketchSql,
     "emb2_mean_pool" -> emb2MeanPoolSql,
@@ -8884,6 +8926,7 @@ object Queries {
     "d6_production", "sim2_production",
     "sim1_cosine_topk", "t4_fingerprint", "t7_tfidf", "mm1_binary_decode",
     "prep1_corpus_prep", "dc1_decontaminate", "inc1_incremental_dedup",
+    "inc2_neardup_admission",
     "hh2_mg_sketch", "emb2_mean_pool", "scd1_history", "z2_compaction_plan",
     "mix1_source_mix", "pk1_sequence_pack", "d8_keep_best",
     "diff1_snapshot_diff", "t11_length_outliers", "hll1_sketch_rollup",

@@ -221,6 +221,65 @@ object Dedup {
       .filter(col("jaccard") > minJaccard)
   }
 
+  /** Incremental NEAR-dup admission — inc1's exact-digest nightly-ingest
+    * gate upgraded to n-gram Jaccard, the production shape: an incoming
+    * batch is screened against the STANDING corpus (and against its own
+    * smaller-id members), and a doc is rejected iff some blocker reaches
+    * `minJaccard`. One row per incoming doc: (doc_id, admitted,
+    * blocker_id, jaccard) with the blocker chosen deterministically
+    * (highest rounded Jaccard, ties to the smallest id; NULLs when
+    * admitted). Within-batch policy is CONSERVATIVE one-pass admission
+    * (a smaller-id near-dup blocks regardless of its own fate) — a
+    * deterministic contract, unlike chained sequential admission, and
+    * exactly SQL-replayable.
+    *
+    * Scale shape: the candidate join is the d4 inverted index used
+    * ASYMMETRICALLY — corpus shingles are index-side, the (small)
+    * incoming batch is the probe side, so candidate volume is batch ×
+    * per-shingle postings, never corpus²; candidates carry ids +
+    * shingle hashes only. At mega-frequent-shingle corpora compose with
+    * [[ngramJaccardPairsPruned]]'s df cutoff on the index side; at
+    * corpus-dedup thresholds the banded-MinHash route (d6's
+    * `lshAutoPlan`) replaces the exact index, with this operator's
+    * output contract unchanged. */
+  def nearDupAdmission(incoming: DataFrame, corpus: DataFrame, n: Int = 5,
+                       minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    def sh(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs),
+        explode(array_distinct(shingle_hashes(col("text"), n))).as("sg"))
+    val incSh = sh(incoming, "doc_id").localCheckpoint() // probe side ×3
+    val corpSh = sh(corpus, "c_id")
+    val incSz = incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val corpSz = corpSh.groupBy(col("c_id")).agg(count(lit(1)).as("nb"))
+    def score(pairs: DataFrame, sizes: DataFrame, bKey: String) = pairs
+      .groupBy(col("doc_id"), col(bKey)).agg(count(lit(1)).as("inter"))
+      .join(incSz, Seq("doc_id"))
+      .join(sizes, Seq(bKey))
+      .select(col("doc_id"), col(bKey).as("blocker_id"),
+        portableRound(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    val vsCorpus = score(incSh.join(corpSh, Seq("sg")), corpSz, "c_id")
+    val within = score(
+      incSh.join(
+        incSh.select(col("doc_id").as("c_id"), col("sg")), Seq("sg"))
+        .filter(col("c_id") < col("doc_id")),
+      incSz.select(col("doc_id").as("c_id"), col("na").as("nb")), "c_id")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("blocker_id").asc)
+    val best = vsCorpus.unionByName(within)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("blocker_id"), col("jaccard"))
+    incoming.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("blocker_id").isNull.as("admitted"),
+        col("blocker_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[ngramJaccardPairs]] with the stop-shingle escape valve for corpora
     * with mega-frequent shingles ("the end of" appearing in every doc):
     * shingles with document frequency above `dfCutoff` are dropped from the

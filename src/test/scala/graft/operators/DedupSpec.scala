@@ -321,4 +321,38 @@ class DedupSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
     assert(got == Map(1L -> 0L, 2L -> 0L))
   }
+
+  test("nearDupAdmission: corpus near-dups block, smaller-id batch dups " +
+    "block conservatively, unique and short docs admit, blocker is " +
+    "max-J-then-min-id") {
+    // 8-token template: swapping ONE token keeps J(4/... ) high
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val tweak = "alpha bravo charlie delta echo foxtrot golf india"
+    val corpus = Seq(
+      (1L, base),                     // near-dup source for batch 107
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (107L, tweak),                  // J vs doc 1 = 3/5 = 0.6 >= 0.5 -> blocked by 1
+      (117L, "nine ten eleven twelve thirteen fourteen"), // unique -> admitted
+      (127L, "nine ten eleven twelve thirteen fourteen"), // = 117 -> blocked by 117 (J=1)
+      (137L, "too short"),            // < 5 tokens: no shingles -> admitted
+      (147L, base)                    // exact dup of corpus 1 -> blocked, J=1
+    ).toDF("doc_id", "text")
+    val r = Dedup.nearDupAdmission(incoming, corpus).collect()
+      .map(x => (x.getLong(0), x.getBoolean(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2),
+        if (x.isNullAt(3)) -1.0 else x.getDouble(3)))
+    // 8 tokens -> 4 shingles; one last-token swap shares 3: J = 3/5 = 0.6
+    assert(r.toSeq == Seq(
+      (107L, false, 1L, 0.6),
+      (117L, true, -1L, -1.0),
+      (127L, false, 117L, 1.0),
+      (137L, true, -1L, -1.0),
+      (147L, false, 1L, 1.0)), r.mkString(", "))
+    // threshold above the near-dup J admits it but keeps the exact dups blocked
+    val hi = Dedup.nearDupAdmission(incoming, corpus, minJaccard = 0.9)
+      .collect().map(x => (x.getLong(0), x.getBoolean(1)))
+    assert(hi.toSeq == Seq((107L, true), (117L, true), (127L, false),
+      (137L, true), (147L, false)), hi.mkString(", "))
+  }
 }
