@@ -8011,6 +8011,63 @@ object Queries {
        |FROM f JOIN d ON d.i = f.i""".stripMargin
   }
 
+  /** FA1 — forecast-accuracy audit of hw1's one-step-ahead forecasts:
+    * MAE / RMSE / sMAPE / MASE over the scored days (day 2 onward),
+    * every per-day term on the 1e-6 grid, MASE scaled by the in-sample
+    * naive lag-1 MAE. The eval leg completing the forecasting family.
+    * See [[graft.operators.Analytics.forecastAccuracy]]. */
+  val fa1ForecastAccuracy: Q = (s, d) =>
+    graft.operators.Analytics.forecastAccuracy(Tables.events(s, d))
+
+  val fa1ForecastAccuracySql: String = {
+    val yd = "(CAST(d.cents AS DOUBLE) / 100)"
+    val lNew = s"floor((0.5 * $yd + 0.5 * (h.level + h.trend)) * 1000000 + 0.5) / 1000000"
+    s"""WITH RECURSIVE d AS MATERIALIZED (
+       |  SELECT day, cents, row_number() OVER (ORDER BY day) AS i FROM (
+       |    SELECT CAST(ts AS DATE) AS day,
+       |           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |    FROM events GROUP BY 1)),
+       |n2 AS (SELECT cents AS c2 FROM d WHERE i = 2),
+       |hw(i, level, trend) AS (
+       |  SELECT 1,
+       |         floor($yd * 1000000 + 0.5) / 1000000,
+       |         floor((CAST(n2.c2 AS DOUBLE) / 100 - $yd) * 1000000 + 0.5) / 1000000
+       |  FROM d CROSS JOIN n2 WHERE d.i = 1
+       |  UNION ALL
+       |  SELECT h.i + 1,
+       |         $lNew,
+       |         floor((0.25 * ($lNew - h.level) + 0.75 * h.trend) * 1000000 + 0.5) / 1000000
+       |  FROM hw h JOIN d ON d.i = h.i + 1),
+       |f AS (SELECT hw.i,
+       |        CAST(d.cents AS DOUBLE) / 100 AS y,
+       |        lag(CAST(d.cents AS DOUBLE) / 100) OVER (ORDER BY hw.i) AS yp,
+       |        floor((lag(level) OVER (ORDER BY hw.i)
+       |               + lag(trend) OVER (ORDER BY hw.i)) * 1000000 + 0.5) / 1000000 AS fc
+       |      FROM hw JOIN d ON d.i = hw.i),
+       |terms AS (SELECT
+       |    CAST(floor(abs(y - fc) * 1000000 + 0.5) AS BIGINT) AS ae,
+       |    CAST(floor((y - fc) * (y - fc) * 1000000 + 0.5) AS BIGINT) AS se,
+       |    CASE WHEN abs(y) + abs(fc) > 0
+       |         THEN CAST(floor(2.0 * abs(y - fc) / (abs(y) + abs(fc)) * 1000000 + 0.5) AS BIGINT)
+       |         ELSE 0 END AS sm,
+       |    CAST(floor(abs(y - yp) * 1000000 + 0.5) AS BIGINT) AS nd
+       |  FROM f WHERE i >= 2),
+       |agg AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+       |    CAST(count(*) AS BIGINT) AS n_scored,
+       |    sum(CAST(ae AS HUGEINT)) AS sae, sum(CAST(se AS HUGEINT)) AS sse,
+       |    sum(CAST(sm AS HUGEINT)) AS ssm, sum(CAST(nd AS HUGEINT)) AS snd
+       |  FROM terms)
+       |SELECT n_days, n_scored,
+       |  floor(CAST(sae AS DOUBLE) / 1000000.0 / CAST(n_scored AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mae,
+       |  floor(sqrt(CAST(sse AS DOUBLE) / 1000000.0 / CAST(n_scored AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS rmse,
+       |  floor(CAST(ssm AS DOUBLE) / 1000000.0 / CAST(n_scored AS DOUBLE) * 1000000 + 0.5) / 1000000 AS smape,
+       |  CASE WHEN snd = 0
+       |       THEN CAST(error('forecastAccuracy: constant series — naive MAE is zero') AS DOUBLE)
+       |       ELSE floor(CAST(sae AS DOUBLE) / CAST(snd AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS mase
+       |FROM agg""".stripMargin
+  }
+
   /** OHLC1 — weekly open/high/low/close bars per event type
     * ([[graft.operators.Analytics.weeklyOhlc]]): epoch-week buckets,
     * (ts, event_id)-deterministic open/close, exact-cent totals. */
@@ -8606,6 +8663,7 @@ object Queries {
     "kn1_kneser_ney" -> kn1KneserNey,
     "ridge1_normal_eq" -> ridge1NormalEq,
     "hw1_holt_trend" -> hw1HoltTrend,
+    "fa1_forecast_accuracy" -> fa1ForecastAccuracy,
     "bf1_file_bloom" -> bf1FileBloom,
     "doremi1_domain_weights" -> doremi1DomainWeights,
     "pq1_product_quantize" -> pq1ProductQuantize,
@@ -8882,6 +8940,7 @@ object Queries {
     "kn1_kneser_ney" -> kn1KneserNeySql,
     "ridge1_normal_eq" -> ridge1NormalEqSql,
     "hw1_holt_trend" -> hw1HoltTrendSql,
+    "fa1_forecast_accuracy" -> fa1ForecastAccuracySql,
     "bf1_file_bloom" -> bf1FileBloomSql,
     "doremi1_domain_weights" -> doremi1DomainWeightsSql,
     "pq1_product_quantize" -> pq1ProductQuantizeSql,
@@ -8965,7 +9024,7 @@ object Queries {
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
     "passk1_eval", "bt1_pairwise_rank", "rouge1_eval", "mmd1_dist_shift",
     "uni2_encode_stats", "ks1_two_sample", "chrf1_eval", "wer1_eval", "cusum1_drift", "lorenz1_deciles", "conf1_interval", "sky1_skyline", "mw1_rank_test", "trim1_robust_means", "did1_diff_in_diff", "stl1_decompose", "tr1_textrank", "rho1_spearman", "ipw1_effect", "platt1_calibration", "kappa1_agreement", "dr1_doubly_robust", "kn1_kneser_ney",
-    "ridge1_normal_eq", "hw1_holt_trend", "bf1_file_bloom",
+    "ridge1_normal_eq", "hw1_holt_trend", "fa1_forecast_accuracy", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
     "pq2_adc_search",
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",

@@ -2195,6 +2195,55 @@ object Analytics {
       .toDF("day", "revenue", "level", "trend", "forecast")
   }
 
+  /** Forecast-accuracy audit of [[holtLinearDaily]]'s one-step-ahead
+    * forecasts — the eval leg the forecasting family lacked (hw1/st16
+    * produce forecasts; nothing scored them), the same completion move
+    * as the MT-eval quartet for translation: MAE, RMSE, sMAPE, and
+    * MASE, the scale-free headline (Hyndman & Koehler 2006 — error
+    * scaled by the in-sample naive lag-1 MAE, so MASE < 1 means the
+    * model beats the naive "tomorrow = today" forecaster).
+    *
+    * Scored days are the rows with a real forecast (day 2 onward; day
+    * 1's forecast is the 0.0 placeholder). Exactness: every per-day
+    * term — |e|, e², the sMAPE ratio, the naive |Δy| — snaps to the
+    * 1e-6 grid and folds as exact integer micro-units; the four finals
+    * are single double formulas over those sums, replayed textually in
+    * the oracle. A zero naive MAE (a constant series) fails loudly:
+    * MASE is undefined there, not infinite-and-silent.
+    *
+    * Shape: [[holtLinearDaily]]'s daily rollup is the only data-sized
+    * work; the scoring fold runs on the calendar-bounded grid. */
+  def forecastAccuracy(events: DataFrame, alpha: Double = 0.5,
+                       beta: Double = 0.25): DataFrame = {
+    val h = holtLinearDaily(events, alpha, beta)
+      .select(col("day"), col("revenue"), col("forecast"))
+      .orderBy(col("day")).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    def micro(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
+    var sae = 0L; var sse = 0L; var ssm = 0L; var snd = 0L
+    for (i <- 1 until h.length) {
+      val (y, f) = h(i); val yPrev = h(i - 1)._1
+      val e = y - f
+      sae += micro(math.abs(e))
+      sse += micro(e * e)
+      ssm += (if (math.abs(y) + math.abs(f) > 0)
+        micro(2.0 * math.abs(e) / (math.abs(y) + math.abs(f))) else 0L)
+      snd += micro(math.abs(y - yPrev))
+    }
+    require(snd > 0,
+      "forecastAccuracy: constant series — the naive MAE is zero and MASE is undefined")
+    val m = (h.length - 1).toDouble
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val spark = events.sparkSession
+    import spark.implicits._
+    Seq((h.length.toLong, (h.length - 1).toLong,
+      r6(sae.toDouble / 1000000.0 / m),
+      r6(math.sqrt(sse.toDouble / 1000000.0 / m)),
+      r6(ssm.toDouble / 1000000.0 / m),
+      r6(sae.toDouble / snd.toDouble)))
+      .toDF("n_days", "n_scored", "mae", "rmse", "smape", "mase")
+  }
+
   /** Weekly OHLC bars per event type — open/high/low/close/volume, the
     * downsampling that turns a raw event stream into a chartable series.
     * Open/close are the values at the earliest/latest (ts, event_id) in

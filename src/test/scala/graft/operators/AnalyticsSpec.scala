@@ -797,6 +797,34 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("forecastAccuracy: hand-computed MAE/RMSE/sMAPE/MASE on a 4-day " +
+    "series; exactly-linear series scores zero error; constant series " +
+    "fails loudly") {
+    // y = 10, 12, 11, 13: forecasts 12, 14, 14.125 (hand fold);
+    // |e| = 0, 3, 1.125 -> mae 1.375; naive |dy| = 2, 1, 2 -> mase .825
+    val s4 = ev((1L, "2024-01-01 10:00:00", "view", 10.0),
+      (1L, "2024-01-02 10:00:00", "view", 12.0),
+      (1L, "2024-01-03 10:00:00", "view", 11.0),
+      (1L, "2024-01-04 10:00:00", "view", 13.0))
+    val r = Analytics.forecastAccuracy(s4).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 3L)), r.toString)
+    assert(r.getDouble(2) == 1.375 && r.getDouble(3) == 1.849831 &&
+      r.getDouble(4) == 0.10765 && r.getDouble(5) == 0.825, r.toString)
+    // exactly linear: Holt tracks it exactly from day 2 -> zero error,
+    // MASE exactly 0 (naive MAE = 2, model MAE = 0)
+    val lin = ev((1 to 4).map(i =>
+      (1L, f"2024-01-0$i 10:00:00", "view", 8.0 + 2 * i)): _*)
+    val rl = Analytics.forecastAccuracy(lin).collect().head
+    assert(rl.getDouble(2) == 0.0 && rl.getDouble(5) == 0.0, rl.toString)
+    // constant series: naive MAE is zero, MASE undefined -> loud
+    val const = ev((1 to 4).map(i =>
+      (1L, f"2024-01-0$i 10:00:00", "view", 50.0)): _*)
+    val e = intercept[IllegalArgumentException] {
+      Analytics.forecastAccuracy(const).collect()
+    }
+    assert(e.getMessage.contains("naive MAE is zero"), e.getMessage)
+  }
+
   test("ridgeNormalEq: lambda=0 recovers an exact linear model; " +
     "lambda>0 shrinks coefficients toward zero") {
     // price cents = 300 + 200*q + 500*d exactly (non-collinear design)
