@@ -79,6 +79,7 @@ SUBSET = [
     "pq2_adc_search",        # coarse scan + compiled ADC over byte codes
     "louv1_local_move",      # lp1 edge build + vote-shaped count + 2 audits
     "inc2_neardup_admission",  # asymmetric d4 index: batch x postings
+    "pq2_production",        # twin-query ADC path over the planted corpus
     "st1_stream_window",     # streaming windowed agg over events (linear)
     "st6_stream_cdc",        # streaming last-per-user merge, state ~ users
     "q18_large_orders",      # group-filter-join TPC-H heavy hitter
