@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks the driver's JSON
+// parse of graft.Bench's summary line (BENCH_r10-r12 "parsed": null —
+// the line was present and well-formed, the prefix killed it).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

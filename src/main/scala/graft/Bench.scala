@@ -131,18 +131,22 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"reruns":$reruns,"note":"canaries are code-untouched VM-noise yardsticks; quality is the runner-enforced canary verdict vs the quiet reference (BASELINE.md rounds 5-7); reruns counts contended-triggered re-measurements","sf":"$sfDir"}"""
     println(json)
-    // The driver captures only a bounded TAIL of stdout; at ~200 benched
-    // queries the full line above is several KB, so its head gets cut and
-    // the round artifact records "parsed": null (BENCH_r10/r11). Emit a
-    // SHORT self-contained summary as the LAST line — it fits whole inside
-    // any tail window and parses wherever the driver looks (last line or
-    // first parseable line in the tail). The complete per-query map stays
-    // in the file below and in the long line above.
+    // The driver captures a bounded TAIL of stdout; at ~200 benched queries
+    // the full line above is several KB, so its head gets cut inside the
+    // tail window. Emit a SHORT self-contained summary too — with
+    // build.sbt's raw outputStrategy (no sbt "[info] " prefix, the r12
+    // parse failure) it parses wherever the driver looks. "queries" is
+    // intentionally {} here: the 3-canary map masquerading as the
+    // per-query map misleads consumers that sum it (ADVICE r12); the full
+    // map lives in the long line above and in the file below.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$canaries,"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"reruns":$reruns,"n_queries":${results.size},"compact":true,"full_artifact":"see docs/bench (SPARK_GRAFT_BENCH_OUT) for the per-query map","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"reruns":$reruns,"n_queries":${results.size},"compact":true,"full_artifact":"see docs/bench (SPARK_GRAFT_BENCH_OUT) for the per-query map","sf":"$sfDir"}"""
     println(compact)
     // stdout through sbt is interleaved with log spew and can truncate —
-    // also persist the full machine-readable artifact to a file
+    // also persist the full machine-readable artifact to a file.
+    // `bench_latest.json` means "most recent full run", not "operative
+    // protocol artifact": the operative quiet run is the one BASELINE.md
+    // stamps (docs/bench/bench_r{N}_quiet.json).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/bench/bench_latest.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
@@ -152,5 +156,9 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
+    // last stdout line of the process: the compact summary again, so the
+    // driver's tail parser finds a complete raw JSON line even if anything
+    // above scrolled out of the window
+    println(compact)
   }
 }

@@ -8109,7 +8109,7 @@ object Queries {
        |  floor(CAST(sae AS DOUBLE) / 1000000.0 / CAST(n_scored AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mae,
        |  floor(sqrt(CAST(sse AS DOUBLE) / 1000000.0 / CAST(n_scored AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS rmse,
        |  floor(CAST(ssm AS DOUBLE) / 1000000.0 / CAST(n_scored AS DOUBLE) * 1000000 + 0.5) / 1000000 AS smape,
-       |  CASE WHEN snd = 0
+       |  CASE WHEN n_scored = 0 OR snd = 0
        |       THEN CAST(error('forecastAccuracy: constant series — naive MAE is zero') AS DOUBLE)
        |       ELSE floor(CAST(sae AS DOUBLE) / CAST(snd AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS mase
        |FROM agg""".stripMargin
