@@ -81,13 +81,19 @@ package object functions {
                       m: Int, k: Int, sub: Int): Column =
     Bridge.column(PqAssignCodes(Bridge.expression(emb), codebook, m, k, sub))
 
+  /** Per-query ADC lookup table built IN-PLAN from a unit-normalized
+    * query embedding and the broadcast flat codebook:
+    * `array<double>` of the m·k inner products ⟨q_s, codeword(s,c)⟩. */
+  def pq_query_lut(emb: Column, codebook: Array[Double],
+                   m: Int, k: Int, sub: Int): Column =
+    Bridge.column(PqQueryLut(Bridge.expression(emb), codebook, m, k, sub))
+
   /** Asymmetric-distance (ADC) score of a PQ-coded vector against a
-    * query's precomputed m·k lookup table (broadcast reference map keyed
-    * by query id): Σ_s lut[s·k + code_s]. */
-  def adc_lookup_score(qId: Column, codes: Column,
-                       luts: Map[Long, Array[Double]], k: Int): Column =
+    * query's m·k lookup-table COLUMN ([[pq_query_lut]]):
+    * Σ_s lut[s·k + code_s]. */
+  def adc_lookup_score(lut: Column, codes: Column, k: Int): Column =
     Bridge.column(AdcLookupScore(
-      Bridge.expression(qId), Bridge.expression(codes), luts, k))
+      Bridge.expression(lut), Bridge.expression(codes), k))
 
   /** Sakoe–Chiba-banded Levenshtein distance (per-row band column):
     * exact when the true distance ≤ band, LOUD failure otherwise —

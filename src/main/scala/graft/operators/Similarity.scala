@@ -752,7 +752,9 @@ object Similarity {
     * composition — what a 100 TB index actually serves): route each
     * query through the [[ivfTopK]] coarse quantizer, score the probed
     * cells' vectors by ASYMMETRIC DISTANCE against their PQ codes (one
-    * m·k-double lookup table per query, broadcast as driver metadata),
+    * m·k-double lookup table per query, built IN-PLAN by
+    * [[graft.functions.PqQueryLut]] and broadcast-joined to the
+    * candidate stream — driver state is the codebook only),
     * exactly re-rank only the top-`rerank` ADC survivors, and emit the
     * cosine top-k in [[bruteForceTopK]]'s schema.
     *
@@ -784,11 +786,17 @@ object Similarity {
                 rerankFrac: Double = 0.05): DataFrame = {
     require(k >= 1 && rerank >= k, s"need rerank >= k >= 1: $rerank, $k")
     val centroids = centroidsOf(embeddings, nlist)
+    // zero-norm guard: an all-zero embedding would otherwise normalize to
+    // NaN components and silently poison codebook training + ADC scores —
+    // fail loudly instead (the BandedLevenshtein / forecastAccuracy rule)
     def normalized(df: DataFrame): DataFrame = df
       .select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
+      .select(col("vec_id"), col("raw"), sqrt(aggregate(col("raw"), lit(0.0),
+        (acc, y) => acc + y * y)).as("nrm"))
       .select(col("vec_id"), transform(col("raw"),
-        x => x / sqrt(aggregate(col("raw"), lit(0.0),
-          (acc, y) => acc + y * y))).as("emb"))
+        x => x / when(col("nrm") > 0, col("nrm")).otherwise(raise_error(
+          concat(lit("ivfPqTopK: zero-norm embedding vec_id="),
+            col("vec_id").cast("string"))))).as("emb"))
     val en = normalized(embeddings).localCheckpoint() // feeds train + code
     val dim = en.select(size(col("emb"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -814,33 +822,29 @@ object Similarity {
         pqAssignCol(cb, m, codes, sub).getField("code").as("codes"))
       .join(cells, Seq("vec_id"))
       .select(col("vec_id").as("n_id"), col("cid"), col("codes"))
-    // query side: distributed coarse probes + driver-built ADC tables
-    // (the query set is small by contract — the annTopK discipline)
+    // query side: distributed coarse probes + IN-PLAN ADC tables. The
+    // m·k table per query is built by a compiled kernel over the query
+    // frame from the broadcast flat codebook (PqQueryLut) and reaches
+    // the candidate stream through a broadcast join on q_id — rounds
+    // ≤12 collect()ed the query set and shipped driver-built tables as
+    // expression literals, which made driver heap grow with the query
+    // batch; now a corpus-proportional batch costs executor time only
+    // (the broadcast hints below stay correct while the batch is small;
+    // a corpus-sized batch would swap them for shuffle joins, the
+    // candidate stream itself is unchanged either way).
     val probes = ivfAssign(queries, centroids, keep = nprobe)
       .select(col("vec_id").as("q_id"), col("cid"))
-    val luts: Map[Long, Array[Double]] = normalized(queries).collect()
-      .map { r =>
-        val qe = r.getSeq[Double](1)
-        val lut = new Array[Double](m * codes)
-        var s = 0
-        while (s < m) {
-          var c = 0
-          while (c < codes) {
-            val cw = cb((s, c)); var acc = 0.0; var j = 0
-            while (j < sub) { acc += qe(s * sub + j) * cw(j); j += 1 }
-            lut(s * codes + c) = acc; c += 1
-          }
-          s += 1
-        }
-        r.getLong(0) -> lut
-      }.toMap
+    val qluts = normalized(queries).select(col("vec_id").as("q_id"),
+      graft.functions.pq_query_lut(col("emb"), pqFlat(cb, m, codes, sub),
+        m, codes, sub).as("lut"))
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("n_id").asc)
     val survivors = index.join(broadcast(probes), Seq("cid"))
       .filter(col("q_id") =!= col("n_id"))
+      .join(broadcast(qluts), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
-        graft.functions.adc_lookup_score(col("q_id"), col("codes"),
-          luts, codes).as("adc"))
+        graft.functions.adc_lookup_score(col("lut"), col("codes"),
+          codes).as("adc"))
       .withColumn("r", row_number().over(wAdc)).filter(col("r") <= rerankEff)
       .select(col("q_id"), col("n_id"))
     val wFinal = Window.partitionBy(col("q_id"))

@@ -198,6 +198,27 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("pq_query_lut builds the per-query ADC table in-plan and " +
+    "adc_lookup_score over the lut column replays a hand fold") {
+    // m=2 subspaces, k=2 codewords, sub=2 dims each; codebook layout
+    // (s*k + c)*sub + j (the PqAssignCodes flat layout)
+    val cb = Array[Double](
+      1.0, 0.0, /* s0 c0 */ 0.0, 1.0, /* s0 c1 */
+      0.5, 0.5, /* s1 c0 */ -1.0, 2.0 /* s1 c1 */)
+    val q = Seq((7L, Array(2.0, 3.0, 4.0, 5.0))).toDF("q_id", "emb")
+    val lut = q.select(pq_query_lut($"emb", cb, 2, 2, 2).as("lut"))
+      .head.getSeq[Double](0)
+    // lut[s*k + c] = <q_s, codeword(s, c)>
+    assert(lut == Seq(2.0, 3.0, 0.5 * 4 + 0.5 * 5, -1.0 * 4 + 2.0 * 5))
+    // ADC score of codes (c_0=1, c_1=0): lut[0*2+1] + lut[1*2+0] = 3 + 4.5
+    val scored = q
+      .select($"q_id", pq_query_lut($"emb", cb, 2, 2, 2).as("lut"))
+      .withColumn("codes", typedLit(Seq(1L, 0L)))
+      .select(adc_lookup_score($"lut", $"codes", 2).as("adc"))
+      .head.getDouble(0)
+    assert(scored == 7.5)
+  }
+
   test("hashed_bag_counts matches the explode + hashBucket aggregation exactly") {
     val docs = graft.Tables.documents(spark, sf0001).limit(60)
     val dims = 16

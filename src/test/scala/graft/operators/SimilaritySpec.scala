@@ -324,6 +324,21 @@ class SimilaritySpec extends SparkTestBase {
       s"recall ${hits.toDouble / exact.length} below 0.9 floor")
   }
 
+  test("ivfPqTopK fails loudly on a zero-norm query embedding instead of " +
+    "silently poisoning ADC scores with NaN") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val zq = Seq((999999L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.ivfPqTopK(e, zq, 5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("zero-norm")), ex.getMessage)
+  }
+
   test("productQuantize: one code per (vector, subspace), codes in range, " +
     "live codebooks, objective non-increasing in iterations") {
     import org.apache.spark.sql.functions._
