@@ -27,6 +27,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // per-query shuffle-partition override ("name=N,name2=M"): the scale
+    // sweeps size the exchange to the synthetic corpus — a deployment
+    // scales spark.sql.shuffle.partitions with input (COST.md §2), which
+    // local[32]'s pinned 32 cannot express; als1 at x100 (60M ratings)
+    // spilled on 32 and read exp 1.14 for it (SCALE.md §R12). AQE
+    // coalesces the excess, so over-provisioning is safe. Runtime-set
+    // before the query, restored after. The driver sets nothing.
+    val defaultShuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val shuffleByQuery: Map[String, String] =
+      sys.env.get("SPARK_GRAFT_SHUFFLE_BY_QUERY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+          val Array(n, v) = kv.split("=")
+          require(v.trim.toInt > 0, s"bad shuffle override: $kv")
+          n.trim -> v.trim
+        }.toMap).getOrElse(Map.empty)
     only.foreach { ns =>
       val unknown = ns -- Queries.benchNames.toSet
       require(unknown.isEmpty,
@@ -50,6 +65,8 @@ object Bench {
     }
     def measure(): Seq[(String, Double, Boolean)] = names.map { name =>
       val fn = SparkEntry.queries(name)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        shuffleByQuery.getOrElse(name, defaultShuffle))
       // settle the JVM between queries: prior queries' shuffle/broadcast
       // garbage otherwise lands in the next query's measurement
       System.gc()

@@ -3151,6 +3151,99 @@ object Queries {
        |FROM sh JOIN n na ON na.doc_id = sh.a_id
        |        JOIN n nb ON nb.doc_id = sh.b_id""".stripMargin
 
+  /** The DuckDB replay of [[graft.operators.Dedup.removeDupSpans]] over
+    * a `(doc_id, text)` CTE named `src`: df table from per-doc-distinct
+    * span digests, positioned occurrences, hit-start lists, and the
+    * token-level cut — ends in `cl12(doc_id, tk, hit_i, kept)`. Shared
+    * by d12 and prep2 so the surgery can't diverge between them. */
+  private def spanRemovalCtes(src: String): String =
+    s"""t12 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
+       |sp12 AS (SELECT doc_id,
+       |    list_distinct([md5(array_to_string(list_slice(tk, i, i + 7), ' '))
+       |                   FOR i IN RANGE(1, len(tk) - 6)]) AS hs
+       |  FROM t12 WHERE len(tk) >= 8),
+       |df12 AS (SELECT h FROM (SELECT unnest(hs) AS h FROM sp12)
+       |         GROUP BY h HAVING count(*) >= 3),
+       |oc12 AS (SELECT doc_id, u.i AS i, u.h AS h FROM (
+       |    SELECT doc_id,
+       |           unnest([{'i': i, 'h': md5(array_to_string(list_slice(tk, i, i + 7), ' '))}
+       |                   FOR i IN RANGE(1, len(tk) - 6)]) AS u
+       |    FROM t12 WHERE len(tk) >= 8)),
+       |ht12 AS (SELECT oc12.doc_id, list(oc12.i) AS hit_i
+       |         FROM oc12 JOIN df12 USING (h) GROUP BY 1),
+       |cl12 AS (SELECT doc_id, tk, hit_i, kept,
+       |           -- duckdb array_to_string([]) is NULL where Spark
+       |           -- array_join([]) is '' — a fully-excised doc must
+       |           -- clean to the empty string on both sides
+       |           coalesce(array_to_string(kept, ' '), '') AS clean
+       |         FROM (SELECT doc_id, tk, hit_i,
+       |                 [tk[p] FOR p IN RANGE(1, len(tk) + 1)
+       |                  IF len(list_filter(hit_i, h -> p >= h AND p <= h + 7)) = 0] AS kept
+       |               FROM (SELECT t12.doc_id, t12.tk,
+       |                       coalesce(ht12.hit_i, CAST([] AS BIGINT[])) AS hit_i
+       |                     FROM t12 LEFT JOIN ht12 USING (doc_id))))"""
+      .stripMargin
+
+  /** D12 — repeated-span REMOVAL (Lee et al. 2022 ExactSubstr): excise
+    * every 8-token span whose digest occurs in ≥3 distinct documents,
+    * emit the cleaned text and the cut metrics per doc. d10 flags the
+    * boilerplate signal; this is the surgery that shrinks the corpus.
+    * See [[graft.operators.Dedup.removeDupSpans]]. */
+  val d12SpanRemoval: Q = (s, d) =>
+    Dedup.removeDupSpans(Tables.documents(s, d), k = 8, minDocs = 3)
+
+  val d12SpanRemovalSql: String =
+    s"""WITH src AS (SELECT doc_id, text FROM documents),
+       |${spanRemovalCtes("src")}
+       |SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CAST(len(hit_i) AS BIGINT) AS n_hit_spans,
+       |  CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+       |  CAST(length(array_to_string(tk, ' ')) - length(clean) AS BIGINT) AS chars_removed,
+       |  ${portableRoundSql("CAST(len(tk) - len(kept) AS DOUBLE) / len(tk)", 4)} AS removed_ratio,
+       |  clean AS cleaned_text
+       |FROM cl12""".stripMargin
+
+  /** PREP2 — the Lee-et-al-shaped corpus-shrink pipeline composed end to
+    * end: quality gate (t10's reason = ok) → repeated-span removal (d12)
+    * → exact dedup ON THE CLEANED TEXT (the cut creates new exact
+    * duplicates — removing shared boilerplate collapses near-identical
+    * pages, which is the point) → one-row corpus accounting. prep1's
+    * composition discipline applied to span surgery. */
+  val prep2SpanClean: Q = (s, d) => {
+    val kept = Tables.documents(s, d)
+      .filter(corpusReasonExpr === "ok")
+      .select(col("doc_id"), col("text"))
+    val cleaned = Dedup.removeDupSpans(kept, k = 8, minDocs = 3)
+      .select(col("doc_id"), col("cleaned_text"),
+        (col("n_tokens") - col("n_removed")).as("n_kept_tokens"),
+        col("n_removed"), col("chars_removed"))
+    Dedup.exactByDigest(cleaned, col("cleaned_text"),
+        carry = Seq("n_kept_tokens", "n_removed", "chars_removed"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_kept_tokens")).as("sum_kept_tokens"),
+        sum(col("n_removed")).as("sum_removed_tokens"),
+        sum(col("chars_removed")).as("sum_chars_removed"))
+  }
+
+  // lazy: corpusSignalsCteSql/corpusReasonSql initialize later in the
+  // file — an eager val here would interpolate them as "null"
+  lazy val prep2SpanCleanSql: String =
+    s"""$corpusSignalsCteSql,
+       |src AS (SELECT doc_id, text FROM b WHERE $corpusReasonSql = 'ok'),
+       |${spanRemovalCtes("src")},
+       |ded AS (SELECT min(doc_id) AS doc_id,
+       |               min(len(kept)) AS n_kept_tokens,
+       |               min(len(tk) - len(kept)) AS n_removed,
+       |               min(length(array_to_string(tk, ' '))
+       |                   - length(clean)) AS chars_removed
+       |        FROM cl12 GROUP BY md5(clean))
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_kept_tokens) AS BIGINT) AS sum_kept_tokens,
+       |       CAST(sum(n_removed) AS BIGINT) AS sum_removed_tokens,
+       |       CAST(sum(chars_removed) AS BIGINT) AS sum_chars_removed
+       |FROM ded""".stripMargin
+
   /** EMB4 — matryoshka truncation recall: how much of the exact 64-dim
     * cosine top-5 survives when the index stores only the first 16 dims —
     * the storage/recall trade every truncated-embedding deployment
@@ -6404,6 +6497,111 @@ object Queries {
        |ORDER BY phase, community""".stripMargin
   }
 
+  /** LOUV2 — FULL Louvain over the pr1 trade graph (both Blondel phases):
+    * 4 synchronous local-move rounds from a SINGLETON start, one
+    * COARSENING level (communities become weighted super-nodes;
+    * inter-community edge counts become weights, internal counts become
+    * self-loops), 2 weighted move rounds on the coarse graph, and the
+    * final assignment mapped back per node with the mod1 audit of the
+    * final labels on the original graph. louv1 is one round of phase 1;
+    * this is the operator the family is named for.
+    * See [[graft.operators.Graph.louvain]]. */
+  val louv2Coarsen: Q = (s, d) =>
+    graft.operators.Graph.louvain(
+      Tables.nation(s, d).select(col("n_name").as("node")),
+      tradeEdges(s, d), moveRounds = 4, coarseRounds = 2)
+
+  val louv2CoarsenSql: String = {
+    // one synchronous WEIGHTED move round (labels $lprev over edge CTE
+    // $ew carrying (a, b, w) with self-loops allowed) → labels $lnext:
+    // the louv1 gain CTEs with count(*) generalized to sum(w), k_v
+    // picking up 2·w_self, plus the Lu-Halappanavar-Kalyanaraman
+    // singleton-swap guard (both communities singleton → move only
+    // toward the smaller label, so synchronous swaps merge instead of
+    // livelocking)
+    def wround(tag: String, lprev: String, lnext: String, ew: String) =
+      s"""nb$tag AS (SELECT a AS node, b AS nbr, w FROM $ew WHERE a <> b
+         |  UNION ALL SELECT b, a, w FROM $ew WHERE a <> b),
+         |sf$tag AS (SELECT a AS node, CAST(2 * w AS BIGINT) AS sw
+         |           FROM $ew WHERE a = b),
+         |kv$tag AS (SELECT node, CAST(sum(w) AS BIGINT) AS k_v FROM (
+         |    SELECT node, w FROM nb$tag
+         |    UNION ALL SELECT node, sw AS w FROM sf$tag)
+         |  GROUP BY 1),
+         |m$tag AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM $ew),
+         |cs$tag AS (SELECT lbl, CAST(count(*) AS BIGINT) AS cs
+         |           FROM $lprev GROUP BY 1),
+         |dc$tag AS (SELECT l.lbl AS community,
+         |    CAST(sum(coalesce(kv$tag.k_v, 0)) AS BIGINT) AS d_c
+         |  FROM $lprev l LEFT JOIN kv$tag ON kv$tag.node = l.node GROUP BY 1),
+         |nl$tag AS (SELECT nb$tag.node, l.lbl AS cand,
+         |    CAST(sum(nb$tag.w) AS BIGINT) AS k_vc
+         |  FROM nb$tag JOIN $lprev l ON l.node = nb$tag.nbr GROUP BY 1, 2),
+         |ka$tag AS (SELECT n.node, n.k_vc AS k_va FROM nl$tag n
+         |  JOIN $lprev c ON c.node = n.node AND n.cand = c.lbl),
+         |gn$tag AS (SELECT n.node, n.cand,
+         |    4 * m$tag.m * (n.k_vc - COALESCE(ka$tag.k_va, 0))
+         |    - 2 * kv$tag.k_v * (db.d_c - da.d_c + kv$tag.k_v) AS gain
+         |  FROM nl$tag n
+         |  JOIN $lprev c ON c.node = n.node AND n.cand <> c.lbl
+         |  LEFT JOIN ka$tag ON ka$tag.node = n.node
+         |  JOIN kv$tag ON kv$tag.node = n.node
+         |  JOIN dc$tag db ON db.community = n.cand
+         |  JOIN dc$tag da ON da.community = c.lbl
+         |  JOIN cs$tag sb ON sb.lbl = n.cand
+         |  JOIN cs$tag sa ON sa.lbl = c.lbl
+         |  CROSS JOIN m$tag
+         |  WHERE NOT (sa.cs = 1 AND sb.cs = 1 AND n.cand > c.lbl)),
+         |mv$tag AS (SELECT node, cand AS newc FROM (
+         |    SELECT node, cand, row_number() OVER (PARTITION BY node
+         |             ORDER BY gain DESC, cand) AS rn
+         |    FROM gn$tag WHERE gain > 0) t WHERE rn = 1),
+         |$lnext AS MATERIALIZED (
+         |  SELECT l.node, COALESCE(mv$tag.newc, l.lbl) AS lbl
+         |  FROM $lprev l LEFT JOIN mv$tag ON mv$tag.node = l.node)"""
+        .stripMargin
+    val moveSteps = (1 to 4)
+      .map(i => wround(s"m$i", s"l${i - 1}", s"l$i", "e0")).mkString(",\n")
+    val coarseSteps = (1 to 2)
+      .map(i => wround(s"c$i", s"g${i - 1}", s"g$i", "ce")).mkString(",\n")
+    s"""WITH
+       |$tradeEdgesCte,
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM edges WHERE src <> dst),
+       |e0 AS (SELECT a, b, CAST(1 AS BIGINT) AS w FROM und),
+       |l0 AS (SELECT n_name AS node, n_name AS lbl FROM nation),
+       |$moveSteps,
+       |ce AS MATERIALIZED (
+       |  SELECT least(ca.lbl, cb.lbl) AS a, greatest(ca.lbl, cb.lbl) AS b,
+       |         CAST(count(*) AS BIGINT) AS w
+       |  FROM und JOIN l4 ca ON ca.node = und.a
+       |           JOIN l4 cb ON cb.node = und.b
+       |  GROUP BY 1, 2),
+       |g0 AS (SELECT DISTINCT lbl AS node, lbl FROM l4),
+       |$coarseSteps,
+       |lf AS MATERIALIZED (SELECT l4.node, l4.lbl AS c0, g2.lbl AS community
+       |      FROM l4 JOIN g2 ON g2.node = l4.lbl),
+       |tg AS MATERIALIZED (
+       |  SELECT und.a, und.b, ca.community AS comm_a, cb.community AS comm_b
+       |  FROM und JOIN lf ca ON ca.node = und.a
+       |           JOIN lf cb ON cb.node = und.b),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |dg AS (SELECT community, CAST(count(*) AS BIGINT) AS d_c FROM (
+       |         SELECT comm_a AS community FROM tg
+       |         UNION ALL SELECT comm_b FROM tg) GROUP BY 1),
+       |itr AS (SELECT comm_a AS community, CAST(count(*) AS BIGINT) AS e_c
+       |        FROM tg WHERE comm_a = comm_b GROUP BY 1),
+       |aud AS (SELECT dg.community, coalesce(itr.e_c, 0) AS e_c, dg.d_c,
+       |          floor(CAST(4 * mm.m * coalesce(itr.e_c, 0) - dg.d_c * dg.d_c AS DOUBLE)
+       |                / CAST(4 * mm.m * mm.m AS DOUBLE) * 10000000000 + 0.5)
+       |          / 10000000000 AS q_contrib
+       |        FROM dg LEFT JOIN itr ON itr.community = dg.community
+       |        CROSS JOIN mm)
+       |SELECT lf.node, lf.c0, lf.community, aud.e_c, aud.d_c, aud.q_contrib
+       |FROM lf JOIN aud ON aud.community = lf.community
+       |ORDER BY lf.node""".stripMargin
+  }
+
   /** PPR1 — personalized PageRank (random walk with restart) from
     * NATION_0 over the pr1 trade graph: proximity, not global rank —
     * every restart teleports to the source, unreached nodes hold exact
@@ -8635,6 +8833,7 @@ object Queries {
     "hits1_hubs_auth" -> hits1HubsAuth,
     "mod1_modularity" -> mod1Modularity,
     "louv1_local_move" -> louv1LocalMove,
+    "louv2_coarsen" -> louv2Coarsen,
     "fh1_feature_hash" -> fh1FeatureHash,
     "ndcg1_rank_eval" -> ndcg1RankEval,
     "dq2_benford_audit" -> dq2BenfordAudit,
@@ -8690,6 +8889,8 @@ object Queries {
     "boot1_bootstrap_ci" -> boot1BootstrapCi,
     "zm1_zone_map" -> zm1ZoneMap,
     "d11_containment" -> d11Containment,
+    "d12_span_removal" -> d12SpanRemoval,
+    "prep2_span_clean" -> prep2SpanClean,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecall,
     "ml4_cv" -> ml4Cv,
     "fd1_functional_deps" -> fd1FunctionalDeps,
@@ -8921,6 +9122,7 @@ object Queries {
     "hits1_hubs_auth" -> hits1HubsAuthSql,
     "mod1_modularity" -> mod1ModularitySql,
     "louv1_local_move" -> louv1LocalMoveSql,
+    "louv2_coarsen" -> louv2CoarsenSql,
     "fh1_feature_hash" -> fh1FeatureHashSql,
     "ndcg1_rank_eval" -> ndcg1RankEvalSql,
     "dq2_benford_audit" -> dq2BenfordAuditSql,
@@ -8969,6 +9171,8 @@ object Queries {
     "boot1_bootstrap_ci" -> boot1BootstrapCiSql,
     "zm1_zone_map" -> zm1ZoneMapSql,
     "d11_containment" -> d11ContainmentSql,
+    "d12_span_removal" -> d12SpanRemovalSql,
+    "prep2_span_clean" -> prep2SpanCleanSql,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecallSql,
     "ml4_cv" -> ml4CvSql,
     "fd1_functional_deps" -> fd1FunctionalDepsSql,
@@ -9080,6 +9284,7 @@ object Queries {
     "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
     "iso1_isotonic_calibration", "ts3_theil_sen", "logrank1_survival_test",
     "bfs1_shortest_paths", "att1_position_attribution", "dtw1_series_align",
-    "hits1_hubs_auth", "mod1_modularity", "louv1_local_move", "ppr1_proximity",
+    "hits1_hubs_auth", "mod1_modularity", "louv1_local_move", "louv2_coarsen",
+    "ppr1_proximity",
     "st1_stream_window", "st6_stream_cdc")
 }

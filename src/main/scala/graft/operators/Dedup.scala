@@ -715,6 +715,66 @@ object Dedup {
     * Output per candidate pair: span counts, shared count, directional
     * containments (rounded), and the `contained` verdict at
     * `threshold`. */
+  /** D12 — repeated-span REMOVAL (Lee et al. 2022, the ExactSubstr step
+    * that actually SHRINKS a corpus): excise from every document each
+    * k-token span whose digest occurs in ≥ `minDocs` distinct documents,
+    * keep the remainder, and report the cut. d10 flags the signal and
+    * d11 orients it; this performs the surgery — per doc, every token
+    * covered by at least one corpus-repeated span is dropped and the
+    * survivors re-join in order.
+    *
+    * Output per document: `n_tokens` (before), `n_hit_spans` (repeated
+    * span START positions in this doc), `n_removed` (tokens cut),
+    * `chars_removed` (length delta of the single-space token join — the
+    * byte shrink on an ASCII corpus), `removed_ratio` (1e-4 grid) and
+    * `cleaned_text`. Deterministic string surgery, replayable
+    * token-for-token in SQL.
+    *
+    * Scale shape: the df table is [[spanDigests]]' one digest-keyed
+    * exchange (distinct per doc ⇒ count(*) = df, map-side combinable);
+    * span OCCURRENCES shuffle as (doc_id, position, digest) — never span
+    * text — and only the df-qualified hits survive the join; hit
+    * positions roll up per doc (collect_set is order-free and bounded by
+    * the doc's own span count), and the cut itself is one in-row
+    * projection against the re-joined document. Three compact-key
+    * exchanges, text crosses one doc-keyed join. */
+  def removeDupSpans(documents: DataFrame, k: Int = 8,
+                     minDocs: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val repeated = spanDigests(documents, k)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+    val occ = documents.filter(size(toks) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => md5(array_join(slice(toks, i, lit(k)), " ")))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("int").as("i"), col("h"))
+    val hits = occ.join(repeated, "h")
+      .groupBy(col("doc_id")).agg(collect_set(col("i")).as("hit_i"))
+    val covered = (p: Column) => exists(col("hit_i"),
+      h => p >= h && p <= h + lit(k - 1))
+    val kept = filter(transform(sequence(lit(1), size(col("tk"))),
+      p => p.cast("int")), p => !covered(p))
+    documents.select(col("doc_id"), toks.as("tk"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tk"),
+        coalesce(col("hit_i"), array().cast("array<int>")).as("hit_i"))
+      .select(col("doc_id"), col("tk"), size(col("hit_i")).as("n_hit_spans"),
+        transform(kept, p => element_at(col("tk"), p)).as("kept"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        col("n_hit_spans").cast("long").as("n_hit_spans"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        (length(array_join(col("tk"), " "))
+          - length(array_join(col("kept"), " "))).cast("long")
+          .as("chars_removed"),
+        portableRound((size(col("tk")) - size(col("kept"))).cast("double")
+          / size(col("tk")), 4).as("removed_ratio"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
   def spanContainment(documents: DataFrame, k: Int = 8, maxDf: Int = 5,
                       threshold: Double = 0.8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

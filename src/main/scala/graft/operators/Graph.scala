@@ -408,6 +408,156 @@ object Graph {
       .orderBy(col("phase"), col("community"))
   }
 
+  /** One synchronous WEIGHTED Louvain move round over an edge list
+    * `(a, b, w)` that may carry self-loops (a = b) — the [[louvainMove]]
+    * gain arithmetic generalized to the coarsened graph, where an edge's
+    * weight is an inter-community edge COUNT and a self-loop holds a
+    * community's internal count. Everything stays in integer space:
+    * k_vc = Σ w of v's edges into community c (self-loops excluded — they
+    * move with v and cancel in the gain), k_v = Σ w over neighbors +
+    * 2·w_self, d_c = Σ k_v, m = Σ w (each undirected edge once,
+    * self-loops once), gain·4m² = 4m·(k_vB − k_vA\v) − 2·k_v·(d_B − d_A
+    * + k_v). With w ≡ 1 and no self-loops this is exactly
+    * [[louvainMove]]'s round.
+    *
+    * Synchronous singleton-swap guard (Lu, Halappanavar & Kalyanaraman
+    * 2015 §4.1, the parallel-Louvain minimum-labeling heuristic): two
+    * adjacent singletons would otherwise adopt each other's label in the
+    * same synchronous sweep forever (u→{v}, v→{u} — a livelock the
+    * sequential scan never sees). A vertex in a singleton community may
+    * move to another singleton community only toward the SMALLER label,
+    * so exactly one side of every would-be swap moves and the pair
+    * merges. */
+  private[operators] def weightedMoveRound(communities: DataFrame,
+                                           wedges: DataFrame): DataFrame = {
+    val (nbrs, kv, mDf) = moveRoundInvariants(wedges)
+    weightedMoveRoundOn(communities, nbrs, kv, mDf)
+  }
+
+  /** The label-independent inputs of a move round — neighbor lists,
+    * weighted degrees (2·w per self-loop), total edge mass. Computed
+    * once per graph LEVEL and reused across rounds (degrees never change
+    * between moves; only the label frame does), checkpointed so round N
+    * never replays the edge build. */
+  private def moveRoundInvariants(
+      wedges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val proper = wedges.filter(col("a") =!= col("b"))
+    val nbrs = proper.select(col("a").as("node"), col("b").as("nbr"), col("w"))
+      .unionByName(proper.select(col("b").as("node"), col("a").as("nbr"),
+        col("w")))
+      .localCheckpoint()
+    val selfW = wedges.filter(col("a") === col("b"))
+      .select(col("a").as("node"), (col("w") * 2).as("w"))
+    val kv = nbrs.select(col("node"), col("w")).unionByName(selfW)
+      .groupBy(col("node")).agg(sum(col("w")).as("k_v"))
+      .localCheckpoint()
+    val mDf = wedges.agg(sum(col("w")).as("m")).localCheckpoint()
+    (nbrs, kv, mDf)
+  }
+
+  private def weightedMoveRoundOn(communities: DataFrame, nbrs: DataFrame,
+                                  kv: DataFrame, mDf: DataFrame): DataFrame = {
+    val lbl = communities.select(col("node"), col("community"))
+    val nlab = nbrs
+      .join(lbl.select(col("node").as("nbr"), col("community").as("cand")),
+        Seq("nbr"))
+      .groupBy(col("node"), col("cand")).agg(sum(col("w")).as("k_vc"))
+    val cur = lbl.select(col("node"), col("community").as("cur"))
+    val dC = lbl.join(kv, Seq("node"), "left")
+      .select(col("community"), coalesce(col("k_v"), lit(0L)).as("k_v"))
+      .groupBy(col("community")).agg(sum(col("k_v")).as("d_c"))
+    val csize = lbl.groupBy(col("community")).agg(count(lit(1)).as("cs"))
+    val kvA = nlab.join(cur, Seq("node"))
+      .filter(col("cand") === col("cur"))
+      .select(col("node"), col("k_vc").as("k_va"))
+    val gains = nlab.join(cur, Seq("node"))
+      .filter(col("cand") =!= col("cur"))
+      .join(kvA, Seq("node"), "left")
+      .join(kv, Seq("node"))
+      .join(dC.select(col("community").as("cand"), col("d_c").as("d_b")),
+        Seq("cand"))
+      .join(dC.select(col("community").as("cur"), col("d_c").as("d_a")),
+        Seq("cur"))
+      .join(csize.select(col("community").as("cand"), col("cs").as("size_b")),
+        Seq("cand"))
+      .join(csize.select(col("community").as("cur"), col("cs").as("size_a")),
+        Seq("cur"))
+      .crossJoin(broadcast(mDf))
+      .filter(!(col("size_a") === 1 && col("size_b") === 1
+        && col("cand") > col("cur")))
+      .select(col("node"), col("cand"),
+        (lit(4L) * col("m") * (col("k_vc") - coalesce(col("k_va"), lit(0L)))
+          - lit(2L) * col("k_v")
+            * (col("d_b") - col("d_a") + col("k_v"))).as("gain"))
+      .filter(col("gain") > 0)
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("gain").desc, col("cand").asc)
+    val moves = gains.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("node"), col("cand").as("newc"))
+    lbl.join(moves, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("newc"), col("community")).as("community"))
+  }
+
+  /** Full Louvain (Blondel et al. 2008, both phases): fixed synchronous
+    * local-move rounds from a SINGLETON start, then ONE COARSENING level
+    * — communities become weighted super-nodes, inter-community edge
+    * counts become weights, internal counts become self-loops — then
+    * fixed move rounds on the coarse graph, with the final assignment
+    * mapped back to the original nodes. [[louvainMove]] is one round of
+    * phase 1; this is the operator the family is named for. Fixed round
+    * counts (not convergence polling) keep the whole run a pure function
+    * of the graph, replayable CTE by CTE in the oracle — the
+    * [[labelPropagation]] BSP-determinism trade.
+    *
+    * Output: per original node `(node, c0, community, e_c, d_c,
+    * q_contrib)` — the level-0 community after phase 1, the final
+    * community after coarse refinement, and [[modularity]]'s audit of
+    * the FINAL assignment computed on the ORIGINAL graph (the coarse
+    * graph's weighted modularity equals it by the Louvain invariant;
+    * auditing at level 0 keeps the check independent of the coarsening
+    * arithmetic).
+    *
+    * Scale shape: the corpus-sized work is the one edge build
+    * (checkpointed once); every move round is a handful of keyed
+    * exchanges on node/community-sized frames, and the coarse graph is
+    * strictly smaller still. Driver state: round COUNTERS only. */
+  def louvain(nodes: DataFrame, edges: DataFrame, moveRounds: Int = 4,
+              coarseRounds: Int = 2): DataFrame = {
+    require(moveRounds >= 1 && moveRounds <= 10,
+      s"moveRounds out of range: $moveRounds")
+    require(coarseRounds >= 1 && coarseRounds <= 10,
+      s"coarseRounds out of range: $coarseRounds")
+    val und = undirected(edges).localCheckpoint() // feeds rounds + audit
+    val undW = und.select(col("a"), col("b"), lit(1L).as("w"))
+    val (nbrs0, kv0, m0) = moveRoundInvariants(undW)
+    var lbl = nodes.select(col("node"), col("node").as("community"))
+    for (_ <- 1 to moveRounds)
+      lbl = weightedMoveRoundOn(lbl, nbrs0, kv0, m0).localCheckpoint()
+    val coarse = und
+      .join(lbl.select(col("node").as("a"), col("community").as("comm_a")),
+        Seq("a"))
+      .join(lbl.select(col("node").as("b"), col("community").as("comm_b")),
+        Seq("b"))
+      .select(least(col("comm_a"), col("comm_b")).as("a"),
+        greatest(col("comm_a"), col("comm_b")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val (nbrs1, kv1, m1) = moveRoundInvariants(coarse)
+    var clbl = lbl.select(col("community").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+    for (_ <- 1 to coarseRounds)
+      clbl = weightedMoveRoundOn(clbl, nbrs1, kv1, m1).localCheckpoint()
+    val finalLbl = lbl.select(col("node"), col("community").as("c0"))
+      .join(clbl.select(col("node").as("c0"), col("community")), Seq("c0"))
+    val audit = modularity(finalLbl.select(col("node"), col("community")),
+      und.select(col("a").as("src"), col("b").as("dst")))
+    finalLbl.join(audit, Seq("community"))
+      .select(col("node"), col("c0"), col("community"),
+        col("e_c"), col("d_c"), col("q_contrib"))
+      .orderBy(col("node"))
+  }
+
   /** Personalized PageRank / random walk with restart (Haveliwala 2002;
     * Tong et al. 2006) from one source node: [[pageRank]] ranks globally,
     * this measures PROXIMITY — every restart teleports back to the

@@ -5,6 +5,45 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkTestBase {
 
+  test("removeDupSpans: a boilerplate prefix shared by 3 docs is excised, " +
+    "unique text survives, a non-carrier is untouched") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler t1a t1b t1c t1d t1e t1f t1g t1h"),
+      (2L, s"$boiler t2a t2b t2c t2d t2e t2f t2g t2h"),
+      (3L, s"$boiler t3a t3b t3c t3d t3e t3f t3g t3h"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(docs, k = 8, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // carriers: exactly the 8 boilerplate tokens cut (spans starting
+    // past position 1 mix in unique tokens, so only span 1 is repeated)
+    Seq(1L, 2L, 3L).foreach { id =>
+      val r = got(id)
+      assert(r.getLong(1) == 16L && r.getLong(2) == 1L && r.getLong(3) == 8L,
+        s"doc $id: ${r.mkString(",")}")
+      assert(!r.getString(6).contains("b1") && r.getString(6).startsWith(s"t${id}a"))
+      assert(r.getLong(4) == (boiler.length + 1).toLong, s"chars doc $id")
+      assert(r.getDouble(5) == 0.5)
+    }
+    // the non-carrier keeps every token
+    assert(got(4L).getLong(3) == 0L && got(4L).getString(6).startsWith("u1 "))
+  }
+
+  test("removeDupSpans: three identical 8-token docs clean to the EMPTY " +
+    "string (full excision), ratio exactly 1") {
+    import spark.implicits._
+    val t = (1 to 8).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, t), (2L, t), (3L, t)).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(docs, k = 8, minDocs = 3).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.getLong(3) == 8L && r.getString(6) == ""
+        && r.getDouble(5) == 1.0 && r.getLong(4) == t.length.toLong,
+        r.mkString(","))
+    }
+  }
+
   test("spanContainment: a planted subset doc is detected directionally") {
     import spark.implicits._
     val big = (1 to 40).map(i => s"w$i").mkString(" ")

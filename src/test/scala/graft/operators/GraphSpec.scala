@@ -7,6 +7,37 @@ class GraphSpec extends SparkTestBase {
 
   private val nodes = Seq("a", "b", "c", "d").toDF("node")
 
+  test("louvain: two 4-cliques joined by one bridge resolve to exactly " +
+    "the two cliques; coarse refinement does NOT merge them") {
+    val ns = Seq("a1", "a2", "a3", "a4", "b1", "b2", "b3", "b4").toDF("node")
+    def clique(p: String) = for {
+      i <- 1 to 4; j <- (i + 1) to 4
+    } yield (s"$p$i", s"$p$j")
+    val edges = (clique("a") ++ clique("b") :+ ("a4" -> "b1"))
+      .toDF("src", "dst")
+    val got = Graph.louvain(ns, edges).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size == 8)
+    val aComm = Set("a1", "a2", "a3", "a4").map(got(_).getString(2))
+    val bComm = Set("b1", "b2", "b3", "b4").map(got(_).getString(2))
+    assert(aComm.size == 1 && bComm.size == 1 && aComm != bComm,
+      got.values.map(_.mkString(",")).mkString("; "))
+    // per-clique audit: 6 internal edges, degree mass 13, positive Q
+    got.values.foreach { r =>
+      assert(r.getLong(3) == 6L && r.getLong(4) == 13L
+        && r.getDouble(5) > 0.2, r.mkString(","))
+    }
+  }
+
+  test("louvain: a single-edge pair MERGES — the singleton-swap guard " +
+    "lets exactly one side move instead of livelocking") {
+    val ns = Seq("u", "v").toDF("node")
+    val edges = Seq(("u", "v")).toDF("src", "dst")
+    val got = Graph.louvain(ns, edges).collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(got.toMap == Map("u" -> "u", "v" -> "u"), got.mkString(","))
+  }
+
   test("pageRank: in-link-rich node ranks first, mass is conserved") {
     // b, c, d all point at a; a points back at b only
     val edges = Seq(("b", "a"), ("c", "a"), ("d", "a"), ("a", "b"))

@@ -227,7 +227,7 @@ def synthesize(src: str, dst: str, force: bool) -> None:
         print(f"[synth] {table}: {n} -> {n10} rows")
 
 
-def bench_once(sf_dir: str, out_file: str, subset) -> dict:
+def bench_once(sf_dir: str, out_file: str, subset, shuffle=None) -> dict:
     # Bench swallows artifact-write failures (stderr + exit 0); never let
     # a stale file from a previous sweep satisfy the existence check
     if os.path.exists(out_file):
@@ -237,6 +237,8 @@ def bench_once(sf_dir: str, out_file: str, subset) -> dict:
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
                SPARK_GRAFT_BENCH_ONLY=",".join(subset),
                SPARK_GRAFT_BENCH_OUT=out_file)
+    if shuffle is not None:
+        env["SPARK_GRAFT_SHUFFLE"] = str(shuffle)
     r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                        env=env, capture_output=True, text=True)
     if r.returncode != 0 or not os.path.exists(out_file):
@@ -249,12 +251,13 @@ def bench_once(sf_dir: str, out_file: str, subset) -> dict:
     return d["queries"]
 
 
-def rep_min(sf_dir: str, tag: str, reps: int, subset) -> dict:
+def rep_min(sf_dir: str, tag: str, reps: int, subset, shuffle=None) -> dict:
     runs = []
     for i in range(reps):
         out = os.path.join(tempfile.gettempdir(), f"sweep_{tag}_{i}.json")
-        q = bench_once(sf_dir, out, subset)
-        print(f"[bench] {tag} rep {i}: " +
+        q = bench_once(sf_dir, out, subset, shuffle)
+        print(f"[bench] {tag} rep {i} (shuffle="
+              f"{shuffle if shuffle is not None else 'default'}): " +
               " ".join(f"{k}={v:.2f}" for k, v in q.items()))
         runs.append(q)
     return {k: min(r[k] for r in runs) for k in runs[0]}
@@ -271,6 +274,19 @@ def main() -> None:
                     help="comma-separated subset of SUBSET to run")
     ap.add_argument("--force", action="store_true",
                     help="rebuild the synthesized fixtures")
+    ap.add_argument("--x100", action="store_true",
+                    help="measure the SECOND decade (x10 -> x100): "
+                         "chain-synthesizes /tmp/sfx100 from the x10 "
+                         "fixture and compares against x10 (SCALE.md "
+                         "third-decade protocol, fresh JVM per rep)")
+    ap.add_argument("--x100-dir", default="/tmp/sfx100")
+    ap.add_argument("--shuffle", default="auto",
+                    help="shuffle-partition sizing per run: 'auto' sizes "
+                         "each scale to min(1024, cpus * scale multiplier) "
+                         "— the deployment discipline (COST.md section 2: "
+                         "partitions scale with input; a pinned 32 spills "
+                         "at x100, SCALE.md R12 als1) — 'off' keeps the "
+                         "Bench default, an int pins BOTH runs")
     args = ap.parse_args()
     subset = SUBSET
     if args.only:
@@ -280,11 +296,28 @@ def main() -> None:
             raise SystemExit(f"--only names not in SUBSET: {sorted(unknown)}")
         subset = want
 
-    synthesize(args.sf01, args.x10, args.force)
-    base = rep_min(args.sf01, "sf01", args.reps, subset)
-    big = rep_min(args.x10, "x10", args.reps, subset)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-    print(f"\n{'query':<22} {'sf0.1':>7} {'x10':>8} {'ratio':>7}  verdict")
+    def sized(mult: int):
+        if args.shuffle == "off":
+            return None
+        if args.shuffle == "auto":
+            # AQE (on in Bench) coalesces the excess, so over-provisioning
+            # costs task-launch overhead only; under-provisioning spills
+            return min(1024, cpus * mult)
+        return int(args.shuffle)
+
+    synthesize(args.sf01, args.x10, args.force)
+    if args.x100:
+        synthesize(args.x10, args.x100_dir, args.force)
+        base = rep_min(args.x10, "x10", args.reps, subset, sized(10))
+        big = rep_min(args.x100_dir, "x100", args.reps, subset, sized(100))
+    else:
+        base = rep_min(args.sf01, "sf01", args.reps, subset, sized(1))
+        big = rep_min(args.x10, "x10", args.reps, subset, sized(10))
+
+    lo, hi = ("x10", "x100") if args.x100 else ("sf0.1", "x10")
+    print(f"\n{'query':<22} {lo:>7} {hi:>8} {'ratio':>7}  verdict")
     failed = []
     for q in subset:
         ratio = big[q] / base[q]
