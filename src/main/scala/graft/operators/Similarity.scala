@@ -780,24 +780,43 @@ object Similarity {
     * `rerank` vectors. Approximate by design — the recall contract
     * lives in the pq2 gate (≥0.9 vs the exact scan, the sim3/hn2
     * pattern). */
+  // zero-norm guard: an all-zero embedding would otherwise normalize to
+  // NaN components and silently poison codebook training + ADC scores —
+  // fail loudly instead (the BandedLevenshtein / forecastAccuracy rule)
+  private def normalizedUnit(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
+    .select(col("vec_id"), col("raw"), sqrt(aggregate(col("raw"), lit(0.0),
+      (acc, y) => acc + y * y)).as("nrm"))
+    .select(col("vec_id"), transform(col("raw"),
+      x => x / when(col("nrm") > 0, col("nrm")).otherwise(raise_error(
+        concat(lit("ivfPqTopK: zero-norm embedding vec_id="),
+          col("vec_id").cast("string"))))).as("emb"))
+
+  /** The IVF-PQ index rows for one vector frame under GIVEN quantizers:
+    * `(n_id, cid, m codes)`, embeddings dropped — assignment is a pure
+    * per-row function of (vector, centroids, codebook), so a frame's
+    * index rows are identical whether it is coded at build time or
+    * ADMITTED later as a delta batch ([[ivfPqDeltaMerge]]). `en` is the
+    * frame's unit-normalized twin (shared so callers reuse a checkpoint
+    * that already exists). */
+  private def ivfPqAssignOn(raw: DataFrame, en: DataFrame, centroids: Seq[(Int, Seq[Float])],
+                            cb: Map[(Int, Int), Seq[Double]],
+                            m: Int, codes: Int, sub: Int): DataFrame = {
+    val cells = ivfAssign(raw, centroids, keep = 1)
+      .select(col("vec_id"), col("cid"))
+    en.select(col("vec_id"),
+        pqAssignCol(cb, m, codes, sub).getField("code").as("codes"))
+      .join(cells, Seq("vec_id"))
+      .select(col("vec_id").as("n_id"), col("cid"), col("codes"))
+  }
+
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 16,
                 codes: Int = 64, iters: Int = 2, rerank: Int = 64,
                 rerankFrac: Double = 0.05): DataFrame = {
     require(k >= 1 && rerank >= k, s"need rerank >= k >= 1: $rerank, $k")
     val centroids = centroidsOf(embeddings, nlist)
-    // zero-norm guard: an all-zero embedding would otherwise normalize to
-    // NaN components and silently poison codebook training + ADC scores —
-    // fail loudly instead (the BandedLevenshtein / forecastAccuracy rule)
-    def normalized(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
-      .select(col("vec_id"), col("raw"), sqrt(aggregate(col("raw"), lit(0.0),
-        (acc, y) => acc + y * y)).as("nrm"))
-      .select(col("vec_id"), transform(col("raw"),
-        x => x / when(col("nrm") > 0, col("nrm")).otherwise(raise_error(
-          concat(lit("ivfPqTopK: zero-norm embedding vec_id="),
-            col("vec_id").cast("string"))))).as("emb"))
-    val en = normalized(embeddings).localCheckpoint() // feeds train + code
+    val en = normalizedUnit(embeddings).localCheckpoint() // feeds train + code
     val dim = en.select(size(col("emb"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -816,12 +835,58 @@ object Similarity {
       en.count().toDouble * nprobe / nlist * rerankFrac).toLong)
     val cb = pqTrainCodebook(en, m, codes, iters, sub)
     // the index: coarse cell + m codes per vector, embeddings dropped
-    val cells = ivfAssign(embeddings, centroids, keep = 1)
-      .select(col("vec_id"), col("cid"))
-    val index = en.select(col("vec_id"),
-        pqAssignCol(cb, m, codes, sub).getField("code").as("codes"))
-      .join(cells, Seq("vec_id"))
-      .select(col("vec_id").as("n_id"), col("cid"), col("codes"))
+    val index = ivfPqAssignOn(embeddings, en, centroids, cb, m, codes, sub)
+    ivfPqServe(index, embeddings, queries, centroids, cb, m, codes, sub,
+      k, nprobe, rerankEff)
+  }
+
+  /** IVF-PQ incremental index maintenance (the ivm1 "view ∪ delta ≡
+    * recompute" discipline applied to the vector index — what a
+    * production 100 TB index does nightly): quantizers (coarse centroids
+    * + PQ codebooks) are trained on the BASE corpus only; a new batch is
+    * ADMITTED by assigning it through those EXISTING quantizers — one
+    * delta-sized normalize + assign scan, NO retrain, no touch of the
+    * base postings — and the merged index is base postings ∪ delta
+    * postings. Because assignment is a pure per-row function of
+    * (vector, quantizers), the merged index is IDENTICAL row-for-row to
+    * coding base ∪ delta in one pass under the same quantizers; what a
+    * rebuild changes is only the quantizers themselves, and the recall
+    * cost of serving delta-era queries through base-trained quantizers
+    * is exactly what the ivf1 gate pins against the full-retrain path.
+    *
+    * Maintenance cost: O(|delta|) executor work + the (m·k·sub)-double
+    * codebook broadcast. The rebuild this replaces re-trains centroids
+    * (iters corpus scans) and re-codes every vector — corpus-sized. */
+  def ivfPqDeltaMerge(base: DataFrame, delta: DataFrame, queries: DataFrame,
+                      k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 16,
+                      codes: Int = 64, iters: Int = 2, rerank: Int = 64,
+                      rerankFrac: Double = 0.05): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1: $rerank, $k")
+    val centroids = centroidsOf(base, nlist)
+    val bn = normalizedUnit(base).localCheckpoint()
+    val dim = bn.select(size(col("emb"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cb = pqTrainCodebook(bn, m, codes, iters, sub)
+    val dn = normalizedUnit(delta).localCheckpoint() // the delta-sized scan
+    val index = ivfPqAssignOn(base, bn, centroids, cb, m, codes, sub)
+      .unionByName(ivfPqAssignOn(delta, dn, centroids, cb, m, codes, sub))
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .unionByName(delta.select(col("vec_id"), col("embedding")))
+    val rerankEff = math.max(rerank.toLong, math.ceil(
+      (bn.count() + dn.count()).toDouble * nprobe / nlist * rerankFrac).toLong)
+    ivfPqServe(index, corpus, queries, centroids, cb, m, codes, sub,
+      k, nprobe, rerankEff)
+  }
+
+  /** The IVF-PQ query path over a prebuilt `(n_id, cid, codes)` index:
+    * coarse probes → in-plan ADC tables → compiled ADC scan → exact
+    * re-rank of the top `rerankEff` survivors against `corpus`. */
+  private def ivfPqServe(index: DataFrame, corpus: DataFrame,
+                         queries: DataFrame, centroids: Seq[(Int, Seq[Float])],
+                         cb: Map[(Int, Int), Seq[Double]],
+                         m: Int, codes: Int, sub: Int,
+                         k: Int, nprobe: Int, rerankEff: Long): DataFrame = {
     // query side: distributed coarse probes + IN-PLAN ADC tables. The
     // m·k table per query is built by a compiled kernel over the query
     // frame from the broadcast flat codebook (PqQueryLut) and reaches
@@ -834,7 +899,7 @@ object Similarity {
     // candidate stream itself is unchanged either way).
     val probes = ivfAssign(queries, centroids, keep = nprobe)
       .select(col("vec_id").as("q_id"), col("cid"))
-    val qluts = normalized(queries).select(col("vec_id").as("q_id"),
+    val qluts = normalizedUnit(queries).select(col("vec_id").as("q_id"),
       graft.functions.pq_query_lut(col("emb"), pqFlat(cb, m, codes, sub),
         m, codes, sub).as("lut"))
     val wAdc = Window.partitionBy(col("q_id"))
@@ -850,7 +915,7 @@ object Similarity {
     val wFinal = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id").asc)
     survivors
-      .join(embeddings.select(col("vec_id").as("n_id"),
+      .join(corpus.select(col("vec_id").as("n_id"),
         col("embedding").as("ne")), Seq("n_id"))
       .join(broadcast(queries.select(col("vec_id").as("q_id"),
         col("embedding").as("qe"))), Seq("q_id"))

@@ -324,6 +324,19 @@ class SimilaritySpec extends SparkTestBase {
       s"recall ${hits.toDouble / exact.length} below 0.9 floor")
   }
 
+  test("ivfPqDeltaMerge: a newly admitted exact twin is retrievable at " +
+    "rank 1 through the merged index — no retrain, delta-sized admission") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val v0 = e.filter(col("vec_id") === 0)
+    val delta = v0.select(lit(999999L).as("vec_id"), col("embedding"))
+    val got = Similarity.ivfPqDeltaMerge(e, delta, v0, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == 5)
+    val top = got.find(_._4 == 1).get
+    assert(top._2 == 999999L && top._3 == 1.0, got.mkString(", "))
+  }
+
   test("ivfPqTopK fails loudly on a zero-norm query embedding instead of " +
     "silently poisoning ADC scores with NaN") {
     import org.apache.spark.sql.functions._
