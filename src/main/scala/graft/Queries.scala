@@ -9290,7 +9290,7 @@ object Queries {
     "d6_neardup_lsh", "sim2_ann_lsh",
     "d6_production", "sim2_production",
     "sim1_cosine_topk", "t4_fingerprint", "t7_tfidf", "mm1_binary_decode",
-    "prep1_corpus_prep", "dc1_decontaminate", "inc1_incremental_dedup",
+    "prep1_corpus_prep", "prep2_span_clean", "dc1_decontaminate", "inc1_incremental_dedup",
     "inc2_neardup_admission",
     "hh2_mg_sketch", "emb2_mean_pool", "scd1_history", "z2_compaction_plan",
     "mix1_source_mix", "pk1_sequence_pack", "d8_keep_best",
@@ -9317,7 +9317,7 @@ object Queries {
     "fe1_target_encode", "t12_bm25", "surv1_kaplan_meier",
     "dq2_benford_audit", "woe1_woe_iv", "psi1_dist_drift", "lp1_communities",
     "fh1_feature_hash", "ndcg1_rank_eval",
-    "chunk1_doc_chunks", "d10_dup_spans",
+    "chunk1_doc_chunks", "d10_dup_spans", "d12_span_removal",
     "dsir1_importance", "mix3_temperature_mix", "shuf1_epoch_order",
     "pack1_sequence_packing", "bpe1_train_merges", "bpe2_encode_stats",
     "hn1_hard_negatives", "hn2_production",

