@@ -3156,21 +3156,25 @@ object Queries {
     * span digests, positioned occurrences, hit-start lists, and the
     * token-level cut — ends in `cl12(doc_id, tk, hit_i, kept)`. Shared
     * by d12 and prep2 so the surgery can't diverge between them. */
-  private def spanRemovalCtes(src: String): String =
+  private def spanRemovalCtes(src: String, minDocs: Int = 3,
+                              keepFirst: Boolean = false): String =
     s"""t12 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
        |sp12 AS (SELECT doc_id,
        |    list_distinct([md5(array_to_string(list_slice(tk, i, i + 7), ' '))
        |                   FOR i IN RANGE(1, len(tk) - 6)]) AS hs
        |  FROM t12 WHERE len(tk) >= 8),
-       |df12 AS (SELECT h FROM (SELECT unnest(hs) AS h FROM sp12)
-       |         GROUP BY h HAVING count(*) >= 3),
+       |df12 AS (SELECT h, min(doc_id) AS keeper
+       |         FROM (SELECT doc_id, unnest(hs) AS h FROM sp12)
+       |         GROUP BY h HAVING count(*) >= $minDocs),
        |oc12 AS (SELECT doc_id, u.i AS i, u.h AS h FROM (
        |    SELECT doc_id,
        |           unnest([{'i': i, 'h': md5(array_to_string(list_slice(tk, i, i + 7), ' '))}
        |                   FOR i IN RANGE(1, len(tk) - 6)]) AS u
        |    FROM t12 WHERE len(tk) >= 8)),
        |ht12 AS (SELECT oc12.doc_id, list(oc12.i) AS hit_i
-       |         FROM oc12 JOIN df12 USING (h) GROUP BY 1),
+       |         FROM oc12 JOIN df12 USING (h)
+       |         ${if (keepFirst) "WHERE oc12.doc_id <> df12.keeper" else ""}
+       |         GROUP BY 1),
        |cl12 AS (SELECT doc_id, tk, hit_i, kept,
        |           -- duckdb array_to_string([]) is NULL where Spark
        |           -- array_join([]) is '' — a fully-excised doc must
@@ -3195,6 +3199,29 @@ object Queries {
   val d12SpanRemovalSql: String =
     s"""WITH src AS (SELECT doc_id, text FROM documents),
        |${spanRemovalCtes("src")}
+       |SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CAST(len(hit_i) AS BIGINT) AS n_hit_spans,
+       |  CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+       |  CAST(length(array_to_string(tk, ' ')) - length(clean) AS BIGINT) AS chars_removed,
+       |  ${portableRoundSql("CAST(len(tk) - len(kept) AS DOUBLE) / len(tk)", 4)} AS removed_ratio,
+       |  clean AS cleaned_text
+       |FROM cl12""".stripMargin
+
+  /** D13 — repeated-span removal with the KEEP-FIRST policy (Lee et al.
+    * 2022 proper): one canonical copy of each repeated span survives —
+    * the minimum-doc_id carrier keeps its occurrences, every other
+    * carrier is cut — so the corpus retains the information exactly once
+    * instead of losing it everywhere (d12's strip-from-all reading).
+    * minDocs = 2: ANY cross-document duplicate span qualifies.
+    * See [[graft.operators.Dedup.removeDupSpans]] (keepFirst = true). */
+  val d13SpanKeepFirst: Q = (s, d) =>
+    Dedup.removeDupSpans(Tables.documents(s, d), k = 8, minDocs = 2,
+      keepFirst = true)
+
+  val d13SpanKeepFirstSql: String =
+    s"""WITH src AS (SELECT doc_id, text FROM documents),
+       |${spanRemovalCtes("src", minDocs = 2, keepFirst = true)}
        |SELECT doc_id,
        |  CAST(len(tk) AS BIGINT) AS n_tokens,
        |  CAST(len(hit_i) AS BIGINT) AS n_hit_spans,
@@ -7097,6 +7124,67 @@ object Queries {
       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
       |WHERE a.vec_id % 20 = 0""".stripMargin
 
+  /** IVF2 — tombstone DELETION from the IVF-PQ index, gated (ivf1's
+    * sibling: together they are the nightly index CRUD — admit a batch,
+    * retire a batch). Originals with vec_id % 20 = 5 are tombstoned
+    * (never a twin source, so the planted ground truth survives); the
+    * pruned index (one id anti-join on the postings, no retrain,
+    * [[graft.operators.Similarity.ivfPqDeleteServe]]) is compared
+    * against a full REBUILD on the remaining corpus. Pinned:
+    * `tombstone_ok` — a deleted id NEVER surfaces in a result (the hard
+    * contract, exact); `top1_ok` — every twin still finds its source
+    * through the pruned index at full strength; `recall_ok` — floored
+    * at 0.72 vs brute on the REMAINING corpus (measured band
+    * 0.744–0.832 across SFs — a notch under ivf1's 0.75 because the
+    * ground truth itself changes: for twins whose exact top-5 contained
+    * a tombstoned vector, the replacement 5th-nearest is deeper in the
+    * random tail, where the pq2-documented router ceiling bites
+    * hardest); `delta_parity_ok` — pruned recall within 2% of n_exact
+    * of the rebuilt-quantizer arm (measured: pruned BEAT the rebuild at
+    * sf0.01, 93 vs 92; 411 vs 417 at sf0.1). */
+  val ivf2IndexDelete: Q = (s, d) => {
+    val planted = plantNearDups(Tables.embeddings(s, d))
+    val queries = planted.filter(col("vec_id") >= 10000000L)
+    val tombstones = planted.filter(
+      col("vec_id") < 10000000L && col("vec_id") % 20 === 5)
+    val remaining = planted.join(tombstones.select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+    val pruned = graft.operators.Similarity.ivfPqDeleteServe(
+      planted, tombstones, queries, 5, nprobe = 8)
+    val rebuilt = graft.operators.Similarity.ivfPqTopK(
+      remaining, queries, 5, nprobe = 8)
+    val exact = graft.operators.Similarity.bruteForceTopK(remaining, queries, 5)
+      .select(col("q_id"), col("n_id"))
+    def hitsOf(ann: DataFrame, name: String) =
+      exact.join(ann.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_semi").agg(count(lit(1)).as(name))
+    val leaked = pruned.join(tombstones.select(col("vec_id").as("n_id")),
+      Seq("n_id")).agg(count(lit(1)).as("leaked"))
+    val top1 = pruned.filter(col("rank") === 1)
+      .filter(col("n_id") === col("q_id") - 10000000L)
+      .agg(count(lit(1)).as("pruned_top1"))
+    exact.agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(hitsOf(pruned, "pruned_hits"))
+      .crossJoin(hitsOf(rebuilt, "rebuilt_hits"))
+      .crossJoin(leaked)
+      .crossJoin(top1)
+      .select(col("n_queries"), col("n_exact"),
+        (col("leaked") === 0).as("tombstone_ok"),
+        (col("pruned_hits") * 100 >= col("n_exact") * 72).as("recall_ok"),
+        (col("pruned_top1") === col("n_queries")).as("top1_ok"),
+        (col("pruned_hits") * 100 >= col("rebuilt_hits") * 100
+          - col("n_exact") * 2).as("delta_parity_ok"))
+  }
+
+  val ivf2IndexDeleteSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(5 * count(*) AS BIGINT) AS n_exact,
+      |       true AS tombstone_ok, true AS recall_ok, true AS top1_ok,
+      |       true AS delta_parity_ok
+      |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |WHERE a.vec_id % 20 = 0""".stripMargin
+
   /** MIX2 — compute-and-apply a TARGET source mixture (water-filling):
     * per-source keep rates derived in-plan from observed counts so the
     * kept corpus matches the requested proportions
@@ -8940,6 +9028,7 @@ object Queries {
     "zm1_zone_map" -> zm1ZoneMap,
     "d11_containment" -> d11Containment,
     "d12_span_removal" -> d12SpanRemoval,
+    "d13_span_keep_first" -> d13SpanKeepFirst,
     "prep2_span_clean" -> prep2SpanClean,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecall,
     "ml4_cv" -> ml4Cv,
@@ -8970,6 +9059,7 @@ object Queries {
     "pq2_production" -> pq2Production,
     "pq2_production_gate" -> pq2ProductionGate,
     "ivf1_index_delta" -> ivf1IndexDelta,
+    "ivf2_index_delete" -> ivf2IndexDelete,
     "ii1_inverted_index" -> ii1InvertedIndex,
     "gbt1_boosted_stumps" -> gbt1BoostedStumps,
     "als1_factorization" -> als1Factorization,
@@ -9223,6 +9313,7 @@ object Queries {
     "zm1_zone_map" -> zm1ZoneMapSql,
     "d11_containment" -> d11ContainmentSql,
     "d12_span_removal" -> d12SpanRemovalSql,
+    "d13_span_keep_first" -> d13SpanKeepFirstSql,
     "prep2_span_clean" -> prep2SpanCleanSql,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecallSql,
     "ml4_cv" -> ml4CvSql,
@@ -9251,6 +9342,7 @@ object Queries {
     "pq2_adc_gate" -> pq2GateSql,
     "pq2_production_gate" -> pq2ProductionGateSql,
     "ivf1_index_delta" -> ivf1IndexDeltaSql,
+    "ivf2_index_delete" -> ivf2IndexDeleteSql,
     "ii1_inverted_index" -> ii1InvertedIndexSql,
     "gbt1_boosted_stumps" -> gbt1BoostedStumpsSql,
     "als1_factorization" -> als1FactorizationSql,
@@ -9317,7 +9409,7 @@ object Queries {
     "fe1_target_encode", "t12_bm25", "surv1_kaplan_meier",
     "dq2_benford_audit", "woe1_woe_iv", "psi1_dist_drift", "lp1_communities",
     "fh1_feature_hash", "ndcg1_rank_eval",
-    "chunk1_doc_chunks", "d10_dup_spans", "d12_span_removal",
+    "chunk1_doc_chunks", "d10_dup_spans", "d12_span_removal", "d13_span_keep_first",
     "dsir1_importance", "mix3_temperature_mix", "shuf1_epoch_order",
     "pack1_sequence_packing", "bpe1_train_merges", "bpe2_encode_stats",
     "hn1_hard_negatives", "hn2_production",

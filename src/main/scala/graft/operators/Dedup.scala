@@ -739,19 +739,29 @@ object Dedup {
     * projection against the re-joined document. Three compact-key
     * exchanges, text crosses one doc-keyed join. */
   def removeDupSpans(documents: DataFrame, k: Int = 8,
-                     minDocs: Int = 3): DataFrame = {
+                     minDocs: Int = 3, keepFirst: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // keepFirst = the Lee et al. policy proper: ONE canonical copy of
+    // each repeated span survives (the min-doc_id carrier keeps its
+    // occurrences; every other carrier is cut) — the corpus keeps the
+    // information once instead of losing it everywhere. keepFirst=false
+    // (d12) excises the span from ALL carriers — the boilerplate-strip
+    // reading. Same exchanges either way: the df rollup just also
+    // carries min(doc_id).
     val repeated = spanDigests(documents, k)
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"),
+        min(col("doc_id")).as("keeper"))
       .filter(col("df") >= minDocs)
-      .select(col("h"))
+      .select(col("h"), col("keeper"))
     val occ = documents.filter(size(toks) >= k)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(1), size(toks) - (k - 1)),
         i => md5(array_join(slice(toks, i, lit(k)), " ")))).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast("int").as("i"), col("h"))
-    val hits = occ.join(repeated, "h")
+    val hitOcc = occ.join(repeated, "h")
+    val hits = (if (keepFirst) hitOcc.filter(col("doc_id") =!= col("keeper"))
+                else hitOcc)
       .groupBy(col("doc_id")).agg(collect_set(col("i")).as("hit_i"))
     val covered = (p: Column) => exists(col("hit_i"),
       h => p >= h && p <= h + lit(k - 1))

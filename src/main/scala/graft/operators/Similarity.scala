@@ -879,6 +879,44 @@ object Similarity {
       k, nprobe, rerankEff)
   }
 
+  /** IVF-PQ tombstone DELETION — the other half of nightly index
+    * maintenance ([[ivfPqDeltaMerge]] admits, this retires): quantizers
+    * and postings are built on the full corpus, then the tombstoned ids
+    * are dropped from the postings by one id-keyed anti-join — no
+    * retrain, no re-code of the survivors — and queries are served from
+    * the pruned index with the exact re-rank restricted to the remaining
+    * corpus. Because postings are per-row pure functions of the
+    * quantizers, the pruned index is IDENTICAL to coding only the
+    * survivors under the same quantizers; what a delete-triggered
+    * rebuild changes is the quantizers alone, and that recall delta is
+    * what the ivf2 gate pins (plus the hard contract: a tombstoned id
+    * must never surface in a result).
+    *
+    * Maintenance cost: one postings-sized anti-join on 8-byte ids —
+    * no embedding is touched. */
+  def ivfPqDeleteServe(corpus: DataFrame, tombstones: DataFrame,
+                       queries: DataFrame, k: Int, nlist: Int = 16,
+                       nprobe: Int = 4, m: Int = 16, codes: Int = 64,
+                       iters: Int = 2, rerank: Int = 64,
+                       rerankFrac: Double = 0.05): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1: $rerank, $k")
+    val centroids = centroidsOf(corpus, nlist)
+    val cn = normalizedUnit(corpus).localCheckpoint()
+    val dim = cn.select(size(col("emb"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cb = pqTrainCodebook(cn, m, codes, iters, sub)
+    val dead = tombstones.select(col("vec_id").as("n_id"))
+    val index = ivfPqAssignOn(corpus, cn, centroids, cb, m, codes, sub)
+      .join(dead, Seq("n_id"), "left_anti")
+    val remaining = corpus.select(col("vec_id"), col("embedding"))
+      .join(tombstones.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val rerankEff = math.max(rerank.toLong, math.ceil(
+      remaining.count().toDouble * nprobe / nlist * rerankFrac).toLong)
+    ivfPqServe(index, remaining, queries, centroids, cb, m, codes, sub,
+      k, nprobe, rerankEff)
+  }
+
   /** The IVF-PQ query path over a prebuilt `(n_id, cid, codes)` index:
     * coarse probes → in-plan ADC tables → compiled ADC scan → exact
     * re-rank of the top `rerankEff` survivors against `corpus`. */

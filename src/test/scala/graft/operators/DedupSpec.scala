@@ -30,6 +30,26 @@ class DedupSpec extends SparkTestBase {
     assert(got(4L).getLong(3) == 0L && got(4L).getString(6).startsWith("u1 "))
   }
 
+  test("removeDupSpans keepFirst: the minimum-doc_id carrier KEEPS the " +
+    "repeated span; every other carrier is cut (Lee et al. keep-one)") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (5L, s"$boiler t5a t5b t5c t5d t5e t5f t5g t5h"),
+      (2L, s"$boiler t2a t2b t2c t2d t2e t2f t2g t2h"),
+      (9L, s"$boiler t9a t9b t9c t9d t9e t9f t9g t9h")).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(docs, k = 8, minDocs = 2, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // keeper = doc 2 (min id): untouched
+    assert(got(2L).getLong(3) == 0L && got(2L).getString(6).startsWith("b1 "))
+    // the other carriers lose exactly the boilerplate
+    Seq(5L, 9L).foreach { id =>
+      assert(got(id).getLong(3) == 8L
+        && got(id).getString(6) == s"t${id}a t${id}b t${id}c t${id}d " +
+          s"t${id}e t${id}f t${id}g t${id}h", got(id).mkString(","))
+    }
+  }
+
   test("removeDupSpans: three identical 8-token docs clean to the EMPTY " +
     "string (full excision), ratio exactly 1") {
     import spark.implicits._

@@ -337,6 +337,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(top._2 == 999999L && top._3 == 1.0, got.mkString(", "))
   }
 
+  test("ivfPqDeleteServe: a tombstoned exact twin NEVER surfaces in " +
+    "results — the pruned index serves k survivors instead") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val v0 = e.filter(col("vec_id") === 0)
+    val twin = v0.select(lit(999999L).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(twin)
+    val dead = Seq(999999L).toDF("vec_id")
+    val got = Similarity.ivfPqDeleteServe(corpus, dead, v0, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 5)
+    assert(!got.exists(_._2 == 999999L), got.mkString(", "))
+  }
+
   test("ivfPqTopK fails loudly on a zero-norm query embedding instead of " +
     "silently poisoning ADC scores with NaN") {
     import org.apache.spark.sql.functions._
