@@ -463,10 +463,12 @@ object Graph {
         Seq("nbr"))
       .groupBy(col("node"), col("cand")).agg(sum(col("w")).as("k_vc"))
     val cur = lbl.select(col("node"), col("community").as("cur"))
-    val dC = lbl.join(kv, Seq("node"), "left")
+    // degree mass AND size in ONE community rollup — the two stats share
+    // the exchange (same key), halving the per-round community shuffles
+    val cStats = lbl.join(kv, Seq("node"), "left")
       .select(col("community"), coalesce(col("k_v"), lit(0L)).as("k_v"))
-      .groupBy(col("community")).agg(sum(col("k_v")).as("d_c"))
-    val csize = lbl.groupBy(col("community")).agg(count(lit(1)).as("cs"))
+      .groupBy(col("community"))
+      .agg(sum(col("k_v")).as("d_c"), count(lit(1)).as("cs"))
     val kvA = nlab.join(cur, Seq("node"))
       .filter(col("cand") === col("cur"))
       .select(col("node"), col("k_vc").as("k_va"))
@@ -474,14 +476,10 @@ object Graph {
       .filter(col("cand") =!= col("cur"))
       .join(kvA, Seq("node"), "left")
       .join(kv, Seq("node"))
-      .join(dC.select(col("community").as("cand"), col("d_c").as("d_b")),
-        Seq("cand"))
-      .join(dC.select(col("community").as("cur"), col("d_c").as("d_a")),
-        Seq("cur"))
-      .join(csize.select(col("community").as("cand"), col("cs").as("size_b")),
-        Seq("cand"))
-      .join(csize.select(col("community").as("cur"), col("cs").as("size_a")),
-        Seq("cur"))
+      .join(cStats.select(col("community").as("cand"),
+        col("d_c").as("d_b"), col("cs").as("size_b")), Seq("cand"))
+      .join(cStats.select(col("community").as("cur"),
+        col("d_c").as("d_a"), col("cs").as("size_a")), Seq("cur"))
       .crossJoin(broadcast(mDf))
       .filter(!(col("size_a") === 1 && col("size_b") === 1
         && col("cand") > col("cur")))
