@@ -3208,6 +3208,107 @@ object Queries {
        |  clean AS cleaned_text
        |FROM cl12""".stripMargin
 
+  /** PREP3 — the FULL curation pipeline as ONE oracle-checked plan (the
+    * FineWeb/RefinedWeb shape end to end): quality gate (t10's verdict)
+    * → exact content dedup (md5 digest, min-id winner) → NEAR-dup
+    * clustering (3-gram Jaccard > 0.6, the d7 connected components) with
+    * d8's KEEP-BEST election (highest t2 quality, ties id-ascending;
+    * losers dropped) → keep-first repeated-span removal (d13, the Lee
+    * et al. surgery) → one-row corpus accounting (stage survivor counts
+    * + token/char mass before and after). prep1 composed three stages;
+    * this is the whole production line — every stage an independently
+    * proven operator, the COMPOSITION pinned against one DuckDB
+    * re-derivation.
+    *
+    * Scale shape: each stage keeps the established exchange economics
+    * (digest-keyed dedup, id-only pair candidates, star-contraction CC
+    * rounds, digest-keyed span df) — text crosses exactly two exchanges
+    * (the dedup carry and the span-cut join). Verify-tier, not benched:
+    * every stage already has its own bench row (prep1, d7/d8, d12/d13)
+    * and the composition at sf0.1 costs ~13 s — the wall is at its
+    * ~240 s edge (BASELINE.md r13). */
+  val prep3FullCuration: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val ok = docs.filter(corpusReasonExpr === "ok")
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.qualityExpr.as("quality"))
+    val exact = Dedup.exactByDigest(ok, col("text"),
+        carry = Seq("text", "quality"))
+      .select(col("doc_id"), col("text"), col("quality"))
+    val clusters = Dedup.duplicateClusters(
+      Dedup.ngramJaccardPairs(exact, 3, 0.6))
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val losers = clusters.join(exact.select(col("doc_id"), col("quality")),
+        Seq("doc_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") > 1)
+      .select(col("doc_id"))
+    val surv = exact.join(losers, Seq("doc_id"), "left_anti")
+    val cleaned = Dedup.removeDupSpans(
+      surv.select(col("doc_id"), col("text")), k = 8, minDocs = 2,
+      keepFirst = true)
+    docs.agg(count(lit(1)).as("n_input"))
+      .crossJoin(ok.agg(count(lit(1)).as("n_ok")))
+      .crossJoin(exact.agg(count(lit(1)).as("n_after_exact")))
+      .crossJoin(surv.agg(count(lit(1)).as("n_after_neardup")))
+      .crossJoin(cleaned.agg(
+        sum(col("n_tokens")).as("tokens_before_spans"),
+        sum(col("n_tokens") - col("n_removed")).as("tokens_final"),
+        sum(col("chars_removed")).as("chars_removed")))
+  }
+
+  lazy val prep3FullCurationSql: String = {
+    val cc = s"""kept3 AS (SELECT doc_id, text, quality FROM b
+       |         WHERE $corpusReasonSql = 'ok'),
+       |ded3 AS MATERIALIZED (SELECT min(doc_id) AS doc_id, min(text) AS text,
+       |               min(quality) AS quality
+       |        FROM kept3 GROUP BY md5(text)),
+       |tk3 AS (SELECT doc_id, string_split(text, ' ') AS t FROM ded3),
+       |sh3 AS (SELECT doc_id,
+       |          list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                         FOR i IN RANGE(1, len(t) - 1)]) AS s
+       |        FROM tk3 WHERE len(t) >= 3),
+       |sz3 AS (SELECT doc_id, len(s) AS n_sh FROM sh3),
+       |ex3 AS (SELECT doc_id, unnest(s) AS sg FROM sh3),
+       |pr3 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |        FROM ex3 a JOIN ex3 b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |j3 AS (SELECT a_id, b_id,
+       |          floor((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)) * 10000 + 0.5) / 10000 AS jac
+       |       FROM pr3
+       |       JOIN sz3 na ON na.doc_id = a_id
+       |       JOIN sz3 nb ON nb.doc_id = b_id),
+       |eg3 AS (SELECT a_id AS s, b_id AS d FROM j3 WHERE jac > 0.6
+       |        UNION ALL
+       |        SELECT b_id AS s, a_id AS d FROM j3 WHERE jac > 0.6),
+       |nd3 AS (SELECT DISTINCT s AS node FROM eg3),
+       |reach3(node, lab) AS (
+       |  SELECT node, node FROM nd3
+       |  UNION
+       |  SELECT e.d, r.lab FROM reach3 r JOIN eg3 e ON e.s = r.node),
+       |lab3 AS (SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
+       |         FROM reach3 GROUP BY node),
+       |los3 AS (SELECT doc_id FROM (
+       |           SELECT l.doc_id,
+       |                  row_number() OVER (PARTITION BY l.cluster_rep
+       |                    ORDER BY d.quality DESC, l.doc_id) AS rn
+       |           FROM lab3 l JOIN ded3 d USING (doc_id)) WHERE rn > 1),
+       |src AS (SELECT doc_id, text FROM ded3
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM los3))""".stripMargin
+    corpusSignalsCteSql.replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" +
+      cc + ",\n" + spanRemovalCtes("src", minDocs = 2, keepFirst = true) +
+      s"""
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM kept3) AS n_ok,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ded3) AS n_after_exact,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM src) AS n_after_neardup,
+       |  CAST(sum(len(tk)) AS BIGINT) AS tokens_before_spans,
+       |  CAST(sum(len(kept)) AS BIGINT) AS tokens_final,
+       |  CAST(sum(length(array_to_string(tk, ' ')) - length(clean)) AS BIGINT) AS chars_removed
+       |FROM cl12""".stripMargin
+  }
+
   /** D13 — repeated-span removal with the KEEP-FIRST policy (Lee et al.
     * 2022 proper): one canonical copy of each repeated span survives —
     * the minimum-doc_id carrier keeps its occurrences, every other
@@ -9030,6 +9131,7 @@ object Queries {
     "d12_span_removal" -> d12SpanRemoval,
     "d13_span_keep_first" -> d13SpanKeepFirst,
     "prep2_span_clean" -> prep2SpanClean,
+    "prep3_full_curation" -> prep3FullCuration,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecall,
     "ml4_cv" -> ml4Cv,
     "fd1_functional_deps" -> fd1FunctionalDeps,
@@ -9315,6 +9417,7 @@ object Queries {
     "d12_span_removal" -> d12SpanRemovalSql,
     "d13_span_keep_first" -> d13SpanKeepFirstSql,
     "prep2_span_clean" -> prep2SpanCleanSql,
+    "prep3_full_curation" -> prep3FullCurationSql,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecallSql,
     "ml4_cv" -> ml4CvSql,
     "fd1_functional_deps" -> fd1FunctionalDepsSql,
