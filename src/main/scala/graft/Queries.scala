@@ -3208,6 +3208,71 @@ object Queries {
        |  clean AS cleaned_text
        |FROM cl12""".stripMargin
 
+  /** EMB5 — int8-quantization recall audit (the emb4 matryoshka
+    * discipline applied to the OTHER index-compression axis): how much
+    * of the exact float cosine top-5 survives when the index serves
+    * DEQUANTIZED int8 codes (emb1's per-vector symmetric quantizer,
+    * scale = max|x|/127)? Both arms are the sim1 brute ranking on the
+    * 1e-4 grid — fully deterministic, so unlike the pq2 gates this is a
+    * FULL oracle: DuckDB replays quantize → dequantize → both rankings
+    * → the intersection digit for digit. The storage/recall trade every
+    * int8-serving deployment measures before shipping. */
+  val emb5Int8Recall: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qscale = aggregate(col("embedding").cast("array<double>"), lit(0.0),
+      (a, x) => greatest(a, abs(x))) / 127.0
+    val deq = e.select(col("vec_id"),
+      transform(graft.functions.quantize_int8(col("embedding")),
+        c => (c.cast("double") * qscale).cast("float")).as("embedding"))
+    val int8Top = Similarity.bruteForceTopK(deq,
+        deq.filter(col("vec_id") < 10), 5)
+      .select(col("q_id"), col("n_id"))
+    val floatTop = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < 10), 5)
+      .select(col("q_id"), col("n_id"))
+    val hits = floatTop.join(int8Top, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    floatTop.agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(hits)
+      .select(col("n_queries"), col("n_exact"), col("n_hits"),
+        portableRound(col("n_hits").cast("double") / col("n_exact"), 4)
+          .as("recall_int8"))
+  }
+
+  val emb5Int8RecallSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n5 AS (SELECT vec_id, emb,
+      |              list_max([abs(x) FOR x IN emb]) / 127.0 AS qscale FROM e),
+      |dq AS (SELECT vec_id,
+      |         CASE WHEN qscale = 0
+      |              THEN [CAST(CAST(0 AS REAL) AS DOUBLE) FOR x IN emb]
+      |              ELSE [CAST(CAST(CAST(floor(x / qscale + 0.5) AS INT) * qscale AS REAL) AS DOUBLE)
+      |                    FOR x IN emb] END AS demb
+      |       FROM n5),
+      |scf AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |          floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS cosine
+      |        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      |        WHERE q.vec_id < 10),
+      |rf AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+      |                 ORDER BY cosine DESC, n_id) AS rank FROM scf),
+      |scq AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |          floor(list_cosine_similarity(q.demb, c.demb) * 10000 + 0.5) / 10000 AS cosine
+      |        FROM dq q JOIN dq c ON q.vec_id <> c.vec_id
+      |        WHERE q.vec_id < 10),
+      |rq AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+      |                 ORDER BY cosine DESC, n_id) AS rank FROM scq),
+      |ft AS (SELECT q_id, n_id FROM rf WHERE rank <= 5),
+      |qt AS (SELECT q_id, n_id FROM rq WHERE rank <= 5),
+      |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+      |      FROM ft JOIN qt USING (q_id, n_id))
+      |SELECT (SELECT CAST(count(DISTINCT q_id) AS BIGINT) FROM ft) AS n_queries,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM ft) AS n_exact,
+      |       h.n_hits,
+      |       floor(CAST(h.n_hits AS DOUBLE)
+      |             / (SELECT count(*) FROM ft) * 10000 + 0.5) / 10000 AS recall_int8
+      |FROM h""".stripMargin
+
   /** PREP3 — the FULL curation pipeline as ONE oracle-checked plan (the
     * FineWeb/RefinedWeb shape end to end): quality gate (t10's verdict)
     * → exact content dedup (md5 digest, min-id winner) → NEAR-dup
@@ -9098,6 +9163,7 @@ object Queries {
     "sim3_ann_ivf" -> sim3Ivf,
     "sim3_ivf_gate" -> sim3Gate,
     "emb1_normalize_quantize" -> emb1Normalize,
+    "emb5_int8_recall" -> emb5Int8Recall,
     "t1_lang_id" -> t1Lang,
     "t2_quality_score" -> t2Quality,
     "t3_token_count" -> t3Tokens,
@@ -9385,6 +9451,7 @@ object Queries {
     "sim2_production_gate" -> sim2ProductionGateSql,
     "sim3_ivf_gate" -> sim3GateSql,
     "emb1_normalize_quantize" -> emb1NormalizeSql,
+    "emb5_int8_recall" -> emb5Int8RecallSql,
     "t1_lang_id" -> t1LangSql,
     "t2_quality_score" -> t2QualitySql,
     "t3_token_count" -> t3TokensSql,
@@ -9519,7 +9586,7 @@ object Queries {
     "mix4_oversample", "t13_entropy", "rrf1_hybrid_fusion",
     "ml1_logreg_gd", "ml2_calibration", "ml3_auc", "ivm2_delta_join",
     "boot1_bootstrap_ci", "zm1_zone_map",
-    "d11_containment", "emb4_matryoshka_recall", "ml4_cv",
+    "d11_containment", "emb4_matryoshka_recall", "emb5_int8_recall", "ml4_cv",
     "fd1_functional_deps", "aug1_token_dropout", "aug2_token_mask",
     "zipf1_token_zipf", "lid1_confusion", "dp2_private_median",
     "bleu1_eval", "ml5_lang_train", "pack2_nostraddle", "uni1_unigram_train",
