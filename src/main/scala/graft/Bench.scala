@@ -33,14 +33,20 @@ object Bench {
     // local[32]'s pinned 32 cannot express; als1 at x100 (60M ratings)
     // spilled on 32 and read exp 1.14 for it (SCALE.md §R12). AQE
     // coalesces the excess, so over-provisioning is safe. Runtime-set
-    // before the query, restored after. The driver sets nothing.
+    // before each query (overridden queries set theirs; everything else
+    // runs at the default, re-set before its own run). The driver sets
+    // nothing.
     val defaultShuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val shuffleByQuery: Map[String, String] =
       sys.env.get("SPARK_GRAFT_SHUFFLE_BY_QUERY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
-          val Array(n, v) = kv.split("=")
-          require(v.trim.toInt > 0, s"bad shuffle override: $kv")
-          n.trim -> v.trim
+          val parts = kv.split("=", 2)
+          require(parts.length == 2 && parts(0).trim.nonEmpty
+              && !parts(1).contains("="),
+            s"bad shuffle override '$kv': expected name=N")
+          require(scala.util.Try(parts(1).trim.toInt).filter(_ > 0).isSuccess,
+            s"bad shuffle override '$kv': N must be a positive int")
+          parts(0).trim -> parts(1).trim
         }.toMap).getOrElse(Map.empty)
     only.foreach { ns =>
       val unknown = ns -- Queries.benchNames.toSet

@@ -3157,20 +3157,27 @@ object Queries {
     * token-level cut — ends in `cl12(doc_id, tk, hit_i, kept)`. Shared
     * by d12 and prep2 so the surgery can't diverge between them. */
   private def spanRemovalCtes(src: String, minDocs: Int = 3,
-                              keepFirst: Boolean = false): String =
+                              keepFirst: Boolean = false,
+                              k: Int = 8): String = {
+    // mirror removeDupSpans' k parameter: a span is tk[i .. i+k-1], so
+    // the window start range is [1, len(tk) - (k-1)] (duckdb RANGE end
+    // is exclusive), the slice end offset is k-1, and a position p is
+    // covered by a hit at h iff h <= p <= h + k - 1
+    require(k >= 2, s"spanRemovalCtes: k out of range: $k")
+    val e = k - 1 // slice/coverage end offset
     s"""t12 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
        |sp12 AS (SELECT doc_id,
-       |    list_distinct([md5(array_to_string(list_slice(tk, i, i + 7), ' '))
-       |                   FOR i IN RANGE(1, len(tk) - 6)]) AS hs
-       |  FROM t12 WHERE len(tk) >= 8),
+       |    list_distinct([md5(array_to_string(list_slice(tk, i, i + $e), ' '))
+       |                   FOR i IN RANGE(1, len(tk) - ${k - 2})]) AS hs
+       |  FROM t12 WHERE len(tk) >= $k),
        |df12 AS (SELECT h, min(doc_id) AS keeper
        |         FROM (SELECT doc_id, unnest(hs) AS h FROM sp12)
        |         GROUP BY h HAVING count(*) >= $minDocs),
        |oc12 AS (SELECT doc_id, u.i AS i, u.h AS h FROM (
        |    SELECT doc_id,
-       |           unnest([{'i': i, 'h': md5(array_to_string(list_slice(tk, i, i + 7), ' '))}
-       |                   FOR i IN RANGE(1, len(tk) - 6)]) AS u
-       |    FROM t12 WHERE len(tk) >= 8)),
+       |           unnest([{'i': i, 'h': md5(array_to_string(list_slice(tk, i, i + $e), ' '))}
+       |                   FOR i IN RANGE(1, len(tk) - ${k - 2})]) AS u
+       |    FROM t12 WHERE len(tk) >= $k)),
        |ht12 AS (SELECT oc12.doc_id, list(oc12.i) AS hit_i
        |         FROM oc12 JOIN df12 USING (h)
        |         ${if (keepFirst) "WHERE oc12.doc_id <> df12.keeper" else ""}
@@ -3182,11 +3189,12 @@ object Queries {
        |           coalesce(array_to_string(kept, ' '), '') AS clean
        |         FROM (SELECT doc_id, tk, hit_i,
        |                 [tk[p] FOR p IN RANGE(1, len(tk) + 1)
-       |                  IF len(list_filter(hit_i, h -> p >= h AND p <= h + 7)) = 0] AS kept
+       |                  IF len(list_filter(hit_i, h -> p >= h AND p <= h + $e)) = 0] AS kept
        |               FROM (SELECT t12.doc_id, t12.tk,
        |                       coalesce(ht12.hit_i, CAST([] AS BIGINT[])) AS hit_i
        |                     FROM t12 LEFT JOIN ht12 USING (doc_id))))"""
       .stripMargin
+  }
 
   /** D12 — repeated-span REMOVAL (Lee et al. 2022 ExactSubstr): excise
     * every 8-token span whose digest occurs in ≥3 distinct documents,
@@ -3426,10 +3434,10 @@ object Queries {
        |src AS (SELECT doc_id, text FROM b WHERE $corpusReasonSql = 'ok'),
        |${spanRemovalCtes("src")},
        |ded AS (SELECT min(doc_id) AS doc_id,
-       |               min(len(kept)) AS n_kept_tokens,
-       |               min(len(tk) - len(kept)) AS n_removed,
-       |               min(length(array_to_string(tk, ' '))
-       |                   - length(clean)) AS chars_removed
+       |               arg_min(len(kept), doc_id) AS n_kept_tokens,
+       |               arg_min(len(tk) - len(kept), doc_id) AS n_removed,
+       |               arg_min(length(array_to_string(tk, ' '))
+       |                       - length(clean), doc_id) AS chars_removed
        |        FROM cl12 GROUP BY md5(clean))
        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(n_kept_tokens) AS BIGINT) AS sum_kept_tokens,
@@ -6790,8 +6798,10 @@ object Queries {
        |          / 10000000000 AS q_contrib
        |        FROM dg LEFT JOIN itr ON itr.community = dg.community
        |        CROSS JOIN mm)
-       |SELECT lf.node, lf.c0, lf.community, aud.e_c, aud.d_c, aud.q_contrib
-       |FROM lf JOIN aud ON aud.community = lf.community
+       |SELECT lf.node, lf.c0, lf.community,
+       |       coalesce(aud.e_c, 0) AS e_c, coalesce(aud.d_c, 0) AS d_c,
+       |       coalesce(aud.q_contrib, 0.0) AS q_contrib
+       |FROM lf LEFT JOIN aud ON aud.community = lf.community
        |ORDER BY lf.node""".stripMargin
   }
 

@@ -32,13 +32,18 @@ object Dedup {
   /** [[exact]]'s scale form: group on the md5 digest of the content so
     * the shuffle key is 32 chars regardless of document size — at 100 TB
     * the difference between shuffling fingerprints and shuffling the
-    * corpus. `carry` columns ride as min() (for rows sharing a digest the
-    * content — hence any content-derived signal — is identical, so min is
-    * just "pick the representative's value"). */
+    * corpus. `carry` columns ride as min_by(·, doc_id): the canonical
+    * row's values travel TOGETHER (one representative row), so carries
+    * that are NOT derived from the digested content — e.g. prep2's
+    * removal accounting, computed from the ORIGINAL text of documents
+    * that clean to identical text — stay mutually consistent instead of
+    * mixing per-column minima across source rows. For content-derived
+    * carries every row in a digest group holds the same value, so this
+    * equals the old per-column min(). */
   def exactByDigest(documents: DataFrame, textCol: Column,
                     carry: Seq[String] = Nil): DataFrame = {
     val aggs = min(col("doc_id")).as("doc_id") +:
-      carry.map(c => min(col(c)).as(c))
+      carry.map(c => min_by(col(c), col("doc_id")).as(c))
     documents.groupBy(md5(textCol).as("digest"))
       .agg(aggs.head, aggs.tail: _*)
   }

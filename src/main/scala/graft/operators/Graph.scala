@@ -514,7 +514,10 @@ object Graph {
     * the FINAL assignment computed on the ORIGINAL graph (the coarse
     * graph's weighted modularity equals it by the Louvain invariant;
     * auditing at level 0 keeps the check independent of the coarsening
-    * arithmetic).
+    * arithmetic). ISOLATED nodes (no incident edges) are kept: their
+    * community never appears in the edge-derived audit, so the audit
+    * join is a left join with e_c = d_c = 0 and q_contrib = 0 — the
+    * exact contribution of an edgeless community.
     *
     * Scale shape: the corpus-sized work is the one edge build
     * (checkpointed once); every move round is a handful of keyed
@@ -550,9 +553,11 @@ object Graph {
       .join(clbl.select(col("node").as("c0"), col("community")), Seq("c0"))
     val audit = modularity(finalLbl.select(col("node"), col("community")),
       und.select(col("a").as("src"), col("b").as("dst")))
-    finalLbl.join(audit, Seq("community"))
+    finalLbl.join(audit, Seq("community"), "left")
       .select(col("node"), col("c0"), col("community"),
-        col("e_c"), col("d_c"), col("q_contrib"))
+        coalesce(col("e_c"), lit(0L)).as("e_c"),
+        coalesce(col("d_c"), lit(0L)).as("d_c"),
+        coalesce(col("q_contrib"), lit(0.0)).as("q_contrib"))
       .orderBy(col("node"))
   }
 

@@ -856,7 +856,13 @@ object Similarity {
     *
     * Maintenance cost: O(|delta|) executor work + the (m·k·sub)-double
     * codebook broadcast. The rebuild this replaces re-trains centroids
-    * (iters corpus scans) and re-codes every vector — corpus-sized. */
+    * (iters corpus scans) and re-codes every vector — corpus-sized.
+    *
+    * Contract: base and delta vec_ids must be DISJOINT — an id present
+    * on both sides would double-post in the merged index and surface as
+    * duplicate n_id rows in the rerank window. Enforced loudly by one
+    * delta-vs-base id semi-join (8-byte keys; the delta side is the
+    * small one, so the check is one base-id scan). */
   def ivfPqDeltaMerge(base: DataFrame, delta: DataFrame, queries: DataFrame,
                       k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 16,
                       codes: Int = 64, iters: Int = 2, rerank: Int = 64,
@@ -869,6 +875,11 @@ object Similarity {
     val sub = dim / m
     val cb = pqTrainCodebook(bn, m, codes, iters, sub)
     val dn = normalizedUnit(delta).localCheckpoint() // the delta-sized scan
+    val nOverlap = dn.select(col("vec_id"))
+      .join(bn.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    require(nOverlap == 0,
+      s"ivfPqDeltaMerge: $nOverlap delta vec_id(s) already present in base" +
+        " — admission requires disjoint ids (an overlap would double-post)")
     val index = ivfPqAssignOn(base, bn, centroids, cb, m, codes, sub)
       .unionByName(ivfPqAssignOn(delta, dn, centroids, cb, m, codes, sub))
     val corpus = base.select(col("vec_id"), col("embedding"))

@@ -97,6 +97,24 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("exactByDigest: carries travel as ONE representative row (min " +
+    "doc_id), not per-column minima mixed across source rows") {
+    import org.apache.spark.sql.functions.col
+    // two distinct originals that "cleaned" to the same text, with
+    // removal accounting from the ORIGINAL rows: doc 5 removed 7 tokens,
+    // doc 2 removed 3; per-column min() would emit the impossible
+    // (doc_id=2, n_removed=3, chars_removed=40) mix
+    val d = Seq((5L, "same cleaned text", 7L, 40L),
+                (2L, "same cleaned text", 3L, 55L))
+      .toDF("doc_id", "text", "n_removed", "chars_removed")
+    val got = Dedup.exactByDigest(d, col("text"),
+        carry = Seq("n_removed", "chars_removed"))
+      .select("doc_id", "n_removed", "chars_removed").collect()
+    assert(got.length == 1)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2))
+      == ((2L, 3L, 55L)), got(0).mkString(","))
+  }
+
   test("exact dedup metrics: rows_in/rows_out/dedup_removed") {
     val d = docsDF(1L -> "a", 2L -> "a", 3L -> "b")
     val m = Dedup.exactMetrics(d, $"text").collect()(0)

@@ -29,6 +29,23 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("louvain: an ISOLATED node (no incident edges) stays in the " +
+    "output as its own community with e_c = d_c = 0 and q_contrib = 0") {
+    val ns = Seq("a1", "a2", "a3", "lone").toDF("node")
+    val edges = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"))
+      .toDF("src", "dst")
+    val got = Graph.louvain(ns, edges).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size == 4, got.keys.mkString(","))
+    val lone = got("lone")
+    assert(lone.getString(2) == "lone" && lone.getLong(3) == 0L
+      && lone.getLong(4) == 0L && lone.getDouble(5) == 0.0,
+      lone.mkString(","))
+    // the connected triangle is unaffected by the isolated node
+    val tri = Set("a1", "a2", "a3").map(got(_).getString(2))
+    assert(tri.size == 1 && got("a1").getLong(3) == 3L)
+  }
+
   test("louvain: a single-edge pair MERGES — the singleton-swap guard " +
     "lets exactly one side move instead of livelocking") {
     val ns = Seq("u", "v").toDF("node")

@@ -337,6 +337,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(top._2 == 999999L && top._3 == 1.0, got.mkString(", "))
   }
 
+  test("ivfPqDeltaMerge fails loudly when a delta vec_id already exists " +
+    "in the base — an overlap would double-post in the merged index") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val v0 = e.filter(col("vec_id") === 0)
+    val overlapping = e.filter(col("vec_id") < 3) // ids 0,1,2 ∈ base
+    val ex = intercept[Exception] {
+      Similarity.ivfPqDeltaMerge(e, overlapping, v0, 5).collect()
+    }
+    assert(ex.getMessage.contains("disjoint ids"), ex.getMessage)
+  }
+
   test("ivfPqDeleteServe: a tombstoned exact twin NEVER surfaces in " +
     "results — the pruned index serves k survivors instead") {
     import org.apache.spark.sql.functions._
