@@ -48,13 +48,19 @@ object Bench {
             s"bad shuffle override '$kv': N must be a positive int")
           parts(0).trim -> parts(1).trim
         }.toMap).getOrElse(Map.empty)
+    // retired rows (BASELINE.md tier policy) run only when explicitly
+    // named — a default full run measures the active wall alone
+    val benchable = Queries.benchNames ++ Queries.retiredBenchNames
     only.foreach { ns =>
-      val unknown = ns -- Queries.benchNames.toSet
+      val unknown = ns -- benchable.toSet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in benchNames: ${unknown.mkString(", ")}")
     }
-    val names = Queries.benchNames.filter(SparkEntry.queries.contains)
-      .filter(n => only.forall(_.contains(n)))
+    val names = benchable.filter(SparkEntry.queries.contains)
+      .filter(n => only match {
+        case Some(sel) => sel.contains(n)
+        case None      => !Queries.retiredBenchNames.contains(n)
+      })
     // warm every query shape at the smallest SF first: moves Janino codegen
     // compilation + JIT out of the measured runs (steady-state throughput is
     // what the 100 TB story depends on, not per-plan compile time)
@@ -163,7 +169,7 @@ object Bench {
     // per-query map misleads consumers that sum it (ADVICE r12); the full
     // map lives in the long line above and in the file below.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"reruns":$reruns,"n_queries":${results.size},"compact":true,"full_artifact":"see docs/bench (SPARK_GRAFT_BENCH_OUT) for the per-query map","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"reruns":$reruns,"n_queries":${results.size},"compact":true,"full_artifact":"see docs/bench (SPARK_GRAFT_BENCH_OUT) for the per-query map","operative_quiet":"if this run's quality is contended, the operative number is the committed docs/bench/bench_r{N}_quiet.json named in BASELINE.md's current round section","sf":"$sfDir"}"""
     println(compact)
     // stdout through sbt is interleaved with log spew and can truncate —
     // also persist the full machine-readable artifact to a file.

@@ -24,12 +24,16 @@ object ExplainDump {
     // unknown names fail loudly rather than silently writing nothing
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchable = Queries.benchNames ++ Queries.retiredBenchNames
     only.foreach { names =>
-      val unknown = names -- Queries.benchNames.toSet
+      val unknown = names -- benchable.toSet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in Queries.benchNames: ${unknown.mkString(", ")}")
     }
-    Queries.benchNames.filter(n => only.forall(_.contains(n))).foreach { name =>
+    benchable.filter(n => only match {
+      case Some(sel) => sel.contains(n)
+      case None      => !Queries.retiredBenchNames.contains(n)
+    }).foreach { name =>
       val df = Queries.all(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
       val formatted = df.queryExecution.explainString(
