@@ -768,10 +768,27 @@ object Dedup {
     val hits = (if (keepFirst) hitOcc.filter(col("doc_id") =!= col("keeper"))
                 else hitOcc)
       .groupBy(col("doc_id")).agg(collect_set(col("i")).as("hit_i"))
-    val covered = (p: Column) => exists(col("hit_i"),
-      h => p >= h && p <= h + lit(k - 1))
-    val kept = filter(transform(sequence(lit(1), size(col("tk"))),
-      p => p.cast("int")), p => !covered(p))
+    // The cut: surviving positions are the GAPS between the sorted hit
+    // spans — one ordered walk carrying a cursor (first position not yet
+    // covered), emitting [cursor, h-1] before each hit and advancing the
+    // cursor past the span's end. O(hits + kept) per row where the naive
+    // per-position `exists` over hit_i is O(tokens × hits) — on the
+    // boilerplate-heavy doc this operator targets (hits ≈ tokens) that
+    // was quadratic in doc length. Same kept set: a position survives
+    // iff no hit h has h <= p <= h+k-1, which is exactly "p sits in a
+    // gap of the sorted span union".
+    val seqIf = (a: Column, b: Column) =>
+      when(a <= b, sequence(a, b)).otherwise(array().cast("array<int>"))
+    val kept = aggregate(
+      array_sort(col("hit_i")),
+      struct(lit(1).cast("int").as("cur"),
+        array().cast("array<int>").as("keep")),
+      (acc, h) => struct(
+        greatest(acc.getField("cur"), (h + lit(k)).cast("int")).as("cur"),
+        concat(acc.getField("keep"),
+          seqIf(acc.getField("cur"), h - 1)).as("keep")),
+      acc => concat(acc.getField("keep"),
+        seqIf(acc.getField("cur"), size(col("tk")).cast("int"))))
     documents.select(col("doc_id"), toks.as("tk"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("tk"),

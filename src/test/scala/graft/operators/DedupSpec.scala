@@ -97,6 +97,49 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("removeDupSpans: dense overlapping hits (boilerplate-heavy doc — " +
+    "hits at nearly every position) excise correctly via the gap walk") {
+    // three identical 200-token docs: EVERY span is repeated (minDocs=3
+    // met), so every position is covered and the docs clean to '' —
+    // the hits≈tokens shape the interval walk exists for
+    val body = (1 to 200).map(i => s"w$i").mkString(" ")
+    val dense = docsDF(1L -> body, 2L -> body, 3L -> body,
+      // doc 4 shares ONLY tokens 50..80 of the body (one interior run):
+      // the gap walk must emit prefix [1..11] and suffix gap correctly
+      4L -> (s"a b c d e f g h i j k " +
+        (50 to 80).map(i => s"w$i").mkString(" ") + " x y z q r s t u v"))
+    val got = Dedup.removeDupSpans(dense, k = 8, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (1L to 3L).foreach { id =>
+      val r = got(id)
+      assert(r.getLong(3) == 200L && r.getString(6) == "", r.mkString(","))
+    }
+    // doc 4: only 3 docs carry the w50..w80 spans' digests? no — doc 4's
+    // interior spans ARE the body's spans w50..w57 ... w73..w80 (pure
+    // w-runs of length 8), each present in docs 1,2,3,4 → df=4 ≥ 3, so
+    // tokens w50..w80 are cut; the a..k prefix and x..v suffix survive
+    val r4 = got(4L)
+    val cleaned = r4.getString(6)
+    assert(cleaned == "a b c d e f g h i j k x y z q r s t u v", cleaned)
+    assert(r4.getLong(3) == 31L, r4.mkString(","))
+  }
+
+  test("removeDupSpans: overlapping hit spans MERGE in the walk — " +
+    "coverage equals the union, cursor never steps backwards") {
+    // docs 1-3 share two OVERLAPPING 8-token spans (positions 1 and 4 in
+    // doc 1): union covers tokens 1..11, tokens 12.. survive
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11"
+    val d = docsDF(
+      1L -> (shared + " tail1 tail2 tail3"),
+      2L -> (shared + " other tokens here entirely different ones"),
+      3L -> (shared + " third doc padding words distinct again"))
+    val got = Dedup.removeDupSpans(d, k = 8, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(6) == "tail1 tail2 tail3",
+      got(1L).mkString(","))
+    assert(got(1L).getLong(3) == 11L)
+  }
+
   test("exactByDigest: carries travel as ONE representative row (min " +
     "doc_id), not per-column minima mixed across source rows") {
     import org.apache.spark.sql.functions.col
