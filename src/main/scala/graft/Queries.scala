@@ -3445,6 +3445,184 @@ object Queries {
        |       CAST(sum(chars_removed) AS BIGINT) AS sum_chars_removed
        |FROM ded""".stripMargin
 
+  /** RELEASE1 — the WHOLE training-data release as one oracle-checked
+    * plan, the artifact a 100 TB pipeline actually ships: curation
+    * (prep3's full line: quality gate → exact dedup → near-dup CC
+    * keep-best → keep-first span surgery) → temperature mixing over the
+    * curated sources (mix3, τ=0.5 — no source dropped) → GROUP-leakage-
+    * safe split on source (smp5: a source's near-duplicates can never
+    * straddle the eval boundary) → epoch-salted sequence packing of the
+    * train stream (pack1: concat-and-cut at 512, 8 shards) → the
+    * per-split dataset card. Every stage is an operator the suite
+    * verifies (and mostly benches) individually; this entry pins their
+    * COMPOSITION against one DuckDB re-derivation of the whole line.
+    *
+    * Output: one row per split — docs, cleaned-token mass, distinct
+    * sources, exact-decimal mean quality, and for the train split the
+    * packed-sequence count (Σ_shards ⌈shard tokens / 512⌉) and the
+    * straddling-doc count a loader needs for attention masking.
+    *
+    * Scale shape: adds NO exchange the stages don't have — the curation
+    * exchanges are prep3's verbatim; mix thresholds derive from a
+    * vocabulary-sized source rollup broadcast back; the split is a pure
+    * projection; packing is pack1's one shard exchange + per-shard
+    * window restricted to train; the card is one grouped aggregate.
+    * Verify-tier by the BASELINE.md wall rule (every stage already has
+    * its own bench row). */
+  val release1TrainingRelease: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // stage 1 — curation (prep3), carrying source through for the mix
+    val ok = docs.filter(corpusReasonExpr === "ok")
+      .select(col("doc_id"), col("text"), col("source"),
+        TextAnalysis.qualityExpr.as("quality"))
+    val exact = Dedup.exactByDigest(ok, col("text"),
+        carry = Seq("text", "source", "quality"))
+      .select(col("doc_id"), col("text"), col("source"), col("quality"))
+    val clusters = Dedup.duplicateClusters(
+      Dedup.ngramJaccardPairs(exact, 3, 0.6))
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val losers = clusters.join(exact.select(col("doc_id"), col("quality")),
+        Seq("doc_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") > 1)
+      .select(col("doc_id"))
+    val surv = exact.join(losers, Seq("doc_id"), "left_anti")
+    val curated = Dedup.removeDupSpans(
+        surv.select(col("doc_id"), col("text")), k = 8, minDocs = 2,
+        keepFirst = true)
+      .select(col("doc_id"),
+        (col("n_tokens") - col("n_removed")).as("n_tok"))
+      .join(surv.select(col("doc_id"), col("source"), col("quality")),
+        Seq("doc_id"))
+    // stage 2 — temperature mix (τ=0.5) over the CURATED source counts
+    val mixed = graft.operators.Sampling.temperatureMix(curated,
+      col("source"), col("doc_id"), tau = 0.5)
+    // stage 3 — group-leakage-safe split keyed on source
+    val split = graft.operators.Sampling.datasetSplit(mixed, col("source"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // stage 4 — pack the train stream (epoch-salted order, concat-and-cut)
+    val packed = graft.operators.Sampling.packSequences(
+      split.filter(col("split") === "train"), col("doc_id"), col("n_tok"),
+      capacity = 512, shards = 8)
+    val perShard = packed.groupBy(col("shard"))
+      .agg(sum(col("n_tok")).as("t"),
+        sum(col("straddles").cast("long")).as("st"))
+    // ⌈t/512⌉ via subtract-mod (exact in long space; ANSI-safe)
+    val ceilSeqs = (col("t") + lit(511L) - pmod(col("t") + lit(511L),
+      lit(512L))) / 512L
+    val pk = perShard.agg(
+      coalesce(sum(ceilSeqs.cast("long")), lit(0L)).as("n_train_seqs"),
+      coalesce(sum(col("st")), lit(0L)).as("n_train_straddling"))
+    // stage 5 — the dataset card, one row per split
+    split.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        count_distinct(col("source")).as("n_sources"),
+        portableRound(
+          sum(col("quality").cast("decimal(18,4)")).cast("double")
+            / count(lit(1)), 4).as("mean_quality"))
+      .crossJoin(broadcast(pk))
+      .select(col("split"), col("n_docs"), col("sum_tokens"),
+        col("n_sources"), col("mean_quality"),
+        when(col("split") === "train", col("n_train_seqs"))
+          .otherwise(lit(0L)).as("n_seqs"),
+        when(col("split") === "train", col("n_train_straddling"))
+          .otherwise(lit(0L)).as("n_straddling"))
+      .orderBy(col("split"))
+  }
+
+  // lazy: interpolates corpusSignalsCteSql/corpusReasonSql (defined later
+  // in the file — the prep2 val-order trap)
+  lazy val release1TrainingReleaseSql: String = {
+    val shardE = md5BucketSql("'pack0-sh:' || CAST(doc_id AS VARCHAR)", 8)
+    val ordE = md5BucketSql("'pack0-ord:' || CAST(doc_id AS VARCHAR)", 100000000)
+    val splitE = md5BucketSql("CAST(source AS VARCHAR)")
+    val mixE = md5BucketSql("CAST(c.doc_id AS VARCHAR)")
+    val curation = s"""kept AS (SELECT b.doc_id, b.text, b.quality, dd.source
+       |        FROM b JOIN documents dd USING (doc_id)
+       |        WHERE $corpusReasonSql = 'ok'),
+       |ded AS MATERIALIZED (SELECT min(doc_id) AS doc_id, min(text) AS text,
+       |               arg_min(quality, doc_id) AS quality,
+       |               arg_min(source, doc_id) AS source
+       |        FROM kept GROUP BY md5(text)),
+       |tkr AS (SELECT doc_id, string_split(text, ' ') AS t FROM ded),
+       |shr AS (SELECT doc_id,
+       |          list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                         FOR i IN RANGE(1, len(t) - 1)]) AS s
+       |        FROM tkr WHERE len(t) >= 3),
+       |szr AS (SELECT doc_id, len(s) AS n_sh FROM shr),
+       |exr AS (SELECT doc_id, unnest(s) AS sg FROM shr),
+       |prr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |        FROM exr a JOIN exr b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |jr AS (SELECT a_id, b_id,
+       |          floor((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)) * 10000 + 0.5) / 10000 AS jac
+       |       FROM prr
+       |       JOIN szr na ON na.doc_id = a_id
+       |       JOIN szr nb ON nb.doc_id = b_id),
+       |egr AS (SELECT a_id AS s, b_id AS d FROM jr WHERE jac > 0.6
+       |        UNION ALL
+       |        SELECT b_id AS s, a_id AS d FROM jr WHERE jac > 0.6),
+       |ndr AS (SELECT DISTINCT s AS node FROM egr),
+       |reachr(node, lab) AS (
+       |  SELECT node, node FROM ndr
+       |  UNION
+       |  SELECT e.d, r.lab FROM reachr r JOIN egr e ON e.s = r.node),
+       |labr AS (SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
+       |         FROM reachr GROUP BY node),
+       |losr AS (SELECT doc_id FROM (
+       |           SELECT l.doc_id,
+       |                  row_number() OVER (PARTITION BY l.cluster_rep
+       |                    ORDER BY d.quality DESC, l.doc_id) AS rn
+       |           FROM labr l JOIN ded d USING (doc_id)) WHERE rn > 1),
+       |src AS (SELECT doc_id, text FROM ded
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM losr))""".stripMargin
+    corpusSignalsCteSql.replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" +
+      curation + ",\n" +
+      spanRemovalCtes("src", minDocs = 2, keepFirst = true) +
+      s""",
+       |curated AS (SELECT c.doc_id, CAST(len(c.kept) AS BIGINT) AS n_tok,
+       |                   d2.source, d2.quality
+       |            FROM cl12 c JOIN ded d2 USING (doc_id)),
+       |cnt AS (SELECT source AS msrc, CAST(count(*) AS DOUBLE) AS n
+       |        FROM curated GROUP BY 1),
+       |wts AS (SELECT msrc, n, sqrt(n) AS w FROM cnt),
+       |mcap AS (SELECT min(n / w) AS cp FROM wts),
+       |mr AS (SELECT msrc, CAST(floor(cp * w / n * 10000 + 0.5) AS BIGINT) AS thresh
+       |       FROM wts CROSS JOIN mcap),
+       |mixed AS (SELECT c.* FROM curated c JOIN mr ON c.source = mr.msrc
+       |          WHERE $mixE < mr.thresh),
+       |sp AS (SELECT *, CASE WHEN $splitE < 8000 THEN 'train'
+       |                      WHEN $splitE < 9000 THEN 'val'
+       |                      ELSE 'test' END AS split
+       |       FROM mixed),
+       |pt AS (SELECT doc_id, n_tok,
+       |         CAST($shardE AS BIGINT) AS shard,
+       |         CAST($ordE AS BIGINT) AS ord
+       |       FROM sp WHERE split = 'train'),
+       |pw AS (SELECT shard, n_tok,
+       |         CAST(COALESCE(sum(n_tok) OVER (sh ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                        AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |       FROM pt WINDOW sh AS (PARTITION BY shard ORDER BY ord, doc_id)),
+       |ps AS (SELECT shard, CAST(sum(n_tok) AS BIGINT) AS t,
+       |         CAST(sum(CASE WHEN (start_tok + n_tok - 1) // 512 > start_tok // 512
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS st
+       |       FROM pw GROUP BY 1),
+       |pk AS (SELECT COALESCE(CAST(sum((t + 511) // 512) AS BIGINT), 0) AS n_train_seqs,
+       |              COALESCE(CAST(sum(st) AS BIGINT), 0) AS n_train_straddling
+       |       FROM ps),
+       |card AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       |           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |           floor((CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS mean_quality
+       |         FROM sp GROUP BY 1)
+       |SELECT card.split, n_docs, sum_tokens, n_sources, mean_quality,
+       |       CASE WHEN card.split = 'train' THEN n_train_seqs ELSE 0 END AS n_seqs,
+       |       CASE WHEN card.split = 'train' THEN n_train_straddling ELSE 0 END AS n_straddling
+       |FROM card CROSS JOIN pk
+       |ORDER BY card.split""".stripMargin
+  }
+
   /** EMB4 — matryoshka truncation recall: how much of the exact 64-dim
     * cosine top-5 survives when the index stores only the first 16 dims —
     * the storage/recall trade every truncated-embedding deployment
@@ -9208,6 +9386,7 @@ object Queries {
     "d13_span_keep_first" -> d13SpanKeepFirst,
     "prep2_span_clean" -> prep2SpanClean,
     "prep3_full_curation" -> prep3FullCuration,
+    "release1_training_release" -> release1TrainingRelease,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecall,
     "ml4_cv" -> ml4Cv,
     "fd1_functional_deps" -> fd1FunctionalDeps,
@@ -9495,6 +9674,7 @@ object Queries {
     "d13_span_keep_first" -> d13SpanKeepFirstSql,
     "prep2_span_clean" -> prep2SpanCleanSql,
     "prep3_full_curation" -> prep3FullCurationSql,
+    "release1_training_release" -> release1TrainingReleaseSql,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecallSql,
     "ml4_cv" -> ml4CvSql,
     "fd1_functional_deps" -> fd1FunctionalDepsSql,
