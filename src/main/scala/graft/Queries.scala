@@ -2789,6 +2789,95 @@ object Queries {
        |FROM b""".stripMargin
   }
 
+  /** II2 — POSITIONAL inverted-index build: ii1's d-gap/varint byte
+    * model extended with within-document position lists (the Lucene prx
+    * stream), reporting per term the doc-gap cost, the position cost,
+    * and the measured `fatten_ratio` the positions add to the postings
+    * exchange. The structure phr1's phrase/proximity leg queries.
+    * See [[graft.operators.Retrieval.positionalIndexStats]]. */
+  val ii2PositionalIndex: Q = (s, d) =>
+    graft.operators.Retrieval.positionalIndexStats(Tables.documents(s, d))
+
+  val ii2PositionalIndexSql: String = {
+    val vb = (g: String) =>
+      s"""CASE WHEN $g < 128 THEN 1 WHEN $g < 16384 THEN 2
+         |     WHEN $g < 2097152 THEN 3 WHEN $g < 268435456 THEN 4
+         |     ELSE 5 END""".stripMargin
+    val gb = (xs: String) =>
+      s"""CAST(list_sum([${vb(s"(CASE WHEN i = 1 THEN $xs[1] ELSE $xs[i] - $xs[i-1] END)")}
+         |     FOR i IN RANGE(1, len($xs) + 1)]) AS BIGINT)""".stripMargin
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pos AS (SELECT doc_id, u.p AS p, u.term AS term FROM (
+       |          SELECT doc_id,
+       |                 unnest([{'p': i, 'term': t[i]} FOR i IN RANGE(1, len(t) + 1)]) AS u
+       |          FROM tk)),
+       |td AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       |         list_sort(list(p)) AS ps
+       |       FROM pos GROUP BY 1, 2),
+       |tb AS (SELECT term, doc_id, tf, ${gb("ps")} AS pos_bytes FROM td),
+       |p AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |        CAST(sum(tf) AS BIGINT) AS cf,
+       |        list_sort(list(doc_id)) AS ds,
+       |        CAST(sum(pos_bytes) AS BIGINT) AS bytes_pos
+       |      FROM tb GROUP BY term),
+       |b AS (SELECT term, df, cf, ${gb("ds")} AS bytes_docs, bytes_pos
+       |      FROM p WHERE df >= 5)
+       |SELECT term, df, cf, bytes_docs, bytes_pos,
+       |       bytes_docs + bytes_pos AS bytes_total,
+       |       floor(CAST(bytes_docs + bytes_pos AS DOUBLE) / CAST(bytes_docs AS DOUBLE) * 1000000 + 0.5) / 1000000 AS fatten_ratio
+       |FROM b""".stripMargin
+  }
+
+  /** PHR1 — phrase + proximity retrieval over positional postings: the
+    * query is the corpus's top trigram (derived in-plan — deterministic
+    * and non-empty at every SF); per document containing all three
+    * terms, the exact phrase-occurrence count (positions align p, p+1,
+    * p+2), the minimal token window containing the first two terms
+    * (merge-walk proximity), and the phrase-match verdict. The standard
+    * retrieval capability bag-of-words BM25 (t12) cannot express.
+    * See [[graft.operators.Retrieval.phraseSearch]]. */
+  val phr1PhraseSearch: Q = (s, d) =>
+    graft.operators.Retrieval.phraseSearch(Tables.documents(s, d))
+
+  val phr1PhraseSearchSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pos AS (SELECT doc_id, u.p AS p, u.term AS term FROM (
+       |          SELECT doc_id,
+       |                 unnest([{'p': i, 'term': t[i]} FOR i IN RANGE(1, len(t) + 1)]) AS u
+       |          FROM tk)),
+       |tg AS (SELECT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                      FOR i IN RANGE(1, len(t) - 1)]) AS sg
+       |       FROM tk WHERE len(t) >= 3),
+       |top AS (SELECT string_split(sg, ' ') AS q FROM (
+       |          SELECT sg, count(*) AS n FROM tg GROUP BY 1
+       |          ORDER BY n DESC, sg LIMIT 1)),
+       |ph AS (SELECT q[1] AS t1, q[2] AS t2, q[3] AS t3 FROM top),
+       |cand AS (SELECT doc_id,
+       |           CAST(count(CASE WHEN term = t1 THEN 1 END) AS BIGINT) AS tf1,
+       |           CAST(count(CASE WHEN term = t2 THEN 1 END) AS BIGINT) AS tf2,
+       |           CAST(count(CASE WHEN term = t3 THEN 1 END) AS BIGINT) AS tf3
+       |         FROM pos CROSS JOIN ph GROUP BY doc_id
+       |         HAVING tf1 > 0 AND tf2 > 0 AND tf3 > 0),
+       |pc AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS phrase_count
+       |       FROM pos a CROSS JOIN ph
+       |       JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.term = ph.t2
+       |       JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2 AND c.term = ph.t3
+       |       WHERE a.term = ph.t1
+       |       GROUP BY 1),
+       |mw AS (SELECT a.doc_id, CAST(min(abs(a.p - b.p)) + 1 AS BIGINT) AS min_window
+       |       FROM pos a CROSS JOIN ph
+       |       JOIN pos b ON b.doc_id = a.doc_id AND b.term = ph.t2
+       |       WHERE a.term = ph.t1
+       |       GROUP BY 1)
+       |SELECT c.doc_id, ph.t1, ph.t2, ph.t3, c.tf1, c.tf2, c.tf3,
+       |       COALESCE(pc.phrase_count, 0) AS phrase_count,
+       |       mw.min_window,
+       |       COALESCE(pc.phrase_count, 0) > 0 AS is_phrase_match
+       |FROM cand c CROSS JOIN ph
+       |LEFT JOIN pc ON pc.doc_id = c.doc_id
+       |JOIN mw ON mw.doc_id = c.doc_id
+       |ORDER BY phrase_count DESC, min_window, c.doc_id""".stripMargin
+
   val rrf1HybridFusion: Q = (s, d) => {
     val sparse = graft.operators.Retrieval.topKRanks(
       TextAnalysis.bm25(Tables.documents(s, d)),
@@ -9418,6 +9507,8 @@ object Queries {
     "ivf1_index_delta" -> ivf1IndexDelta,
     "ivf2_index_delete" -> ivf2IndexDelete,
     "ii1_inverted_index" -> ii1InvertedIndex,
+    "ii2_positional_index" -> ii2PositionalIndex,
+    "phr1_phrase_search" -> phr1PhraseSearch,
     "gbt1_boosted_stumps" -> gbt1BoostedStumps,
     "als1_factorization" -> als1Factorization,
     "iso1_isotonic_calibration" -> iso1IsotonicCalibration,
@@ -9704,6 +9795,8 @@ object Queries {
     "ivf1_index_delta" -> ivf1IndexDeltaSql,
     "ivf2_index_delete" -> ivf2IndexDeleteSql,
     "ii1_inverted_index" -> ii1InvertedIndexSql,
+    "ii2_positional_index" -> ii2PositionalIndexSql,
+    "phr1_phrase_search" -> phr1PhraseSearchSql,
     "gbt1_boosted_stumps" -> gbt1BoostedStumpsSql,
     "als1_factorization" -> als1FactorizationSql,
     "iso1_isotonic_calibration" -> iso1IsotonicCalibrationSql,
@@ -9785,7 +9878,8 @@ object Queries {
     "ridge1_normal_eq", "hw1_holt_trend", "fa1_forecast_accuracy", "bf1_file_bloom",
     "doremi1_domain_weights", "st16_stream_holt", "st17_stream_cusum", "pq1_product_quantize",
     "pq2_adc_search", "pq2_production",
-    "ii1_inverted_index", "gbt1_boosted_stumps", "als1_factorization",
+    "ii1_inverted_index", "ii2_positional_index",
+    "gbt1_boosted_stumps", "als1_factorization",
     "iso1_isotonic_calibration", "ts3_theil_sen", "logrank1_survival_test",
     "bfs1_shortest_paths", "att1_position_attribution", "dtw1_series_align",
     "hits1_hubs_auth", "mod1_modularity", "louv1_local_move", "louv2_coarsen",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Rank-list fusion for hybrid retrieval — combining a lexical arm (BM25,
@@ -87,6 +87,139 @@ object Retrieval {
     * index build (real deployments shard hot terms' postings by doc
     * range; the per-(term, shard) shape is identical). `minDf` keeps the
     * report vocabulary-bounded. */
+  /** POSITIONAL inverted-index build — [[invertedIndexStats]]' model
+    * extended with within-document position lists, the structure
+    * phrase/proximity retrieval ([[phraseSearch]]) requires and
+    * bag-of-words scoring (t12 BM25) does not. Per term: df, cf, the
+    * doc-gap byte cost (ii1's exact model), the POSITION byte cost
+    * (per document: first position absolute, then d-gaps, same varint
+    * ladder — the Lucene-style prx stream), their total, and
+    * `fatten_ratio` = total/doc-gaps — the measured factor by which
+    * storing positions fattens the postings exchange.
+    *
+    * Exactness: pure integer byte algebra; only `fatten_ratio` divides,
+    * snapped to 1e-6.
+    *
+    * Scale shape: ONE (term, doc) aggregation now additionally carries
+    * each posting's position list (bounded by the doc's own tf — this
+    * is the honest fattening the ratio column measures), then one
+    * term-keyed rollup; position byte costs fold per (term, doc) BEFORE
+    * the term rollup, so the second exchange carries one long per
+    * posting, not the positions. */
+  def positionalIndexStats(documents: DataFrame, minDf: Long = 5): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val vbyte = (g: Column) => when(g < 128L, 1L).when(g < 16384L, 2L)
+      .when(g < 2097152L, 3L).when(g < 268435456L, 4L).otherwise(5L)
+    // exact varint cost of a sorted BIGINT list under first-absolute +
+    // d-gap encoding
+    val gapBytes = (xs: Column) => aggregate(
+      transform(sequence(lit(1), size(xs)), i =>
+        when(i === 1, element_at(xs, 1))
+          .otherwise(element_at(xs, i) - element_at(xs, i - 1))),
+      lit(0L), (acc, g) => acc + vbyte(g))
+    val tp = documents
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "term")))
+      .select(col("doc_id"), col("term"),
+        (col("p0") + 1).cast("long").as("p"))
+    val td = tp.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p"))).as("ps"))
+      .withColumn("pos_bytes", gapBytes(col("ps")))
+    td.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        sort_array(collect_list(col("doc_id"))).as("ds"),
+        sum(col("pos_bytes")).as("bytes_pos"))
+      .filter(col("df") >= minDf)
+      .withColumn("bytes_docs", gapBytes(col("ds")))
+      .select(col("term"), col("df"), col("cf"),
+        col("bytes_docs"), col("bytes_pos"),
+        (col("bytes_docs") + col("bytes_pos")).as("bytes_total"),
+        (floor((col("bytes_docs") + col("bytes_pos")).cast("double")
+          / col("bytes_docs").cast("double") * 1000000.0 + 0.5) / 1000000.0)
+          .as("fatten_ratio"))
+  }
+
+  /** Phrase + proximity retrieval over positional postings — the query
+    * leg [[positionalIndexStats]] builds for. The query phrase is the
+    * corpus's TOP trigram (count desc, lexicographic tiebreak — derived
+    * IN-PLAN, so the query is deterministic and non-empty at every SF);
+    * for every document containing all three terms: the per-term tfs,
+    * `phrase_count` (positions align: p, p+1, p+2 — exact phrase
+    * occurrences), `min_window` (the smallest token span containing an
+    * occurrence of BOTH of the first two terms, the classic proximity
+    * score), and the `is_phrase_match` verdict. If the phrase repeats a
+    * term, its postings serve both slots (so a self-pair gives
+    * min_window = 1) — the oracle's join semantics, mirrored.
+    *
+    * Scale shape: the trigram argmax is one map-side-combinable count +
+    * a TakeOrdered(1); the 1-row phrase BROADCASTS and prunes the token
+    * stream to the three query terms before any aggregation (the
+    * postings fetch — at 100 TB this is the index seek, here the
+    * broadcast-filtered scan); all scoring is in-row on doc-bounded
+    * position lists — phrase alignment via membership tests, proximity
+    * via ONE sorted merge walk (O(|p1|+|p2|), not the |p1|·|p2| pair
+    * enumeration). No corpus-sized collect, no global sort. */
+  def phraseSearch(documents: DataFrame): DataFrame = {
+    val phrase = Dedup.shingleStream(documents, 3, distinctPerDoc = false)
+      .groupBy(col("sg")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("sg").asc).limit(1)
+      .select(split(col("sg"), " ").as("q"))
+      .select(element_at(col("q"), 1).as("t1"),
+        element_at(col("q"), 2).as("t2"), element_at(col("q"), 3).as("t3"))
+    val tp = documents
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "term")))
+      .select(col("doc_id"), col("term"),
+        (col("p0") + 1).cast("long").as("p"))
+    val perDoc = tp.crossJoin(broadcast(phrase))
+      .filter(col("term") === col("t1") || col("term") === col("t2")
+        || col("term") === col("t3"))
+      .groupBy(col("doc_id"), col("t1"), col("t2"), col("t3"))
+      .agg(
+        sort_array(collect_list(when(col("term") === col("t1"), col("p"))))
+          .as("p1"),
+        sort_array(collect_list(when(col("term") === col("t2"), col("p"))))
+          .as("p2"),
+        sort_array(collect_list(when(col("term") === col("t3"), col("p"))))
+          .as("p3"))
+      .filter(size(col("p1")) > 0 && size(col("p2")) > 0
+        && size(col("p3")) > 0)
+    val phraseCount = size(filter(col("p1"), a =>
+      array_contains(col("p2"), a + 1) && array_contains(col("p3"), a + 2)))
+    // proximity: one walk over the tag-merged sorted position stream,
+    // carrying the last-seen position of each term and the best gap
+    val tagged = array_sort(concat(
+      transform(col("p1"), a => struct(a.as("p"), lit(1).as("w"))),
+      transform(col("p2"), b => struct(b.as("p"), lit(2).as("w")))))
+    val sentinel = Long.MaxValue
+    val minWindow = aggregate(tagged,
+      struct(lit(null).cast("long").as("l1"), lit(null).cast("long").as("l2"),
+        lit(sentinel).as("best")),
+      (acc, x) => {
+        val p = x.getField("p"); val w = x.getField("w")
+        val best = least(acc.getField("best"),
+          when(w === 2 && acc.getField("l1").isNotNull,
+            p - acc.getField("l1")),
+          when(w === 1 && acc.getField("l2").isNotNull,
+            p - acc.getField("l2")))
+        struct(when(w === 1, p).otherwise(acc.getField("l1")).as("l1"),
+          when(w === 2, p).otherwise(acc.getField("l2")).as("l2"),
+          best.as("best"))
+      },
+      acc => acc.getField("best") + 1L)
+    perDoc
+      .select(col("doc_id"), col("t1"), col("t2"), col("t3"),
+        size(col("p1")).cast("long").as("tf1"),
+        size(col("p2")).cast("long").as("tf2"),
+        size(col("p3")).cast("long").as("tf3"),
+        phraseCount.cast("long").as("phrase_count"),
+        minWindow.as("min_window"))
+      .withColumn("is_phrase_match", col("phrase_count") > 0)
+      .orderBy(col("phrase_count").desc, col("min_window").asc,
+        col("doc_id").asc)
+  }
+
   def invertedIndexStats(documents: DataFrame, minDf: Long = 5): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     val td = documents

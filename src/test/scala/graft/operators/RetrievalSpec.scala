@@ -78,4 +78,73 @@ class RetrievalSpec extends SparkTestBase {
     val best = fix.maxBy(_.getLong(1))
     assert(best.getDouble(7) <= fix.map(_.getDouble(7)).sum / fix.length)
   }
+
+  test("positionalIndexStats: hand-computed doc-gap + position-gap bytes " +
+    "and fatten ratio") {
+    import spark.implicits._
+    // term "x" in doc 1 at positions [1, 3, 300]: pos bytes = v(1)+v(2)
+    //   +v(297) = 1+1+2 = 4; doc 2 at [1]: 1; doc 130 at [1]: 1 → 6
+    // doc gaps [1, 1, 128] → 1+1+2 = 4 (ii1's number)
+    val pad = (4 to 299).map(_ => "f").mkString(" ")
+    val tiny = Seq((1L, s"x y x $pad x"), (2L, "x a b"), (130L, "x c d"),
+      (5L, "y"), (6L, "y"), (300L, "y"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.positionalIndexStats(tiny, minDf = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    // (df, cf, bytes_docs, bytes_pos, bytes_total, fatten_ratio)
+    assert(got("x") == ((3L, 5L, 4L, 6L, 10L, 2.5)), got.toString)
+    // y: docs [1, 5, 6, 300] (doc 1 has y at pos 2) → doc gaps
+    // [1,4,1,294] = 1+1+1+2 = 5 bytes; pos bytes 1 per doc → 4
+    assert(got("y") == ((4L, 4L, 5L, 4L, 9L, 1.8)), got.toString)
+    // fixture invariants: positions always fatten (ratio > 1), cf bounds
+    // the position-byte cost (1..5 bytes per occurrence)
+    val fix = Retrieval.positionalIndexStats(
+      graft.Tables.documents(spark, sf0001)).collect()
+    assert(fix.nonEmpty)
+    fix.foreach { r =>
+      val (df, cf, bd, bp, bt, ratio) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(cf >= df && bt == bd + bp)
+      assert(bp >= cf && bp <= 5 * cf, s"term ${r.getString(0)}")
+      assert(ratio > 1.0)
+    }
+  }
+
+  test("phraseSearch: exact alignment counts, merge-walk min window, " +
+    "and the in-plan top-trigram query") {
+    import spark.implicits._
+    // make "p q r" the unambiguous top trigram (4 occurrences); doc 40
+    // has both query terms far apart and NO phrase
+    val docs = Seq(
+      (10L, "p q r z p q r"),          // 2 aligned occurrences
+      (20L, "p q r a b c"),            // 1 occurrence
+      (30L, "z p q r y"),              // 1 occurrence
+      (40L, "p z z q z r z z p"),      // all terms, no alignment
+      (50L, "q r p"))                  // all terms, wrong order
+      .toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(10L, 20L, 30L, 40L, 50L), got.keySet.toString)
+    val r10 = got(10L)
+    assert((r10.getString(1), r10.getString(2), r10.getString(3))
+      == (("p", "q", "r")))
+    assert(r10.getLong(7) == 2L && r10.getBoolean(9), r10.mkString(","))
+    // doc 10 min window of (p, q): positions p=[1,5], q=[2,6] → 2
+    assert(r10.getLong(8) == 2L)
+    // doc 40: p=[1,9], q=[4] → closest pair |4-1|=3 → window 4; no phrase
+    val r40 = got(40L)
+    assert(r40.getLong(7) == 0L && !r40.getBoolean(9), r40.mkString(","))
+    assert(r40.getLong(8) == 4L)
+    // doc 50 "q r p": q=[1], p=[3] → window 3, phrase impossible
+    assert(got(50L).getLong(8) == 3L && got(50L).getLong(7) == 0L)
+    // output order: phrase_count desc, then min_window, then doc_id —
+    // doc 10 first
+    val order = Retrieval.phraseSearch(docs).collect().map(_.getLong(0))
+    assert(order.head == 10L, order.mkString(","))
+    // layout stability: same result after repartitioning
+    val r2 = Retrieval.phraseSearch(docs.repartition(7)).collect()
+      .map(_.mkString(",")).toSet
+    assert(r2 == got.values.map(_.mkString(",")).toSet)
+  }
 }
