@@ -7517,6 +7517,48 @@ object Queries {
 
   val pq2ProductionGateSql: String = sim2ProductionGateSql
 
+  /** PQ3 — batch retrieval on the PQ index via the LINEAR route: the
+    * same corpus-proportional twin sweep as pq2_production, answered
+    * through multi-table LSH candidate generation with ADC scoring ONLY
+    * on candidates (hn2's candidate shape over pq2's codes) instead of
+    * the per-query nprobe/nlist corpus slice — the COST.md routing
+    * rule's in-repo embodiment, making the pq2_production quadratic a
+    * measured CHOICE between two shipped routes. Approximate by design
+    * (no oracle); quality pinned by [[pq3BatchGate]].
+    * See [[graft.operators.Similarity.pqBatchJoinTopK]]. */
+  val pq3BatchJoin: Q = (s, d) => {
+    val planted = plantNearDups(Tables.embeddings(s, d))
+    graft.operators.Similarity.pqBatchJoinTopK(planted,
+      planted.filter(col("vec_id") >= 10000000L), 5, tables = 16)
+  }
+
+  /** Gate for pq3_batch_join: pq2_production's exact pins on the linear
+    * route — every twin's rank-1 neighbor must be its source vector
+    * (full strength), recall@5 vs brute ≥ 0.75 (the pq2 router-ceiling
+    * floor; LSH per-neighbor probing typically clears sim2's 0.9, but
+    * the shared floor keeps the two routes comparable). */
+  val pq3BatchGate: Q = (s, d) => {
+    val planted = plantNearDups(Tables.embeddings(s, d))
+    val queries = planted.filter(col("vec_id") >= 10000000L)
+    val ann = pq3BatchJoin(s, d)
+    val exact = graft.operators.Similarity.bruteForceTopK(planted, queries, 5)
+      .select(col("q_id"), col("n_id"))
+    val hits = exact.join(ann.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val top1 = ann.filter(col("rank") === 1)
+      .filter(col("n_id") === col("q_id") - 10000000L)
+      .agg(count(lit(1)).as("top1_hits"))
+    exact.agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(hits).crossJoin(top1)
+      .select(col("n_queries"), col("n_exact"),
+        (col("hits") >= col("n_exact") * 0.75).as("recall_ok"),
+        (col("top1_hits") === col("n_queries")).as("top1_ok"))
+  }
+
+  val pq3BatchGateSql: String = sim2ProductionGateSql
+
   /** IVF1 — incremental ANN index maintenance, gated (the ivm1
     * "view ∪ delta ≡ recompute" discipline applied to the vector index —
     * what a production 100 TB index does nightly): the planted twins
@@ -9504,6 +9546,8 @@ object Queries {
     "pq2_adc_gate" -> pq2Gate,
     "pq2_production" -> pq2Production,
     "pq2_production_gate" -> pq2ProductionGate,
+    "pq3_batch_join" -> pq3BatchJoin,
+    "pq3_batch_gate" -> pq3BatchGate,
     "ivf1_index_delta" -> ivf1IndexDelta,
     "ivf2_index_delete" -> ivf2IndexDelete,
     "ii1_inverted_index" -> ii1InvertedIndex,
@@ -9792,6 +9836,7 @@ object Queries {
     "pq1_product_quantize" -> pq1ProductQuantizeSql,
     "pq2_adc_gate" -> pq2GateSql,
     "pq2_production_gate" -> pq2ProductionGateSql,
+    "pq3_batch_gate" -> pq3BatchGateSql,
     "ivf1_index_delta" -> ivf1IndexDeltaSql,
     "ivf2_index_delete" -> ivf2IndexDeleteSql,
     "ii1_inverted_index" -> ii1InvertedIndexSql,
@@ -9898,7 +9943,11 @@ object Queries {
     *    guard covers d13's shape verbatim (BASELINE.md §R13).
     *  - prep2_span_clean: a composition whose every stage has its own
     *    bench row (t10 gate, d12 surgery, prep1 dedup accounting) —
-    *    the same wall-budget rule that keeps prep3 verify-tier. */
+    *    the same wall-budget rule that keeps prep3 verify-tier.
+    *  - pq3_batch_join: a GUARD-PROTOCOL row that never joined the wall
+    *    (~10 s at sf0.1 — the corpus-proportional batch by design); it
+    *    lives here so the 10× sweep and ad-hoc re-measures can reach it
+    *    by name. */
   val retiredBenchNames: Seq[String] = Seq(
-    "d13_span_keep_first", "prep2_span_clean")
+    "d13_span_keep_first", "prep2_span_clean", "pq3_batch_join")
 }

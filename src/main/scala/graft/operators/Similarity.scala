@@ -390,19 +390,22 @@ object Similarity {
     * multi-table LSH index: L entries per item); each query probes, per
     * table, its own bucket plus all hamming-1 neighbors. Corpus-side work
     * stays bucket-sized per (table, probe); recall compounds across tables. */
-  def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 6, dim: Int = 64, tables: Int = 8): DataFrame = {
+  /** Multi-table sign-LSH candidate id pairs `(q_id, n_id)` — the shared
+    * candidate generator behind [[annTopK]], [[knnGraph]]'s probe side
+    * and [[pqBatchJoinTopK]]. The corpus-side index stream fans out
+    * `tables` rows per vector and the candidate set another (planes+1)×
+    * on the probe side — both carry ids and signatures ONLY (an
+    * embedding would be ~`tables`×-amplified into the exchange and then
+    * dragged through the distinct()); each query probes, per table, its
+    * own bucket plus all hamming-1 neighbors. */
+  private def lshCandidateIds(embeddings: DataFrame, queries: DataFrame,
+                              planes: Int, dim: Int,
+                              tables: Int): DataFrame = {
     // one multi-table signature kernel + posexplode (an array of per-table
     // expressions stops JIT-compiling in the tens of tables); unresolved
     // column expression: binds to whichever frame selects it
     val tableSigs: org.apache.spark.sql.Column =
       posexplode(hyperplane_signatures(col("embedding"), planes, dim, tables))
-    // The corpus-side index stream fans out `tables` rows per vector and the
-    // candidate set another (planes+1)× on the probe side — both carry ids
-    // and signatures ONLY (the embedding would be ~`tables`×-amplified into
-    // the exchange and then dragged through the distinct()). Embeddings
-    // re-join once after the id-pair dedup: corpus side by one hash join,
-    // query side broadcast (the query set is small by contract).
     val sigs = embeddings.select(col("vec_id").as("n_id"), tableSigs)
       .select(col("n_id"), col("pos").as("tbl"), col("col").as("sig"))
     val qsigs = queries.select(col("vec_id").as("q_id"), tableSigs)
@@ -414,12 +417,19 @@ object Similarity {
         when(col("flip") === -1, col("q_sig"))
           .otherwise(col("q_sig").bitwiseXOR(expr("shiftleft(1, flip)")))
           .as("probe_sig"))
-    val candIds = sigs.alias("s")
+    sigs.alias("s")
       .join(broadcast(probes.alias("p")),
         col("s.tbl") === col("p.tbl") && col("s.sig") === col("p.probe_sig") &&
           col("p.q_id") =!= col("s.n_id"))
       .select(col("q_id"), col("n_id"))
       .distinct()
+  }
+
+  def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 6, dim: Int = 64, tables: Int = 8): DataFrame = {
+    // Embeddings re-join once after the id-pair dedup: corpus side by one
+    // hash join, query side broadcast (the query set is small by contract).
+    val candIds = lshCandidateIds(embeddings, queries, planes, dim, tables)
     val cands = candIds
       .join(embeddings.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
       .join(broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))), "q_id")
@@ -440,30 +450,101 @@ object Similarity {
     * tables′ × (planes+1) × targetBucket rows — polylog(n), not n/64.
     * At fixture scale (n ≤ 2000 → planes floor 6) the compensation is
     * the identity, so the sim2 gate's measured recall stands. */
+  /** Corpus-adaptive LSH design shared by [[annTopKAuto]] and
+    * [[pqBatchJoinTopK]]: planes from the corpus count (per-bucket O(1)
+    * rows), tables compensated to preserve the (tables, planes=6)
+    * compounded recall at `designCosine`, capped.
+    *
+    * Uncapped, the compensation grows ~n^0.33 (holding the 6-plane
+    * 16-table miss rate as planes track log2 n needs 55 tables at 20k
+    * vectors, 98 at 200k, 174 at 2M — measured as a 1.53 two-decade
+    * wall-clock exponent, SCALE.md §Round 10), because every table
+    * multiplies BOTH the corpus signature stream and the probe fan-out.
+    * The cap keeps total work ~linear and spends recall instead, from a
+    * position of enormous surplus: the uncapped design miss at the 0.8
+    * boundary is ~1e-7, while capped-64 miss is 0.2% at 2M vectors and
+    * ~3% at ~270M (planes 25) — the ≥0.9 gate contract holds for ~three
+    * more decades, and real pairs (planted twins ~0.95 cosine) sit far
+    * inside the boundary worst case. Fixture-scale plans (≤ 55 tables
+    * at sf0.1) are below the cap: driver-visible results unchanged. */
+  private def autoLshDesign(n: Long, tables: Int, targetBucket: Int,
+                            designCosine: Double,
+                            maxTables: Int): (Int, Int) = {
+    val planes = lshPlanes(n, targetBucket)
+    val pd = math.acos(designCosine) / math.Pi
+    def pHit(p: Int): Double =
+      math.pow(1 - pd, p) + p * pd * math.pow(1 - pd, p - 1)
+    val compensated = math.min(maxTables, math.max(tables, math.ceil(
+      tables * math.log1p(-pHit(6)) / math.log1p(-pHit(planes))).toInt))
+    (planes, compensated)
+  }
+
   def annTopKAuto(embeddings: DataFrame, queries: DataFrame, k: Int,
                   dim: Int = 64, tables: Int = 8,
                   targetBucket: Int = 8,
                   designCosine: Double = 0.8,
                   maxTables: Int = 64): DataFrame = {
-    val planes = lshPlanes(embeddings.count(), targetBucket)
-    val pd = math.acos(designCosine) / math.Pi
-    def pHit(p: Int): Double =
-      math.pow(1 - pd, p) + p * pd * math.pow(1 - pd, p - 1)
-    // Uncapped, the compensation grows ~n^0.33 (holding the 6-plane
-    // 16-table miss rate as planes track log2 n needs 55 tables at 20k
-    // vectors, 98 at 200k, 174 at 2M — measured as a 1.53 two-decade
-    // wall-clock exponent, SCALE.md §Round 10), because every table
-    // multiplies BOTH the corpus signature stream and the probe fan-out.
-    // The cap keeps total work ~linear and spends recall instead, from a
-    // position of enormous surplus: the uncapped design miss at the 0.8
-    // boundary is ~1e-7, while capped-64 miss is 0.2% at 2M vectors and
-    // ~3% at ~270M (planes 25) — the ≥0.9 gate contract holds for ~three
-    // more decades, and real pairs (planted twins ~0.95 cosine) sit far
-    // inside the boundary worst case. Fixture-scale plans (≤ 55 tables
-    // at sf0.1) are below the cap: driver-visible results unchanged.
-    val compensated = math.min(maxTables, math.max(tables, math.ceil(
-      tables * math.log1p(-pHit(6)) / math.log1p(-pHit(planes))).toInt))
+    val (planes, compensated) = autoLshDesign(embeddings.count(), tables,
+      targetBucket, designCosine, maxTables)
     annTopK(embeddings, queries, k, planes, dim, compensated)
+  }
+
+  /** PQ-coded BATCH retrieval on the LINEAR route — the in-repo
+    * embodiment of COST.md's routing rule that a corpus-proportional
+    * query sweep must go through candidate machinery, ON the PQ index:
+    * [[annTopK]]'s multi-table sign-LSH candidate generation (id-only
+    * streams, per-query bucket-sized work under [[autoLshDesign]])
+    * produces the candidates, ADC lookup against the PQ codes scores
+    * ONLY those candidates (never an nprobe/nlist slice of the corpus
+    * per query — that is [[ivfPqTopK]]'s serving shape, quadratic when
+    * the batch grows with the corpus), and the exact re-rank touches the
+    * top `rerank` survivors. The quadratic pq2_production exclusion and
+    * this route are the measured CHOICE between two shipped paths.
+    *
+    * Scale shape: corpus work is one signature index (tables rows/vector,
+    * ids+signatures only) + one PQ code pass; per-query work is
+    * tables×(planes+1)×targetBucket candidate ids, m-byte ADC scores on
+    * those, and `rerank` exact cosines. Total ~linear in corpus even for
+    * a corpus-proportional batch. No broadcast hints on the query-batch
+    * frames — the batch scales with the corpus by contract, so the
+    * planner (AQE) picks the join strategy. */
+  def pqBatchJoinTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                      m: Int = 16, codes: Int = 64, iters: Int = 2,
+                      dim: Int = 64, tables: Int = 16, rerank: Int = 64,
+                      targetBucket: Int = 8): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1: $rerank, $k")
+    val en = normalizedUnit(embeddings).localCheckpoint()
+    val d0 = en.select(size(col("emb"))).head.getInt(0)
+    require(d0 % m == 0, s"dim $d0 not divisible into $m subspaces")
+    val sub = d0 / m
+    val cb = pqTrainCodebook(en, m, codes, iters, sub)
+    val codesIdx = en.select(col("vec_id").as("n_id"),
+      pqAssignCol(cb, m, codes, sub).getField("code").as("codes"))
+    val (planes, tablesEff) = autoLshDesign(en.count(), tables,
+      targetBucket, 0.8, 64)
+    val cand = lshCandidateIds(embeddings, queries, planes, dim, tablesEff)
+    val qluts = normalizedUnit(queries).select(col("vec_id").as("q_id"),
+      graft.functions.pq_query_lut(col("emb"), pqFlat(cb, m, codes, sub),
+        m, codes, sub).as("lut"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("n_id").asc)
+    val survivors = cand.join(codesIdx, Seq("n_id"))
+      .join(qluts, Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.adc_lookup_score(col("lut"), col("codes"),
+          codes).as("adc"))
+      .withColumn("r", row_number().over(wAdc)).filter(col("r") <= rerank)
+      .select(col("q_id"), col("n_id"))
+    val wFinal = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    survivors
+      .join(embeddings.select(col("vec_id").as("n_id"),
+        col("embedding").as("ne")), Seq("n_id"))
+      .join(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe")), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        portableRound(cosine_similarity(col("qe"), col("ne")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wFinal)).filter(col("rank") <= k)
   }
 
   /** kNN GRAPH construction: every vector's k nearest neighbors by

@@ -337,6 +337,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(top._2 == 999999L && top._3 == 1.0, got.mkString(", "))
   }
 
+  test("pqBatchJoinTopK: the linear batch route finds an exact twin at " +
+    "rank 1 and returns k rows per query") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(qs)
+    val got = Similarity.pqBatchJoinTopK(corpus, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == 25, got.length.toString)
+    (0L until 5L).foreach { q =>
+      val top = got.find(t => t._1 == q + 10000000L && t._4 == 1).get
+      assert(top._2 == q && top._3 == 1.0, top.toString)
+    }
+  }
+
   test("ivfPqDeltaMerge fails loudly when a delta vec_id already exists " +
     "in the base — an overlap would double-post in the merged index") {
     import org.apache.spark.sql.functions._

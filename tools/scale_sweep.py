@@ -94,6 +94,11 @@ SUBSET = [
     # round-9 additions: the new operators with corpus-scan shapes
     "bpe2_encode_stats",     # vocab-sized merges + one broadcast corpus join
     "hn2_production",        # ANN-routed band mining (r9 spot-check: 5.0x)
+    # round-14: the linear batch-retrieval route ON the PQ index — the
+    # corpus-proportional twin sweep (pq2_production's task) answered via
+    # LSH candidates + ADC-on-candidates; this guard row is what makes
+    # the pq2_production quadratic a measured CHOICE between two routes
+    "pq3_batch_join",        # auto-LSH candidates + ADC + rerank (linear)
     # round-10 additions: novel iterative/kernel shapes
     "bleu1_eval",            # 4 clipped-count kernel passes, 1-row aggregate
     "ml5_lang_train",        # featurize once + classes x iters 1-row aggs
