@@ -2287,6 +2287,44 @@ object Queries {
        |FROM w""".stripMargin
   }
 
+  /** PACK3 — shard MATERIALIZATION: pack1's manifest made into the
+    * actual fixed-capacity token sequences a trainer loads (shard 0 of
+    * 8, capacity 512) — the zm1-moment for packing: the plan is only
+    * trustworthy once bytes obey it. Every sequence except the shard's
+    * last holds exactly 512 tokens; straddling documents continue into
+    * the next sequence. Output is one row per sequence with the exact
+    * token text, replayed token-for-token by the oracle (same salted
+    * window + concat-and-cut in SQL).
+    * See [[graft.operators.Sampling.materializeShard]]. */
+  val pack3Materialize: Q = (s, d) =>
+    graft.operators.Sampling.materializeShard(Tables.documents(s, d),
+      col("doc_id"), split(col("text"), " "), capacity = 512, shards = 8,
+      shard = 0)
+      .select(col("seq_id"), col("n_tokens"),
+        array_join(col("tokens"), " ").as("seq_text"))
+
+  val pack3MaterializeSql: String = {
+    val shardE = md5BucketSql("'pack0-sh:' || CAST(doc_id AS VARCHAR)", 8)
+    val ordE = md5BucketSql("'pack0-ord:' || CAST(doc_id AS VARCHAR)", 100000000)
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+       |             CAST($shardE AS BIGINT) AS shard,
+       |             CAST($ordE AS BIGINT) AS ord
+       |           FROM documents),
+       |w AS (SELECT doc_id, tk,
+       |        CAST(COALESCE(sum(len(tk)) OVER (sh ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                         AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |      FROM t WHERE shard = 0
+       |      WINDOW sh AS (ORDER BY ord, doc_id)),
+       |st AS (SELECT u.sp AS sp, u.tok AS tok FROM (
+       |         SELECT unnest([{'sp': start_tok + i - 1, 'tok': tk[i]}
+       |                        FOR i IN RANGE(1, len(tk) + 1)]) AS u
+       |         FROM w))
+       |SELECT CAST(sp // 512 AS BIGINT) AS seq_id,
+       |       CAST(count(*) AS BIGINT) AS n_tokens,
+       |       array_to_string(list(tok ORDER BY sp), ' ') AS seq_text
+       |FROM st GROUP BY 1""".stripMargin
+  }
+
   /** PACK2 — non-straddling greedy next-fit packing (pack1's sibling for
     * loaders that cannot mask cross-document attention): a document that
     * would cross a sequence boundary starts a fresh sequence. The Spark
@@ -3710,6 +3748,137 @@ object Queries {
        |       CASE WHEN card.split = 'train' THEN n_train_straddling ELSE 0 END AS n_straddling
        |FROM card CROSS JOIN pk
        |ORDER BY card.split""".stripMargin
+  }
+
+  /** RELEASE2 — the NIGHTLY incremental release (release1's operational
+    * sibling, the ivm1/ivf1 "delta ≡ admission" discipline at release
+    * level): the standing release is the curated base corpus
+    * (doc_id % 10 ≠ 7: quality gate → exact dedup); tonight's batch
+    * (doc_id % 10 = 7, inc1/inc2's split) is ADMITTED through the
+    * waterfall a production ingest runs — gate → exact-digest admission
+    * vs the standing release (plus first-in-batch) → near-dup admission
+    * (inc2's 5-gram J ≥ 0.5 vs the release AND earlier batch rows) —
+    * and the release card UPDATES per split by pure ADDITION, because
+    * split membership (smp5's group-safe source hash) is a pure
+    * function of the row: admission is append-only, nothing already
+    * released ever reshuffles. Output: one row per split with the base
+    * count, the admitted-delta count, the updated totals, and the
+    * batch's admission waterfall (constant across rows: batch size →
+    * gate survivors → digest-new → admitted).
+    *
+    * Scale shape: the base bills prep1's stages; admission bills
+    * inc1's digest anti-join + inc2's shingle-index join (both keyed on
+    * digests/shingle hashes, both delta-probe-sized on the candidate
+    * side); the card update is one grouped aggregate per arm. Nothing
+    * corpus-sized recomputes — THE point of the delta path.
+    * Verify-tier (stages benched: prep1, inc1, inc2, smp5, card1). */
+  val release2DeltaRelease: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def gateOk(df: DataFrame) = df.filter(corpusReasonExpr === "ok")
+      .select(col("doc_id"), col("text"), col("source"),
+        TextAnalysis.nTokensExpr.cast("long").as("n_tok"))
+    val baseRel = Dedup.exactByDigest(gateOk(docs.filter(col("doc_id") % 10 =!= 7)),
+        col("text"), carry = Seq("text", "source", "n_tok"))
+      .select(col("doc_id"), col("text"), col("source"), col("n_tok"))
+    val dGate = gateOk(docs.filter(col("doc_id") % 10 === 7))
+    val dExact = Dedup.exactByDigest(dGate, col("text"),
+        carry = Seq("text", "source", "n_tok"))
+      .join(baseRel.select(md5(col("text")).as("digest")),
+        Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("text"), col("source"), col("n_tok"))
+    val admitted = Dedup.nearDupAdmission(
+        dExact.select(col("doc_id"), col("text")),
+        baseRel.select(col("doc_id"), col("text")))
+      .filter(col("admitted")).select(col("doc_id"))
+    val dFinal = dExact.join(admitted, Seq("doc_id"), "left_semi")
+    def card(df: DataFrame, nAs: String, tokAs: String) =
+      graft.operators.Sampling.datasetSplit(df, col("source"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as(nAs), sum(col("n_tok")).as(tokAs))
+    val wf = docs.filter(col("doc_id") % 10 === 7)
+      .agg(count(lit(1)).as("n_batch"))
+      .crossJoin(dGate.agg(count(lit(1)).as("n_gate_ok")))
+      .crossJoin(dExact.agg(count(lit(1)).as("n_digest_new")))
+      .crossJoin(dFinal.agg(count(lit(1)).as("n_admitted")))
+    card(baseRel, "n_base", "tok_base")
+      .join(card(dFinal, "n_delta", "tok_delta"), Seq("split"), "full_outer")
+      .crossJoin(broadcast(wf))
+      .select(col("split"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_base"), lit(0L))
+          + coalesce(col("n_delta"), lit(0L))).as("n_total"),
+        (coalesce(col("tok_base"), lit(0L))
+          + coalesce(col("tok_delta"), lit(0L))).as("sum_tokens"),
+        col("n_batch"), col("n_gate_ok"), col("n_digest_new"),
+        col("n_admitted"))
+      .orderBy(col("split"))
+  }
+
+  // lazy: interpolates corpusSignalsCteSql/corpusReasonSql (defined later
+  // in the file — the prep2 val-order trap)
+  lazy val release2DeltaReleaseSql: String = {
+    val splitE = md5BucketSql("CAST(source AS VARCHAR)")
+    s"""$corpusSignalsCteSql,
+       |g AS (SELECT b.doc_id, b.text, dd.source,
+       |             CAST(b.n_tokens AS BIGINT) AS n_tok
+       |      FROM b JOIN documents dd USING (doc_id)
+       |      WHERE $corpusReasonSql = 'ok'),
+       |br AS MATERIALIZED (SELECT min(doc_id) AS doc_id, min(text) AS text,
+       |             arg_min(source, doc_id) AS source,
+       |             arg_min(n_tok, doc_id) AS n_tok
+       |      FROM g WHERE doc_id % 10 <> 7 GROUP BY md5(text)),
+       |dgt AS (SELECT * FROM g WHERE doc_id % 10 = 7),
+       |de AS (SELECT min(doc_id) AS doc_id, min(text) AS text,
+       |              arg_min(source, doc_id) AS source,
+       |              arg_min(n_tok, doc_id) AS n_tok
+       |       FROM dgt GROUP BY md5(text)),
+       |dx AS MATERIALIZED (SELECT * FROM de
+       |      WHERE md5(text) NOT IN (SELECT md5(text) FROM br)),
+       |tk5 AS (SELECT doc_id, string_split(text, ' ') AS t FROM
+       |          (SELECT doc_id, text FROM br
+       |           UNION ALL SELECT doc_id, text FROM dx)),
+       |sh5 AS (SELECT doc_id,
+       |          list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+       |                         FOR i IN RANGE(1, len(t) - 3)]) AS s
+       |        FROM tk5 WHERE len(t) >= 5),
+       |sz5 AS (SELECT doc_id, len(s) AS n_sh FROM sh5),
+       |ex5 AS (SELECT doc_id, unnest(s) AS sg FROM sh5),
+       |cand5 AS (SELECT i.doc_id, o.doc_id AS blocker_id, count(*) AS inter
+       |          FROM ex5 i JOIN ex5 o ON o.sg = i.sg
+       |          WHERE i.doc_id % 10 = 7
+       |            AND ((o.doc_id % 10 <> 7) OR (o.doc_id < i.doc_id))
+       |          GROUP BY 1, 2),
+       |rej AS (SELECT DISTINCT c.doc_id FROM cand5 c
+       |        JOIN sz5 na ON na.doc_id = c.doc_id
+       |        JOIN sz5 nb ON nb.doc_id = c.blocker_id
+       |        WHERE floor(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) * 10000 + 0.5) / 10000 >= 0.5),
+       |df AS (SELECT * FROM dx WHERE doc_id NOT IN (SELECT doc_id FROM rej)),
+       |bc AS (SELECT CASE WHEN $splitE < 8000 THEN 'train'
+       |                   WHEN $splitE < 9000 THEN 'val' ELSE 'test' END AS split,
+       |              CAST(count(*) AS BIGINT) AS n_base,
+       |              CAST(sum(n_tok) AS BIGINT) AS tok_base
+       |       FROM br GROUP BY 1),
+       |dc AS (SELECT CASE WHEN $splitE < 8000 THEN 'train'
+       |                   WHEN $splitE < 9000 THEN 'val' ELSE 'test' END AS split,
+       |              CAST(count(*) AS BIGINT) AS n_delta,
+       |              CAST(sum(n_tok) AS BIGINT) AS tok_delta
+       |       FROM df GROUP BY 1),
+       |wf AS (SELECT
+       |         (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 10 = 7) AS n_batch,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM dgt) AS n_gate_ok,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM dx) AS n_digest_new,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM df) AS n_admitted)
+       |SELECT COALESCE(bc.split, dc.split) AS split,
+       |       COALESCE(n_base, 0) AS n_base,
+       |       COALESCE(n_delta, 0) AS n_delta,
+       |       COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_total,
+       |       COALESCE(tok_base, 0) + COALESCE(tok_delta, 0) AS sum_tokens,
+       |       wf.n_batch, wf.n_gate_ok, wf.n_digest_new, wf.n_admitted
+       |FROM bc FULL OUTER JOIN dc ON dc.split = bc.split
+       |CROSS JOIN wf
+       |ORDER BY split""".stripMargin
   }
 
   /** EMB4 — matryoshka truncation recall: how much of the exact 64-dim
@@ -9518,6 +9687,7 @@ object Queries {
     "prep2_span_clean" -> prep2SpanClean,
     "prep3_full_curation" -> prep3FullCuration,
     "release1_training_release" -> release1TrainingRelease,
+    "release2_delta_release" -> release2DeltaRelease,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecall,
     "ml4_cv" -> ml4Cv,
     "fd1_functional_deps" -> fd1FunctionalDeps,
@@ -9526,6 +9696,7 @@ object Queries {
     "bleu1_eval" -> bleu1Eval,
     "ml5_lang_train" -> ml5LangTrain,
     "pack2_nostraddle" -> pack2NoStraddle,
+    "pack3_materialize" -> pack3Materialize,
     "uni1_unigram_train" -> uni1UnigramTrain,
     "uni2_encode_stats" -> uni2EncodeStats,
     "passk1_eval" -> passk1Eval,
@@ -9810,6 +9981,7 @@ object Queries {
     "prep2_span_clean" -> prep2SpanCleanSql,
     "prep3_full_curation" -> prep3FullCurationSql,
     "release1_training_release" -> release1TrainingReleaseSql,
+    "release2_delta_release" -> release2DeltaReleaseSql,
     "emb4_matryoshka_recall" -> emb4MatryoshkaRecallSql,
     "ml4_cv" -> ml4CvSql,
     "fd1_functional_deps" -> fd1FunctionalDepsSql,
@@ -9818,6 +9990,7 @@ object Queries {
     "bleu1_eval" -> bleu1EvalSql,
     "ml5_lang_train" -> ml5LangTrainSql,
     "pack2_nostraddle" -> pack2NoStraddleSql,
+    "pack3_materialize" -> pack3MaterializeSql,
     "uni1_unigram_train" -> uni1UnigramTrainSql,
     "uni2_encode_stats" -> uni2EncodeStatsSql,
     "passk1_eval" -> passk1EvalSql,
