@@ -2916,6 +2916,113 @@ object Queries {
        |JOIN mw ON mw.doc_id = c.doc_id
        |ORDER BY phrase_count DESC, min_window, c.doc_id""".stripMargin
 
+  /** PHR2 — conjunctive proximity-boosted BM25 on the phrase query:
+    * documents containing ALL three top-trigram terms rank by corpus-
+    * stat BM25 (t12's k1/b, df/avgdl derived in-plan) plus a
+    * 0.5/min_window proximity boost — terms near each other beat terms
+    * far apart. Components snap to 1e-4 and fuse as exact micro-units.
+    * See [[graft.operators.Retrieval.proximityRank]]. */
+  val phr2ProximityRank: Q = (s, d) =>
+    graft.operators.Retrieval.proximityRank(Tables.documents(s, d))
+
+  val phr2ProximityRankSql: String = {
+    def ts(tf: String, df: String) =
+      s"""(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5))
+         | * ($tf * 2.2)
+         | / ($tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(st.tot_tokens AS DOUBLE) / st.n_docs))))"""
+        .stripMargin.replaceAll("\n", " ")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pos AS (SELECT doc_id, u.p AS p, u.term AS term FROM (
+       |          SELECT doc_id,
+       |                 unnest([{'p': i, 'term': t[i]} FOR i IN RANGE(1, len(t) + 1)]) AS u
+       |          FROM tk)),
+       |tg AS (SELECT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                      FOR i IN RANGE(1, len(t) - 1)]) AS sg
+       |       FROM tk WHERE len(t) >= 3),
+       |top AS (SELECT string_split(sg, ' ') AS q FROM (
+       |          SELECT sg, count(*) AS n FROM tg GROUP BY 1
+       |          ORDER BY n DESC, sg LIMIT 1)),
+       |ph AS (SELECT q[1] AS t1, q[2] AS t2, q[3] AS t3 FROM top),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(len(t)) AS BIGINT) AS tot_tokens FROM tk),
+       |cand AS (SELECT doc_id,
+       |           CAST(count(CASE WHEN term = t1 THEN 1 END) AS BIGINT) AS tf1,
+       |           CAST(count(CASE WHEN term = t2 THEN 1 END) AS BIGINT) AS tf2,
+       |           CAST(count(CASE WHEN term = t3 THEN 1 END) AS BIGINT) AS tf3
+       |         FROM pos CROSS JOIN ph GROUP BY doc_id),
+       |dfs AS (SELECT CAST(count(CASE WHEN tf1 > 0 THEN 1 END) AS DOUBLE) AS df1,
+       |               CAST(count(CASE WHEN tf2 > 0 THEN 1 END) AS DOUBLE) AS df2,
+       |               CAST(count(CASE WHEN tf3 > 0 THEN 1 END) AS DOUBLE) AS df3
+       |        FROM cand WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0),
+       |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tk),
+       |mw AS (SELECT a.doc_id, CAST(min(abs(a.p - b.p)) + 1 AS BIGINT) AS min_window
+       |       FROM pos a CROSS JOIN ph
+       |       JOIN pos b ON b.doc_id = a.doc_id AND b.term = ph.t2
+       |       WHERE a.term = ph.t1
+       |       GROUP BY 1),
+       |sc AS (SELECT c.doc_id, ph.t1, ph.t2, ph.t3,
+       |         floor((${ts("CAST(c.tf1 AS DOUBLE)", "dfs.df1")}
+       |                + ${ts("CAST(c.tf2 AS DOUBLE)", "dfs.df2")}
+       |                + ${ts("CAST(c.tf3 AS DOUBLE)", "dfs.df3")}) * 10000 + 0.5) / 10000 AS bm25,
+       |         mw.min_window,
+       |         floor(0.5 / mw.min_window * 10000 + 0.5) / 10000 AS prox_boost
+       |       FROM cand c CROSS JOIN ph CROSS JOIN st CROSS JOIN dfs
+       |       JOIN dl ON dl.doc_id = c.doc_id
+       |       JOIN mw ON mw.doc_id = c.doc_id
+       |       WHERE c.tf1 > 0 AND c.tf2 > 0 AND c.tf3 > 0)
+       |SELECT doc_id, t1, t2, t3, bm25, min_window, prox_boost,
+       |       CAST(CAST(floor(bm25 * 10000 + 0.5) AS BIGINT)
+       |            + CAST(floor(prox_boost * 10000 + 0.5) AS BIGINT) AS DOUBLE) / 10000 AS score
+       |FROM sc
+       |ORDER BY score DESC, doc_id""".stripMargin
+  }
+
+  /** MRR1 — mean reciprocal rank of the TRUNCATED-serving retrieval arm
+    * (the eval every index-compression decision reads next to emb4's
+    * recall): every planted twin queries the 4-dim-truncated brute
+    * ranking (emb4's serving arm, truncated PAST the cliff — 16 dims
+    * keeps MRR at 1.0 on this fixture, 4 dims drops it to ~0.5, which
+    * is the regime where the eval discriminates) and the
+    * relevant document is its known source vector; MRR@10 folds 1/rank
+    * as exact 1e-8 micro-units. FULL oracle — both the truncated
+    * ranking and the fold replay digit-exact. */
+  val mrr1RankEval: Q = (s, d) => {
+    val planted = plantNearDups(Tables.embeddings(s, d))
+    def trunc(df: DataFrame) = df.select(col("vec_id"),
+      slice(col("embedding"), 1, 4).as("embedding"))
+    val queries = planted.filter(col("vec_id") >= 10000000L)
+    val run = Similarity.bruteForceTopK(trunc(planted), trunc(queries), 10)
+    queries.select(col("vec_id").as("q_id"))
+      .join(run.filter(col("n_id") === col("q_id") - 10000000L)
+        .select(col("q_id"), col("rank")), Seq("q_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("rank").isNotNull.cast("long")).as("n_found"),
+        portableRound(
+          sum(coalesce(floor(lit(1.0e8) / col("rank").cast("double") + 0.5)
+            .cast("long"), lit(0L))).cast("double") / 1.0e8
+            / count(lit(1)).cast("double"), 6).as("mrr"))
+  }
+
+  val mrr1RankEvalSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |tw AS (SELECT a.vec_id + 10000000 AS vec_id,
+      |              CAST(CAST([a.emb[i] + 0.3 * b.emb[i] FOR i IN RANGE(1, 65)] AS FLOAT[]) AS DOUBLE[]) AS emb
+      |       FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      |       WHERE a.vec_id % 20 = 0),
+      |al AS (SELECT vec_id, emb FROM e UNION ALL SELECT vec_id, emb FROM tw),
+      |run AS (SELECT q_id, n_id, rank FROM (
+      |  SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY floor(list_cosine_similarity(list_slice(q.emb, 1, 4), list_slice(b.emb, 1, 4)) * 10000 + 0.5) / 10000 DESC, b.vec_id) AS rank
+      |  FROM tw q JOIN al b ON b.vec_id <> q.vec_id) WHERE rank <= 10),
+      |hit AS (SELECT q.vec_id AS q_id, r.rank FROM tw q
+      |        LEFT JOIN run r ON r.q_id = q.vec_id AND r.n_id = q.vec_id - 10000000)
+      |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(count(rank) AS BIGINT) AS n_found,
+      |       floor(CAST(sum(coalesce(CAST(floor(100000000.0 / rank + 0.5) AS BIGINT), 0)) AS DOUBLE)
+      |             / 100000000.0 / count(*) * 1000000 + 0.5) / 1000000 AS mrr
+      |FROM hit""".stripMargin
+
   val rrf1HybridFusion: Q = (s, d) => {
     val sparse = graft.operators.Retrieval.topKRanks(
       TextAnalysis.bm25(Tables.documents(s, d)),
@@ -9724,6 +9831,8 @@ object Queries {
     "ii1_inverted_index" -> ii1InvertedIndex,
     "ii2_positional_index" -> ii2PositionalIndex,
     "phr1_phrase_search" -> phr1PhraseSearch,
+    "phr2_proximity_rank" -> phr2ProximityRank,
+    "mrr1_rank_eval" -> mrr1RankEval,
     "gbt1_boosted_stumps" -> gbt1BoostedStumps,
     "als1_factorization" -> als1Factorization,
     "iso1_isotonic_calibration" -> iso1IsotonicCalibration,
@@ -10015,6 +10124,8 @@ object Queries {
     "ii1_inverted_index" -> ii1InvertedIndexSql,
     "ii2_positional_index" -> ii2PositionalIndexSql,
     "phr1_phrase_search" -> phr1PhraseSearchSql,
+    "phr2_proximity_rank" -> phr2ProximityRankSql,
+    "mrr1_rank_eval" -> mrr1RankEvalSql,
     "gbt1_boosted_stumps" -> gbt1BoostedStumpsSql,
     "als1_factorization" -> als1FactorizationSql,
     "iso1_isotonic_calibration" -> iso1IsotonicCalibrationSql,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.portableRound
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -160,7 +161,12 @@ object Retrieval {
     * position lists — phrase alignment via membership tests, proximity
     * via ONE sorted merge walk (O(|p1|+|p2|), not the |p1|·|p2| pair
     * enumeration). No corpus-sized collect, no global sort. */
-  def phraseSearch(documents: DataFrame): DataFrame = {
+  /** The corpus's top trigram as a broadcast 1-row `(t1, t2, t3)` frame
+    * plus, per document, the sorted position lists of each query term
+    * (empty where the term is absent) — the shared postings fetch behind
+    * [[phraseSearch]] and [[proximityRank]]. The broadcast phrase prunes
+    * the token stream to the three query terms BEFORE any aggregation. */
+  private def phrasePostings(documents: DataFrame): DataFrame = {
     val phrase = Dedup.shingleStream(documents, 3, distinctPerDoc = false)
       .groupBy(col("sg")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("sg").asc).limit(1)
@@ -172,7 +178,7 @@ object Retrieval {
         posexplode(split(col("text"), " ")).as(Seq("p0", "term")))
       .select(col("doc_id"), col("term"),
         (col("p0") + 1).cast("long").as("p"))
-    val perDoc = tp.crossJoin(broadcast(phrase))
+    tp.crossJoin(broadcast(phrase))
       .filter(col("term") === col("t1") || col("term") === col("t2")
         || col("term") === col("t3"))
       .groupBy(col("doc_id"), col("t1"), col("t2"), col("t3"))
@@ -183,19 +189,19 @@ object Retrieval {
           .as("p2"),
         sort_array(collect_list(when(col("term") === col("t3"), col("p"))))
           .as("p3"))
-      .filter(size(col("p1")) > 0 && size(col("p2")) > 0
-        && size(col("p3")) > 0)
-    val phraseCount = size(filter(col("p1"), a =>
-      array_contains(col("p2"), a + 1) && array_contains(col("p3"), a + 2)))
-    // proximity: one walk over the tag-merged sorted position stream,
-    // carrying the last-seen position of each term and the best gap
+  }
+
+  /** The minimal token span containing one occurrence from each of two
+    * sorted position lists: one walk over the tag-merged sorted stream,
+    * carrying the last-seen position of each side and the best gap —
+    * O(|p1| + |p2|) per row, not the |p1|·|p2| pair enumeration. */
+  private def mergeWalkWindow(p1: Column, p2: Column): Column = {
     val tagged = array_sort(concat(
-      transform(col("p1"), a => struct(a.as("p"), lit(1).as("w"))),
-      transform(col("p2"), b => struct(b.as("p"), lit(2).as("w")))))
-    val sentinel = Long.MaxValue
-    val minWindow = aggregate(tagged,
+      transform(p1, a => struct(a.as("p"), lit(1).as("w"))),
+      transform(p2, b => struct(b.as("p"), lit(2).as("w")))))
+    aggregate(tagged,
       struct(lit(null).cast("long").as("l1"), lit(null).cast("long").as("l2"),
-        lit(sentinel).as("best")),
+        lit(Long.MaxValue).as("best")),
       (acc, x) => {
         val p = x.getField("p"); val w = x.getField("w")
         val best = least(acc.getField("best"),
@@ -208,6 +214,72 @@ object Retrieval {
           best.as("best"))
       },
       acc => acc.getField("best") + 1L)
+  }
+
+  /** Conjunctive proximity-boosted BM25 over the [[phrasePostings]]
+    * query — the ranked-retrieval leg phrase matching ([[phraseSearch]])
+    * and bag-of-words scoring (t12) bracket: documents containing ALL
+    * three query terms score BM25 (corpus-global df/avgdl stats, t12's
+    * k1/b) PLUS a proximity boost 0.5 / min_window(t1, t2) — the classic
+    * "terms near each other beat terms far apart" re-ranking. Both
+    * components snap to the 1e-4 grid and fuse as exact micro-units, so
+    * the final score replays digit-exact. A phrase that repeats a term
+    * scores that term's postings in each slot it occupies (symmetric in
+    * the oracle). Scale shape: [[phrasePostings]]' broadcast-pruned
+    * seek + two 1-row broadcast stats frames + one doc-length join —
+    * no new exchange class. */
+  def proximityRank(documents: DataFrame, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    val toks = split(col("text"), " ")
+    val posts = phrasePostings(documents)
+    val stats = documents.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("tot_tokens"))
+    val dfs = posts.agg(
+      sum((size(col("p1")) > 0).cast("long")).as("df1"),
+      sum((size(col("p2")) > 0).cast("long")).as("df2"),
+      sum((size(col("p3")) > 0).cast("long")).as("df3"))
+    val dl = documents.select(col("doc_id"),
+      size(toks).cast("double").as("dl"))
+    val avgdl = col("tot_tokens").cast("double") / col("n_docs").cast("double")
+    def termScore(tf: Column, df: Column): Column = {
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - df.cast("double") + 0.5)
+          / (df.cast("double") + 0.5))
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    }
+    val bm25 = portableRound(
+      termScore(size(col("p1")).cast("double"), col("df1"))
+        + termScore(size(col("p2")).cast("double"), col("df2"))
+        + termScore(size(col("p3")).cast("double"), col("df3")), 4)
+    val minWindow = mergeWalkWindow(col("p1"), col("p2"))
+    posts
+      .filter(size(col("p1")) > 0 && size(col("p2")) > 0
+        && size(col("p3")) > 0)
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfs))
+      .withColumn("bm25", bm25)
+      .withColumn("min_window", minWindow)
+      .withColumn("prox_boost",
+        portableRound(lit(0.5) / col("min_window").cast("double"), 4))
+      // grid values fuse as exact micro-units (the rrf1 discipline)
+      .withColumn("score",
+        (floor(col("bm25") * 10000 + 0.5).cast("long")
+          + floor(col("prox_boost") * 10000 + 0.5).cast("long"))
+          .cast("double") / 10000.0)
+      .select(col("doc_id"), col("t1"), col("t2"), col("t3"),
+        col("bm25"), col("min_window"), col("prox_boost"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  def phraseSearch(documents: DataFrame): DataFrame = {
+    val perDoc = phrasePostings(documents)
+      .filter(size(col("p1")) > 0 && size(col("p2")) > 0
+        && size(col("p3")) > 0)
+    val phraseCount = size(filter(col("p1"), a =>
+      array_contains(col("p2"), a + 1) && array_contains(col("p3"), a + 2)))
+    val minWindow = mergeWalkWindow(col("p1"), col("p2"))
     perDoc
       .select(col("doc_id"), col("t1"), col("t2"), col("t3"),
         size(col("p1")).cast("long").as("tf1"),

@@ -111,6 +111,39 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("proximityRank: conjunctive candidates, micro-unit fusion, and " +
+    "proximity ordering between equal-BM25 docs") {
+    import spark.implicits._
+    // same top trigram "p q r"; docs 60/61 have IDENTICAL term counts
+    // and lengths (equal BM25) but different (p,q) windows — proximity
+    // must order 60 before 61
+    val docs = Seq(
+      (10L, "p q r z p q r"),
+      (20L, "p q r a b c"),
+      (30L, "z p q r y"),
+      (60L, "p q z z z z r a"),   // window(p,q) = 2
+      (61L, "p z q z z z r a"),   // window(p,q) = 3
+      (99L, "p q x y"))           // missing r → excluded (conjunctive)
+      .toDF("doc_id", "text")
+    val got = Retrieval.proximityRank(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(99L), got.keySet.toString)
+    assert(got.keySet == Set(10L, 20L, 30L, 60L, 61L))
+    val (r60, r61) = (got(60L), got(61L))
+    // equal BM25 (same tfs, same dl), boost differs by the window
+    assert(r60.getDouble(4) == r61.getDouble(4), s"$r60 vs $r61")
+    assert(r60.getLong(5) == 2L && r61.getLong(5) == 3L)
+    assert(r60.getDouble(6) == 0.25 && r61.getDouble(6) == 0.1667)
+    // score = exact micro-unit fusion of the two grid components
+    got.values.foreach { r =>
+      val fused = (math.floor(r.getDouble(4) * 10000 + 0.5).toLong
+        + math.floor(r.getDouble(6) * 10000 + 0.5).toLong) / 10000.0
+      assert(r.getDouble(7) == fused, r.mkString(","))
+    }
+    val order = Retrieval.proximityRank(docs).collect().map(_.getLong(0))
+    assert(order.indexOf(60L) < order.indexOf(61L), order.mkString(","))
+  }
+
   test("phraseSearch: exact alignment counts, merge-walk min window, " +
     "and the in-plan top-trigram query") {
     import spark.implicits._
