@@ -7670,6 +7670,45 @@ object Queries {
        |FROM afin""".stripMargin
   }
 
+  /** CORE1 — greedy k-center coreset (Gonzalez 1985 farthest-point
+    * traversal) over the embeddings: the diversity-based data-SELECTION
+    * leg of the curation family (kmeans1 averages toward density, d9
+    * removes redundancy, core1 KEEPS a maximally-spread exemplar set).
+    * Deterministic init (smallest vec_id), k-1 farthest-point rounds on
+    * the 1e-9 decimal grid, final nearest-center assignment — the oracle
+    * unrolls the SAME rounds and the full result hash-matches.
+    * See [[graft.operators.Similarity.kCenterCoreset]]. */
+  val core1KCenter: Q = (s, d) =>
+    graft.operators.Similarity.kCenterCoreset(Tables.embeddings(s, d))
+
+  val core1KCenterSql: String = {
+    def r9(x: String) = s"floor(($x) * 1000000000 + 0.5) / 1000000000"
+    val k = 8
+    def mind(i: Int, cent: String) =
+      s"""m$i AS MATERIALIZED (
+         |  SELECT vec_id, cid, rnd, dist,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT f.vec_id, c.cid, c.rnd,
+         |               CAST(sum(CAST(${r9("(f.x - c.c) * (f.x - c.c)")} AS DECIMAL(28,9))) AS DOUBLE) AS dist
+         |        FROM f JOIN $cent c USING (j) GROUP BY f.vec_id, c.cid, c.rnd) d)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""${mind(r, s"cent${r - 1}")},
+         |p$r AS (SELECT vec_id FROM m$r WHERE rn = 1 ORDER BY dist DESC, vec_id LIMIT 1),
+         |cent$r AS MATERIALIZED (SELECT * FROM cent${r - 1} UNION ALL
+         |  SELECT f.vec_id AS cid, $r AS rnd, f.j, f.x AS c FROM f JOIN p$r USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |f AS MATERIALIZED (SELECT vec_id, CAST(j AS BIGINT) AS j, emb[j] AS x
+       |     FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) t),
+       |cent1 AS MATERIALIZED (SELECT f.vec_id AS cid, 1 AS rnd, f.j, f.x AS c
+       |     FROM f WHERE f.vec_id = (SELECT min(vec_id) FROM e)),
+       |$rounds,
+       |${mind(k + 1, s"cent$k")}
+       |SELECT vec_id, cid AS center_id, CAST(rnd AS INTEGER) AS sel_round,
+       |       floor(dist * 1000000 + 0.5) / 1000000 AS dist
+       |FROM m${k + 1} WHERE rn = 1""".stripMargin
+  }
+
   /** PQ1 — product quantization (Jégou et al. 2011): four independent
     * 16-codeword Lloyd codebooks over contiguous 16-dim subspaces, the
     * IVF-PQ compression leg of the vector-infra family. kmeans1's
@@ -9696,6 +9735,7 @@ object Queries {
     "cdc2_apply_deletes" -> cdc2Deletes,
     "pca1_power_iteration" -> pca1Power,
     "kmeans1_lloyd" -> kmeans1Lloyd,
+    "core1_kcenter_coreset" -> core1KCenter,
     "mix2_target_mix" -> mix2TargetMix,
     "st7_stream_left_join" -> st7StreamLeftJoin,
     "d9_semantic_dedup" -> d9SemanticDedup,
@@ -9999,6 +10039,7 @@ object Queries {
     "cdc2_apply_deletes" -> cdc2DeletesSql,
     "pca1_power_iteration" -> pca1PowerSql,
     "kmeans1_lloyd" -> kmeans1LloydSql,
+    "core1_kcenter_coreset" -> core1KCenterSql,
     "mix2_target_mix" -> mix2TargetMixSql,
     "st7_stream_left_join" -> st7StreamLeftJoinSql,
     "d9_semantic_dedup" -> d9SemanticDedupSql,

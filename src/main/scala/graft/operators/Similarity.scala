@@ -727,6 +727,67 @@ object Similarity {
       portableRound(col("dist"), 6).as("dist"))
   }
 
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal) —
+    * the diversity-based data-SELECTION leg of the curation family: pick
+    * `k` corpus vectors that 2-approximate the optimal k-center cover,
+    * then assign every vector to its nearest selected center. Where
+    * [[lloydClusters]] averages (density-seeking) and semantic dedup
+    * REMOVES redundancy, the coreset KEEPS a maximally-spread sample —
+    * the "select diverse exemplars" step of embedding-based curation
+    * pipelines (coreset selection for training-data pruning).
+    *
+    * Determinism is [[lloydClusters]]' discipline verbatim: seed center =
+    * smallest vec_id; per-dimension squared-difference terms 1e-9-grid-
+    * rounded and folded as exact decimals, so every distance is
+    * bit-identical cross-engine; farthest-point argmax ties break to the
+    * smallest vec_id; nearest-center ties break to the smallest center id.
+    * The DuckDB oracle unrolls the same k-1 selection rounds.
+    *
+    * Shape: selected centers are k×dim DRIVER METADATA (the codebook
+    * contract — the corpus never collects; each round moves one row + one
+    * dim-length array to the driver). Round r joins the exploded corpus
+    * long-form against the BROADCAST center table: one data-sized shuffle
+    * keyed (vec_id, cid) per round, k rounds total = O(k²·n·dim/2) work
+    * with k a small constant — no per-round persisted corpus state, no
+    * growing lineage, so the plan is identical on 1 or 1000 executors. */
+  def kCenterCoreset(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .localCheckpoint()
+    val first = e.orderBy(col("vec_id")).limit(1).head
+    var cents: Seq[(Long, Int, Seq[Double])] =
+      Seq((first.getLong(0), 1, first.getSeq[Double](1)))
+    val f = e
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("j"), col("x"))
+    // min distance to the current center set, ties to the smaller center
+    def nearest(): DataFrame = {
+      val centsDf = cents.flatMap { case (cid, rnd, arr) =>
+        arr.zipWithIndex.map { case (c, j) => (cid, rnd, (j + 1).toLong, c) }
+      }.toDF("cid", "rnd", "j", "c")
+      f.join(broadcast(centsDf), "j")
+        .groupBy(col("vec_id"), col("cid"), col("rnd"))
+        .agg(sum(portableRound((col("x") - col("c")) * (col("x") - col("c")), 9)
+          .cast("decimal(28,9)")).cast("double").as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"), col("rnd"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("center_id"),
+          col("m.rnd").as("sel_round"), col("m.dist").as("dist"))
+    }
+    for (r <- 2 to k) {
+      val far = nearest()
+        .orderBy(col("dist").desc, col("vec_id").asc).limit(1).head
+      val vid = far.getLong(0)
+      val arr = e.filter(col("vec_id") === vid).head.getSeq[Double](1)
+      cents = cents :+ ((vid, r, arr))
+    }
+    nearest().select(col("vec_id"), col("center_id"), col("sel_round"),
+      portableRound(col("dist"), 6).as("dist"))
+  }
+
   /** Product quantization (Jégou et al. 2011, "Product Quantization for
     * Nearest Neighbor Search"): split the embedding into `m` contiguous
     * subspaces and train an independent k-codeword Lloyd codebook per

@@ -191,6 +191,38 @@ class SimilaritySpec extends SparkTestBase {
     assertSameRows(got, Similarity.lloydClusters(e.repartition(7), k = 2, iters = 2))
   }
 
+  test("kCenterCoreset: farthest-point order on a crafted line, layout-proof") {
+    // points on a line at 0, 1, 10, 11, 100: seed = smallest vec_id (x=0),
+    // farthest-point traversal must pick 100, then 11 (dist 11 to {0,100}
+    // beats 10's 10), then 1
+    val rows = Seq(
+      0L -> Array(0f, 0f), 1L -> Array(1f, 0f), 2L -> Array(10f, 0f),
+      3L -> Array(11f, 0f), 4L -> Array(100f, 0f))
+    val e = rows.toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(e, k = 4)
+    assert(got.count() == 5 && got.select("vec_id").distinct().count() == 5)
+    val sel = got.collect()
+      .map(r => r.getLong(1) -> r.getInt(2)).toMap // center_id -> sel_round
+    assert(sel == Map(0L -> 1, 4L -> 2, 3L -> 3, 1L -> 4))
+    // every selected center covers itself at distance 0
+    val self = got.collect().filter(r => r.getLong(0) == r.getLong(1))
+    assert(self.length == 4 && self.forall(_.getDouble(3) == 0.0))
+    // x=10 assigns to center 11 (its nearest selected), not to 0 or 100
+    val ten = got.collect().find(_.getLong(0) == 2L).get
+    assert(ten.getLong(1) == 3L && ten.getDouble(3) == 1.0)
+    // bit-deterministic under a different layout (decimal folds order-free)
+    assertSameRows(got, Similarity.kCenterCoreset(e.repartition(7), k = 4))
+  }
+
+  test("kCenterCoreset covers better than any prefix would: max cover dist shrinks per k") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val d4 = Similarity.kCenterCoreset(e, k = 4)
+      .agg(max($"dist")).head.getDouble(0)
+    val d8 = Similarity.kCenterCoreset(e, k = 8)
+      .agg(max($"dist")).head.getDouble(0)
+    assert(d8 < d4, s"k=8 cover $d8 must beat k=4 cover $d4")
+  }
+
   test("IVF assignment puts every vector in exactly one list") {
     val e = graft.Tables.embeddings(spark, sf0001)
     val centroids = Similarity.centroidsOf(e, 8)
