@@ -2146,6 +2146,36 @@ object Queries {
   val doremi1DomainWeights: Q = (s, d) =>
     graft.operators.Curation.doremiWeights(Tables.documents(s, d))
 
+  /** BUDGET1 — data-constrained epoch allocation (Muennighoff et al.
+    * 2022): one corpus rollup gives each source's unique-token mass; a
+    * greedy over the |sources|×6 candidate-epoch metadata frame admits
+    * epochs in marginal-value order (value of epoch e = u·2^-(e-1))
+    * until the 2.2×-unique-mass token budget stops fitting. The side of
+    * doremi1 that answers "how many REPEATS does each source get",
+    * where doremi1 answers "what sampling WEIGHT".
+    * See [[graft.operators.Curation.epochAllocation]]. */
+  val budget1EpochAllocation: Q = (s, d) =>
+    graft.operators.Curation.epochAllocation(Tables.documents(s, d))
+
+  val budget1EpochAllocationSql: String =
+    """WITH u AS (SELECT source,
+      |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS unique_tokens
+      |           FROM documents GROUP BY source),
+      |b AS (SELECT CAST((sum(unique_tokens) * 11) // 5 AS BIGINT) AS budget FROM u),
+      |cand AS (SELECT source, unique_tokens, budget, e,
+      |                CAST(unique_tokens AS DOUBLE) / pow(2.0, e - 1) AS marginal
+      |         FROM u CROSS JOIN b
+      |         CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS e) t),
+      |r AS (SELECT *, sum(unique_tokens) OVER (ORDER BY marginal DESC, source, e
+      |                   ROWS UNBOUNDED PRECEDING) AS spent
+      |      FROM cand)
+      |SELECT source, unique_tokens,
+      |       CAST(sum(CASE WHEN spent <= budget THEN 1 ELSE 0 END) AS BIGINT) AS epochs,
+      |       CAST(sum(CASE WHEN spent <= budget THEN 1 ELSE 0 END) * unique_tokens AS BIGINT) AS alloc_tokens,
+      |       floor(sum(CASE WHEN spent <= budget THEN marginal ELSE 0 END) * 10000 + 0.5) / 10000 AS value,
+      |       budget
+      |FROM r GROUP BY source, unique_tokens, budget""".stripMargin
+
   val doremi1DomainWeightsSql: String = {
     val (iters, eta, smooth) = (10, 0.5, 0.01)
     val stages = (1 to iters).map { t =>
@@ -9859,6 +9889,7 @@ object Queries {
     "fa1_forecast_accuracy" -> fa1ForecastAccuracy,
     "bf1_file_bloom" -> bf1FileBloom,
     "doremi1_domain_weights" -> doremi1DomainWeights,
+    "budget1_epoch_allocation" -> budget1EpochAllocation,
     "pq1_product_quantize" -> pq1ProductQuantize,
     "pq2_adc_search" -> pq2AdcSearch,
     "pq2_adc_gate" -> pq2Gate,
@@ -10156,6 +10187,7 @@ object Queries {
     "fa1_forecast_accuracy" -> fa1ForecastAccuracySql,
     "bf1_file_bloom" -> bf1FileBloomSql,
     "doremi1_domain_weights" -> doremi1DomainWeightsSql,
+    "budget1_epoch_allocation" -> budget1EpochAllocationSql,
     "pq1_product_quantize" -> pq1ProductQuantizeSql,
     "pq2_adc_gate" -> pq2GateSql,
     "pq2_production_gate" -> pq2ProductionGateSql,

@@ -360,6 +360,61 @@ object Curation {
     }.toSeq.toDF("source", "n_tokens", "loss", "weight")
   }
 
+  /** Data-constrained epoch allocation (the Muennighoff et al. 2022
+    * "Scaling Data-Constrained Language Models" shape): given each
+    * source's unique-token count and a total training-token budget,
+    * decide how many EPOCHS (repeats) each source gets when repeated
+    * data is worth less each pass. Epoch e of source s has marginal
+    * value u_s·δ^(e-1) (δ = 1/2 here); the greedy takes candidate epochs
+    * in global marginal-value order — ties to (source, e) — and admits
+    * the prefix that fits the budget (admission halts at the first
+    * epoch that no longer fits). Because marginals strictly decrease in
+    * e for u_s > 0, admitted epochs are contiguous per source, so the
+    * output is a well-defined epoch COUNT per source.
+    *
+    * Budget = total·num/den (default 2.2× the unique mass, forcing real
+    * multi-epoch trade-offs). Marginals are u/2^(e-1) — exact in binary
+    * for integer u, so the cross-engine ordering and the admitted-value
+    * sums are bit-stable with no decimal grid needed.
+    *
+    * Scale shape: ONE map-side-combined rollup over the corpus
+    * (source → token sum); everything after operates on a
+    * |sources|×maxEpochs METADATA frame (tens of rows at any corpus
+    * size), where the global ordering window is free. */
+  def epochAllocation(documents: DataFrame, maxEpochs: Int = 6,
+                      budgetNum: Int = 11, budgetDen: Int = 5): DataFrame = {
+    import graft.functions.portableRound
+    import org.apache.spark.sql.expressions.Window
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(budgetNum >= 1 && budgetDen >= 1,
+      s"budget ratio must be positive: $budgetNum/$budgetDen")
+    val u = documents.groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("unique_tokens"))
+    val b = u.agg(expr(s"(sum(unique_tokens) * $budgetNum) div $budgetDen")
+      .cast("long").as("budget"))
+    val cand = u.crossJoin(broadcast(b))
+      .select(col("source"), col("unique_tokens"), col("budget"),
+        explode(sequence(lit(1), lit(maxEpochs))).as("e"))
+      .withColumn("marginal",
+        col("unique_tokens").cast("double") / pow(lit(2.0), col("e") - 1))
+    // global window over the metadata-sized candidate frame (|sources| ×
+    // maxEpochs rows — NOT data-sized; the corpus never reaches it)
+    val w = Window.orderBy(col("marginal").desc, col("source").asc,
+        col("e").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand.withColumn("spent", sum(col("unique_tokens")).over(w))
+      .groupBy(col("source"), col("unique_tokens"), col("budget"))
+      .agg(
+        sum(when(col("spent") <= col("budget"), 1L).otherwise(0L))
+          .as("epochs"),
+        portableRound(sum(when(col("spent") <= col("budget"), col("marginal"))
+          .otherwise(lit(0.0))), 4).as("value"))
+      .withColumn("alloc_tokens",
+        (col("epochs") * col("unique_tokens")).cast("long"))
+      .select(col("source"), col("unique_tokens"), col("epochs"),
+        col("alloc_tokens"), col("value"), col("budget"))
+  }
+
   def psiDrift(documents: DataFrame, refSource: String = "src0",
                bins: Int = 10): DataFrame = {
     import graft.functions.portableRound

@@ -261,4 +261,36 @@ class CurationSpec extends SparkTestBase {
     assert(duel("rare")._2 > duel("common")._2,
       s"hard domain must out-weigh: $duel")
   }
+
+  test("epochAllocation: greedy marginal order on crafted sources, layout-proof") {
+    // A has 60 tokens, B has 40; budget = 2.2 * 100 = 220.
+    // Marginal order: A1(60) B1(40) A2(30) B2(20) A3(15)...
+    // spent:          60     100    160    200    260 -> halt
+    val docs = Seq(
+      (1L, ("w " * 59).trim + " w", "A"), // 60 whitespace tokens
+      (2L, ("w " * 39).trim + " w", "B")) // 40
+      .toDF("doc_id", "text", "source")
+    val got = Curation.epochAllocation(docs)
+    val m = got.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m("A") == ((60L, 2L, 120L, 90.0)), s"A: ${m("A")}")
+    assert(m("B") == ((40L, 2L, 80L, 60.0)), s"B: ${m("B")}")
+    assert(got.select("budget").head.getLong(0) == 220L)
+    assertSameRows(got, Curation.epochAllocation(docs.repartition(5)))
+  }
+
+  test("epochAllocation on the fixture: budget respected, epochs contiguous-positive") {
+    val got = Curation.epochAllocation(Tables.documents(spark, sf0001))
+      .collect()
+    val budget = got.head.getLong(5)
+    assert(got.map(_.getLong(3)).sum <= budget,
+      "allocated tokens must fit the budget")
+    // with a 2.2x-unique budget and near-balanced sources, every source
+    // trains at least one full epoch and none beyond maxEpochs
+    got.foreach { r =>
+      val e = r.getLong(2)
+      assert(e >= 1 && e <= 6, s"${r.getString(0)} epochs $e out of range")
+      assert(r.getLong(3) == e * r.getLong(1))
+    }
+  }
 }
