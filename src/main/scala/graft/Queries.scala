@@ -2146,6 +2146,41 @@ object Queries {
   val doremi1DomainWeights: Q = (s, d) =>
     graft.operators.Curation.doremiWeights(Tables.documents(s, d))
 
+  /** PREF1 — preference-pair construction for reward-model/DPO training:
+    * per (lang, source) group, rank documents by the shared t2 quality
+    * score and match the i-th best with the i-th worst, keeping pairs
+    * with margin ≥ 0.05 — bt1 RANKS from given pairwise outcomes, pref1
+    * BUILDS the pairs a preference model trains on. One keyed window +
+    * one co-partitioned self-join (the exchange is reused).
+    * See [[graft.operators.Curation.preferencePairs]]. */
+  val pref1DpoPairs: Q = (s, d) =>
+    graft.operators.Curation.preferencePairs(Tables.documents(s, d))
+
+  val pref1DpoPairsSql: String = {
+    val quality =
+      s"""floor((least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+         |  + (CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stopList, x))) AS DOUBLE)
+         |     / len(string_split(text, ' '))) * 0.3
+         |  + least((CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         |           / len(string_split(text, ' '))) / 10.0, 1.0) * 0.2) * 10000 + 0.5) / 10000""".stripMargin
+    s"""WITH q AS (SELECT doc_id, lang, source, $quality AS quality FROM documents),
+       |r AS (SELECT *,
+       |        row_number() OVER (PARTITION BY lang, source ORDER BY quality DESC, doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY lang, source) AS n
+       |      FROM q),
+       |c AS (SELECT lang, source, CAST(rn AS BIGINT) AS pair_rank,
+       |             doc_id AS chosen_id, quality AS chosen_q
+       |      FROM r WHERE rn * 2 <= n),
+       |j AS (SELECT lang, source, CAST(n - rn + 1 AS BIGINT) AS pair_rank,
+       |             doc_id AS rejected_id, quality AS rejected_q
+       |      FROM r WHERE rn * 2 > n)
+       |SELECT c.lang, c.source, c.pair_rank, chosen_id, rejected_id,
+       |       chosen_q, rejected_q,
+       |       floor((chosen_q - rejected_q) * 10000 + 0.5) / 10000 AS margin
+       |FROM c JOIN j USING (lang, source, pair_rank)
+       |WHERE floor((chosen_q - rejected_q) * 10000 + 0.5) / 10000 >= 0.05""".stripMargin
+  }
+
   /** BUDGET1 — data-constrained epoch allocation (Muennighoff et al.
     * 2022): one corpus rollup gives each source's unique-token mass; a
     * greedy over the |sources|×6 candidate-epoch metadata frame admits
@@ -9890,6 +9925,7 @@ object Queries {
     "bf1_file_bloom" -> bf1FileBloom,
     "doremi1_domain_weights" -> doremi1DomainWeights,
     "budget1_epoch_allocation" -> budget1EpochAllocation,
+    "pref1_dpo_pairs" -> pref1DpoPairs,
     "pq1_product_quantize" -> pq1ProductQuantize,
     "pq2_adc_search" -> pq2AdcSearch,
     "pq2_adc_gate" -> pq2Gate,
@@ -10187,6 +10223,7 @@ object Queries {
     "fa1_forecast_accuracy" -> fa1ForecastAccuracySql,
     "bf1_file_bloom" -> bf1FileBloomSql,
     "doremi1_domain_weights" -> doremi1DomainWeightsSql,
+    "pref1_dpo_pairs" -> pref1DpoPairsSql,
     "budget1_epoch_allocation" -> budget1EpochAllocationSql,
     "pq1_product_quantize" -> pq1ProductQuantizeSql,
     "pq2_adc_gate" -> pq2GateSql,

@@ -415,6 +415,53 @@ object Curation {
         col("alloc_tokens"), col("value"), col("budget"))
   }
 
+  /** Preference-pair construction for reward-model / DPO training data:
+    * inside each (lang, source) group, rank documents by quality
+    * ([[TextAnalysis.qualityExpr]] — the same score t2/t10 gate on) and
+    * pair the i-th best with the i-th worst (chosen rank i from the top,
+    * rejected rank i from the bottom), keeping pairs whose quality
+    * margin clears `minMargin` — the anti-symmetric matching that makes
+    * every pair maximally separated for its rank while each document is
+    * used at most once. bt1 RANKS from given pairwise outcomes; pref1
+    * BUILDS the pairs a preference model trains on.
+    *
+    * Determinism: quality is 1e-4-grid-rounded; ranks tie-break on
+    * doc_id; an odd group's median row pairs with nothing. Margins are
+    * differences of identically-rounded doubles (exact IEEE subtraction
+    * of identical inputs), re-rounded to the 1e-4 grid — bit-stable
+    * cross-engine.
+    *
+    * Scale shape: one window shuffle keyed (lang, source) — NO global
+    * window — then a self-join on (lang, source, pair_rank) that reuses
+    * the same hash partitioning (one exchange, reused by both sides). */
+  def preferencePairs(documents: DataFrame,
+                      minMargin: Double = 0.05): DataFrame = {
+    import graft.functions.portableRound
+    import org.apache.spark.sql.expressions.Window
+    require(minMargin >= 0, s"minMargin must be >= 0, got $minMargin")
+    val scored = documents.select(col("doc_id"), col("lang"), col("source"),
+      TextAnalysis.qualityExpr.as("quality"))
+    val grp = Window.partitionBy(col("lang"), col("source"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        grp.orderBy(col("quality").desc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(grp))
+    val chosen = ranked.filter(col("rn") * 2 <= col("n"))
+      .select(col("lang"), col("source"),
+        col("rn").cast("long").as("pair_rank"),
+        col("doc_id").as("chosen_id"), col("quality").as("chosen_q"))
+    val rejected = ranked.filter(col("rn") * 2 > col("n"))
+      .select(col("lang"), col("source"),
+        (col("n") - col("rn") + 1).cast("long").as("pair_rank"),
+        col("doc_id").as("rejected_id"), col("quality").as("rejected_q"))
+    chosen.join(rejected, Seq("lang", "source", "pair_rank"))
+      .withColumn("margin",
+        portableRound(col("chosen_q") - col("rejected_q"), 4))
+      .filter(col("margin") >= minMargin)
+      .select(col("lang"), col("source"), col("pair_rank"), col("chosen_id"),
+        col("rejected_id"), col("chosen_q"), col("rejected_q"), col("margin"))
+  }
+
   def psiDrift(documents: DataFrame, refSource: String = "src0",
                bins: Int = 10): DataFrame = {
     import graft.functions.portableRound

@@ -262,6 +262,40 @@ class CurationSpec extends SparkTestBase {
       s"hard domain must out-weigh: $duel")
   }
 
+  test("preferencePairs: anti-symmetric matching, median unpaired, margin gate, layout-proof") {
+    // group g: 5 docs, no stopwords, all tokens "w" (avg len 1), so
+    // quality = 0.5*n_tok/100 + 0.02 -> 0.47 0.37 0.27 0.17 0.07.
+    // group h: two docs 0.01 apart -> pair filtered by the 0.05 margin
+    def doc(id: Long, nTok: Int, src: String) = {
+      val t = Seq.fill(nTok)("w").mkString(" ")
+      (id, t, "en", src, t.length.toLong)
+    }
+    val docs = Seq(doc(1, 90, "g"), doc(2, 70, "g"), doc(3, 50, "g"),
+      doc(4, 30, "g"), doc(5, 10, "g"), doc(6, 52, "h"), doc(7, 50, "h"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.preferencePairs(docs)
+    val rows = got.collect().map(r => (r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(7)))
+    // g: best-vs-worst then 2nd-best-vs-2nd-worst; median doc 3 unpaired
+    assert(rows.toSet == Set(("g", 1L, 1L, 5L, 0.4), ("g", 2L, 2L, 4L, 0.2)),
+      s"got ${rows.toSeq}")
+    // h's only pair (margin 0.01) is gated out, and doc 3 appears nowhere
+    assert(!rows.exists(_._1 == "h") &&
+      !rows.exists(r => r._3 == 3L || r._4 == 3L))
+    assertSameRows(got, Curation.preferencePairs(docs.repartition(5)))
+  }
+
+  test("preferencePairs on the fixture: each doc used at most once, margins hold") {
+    val got = Curation.preferencePairs(Tables.documents(spark, sf0001))
+    val n = got.count()
+    assert(n > 0)
+    val used = got.select($"chosen_id".as("id"))
+      .unionAll(got.select($"rejected_id".as("id")))
+    assert(used.distinct().count() == 2 * n, "a doc joined two pairs")
+    assert(got.filter($"margin" < 0.05 || $"chosen_q" <= $"rejected_q")
+      .count() == 0)
+  }
+
   test("epochAllocation: greedy marginal order on crafted sources, layout-proof") {
     // A has 60 tokens, B has 40; budget = 2.2 * 100 = 220.
     // Marginal order: A1(60) B1(40) A2(30) B2(20) A3(15)...
