@@ -10322,7 +10322,7 @@ object Queries {
     "iso1_isotonic_calibration", "ts3_theil_sen", "logrank1_survival_test",
     "bfs1_shortest_paths", "att1_position_attribution", "dtw1_series_align",
     "hits1_hubs_auth", "mod1_modularity", "louv1_local_move", "louv2_coarsen",
-    "ppr1_proximity",
+    "ppr1_proximity", "pref1_dpo_pairs",
     "st1_stream_window", "st6_stream_cdc")
 
   /** Rows RETIRED from the recurring bench wall under the BASELINE.md
@@ -10343,5 +10343,10 @@ object Queries {
     *    lives here so the 10× sweep and ad-hoc re-measures can reach it
     *    by name. */
   val retiredBenchNames: Seq[String] = Seq(
-    "d13_span_keep_first", "prep2_span_clean", "pq3_batch_join")
+    "d13_span_keep_first", "prep2_span_clean", "pq3_batch_join",
+    // core1_kcenter_coreset: a GUARD-PROTOCOL row like pq3 — its ~7 s
+    // sf0.1 wall is k=8 sequential argmax rounds' scheduling floor, not
+    // data (the data shape is kmeans1's broadcast-centroid join, already
+    // benched); the 10x sweep reaches it here by name
+    "core1_kcenter_coreset")
 }

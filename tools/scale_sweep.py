@@ -99,6 +99,9 @@ SUBSET = [
     # LSH candidates + ADC-on-candidates; this guard row is what makes
     # the pq2_production quadratic a measured CHOICE between two routes
     "pq3_batch_join",        # auto-LSH candidates + ADC + rerank (linear)
+    "core1_kcenter_coreset",  # k greedy argmax rounds x broadcast centers
+                              # (kmeans1's join shape + a 1-row argmax;
+                              # linear claim, rounds fixed at k=8)
     # round-10 additions: novel iterative/kernel shapes
     "bleu1_eval",            # 4 clipped-count kernel passes, 1-row aggregate
     "ml5_lang_train",        # featurize once + classes x iters 1-row aggs
