@@ -6011,6 +6011,34 @@ object Queries {
       |       floor((CAST(sum(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_surprisal
       |FROM s GROUP BY doc_id""".stripMargin
 
+  /** PPL1 — CCNet-style perplexity partition (Wenzek et al. 2020): every
+    * document bucketed head/middle/tail WITHIN its language by rank-exact
+    * unigram-surprisal tertiles — the canonical crawl-quality partition
+    * (keep head, sample middle, drop tail), built on lm1's fluency score.
+    * See [[graft.operators.TextAnalysis.perplexityBuckets]]. */
+  val ppl1PerplexityBuckets: Q = (s, d) =>
+    graft.operators.TextAnalysis.perplexityBuckets(Tables.documents(s, d))
+
+  val ppl1PerplexityBucketsSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS n_w FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total, count(*) AS v_size FROM c),
+      |s AS (SELECT doc_id,
+      |        floor((-ln(CAST(n_w + 1 AS DOUBLE) / CAST(n_total + v_size AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS surp
+      |      FROM toks JOIN c USING (tok) CROSS JOIN tot),
+      |a AS (SELECT doc_id, count(*) AS n_tokens,
+      |        floor((CAST(sum(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_surprisal
+      |      FROM s GROUP BY doc_id),
+      |q AS (SELECT a.doc_id, d.lang, a.n_tokens, a.avg_surprisal,
+      |        row_number() OVER (PARTITION BY d.lang ORDER BY a.avg_surprisal, a.doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY d.lang) AS n
+      |      FROM a JOIN documents d USING (doc_id))
+      |SELECT doc_id, lang, n_tokens, avg_surprisal,
+      |       CAST((rn - 1) * 3 // n + 1 AS INTEGER) AS bucket_id,
+      |       CASE (rn - 1) * 3 // n + 1 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM q""".stripMargin
+
   /** PATH1 — first-order Markov transitions over user event paths
     * ([[graft.operators.Analytics.pathTransitions]]). */
   val path1Transitions: Q = (s, d) =>
@@ -7772,6 +7800,45 @@ object Queries {
        |SELECT vec_id, cid AS center_id, CAST(rnd AS INTEGER) AS sel_round,
        |       floor(dist * 1000000 + 0.5) / 1000000 AS dist
        |FROM m${k + 1} WHERE rn = 1""".stripMargin
+  }
+
+  /** BUDGET2 — budget1's allocation MATERIALIZED as the multi-epoch
+    * training stream: each source's docs replicated `epochs` times, each
+    * (doc, epoch) replica salted into its own shard + dense position
+    * (shuf1's discipline, epoch in the salt so epochs interleave
+    * independently). budget1 decides the repeats; budget2 lays out the
+    * stream a trainer reads — pack1/pack3 compose downstream unchanged.
+    * See [[graft.operators.Curation.epochMaterialize]]. */
+  val budget2EpochMaterialize: Q = (s, d) =>
+    graft.operators.Curation.epochMaterialize(Tables.documents(s, d))
+
+  val budget2EpochMaterializeSql: String = {
+    val key = "CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+    val shardE = md5BucketSql(s"'bud-sh:' || $key", 8)
+    val ordE = md5BucketSql(s"'bud-ord:' || $key", 100000000)
+    s"""WITH u AS (SELECT source,
+       |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS unique_tokens
+       |           FROM documents GROUP BY source),
+       |b AS (SELECT CAST((sum(unique_tokens) * 11) // 5 AS BIGINT) AS budget FROM u),
+       |cand AS (SELECT source, unique_tokens, budget, e,
+       |                CAST(unique_tokens AS DOUBLE) / pow(2.0, e - 1) AS marginal
+       |         FROM u CROSS JOIN b
+       |         CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS e) t),
+       |r AS (SELECT *, sum(unique_tokens) OVER (ORDER BY marginal DESC, source, e
+       |                   ROWS UNBOUNDED PRECEDING) AS spent
+       |      FROM cand),
+       |alloc AS (SELECT source,
+       |            CAST(sum(CASE WHEN spent <= budget THEN 1 ELSE 0 END) AS BIGINT) AS epochs
+       |          FROM r GROUP BY source),
+       |rep AS (SELECT d.doc_id, d.source, ep.epoch
+       |        FROM documents d JOIN alloc USING (source),
+       |        LATERAL (SELECT unnest(generate_series(1, alloc.epochs)) AS epoch) ep
+       |        WHERE alloc.epochs >= 1)
+       |SELECT doc_id, source, epoch,
+       |       CAST($shardE AS BIGINT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY $shardE
+       |                               ORDER BY $ordE, epoch, doc_id) AS BIGINT) AS pos
+       |FROM rep""".stripMargin
   }
 
   /** PQ1 — product quantization (Jégou et al. 2011): four independent
@@ -9763,6 +9830,7 @@ object Queries {
     "unp1_unpivot" -> unp1Unpivot,
     "pmi1_collocations" -> pmi1Collocations,
     "lm1_surprisal" -> lm1Surprisal,
+    "ppl1_perplexity_buckets" -> ppl1PerplexityBuckets,
     "path1_transitions" -> path1Transitions,
     "nu1_new_users" -> nu1NewUsers,
     "exp1_ab_test" -> exp1AbTest,
@@ -9925,6 +9993,7 @@ object Queries {
     "bf1_file_bloom" -> bf1FileBloom,
     "doremi1_domain_weights" -> doremi1DomainWeights,
     "budget1_epoch_allocation" -> budget1EpochAllocation,
+    "budget2_epoch_materialize" -> budget2EpochMaterialize,
     "pref1_dpo_pairs" -> pref1DpoPairs,
     "pq1_product_quantize" -> pq1ProductQuantize,
     "pq2_adc_search" -> pq2AdcSearch,
@@ -10069,6 +10138,7 @@ object Queries {
     "unp1_unpivot" -> unp1UnpivotSql,
     "pmi1_collocations" -> pmi1CollocationsSql,
     "lm1_surprisal" -> lm1SurprisalSql,
+    "ppl1_perplexity_buckets" -> ppl1PerplexityBucketsSql,
     "path1_transitions" -> path1TransitionsSql,
     "nu1_new_users" -> nu1NewUsersSql,
     "exp1_ab_test" -> exp1AbTestSql,
@@ -10225,6 +10295,7 @@ object Queries {
     "doremi1_domain_weights" -> doremi1DomainWeightsSql,
     "pref1_dpo_pairs" -> pref1DpoPairsSql,
     "budget1_epoch_allocation" -> budget1EpochAllocationSql,
+    "budget2_epoch_materialize" -> budget2EpochMaterializeSql,
     "pq1_product_quantize" -> pq1ProductQuantizeSql,
     "pq2_adc_gate" -> pq2GateSql,
     "pq2_production_gate" -> pq2ProductionGateSql,

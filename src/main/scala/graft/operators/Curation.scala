@@ -415,6 +415,40 @@ object Curation {
         col("alloc_tokens"), col("value"), col("budget"))
   }
 
+  /** Materialize [[epochAllocation]]'s decision as the actual multi-epoch
+    * training stream: each source's documents are replicated `epochs`
+    * times, and every (doc, epoch) replica gets its own salted shard +
+    * dense within-shard position ([[Sampling.epochShuffle]]'s discipline
+    * with the epoch folded into the salt, so different epochs interleave
+    * independently instead of replaying the same order). budget1 DECIDES
+    * the repeats; budget2 lays out the stream that trains on them —
+    * pack1/pack3 compose downstream unchanged.
+    *
+    * Shape: the allocation is a |sources|-row BROADCAST metadata join;
+    * replication is an in-row explode bounded by maxEpochs; ordering is
+    * ONE exchange on shard + a per-shard sort — never a global window,
+    * so shards materialize independently at any corpus size. */
+  def epochMaterialize(documents: DataFrame, maxEpochs: Int = 6,
+                       budgetNum: Int = 11, budgetDen: Int = 5,
+                       shards: Int = 8): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val alloc = epochAllocation(documents, maxEpochs, budgetNum, budgetDen)
+      .select(col("source"), col("epochs"))
+    val rep = documents.select(col("doc_id"), col("source"))
+      .join(broadcast(alloc.filter(col("epochs") >= 1)), "source")
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+    val k = concat(col("epoch").cast("string"), lit(":"),
+      col("doc_id").cast("string"))
+    val shard = Sampling.hashBucket(concat(lit("bud-sh:"), k), shards)
+    val ord = Sampling.hashBucket(concat(lit("bud-ord:"), k), 100000000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(ord.asc, col("epoch").asc, col("doc_id").asc)
+    rep.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Preference-pair construction for reward-model / DPO training data:
     * inside each (lang, source) group, rank documents by quality
     * ([[TextAnalysis.qualityExpr]] — the same score t2/t10 gate on) and

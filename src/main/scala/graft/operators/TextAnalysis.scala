@@ -758,6 +758,35 @@ object TextAnalysis {
           count(lit(1)), 4).as("avg_surprisal"))
   }
 
+  /** CCNet-style perplexity partition (Wenzek et al. 2020): bucket every
+    * document into head / middle / tail WITHIN ITS LANGUAGE by
+    * unigram-LM surprisal tertiles — the canonical crawl-quality
+    * partition (keep head, sample middle, drop tail). Tertiles are
+    * rank-exact (bucket = 1 + ((rank−1)·3) div n, ranks tie-broken on
+    * doc_id), not approximate quantiles, so the cut is deterministic
+    * and the oracle replays it digit-exact.
+    *
+    * Shape: [[unigramSurprisal]]'s two token exchanges (term counts,
+    * doc rollup) + one doc_id join + ONE per-language window — keyed,
+    * never global; language cardinality bounds window skew, and at
+    * 100 TB each language's rank partition streams independently. */
+  def perplexityBuckets(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramSurprisal(documents)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+    val grp = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("rn", row_number().over(
+        grp.orderBy(col("avg_surprisal").asc, col("doc_id").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(grp))
+      .withColumn("bucket_id", (expr("((rn - 1) * 3) div n") + 1).cast("int"))
+      .withColumn("bucket",
+        when(col("bucket_id") === 1, "head")
+          .when(col("bucket_id") === 2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("avg_surprisal"), col("bucket_id"), col("bucket"))
+  }
+
   /** Okapi BM25 relevance of every document against a fixed query-term
     * set — the retrieval scorer a decontamination / curation pipeline runs
     * to find eval-set-like or topic-targeted documents in the corpus

@@ -262,6 +262,35 @@ class CurationSpec extends SparkTestBase {
       s"hard domain must out-weigh: $duel")
   }
 
+  test("epochMaterialize: allocation is honored replica-for-replica, positions dense, layout-proof") {
+    val docs = Seq(
+      (1L, ("w " * 59).trim + " w", "A"), // 60 tokens -> 2 epochs
+      (2L, ("w " * 39).trim + " w", "B")) // 40 tokens -> 2 epochs
+      .toDF("doc_id", "text", "source")
+    val got = Curation.epochMaterialize(docs)
+    val rows = got.collect()
+    // 2 docs x 2 epochs = 4 replicas, each (doc, epoch) exactly once
+    assert(rows.length == 4)
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
+    // positions are dense 1..k within each shard
+    rows.groupBy(_.getLong(3)).foreach { case (sh, rs) =>
+      assert(rs.map(_.getLong(4)).sorted.toSeq == (1L to rs.length).toSeq,
+        s"shard $sh positions not dense")
+    }
+    assertSameRows(got, Curation.epochMaterialize(docs.repartition(5)))
+  }
+
+  test("epochMaterialize on the fixture: row count equals epochs x docs per source") {
+    val docs = Tables.documents(spark, sf0001)
+    val perSource = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val epochs = Curation.epochAllocation(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val want = perSource.map { case (s, n) => n * epochs(s) }.sum
+    assert(Curation.epochMaterialize(docs).count() == want)
+  }
+
   test("preferencePairs: anti-symmetric matching, median unpaired, margin gate, layout-proof") {
     // group g: 5 docs, no stopwords, all tokens "w" (avg len 1), so
     // quality = 0.5*n_tok/100 + 0.02 -> 0.47 0.37 0.27 0.17 0.07.

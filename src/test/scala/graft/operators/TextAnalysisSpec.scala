@@ -659,4 +659,38 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.corpusWer(same, delThresh = 600, subThresh = 500)
     }
   }
+
+  test("perplexityBuckets: fluency ordering drives the tertile cut, layout-proof") {
+    // token frequencies: t is common (8 occurrences), q/r/s are singletons
+    // -> d1 (all t) is most fluent, d4 (all rare) least; n=4 per lang cuts
+    // rank-exact at sizes 2/1/1
+    val docs = Seq(
+      (1L, "t t t t", "en"), (2L, "t t t u", "en"),
+      (3L, "t u u v", "en"), (4L, "q r s v", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.perplexityBuckets(docs)
+    val by = got.collect()
+      .map(r => r.getLong(0) -> (r.getInt(4), r.getString(5))).toMap
+    assert(by == Map(1L -> ((1, "head")), 2L -> ((1, "head")),
+      3L -> ((2, "middle")), 4L -> ((3, "tail"))), s"got $by")
+    assertSameRows(got, TextAnalysis.perplexityBuckets(docs.repartition(5)))
+  }
+
+  test("perplexityBuckets on the fixture: balanced per-lang tertiles, monotone surprisal") {
+    val got = TextAnalysis.perplexityBuckets(
+      graft.Tables.documents(spark, sf0001)).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      // rank-exact tertiles: bucket sizes differ by at most 1
+      val sizes = rows.groupBy(_.getInt(4)).view.mapValues(_.length).toMap
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang unbalanced: $sizes")
+      // the partition respects the score: every head doc is at most as
+      // surprising as every tail doc
+      val head = rows.filter(_.getString(5) == "head").map(_.getDouble(3))
+      val tail = rows.filter(_.getString(5) == "tail").map(_.getDouble(3))
+      if (head.nonEmpty && tail.nonEmpty)
+        assert(head.max <= tail.min, s"$lang head/tail inverted")
+    }
+  }
 }
