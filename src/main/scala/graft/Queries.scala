@@ -1600,6 +1600,39 @@ object Queries {
       |       CAST(0 AS BIGINT) AS missed_08
       |FROM p""".stripMargin
 
+  /** DC3 — SEMANTIC benchmark decontamination over the planted corpus:
+    * the embedding-level sibling of dc1/dc2's n-gram forms (paraphrased
+    * eval contamination survives shingle checks but not cosine ≥ 0.9).
+    * Benchmark = the twin sources (vec_id % 20 = 0); the planted twins
+    * are exactly the contamination the scan must find. Broadcast bench +
+    * one streamed cosine kernel + one vec_id rollup — dc1's shuffle-free
+    * corpus pass with the kernel swapped.
+    * See [[graft.operators.Similarity.semanticDecontaminate]]. */
+  val dc3SemanticDecontaminate: Q = (s, d) => {
+    val planted = plantNearDups(Tables.embeddings(s, d))
+    val bench = Tables.embeddings(s, d).filter(col("vec_id") % 20 === 0)
+    Similarity.semanticDecontaminate(planted, bench, tau = 0.9)
+  }
+
+  val dc3SemanticDecontaminateSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |tw AS (SELECT a.vec_id + 10000000 AS vec_id,
+      |              CAST(CAST([a.emb[i] + 0.3 * b.emb[i] FOR i IN RANGE(1, 65)] AS FLOAT[]) AS DOUBLE[]) AS emb
+      |       FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      |       WHERE a.vec_id % 20 = 0),
+      |al AS (SELECT vec_id, emb FROM e UNION ALL SELECT vec_id, emb FROM tw),
+      |b AS (SELECT vec_id AS bench_id, emb AS be FROM e WHERE vec_id % 20 = 0),
+      |sc AS (SELECT a.vec_id, b.bench_id,
+      |              floor(list_cosine_similarity(a.emb, b.be) * 10000 + 0.5) / 10000 AS c
+      |       FROM al a JOIN b ON a.vec_id <> b.bench_id),
+      |h AS (SELECT vec_id, bench_id, c,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, bench_id) AS rn,
+      |             count(*) OVER (PARTITION BY vec_id) AS nh
+      |      FROM sc WHERE c >= 0.9)
+      |SELECT vec_id, CAST(nh AS BIGINT) AS n_bench_hits,
+      |       CAST(bench_id AS BIGINT) AS top_bench_id, c AS top_cos
+      |FROM h WHERE rn = 1""".stripMargin
+
   // ───────────────────────── similarity search ───────────────────────────
 
   /** Brute-force exact cosine top-k for a small query set. */
@@ -9777,6 +9810,7 @@ object Queries {
     "prep1_corpus_prep" -> prep1CorpusPrep,
     "dc1_decontaminate" -> dc1Decontaminate,
     "dc2_decontaminate_bloom" -> dc2DecontaminateBloom,
+    "dc3_semantic_decontaminate" -> dc3SemanticDecontaminate,
     "inc1_incremental_dedup" -> inc1IncrementalDedup,
     "inc2_neardup_admission" -> inc2NearDupAdmission,
     "hh1_heavy_hitters" -> hh1HeavyHitters,
@@ -10087,6 +10121,7 @@ object Queries {
     "prep1_corpus_prep" -> prep1CorpusPrepSql,
     "dc1_decontaminate" -> dc1DecontaminateSql,
     "dc2_decontaminate_bloom" -> dc1DecontaminateSql, // bloom prefilter is exact: same oracle
+    "dc3_semantic_decontaminate" -> dc3SemanticDecontaminateSql,
     "inc1_incremental_dedup" -> inc1IncrementalDedupSql,
     "inc2_neardup_admission" -> inc2NearDupAdmissionSql,
     "hh1_heavy_hitters" -> hh1HeavyHittersSql,

@@ -87,6 +87,40 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Semantic (embedding-level) benchmark decontamination — the vector
+    * sibling of [[Curation.decontaminate]]'s n-gram form: flag every
+    * corpus vector whose cosine to ANY benchmark vector clears `tau`.
+    * Paraphrased or lightly-edited eval contamination survives n-gram
+    * checks but not this one; together the two are the standard
+    * decontamination stack. Output per flagged vector: how many
+    * benchmark items it matches, the closest one, and that cosine.
+    *
+    * Scale shape: dc1's broadcast rationale verbatim — eval sets are a
+    * few MB against a 100 TB corpus, so the benchmark side BROADCASTS
+    * and the corpus side streams through one codegen'd cosine kernel +
+    * one map-side-combinable rollup keyed vec_id (no corpus shuffle of
+    * anything but flagged ids). Cosines are 1e-4-grid-rounded BEFORE the
+    * threshold and the argmax, so flag set and ranking replay exactly
+    * cross-engine; argmax ties break to the smaller benchmark id. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            tau: Double = 0.9): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau in (0,1]: $tau")
+    val b = benchmark.select(col("vec_id").as("bench_id"),
+      col("embedding").as("be"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(b), col("vec_id") =!= col("bench_id"))
+      .select(col("vec_id"), col("bench_id"),
+        portableRound(cosine_similarity(col("embedding"), col("be")), 4)
+          .as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(struct(col("cos"), (-col("bench_id")).as("nid"))).as("m"))
+      .select(col("vec_id"), col("n_bench_hits"),
+        (-col("m.nid")).cast("long").as("top_bench_id"),
+        col("m.cos").as("top_cos"))
+  }
+
   /** Bucket masks for a hamming-≤`radius` probe: every `planes`-bit int
     * with popcount ≤ radius — generated from bit-position combinations
     * (C(planes, ≤radius) masks), NOT by filtering 0..2^planes: corpus-

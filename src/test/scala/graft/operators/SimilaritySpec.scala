@@ -223,6 +223,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(d8 < d4, s"k=8 cover $d8 must beat k=4 cover $d4")
   }
 
+  test("semanticDecontaminate: near-copies flagged, clean vectors pass, ties to smaller bench id") {
+    // bench 100 = (1,0,0,0); bench 102 = (0,1,0,0). corpus: 1 is a light
+    // paraphrase of 100 (cos ~0.995), 2 is orthogonal (clean), 3 sits
+    // exactly between the two bench vectors (tie -> bench 100)
+    val bench = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)), (102L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1f, 0.1f, 0f, 0f)), (2L, Array(0f, 0f, 1f, 1f)),
+      (3L, Array(1f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(corpus, bench, tau = 0.7)
+    val by = got.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(by == Map(1L -> ((1L, 100L)), 3L -> ((2L, 100L))), s"got $by")
+    assertSameRows(got,
+      Similarity.semanticDecontaminate(corpus.repartition(5), bench, tau = 0.7))
+  }
+
+  test("semanticDecontaminate: a benchmark row inside the corpus does not self-flag") {
+    val bench = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq((100L, Array(1f, 0f)), (5L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.semanticDecontaminate(corpus, bench, tau = 0.9)
+      .count() == 0)
+  }
+
   test("IVF assignment puts every vector in exactly one list") {
     val e = graft.Tables.embeddings(spark, sf0001)
     val centroids = Similarity.centroidsOf(e, 8)
