@@ -2827,6 +2827,28 @@ object Queries {
   val bpe2EncodeStats: Q = (s, d) =>
     TextAnalysis.bpeEncodeStats(Tables.documents(s, d), merges = 6)
 
+  /** FERT1 — tokenizer fertility by language: pieces per whitespace word
+    * under the trained 6-merge BPE, rolled up per lang — the table a
+    * multilingual tokenizer evaluation publishes (high fertility = more
+    * sequence length per word). bpe2's encode with one extra lang-keyed
+    * aggregation. See [[graft.operators.TextAnalysis.bpeFertilityByLang]]. */
+  val fert1TokenizerFertility: Q = (s, d) =>
+    TextAnalysis.bpeFertilityByLang(Tables.documents(s, d), merges = 6)
+
+  val fert1TokenizerFertilitySql: String =
+    s"""WITH ${bpeCtesSql(6)},
+       |pc AS (SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_pieces_w FROM v6),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |j AS (SELECT t.doc_id, pc.n_pieces_w FROM tok t JOIN pc ON t.w = pc.w WHERE len(t.w) > 0),
+       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |             CAST(sum(n_pieces_w) AS BIGINT) AS n_pieces
+       |      FROM j GROUP BY doc_id)
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(a.n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(a.n_pieces) AS BIGINT) AS n_pieces,
+       |       ${portableRoundSql("CAST(sum(a.n_pieces) AS DOUBLE) / CAST(sum(a.n_words) AS DOUBLE)", 4)} AS fertility
+       |FROM a JOIN documents d USING (doc_id) GROUP BY d.lang""".stripMargin
+
   val bpe2EncodeStatsSql: String =
     s"""WITH ${bpeCtesSql(6)},
        |pc AS (SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_pieces_w FROM v6),
@@ -6071,6 +6093,26 @@ object Queries {
       |       CASE (rn - 1) * 3 // n + 1 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
       |            ELSE 'tail' END AS bucket
       |FROM q""".stripMargin
+
+  /** CURR1 — curriculum training order: easy→hard annealing over ppl1's
+    * quality partition (all head docs first, then middle, then tail),
+    * salted shuffle within each band — the macro order is the
+    * curriculum, the micro order stays decorrelated. One keyed window on
+    * (bucket, shard); shuf1's discipline with the band prepended.
+    * See [[graft.operators.Sampling.curriculumOrder]]. */
+  val curr1CurriculumOrder: Q = (s, d) =>
+    graft.operators.Sampling.curriculumOrder(Tables.documents(s, d))
+
+  val curr1CurriculumOrderSql: String = {
+    val shardE = md5BucketSql("'cur-sh:' || CAST(doc_id AS VARCHAR)", 8)
+    val ordE = md5BucketSql("'cur-ord:' || CAST(doc_id AS VARCHAR)", 100000000)
+    s"""WITH p AS ($ppl1PerplexityBucketsSql)
+       |SELECT doc_id, lang, bucket_id, bucket,
+       |       CAST($shardE AS BIGINT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY bucket_id, $shardE
+       |                               ORDER BY $ordE, doc_id) AS BIGINT) AS pos
+       |FROM p""".stripMargin
+  }
 
   /** PATH1 — first-order Markov transitions over user event paths
     * ([[graft.operators.Analytics.pathTransitions]]). */
@@ -9865,6 +9907,7 @@ object Queries {
     "pmi1_collocations" -> pmi1Collocations,
     "lm1_surprisal" -> lm1Surprisal,
     "ppl1_perplexity_buckets" -> ppl1PerplexityBuckets,
+    "curr1_curriculum_order" -> curr1CurriculumOrder,
     "path1_transitions" -> path1Transitions,
     "nu1_new_users" -> nu1NewUsers,
     "exp1_ab_test" -> exp1AbTest,
@@ -9983,6 +10026,7 @@ object Queries {
     "bpe1_train_merges" -> bpe1TrainMerges,
     "hn1_hard_negatives" -> hn1HardNegatives,
     "bpe2_encode_stats" -> bpe2EncodeStats,
+    "fert1_tokenizer_fertility" -> fert1TokenizerFertility,
     "hn2_production" -> hn2Production,
     "hn2_gate" -> hn2Gate,
     "mix4_oversample" -> mix4Oversample,
@@ -10174,6 +10218,7 @@ object Queries {
     "pmi1_collocations" -> pmi1CollocationsSql,
     "lm1_surprisal" -> lm1SurprisalSql,
     "ppl1_perplexity_buckets" -> ppl1PerplexityBucketsSql,
+    "curr1_curriculum_order" -> curr1CurriculumOrderSql,
     "path1_transitions" -> path1TransitionsSql,
     "nu1_new_users" -> nu1NewUsersSql,
     "exp1_ab_test" -> exp1AbTestSql,
@@ -10286,6 +10331,7 @@ object Queries {
     "bpe1_train_merges" -> bpe1TrainMergesSql,
     "hn1_hard_negatives" -> hn1HardNegativesSql,
     "bpe2_encode_stats" -> bpe2EncodeStatsSql,
+    "fert1_tokenizer_fertility" -> fert1TokenizerFertilitySql,
     "hn2_gate" -> hn2GateSql,
     "mix4_oversample" -> mix4OversampleSql,
     "t13_entropy" -> t13EntropySql,

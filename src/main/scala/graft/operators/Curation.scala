@@ -465,9 +465,14 @@ object Curation {
     * of identical inputs), re-rounded to the 1e-4 grid — bit-stable
     * cross-engine.
     *
-    * Scale shape: one window shuffle keyed (lang, source) — NO global
-    * window — then a self-join on (lang, source, pair_rank) that reuses
-    * the same hash partitioning (one exchange, reused by both sides). */
+    * Scale shape: ONE corpus scan and ONE exchange keyed (lang, source)
+    * — no global window, and no self-join: each row projects its role
+    * (chosen if rank*2 ≤ n, else rejected) and its pair index in-row,
+    * and the pair assembles in a single hash aggregation keyed
+    * (lang, source, pair_rank). Because the window's hash partitioning
+    * is a SUBSET of the rollup's group keys, the aggregation reuses the
+    * window's exchange — a naive chosen⋈rejected self-join plans two
+    * full scan+window pipelines (measured: 9 exchanges vs 1 here). */
   def preferencePairs(documents: DataFrame,
                       minMargin: Double = 0.05): DataFrame = {
     import graft.functions.portableRound
@@ -480,15 +485,19 @@ object Curation {
       .withColumn("rn", row_number().over(
         grp.orderBy(col("quality").desc, col("doc_id").asc)))
       .withColumn("n", count(lit(1)).over(grp))
-    val chosen = ranked.filter(col("rn") * 2 <= col("n"))
-      .select(col("lang"), col("source"),
-        col("rn").cast("long").as("pair_rank"),
-        col("doc_id").as("chosen_id"), col("quality").as("chosen_q"))
-    val rejected = ranked.filter(col("rn") * 2 > col("n"))
-      .select(col("lang"), col("source"),
-        (col("n") - col("rn") + 1).cast("long").as("pair_rank"),
-        col("doc_id").as("rejected_id"), col("quality").as("rejected_q"))
-    chosen.join(rejected, Seq("lang", "source", "pair_rank"))
+    val isChosen = col("rn") * 2 <= col("n")
+    ranked.select(col("lang"), col("source"),
+        when(isChosen, col("rn").cast("long"))
+          .otherwise((col("n") - col("rn") + 1).cast("long")).as("pair_rank"),
+        when(isChosen, col("doc_id")).as("c_id"),
+        when(isChosen, col("quality")).as("c_q"),
+        when(!isChosen, col("doc_id")).as("r_id"),
+        when(!isChosen, col("quality")).as("r_q"))
+      .groupBy(col("lang"), col("source"), col("pair_rank"))
+      .agg(max(col("c_id")).as("chosen_id"), max(col("c_q")).as("chosen_q"),
+        max(col("r_id")).as("rejected_id"), max(col("r_q")).as("rejected_q"))
+      // an odd group's median row is a rejected with no chosen twin
+      .filter(col("chosen_id").isNotNull && col("rejected_id").isNotNull)
       .withColumn("margin",
         portableRound(col("chosen_q") - col("rejected_q"), 4))
       .filter(col("margin") >= minMargin)

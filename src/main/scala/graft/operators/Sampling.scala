@@ -219,6 +219,30 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Curriculum training order: easy-to-hard annealing over
+    * [[TextAnalysis.perplexityBuckets]]' quality partition — all head
+    * (most fluent) documents first, then middle, then tail, with a
+    * salted shuffle WITHIN each band (deterministic, epoch-style) so the
+    * curriculum fixes only the macro order while micro order stays
+    * decorrelated. A trainer consumes shards in (bucket, shard, pos)
+    * order; resumption is a pure key lookup.
+    *
+    * Shape: ppl1's exchanges + ONE window keyed (bucket, shard) — never
+    * global; each band's shards order independently at any corpus size. */
+  def curriculumOrder(documents: DataFrame, shards: Int = 8): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val b = TextAnalysis.perplexityBuckets(documents)
+      .select(col("doc_id"), col("lang"), col("bucket_id"), col("bucket"))
+    val k = col("doc_id").cast("string")
+    val shard = hashBucket(concat(lit("cur-sh:"), k), shards)
+    val ord = hashBucket(concat(lit("cur-ord:"), k), 100000000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_id"), col("shard"))
+      .orderBy(ord.asc, col("doc_id").asc)
+    b.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Sequence-packing manifest: where each document lands in the
     * fixed-capacity concatenated token stream a pretraining run feeds the
     * model. Documents are sharded and ordered exactly like

@@ -787,6 +787,23 @@ object TextAnalysis {
         col("avg_surprisal"), col("bucket_id"), col("bucket"))
   }
 
+  /** Tokenizer fertility by language — the standard per-language
+    * tokenizer-evaluation table (pieces per whitespace word under the
+    * trained BPE): high-fertility languages pay more sequence length per
+    * word, the number that drives multilingual vocab-size decisions.
+    * One rollup over [[bpeEncodeStats]]'s per-doc encode (the trained
+    * merge table stays codebook-sized driver state; the corpus bills the
+    * same two scans bpe2 bills — this adds one lang-keyed aggregation). */
+  def bpeFertilityByLang(docs: DataFrame, merges: Int): DataFrame =
+    bpeEncodeStats(docs, merges)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        portableRound(sum(col("n_pieces")).cast("double") /
+          sum(col("n_words")).cast("double"), 4).as("fertility"))
+
   /** Okapi BM25 relevance of every document against a fixed query-term
     * set — the retrieval scorer a decontamination / curation pipeline runs
     * to find eval-set-like or topic-targeted documents in the corpus

@@ -405,4 +405,35 @@ class SamplingSpec extends SparkTestBase {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("null nTokens")), ex.toString)
   }
+
+  test("curriculumOrder: macro order is the quality band, positions dense, layout-proof") {
+    import spark.implicits._
+    // ppl1's crafted corpus: d1/d2 head, d3 middle, d4 tail
+    val docs = Seq(
+      (1L, "t t t t", "en"), (2L, "t t t u", "en"),
+      (3L, "t u u v", "en"), (4L, "q r s v", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Sampling.curriculumOrder(docs, shards = 2)
+    val rows = got.collect()
+    assert(rows.length == 4)
+    val band = rows.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(band == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 3))
+    // positions dense 1..k inside every (band, shard)
+    rows.groupBy(r => (r.getInt(2), r.getLong(4))).foreach { case (g, rs) =>
+      assert(rs.map(_.getLong(5)).sorted.toSeq == (1L to rs.length).toSeq,
+        s"group $g positions not dense")
+    }
+    assertSameRows(got, Sampling.curriculumOrder(docs.repartition(5), shards = 2))
+  }
+
+  test("curriculumOrder on the fixture: band sizes match ppl1's partition") {
+    val docs = Tables.documents(spark, sf0001)
+    val cur = Sampling.curriculumOrder(docs)
+    val fromCur = cur.groupBy(col("lang"), col("bucket_id")).count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val fromPpl = TextAnalysis.perplexityBuckets(docs)
+      .groupBy(col("lang"), col("bucket_id")).count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fromCur == fromPpl)
+  }
 }

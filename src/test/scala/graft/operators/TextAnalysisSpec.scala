@@ -660,6 +660,26 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("bpeFertilityByLang: per-lang rollup is exactly bpe2's encode re-grouped") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val got = TextAnalysis.bpeFertilityByLang(docs, merges = 6).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // recompute from the per-doc encode: same docs, same word/piece mass
+    val perDoc = TextAnalysis.bpeEncodeStats(docs, merges = 6)
+      .join(docs.select($"doc_id", $"lang"), "doc_id").collect()
+      .groupBy(_.getString(4))
+    assert(got.keySet == perDoc.keySet)
+    perDoc.foreach { case (lang, rows) =>
+      val (nd, nw, np, f) = got(lang)
+      assert(nd == rows.length)
+      assert(nw == rows.map(_.getLong(1)).sum)
+      assert(np == rows.map(_.getLong(2)).sum)
+      // fertility >= 1: a word is never fewer than one piece
+      assert(f >= 1.0, s"$lang fertility $f < 1")
+    }
+  }
+
   test("perplexityBuckets: fluency ordering drives the tertile cut, layout-proof") {
     // token frequencies: t is common (8 occurrences), q/r/s are singletons
     // -> d1 (all t) is most fluent, d4 (all rare) least; n=4 per lang cuts
