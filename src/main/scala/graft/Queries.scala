@@ -2849,6 +2849,28 @@ object Queries {
        |       ${portableRoundSql("CAST(sum(a.n_pieces) AS DOUBLE) / CAST(sum(a.n_words) AS DOUBLE)", 4)} AS fertility
        |FROM a JOIN documents d USING (doc_id) GROUP BY d.lang""".stripMargin
 
+  /** TOK2 — vocabulary coverage / OOV rate by source under a top-16
+    * frequency vocab (deterministic count-desc/token-asc selection): the
+    * tokenizer-eval table that says which ingest sources a fixed vocab
+    * serves worst. One vocab rollup + TakeOrdered(16) broadcast back
+    * over the stream + one source rollup.
+    * See [[graft.operators.TextAnalysis.oovRateBySource]]. */
+  val tok2OovRate: Q = (s, d) =>
+    TextAnalysis.oovRateBySource(Tables.documents(s, d), vocabK = 16)
+
+  val tok2OovRateSql: String =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |t2 AS (SELECT source, tok FROM t WHERE len(tok) > 0),
+      |v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM t2 GROUP BY tok
+      |                       ORDER BY n DESC, tok LIMIT 16) vv)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |       CAST(count(DISTINCT CASE WHEN v.tok IS NULL THEN t2.tok END) AS BIGINT) AS n_oov_types,
+      |       floor((CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |              / count(*)) * 10000 + 0.5) / 10000 AS oov_rate
+      |FROM t2 LEFT JOIN v ON t2.tok = v.tok
+      |GROUP BY source""".stripMargin
+
   val bpe2EncodeStatsSql: String =
     s"""WITH ${bpeCtesSql(6)},
        |pc AS (SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_pieces_w FROM v6),
@@ -10027,6 +10049,7 @@ object Queries {
     "hn1_hard_negatives" -> hn1HardNegatives,
     "bpe2_encode_stats" -> bpe2EncodeStats,
     "fert1_tokenizer_fertility" -> fert1TokenizerFertility,
+    "tok2_oov_rate" -> tok2OovRate,
     "hn2_production" -> hn2Production,
     "hn2_gate" -> hn2Gate,
     "mix4_oversample" -> mix4Oversample,
@@ -10332,6 +10355,7 @@ object Queries {
     "hn1_hard_negatives" -> hn1HardNegativesSql,
     "bpe2_encode_stats" -> bpe2EncodeStatsSql,
     "fert1_tokenizer_fertility" -> fert1TokenizerFertilitySql,
+    "tok2_oov_rate" -> tok2OovRateSql,
     "hn2_gate" -> hn2GateSql,
     "mix4_oversample" -> mix4OversampleSql,
     "t13_entropy" -> t13EntropySql,

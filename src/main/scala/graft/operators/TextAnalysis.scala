@@ -804,6 +804,36 @@ object TextAnalysis {
         portableRound(sum(col("n_pieces")).cast("double") /
           sum(col("n_words")).cast("double"), 4).as("fertility"))
 
+  /** Vocabulary coverage / out-of-vocabulary rate by source under a
+    * top-`vocabK` frequency vocab — the second standard tokenizer-eval
+    * table beside [[bpeFertilityByLang]]: which ingest sources a fixed
+    * vocab serves worst (high OOV = that source pays UNK mass or byte
+    * fallback). Vocab selection is deterministic (count desc, token asc).
+    *
+    * Shape: one vocab-sized token rollup + TakeOrdered(K), the K-row
+    * vocab BROADCAST back over the token stream (left join marks OOV
+    * in-row), one map-side-combinable source rollup. The corpus bills
+    * two streamed passes; nothing corpus-sized shuffles. */
+  def oovRateBySource(documents: DataFrame, vocabK: Int = 16): DataFrame = {
+    require(vocabK >= 1, s"vocabK must be >= 1, got $vocabK")
+    val tokStream = documents.select(col("source"), explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = tokStream.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(vocabK)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    tokStream.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("tok")))
+          .as("n_oov_types"))
+      .withColumn("oov_rate",
+        portableRound(col("n_oov").cast("double") /
+          col("n_tokens").cast("double"), 4))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        col("n_oov_types"), col("oov_rate"))
+  }
+
   /** Okapi BM25 relevance of every document against a fixed query-term
     * set — the retrieval scorer a decontamination / curation pipeline runs
     * to find eval-set-like or topic-targeted documents in the corpus

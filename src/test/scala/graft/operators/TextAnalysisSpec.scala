@@ -660,6 +660,25 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("oovRateBySource: top-K cut, boundary tie to token asc, layout-proof") {
+    import spark.implicits._
+    // counts: a=5 b=3 c=1 d=1. K=2 vocab {a,b}: X misses c, Y misses d.
+    // K=3 takes c over d (count tie -> token asc): X fully covered.
+    val docs = Seq(
+      (1L, "a a a c", "X"), (2L, "a a b b b d", "Y"))
+      .toDF("doc_id", "text", "source")
+    val k2 = TextAnalysis.oovRateBySource(docs, vocabK = 2).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(k2("X") == ((4L, 1L, 1L, 0.25)), s"X: ${k2("X")}")
+    assert(k2("Y") == ((6L, 1L, 1L, 0.1667)), s"Y: ${k2("Y")}")
+    val k3 = TextAnalysis.oovRateBySource(docs, vocabK = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(k3 == Map("X" -> 0L, "Y" -> 1L), s"k3: $k3")
+    assertSameRows(TextAnalysis.oovRateBySource(docs, vocabK = 2),
+      TextAnalysis.oovRateBySource(docs.repartition(5), vocabK = 2))
+  }
+
   test("bpeFertilityByLang: per-lang rollup is exactly bpe2's encode re-grouped") {
     val docs = graft.Tables.documents(spark, sf0001)
     val got = TextAnalysis.bpeFertilityByLang(docs, merges = 6).collect()
