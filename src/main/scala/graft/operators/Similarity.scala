@@ -815,6 +815,11 @@ object Similarity {
       val far = nearest()
         .orderBy(col("dist").desc, col("vec_id").asc).limit(1).head
       val vid = far.getLong(0)
+      // k > distinct corpus size: every vector is already a center and the
+      // farthest point re-selects one — fail loudly, not silently
+      require(!cents.exists(_._1 == vid),
+        s"kCenterCoreset: k=$k exceeds the distinct corpus size " +
+          s"(round $r re-selected center $vid)")
       val arr = e.filter(col("vec_id") === vid).head.getSeq[Double](1)
       cents = cents :+ ((vid, r, arr))
     }

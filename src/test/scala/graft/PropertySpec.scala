@@ -89,4 +89,64 @@ class PropertySpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(one.forall { case (d, s) => two(d) >= s })
   }
+
+  test("BUDGET1: allocation never exceeds the budget; epochs within [0, maxEpochs]") {
+    import graft.operators.Curation
+    val wordGen = Gen.chooseNum(1, 40)
+    (0 until 6).foreach { i =>
+      val rows = sample(Gen.nonEmptyListOf(
+        Gen.zip(Gen.chooseNum(0, 4), wordGen)), 900L + i)
+        .zipWithIndex.map { case ((src, nTok), id) =>
+          (id.toLong, Seq.fill(nTok)("w").mkString(" "), s"s$src")
+        }
+      val got = Curation.epochAllocation(rows.toDF("doc_id", "text", "source"))
+        .collect()
+      val budget = got.head.getLong(5)
+      assert(got.map(_.getLong(3)).sum <= budget, s"seed $i over budget")
+      got.foreach { r =>
+        val e = r.getLong(2)
+        assert(e >= 0 && e <= 6, s"seed $i epochs $e")
+        assert(r.getLong(3) == e * r.getLong(1))
+      }
+    }
+  }
+
+  test("PREF1: every doc joins at most one pair; chosen always out-scores rejected") {
+    import graft.operators.Curation
+    (0 until 6).foreach { i =>
+      val rows = sample(Gen.nonEmptyListOf(
+        Gen.zip(Gen.chooseNum(1, 60), Gen.chooseNum(0, 2))), 950L + i)
+        .zipWithIndex.map { case ((nTok, g), id) =>
+          val t = Seq.fill(nTok)("w").mkString(" ")
+          (id.toLong, t, "en", s"g$g", t.length.toLong)
+        }
+      val got = Curation.preferencePairs(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+      val used = got.map(_.getLong(3)) ++ got.map(_.getLong(4))
+      assert(used.distinct.length == used.length, s"seed $i doc reused")
+      got.foreach { r =>
+        assert(r.getDouble(5) > r.getDouble(6), s"seed $i inverted pair")
+        assert(r.getDouble(7) >= 0.05, s"seed $i margin")
+      }
+    }
+  }
+
+  test("CURR1: curriculum order is a permutation and respects the band macro-order") {
+    import graft.operators.Sampling
+    (0 until 4).foreach { i =>
+      val rows = sample(Gen.nonEmptyListOf(Gen.chooseNum(1, 30)), 980L + i)
+        .zipWithIndex.map { case (nTok, id) =>
+          (id.toLong, (1 to nTok).map(t => s"w${(t * (id + 1)) % 7}")
+            .mkString(" "), if (id % 2 == 0) "en" else "de")
+        }
+      val df = rows.toDF("doc_id", "text", "lang")
+      val got = Sampling.curriculumOrder(df, shards = 3).collect()
+      assert(got.length == rows.length)
+      assert(got.map(_.getLong(0)).distinct.length == rows.length)
+      got.groupBy(r => (r.getInt(2), r.getLong(4))).foreach { case (g, rs) =>
+        assert(rs.map(_.getLong(5)).sorted.toSeq == (1L to rs.length).toSeq,
+          s"seed $i group $g not dense")
+      }
+    }
+  }
 }
