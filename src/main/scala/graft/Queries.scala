@@ -6200,6 +6200,35 @@ object Queries {
        |FROM dd""".stripMargin
   }
 
+  /** SMP6 — temporal train/embargo/test split with leakage audit: train
+    * on the first 70% of the time range, 10% embargo gap, test on the
+    * rest (cuts in exact integer micros); per split: event/user counts,
+    * actual span, and how many of its users also appear in train — the
+    * residual user-overlap an entity split would remove, reported as a
+    * number. The time-series holdout beside smp2 (hash) and smp5
+    * (group). See [[graft.operators.Sampling.temporalSplit]]. */
+  val smp6TemporalSplit: Q = (s, d) =>
+    graft.operators.Sampling.temporalSplit(Tables.events(s, d))
+
+  val smp6TemporalSplitSql: String =
+    """WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+      |                  max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1 FROM events),
+      |e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |t AS (SELECT user_id, us,
+      |        CASE WHEN us <= t0 + ((t1 - t0) * 70) // 100 THEN 'train'
+      |             WHEN us <= t0 + ((t1 - t0) * 80) // 100 THEN 'embargo'
+      |             ELSE 'test' END AS split
+      |      FROM e CROSS JOIN b),
+      |tu AS (SELECT DISTINCT user_id FROM t WHERE split = 'train'),
+      |lk AS (SELECT split, CAST(count(DISTINCT t.user_id) AS BIGINT) AS leak_users
+      |       FROM t JOIN tu ON t.user_id = tu.user_id GROUP BY split)
+      |SELECT t.split, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       min(us) AS first_us, max(us) AS last_us,
+      |       CAST(coalesce(any_value(lk.leak_users), 0) AS BIGINT) AS leak_users
+      |FROM t LEFT JOIN lk ON t.split = lk.split
+      |GROUP BY t.split""".stripMargin
+
   /** EXP2 — CUPED-adjusted A/B readout
     * ([[graft.operators.Analytics.cupedAbTest]]): θ = cov(pre, post)/
     * var(pre) over per-user purchase cents split at the time-range
@@ -9955,6 +9984,7 @@ object Queries {
     "ivm1_delta_agg" -> ivm1DeltaAgg,
     "anom3_robust_zscore" -> anom3Robust,
     "smp5_group_split" -> smp5GroupSplit,
+    "smp6_temporal_split" -> smp6TemporalSplit,
     "funnel2_time_to_convert" -> funnel2TimeToConvert,
     "pr1_pagerank" -> pr1Pagerank,
     "roll1_rolling_active" -> roll1Rolling,
@@ -10267,6 +10297,7 @@ object Queries {
     "ivm1_delta_agg" -> ivm1DeltaAggSql,
     "anom3_robust_zscore" -> anom3RobustSql,
     "smp5_group_split" -> smp5GroupSplitSql,
+    "smp6_temporal_split" -> smp6TemporalSplitSql,
     "funnel2_time_to_convert" -> funnel2TimeToConvertSql,
     "pr1_pagerank" -> pr1PagerankSql,
     "roll1_rolling_active" -> roll1RollingSql,

@@ -219,6 +219,48 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Temporal train/embargo/test split with leakage audit — the
+    * time-series holdout [[datasetSplit]] (hash) and `groupSplit`
+    * (entity) cannot express: train on the first `trainPct`% of the
+    * TIME RANGE, hold an `embargoPct`% gap so boundary-window features
+    * cannot peek across the cut, test on the rest. Cuts are integer
+    * microseconds (t0 + (t1−t0)·pct div 100 — exact cross-engine).
+    * Output is the per-split audit a pipeline publishes: event/user
+    * counts, actual span, and `leak_users` — how many of the split's
+    * users ALSO appear in train (the user-overlap that an entity-level
+    * split would remove; reported so the residual risk is a number, not
+    * a hope). By definition train's own overlap is its user count.
+    *
+    * Shape: one 1-row bounds aggregate broadcast back; split assignment
+    * is an in-row projection; counts are one map-side-combinable rollup
+    * + one user-keyed semi-join for the audit. */
+  def temporalSplit(events: DataFrame, trainPct: Int = 70,
+                    embargoPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && embargoPct >= 0 && trainPct + embargoPct < 100,
+      s"need 0 < trainPct, 0 <= embargoPct, trainPct+embargoPct < 100: " +
+        s"$trainPct, $embargoPct")
+    val tsu = unix_micros(col("ts"))
+    val b = events.agg(min(tsu).as("t0"), max(tsu).as("t1"))
+    val cut1 = col("t0") + expr(s"((t1 - t0) * $trainPct) div 100")
+    val cut2 = col("t0") + expr(s"((t1 - t0) * ${trainPct + embargoPct}) div 100")
+    val tagged = events.select(col("user_id"), tsu.as("us"))
+      .crossJoin(broadcast(b))
+      .withColumn("split",
+        when(col("us") <= cut1, "train")
+          .when(col("us") <= cut2, "embargo").otherwise("test"))
+    val trainUsers = tagged.filter(col("split") === "train")
+      .select(col("user_id")).distinct()
+    val leak = tagged.join(trainUsers, Seq("user_id"), "left_semi")
+      .groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("leak_users"))
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .join(leak, Seq("split"), "left")
+      .withColumn("leak_users", coalesce(col("leak_users"), lit(0L)))
+  }
+
   /** Curriculum training order: easy-to-hard annealing over
     * [[TextAnalysis.perplexityBuckets]]' quality partition — all head
     * (most fluent) documents first, then middle, then tail, with a

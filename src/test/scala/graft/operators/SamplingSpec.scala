@@ -406,6 +406,48 @@ class SamplingSpec extends SparkTestBase {
     assert(messages(ex).exists(_.contains("null nTokens")), ex.toString)
   }
 
+  test("temporalSplit: exact cuts, embargo gap, leak audit counts cross-cut users") {
+    import spark.implicits._
+    // range 0..100 s -> cut1 = 70 s, cut2 = 80 s.
+    // u1 trains AND tests (leaks); u2 only embargo; u3 only test; u4 trains.
+    val ev = Seq(
+      (1L, "u1", 0L), (2L, "u4", 65L), (3L, "u2", 75L),
+      (4L, "u1", 85L), (5L, "u3", 100L))
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Sampling.temporalSplit(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    assert(got("train") == ((2L, 2L, 2L)), s"train: ${got("train")}")
+    assert(got("embargo") == ((1L, 1L, 0L)), s"embargo: ${got("embargo")}")
+    assert(got("test") == ((2L, 2L, 1L)), s"test: ${got("test")}")
+    // boundary: an event exactly AT cut1 is train (<=), at cut2 embargo
+    val edge = Seq((1L, "a", 0L), (2L, "b", 70L), (3L, "c", 80L),
+      (4L, "d", 100L))
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val sp = Sampling.temporalSplit(edge).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sp == Map("train" -> 2L, "embargo" -> 1L, "test" -> 1L), s"$sp")
+    intercept[IllegalArgumentException] {
+      Sampling.temporalSplit(ev, trainPct = 90, embargoPct = 10)
+    }
+  }
+
+  test("temporalSplit on the fixture: partitions are exhaustive, ordered, budget-shaped") {
+    val got = Sampling.temporalSplit(Tables.events(spark, sf0001)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set("train", "embargo", "test"))
+    val total = got.values.map(_._1).sum
+    assert(total == Tables.events(spark, sf0001).count())
+    // spans are disjoint and ordered train < embargo < test
+    assert(got("train")._3 < got("embargo")._2 || got("embargo")._1 == 0)
+    assert(got("embargo")._3 < got("test")._2)
+    // ~70% of the time RANGE holds the bulk of uniform-ish events
+    assert(got("train")._1 > total / 2)
+  }
+
   test("curriculumOrder: macro order is the quality band, positions dense, layout-proof") {
     import spark.implicits._
     // ppl1's crafted corpus: d1/d2 head, d3 middle, d4 tail
