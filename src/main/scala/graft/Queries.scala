@@ -3592,6 +3592,48 @@ object Queries {
        |  clean AS cleaned_text
        |FROM cl12""".stripMargin
 
+  /** EMB6 — "all-but-the-top" embedding post-processing (Mu & Viswanath
+    * 2018): center the corpus, power-iterate the dominant direction OF
+    * THE CENTERED vectors (pca1's discipline), and report each vector's
+    * removed projection + norm before/after — the isotropy audit that
+    * says how much of every vector's mass the common direction held.
+    * Full oracle: mean, iteration, projection and the closed-form
+    * norm-after all replay digit-exact.
+    * See [[graft.operators.Similarity.ablateTopComponent]]. */
+  val emb6AblateTop: Q = (s, d) =>
+    graft.operators.Similarity.ablateTopComponent(Tables.embeddings(s, d))
+
+  val emb6AblateTopSql: String = {
+    def r9(x: String) = s"floor(($x) * 1000000000 + 0.5) / 1000000000"
+    def iter(i: Int, prev: String): String =
+      s"""d$i AS (SELECT vec_id,
+         |  floor(CAST(sum(CAST(${r9("x * v")} AS DECIMAL(28,9))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dot
+         |  FROM cf JOIN $prev USING (j) GROUP BY vec_id),
+         |u$i AS (SELECT j, CAST(sum(CAST(${r9("dot * x")} AS DECIMAL(28,9))) AS DOUBLE) AS s
+         |  FROM cf JOIN d$i USING (vec_id) GROUP BY j),
+         |n$i AS (SELECT sqrt(CAST(sum(CAST(${r9("s * s")} AS DECIMAL(28,9))) AS DOUBLE)) AS nrm FROM u$i),
+         |v$i AS (SELECT j, ${r9("s / nrm")} AS v FROM u$i CROSS JOIN n$i)""".stripMargin
+    val rounds = (1 to 5).map(i => iter(i, if (i == 1) "v0" else s"v${i - 1}"))
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |f AS MATERIALIZED (SELECT vec_id, CAST(j AS BIGINT) AS j, emb[j] AS x
+       |     FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) t),
+       |mu AS MATERIALIZED (SELECT j,
+       |     ${r9(s"CAST(sum(CAST(${r9("x")} AS DECIMAL(18,9))) AS DOUBLE) / (SELECT count(*) FROM e)")} AS m
+       |     FROM f GROUP BY j),
+       |cf AS MATERIALIZED (SELECT vec_id, f.j, f.x - mu.m AS x FROM f JOIN mu USING (j)),
+       |v0 AS (SELECT CAST(unnest(generate_series(1, 64)) AS BIGINT) AS j, 0.125 AS v),
+       |${rounds.mkString(",\n")},
+       |vn AS (SELECT CAST(sum(CAST(${r9("v * v")} AS DECIMAL(28,9))) AS DOUBLE) AS vn2 FROM v5),
+       |pr AS (SELECT cf.vec_id,
+       |         floor(CAST(sum(CAST(${r9("cf.x * v5.v")} AS DECIMAL(28,9))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS proj,
+       |         CAST(sum(CAST(${r9("cf.x * cf.x")} AS DECIMAL(28,9))) AS DOUBLE) AS nb2
+       |       FROM cf JOIN v5 ON cf.j = v5.j GROUP BY cf.vec_id)
+       |SELECT vec_id, proj,
+       |       floor(sqrt(nb2) * 1000000 + 0.5) / 1000000 AS norm_before,
+       |       floor(sqrt(greatest(nb2 - proj * proj * (2 - vn2), 0)) * 1000000 + 0.5) / 1000000 AS norm_after
+       |FROM pr CROSS JOIN vn""".stripMargin
+  }
+
   /** EMB5 — int8-quantization recall audit (the emb4 matryoshka
     * discipline applied to the OTHER index-compression axis): how much
     * of the exact float cosine top-5 survives when the index serves
@@ -10061,6 +10103,7 @@ object Queries {
     "sim3_ivf_gate" -> sim3Gate,
     "emb1_normalize_quantize" -> emb1Normalize,
     "emb5_int8_recall" -> emb5Int8Recall,
+    "emb6_ablate_top" -> emb6AblateTop,
     "t1_lang_id" -> t1Lang,
     "t2_quality_score" -> t2Quality,
     "t3_token_count" -> t3Tokens,
@@ -10368,6 +10411,7 @@ object Queries {
     "sim3_ivf_gate" -> sim3GateSql,
     "emb1_normalize_quantize" -> emb1NormalizeSql,
     "emb5_int8_recall" -> emb5Int8RecallSql,
+    "emb6_ablate_top" -> emb6AblateTopSql,
     "t1_lang_id" -> t1LangSql,
     "t2_quality_score" -> t2QualitySql,
     "t3_token_count" -> t3TokensSql,

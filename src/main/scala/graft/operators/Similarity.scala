@@ -700,6 +700,60 @@ object Similarity {
       .toDF("j", "component")
   }
 
+  /** "All-but-the-top" embedding post-processing (Mu & Viswanath 2018):
+    * center the corpus, find the dominant principal direction of the
+    * CENTERED vectors ([[topComponent]]'s power iteration run on them),
+    * and remove each vector's projection onto it — the cheap isotropy
+    * fix that improves cosine retrieval when embeddings share a big
+    * common direction. Output per vector is the audit a pipeline stores:
+    * the removed projection and the norm before/after (how much of the
+    * vector's mass the common direction held).
+    *
+    * Determinism: the mean is kmeans1's decimal-grid mean; the power
+    * iteration is pca1's discipline verbatim on centered values;
+    * projections round at 1e-6; norm-after uses the closed form
+    * ‖c − p·v‖² = ‖c‖² − p²·(2 − ‖v‖²) on identically-derived doubles,
+    * so the oracle replays every digit.
+    *
+    * Shape: one wide scan for the 64 mean sums, topComponent's
+    * scan-per-round (state = O(dim) driver metadata), then ONE streamed
+    * projection pass — no corpus shuffle anywhere. */
+  def ablateTopComponent(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+      .localCheckpoint()
+    def round9d(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    val muAggs = (0 until dim).map { j =>
+      sum(portableRound(col("emb")(j), 9).cast("decimal(18,9)"))
+        .cast("double").as(s"m$j")
+    } :+ count(lit(1)).as("n")
+    val muRow = e.agg(muAggs.head, muAggs.tail: _*).head()
+    require(!muRow.isNullAt(0), "ablateTopComponent: empty embeddings input")
+    val n = muRow.getLong(dim)
+    val mu = (0 until dim).map(j => round9d(muRow.getDouble(j) / n))
+    val muLit = array(mu.map(lit): _*)
+    val centered = e.select(col("vec_id"),
+      zip_with(col("emb"), muLit, (x, m) => x - m).as("embedding"))
+    val v = topComponent(centered, dim).orderBy(col("j")).collect()
+      .map(_.getDouble(1))
+    val vLit = array(v.map(lit): _*)
+    val vn2 = v.map(x => java.math.BigDecimal.valueOf(round9d(x * x)))
+      .reduce(_.add(_)).doubleValue
+    val cx = zip_with(col("emb"), muLit, (x, m) => x - m)
+    val p = portableRound(expr_aggregate_decimal(
+      zip_with(cx, vLit, (x, w) => portableRound(x * w, 9))), 6)
+    val nb2 = expr_aggregate_decimal(
+      zip_with(cx, cx, (x, y) => portableRound(x * y, 9)))
+    e.withColumn("proj", p)
+      .withColumn("nb2", nb2)
+      .withColumn("na2",
+        col("nb2") - col("proj") * col("proj") * lit(2.0 - vn2))
+      .select(col("vec_id"), col("proj"),
+        portableRound(sqrt(col("nb2")), 6).as("norm_before"),
+        portableRound(sqrt(greatest(col("na2"), lit(0.0))), 6)
+          .as("norm_after"))
+  }
+
   /** Full Lloyd k-means over the embedding corpus as a FIRST-CLASS query
     * with bit-exact cross-engine parity (the sibling of [[kmeansCentroids]],
     * which trains IVF codebooks on cosine and is gated, not oracled):

@@ -242,6 +242,27 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.semanticDecontaminate(corpus.repartition(5), bench, tau = 0.7))
   }
 
+  test("ablateTopComponent: a planted common direction is removed entirely") {
+    // vectors = u + a_i * v: mean = u, centered corpus lies ON v, so the
+    // top centered direction is v and ablation should zero every vector
+    val rows = Seq(
+      (1L, Array(1f, -0.3f, 0f, 0f)), (2L, Array(1f, -0.1f, 0f, 0f)),
+      (3L, Array(1f, 0.1f, 0f, 0f)), (4L, Array(1f, 0.3f, 0f, 0f)))
+    val e = rows.toDF("vec_id", "embedding")
+    val got = Similarity.ablateTopComponent(e, dim = 4)
+    val by = got.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    by.foreach { case (id, (p, nb, na)) =>
+      assert(na <= 1e-4, s"vec $id norm_after $na not ablated")
+      assert(math.abs(math.abs(p) - nb) <= 1e-4,
+        s"vec $id |proj| ${math.abs(p)} != norm_before $nb")
+    }
+    // magnitudes follow the planted coefficients
+    assert(math.abs(by(1L)._2 - 0.3) <= 1e-4 &&
+      math.abs(by(2L)._2 - 0.1) <= 1e-4)
+    assertSameRows(got, Similarity.ablateTopComponent(e.repartition(3), dim = 4))
+  }
+
   test("semanticDecontaminate: a benchmark row inside the corpus does not self-flag") {
     val bench = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
     val corpus = Seq((100L, Array(1f, 0f)), (5L, Array(0f, 1f)))
