@@ -7890,9 +7890,10 @@ object Queries {
   val kmeans1Lloyd: Q = (s, d) =>
     graft.operators.Similarity.lloydClusters(Tables.embeddings(s, d))
 
-  val kmeans1LloydSql: String = {
+  /** The lloyd CTE chain (e, f, init, c0, training rounds → c`iters`) —
+    * shared by the kmeans1 oracle and the sil1 silhouette oracle. */
+  private def lloydCtesSql(iters: Int, k: Int = 4): String = {
     def r9(x: String) = s"floor(($x) * 1000000000 + 0.5) / 1000000000"
-    val iters = 3
     val rounds = (1 to iters).map { r =>
       s"""a$r AS MATERIALIZED (
          |  SELECT vec_id, cid, dist FROM (
@@ -7910,14 +7911,20 @@ object Queries {
          |    FROM a$r a JOIN f USING (vec_id) GROUP BY a.cid, f.j) m
          |  ON m.cid = p.cid AND m.j = p.j)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |f AS MATERIALIZED (SELECT vec_id, CAST(j AS BIGINT) AS j, emb[j] AS x
        |     FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) t),
        |init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-       |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4) ii),
+       |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k) ii),
        |c0 AS MATERIALIZED (SELECT i.cid, f.j, f.x AS c
        |     FROM init i JOIN f ON f.vec_id = i.vec_id),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  val kmeans1LloydSql: String = {
+    def r9(x: String) = s"floor(($x) * 1000000000 + 0.5) / 1000000000"
+    val iters = 3
+    s"""WITH ${lloydCtesSql(iters)},
        |afin AS (
        |  SELECT vec_id, cid, dist FROM (
        |    SELECT vec_id, cid, dist,
@@ -7929,6 +7936,39 @@ object Queries {
        |SELECT vec_id, CAST(cid AS BIGINT) AS cid,
        |       floor(dist * 1000000 + 0.5) / 1000000 AS dist
        |FROM afin""".stripMargin
+  }
+
+  /** SIL1 — simplified (centroid-based) silhouette of kmeans1's
+    * clustering: per vector, a = distance to its own centroid, b = to
+    * the nearest other, s = (b−a)/max(a,b) — the clustering-quality eval
+    * in its LINEAR form (n·k centroid distances; the all-pairs classic
+    * is Θ(n²) and exists nowhere a corpus can grow). Replays kmeans1's
+    * full training chain plus one distance frame in the oracle.
+    * See [[graft.operators.Similarity.silhouetteSimplified]]. */
+  val sil1Silhouette: Q = (s, d) =>
+    graft.operators.Similarity.silhouetteSimplified(Tables.embeddings(s, d))
+
+  val sil1SilhouetteSql: String = {
+    def r9(x: String) = s"floor(($x) * 1000000000 + 0.5) / 1000000000"
+    val iters = 3
+    s"""WITH ${lloydCtesSql(iters)},
+       |dd AS (SELECT f.vec_id, c.cid,
+       |              CAST(sum(CAST(${r9("(f.x - c.c) * (f.x - c.c)")} AS DECIMAL(28,9))) AS DOUBLE) AS dist
+       |       FROM f JOIN c$iters c USING (j) GROUP BY f.vec_id, c.cid),
+       |own AS (SELECT vec_id, cid AS own_cid, dist AS a2 FROM (
+       |          SELECT vec_id, cid, dist,
+       |                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |          FROM dd) r WHERE rn = 1),
+       |bb AS (SELECT dd.vec_id, min(dd.dist) AS b2
+       |       FROM dd JOIN own ON dd.vec_id = own.vec_id AND dd.cid <> own.own_cid
+       |       GROUP BY dd.vec_id)
+       |SELECT own.vec_id, CAST(own_cid AS BIGINT) AS cid,
+       |       floor(sqrt(a2) * 1000000 + 0.5) / 1000000 AS a_own,
+       |       floor(sqrt(b2) * 1000000 + 0.5) / 1000000 AS b_other,
+       |       CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+       |            THEN floor((sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)) * 1000000 + 0.5) / 1000000
+       |            ELSE 0.0 END AS silhouette
+       |FROM own JOIN bb ON own.vec_id = bb.vec_id""".stripMargin
   }
 
   /** CORE1 — greedy k-center coreset (Gonzalez 1985 farthest-point
@@ -10039,6 +10079,7 @@ object Queries {
     "cdc2_apply_deletes" -> cdc2Deletes,
     "pca1_power_iteration" -> pca1Power,
     "kmeans1_lloyd" -> kmeans1Lloyd,
+    "sil1_silhouette" -> sil1Silhouette,
     "core1_kcenter_coreset" -> core1KCenter,
     "mix2_target_mix" -> mix2TargetMix,
     "st7_stream_left_join" -> st7StreamLeftJoin,
@@ -10353,6 +10394,7 @@ object Queries {
     "cdc2_apply_deletes" -> cdc2DeletesSql,
     "pca1_power_iteration" -> pca1PowerSql,
     "kmeans1_lloyd" -> kmeans1LloydSql,
+    "sil1_silhouette" -> sil1SilhouetteSql,
     "core1_kcenter_coreset" -> core1KCenterSql,
     "mix2_target_mix" -> mix2TargetMixSql,
     "st7_stream_left_join" -> st7StreamLeftJoinSql,

@@ -772,10 +772,34 @@ object Similarity {
     * BROADCAST centroid table — one data-sized shuffle per round
     * (grouping the k·dim partial products back to (vec_id, cid)) and one
     * k×dim-sized aggregation for the means. The corpus never collects. */
-  def lloydClusters(embeddings: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
-    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1: $k, $iters")
-    val spark = embeddings.sparkSession
+  /** The (vec_id, cid, dist²) frame of every vector against every
+    * centroid — lloyd's inner join, shared by the assignment (min) and
+    * the silhouette (min + second-min). */
+  private def lloydCentDists(f: DataFrame,
+                             cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = f.sparkSession
     import spark.implicits._
+    val centsDf = cents.flatMap { case (cid, arr) =>
+      arr.zipWithIndex.map { case (c, j) => (cid, (j + 1).toLong, c) }
+    }.toDF("cid", "j", "c")
+    f.join(broadcast(centsDf), "j")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(portableRound((col("x") - col("c")) * (col("x") - col("c")), 9)
+        .cast("decimal(28,9)")).cast("double").as("dist"))
+  }
+
+  private def lloydAssign(f: DataFrame,
+                          cents: Seq[(Int, Seq[Double])]): DataFrame =
+    lloydCentDists(f, cents)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+
+  /** lloyd training: (e, f, final centroids) — shared by
+    * [[lloydClusters]] and [[silhouetteSimplified]]. */
+  private def lloydFit(embeddings: DataFrame, k: Int, iters: Int)
+      : (DataFrame, DataFrame, Seq[(Int, Seq[Double])]) = {
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1: $k, $iters")
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .localCheckpoint()
@@ -786,20 +810,9 @@ object Similarity {
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1) }.toSeq
     require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
-    def assign(): DataFrame = {
-      val centsDf = cents.flatMap { case (cid, arr) =>
-        arr.zipWithIndex.map { case (c, j) => (cid, (j + 1).toLong, c) }
-      }.toDF("cid", "j", "c")
-      f.join(broadcast(centsDf), "j")
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum(portableRound((col("x") - col("c")) * (col("x") - col("c")), 9)
-          .cast("decimal(28,9)")).cast("double").as("dist"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
-    }
     for (_ <- 1 to iters) {
-      val means = assign().select(col("vec_id"), col("cid")).join(e, "vec_id")
+      val means = lloydAssign(f, cents).select(col("vec_id"), col("cid"))
+        .join(e, "vec_id")
         .select(col("cid"), posexplode(col("emb")).as(Seq("p", "x")))
         .groupBy(col("cid"), col("p"))
         .agg(portableRound(
@@ -811,8 +824,48 @@ object Similarity {
         .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
       cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
     }
-    assign().select(col("vec_id"), col("cid").cast("long").as("cid"),
+    (e, f, cents)
+  }
+
+  def lloydClusters(embeddings: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
+    val (_, f, cents) = lloydFit(embeddings, k, iters)
+    lloydAssign(f, cents).select(col("vec_id"), col("cid").cast("long").as("cid"),
       portableRound(col("dist"), 6).as("dist"))
+  }
+
+  /** Simplified (centroid-based) silhouette of the lloyd clustering —
+    * the clustering-quality eval for [[lloydClusters]]: per vector,
+    * a = distance to its OWN centroid, b = distance to the nearest
+    * OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1]. The centroid
+    * form is the LINEAR silhouette (n·k centroid distances, one
+    * broadcast join) — the classic all-pairs form is Θ(n²) and exists
+    * nowhere a corpus can grow. Distances are sqrt of the same decimal
+    * grid lloyd ranks on, so the oracle replays the whole chain.
+    *
+    * Shape: lloyd's training + ONE reuse of the (vec_id, cid) distance
+    * frame, self-joined on vec_id for the second-min — both exchanges
+    * keyed vec_id (n·k rows), never the corpus². */
+  def silhouetteSimplified(embeddings: DataFrame, k: Int = 4,
+                           iters: Int = 3): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2 clusters, got $k")
+    val (_, f, cents) = lloydFit(embeddings, k, iters)
+    val d = lloydCentDists(f, cents).localCheckpoint()
+    val own = d.groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("own_cid"),
+        col("m.dist").as("a2"))
+    val b = d.join(own, "vec_id")
+      .filter(col("cid") =!= col("own_cid"))
+      .groupBy(col("vec_id")).agg(min(col("dist")).as("b2"))
+    own.join(b, "vec_id")
+      .withColumn("a", sqrt(col("a2"))).withColumn("bb", sqrt(col("b2")))
+      .select(col("vec_id"), col("own_cid").cast("long").as("cid"),
+        portableRound(col("a"), 6).as("a_own"),
+        portableRound(col("bb"), 6).as("b_other"),
+        when(greatest(col("a"), col("bb")) > 0,
+          portableRound((col("bb") - col("a")) /
+            greatest(col("a"), col("bb")), 6)).otherwise(0.0)
+          .as("silhouette"))
   }
 
   /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal) —

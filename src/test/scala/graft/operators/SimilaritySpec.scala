@@ -191,6 +191,30 @@ class SimilaritySpec extends SparkTestBase {
     assertSameRows(got, Similarity.lloydClusters(e.repartition(7), k = 2, iters = 2))
   }
 
+  test("silhouetteSimplified: tight clusters score high, the midpoint scores ~0") {
+    val rows = Seq(
+      0L -> Array(1f, 1f, 0f, 0f), 2L -> Array(0.9f, 1.1f, 0f, 0f),
+      4L -> Array(1.1f, 0.9f, 0f, 0f),
+      1L -> Array(0f, 0f, 1f, 1f), 3L -> Array(0f, 0f, 1.1f, 0.9f),
+      5L -> Array(0f, 0f, 0.9f, 1.1f),
+      6L -> Array(0.5f, 0.5f, 0.5f, 0.5f)) // equidistant from both
+    val e = rows.toDF("vec_id", "embedding")
+    val got = Similarity.silhouetteSimplified(e, k = 2, iters = 2)
+    val by = got.collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(by.size == 7 && by.values.forall(s => s >= -1.0 && s <= 1.0))
+    Seq(0L, 2L, 4L, 1L, 3L, 5L).foreach { id =>
+      assert(by(id) > 0.5, s"core point $id silhouette ${by(id)} too low") }
+    // the midpoint drags its cluster's centroid toward itself, so its
+    // score is low-positive (0.25 here), strictly below every core point
+    assert(by(6L) < 0.4 && Seq(0L, 2L, 4L, 1L, 3L, 5L).forall(by(6L) < by(_)),
+      s"midpoint silhouette ${by(6L)} not the minimum")
+    assertSameRows(got,
+      Similarity.silhouetteSimplified(e.repartition(5), k = 2, iters = 2))
+    intercept[IllegalArgumentException] {
+      Similarity.silhouetteSimplified(e, k = 1)
+    }
+  }
+
   test("kCenterCoreset: farthest-point order on a crafted line, layout-proof") {
     // points on a line at 0, 1, 10, 11, 100: seed = smallest vec_id (x=0),
     // farthest-point traversal must pick 100, then 11 (dist 11 to {0,100}
