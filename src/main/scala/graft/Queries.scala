@@ -6178,6 +6178,47 @@ object Queries {
        |FROM p""".stripMargin
   }
 
+  /** HEAPS1 — Heaps'-law vocabulary-growth audit (zipf1's companion):
+    * cumulative vocab at doc-rank checkpoints 1, 2, 4, … with the
+    * fitted growth exponent β. β ≈ 0 flags a closed/saturated
+    * vocabulary (template spam, synthetic text) — the fixture's
+    * 31-type vocab reads exactly that.
+    * See [[graft.operators.TextAnalysis.heapsLaw]]. */
+  val heaps1VocabGrowth: Q = (s, d) =>
+    graft.operators.TextAnalysis.heapsLaw(Tables.documents(s, d))
+
+  val heaps1VocabGrowthSql: String = {
+    def r9(x: String) = s"floor(($x) * 1000000000 + 0.5) / 1000000000"
+    def dsum(x: String) = s"CAST(sum(CAST(${r9(x)} AS DECIMAL(28,9))) AS DOUBLE)"
+    s"""WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |             row_number() OVER (ORDER BY doc_id) AS ord
+       |           FROM documents),
+       |cks AS (SELECT CAST(pow(2, k) AS BIGINT) AS ck
+       |        FROM (SELECT unnest(generate_series(0, 62)) AS k) kk
+       |        WHERE CAST(pow(2, k) AS BIGINT) <= (SELECT count(*) FROM documents)),
+       |t AS (SELECT ck, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |      FROM d JOIN cks ON d.ord <= cks.ck GROUP BY ck),
+       |ft AS (SELECT tok, min(doc_id) AS fd
+       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) tt
+       |       WHERE len(tok) > 0 GROUP BY tok),
+       |fo AS (SELECT ft.tok, d.ord FROM ft JOIN d ON ft.fd = d.doc_id),
+       |v AS (SELECT ck, CAST(count(*) AS BIGINT) AS vocab
+       |      FROM fo JOIN cks ON fo.ord <= cks.ck GROUP BY ck),
+       |p AS (SELECT ck, n_tokens, vocab,
+       |             ${r9("ln(CAST(n_tokens AS DOUBLE))")} AS x,
+       |             ${r9("ln(CAST(vocab AS DOUBLE))")} AS y
+       |      FROM t JOIN v USING (ck)),
+       |m AS (SELECT CAST(count(*) AS DOUBLE) AS np,
+       |             ${dsum("x")} AS sx, ${dsum("y")} AS sy,
+       |             ${dsum("x * x")} AS sxx, ${dsum("x * y")} AS sxy
+       |      FROM p),
+       |fit AS (SELECT CASE WHEN np * sxx - sx * sx > 0
+       |               THEN floor((np * sxy - sx * sy) / (np * sxx - sx * sx) * 1000000 + 0.5) / 1000000
+       |               ELSE 0.0 END AS beta FROM m)
+       |SELECT ck AS ck_docs, n_tokens, vocab, beta
+       |FROM p CROSS JOIN fit""".stripMargin
+  }
+
   /** PATH1 — first-order Markov transitions over user event paths
     * ([[graft.operators.Analytics.pathTransitions]]). */
   val path1Transitions: Q = (s, d) =>
@@ -10234,6 +10275,7 @@ object Queries {
     "dtw1_series_align" -> dtw1SeriesAlign,
     "bt1_pairwise_rank" -> bt1PairwiseRank,
     "zipf1_token_zipf" -> zipf1TokenZipf,
+    "heaps1_vocab_growth" -> heaps1VocabGrowth,
     "lid1_confusion" -> lid1Confusion,
     "kappa1_agreement" -> kappa1Agreement,
     "dp2_private_median" -> dp2PrivateMedian,
@@ -10539,6 +10581,7 @@ object Queries {
     "dtw1_series_align" -> dtw1SeriesAlignSql,
     "bt1_pairwise_rank" -> bt1PairwiseRankSql,
     "zipf1_token_zipf" -> zipf1TokenZipfSql,
+    "heaps1_vocab_growth" -> heaps1VocabGrowthSql,
     "lid1_confusion" -> lid1ConfusionSql,
     "kappa1_agreement" -> kappa1AgreementSql,
     "dp2_private_median" -> dp2PrivateMedianSql,

@@ -834,6 +834,61 @@ object TextAnalysis {
         col("n_oov_types"), col("oov_rate"))
   }
 
+  /** Heaps'-law vocabulary-growth audit (zipf1's companion corpus
+    * statistic): cumulative vocabulary size at doc-rank checkpoints
+    * 1, 2, 4, …, with the fitted growth exponent β from log V = log K +
+    * β·log T. A natural crawl reads β ≈ 0.4–0.6; **β ≈ 0 flags a
+    * closed/saturated vocabulary** (template spam, synthetic text, a
+    * truncated tokenizer) — which is exactly what it measures on the
+    * 31-type fixture. Checkpoints are doc-rank-exact (the deterministic
+    * ingest ordinal), so the whole curve replays in the oracle.
+    *
+    * Shape: [[graft.etl.Transform.withIngestOrder]]'s partition-offset
+    * ordinal (NO global window), one token first-occurrence rollup, and
+    * a log₂(n)-factor explode (each doc/token contributes to the ≤ 2·log n
+    * checkpoints at or after it) into one keyed rollup; the OLS fit runs
+    * on the ≤ 63-row checkpoint frame. */
+  def heapsLaw(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val ordered = graft.etl.Transform.withIngestOrder(docs, "doc_id")
+      .select(col("doc_id"), col("n_toks"),
+        col("ingest_order").cast("long").as("ord"))
+      .localCheckpoint()
+    val n = ordered.count()
+    require(n >= 2, s"heapsLaw needs >= 2 documents, got $n")
+    val ks = (0 to 62).map(1L << _).filter(_ <= n)
+    val ckArr = array(ks.map(lit): _*)
+    val tCounts = ordered
+      .withColumn("ck", explode(filter(ckArr, c => c >= col("ord"))))
+      .groupBy(col("ck")).agg(sum(col("n_toks")).as("n_tokens"))
+    val firstOrd = documents
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .join(ordered.select(col("doc_id").as("first_doc"), col("ord")),
+        "first_doc")
+    val vCounts = firstOrd
+      .withColumn("ck", explode(filter(ckArr, c => c >= col("ord"))))
+      .groupBy(col("ck")).agg(count(lit(1)).as("vocab"))
+    val pts = tCounts.join(vCounts, "ck")
+      .withColumn("x", portableRound(log(col("n_tokens").cast("double")), 9))
+      .withColumn("y", portableRound(log(col("vocab").cast("double")), 9))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(portableRound(c, 9).cast("decimal(28,9)")).cast("double")
+    val fit = pts.agg(count(lit(1)).cast("double").as("np"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("x") * col("y")).as("sxy"))
+      .select(when(col("np") * col("sxx") - col("sx") * col("sx") > 0,
+        portableRound((col("np") * col("sxy") - col("sx") * col("sy")) /
+          (col("np") * col("sxx") - col("sx") * col("sx")), 6))
+        .otherwise(0.0).as("beta"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("ck").as("ck_docs"), col("n_tokens"), col("vocab"),
+        col("beta"))
+  }
+
   /** Okapi BM25 relevance of every document against a fixed query-term
     * set — the retrieval scorer a decontamination / curation pipeline runs
     * to find eval-set-like or topic-targeted documents in the corpus

@@ -660,6 +660,29 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("heapsLaw: open vocab reads a high beta, a closed vocab ~0, layout-proof") {
+    import spark.implicits._
+    // every doc introduces ONLY new tokens: V(T) = T exactly -> beta = 1
+    val open = (1 to 16).map(i =>
+      (i.toLong, (1 to 4).map(t => s"w${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val go = TextAnalysis.heapsLaw(open)
+    val betaOpen = go.head.getDouble(3)
+    assert(math.abs(betaOpen - 1.0) < 1e-6, s"open-vocab beta $betaOpen")
+    // V(ck) = n_tokens(ck) on every checkpoint row
+    go.collect().foreach(r => assert(r.getLong(1) == r.getLong(2)))
+    // one token repeated everywhere: V saturates at 1 -> beta = 0
+    val closed = (1 to 16).map(i => (i.toLong, "w w w w"))
+      .toDF("doc_id", "text")
+    val betaClosed = TextAnalysis.heapsLaw(closed).head.getDouble(3)
+    assert(betaClosed == 0.0, s"closed-vocab beta $betaClosed")
+    assertSameRows(go, TextAnalysis.heapsLaw(open.repartition(5)))
+    // checkpoints are the powers of two <= n, vocab monotone along them
+    val cks = go.collect().sortBy(_.getLong(0))
+    assert(cks.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    assert(cks.map(_.getLong(2)).toSeq == cks.map(_.getLong(2)).sorted.toSeq)
+  }
+
   test("oovRateBySource: top-K cut, boundary tie to token asc, layout-proof") {
     import spark.implicits._
     // counts: a=5 b=3 c=1 d=1. K=2 vocab {a,b}: X misses c, Y misses d.
