@@ -95,6 +95,15 @@ object Similarity {
     * decontamination stack. Output per flagged vector: how many
     * benchmark items it matches, the closest one, and that cosine.
     *
+    * Id-space contract: with `excludeSelfIds = true` (the default) a
+    * corpus/benchmark pair sharing a `vec_id` is SKIPPED — correct when
+    * the benchmark is carved out of the corpus itself (a row is not
+    * "contaminated by" its own benchmark copy; dc3's fixture), but a
+    * silent false negative if an EXTERNAL benchmark's id space happens
+    * to collide with corpus ids. For an external benchmark pass
+    * `excludeSelfIds = false` (or keep the namespaces disjoint): every
+    * pair is then scored, including id-equal ones.
+    *
     * Scale shape: dc1's broadcast rationale verbatim — eval sets are a
     * few MB against a 100 TB corpus, so the benchmark side BROADCASTS
     * and the corpus side streams through one codegen'd cosine kernel +
@@ -103,12 +112,15 @@ object Similarity {
     * threshold and the argmax, so flag set and ranking replay exactly
     * cross-engine; argmax ties break to the smaller benchmark id. */
   def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
-                            tau: Double = 0.9): DataFrame = {
+                            tau: Double = 0.9,
+                            excludeSelfIds: Boolean = true): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau in (0,1]: $tau")
     val b = benchmark.select(col("vec_id").as("bench_id"),
       col("embedding").as("be"))
+    val pairCond =
+      if (excludeSelfIds) col("vec_id") =!= col("bench_id") else lit(true)
     corpus.select(col("vec_id"), col("embedding"))
-      .join(broadcast(b), col("vec_id") =!= col("bench_id"))
+      .join(broadcast(b), pairCond)
       .select(col("vec_id"), col("bench_id"),
         portableRound(cosine_similarity(col("embedding"), col("be")), 4)
           .as("cos"))

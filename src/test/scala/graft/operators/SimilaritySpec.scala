@@ -295,6 +295,30 @@ class SimilaritySpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("semanticDecontaminate: excludeSelfIds=false scores coincidentally id-equal pairs (external benchmark)") {
+    // ADVICE r14: an EXTERNAL benchmark whose id space overlaps the
+    // corpus must not lose a genuine contamination hit to the self-id
+    // skip. Corpus 100 IS contaminated by external-bench item 100 (a
+    // different dataset that reuses the id); the default contract skips
+    // it, the explicit external mode flags it and counts both hits.
+    val bench = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)), (7L, Array(0.98f, 0.2f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)), (5L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val self = Similarity.semanticDecontaminate(corpus, bench, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // default: the id-100 bench copy is skipped; only bench 7 hits
+    assert(self == Set((100L, 1L, 7L)), s"got $self")
+    val ext = Similarity.semanticDecontaminate(
+        corpus, bench, tau = 0.9, excludeSelfIds = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // external mode: both bench items hit; argmax tie-breaks handled by
+    // cosine then smaller bench id (exact copy 100 wins at cos 1.0)
+    assert(ext == Set((100L, 2L, 100L)), s"got $ext")
+  }
+
   test("IVF assignment puts every vector in exactly one list") {
     val e = graft.Tables.embeddings(spark, sf0001)
     val centroids = Similarity.centroidsOf(e, 8)

@@ -50,20 +50,33 @@ import subprocess
 import sys
 import tempfile
 
-# Per-query ratio bounds where the generic --bound's ROW denomination
-# under-measures the query's true input growth. The documents x10
-# synthesis suffixes every token with "_k" to zero cross-replica
-# Jaccard, which grows CHAR mass 13.3x while rows grow 10x (measured:
-# 1,485,576 -> 19,728,432 chars at sf0.1) — so a char-mass-linear
-# operator legitimately reads up to ~13x wall at "10x". d12 is the one
-# such operator whose band (7.3x r13, 7.6x r14, 8.7x-9.3x r14
-# continuation, x10 wall stable ~42 s across all reads) straddles the
-# generic 9.0 bound; per unit CHAR it is 0.65x — sub-linear. The
-# override keeps the guard loud for a REAL regression (a quadratic
-# would read 10x rows x 13x chars >> 13).
-PER_QUERY_BOUND = {
-    "d12_span_removal": 13.0,
-}
+# Queries whose work is linear in documents CHAR mass, not rows. The
+# documents x10 synthesis suffixes every token with "_k" to zero
+# cross-replica Jaccard, which grows char mass ~13.3x while rows grow
+# 10x (1,485,576 -> 19,728,432 chars at sf0.1) — so a char-mass-linear
+# operator legitimately reads up to ~13x wall at "10x". d12's band
+# (7.3x r13, 7.6x r14, 8.7x-9.3x r14 continuation) straddles the
+# generic 9.0 bound; per unit CHAR it is 0.65x — sub-linear. Rather
+# than pin a constant coupled to the synthesis's suffix scheme (ADVICE
+# r14: if char growth dropped back toward 10x, a hardcoded 13.0 would
+# silently tolerate a ~40% real regression), the bound for these
+# queries is the char-mass ratio MEASURED from the two fixtures at
+# sweep time, x1.1 wall-noise slack — loud for a real quadratic (10x
+# rows x 13x chars >> 14.6) and exactly as tight as the synthesis is.
+CHAR_MASS_BOUNDED = {"d12_span_removal", "chrf1_eval"}
+CHAR_BOUND_SLACK = 1.1
+
+
+def char_mass_ratio(base_dir: str, big_dir: str) -> float:
+    """Measured documents-text char growth between the two fixture dirs
+    actually benched (sf0.1 -> x10, or x10 -> x100 under --x100)."""
+    import duckdb
+    con = duckdb.connect()
+    def mass(d):
+        return con.execute(
+            f"SELECT sum(strlen(text)) FROM '{d}/documents.parquet'"
+        ).fetchone()[0]
+    return mass(big_dir) / mass(base_dir)
 
 SUBSET = [
     # the original 8 (rounds 7-8)
@@ -157,12 +170,11 @@ SUBSET = [
     "ipw1_effect",           # user rollup + iters 1-row GD aggregates
     "platt1_calibration",    # score GD: iters 1-row aggs + 10-bin rollup
     "dr1_doubly_robust",     # user rollup + 2 ridge folds + GD + 1 fold
-    # chrf1_eval is deliberately NOT under the default bound: its work is
-    # linear in CHAR mass, and this synthesis grows chars 13.99x (the
-    # "_k" token suffixes) while rows/tokens grow 10x — measured 9.3x
-    # wall = 0.67x per unit char workload with the CharNgramStats kernel
-    # (SCALE.md round 11). To re-measure, temporarily add it back and
-    # run --bound 15.
+    # round-15: chrf1 re-admitted under the MEASURED char-mass bound
+    # (it was excluded while the bound was row-denominated: its work is
+    # linear in chars, which this synthesis grows ~13-14x while rows
+    # grow 10x — measured 9.3x wall = 0.67x per unit char, SCALE.md r11)
+    "chrf1_eval",            # CharNgramStats kernel, linear in char mass
 ]
 
 # key columns offset per replica, by table: (column -> key-domain table)
@@ -343,18 +355,27 @@ def main() -> None:
     synthesize(args.sf01, args.x10, args.force)
     if args.x100:
         synthesize(args.x10, args.x100_dir, args.force)
+        base_dir, big_dir = args.x10, args.x100_dir
         base = rep_min(args.x10, "x10", args.reps, subset, sized(10))
         big = rep_min(args.x100_dir, "x100", args.reps, subset, sized(100))
     else:
+        base_dir, big_dir = args.sf01, args.x10
         base = rep_min(args.sf01, "sf01", args.reps, subset, sized(1))
         big = rep_min(args.x10, "x10", args.reps, subset, sized(10))
+
+    char_ratio = char_mass_ratio(base_dir, big_dir)
+    char_bound = max(args.bound, char_ratio * CHAR_BOUND_SLACK)
+    print(f"\n[bound] measured documents char-mass ratio {char_ratio:.2f}x "
+          f"-> char-linear bound {char_bound:.1f}x "
+          f"for {sorted(CHAR_MASS_BOUNDED)}")
 
     lo, hi = ("x10", "x100") if args.x100 else ("sf0.1", "x10")
     print(f"\n{'query':<22} {lo:>7} {hi:>8} {'ratio':>7}  verdict")
     failed = []
     for q in subset:
         ratio = big[q] / base[q]
-        ok = ratio <= PER_QUERY_BOUND.get(q, args.bound)
+        bound = char_bound if q in CHAR_MASS_BOUNDED else args.bound
+        ok = ratio <= bound
         if not ok:
             failed.append(q)
         print(f"{q:<22} {base[q]:>6.2f}s {big[q]:>7.2f}s {ratio:>6.1f}x"
