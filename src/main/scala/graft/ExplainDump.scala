@@ -24,25 +24,38 @@ object ExplainDump {
     // unknown names fail loudly rather than silently writing nothing
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val benchable = Queries.benchNames ++ Queries.retiredBenchNames
+    val benchable = Queries.benchNames ++ Queries.retiredBenchNames ++
+      Queries.shipLineNames
     only.foreach { names =>
       val unknown = names -- benchable.toSet
       require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names not in Queries.benchNames: ${unknown.mkString(", ")}")
+        s"SPARK_GRAFT_ONLY names not in Queries.benchNames/shipLineNames: ${unknown.mkString(", ")}")
     }
     benchable.filter(n => only match {
       case Some(sel) => sel.contains(n)
       case None      => !Queries.retiredBenchNames.contains(n)
     }).foreach { name =>
-      val df = Queries.all(name)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save() // finalize AQE
+      // ship-line compositions materialize stage boundaries with eager
+      // localCheckpoint, so their stage exchanges run at CONSTRUCTION
+      // time and never appear in the final static plan — the committed
+      // dump carries the MEASURED bill (distinct shuffles executed,
+      // scheduler-counted) alongside the plan text
+      var df: org.apache.spark.sql.DataFrame = null
+      val bill = graft.util.ShuffleBill.measure(spark) {
+        df = Queries.all(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save() // finalize AQE
+      }
+      val billLine =
+        if (Queries.shipLineNames.contains(name))
+          s"== measured shuffle bill (distinct shuffles executed, incl. stage materialization) ==\n$bill\n"
+        else ""
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val adaptive = df.queryExecution.executedPlan.toString
       // giant inline literals (e.g. a serialized Bloom filter rendered as
       // hex) would bloat a dump to MBs without adding plan information —
       // elide anything a reader wouldn't scan anyway
-      val elided = s"== explain(formatted), $sfDir ==\n$formatted\n== executed (AQE final) ==\n$adaptive\n"
+      val elided = s"$billLine== explain(formatted), $sfDir ==\n$formatted\n== executed (AQE final) ==\n$adaptive\n"
         .linesIterator.map { l =>
           if (l.length <= 800) l
           else l.take(800) + s"… [${l.length - 800} chars elided]"
