@@ -4081,44 +4081,31 @@ object Queries {
     * side); the card update is one grouped aggregate per arm. Nothing
     * corpus-sized recomputes — THE point of the delta path.
     * Verify-tier (stages benched: prep1, inc1, inc2, smp5, card1). */
-  val release2DeltaRelease: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    def gateOk(df: DataFrame) = df.filter(corpusReasonExpr === "ok")
+  /** Release quality gate + projection shared by release2 and st18. */
+  private[graft] def releaseGateOk(df: DataFrame): DataFrame =
+    df.filter(corpusReasonExpr === "ok")
       .select(col("doc_id"), col("text"), col("source"),
         TextAnalysis.nTokensExpr.cast("long").as("n_tok"))
-    // stage boundaries materialize (the curationStages discipline): the
-    // standing release feeds three consumers (digest anti-join, near-dup
-    // corpus side, its own card) and each delta stage feeds the next plus
-    // the waterfall counts — without the cuts every branch re-ran the
-    // gate+dedup line (r14 dump: 34 documents scans for this query)
-    val baseRel = Dedup.exactByDigest(gateOk(docs.filter(col("doc_id") % 10 =!= 7)),
+
+  /** The standing release: the curated base corpus (gate → exact dedup),
+    * MATERIALIZED — it feeds three consumers (digest anti-join, near-dup
+    * corpus side, its own card). */
+  private[graft] def standingRelease(docs: DataFrame): DataFrame =
+    Dedup.exactByDigest(releaseGateOk(docs.filter(col("doc_id") % 10 =!= 7)),
         col("text"), carry = Seq("text", "source", "n_tok"))
       .select(col("doc_id"), col("text"), col("source"), col("n_tok"))
       .localCheckpoint()
-    val dGate = gateOk(docs.filter(col("doc_id") % 10 === 7))
-      .localCheckpoint()
-    val dExact = Dedup.exactByDigest(dGate, col("text"),
-        carry = Seq("text", "source", "n_tok"))
-      .join(baseRel.select(md5(col("text")).as("digest")),
-        Seq("digest"), "left_anti")
-      .select(col("doc_id"), col("text"), col("source"), col("n_tok"))
-      .localCheckpoint()
-    val admitted = Dedup.nearDupAdmission(
-        dExact.select(col("doc_id"), col("text")),
-        baseRel.select(col("doc_id"), col("text")))
-      .filter(col("admitted")).select(col("doc_id"))
-    val dFinal = dExact.join(admitted, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+
+  /** The per-split release card + admission waterfall shared by release2
+    * and its streaming twin st18: one grouped aggregate per arm, the
+    * 1-row waterfall broadcast onto every split row. */
+  private[graft] def releaseCardOf(baseRel: DataFrame, dFinal: DataFrame,
+                                   wf: DataFrame): DataFrame = {
     def card(df: DataFrame, nAs: String, tokAs: String) =
       graft.operators.Sampling.datasetSplit(df, col("source"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy(col("split"))
         .agg(count(lit(1)).as(nAs), sum(col("n_tok")).as(tokAs))
-    val wf = docs.filter(col("doc_id") % 10 === 7)
-      .agg(count(lit(1)).as("n_batch"))
-      .crossJoin(dGate.agg(count(lit(1)).as("n_gate_ok")))
-      .crossJoin(dExact.agg(count(lit(1)).as("n_digest_new")))
-      .crossJoin(dFinal.agg(count(lit(1)).as("n_admitted")))
     card(baseRel, "n_base", "tok_base")
       .join(card(dFinal, "n_delta", "tok_delta"), Seq("split"), "full_outer")
       .crossJoin(broadcast(wf))
@@ -4132,6 +4119,36 @@ object Queries {
         col("n_batch"), col("n_gate_ok"), col("n_digest_new"),
         col("n_admitted"))
       .orderBy(col("split"))
+  }
+
+  val release2DeltaRelease: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // stage boundaries materialize (the curationStages discipline): the
+    // standing release feeds three consumers (digest anti-join, near-dup
+    // corpus side, its own card) and each delta stage feeds the next plus
+    // the waterfall counts — without the cuts every branch re-ran the
+    // gate+dedup line (r14 dump: 34 documents scans for this query)
+    val baseRel = standingRelease(docs)
+    val dGate = releaseGateOk(docs.filter(col("doc_id") % 10 === 7))
+      .localCheckpoint()
+    val dExact = Dedup.exactByDigest(dGate, col("text"),
+        carry = Seq("text", "source", "n_tok"))
+      .join(baseRel.select(md5(col("text")).as("digest")),
+        Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("text"), col("source"), col("n_tok"))
+      .localCheckpoint()
+    val admitted = Dedup.nearDupAdmission(
+        dExact.select(col("doc_id"), col("text")),
+        baseRel.select(col("doc_id"), col("text")))
+      .filter(col("admitted")).select(col("doc_id"))
+    val dFinal = dExact.join(admitted, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val wf = docs.filter(col("doc_id") % 10 === 7)
+      .agg(count(lit(1)).as("n_batch"))
+      .crossJoin(dGate.agg(count(lit(1)).as("n_gate_ok")))
+      .crossJoin(dExact.agg(count(lit(1)).as("n_digest_new")))
+      .crossJoin(dFinal.agg(count(lit(1)).as("n_admitted")))
+    releaseCardOf(baseRel, dFinal, wf)
   }
 
   // lazy: interpolates corpusSignalsCteSql/corpusReasonSql (defined later
@@ -4197,6 +4214,28 @@ object Queries {
        |FROM bc FULL OUTER JOIN dc ON dc.split = bc.split
        |CROSS JOIN wf
        |ORDER BY split""".stripMargin
+  }
+
+  /** ST18 — the STREAMING delta release: release2's nightly admission as
+    * a foreachBatch streaming job — the delta replays as three
+    * doc_id-range micro-batches, each running gate → digest-check →
+    * near-dup admission against the standing release plus everything
+    * already seen, and the card updates by per-split addition. Exact
+    * batch parity with release2 (same oracle — the st6/st14 discipline
+    * applied to the ship line); the parity argument lives on
+    * [[graft.streaming.ReleaseStream]]. */
+  val st18StreamRelease: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val baseRel = standingRelease(docs)
+    val delta = docs.filter(col("doc_id") % 10 === 7).localCheckpoint()
+    val (seen, admitted, nGateOk) =
+      graft.streaming.ReleaseStream.runDeltaAdmissionOverFixture(
+        s, delta, baseRel, releaseGateOk)
+    val wf = delta.agg(count(lit(1)).as("n_batch"))
+      .withColumn("n_gate_ok", lit(nGateOk))
+      .crossJoin(seen.agg(count(lit(1)).as("n_digest_new")))
+      .crossJoin(admitted.agg(count(lit(1)).as("n_admitted")))
+    releaseCardOf(baseRel, admitted, wf)
   }
 
   /** EMB4 — matryoshka truncation recall: how much of the exact 64-dim
@@ -10165,6 +10204,7 @@ object Queries {
     "st17_stream_cusum" -> st17StreamCusum,
     "st13_stream_ohlc" -> st13StreamOhlc,
     "st14_stream_funnel" -> st14StreamFunnel,
+    "st18_stream_release" -> st18StreamRelease,
     "st15_stream_gapfill" -> st15StreamGapFill,
     "card1_dataset_card" -> card1DatasetCard,
     "cur1_filter_waterfall" -> cur1Waterfall,
@@ -10479,6 +10519,7 @@ object Queries {
     "st12_stream_anomaly" -> anom1ZscoreSql, // stream/batch parity: same oracle
     "st13_stream_ohlc" -> ohlc1WeeklySql, // stream/batch parity: same oracle
     "st14_stream_funnel" -> funnel2TimeToConvertSql, // stream/batch parity: same oracle
+    "st18_stream_release" -> release2DeltaReleaseSql, // stream/batch parity: same oracle
     "st15_stream_gapfill" -> ts1GapFillSql, // stream/batch parity: same oracle
     "st16_stream_holt" -> hw1HoltTrendSql, // stream/batch parity: same oracle
     "st17_stream_cusum" -> st17StreamCusumSql,
