@@ -3165,6 +3165,254 @@ object Queries {
       |             / 100000000.0 / count(*) * 1000000 + 0.5) / 1000000 AS mrr
       |FROM hit""".stripMargin
 
+  /** MRR2 — the retrieval-arm evaluation table (the hybrid-retrieval
+    * justification measured, not cited — VERDICT r14 item 6): a
+    * known-item eval over PLANTED query modes scores the bag-of-words
+    * BM25 arm (t12's formula), the conjunctive proximity arm (phr2's
+    * formula) and their RRF fusion (rrf1's k0=60 micro-fold) against
+    * each query's known source doc, reporting recall@10 and MRR@10 per
+    * (arm, mode).
+    *
+    * Query plant (every 20th doc with ≥ 12 tokens; the hn1 planted-truth
+    * discipline): mode `phrase` = source tokens 4..6 verbatim — a
+    * 3-common-token query where bag-of-words BM25 is confusable and the
+    * source's CONTIGUITY (proximity boost) should pin it; mode `typo` =
+    * 9 source tokens with an out-of-vocabulary '##typo##' token INSIDE
+    * the leading trigram — the conjunctive arm's designed failure mode
+    * (no doc contains the typo → zero candidates) where BM25 degrades
+    * gracefully. Each mode is one arm's failure case; the fused arm's
+    * value is exactly what the table shows.
+    *
+    * Scale shape: the corpus token stream is broadcast-pruned to the
+    * query vocabulary BEFORE anything aggregates (phr1's postings-seek
+    * analog), per-(query, doc) candidates are bounded by the query
+    * terms' postings, ranks are per-query windows on candidates, and
+    * the eval output is |arms| × |modes| rows. Verify-tier: every arm's
+    * operator is benched (t12, phr1/phr2, rrf1, mrr1). */
+  val mrr2HybridEval: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toksC = split(col("text"), " ")
+    val elig = docs.filter(col("doc_id") % 20 === 0 && size(toksC) >= 20)
+      .select(col("doc_id").as("q_id"), toksC.as("t"))
+    val queries = elig.select(col("q_id"),
+        when(col("q_id") % 40 === 0, slice(col("t"), 4, 3))
+          .otherwise(concat(
+            array(element_at(col("t"), 4), lit("##typo##"),
+              element_at(col("t"), 5)),
+            slice(col("t"), 6, 15))).as("q"),
+        when(col("q_id") % 40 === 0, lit("phrase"))
+          .otherwise(lit("typo")).as("mode"))
+      .localCheckpoint()
+    val qterms = queries
+      .select(col("q_id"), explode(array_distinct(col("q"))).as("term"))
+    val vocab = qterms.select(col("term")).distinct()
+    // postings seek: corpus positions restricted to the query vocabulary
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "term")))
+      .join(broadcast(vocab), Seq("term"))
+      .select(col("term"), col("doc_id"), col("p").cast("long").as("p"))
+      .localCheckpoint()
+    val tf = pos.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    val dfT = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).cast("double")
+        .as("tot_tokens"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    def termScore(tfC: org.apache.spark.sql.Column,
+                  dfC: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val idf = log(lit(1.0) + (col("n_docs") - dfC + 0.5) / (dfC + 0.5))
+      idf * (tfC * 2.2) / (tfC + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / (col("tot_tokens") / col("n_docs"))))
+    }
+    def top100(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 100)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+    }
+    // arm 1 — bag-of-words BM25 over all query terms (t12's formula)
+    val aRanks = top100(qterms.join(tf, Seq("term"))
+        .join(broadcast(dfT), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(portableRound(
+          sum(termScore(col("tf").cast("double"), col("df"))), 4).as("score")))
+      .localCheckpoint()
+    // arm 2 — conjunctive proximity BM25 on the leading trigram (phr2)
+    val tri = queries.select(col("q_id"),
+      element_at(col("q"), 1).as("t1"), element_at(col("q"), 2).as("t2"),
+      element_at(col("q"), 3).as("t3"))
+    val posts = pos.join(broadcast(tri),
+        col("term") === col("t1") || col("term") === col("t2") ||
+          col("term") === col("t3"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(
+        sum(when(col("term") === col("t1"), 1L).otherwise(0L)).as("tf1"),
+        sum(when(col("term") === col("t2"), 1L).otherwise(0L)).as("tf2"),
+        sum(when(col("term") === col("t3"), 1L).otherwise(0L)).as("tf3"),
+        sort_array(collect_list(when(col("term") === col("t1"), col("p"))))
+          .as("p1"),
+        sort_array(collect_list(when(col("term") === col("t2"), col("p"))))
+          .as("p2"))
+      .filter(col("tf1") > 0 && col("tf2") > 0 && col("tf3") > 0)
+    val triDf = tri
+      .join(broadcast(dfT.select(col("term").as("t1"), col("df").as("df1"))),
+        Seq("t1"), "left")
+      .join(broadcast(dfT.select(col("term").as("t2"), col("df").as("df2"))),
+        Seq("t2"), "left")
+      .join(broadcast(dfT.select(col("term").as("t3"), col("df").as("df3"))),
+        Seq("t3"), "left")
+      .select(col("q_id"), col("df1"), col("df2"), col("df3"))
+    val bScored = posts
+      .join(broadcast(triDf), Seq("q_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25", portableRound(
+        termScore(col("tf1").cast("double"), col("df1"))
+          + termScore(col("tf2").cast("double"), col("df2"))
+          + termScore(col("tf3").cast("double"), col("df3")), 4))
+      .withColumn("prox", portableRound(lit(0.5) /
+        graft.operators.Retrieval.mergeWalkWindow(col("p1"), col("p2"))
+          .cast("double"), 4))
+      .select(col("q_id"), col("doc_id"),
+        ((floor(col("bm25") * 10000 + 0.5).cast("long")
+          + floor(col("prox") * 10000 + 0.5).cast("long"))
+          .cast("double") / 10000.0).as("score"))
+    val bRanks = top100(bScored).localCheckpoint()
+    // arm 3 — per-query RRF fusion of the two rank lists (rrf1's fold)
+    val cRanks = {
+      val ms = aRanks.unionByName(bRanks)
+        .select(col("q_id"), col("doc_id"),
+          floor(lit(1.0e8) / (lit(60.0) + col("rank").cast("double")) + 0.5)
+            .cast("long").as("m"))
+        .groupBy(col("q_id"), col("doc_id")).agg(sum(col("m")).as("ms"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("ms").desc, col("doc_id").asc)
+      ms.withColumn("rank", row_number().over(w)).filter(col("rank") <= 100)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+    }
+    // known-item eval per (arm, mode)
+    def evalArm(ranks: DataFrame, arm: String): DataFrame =
+      queries.select(col("q_id"), col("mode"))
+        .join(ranks.filter(col("doc_id") === col("q_id") && col("rank") <= 10)
+          .select(col("q_id"), col("rank")), Seq("q_id"), "left")
+        .groupBy(col("mode"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("rank").isNotNull.cast("long")).as("n_found"),
+          portableRound(sum(col("rank").isNotNull.cast("long")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("recall_at_10"),
+          portableRound(
+            sum(coalesce(floor(lit(1.0e8) / col("rank").cast("double") + 0.5)
+              .cast("long"), lit(0L))).cast("double") / 1.0e8
+              / count(lit(1)).cast("double"), 6).as("mrr"))
+        .select(lit(arm).as("arm"), col("mode"), col("n_queries"),
+          col("n_found"), col("recall_at_10"), col("mrr"))
+    evalArm(aRanks, "bm25")
+      .unionByName(evalArm(bRanks, "phrase_prox"))
+      .unionByName(evalArm(cRanks, "rrf_fused"))
+      .orderBy(col("arm"), col("mode"))
+  }
+
+  val mrr2HybridEvalSql: String = {
+    def ts(tf: String, df: String) =
+      s"""(ln(1.0 + (st.n_docs - $df + 0.5) / ($df + 0.5))
+         | * ($tf * 2.2)
+         | / ($tf + 1.2 * (0.25 + 0.75 * dl.dl / (st.tot_tokens / st.n_docs))))"""
+        .stripMargin.replaceAll("\n", " ")
+    s"""WITH dq AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |q AS (SELECT doc_id AS q_id,
+       |        CASE WHEN doc_id % 40 = 0 THEN t[4:6]
+       |             ELSE [t[4], '##typo##', t[5]] || t[6:20] END AS q,
+       |        CASE WHEN doc_id % 40 = 0 THEN 'phrase' ELSE 'typo' END AS mode
+       |      FROM dq WHERE doc_id % 20 = 0 AND len(t) >= 20),
+       |qt AS (SELECT q_id, term FROM (SELECT q_id, unnest(q) AS term FROM q)
+       |       GROUP BY 1, 2),
+       |vocab AS (SELECT DISTINCT term FROM qt),
+       |pos AS (SELECT p0.doc_id, p0.u.p AS p, p0.u.term AS term FROM (
+       |          SELECT doc_id,
+       |                 unnest([{'p': i, 'term': t[i]} FOR i IN RANGE(1, len(t) + 1)]) AS u
+       |          FROM dq) p0
+       |        JOIN vocab v ON v.term = p0.u.term),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |       FROM pos GROUP BY 1, 2),
+       |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |              CAST(sum(len(t)) AS DOUBLE) AS tot_tokens FROM dq),
+       |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM dq),
+       |sca AS (SELECT qt.q_id, tf.doc_id,
+       |         floor(sum(${ts("tf.tf", "dft.df")}) * 10000 + 0.5) / 10000 AS score
+       |       FROM qt JOIN tf USING (term) JOIN dft USING (term)
+       |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+       |       GROUP BY 1, 2),
+       |aR AS (SELECT q_id, doc_id, rank FROM (
+       |         SELECT q_id, doc_id,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+       |         FROM sca) WHERE rank <= 100),
+       |tri AS (SELECT q_id, q[1] AS t1, q[2] AS t2, q[3] AS t3 FROM q),
+       |bAgg AS (SELECT tri.q_id, pos.doc_id,
+       |           CAST(count(CASE WHEN pos.term = tri.t1 THEN 1 END) AS DOUBLE) AS tf1,
+       |           CAST(count(CASE WHEN pos.term = tri.t2 THEN 1 END) AS DOUBLE) AS tf2,
+       |           CAST(count(CASE WHEN pos.term = tri.t3 THEN 1 END) AS DOUBLE) AS tf3
+       |         FROM pos JOIN tri ON pos.term IN (tri.t1, tri.t2, tri.t3)
+       |         GROUP BY 1, 2
+       |         HAVING tf1 > 0 AND tf2 > 0 AND tf3 > 0),
+       |mw AS (SELECT tri.q_id, a.doc_id,
+       |              CAST(min(abs(a.p - b.p)) + 1 AS BIGINT) AS minw
+       |       FROM tri JOIN pos a ON a.term = tri.t1
+       |       JOIN pos b ON b.doc_id = a.doc_id AND b.term = tri.t2
+       |       GROUP BY 1, 2),
+       |tdf AS (SELECT tri.q_id, d1.df AS df1, d2.df AS df2, d3.df AS df3
+       |        FROM tri LEFT JOIN dft d1 ON d1.term = tri.t1
+       |        LEFT JOIN dft d2 ON d2.term = tri.t2
+       |        LEFT JOIN dft d3 ON d3.term = tri.t3),
+       |scb AS (SELECT g.q_id, g.doc_id,
+       |         (CAST(floor((${ts("g.tf1", "tdf.df1")} + ${ts("g.tf2", "tdf.df2")}
+       |                      + ${ts("g.tf3", "tdf.df3")}) * 10000 + 0.5) AS BIGINT)
+       |          + CAST(floor(0.5 / mw.minw * 10000 + 0.5) AS BIGINT)) / 10000.0 AS score
+       |       FROM bAgg g JOIN tdf ON tdf.q_id = g.q_id
+       |       JOIN mw ON mw.q_id = g.q_id AND mw.doc_id = g.doc_id
+       |       JOIN dl ON dl.doc_id = g.doc_id CROSS JOIN st),
+       |bR AS (SELECT q_id, doc_id, rank FROM (
+       |         SELECT q_id, doc_id,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+       |         FROM scb) WHERE rank <= 100),
+       |u AS (SELECT q_id, doc_id,
+       |             CAST(floor(100000000.0 / (60 + CAST(rank AS DOUBLE)) + 0.5) AS BIGINT) AS m
+       |      FROM aR
+       |      UNION ALL
+       |      SELECT q_id, doc_id,
+       |             CAST(floor(100000000.0 / (60 + CAST(rank AS DOUBLE)) + 0.5) AS BIGINT) AS m
+       |      FROM bR),
+       |cR AS (SELECT q_id, doc_id, rank FROM (
+       |         SELECT q_id, doc_id,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY ms DESC, doc_id) AS rank
+       |         FROM (SELECT q_id, doc_id, sum(m) AS ms FROM u GROUP BY 1, 2))
+       |       WHERE rank <= 100),
+       |ev AS (SELECT 'bm25' AS arm, q.mode, q.q_id, r.rank
+       |       FROM q LEFT JOIN (SELECT q_id, rank FROM aR
+       |                         WHERE doc_id = q_id AND rank <= 10) r USING (q_id)
+       |       UNION ALL
+       |       SELECT 'phrase_prox' AS arm, q.mode, q.q_id, r.rank
+       |       FROM q LEFT JOIN (SELECT q_id, rank FROM bR
+       |                         WHERE doc_id = q_id AND rank <= 10) r USING (q_id)
+       |       UNION ALL
+       |       SELECT 'rrf_fused' AS arm, q.mode, q.q_id, r.rank
+       |       FROM q LEFT JOIN (SELECT q_id, rank FROM cR
+       |                         WHERE doc_id = q_id AND rank <= 10) r USING (q_id))
+       |SELECT arm, mode, CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(count(rank) AS BIGINT) AS n_found,
+       |       floor(CAST(count(rank) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS recall_at_10,
+       |       floor(CAST(sum(coalesce(CAST(floor(100000000.0 / rank + 0.5) AS BIGINT), 0)) AS DOUBLE)
+       |             / 100000000.0 / count(*) * 1000000 + 0.5) / 1000000 AS mrr
+       |FROM ev GROUP BY 1, 2 ORDER BY arm, mode""".stripMargin
+  }
+
   val rrf1HybridFusion: Q = (s, d) => {
     val sparse = graft.operators.Retrieval.topKRanks(
       TextAnalysis.bm25(Tables.documents(s, d)),
@@ -10332,6 +10580,7 @@ object Queries {
     "phr1_phrase_search" -> phr1PhraseSearch,
     "phr2_proximity_rank" -> phr2ProximityRank,
     "mrr1_rank_eval" -> mrr1RankEval,
+    "mrr2_hybrid_eval" -> mrr2HybridEval,
     "gbt1_boosted_stumps" -> gbt1BoostedStumps,
     "als1_factorization" -> als1Factorization,
     "iso1_isotonic_calibration" -> iso1IsotonicCalibration,
@@ -10639,6 +10888,7 @@ object Queries {
     "phr1_phrase_search" -> phr1PhraseSearchSql,
     "phr2_proximity_rank" -> phr2ProximityRankSql,
     "mrr1_rank_eval" -> mrr1RankEvalSql,
+    "mrr2_hybrid_eval" -> mrr2HybridEvalSql,
     "gbt1_boosted_stumps" -> gbt1BoostedStumpsSql,
     "als1_factorization" -> als1FactorizationSql,
     "iso1_isotonic_calibration" -> iso1IsotonicCalibrationSql,

@@ -195,7 +195,7 @@ object Retrieval {
     * sorted position lists: one walk over the tag-merged sorted stream,
     * carrying the last-seen position of each side and the best gap —
     * O(|p1| + |p2|) per row, not the |p1|·|p2| pair enumeration. */
-  private def mergeWalkWindow(p1: Column, p2: Column): Column = {
+  private[graft] def mergeWalkWindow(p1: Column, p2: Column): Column = {
     val tagged = array_sort(concat(
       transform(p1, a => struct(a.as("p"), lit(1).as("w"))),
       transform(p2, b => struct(b.as("p"), lit(2).as("w")))))

@@ -180,4 +180,33 @@ class RetrievalSpec extends SparkTestBase {
       .map(_.mkString(",")).toSet
     assert(r2 == got.values.map(_.mkString(",")).toSet)
   }
+
+  test("mrr2: each planted mode defeats exactly the arm it was designed to, fusion never trails") {
+    // the hybrid-retrieval justification MEASURED (VERDICT r14 item 6):
+    // mode `typo` plants an OOV token inside the leading trigram — the
+    // conjunctive proximity arm must find NOTHING while bag-of-words
+    // BM25 degrades gracefully; mode `phrase` is a 3-common-token query
+    // (the fixture's 31-word vocabulary makes it maximally confusable)
+    // where the proximity boost must outrank bag-of-words. RRF fusion
+    // must not trail either single arm on query-weighted overall MRR.
+    val rows = graft.Queries.all("mrr2_hybrid_eval")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // typo mode: conjunction dead, BM25 alive
+    assert(rows(("phrase_prox", "typo"))._2 == 0L,
+      s"conjunctive arm found a doc containing the OOV token: $rows")
+    assert(rows(("bm25", "typo"))._3 >= 0.5,
+      s"bm25 recall collapsed on typo mode: ${rows(("bm25", "typo"))}")
+    // phrase mode: proximity beats bag-of-words on MRR
+    assert(rows(("phrase_prox", "phrase"))._4 > rows(("bm25", "phrase"))._4,
+      s"proximity did not win the confusable 3-token mode: $rows")
+    // fusion: query-weighted overall MRR never trails a single arm
+    def overall(arm: String): Double = {
+      val ms = Seq("phrase", "typo").map(m => rows((arm, m)))
+      ms.map(t => t._4 * t._1).sum / ms.map(_._1).sum
+    }
+    assert(overall("rrf_fused") >= overall("bm25") - 1e-9 &&
+      overall("rrf_fused") >= overall("phrase_prox") - 1e-9,
+      s"fusion trails a single arm: rrf=${overall("rrf_fused")} bm25=${overall("bm25")} prox=${overall("phrase_prox")}")
+  }
 }
