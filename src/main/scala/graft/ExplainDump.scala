@@ -24,16 +24,20 @@ object ExplainDump {
     // unknown names fail loudly rather than silently writing nothing
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val benchable = Queries.benchNames ++ Queries.retiredBenchNames ++
-      Queries.shipLineNames
+    val benchable = (Queries.benchNames ++ Queries.retiredBenchNames ++
+      Queries.shipLineNames).distinct
     only.foreach { names =>
       val unknown = names -- benchable.toSet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in Queries.benchNames/shipLineNames: ${unknown.mkString(", ")}")
     }
+    // default dump = active bench rows + the ship-line compositions
+    // (whose committed plans are pinned artifacts even when a ship-line
+    // row also sits in retiredBenchNames for guard-protocol reach)
     benchable.filter(n => only match {
       case Some(sel) => sel.contains(n)
-      case None      => !Queries.retiredBenchNames.contains(n)
+      case None      => !Queries.retiredBenchNames.contains(n) ||
+        Queries.shipLineNames.contains(n)
     }).foreach { name =>
       // ship-line compositions materialize stage boundaries with eager
       // localCheckpoint, so their stage exchanges run at CONSTRUCTION

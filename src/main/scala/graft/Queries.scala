@@ -11008,7 +11008,11 @@ object Queries {
     // events daily rollup with different window arithmetic on the
     // calendar-bounded day grid (d13's retire rationale verbatim);
     // anom1 stays as the benched anchor of the shape
-    "anom2_seasonal_zscore", "anom3_robust_zscore")
+    "anom2_seasonal_zscore", "anom3_robust_zscore",
+    // release1_training_release: a GUARD-PROTOCOL row (never benched —
+    // verify-tier composition) listed here so the 10x/x100 sweeps can
+    // reach the WHOLE ship line by name (SCALE.md R15)
+    "release1_training_release")
 
   /** The verify-tier SHIP-LINE compositions (never benched — every stage
     * keeps its own bench/guard row under the tier policy) whose physical

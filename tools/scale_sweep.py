@@ -127,6 +127,12 @@ SUBSET = [
     # LSH candidates + ADC-on-candidates; this guard row is what makes
     # the pq2_production quadratic a measured CHOICE between two routes
     "pq3_batch_join",        # auto-LSH candidates + ADC + rerank (linear)
+    # round-15: the WHOLE ship line as one guard row — curation (gate +
+    # exact dedup + CC keep-best + span surgery), temperature mix, group
+    # split, train packing, card, with stage boundaries materialized
+    # (localCheckpoint); every stage is individually linear and the
+    # composition's shuffle bill is spec-pinned — the sweep pins its WALL
+    "release1_training_release",
     "core1_kcenter_coreset",  # k greedy argmax rounds x broadcast centers
                               # (kmeans1's join shape + a 1-row argmax;
                               # linear claim, rounds fixed at k=8)
