@@ -449,8 +449,8 @@ object Similarity {
     * dragged through the distinct()); each query probes, per table, its
     * own bucket plus all hamming-1 neighbors. */
   private def lshCandidateIds(embeddings: DataFrame, queries: DataFrame,
-                              planes: Int, dim: Int,
-                              tables: Int): DataFrame = {
+                              planes: Int, dim: Int, tables: Int,
+                              hintBroadcastProbes: Boolean = true): DataFrame = {
     // one multi-table signature kernel + posexplode (an array of per-table
     // expressions stops JIT-compiling in the tens of tables); unresolved
     // column expression: binds to whichever frame selects it
@@ -467,8 +467,19 @@ object Similarity {
         when(col("flip") === -1, col("q_sig"))
           .otherwise(col("q_sig").bitwiseXOR(expr("shiftleft(1, flip)")))
           .as("probe_sig"))
+    // SERVING callers (annTopK — query set small by contract) hint the
+    // probe side broadcast so the corpus index stream never shuffles.
+    // BATCH callers (pqBatchJoinTopK — the batch grows WITH the corpus)
+    // must NOT: at ×100 the probe frame is queries × tables × (planes+1)
+    // ≈ 12M rows, and a hard broadcast of it built a driver-sized hash
+    // table per task (measured: the r15 ×100 campaign read decade-2
+    // 19.4× where ~12× is the work growth; removing the hint lets the
+    // planner shuffle both sides on (tbl, sig) — fixture-scale plans
+    // still broadcast via AQE, results identical).
+    val probeSide =
+      if (hintBroadcastProbes) broadcast(probes.alias("p")) else probes.alias("p")
     sigs.alias("s")
-      .join(broadcast(probes.alias("p")),
+      .join(probeSide,
         col("s.tbl") === col("p.tbl") && col("s.sig") === col("p.probe_sig") &&
           col("p.q_id") =!= col("s.n_id"))
       .select(col("q_id"), col("n_id"))
@@ -572,7 +583,8 @@ object Similarity {
       pqAssignCol(cb, m, codes, sub).getField("code").as("codes"))
     val (planes, tablesEff) = autoLshDesign(en.count(), tables,
       targetBucket, 0.8, 64)
-    val cand = lshCandidateIds(embeddings, queries, planes, dim, tablesEff)
+    val cand = lshCandidateIds(embeddings, queries, planes, dim, tablesEff,
+      hintBroadcastProbes = false) // batch scales with corpus by contract
     val qluts = normalizedUnit(queries).select(col("vec_id").as("q_id"),
       graft.functions.pq_query_lut(col("emb"), pqFlat(cb, m, codes, sub),
         m, codes, sub).as("lut"))
