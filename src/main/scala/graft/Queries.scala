@@ -1983,6 +1983,121 @@ object Queries {
   val ml5LangTrain: Q = (s, d) =>
     TextAnalysis.langTrainConfusion(Tables.documents(s, d), ml5Classes)
 
+  /** QF1 — the LEARNED quality filter distilled from the t10 rule gate
+    * (the FineWeb-Edu move: an expensive gate labels, a cheap linear
+    * head scores the corpus): y = (corpusReason = 'ok'), features =
+    * ml5's content-only hashed bag-of-words, training on 4 of 5 hash
+    * folds by ml1's exact micro-unit GD, held-out fold scored into
+    * ml3's grouped-rank AUC + 0.5-threshold accuracy. The whole
+    * pipeline (gate labels → featurize → 3 GD steps → score → rank)
+    * replays digit-exact in the oracle.
+    * See [[graft.operators.TextAnalysis.qualityDistill]]. */
+  val qf1QualityDistill: Q = (s, d) =>
+    TextAnalysis.qualityDistill(Tables.documents(s, d)
+      .withColumn("y", (corpusReasonExpr === "ok").cast("double")))
+
+  lazy val qf1QualityDistillSql: String = {
+    val dims = 16; val iters = 10; val lr = "2.0"; val k = dims + 4
+    val folds = 5; val evalFold = 4
+    def microSum(expr: String, as: String) =
+      s"CAST(sum(CAST(floor(($expr) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS $as"
+    def zExpr(pfx: String) =
+      (0 until k).map(j => s"$pfx.c$j * x$j").mkString(" + ")
+    val xdefs = (0 until dims).map(j =>
+      s"CAST(sum(CASE WHEN bkt = $j THEN 1 ELSE 0 END) AS DOUBLE) / nt AS x${j + 4}")
+      .mkString(",\n       ")
+    val foldE = md5BucketSql("'qf-fold:' || CAST(doc_id AS VARCHAR)", folds)
+    val sb = new StringBuilder
+    // the dense gate-signal features mirror TextAnalysis.qualityDistill:
+    // x1 length cap, x2 stopword ratio, x3 mean-token-length cap
+    // (dup_ratio deliberately absent — the held-out error it leaves is
+    // the generalization check, not a bug)
+    val nTokL = "len(string_split(l.text, ' '))"
+    val stopHitsL = s"len(list_filter(string_split(l.text, ' '), x -> list_contains($stopList, x)))"
+    sb ++= s"""$corpusSignalsCteSql,
+              |lab AS (SELECT b.doc_id, b.text, dd.n_chars,
+              |          CASE WHEN $corpusReasonSql = 'ok' THEN 1.0 ELSE 0.0 END AS y
+              |        FROM b JOIN documents dd USING (doc_id)),
+              |dense AS (SELECT doc_id, y,
+              |            least($nTokL / 100.0, 1.0) AS x1,
+              |            CAST($stopHitsL AS DOUBLE) / $nTokL AS x2,
+              |            least((CAST(l.n_chars - $nTokL + 1 AS DOUBLE) / $nTokL) / 10.0, 1.0) AS x3
+              |          FROM lab l),
+              |tok AS (SELECT doc_id, y, nt, ${md5BucketSql("tk", dims)} AS bkt
+              |        FROM (SELECT doc_id, y, len(string_split(text, ' ')) AS nt,
+              |                     unnest(string_split(text, ' ')) AS tk
+              |              FROM lab)),
+              |d AS MATERIALIZED (SELECT tok.doc_id, tok.y, $foldE AS fold,
+              |       CAST(1.0 AS DOUBLE) AS x0,
+              |       any_value(de.x1) AS x1, any_value(de.x2) AS x2,
+              |       any_value(de.x3) AS x3,
+              |       $xdefs
+              |     FROM tok JOIN dense de USING (doc_id)
+              |     GROUP BY tok.doc_id, tok.y, nt),
+              |dtr0 AS (SELECT * FROM d WHERE fold <> $evalFold),
+              |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dtr0),
+              |mm AS (SELECT
+              |       ${(1 until k).map(j =>
+                         s"CAST(sum(CAST(floor(x$j * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s$j, " +
+                         s"CAST(sum(CAST(floor(x$j * x$j * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS q$j")
+                         .mkString(",\n       ")}
+              |     FROM dtr0),
+              |ms AS (SELECT
+              |       ${(1 until k).map(j =>
+                         s"floor(CAST(s$j AS DOUBLE) / 1000000 / n * 1000000 + 0.5) / 1000000 AS m$j")
+                         .mkString(",\n       ")}
+              |     FROM mm CROSS JOIN nn),
+              |sdv AS (SELECT
+              |       ${(1 until k).map(j =>
+                         s"CASE WHEN floor(sqrt(greatest(CAST(q$j AS DOUBLE) / 1000000 / n - m$j * m$j, 0.0)) * 1000000 + 0.5) / 1000000 = 0.0 THEN 1.0 " +
+                         s"ELSE floor(sqrt(greatest(CAST(q$j AS DOUBLE) / 1000000 / n - m$j * m$j, 0.0)) * 1000000 + 0.5) / 1000000 END AS sd$j")
+                         .mkString(",\n       ")}
+              |     FROM mm CROSS JOIN ms CROSS JOIN nn),
+              |ds AS MATERIALIZED (SELECT doc_id, y, fold, x0,
+              |       ${(1 until k).map(j => s"(x$j - m$j) / sd$j AS x$j").mkString(",\n       ")}
+              |     FROM d CROSS JOIN ms CROSS JOIN sdv),
+              |dtr AS (SELECT * FROM ds WHERE fold <> $evalFold),
+              |b_0 AS (SELECT ${(0 until k).map(j => s"CAST(0.0 AS DOUBLE) AS c$j").mkString(", ")})""".stripMargin
+    for (t <- 1 to iters) {
+      val grads = (0 until k).map(j => microSum(s"(sg - y) * x$j", s"g$j"))
+        .mkString(",\n       ")
+      val upds = (0 until k).map(j =>
+        s"floor((c$j - $lr * (CAST(g$j AS DOUBLE) / 1000000 / n)) * 1000000 + 0.5) / 1000000 AS c$j")
+        .mkString(",\n       ")
+      sb ++= s""",
+                |s_$t AS (SELECT dtr.*,
+                |       1.0 / (1.0 + exp(-(${zExpr(s"b_${t - 1}")}))) AS sg
+                |       FROM dtr CROSS JOIN b_${t - 1}),
+                |g_$t AS (SELECT
+                |       $grads
+                |       FROM s_$t),
+                |b_$t AS (SELECT
+                |       $upds
+                |       FROM g_$t CROSS JOIN b_${t - 1} CROSS JOIN nn)""".stripMargin
+    }
+    sb ++= s""",
+              |sc AS (SELECT y,
+              |         floor((1.0 / (1.0 + exp(-(${zExpr(s"b_$iters")})))) * 1000000 + 0.5) / 1000000 AS s6
+              |       FROM ds CROSS JOIN b_$iters WHERE fold = $evalFold),
+              |gg AS (SELECT s6, CAST(count(*) AS DOUBLE) AS n_s, sum(y) AS pos_s
+              |       FROM sc GROUP BY s6),
+              |cc AS (SELECT s6, n_s, pos_s, n_s - pos_s AS neg_s,
+              |              sum(n_s - pos_s) OVER (ORDER BY s6 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |                - (n_s - pos_s) AS cum_neg_below
+              |       FROM gg),
+              |qn AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM dtr)
+              |SELECT qn.n_train,
+              |       CAST(sum(n_s) AS BIGINT) AS n_eval,
+              |       CAST(sum(pos_s) AS BIGINT) AS n_pos_eval,
+              |       CASE WHEN sum(pos_s) > 0 AND sum(n_s) - sum(pos_s) > 0
+              |            THEN floor((sum(pos_s * (cum_neg_below + neg_s / 2.0))
+              |                        / (sum(pos_s) * (sum(n_s) - sum(pos_s)))) * 1000000 + 0.5) / 1000000
+              |            ELSE 0.5 END AS auc,
+              |       floor((sum(CASE WHEN s6 >= 0.5 THEN pos_s ELSE neg_s END) / sum(n_s)) * 1000000 + 0.5) / 1000000 AS accuracy
+              |FROM cc CROSS JOIN qn GROUP BY qn.n_train""".stripMargin
+    sb.toString
+  }
+
   val ml5LangTrainSql: String = {
     val dims = 16; val iters = 3; val lr = "2.0"; val k = dims + 1
     val classes = ml5Classes
@@ -10546,6 +10661,7 @@ object Queries {
     "aug2_token_mask" -> aug2TokenMask,
     "bleu1_eval" -> bleu1Eval,
     "ml5_lang_train" -> ml5LangTrain,
+    "qf1_quality_distill" -> qf1QualityDistill,
     "pack2_nostraddle" -> pack2NoStraddle,
     "pack3_materialize" -> pack3Materialize,
     "uni1_unigram_train" -> uni1UnigramTrain,
@@ -10857,6 +10973,7 @@ object Queries {
     "aug2_token_mask" -> aug2TokenMaskSql,
     "bleu1_eval" -> bleu1EvalSql,
     "ml5_lang_train" -> ml5LangTrainSql,
+    "qf1_quality_distill" -> qf1QualityDistillSql,
     "pack2_nostraddle" -> pack2NoStraddleSql,
     "pack3_materialize" -> pack3MaterializeSql,
     "uni1_unigram_train" -> uni1UnigramTrainSql,

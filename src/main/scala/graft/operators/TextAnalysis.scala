@@ -1336,4 +1336,116 @@ object TextAnalysis {
         portableRound(col("n_pieces").cast("double") /
           col("n_words").cast("double"), 4).as("pieces_per_word"))
   }
+
+  /** QF1 — a LEARNED quality filter distilled from a labeled gate: train
+    * a content-only linear head (hashed bag-of-words, [[langTrainConfusion]]'s
+    * featurization and ml1's exact micro-unit GD) on the gate's verdicts
+    * over a hash-split train set, and report its held-out discrimination
+    * (grouped Mann–Whitney AUC + 0.5-threshold confusion — ml3's exact
+    * forms). This is the FineWeb-Edu move: the rule gate (or an expensive
+    * LLM judge) labels a sample, the cheap distilled head scores the
+    * full corpus. `labeled` carries (doc_id, text, y ∈ {0.0, 1.0}).
+    *
+    * Exactness: fold membership is the engine-portable md5 bucket;
+    * features are per-doc hashed token counts / token count (no
+    * vocabulary pass); coefficients land on the 1e-6 grid each step;
+    * held-out scores snap to 1e-6 before the AUC's bounded grouped
+    * cumulative window (≤ 10⁶ score groups at any corpus size) — the
+    * whole pipeline replays digit-exact in the DuckDB oracle.
+    *
+    * Scale shape: one compiled-kernel featurize projection
+    * (checkpointed; iters 1-row gradient aggregates re-read it, never
+    * the corpus), one grouped-score aggregate for the eval — driver
+    * state is the (dims+1)-float coefficient vector. */
+  def qualityDistill(labeled: DataFrame, dims: Int = 16, iters: Int = 10,
+                     lr: Double = 2.0, folds: Int = 5,
+                     evalFold: Int = 4): DataFrame = {
+    require(dims >= 2 && dims <= 1024, s"dims out of range: $dims")
+    require(folds >= 2 && evalFold >= 0 && evalFold < folds,
+      s"need 0 <= evalFold < folds >= 2: $evalFold / $folds")
+    // dense gate-signal features FIRST (length, stopword ratio, mean
+    // token length — the signals a FineWeb-style filter engineers), the
+    // content bag after; dup_ratio is DELIBERATELY absent, so the
+    // gate's 'repetitive' arm is the head's irreducible error — the
+    // held-out AUC measures recovery of the learnable arms, not a
+    // feature-identity tautology
+    val k = dims + 4
+    val feat = labeled.select(
+        col("doc_id"), col("y").cast("double").as("y"),
+        graft.operators.Sampling.hashBucket(
+          concat(lit("qf-fold:"), col("doc_id").cast("string")), folds)
+          .as("fold"),
+        least(nTokensExpr / 100.0, lit(1.0)).as("x1"),
+        stopRatioExpr.as("x2"),
+        least(avgTokenLenExpr / lit(10.0), lit(1.0)).as("x3"),
+        nTokensExpr.cast("double").as("_nt"),
+        graft.functions.hashed_bag_counts(col("text"), dims).as("_c"))
+      .select(Seq(col("doc_id"), col("y"), col("fold"), lit(1.0).as("x0"),
+        col("x1"), col("x2"), col("x3")) ++
+        (0 until dims).map(j =>
+          (element_at(col("_c"), j + 1).cast("double") / col("_nt"))
+            .as(s"x${j + 4}")): _*)
+      .localCheckpoint()
+    // STANDARDIZE on train-fold stats before GD: the gate's sharp
+    // thresholds live on tiny-variance features (stop ratio spans
+    // ~0.05-0.10), where raw-scale GD needs hundreds of steps to grow
+    // the weight (measured: AUC 0.49 raw vs 0.94 standardized at 10
+    // steps). Stats fold as exact micro-unit BIGINTs and snap to the
+    // 1e-6 grid, so the standardized features — and the whole
+    // trajectory — replay digit-exact in the oracle. O(k) driver state.
+    def micro(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000.0 + 0.5).cast("long")
+    val train0 = feat.filter(col("fold") =!= evalFold)
+    val statAggs = count(lit(1)).as("n") +: (1 until k).flatMap(j => Seq(
+      sum(micro(col(s"x$j"))).as(s"s$j"),
+      sum(micro(col(s"x$j") * col(s"x$j"))).as(s"q$j")))
+    val stRow = train0.agg(statAggs.head, statAggs.tail: _*).head
+    val nTr = stRow.getAs[Long]("n").toDouble
+    require(nTr > 0, "qualityDistill needs a non-empty training fold")
+    val stats = (1 until k).map { j =>
+      val m = math.floor(stRow.getAs[Long](s"s$j").toDouble / 1000000.0 / nTr
+        * 1000000.0 + 0.5) / 1000000.0
+      val mean2 = stRow.getAs[Long](s"q$j").toDouble / 1000000.0 / nTr
+      val sd = math.floor(math.sqrt(math.max(mean2 - m * m, 0.0))
+        * 1000000.0 + 0.5) / 1000000.0
+      (m, if (sd == 0.0) 1.0 else sd)
+    }
+    def standardized(df: DataFrame): DataFrame =
+      df.select(Seq(col("doc_id"), col("y"), col("fold"), col("x0")) ++
+        (1 until k).map(j =>
+          ((col(s"x$j") - lit(stats(j - 1)._1)) / lit(stats(j - 1)._2))
+            .as(s"x$j")): _*)
+    val beta = Analytics.logisticGdVector(
+      standardized(train0), k, iters, lr)
+    val z = (0 until k).map(j => lit(beta(j)) * col(s"x$j")).reduce(_ + _)
+    val scored = standardized(feat.filter(col("fold") === evalFold))
+      .select(col("y"),
+        (floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1000000.0 + 0.5)
+          / 1000000.0).as("s6"))
+    val g = scored.groupBy(col("s6"))
+      .agg(count(lit(1)).cast("double").as("n_s"), sum(col("y")).as("pos_s"))
+      .withColumn("neg_s", col("n_s") - col("pos_s"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s6").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val contrib = g
+      .withColumn("cum_neg_below", sum(col("neg_s")).over(w) - col("neg_s"))
+      .select(col("pos_s"), col("neg_s"), col("n_s"),
+        (col("pos_s") * (col("cum_neg_below") + col("neg_s") / 2.0)).as("c"),
+        when(col("s6") >= 0.5, col("pos_s")).otherwise(col("neg_s"))
+          .as("correct"))
+    val nTrain = nTr.toLong
+    val nPos = sum(col("pos_s"))
+    val nNeg = sum(col("n_s")) - sum(col("pos_s"))
+    contrib.agg(
+      sum(col("n_s")).cast("long").as("n_eval"),
+      sum(col("pos_s")).cast("long").as("n_pos_eval"),
+      when(nPos > 0 && nNeg > 0,
+        portableRound(sum(col("c")) / (nPos * nNeg), 6))
+        .otherwise(0.5).as("auc"),
+      portableRound(sum(col("correct")) / sum(col("n_s")), 6).as("accuracy"))
+      .withColumn("n_train", lit(nTrain))
+      .select(col("n_train"), col("n_eval"), col("n_pos_eval"),
+        col("auc"), col("accuracy"))
+  }
 }
