@@ -1996,7 +1996,13 @@ object Queries {
     TextAnalysis.qualityDistill(Tables.documents(s, d)
       .withColumn("y", (corpusReasonExpr === "ok").cast("double")))
 
-  lazy val qf1QualityDistillSql: String = {
+  /** The shared CTE prefix of the qf1/cl1 oracles: the whole
+    * labels→featurize→standardize→GD→score pipeline, ending in
+    * `sc(doc_id, y, s6)` — the eval fold's held-out scores (the SQL twin
+    * of [[graft.operators.TextAnalysis.distillHeldOutScores]]). The two
+    * consumers append different tails: qf1 the AUC/accuracy rollup, cl1
+    * the confident-joint. */
+  private lazy val qfScoredCtesSql: String = {
     val dims = 16; val iters = 10; val lr = "2.0"; val k = dims + 4
     val folds = 5; val evalFold = 4
     def microSum(expr: String, as: String) =
@@ -2076,27 +2082,66 @@ object Queries {
                 |       FROM g_$t CROSS JOIN b_${t - 1} CROSS JOIN nn)""".stripMargin
     }
     sb ++= s""",
-              |sc AS (SELECT y,
+              |sc AS (SELECT doc_id, y,
               |         floor((1.0 / (1.0 + exp(-(${zExpr(s"b_$iters")})))) * 1000000 + 0.5) / 1000000 AS s6
-              |       FROM ds CROSS JOIN b_$iters WHERE fold = $evalFold),
-              |gg AS (SELECT s6, CAST(count(*) AS DOUBLE) AS n_s, sum(y) AS pos_s
-              |       FROM sc GROUP BY s6),
-              |cc AS (SELECT s6, n_s, pos_s, n_s - pos_s AS neg_s,
-              |              sum(n_s - pos_s) OVER (ORDER BY s6 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              |                - (n_s - pos_s) AS cum_neg_below
-              |       FROM gg),
-              |qn AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM dtr)
-              |SELECT qn.n_train,
-              |       CAST(sum(n_s) AS BIGINT) AS n_eval,
-              |       CAST(sum(pos_s) AS BIGINT) AS n_pos_eval,
-              |       CASE WHEN sum(pos_s) > 0 AND sum(n_s) - sum(pos_s) > 0
-              |            THEN floor((sum(pos_s * (cum_neg_below + neg_s / 2.0))
-              |                        / (sum(pos_s) * (sum(n_s) - sum(pos_s)))) * 1000000 + 0.5) / 1000000
-              |            ELSE 0.5 END AS auc,
-              |       floor((sum(CASE WHEN s6 >= 0.5 THEN pos_s ELSE neg_s END) / sum(n_s)) * 1000000 + 0.5) / 1000000 AS accuracy
-              |FROM cc CROSS JOIN qn GROUP BY qn.n_train""".stripMargin
+              |       FROM ds CROSS JOIN b_$iters WHERE fold = $evalFold)""".stripMargin
     sb.toString
   }
+
+  lazy val qf1QualityDistillSql: String = qfScoredCtesSql +
+    """,
+      |gg AS (SELECT s6, CAST(count(*) AS DOUBLE) AS n_s, sum(y) AS pos_s
+      |       FROM sc GROUP BY s6),
+      |cc AS (SELECT s6, n_s, pos_s, n_s - pos_s AS neg_s,
+      |              sum(n_s - pos_s) OVER (ORDER BY s6 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                - (n_s - pos_s) AS cum_neg_below
+      |       FROM gg),
+      |qn AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM dtr)
+      |SELECT qn.n_train,
+      |       CAST(sum(n_s) AS BIGINT) AS n_eval,
+      |       CAST(sum(pos_s) AS BIGINT) AS n_pos_eval,
+      |       CASE WHEN sum(pos_s) > 0 AND sum(n_s) - sum(pos_s) > 0
+      |            THEN floor((sum(pos_s * (cum_neg_below + neg_s / 2.0))
+      |                        / (sum(pos_s) * (sum(n_s) - sum(pos_s)))) * 1000000 + 0.5) / 1000000
+      |            ELSE 0.5 END AS auc,
+      |       floor((sum(CASE WHEN s6 >= 0.5 THEN pos_s ELSE neg_s END) / sum(n_s)) * 1000000 + 0.5) / 1000000 AS accuracy
+      |FROM cc CROSS JOIN qn GROUP BY qn.n_train""".stripMargin
+
+  /** CL1 — confident-learning label-noise detection
+    * ([[graft.operators.TextAnalysis.labelNoise]]) over the distilled
+    * head's held-out scores: class thresholds = each class's mean
+    * self-confidence; off-diagonal (labeled i, confidently j ≠ i) docs
+    * are the label-error candidates. Shares qf1's whole
+    * train-and-score CTE prefix — same head, same fold, same scores. */
+  val cl1LabelNoise: Q = (s, d) => {
+    val (scored, _) = TextAnalysis.distillHeldOutScores(
+      Tables.documents(s, d)
+        .withColumn("y", (corpusReasonExpr === "ok").cast("double")))
+    TextAnalysis.labelNoise(scored)
+  }
+
+  lazy val cl1LabelNoiseSql: String = qfScoredCtesSql +
+    """,
+      |th AS (SELECT
+      |         floor(CAST(sum(CASE WHEN y = 1.0 THEN CAST(floor(s6 * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+      |               / sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) + 0.5) / 1000000 AS t1,
+      |         floor(CAST(sum(CASE WHEN y = 0.0 THEN CAST(floor((1.0 - s6) * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+      |               / sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) + 0.5) / 1000000 AS t0
+      |       FROM sc),
+      |asg AS (SELECT y, t0, t1,
+      |          CASE WHEN s6 >= t1 AND (1.0 - s6) >= t0
+      |                 THEN CASE WHEN s6 >= 1.0 - s6 THEN 1 ELSE 0 END
+      |               WHEN s6 >= t1 THEN 1
+      |               WHEN (1.0 - s6) >= t0 THEN 0
+      |               ELSE NULL END AS j
+      |        FROM sc CROSS JOIN th)
+      |SELECT CAST(y AS BIGINT) AS given_label,
+      |       count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN j = CAST(y AS INTEGER) THEN 1 ELSE 0 END) AS BIGINT) AS n_confident_same,
+      |       CAST(sum(CASE WHEN j IS NOT NULL AND j <> CAST(y AS INTEGER) THEN 1 ELSE 0 END) AS BIGINT) AS n_label_issues,
+      |       CAST(sum(CASE WHEN j IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unassigned,
+      |       CASE WHEN y = 1.0 THEN any_value(t1) ELSE any_value(t0) END AS class_threshold
+      |FROM asg GROUP BY y""".stripMargin
 
   val ml5LangTrainSql: String = {
     val dims = 16; val iters = 3; val lr = "2.0"; val k = dims + 1
@@ -2474,6 +2519,33 @@ object Queries {
     * epoch-shuffle order, emitting the offsets and straddle flags a
     * loader needs for resumption and cross-document attention masking.
     * See [[graft.operators.Sampling.packSequences]]. */
+  /** CONV1 — SFT conversation assembly
+    * ([[graft.operators.Curation.sftAssemble]]): documents become
+    * alternating user/assistant turn conversations (deterministic
+    * doc_id-derived turn lengths standing in for real turn structure),
+    * rendered through the chat template with loss-mask accounting —
+    * assistant tokens train, user tokens are masked. The rendered
+    * template string itself is oracle-compared token for token. */
+  val conv1SftAssemble: Q = (s, d) =>
+    Curation.sftAssemble(Tables.documents(s, d))
+
+  val conv1SftAssembleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+      |                  4 + doc_id % 5 AS lu, 6 + doc_id % 7 AS la
+      |           FROM documents),
+      |p AS (SELECT doc_id, t, lu, la, lu + la AS pl,
+      |             CAST(len(t) // (lu + la) AS BIGINT) AS n_pairs
+      |      FROM d)
+      |SELECT doc_id, n_pairs,
+      |       CAST(n_pairs * pl AS BIGINT) AS n_tokens_used,
+      |       CAST(n_pairs * la AS BIGINT) AS assistant_tokens,
+      |       floor(CAST(la AS DOUBLE) / pl * 1000000 + 0.5) / 1000000 AS trainable_frac,
+      |       array_to_string([
+      |         '<|user|> ' || array_to_string(t[CAST(pp * pl + 1 AS BIGINT):CAST(pp * pl + lu AS BIGINT)], ' ') ||
+      |         ' <|assistant|> ' || array_to_string(t[CAST(pp * pl + lu + 1 AS BIGINT):CAST(pp * pl + lu + la AS BIGINT)], ' ')
+      |         FOR pp IN RANGE(0, n_pairs)], ' ') AS template
+      |FROM p WHERE n_pairs >= 1""".stripMargin
+
   val pack1SequencePacking: Q = (s, d) =>
     graft.operators.Sampling.packSequences(Tables.documents(s, d),
       col("doc_id"), TextAnalysis.nTokensExpr, capacity = 512, shards = 8)
@@ -4212,6 +4284,80 @@ object Queries {
        |  clean AS cleaned_text
        |FROM cl12""".stripMargin
 
+  /** D14 — URL canonicalization + dedup
+    * ([[graft.operators.Curation.urlDedup]]): the crawl-frontier dedup a
+    * web corpus runs BEFORE fetching bytes. URLs are synthesized
+    * deterministically from events with the noise a real crawl sees —
+    * case-varied hosts, shuffled parameter order, `utm_*`/`fbclid`
+    * tracking junk, fragments, an occasional trailing slash — such that
+    * many raw forms collapse onto one canonical URL. Kept page = the
+    * smallest event id (ingest order). */
+  val d14UrlDedup: Q = (s, d) => {
+    val host = when(col("event_type") === "view", "WWW.Example.com")
+      .when(col("event_type") === "click", "www.example.com")
+      .when(col("event_type") === "purchase", "Shop.Example.com")
+      .when(col("event_type") === "signup", "shop.example.com")
+      .otherwise("cdn.example.com")
+    val ref = concat(lit("ref=r"), (col("event_id") % 3).cast("string"))
+    val utm1 = concat(lit("utm_source=u"), (col("event_id") % 5).cast("string"))
+    val utm2 = concat(lit("utm_campaign=c"), (col("event_id") % 7).cast("string"))
+    val fb = when(col("event_id") % 3 === 0,
+      concat(lit("&fbclid=f"), col("event_id").cast("string"))).otherwise(lit(""))
+    val qs = when(col("event_id") % 2 === 0,
+        concat(ref, lit("&"), utm1, lit("&"), utm2))
+      .otherwise(concat(utm1, lit("&"), ref, lit("&"), utm2))
+    val slash = when(col("event_id") % 11 === 0, lit("/")).otherwise(lit(""))
+    val frag = when(col("event_id") % 5 === 0,
+      concat(lit("#sec"), (col("event_id") % 4).cast("string"))).otherwise(lit(""))
+    val url = concat(lit("https://"), host, lit("/p/"),
+      (col("user_id") % 200).cast("string"), slash, lit("?"), qs, fb, frag)
+    // first_ts crosses the oracle gate as a formatted string (the st6
+    // convention: the fixture's physical ns/us encodings must not leak
+    // into the compared schema)
+    Curation.urlDedup(Tables.events(s, d)
+        .select(col("event_id").as("page_id"), col("ts"), url.as("url")))
+      .withColumn("first_ts", date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss"))
+  }
+
+  val d14UrlDedupSql: String =
+    """WITH raw AS (SELECT event_id AS page_id, ts,
+      |    'https://' ||
+      |    CASE event_type WHEN 'view' THEN 'WWW.Example.com'
+      |                    WHEN 'click' THEN 'www.example.com'
+      |                    WHEN 'purchase' THEN 'Shop.Example.com'
+      |                    WHEN 'signup' THEN 'shop.example.com'
+      |                    ELSE 'cdn.example.com' END ||
+      |    '/p/' || CAST(user_id % 200 AS VARCHAR) ||
+      |    CASE WHEN event_id % 11 = 0 THEN '/' ELSE '' END || '?' ||
+      |    CASE WHEN event_id % 2 = 0
+      |         THEN 'ref=r' || CAST(event_id % 3 AS VARCHAR) || '&utm_source=u' || CAST(event_id % 5 AS VARCHAR) || '&utm_campaign=c' || CAST(event_id % 7 AS VARCHAR)
+      |         ELSE 'utm_source=u' || CAST(event_id % 5 AS VARCHAR) || '&ref=r' || CAST(event_id % 3 AS VARCHAR) || '&utm_campaign=c' || CAST(event_id % 7 AS VARCHAR) END ||
+      |    CASE WHEN event_id % 3 = 0 THEN '&fbclid=f' || CAST(event_id AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN event_id % 5 = 0 THEN '#sec' || CAST(event_id % 4 AS VARCHAR) ELSE '' END
+      |    AS url
+      |  FROM events),
+      |parts AS (SELECT page_id, ts, url,
+      |    string_split(url, '#')[1] AS nofrag
+      |  FROM raw),
+      |split2 AS (SELECT page_id, ts, url,
+      |    string_split(nofrag, '?')[1] AS hostpath,
+      |    CASE WHEN strpos(nofrag, '?') > 0 THEN string_split(nofrag, '?')[2] ELSE '' END AS query
+      |  FROM parts),
+      |canon AS (SELECT page_id, ts, url,
+      |    lower(regexp_extract(hostpath, '^(https?://[^/]+)', 1)) ||
+      |    regexp_replace(substr(hostpath, len(regexp_extract(hostpath, '^(https?://[^/]+)', 1)) + 1), '/$', '') ||
+      |    CASE WHEN len(list_filter(string_split(query, '&'),
+      |                   x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid=') OR x = ''))) > 0
+      |         THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |                   x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid=') OR x = ''))), '&')
+      |         ELSE '' END AS canonical_url
+      |  FROM split2)
+      |SELECT canonical_url, count(*) AS n_fetches,
+      |       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+      |       CAST(min(page_id) AS BIGINT) AS kept_page_id,
+      |       strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS first_ts
+      |FROM canon GROUP BY canonical_url""".stripMargin
+
   /** PREP2 — the Lee-et-al-shaped corpus-shrink pipeline composed end to
     * end: quality gate (t10's reason = ok) → repeated-span removal (d12)
     * → exact dedup ON THE CLEANED TEXT (the cut creates new exact
@@ -4972,6 +5118,26 @@ object Queries {
        |FROM sc ORDER BY score DESC, k LIMIT 1""".stripMargin
   }
 
+  /** KA1 — k-anonymity / l-diversity release audit
+    * ([[graft.operators.Privacy.kAnonymityAudit]]): customers grouped by
+    * the (nation, market-segment) quasi-identifier, account-balance
+    * thousand-bucket as the sensitive attribute; per group the size
+    * (k = 5) and distinct-sensitive count (l = 3) with the
+    * suppress-or-generalize flags. */
+  val ka1KAnonymity: Q = (s, d) =>
+    graft.operators.Privacy.kAnonymityAudit(
+      Tables.customer(s, d)
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000.0).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), col("bal_bucket"))
+
+  val ka1KAnonymitySql: String =
+    """SELECT c_nationkey, c_mktsegment,
+      |       count(*) AS group_size,
+      |       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT) AS l_diversity,
+      |       count(*) < 5 AS below_k,
+      |       count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 3 AS below_l
+      |FROM customer GROUP BY 1, 2""".stripMargin
+
   /** The corpus keep/drop verdict, from TextAnalysis's shared scoring
     * expressions — the same definitions t1/t2/t9 run, so the composite
     * can never drift from the individual signals. Shared by t10 (which
@@ -5169,6 +5335,46 @@ object Queries {
     graft.operators.Curation.decontaminateBloom(
       docs.filter(col("doc_id") % 7 =!= 0),
       docs.filter(col("doc_id") % 7 === 0), n = 5)
+  }
+
+  /** MEM1 — memorization / novelty audit
+    * ([[graft.operators.Curation.ngramNovelty]]): treat an 80% hash fold
+    * of documents as the TRAINING corpus and the rest as the
+    * generated/held-out corpus, and measure what fraction of each
+    * held-out doc's 3-gram windows already occur in training — per
+    * source: window/copied counts, corpus novelty and the per-doc
+    * novelty mean. The fixture's planted exact and near duplicates give
+    * the copied mass; fresh docs read novelty ≈ 1. */
+  val mem1NgramNovelty: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val fold = graft.operators.Sampling.hashBucket(
+      concat(lit("mem-split:"), col("doc_id").cast("string")), 10)
+    Curation.ngramNovelty(docs.filter(fold < 8), docs.filter(fold >= 8), n = 3)
+  }
+
+  lazy val mem1NgramNoveltySql: String = {
+    val foldE = md5BucketSql("'mem-split:' || CAST(doc_id AS VARCHAR)", 10)
+    """WITH f AS (SELECT doc_id, source, string_split(text, ' ') AS t,
+      |                  FOLD_EXPR AS fold
+      |           FROM documents),
+      |tr AS (SELECT DISTINCT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                               FOR i IN RANGE(1, len(t) - 1)]) AS sg
+      |       FROM f WHERE fold < 8 AND len(t) >= 3),
+      |ge AS (SELECT doc_id, source,
+      |              unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                      FOR i IN RANGE(1, len(t) - 1)]) AS sg
+      |       FROM f WHERE fold >= 8 AND len(t) >= 3),
+      |pd AS (SELECT ge.doc_id, ge.source, count(*) AS n_win,
+      |              sum(CASE WHEN tr.sg IS NOT NULL THEN 1 ELSE 0 END) AS n_copied
+      |       FROM ge LEFT JOIN tr ON ge.sg = tr.sg
+      |       GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_win) AS BIGINT) AS n_windows,
+      |       CAST(sum(n_copied) AS BIGINT) AS n_copied,
+      |       floor((1.0 - CAST(sum(n_copied) AS DOUBLE) / sum(n_win)) * 1000000 + 0.5) / 1000000 AS novelty,
+      |       floor(CAST(sum(CAST(floor((1.0 - CAST(n_copied AS DOUBLE) / n_win) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |             / count(*) + 0.5) / 1000000 AS mean_doc_novelty
+      |FROM pd GROUP BY source""".stripMargin.replace("FOLD_EXPR", foldE)
   }
 
   /** INC1 — incremental (new-batch-vs-corpus) dedup: the nightly-ingest
@@ -10455,6 +10661,7 @@ object Queries {
     "prep1_corpus_prep" -> prep1CorpusPrep,
     "dc1_decontaminate" -> dc1Decontaminate,
     "dc2_decontaminate_bloom" -> dc2DecontaminateBloom,
+    "mem1_ngram_novelty" -> mem1NgramNovelty,
     "dc3_semantic_decontaminate" -> dc3SemanticDecontaminate,
     "inc1_incremental_dedup" -> inc1IncrementalDedup,
     "inc2_neardup_admission" -> inc2NearDupAdmission,
@@ -10630,6 +10837,7 @@ object Queries {
     "mix3_temperature_mix" -> mix3TemperatureMix,
     "shuf1_epoch_order" -> shuf1EpochOrder,
     "pack1_sequence_packing" -> pack1SequencePacking,
+    "conv1_sft_assemble" -> conv1SftAssemble,
     "bpe1_train_merges" -> bpe1TrainMerges,
     "hn1_hard_negatives" -> hn1HardNegatives,
     "bpe2_encode_stats" -> bpe2EncodeStats,
@@ -10650,6 +10858,7 @@ object Queries {
     "d11_containment" -> d11Containment,
     "d12_span_removal" -> d12SpanRemoval,
     "d13_span_keep_first" -> d13SpanKeepFirst,
+    "d14_url_dedup" -> d14UrlDedup,
     "prep2_span_clean" -> prep2SpanClean,
     "prep3_full_curation" -> prep3FullCuration,
     "release1_training_release" -> release1TrainingRelease,
@@ -10662,6 +10871,7 @@ object Queries {
     "bleu1_eval" -> bleu1Eval,
     "ml5_lang_train" -> ml5LangTrain,
     "qf1_quality_distill" -> qf1QualityDistill,
+    "cl1_label_noise" -> cl1LabelNoise,
     "pack2_nostraddle" -> pack2NoStraddle,
     "pack3_materialize" -> pack3Materialize,
     "uni1_unigram_train" -> uni1UnigramTrain,
@@ -10711,6 +10921,7 @@ object Queries {
     "lid1_confusion" -> lid1Confusion,
     "kappa1_agreement" -> kappa1Agreement,
     "dp2_private_median" -> dp2PrivateMedian,
+    "ka1_k_anonymity" -> ka1KAnonymity,
     "d7_dup_clusters" -> d7DupClusters,
     "mm1_binary_decode" -> mm1Binary,
     "mm2_frame_counts" -> mm2Frames,
@@ -10776,6 +10987,7 @@ object Queries {
     "prep1_corpus_prep" -> prep1CorpusPrepSql,
     "dc1_decontaminate" -> dc1DecontaminateSql,
     "dc2_decontaminate_bloom" -> dc1DecontaminateSql, // bloom prefilter is exact: same oracle
+    "mem1_ngram_novelty" -> mem1NgramNoveltySql,
     "dc3_semantic_decontaminate" -> dc3SemanticDecontaminateSql,
     "inc1_incremental_dedup" -> inc1IncrementalDedupSql,
     "inc2_neardup_admission" -> inc2NearDupAdmissionSql,
@@ -10943,6 +11155,7 @@ object Queries {
     "mix3_temperature_mix" -> mix3TemperatureMixSql,
     "shuf1_epoch_order" -> shuf1EpochOrderSql,
     "pack1_sequence_packing" -> pack1SequencePackingSql,
+    "conv1_sft_assemble" -> conv1SftAssembleSql,
     "bpe1_train_merges" -> bpe1TrainMergesSql,
     "hn1_hard_negatives" -> hn1HardNegativesSql,
     "bpe2_encode_stats" -> bpe2EncodeStatsSql,
@@ -10962,6 +11175,7 @@ object Queries {
     "d11_containment" -> d11ContainmentSql,
     "d12_span_removal" -> d12SpanRemovalSql,
     "d13_span_keep_first" -> d13SpanKeepFirstSql,
+    "d14_url_dedup" -> d14UrlDedupSql,
     "prep2_span_clean" -> prep2SpanCleanSql,
     "prep3_full_curation" -> prep3FullCurationSql,
     "release1_training_release" -> release1TrainingReleaseSql,
@@ -10974,6 +11188,7 @@ object Queries {
     "bleu1_eval" -> bleu1EvalSql,
     "ml5_lang_train" -> ml5LangTrainSql,
     "qf1_quality_distill" -> qf1QualityDistillSql,
+    "cl1_label_noise" -> cl1LabelNoiseSql,
     "pack2_nostraddle" -> pack2NoStraddleSql,
     "pack3_materialize" -> pack3MaterializeSql,
     "uni1_unigram_train" -> uni1UnigramTrainSql,
@@ -11020,6 +11235,7 @@ object Queries {
     "lid1_confusion" -> lid1ConfusionSql,
     "kappa1_agreement" -> kappa1AgreementSql,
     "dp2_private_median" -> dp2PrivateMedianSql,
+    "ka1_k_anonymity" -> ka1KAnonymitySql,
     "d7_dup_clusters" -> d7DupClustersSql,
     "mm1_binary_decode" -> mm1BinarySql,
     "mm2_frame_counts" -> mm2FramesSql,
@@ -11129,7 +11345,13 @@ object Queries {
     // release1_training_release: a GUARD-PROTOCOL row (never benched —
     // verify-tier composition) listed here so the 10x/x100 sweeps can
     // reach the WHOLE ship line by name (SCALE.md R15)
-    "release1_training_release")
+    "release1_training_release",
+    // mem1_ngram_novelty: GUARD-PROTOCOL (verify-tier; sub-2 s wall) —
+    // listed so the 10x sweep can pin its corpus-vs-corpus shingle-hash
+    // join, the one new r15-continuation shape where a scaling failure
+    // could hide (d14/conv1 are single projections; cl1 rides qf1's
+    // measured featurize+GD shape)
+    "mem1_ngram_novelty")
 
   /** The verify-tier SHIP-LINE compositions (never benched — every stage
     * keeps its own bench/guard row under the tier policy) whose physical

@@ -578,4 +578,144 @@ object Curation {
       r9(diffs.map(x => x * x).reduce(_ + _)).as("mmd2"),
       r9(diffs.map(abs).reduce(_ + _) / dim).as("mean_abs_gap"))
   }
+
+  /** SFT conversation assembly — the step that turns curated text into
+    * supervised fine-tuning examples: segment each document into
+    * alternating user/assistant turns, render the chat template, and do
+    * the LOSS-MASK accounting (assistant tokens train, user tokens are
+    * masked — the trainable fraction is what a data-mix planner budgets
+    * on, the SFT analog of pack1's token accounting). Documents too
+    * short for one complete user→assistant pair are dropped — a
+    * conversation must end on an assistant turn to contribute loss.
+    *
+    * The fixtures carry no conversation structure, so turn segmentation
+    * is a deterministic stand-in: per-doc turn lengths derived from
+    * doc_id (user 4 + id%5 tokens, assistant 6 + id%7 — so the trainable
+    * fraction varies across docs), full pairs only. The REAL parts — the
+    * template render, the mask accounting, the slicing plumbing — are
+    * exactly what a real pipeline runs once a turn splitter supplies
+    * boundaries (the multimodal-stub discipline: fake the unavailable
+    * upstream, make the engine side real and oracle-checked).
+    *
+    * Scale shape: one projection — token slicing and the per-pair render
+    * run inside whole-stage codegen (higher-order transform over a
+    * bounded pair count); no shuffle at all. Linear, embarrassingly
+    * parallel. */
+  def sftAssemble(documents: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val lu = lit(4L) + col("doc_id") % 5
+    val la = lit(6L) + col("doc_id") % 7
+    val pl = lu + la
+    val staged = documents.select(col("doc_id"), t.as("t"), lu.as("lu"),
+      la.as("la"), pl.as("pl"),
+      floor(size(t).cast("double") / pl).cast("long").as("n_pairs"))
+      .filter(col("n_pairs") >= 1)
+    val tpl = array_join(
+      transform(sequence(lit(0L), col("n_pairs") - 1), p => concat(
+        lit("<|user|> "),
+        concat_ws(" ", slice(col("t"), (p * col("pl") + 1).cast("int"),
+          col("lu").cast("int"))),
+        lit(" <|assistant|> "),
+        concat_ws(" ", slice(col("t"), (p * col("pl") + col("lu") + 1).cast("int"),
+          col("la").cast("int"))))), " ")
+    staged.select(col("doc_id"), col("n_pairs"),
+      (col("n_pairs") * col("pl")).as("n_tokens_used"),
+      (col("n_pairs") * col("la")).as("assistant_tokens"),
+      graft.functions.portableRound(
+        col("la").cast("double") / col("pl"), 6).as("trainable_frac"),
+      tpl.as("template"))
+  }
+
+  /** URL canonicalization + dedup — the first stage of a web-corpus
+    * pipeline (a CommonCrawl-style crawl re-fetches the same page under
+    * case-varied hosts, shuffled query parameters, tracking junk and
+    * fragments; dedup BEFORE fetch/parse is the cheapest byte saved).
+    * Expects (page_id, url, ts); emits one row per canonical URL with
+    * fetch/raw-form counts, the kept page (smallest id — ingest order)
+    * and the earliest fetch time.
+    *
+    * Canonical form: lowercase scheme+host (path case is preserved —
+    * paths are case-sensitive per RFC 3986), at most one trailing slash
+    * stripped from the path, fragment dropped, `utm_*`/`fbclid` tracking
+    * parameters dropped, surviving parameters sorted bytewise. Pure
+    * column surgery — split/regexp/higher-order array ops, all
+    * whole-stage codegen'd; the only shuffle is the final groupBy on the
+    * canonical string. At 100 TB the canonical key should be hashed to a
+    * digest before the shuffle if URLs run long — here the canonical URL
+    * itself is the (display) group key, and it is bounded (~100 bytes). */
+  def urlDedup(fetches: DataFrame): DataFrame = {
+    val noFrag = substring_index(col("url"), "#", 1)
+    val hostPath = substring_index(noFrag, "?", 1)
+    val query = when(instr(noFrag, "?") > 0, substring_index(noFrag, "?", -1))
+      .otherwise(lit(""))
+    val schemeHost = regexp_extract(hostPath, "^(https?://[^/]+)", 1)
+    val path = regexp_replace(
+      hostPath.substr(length(schemeHost) + 1, length(hostPath)), "/$", "")
+    val kept = array_sort(filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid=") || p === "")))
+    val canonical = concat(lower(schemeHost), path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+    fetches
+      .select(col("page_id"), col("ts"), canonical.as("canonical_url"),
+        col("url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_fetches"),
+        countDistinct(col("url")).as("n_raw_forms"),
+        min(col("page_id")).as("kept_page_id"),
+        min(col("ts")).as("first_ts"))
+  }
+
+  /** Memorization / novelty audit (the McCoy-et-al "how novel is generated
+    * text" measurement, run as a corpus job): for every doc in `gen`, the
+    * fraction of its token n-gram WINDOWS (instances, not distinct
+    * shingles — a doc that repeats a memorized phrase counts it every
+    * time) that occur anywhere in `train`, rolled up per source. Output
+    * one row per gen source: doc/window/copied counts, corpus-level
+    * `novelty` = 1 − copied/windows, and the per-doc novelty mean
+    * (both 1e-6-snapped). Docs with fewer than `n` tokens have no
+    * windows and are excluded from the audit (not counted as novel).
+    *
+    * This differs from [[decontaminate]] in both direction and shape:
+    * dc1 probes a 100 TB corpus against a broadcast-sized benchmark;
+    * here BOTH sides are corpus-scale (the training set vs a generated /
+    * held-out corpus), so the membership probe is a shuffle join keyed
+    * on the 8-byte [[graft.functions.ShingleHashes]] hash — compact
+    * keys, no shingle strings on the wire. Distinct-hash ≡
+    * distinct-shingle up to xxhash64 collision; the string-level DuckDB
+    * oracle would catch one (dc1's argument). At 100 TB the train side
+    * composes with [[decontaminateBloom]]'s filter pre-pass unchanged:
+    * Bloom membership has no false negatives, so the confirm join sees
+    * only the ~hit-rate fraction of gen windows. Everything else is one
+    * per-doc and one per-source hash aggregation — linear end to end. */
+  def ngramNovelty(train: DataFrame, gen: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 16, s"shingle width out of range: $n")
+    val sh = graft.functions.shingle_hashes(col("text"), n)
+    val trainKeys = train
+      .select(explode(array_distinct(sh)).as("sg")).distinct()
+      .withColumn("_hit", lit(1L))
+    val genWin = gen.select(col("doc_id"), col("source"), explode(sh).as("sg"))
+    val perDoc = genWin
+      .join(trainKeys, Seq("sg"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_copied"))
+      .withColumn("doc_novelty", graft.functions.portableRound(
+        lit(1.0) - col("n_copied").cast("double") / col("n_win"), 6))
+    // the per-doc mean folds as exact micro-unit BIGINTs (doc_novelty is
+    // already 1e-6-snapped, so micro(doc_novelty) is an exact integer):
+    // both engines divide the same integer sum by the same count — no
+    // float accumulation order to diverge on
+    perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_win")).as("n_windows"),
+      sum(col("n_copied")).as("n_copied"),
+      sum(floor(col("doc_novelty") * 1000000.0 + 0.5).cast("long")).as("_nv"))
+      .select(col("source"), col("n_docs"), col("n_windows"), col("n_copied"),
+        graft.functions.portableRound(
+          lit(1.0) - col("n_copied").cast("double") / col("n_windows"), 6)
+          .as("novelty"),
+        (floor(col("_nv").cast("double") / col("n_docs") + 0.5) / 1000000.0)
+          .as("mean_doc_novelty"))
+  }
 }

@@ -138,4 +138,32 @@ object Privacy {
         ((lit(loCents) + floor((col("k") + 1).cast("double") * span / gridSize)
           .cast("long") - 1L).cast("double") / 100.0).as("private_median"))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    * al. 2007) — the release gate a dataset passes BEFORE rows leave the
+    * trust boundary: group by the quasi-identifier combination and
+    * report, per group, its size (k-anonymity: every row must hide in a
+    * group of ≥ k look-alikes) and the number of distinct sensitive
+    * values (l-diversity: a group whose sensitive column is constant
+    * re-identifies by membership alone, however large it is). Rows in
+    * `below_k` or `below_l` groups are what a release either suppresses
+    * or generalizes further (coarser QI buckets) — this audit is the
+    * loop condition of that generalization ladder.
+    *
+    * Scale shape: ONE hash aggregation on the QI columns (the distinct
+    * sensitive count is Spark's standard two-level partial-distinct
+    * aggregate — map-side combined, no row explosion). Group cardinality
+    * is the QI domain, dimension-bounded at any corpus size. */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitive: org.apache.spark.sql.Column,
+                      k: Int = 5, l: Int = 3): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2 && l >= 2, s"degenerate thresholds: k=$k l=$l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(sensitive).as("l_diversity"))
+      .select(qiCols.map(col) ++ Seq(col("group_size"), col("l_diversity"),
+        (col("group_size") < k).as("below_k"),
+        (col("l_diversity") < l).as("below_l")): _*)
+  }
 }

@@ -1360,6 +1360,45 @@ object TextAnalysis {
   def qualityDistill(labeled: DataFrame, dims: Int = 16, iters: Int = 10,
                      lr: Double = 2.0, folds: Int = 5,
                      evalFold: Int = 4): DataFrame = {
+    val (scoredDocs, nTrain) =
+      distillHeldOutScores(labeled, dims, iters, lr, folds, evalFold)
+    val scored = scoredDocs.select(col("y"), col("s6"))
+    val g = scored.groupBy(col("s6"))
+      .agg(count(lit(1)).cast("double").as("n_s"), sum(col("y")).as("pos_s"))
+      .withColumn("neg_s", col("n_s") - col("pos_s"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s6").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val contrib = g
+      .withColumn("cum_neg_below", sum(col("neg_s")).over(w) - col("neg_s"))
+      .select(col("pos_s"), col("neg_s"), col("n_s"),
+        (col("pos_s") * (col("cum_neg_below") + col("neg_s") / 2.0)).as("c"),
+        when(col("s6") >= 0.5, col("pos_s")).otherwise(col("neg_s"))
+          .as("correct"))
+    val nPos = sum(col("pos_s"))
+    val nNeg = sum(col("n_s")) - sum(col("pos_s"))
+    contrib.agg(
+      sum(col("n_s")).cast("long").as("n_eval"),
+      sum(col("pos_s")).cast("long").as("n_pos_eval"),
+      when(nPos > 0 && nNeg > 0,
+        portableRound(sum(col("c")) / (nPos * nNeg), 6))
+        .otherwise(0.5).as("auc"),
+      portableRound(sum(col("correct")) / sum(col("n_s")), 6).as("accuracy"))
+      .withColumn("n_train", lit(nTrain))
+      .select(col("n_train"), col("n_eval"), col("n_pos_eval"),
+        col("auc"), col("accuracy"))
+  }
+
+  /** The featurize→standardize→train→score half of [[qualityDistill]],
+    * exposed for consumers that need PER-DOC held-out probabilities (the
+    * confident-learning label-noise audit): returns ((doc_id, y, s6) for
+    * the eval fold, with s6 the 1e-6-snapped predicted P(y=1)) and the
+    * training-fold row count. Same exactness contract as
+    * [[qualityDistill]] — the whole trajectory replays digit-exact in
+    * the DuckDB oracle. */
+  def distillHeldOutScores(labeled: DataFrame, dims: Int = 16,
+                           iters: Int = 10, lr: Double = 2.0, folds: Int = 5,
+                           evalFold: Int = 4): (DataFrame, Long) = {
     require(dims >= 2 && dims <= 1024, s"dims out of range: $dims")
     require(folds >= 2 && evalFold >= 0 && evalFold < folds,
       s"need 0 <= evalFold < folds >= 2: $evalFold / $folds")
@@ -1419,33 +1458,58 @@ object TextAnalysis {
       standardized(train0), k, iters, lr)
     val z = (0 until k).map(j => lit(beta(j)) * col(s"x$j")).reduce(_ + _)
     val scored = standardized(feat.filter(col("fold") === evalFold))
-      .select(col("y"),
+      .select(col("doc_id"), col("y"),
         (floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1000000.0 + 0.5)
           / 1000000.0).as("s6"))
-    val g = scored.groupBy(col("s6"))
-      .agg(count(lit(1)).cast("double").as("n_s"), sum(col("y")).as("pos_s"))
-      .withColumn("neg_s", col("n_s") - col("pos_s"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s6").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val contrib = g
-      .withColumn("cum_neg_below", sum(col("neg_s")).over(w) - col("neg_s"))
-      .select(col("pos_s"), col("neg_s"), col("n_s"),
-        (col("pos_s") * (col("cum_neg_below") + col("neg_s") / 2.0)).as("c"),
-        when(col("s6") >= 0.5, col("pos_s")).otherwise(col("neg_s"))
-          .as("correct"))
-    val nTrain = nTr.toLong
-    val nPos = sum(col("pos_s"))
-    val nNeg = sum(col("n_s")) - sum(col("pos_s"))
-    contrib.agg(
-      sum(col("n_s")).cast("long").as("n_eval"),
-      sum(col("pos_s")).cast("long").as("n_pos_eval"),
-      when(nPos > 0 && nNeg > 0,
-        portableRound(sum(col("c")) / (nPos * nNeg), 6))
-        .otherwise(0.5).as("auc"),
-      portableRound(sum(col("correct")) / sum(col("n_s")), 6).as("accuracy"))
-      .withColumn("n_train", lit(nTrain))
-      .select(col("n_train"), col("n_eval"), col("n_pos_eval"),
-        col("auc"), col("accuracy"))
+    (scored, nTr.toLong)
+  }
+
+  /** CL1 — confident-learning label-noise detection (Northcutt et al.,
+    * "Confident Learning", JAIR 2021) over the distilled head's held-out
+    * scores: class thresholds are each class's mean self-confidence
+    * (t₁ = mean P(1) over docs labeled 1; t₀ = mean P(0) over docs
+    * labeled 0), and a doc is CONFIDENTLY class j when its confidence
+    * for j clears tⱼ (both qualify → the larger confidence, tie → 1;
+    * neither → unassigned). Off-diagonal docs — labeled i, confidently
+    * j ≠ i — are the label-error candidates a curation pass re-audits.
+    * Output one row per given label: doc/agree/flip/unassigned counts
+    * and the class threshold.
+    *
+    * The scores are OUT-OF-SAMPLE by construction (the eval fold never
+    * trained the head) — CL's requirement; a production pass rotates
+    * the fold to cover the corpus (k such jobs, this operator unchanged).
+    * Exactness: thresholds fold as micro-unit BIGINTs over grid-snapped
+    * scores and land back on the 1e-6 grid, so every comparison
+    * replays digit-exact in the oracle. Scale: one grouped aggregate
+    * for thresholds (O(1) driver state), one projection + final
+    * 2-row rollup — linear. */
+  def labelNoise(scored: DataFrame): DataFrame = {
+    def micro(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000.0 + 0.5).cast("long")
+    val tRow = scored.agg(
+      sum(when(col("y") === 1.0, micro(col("s6"))).otherwise(0L)).as("m1"),
+      sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("y") === 0.0, micro(lit(1.0) - col("s6"))).otherwise(0L)).as("m0"),
+      sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n0")).head
+    val (n1, n0) = (tRow.getAs[Long]("n1"), tRow.getAs[Long]("n0"))
+    require(n1 > 0 && n0 > 0,
+      s"labelNoise needs both classes in the scored set: n1=$n1 n0=$n0")
+    val t1 = math.floor(tRow.getAs[Long]("m1").toDouble / n1 + 0.5) / 1000000.0
+    val t0 = math.floor(tRow.getAs[Long]("m0").toDouble / n0 + 0.5) / 1000000.0
+    val conf1 = col("s6") >= t1
+    val conf0 = (lit(1.0) - col("s6")) >= t0
+    val assigned = when(conf1 && conf0,
+        when(col("s6") >= lit(1.0) - col("s6"), 1L).otherwise(0L))
+      .when(conf1, 1L).when(conf0, 0L)
+    scored
+      .select(col("y").cast("long").as("given_label"), assigned.as("j"))
+      .groupBy(col("given_label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("j") === col("given_label"), 1L).otherwise(0L)).as("n_confident_same"),
+        sum(when(col("j").isNotNull && col("j") =!= col("given_label"), 1L)
+          .otherwise(0L)).as("n_label_issues"),
+        sum(when(col("j").isNull, 1L).otherwise(0L)).as("n_unassigned"))
+      .withColumn("class_threshold",
+        when(col("given_label") === 1L, t1).otherwise(t0))
   }
 }

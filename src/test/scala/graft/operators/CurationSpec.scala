@@ -356,4 +356,73 @@ class CurationSpec extends SparkTestBase {
       assert(r.getLong(3) == e * r.getLong(1))
     }
   }
+
+  test("sftAssemble renders alternating turns and accounts the loss mask") {
+    // doc_id 0 -> user turns of 4 tokens, assistant turns of 6 (pair = 10)
+    val docs = Seq(
+      (0L, "u1 u2 u3 u4 a1 a2 a3 a4 a5 a6 u5 u6 u7 u8 a7 a8 a9 a10 a11 a12 x y z"),
+      (1L, "too short")) // 2 tokens < one pair (5 + 7): dropped
+      .toDF("doc_id", "text")
+    val got = Curation.sftAssemble(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // 23 tokens / 10 per pair = 2 full pairs; the trailing 3 are dropped
+    assert(r.getAs[Long]("n_pairs") == 2 && r.getAs[Long]("n_tokens_used") == 20)
+    assert(r.getAs[Long]("assistant_tokens") == 12)
+    assert(math.abs(r.getAs[Double]("trainable_frac") - 0.6) < 1e-9)
+    assert(r.getAs[String]("template") ==
+      "<|user|> u1 u2 u3 u4 <|assistant|> a1 a2 a3 a4 a5 a6 " +
+      "<|user|> u5 u6 u7 u8 <|assistant|> a7 a8 a9 a10 a11 a12")
+  }
+
+  test("urlDedup collapses case/params/fragment/slash variants onto one canonical") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val fetches = Seq(
+      (3L, t2, "https://WWW.Example.com/p/1?b=2&a=1&utm_source=x#frag"),
+      (1L, ts, "https://www.example.com/p/1/?a=1&fbclid=zz&b=2"),
+      (2L, ts, "https://www.example.com/p/1?utm_campaign=y&a=1&b=2"),
+      (9L, ts, "https://www.example.com/p/2?a=1"),
+      (8L, ts, "https://www.example.com/p/3"))
+      .toDF("page_id", "ts", "url")
+    val got = Curation.urlDedup(fetches).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set(
+      "https://www.example.com/p/1?a=1&b=2",
+      "https://www.example.com/p/2?a=1",
+      "https://www.example.com/p/3"))
+    val g = got("https://www.example.com/p/1?a=1&b=2")
+    assert(g.getAs[Long]("n_fetches") == 3 && g.getAs[Long]("n_raw_forms") == 3)
+    assert(g.getAs[Long]("kept_page_id") == 1 && g.getAs[java.sql.Timestamp]("first_ts") == ts)
+  }
+
+  test("ngramNovelty: exact copy reads 0, fresh text reads 1, partial in between") {
+    val train = Seq(
+      (1L, "a b c d e f", "s0"),
+      (2L, "x y z w", "s0")).toDF("doc_id", "text", "source")
+    val gen = Seq(
+      (10L, "a b c d e f", "g"),      // exact copy of train 1 -> novelty 0
+      (11L, "p q r s t", "g"),        // fresh -> novelty 1
+      (12L, "a b c q r s t u", "g"),  // 6 windows, 1 copied ("a b c")
+      (13L, "p q", "g"))              // < 3 tokens: no windows, excluded
+      .toDF("doc_id", "text", "source")
+    val r = Curation.ngramNovelty(train, gen, n = 3).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 3, "the 2-token doc must be excluded")
+    // windows: doc10 4, doc11 3, doc12 6 = 13; copied: doc10 4, doc12 1
+    assert(row.getAs[Long]("n_windows") == 13 && row.getAs[Long]("n_copied") == 5)
+    assert(math.abs(row.getAs[Double]("novelty") - (1.0 - 5.0 / 13)) < 1e-5)
+    // per-doc mean: (0 + 1 + 5/6) / 3
+    assert(math.abs(row.getAs[Double]("mean_doc_novelty") - (0.0 + 1.0 + 5.0 / 6) / 3) < 1e-5)
+  }
+
+  test("ngramNovelty counts repeated memorized windows per instance") {
+    val train = Seq((1L, "a b c", "s0")).toDF("doc_id", "text", "source")
+    // "a b c" appears twice as a window in the gen doc (positions 1 and 4);
+    // instance counting must register both, not one distinct shingle
+    val gen = Seq((10L, "a b c a b c", "g")).toDF("doc_id", "text", "source")
+    val row = Curation.ngramNovelty(train, gen, n = 3).collect().head
+    assert(row.getAs[Long]("n_windows") == 4 && row.getAs[Long]("n_copied") == 2)
+  }
 }

@@ -97,4 +97,26 @@ class PrivacySpec extends SparkTestBase {
     assert(shifted.getDouble(2) == cellEdge(shifted.getLong(1)))
     assert(row.getDouble(2) == cellEdge(row.getLong(1)))
   }
+
+  test("kAnonymityAudit flags small groups and sensitive-constant groups") {
+    val df = Seq(
+      // group (1, A): 3 rows, sensitive constant -> below_k (k=5), below_l
+      (1L, "A", 10L), (1L, "A", 10L), (1L, "A", 10L),
+      // group (2, B): 5 rows, 3 distinct sensitive -> passes both
+      (2L, "B", 1L), (2L, "B", 2L), (2L, "B", 3L), (2L, "B", 1L), (2L, "B", 2L),
+      // group (3, C): 6 rows but only 2 sensitive values -> below_l only
+      (3L, "C", 7L), (3L, "C", 8L), (3L, "C", 7L),
+      (3L, "C", 8L), (3L, "C", 7L), (3L, "C", 8L))
+      .toDF("region", "segment", "sens")
+    val got = Privacy.kAnonymityAudit(df, Seq("region", "segment"), col("sens"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    assert(got.size == 3)
+    val a = got((1L, "A"))
+    assert(a.getAs[Long]("group_size") == 3 && a.getAs[Boolean]("below_k")
+      && a.getAs[Long]("l_diversity") == 1 && a.getAs[Boolean]("below_l"))
+    val b = got((2L, "B"))
+    assert(!b.getAs[Boolean]("below_k") && !b.getAs[Boolean]("below_l"))
+    val c = got((3L, "C"))
+    assert(!c.getAs[Boolean]("below_k") && c.getAs[Boolean]("below_l"))
+  }
 }

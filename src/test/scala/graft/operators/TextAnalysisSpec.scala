@@ -772,4 +772,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(auc >= 0.85, s"held-out AUC $auc below 0.85")
     assert(acc > majority, s"accuracy $acc does not beat majority $majority")
   }
+
+  test("labelNoise: off-diagonal confident docs are flagged, per class") {
+    // class means: t1 = (0.9+0.8+0.2)/3 = 0.633333, t0 = (0.9+0.7+0.3)/3
+    // = 0.633333; the 0.2-scored positive and 0.7-scored negative sit
+    // confidently in the OTHER class -> one label issue each side
+    val scored = Seq(
+      (1L, 1.0, 0.9), (2L, 1.0, 0.8), (3L, 1.0, 0.2),
+      (4L, 0.0, 0.1), (5L, 0.0, 0.3), (6L, 0.0, 0.7))
+      .toDF("doc_id", "y", "s6")
+    val got = TextAnalysis.labelNoise(scored).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (lbl <- Seq(0L, 1L)) {
+      val r = got(lbl)
+      assert(r.getAs[Long]("n_docs") == 3)
+      assert(r.getAs[Long]("n_confident_same") == 2, s"label $lbl")
+      assert(r.getAs[Long]("n_label_issues") == 1, s"label $lbl")
+      assert(r.getAs[Long]("n_unassigned") == 0, s"label $lbl")
+      assert(math.abs(r.getAs[Double]("class_threshold") - 0.633333) < 1e-9)
+    }
+  }
+
+  test("cl1 on the fixture: issues exist but are the minority in both classes") {
+    val rows = graft.Queries.all("cl1_label_noise")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+    rows.foreach { r =>
+      val (n, issues) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_label_issues"))
+      assert(n > 0 && issues < n / 2,
+        s"label ${r.getLong(0)}: $issues issues of $n docs — CL should flag a minority")
+    }
+  }
 }

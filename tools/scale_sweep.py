@@ -206,6 +206,12 @@ SUBSET = [
     # linear in chars, which this synthesis grows ~13-14x while rows
     # grow 10x — measured 9.3x wall = 0.67x per unit char, SCALE.md r11)
     "chrf1_eval",            # CharNgramStats kernel, linear in char mass
+    # round-15 continuation: the memorization audit's corpus-vs-corpus
+    # shingle-hash membership join (train distinct + gen-instance left
+    # join + two rollups — the one new shape where a quadratic could
+    # hide; the "_k" suffix synthesis zeroes cross-replica overlap, so
+    # copied mass grows exactly linearly like an organic 10x corpus)
+    "mem1_ngram_novelty",
 ]
 
 # key columns offset per replica, by table: (column -> key-domain table)
