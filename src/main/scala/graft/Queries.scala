@@ -4292,7 +4292,9 @@ object Queries {
     * tracking junk, fragments, an occasional trailing slash — such that
     * many raw forms collapse onto one canonical URL. Kept page = the
     * smallest event id (ingest order). */
-  val d14UrlDedup: Q = (s, d) => {
+  /** The synthetic fetch log d14/st19 share: (page_id, ts, url) from
+    * events, with the noise a real crawl sees. */
+  private def d14SyntheticFetches(s: SparkSession, d: String): DataFrame = {
     val host = when(col("event_type") === "view", "WWW.Example.com")
       .when(col("event_type") === "click", "www.example.com")
       .when(col("event_type") === "purchase", "Shop.Example.com")
@@ -4311,13 +4313,29 @@ object Queries {
       concat(lit("#sec"), (col("event_id") % 4).cast("string"))).otherwise(lit(""))
     val url = concat(lit("https://"), host, lit("/p/"),
       (col("user_id") % 200).cast("string"), slash, lit("?"), qs, fb, frag)
+    Tables.events(s, d)
+      .select(col("event_id").as("page_id"), col("ts"), url.as("url"))
+  }
+
+  val d14UrlDedup: Q = (s, d) =>
     // first_ts crosses the oracle gate as a formatted string (the st6
     // convention: the fixture's physical ns/us encodings must not leak
     // into the compared schema)
-    Curation.urlDedup(Tables.events(s, d)
-        .select(col("event_id").as("page_id"), col("ts"), url.as("url")))
+    Curation.urlDedup(d14SyntheticFetches(s, d))
       .withColumn("first_ts", date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss"))
-  }
+
+  /** ST19 — the streaming crawl frontier
+    * ([[graft.streaming.FrontierStream]]): d14's canonical-URL dedup
+    * folded per micro-batch into standing frontier state over a
+    * page_id-ordered 3-batch replay. The per-canonical output is an
+    * aggregate lattice (sum/min/distinct-union), so the converged
+    * frontier must equal the batch form EXACTLY — it shares d14's
+    * oracle verbatim (the dc2→dc1 pattern: the scale path gated as
+    * hard as the batch one). */
+  val st19StreamFrontier: Q = (s, d) =>
+    graft.streaming.FrontierStream
+      .runFrontierOverFixture(s, d14SyntheticFetches(s, d))
+      .withColumn("first_ts", date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss"))
 
   val d14UrlDedupSql: String =
     """WITH raw AS (SELECT event_id AS page_id, ts,
@@ -10859,6 +10877,7 @@ object Queries {
     "d12_span_removal" -> d12SpanRemoval,
     "d13_span_keep_first" -> d13SpanKeepFirst,
     "d14_url_dedup" -> d14UrlDedup,
+    "st19_stream_frontier" -> st19StreamFrontier,
     "prep2_span_clean" -> prep2SpanClean,
     "prep3_full_curation" -> prep3FullCuration,
     "release1_training_release" -> release1TrainingRelease,
@@ -11176,6 +11195,7 @@ object Queries {
     "d12_span_removal" -> d12SpanRemovalSql,
     "d13_span_keep_first" -> d13SpanKeepFirstSql,
     "d14_url_dedup" -> d14UrlDedupSql,
+    "st19_stream_frontier" -> d14UrlDedupSql, // lattice merge is exact: batch oracle verbatim
     "prep2_span_clean" -> prep2SpanCleanSql,
     "prep3_full_curation" -> prep3FullCurationSql,
     "release1_training_release" -> release1TrainingReleaseSql,

@@ -643,8 +643,23 @@ object Curation {
     * canonical string. At 100 TB the canonical key should be hashed to a
     * digest before the shuffle if URLs run long — here the canonical URL
     * itself is the (display) group key, and it is bounded (~100 bytes). */
-  def urlDedup(fetches: DataFrame): DataFrame = {
-    val noFrag = substring_index(col("url"), "#", 1)
+  def urlDedup(fetches: DataFrame): DataFrame =
+    fetches
+      .select(col("page_id"), col("ts"),
+        canonicalUrl(col("url")).as("canonical_url"), col("url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_fetches"),
+        countDistinct(col("url")).as("n_raw_forms"),
+        min(col("page_id")).as("kept_page_id"),
+        min(col("ts")).as("first_ts"))
+
+  /** [[urlDedup]]'s canonical form as a reusable column expression (the
+    * streaming frontier canonicalizes per micro-batch row before its
+    * state merge): lowercase scheme+host, ≤1 trailing slash stripped,
+    * fragment dropped, `utm_*`/`fbclid` params dropped, survivors sorted
+    * bytewise. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFrag = substring_index(url, "#", 1)
     val hostPath = substring_index(noFrag, "?", 1)
     val query = when(instr(noFrag, "?") > 0, substring_index(noFrag, "?", -1))
       .otherwise(lit(""))
@@ -653,17 +668,9 @@ object Curation {
       hostPath.substr(length(schemeHost) + 1, length(hostPath)), "/$", "")
     val kept = array_sort(filter(split(query, "&"), p =>
       !(p.startsWith("utm_") || p.startsWith("fbclid=") || p === "")))
-    val canonical = concat(lower(schemeHost), path,
+    concat(lower(schemeHost), path,
       when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
         .otherwise(lit("")))
-    fetches
-      .select(col("page_id"), col("ts"), canonical.as("canonical_url"),
-        col("url"))
-      .groupBy(col("canonical_url"))
-      .agg(count(lit(1)).as("n_fetches"),
-        countDistinct(col("url")).as("n_raw_forms"),
-        min(col("page_id")).as("kept_page_id"),
-        min(col("ts")).as("first_ts"))
   }
 
   /** Memorization / novelty audit (the McCoy-et-al "how novel is generated
