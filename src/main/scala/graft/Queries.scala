@@ -1652,6 +1652,40 @@ object Queries {
       |      FROM sc)
       |SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin
 
+  /** LAB1 — semi-supervised kNN label propagation, evaluated
+    * ([[graft.operators.Similarity.knnLabelSpread]]): hide an embeddings
+    * hash fold's labels, vote each hidden vector's label from its k = 5
+    * exact-cosine nearest labeled neighbors, report the confusion
+    * matrix. On the uniform fixture accuracy reads ~chance (the honest
+    * baseline: these embeddings carry no label signal); the spec proves
+    * discrimination on a clustered literal corpus. Production swaps the
+    * exact kNN for the ANN candidate stream, vote unchanged. */
+  val lab1KnnLabelSpread: Q = (s, d) =>
+    Similarity.knnLabelSpread(Tables.embeddings(s, d))
+
+  lazy val lab1KnnLabelSpreadSql: String = {
+    val foldE = md5BucketSql("'lab-split:' || CAST(vec_id AS VARCHAR)", 10)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label,
+       |                  $foldE AS fold
+       |           FROM embeddings),
+       |lab AS (SELECT * FROM e WHERE fold < 8),
+       |hid AS (SELECT * FROM e WHERE fold >= 8),
+       |sc AS (SELECT h.vec_id AS q_id, l.vec_id AS n_id, l.label AS n_label,
+       |              floor(list_cosine_similarity(h.emb, l.emb) * 10000 + 0.5) / 10000 AS cosine
+       |       FROM hid h JOIN lab l ON h.vec_id <> l.vec_id),
+       |kn AS (SELECT q_id, n_label,
+       |              row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |       FROM sc),
+       |v AS (SELECT q_id, n_label, count(*) AS v FROM kn WHERE rank <= 5 GROUP BY 1, 2),
+       |p AS (SELECT q_id, n_label AS pred_label,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY v DESC, n_label) AS rn
+       |      FROM v)
+       |SELECT CAST(h.label AS BIGINT) AS true_label,
+       |       CAST(p.pred_label AS BIGINT) AS pred_label,
+       |       count(*) AS n
+       |FROM p JOIN hid h ON h.vec_id = p.q_id WHERE p.rn = 1 GROUP BY 1, 2""".stripMargin
+  }
+
   /** HN1 — hard-negative mining over the PLANTED corpus: each planted
     * twin anchors a top-3 search restricted to the cosine band
     * [0.2, 0.8) — the contrastive-training recipe (informative
@@ -10832,6 +10866,7 @@ object Queries {
     "d6_production" -> d6Production,
     "d6_production_gate" -> d6ProductionGate,
     "sim1_cosine_topk" -> sim1TopK,
+    "lab1_knn_label_spread" -> lab1KnnLabelSpread,
     "sim2_ann_lsh" -> sim2Ann,
     "sim2_ann_gate" -> sim2Gate,
     "sim2_production" -> sim2Production,
@@ -11154,6 +11189,7 @@ object Queries {
     "d6_lsh_gate" -> d6GateSql,
     "d6_production_gate" -> d6ProductionGateSql,
     "sim1_cosine_topk" -> sim1TopKSql,
+    "lab1_knn_label_spread" -> lab1KnnLabelSpreadSql,
     "sim2_ann_gate" -> sim2GateSql,
     "sim2_production_gate" -> sim2ProductionGateSql,
     "sim3_ivf_gate" -> sim3GateSql,

@@ -87,6 +87,50 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** LAB1 — semi-supervised kNN label propagation, evaluated: hide the
+    * labels of a hash fold of the corpus, predict each hidden vector's
+    * label by MAJORITY VOTE of its k nearest labeled neighbors (exact
+    * cosine, ties at equal vote count to the smallest label — fully
+    * deterministic), and report the confusion matrix against the true
+    * labels. This is the weak-supervision primitive a labeling pipeline
+    * runs before paying for annotations: if held-out accuracy is high,
+    * the embedding space carries the label and the unlabeled mass can be
+    * auto-labeled (with the confusion matrix pricing the error).
+    *
+    * The neighbor search here is the EXACT brute form
+    * ([[bruteForceTopK]]) so the vote semantics are oracle-pinned; a
+    * production pass swaps in the ANN candidate stream (sim2's LSH /
+    * sim3's IVF / pq3's batch route) with the vote unchanged — the same
+    * exact-vs-ANN split every retrieval row in this file follows. Scale
+    * shape of the vote itself: one neighbor-label join on vec_id, one
+    * (q_id, label) count aggregate, one per-q_id argmax window over ≤ k
+    * rows, one confusion rollup — all linear past the kNN stage. */
+  def knnLabelSpread(embeddings: DataFrame, k: Int = 5, folds: Int = 10,
+                     trainFolds: Int = 8): DataFrame = {
+    require(k >= 1 && folds >= 2 && trainFolds >= 1 && trainFolds < folds,
+      s"bad split: k=$k folds=$folds trainFolds=$trainFolds")
+    val fold = Sampling.hashBucket(
+      concat(lit("lab-split:"), col("vec_id").cast("string")), folds)
+    val labeled = embeddings.filter(fold < trainFolds)
+    val hidden = embeddings.filter(fold >= trainFolds)
+    val knn = bruteForceTopK(labeled, hidden.select(col("vec_id"), col("embedding")), k)
+    val votes = knn
+      .join(labeled.select(col("vec_id").as("n_id"),
+        col("label").cast("long").as("n_label")), "n_id")
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("v").desc, col("n_label").asc)
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("n_label").as("pred_label"))
+    pred
+      .join(hidden.select(col("vec_id").as("q_id"),
+        col("label").cast("long").as("true_label")), "q_id")
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Semantic (embedding-level) benchmark decontamination — the vector
     * sibling of [[Curation.decontaminate]]'s n-gram form: flag every
     * corpus vector whose cosine to ANY benchmark vector clears `tau`.

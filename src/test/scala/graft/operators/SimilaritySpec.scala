@@ -550,4 +550,53 @@ class SimilaritySpec extends SparkTestBase {
         .map(_.getDouble(3)).sum
     assert(objective(2) <= objective(1) + 1e-6)
   }
+
+  test("knnLabelSpread: on a clustered corpus the vote recovers every hidden label") {
+    // three orthogonal-axis clusters with small same-axis jitter: any
+    // vector's nearest neighbors are its own cluster, so every hidden
+    // vector must vote its true label — accuracy 1.0, pure diagonal
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 40
+    } yield {
+      val base = Array.fill(6)(0.01f)
+      base(c * 2) = 1.0f + (i % 5) * 0.01f
+      base(c * 2 + 1) = 0.5f
+      (c * 1000L + i, base.toSeq, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Similarity.knnLabelSpread(df).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"off-diagonal confusion on a separable corpus: $r")
+    }
+    // every cluster contributes at least one hidden vector at this size
+    assert(got.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+  }
+
+  test("knnLabelSpread: a split vote resolves to the smallest label") {
+    // every vector identical -> all rounded cosines are 1.0, so each
+    // hidden vector's k=2 neighbor set is the two smallest LABELED
+    // vec_ids (the rank tiebreak: cosine desc, n_id asc); labels are
+    // all distinct (label = vec_id), so the vote is 1:1 and must
+    // resolve to the SMALLER of the two labels (the vote tiebreak)
+    val df = (1L to 12L)
+      .map(i => (i, Seq(1.0f, 0.0f), i.toInt))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // replicate the operator's fold split to derive the expected winner
+    val labeledIds = df
+      .select(col("vec_id"), Sampling.hashBucket(
+        concat(lit("lab-split:"), col("vec_id").cast("string")), 10).as("f"))
+      .collect().filter(_.getLong(1) < 8).map(_.getLong(0)).sorted
+    assume(labeledIds.length >= 2 && labeledIds.length < 12,
+      "degenerate fold split for this id range")
+    val expected = labeledIds.take(2).min
+    val got = Similarity.knnLabelSpread(df, k = 2).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(1) == expected,
+      s"tie must resolve to label $expected, got row $r"))
+  }
 }
