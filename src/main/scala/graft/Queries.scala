@@ -2333,6 +2333,65 @@ object Queries {
       |       array_to_string(list_slice(tk, start + 1, start + 64), ' ') AS chunk_text
       |FROM c""".stripMargin
 
+  /** RAG1 — the retrieval-augmented context assembly
+    * ([[graft.operators.Retrieval.ragAssembleContexts]]): chunk (window
+    * 32, no overlap) → hashed-bag featurize → exact cosine top-3 per
+    * query → pack in rank order under a 48-token budget → per-query
+    * accounting with the assembled context compared byte for byte.
+    * Queries are known-item (the first 8 tokens of every 17th doc's
+    * chunks), so hit_rank is a real retrieval eval. */
+  val rag1ContextAssembly: Q = (s, d) => {
+    val ch = TextAnalysis.chunkDocuments(Tables.documents(s, d),
+        window = 32, stride = 32)
+      .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+        col("doc_id"), col("n_tokens"), col("chunk_text"))
+    val qs = ch.filter(col("doc_id") % 17 === 0)
+      .select(col("cid").as("q_id"), col("cid").as("true_cid"),
+        array_join(slice(split(col("chunk_text"), " "), 1, 8), " ")
+          .as("query_text"))
+    graft.operators.Retrieval.ragAssembleContexts(ch.drop("doc_id"), qs)
+  }
+
+  lazy val rag1ContextAssemblySql: String = {
+    val dims = 16
+    val bucket = md5BucketSql("tkn", dims)
+    val fdefs = (0 until dims).map(j =>
+      s"CAST(sum(CASE WHEN b = $j THEN 1 ELSE 0 END) AS DOUBLE) AS f${j + 1}")
+      .mkString(",\n       ")
+    val dot = (1 to dims).map(j => s"c.f$j * q.f$j").mkString(" + ")
+    val nc = (1 to dims).map(j => s"c.f$j * c.f$j").mkString(" + ")
+    val nq = (1 to dims).map(j => s"q.f$j * q.f$j").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |ch AS (SELECT doc_id, doc_id * 1000 + (start // 32) AS cid,
+       |              CAST(least(32, len(tk) - start) AS BIGINT) AS n_tokens,
+       |              array_to_string(list_slice(tk, start + 1, start + 32), ' ') AS chunk_text
+       |       FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 32)) AS start FROM t)),
+       |ctok AS (SELECT cid, unnest(string_split(chunk_text, ' ')) AS tkn FROM ch),
+       |cfe AS (SELECT cid, $fdefs
+       |        FROM (SELECT cid, $bucket AS b FROM ctok) GROUP BY cid),
+       |qs AS (SELECT cid AS q_id, cid AS true_cid,
+       |              array_to_string(list_slice(string_split(chunk_text, ' '), 1, 8), ' ') AS query_text
+       |       FROM ch WHERE doc_id % 17 = 0),
+       |qtok AS (SELECT q_id, unnest(string_split(query_text, ' ')) AS tkn FROM qs),
+       |qfe AS (SELECT q_id, $fdefs
+       |        FROM (SELECT q_id, $bucket AS b FROM qtok) GROUP BY q_id),
+       |sc AS (SELECT q.q_id, qs.true_cid, c.cid, ch.n_tokens, ch.chunk_text,
+       |              floor(($dot) / (sqrt($nc) * sqrt($nq)) * 10000 + 0.5) / 10000 AS score
+       |       FROM cfe c CROSS JOIN qfe q
+       |       JOIN ch ON ch.cid = c.cid JOIN qs ON qs.q_id = q.q_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cid) AS rank
+       |       FROM sc),
+       |tk3 AS (SELECT *, sum(n_tokens) OVER (PARTITION BY q_id ORDER BY rank
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 48 AS in_ctx
+       |        FROM rk WHERE rank <= 3)
+       |SELECT q_id, count(*) AS n_retrieved,
+       |       CAST(sum(CASE WHEN in_ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_in_context,
+       |       CAST(sum(CASE WHEN in_ctx THEN n_tokens ELSE 0 END) AS BIGINT) AS context_tokens,
+       |       CAST(max(CASE WHEN cid = true_cid THEN rank ELSE 0 END) AS BIGINT) AS hit_rank,
+       |       string_agg(chunk_text, ' | ' ORDER BY rank) FILTER (WHERE in_ctx) AS context
+       |FROM tk3 GROUP BY q_id""".stripMargin
+  }
+
   /** D10 — cross-document repeated-span detection (Lee et al. 2022): per
     * document, the fraction of its distinct 8-token spans that also occur
     * in ≥1 OTHER document — the boilerplate signal exact dedup misses.
@@ -10885,6 +10944,7 @@ object Queries {
     "t9_repetition" -> t9Repetition,
     "t10_corpus_filter" -> t10CorpusFilter,
     "chunk1_doc_chunks" -> chunk1DocChunks,
+    "rag1_context_assembly" -> rag1ContextAssembly,
     "d10_dup_spans" -> d10DupSpans,
     "dsir1_importance" -> dsir1Importance,
     "mix3_temperature_mix" -> mix3TemperatureMix,
@@ -11205,6 +11265,7 @@ object Queries {
     "t9_repetition" -> t9RepetitionSql,
     "t10_corpus_filter" -> t10CorpusFilterSql,
     "chunk1_doc_chunks" -> chunk1DocChunksSql,
+    "rag1_context_assembly" -> rag1ContextAssemblySql,
     "d10_dup_spans" -> d10DupSpansSql,
     "dsir1_importance" -> dsir1ImportanceSql,
     "mix3_temperature_mix" -> mix3TemperatureMixSql,

@@ -321,4 +321,69 @@ object Retrieval {
           (col("df") * 8).cast("double") * 1000000.0 + 0.5) / 1000000.0)
           .as("ratio"))
   }
+
+  /** RAG context assembly — the query-time data product a
+    * retrieval-augmented pipeline actually ships: retrieve the top-k
+    * chunks per query, then pack them IN RANK ORDER under a token
+    * budget (a chunk enters the context iff the running token total
+    * stays within budget — rank-3 can be skipped while rank-1/2 stay),
+    * and account the result per query: chunks retrieved/packed, context
+    * tokens, the true chunk's rank (known-item eval, 0 = missed), and
+    * the assembled context string itself — oracle-compared byte for
+    * byte.
+    *
+    * Retrieval here is exact cosine over hashed bag-of-words count
+    * vectors (the hashing-vectorizer; counts are exact integers, so
+    * dot and norms² are exact and only sqrt/divide are IEEE ops —
+    * digit-identical in any engine). The exact form pins the semantics;
+    * production swaps the scorer for the ANN index route (pq3) and a
+    * learned encoder, with the pack-and-account stage unchanged — the
+    * lab1/sim1 exact-vs-ANN split.
+    *
+    * Scale shape: the query side BROADCASTS (a query load is tiny
+    * against a 100 TB chunk store — phr1's rationale) and chunks stream
+    * through one codegen'd score projection; per-query windows run over
+    * ≤ k survivors... the top-k cut itself partitions by q_id, so the
+    * shuffle carries (q_id, cid, score) triples only. The packed
+    * context string materializes once per query, never per pair. */
+  def ragAssembleContexts(chunks: DataFrame, queries: DataFrame,
+                          dims: Int = 16, k: Int = 3,
+                          budget: Int = 48): DataFrame = {
+    require(dims >= 2 && dims <= 1024 && k >= 1 && budget >= 1,
+      s"bad params: dims=$dims k=$k budget=$budget")
+    def feats(df: DataFrame, textCol: String, pfx: String) =
+      df.withColumn("_h", graft.functions.hashed_bag_counts(col(textCol), dims))
+        .select(df.columns.map(col) ++
+          (1 to dims).map(j =>
+            element_at(col("_h"), j).cast("double").as(s"$pfx$j")): _*)
+    val cf = feats(chunks, "chunk_text", "c")
+    val qf = feats(queries, "query_text", "q")
+    val dot = (1 to dims).map(j => col(s"c$j") * col(s"q$j")).reduce(_ + _)
+    val na = sqrt((1 to dims).map(j => col(s"c$j") * col(s"c$j")).reduce(_ + _))
+    val nb = sqrt((1 to dims).map(j => col(s"q$j") * col(s"q$j")).reduce(_ + _))
+    val scored = cf.crossJoin(broadcast(qf))
+      .select(col("q_id"), col("true_cid"), col("cid"), col("n_tokens"),
+        col("chunk_text"), portableRound(dot / (na * nb), 4).as("score"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("cid").asc)
+    val topk = scored
+      .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rank").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    topk
+      .withColumn("in_ctx", sum(col("n_tokens")).over(wCum) <= budget)
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(when(col("in_ctx"), 1L).otherwise(0L)).as("n_in_context"),
+        sum(when(col("in_ctx"), col("n_tokens")).otherwise(0L))
+          .as("context_tokens"),
+        max(when(col("cid") === col("true_cid"), col("rank")).otherwise(0))
+          .cast("long").as("hit_rank"),
+        array_join(transform(
+            array_sort(collect_list(when(col("in_ctx"),
+              struct(col("rank"), col("chunk_text"))))),
+            s => s.getField("chunk_text")), " | ").as("context"))
+  }
 }

@@ -209,4 +209,50 @@ class RetrievalSpec extends SparkTestBase {
       overall("rrf_fused") >= overall("phrase_prox") - 1e-9,
       s"fusion trails a single arm: rrf=${overall("rrf_fused")} bm25=${overall("bm25")} prox=${overall("phrase_prox")}")
   }
+
+  test("ragAssembleContexts: known-item hits rank 1, budget packs greedily in rank order") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, 20L, "alpha beta gamma delta one two three four"),
+      (2L, 30L, "alpha beta epsilon zeta something else entirely here"),
+      (3L, 40L, "unrelated words about other topics and things"))
+      .toDF("cid", "n_tokens", "chunk_text")
+    val queries = Seq((1L, 1L, "alpha beta gamma delta"))
+      .toDF("q_id", "true_cid", "query_text")
+    val got = Retrieval.ragAssembleContexts(chunks, queries,
+      k = 3, budget = 55).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // chunk 1 contains the query verbatim -> rank 1; all 3 retrieved
+    assert(r.getAs[Long]("hit_rank") == 1L)
+    assert(r.getAs[Long]("n_retrieved") == 3L)
+    // greedy pack: rank1 (20) + rank2 fits iff its size keeps total <= 55;
+    // chunk 2 shares "alpha beta" so it outranks chunk 3 -> 20+30=50 in,
+    // chunk 3 (40) would push 90 -> out
+    assert(r.getAs[Long]("n_in_context") == 2L)
+    assert(r.getAs[Long]("context_tokens") == 50L)
+    val ctx = r.getAs[String]("context")
+    assert(ctx.startsWith("alpha beta gamma delta") && ctx.contains(" | ")
+      && !ctx.contains("unrelated"))
+  }
+
+  test("ragAssembleContexts: a mid-rank chunk can be skipped, later ones still pack") {
+    import spark.implicits._
+    // scores are engineered by token overlap: rank1 tiny, rank2 huge
+    // (over budget), rank3 small — the window prefix-sum contract says
+    // rank2 is skipped AND rank3 is skipped too (cumulative, not
+    // knapsack: the running total includes the skipped chunk)
+    val chunks = Seq(
+      (1L, 10L, "q q q q filler1 filler2"),
+      (2L, 60L, "q q q other words here"),
+      (3L, 10L, "q distinct tail content"))
+      .toDF("cid", "n_tokens", "chunk_text")
+    val queries = Seq((9L, 3L, "q q q q")).toDF("q_id", "true_cid", "query_text")
+    val r = Retrieval.ragAssembleContexts(chunks, queries,
+      k = 3, budget = 40).collect().head
+    // cumulative pack: 10 in; 10+60=70 > 40 -> rank2 out; the prefix sum
+    // is monotone so rank3 (70+10) is out as well
+    assert(r.getAs[Long]("n_in_context") == 1L)
+    assert(r.getAs[Long]("context_tokens") == 10L)
+  }
 }
