@@ -6122,6 +6122,32 @@ object Queries {
       |FROM (SELECT doc_id, unnest(s) AS sg FROM sh)
       |GROUP BY sg HAVING count(*) >= 5""".stripMargin
 
+  /** DIV1 — corpus diversity via distinct-n
+    * ([[graft.operators.TextAnalysis.distinctNgrams]]): per (source, n)
+    * for n = 1..3, instance/distinct n-gram counts and their ratio —
+    * the generation-diversity metric a synthetic-data pipeline tracks
+    * per batch (low distinct-2/3 = template collapse long before exact
+    * dedup fires). */
+  val div1DistinctNgrams: Q = (s, d) =>
+    TextAnalysis.distinctNgrams(Tables.documents(s, d))
+
+  val div1DistinctNgramsSql: String =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+      |g AS (
+      |  SELECT source, 1 AS n, unnest(tk) AS g FROM t
+      |  UNION ALL
+      |  SELECT source, 2 AS n,
+      |         unnest([tk[i] || ' ' || tk[i+1] FOR i IN RANGE(1, len(tk))]) AS g
+      |  FROM t WHERE len(tk) >= 2
+      |  UNION ALL
+      |  SELECT source, 3 AS n,
+      |         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN RANGE(1, len(tk) - 1)]) AS g
+      |  FROM t WHERE len(tk) >= 3)
+      |SELECT source, CAST(n AS BIGINT) AS n, count(*) AS n_grams,
+      |       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+      |       floor(CAST(count(DISTINCT g) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS distinct_ratio
+      |FROM g GROUP BY source, n""".stripMargin
+
   /** Exact interpolated percentiles per priority class (+ count). Exact —
     * at 100 TB the approx_percentile sketch is the right tool; the exact
     * form is the oracle-checkable semantics both share. */
@@ -10796,6 +10822,7 @@ object Queries {
     "q2_top_acctbal_supplier" -> q2TopSupplier,
     "src1_users_api" -> src1UsersApi,
     "t6_ngram_freq" -> t6NgramFreq,
+    "div1_distinct_ngrams" -> div1DistinctNgrams,
     "q3_shipping_priority" -> q3Priority,
     "q3_bucketed" -> q3Bucketed,
     "q5_revenue_rollup" -> q5Revenue,
@@ -11124,6 +11151,7 @@ object Queries {
     "s2_dynamic_prune" -> s2DynamicPruneSql,
     "q2_top_acctbal_supplier" -> q2TopSupplierSql,
     "t6_ngram_freq" -> t6NgramFreqSql,
+    "div1_distinct_ngrams" -> div1DistinctNgramsSql,
     "q3_shipping_priority" -> q3PrioritySql,
     "q3_bucketed" -> q3PrioritySql, // layout changes, semantics don't
     "q5_revenue_rollup" -> q5RevenueSql,

@@ -1464,6 +1464,33 @@ object TextAnalysis {
     (scored, nTr.toLong)
   }
 
+  /** DIV1 — corpus diversity via distinct-n (Li et al. 2016's
+    * generation-diversity metric run as a corpus job): per (source, n)
+    * for n = 1..maxN, the n-gram instance count, the distinct n-gram
+    * count and their ratio. A generated or template-heavy source reads
+    * a LOW distinct ratio at n ≥ 2 long before exact dedup sees a
+    * duplicate — the corpus-level twin of t9's within-doc repetition
+    * flag, and the metric a synthetic-data pipeline tracks per batch.
+    *
+    * Grams travel as the one-pass [[graft.functions.ShingleHashes]]
+    * 8-byte hashes (distinct-hash ≡ distinct-gram up to xxhash64
+    * collision; the string-level oracle would catch one — dc1's
+    * argument). Scale shape: one unioned explode-projection and ONE
+    * two-level distinct aggregate keyed (source, n) — map-side
+    * combined, output bounded by |sources| × maxN. */
+  def distinctNgrams(documents: DataFrame, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN out of range: $maxN")
+    val perN = (1 to maxN).map { n =>
+      documents.select(col("source"), lit(n.toLong).as("n"),
+        explode(graft.functions.shingle_hashes(col("text"), n)).as("g"))
+    }.reduce(_ unionByName _)
+    perN.groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct"))
+      .select(col("source"), col("n"), col("n_grams"), col("n_distinct"),
+        portableRound(col("n_distinct").cast("double") / col("n_grams"), 6)
+          .as("distinct_ratio"))
+  }
+
   /** CL1 — confident-learning label-noise detection (Northcutt et al.,
     * "Confident Learning", JAIR 2021) over the distilled head's held-out
     * scores: class thresholds are each class's mean self-confidence

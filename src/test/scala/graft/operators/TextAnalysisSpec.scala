@@ -793,6 +793,23 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("distinctNgrams: repetition collapses the ratio, diversity maxes it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a a", "rep"),          // 1-grams: 6 inst / 1 distinct
+      (2L, "w x y z q r", "div"))          // 6 inst / 6 distinct
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.distinctNgrams(docs, maxN = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(got.size == 4)
+    val rep1 = got(("rep", 1L))
+    assert(rep1.getAs[Long]("n_grams") == 6 && rep1.getAs[Long]("n_distinct") == 1)
+    val div2 = got(("div", 2L))
+    assert(div2.getAs[Long]("n_grams") == 5 && div2.getAs[Long]("n_distinct") == 5)
+    assert(math.abs(div2.getAs[Double]("distinct_ratio") - 1.0) < 1e-9)
+    assert(got(("rep", 2L)).getAs[Long]("n_distinct") == 1)
+  }
+
   test("cl1 on the fixture: issues exist but are the minority in both classes") {
     val rows = graft.Queries.all("cl1_label_noise")(spark, sf0001).collect()
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))

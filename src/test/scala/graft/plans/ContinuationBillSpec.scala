@@ -1,0 +1,56 @@
+package graft.plans
+
+import graft.{Queries, SparkTestBase}
+import graft.util.ShuffleBill
+
+/** Shuffle bills of the round-15-continuation ops, measured and pinned
+  * (the ShipLineBillSpec discipline): COST.md's per-op scale claims as
+  * failing tests. All are loop-free plans, so each bill is an absolute
+  * plan constant; a stage gaining a shuffle (or a projection silently
+  * acquiring one) moves the number and fails here. Broadcast exchanges
+  * are deliberately NOT counted — they are the cheap side of the plan
+  * and whether a side broadcasts is the stats-adaptive choice the d5
+  * switch documents (at corpus scale some flip to shuffle joins; the
+  * SHUFFLE bills below are what must not silently grow). */
+class ContinuationBillSpec extends SparkTestBase {
+
+  private def billOf(name: String): Int =
+    ShuffleBill.measure(spark) {
+      Queries.all(name)(spark, sf0001).collect()
+    }
+
+  test("conv1 is shuffle-free: one codegen'd projection") {
+    assert(billOf("conv1_sft_assemble") == 0)
+  }
+
+  test("d14 pays the two-level distinct aggregate on the canonical form") {
+    // (canonical, url) partial-distinct exchange + canonical rollup
+    assert(billOf("d14_url_dedup") == 2)
+  }
+
+  test("ka1 pays the two-level distinct aggregate on the QI columns") {
+    // (QI, sensitive) partial-distinct exchange + QI rollup
+    assert(billOf("ka1_k_anonymity") == 2)
+  }
+
+  test("mem1 pays train-distinct + doc rollup + source rollup") {
+    // the membership probe itself BROADCASTS the distinct train-key set
+    // at this SF (stats-adaptive; at corpus scale it becomes the sg-keyed
+    // shuffle join COST.md bills) — the pinned shuffles are the sg
+    // distinct, the (doc_id, source) rollup and the source rollup
+    assert(billOf("mem1_ngram_novelty") == 3)
+  }
+
+  test("rag1 pays the q_id top-k exchange only (queries broadcast)") {
+    assert(billOf("rag1_context_assembly") == 1)
+  }
+
+  test("lab1 pays the kNN q_id window + the confusion rollup") {
+    // neighbor-label and true-label joins broadcast (dimension-sized)
+    assert(billOf("lab1_knn_label_spread") == 2)
+  }
+
+  test("div1 pays the two-level distinct aggregate on (source, n)") {
+    assert(billOf("div1_distinct_ngrams") == 2)
+  }
+}
