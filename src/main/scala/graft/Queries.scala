@@ -2744,6 +2744,70 @@ object Queries {
        |FROM rec""".stripMargin
   }
 
+  /** SFT2 — the SFT training-batch materialization: conv1's assembled
+    * conversations packed NO-STRADDLE into capacity-128 bins (an SFT
+    * loader cannot mask cross-conversation attention, so a conversation
+    * never crosses a bin boundary — pack2's fold with conv1's lengths),
+    * then per-bin loss-mask accounting: conversations, packed tokens,
+    * TRAINABLE (assistant) tokens, and the trainable/fill fractions a
+    * batch planner budgets on. Fixture docs are ≤ 100 tokens, so no
+    * conversation can hit the 128 cap (truncation impossible and the
+    * assistant-token carry exact by construction). */
+  val sft2MaskPack: Q = (s, d) => {
+    val conv = Curation.sftAssemble(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_tokens_used"), col("assistant_tokens"))
+      .localCheckpoint() // the packer and the mask join-back share ONE pass
+    val packed = graft.operators.Sampling.packSequencesNoStraddle(
+      conv, col("doc_id"), col("n_tokens_used"),
+      capacity = 128, shards = 4, salt = "sft2")
+    packed
+      .join(conv.select(col("doc_id").as("pk"), col("assistant_tokens")), "pk")
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_convos"),
+        sum(col("eff_tok")).as("bin_tokens"),
+        sum(col("assistant_tokens")).as("trainable_tokens"))
+      .select(col("shard"), col("seq_id"), col("n_convos"), col("bin_tokens"),
+        col("trainable_tokens"),
+        portableRound(col("trainable_tokens").cast("double") /
+          col("bin_tokens"), 6).as("trainable_frac"),
+        portableRound(col("bin_tokens").cast("double") / 128.0, 6)
+          .as("fill_frac"))
+  }
+
+  val sft2MaskPackSql: String = {
+    val cap = 128
+    val shardE = md5BucketSql("'sft2-sh:' || CAST(doc_id AS VARCHAR)", 4)
+    val ordE = md5BucketSql("'sft2-ord:' || CAST(doc_id AS VARCHAR)", 100000000)
+    s"""WITH RECURSIVE d0 AS (SELECT doc_id, string_split(text, ' ') AS tx,
+       |                  4 + doc_id % 5 AS lu, 6 + doc_id % 7 AS la
+       |           FROM documents),
+       |cv AS (SELECT doc_id,
+       |              CAST((lu + la) * (len(tx) // (lu + la)) AS BIGINT) AS n_tok,
+       |              CAST(la * (len(tx) // (lu + la)) AS BIGINT) AS a_tok
+       |       FROM d0 WHERE len(tx) // (lu + la) >= 1),
+       |t AS (SELECT doc_id, a_tok, shard, n_tok, least(n_tok, $cap) AS eff_tok,
+       |             CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+       |      FROM (SELECT doc_id, a_tok, n_tok,
+       |              CAST($shardE AS BIGINT) AS shard,
+       |              CAST($ordE AS BIGINT) AS ord
+       |            FROM cv)),
+       |rec AS (
+       |  SELECT doc_id, a_tok, shard, pos, eff_tok,
+       |         CAST(0 AS BIGINT) AS seq_id, eff_tok AS fill
+       |  FROM t WHERE pos = 1
+       |  UNION ALL
+       |  SELECT t.doc_id, t.a_tok, t.shard, t.pos, t.eff_tok,
+       |         CASE WHEN rec.fill + t.eff_tok > $cap THEN rec.seq_id + 1 ELSE rec.seq_id END,
+       |         CASE WHEN rec.fill + t.eff_tok > $cap THEN t.eff_tok ELSE rec.fill + t.eff_tok END
+       |  FROM rec JOIN t ON t.shard = rec.shard AND t.pos = rec.pos + 1)
+       |SELECT shard, seq_id, count(*) AS n_convos,
+       |       CAST(sum(eff_tok) AS BIGINT) AS bin_tokens,
+       |       CAST(sum(a_tok) AS BIGINT) AS trainable_tokens,
+       |       floor(CAST(sum(a_tok) AS DOUBLE) / sum(eff_tok) * 1000000 + 0.5) / 1000000 AS trainable_frac,
+       |       floor(CAST(sum(eff_tok) AS DOUBLE) / $cap * 1000000 + 0.5) / 1000000 AS fill_frac
+       |FROM rec GROUP BY shard, seq_id""".stripMargin
+  }
+
   /** UNI1 — unigram-LM tokenizer training (Viterbi-EM over a seeded
     * substring vocabulary, SentencePiece-style): the merge-free sibling
     * of bpe1. Costs are micro-unit −ln p BIGINTs so the per-word DP is
@@ -10978,6 +11042,7 @@ object Queries {
     "shuf1_epoch_order" -> shuf1EpochOrder,
     "pack1_sequence_packing" -> pack1SequencePacking,
     "conv1_sft_assemble" -> conv1SftAssemble,
+    "sft2_mask_pack" -> sft2MaskPack,
     "bpe1_train_merges" -> bpe1TrainMerges,
     "hn1_hard_negatives" -> hn1HardNegatives,
     "bpe2_encode_stats" -> bpe2EncodeStats,
@@ -11300,6 +11365,7 @@ object Queries {
     "shuf1_epoch_order" -> shuf1EpochOrderSql,
     "pack1_sequence_packing" -> pack1SequencePackingSql,
     "conv1_sft_assemble" -> conv1SftAssembleSql,
+    "sft2_mask_pack" -> sft2MaskPackSql,
     "bpe1_train_merges" -> bpe1TrainMergesSql,
     "hn1_hard_negatives" -> hn1HardNegativesSql,
     "bpe2_encode_stats" -> bpe2EncodeStatsSql,

@@ -375,6 +375,22 @@ class CurationSpec extends SparkTestBase {
       "<|user|> u5 u6 u7 u8 <|assistant|> a7 a8 a9 a10 a11 a12")
   }
 
+  test("sft2: bins respect capacity, and packed/trainable tokens conserve conv1's totals") {
+    val docs = Tables.documents(spark, sf0001)
+    val conv = Curation.sftAssemble(docs)
+    val bins = graft.Queries.all("sft2_mask_pack")(spark, sf0001).collect()
+    assert(bins.nonEmpty)
+    bins.foreach { b =>
+      assert(b.getAs[Long]("bin_tokens") <= 128, s"bin over capacity: $b")
+      assert(b.getAs[Long]("trainable_tokens") <= b.getAs[Long]("bin_tokens"))
+    }
+    // no conversation can hit the 128 cap (docs <= 100 tokens), so the
+    // pack is lossless: bin sums must equal conv1's corpus totals
+    val totals = conv.agg(sum("n_tokens_used"), sum("assistant_tokens")).head
+    assert(bins.map(_.getAs[Long]("bin_tokens")).sum == totals.getLong(0))
+    assert(bins.map(_.getAs[Long]("trainable_tokens")).sum == totals.getLong(1))
+  }
+
   test("urlDedup collapses case/params/fragment/slash variants onto one canonical") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
