@@ -2774,39 +2774,93 @@ object Queries {
           .as("fill_frac"))
   }
 
-  val sft2MaskPackSql: String = {
-    val cap = 128
-    val shardE = md5BucketSql("'sft2-sh:' || CAST(doc_id AS VARCHAR)", 4)
-    val ordE = md5BucketSql("'sft2-ord:' || CAST(doc_id AS VARCHAR)", 100000000)
-    s"""WITH RECURSIVE d0 AS (SELECT doc_id, string_split(text, ' ') AS tx,
+  /** Shared CTE chain of the sft2/release3 oracles: conv1's turn
+    * arithmetic over `src` (a CTE/table with doc_id + text) into pack2's
+    * recursive no-straddle fold, parameterized by salt. Ends at
+    * `rec(doc_id, a_tok, shard, pos, eff_tok, seq_id, fill)`. */
+  private def sftPackCtesSql(src: String, salt: String, cap: Int): String = {
+    val shardE = md5BucketSql(s"'$salt-sh:' || CAST(doc_id AS VARCHAR)", 4)
+    val ordE = md5BucketSql(s"'$salt-ord:' || CAST(doc_id AS VARCHAR)", 100000000)
+    s"""pd0 AS (SELECT doc_id, string_split(text, ' ') AS tx,
        |                  4 + doc_id % 5 AS lu, 6 + doc_id % 7 AS la
-       |           FROM documents),
-       |cv AS (SELECT doc_id,
+       |           FROM $src),
+       |pcv AS (SELECT doc_id,
        |              CAST((lu + la) * (len(tx) // (lu + la)) AS BIGINT) AS n_tok,
        |              CAST(la * (len(tx) // (lu + la)) AS BIGINT) AS a_tok
-       |       FROM d0 WHERE len(tx) // (lu + la) >= 1),
-       |t AS (SELECT doc_id, a_tok, shard, n_tok, least(n_tok, $cap) AS eff_tok,
+       |       FROM pd0 WHERE len(tx) // (lu + la) >= 1),
+       |pt AS (SELECT doc_id, a_tok, shard, n_tok, least(n_tok, $cap) AS eff_tok,
        |             CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
        |      FROM (SELECT doc_id, a_tok, n_tok,
        |              CAST($shardE AS BIGINT) AS shard,
        |              CAST($ordE AS BIGINT) AS ord
-       |            FROM cv)),
+       |            FROM pcv)),
        |rec AS (
        |  SELECT doc_id, a_tok, shard, pos, eff_tok,
        |         CAST(0 AS BIGINT) AS seq_id, eff_tok AS fill
-       |  FROM t WHERE pos = 1
+       |  FROM pt WHERE pos = 1
        |  UNION ALL
-       |  SELECT t.doc_id, t.a_tok, t.shard, t.pos, t.eff_tok,
-       |         CASE WHEN rec.fill + t.eff_tok > $cap THEN rec.seq_id + 1 ELSE rec.seq_id END,
-       |         CASE WHEN rec.fill + t.eff_tok > $cap THEN t.eff_tok ELSE rec.fill + t.eff_tok END
-       |  FROM rec JOIN t ON t.shard = rec.shard AND t.pos = rec.pos + 1)
+       |  SELECT pt.doc_id, pt.a_tok, pt.shard, pt.pos, pt.eff_tok,
+       |         CASE WHEN rec.fill + pt.eff_tok > $cap THEN rec.seq_id + 1 ELSE rec.seq_id END,
+       |         CASE WHEN rec.fill + pt.eff_tok > $cap THEN pt.eff_tok ELSE rec.fill + pt.eff_tok END
+       |  FROM rec JOIN pt ON pt.shard = rec.shard AND pt.pos = rec.pos + 1)""".stripMargin
+  }
+
+  val sft2MaskPackSql: String =
+    s"""WITH RECURSIVE ${sftPackCtesSql("documents", "sft2", 128)}
        |SELECT shard, seq_id, count(*) AS n_convos,
        |       CAST(sum(eff_tok) AS BIGINT) AS bin_tokens,
        |       CAST(sum(a_tok) AS BIGINT) AS trainable_tokens,
        |       floor(CAST(sum(a_tok) AS DOUBLE) / sum(eff_tok) * 1000000 + 0.5) / 1000000 AS trainable_frac,
-       |       floor(CAST(sum(eff_tok) AS DOUBLE) / $cap * 1000000 + 0.5) / 1000000 AS fill_frac
+       |       floor(CAST(sum(eff_tok) AS DOUBLE) / 128 * 1000000 + 0.5) / 1000000 AS fill_frac
        |FROM rec GROUP BY shard, seq_id""".stripMargin
+
+  /** RELEASE3 — the SFT ship line as ONE oracle-checked plan (release1's
+    * discipline applied to the instruct-data leg): quality gate (t10's
+    * shared verdict) → conversation assembly (conv1) → no-straddle
+    * packing (pack2's fold, rel3 salt) → the per-shard dataset card
+    * (bins, conversations, packed/trainable tokens, trainable and mean
+    * fill fractions — what an SFT data release publishes). */
+  val release3SftRelease: Q = (s, d) => {
+    val gated = Tables.documents(s, d).filter(corpusReasonExpr === "ok")
+    val conv = Curation.sftAssemble(gated)
+      .select(col("doc_id"), col("n_tokens_used"), col("assistant_tokens"))
+      .localCheckpoint() // stage boundary: gate+assembly run ONCE
+    val packed = graft.operators.Sampling.packSequencesNoStraddle(
+      conv, col("doc_id"), col("n_tokens_used"),
+      capacity = 128, shards = 4, salt = "rel3")
+    val bins = packed
+      .join(conv.select(col("doc_id").as("pk"), col("assistant_tokens")), "pk")
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_convos"),
+        sum(col("eff_tok")).as("bin_tokens"),
+        sum(col("assistant_tokens")).as("trainable_tokens"))
+    bins.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_convos")).as("n_convos"),
+        sum(col("bin_tokens")).as("n_tokens"),
+        sum(col("trainable_tokens")).as("n_trainable"))
+      .select(col("shard"), col("n_bins"), col("n_convos"), col("n_tokens"),
+        col("n_trainable"),
+        portableRound(col("n_trainable").cast("double") / col("n_tokens"), 6)
+          .as("trainable_frac"),
+        portableRound(col("n_tokens").cast("double") /
+          (col("n_bins") * 128.0), 6).as("mean_fill"))
   }
+
+  lazy val release3SftReleaseSql: String =
+    corpusSignalsCteSql.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
+       |okd AS (SELECT doc_id, text FROM b WHERE $corpusReasonSql = 'ok'),
+       |${sftPackCtesSql("okd", "rel3", 128)},
+       |bins AS (SELECT shard, seq_id, count(*) AS n_convos,
+       |                sum(eff_tok) AS bin_tokens, sum(a_tok) AS tr
+       |         FROM rec GROUP BY shard, seq_id)
+       |SELECT shard, count(*) AS n_bins,
+       |       CAST(sum(n_convos) AS BIGINT) AS n_convos,
+       |       CAST(sum(bin_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(tr) AS BIGINT) AS n_trainable,
+       |       floor(CAST(sum(tr) AS DOUBLE) / sum(bin_tokens) * 1000000 + 0.5) / 1000000 AS trainable_frac,
+       |       floor(CAST(sum(bin_tokens) AS DOUBLE) / (count(*) * 128.0) * 1000000 + 0.5) / 1000000 AS mean_fill
+       |FROM bins GROUP BY shard""".stripMargin
 
   /** UNI1 — unigram-LM tokenizer training (Viterbi-EM over a seeded
     * substring vocabulary, SentencePiece-style): the merge-free sibling
@@ -11043,6 +11097,7 @@ object Queries {
     "pack1_sequence_packing" -> pack1SequencePacking,
     "conv1_sft_assemble" -> conv1SftAssemble,
     "sft2_mask_pack" -> sft2MaskPack,
+    "release3_sft_release" -> release3SftRelease,
     "bpe1_train_merges" -> bpe1TrainMerges,
     "hn1_hard_negatives" -> hn1HardNegatives,
     "bpe2_encode_stats" -> bpe2EncodeStats,
@@ -11366,6 +11421,7 @@ object Queries {
     "pack1_sequence_packing" -> pack1SequencePackingSql,
     "conv1_sft_assemble" -> conv1SftAssembleSql,
     "sft2_mask_pack" -> sft2MaskPackSql,
+    "release3_sft_release" -> release3SftReleaseSql,
     "bpe1_train_merges" -> bpe1TrainMergesSql,
     "hn1_hard_negatives" -> hn1HardNegativesSql,
     "bpe2_encode_stats" -> bpe2EncodeStatsSql,

@@ -391,6 +391,24 @@ class CurationSpec extends SparkTestBase {
     assert(bins.map(_.getAs[Long]("trainable_tokens")).sum == totals.getLong(1))
   }
 
+  test("release3: the SFT card conserves the gated assembly's token totals") {
+    val gated = graft.Queries.releaseGateOk(Tables.documents(spark, sf0001))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.expr("text").as("text"))
+    val conv = Curation.sftAssemble(gated)
+    val card = graft.Queries.all("release3_sft_release")(spark, sf0001).collect()
+    assert(card.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L),
+      "card must cover all 4 shards")
+    val totals = conv.agg(sum("n_tokens_used"), sum("assistant_tokens")).head
+    assert(card.map(_.getAs[Long]("n_tokens")).sum == totals.getLong(0))
+    assert(card.map(_.getAs[Long]("n_trainable")).sum == totals.getLong(1))
+    card.foreach { r =>
+      assert(r.getAs[Long]("n_trainable") <= r.getAs[Long]("n_tokens"))
+      val fill = r.getAs[Double]("mean_fill")
+      assert(fill > 0.0 && fill <= 1.0)
+    }
+  }
+
   test("urlDedup collapses case/params/fragment/slash variants onto one canonical") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")

@@ -53,4 +53,15 @@ class ContinuationBillSpec extends SparkTestBase {
   test("div1 pays the two-level distinct aggregate on (source, n)") {
     assert(billOf("div1_distinct_ngrams") == 2)
   }
+
+  test("sft2 pays the pack shard exchange + the bin rollup") {
+    // the mask join-back BROADCASTS the checkpointed conv frame at this
+    // SF (stats-adaptive) — the pinned shuffles are the pack's shard
+    // repartition and the (shard, seq_id) rollup
+    assert(billOf("sft2_mask_pack") == 2)
+  }
+
+  test("release3 pays sft2's bill + the per-shard card rollup") {
+    assert(billOf("release3_sft_release") == 3)
+  }
 }
