@@ -2862,6 +2862,39 @@ object Queries {
        |       floor(CAST(sum(bin_tokens) AS DOUBLE) / (count(*) * 128.0) * 1000000 + 0.5) / 1000000 AS mean_fill
        |FROM bins GROUP BY shard""".stripMargin
 
+  /** PAD1 — the sorted-batching padding audit
+    * ([[graft.operators.Sampling.paddingAudit]]): pad tokens burned by
+    * hash-order vs length-sorted batching (batch 8, within pack1-style
+    * hash shards). The measured number that decides whether a loader
+    * adds the per-shard sort. */
+  val pad1LengthBucketing: Q = (s, d) =>
+    graft.operators.Sampling.paddingAudit(Tables.documents(s, d))
+
+  val pad1LengthBucketingSql: String = {
+    val shardE = md5BucketSql("'pad1-sh:' || CAST(doc_id AS VARCHAR)", 8)
+    val ordE = md5BucketSql("'pad1-ord:' || CAST(doc_id AS VARCHAR)", 100000000)
+    s"""WITH b AS (SELECT doc_id,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |             CAST($shardE AS BIGINT) AS shard,
+       |             CAST($ordE AS BIGINT) AS ord
+       |           FROM documents),
+       |s1 AS (SELECT 'hash_order' AS strategy, shard, n_tok,
+       |              row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS rn
+       |       FROM b
+       |       UNION ALL
+       |       SELECT 'length_sorted' AS strategy, shard, n_tok,
+       |              row_number() OVER (PARTITION BY shard ORDER BY n_tok, doc_id) AS rn
+       |       FROM b),
+       |bt AS (SELECT strategy, shard, (rn - 1) // 8 AS batch,
+       |              count(*) AS bsz, max(n_tok) AS mx, sum(n_tok) AS real
+       |       FROM s1 GROUP BY 1, 2, 3)
+       |SELECT strategy, count(*) AS n_batches,
+       |       CAST(sum(real) AS BIGINT) AS real_tokens,
+       |       CAST(sum(mx * bsz) AS BIGINT) AS padded_tokens,
+       |       floor((1.0 - CAST(sum(real) AS DOUBLE) / sum(mx * bsz)) * 1000000 + 0.5) / 1000000 AS pad_frac
+       |FROM bt GROUP BY strategy""".stripMargin
+  }
+
   /** UNI1 — unigram-LM tokenizer training (Viterbi-EM over a seeded
     * substring vocabulary, SentencePiece-style): the merge-free sibling
     * of bpe1. Costs are micro-unit −ln p BIGINTs so the per-word DP is
@@ -11098,6 +11131,7 @@ object Queries {
     "conv1_sft_assemble" -> conv1SftAssemble,
     "sft2_mask_pack" -> sft2MaskPack,
     "release3_sft_release" -> release3SftRelease,
+    "pad1_length_bucketing" -> pad1LengthBucketing,
     "bpe1_train_merges" -> bpe1TrainMerges,
     "hn1_hard_negatives" -> hn1HardNegatives,
     "bpe2_encode_stats" -> bpe2EncodeStats,
@@ -11422,6 +11456,7 @@ object Queries {
     "conv1_sft_assemble" -> conv1SftAssembleSql,
     "sft2_mask_pack" -> sft2MaskPackSql,
     "release3_sft_release" -> release3SftReleaseSql,
+    "pad1_length_bucketing" -> pad1LengthBucketingSql,
     "bpe1_train_merges" -> bpe1TrainMergesSql,
     "hn1_hard_negatives" -> hn1HardNegativesSql,
     "bpe2_encode_stats" -> bpe2EncodeStatsSql,

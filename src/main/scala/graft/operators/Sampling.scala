@@ -533,4 +533,50 @@ object Sampling {
       .limit(k)
       .drop("_race")
   }
+
+  /** PAD1 — the sorted-batching padding audit: how many pad tokens does a
+    * fixed-size training batch burn under hash-order batching vs
+    * length-sorted batching? Per strategy: batch count, real tokens,
+    * padded tokens (Σ per-batch max·size — what the accelerator actually
+    * processes) and the pad fraction. Sorting within a shard is the
+    * classic bucketed-batching trick; this op MEASURES the win on the
+    * corpus instead of assuming it, which is the number that decides
+    * whether a loader adds the sort.
+    *
+    * Both strategies batch within the SAME salted hash shards (pack1's
+    * discipline: batching is sequential only within a shard, shards are
+    * the parallelism unit — no global window anywhere), so the
+    * comparison isolates the ordering choice. Plan: one projection, one
+    * shard exchange reused by both orderings, per-shard windows, two
+    * bounded rollups. */
+  def paddingAudit(documents: DataFrame, batchSize: Int = 8,
+                   shards: Int = 8, salt: String = "pad1"): DataFrame = {
+    require(batchSize >= 1 && shards >= 1, s"bad params: $batchSize/$shards")
+    val base = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      hashBucket(concat(lit(s"$salt-sh:"), col("doc_id").cast("string")),
+        shards).as("shard"),
+      hashBucket(concat(lit(s"$salt-ord:"), col("doc_id").cast("string")),
+        100000000).as("_ord"))
+    def strat(name: String, order: Seq[org.apache.spark.sql.Column]) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(order: _*)
+      base.withColumn("rn", row_number().over(w))
+        .withColumn("batch", floor((col("rn") - 1) / batchSize).cast("long"))
+        .groupBy(col("shard"), col("batch"))
+        .agg(count(lit(1)).as("bsz"), max(col("n_tok")).as("mx"),
+          sum(col("n_tok")).as("real"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("real")).as("real_tokens"),
+          sum(col("mx") * col("bsz")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padded_tokens"),
+          graft.functions.portableRound(lit(1.0) -
+            col("real_tokens").cast("double") / col("padded_tokens"), 6)
+            .as("pad_frac"))
+    }
+    strat("hash_order", Seq(col("_ord").asc, col("doc_id").asc))
+      .unionByName(
+        strat("length_sorted", Seq(col("n_tok").asc, col("doc_id").asc)))
+  }
 }

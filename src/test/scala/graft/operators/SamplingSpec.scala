@@ -478,4 +478,37 @@ class SamplingSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(fromCur == fromPpl)
   }
+
+  test("paddingAudit: sorted batching never pads more than hash order") {
+    import spark.implicits._
+    val docs = (1L to 200L)
+      .map(i => (i, Seq.fill((i % 37 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Sampling.paddingAudit(docs, batchSize = 4, shards = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("hash_order", "length_sorted"))
+    val (h, s) = (got("hash_order"), got("length_sorted"))
+    // same corpus, same shards, same batch size -> same batch count and
+    // identical real-token mass; only the padding differs
+    assert(h.getAs[Long]("n_batches") == s.getAs[Long]("n_batches"))
+    assert(h.getAs[Long]("real_tokens") == s.getAs[Long]("real_tokens"))
+    // within each shard, consecutive grouping of the length-sorted order
+    // minimizes the sum of per-batch maxima (exchange argument) — sorted
+    // padding can never exceed the hash order's
+    assert(s.getAs[Long]("padded_tokens") <= h.getAs[Long]("padded_tokens"))
+    assert(s.getAs[Long]("padded_tokens") >= s.getAs[Long]("real_tokens"))
+  }
+
+  test("paddingAudit: exact numbers on a single-shard crafted corpus") {
+    import spark.implicits._
+    // one shard, batch 2, lengths 1/2/3/4 -> sorted batches (1,2),(3,4):
+    // padded = 2*2 + 4*2 = 12, real = 10
+    val docs = Seq((1L, "w"), (2L, "w w"), (3L, "w w w"), (4L, "w w w w"))
+      .toDF("doc_id", "text")
+    val s = Sampling.paddingAudit(docs, batchSize = 2, shards = 1)
+      .collect().map(r => r.getString(0) -> r).toMap.apply("length_sorted")
+    assert(s.getAs[Long]("n_batches") == 2)
+    assert(s.getAs[Long]("real_tokens") == 10 && s.getAs[Long]("padded_tokens") == 12)
+    assert(math.abs(s.getAs[Double]("pad_frac") - (1.0 - 10.0 / 12)) < 1e-6)
+  }
 }
