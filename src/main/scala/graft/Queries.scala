@@ -5599,6 +5599,36 @@ object Queries {
       docs.filter(col("doc_id") % 7 === 0), n = 5)
   }
 
+  /** EST1 — the dedup-rate planning estimator
+    * ([[graft.operators.Curation.dedupRateEstimate]]): ten disjoint
+    * digest-hash replicates estimate the exact-dedup shrink rate (the
+    * digest-keyed design keeps duplicate groups intact under sampling);
+    * replicate 0 is the estimate a planning pass would run, the
+    * replicate spread is the error audit, and the exact corpus rate
+    * (affordable at fixture scale) validates both. */
+  val est1DedupEstimate: Q = (s, d) =>
+    Curation.dedupRateEstimate(Tables.documents(s, d))
+
+  lazy val est1DedupEstimateSql: String = {
+    val foldE = md5BucketSql("'est1:' || md5(text)", 10)
+    s"""WITH b AS (SELECT md5(text) AS dg, $foldE AS f FROM documents),
+       |pf AS (SELECT f, count(*) AS n, count(DISTINCT dg) AS d FROM b GROUP BY f),
+       |pr AS (SELECT f, n, floor((1.0 - CAST(d AS DOUBLE) / n) * 1000000 + 0.5) AS rm FROM pf),
+       |st AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       |              CAST(max(CASE WHEN f = 0 THEN n END) AS BIGINT) AS n_sampled,
+       |              max(CASE WHEN f = 0 THEN rm END) AS est_m,
+       |              sum(rm) AS s, sum(rm * rm) AS sq FROM pr),
+       |ex AS (SELECT count(*) AS n_all, count(DISTINCT md5(text)) AS d_all FROM documents)
+       |SELECT n_rows, n_sampled,
+       |       floor((1.0 - CAST(d_all AS DOUBLE) / n_all) * 1000000 + 0.5) / 1000000 AS exact_rate,
+       |       est_m / 1000000 AS est_rate,
+       |       floor(s / 10.0 + 0.5) / 1000000 AS rep_mean,
+       |       sqrt((sq - s * s / 10.0) / 9.0) / 1000000 AS rep_sd,
+       |       abs(floor((1.0 - CAST(d_all AS DOUBLE) / n_all) * 1000000 + 0.5) - floor(s / 10.0 + 0.5))
+       |         <= 2.0 * sqrt((sq - s * s / 10.0) / 9.0) AS within_2sd
+       |FROM st CROSS JOIN ex""".stripMargin
+  }
+
   /** MEM1 — memorization / novelty audit
     * ([[graft.operators.Curation.ngramNovelty]]): treat an 80% hash fold
     * of documents as the TRAINING corpus and the rest as the
@@ -10950,6 +10980,7 @@ object Queries {
     "dc1_decontaminate" -> dc1Decontaminate,
     "dc2_decontaminate_bloom" -> dc2DecontaminateBloom,
     "mem1_ngram_novelty" -> mem1NgramNovelty,
+    "est1_dedup_estimate" -> est1DedupEstimate,
     "dc3_semantic_decontaminate" -> dc3SemanticDecontaminate,
     "inc1_incremental_dedup" -> inc1IncrementalDedup,
     "inc2_neardup_admission" -> inc2NearDupAdmission,
@@ -11283,6 +11314,7 @@ object Queries {
     "dc1_decontaminate" -> dc1DecontaminateSql,
     "dc2_decontaminate_bloom" -> dc1DecontaminateSql, // bloom prefilter is exact: same oracle
     "mem1_ngram_novelty" -> mem1NgramNoveltySql,
+    "est1_dedup_estimate" -> est1DedupEstimateSql,
     "dc3_semantic_decontaminate" -> dc3SemanticDecontaminateSql,
     "inc1_incremental_dedup" -> inc1IncrementalDedupSql,
     "inc2_neardup_admission" -> inc2NearDupAdmissionSql,

@@ -579,6 +579,57 @@ object Curation {
       r9(diffs.map(abs).reduce(_ + _) / dim).as("mean_abs_gap"))
   }
 
+  /** EST1 — the dedup-rate planning estimator: how much will exact dedup
+    * shrink this corpus, answered from a 10% sample BEFORE paying for
+    * the full job. The load-bearing design choice is sampling BY CONTENT
+    * DIGEST, not by row: all copies of a digest land in or out of a
+    * replicate together, so each replicate's 1 − distinct/rows is an
+    * unbiased ratio estimate of the corpus rate — row sampling would
+    * shear duplicate groups (a doc with 2 copies sampled once looks
+    * unique) and systematically UNDERestimate the rate. Ten disjoint
+    * digest-hash replicates give the estimate (replicate 0 — what a real
+    * planning pass would run), the replicate mean/sd (the error audit),
+    * and — because the fixture is small enough to afford it — the exact
+    * corpus rate with a within-2-sd verdict. At 100 TB only replicate 0
+    * runs; the exact column is this operator's own validation harness.
+    *
+    * Exactness: replicate rates snap to 1e-6 and the mean/variance fold
+    * over ten integer-valued doubles (squares < 1e12 — exact in IEEE),
+    * so the whole audit replays digit-exact in the oracle. Scale shape:
+    * one digest projection, one (fold, digest)-level distinct aggregate,
+    * one 10-row rollup. */
+  def dedupRateEstimate(documents: DataFrame, folds: Int = 10): DataFrame = {
+    require(folds >= 2 && folds <= 1000, s"folds out of range: $folds")
+    val digest = md5(col("text"))
+    val fold = Sampling.hashBucket(concat(lit("est1:"), digest), folds)
+    val base = documents.select(digest.as("dg"), fold.as("f"))
+    def rate(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      floor((lit(1.0) - d.cast("double") / n) * 1000000.0 + 0.5)
+    val perFold = base.groupBy(col("f"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("dg")).as("d"))
+      .select(col("f"), col("n"), rate(col("n"), col("d")).as("rm"))
+    val k = folds.toDouble
+    val stats = perFold.agg(
+      sum(col("n")).as("n_rows"),
+      max(when(col("f") === 0, col("n"))).as("n_sampled"),
+      max(when(col("f") === 0, col("rm"))).as("est_m"),
+      sum(col("rm")).as("s"),
+      sum(col("rm") * col("rm")).as("sq"))
+    val exact = documents.agg(
+      count(lit(1)).as("n_all"),
+      countDistinct(md5(col("text"))).as("d_all"))
+    stats.crossJoin(exact).select(
+      col("n_rows"), col("n_sampled"),
+      (rate(col("n_all"), col("d_all")) / 1000000.0).as("exact_rate"),
+      (col("est_m") / 1000000.0).as("est_rate"),
+      (floor(col("s") / k + 0.5) / 1000000.0).as("rep_mean"),
+      (sqrt((col("sq") - col("s") * col("s") / k) / (k - 1.0)) / 1000000.0)
+        .as("rep_sd"),
+      (abs(rate(col("n_all"), col("d_all")) - floor(col("s") / k + 0.5)) <=
+        lit(2.0) * sqrt((col("sq") - col("s") * col("s") / k) / (k - 1.0)))
+        .as("within_2sd"))
+  }
+
   /** SFT conversation assembly — the step that turns curated text into
     * supervised fine-tuning examples: segment each document into
     * alternating user/assistant turns, render the chat template, and do

@@ -430,6 +430,21 @@ class CurationSpec extends SparkTestBase {
     assert(g.getAs[Long]("kept_page_id") == 1 && g.getAs[java.sql.Timestamp]("first_ts") == ts)
   }
 
+  test("dedupRateEstimate: digest-keyed replicates track a planted dup rate") {
+    // 300 distinct texts + 100 extra copies -> exact rate = 100/400 = 0.25;
+    // digest-keyed replicates keep copy groups intact, so the replicate
+    // mean must land near 0.25 and the exact rate inside 2 sd
+    val docs = ((1L to 300L).map(i => (i, s"unique text number $i")) ++
+      (301L to 400L).map(i => (i, s"unique text number ${i % 50 + 1}")))
+      .toDF("doc_id", "text")
+    val r = Curation.dedupRateEstimate(docs).collect().head
+    assert(r.getAs[Long]("n_rows") == 400)
+    assert(math.abs(r.getAs[Double]("exact_rate") - 0.25) < 1e-6)
+    assert(r.getAs[Boolean]("within_2sd"),
+      s"exact rate outside the replicate band: $r")
+    assert(r.getAs[Double]("rep_sd") > 0.0)
+  }
+
   test("ngramNovelty: exact copy reads 0, fresh text reads 1, partial in between") {
     val train = Seq(
       (1L, "a b c d e f", "s0"),
