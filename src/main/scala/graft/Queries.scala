@@ -2301,6 +2301,51 @@ object Queries {
       |       CAST(len(regexp_extract_all(t2, '[0-9]{4,}')) AS BIGINT) AS n_long_nums
       |FROM s2""".stripMargin
 
+  /** NRM1 — Unicode NFC normalization as the first text-pipeline pass
+    * ([[graft.functions.NfcNormalize]], a codegen'd expression wrapping
+    * java.text.Normalizer — no UDF): composition noise is synthesized
+    * deterministically (every 3rd doc gains a DECOMPOSED "cafe" +
+    * combining acute; every 5th a precomposed "éclair" — visually equal
+    * e-acute, different bytes), and the pass reports per doc the
+    * codepoint/byte deltas, the changed flag, and the md5 of the
+    * normalized text — the digest dedup would key on. Without NFC,
+    * exact dedup misses visually-identical docs that differ only in
+    * composition form. DuckDB's nfc_normalize implements the same
+    * Unicode algorithm, so every column compares byte for byte. */
+  val nrm1UnicodeNormalize: Q = (s, d) => {
+    val withDecomposed = when(col("doc_id") % 3 === 0,
+      // explicit code points, not raw accents an editor could re-normalize:
+      // %3 appends the DECOMPOSED form (e + U+0301 combining acute), %5 the
+      // PRECOMPOSED U+00E9 — visually identical, different bytes
+      concat(col("text"), lit(" cafe" + "\u0301"))).otherwise(col("text"))
+    val raw = when(col("doc_id") % 5 === 0,
+      concat(withDecomposed, lit(" " + "\u00e9" + "clair"))).otherwise(withDecomposed)
+    val norm = graft.functions.nfc_normalize(col("raw"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("chars_before"),
+        length(norm).cast("long").as("chars_after"),
+        octet_length(col("raw")).cast("long").as("bytes_before"),
+        octet_length(norm).cast("long").as("bytes_after"),
+        (col("raw") =!= norm).as("changed"),
+        md5(norm).as("norm_md5"))
+  }
+
+  val nrm1UnicodeNormalizeSql: String =
+    """WITH raw AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769) ELSE text END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(233) || 'clair' ELSE '' END AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(length(raw) AS BIGINT) AS chars_before,
+      |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS chars_after,
+      |       CAST(strlen(raw) AS BIGINT) AS bytes_before,
+      |       CAST(strlen(nfc_normalize(raw)) AS BIGINT) AS bytes_after,
+      |       raw <> nfc_normalize(raw) AS changed,
+      |       md5(nfc_normalize(raw)) AS norm_md5
+      |FROM raw""".stripMargin
+
   /** T9: Gopher-style repetition filter — duplicated-3-shingle fraction. */
   val t9Repetition: Q = (s, d) => TextAnalysis.repetition(Tables.documents(s, d))
 
@@ -11151,6 +11196,7 @@ object Queries {
     "t5_rolling_hash" -> t5Rolling,
     "t8_pii_scrub" -> t8Scrub,
     "t9_repetition" -> t9Repetition,
+    "nrm1_unicode_normalize" -> nrm1UnicodeNormalize,
     "t10_corpus_filter" -> t10CorpusFilter,
     "chunk1_doc_chunks" -> chunk1DocChunks,
     "rag1_context_assembly" -> rag1ContextAssembly,
@@ -11477,6 +11523,7 @@ object Queries {
     "t5_rolling_hash" -> t5RollingSql,
     "t8_pii_scrub" -> t8ScrubSql,
     "t9_repetition" -> t9RepetitionSql,
+    "nrm1_unicode_normalize" -> nrm1UnicodeNormalizeSql,
     "t10_corpus_filter" -> t10CorpusFilterSql,
     "chunk1_doc_chunks" -> chunk1DocChunksSql,
     "rag1_context_assembly" -> rag1ContextAssemblySql,

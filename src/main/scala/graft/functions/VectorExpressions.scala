@@ -1137,3 +1137,38 @@ case class BandedLevenshtein(first: Expression, second: Expression,
       newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
+
+/** Unicode NFC normalization (canonical composition) as a compiled
+  * expression — `java.text.Normalizer` behind `doGenCode` rather than a
+  * Scala UDF, so the normalize pass stays inside whole-stage codegen.
+  * NFC is the standard first text-pipeline pass: combining sequences
+  * (e + U+0301) compose to their precomposed forms (é), so the SAME
+  * visible string has ONE byte encoding before any digest/dedup/shingle
+  * step — without it, exact dedup misses visually-identical docs that
+  * differ only in composition form. Fast path: `isNormalized` avoids
+  * allocation for already-NFC text (the overwhelming majority).
+  * DuckDB's `nfc_normalize` implements the same Unicode algorithm, so
+  * results are oracle-comparable byte for byte. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+
+  def computeJava(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(v: Any): Any = computeJava(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("nfc", this, "graft.functions.NfcNormalize")
+      s"${ev.value} = $self.computeJava($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -41,6 +41,11 @@ package object functions {
   def shingle_hashes(c: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), n))
 
+  /** Unicode NFC normalization inside whole-stage codegen (no UDF);
+    * fast no-alloc path for already-normalized text. */
+  def nfc_normalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
+
   /** Polynomial rolling hash (base 31 mod 1e9+7 over codepoints) as one
     * compiled loop — replaces the interpreted per-character `aggregate`. */
   def rolling_hash(c: Column): Column =

@@ -319,4 +319,24 @@ class FunctionsSpec extends SparkTestBase {
       Option(e2.getCause).exists(_.getMessage.contains("exceeds band")),
       e2.getMessage)
   }
+
+  test("nfc_normalize composes combining sequences; normalized text passes through") {
+    val decomposed = "cafe" + "\u0301"   // e + COMBINING ACUTE (5 codepoints)
+    val precomposed = "caf" + "\u00e9"   // precomposed e-acute (4 codepoints)
+    val df = Seq((1L, decomposed), (2L, precomposed), (3L, "plain ascii"))
+      .toDF("id", "t")
+      .select($"id", nfc_normalize($"t").as("n"), length($"t").as("lb"),
+        length(nfc_normalize($"t")).as("la"))
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    // the decomposed form must compose to the SAME bytes as the
+    // precomposed one — that equality is what digest dedup keys on
+    assert(rows(1L).getAs[String]("n") == precomposed)
+    assert(rows(2L).getAs[String]("n") == precomposed)
+    assert(rows(1L).getAs[Int]("lb") == 5 && rows(1L).getAs[Int]("la") == 4)
+    assert(rows(3L).getAs[String]("n") == "plain ascii")
+    // null-safety through the expression
+    val withNull = Seq((1L, null: String)).toDF("id", "t")
+      .select(nfc_normalize($"t")).collect()
+    assert(withNull.head.isNullAt(0))
+  }
 }
