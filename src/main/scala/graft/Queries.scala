@@ -2346,6 +2346,47 @@ object Queries {
       |       md5(nfc_normalize(raw)) AS norm_md5
       |FROM raw""".stripMargin
 
+  /** D15 — the dedup delta NFC buys (nrm1 composed into d1's digest
+    * dedup): for every 10th doc a twin is planted whose text differs
+    * ONLY in composition form (decomposed e+U+0301 vs precomposed
+    * U+00E9 suffix — visually identical, different bytes). Raw digests
+    * keep every twin apart; NFC digests collapse them. The output is
+    * the corpus accounting a pipeline owner reads to decide the nrm1
+    * pass is load-bearing: rows, raw-distinct, nfc-distinct, and the
+    * extra collapses NFC found. */
+  val d15NfcDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val a = docs.filter(col("doc_id") % 10 === 1)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" cafe" + "\u0301")).as("text"))
+    val b = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" caf" + "\u00e9")).as("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(a).unionByName(b)
+    corpus.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(md5(col("text"))).as("raw_distinct"),
+      countDistinct(md5(graft.functions.nfc_normalize(col("text"))))
+        .as("nfc_distinct"))
+      .withColumn("extra_collapsed",
+        col("raw_distinct") - col("nfc_distinct"))
+  }
+
+  val d15NfcDedupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 1
+      |  UNION ALL
+      |  SELECT doc_id, text || ' cafe' || chr(769) FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text || ' caf' || chr(233) FROM documents WHERE doc_id % 10 = 1)
+      |SELECT count(*) AS n_rows,
+      |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS raw_distinct,
+      |       CAST(count(DISTINCT md5(nfc_normalize(text))) AS BIGINT) AS nfc_distinct,
+      |       CAST(count(DISTINCT md5(text)) - count(DISTINCT md5(nfc_normalize(text))) AS BIGINT) AS extra_collapsed
+      |FROM corpus""".stripMargin
+
   /** T9: Gopher-style repetition filter — duplicated-3-shingle fraction. */
   val t9Repetition: Q = (s, d) => TextAnalysis.repetition(Tables.documents(s, d))
 
@@ -11197,6 +11238,7 @@ object Queries {
     "t8_pii_scrub" -> t8Scrub,
     "t9_repetition" -> t9Repetition,
     "nrm1_unicode_normalize" -> nrm1UnicodeNormalize,
+    "d15_nfc_dedup" -> d15NfcDedup,
     "t10_corpus_filter" -> t10CorpusFilter,
     "chunk1_doc_chunks" -> chunk1DocChunks,
     "rag1_context_assembly" -> rag1ContextAssembly,
@@ -11524,6 +11566,7 @@ object Queries {
     "t8_pii_scrub" -> t8ScrubSql,
     "t9_repetition" -> t9RepetitionSql,
     "nrm1_unicode_normalize" -> nrm1UnicodeNormalizeSql,
+    "d15_nfc_dedup" -> d15NfcDedupSql,
     "t10_corpus_filter" -> t10CorpusFilterSql,
     "chunk1_doc_chunks" -> chunk1DocChunksSql,
     "rag1_context_assembly" -> rag1ContextAssemblySql,

@@ -430,6 +430,20 @@ class CurationSpec extends SparkTestBase {
     assert(g.getAs[Long]("kept_page_id") == 1 && g.getAs[java.sql.Timestamp]("first_ts") == ts)
   }
 
+  test("d15: NFC dedup collapses exactly the planted composition twins") {
+    val r = graft.Queries.all("d15_nfc_dedup")(spark, sf0001).collect().head
+    val docs = Tables.documents(spark, sf0001)
+    val planted = docs.filter(col("doc_id") % 10 === 1).count()
+    // every planted (decomposed, precomposed) pair collapses under NFC;
+    // pairs whose BASE text was already a duplicate collapse transitively,
+    // so the extra count is at least the number of distinct planted bases
+    val distinctBases = docs.filter(col("doc_id") % 10 === 1)
+      .select(md5(col("text"))).distinct().count()
+    assert(r.getAs[Long]("extra_collapsed") == distinctBases,
+      s"planted $planted twins / $distinctBases distinct bases: $r")
+    assert(r.getAs[Long]("nfc_distinct") < r.getAs[Long]("raw_distinct"))
+  }
+
   test("dedupRateEstimate: digest-keyed replicates track a planted dup rate") {
     // 300 distinct texts + 100 extra copies -> exact rate = 100/400 = 0.25;
     // digest-keyed replicates keep copy groups intact, so the replicate
