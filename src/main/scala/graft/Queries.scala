@@ -8885,6 +8885,43 @@ object Queries {
       |             ((1 + doc_id % 5) * 8000 * (1 + doc_id % 2) * 2)) AS BIGINT) AS duration_ms
       |FROM documents""".stripMargin
 
+  /** MM5 — frame-level PCM audio features from REAL bytes
+    * ([[graft.operators.Multimodal.audioFrameFeatures]]): the payload
+    * carries an actual sample stream (mono 8 kHz 16-bit sawtooth,
+    * id-derived), the engine walks the bytes (mapPartitions — the
+    * sanctioned case), and the oracle recomputes per-frame RMS /
+    * zero-crossing rate / peak from the SAME id formula (the mm1–mm4
+    * pattern: real decode, arithmetic oracle). These are the numbers a
+    * speech-data pipeline's silence/clipping screens run on. */
+  val mm5AudioFrames: Q = (s, d) => {
+    val media = Tables.documents(s, d).select(col("doc_id"),
+      graft.operators.Multimodal.syntheticWavWithSamples(col("doc_id"))
+        .as("payload"))
+    graft.operators.Multimodal.audioFrameFeatures(s, media).toDF()
+  }
+
+  lazy val mm5AudioFramesSql: String = {
+    def sRaw(k: String) = s"((doc_id * 31 + ($k) * 17) % 201 - 100)"
+    def sVal(k: String) = s"CAST(${sRaw(k)} * 64 AS DOUBLE)"
+    s"""WITH d AS (SELECT doc_id, CAST(64 * (1 + doc_id % 4) AS INT) AS n,
+       |                  CAST(1 + doc_id % 4 AS INT) AS frames
+       |           FROM documents),
+       |f AS (SELECT doc_id, n, frames,
+       |        [CAST(floor(sqrt(list_sum([${sVal("k")} * ${sVal("k")}
+       |                                   FOR k IN RANGE(ff * 64, ff * 64 + 64)]) / 64.0)
+       |                    * 1000000 + 0.5) AS BIGINT)
+       |         FOR ff IN RANGE(0, frames)] AS micro,
+       |        list_sum([CASE WHEN ${sRaw("k - 1")} * ${sRaw("k")} < 0 THEN 1 ELSE 0 END
+       |                  FOR k IN RANGE(1, n)]) AS zc,
+       |        list_max([abs(${sRaw("k")} * 64) FOR k IN RANGE(0, n)]) AS peak
+       |      FROM d)
+       |SELECT doc_id, n AS n_samples, frames AS n_frames,
+       |       floor(CAST(list_sum(micro) AS DOUBLE) / frames + 0.5) / 1000000 AS mean_rms,
+       |       floor(CAST(zc AS DOUBLE) / (n - 1) * 1000000 + 0.5) / 1000000 AS zcr,
+       |       CAST(peak AS INT) AS peak_abs
+       |FROM f""".stripMargin
+  }
+
   /** ASOF2 — as-of attribution with a 1-hour tolerance window: the asof1
     * join, but matches older than the attribution window are nulled
     * ([[graft.operators.AsOf.asOfJoinTolerance]]). */
@@ -11158,6 +11195,7 @@ object Queries {
     "u6_except_all" -> u6ExceptAll,
     "u7_intersect_all" -> u7IntersectAll,
     "mm3_audio_decode" -> mm3Audio,
+    "mm5_audio_frames" -> mm5AudioFrames,
     "asof2_windowed" -> asof2Windowed,
     "cdc2_apply_deletes" -> cdc2Deletes,
     "pca1_power_iteration" -> pca1Power,
@@ -11492,6 +11530,7 @@ object Queries {
     "u6_except_all" -> u6ExceptAllSql,
     "u7_intersect_all" -> u7IntersectAllSql,
     "mm3_audio_decode" -> mm3AudioSql,
+    "mm5_audio_frames" -> mm5AudioFramesSql,
     "asof2_windowed" -> asof2WindowedSql,
     "cdc2_apply_deletes" -> cdc2DeletesSql,
     "pca1_power_iteration" -> pca1PowerSql,

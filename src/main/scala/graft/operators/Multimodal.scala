@@ -34,6 +34,13 @@ final case class AudioFeatures(
     doc_id: Long, sample_rate: Int, n_channels: Int, bits: Int,
     data_bytes: Long, duration_ms: Long)
 
+/** Output of the frame-level PCM feature pass: counts, the mean
+  * per-frame RMS (1e-6-snapped), the zero-crossing rate and the
+  * absolute sample peak — all computed from the payload BYTES. */
+final case class AudioFrameFeatures(
+    doc_id: Long, n_samples: Int, n_frames: Int, mean_rms: Double,
+    zcr: Double, peak_abs: Int)
+
 object Multimodal {
 
   // ─────────────────────── real image-header decode ───────────────────────
@@ -548,6 +555,90 @@ object Multimodal {
             val byteRate = rate.toLong * channels * (bits / 8)
             AudioFeatures(r.doc_id, rate, channels, bits, dataBytes,
               Math.floorDiv(dataBytes * 1000L, byteRate))
+          }
+        }
+      }
+  }
+
+  /** [[syntheticWavPayload]] extended with an actual PCM sample stream:
+    * mono 8 kHz 16-bit, nSamples = 64·(1 + id%4), sample k =
+    * ((id·31 + k·17) mod 201 − 100)·64 — a deterministic ±6400 sawtooth
+    * whose features the DuckDB oracle recomputes from the SAME formula
+    * while the engine genuinely parses the bytes (the mm1–mm4 gate
+    * pattern: real decode, arithmetic oracle). */
+  def syntheticWavWithSamples(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nSamples = (lit(1) + pmod(docId, lit(4))) * 64
+    val dataSize = nSamples * 2
+    val rate = lit(8000)
+    val header = concat(
+      lit("52494646"), le32c(dataSize + 36), lit("57415645"),
+      lit("666D7420"), le32c(lit(16)), le16c(lit(1)),
+      le16c(lit(1)), le32c(rate), le32c(rate * 2),
+      le16c(lit(2)), le16c(lit(16)),
+      lit("64617461"), le32c(dataSize))
+    val samples = concat_ws("",
+      transform(sequence(lit(0), nSamples - 1), k =>
+        le16c(pmod((pmod(docId * 31 + k * 17, lit(201)) - 100) * 64,
+          lit(65536)))))
+    unhex(concat(header, samples))
+  }
+
+  /** Frame-level audio features from REAL PCM bytes — the audio-quality
+    * gate of a speech-data pipeline (silence/clipping screens run on
+    * exactly these numbers): per doc, full-frame count (frame = 64
+    * samples), the mean per-frame RMS (each frame's RMS snapped to 1e-6
+    * before the mean — exact integer arithmetic up to the sqrt), the
+    * zero-crossing rate and the absolute peak. Byte walking is pure JVM
+    * over the payload (the sanctioned mapPartitions case); only mono
+    * 16-bit canonical-layout WAVs qualify — everything else takes the
+    * quarantine path like every other malformed header. */
+  def audioFrameFeatures(spark: SparkSession, media: DataFrame,
+                         frame: Int = 64): Dataset[AudioFrameFeatures] = {
+    import spark.implicits._
+    require(frame >= 2, s"frame must be >= 2, got $frame")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeWavHeader(r.payload).collect {
+            case (_, channels, bits, dataBytes)
+                if channels == 1 && bits == 16 &&
+                  r.payload.length >= 44 + dataBytes =>
+              val p = r.payload
+              val n = (dataBytes / 2).toInt
+              def s(k: Int): Int = {
+                val lo = p(44 + 2 * k) & 0xff
+                val hi = p(44 + 2 * k + 1).toInt // sign-extends
+                (hi << 8) | lo
+              }
+              val nFrames = n / frame
+              var microSum = 0L
+              var f = 0
+              while (f < nFrames) {
+                var acc = 0L
+                var k = f * frame
+                while (k < (f + 1) * frame) { val v = s(k).toLong; acc += v * v; k += 1 }
+                microSum += math.floor(
+                  math.sqrt(acc.toDouble / frame) * 1e6 + 0.5).toLong
+                f += 1
+              }
+              var zc = 0L
+              var peak = 0
+              var k = 0
+              var prev = 0
+              while (k < n) {
+                val v = s(k)
+                if (math.abs(v) > peak) peak = math.abs(v)
+                if (k > 0 && prev.toLong * v < 0) zc += 1
+                prev = v
+                k += 1
+              }
+              val meanRms =
+                if (nFrames == 0) 0.0
+                else math.floor(microSum.toDouble / nFrames + 0.5) / 1e6
+              val zcr =
+                if (n < 2) 0.0
+                else math.floor(zc.toDouble / (n - 1) * 1e6 + 0.5) / 1e6
+              AudioFrameFeatures(r.doc_id, n, nFrames, meanRms, zcr, peak)
           }
         }
       }

@@ -229,4 +229,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(schema("payload").dataType.typeName == "binary")
     assert(schema("meta").dataType.typeName == "struct")
   }
+
+  test("audioFrameFeatures: byte decode matches an independent JVM replay") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001).limit(40).select(col("doc_id"))
+    val media = docs.select(col("doc_id"),
+      Multimodal.syntheticWavWithSamples(col("doc_id")).as("payload"))
+    val got = Multimodal.audioFrameFeatures(spark, media).collect()
+      .map(r => r.doc_id -> r).toMap
+    // independent reimplementation straight from the documented formula
+    def sample(id: Long, k: Int): Int =
+      ((((id * 31 + k * 17) % 201) - 100) * 64).toInt
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      val n = (64 * (1 + id % 4)).toInt
+      val frames = (1 + id % 4).toInt
+      val micro = (0 until frames).map { f =>
+        val acc = (f * 64 until (f + 1) * 64)
+          .map(k => sample(id, k).toLong).map(v => v * v).sum
+        math.floor(math.sqrt(acc.toDouble / 64) * 1e6 + 0.5).toLong
+      }.sum
+      val zc = (1 until n).count(k =>
+        sample(id, k - 1).toLong * sample(id, k) < 0)
+      val r = got(id)
+      assert(r.n_samples == n && r.n_frames == frames, s"doc $id: $r")
+      assert(r.mean_rms == math.floor(micro.toDouble / frames + 0.5) / 1e6)
+      assert(r.zcr == math.floor(zc.toDouble / (n - 1) * 1e6 + 0.5) / 1e6)
+      assert(r.peak_abs == (0 until n).map(k => math.abs(sample(id, k))).max)
+    }
+  }
+
+  test("audioFrameFeatures quarantines non-mono and truncated payloads") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // stereo header from the mm3 synthesizer (channels = 1 + id%2 -> odd
+    // ids are stereo, and that fixture carries no sample bytes at all)
+    val bad = Seq(1L, 3L).toDF("doc_id").select(col("doc_id"),
+      Multimodal.syntheticWavPayload(col("doc_id")).as("payload"))
+    assert(Multimodal.audioFrameFeatures(spark, bad).count() == 0)
+  }
 }

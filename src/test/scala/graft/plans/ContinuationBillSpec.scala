@@ -64,4 +64,8 @@ class ContinuationBillSpec extends SparkTestBase {
   test("release3 pays sft2's bill + the per-shard card rollup") {
     assert(billOf("release3_sft_release") == 3)
   }
+
+  test("mm5 is shuffle-free: synth projection + mapPartitions byte walk") {
+    assert(billOf("mm5_audio_frames") == 0)
+  }
 }
