@@ -11814,7 +11814,10 @@ object Queries {
     // join, the one new r15-continuation shape where a scaling failure
     // could hide (d14/conv1 are single projections; cl1 rides qf1's
     // measured featurize+GD shape)
-    "mem1_ngram_novelty")
+    "mem1_ngram_novelty",
+    // release3_sft_release: GUARD-PROTOCOL — the SFT ship line reachable
+    // by the sweeps by name, release1's rationale verbatim
+    "release3_sft_release")
 
   /** The verify-tier SHIP-LINE compositions (never benched — every stage
     * keeps its own bench/guard row under the tier policy) whose physical

@@ -212,6 +212,10 @@ SUBSET = [
     # hide; the "_k" suffix synthesis zeroes cross-replica overlap, so
     # copied mass grows exactly linearly like an organic 10x corpus)
     "mem1_ngram_novelty",
+    # the SFT ship line (gate -> conv assembly -> no-straddle fold ->
+    # card): release1's guard rationale for the instruct-data leg —
+    # every stage individually linear, the fold per-shard sequential
+    "release3_sft_release",
 ]
 
 # key columns offset per replica, by table: (column -> key-domain table)
