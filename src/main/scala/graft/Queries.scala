@@ -11828,5 +11828,9 @@ object Queries {
   val shipLineNames: Seq[String] = Seq(
     "prep3_full_curation", "release1_training_release",
     "release2_delta_release", "budget2_epoch_materialize",
-    "curr1_curriculum_order")
+    "curr1_curriculum_order",
+    // the SFT leg of the ship line (r15 continuation): dumped with its
+    // measured bill like the pretraining legs; the bill constant itself
+    // is pinned in ContinuationBillSpec
+    "release3_sft_release")
 }
