@@ -2177,6 +2177,110 @@ object Queries {
       |       CASE WHEN y = 1.0 THEN any_value(t1) ELSE any_value(t0) END AS class_threshold
       |FROM asg GROUP BY y""".stripMargin
 
+  /** WM1 — green-list watermark detection
+    * ([[graft.operators.TextAnalysis.watermarkDetect]]): the
+    * model-generated-text audit a curation pipeline runs before mixing
+    * scraped data into a training set. Watermarked docs are PLANTED
+    * deterministically (the d14 synthetic-noise discipline): every
+    * doc_id % 10 == 3 doc is rewritten to only its green-list tokens —
+    * exactly what a γ = 0.25 watermarking sampler emits — while the
+    * rest stay natural text. The detector's one-proportion z-test then
+    * has real signal to find: planted docs read green_ratio ≈ 1 and
+    * z ≫ 4, natural docs read ≈ γ. `planted` rides along so the oracle
+    * pins detection against ground truth row by row. */
+  val wm1WatermarkDetect: Q = (s, d) => {
+    val green = (t: org.apache.spark.sql.Column) =>
+      graft.operators.Sampling.hashBucket(concat(lit("wm1:"), t), 4) === 0
+    val planted = col("doc_id") % 10 === 3
+    val synth = Tables.documents(s, d).select(col("doc_id"),
+      when(planted, array_join(filter(split(col("text"), " "), green), " "))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.watermarkDetect(synth)
+      .withColumn("planted", col("doc_id") % 10 === 3)
+  }
+
+  val wm1WatermarkDetectSql: String = {
+    val green = (v: String) => s"(${md5BucketSql(s"'wm1:' || $v", 4)}) = 0"
+    val z = "(CAST(n_green AS DOUBLE) - 0.25 * n_tokens) / sqrt(0.1875 * n_tokens)"
+    s"""WITH synth AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 3
+       |         -- COALESCE: duck's array_to_string of an EMPTY list is NULL,
+       |         -- Spark's array_join is '' — a no-green-token doc must stay ''
+       |         THEN COALESCE(array_to_string(list_filter(string_split(text, ' '), t -> ${green("t")}), ' '), '')
+       |         ELSE text END AS text
+       |  FROM documents),
+       |st AS (SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(string_split(text, ' '), t -> ${green("t")})) AS BIGINT) AS n_green
+       |       FROM synth)
+       |SELECT doc_id, n_tokens, n_green,
+       |  ${portableRoundSql("CAST(n_green AS DOUBLE) / n_tokens", 6)} AS green_ratio,
+       |  ${portableRoundSql(z, 6)} AS z_score,
+       |  n_tokens >= 8 AND ${portableRoundSql(z, 6)} > 4.0 AS detected,
+       |  doc_id % 10 = 3 AS planted
+       |FROM st""".stripMargin
+  }
+
+  /** BON1 — best-of-n selection (rejection sampling) over the distilled
+    * quality head's held-out scores
+    * ([[graft.operators.TextAnalysis.bestOfN]]): per 16-bucket prompt
+    * group, keep the highest-scoring candidate and report the uplift
+    * over the group mean (the expected score of random selection) —
+    * the data op that turns a reward model into an SFT set. Shares
+    * qf1/cl1's whole train-and-score CTE prefix: same head, same fold,
+    * same 1e-6-grid scores. */
+  val bon1BestOfN: Q = (s, d) => {
+    val (scored, _) = TextAnalysis.distillHeldOutScores(
+      Tables.documents(s, d)
+        .withColumn("y", (corpusReasonExpr === "ok").cast("double")))
+    TextAnalysis.bestOfN(scored)
+  }
+
+  lazy val bon1BestOfNSql: String = qfScoredCtesSql +
+    s""",
+       |grp AS (SELECT doc_id, s6,
+       |          CAST(${md5BucketSql("'bon1:' || CAST(doc_id AS VARCHAR)", 16)} AS BIGINT) AS g
+       |        FROM sc),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY s6 DESC, doc_id) AS rn
+       |       FROM grp),
+       |ag AS (SELECT g, count(*) AS n_candidates,
+       |              CAST(sum(CAST(floor(s6 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sm
+       |       FROM grp GROUP BY g)
+       |SELECT a.g, a.n_candidates, r.doc_id AS best_doc_id, r.s6 AS best_score,
+       |  floor(CAST(sm AS DOUBLE) / n_candidates + 0.5) / 1000000 AS mean_score,
+       |  ${portableRoundSql("r.s6 - floor(CAST(sm AS DOUBLE) / n_candidates + 0.5) / 1000000", 6)} AS uplift
+       |FROM ag a JOIN rk r ON r.g = a.g AND r.rn = 1""".stripMargin
+
+  /** CONS1 — self-consistency majority-vote sample filtering
+    * ([[graft.operators.TextAnalysis.selfConsistency]]): samples
+    * sharing a 64-bucket prompt group vote with their modal token (the
+    * deterministic stand-in for an extracted answer); the majority
+    * answer wins and `n_agree` samples per prompt survive into the
+    * training set — the STaR/rejection-fine-tuning data op. */
+  val cons1SelfConsistency: Q = (s, d) =>
+    TextAnalysis.selfConsistency(Tables.documents(s, d))
+
+  val cons1SelfConsistencySql: String =
+    s"""WITH tk AS (SELECT doc_id,
+       |         CAST(${md5BucketSql("'cons1:' || CAST(doc_id AS VARCHAR)", 64)} AS BIGINT) AS p,
+       |         unnest(string_split(text, ' ')) AS tok
+       |       FROM documents),
+       |ac AS (SELECT doc_id, p, tok, count(*) AS cnt FROM tk GROUP BY 1, 2, 3),
+       |an AS (SELECT doc_id, p, tok AS answer FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+       |         FROM ac) t WHERE rn = 1),
+       |mj AS (SELECT p, answer, CAST(count(*) AS BIGINT) AS votes FROM an GROUP BY 1, 2),
+       |st AS (SELECT p, CAST(sum(votes) AS BIGINT) AS n_samples,
+       |              CAST(count(*) AS BIGINT) AS n_distinct_answers
+       |       FROM mj GROUP BY p),
+       |top AS (SELECT p, answer AS majority_answer, votes AS n_agree FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY p ORDER BY votes DESC, answer) AS rn
+       |          FROM mj) t WHERE rn = 1)
+       |SELECT st.p, n_samples, n_distinct_answers, majority_answer, n_agree,
+       |       ${portableRoundSql("CAST(n_agree AS DOUBLE) / n_samples", 6)} AS agreement_ratio
+       |FROM st JOIN top ON top.p = st.p""".stripMargin
+
   val ml5LangTrainSql: String = {
     val dims = 16; val iters = 3; val lr = "2.0"; val k = dims + 1
     val classes = ml5Classes
@@ -11324,6 +11428,9 @@ object Queries {
     "ml5_lang_train" -> ml5LangTrain,
     "qf1_quality_distill" -> qf1QualityDistill,
     "cl1_label_noise" -> cl1LabelNoise,
+    "wm1_watermark_detect" -> wm1WatermarkDetect,
+    "bon1_best_of_n" -> bon1BestOfN,
+    "cons1_self_consistency" -> cons1SelfConsistency,
     "pack2_nostraddle" -> pack2NoStraddle,
     "pack3_materialize" -> pack3Materialize,
     "uni1_unigram_train" -> uni1UnigramTrain,
@@ -11652,6 +11759,9 @@ object Queries {
     "ml5_lang_train" -> ml5LangTrainSql,
     "qf1_quality_distill" -> qf1QualityDistillSql,
     "cl1_label_noise" -> cl1LabelNoiseSql,
+    "wm1_watermark_detect" -> wm1WatermarkDetectSql,
+    "bon1_best_of_n" -> bon1BestOfNSql,
+    "cons1_self_consistency" -> cons1SelfConsistencySql,
     "pack2_nostraddle" -> pack2NoStraddleSql,
     "pack3_materialize" -> pack3MaterializeSql,
     "uni1_unigram_train" -> uni1UnigramTrainSql,

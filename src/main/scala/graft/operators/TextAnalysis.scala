@@ -1539,4 +1539,135 @@ object TextAnalysis {
       .withColumn("class_threshold",
         when(col("given_label") === 1L, t1).otherwise(t0))
   }
+
+  /** WM1 — green-list watermark detection for model-generated text
+    * (Kirchenbauer et al., "A Watermark for Large Language Models",
+    * ICML 2023; the context-free green list is Zhao et al. 2023's
+    * provably-robust Unigram-Watermark variant, which makes per-token
+    * greenness independent and therefore exactly replayable in SQL).
+    * A token is GREEN when its salted md5 bucket lands in the first
+    * `1/buckets` of the hash space (γ = 1/buckets); a watermarking
+    * sampler only emits green tokens, so generated text reads
+    * green-ratio ≈ 1 while natural text reads ≈ γ. The detector is the
+    * standard one-proportion z-test per document:
+    * z = (g − γn)/√(nγ(1−γ)), flagged when n ≥ `minTokens` and the
+    * micro-rounded z clears `zThresh` (γ = 0.25, z > 4 ⇒ a natural-text
+    * false positive needs a +4σ green excess).
+    *
+    * Exactness: n and g are integers from the same salted-md5 bucket
+    * grid the DuckDB oracle recomputes; the only doubles are the final
+    * ratio/z (IEEE-determined from integer inputs, micro-rounded on
+    * both sides). Scale: one projection — greenness is an in-row
+    * filtered-array count, no shuffle, no state. */
+  def watermarkDetect(documents: DataFrame, salt: String = "wm1",
+                      buckets: Int = 4, minTokens: Int = 8,
+                      zThresh: Double = 4.0): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(minTokens >= 1, s"minTokens must be positive, got $minTokens")
+    val gamma = 1.0 / buckets
+    val green = (t: org.apache.spark.sql.Column) =>
+      Sampling.hashBucket(concat(lit(s"$salt:"), t), buckets) === 0
+    val n = col("n_tokens").cast("double")
+    val g = col("n_green").cast("double")
+    val z = (g - lit(gamma) * n) / sqrt(n * lit(gamma * (1.0 - gamma)))
+    documents
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, green)).cast("long").as("n_green"))
+      .select(col("doc_id"), col("n_tokens"), col("n_green"),
+        portableRound(g / n, 6).as("green_ratio"),
+        portableRound(z, 6).as("z_score"),
+        (col("n_tokens") >= minTokens &&
+          portableRound(z, 6) > zThresh).as("detected"))
+  }
+
+  /** BON1 — best-of-n selection (rejection sampling) over a scored
+    * candidate pool: the RLHF-era data op that keeps, per prompt group,
+    * the highest-reward candidate (Stiennon et al. 2020's best-of-n
+    * policy; Touvron et al. 2023 use it to build SFT data from reward
+    * scores). Here the reward is the distilled quality head's held-out
+    * score (`s6` on the 1e-6 grid) and a prompt group is a salted hash
+    * bucket of doc_id — the deterministic stand-in for "n samples from
+    * one prompt". Per group: candidate count, the winner (highest s6,
+    * ties to the smallest doc_id), the winner's score, the group mean
+    * (micro-unit exact — the expected score of RANDOM selection), and
+    * the uplift best-of-n buys over that baseline.
+    *
+    * Scale: one hash aggregation on the group key + the rank-1 window
+    * on the same key — candidate pools shuffle once, state per group is
+    * O(1). At 100 TB the group key is the real prompt id and nothing
+    * changes shape. */
+  def bestOfN(scored: DataFrame, nGroups: Int = 16,
+              salt: String = "bon1"): DataFrame = {
+    require(nGroups >= 1, s"nGroups must be positive, got $nGroups")
+    def micro(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000.0 + 0.5).cast("long")
+    val grp = scored.select(col("doc_id"), col("s6"),
+      Sampling.hashBucket(
+        concat(lit(s"$salt:"), col("doc_id").cast("string")), nGroups).as("g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("s6").desc, col("doc_id").asc)
+    val best = grp.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("g"), col("doc_id").as("best_doc_id"),
+        col("s6").as("best_score"))
+    val agg = grp.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_candidates"), sum(micro(col("s6"))).as("sm"))
+    val mean = floor(col("sm").cast("double") / col("n_candidates") + 0.5) / 1000000.0
+    agg.join(best, Seq("g"))
+      .select(col("g"), col("n_candidates"), col("best_doc_id"),
+        col("best_score"), mean.as("mean_score"),
+        portableRound(col("best_score") - mean, 6).as("uplift"))
+  }
+
+  /** CONS1 — self-consistency / majority-vote sample filtering (Wang et
+    * al., "Self-Consistency Improves Chain of Thought Reasoning", ICLR
+    * 2023; the keep-the-agreeing-samples form is the rejection
+    * fine-tuning move of Zelikman et al.'s STaR and Yuan et al. 2023):
+    * samples sharing a prompt vote on their extracted answer, the
+    * majority answer wins, and only samples agreeing with the majority
+    * survive into the training set. Deterministic stand-ins on the
+    * fixture: a prompt group is a salted hash bucket of doc_id, and a
+    * sample's "extracted answer" is its modal token (highest count,
+    * ties to the lexicographically smallest token) — the shape of
+    * answer extraction without a parser. Per prompt: sample count,
+    * distinct answers, the majority answer (ties to the smallest
+    * answer), agreeing-sample count and the agreement ratio — the
+    * filter keeps exactly `n_agree` samples per prompt.
+    *
+    * Scale: token mode is one (doc, token) hash aggregation + a rank-1
+    * window per doc; the vote is the same pair on (prompt, answer) —
+    * four key-compact shuffles, all corpus-linear, no driver state. */
+  def selfConsistency(documents: DataFrame, nPrompts: Int = 64,
+                      salt: String = "cons1"): DataFrame = {
+    require(nPrompts >= 1, s"nPrompts must be positive, got $nPrompts")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("tok").asc)
+    val answers = documents
+      .select(col("doc_id"),
+        Sampling.hashBucket(
+          concat(lit(s"$salt:"), col("doc_id").cast("string")), nPrompts).as("p"),
+        explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("p"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("p"), col("tok").as("answer"))
+    val wPrompt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p")).orderBy(col("votes").desc, col("answer").asc)
+    val majority = answers.groupBy(col("p"), col("answer"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(wPrompt))
+    val stats = majority.groupBy(col("p"))
+      .agg(sum(col("votes")).as("n_samples"),
+        count(lit(1)).as("n_distinct_answers"))
+    majority.filter(col("rn") === 1)
+      .select(col("p"), col("answer").as("majority_answer"),
+        col("votes").as("n_agree"))
+      .join(stats, Seq("p"))
+      .select(col("p"), col("n_samples"), col("n_distinct_answers"),
+        col("majority_answer"), col("n_agree"),
+        portableRound(col("n_agree").cast("double") / col("n_samples"), 6)
+          .as("agreement_ratio"))
+  }
 }

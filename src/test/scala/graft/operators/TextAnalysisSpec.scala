@@ -819,4 +819,87 @@ class TextAnalysisSpec extends SparkTestBase {
         s"label ${r.getLong(0)}: $issues issues of $n docs — CL should flag a minority")
     }
   }
+
+  test("wm1 on the fixture: detection equals ground truth, natural text reads ~gamma") {
+    val rows = graft.Queries.all("wm1_watermark_detect")(spark, sf0001).collect()
+    assert(rows.length == 500)
+    // no false positives: every detected doc is a planted one
+    rows.filter(_.getAs[Boolean]("detected"))
+      .foreach(r => assert(r.getAs[Boolean]("planted"),
+        s"natural doc ${r.getLong(0)} flagged: z=${r.getAs[Double]("z_score")}"))
+    // full recall on detectable plants (enough tokens to test)
+    val plantedBig = rows.filter(r =>
+      r.getAs[Boolean]("planted") && r.getAs[Long]("n_tokens") >= 8)
+    assert(plantedBig.nonEmpty)
+    plantedBig.foreach { r =>
+      assert(r.getAs[Boolean]("detected"), s"planted doc ${r.getLong(0)} missed")
+      // a green-only sampler's output is 100% green
+      assert(r.getAs[Double]("green_ratio") == 1.0, s"doc ${r.getLong(0)}")
+    }
+    // natural text reads FAR below the planted 1.0 (the fixture's ~31-token
+    // vocabulary realizes ~10% green token MASS under the 25% hash split —
+    // a finite-vocab draw; the z-test's H0 band still cleanly separates)
+    val natural = rows.filter(!_.getAs[Boolean]("planted"))
+    val meanRatio = natural.map(_.getAs[Double]("green_ratio")).sum / natural.length
+    assert(meanRatio > 0.01 && meanRatio < 0.4, s"natural mean green $meanRatio")
+    // z sign tracks the ratio against gamma on every row
+    rows.filter(_.getAs[Long]("n_tokens") >= 2).foreach { r =>
+      val (ratio, z) = (r.getAs[Double]("green_ratio"), r.getAs[Double]("z_score"))
+      if (ratio > 0.2500005) assert(z > 0.0, s"doc ${r.getLong(0)}")
+      if (ratio < 0.2499995) assert(z < 0.0, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("bestOfN: winner, exact micro-grid mean and uplift on a crafted pool") {
+    // one group: best = highest s6 with ties to the smallest doc_id;
+    // mean = floor((400000+900000+900000)/3 + 0.5)/1e6 = 0.733333
+    val scored = Seq((1L, 0.4), (2L, 0.9), (3L, 0.9)).toDF("doc_id", "s6")
+    val r = TextAnalysis.bestOfN(scored, nGroups = 1).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_candidates") == 3)
+    assert(r.head.getAs[Long]("best_doc_id") == 2L)
+    assert(r.head.getAs[Double]("best_score") == 0.9)
+    assert(math.abs(r.head.getAs[Double]("mean_score") - 0.733333) < 1e-9)
+    assert(math.abs(r.head.getAs[Double]("uplift") - 0.166667) < 1e-9)
+  }
+
+  test("bon1 on the fixture: best-of-n never loses to random selection") {
+    val rows = graft.Queries.all("bon1_best_of_n")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("best_score") >= r.getAs[Double]("mean_score"),
+        s"group ${r.getLong(0)}")
+      assert(r.getAs[Double]("uplift") >= 0.0, s"group ${r.getLong(0)}")
+      assert(r.getAs[Long]("n_candidates") >= 1)
+    }
+    // selection pressure is real on the fixture: some group's winner
+    // beats its pool mean by a visible margin
+    assert(rows.exists(_.getAs[Double]("uplift") > 0.05))
+  }
+
+  test("selfConsistency: modal answers, majority vote and tie rules, crafted") {
+    // answers: doc1 "a a b" -> a (count); doc2 "c a" -> a (tie, lexicographic);
+    // doc3 "b b c" -> b. Majority: a with 2 of 3 votes.
+    val d = docsDF(doc(1, "a a b"), doc(2, "c a"), doc(3, "b b c"))
+    val r = TextAnalysis.selfConsistency(d, nPrompts = 1).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_samples") == 3)
+    assert(r.head.getAs[Long]("n_distinct_answers") == 2)
+    assert(r.head.getAs[String]("majority_answer") == "a")
+    assert(r.head.getAs[Long]("n_agree") == 2)
+    assert(math.abs(r.head.getAs[Double]("agreement_ratio") - 0.666667) < 1e-9)
+  }
+
+  test("cons1 on the fixture: votes partition the corpus, ratios in (0,1]") {
+    val rows = graft.Queries.all("cons1_self_consistency")(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_samples")).sum == 500L)
+    rows.foreach { r =>
+      val (n, agree) = (r.getAs[Long]("n_samples"), r.getAs[Long]("n_agree"))
+      assert(agree >= 1 && agree <= n)
+      val ratio = r.getAs[Double]("agreement_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+      if (r.getAs[Long]("n_distinct_answers") == 1)
+        assert(agree == n, s"prompt ${r.getLong(0)}: unanimous must keep all")
+    }
+  }
 }

@@ -68,4 +68,28 @@ class ContinuationBillSpec extends SparkTestBase {
   test("mm5 is shuffle-free: synth projection + mapPartitions byte walk") {
     assert(billOf("mm5_audio_frames") == 0)
   }
+
+  test("wm1 is shuffle-free: greenness is an in-row filtered-array count") {
+    assert(billOf("wm1_watermark_detect") == 0)
+  }
+
+  test("bon1 pays the distill bill + the group window/rollup") {
+    // delta over the shared train-and-score prefix (cl1's discipline):
+    // what bon1 itself adds on top of scoring must stay the g-keyed
+    // window + rollup, not silently grow
+    val distill = ShuffleBill.measure(spark) {
+      val (scored, _) = graft.operators.TextAnalysis.distillHeldOutScores(
+        graft.Tables.documents(spark, sf0001).withColumn("y",
+          (org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")) > 100).cast("double")))
+      scored.collect()
+    }
+    assert(billOf("bon1_best_of_n") - distill == 2)
+  }
+
+  test("cons1 pays the two vote rounds: mode per doc, majority per prompt") {
+    // (doc,p,tok) count + doc-keyed rank window, then (p,answer) votes +
+    // p-keyed rank window + the stats/top join-back on p
+    assert(billOf("cons1_self_consistency") == 5)
+  }
 }
