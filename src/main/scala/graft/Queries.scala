@@ -3052,6 +3052,20 @@ object Queries {
        |       floor(CAST(sum(bin_tokens) AS DOUBLE) / (count(*) * 128.0) * 1000000 + 0.5) / 1000000 AS mean_fill
        |FROM bins GROUP BY shard""".stripMargin
 
+  /** ST20 — the streaming SFT packer
+    * ([[graft.streaming.SftPackStream]]): release3's gate → assembly →
+    * no-straddle pack → per-shard card as a foreachBatch job over an
+    * ord-range 3-batch replay, per-shard packer state carried as two
+    * longs (open bin + fill). The converged card must equal release3's
+    * batch card EXACTLY — it shares release3's DuckDB oracle verbatim
+    * (the st18/st19 discipline applied to the SFT leg). */
+  val st20StreamSft: Q = (s, d) => {
+    val gated = Tables.documents(s, d).filter(corpusReasonExpr === "ok")
+    val conv = Curation.sftAssemble(gated)
+      .select(col("doc_id"), col("n_tokens_used"), col("assistant_tokens"))
+    graft.streaming.SftPackStream.runSftPackOverFixture(s, conv)
+  }
+
   /** PAD1 — the sorted-batching padding audit
     * ([[graft.operators.Sampling.paddingAudit]]): pad tokens burned by
     * hash-order vs length-sorted batching (batch 8, within pack1-style
@@ -11415,6 +11429,7 @@ object Queries {
     "d13_span_keep_first" -> d13SpanKeepFirst,
     "d14_url_dedup" -> d14UrlDedup,
     "st19_stream_frontier" -> st19StreamFrontier,
+    "st20_stream_sft" -> st20StreamSft,
     "prep2_span_clean" -> prep2SpanClean,
     "prep3_full_curation" -> prep3FullCuration,
     "release1_training_release" -> release1TrainingRelease,
@@ -11746,6 +11761,7 @@ object Queries {
     "d13_span_keep_first" -> d13SpanKeepFirstSql,
     "d14_url_dedup" -> d14UrlDedupSql,
     "st19_stream_frontier" -> d14UrlDedupSql, // lattice merge is exact: batch oracle verbatim
+    "st20_stream_sft" -> release3SftReleaseSql, // ord-ordered fold is exact: batch oracle verbatim
     "prep2_span_clean" -> prep2SpanCleanSql,
     "prep3_full_curation" -> prep3FullCurationSql,
     "release1_training_release" -> release1TrainingReleaseSql,
