@@ -1633,6 +1633,53 @@ object Queries {
       |       CAST(bench_id AS BIGINT) AS top_bench_id, c AS top_cos
       |FROM h WHERE rn = 1""".stripMargin
 
+  /** BITEXT1 — margin-based parallel-pair mining
+    * ([[graft.operators.Similarity.marginMine]]): the multilingual
+    * curation op that mines translation pairs from two embedding
+    * spaces. The two "languages" are synthesized from the fixture (the
+    * d14/wm1 plant discipline): side A is the corpus as-is; on side B
+    * every vec_id % 5 == 0 vector is the SAME vector (the planted true
+    * translation — an aligned encoder maps translations to nearby
+    * points) and every other vector is element-REVERSED (decorrelated —
+    * no translation exists). Planted pairs must surface as mutual top-1
+    * with cosine 1.0 and margin ≫ 1; `planted` rides along so the
+    * oracle pins mining against ground truth. */
+  val bitext1MarginMining: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val srcSide = e.select(col("vec_id").as("a_id"), col("embedding").as("emb"))
+    val tgtSide = e.select(col("vec_id").as("b_id"),
+      when(col("vec_id") % 5 === 0, col("embedding"))
+        .otherwise(reverse(col("embedding"))).as("emb"))
+    Similarity.marginMine(srcSide, tgtSide)
+      .withColumn("planted", col("a_id") === col("b_id") && col("a_id") % 5 === 0)
+  }
+
+  val bitext1MarginMiningSql: String = {
+    val avg = (rkCol: String, idCol: String) =>
+      s"""SELECT $idCol, floor(CAST(sum(CAST(floor(c * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 4 + 0.5) / 10000 AS avg_$idCol
+         |       FROM rk WHERE $rkCol <= 4 GROUP BY $idCol""".stripMargin
+    val margin = "floor(mu.c / ((avg_a_id + avg_b_id) / 2) * 1000000 + 0.5) / 1000000"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |a AS (SELECT vec_id AS a_id, emb AS ae FROM e),
+       |b AS (SELECT vec_id AS b_id,
+       |        CASE WHEN vec_id % 5 = 0 THEN emb ELSE list_reverse(emb) END AS be
+       |      FROM e),
+       |sc AS (SELECT a_id, b_id,
+       |         floor(list_cosine_similarity(ae, be) * 10000 + 0.5) / 10000 AS c
+       |       FROM a CROSS JOIN b),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rka,
+       |              row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) AS rkb
+       |       FROM sc),
+       |aa AS (${avg("rka", "a_id")}),
+       |bb AS (${avg("rkb", "b_id")}),
+       |mu AS (SELECT a_id, b_id, c FROM rk WHERE rka = 1 AND rkb = 1)
+       |SELECT mu.a_id, mu.b_id, mu.c AS cosine,
+       |  $margin AS margin,
+       |  $margin >= 1.2 AS mined,
+       |  mu.a_id = mu.b_id AND mu.a_id % 5 = 0 AS planted
+       |FROM mu JOIN aa USING (a_id) JOIN bb USING (b_id)""".stripMargin
+  }
+
   // ───────────────────────── similarity search ───────────────────────────
 
   /** Brute-force exact cosine top-k for a small query set. */
@@ -11377,6 +11424,7 @@ object Queries {
     "d6_production_gate" -> d6ProductionGate,
     "sim1_cosine_topk" -> sim1TopK,
     "lab1_knn_label_spread" -> lab1KnnLabelSpread,
+    "bitext1_margin_mining" -> bitext1MarginMining,
     "sim2_ann_lsh" -> sim2Ann,
     "sim2_ann_gate" -> sim2Gate,
     "sim2_production" -> sim2Production,
@@ -11713,6 +11761,7 @@ object Queries {
     "d6_production_gate" -> d6ProductionGateSql,
     "sim1_cosine_topk" -> sim1TopKSql,
     "lab1_knn_label_spread" -> lab1KnnLabelSpreadSql,
+    "bitext1_margin_mining" -> bitext1MarginMiningSql,
     "sim2_ann_gate" -> sim2GateSql,
     "sim2_production_gate" -> sim2ProductionGateSql,
     "sim3_ivf_gate" -> sim3GateSql,

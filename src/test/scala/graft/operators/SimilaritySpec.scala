@@ -599,4 +599,45 @@ class SimilaritySpec extends SparkTestBase {
     got.foreach(r => assert(r.getLong(1) == expected,
       s"tie must resolve to label $expected, got row $r"))
   }
+
+  test("marginMine: mutual top-1 + exact ratio margin on crafted orthogonals") {
+    // a1↔b1 and a2↔b2 are exact matches, everything else orthogonal:
+    // with k = 2 each side's neighborhood mean is (1.0 + 0.0)/2 = 0.5,
+    // so both mutual pairs score margin 1.0/0.5 = 2.0 and are mined
+    val a = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)))
+      .toDF("a_id", "emb")
+    val b = Seq((10L, Array(1f, 0f, 0f)), (20L, Array(0f, 1f, 0f)))
+      .toDF("b_id", "emb")
+    val got = Similarity.marginMine(a, b, k = 2).collect()
+      .map(r => r.getAs[Long]("a_id") -> r).toMap
+    assert(got.size == 2)
+    assert(got(1L).getAs[Long]("b_id") == 10L)
+    assert(got(2L).getAs[Long]("b_id") == 20L)
+    got.values.foreach { r =>
+      assert(r.getAs[Double]("cosine") == 1.0)
+      assert(math.abs(r.getAs[Double]("margin") - 2.0) < 1e-9)
+      assert(r.getAs[Boolean]("mined"))
+    }
+  }
+
+  test("bitext1 on the fixture: every planted translation mined, high band pure") {
+    val rows = graft.Queries.all("bitext1_margin_mining")(spark, sf0001).collect()
+    val planted = rows.filter(_.getAs[Boolean]("planted"))
+    // the plant puts every fifth vector identically on both sides: all
+    // 100 must surface as mutual top-1 with cosine 1.0 and be mined
+    assert(planted.length == 100, s"got ${planted.length} planted pairs")
+    planted.foreach { r =>
+      assert(r.getAs[Double]("cosine") == 1.0)
+      assert(r.getAs[Boolean]("mined"), s"planted pair ${r.getLong(1)} missed")
+    }
+    // margins separate: the WEAKEST true translation outscores the
+    // STRONGEST random mutual neighbor (measured band: ~1.8 vs ~1.37)
+    val unplanted = rows.filter(!_.getAs[Boolean]("planted"))
+    if (unplanted.nonEmpty) {
+      val minPlanted = planted.map(_.getAs[Double]("margin")).min
+      val maxRandom = unplanted.map(_.getAs[Double]("margin")).max
+      assert(minPlanted > maxRandom,
+        s"margin bands overlap: planted >= $minPlanted, random <= $maxRandom")
+    }
+  }
 }

@@ -87,6 +87,14 @@ class ContinuationBillSpec extends SparkTestBase {
     assert(billOf("bon1_best_of_n") - distill == 2)
   }
 
+  test("bitext1 pays exactly the two rank-window exchanges") {
+    // the cross score broadcasts (one side is always the smaller
+    // "language"); each direction's rank AND neighborhood sum share one
+    // partitioning, and the mutual filter + margin are in-row — the
+    // join-back form of the same op measured 6
+    assert(billOf("bitext1_margin_mining") == 2)
+  }
+
   test("cons1 pays the two vote rounds: mode per doc, majority per prompt") {
     // (doc,p,tok) count + doc-keyed rank window, then (p,answer) votes +
     // p-keyed rank window + the stats/top join-back on p
