@@ -1654,12 +1654,15 @@ object Queries {
       .withColumn("planted", col("a_id") === col("b_id") && col("a_id") % 5 === 0)
   }
 
-  val bitext1MarginMiningSql: String = {
-    val avg = (rkCol: String, idCol: String) =>
-      s"""SELECT $idCol, floor(CAST(sum(CAST(floor(c * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 4 + 0.5) / 10000 AS avg_$idCol
-         |       FROM rk WHERE $rkCol <= 4 GROUP BY $idCol""".stripMargin
-    val margin = "floor(mu.c / ((avg_a_id + avg_b_id) / 2) * 1000000 + 0.5) / 1000000"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  /** Shared CTE chain of the bitext1/bitext2_gate oracles: the exact
+    * cross-score → per-direction rank + top-4 neighborhood window sums
+    * (the operator's own two-exchange shape) → mutual-top-1 frame
+    * `mx(a_id, b_id, cosine, margin)`. */
+  private val bitextExactCtesSql: String = {
+    def gridMean(sumCol: String) =
+      s"floor(CAST($sumCol AS DOUBLE) / 4 + 0.5) / 10000"
+    val margin = s"floor(c / ((${gridMean("suma")} + ${gridMean("sumb")}) / 2) * 1000000 + 0.5) / 1000000"
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |a AS (SELECT vec_id AS a_id, emb AS ae FROM e),
        |b AS (SELECT vec_id AS b_id,
        |        CASE WHEN vec_id % 5 = 0 THEN emb ELSE list_reverse(emb) END AS be
@@ -1667,18 +1670,77 @@ object Queries {
        |sc AS (SELECT a_id, b_id,
        |         floor(list_cosine_similarity(ae, be) * 10000 + 0.5) / 10000 AS c
        |       FROM a CROSS JOIN b),
-       |rk AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rka,
+       |r1 AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rka,
        |              row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) AS rkb
        |       FROM sc),
-       |aa AS (${avg("rka", "a_id")}),
-       |bb AS (${avg("rkb", "b_id")}),
-       |mu AS (SELECT a_id, b_id, c FROM rk WHERE rka = 1 AND rkb = 1)
-       |SELECT mu.a_id, mu.b_id, mu.c AS cosine,
-       |  $margin AS margin,
-       |  $margin >= 1.2 AS mined,
-       |  mu.a_id = mu.b_id AND mu.a_id % 5 = 0 AS planted
-       |FROM mu JOIN aa USING (a_id) JOIN bb USING (b_id)""".stripMargin
+       |r2 AS (SELECT *,
+       |         sum(CASE WHEN rka <= 4 THEN CAST(floor(c * 10000 + 0.5) AS BIGINT) END)
+       |           OVER (PARTITION BY a_id) AS suma,
+       |         sum(CASE WHEN rkb <= 4 THEN CAST(floor(c * 10000 + 0.5) AS BIGINT) END)
+       |           OVER (PARTITION BY b_id) AS sumb
+       |       FROM r1),
+       |mx AS (SELECT a_id, b_id, c AS cosine, $margin AS margin
+       |       FROM r2 WHERE rka = 1 AND rkb = 1)""".stripMargin
   }
+
+  val bitext1MarginMiningSql: String =
+    s"""WITH $bitextExactCtesSql
+       |SELECT a_id, b_id, cosine, margin,
+       |  margin >= 1.2 AS mined,
+       |  a_id = b_id AND a_id % 5 = 0 AS planted
+       |FROM mx""".stripMargin
+
+  /** BITEXT2 — bitext1 through the LSH candidate stream
+    * ([[graft.operators.Similarity.marginMineAnn]]): the corpus-scale
+    * route (both "languages" are corpus-sized, so candidates come from
+    * a signature-keyed shuffle join, never a broadcast). Approximate by
+    * design (no oracle); [[bitext2Gate]] pins planted recovery and
+    * high-band recall. */
+  val bitext2Production: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val srcSide = e.select(col("vec_id").as("a_id"), col("embedding").as("emb"))
+    val tgtSide = e.select(col("vec_id").as("b_id"),
+      when(col("vec_id") % 5 === 0, col("embedding"))
+        .otherwise(reverse(col("embedding"))).as("emb"))
+    Similarity.marginMineAnn(srcSide, tgtSide, tables = 16)
+  }
+
+  /** Gate for bitext2_production: every planted translation must be
+    * mined by the ANN route with cosine 1.0 (identical vectors share
+    * every LSH bucket — a miss is structurally impossible, the gate
+    * proves it cross-engine), and recall of the exact arm's HIGH-margin
+    * band (margin ≥ 1.5 — the true-translation band; random mutual
+    * neighbors top out ~1.37 on the fixture) must clear 0.9.
+    * `n_planted`/`n_exact_high` anchor both engines. */
+  val bitext2Gate: Q = (s, d) => {
+    val ann = bitext2Production(s, d).filter(col("mined"))
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .localCheckpoint() // two consumers: mine ONCE
+    val exactHigh = bitext1MarginMining(s, d)
+      .filter(col("margin") >= 1.5).select(col("a_id"), col("b_id"))
+      .localCheckpoint() // two consumers: score ONCE
+    val hits = exactHigh
+      .join(ann.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val planted = Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("a_id"), col("vec_id").as("b_id"))
+    val plantedHits = planted
+      .join(ann.filter(col("cosine") === 1.0).select(col("a_id"), col("b_id")),
+        Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("p_hits"))
+    planted.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(exactHigh.agg(count(lit(1)).as("n_exact_high")))
+      .crossJoin(hits).crossJoin(plantedHits)
+      .select(col("n_planted"), col("n_exact_high"),
+        (col("hits") >= col("n_exact_high") * 0.9).as("recall_ok"),
+        (col("p_hits") === col("n_planted")).as("planted_ok"))
+  }
+
+  val bitext2GateSql: String =
+    s"""WITH $bitextExactCtesSql
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 = 0) AS n_planted,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM mx WHERE margin >= 1.5) AS n_exact_high,
+       |       true AS recall_ok, true AS planted_ok""".stripMargin
 
   // ───────────────────────── similarity search ───────────────────────────
 
@@ -11425,6 +11487,8 @@ object Queries {
     "sim1_cosine_topk" -> sim1TopK,
     "lab1_knn_label_spread" -> lab1KnnLabelSpread,
     "bitext1_margin_mining" -> bitext1MarginMining,
+    "bitext2_production" -> bitext2Production,
+    "bitext2_gate" -> bitext2Gate,
     "sim2_ann_lsh" -> sim2Ann,
     "sim2_ann_gate" -> sim2Gate,
     "sim2_production" -> sim2Production,
@@ -11762,6 +11826,9 @@ object Queries {
     "sim1_cosine_topk" -> sim1TopKSql,
     "lab1_knn_label_spread" -> lab1KnnLabelSpreadSql,
     "bitext1_margin_mining" -> bitext1MarginMiningSql,
+    // bitext2_production: approximate candidate stream, no_oracle by
+    // design — bitext2_gate is its hash-matched deterministic twin
+    "bitext2_gate" -> bitext2GateSql,
     "sim2_ann_gate" -> sim2GateSql,
     "sim2_production_gate" -> sim2ProductionGateSql,
     "sim3_ivf_gate" -> sim3GateSql,
@@ -11992,7 +12059,14 @@ object Queries {
     "mem1_ngram_novelty",
     // release3_sft_release: GUARD-PROTOCOL — the SFT ship line reachable
     // by the sweeps by name, release1's rationale verbatim
-    "release3_sft_release")
+    "release3_sft_release",
+    // bitext2_production: GUARD-PROTOCOL — the corpus-scale bitext
+    // mining route (signature-keyed candidate join + margin fold)
+    // reachable by the sweeps by name; bitext1's cross-score eval arm
+    // is the documented Θ(|A|·|B|) form and is NOT swept (pq2's
+    // precedent: the quadratic stays, measured, with this linear
+    // alternative shipped under the same gate pins)
+    "bitext2_production")
 
   /** The verify-tier SHIP-LINE compositions (never benched — every stage
     * keeps its own bench/guard row under the tier policy) whose physical

@@ -160,16 +160,25 @@ object Similarity {
   def marginMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
                  marginThresh: Double = 1.2): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    def micro4(c: Column) = floor(c * 10000.0 + 0.5).cast("long")
-    def gridMean(sumMicro: Column) =
-      floor(sumMicro.cast("double") / k + 0.5) / 10000.0
     val sc0 = src.select(col("a_id"), col("emb").as("ae"))
       .crossJoin(tgt.select(col("b_id"), col("emb").as("be")))
       .select(col("a_id"), col("b_id"),
         portableRound(cosine_similarity(col("ae"), col("be")), 4).as("c"))
+    marginFold(sc0, k, marginThresh)
+  }
+
+  /** The margin fold shared by [[marginMine]] (exact pair stream) and
+    * [[marginMineAnn]] (LSH candidate stream): per-direction rank and
+    * top-k neighborhood sum on ONE partitioning each, mutual-top-1
+    * filter and the ratio margin in-row — two exchanges total. */
+  private def marginFold(scored: DataFrame, k: Int,
+                         marginThresh: Double): DataFrame = {
+    def micro4(c: Column) = floor(c * 10000.0 + 0.5).cast("long")
+    def gridMean(sumMicro: Column) =
+      floor(sumMicro.cast("double") / k + 0.5) / 10000.0
     val wA = Window.partitionBy(col("a_id")).orderBy(col("c").desc, col("b_id").asc)
     val wB = Window.partitionBy(col("b_id")).orderBy(col("c").desc, col("a_id").asc)
-    val rk = sc0
+    val rk = scored
       .withColumn("rka", row_number().over(wA))
       .withColumn("suma", sum(when(col("rka") <= k, micro4(col("c"))))
         .over(Window.partitionBy(col("a_id"))))
@@ -181,6 +190,51 @@ object Similarity {
     rk.filter(col("rka") === 1 && col("rkb") === 1)
       .select(col("a_id"), col("b_id"), col("c").as("cosine"),
         margin.as("margin"), (margin >= marginThresh).as("mined"))
+  }
+
+  /** [[marginMine]] through the LSH candidate stream — the 100 TB route:
+    * both sides are corpus-sized ("two languages"), so candidates come
+    * from a signature-keyed SHUFFLE join (the d6 both-sides-big pattern,
+    * never a broadcast): multi-table sign-LSH signatures on side A join
+    * side B's hamming-`radius` probe expansions, id pairs dedup, and
+    * ONLY those pairs are scored. The margin fold is [[marginFold]]
+    * verbatim — neighborhood means are taken over each node's candidate
+    * list (the standard practical form: Artetxe & Schwenk's published
+    * recipe also margins over approximate k-nn lists). Approximate by
+    * design (no full oracle); the bitext2 gate pins planted-pair
+    * recovery and recall of the exact arm's high-margin band.
+    *
+    * Scale shape: Θ(n) signature streams, bucket-sized candidate
+    * groups under the plane/table design, Θ(candidates) scoring — the
+    * whole pipeline is id-and-signature compact until the final scored
+    * pairs. */
+  def marginMineAnn(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                    marginThresh: Double = 1.2, planes: Int = 6,
+                    dim: Int = 64, tables: Int = 8,
+                    radius: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val sigsA = src.select(col("a_id"),
+        posexplode(hyperplane_signatures(col("emb"), planes, dim, tables)))
+      .select(col("a_id"), col("pos").as("tbl"), col("col").as("sig"))
+    val probesB = tgt.select(col("b_id"),
+        posexplode(hyperplane_signatures(col("emb"), planes, dim, tables)))
+      .select(col("b_id"), col("pos").as("ptbl"), col("col").as("bsig"))
+      .select(col("b_id"), col("ptbl"),
+        explode(array(probeMasks(planes, radius).map(lit(_)): _*)).as("mask"),
+        col("bsig"))
+      .select(col("b_id"), col("ptbl"),
+        col("bsig").bitwiseXOR(col("mask")).as("probe_sig"))
+    val pairs = sigsA
+      .join(probesB, col("tbl") === col("ptbl") &&
+        col("sig") === col("probe_sig"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val scored = pairs
+      .join(src.select(col("a_id"), col("emb").as("ae")), "a_id")
+      .join(tgt.select(col("b_id"), col("emb").as("be")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        portableRound(cosine_similarity(col("ae"), col("be")), 4).as("c"))
+    marginFold(scored, k, marginThresh)
   }
 
   /** Semantic (embedding-level) benchmark decontamination — the vector

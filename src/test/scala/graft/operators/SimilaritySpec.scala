@@ -640,4 +640,12 @@ class SimilaritySpec extends SparkTestBase {
         s"margin bands overlap: planted >= $minPlanted, random <= $maxRandom")
     }
   }
+
+  test("bitext2 gate holds: ANN mining recovers every plant + the high band") {
+    val r = graft.Queries.all("bitext2_gate")(spark, sf0001).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_planted") == 100L)
+    assert(r.head.getAs[Boolean]("recall_ok"), s"high-band recall broke: ${r.head}")
+    assert(r.head.getAs[Boolean]("planted_ok"), s"a planted pair missed: ${r.head}")
+  }
 }
