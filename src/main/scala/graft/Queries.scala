@@ -1691,9 +1691,13 @@ object Queries {
        |FROM mx""".stripMargin
 
   /** BITEXT2 — bitext1 through the LSH candidate stream
-    * ([[graft.operators.Similarity.marginMineAnn]]): the corpus-scale
-    * route (both "languages" are corpus-sized, so candidates come from
-    * a signature-keyed shuffle join, never a broadcast). Approximate by
+    * ([[graft.operators.Similarity.marginMineAnnAuto]]): the
+    * corpus-scale route (both "languages" are corpus-sized, so
+    * candidates come from a signature-keyed shuffle join, never a
+    * broadcast), with the whole (planes, radius, tables) design
+    * cost-ranked at the 0.9 mining band — the 10× sweep caught two
+    * wrong designs on the way here (pinned planes: ~n²/2^planes rows;
+    * 0.8-design table compensation: 41× wall at 10×). Approximate by
     * design (no oracle); [[bitext2Gate]] pins planted recovery and
     * high-band recall. */
   val bitext2Production: Q = (s, d) => {
@@ -1702,7 +1706,7 @@ object Queries {
     val tgtSide = e.select(col("vec_id").as("b_id"),
       when(col("vec_id") % 5 === 0, col("embedding"))
         .otherwise(reverse(col("embedding"))).as("emb"))
-    Similarity.marginMineAnn(srcSide, tgtSide, tables = 16)
+    Similarity.marginMineAnnAuto(srcSide, tgtSide)
   }
 
   /** Gate for bitext2_production: every planted translation must be

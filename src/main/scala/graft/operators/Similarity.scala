@@ -208,6 +208,28 @@ object Similarity {
     * groups under the plane/table design, Θ(candidates) scoring — the
     * whole pipeline is id-and-signature compact until the final scored
     * pairs. */
+  /** [[marginMineAnn]] with the whole (planes, radius, tables) design
+    * cost-ranked by [[lshAutoPlan]] at the MINING band (`minCosine` —
+    * the cosine a true translation pair clears; 0.9 for an aligned
+    * encoder) — the form a pipeline calls. Two wrong designs measured
+    * on the way here, both caught by the 10× sweep: pinned planes read
+    * ~n²/2^planes candidate rows (the d6 lesson — 16 tables × hamming-1
+    * probes over n/64 buckets at 20k vectors), and [[autoLshDesign]]'s
+    * recall compensation at its 0.8 design cosine grew tables 22→55
+    * over the same decade (41× wall at 10× data). Mining only needs
+    * recall on the HIGH-cosine band — the margin threshold discards
+    * sub-band pairs anyway — and at 0.9 the cost-ranked plan holds
+    * 0.999 recall with single-digit tables; random mutual neighbors
+    * below the band may be missed by design. */
+  def marginMineAnnAuto(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                        marginThresh: Double = 1.2, dim: Int = 64,
+                        minCosine: Double = 0.9,
+                        targetRecall: Double = 0.999): DataFrame = {
+    val n = math.min(src.count(), tgt.count())
+    val (planes, radius, tables) = lshAutoPlan(n, minCosine, targetRecall)
+    marginMineAnn(src, tgt, k, marginThresh, planes, dim, tables, radius)
+  }
+
   def marginMineAnn(src: DataFrame, tgt: DataFrame, k: Int = 4,
                     marginThresh: Double = 1.2, planes: Int = 6,
                     dim: Int = 64, tables: Int = 8,

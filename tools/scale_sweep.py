@@ -216,6 +216,11 @@ SUBSET = [
     # card): release1's guard rationale for the instruct-data leg —
     # every stage individually linear, the fold per-shard sequential
     "release3_sft_release",
+    # round-15 continuation 2: the corpus-scale bitext-mining route —
+    # signature-keyed candidate join (both sides big) + the two-exchange
+    # margin fold; bitext1's exact cross-score arm is the documented
+    # Θ(|A|·|B|) eval form and is NOT swept (pq2's precedent)
+    "bitext2_production",
 ]
 
 # key columns offset per replica, by table: (column -> key-domain table)
