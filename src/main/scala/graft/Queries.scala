@@ -2655,7 +2655,11 @@ object Queries {
     graft.operators.Retrieval.ragAssembleContexts(ch.drop("doc_id"), qs)
   }
 
-  lazy val rag1ContextAssemblySql: String = {
+  /** Shared CTE chain of the rag1/faith1 oracles: chunk → featurize →
+    * score → rank → budget-pack, ending at the per-query frame
+    * `ragq(q_id, n_retrieved, n_in_context, context_tokens, hit_rank,
+    * context)`. */
+  private lazy val ragAssemblyCtesSql: String = {
     val dims = 16
     val bucket = md5BucketSql("tkn", dims)
     val fdefs = (0 until dims).map(j =>
@@ -2664,7 +2668,7 @@ object Queries {
     val dot = (1 to dims).map(j => s"c.f$j * q.f$j").mkString(" + ")
     val nc = (1 to dims).map(j => s"c.f$j * c.f$j").mkString(" + ")
     val nq = (1 to dims).map(j => s"q.f$j * q.f$j").mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |ch AS (SELECT doc_id, doc_id * 1000 + (start // 32) AS cid,
        |              CAST(least(32, len(tk) - start) AS BIGINT) AS n_tokens,
        |              array_to_string(list_slice(tk, start + 1, start + 32), ' ') AS chunk_text
@@ -2686,13 +2690,56 @@ object Queries {
        |       FROM sc),
        |tk3 AS (SELECT *, sum(n_tokens) OVER (PARTITION BY q_id ORDER BY rank
        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 48 AS in_ctx
-       |        FROM rk WHERE rank <= 3)
-       |SELECT q_id, count(*) AS n_retrieved,
+       |        FROM rk WHERE rank <= 3),
+       |ragq AS (SELECT q_id, count(*) AS n_retrieved,
        |       CAST(sum(CASE WHEN in_ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_in_context,
        |       CAST(sum(CASE WHEN in_ctx THEN n_tokens ELSE 0 END) AS BIGINT) AS context_tokens,
        |       CAST(max(CASE WHEN cid = true_cid THEN rank ELSE 0 END) AS BIGINT) AS hit_rank,
        |       string_agg(chunk_text, ' | ' ORDER BY rank) FILTER (WHERE in_ctx) AS context
-       |FROM tk3 GROUP BY q_id""".stripMargin
+       |FROM tk3 GROUP BY q_id)""".stripMargin
+  }
+
+  lazy val rag1ContextAssemblySql: String =
+    s"""WITH $ragAssemblyCtesSql
+       |SELECT * FROM ragq""".stripMargin
+
+  /** FAITH1 — RAG groundedness scoring
+    * ([[graft.operators.Retrieval.ragFaithfulness]]) over rag1's
+    * assembled contexts: answers are synthesized as the context's first
+    * 12 tokens plus 2 + q_id % 4 PLANTED hallucinated tokens, and the
+    * score is the fraction of answer 3-gram instances supported by the
+    * context — the eval a RAG product gates on and the filter a
+    * synthetic-data pipeline runs before keeping generated answers. */
+  val faith1RagGrounding: Q = (s, d) =>
+    graft.operators.Retrieval.ragFaithfulness(
+      rag1ContextAssembly(s, d).select(col("q_id"), col("context")))
+
+  lazy val faith1RagGroundingSql: String = {
+    val grounded = "len(list_filter(ag, g -> list_contains(cg, g)))"
+    val faith = s"floor(CAST($grounded AS DOUBLE) / len(ag) * 1000000 + 0.5) / 1000000"
+    s"""WITH $ragAssemblyCtesSql,
+       |ans AS (SELECT q_id,
+       |          array_to_string(list_slice(string_split(context, ' '), 1, 12), ' ')
+       |            || ' ' ||
+       |          array_to_string(['halluc_' || CAST(q_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+       |                           FOR i IN RANGE(0, 2 + q_id % 4)], ' ') AS answer,
+       |          context
+       |        FROM ragq),
+       |gr AS (SELECT q_id, string_split(answer, ' ') AS at,
+       |              string_split(context, ' ') AS ct
+       |       FROM ans),
+       |gg AS (SELECT q_id,
+       |         CAST(len(at) AS BIGINT) AS answer_tokens,
+       |         CAST(2 + q_id % 4 AS BIGINT) AS n_hallucinated,
+       |         [array_to_string(list_slice(at, i, i + 2), ' ') FOR i IN RANGE(1, len(at) - 1)] AS ag,
+       |         [array_to_string(list_slice(ct, i, i + 2), ' ') FOR i IN RANGE(1, len(ct) - 1)] AS cg
+       |       FROM gr)
+       |SELECT q_id, answer_tokens, n_hallucinated,
+       |       CAST(len(ag) AS BIGINT) AS n_answer_grams,
+       |       CAST($grounded AS BIGINT) AS n_grounded,
+       |       $faith AS faithfulness,
+       |       $faith >= 0.6 AS faithful
+       |FROM gg""".stripMargin
   }
 
   /** D10 — cross-document repeated-span detection (Lee et al. 2022): per
@@ -11514,6 +11561,7 @@ object Queries {
     "t10_corpus_filter" -> t10CorpusFilter,
     "chunk1_doc_chunks" -> chunk1DocChunks,
     "rag1_context_assembly" -> rag1ContextAssembly,
+    "faith1_rag_grounding" -> faith1RagGrounding,
     "d10_dup_spans" -> d10DupSpans,
     "dsir1_importance" -> dsir1Importance,
     "mix3_temperature_mix" -> mix3TemperatureMix,
@@ -11851,6 +11899,7 @@ object Queries {
     "t10_corpus_filter" -> t10CorpusFilterSql,
     "chunk1_doc_chunks" -> chunk1DocChunksSql,
     "rag1_context_assembly" -> rag1ContextAssemblySql,
+    "faith1_rag_grounding" -> faith1RagGroundingSql,
     "d10_dup_spans" -> d10DupSpansSql,
     "dsir1_importance" -> dsir1ImportanceSql,
     "mix3_temperature_mix" -> mix3TemperatureMixSql,

@@ -386,4 +386,49 @@ object Retrieval {
               struct(col("rank"), col("chunk_text"))))),
             s => s.getField("chunk_text")), " | ").as("context"))
   }
+
+  /** FAITH1 — RAG groundedness / faithfulness scoring: the fraction of a
+    * generated answer's n-gram instances supported by the retrieved
+    * context (the n-gram-support form of RAGAS faithfulness, Es et al.
+    * 2023, and of attributable-to-identified-sources, Rashkin et al.
+    * 2021) — the eval a RAG data product gates its outputs on, and the
+    * filter a synthetic-data pipeline runs before keeping
+    * model-generated answers. Expects (q_id, context); the ANSWER is
+    * synthesized deterministically (the conv1/wm1 plant discipline):
+    * the context's first 12 tokens (the grounded mass a faithful model
+    * would copy) plus 2 + q_id % 4 hallucinated tokens that appear
+    * nowhere in the context — so the measured faithfulness varies per
+    * query in a known band and ungrounded mass is planted, not assumed.
+    *
+    * Exactness: grams are [[graft.functions.shingle_hashes]] instances
+    * on both operands (the mem1 pattern: hash-counted in Spark,
+    * string-counted in the oracle — counts agree absent md5 collision);
+    * the ratio is one IEEE division, micro-rounded. Scale: in-row
+    * filtered-array arithmetic on the per-query frame — ZERO shuffles
+    * beyond the context assembly's own bill. */
+  def ragFaithfulness(contexts: DataFrame, n: Int = 3,
+                      faithfulThresh: Double = 0.6): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val noiseN = lit(2L) + col("q_id") % 4
+    val noise = array_join(transform(sequence(lit(0L), noiseN - 1),
+      i => concat(lit("halluc_"), col("q_id").cast("string"), lit("_"),
+        i.cast("string"))), " ")
+    val answer = concat(
+      array_join(slice(split(col("context"), " "), 1, 12), " "),
+      lit(" "), noise)
+    val withA = contexts.withColumn("answer", answer)
+      .withColumn("ag", graft.functions.shingle_hashes(col("answer"), n))
+      .withColumn("cg", graft.functions.shingle_hashes(col("context"), n))
+    val grounded = size(filter(col("ag"),
+      g => array_contains(col("cg"), g))).cast("long")
+    val faith = portableRound(
+      grounded.cast("double") / size(col("ag")), 6)
+    withA.select(col("q_id"),
+      size(split(col("answer"), " ")).cast("long").as("answer_tokens"),
+      (noiseN).cast("long").as("n_hallucinated"),
+      size(col("ag")).cast("long").as("n_answer_grams"),
+      grounded.as("n_grounded"),
+      faith.as("faithfulness"),
+      (faith >= faithfulThresh).as("faithful"))
+  }
 }

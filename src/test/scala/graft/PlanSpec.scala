@@ -74,10 +74,11 @@ class PlanSpec extends SparkTestBase {
     // the raw pair/neighbor lists of approximate operators are rows-only
     // by design; each is twinned with a full-oracle gate (d2_minhash_gate,
     // d6_lsh_gate, d6_production_gate, sim2_ann_gate, sim2_production_gate,
-    // sim3_ivf_gate, sim4_knn_gate, hn2_gate, pq2_adc_gate, pq3_batch_gate)
+    // sim3_ivf_gate, sim4_knn_gate, hn2_gate, pq2_adc_gate, pq3_batch_gate,
+    // bitext2_gate)
     val rowsOnly = Set("a4_distinct_hll", "d2_dedup_minhash", "sim2_ann_lsh", "sim3_ann_ivf", "d6_neardup_lsh", "src1_users_api", "sim4_knn_graph",
       "d6_production", "sim2_production", "hn2_production", "pq2_adc_search",
-      "pq2_production", "pq3_batch_join")
+      "pq2_production", "pq3_batch_join", "bitext2_production")
     val missing = Queries.all.keySet -- Queries.oracles.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle or skip-list entry: $missing")
   }

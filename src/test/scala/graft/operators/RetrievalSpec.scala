@@ -255,4 +255,44 @@ class RetrievalSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_in_context") == 1L)
     assert(r.getAs[Long]("context_tokens") == 10L)
   }
+
+  test("ragFaithfulness: exact gram support on crafted contexts") {
+    import spark.implicits._
+    // q_id 0: 2 planted halluc tokens; context "a b c d" -> answer
+    // "a b c d halluc_0_0 halluc_0_1" = 4 grams, exactly 2 grounded
+    // ("a b c", "b c d") -> faithfulness 0.5, below the 0.6 gate
+    val ctx = Seq((0L, "a b c d")).toDF("q_id", "context")
+    val r = Retrieval.ragFaithfulness(ctx).collect().head
+    assert(r.getAs[Long]("answer_tokens") == 6L)
+    assert(r.getAs[Long]("n_hallucinated") == 2L)
+    assert(r.getAs[Long]("n_answer_grams") == 4L)
+    assert(r.getAs[Long]("n_grounded") == 2L)
+    assert(r.getAs[Double]("faithfulness") == 0.5)
+    assert(!r.getAs[Boolean]("faithful"))
+    // q_id 1: 3 halluc tokens over a 14-token context -> 12-token core,
+    // 15-token answer, 13 grams, the 10 all-core grams grounded
+    val toks = (1 to 14).map(i => s"t$i").mkString(" ")
+    val r2 = Retrieval.ragFaithfulness(Seq((1L, toks)).toDF("q_id", "context"))
+      .collect().head
+    assert(r2.getAs[Long]("n_answer_grams") == 13L)
+    assert(r2.getAs[Long]("n_grounded") == 10L)
+    assert(math.abs(r2.getAs[Double]("faithfulness") - 0.769231) < 1e-9)
+    assert(r2.getAs[Boolean]("faithful"))
+  }
+
+  test("faith1 on the fixture: planted hallucination keeps scores inside (0,1)") {
+    val rows = graft.Queries.all("faith1_rag_grounding")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (g, n) = (r.getAs[Long]("n_grounded"), r.getAs[Long]("n_answer_grams"))
+      assert(g >= 0 && g <= n, s"q ${r.getLong(0)}")
+      val f = r.getAs[Double]("faithfulness")
+      // the planted halluc tail means NO answer is fully grounded; the
+      // 12-token copied core means none is fully hallucinated either
+      assert(f > 0.0 && f < 1.0, s"q ${r.getLong(0)}: $f")
+    }
+    // the gate separates on the fixture: most answers pass, some fail
+    val passFrac = rows.count(_.getAs[Boolean]("faithful")).toDouble / rows.length
+    assert(passFrac > 0.5, s"pass fraction $passFrac")
+  }
 }

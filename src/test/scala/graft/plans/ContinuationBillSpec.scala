@@ -87,6 +87,13 @@ class ContinuationBillSpec extends SparkTestBase {
     assert(billOf("bon1_best_of_n") - distill == 2)
   }
 
+  test("faith1 adds ZERO shuffles to rag1's bill: grounding is in-row") {
+    // the answer synthesis, gram sets and support counts are all
+    // filtered-array arithmetic on the per-query frame — rag1's one
+    // q_id top-k exchange is the whole bill
+    assert(billOf("faith1_rag_grounding") == 1)
+  }
+
   test("bitext1 pays exactly the two rank-window exchanges") {
     // the cross score broadcasts (one side is always the smaller
     // "language"); each direction's rank AND neighborhood sum share one
