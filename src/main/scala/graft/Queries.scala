@@ -2927,6 +2927,50 @@ object Queries {
        |FROM documents d JOIN r ON d.source = r.src
        |WHERE ${md5BucketSql("CAST(d.doc_id AS VARCHAR)")} < r.thresh""".stripMargin
 
+  /** CTX1 — long-context data mixing
+    * ([[graft.operators.Sampling.lengthMix]]): raise the long-document
+    * TOKEN share to 0.75 (the fixture reads ~0.6 naturally at
+    * longMin = 64, so the short-bucket downsampling genuinely bites) by
+    * the deterministic key-hash predicate; long docs never drop,
+    * nothing duplicates. Per length bucket: before/after docs+tokens,
+    * the keep rate and the achieved share — the accounting a
+    * long-context extension recipe publishes. */
+  val ctx1LengthMix: Q = (s, d) =>
+    graft.operators.Sampling.lengthMix(Tables.documents(s, d),
+      col("doc_id"), TextAnalysis.nTokensExpr)
+
+  val ctx1LengthMixSql: String = {
+    val hb = md5BucketSql("'ctx1:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH b AS (SELECT doc_id,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |             CASE WHEN len(string_split(text, ' ')) >= 64
+       |                  THEN 'long' ELSE 'short' END AS bucket,
+       |             CAST($hb AS BIGINT) AS hb
+       |           FROM documents),
+       |tot AS (SELECT sum(CASE WHEN bucket = 'long' THEN n_tok ELSE 0 END) AS long_tok,
+       |               sum(CASE WHEN bucket = 'short' THEN n_tok ELSE 0 END) AS short_tok
+       |        FROM b),
+       |th AS (SELECT CASE WHEN short_tok = 0 THEN 10000
+       |              ELSE least(10000, CAST(floor(CAST(long_tok AS DOUBLE) * (1.0 - 0.75)
+       |                     / (0.75 * CAST(short_tok AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) END AS thresh
+       |       FROM tot),
+       |f AS (SELECT b.*, thresh, (bucket = 'long' OR hb < thresh) AS kept
+       |      FROM b CROSS JOIN th),
+       |a AS (SELECT bucket, count(*) AS n_docs,
+       |             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       |             CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |             max(thresh) AS th
+       |      FROM f GROUP BY bucket),
+       |t2 AS (SELECT sum(kept_tokens) AS kt,
+       |              sum(CASE WHEN bucket = 'long' THEN kept_tokens ELSE 0 END) AS klt
+       |       FROM a)
+       |SELECT bucket, n_docs, n_tokens, kept_docs, kept_tokens,
+       |       CASE WHEN bucket = 'long' THEN 1.0 ELSE CAST(th AS DOUBLE) / 10000 END AS keep_rate,
+       |       ${portableRoundSql("CAST(klt AS DOUBLE) / kt", 6)} AS achieved_long_share
+       |FROM a CROSS JOIN t2""".stripMargin
+  }
+
   /** SHUF1 — deterministic epoch-shuffle manifest (epoch 1, 8 shards):
     * shard + dense within-shard position, both pure salted-md5 functions
     * of the key — the training order a 100 TB run READS instead of
@@ -11565,6 +11609,7 @@ object Queries {
     "d10_dup_spans" -> d10DupSpans,
     "dsir1_importance" -> dsir1Importance,
     "mix3_temperature_mix" -> mix3TemperatureMix,
+    "ctx1_length_mix" -> ctx1LengthMix,
     "shuf1_epoch_order" -> shuf1EpochOrder,
     "pack1_sequence_packing" -> pack1SequencePacking,
     "conv1_sft_assemble" -> conv1SftAssemble,
@@ -11903,6 +11948,7 @@ object Queries {
     "d10_dup_spans" -> d10DupSpansSql,
     "dsir1_importance" -> dsir1ImportanceSql,
     "mix3_temperature_mix" -> mix3TemperatureMixSql,
+    "ctx1_length_mix" -> ctx1LengthMixSql,
     "shuf1_epoch_order" -> shuf1EpochOrderSql,
     "pack1_sequence_packing" -> pack1SequencePackingSql,
     "conv1_sft_assemble" -> conv1SftAssembleSql,

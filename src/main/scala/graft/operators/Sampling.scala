@@ -194,6 +194,73 @@ object Sampling {
       .drop("_src", "_thresh")
   }
 
+  /** CTX1 — long-context data mixing: raise the share of TOKENS that come
+    * from long documents to `targetLongShare` by deterministically
+    * downsampling SHORT documents — the data-mix move of long-context
+    * extension recipes (continued pretraining on length-upsampled data;
+    * e.g. Fu et al. 2024 "Data Engineering for Scaling Language Models
+    * to 128K Context", Gao et al. 2024 ProLong — both resample the
+    * length distribution rather than synthesize long text). One-sided by
+    * design: long documents are never dropped and nothing is duplicated
+    * (mix4's stance) — if the corpus already meets the target the op is
+    * a no-op with the achieved share reported honestly.
+    *
+    * The short-bucket keep rate solves long/(long + r·short) = s exactly:
+    * r = long·(1−s)/(s·short), snapped to the 1e-4 hash grid, capped at
+    * 1; membership is the same pure key-hash predicate as every sampler
+    * here. Output: one row per length bucket with before/after doc and
+    * token counts, the keep rate, and the achieved long share.
+    *
+    * Scale shape: one corpus projection + one 2-row token-mass
+    * aggregate (broadcast back) + one bucket rollup — the flagged frame
+    * has two consumers folded into ONE aggregation (the rollup), and
+    * the achieved-share join-back runs on the 2-row frame
+    * (localCheckpoint'ed: Spark does not dedup cross-branch subplans —
+    * the pref1 lesson, paid here on 2 rows instead of the corpus). */
+  def lengthMix(documents: DataFrame, key: Column, nTokens: Column,
+                longMin: Long = 64, targetLongShare: Double = 0.75,
+                salt: String = "ctx1"): DataFrame = {
+    require(longMin >= 1, s"longMin must be positive, got $longMin")
+    require(targetLongShare > 0 && targetLongShare < 1,
+      s"targetLongShare in (0,1): $targetLongShare")
+    val base = documents.select(key.cast("string").as("k"),
+        nTokens.cast("long").as("n_tok"))
+      .withColumn("bucket",
+        when(col("n_tok") >= longMin, "long").otherwise("short"))
+      .withColumn("hb", hashBucket(concat(lit(s"$salt:"), col("k"))))
+    val tot = base.groupBy().agg(
+      sum(when(col("bucket") === "long", col("n_tok")).otherwise(0L))
+        .as("long_tok"),
+      sum(when(col("bucket") === "short", col("n_tok")).otherwise(0L))
+        .as("short_tok"))
+    val rRaw = col("long_tok").cast("double") * (1.0 - targetLongShare) /
+      (lit(targetLongShare) * col("short_tok").cast("double"))
+    val thresh = when(col("short_tok") === 0L, 10000L)
+      .otherwise(least(lit(10000L), floor(rRaw * 10000 + 0.5).cast("long")))
+    val flagged = base
+      .crossJoin(broadcast(tot.select(thresh.as("thresh"))))
+      .withColumn("kept",
+        col("bucket") === "long" || col("hb") < col("thresh"))
+    val agg = flagged.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+        max(col("thresh")).as("th"))
+      .localCheckpoint() // 2-row frame, two consumers below
+    val keptTot = agg.agg(
+      sum(col("kept_tokens")).as("kt"),
+      sum(when(col("bucket") === "long", col("kept_tokens")).otherwise(0L))
+        .as("klt"))
+    agg.crossJoin(broadcast(keptTot))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("kept_docs"), col("kept_tokens"),
+        when(col("bucket") === "long", 1.0)
+          .otherwise(col("th").cast("double") / 10000.0).as("keep_rate"),
+        graft.functions.portableRound(
+          col("klt").cast("double") / col("kt"), 6).as("achieved_long_share"))
+  }
+
   /** Deterministic epoch shuffle: the training-order manifest a pretraining
     * run reads instead of shuffling 100 TB at epoch start. Each row gets a
     * `shard` and a dense position within it, both pure functions of

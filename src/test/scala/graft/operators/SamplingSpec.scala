@@ -511,4 +511,42 @@ class SamplingSpec extends SparkTestBase {
     assert(s.getAs[Long]("real_tokens") == 10 && s.getAs[Long]("padded_tokens") == 12)
     assert(math.abs(s.getAs[Double]("pad_frac") - (1.0 - 10.0 / 12)) < 1e-6)
   }
+
+  test("lengthMix: exact short-bucket rate, long docs never drop, crafted") {
+    import spark.implicits._
+    // long mass 300, short mass 200, target 0.75 ->
+    // r = 300*(1-0.75)/(0.75*200) = 0.5 exactly (thresh 5000)
+    val docs = Seq(
+      (1L, Seq.fill(100)("w").mkString(" ")), (2L, Seq.fill(100)("w").mkString(" ")),
+      (3L, Seq.fill(100)("w").mkString(" ")),
+      (4L, Seq.fill(50)("w").mkString(" ")), (5L, Seq.fill(50)("w").mkString(" ")),
+      (6L, Seq.fill(50)("w").mkString(" ")), (7L, Seq.fill(50)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Sampling.lengthMix(docs, col("doc_id"),
+        size(split(col("text"), " ")), longMin = 64, targetLongShare = 0.75)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val lg = got("long"); val sh = got("short")
+    assert(lg.getAs[Long]("kept_docs") == 3 && lg.getAs[Long]("kept_tokens") == 300)
+    assert(lg.getAs[Double]("keep_rate") == 1.0)
+    assert(sh.getAs[Double]("keep_rate") == 0.5)
+    assert(sh.getAs[Long]("n_docs") == 4 && sh.getAs[Long]("kept_docs") <= 4)
+    // achieved share recomputed from the kept masses, micro-rounded
+    val kt = lg.getAs[Long]("kept_tokens") + sh.getAs[Long]("kept_tokens")
+    val expect = math.floor(300.0 / kt * 1e6 + 0.5) / 1e6
+    assert(lg.getAs[Double]("achieved_long_share") == expect)
+  }
+
+  test("ctx1 on the fixture: downsampling bites and lands near the 0.75 target") {
+    val rows = graft.Queries.all("ctx1_length_mix")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 2)
+    val lg = rows("long"); val sh = rows("short")
+    assert(lg.getAs[Long]("kept_docs") == lg.getAs[Long]("n_docs"),
+      "long docs must never drop")
+    assert(sh.getAs[Double]("keep_rate") < 1.0, "short downsampling must bite")
+    val share = lg.getAs[Double]("achieved_long_share")
+    // natural share is ~0.6; the rate snap keeps the landing within
+    // the hash-grid band of the target
+    assert(share > 0.7 && share < 0.8, s"achieved $share")
+  }
 }

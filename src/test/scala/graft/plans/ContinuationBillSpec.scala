@@ -87,6 +87,13 @@ class ContinuationBillSpec extends SparkTestBase {
     assert(billOf("bon1_best_of_n") - distill == 2)
   }
 
+  test("ctx1 pays the token-mass aggregate + the bucket rollup") {
+    // corpus pass 1: the 1-row long/short token-mass agg (broadcast
+    // back); corpus pass 2: the bucket rollup over the flagged frame;
+    // the achieved-share join-back runs on the checkpointed 2-row frame
+    assert(billOf("ctx1_length_mix") == 3)
+  }
+
   test("faith1 adds ZERO shuffles to rag1's bill: grounding is in-row") {
     // the answer synthesis, gram sets and support counts are all
     // filtered-array arithmetic on the per-query frame — rag1's one
