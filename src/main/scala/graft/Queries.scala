@@ -1746,6 +1746,42 @@ object Queries {
        |       (SELECT CAST(count(*) AS BIGINT) FROM mx WHERE margin >= 1.5) AS n_exact_high,
        |       true AS recall_ok, true AS planted_ok""".stripMargin
 
+  /** HUB1 — hubness audit of the embedding space
+    * ([[graft.operators.Similarity.hubnessAudit]]): the k-occurrence
+    * histogram (how many exact top-5 lists each vector appears in) with
+    * the distribution's moment skewness — the health check every kNN
+    * consumer (lab1, sim4, bitext mining) silently depends on; the
+    * margin in bitext1/2 exists precisely to cancel what this audit
+    * measures. */
+  val hub1Hubness: Q = (s, d) =>
+    Similarity.hubnessAudit(Tables.embeddings(s, d))
+
+  val hub1HubnessSql: String = {
+    val m = "CAST(s1 AS DOUBLE) / n"
+    val vr = s"CAST(s2 AS DOUBLE) / n - ($m) * ($m)"
+    val m3 = s"CAST(s3 AS DOUBLE) / n - 3.0 * ($m) * (CAST(s2 AS DOUBLE) / n) + 2.0 * ($m) * ($m) * ($m)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |         floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5) / 10000 AS c
+       |       FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |kn AS (SELECT n_id FROM (
+       |         SELECT q_id, n_id,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rk
+       |         FROM sc) t WHERE rk <= 5),
+       |occ AS (SELECT e.vec_id, COALESCE(k.cnt, 0) AS k_occ
+       |        FROM e LEFT JOIN (SELECT n_id, CAST(count(*) AS BIGINT) AS cnt
+       |                          FROM kn GROUP BY n_id) k ON k.n_id = e.vec_id),
+       |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(k_occ) AS BIGINT) AS s1,
+       |               CAST(sum(k_occ * k_occ) AS BIGINT) AS s2,
+       |               CAST(sum(k_occ * k_occ * k_occ) AS BIGINT) AS s3
+       |        FROM occ)
+       |SELECT k_occ, CAST(count(*) AS BIGINT) AS n_vectors,
+       |       ${portableRoundSql(m, 6)} AS mean_k_occ,
+       |       ${portableRoundSql(s"($m3) / pow($vr, 1.5)", 6)} AS skewness
+       |FROM occ CROSS JOIN mom GROUP BY k_occ, n, s1, s2, s3""".stripMargin
+  }
+
   // ───────────────────────── similarity search ───────────────────────────
 
   /** Brute-force exact cosine top-k for a small query set. */
@@ -2603,6 +2639,41 @@ object Queries {
       |       CAST(count(DISTINCT md5(nfc_normalize(text))) AS BIGINT) AS nfc_distinct,
       |       CAST(count(DISTINCT md5(text)) - count(DISTINCT md5(nfc_normalize(text))) AS BIGINT) AS extra_collapsed
       |FROM corpus""".stripMargin
+
+  /** SD1 — soft deduplication ([[graft.operators.Dedup.softDedup]]):
+    * duplicates reweighted (1/n_copies per content digest) instead of
+    * dropped — per source the raw vs EFFECTIVE token counts and the
+    * duplicated-mass fraction; eff_tokens is what budget1's epoch math
+    * should consume when the pipeline chooses reweighting over d1's
+    * hard drop. */
+  val sd1SoftDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("source"), col("text"))
+    // plant exact copies (the d15 discipline — the raw fixture has zero
+    // full-text duplicates): every 10th doc recurs once under a
+    // 'crawl_dup' source, the cross-source recrawl soft dedup reweights
+    val corpus = docs.unionByName(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 2)
+        .select(lit("crawl_dup").as("source"), col("text")))
+    Dedup.softDedup(corpus, col("text"), TextAnalysis.nTokensExpr,
+      col("source"))
+  }
+
+  val sd1SoftDedupSql: String = {
+    val micro = "CAST(floor(CAST(n_tok AS DOUBLE) / n_copies * 1000000 + 0.5) AS BIGINT)"
+    s"""WITH corpus AS (SELECT source, text FROM documents
+       |                UNION ALL
+       |                SELECT 'crawl_dup', text FROM documents WHERE doc_id % 10 = 2),
+       |b AS (SELECT source, md5(text) AS dg,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |           FROM corpus),
+       |c AS (SELECT *, count(*) OVER (PARTITION BY dg) AS n_copies FROM b)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(sum($micro) AS DOUBLE) / 1000000 AS eff_tokens,
+       |       CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |       ${portableRoundSql(s"1.0 - CAST(sum($micro) AS DOUBLE) / 1000000 / sum(n_tok)", 6)} AS dup_token_frac
+       |FROM c GROUP BY source""".stripMargin
+  }
 
   /** T9: Gopher-style repetition filter — duplicated-3-shingle fraction. */
   val t9Repetition: Q = (s, d) => TextAnalysis.repetition(Tables.documents(s, d))
@@ -11584,6 +11655,8 @@ object Queries {
     "bitext1_margin_mining" -> bitext1MarginMining,
     "bitext2_production" -> bitext2Production,
     "bitext2_gate" -> bitext2Gate,
+    "hub1_hubness" -> hub1Hubness,
+    "sd1_soft_dedup" -> sd1SoftDedup,
     "sim2_ann_lsh" -> sim2Ann,
     "sim2_ann_gate" -> sim2Gate,
     "sim2_production" -> sim2Production,
@@ -11926,6 +11999,8 @@ object Queries {
     // bitext2_production: approximate candidate stream, no_oracle by
     // design — bitext2_gate is its hash-matched deterministic twin
     "bitext2_gate" -> bitext2GateSql,
+    "hub1_hubness" -> hub1HubnessSql,
+    "sd1_soft_dedup" -> sd1SoftDedupSql,
     "sim2_ann_gate" -> sim2GateSql,
     "sim2_production_gate" -> sim2ProductionGateSql,
     "sim3_ivf_gate" -> sim3GateSql,

@@ -48,6 +48,42 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** SD1 — SOFT deduplication: reweight duplicates instead of dropping
+    * them (the reweighting alternative to [[exactByDigest]]'s hard drop
+    * — He et al., "SoftDedup: an Efficient Data Reweighting Method for
+    * Speeding Up Language Model Pre-training", ACL 2024: common data
+    * trains at down-weighted sampling probability, so no information is
+    * lost but duplicated mass stops dominating the gradient). Each doc
+    * weighs 1/n_copies of its content digest; the per-group EFFECTIVE
+    * token count Σ n_tok/n_copies is the number an epoch-budget planner
+    * (budget1) uses in place of the raw count.
+    *
+    * Exactness: per-doc weighted tokens fold as micro-unit BIGINTs
+    * (n_tok ≤ fixture cap, so the grid is lossless); the dup fraction is
+    * one IEEE division of grid values. Scale: copy counts ride ONE
+    * digest-keyed window (not a join-back — one corpus pass), then the
+    * group rollup: two compact-key shuffles, linear. */
+  def softDedup(documents: DataFrame, textCol: Column, nTokens: Column,
+                groupCol: Column): DataFrame = {
+    def micro(c: Column) = floor(c * 1000000.0 + 0.5).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+    val base = documents
+      .select(groupCol.as("source"), md5(textCol).as("digest"),
+        nTokens.cast("long").as("n_tok"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(micro(col("n_tok").cast("double") / col("n_copies"))).as("effm"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("effm").cast("double") / 1000000.0).as("eff_tokens"),
+        col("n_dup_docs"),
+        graft.functions.portableRound(lit(1.0) -
+          col("effm").cast("double") / 1000000.0 / col("n_tokens"), 6)
+          .as("dup_token_frac"))
+  }
+
   /** Exact-dedup run metrics, the reference's `dedup_removed` accounting
     * (users.js:65-79) generalized to a key: rows_in/rows_out/dedup_removed. */
   def exactMetrics(df: DataFrame, key: Column): DataFrame =

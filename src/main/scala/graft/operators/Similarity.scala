@@ -259,6 +259,63 @@ object Similarity {
     marginFold(scored, k, marginThresh)
   }
 
+  /** HUB1 — hubness audit of an embedding space (Radovanović, Nanopoulos
+    * & Ivanović, "Hubs in Space", JMLR 2010): the distribution of
+    * k-OCCURRENCE — how many other vectors' exact-cosine top-k lists a
+    * vector appears in (the in-degree of the kNN digraph). High positive
+    * skew means hub vectors dominate neighbor lists, which silently
+    * degrades every kNN consumer in this repo (lab1's votes, sim4's
+    * graph, bitext mining — hubness is exactly why marginMine's ratio
+    * margin exists; Artetxe & Schwenk normalize by the neighborhood mean
+    * to cancel it). Output: the k-occurrence histogram plus the mean
+    * (= k by construction: every vector emits k edges) and the
+    * moment skewness, both replicated per row for the oracle.
+    *
+    * Exactness: occurrence counts are integers; moments fold as exact
+    * BIGINT power sums (x ≤ n, x³·n fits a long through fixture scales —
+    * at ≥ ~100k vectors switch the sums to centered doubles), and the
+    * skew is IEEE arithmetic on those integers, micro-rounded. Scale:
+    * this registered form scores all pairs (the eval arm, bitext1's
+    * precedent); at corpus scale the kNN edges come from the ANN
+    * candidate stream (sim4's route) and everything from the in-degree
+    * count on is unchanged — one id-keyed count + one histogram rollup.
+    * The occ frame is localCheckpoint'ed: its two consumers (histogram,
+    * moments) must not re-run the quadratic scoring. */
+  def hubnessAudit(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val sc = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        portableRound(cosine_similarity(col("qe"), col("ne")), 4).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    val knn = sc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val occ = e.select(col("vec_id"))
+      .join(knn.groupBy(col("n_id")).agg(count(lit(1)).as("c")),
+        col("vec_id") === col("n_id"), "left")
+      .select(col("vec_id"), coalesce(col("c"), lit(0L)).as("k_occ"))
+      .localCheckpoint() // two consumers: never re-run the pair scoring
+    val mom = occ.agg(
+      count(lit(1)).as("n"),
+      sum(col("k_occ")).as("s1"),
+      sum(col("k_occ") * col("k_occ")).as("s2"),
+      sum(col("k_occ") * col("k_occ") * col("k_occ")).as("s3"))
+    val nD = col("n").cast("double")
+    val m = col("s1").cast("double") / nD
+    val variance = col("s2").cast("double") / nD - m * m
+    val m3 = col("s3").cast("double") / nD -
+      lit(3.0) * m * (col("s2").cast("double") / nD) + lit(2.0) * m * m * m
+    occ.groupBy(col("k_occ"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(mom))
+      .select(col("k_occ"), col("n_vectors"),
+        portableRound(m, 6).as("mean_k_occ"),
+        portableRound(m3 / pow(variance, 1.5), 6).as("skewness"))
+  }
+
   /** Semantic (embedding-level) benchmark decontamination — the vector
     * sibling of [[Curation.decontaminate]]'s n-gram form: flag every
     * corpus vector whose cosine to ANY benchmark vector clears `tau`.

@@ -475,4 +475,31 @@ class DedupSpec extends SparkTestBase {
     assert(hi.toSeq == Seq((107L, true), (117L, true), (127L, false),
       (137L, true), (147L, false)), hi.mkString(", "))
   }
+
+  test("softDedup: 1/n_copies reweighting, exact effective tokens, crafted") {
+    import spark.implicits._
+    // "w w" duplicated (weight 1/2 each) + unique "z": eff = 1+1+1 = 3
+    // of 5 raw tokens -> dup_token_frac 0.4 exactly
+    val docs = Seq((1L, "w w", "A"), (2L, "w w", "A"), (3L, "z", "A"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.softDedup(docs, col("text"),
+      size(split(col("text"), " ")), col("source")).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_docs") == 3)
+    assert(r.head.getAs[Long]("n_tokens") == 5)
+    assert(r.head.getAs[Double]("eff_tokens") == 3.0)
+    assert(r.head.getAs[Long]("n_dup_docs") == 2)
+    assert(math.abs(r.head.getAs[Double]("dup_token_frac") - 0.4) < 1e-9)
+  }
+
+  test("sd1 on the fixture: effective mass never exceeds raw, dups exist") {
+    val rows = graft.Queries.all("sd1_soft_dedup")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("eff_tokens") <= r.getAs[Long]("n_tokens").toDouble)
+      assert(r.getAs[Double]("dup_token_frac") >= 0.0)
+    }
+    // the fixture plants exact duplicates — soft dedup must see them
+    assert(rows.map(_.getAs[Long]("n_dup_docs")).sum > 0)
+  }
 }

@@ -641,6 +641,35 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("hubnessAudit: a crafted hub carries the k-occurrence mass, exact moments") {
+    // top-1 lists: a -> h, b -> h, h -> a  =>  k_occ: h 2, a 1, b 0.
+    // moments over [2,1,0]: mean 1, m3 = 3 - 5 + 2 = 0 -> skew 0
+    val e = Seq(
+      (1L, Array(1f, 0f)),        // h, the hub
+      (2L, Array(1f, 0.1f)),      // a
+      (3L, Array(1f, -0.2f)))     // b
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hubnessAudit(e, k = 1).collect()
+      .map(r => r.getAs[Long]("k_occ") -> r).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == 1)
+      assert(r.getAs[Double]("mean_k_occ") == 1.0)
+      assert(r.getAs[Double]("skewness") == 0.0)
+    }
+  }
+
+  test("hub1 on the fixture: occurrence mass conserved, mean is exactly k") {
+    val rows = graft.Queries.all("hub1_hubness")(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == 500L)
+    assert(rows.map(r => r.getAs[Long]("k_occ") * r.getAs[Long]("n_vectors")).sum
+      == 2500L, "every vector emits exactly k = 5 edges")
+    rows.foreach(r => assert(r.getAs[Double]("mean_k_occ") == 5.0))
+    // the uniform fixture should not be pathologically hubby
+    val skew = rows.head.getAs[Double]("skewness")
+    assert(skew > -3.0 && skew < 3.0, s"skew $skew")
+  }
+
   test("bitext2 gate holds: ANN mining recovers every plant + the high band") {
     val r = graft.Queries.all("bitext2_gate")(spark, sf0001).collect()
     assert(r.length == 1)

@@ -87,6 +87,15 @@ class ContinuationBillSpec extends SparkTestBase {
     assert(billOf("bon1_best_of_n") - distill == 2)
   }
 
+  test("sd1 pays the digest window + the source rollup") {
+    // copy counts ride ONE digest-keyed window (no join-back)
+    assert(billOf("sd1_soft_dedup") == 2)
+  }
+
+  test("hub1 pays rank window + in-degree + histogram/moments") {
+    assert(billOf("hub1_hubness") == 5)
+  }
+
   test("ctx1 pays the token-mass aggregate + the bucket rollup") {
     // corpus pass 1: the 1-row long/short token-mass agg (broadcast
     // back); corpus pass 2: the bucket rollup over the flagged frame;
