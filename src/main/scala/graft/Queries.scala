@@ -1782,6 +1782,54 @@ object Queries {
        |FROM occ CROSS JOIN mom GROUP BY k_occ, n, s1, s2, s3""".stripMargin
   }
 
+  /** BQ1 — binary (sign) quantization recall audit
+    * ([[graft.operators.Similarity.binaryHammingRecall]]): 64 sign bits
+    * per vector packed into two 32-bit words, candidates by XOR+popcount
+    * Hamming, and the recall of BOTH the raw Hamming top-5 and the
+    * exact-cosine rerank of the Hamming top-20 against the float top-5 —
+    * the emb5 audit at the 1-bit end of the compression axis, and the
+    * two-stage (code scan → float rerank) serving pattern binary vector
+    * indexes deploy. Fully deterministic → FULL oracle. */
+  val bq1BinaryHamming: Q = (s, d) =>
+    Similarity.binaryHammingRecall(Tables.embeddings(s, d))
+
+  val bq1BinaryHammingSql: String = {
+    def pack(off: Int) =
+      s"list_sum([CASE WHEN emb[j + $off] > 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END FOR j IN generate_series(1, 32)])"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cd AS (SELECT vec_id, emb, ${pack(0)} AS lo, ${pack(32)} AS hi FROM e),
+       |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.emb AS qe, c.emb AS ne,
+       |         bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS hamming
+       |       FROM cd q JOIN cd c ON q.vec_id <> c.vec_id
+       |       WHERE q.vec_id < 10),
+       |cand AS (SELECT * FROM (
+       |    SELECT q_id, n_id, qe, ne,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS hrank
+       |    FROM sc) t WHERE hrank <= 20),
+       |raw5 AS (SELECT q_id, n_id FROM cand WHERE hrank <= 5),
+       |rr AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY floor(list_cosine_similarity(qe, ne) * 10000 + 0.5) / 10000 DESC, n_id) AS crank
+       |    FROM cand) t WHERE crank <= 5),
+       |ex AS (SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 DESC, c.vec_id) AS rk
+       |    FROM e q JOIN e c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10) t
+       |  WHERE rk <= 5),
+       |hb AS (SELECT CAST(count(*) AS BIGINT) AS n_hits_binary
+       |       FROM ex JOIN raw5 USING (q_id, n_id)),
+       |hr AS (SELECT CAST(count(*) AS BIGINT) AS n_hits_reranked
+       |       FROM ex JOIN rr USING (q_id, n_id))
+       |SELECT (SELECT CAST(count(DISTINCT q_id) AS BIGINT) FROM ex) AS n_queries,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+       |       hb.n_hits_binary, hr.n_hits_reranked,
+       |       ${portableRoundSql("CAST(hb.n_hits_binary AS DOUBLE) / (SELECT count(*) FROM ex)", 4)} AS recall_binary,
+       |       ${portableRoundSql("CAST(hr.n_hits_reranked AS DOUBLE) / (SELECT count(*) FROM ex)", 4)} AS recall_reranked
+       |FROM hb CROSS JOIN hr""".stripMargin
+  }
+
   // ───────────────────────── similarity search ───────────────────────────
 
   /** Brute-force exact cosine top-k for a small query set. */
@@ -2673,6 +2721,114 @@ object Queries {
        |       CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
        |       ${portableRoundSql(s"1.0 - CAST(sum($micro) AS DOUBLE) / 1000000 / sum(n_tok)", 6)} AS dup_token_frac
        |FROM c GROUP BY source""".stripMargin
+  }
+
+  /** FK1 — Flesch–Kincaid readability histogram
+    * ([[graft.operators.TextAnalysis.readability]]) per (source, clamped
+    * integer grade bucket), with three PLANTED punctuated docs (the sd1
+    * in-query plant discipline): the raw fixture has no sentence
+    * punctuation — every fixture doc reads as ONE long sentence, which
+    * is itself the honest readability verdict on word-soup web text —
+    * so the plants are what exercise the sentence-count leg end to end,
+    * and their exact grades are spec-pinned. */
+  val fk1Readability: Q = (s, d) => {
+    import s.implicits._
+    val planted = Seq(
+      ("planted_punct", "the cat sat on the mat. the dog ran away! was it fun?"),
+      ("planted_punct", "short words read easily. yes indeed."),
+      ("planted_punct", "comprehensive experimental infrastructure requires extraordinary organizational discipline."))
+      .toDF("source", "text")
+    TextAnalysis.readability(
+      Tables.documents(s, d).select(col("source"), col("text"))
+        .unionByName(planted))
+  }
+
+  val fk1ReadabilitySql: String =
+    s"""WITH base AS (
+       |  SELECT source, text FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    ('planted_punct', 'the cat sat on the mat. the dog ran away! was it fun?'),
+       |    ('planted_punct', 'short words read easily. yes indeed.'),
+       |    ('planted_punct', 'comprehensive experimental infrastructure requires extraordinary organizational discipline.')
+       |  ) v(source, text)),
+       |m AS (SELECT source,
+       |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+       |  CAST(list_sum([greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))
+       |                 FOR w IN string_split(lower(text), ' ')]) AS DOUBLE) AS syll,
+       |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS DOUBLE) AS sents
+       |  FROM base),
+       |g AS (SELECT source,
+       |  ${portableRoundSql("0.39 * (words / sents) + 11.8 * (syll / words) - 15.59", 4)} AS grade,
+       |  ${portableRoundSql("206.835 - 1.015 * (words / sents) - 84.6 * (syll / words)", 4)} AS ease
+       |  FROM m)
+       |SELECT source,
+       |       CAST(least(18, greatest(0, floor(grade))) AS BIGINT) AS grade_bucket,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       ${portableRoundSql("CAST(sum(CAST(floor(grade * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 / count(*)", 4)} AS mean_grade,
+       |       ${portableRoundSql("CAST(sum(CAST(floor(ease * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 / count(*)", 4)} AS mean_ease
+       |FROM g GROUP BY source, least(18, greatest(0, floor(grade)))""".stripMargin
+
+  // 40-token language blocks shared by the cs1 query AND its oracle so
+  // the planted text is identical on both sides by construction
+  private val cs1EnBlock = Seq.fill(4)("the of and to in is on for with by").mkString(" ")
+  private val cs1ZhBlock = Seq.fill(4)(
+    "一 二 三 四 五 六 七 八 九 十").mkString(" ")
+
+  /** CS1 — code-switching / language-consistency audit
+    * ([[graft.operators.TextAnalysis.codeSwitch]]): t1's language
+    * heuristic applied per 40-token window, adjacent-window switches
+    * counted in-row — the signal that routes mixed-language docs a
+    * whole-doc lang-id mislabels. Fixture docs exercise the en↔und
+    * stop-ratio leg (the word-soup's stopword density fluctuates across
+    * windows); three PLANTED docs exercise the CJK leg with exact
+    * spec-pinned switch counts (en|zh|en → 2 switches). */
+  val cs1CodeSwitch: Q = (s, d) => {
+    import s.implicits._
+    val planted = Seq(
+      ("planted_switch", s"$cs1EnBlock $cs1ZhBlock $cs1EnBlock"),
+      ("planted_switch", s"$cs1EnBlock $cs1EnBlock"),
+      ("planted_switch", cs1ZhBlock))
+      .toDF("source", "text")
+    TextAnalysis.codeSwitch(
+      Tables.documents(s, d).select(col("source"), col("text"))
+        .unionByName(planted))
+  }
+
+  val cs1CodeSwitchSql: String = {
+    val stops = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+    def win = "t[(i*40+1):(i*40+40)]"
+    s"""WITH base AS (
+       |  SELECT source, text FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    ('planted_switch', '$cs1EnBlock $cs1ZhBlock $cs1EnBlock'),
+       |    ('planted_switch', '$cs1EnBlock $cs1EnBlock'),
+       |    ('planted_switch', '$cs1ZhBlock')
+       |  ) v(source, text)),
+       |w AS (SELECT source, string_split(text, ' ') AS t FROM base),
+       |c AS (SELECT source,
+       |  [CASE WHEN regexp_matches(array_to_string($win, ' '), '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |        WHEN CAST(len([x FOR x IN $win IF list_contains([$stops], x)]) AS DOUBLE)
+       |             / len($win) >= 0.08 THEN 'en'
+       |        ELSE 'und' END
+       |   FOR i IN RANGE(0, CAST(ceil(len(t) / 40.0) AS INT))] AS wl
+       |  FROM w),
+       |s AS (SELECT source,
+       |  CASE WHEN len(wl) >= 2
+       |       THEN CAST(len([j FOR j IN range(2, len(wl) + 1) IF wl[j] <> wl[j-1]]) AS BIGINT)
+       |       ELSE 0 END AS sw,
+       |  len(wl) >= 2 AS multi,
+       |  floor(CAST(list_max([len([x FOR x IN wl IF x = l]) FOR l IN ['en', 'zh', 'und']]) AS DOUBLE)
+       |        / len(wl) * 10000 + 0.5) / 10000 AS share
+       |  FROM c)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN multi THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_window,
+       |       CAST(sum(CASE WHEN sw >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_switched,
+       |       CAST(sum(sw) AS BIGINT) AS sum_switches,
+       |       ${portableRoundSql("CAST(sum(CAST(floor(share * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 / count(*)", 4)} AS mean_dominant_share
+       |FROM s GROUP BY source""".stripMargin
   }
 
   /** T9: Gopher-style repetition filter — duplicated-3-shingle fraction. */
@@ -6031,6 +6187,68 @@ object Queries {
       |  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node)
       |SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
       |FROM reach GROUP BY node""".stripMargin
+
+  /** CLQ1 — near-dup cluster purity audit
+    * ([[graft.operators.Dedup.clusterPurity]]): edge density, weakest
+    * edge and minimum member-pair jaccard of every d7 connected
+    * component — the chain-merge (transitive over-merge) check that
+    * says whether CC-based dedup glued genuinely-dissimilar docs
+    * through a chain. Replays d7's recursive-CTE components plus the
+    * accounting in DuckDB; `n_scored < n_possible` proves a
+    * zero-jaccard member pair without materializing cluster² pairs. */
+  val clq1ClusterPurity: Q = (s, d) =>
+    Dedup.clusterPurity(Tables.documents(s, d))
+
+  val clq1ClusterPuritySql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                        FOR i IN RANGE(1, len(t) - 1)]) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |j AS (SELECT a_id, b_id,
+      |             floor((CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter)) * 10000 + 0.5) / 10000 AS jac
+      |      FROM pairs
+      |      JOIN sz na ON na.doc_id = a_id
+      |      JOIN sz nb ON nb.doc_id = b_id),
+      |edges AS (SELECT a_id AS s, b_id AS d FROM j WHERE jac > 0.6
+      |          UNION ALL
+      |          SELECT b_id AS s, a_id AS d FROM j WHERE jac > 0.6),
+      |nodes AS (SELECT DISTINCT s AS node FROM edges),
+      |reach(node, lab) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node),
+      |lab AS (SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS rep
+      |        FROM reach GROUP BY node),
+      |sizes AS (SELECT rep, CAST(count(*) AS BIGINT) AS n_docs
+      |          FROM lab GROUP BY rep),
+      |wp AS (SELECT la.rep AS crep, j.jac
+      |       FROM j JOIN lab la ON la.doc_id = j.a_id
+      |              JOIN lab lb ON lb.doc_id = j.b_id
+      |       WHERE la.rep = lb.rep),
+      |ag AS (SELECT crep,
+      |         CAST(count(*) AS BIGINT) AS n_scored,
+      |         CAST(sum(CASE WHEN jac > 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_edges,
+      |         min(jac) AS min_scored,
+      |         min(CASE WHEN jac > 0.6 THEN jac END) AS min_edge_jac,
+      |         sum(CASE WHEN jac > 0.6 THEN CAST(floor(jac * 10000 + 0.5) AS BIGINT) ELSE 0 END) AS me
+      |       FROM wp GROUP BY crep)
+      |SELECT s.rep AS cluster_rep, s.n_docs,
+      |       CAST((s.n_docs * (s.n_docs - 1)) / 2 AS BIGINT) AS n_possible,
+      |       a.n_scored, a.n_edges,
+      |       floor(CAST(a.n_edges AS DOUBLE) / ((s.n_docs * (s.n_docs - 1)) / 2) * 10000 + 0.5) / 10000 AS edge_density,
+      |       CASE WHEN a.n_scored < (s.n_docs * (s.n_docs - 1)) / 2
+      |            THEN 0.0 ELSE a.min_scored END AS min_pair_jac,
+      |       a.min_edge_jac,
+      |       floor(CAST(a.me AS DOUBLE) / 10000 / a.n_edges * 10000 + 0.5) / 10000 AS mean_edge_jac,
+      |       a.n_edges < (s.n_docs * (s.n_docs - 1)) / 2 AS chained
+      |FROM sizes s JOIN ag a ON a.crep = s.rep""".stripMargin
 
   // ─────────────────────────── corpus curation ───────────────────────────
 
@@ -9481,6 +9699,50 @@ object Queries {
        |FROM own JOIN bb ON own.vec_id = bb.vec_id""".stripMargin
   }
 
+  /** SSP1 — self-supervised-prototype data pruning (Sorscher et al.
+    * 2022): kmeans1's lloyd chain, then per cluster KEEP the hardest
+    * 50% by prototype distance (the plentiful-data policy) — per-cluster
+    * sizes, keep-boundary distance, and micro-exact mean kept/dropped
+    * distances. Replays the full training + rank + accounting chain in
+    * DuckDB. See [[graft.operators.Similarity.prototypePrune]]. */
+  val ssp1PrototypePrune: Q = (s, d) =>
+    graft.operators.Similarity.prototypePrune(Tables.embeddings(s, d))
+
+  val ssp1PrototypePruneSql: String = {
+    def r9(x: String) = s"floor(($x) * 1000000000 + 0.5) / 1000000000"
+    val iters = 3
+    val nKept = "sum(CASE WHEN kept THEN 1 ELSE 0 END)"
+    s"""WITH ${lloydCtesSql(iters)},
+       |afin AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM (SELECT f.vec_id, c.cid,
+       |                 CAST(sum(CAST(${r9("(f.x - c.c) * (f.x - c.c)")} AS DECIMAL(28,9))) AS DOUBLE) AS dist
+       |          FROM f JOIN c$iters c USING (j) GROUP BY f.vec_id, c.cid) dd) rr
+       |  WHERE rn = 1),
+       |rd AS (SELECT vec_id, cid,
+       |         floor(dist * 1000000 + 0.5) / 1000000 AS dist,
+       |         CAST(floor(dist * 1000000 + 0.5) AS BIGINT) AS micro
+       |       FROM afin),
+       |rk AS (SELECT *,
+       |         row_number() OVER (PARTITION BY cid ORDER BY dist DESC, vec_id) AS rk,
+       |         count(*) OVER (PARTITION BY cid) AS n_vectors
+       |       FROM rd),
+       |kp AS (SELECT *,
+       |         rk <= CAST(ceil(CAST(n_vectors AS DOUBLE) * 0.5) AS BIGINT) AS kept
+       |       FROM rk)
+       |SELECT CAST(cid AS BIGINT) AS cid,
+       |       CAST(count(*) AS BIGINT) AS n_vectors,
+       |       CAST($nKept AS BIGINT) AS n_kept,
+       |       min(CASE WHEN kept THEN dist END) AS cut_dist,
+       |       ${portableRoundSql(s"CAST(sum(CASE WHEN kept THEN micro ELSE 0 END) AS DOUBLE) / 1000000 / $nKept", 6)} AS mean_kept,
+       |       CASE WHEN count(*) > $nKept
+       |            THEN ${portableRoundSql(s"CAST(sum(CASE WHEN NOT kept THEN micro ELSE 0 END) AS DOUBLE) / 1000000 / (count(*) - $nKept)", 6)}
+       |            END AS mean_dropped
+       |FROM kp GROUP BY cid""".stripMargin
+  }
+
   /** CORE1 — greedy k-center coreset (Gonzalez 1985 farthest-point
     * traversal) over the embeddings: the diversity-based data-SELECTION
     * leg of the curation family (kmeans1 averages toward density, d9
@@ -11657,6 +11919,11 @@ object Queries {
     "bitext2_gate" -> bitext2Gate,
     "hub1_hubness" -> hub1Hubness,
     "sd1_soft_dedup" -> sd1SoftDedup,
+    "fk1_readability" -> fk1Readability,
+    "cs1_code_switch" -> cs1CodeSwitch,
+    "clq1_cluster_purity" -> clq1ClusterPurity,
+    "bq1_binary_hamming" -> bq1BinaryHamming,
+    "ssp1_prototype_prune" -> ssp1PrototypePrune,
     "sim2_ann_lsh" -> sim2Ann,
     "sim2_ann_gate" -> sim2Gate,
     "sim2_production" -> sim2Production,
@@ -12001,6 +12268,11 @@ object Queries {
     "bitext2_gate" -> bitext2GateSql,
     "hub1_hubness" -> hub1HubnessSql,
     "sd1_soft_dedup" -> sd1SoftDedupSql,
+    "fk1_readability" -> fk1ReadabilitySql,
+    "cs1_code_switch" -> cs1CodeSwitchSql,
+    "clq1_cluster_purity" -> clq1ClusterPuritySql,
+    "bq1_binary_hamming" -> bq1BinaryHammingSql,
+    "ssp1_prototype_prune" -> ssp1PrototypePruneSql,
     "sim2_ann_gate" -> sim2GateSql,
     "sim2_production_gate" -> sim2ProductionGateSql,
     "sim3_ivf_gate" -> sim3GateSql,

@@ -875,4 +875,64 @@ object Dedup {
         ca.as("containment_a"), cb.as("containment_b"),
         (ca >= threshold || cb >= threshold).as("contained"))
   }
+
+  /** CLQ1 — near-dup cluster purity audit: the chain-merge (transitive
+    * over-merge) check on [[duplicateClusters]]' connected components.
+    * CC-based dedup glues A–B–C into one cluster even when jaccard(A, C)
+    * is ~0 — the classic failure mode of transitive-closure near-dup at
+    * corpus scale (why production MinHash pipelines cap cluster sizes
+    * and audit their components). Per cluster (size ≥ 2): member and
+    * edge counts, edge density vs the clique bound, the weakest edge,
+    * the minimum over ALL member pairs (0 when some pair shares no
+    * shingle at all — the smoking gun of a pure chain merge), and a
+    * `chained` flag for any non-clique component.
+    *
+    * Determinism: jaccards on d4's 1e-4 grid, means as micro-unit
+    * BIGINTs, min/count exact — a FULL oracle replaying d7's recursive-
+    * CTE components plus the same accounting.
+    *
+    * Scale shape: the pair stream is d4's inverted-index candidate join
+    * (never all-pairs — only co-shingle pairs score); the CC is d7's
+    * O(log diameter) star contraction; the audit itself adds label
+    * joins keyed doc_id and one rollup keyed cluster_rep. In-cluster
+    * un-scored pairs are NOT materialized — `n_scored < n_possible`
+    * proves a zero-jaccard pair exists without generating it, so no
+    * cluster², however large the component. */
+  def clusterPurity(documents: DataFrame, n: Int = 3,
+                    minJaccard: Double = 0.6): DataFrame = {
+    // three consumers of the scored pair stream (edges for CC, the edge
+    // rollup, the within-cluster min): pin it once
+    val scored = ngramJaccardPairs(documents, n, 0.0).localCheckpoint()
+    val edges = scored.filter(col("jaccard") > minJaccard)
+    val clusters = duplicateClusters(edges).localCheckpoint()
+    val sizes = clusters.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"))
+    val la = clusters.select(col("doc_id").as("a_id"),
+      col("cluster_rep").as("rep_a"))
+    val lb = clusters.select(col("doc_id").as("b_id"),
+      col("cluster_rep").as("rep_b"))
+    val isEdge = col("jaccard") > minJaccard
+    val microJ = portableRound(col("jaccard") * 10000.0, 0).cast("long")
+    val agg = scored.join(la, "a_id").join(lb, "b_id")
+      .filter(col("rep_a") === col("rep_b"))
+      .select(col("rep_a").as("cluster_rep"), col("jaccard"))
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(isEdge, 1L).otherwise(0L)).as("n_edges"),
+        min(col("jaccard")).as("_min_scored"),
+        min(when(isEdge, col("jaccard"))).as("min_edge_jac"),
+        sum(when(isEdge, microJ)).as("_me"))
+    val nPoss = (col("n_docs") * (col("n_docs") - 1) / 2).cast("long")
+    sizes.join(agg, "cluster_rep")
+      .select(col("cluster_rep"), col("n_docs"),
+        nPoss.as("n_possible"), col("n_scored"), col("n_edges"),
+        portableRound(col("n_edges").cast("double") / nPoss, 4)
+          .as("edge_density"),
+        when(col("n_scored") < nPoss, 0.0).otherwise(col("_min_scored"))
+          .as("min_pair_jac"),
+        col("min_edge_jac"),
+        portableRound(col("_me").cast("double") / 10000.0 / col("n_edges"), 4)
+          .as("mean_edge_jac"),
+        (col("n_edges") < nPoss).as("chained"))
+  }
 }

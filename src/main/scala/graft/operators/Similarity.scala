@@ -316,6 +316,140 @@ object Similarity {
         portableRound(m3 / pow(variance, 1.5), 6).as("skewness"))
   }
 
+  /** BQ1 — binary (sign) quantization with Hamming candidate generation
+    * and exact rerank (Charikar, STOC 2002 sign-random-projection; the
+    * 1-bit end of the emb1/emb5 compression axis — 32× smaller than
+    * int8, the "binary quantization" format production vector stores
+    * ship): code each vector as 64 sign bits packed into two 32-bit
+    * words, serve candidates by Hamming distance (XOR + popcount, pure
+    * integer ALU), and report BOTH recalls against the exact float
+    * top-`k` — the raw Hamming top-`k` and the Hamming top-`candK`
+    * after an exact-cosine RERANK — the two-stage serving pattern a
+    * binary index actually deploys (cheap code scan, float touch only
+    * on `candK` rows per query).
+    *
+    * Fully deterministic (sign bits, integer Hamming, 1e-4-grid
+    * cosines, every rank tie-breaking on n_id), so unlike the LSH gates
+    * this is a FULL oracle: DuckDB replays pack → XOR/popcount → both
+    * rankings → the intersections digit for digit.
+    *
+    * Scale shape: the code projection is one codegen'd pass (16
+    * bytes/vector of state); the query arm BROADCASTS ([[bruteForceTopK]]'s
+    * audit shape) so the corpus only streams; a production serve keeps
+    * codes in memory and reads float vectors for the rerank rows alone. */
+  def binaryHammingRecall(embeddings: DataFrame, nQueries: Int = 10,
+                          candK: Int = 20, k: Int = 5): DataFrame = {
+    require(candK >= k && k >= 1, s"need candK >= k >= 1: $candK, $k")
+    // sign bits of dims [start, start+32) packed little-endian into a
+    // non-negative long (two 32-bit words: no 2^63 overflow on either
+    // engine; XOR/popcount over two words is the same ALU count)
+    def packWord(start: Int): Column = aggregate(
+      transform(slice(col("embedding"), start, 32),
+        (x, i) => when(x > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+    val coded = embeddings
+      .select(col("vec_id"), col("embedding"),
+        packWord(1).as("code_lo"), packWord(33).as("code_hi"))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+    val scored = coded
+      .select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+        col("code_lo"), col("code_hi"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("qe"), col("ne"),
+        (bit_count(col("q_lo").bitwiseXOR(col("code_lo"))) +
+          bit_count(col("q_hi").bitwiseXOR(col("code_hi")))).as("hamming"))
+    val wH = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("n_id").asc)
+    val cand = scored.withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= candK)
+      .localCheckpoint() // two consumers: raw top-k arm + rerank arm
+    val rawTop = cand.filter(col("hrank") <= k)
+      .select(col("q_id"), col("n_id"))
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    val rerankTop = cand
+      .select(col("q_id"), col("n_id"),
+        portableRound(cosine_similarity(col("qe"), col("ne")), 4).as("cosine"))
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= k)
+      .select(col("q_id"), col("n_id"))
+    val exact = bruteForceTopK(embeddings,
+        embeddings.filter(col("vec_id") < nQueries), k)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint() // three consumers: totals + two intersections
+    val hitsRaw = exact.join(rawTop, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits_binary"))
+    val hitsRr = exact.join(rerankTop, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits_reranked"))
+    exact.agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(hitsRaw).crossJoin(hitsRr)
+      .select(col("n_queries"), col("n_exact"),
+        col("n_hits_binary"), col("n_hits_reranked"),
+        portableRound(col("n_hits_binary").cast("double") / col("n_exact"), 4)
+          .as("recall_binary"),
+        portableRound(col("n_hits_reranked").cast("double") / col("n_exact"), 4)
+          .as("recall_reranked"))
+  }
+
+  /** SSP1 — self-supervised-prototype data pruning (Sorscher et al.,
+    * NeurIPS 2022, "Beyond neural scaling laws: beating power law
+    * scaling via data pruning"): cluster the corpus with the kmeans1
+    * lloyd chain verbatim, score every example by the (squared L2)
+    * distance to its assigned prototype, and KEEP the hardest
+    * `keepFrac` of each cluster — the plentiful-data policy from the
+    * paper (far-from-prototype examples carry the most signal; the
+    * easy, prototypical mass is what a big-corpus pruning pass drops).
+    * Per-cluster accounting row: sizes, the keep-boundary distance, and
+    * micro-exact mean distances of the kept vs dropped halves — the
+    * audit that shows the pruned mass really was the prototypical mass.
+    *
+    * Determinism is [[lloydClusters]]' discipline end to end (decimal-grid
+    * distances, argmin/rank ties on ids), so the oracle replays the
+    * full training + rank + accounting chain — a FULL oracle, like
+    * kmeans1/sil1 and unlike the LSH gates.
+    *
+    * Scale shape: lloyd's bill (k×dim broadcast codebook per round, one
+    * data-sized shuffle per round) + ONE rank exchange keyed cid + the
+    * k-row rollup. The per-cluster exact rank is the oracle-pinned
+    * form; at 100 TB the keep boundary comes from a per-cluster KLL
+    * quantile (kll1's mergeable sketch) in one pass and the rank
+    * exchange disappears — same selection, sketch-approximate boundary. */
+  def prototypePrune(embeddings: DataFrame, k: Int = 4, iters: Int = 3,
+                     keepFrac: Double = 0.5): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1]: $keepFrac")
+    val (_, f, cents) = lloydFit(embeddings, k, iters)
+    val a = lloydAssign(f, cents)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        portableRound(col("dist"), 6).as("dist"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("dist").desc, col("vec_id").asc)
+    val ranked = a.withColumn("rk", row_number().over(w))
+      .localCheckpoint() // two consumers: cluster sizes + the keep split
+    val sizes = ranked.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val micro = portableRound(col("dist") * 1000000.0, 0).cast("long")
+    ranked.join(broadcast(sizes), "cid") // k rows — broadcast join-back
+      .withColumn("kept",
+        col("rk") <= ceil(col("n_vectors").cast("double") * keepFrac).cast("long"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("kept"), col("dist"))).as("cut_dist"),
+        sum(when(col("kept"), micro)).as("_mk"),
+        sum(when(!col("kept"), micro)).as("_md"))
+      .select(col("cid"), col("n_vectors"), col("n_kept"), col("cut_dist"),
+        portableRound(col("_mk").cast("double") / 1000000.0 / col("n_kept"), 6)
+          .as("mean_kept"),
+        when(col("n_vectors") > col("n_kept"),
+          portableRound(col("_md").cast("double") / 1000000.0 /
+            (col("n_vectors") - col("n_kept")), 6))
+          .otherwise(lit(null).cast("double")).as("mean_dropped"))
+  }
+
   /** Semantic (embedding-level) benchmark decontamination — the vector
     * sibling of [[Curation.decontaminate]]'s n-gram form: flag every
     * corpus vector whose cosine to ANY benchmark vector clears `tau`.

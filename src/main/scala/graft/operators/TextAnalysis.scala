@@ -140,6 +140,92 @@ object TextAnalysis {
         dupRatioExpr.as("dup_ratio"),
         (dupRatioExpr > maxDupRatio).as("flagged"))
 
+  /** FK1 — Flesch–Kincaid readability (Flesch 1948; Kincaid et al. 1975,
+    * the grade-level recalibration): grade = 0.39·(words/sentence) +
+    * 11.8·(syllables/word) − 15.59 and reading-ease = 206.835 −
+    * 1.015·(words/sentence) − 84.6·(syllables/word), computed with the
+    * deterministic heuristics an engine-side corpus filter actually
+    * runs: syllables(word) = max(1, maximal `[aeiouy]+` runs) and
+    * sentences = max(1, count of `.!?`). Educational-quality routing
+    * (the FineWeb-Edu-style proxy features) reads exactly this
+    * histogram — per (source, clamped integer grade bucket): doc count
+    * plus micro-exact mean grade and mean ease.
+    *
+    * Scale shape: one codegen'd projection (regexp counts over the
+    * token array — no UDF) + ONE map-side-combinable rollup keyed
+    * (source, bucket): bill 1 at any corpus size. */
+  def readability(documents: DataFrame): DataFrame = {
+    val words = size(toks).cast("double")
+    val syll = aggregate(
+      transform(split(lower(col("text")), " "),
+        w => greatest(lit(1), regexp_count(w, lit("[aeiouy]+")))),
+      lit(0L), (a, x) => a + x.cast("long")).cast("double")
+    val sents = greatest(lit(1), regexp_count(col("text"), lit("[.!?]")))
+      .cast("double")
+    val grade = portableRound(
+      lit(0.39) * (words / sents) + lit(11.8) * (syll / words) - lit(15.59), 4)
+    val ease = portableRound(
+      lit(206.835) - lit(1.015) * (words / sents) - lit(84.6) * (syll / words), 4)
+    def microMean(c: org.apache.spark.sql.Column) = portableRound(
+      sum(portableRound(c * 10000.0, 0).cast("long")).cast("double")
+        / 10000.0 / count(lit(1)), 4)
+    documents
+      .select(col("source"), grade.as("grade"), ease.as("ease"))
+      .groupBy(col("source"),
+        least(lit(18L), greatest(lit(0L), floor(col("grade"))))
+          .as("grade_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        microMean(col("grade")).as("mean_grade"),
+        microMean(col("ease")).as("mean_ease"))
+  }
+
+  /** CS1 — code-switching / language-consistency audit: classify each
+    * fixed 40-token window of a document with the t1 language heuristic
+    * (CJK codepoints → zh, stopword ratio ≥ 0.08 → en, else und) and
+    * count adjacent-window language SWITCHES — the doc-level signal a
+    * multilingual curation pipeline uses to route mixed-language
+    * documents (whole-doc lang-id mislabels them; language-pure training
+    * corpora drop or split them). Per source: doc counts, how many
+    * multi-window docs switch at all, total switches, and the
+    * micro-exact mean dominant-language share.
+    *
+    * Scale shape: entirely IN-ROW — the window langs, the adjacent
+    * comparison and the dominant share are array expressions over the
+    * token split (no explode, no per-window rows); the single exchange
+    * is the source rollup. Bill 1 at any corpus size. */
+  def codeSwitch(documents: DataFrame, window: Int = 40): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val t = split(col("text"), " ")
+    val nWin = ceil(size(t).cast("double") / window).cast("int")
+    def winLang(i: org.apache.spark.sql.Column) = {
+      val wt = slice(t, i * window + 1, lit(window))
+      val stopHits = size(filter(wt, w => w.isin(EnStopwords: _*)))
+      when(array_join(wt, " ").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+        .when(stopHits.cast("double") / size(wt) >= 0.08, "en")
+        .otherwise("und")
+    }
+    val wl = transform(sequence(lit(0), nWin - 1), i => winLang(i))
+    val switches = when(size(wl) >= 2,
+      size(filter(transform(sequence(lit(2), size(wl)),
+        j => element_at(wl, j) =!= element_at(wl, j - 1)), b => b)))
+      .otherwise(0).cast("long")
+    val domShare = portableRound(
+      array_max(transform(array(lit("en"), lit("zh"), lit("und")),
+        l => size(filter(wl, x => x === l)))).cast("double") / size(wl), 4)
+    documents
+      .select(col("source"), switches.as("sw"),
+        (size(wl) >= 2).as("multi"), domShare.as("share"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("multi"), 1L).otherwise(0L)).as("n_multi_window"),
+        sum(when(col("sw") >= 1, 1L).otherwise(0L)).as("n_switched"),
+        sum(col("sw")).as("sum_switches"),
+        portableRound(
+          sum(portableRound(col("share") * 10000.0, 0).cast("long"))
+            .cast("double") / 10000.0 / count(lit(1)), 4)
+          .as("mean_dominant_share"))
+  }
+
   /** CHUNK1 — RAG-style token-window chunking with overlap: every document
     * is split into `window`-token chunks starting every `stride` tokens
     * (stride < window ⇒ adjacent chunks share window−stride tokens; the

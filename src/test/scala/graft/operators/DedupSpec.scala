@@ -492,6 +492,47 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(r.head.getAs[Double]("dup_token_frac") - 0.4) < 1e-9)
   }
 
+  test("clusterPurity: a sliding chain is flagged as a chain merge") {
+    import spark.implicits._
+    // 10 docs, each a 10-token window of w1..w19 shifted by 1: adjacent
+    // jaccard 7/9 = 0.7778 (edges), gap-2 exactly 0.6 (no edge at >0.6),
+    // ends share no 3-shingle at all -> one 10-doc chain cluster with
+    // 9 edges, 42 of 45 pairs scored, min_pair_jac 0 (the unscored pair
+    // proves a zero-jaccard member pair without materializing it)
+    val docs = (0 until 10).map { i =>
+      (i.toLong + 1, (1 to 10).map(j => s"w${i + j}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = Dedup.clusterPurity(docs).collect()
+    assert(r.length == 1)
+    val c = r.head
+    assert(c.getAs[Long]("cluster_rep") == 1L)
+    assert(c.getAs[Long]("n_docs") == 10L)
+    assert(c.getAs[Long]("n_possible") == 45L)
+    assert(c.getAs[Long]("n_scored") == 42L)
+    assert(c.getAs[Long]("n_edges") == 9L)
+    assert(c.getAs[Double]("edge_density") == 0.2)
+    assert(c.getAs[Double]("min_pair_jac") == 0.0)
+    assert(c.getAs[Double]("min_edge_jac") == 0.7778)
+    assert(c.getAs[Double]("mean_edge_jac") == 0.7778)
+    assert(c.getAs[Boolean]("chained"))
+  }
+
+  test("clq1 on the fixture: planted near-dup clusters are pure cliques") {
+    val rows = graft.Queries.all("clq1_cluster_purity")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n >= 2)
+      assert(r.getAs[Long]("n_edges") >= n - 1, s"connected: $r")
+      assert(r.getAs[Double]("min_edge_jac") > 0.6)
+      assert(r.getAs[Double]("min_pair_jac") <= r.getAs[Double]("min_edge_jac"))
+      assert(r.getAs[Double]("edge_density") <= 1.0)
+    }
+    // the fixture's plants are tight copies — no chain merges expected
+    assert(rows.forall(!_.getAs[Boolean]("chained")),
+      "fixture clusters must be cliques")
+  }
+
   test("sd1 on the fixture: effective mass never exceeds raw, dups exist") {
     val rows = graft.Queries.all("sd1_soft_dedup")(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -670,6 +670,72 @@ class SimilaritySpec extends SparkTestBase {
     assert(skew > -3.0 && skew < 3.0, s"skew $skew")
   }
 
+  test("binaryHammingRecall: rerank recovers what raw Hamming ranks wrong") {
+    import spark.implicits._
+    // 64-dim crafted set, query = vec 0 (all +1):
+    //   v1 all +1            -> hamming 0, cosine 1.0
+    //   v2 dim0 flipped      -> hamming 1, cosine 62/64 = 0.9688
+    //   v3 same signs, mass on dim0 -> hamming 0 but cosine ~0.126
+    //   v4 dims 0-2 flipped  -> hamming 3, cosine 58/64 = 0.9063
+    // exact top-2 = {v1, v2}; raw Hamming top-2 = {v1, v3} (tie h=0,
+    // id asc) -> recall 0.5; rerank of the Hamming top-4 fixes it.
+    val ones = Array.fill(64)(1f)
+    def flip(n: Int) = ones.zipWithIndex.map { case (x, i) => if (i < n) -x else x }
+    val v3 = Array.tabulate(64)(i => if (i == 0) 100f else 0.01f)
+    val e = Seq((0L, ones), (1L, ones), (2L, flip(1)), (3L, v3), (4L, flip(3)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.binaryHammingRecall(e, nQueries = 1, candK = 4, k = 2)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_queries") == 1)
+    assert(r.head.getAs[Long]("n_exact") == 2)
+    assert(r.head.getAs[Double]("recall_binary") == 0.5)
+    assert(r.head.getAs[Double]("recall_reranked") == 1.0)
+  }
+
+  test("bq1 on the fixture: rerank never loses to raw Hamming") {
+    val r = graft.Queries.all("bq1_binary_hamming")(spark, sf0001).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_queries") == 10)
+    assert(r.head.getAs[Long]("n_exact") == 50)
+    val raw = r.head.getAs[Double]("recall_binary")
+    val rr = r.head.getAs[Double]("recall_reranked")
+    assert(raw >= 0.0 && raw <= 1.0 && rr >= 0.0 && rr <= 1.0)
+    assert(rr >= raw, s"rerank must not lose recall: raw=$raw reranked=$rr")
+  }
+
+  test("prototypePrune: keeps the hardest half of each planted cluster") {
+    import spark.implicits._
+    // two 4-vector clusters on a line; after 2 lloyd rounds the means
+    // are 0.15 and 10.15, so per cluster the boundary vectors (dist
+    // 0.15^2) are the kept "hard" half and the inner ones (0.05^2) drop
+    val e = Seq(0.0, 0.1, 0.2, 0.3, 10.0, 10.1, 10.2, 10.3).zipWithIndex
+      .map { case (x, i) => ((i + 1).toLong, Array(x, 0.0)) }
+      .toDF("vec_id", "embedding")
+    val r = Similarity.prototypePrune(e, k = 2, iters = 2, keepFrac = 0.5)
+      .collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_vectors") == 4)
+      assert(row.getAs[Long]("n_kept") == 2)
+      assert(row.getAs[Double]("cut_dist") == 0.0225)
+      assert(row.getAs[Double]("mean_kept") == 0.0225)
+      assert(row.getAs[Double]("mean_dropped") == 0.0025)
+    }
+  }
+
+  test("ssp1 on the fixture: prototypical mass is what drops") {
+    val rows = graft.Queries.all("ssp1_prototype_prune")(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == 500L)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vectors")
+      assert(r.getAs[Long]("n_kept") == (n + 1) / 2, s"ceil(n/2) kept: $r")
+      if (!r.isNullAt(r.fieldIndex("mean_dropped")))
+        assert(r.getAs[Double]("mean_kept") >= r.getAs[Double]("mean_dropped"),
+          s"kept must be the far-from-prototype half: $r")
+    }
+  }
+
   test("bitext2 gate holds: ANN mining recovers every plant + the high band") {
     val r = graft.Queries.all("bitext2_gate")(spark, sf0001).collect()
     assert(r.length == 1)

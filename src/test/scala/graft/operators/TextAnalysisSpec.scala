@@ -902,4 +902,76 @@ class TextAnalysisSpec extends SparkTestBase {
         assert(agree == n, s"prompt ${r.getLong(0)}: unanimous must keep all")
     }
   }
+
+  test("codeSwitch: window langs, switches and dominant share, crafted") {
+    import spark.implicits._
+    val en = Seq.fill(4)("the of and to in is on for with by").mkString(" ")
+    val un = Seq.fill(40)("xx").mkString(" ")
+    // doc1: en|und -> 1 switch, share 0.5; doc2: single und window
+    val docs = Seq(("s", s"$en $un"), ("s", "aa bb")).toDF("source", "text")
+    val r = TextAnalysis.codeSwitch(docs).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_docs") == 2)
+    assert(r.head.getAs[Long]("n_multi_window") == 1)
+    assert(r.head.getAs[Long]("n_switched") == 1)
+    assert(r.head.getAs[Long]("sum_switches") == 1)
+    // shares 0.5 and 1.0 -> micro mean 0.75
+    assert(r.head.getAs[Double]("mean_dominant_share") == 0.75)
+  }
+
+  test("cs1 plants: en|zh|en switches twice, zh alone never") {
+    val rows = graft.Queries.all("cs1_code_switch")(spark, sf0001).collect()
+    val p = rows.find(_.getAs[String]("source") == "planted_switch").get
+    assert(p.getAs[Long]("n_docs") == 3)
+    assert(p.getAs[Long]("n_multi_window") == 2)
+    assert(p.getAs[Long]("n_switched") == 1)
+    assert(p.getAs[Long]("sum_switches") == 2)
+    assert(p.getAs[Double]("mean_dominant_share") == 0.8889)
+    // fixture arm: shares are valid probabilities, switch counts bounded
+    val fx = rows.filter(_.getAs[String]("source") != "planted_switch")
+    assert(fx.map(_.getAs[Long]("n_docs")).sum == 500L)
+    fx.foreach { r =>
+      assert(r.getAs[Long]("n_switched") <= r.getAs[Long]("n_multi_window"))
+      val s = r.getAs[Double]("mean_dominant_share")
+      assert(s > 0.0 && s <= 1.0)
+    }
+  }
+
+  test("readability: exact FK grade and ease on a crafted doc") {
+    import spark.implicits._
+    // "aa bb": 2 words, 2 syllables (one vowel run each), 1 sentence
+    // (no punctuation -> clamped to 1):
+    //   grade = 0.39*2 + 11.8*1 - 15.59 = -3.01 -> bucket 0
+    //   ease  = 206.835 - 1.015*2 - 84.6 = 120.205
+    val docs = Seq(("web", "aa bb")).toDF("source", "text")
+    val r = TextAnalysis.readability(docs).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("grade_bucket") == 0L)
+    assert(r.head.getAs[Long]("n_docs") == 1L)
+    assert(r.head.getAs[Double]("mean_grade") == -3.01)
+    assert(r.head.getAs[Double]("mean_ease") == 120.205)
+  }
+
+  test("fk1 planted sentences land in their hand-computed grade buckets") {
+    // doc1: 13 words / 3 sentences / 14 syllables -> grade -1.1923 -> 0
+    // doc2:  6 words / 2 sentences /  9 syllables -> grade  3.28   -> 3
+    // doc3:  7 words / 1 sentence  / 33 syllables -> grade 42.7686 -> 18
+    val rows = graft.Queries.all("fk1_readability")(spark, sf0001).collect()
+      .filter(_.getAs[String]("source") == "planted_punct")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 3L)
+    assert(rows.map(_.getAs[Long]("grade_bucket")).toSet == Set(0L, 3L, 18L))
+    val b3 = rows.find(_.getAs[Long]("grade_bucket") == 3L).get
+    assert(b3.getAs[Double]("mean_grade") == 3.28)
+  }
+
+  test("fk1 fixture docs read as one long sentence: buckets are sane") {
+    val rows = graft.Queries.all("fk1_readability")(spark, sf0001).collect()
+      .filter(_.getAs[String]("source") != "planted_punct")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 500L)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("grade_bucket")
+      assert(b >= 0L && b <= 18L)
+      assert(r.getAs[Double]("mean_ease") <= 206.835)
+    }
+  }
 }

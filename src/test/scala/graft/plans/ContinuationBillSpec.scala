@@ -123,4 +123,42 @@ class ContinuationBillSpec extends SparkTestBase {
     // p-keyed rank window + the stats/top join-back on p
     assert(billOf("cons1_self_consistency") == 5)
   }
+
+  test("fk1 is one rollup: readability is a codegen'd projection") {
+    // grade/ease/syllables are regexp counts in-row; the only exchange
+    // is the (source, bucket) histogram aggregate
+    assert(billOf("fk1_readability") == 1)
+  }
+
+  test("bq1 pays the three rank windows + the recall accounting") {
+    // corpus-scale: the Hamming rank window and the exact-arm brute
+    // window (both q_id-keyed over the queries×corpus frame — the exact
+    // arm exists only because this is a recall AUDIT); candidate-scale:
+    // the rerank window plus the intersection joins and 1-row recall
+    // aggregates, all on ≤ queries×candK-row frames
+    assert(billOf("bq1_binary_hamming") == 9)
+  }
+
+  test("cs1 is one rollup: window langs and switches are in-row arrays") {
+    assert(billOf("cs1_code_switch") == 1)
+  }
+
+  test("clq1 adds the bounded audit exchanges to the d7 pair-stream + CC bill") {
+    // d7 (same pair stream + star-contraction CC) measures 13 at this
+    // SF; the audit adds the sizes aggregate, the within-cluster label
+    // join/rollup and the final cluster join — all keyed on cluster ids,
+    // never the corpus text. One label-side join is stats-adaptive on
+    // the checkpointed cluster frame's in-memory size (broadcast in a
+    // fresh session → 18, shuffle after a long session → 19; at corpus
+    // scale it is the shuffle form) — both are the same id-keyed plan
+    val b = billOf("clq1_cluster_purity")
+    assert(b == 18 || b == 19, s"audit bill drifted: $b")
+  }
+
+  test("ssp1 adds exactly rank + sizes + rollup to lloyd's bill") {
+    // kmeans1's training/assignment chain measures 11 at this SF; the
+    // pruning adds the cid-keyed rank window, the k-row sizes aggregate
+    // (broadcast back) and the per-cluster accounting rollup
+    assert(billOf("ssp1_prototype_prune") == 14)
+  }
 }
