@@ -7780,6 +7780,105 @@ object Queries {
       |       floor((CAST(sum(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_surprisal
       |FROM s GROUP BY doc_id""".stripMargin
 
+  /** TYPO1 — SymSpell-style spell-noise audit
+    * ([[graft.operators.TextAnalysis.spellNoise]]): rare tokens at edit
+    * distance 1 from a ≥10×-more-frequent token, with the best
+    * correction. The word-soup fixture is typo-free (31 clean tokens,
+    * every count ≥ fixture floor), so four PLANTED typo docs make the
+    * audit non-degenerate — deletion/insertion/substitution forms of
+    * table/query/window ("tble", "tablee", "tarle", "qery", "winow")
+    * plus the "zzz" decoy with no neighbor, all spec-pinned. */
+  val typo1SpellNoise: Q = (s, d) => {
+    import s.implicits._
+    val planted = Seq(
+      ("planted_typos", "tble tble tablee tarle zzz"),
+      ("planted_typos", "qery winow winow"))
+      .toDF("source", "text")
+    TextAnalysis.spellNoise(
+      Tables.documents(s, d).select(col("source"), col("text"))
+        .unionByName(planted))
+  }
+
+  val typo1SpellNoiseSql: String =
+    """WITH base AS (
+      |  SELECT text FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES ('tble tble tablee tarle zzz'),
+      |                        ('qery winow winow')) v(text)),
+      |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM base) t
+      |      GROUP BY 1),
+      |r AS (SELECT tok, cnt FROM v WHERE cnt <= 3),
+      |f AS (SELECT tok, cnt FROM v WHERE cnt >= 10),
+      |p AS (SELECT r.tok, r.cnt, f.tok AS ftok, f.cnt AS fcnt,
+      |        row_number() OVER (PARTITION BY r.tok
+      |          ORDER BY f.cnt DESC, f.tok) AS rn
+      |      FROM r JOIN f ON levenshtein(r.tok, f.tok) = 1
+      |                   AND f.cnt >= r.cnt * 10)
+      |SELECT tok AS token, cnt AS token_count,
+      |       ftok AS correction, fcnt AS correction_count
+      |FROM p WHERE rn = 1""".stripMargin
+
+  /** MINK1 — Min-K% Prob membership inference
+    * ([[graft.operators.TextAnalysis.minKMembership]]): the %7 held-in
+    * docs play the training set (members); the %7 held-out docs play
+    * external text, with every 5th token drifted to a novel "_x" form —
+    * the unseen-token mass a genuinely external document carries (the
+    * mem1/est1 synthesis discipline; without it the shared word-soup
+    * vocabulary makes member and non-member indistinguishable, which is
+    * itself the honest no-leakage reading). Reported per class: doc
+    * count, the Min-20% score, and the full-mean surprisal for
+    * contrast — the spec pins member < non-member on both, with the
+    * top-k gap the wider one. */
+  val mink1Membership: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val heldOut = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          (w, i) => when(i % 5 === 0, concat(w, lit("_x"))).otherwise(w)),
+          " ").as("text"))
+    val probe = train.select(col("doc_id"), col("text"))
+      .withColumn("is_member", lit(true))
+      .unionByName(heldOut.withColumn("is_member", lit(false)))
+    TextAnalysis.minKMembership(train, probe)
+  }
+
+  val mink1MembershipSql: String = {
+    val microMean = (c: String) =>
+      s"CAST(sum(CAST(floor($c * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 / count(*)"
+    s"""WITH train AS (SELECT text FROM documents WHERE doc_id % 7 <> 0),
+       |probe AS (
+       |  SELECT doc_id, true AS is_member, text FROM documents WHERE doc_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, false AS is_member,
+       |    array_to_string([CASE WHEN (i - 1) % 5 = 0 THEN t[i] || '_x' ELSE t[i] END
+       |                     FOR i IN RANGE(1, len(t) + 1)], ' ') AS text
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |        FROM documents WHERE doc_id % 7 = 0) h),
+       |c AS (SELECT tok, count(*) AS n_w
+       |      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM train) tt
+       |      GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total, count(*) AS v_size FROM c),
+       |tk AS (SELECT doc_id, is_member, unnest(string_split(text, ' ')) AS tok FROM probe),
+       |sr AS (SELECT doc_id, is_member,
+       |         CAST(floor((-ln(CAST(COALESCE(n_w, 0) + 1 AS DOUBLE)
+       |                          / CAST(n_total + v_size AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS m
+       |       FROM tk LEFT JOIN c USING (tok) CROSS JOIN tot),
+       |dd AS (SELECT doc_id, is_member,
+       |         list_sort(list(m), 'DESC') AS ms, count(*) AS n
+       |       FROM sr GROUP BY 1, 2),
+       |pd AS (SELECT is_member, CAST(ceil(n * 0.2) AS BIGINT) AS k, ms, n FROM dd),
+       |pm AS (SELECT is_member,
+       |         ${portableRoundSql("CAST(list_sum(ms[1:k]) AS DOUBLE) / k / 1000000", 4)} AS mink,
+       |         ${portableRoundSql("CAST(list_sum(ms) AS DOUBLE) / n / 1000000", 4)} AS fullm
+       |       FROM pd)
+       |SELECT is_member, CAST(count(*) AS BIGINT) AS n_docs,
+       |       ${portableRoundSql(microMean("mink"), 4)} AS mean_mink,
+       |       ${portableRoundSql(microMean("fullm"), 4)} AS mean_surprisal
+       |FROM pm GROUP BY is_member""".stripMargin
+  }
+
   /** PPL1 — CCNet-style perplexity partition (Wenzek et al. 2020): every
     * document bucketed head/middle/tail WITHIN its language by rank-exact
     * unigram-surprisal tertiles — the canonical crawl-quality partition
@@ -11921,6 +12020,8 @@ object Queries {
     "sd1_soft_dedup" -> sd1SoftDedup,
     "fk1_readability" -> fk1Readability,
     "cs1_code_switch" -> cs1CodeSwitch,
+    "mink1_membership" -> mink1Membership,
+    "typo1_spell_noise" -> typo1SpellNoise,
     "clq1_cluster_purity" -> clq1ClusterPurity,
     "bq1_binary_hamming" -> bq1BinaryHamming,
     "ssp1_prototype_prune" -> ssp1PrototypePrune,
@@ -12270,6 +12371,8 @@ object Queries {
     "sd1_soft_dedup" -> sd1SoftDedupSql,
     "fk1_readability" -> fk1ReadabilitySql,
     "cs1_code_switch" -> cs1CodeSwitchSql,
+    "mink1_membership" -> mink1MembershipSql,
+    "typo1_spell_noise" -> typo1SpellNoiseSql,
     "clq1_cluster_purity" -> clq1ClusterPuritySql,
     "bq1_binary_hamming" -> bq1BinaryHammingSql,
     "ssp1_prototype_prune" -> ssp1PrototypePruneSql,

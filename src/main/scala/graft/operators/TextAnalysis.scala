@@ -844,6 +844,109 @@ object TextAnalysis {
           count(lit(1)), 4).as("avg_surprisal"))
   }
 
+  /** TYPO1 — spell-noise audit via the SymSpell deletion-neighborhood
+    * join (Garbe's symmetric-delete algorithm): a RARE vocabulary token
+    * (count ≤ `rareMax`) is a typo candidate when a ≥ `ratio`×-more-
+    * frequent token (count ≥ `freqMin`) sits at edit distance exactly 1;
+    * report each with its best correction (highest count, ties
+    * lexicographic). The OCR/typo noise-rate signal a crawl-quality
+    * pipeline reads before deciding whether to normalize or drop.
+    *
+    * Scale shape: everything runs on the VOCAB frame (distinct tokens +
+    * counts), never the token stream — and candidates come from joining
+    * {token} ∪ its 1-deletion variants on both sides (a pair is at
+    * distance ≤ 1 iff those key sets intersect), then verifying with
+    * one `levenshtein` call per CANDIDATE. Vocab² never materializes:
+    * the join is keyed on deletion variants (|token|+1 keys per vocab
+    * row), which is how SymSpell makes spelling correction linear in
+    * vocabulary where the naive form is quadratic. The oracle checks
+    * the same SET via all-pairs `levenshtein` — same answer, the plan
+    * only the engine needs. */
+  def spellNoise(documents: DataFrame, rareMax: Long = 3,
+                 freqMin: Long = 10, ratio: Long = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = documents.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // two consumers: the rare and frequent sides
+    def withKeys(df: DataFrame, pre: String) = df.select(
+        col("tok").as(s"${pre}tok"), col("cnt").as(s"${pre}cnt"),
+        explode(array_distinct(concat(array(col("tok")),
+          transform(sequence(lit(1), length(col("tok"))),
+            i => concat(col("tok").substr(lit(1), i - 1),
+              col("tok").substr(i + 1, length(col("tok")))))))).as("k"))
+    val rare = withKeys(vocab.filter(col("cnt") <= rareMax), "r_")
+    val freq = withKeys(vocab.filter(col("cnt") >= freqMin), "f_")
+    val cand = rare.join(freq, "k")
+      .filter(col("r_tok") =!= col("f_tok") &&
+        col("f_cnt") >= col("r_cnt") * ratio)
+      .select(col("r_tok"), col("r_cnt"), col("f_tok"), col("f_cnt"))
+      .distinct()
+      .filter(levenshtein(col("r_tok"), col("f_tok")) === 1)
+    val w = Window.partitionBy(col("r_tok"))
+      .orderBy(col("f_cnt").desc, col("f_tok").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("r_tok").as("token"), col("r_cnt").as("token_count"),
+        col("f_tok").as("correction"), col("f_cnt").as("correction_count"))
+  }
+
+  /** MINK1 — Min-K% Prob membership inference (Shi et al., ICLR 2024):
+    * score every probe document by the mean surprisal of its `frac`
+    * most-surprising tokens under a model trained on `train` — members
+    * of the training set lack the high-surprisal outlier tokens an
+    * external document carries, so the top-k tail separates member from
+    * non-member far more sharply than the full mean (lm1's score, also
+    * reported for contrast). The probabilistic sibling of mem1's n-gram
+    * set novelty: same leakage question, likelihood- instead of
+    * membership-based. The "model" is lm1's add-1-smoothed unigram LM —
+    * the engine-replayable stand-in for the production LM; UNSEEN probe
+    * tokens take the -ln(1/(N+V)) ceiling (the left-join leg lm1's
+    * in-corpus scoring never needs).
+    *
+    * Determinism: surprisals on the 1e-6 grid as micro-unit BIGINTs,
+    * per-doc top-k by a sorted in-row array slice (tie order
+    * irrelevant to a sum), class means micro-exact — FULL oracle.
+    *
+    * Scale shape: the train-side term count (vocab-keyed, map-side
+    * combinable), the probe token join (vocab side broadcasts; flips
+    * to a tok-keyed shuffle join at real vocab scale), the per-doc
+    * rollup, and the 2-row class rollup. Per-doc state is one
+    * token-count-sized array — the same bound as the text itself. */
+  def minKMembership(train: DataFrame, probe: DataFrame,
+                     frac: Double = 0.2): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1]: $frac")
+    val counts = train.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
+    val totals = counts.agg(sum(col("n_w")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    val surp = portableRound(
+      -log((coalesce(col("n_w"), lit(0L)) + 1).cast("double")
+        / (col("n_total") + col("v_size")).cast("double")), 6)
+    val micro = portableRound(surp * 1000000.0, 0).cast("long")
+    val perDoc = probe
+      .select(col("doc_id"), col("is_member"), explode(toks).as("tok"))
+      .join(counts, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("is_member"), micro.as("m"))
+      .groupBy(col("doc_id"), col("is_member"))
+      .agg(sort_array(collect_list(col("m")), asc = false).as("ms"),
+        count(lit(1)).as("n"))
+      .withColumn("k", ceil(col("n") * frac).cast("int"))
+      .select(col("is_member"),
+        portableRound(
+          aggregate(slice(col("ms"), lit(1), col("k")), lit(0L), _ + _)
+            .cast("double") / col("k") / 1000000.0, 4).as("mink"),
+        portableRound(
+          aggregate(col("ms"), lit(0L), _ + _)
+            .cast("double") / col("n") / 1000000.0, 4).as("fullm"))
+    def microMean(c: org.apache.spark.sql.Column) = portableRound(
+      sum(portableRound(c * 10000.0, 0).cast("long")).cast("double")
+        / 10000.0 / count(lit(1)), 4)
+    perDoc.groupBy(col("is_member"))
+      .agg(count(lit(1)).as("n_docs"),
+        microMean(col("mink")).as("mean_mink"),
+        microMean(col("fullm")).as("mean_surprisal"))
+  }
+
   /** CCNet-style perplexity partition (Wenzek et al. 2020): bucket every
     * document into head / middle / tail WITHIN ITS LANGUAGE by
     * unigram-LM surprisal tertiles — the canonical crawl-quality

@@ -937,6 +937,63 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("spellNoise: deletion-neighborhood finds exactly the d1 pairs") {
+    import spark.implicits._
+    // aa x10 (frequent), ab x1 (substitution, d=1), xy x1 (d=2, decoy)
+    val docs = Seq(("s", (Seq.fill(10)("aa") ++ Seq("ab", "xy")).mkString(" ")))
+      .toDF("source", "text")
+    val r = TextAnalysis.spellNoise(docs).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("token") == "ab")
+    assert(r.head.getAs[Long]("token_count") == 1)
+    assert(r.head.getAs[String]("correction") == "aa")
+    assert(r.head.getAs[Long]("correction_count") == 10)
+  }
+
+  test("typo1 plants resolve to their corrections; the decoy stays out") {
+    val rows = graft.Queries.all("typo1_spell_noise")(spark, sf0001).collect()
+    val m = rows.map(r =>
+      r.getAs[String]("token") -> r.getAs[String]("correction")).toMap
+    assert(m == Map("tble" -> "table", "tablee" -> "table",
+      "tarle" -> "table", "qery" -> "query", "winow" -> "window"), m.toString)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("correction_count") >=
+        10 * r.getAs[Long]("token_count"), s"ratio gate: $r")
+    }
+  }
+
+  test("minKMembership: exact top-k surprisal split, crafted") {
+    import spark.implicits._
+    // train "a a a b": P(a)=(3+1)/6, P(b)=(1+1)/6, unseen=(0+1)/6
+    val train = Seq((0L, "a a a b")).toDF("doc_id", "text")
+    val probe = Seq((1L, true, "a b"), (2L, false, "z z"))
+      .toDF("doc_id", "is_member", "text")
+    val r = TextAnalysis.minKMembership(train, probe).collect()
+      .map(x => x.getAs[Boolean]("is_member") -> x).toMap
+    // member "a b": k = ceil(0.4) = 1 -> top token b = ln(3) = 1.0986;
+    // full mean (ln(1.5) + ln(3)) / 2 = 0.752
+    assert(r(true).getAs[Long]("n_docs") == 1)
+    assert(r(true).getAs[Double]("mean_mink") == 1.0986)
+    assert(r(true).getAs[Double]("mean_surprisal") == 0.752)
+    // non-member "z z": the unseen ceiling -ln(1/6) everywhere
+    assert(r(false).getAs[Double]("mean_mink") == 1.7918)
+    assert(r(false).getAs[Double]("mean_surprisal") == 1.7918)
+  }
+
+  test("mink1 on the fixture: the top-k tail separates membership") {
+    val rows = graft.Queries.all("mink1_membership")(spark, sf0001).collect()
+    assert(rows.length == 2)
+    val m = rows.find(_.getAs[Boolean]("is_member")).get
+    val n = rows.find(!_.getAs[Boolean]("is_member")).get
+    assert(m.getAs[Long]("n_docs") + n.getAs[Long]("n_docs") == 500L)
+    assert(m.getAs[Double]("mean_mink") < n.getAs[Double]("mean_mink"))
+    assert(m.getAs[Double]("mean_surprisal") < n.getAs[Double]("mean_surprisal"))
+    // the paper's point: the top-k gap is wider than the full-mean gap
+    assert(n.getAs[Double]("mean_mink") - m.getAs[Double]("mean_mink") >
+      n.getAs[Double]("mean_surprisal") - m.getAs[Double]("mean_surprisal"),
+      s"min-k must sharpen separation: member=$m nonmember=$n")
+  }
+
   test("readability: exact FK grade and ease on a crafted doc") {
     import spark.implicits._
     // "aa bb": 2 words, 2 syllables (one vowel run each), 1 sentence

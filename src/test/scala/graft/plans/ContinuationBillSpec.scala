@@ -155,6 +155,19 @@ class ContinuationBillSpec extends SparkTestBase {
     assert(b == 18 || b == 19, s"audit bill drifted: $b")
   }
 
+  test("typo1 runs on the vocab frame: count agg + candidate join + rank") {
+    // the deletion-neighborhood join and the per-token rank window run
+    // on vocab-sized frames; the only corpus-sized exchange is the term
+    // count itself
+    assert(billOf("typo1_spell_noise") == 3)
+  }
+
+  test("mink1 pays term counts + totals + doc rollup + class rollup") {
+    // the probe-token/vocab join broadcasts (vocab-sized; flips to a
+    // tok-keyed shuffle join at real vocab scale)
+    assert(billOf("mink1_membership") == 4)
+  }
+
   test("ssp1 adds exactly rank + sizes + rollup to lloyd's bill") {
     // kmeans1's training/assignment chain measures 11 at this SF; the
     // pruning adds the cid-keyed rank window, the k-row sizes aggregate
