@@ -49,18 +49,24 @@ object Bench {
           parts(0).trim -> parts(1).trim
         }.toMap).getOrElse(Map.empty)
     // retired rows (BASELINE.md tier policy) run only when explicitly
-    // named — a default full run measures the active wall alone
+    // named — a default full run measures the active wall alone. An
+    // explicit ONLY may also name any REGISTERED query (the scale
+    // sweeps measure verify-tier shapes without adding wall rows); the
+    // default run stays exactly the active bench wall.
     val benchable = Queries.benchNames ++ Queries.retiredBenchNames
     only.foreach { ns =>
-      val unknown = ns -- benchable.toSet
+      val unknown = ns -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY names not in benchNames: ${unknown.mkString(", ")}")
+        s"SPARK_GRAFT_BENCH_ONLY names not registered queries: ${unknown.mkString(", ")}")
     }
-    val names = benchable.filter(SparkEntry.queries.contains)
-      .filter(n => only match {
-        case Some(sel) => sel.contains(n)
-        case None      => !Queries.retiredBenchNames.contains(n)
-      })
+    val names = only match {
+      case Some(sel) =>
+        (benchable ++ (SparkEntry.queries.keySet -- benchable.toSet).toSeq.sorted)
+          .filter(sel.contains)
+      case None =>
+        benchable.filter(SparkEntry.queries.contains)
+          .filterNot(Queries.retiredBenchNames.contains)
+    }
     // warm every query shape at the smallest SF first: moves Janino codegen
     // compilation + JIT out of the measured runs (steady-state throughput is
     // what the 100 TB story depends on, not per-plan compile time)

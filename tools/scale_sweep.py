@@ -72,8 +72,17 @@ import tempfile
 # dip, 1.17 s) and 8.0x on the 3-rep isolated protocol (1.30 ->
 # 10.47 s; x10 absolute stable 10.5-12.0 s across every read since
 # r13) — denomination, not drift.
+# r15 continuation 3: cs1_code_switch joined the family at its first
+# sweep — its work is regexp scans (CJK probe, stopword membership)
+# over every window's text, so the "_k" suffix chars are real work:
+# 9.9x wall on 13.28x chars = 0.75x per unit char, sub-linear.
+# fk1_readability is the same family semantically (regexp syllable
+# runs over all chars) but read 4.1x — well inside the generic bound,
+# so it is NOT listed (the ADVICE-r14 rule: don't loosen a bound that
+# isn't needed).
 CHAR_MASS_BOUNDED = {"d12_span_removal", "chrf1_eval", "bleu1_eval",
-                     "wer1_eval", "d11_containment", "d10_dup_spans"}
+                     "wer1_eval", "d11_containment", "d10_dup_spans",
+                     "cs1_code_switch"}
 CHAR_BOUND_SLACK = 1.1
 
 # Second-decade (--x100) per-query bounds for CORPUS-PROPORTIONAL-BATCH
@@ -233,6 +242,15 @@ SUBSET = [
     # margin fold; bitext1's exact cross-score arm is the documented
     # Θ(|A|·|B|) eval form and is NOT swept (pq2's precedent)
     "bitext2_production",
+    # round-15 continuation 3 (verify-tier, not benched — swept for the
+    # shape evidence): the curation-audit batch
+    "fk1_readability",       # in-row regexp counts + one histogram rollup
+    "cs1_code_switch",       # in-row window-lang arrays + one rollup
+    "typo1_spell_noise",     # term count + vocab-sized deletion join
+    "mink1_membership",      # term count + vocab join + doc/class rollups
+    "bq1_binary_hamming",    # q_id Hamming window over queries x corpus
+    "ssp1_prototype_prune",  # lloyd rounds + cid rank (kmeans1's family)
+    "clq1_cluster_purity",   # d4 pair stream + d7 CC + id-keyed audit
 ]
 
 # key columns offset per replica, by table: (column -> key-domain table)
