@@ -26,18 +26,21 @@ object ExplainDump {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benchable = (Queries.benchNames ++ Queries.retiredBenchNames ++
       Queries.shipLineNames).distinct
+    // an explicit ONLY may name any REGISTERED query (the Bench ONLY
+    // rule: verify-tier plans are dumpable without joining the default
+    // set); the default dump stays bench rows + ship-line compositions
     only.foreach { names =>
-      val unknown = names -- benchable.toSet
+      val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names not in Queries.benchNames/shipLineNames: ${unknown.mkString(", ")}")
+        s"SPARK_GRAFT_ONLY names not registered queries: ${unknown.mkString(", ")}")
     }
-    // default dump = active bench rows + the ship-line compositions
-    // (whose committed plans are pinned artifacts even when a ship-line
-    // row also sits in retiredBenchNames for guard-protocol reach)
-    benchable.filter(n => only match {
+    val dumpable = (benchable ++
+      (SparkEntry.queries.keySet -- benchable.toSet).toSeq.sorted)
+    dumpable.filter(n => only match {
       case Some(sel) => sel.contains(n)
-      case None      => !Queries.retiredBenchNames.contains(n) ||
-        Queries.shipLineNames.contains(n)
+      case None      => benchable.contains(n) &&
+        (!Queries.retiredBenchNames.contains(n) ||
+          Queries.shipLineNames.contains(n))
     }).foreach { name =>
       // ship-line compositions materialize stage boundaries with eager
       // localCheckpoint, so their stage exchanges run at CONSTRUCTION

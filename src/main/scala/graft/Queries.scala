@@ -7780,6 +7780,76 @@ object Queries {
       |       floor((CAST(sum(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_surprisal
       |FROM s GROUP BY doc_id""".stripMargin
 
+  // canary candidate families, shared by the canary1 query AND its
+  // oracle: per insertion level k, 16 candidates of the same format —
+  // 4 family-shared prefix tokens + 2 per-candidate secret tokens; the
+  // TRUE canary (the one inserted k times) takes the LARGEST id so the
+  // k=0 all-tied family ranks it dead last (the honest negative
+  // control)
+  private val canaryFamilies: Seq[(Int, Int, Boolean, String)] =
+    for { k <- Seq(0, 1, 4, 16); j <- 0 until 16 } yield {
+      val text = s"cn${k}_p1 cn${k}_p2 cn${k}_p3 cn${k}_p4 s${k}_${j}_1 s${k}_${j}_2"
+      (k, j, j == 15, text)
+    }
+
+  /** CANARY1 — secret-sharer canary exposure
+    * ([[graft.operators.TextAnalysis.canaryExposure]]): the true
+    * canary of each k-family inserted k ∈ {0, 1, 4, 16} times into the
+    * train corpus, exposure/rank/margin measured against 15 controls.
+    * Under the unigram model rank is threshold-shaped (any k ≥ 1 →
+    * rank 1, the n-gram-memorization finding; k = 0 → rank 16 by the
+    * largest-id tie-break) and the k-dependence lives in the margin,
+    * which grows ≈ ln(k+1)/3 — all spec-pinned. */
+  val canary1Exposure: Q = (s, d) => {
+    import s.implicits._
+    val cands = canaryFamilies.toDF("k", "cand_id", "is_true", "text")
+    val inserted = canaryFamilies.filter(t => t._3 && t._1 > 0)
+      .flatMap { case (k, _, _, text) => Seq.fill(k)(text) }.toDF("text")
+    val train = Tables.documents(s, d).select(col("text"))
+      .unionByName(inserted)
+    TextAnalysis.canaryExposure(train, cands, 16)
+  }
+
+  val canary1ExposureSql: String = {
+    val candValues = canaryFamilies.map { case (k, j, t, x) =>
+      s"($k, $j, $t, '$x')" }.mkString(",\n      |    ")
+    val insValues = canaryFamilies.filter(t => t._3 && t._1 > 0)
+      .flatMap { case (k, _, _, x) => Seq.fill(k)(s"('$x')") }
+      .mkString(", ")
+    val microScore =
+      "floor(CAST(sum(m) AS DOUBLE) / count(*) / 1000000 * 10000 + 0.5) / 10000"
+    s"""WITH cand AS (SELECT * FROM (VALUES
+       |    $candValues
+       |  ) v(k, cand_id, is_true, text)),
+       |train AS (SELECT text FROM documents
+       |          UNION ALL SELECT * FROM (VALUES $insValues) i(text)),
+       |c AS (SELECT tok, count(*) AS n_w
+       |      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM train) tt
+       |      GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total, count(*) AS v_size FROM c),
+       |tk AS (SELECT k, cand_id, is_true,
+       |              unnest(string_split(text, ' ')) AS tok FROM cand),
+       |sr AS (SELECT k, cand_id, is_true,
+       |         CAST(floor((-ln(CAST(COALESCE(n_w, 0) + 1 AS DOUBLE)
+       |                          / CAST(n_total + v_size AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS m
+       |       FROM tk LEFT JOIN c USING (tok) CROSS JOIN tot),
+       |sc AS (SELECT k, cand_id, is_true, $microScore AS score
+       |       FROM sr GROUP BY 1, 2, 3),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY k
+       |                   ORDER BY score, cand_id) AS rn FROM sc),
+       |tr AS (SELECT k, score AS true_score, CAST(rn AS BIGINT) AS rank
+       |       FROM rk WHERE is_true),
+       |ct AS (SELECT k, min(score) AS min_control,
+       |         ${portableRoundSql("CAST(sum(CAST(floor(score * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 / count(*)", 4)} AS mean_control
+       |       FROM sc WHERE NOT is_true GROUP BY k)
+       |SELECT CAST(t.k AS INTEGER) AS k, true_score, mean_control, min_control,
+       |       ${portableRoundSql("min_control - true_score", 4)} AS margin,
+       |       rank,
+       |       ${portableRoundSql("ln(16.0 / rank) / ln(2.0)", 4)} AS exposure,
+       |       min_control - true_score > 0.05 AS detected
+       |FROM tr t JOIN ct USING (k)""".stripMargin
+  }
+
   /** TYPO1 — SymSpell-style spell-noise audit
     * ([[graft.operators.TextAnalysis.spellNoise]]): rare tokens at edit
     * distance 1 from a ≥10×-more-frequent token, with the best
@@ -12022,6 +12092,7 @@ object Queries {
     "cs1_code_switch" -> cs1CodeSwitch,
     "mink1_membership" -> mink1Membership,
     "typo1_spell_noise" -> typo1SpellNoise,
+    "canary1_exposure" -> canary1Exposure,
     "clq1_cluster_purity" -> clq1ClusterPurity,
     "bq1_binary_hamming" -> bq1BinaryHamming,
     "ssp1_prototype_prune" -> ssp1PrototypePrune,
@@ -12373,6 +12444,7 @@ object Queries {
     "cs1_code_switch" -> cs1CodeSwitchSql,
     "mink1_membership" -> mink1MembershipSql,
     "typo1_spell_noise" -> typo1SpellNoiseSql,
+    "canary1_exposure" -> canary1ExposureSql,
     "clq1_cluster_purity" -> clq1ClusterPuritySql,
     "bq1_binary_hamming" -> bq1BinaryHammingSql,
     "ssp1_prototype_prune" -> ssp1PrototypePruneSql,

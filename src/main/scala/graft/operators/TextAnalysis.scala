@@ -844,6 +844,76 @@ object TextAnalysis {
           count(lit(1)), 4).as("avg_surprisal"))
   }
 
+  /** CANARY1 — secret-sharer canary exposure (Carlini et al., USENIX
+    * Security 2019): plant a unique canary sequence into the training
+    * corpus `k` times, score it against `nCands−1` never-inserted
+    * control candidates of the same format under the trained LM, and
+    * report its rank, exposure = log2(nCands/rank), and the score
+    * MARGIN to the best control — per insertion level k. The
+    * memorization probe a privacy review runs before releasing a model
+    * trained on the corpus.
+    *
+    * Honest scope note: under this engine-replayable unigram "model"
+    * detection is THRESHOLD-shaped — any k ≥ 1 drops the true canary's
+    * token surprisal below every control's smoothing ceiling, so rank
+    * is 1 (exposure log2 nCands) for every inserted level and the k = 0
+    * negative-control family ranks dead last by construction (its true
+    * canary is given the LARGEST candidate id, so the all-tied family
+    * breaks against it). That binarity is itself the finding n-gram
+    * memorization gives you — it is WHY exact dedup removes copies —
+    * while the k-DEPENDENCE lives in the margin column, which grows as
+    * ln(k+1). A graded rank curve needs a neural LM; the plumbing
+    * (candidate families, rank, exposure, margin) is model-agnostic.
+    *
+    * Scale shape: the corpus appears only in the term count; candidate
+    * scoring is a (nCands × tokens)-row literal frame joined against
+    * the vocab (broadcast), then per-family rank windows over nCands
+    * rows. Bill = the term count + the tiny candidate rollups. */
+  def canaryExposure(train: DataFrame, candidates: DataFrame,
+                     nCands: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = train.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
+    val totals = counts.agg(sum(col("n_w")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    val surp = portableRound(
+      -log((coalesce(col("n_w"), lit(0L)) + 1).cast("double")
+        / (col("n_total") + col("v_size")).cast("double")), 6)
+    val scored = candidates
+      .select(col("k"), col("cand_id"), col("is_true"),
+        explode(split(col("text"), " ")).as("tok"))
+      .join(counts, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("cand_id"), col("is_true"),
+        portableRound(surp * 1000000.0, 0).cast("long").as("m"))
+      .groupBy(col("k"), col("cand_id"), col("is_true"))
+      .agg(portableRound(sum(col("m")).cast("double")
+        / count(lit(1)) / 1000000.0, 4).as("score"))
+      .localCheckpoint() // consumers: rank window + the control stats
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("score").asc, col("cand_id").asc)
+    val ranked = scored.withColumn("rk", row_number().over(w))
+      .filter(col("is_true"))
+      .select(col("k"), col("score").as("true_score"),
+        col("rk").cast("long").as("rank"))
+    val controls = scored.filter(!col("is_true"))
+      .groupBy(col("k"))
+      .agg(min(col("score")).as("min_control"),
+        portableRound(sum(portableRound(col("score") * 10000.0, 0)
+          .cast("long")).cast("double") / 10000.0 / count(lit(1)), 4)
+          .as("mean_control"))
+    ranked.join(controls, "k")
+      .select(col("k"), col("true_score"), col("mean_control"),
+        col("min_control"),
+        portableRound(col("min_control") - col("true_score"), 4)
+          .as("margin"),
+        col("rank"),
+        portableRound(
+          log(lit(nCands.toDouble) / col("rank")) / log(lit(2.0)), 4)
+          .as("exposure"),
+        (col("min_control") - col("true_score") > 0.05).as("detected"))
+  }
+
   /** TYPO1 — spell-noise audit via the SymSpell deletion-neighborhood
     * join (Garbe's symmetric-delete algorithm): a RARE vocabulary token
     * (count ≤ `rareMax`) is a typo candidate when a ≥ `ratio`×-more-

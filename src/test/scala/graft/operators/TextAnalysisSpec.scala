@@ -937,6 +937,43 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("canaryExposure: inserted canary ranks first, margin is exact") {
+    import spark.implicits._
+    // train "a a a" + candidates: control "z" (unseen, -ln(1/4) =
+    // 1.3863), true "a" (count 3 -> -ln(4/4) = 0); nCands = 2
+    val train = Seq(("a a a")).toDF("text")
+    val cands = Seq((1, 0, false, "z"), (1, 1, true, "a"))
+      .toDF("k", "cand_id", "is_true", "text")
+    val r = TextAnalysis.canaryExposure(train, cands, 2).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("true_score") == 0.0)
+    assert(r.head.getAs[Double]("min_control") == 1.3863)
+    assert(r.head.getAs[Long]("rank") == 1L)
+    assert(r.head.getAs[Double]("exposure") == 1.0)
+    assert(r.head.getAs[Double]("margin") == 1.3863)
+    assert(r.head.getAs[Boolean]("detected"))
+  }
+
+  test("canary1: threshold exposure + the ln(k+1) margin curve") {
+    val rows = graft.Queries.all("canary1_exposure")(spark, sf0001).collect()
+      .map(r => r.getAs[Int]("k") -> r).toMap
+    assert(rows.keySet == Set(0, 1, 4, 16))
+    // k = 0: the negative control — tied family, largest-id tie-break
+    assert(rows(0).getAs[Long]("rank") == 16L)
+    assert(rows(0).getAs[Double]("exposure") == 0.0)
+    assert(rows(0).getAs[Double]("margin") == 0.0)
+    assert(!rows(0).getAs[Boolean]("detected"))
+    // any insertion fully exposes under an n-gram model (why exact
+    // dedup removes copies); the k-dependence lives in the margin
+    Seq(1, 4, 16).foreach { k =>
+      assert(rows(k).getAs[Long]("rank") == 1L, s"k=$k")
+      assert(rows(k).getAs[Double]("exposure") == 4.0, s"k=$k")
+      assert(rows(k).getAs[Boolean]("detected"), s"k=$k")
+    }
+    assert(rows(16).getAs[Double]("margin") > rows(4).getAs[Double]("margin"))
+    assert(rows(4).getAs[Double]("margin") > rows(1).getAs[Double]("margin"))
+  }
+
   test("spellNoise: deletion-neighborhood finds exactly the d1 pairs") {
     import spark.implicits._
     // aa x10 (frequent), ab x1 (substitution, d=1), xy x1 (d=2, decoy)

@@ -162,6 +162,14 @@ class ContinuationBillSpec extends SparkTestBase {
     assert(billOf("typo1_spell_noise") == 3)
   }
 
+  test("canary1: the corpus appears only in the term count") {
+    // candidate scoring, ranks and control stats all run on the 64-row
+    // literal candidate frame
+    // term count + totals + the candidate-frame score/rank/control
+    // exchanges (64-row frames)
+    assert(billOf("canary1_exposure") == 5)
+  }
+
   test("mink1 pays term counts + totals + doc rollup + class rollup") {
     // the probe-token/vocab join broadcasts (vocab-sized; flips to a
     // tok-keyed shuffle join at real vocab scale)

@@ -251,6 +251,7 @@ SUBSET = [
     "bq1_binary_hamming",    # q_id Hamming window over queries x corpus
     "ssp1_prototype_prune",  # lloyd rounds + cid rank (kmeans1's family)
     "clq1_cluster_purity",   # d4 pair stream + d7 CC + id-keyed audit
+    "canary1_exposure",      # corpus only in the term count; 64-row cands
 ]
 
 # key columns offset per replica, by table: (column -> key-domain table)
