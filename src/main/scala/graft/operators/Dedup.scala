@@ -900,11 +900,19 @@ object Dedup {
     * cluster², however large the component. */
   def clusterPurity(documents: DataFrame, n: Int = 3,
                     minJaccard: Double = 0.6): DataFrame = {
-    // three consumers of the scored pair stream (edges for CC, the edge
-    // rollup, the within-cluster min): pin it once
-    val scored = ngramJaccardPairs(documents, n, 0.0).localCheckpoint()
-    val edges = scored.filter(col("jaccard") > minJaccard)
+    // pass 1: the d7 stream exactly — only ≥-threshold pairs ever
+    // materialize (the first cut of this audit checkpointed ALL
+    // co-shingle pairs corpus-wide and paid 13.4× at the second decade
+    // vs d7's 5.4×, SCALE.md §continuation-3; sub-threshold pairs are
+    // only ever consumed WITHIN clusters, so score them there)
+    val edges = ngramJaccardPairs(documents, n, minJaccard)
     val clusters = duplicateClusters(edges).localCheckpoint()
+    // pass 2: re-score pairs among CLUSTER MEMBERS only — a
+    // cluster-bounded frame however big the corpus; within-cluster
+    // sub-threshold pairs (the chain-merge evidence) all appear here
+    val scored = ngramJaccardPairs(
+      documents.join(clusters.select(col("doc_id")), Seq("doc_id"),
+        "left_semi"), n, 0.0)
     val sizes = clusters.groupBy(col("cluster_rep"))
       .agg(count(lit(1)).as("n_docs"))
     val la = clusters.select(col("doc_id").as("a_id"),

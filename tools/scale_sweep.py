@@ -412,11 +412,11 @@ def main() -> None:
     args = ap.parse_args()
     subset = SUBSET
     if args.only:
-        want = [q.strip() for q in args.only.split(",") if q.strip()]
-        unknown = set(want) - set(SUBSET)
-        if unknown:
-            raise SystemExit(f"--only names not in SUBSET: {sorted(unknown)}")
-        subset = want
+        # names outside SUBSET are allowed (one-off decomposition runs —
+        # e.g. timing d7 alone to isolate clq1's audit share); Bench
+        # validates against the full query registry and fails loudly on
+        # a genuinely unknown name
+        subset = [q.strip() for q in args.only.split(",") if q.strip()]
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
