@@ -147,12 +147,15 @@ class ContinuationBillSpec extends SparkTestBase {
     // d7 (same pair stream + star-contraction CC) measures 13 at this
     // SF; the audit adds the sizes aggregate, the within-cluster label
     // join/rollup and the final cluster join — all keyed on cluster ids,
-    // never the corpus text. One label-side join is stats-adaptive on
-    // the checkpointed cluster frame's in-memory size (broadcast in a
-    // fresh session → 18, shuffle after a long session → 19; at corpus
-    // scale it is the shuffle form) — both are the same id-keyed plan
+    // never the corpus text. BOTH label-side joins are stats-adaptive on
+    // the checkpointed cluster frame's in-memory size (each: broadcast
+    // in a fresh session, shuffle after a long session — the r15 full-
+    // suite run observed both flipped at once → 20; at corpus scale
+    // the shuffle form is the real plan) — all are the same id-keyed
+    // plan, so the honest band is 18..20 and anything past it is a new
+    // exchange, not a stats flip
     val b = billOf("clq1_cluster_purity")
-    assert(b == 18 || b == 19, s"audit bill drifted: $b")
+    assert(b >= 18 && b <= 20, s"audit bill drifted: $b")
   }
 
   test("typo1 runs on the vocab frame: count agg + candidate join + rank") {
