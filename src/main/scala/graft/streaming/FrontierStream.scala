@@ -36,7 +36,7 @@ object FrontierStream {
     * `onBatch` fires per non-empty micro-batch (specs count it to prove
     * the replay is genuinely multi-batch). */
   def runFrontierOverFixture(spark: SparkSession, fetches: DataFrame,
-                             onBatch: Long => Unit = _ => ()): DataFrame = {
+                             onBatch: Long => Unit = _ => ()): DataFrame = EventStream.withStateSizedShuffle(spark) {
     val srcDir = Files.createTempDirectory("graft-stream-frontier")
     val bounds = fetches.agg(min(col("page_id")), max(col("page_id"))).head
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))

@@ -47,7 +47,8 @@ object ReleaseStream {
   def runDeltaAdmissionOverFixture(
       spark: SparkSession, delta: DataFrame, baseRel: DataFrame,
       gateOk: DataFrame => DataFrame,
-      onBatch: Long => Unit = _ => ()): (DataFrame, DataFrame, Long) = {
+      onBatch: Long => Unit = _ => ()): (DataFrame, DataFrame, Long) =
+    EventStream.withStateSizedShuffle(spark) {
     val srcDir = Files.createTempDirectory("graft-stream-release")
     val bounds = delta.agg(min(col("doc_id")), max(col("doc_id"))).head
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))

@@ -89,7 +89,8 @@ object SessionStream {
     * The sentinel user (-1) is filtered from the result. Watermark delay 0:
     * the replay is in-order within its single real batch. */
   def runOverFixture(spark: SparkSession, sfDir: String,
-                     gapMinutes: Int = 30): org.apache.spark.sql.DataFrame = {
+                     gapMinutes: Int = 30): org.apache.spark.sql.DataFrame =
+    EventStream.withStateSizedShuffle(spark) {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     import java.nio.file.{Files, Paths, StandardCopyOption}

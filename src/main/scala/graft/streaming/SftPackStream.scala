@@ -44,7 +44,7 @@ object SftPackStream {
   def runSftPackOverFixture(spark: SparkSession, conv: DataFrame,
                             capacity: Int = 128, shards: Int = 4,
                             salt: String = "rel3",
-                            onBatch: Long => Unit = _ => ()): DataFrame = {
+                            onBatch: Long => Unit = _ => ()): DataFrame = EventStream.withStateSizedShuffle(spark) {
     require(capacity > 0 && shards > 0, s"bad capacity/shards: $capacity/$shards")
     val cap = capacity.toLong
     val annotated = conv.select(

@@ -11,6 +11,26 @@ class EventStreamSpec extends SparkTestBase {
     assertSameRows(batch, streamed)
   }
 
+  test("replays run state-sized shuffle partitions and restore the session conf") {
+    // r15 optimization: a replay's stateful stages run at the state-sized
+    // partition count (default 4, env-overridable), NOT the session's
+    // scan-sized spark.sql.shuffle.partitions — and the session value is
+    // restored afterwards (Bench re-sets its default per query; Verify
+    // relies on the restore). Parity of results at the smaller count is
+    // what every assertSameRows in this suite now exercises.
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    var seen: String = null
+    EventStream.withStateSizedShuffle(spark) { seen = spark.conf.get(key) }
+    assert(seen == EventStream.statePartitions.toString)
+    assert(spark.conf.get(key) == before)
+    // restore also on failure inside the scope
+    intercept[RuntimeException] {
+      EventStream.withStateSizedShuffle(spark) { throw new RuntimeException("x") }
+    }
+    assert(spark.conf.get(key) == before)
+  }
+
   test("streaming CDC merge converges to the batch per-user argmax") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
