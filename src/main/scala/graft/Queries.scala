@@ -4,6 +4,7 @@ import graft.etl.{Extract, Metrics, Transform}
 import graft.functions._
 import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis, Windows}
 import graft.streaming.EventStream
+import graft.util.FanOut.scanParallel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1488,7 +1489,7 @@ object Queries {
     * recall at the 0.2 threshold (theoretical boundary-pair miss ≤ 5e-5;
     * measured 100% on the fixtures). */
   val d6LshNeardup: Q = (s, d) =>
-    Dedup.cosinePairsLshAuto(Tables.embeddings(s, d), 0.2)
+    Dedup.cosinePairsLshAuto(scanParallel(Tables.embeddings(s, d)), 0.2)
 
   /** Driver gate for d6: containment (every emitted pair is a true ≥ 0.2
     * pair — DuckDB recomputes nothing LSH-specific, it just pins the
@@ -2974,7 +2975,8 @@ object Queries {
     * in ≥1 OTHER document — the boilerplate signal exact dedup misses.
     * Spans shuffle as md5 digests only; two compact-key shuffles total.
     * See [[graft.operators.Dedup.dupSpans]]. */
-  val d10DupSpans: Q = (s, d) => Dedup.dupSpans(Tables.documents(s, d), k = 8)
+  val d10DupSpans: Q = (s, d) =>
+    Dedup.dupSpans(scanParallel(Tables.documents(s, d)), k = 8)
 
   val d10DupSpansSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -4812,7 +4814,7 @@ object Queries {
     * (df ≤ 5 blocking bound): directional "A is a subset of B" signal.
     * See [[graft.operators.Dedup.spanContainment]]. */
   val d11Containment: Q = (s, d) =>
-    Dedup.spanContainment(Tables.documents(s, d), k = 8, maxDf = 5,
+    Dedup.spanContainment(scanParallel(Tables.documents(s, d)), k = 8, maxDf = 5,
       threshold = 0.8)
 
   val d11ContainmentSql: String =
@@ -4892,7 +4894,7 @@ object Queries {
     * boilerplate signal; this is the surgery that shrinks the corpus.
     * See [[graft.operators.Dedup.removeDupSpans]]. */
   val d12SpanRemoval: Q = (s, d) =>
-    Dedup.removeDupSpans(Tables.documents(s, d), k = 8, minDocs = 3)
+    Dedup.removeDupSpans(scanParallel(Tables.documents(s, d)), k = 8, minDocs = 3)
 
   val d12SpanRemovalSql: String =
     s"""WITH src AS (SELECT doc_id, text FROM documents),
@@ -5775,7 +5777,8 @@ object Queries {
     * [[graft.functions.NgramClippedOverlap]] kernel; p_n and BP snap to
     * the 1e-6 grid before the log/exp combination, so the oracle replays
     * the whole readout. See [[graft.operators.TextAnalysis.corpusBleu]]. */
-  val bleu1Eval: Q = (s, d) => TextAnalysis.corpusBleu(Tables.documents(s, d))
+  val bleu1Eval: Q = (s, d) =>
+    TextAnalysis.corpusBleu(scanParallel(Tables.documents(s, d)))
 
   val bleu1EvalSql: String = {
     val maxN = 4
@@ -5825,7 +5828,8 @@ object Queries {
     * exact BIGINTs through the compiled kernel; every ratio snaps to the
     * 1e-6 grid before the fixed averaging/F-β formula.
     * See [[graft.operators.TextAnalysis.corpusChrF]]. */
-  val chrf1Eval: Q = (s, d) => TextAnalysis.corpusChrF(Tables.documents(s, d))
+  val chrf1Eval: Q = (s, d) =>
+    TextAnalysis.corpusChrF(scanParallel(Tables.documents(s, d)))
 
   val chrf1EvalSql: String = {
     val maxN = 6
@@ -5882,7 +5886,8 @@ object Queries {
     * run their built-in levenshtein over per-doc single-ASCII-char token
     * encodings (edit distance is invariant under injective relabeling).
     * See [[graft.operators.TextAnalysis.corpusWer]]. */
-  val wer1Eval: Q = (s, d) => TextAnalysis.corpusWer(Tables.documents(s, d))
+  val wer1Eval: Q = (s, d) =>
+    TextAnalysis.corpusWer(scanParallel(Tables.documents(s, d)))
 
   val wer1EvalSql: String = {
     val hit = md5BucketSql(
@@ -6572,7 +6577,7 @@ object Queries {
     * d7 recursive-CTE components + the t2 quality formula + a window
     * election — three independently-proven pieces recomposed. */
   val d8KeepBest: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    val docs = scanParallel(Tables.documents(s, d))
     graft.operators.Curation.keepBest(docs,
       Dedup.ngramJaccardPairs(docs, 3, 0.6))
   }
