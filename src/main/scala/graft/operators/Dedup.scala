@@ -483,6 +483,11 @@ object Dedup {
     var edgeSig = signature(edges)
     var converged = false
     var rounds = 1
+    // star rounds are actions on the shrinking edge state: size their
+    // shuffles to that state, not the session's scan default
+    val spark = pairs.sparkSession
+    graft.util.LoopConf.withShuffleParts(spark,
+      graft.util.LoopConf.sizedParts(spark, edgeSig._1)) {
     while (!converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // the check runs even when rounds == maxIters: an already-converged
@@ -498,6 +503,7 @@ object Dedup {
           s"duplicateClusters did not converge in $maxIters rounds " +
             "— raise maxIters for this graph")
       }
+    }
     }
     // stars: every non-root points at its component min; roots (and
     // self-loop-only isolates) are their own

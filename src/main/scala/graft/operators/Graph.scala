@@ -172,11 +172,17 @@ object Graph {
     var nEdges = e.count()
     var rounds = 0
     var converged = false
-    while (!converged && rounds < maxRounds && nEdges > 0) {
-      val e2 = kCorePeelRound(e, k).localCheckpoint()
-      val n2 = e2.count()
-      converged = n2 == nEdges
-      e = e2; nEdges = n2; rounds += 1
+    // per-round peels are actions on the edge-bounded loop state: size
+    // their shuffles to that state, not the session's scan default
+    val spark = edges.sparkSession
+    graft.util.LoopConf.withShuffleParts(spark,
+      graft.util.LoopConf.sizedParts(spark, nEdges)) {
+      while (!converged && rounds < maxRounds && nEdges > 0) {
+        val e2 = kCorePeelRound(e, k).localCheckpoint()
+        val n2 = e2.count()
+        converged = n2 == nEdges
+        e = e2; nEdges = n2; rounds += 1
+      }
     }
     coreDegrees(e)
   }
@@ -205,14 +211,20 @@ object Graph {
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
       .localCheckpoint() // reused every round: never replay the edge build
     var labels = nodes.select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to rounds) {
-      val votes = lpVotes(nbrs, labels)
-      val top = graft.plans.TopKPerKey(votes, Seq("node"),
-        Seq(("c", false), ("lbl", true)), 1)
-        .select(col("node"), col("lbl").as("newl"))
-      labels = labels.join(top, Seq("node"), "left")
-        .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+    // per-round label checkpoints are actions on neighbor-bounded state:
+    // size their shuffles to that state, not the session's scan default
+    val spark = nodes.sparkSession
+    graft.util.LoopConf.withShuffleParts(spark,
+      graft.util.LoopConf.sizedParts(spark, nbrs.count())) {
+      for (_ <- 1 to rounds) {
+        val votes = lpVotes(nbrs, labels)
+        val top = graft.plans.TopKPerKey(votes, Seq("node"),
+          Seq(("c", false), ("lbl", true)), 1)
+          .select(col("node"), col("lbl").as("newl"))
+        labels = labels.join(top, Seq("node"), "left")
+          .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "lbl")
@@ -292,10 +304,16 @@ object Graph {
     }
     var h = init
     var a = init
-    for (i <- 1 to iters) {
-      a = push(h, "src", "dst")
-      h = push(a, "dst", "src")
-      if (i % 2 == 0 && i < iters) { a = a.localCheckpoint(); h = h.localCheckpoint() }
+    // each push half-step checkpoints a node-sized frame: size those
+    // actions' shuffles to the edge state, not the session's scan default
+    val spark = nodes.sparkSession
+    graft.util.LoopConf.withShuffleParts(spark,
+      graft.util.LoopConf.sizedParts(spark, e.count())) {
+      for (i <- 1 to iters) {
+        a = push(h, "src", "dst")
+        h = push(a, "dst", "src")
+        if (i % 2 == 0 && i < iters) { a = a.localCheckpoint(); h = h.localCheckpoint() }
+      }
     }
     h.select(col("node"), col("score").as("hub"))
       .join(a.select(col("node"), col("score").as("authority")), "node")
@@ -531,24 +549,32 @@ object Graph {
       s"coarseRounds out of range: $coarseRounds")
     val und = undirected(edges).localCheckpoint() // feeds rounds + audit
     val undW = und.select(col("a"), col("b"), lit(1L).as("w"))
-    val (nbrs0, kv0, m0) = moveRoundInvariants(undW)
+    // move rounds, the coarse build and the coarse rounds are all actions
+    // on edge/community-bounded state: size their shuffles to that state,
+    // not the session's scan default
+    val spark = nodes.sparkSession
     var lbl = nodes.select(col("node"), col("node").as("community"))
-    for (_ <- 1 to moveRounds)
-      lbl = weightedMoveRoundOn(lbl, nbrs0, kv0, m0).localCheckpoint()
-    val coarse = und
-      .join(lbl.select(col("node").as("a"), col("community").as("comm_a")),
-        Seq("a"))
-      .join(lbl.select(col("node").as("b"), col("community").as("comm_b")),
-        Seq("b"))
-      .select(least(col("comm_a"), col("comm_b")).as("a"),
-        greatest(col("comm_a"), col("comm_b")).as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-      .localCheckpoint()
-    val (nbrs1, kv1, m1) = moveRoundInvariants(coarse)
-    var clbl = lbl.select(col("community").as("node")).distinct()
-      .select(col("node"), col("node").as("community"))
-    for (_ <- 1 to coarseRounds)
-      clbl = weightedMoveRoundOn(clbl, nbrs1, kv1, m1).localCheckpoint()
+    var clbl: DataFrame = null
+    graft.util.LoopConf.withShuffleParts(spark,
+      graft.util.LoopConf.sizedParts(spark, und.count())) {
+      val (nbrs0, kv0, m0) = moveRoundInvariants(undW)
+      for (_ <- 1 to moveRounds)
+        lbl = weightedMoveRoundOn(lbl, nbrs0, kv0, m0).localCheckpoint()
+      val coarse = und
+        .join(lbl.select(col("node").as("a"), col("community").as("comm_a")),
+          Seq("a"))
+        .join(lbl.select(col("node").as("b"), col("community").as("comm_b")),
+          Seq("b"))
+        .select(least(col("comm_a"), col("comm_b")).as("a"),
+          greatest(col("comm_a"), col("comm_b")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val (nbrs1, kv1, m1) = moveRoundInvariants(coarse)
+      clbl = lbl.select(col("community").as("node")).distinct()
+        .select(col("node"), col("node").as("community"))
+      for (_ <- 1 to coarseRounds)
+        clbl = weightedMoveRoundOn(clbl, nbrs1, kv1, m1).localCheckpoint()
+    }
     val finalLbl = lbl.select(col("node"), col("community").as("c0"))
       .join(clbl.select(col("node").as("c0"), col("community")), Seq("c0"))
     val audit = modularity(finalLbl.select(col("node"), col("community")),
@@ -631,13 +657,19 @@ object Graph {
     // job barrier, which dominates wall clock on a bounded graph
     var dist = nodes.select(col("node"),
       when(col("node") === source, 0L).as("dist"))
-    for (i <- 1 to iters) {
-      val relaxed = dist.filter(col("dist").isNotNull).as("d")
-        .join(e, col("d.node") === col("src"))
-        .select(col("dst").as("node"), (col("d.dist") + 1L).as("dist"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      if (i % 3 == 0 || i == iters) dist = dist.localCheckpoint()
+    // relaxation/count rounds are actions on node/edge-bounded state:
+    // size their shuffles to that state, not the session's scan default
+    val spark = nodes.sparkSession
+    val loopParts = graft.util.LoopConf.sizedParts(spark, e.count())
+    graft.util.LoopConf.withShuffleParts(spark, loopParts) {
+      for (i <- 1 to iters) {
+        val relaxed = dist.filter(col("dist").isNotNull).as("d")
+          .join(e, col("d.node") === col("src"))
+          .select(col("dst").as("node"), (col("d.dist") + 1L).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        if (i % 3 == 0 || i == iters) dist = dist.localCheckpoint()
+      }
     }
     // count layers only to the OBSERVED eccentricity: stages past it are
     // identities (the oracle keeps all `iters` of them — same output),
@@ -651,16 +683,18 @@ object Graph {
     var f = dist.withColumn("paths",
       when(col("dist") === 0, 1L).otherwise(lit(null).cast("long")))
     val layers = math.min(iters.toLong, maxD).toInt
-    for (k <- 1 to layers) {
-      val contrib = f.filter(col("dist") === k - 1).as("s")
-        .join(e, col("s.node") === col("src"))
-        .groupBy(col("dst")).agg(sum(col("paths")).as("p"))
-        .withColumnRenamed("dst", "node")
-      f = f.join(contrib, Seq("node"), "left")
-        .select(col("node"), col("dist"),
-          when(col("dist") === k, col("p")).otherwise(col("paths"))
-            .as("paths"))
-      if (k % 3 == 0 && k < layers) f = f.localCheckpoint()
+    graft.util.LoopConf.withShuffleParts(spark, loopParts) {
+      for (k <- 1 to layers) {
+        val contrib = f.filter(col("dist") === k - 1).as("s")
+          .join(e, col("s.node") === col("src"))
+          .groupBy(col("dst")).agg(sum(col("paths")).as("p"))
+          .withColumnRenamed("dst", "node")
+        f = f.join(contrib, Seq("node"), "left")
+          .select(col("node"), col("dist"),
+            when(col("dist") === k, col("p")).otherwise(col("paths"))
+              .as("paths"))
+        if (k % 3 == 0 && k < layers) f = f.localCheckpoint()
+      }
     }
     f.select(col("node"), col("dist").isNotNull.as("reached"),
       coalesce(col("dist"), lit(-1L)).as("dist"),
