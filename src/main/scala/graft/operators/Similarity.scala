@@ -752,17 +752,24 @@ object Similarity {
     * never collects. Empty clusters keep their previous centroid. */
   def kmeansCentroids(embeddings: DataFrame, nlist: Int, iters: Int = 5): Seq[(Int, Seq[Float])] = {
     var cents = centroidsOf(embeddings, nlist)
-    for (_ <- 0 until iters) {
-      val means = ivfAssign(embeddings, cents, keep = 1)
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("v").cast("decimal(27,7)")) / count(lit(1))).cast("float").as("m"))
-        .groupBy(col("cid"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), col("pm.m").as("mean"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
-      cents = cents.map { case (i, old) => i -> means.getOrElse(i, old) }
+    // per-iteration collects are actions on corpus-assignment state whose
+    // aggregate is nlist × dim: size their shuffles to the corpus rows,
+    // not the session's scan default
+    val spark = embeddings.sparkSession
+    graft.util.LoopConf.withShuffleParts(spark,
+      graft.util.LoopConf.sizedParts(spark, embeddings.count())) {
+      for (_ <- 0 until iters) {
+        val means = ivfAssign(embeddings, cents, keep = 1)
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg((sum(col("v").cast("decimal(27,7)")) / count(lit(1))).cast("float").as("m"))
+          .groupBy(col("cid"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cid"), col("pm.m").as("mean"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+        cents = cents.map { case (i, old) => i -> means.getOrElse(i, old) }
+      }
     }
     cents
   }
@@ -1201,19 +1208,26 @@ object Similarity {
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1) }.toSeq
     require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
-    for (_ <- 1 to iters) {
-      val means = lloydAssign(f, cents).select(col("vec_id"), col("cid"))
-        .join(e, "vec_id")
-        .select(col("cid"), posexplode(col("emb")).as(Seq("p", "x")))
-        .groupBy(col("cid"), col("p"))
-        .agg(portableRound(
-          sum(portableRound(col("x"), 9).cast("decimal(18,9)")).cast("double")
-            / count(lit(1)), 9).as("m"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-        .groupBy(_._1)
-        .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
-      cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    // per-iteration collects are actions on the (vec × dim)-bounded
+    // assignment state: size their shuffles to that state, not the
+    // session's scan default (the k × dim result stays driver metadata)
+    val spark = embeddings.sparkSession
+    graft.util.LoopConf.withShuffleParts(spark,
+      graft.util.LoopConf.sizedParts(spark, e.count())) {
+      for (_ <- 1 to iters) {
+        val means = lloydAssign(f, cents).select(col("vec_id"), col("cid"))
+          .join(e, "vec_id")
+          .select(col("cid"), posexplode(col("emb")).as(Seq("p", "x")))
+          .groupBy(col("cid"), col("p"))
+          .agg(portableRound(
+            sum(portableRound(col("x"), 9).cast("decimal(18,9)")).cast("double")
+              / count(lit(1)), 9).as("m"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+          .groupBy(_._1)
+          .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
+        cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+      }
     }
     (e, f, cents)
   }
