@@ -476,23 +476,34 @@ object Graph {
   private def weightedMoveRoundOn(communities: DataFrame, nbrs: DataFrame,
                                   kv: DataFrame, mDf: DataFrame): DataFrame = {
     val lbl = communities.select(col("node"), col("community"))
+    // ONE nbr→candidate rollup per round, with the node's own label
+    // attached BEFORE the aggregation (cur is constant within a node, so
+    // max() carries it through the groupBy) and the own-community mass
+    // k_va recovered by a window over the SAME rollup — the earlier form
+    // built the nbrs ⋈ labels join + aggregation twice (once for kvA,
+    // once for gains): Spark does not dedup cross-branch subplans (the
+    // pref1 lesson), so every move round paid that corpus-of-the-level
+    // join double. Semantics unchanged: at most one cand = cur row per
+    // node exists, so the window max IS the old left-joined k_va (null →
+    // coalesce 0 when the node has no neighbor in its own community).
+    val cur = lbl.select(col("node"), col("community").as("cur"))
     val nlab = nbrs
+      .join(cur, Seq("node"))
       .join(lbl.select(col("node").as("nbr"), col("community").as("cand")),
         Seq("nbr"))
-      .groupBy(col("node"), col("cand")).agg(sum(col("w")).as("k_vc"))
-    val cur = lbl.select(col("node"), col("community").as("cur"))
+      .groupBy(col("node"), col("cand"))
+      .agg(sum(col("w")).as("k_vc"), max(col("cur")).as("cur"))
     // degree mass AND size in ONE community rollup — the two stats share
     // the exchange (same key), halving the per-round community shuffles
     val cStats = lbl.join(kv, Seq("node"), "left")
       .select(col("community"), coalesce(col("k_v"), lit(0L)).as("k_v"))
       .groupBy(col("community"))
       .agg(sum(col("k_v")).as("d_c"), count(lit(1)).as("cs"))
-    val kvA = nlab.join(cur, Seq("node"))
-      .filter(col("cand") === col("cur"))
-      .select(col("node"), col("k_vc").as("k_va"))
-    val gains = nlab.join(cur, Seq("node"))
+    val wNode = Window.partitionBy(col("node"))
+    val gains = nlab
+      .withColumn("k_va",
+        max(when(col("cand") === col("cur"), col("k_vc"))).over(wNode))
       .filter(col("cand") =!= col("cur"))
-      .join(kvA, Seq("node"), "left")
       .join(kv, Seq("node"))
       .join(cStats.select(col("community").as("cand"),
         col("d_c").as("d_b"), col("cs").as("size_b")), Seq("cand"))
