@@ -385,6 +385,12 @@ object Graph {
     val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
     val kv = nbrs.groupBy(col("node")).agg(count(lit(1)).as("k_v"))
+    // NOTE (r15): the weightedMoveRoundOn single-rollup + window-k_va
+    // restructure was tried here and measured ~10% SLOWER — louv1 runs as
+    // ONE AQE action, where the duplicated nlab branches execute in
+    // parallel and every join broadcasts, while the window adds a
+    // serialization point. Kept in the per-round (small-partition) form
+    // only, where the duplicate join dominates.
     val nlab = nbrs
       .join(lbl.select(col("node").as("nbr"), col("community").as("cand")),
         Seq("nbr"))
