@@ -215,7 +215,7 @@ object Graph {
     // size their shuffles to that state, not the session's scan default
     val spark = nodes.sparkSession
     graft.util.LoopConf.withShuffleParts(spark,
-      graft.util.LoopConf.sizedParts(spark, nbrs.count())) {
+      graft.util.LoopConf.sizedParts(spark, graft.util.LoopConf.rowsOf(nbrs))) {
       for (_ <- 1 to rounds) {
         val votes = lpVotes(nbrs, labels)
         val top = graft.plans.TopKPerKey(votes, Seq("node"),
@@ -308,7 +308,7 @@ object Graph {
     // actions' shuffles to the edge state, not the session's scan default
     val spark = nodes.sparkSession
     graft.util.LoopConf.withShuffleParts(spark,
-      graft.util.LoopConf.sizedParts(spark, e.count())) {
+      graft.util.LoopConf.sizedParts(spark, graft.util.LoopConf.rowsOf(e))) {
       for (i <- 1 to iters) {
         a = push(h, "src", "dst")
         h = push(a, "dst", "src")
@@ -573,7 +573,7 @@ object Graph {
     var lbl = nodes.select(col("node"), col("node").as("community"))
     var clbl: DataFrame = null
     graft.util.LoopConf.withShuffleParts(spark,
-      graft.util.LoopConf.sizedParts(spark, und.count())) {
+      graft.util.LoopConf.sizedParts(spark, graft.util.LoopConf.rowsOf(und))) {
       val (nbrs0, kv0, m0) = moveRoundInvariants(undW)
       for (_ <- 1 to moveRounds)
         lbl = weightedMoveRoundOn(lbl, nbrs0, kv0, m0).localCheckpoint()
@@ -677,7 +677,7 @@ object Graph {
     // relaxation/count rounds are actions on node/edge-bounded state:
     // size their shuffles to that state, not the session's scan default
     val spark = nodes.sparkSession
-    val loopParts = graft.util.LoopConf.sizedParts(spark, e.count())
+    val loopParts = graft.util.LoopConf.sizedParts(spark, graft.util.LoopConf.rowsOf(e))
     graft.util.LoopConf.withShuffleParts(spark, loopParts) {
       for (i <- 1 to iters) {
         val relaxed = dist.filter(col("dist").isNotNull).as("d")

@@ -757,7 +757,7 @@ object Similarity {
     // not the session's scan default
     val spark = embeddings.sparkSession
     graft.util.LoopConf.withShuffleParts(spark,
-      graft.util.LoopConf.sizedParts(spark, embeddings.count())) {
+      graft.util.LoopConf.sizedParts(spark, graft.util.LoopConf.rowsOf(embeddings))) {
       for (_ <- 0 until iters) {
         val means = ivfAssign(embeddings, cents, keep = 1)
           .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -1213,7 +1213,7 @@ object Similarity {
     // session's scan default (the k × dim result stays driver metadata)
     val spark = embeddings.sparkSession
     graft.util.LoopConf.withShuffleParts(spark,
-      graft.util.LoopConf.sizedParts(spark, e.count())) {
+      graft.util.LoopConf.sizedParts(spark, graft.util.LoopConf.rowsOf(e))) {
       for (_ <- 1 to iters) {
         val means = lloydAssign(f, cents).select(col("vec_id"), col("cid"))
           .join(e, "vec_id")

@@ -33,6 +33,14 @@ import org.apache.spark.sql.SparkSession
   * session default, because `spark.sql.shuffle.partitions` is read at
   * action planning time, not DataFrame construction time. */
 object LoopConf {
+  /** Row count of an already-materialized (checkpointed) or scan-only
+    * frame WITHOUT a shuffle: per-partition counts fold at the driver, so
+    * the probe never shows up in a measured shuffle bill (ssp1's pinned
+    * bill caught the DataFrame-count form adding one exchange) and pays
+    * no InternalRow→Row conversion. */
+  def rowsOf(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   /** Rows per loop-shuffle partition: compact keyed state (two longs per
     * row ≈ 16-50 B) at 1M rows/partition lands in the tens-of-MB band —
     * guide §2.2's "fewer, larger reduce partitions" for frames this
