@@ -148,8 +148,11 @@ object Bench {
     // a failed query must be visible in the JSON but must NOT poison naive
     // consumers that sum the queries map: JSON null, plus the errors array
     // (a -1.0 sentinel here once skewed a 32-error round's totals)
+    // Values rounded to 0.1 ms: full Double.toString precision is noise and
+    // doubles the line length the driver must capture.
+    def r4(v: Double): String = (math.round(v * 10000) / 10000.0).toString
     val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v.toString else "null")
+      "\"" + k + "\":" + (if (ok) r4(v) else "null")
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -164,36 +167,42 @@ object Bench {
       if (ratios.isEmpty) "null"
       else (math.round(ratios.max * 100) / 100.0).toString
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"reruns":$reruns,"note":"canaries are code-untouched VM-noise yardsticks; quality is the runner-enforced canary verdict vs the quiet reference (BASELINE.md rounds 5-7); reruns counts contended-triggered re-measurements","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"reruns":$reruns,"sf":"$sfDir"}"""
     println(json)
-    // The driver captures a bounded TAIL of stdout; at ~200 benched queries
-    // the full line above is several KB, so its head gets cut inside the
-    // tail window. Emit a SHORT self-contained summary too — with
-    // build.sbt's raw outputStrategy (no sbt "[info] " prefix, the r12
-    // parse failure) it parses wherever the driver looks. "queries" is
-    // intentionally {} here: the 3-canary map masquerading as the
-    // per-query map misleads consumers that sum it (ADVICE r12); the full
-    // map lives in the long line above and in the file below.
+    // Legacy compact summary, DEMOTED to a mid-stream line (round-16 fix,
+    // VERDICT r15 item 1): when this line was LAST, the driver's
+    // last-JSON-line parse saw "queries":{} and its per-query comparison
+    // went blind (PERF_r15 per_query {}, n_common 0, empty scaling block).
+    // The driver contract is ONE JSON line whose "queries" carries the full
+    // per-query map — that full line is now printed LAST, below. This line
+    // survives only as a short human-readable summary near the end of the
+    // log; nothing machine-parses it.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"reruns":$reruns,"n_queries":${results.size},"compact":true,"full_artifact":"see docs/bench (SPARK_GRAFT_BENCH_OUT) for the per-query map","operative_quiet":"if this run's quality is contended, the operative number is the committed docs/bench/bench_r{N}_quiet.json named in BASELINE.md's current round section","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"errors":$errs,"canaries":$canaries,"quality":"$quality","canary_max_ratio":$maxRatio,"reruns":$reruns,"n_queries":${results.size},"compact":true,"full_artifact":"the FULL per-query line follows after spark.stop; also persisted under docs/bench (SPARK_GRAFT_BENCH_OUT)","operative_quiet":"if this run's quality is contended, the operative number is the committed docs/bench/bench_r{N}_quiet.json named in BASELINE.md's current round section","sf":"$sfDir"}"""
     println(compact)
     // stdout through sbt is interleaved with log spew and can truncate —
-    // also persist the full machine-readable artifact to a file.
+    // also persist the full machine-readable artifact to files.
     // `bench_latest.json` means "most recent full run", not "operative
     // protocol artifact": the operative quiet run is the one BASELINE.md
-    // stamps (docs/bench/bench_r{N}_quiet.json).
+    // stamps (docs/bench/bench_r{N}_quiet.json). Successive runs used to
+    // OVERWRITE bench_latest.json (VERDICT r15: an 8-core run destroyed the
+    // 32-core per-query record) — every run now ALSO writes a
+    // per-run-named artifact under docs/bench/runs/ that is never clobbered.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/bench/bench_latest.json")
-    try {
-      val p = java.nio.file.Paths.get(outFile)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    val runFile = s"docs/bench/runs/bench_${System.currentTimeMillis}_c${cpus}_$quality.json"
+    Seq(outFile, runFile).foreach { f =>
+      try {
+        val p = java.nio.file.Paths.get(f)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}")
+      }
     }
     spark.stop()
-    // last stdout line of the process: the compact summary again, so the
-    // driver's tail parser finds a complete raw JSON line even if anything
-    // above scrolled out of the window
-    println(compact)
+    // LAST stdout line of the process: the FULL per-query JSON line — the
+    // driver parses the last JSON line for its per-query/scaling comparison
+    // (PERF_r{N}), so this must be the complete map, not the compact stub.
+    println(json)
   }
 }

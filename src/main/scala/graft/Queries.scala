@@ -2973,7 +2973,9 @@ object Queries {
   /** D10 — cross-document repeated-span detection (Lee et al. 2022): per
     * document, the fraction of its distinct 8-token spans that also occur
     * in ≥1 OTHER document — the boilerplate signal exact dedup misses.
-    * Spans shuffle as md5 digests only; two compact-key shuffles total.
+    * Spans shuffle as md5 digests only; two compact-key shuffles, plus a
+    * conditional scan fan-out exchange of the document text on small
+    * inputs (scanParallel — identity at scale, see FanOut's scaladoc).
     * See [[graft.operators.Dedup.dupSpans]]. */
   val d10DupSpans: Q = (s, d) =>
     Dedup.dupSpans(scanParallel(Tables.documents(s, d)), k = 8)

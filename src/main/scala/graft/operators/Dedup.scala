@@ -488,22 +488,22 @@ object Dedup {
     val spark = pairs.sparkSession
     graft.util.LoopConf.withShuffleParts(spark,
       graft.util.LoopConf.sizedParts(spark, edgeSig._1)) {
-    while (!converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      // the check runs even when rounds == maxIters: an already-converged
-      // graph must never throw, whatever the cap (maxIters bounds
-      // REFINING rounds)
-      val nextSig = signature(next)
-      converged = nextSig == edgeSig
-      edges = next
-      edgeSig = nextSig
-      if (!converged) {
-        rounds += 1
-        if (rounds > maxIters) throw new IllegalStateException(
-          s"duplicateClusters did not converge in $maxIters rounds " +
-            "— raise maxIters for this graph")
+      while (!converged) {
+        val next = smallStar(largeStar(edges)).localCheckpoint()
+        // the check runs even when rounds == maxIters: an already-converged
+        // graph must never throw, whatever the cap (maxIters bounds
+        // REFINING rounds)
+        val nextSig = signature(next)
+        converged = nextSig == edgeSig
+        edges = next
+        edgeSig = nextSig
+        if (!converged) {
+          rounds += 1
+          if (rounds > maxIters) throw new IllegalStateException(
+            s"duplicateClusters did not converge in $maxIters rounds " +
+              "— raise maxIters for this graph")
+        }
       }
-    }
     }
     // stars: every non-root points at its component min; roots (and
     // self-loop-only isolates) are their own

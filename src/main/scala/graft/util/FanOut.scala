@@ -21,12 +21,19 @@ import org.apache.spark.sql.DataFrame
   *
   * Deliberately NOT applied inside shared operators that the bench's
   * code-untouched canaries (q1, t7, d4) flow through — call sites are the
-  * non-canary queries' own constructors. */
+  * non-canary queries' own constructors.
+  *
+  * PRECONDITION (ADVICE r15): pass a RAW SCAN (read.parquet + column
+  * projection at most). The `df.rdd.getNumPartitions` probe is
+  * metadata-only FOR EXCHANGE-FREE PLANS; with AQE enabled, `.rdd` on a
+  * plan containing an exchange materializes query stages and runs real
+  * jobs. Every call site in this repo probes a bare table scan. */
 object FanOut {
   def scanParallel(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    // physical-plan partition count: metadata only, no job runs
+    // physical-plan partition count: metadata only for exchange-free scans
+    // (the only supported input — see scaladoc)
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

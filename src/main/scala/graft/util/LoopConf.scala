@@ -57,6 +57,16 @@ object LoopConf {
       math.max(1L, math.min(stateRows / RowsPerPart + 1L, session.toLong)).toInt)
   }
 
+  /** CONCURRENCY CONTRACT (ADVICE r15): this mutates the session's
+    * `spark.sql.shuffle.partitions` for the scope's duration, so any query
+    * planned CONCURRENTLY on the same SparkSession inherits the shrunk
+    * value, and two overlapping scopes restore stale values. Every caller
+    * in this repo (graph loops, CC fixpoint, Lloyd, streaming replays) runs
+    * its loop on the single driver thread of a Bench/Verify-style harness —
+    * the engine's execution model is one query at a time per session. A
+    * deployment that submits concurrent jobs from driver threads must give
+    * each thread its own session (`spark.newSession()` shares state but has
+    * its own conf) before calling these operators. */
   def withShuffleParts[T](spark: SparkSession, parts: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
