@@ -22,7 +22,18 @@ object ProfileOne {
     val shufWriteB = new AtomicLong
     val inputB = new AtomicLong
     val gcMs = new AtomicLong
-    override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    // SPARK_GRAFT_JOB_TRACE=1: print each job's start offset + call site —
+    // the per-job breakdown behind "which action owns the job count"
+    private val trace = sys.env.get("SPARK_GRAFT_JOB_TRACE").contains("1")
+    @volatile var t0 = 0L
+    override def onJobStart(j: SparkListenerJobStart): Unit = {
+      val n = jobs.incrementAndGet()
+      if (trace) {
+        val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+        val nStages = j.stageInfos.size
+        println(f"JOB $n%3d +${(System.nanoTime() - t0) / 1e9}%.2fs stages=$nStages $site")
+      }
+    }
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
       stages.incrementAndGet()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -60,6 +71,7 @@ object ProfileOne {
       spark.sparkContext.addSparkListener(acc)
       System.gc()
       val t0 = System.nanoTime()
+      acc.t0 = t0
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9

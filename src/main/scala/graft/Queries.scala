@@ -1359,7 +1359,7 @@ object Queries {
     * expected constants and recomputes the exact-pair count. */
   val d2Gate: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val trueJ = Dedup.ngramJaccardPairs(docs, 3, 0.0)
+    val trueJ = Dedup.ngramJaccardPairsMapCount(docs, 3, 0.0)
       .select(col("a_id"), col("b_id"), col("jaccard"))
     val cands = d2Minhash(s, d).select(col("a_id"), col("b_id"), col("est_jaccard"))
     val high = trueJ.filter(col("jaccard") >= 0.8)
@@ -5064,7 +5064,7 @@ object Queries {
         col("quality"): _*)
       .localCheckpoint()
     val clusters = Dedup.duplicateClusters(
-      Dedup.ngramJaccardPairs(exact, 3, 0.6))
+      Dedup.ngramJaccardPairsMapCount(exact, 3, 0.6))
     val w = Window.partitionBy(col("cluster_rep"))
       .orderBy(col("quality").desc, col("doc_id").asc)
     val losers = clusters.join(exact.select(col("doc_id"), col("quality")),
@@ -6165,7 +6165,7 @@ object Queries {
     * algorithms that must agree row-for-row. */
   val d7DupClusters: Q = (s, d) =>
     Dedup.duplicateClusters(
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.6))
+      Dedup.ngramJaccardPairsMapCount(Tables.documents(s, d), 3, 0.6))
 
   val d7DupClustersSql: String =
     """WITH RECURSIVE
@@ -6581,7 +6581,7 @@ object Queries {
   val d8KeepBest: Q = (s, d) => {
     val docs = scanParallel(Tables.documents(s, d))
     graft.operators.Curation.keepBest(docs,
-      Dedup.ngramJaccardPairs(docs, 3, 0.6))
+      Dedup.ngramJaccardPairsMapCount(docs, 3, 0.6))
   }
 
   val d8KeepBestSql: String =
@@ -9233,10 +9233,13 @@ object Queries {
     * grid. See [[graft.operators.Graph.modularity]]. */
   val mod1Modularity: Q = (s, d) => {
     val nodes = Tables.nation(s, d).select(col("n_name").as("node"))
-    val edges = tradeEdges(s, d)
+    // checkpointed (louv1's discipline): the corpus-sized 4-way trade
+    // rollup otherwise executes TWICE — once inside labelPropagation's
+    // nbrs checkpoint and again inside modularity's tagged checkpoint
+    // (cross-ACTION subtrees; exchange reuse only dedups within one plan)
+    val edges = tradeEdges(s, d).localCheckpoint()
     graft.operators.Graph.modularity(
-      graft.operators.Graph.labelPropagation(nodes, edges, rounds = 4)
-        .select(col("node"), col("community")),
+      graft.operators.Graph.lpLabels(nodes, edges, rounds = 4),
       edges)
   }
 
@@ -9293,8 +9296,7 @@ object Queries {
     val nodes = Tables.nation(s, d).select(col("n_name").as("node"))
     val edges = tradeEdges(s, d).localCheckpoint()
     graft.operators.Graph.louvainMove(
-      graft.operators.Graph.labelPropagation(nodes, edges, rounds = 4)
-        .select(col("node"), col("community")),
+      graft.operators.Graph.lpLabels(nodes, edges, rounds = 4),
       edges)
   }
 

@@ -13,8 +13,70 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Footer-schema cache. `spark.read.parquet(path)` with no explicit
+    * schema runs a footer-inference Spark JOB at every DataFrame
+    * construction — profiled at ~0.1 s per table reference, ×2-6 tables ×
+    * every query on the bench wall (a production engine reads schemas
+    * from a catalog, not per-query footer jobs). Keyed by canonical path
+    * + mtime + size + the nanos legacy conf, so a fixture the driver
+    * regenerates IN PLACE misses the cache and re-infers (the
+    * events.ts-drift scenario the probe discipline exists for), and
+    * sessions with different nanos handling never share an entry. Values
+    * are schemas only — never data, never results. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def cachedSchema(spark: SparkSession,
+      path: String): org.apache.spark.sql.types.StructType = {
+    val nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val key = try {
+      val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      val attrs = java.nio.file.Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"$p@${attrs.lastModifiedTime.toMillis}:${attrs.size}:$nanos"
+    } catch { case _: Exception =>
+      // non-stat-able path (shouldn't happen for the local fixtures):
+      // fall through to an uncached inference
+      return spark.read.parquet(path).schema
+    }
+    schemaCache.computeIfAbsent(key, _ => spark.read.parquet(path).schema)
+  }
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    spark.read.schema(cachedSchema(spark, path)).parquet(path)
+  }
+
+  /** Total row count straight from the parquet FOOTER(s) — driver-side
+    * metadata, no Spark job (the footer stores per-row-group counts).
+    * Used to SIZE things (streaming state partitions), never to answer
+    * queries. Same mtime+size cache key discipline as [[cachedSchema]]. */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def parquetRowCount(s: SparkSession, path: String): Long = {
+    def footerCount(): Long = {
+      val conf = s.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        else Array(p)
+      files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    }
+    val key = try {
+      val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      val attrs = java.nio.file.Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"$p@${attrs.lastModifiedTime.toMillis}:${attrs.size}"
+    } catch { case _: Exception => return footerCount() }
+    rowCountCache.computeIfAbsent(key, _ => footerCount()).longValue()
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
@@ -38,18 +100,18 @@ object Tables {
     * footer's logical-type annotation and accepts ONLY genuine
     * TIMESTAMP(NANOS), failing loudly on anything else.
     *
-    * Deliberately NOT memoized: the probe runs once per plan construction
-    * (a footer read, microseconds against any real query), and caching by
-    * path would (a) skip the `nanosAsLong` conf-set for a second
-    * SparkSession in the same JVM — whose subsequent NANOS read then
-    * throws [PARQUET_TYPE_ILLEGAL] — and (b) return a stale type for a
-    * fixture the driver regenerated in place mid-JVM, which is exactly
-    * the drift scenario the probe exists to catch. */
+    * The probe reads through [[cachedSchema]]: the conf-set below still
+    * runs unconditionally per call (so a second SparkSession in the same
+    * JVM gets it before ITS first NANOS read — the cache key carries the
+    * conf value, so the sessions never share a wrongly-conf'd entry), and
+    * the mtime+size key re-probes a fixture the driver regenerates in
+    * place mid-JVM — exactly the drift scenario this probe exists to
+    * catch. */
   def eventsTsType(s: SparkSession, path: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     // unconditional: the caller's own read of a NANOS fixture needs it too
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val t = s.read.parquet(path).schema("ts").dataType
+    val t = cachedSchema(s, path)("ts").dataType
     require(t == LongType || t == TimestampType || t == TimestampNTZType,
       s"events.ts has unsupported physical type $t at $path — expected " +
         "int64 TIMESTAMP(NANOS), timestamp, or timestamp_ntz")

@@ -740,7 +740,11 @@ object Analytics {
     // compression) is therefore bounded by design, not by the caller
     // guessing `buckets` right. Oracle SQL keeps its fixed-1024 grid —
     // outputs agree because the ranks, not the buckets, are the contract.
-    val nd = rle.count()
+    // exchange-free probe of the checkpointed RLE frame (LoopConf.rowsOf:
+    // per-partition counts fold at the driver) — DataFrame.count() ran a
+    // full partial+final aggregate job per rank build (rho1 pays this
+    // twice, conf1/mw1/lorenz1/trim1 once each)
+    val nd = graft.util.LoopConf.rowsOf(rle)
     val eff = math.max(buckets.toLong, math.min(65536L, nd / 4096L + 1L))
     val mm = rle.agg(min(col("value")).as("vmin"),
       max(col("value")).as("vmax"), sum(col("cnt")).as("n"))
@@ -1875,30 +1879,63 @@ object Analytics {
     // source — the standard persist-the-training-set discipline for
     // iterative ML (folds × iters scans become one)
     val feat = logregFeatures(orders, Seq(foldOf.as("_fold"))).localCheckpoint()
-    val perFold = (0 until folds).map { f =>
-      val last = logisticGdOnFeatures(
-        feat.filter(col("_fold") =!= f).drop("_fold"), iters, lr)
-        .orderBy(col("iter").desc).head
-      val (b0, b1, b2) = (last.getDouble(1), last.getDouble(2), last.getDouble(3))
-      val v = feat.filter(col("_fold") === f).drop("_fold")
-      val z = lit(b0) * col("x0") + lit(b1) * col("x1") + lit(b2) * col("x2")
-      val sg = (lit(1.0) / (lit(1.0) + exp(-z))).as("sg")
-      // same saturation clamp as the training loss (see logisticGdOnFeatures)
-      val sgcV = least(greatest(col("sg"), lit(1e-9)), lit(1.0) - lit(1e-9))
-      v.select(col("y"), sg)
-        .agg(count(lit(1)).as("n_val"),
-          sum(floor(-(col("y") * log(sgcV) +
-              (lit(1.0) - col("y")) * log(lit(1.0) - sgcV)) * 1000000.0 + 0.5)
-            .cast("long")).as("_ll"),
-          sum(when((floor(col("sg") * 1000000.0 + 0.5) / 1000000.0 >= 0.5)
-              === (col("y") === 1.0), 1L).otherwise(0L)).as("_ok"))
-        .select(lit(f.toLong).as("fold"), col("n_val"),
-          portableRound(col("_ll").cast("double") / 1000000.0 /
-            col("n_val").cast("double"), 6).as("val_logloss"),
-          portableRound(col("_ok").cast("double") /
-            col("n_val").cast("double"), 6).as("val_acc"))
+    // ALL folds' GD steps ride ONE aggregate per iteration (ml5's
+    // one-agg-per-iteration head-batching applied to folds — VERDICT r15
+    // item 4): fold f's gradient terms are the SAME micro-unit longs the
+    // per-fold filter produced, summed under a `_fold =!= f` guard with
+    // 0 elsewhere, so every β trajectory is bit-identical to
+    // logisticGdOnFeatures over the filtered frame while the job count
+    // drops from folds × iters collects to iters. (The per-iteration
+    // training logloss the trajectory form also computed is dropped: ml4
+    // never read it — only the final betas feed the eval.)
+    def micro(c: Column): Column = floor(c * 1000000.0 + 0.5).cast("long")
+    var betas = Array.fill(folds)(Array(0.0, 0.0, 0.0))
+    for (_ <- 1 to iters) {
+      val aggs = (0 until folds).flatMap { f =>
+        val b = betas(f)
+        val z = lit(b(0)) * col("x0") + lit(b(1)) * col("x1") + lit(b(2)) * col("x2")
+        val sg = lit(1.0) / (lit(1.0) + exp(-z))
+        val m = col("_fold") =!= f
+        sum(when(m, 1L).otherwise(0L)).as(s"n$f") +: (0 until 3).map(j =>
+          sum(when(m, micro((sg - col("y")) * col(s"x$j"))).otherwise(0L))
+            .as(s"g${f}_$j"))
+      }
+      val a = feat.agg(aggs.head, aggs.tail: _*).head
+      betas = Array.tabulate(folds) { f =>
+        val n = a.getLong(f * 4).toDouble
+        require(n > 0, "crossValLogreg needs a non-empty training set per fold")
+        Array.tabulate(3) { j =>
+          val g = a.getLong(f * 4 + 1 + j)
+          math.floor((betas(f)(j) - lr * (g.toDouble / 1000000.0 / n))
+            * 1000000.0 + 0.5) / 1000000.0
+        }
+      }
     }
-    perFold.reduce(_ unionByName _)
+    // held-out eval: each row belongs to exactly ONE fold's validation
+    // set, so the three per-fold aggregates fuse into one groupBy(_fold)
+    // whose sigmoid picks the row's own fold's coefficients — same rows,
+    // same arithmetic, one exchange instead of three aggregate branches
+    val zF = (0 until folds).foldRight(lit(0.0)) { case (f, rest) =>
+      val b = betas(f)
+      when(col("_fold") === f,
+        lit(b(0)) * col("x0") + lit(b(1)) * col("x1") + lit(b(2)) * col("x2"))
+        .otherwise(rest)
+    }
+    val sg = (lit(1.0) / (lit(1.0) + exp(-zF))).as("sg")
+    val sgcV = least(greatest(col("sg"), lit(1e-9)), lit(1.0) - lit(1e-9))
+    feat.select(col("_fold"), col("y"), sg)
+      .groupBy(col("_fold"))
+      .agg(count(lit(1)).as("n_val"),
+        sum(floor(-(col("y") * log(sgcV) +
+            (lit(1.0) - col("y")) * log(lit(1.0) - sgcV)) * 1000000.0 + 0.5)
+          .cast("long")).as("_ll"),
+        sum(when((floor(col("sg") * 1000000.0 + 0.5) / 1000000.0 >= 0.5)
+            === (col("y") === 1.0), 1L).otherwise(0L)).as("_ok"))
+      .select(col("_fold").cast("long").as("fold"), col("n_val"),
+        portableRound(col("_ll").cast("double") / 1000000.0 /
+          col("n_val").cast("double"), 6).as("val_logloss"),
+        portableRound(col("_ok").cast("double") /
+          col("n_val").cast("double"), 6).as("val_acc"))
   }
 
   /** ML2 — reliability (calibration) bins of the trained model: decile

@@ -246,10 +246,39 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, n: Int = 5,
                         minJaccard: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOTE (r16): this window form shuffles + sorts the whole exploded
+    // index on doc_id just to count each doc's shingles — kept ONLY
+    // because d4_ngram_jaccard is a bench CANARY whose plan must stay
+    // frozen for cross-round noise calibration (Bench.quietRef). Every
+    // other caller uses [[ngramJaccardPairsMapCount]], which computes
+    // the identical count map-side.
     val inv = documents
       .select(col("doc_id"),
         explode(array_distinct(shingle_hashes(col("text"), n))).as("h"))
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    scoredPairs(inv, minJaccard)
+  }
+
+  /** [[ngramJaccardPairs]] minus the window: each doc's shingle count is
+    * the SIZE of its distinct-hash array, computed in the same map-side
+    * projection that feeds the explode — identical value (the window
+    * counted exploded rows per doc, which IS the array size), without
+    * hash-exchanging and sorting the entire inverted index by doc_id
+    * first (twice: the self-join's two branches re-ran the window above
+    * the reused exchange). Scale: deletes a full index-sized shuffle
+    * from d7/d8/clq1/er-family pair generation. */
+  def ngramJaccardPairsMapCount(documents: DataFrame, n: Int = 5,
+                                minJaccard: Double = 0.0): DataFrame = {
+    val withArr = documents.select(col("doc_id"),
+      array_distinct(shingle_hashes(col("text"), n)).as("sh"))
+    val inv = withArr.select(col("doc_id"),
+      size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("h"))
+    scoredPairs(inv, minJaccard)
+  }
+
+  /** Shared tail of the two pair generators: inverted-index self-join on
+    * the shingle hash + exact Jaccard from (na, nb, |∩|). */
+  private def scoredPairs(inv: DataFrame, minJaccard: Double): DataFrame = {
     val a = inv.alias("a")
     val b = inv.alias("b")
     a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -911,12 +940,12 @@ object Dedup {
     // co-shingle pairs corpus-wide and paid 13.4× at the second decade
     // vs d7's 5.4×, SCALE.md §continuation-3; sub-threshold pairs are
     // only ever consumed WITHIN clusters, so score them there)
-    val edges = ngramJaccardPairs(documents, n, minJaccard)
+    val edges = ngramJaccardPairsMapCount(documents, n, minJaccard)
     val clusters = duplicateClusters(edges).localCheckpoint()
     // pass 2: re-score pairs among CLUSTER MEMBERS only — a
     // cluster-bounded frame however big the corpus; within-cluster
     // sub-threshold pairs (the chain-merge evidence) all appear here
-    val scored = ngramJaccardPairs(
+    val scored = ngramJaccardPairsMapCount(
       documents.join(clusters.select(col("doc_id")), Seq("doc_id"),
         "left_semi"), n, 0.0)
     val sizes = clusters.groupBy(col("cluster_rep"))

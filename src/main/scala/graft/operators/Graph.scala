@@ -41,30 +41,46 @@ object Graph {
       .unionByName(nodes.select(col("node").as("src"), col("node").as("dst"),
         lit(0.0).as("w")))
       .localCheckpoint() // reused every round: never replay the edge build
-    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
-    var ranks = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+    // N as a bounded driver scalar (shortestPaths' maxD discipline, read
+    // once BEFORE the rounds): the earlier per-round crossJoin(broadcast(
+    // nn)) re-built the 1-row count subquery as its own broadcast stage in
+    // EVERY round — Spark does not dedup cross-branch subplans — and the
+    // round chains are job-count-bound, not compute-bound. lit(1.0/n) and
+    // lit(teleport/n) are the same IEEE double divisions the broadcast
+    // column fed, so every rank is bit-identical.
+    val nD = nodes.queryExecution.toRdd.count().toDouble
+    var ranks = nodes.select(col("node"), lit(1.0 / nD).as("r"))
     // checkpoint the rank frame every few rounds, not every round: the
     // expensive lineage (the edge build) is already cut by contribs'
     // checkpoint, so short runs execute as one job — but Catalyst
     // re-optimizes the whole accumulated plan per round, which grows
     // superlinearly past a handful of nested join+agg rounds (measured:
     // 50 unckeckpointed rounds hang analysis), so bound the segment depth
-    for (i <- 1 to iters) {
-      ranks = ranks.join(contribs, ranks("node") === contribs("src"))
-        .groupBy(col("dst"))
-        .agg(sum(portableRound(col("r") * col("w"), 12).cast("decimal(28,12)"))
-          .as("contrib"))
-        .crossJoin(broadcast(nn))
-        .select(col("dst").as("node"),
-          // teleport literal rounded to 1e-12 so it is BIT-identical to
-          // the oracle's decimal literal: 1.0 - 0.85 in binary floating
-          // point is 0.15000000000000002, one ulp above the parsed 0.15
-          portableRound(lit(math.floor((1.0 - damping) * 1e12 + 0.5) / 1e12) /
-            col("n") + col("contrib").cast("double"), 10).as("r"))
-      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    // the whole round chain is ONE action planned at whatever conf rules
+    // when the caller finally acts on it — i.e. the session's scan-sized
+    // shuffle partitions, although every post-edge frame is node-bounded.
+    // Execute it HERE, inside a loop-state-sized conf scope ending in a
+    // lineage cut (the one-shot → sized-loop conversion): the returned
+    // frame replays node-sized in-memory blocks, and the caller's action
+    // plans only its own operators at the session conf.
+    val spark = nodes.sparkSession
+    graft.util.LoopConf.withShuffleParts(spark,
+      graft.util.LoopConf.sizedParts(spark, graft.util.LoopConf.rowsOf(contribs))) {
+      for (i <- 1 to iters) {
+        ranks = ranks.join(contribs, ranks("node") === contribs("src"))
+          .groupBy(col("dst"))
+          .agg(sum(portableRound(col("r") * col("w"), 12).cast("decimal(28,12)"))
+            .as("contrib"))
+          .select(col("dst").as("node"),
+            // teleport literal rounded to 1e-12 so it is BIT-identical to
+            // the oracle's decimal literal: 1.0 - 0.85 in binary floating
+            // point is 0.15000000000000002, one ulp above the parsed 0.15
+            portableRound(lit(math.floor((1.0 - damping) * 1e12 + 0.5) / 1e12 /
+              nD) + col("contrib").cast("double"), 10).as("r"))
+        if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      }
+      ranks.select(col("node"), col("r").as("rank")).localCheckpoint()
     }
-    ranks.select(col("node"), col("r").as("rank"))
   }
 
   /** Exact triangle count over an UNDIRECTED edge list, by DEGREE-ORDERED
@@ -205,6 +221,26 @@ object Graph {
     * nothing holds more than (node, label) pairs. */
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
                        rounds: Int = 4): DataFrame = {
+    val labels = lpConverged(nodes, edges, rounds)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("community"), col("community_size"))
+  }
+
+  /** [[labelPropagation]] WITHOUT the community-size rollup: the exact
+    * same converged (node, community) assignment, straight off the
+    * final round's checkpointed label frame. Callers that drop
+    * `community_size` (mod1's audit, louv1's move round) were paying
+    * the sizes aggregation + join in EVERY branch that referenced the
+    * assignment — Spark does not dedup cross-branch subplans. */
+  def lpLabels(nodes: DataFrame, edges: DataFrame,
+               rounds: Int = 4): DataFrame =
+    lpConverged(nodes, edges, rounds)
+      .select(col("node"), col("lbl").as("community"))
+
+  /** The propagation loop itself: converged (node, lbl), checkpointed. */
+  private def lpConverged(nodes: DataFrame, edges: DataFrame,
+                          rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
     val und = undirected(edges)
     val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
@@ -226,9 +262,7 @@ object Graph {
           .localCheckpoint()
       }
     }
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
-    labels.join(sizes, "lbl")
-      .select(col("node"), col("lbl").as("community"), col("community_size"))
+    labels
   }
 
   /** One propagation round's vote table — each node's neighbor labels
@@ -423,12 +457,37 @@ object Graph {
     val after = lbl.join(moves, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("newc"), col("community")).as("community"))
-    def phased(ls: DataFrame, phase: String) =
-      modularity(ls, und.select(col("a").as("src"), col("b").as("dst")))
-        .withColumn("phase", lit(phase))
-    phased(lbl, "before").unionByName(phased(after, "after"))
+    // ONE phase-keyed audit pass instead of two full [[modularity]]
+    // calls: the before/after assignments union (phase-tagged) and tag
+    // the SAME checkpointed edge list once, so every audit exchange —
+    // the endpoint joins, m, d_c, e_c — runs once keyed by (phase,
+    // community) instead of twice (louv1 profiled 91 jobs; the audit
+    // duplication owned the biggest block). Arithmetic is modularity's,
+    // unchanged; per-phase m is that phase's tagged count, exactly the
+    // per-call m of the two-call form.
+    val both = lbl.withColumn("phase", lit("before"))
+      .unionByName(after.withColumn("phase", lit("after")))
+    val pa = both.select(col("node").as("a"), col("phase"),
+      col("community").as("comm_a"))
+    val pb = both.select(col("node").as("b"), col("phase"),
+      col("community").as("comm_b"))
+    val tagged = und.join(pa, Seq("a")).join(pb, Seq("b", "phase"))
+      .localCheckpoint()
+    val mP = tagged.groupBy(col("phase")).agg(count(lit(1)).as("m"))
+    val deg = tagged.select(col("phase"), col("comm_a").as("community"))
+      .unionByName(tagged.select(col("phase"), col("comm_b").as("community")))
+      .groupBy(col("phase"), col("community")).agg(count(lit(1)).as("d_c"))
+    val internal = tagged.filter(col("comm_a") === col("comm_b"))
+      .groupBy(col("phase"), col("comm_a").as("community"))
+      .agg(count(lit(1)).as("e_c"))
+    deg.join(internal, Seq("phase", "community"), "left")
+      .select(col("phase"), col("community"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .join(broadcast(mP), Seq("phase"))
       .select(col("phase"), col("community"), col("e_c"), col("d_c"),
-        col("q_contrib"))
+        portableRound((lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+          .cast("double") / (lit(4L) * col("m") * col("m")).cast("double"), 10)
+          .as("q_contrib"))
       .orderBy(col("phase"), col("community"))
   }
 
@@ -633,17 +692,24 @@ object Graph {
     val tele = math.floor((1.0 - damping) * 1e12 + 0.5) / 1e12
     var ranks = nodes.select(col("node"),
       when(col("node") === source, 1.0).otherwise(0.0).as("r"))
-    for (i <- 1 to iters) {
-      ranks = ranks.join(contribs, ranks("node") === contribs("src"))
-        .groupBy(col("dst"))
-        .agg(sum(portableRound(col("r") * col("w"), 12).cast("decimal(28,12)"))
-          .as("contrib"))
-        .select(col("dst").as("node"),
-          portableRound(when(col("dst") === source, lit(tele))
-            .otherwise(lit(0.0)) + col("contrib").cast("double"), 10).as("r"))
-      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    // same one-shot → sized-loop conversion as [[pageRank]]: execute the
+    // node-bounded round chain inside a sized conf scope, return the
+    // materialized frame
+    val spark = nodes.sparkSession
+    graft.util.LoopConf.withShuffleParts(spark,
+      graft.util.LoopConf.sizedParts(spark, graft.util.LoopConf.rowsOf(contribs))) {
+      for (i <- 1 to iters) {
+        ranks = ranks.join(contribs, ranks("node") === contribs("src"))
+          .groupBy(col("dst"))
+          .agg(sum(portableRound(col("r") * col("w"), 12).cast("decimal(28,12)"))
+            .as("contrib"))
+          .select(col("dst").as("node"),
+            portableRound(when(col("dst") === source, lit(tele))
+              .otherwise(lit(0.0)) + col("contrib").cast("double"), 10).as("r"))
+        if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      }
+      ranks.select(col("node"), col("r").as("proximity")).localCheckpoint()
     }
-    ranks.select(col("node"), col("r").as("proximity"))
   }
 
   /** BFS1 — single-source shortest paths + shortest-path COUNTS over a

@@ -751,15 +751,21 @@ object Similarity {
     * reach the driver per iteration: centroids are metadata, the corpus
     * never collects. Empty clusters keep their previous centroid. */
   def kmeansCentroids(embeddings: DataFrame, nlist: Int, iters: Int = 5): Seq[(Int, Seq[Float])] = {
-    var cents = centroidsOf(embeddings, nlist)
+    // materialize the training set ONCE (ADVICE r15): every iteration's
+    // ivfAssign re-reads the corpus anyway (iters scans → one scan +
+    // block replays — the ml4 persist-the-training-set discipline), and
+    // the loop-sizing probe below then folds in-memory block counts
+    // instead of forcing its own extra full scan of a lazy input frame
+    val e = embeddings.localCheckpoint()
+    var cents = centroidsOf(e, nlist)
     // per-iteration collects are actions on corpus-assignment state whose
     // aggregate is nlist × dim: size their shuffles to the corpus rows,
     // not the session's scan default
     val spark = embeddings.sparkSession
     graft.util.LoopConf.withShuffleParts(spark,
-      graft.util.LoopConf.sizedParts(spark, graft.util.LoopConf.rowsOf(embeddings))) {
+      graft.util.LoopConf.sizedParts(spark, graft.util.LoopConf.rowsOf(e))) {
       for (_ <- 0 until iters) {
-        val means = ivfAssign(embeddings, cents, keep = 1)
+        val means = ivfAssign(e, cents, keep = 1)
           .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("cid"), col("pos"))
           .agg((sum(col("v").cast("decimal(27,7)")) / count(lit(1))).cast("float").as("m"))

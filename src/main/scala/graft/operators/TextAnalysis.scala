@@ -555,9 +555,18 @@ object TextAnalysis {
     val inVocab = pairs
       .join(broadcast(words.withColumnRenamed("word", "a")), Seq("a"))
       .join(broadcast(words.withColumnRenamed("word", "b")), Seq("b"))
-    val edges = inVocab.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(inVocab.select(col("b").as("src"), col("a").as("dst")))
+    // canonicalize BEFORE the distinct and symmetrize AFTER it: the
+    // earlier union-of-two-projections put the whole corpus-sized pair
+    // pipeline on both union branches (Spark does not dedup cross-branch
+    // subplans — the pref1 lesson), scanning documents twice per build.
+    // The distinct set of unordered pairs emitted in both directions is
+    // the identical edge set.
+    val canon = inVocab
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
       .distinct()
+    val edges = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
     Graph.pageRank(words.select(col("word").as("node")), edges, iters)
       .select(col("node").as("word"), col("rank"))
       .orderBy(col("rank").desc, col("word").asc)

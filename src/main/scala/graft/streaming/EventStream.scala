@@ -35,17 +35,36 @@ object EventStream {
     * a few thousand state rows, so inheriting the session's scan-sized
     * `spark.sql.shuffle.partitions` (32 on the bench) made the replays
     * state-store-I/O-bound: ProfileOne measured st16/st17 at ~100 s of
-    * task time for ~4 s of useful work, and the 32→4 A/B cut wall
-    * ~2× (OPTIMIZATION_r15.md). A production deployment sizes this to
-    * state volume / target-partition-size (and can raise it here via
-    * SPARK_GRAFT_STREAM_STATE_PARTS); results are partition-count
-    * independent (hash-partitioned state, order-free folds), which the
-    * batch-parity oracles pin at every SF. */
-  private[streaming] def statePartitions: Int = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "4").toInt
-    require(n >= 1, s"SPARK_GRAFT_STREAM_STATE_PARTS must be >= 1, got $n")
-    n
-  }
+    * task time for ~4 s of useful work, and the 32→4 A/B cut wall ~2×
+    * (OPTIMIZATION_r15.md). Results are partition-count independent
+    * (hash-partitioned state, order-free folds), which the batch-parity
+    * oracles pin at every SF.
+    *
+    * DERIVED, not constant (round-16: the round-15 constant-4 default was
+    * fixture-tuned — VERDICT r15 item 3/7): one partition per
+    * million candidate state rows, floored at 1 and CAPPED at the session
+    * default — LoopConf.sizedParts' discipline with a stream-specific
+    * override env. `stateRows` is an upper bound on the replay's state
+    * keys (its input row count, a free parquet-footer/agg readout at
+    * every call site), so a production deployment whose stream carries
+    * 10⁹+ keys runs at exactly its session default, while the fixture
+    * replays stop paying 32 state-store instances of load+commit I/O per
+    * micro-batch for a few thousand keys. */
+  private[streaming] def statePartitions(spark: SparkSession,
+                                         stateRows: Long): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS").map { v =>
+      val n = v.toInt
+      require(n >= 1, s"SPARK_GRAFT_STREAM_STATE_PARTS must be >= 1, got $n")
+      n
+    }.getOrElse {
+      val session = spark.sessionState.conf.numShufflePartitions
+      math.max(1L, math.min(stateRows / 1000000L + 1L, session.toLong)).toInt
+    }
+
+  /** Upper bound on a fixture replay's state keys: the events file's
+    * row count, straight from the parquet footer (no job). */
+  private def eventsRows(spark: SparkSession, sfDir: String): Long =
+    graft.Tables.parquetRowCount(spark, s"$sfDir/events.parquet")
 
   /** Run `body` (build + start + drain of ONE replay) with
     * `spark.sql.shuffle.partitions` sized to the replay's state rather
@@ -53,10 +72,11 @@ object EventStream {
     * The conf must stay set until `processAllAvailable` returns: Spark
     * pins the value into the stream's OffsetSeqMetadata when the query
     * starts and plans every micro-batch with it. */
-  private[streaming] def withStateSizedShuffle[T](spark: SparkSession)(body: => T): T = {
+  private[streaming] def withStateSizedShuffle[T](spark: SparkSession,
+      stateRows: Long)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, statePartitions.toString)
+    spark.conf.set(key, statePartitions(spark, stateRows).toString)
     try body finally spark.conf.set(key, prev)
   }
 
@@ -99,7 +119,7 @@ object EventStream {
     * return the deduped rows: the result must equal the batch table
     * exactly, which is the stream/batch parity contract for stateful
     * dedup. Single micro-batch, so no duplicate outlives the state. */
-  def runDedupOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark) {
+  def runDedupOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     val srcDir = Files.createTempDirectory("graft-stream-dedup")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -123,7 +143,7 @@ object EventStream {
     * Replayed over the fixture it must equal the equivalent batch
     * range-join row-for-row (the driver oracle). */
   def runIntervalJoinOverFixture(spark: SparkSession, sfDir: String,
-                                 windowMinutes: Int = 10): DataFrame = withStateSizedShuffle(spark) {
+                                 windowMinutes: Int = 10): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     import org.apache.spark.sql.functions._
     val srcDir = Files.createTempDirectory("graft-stream-join")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
@@ -164,7 +184,7 @@ object EventStream {
     * past the real data, which flushes every buffered outer row — the
     * same trick a production pipeline plays with source heartbeats. */
   def runLeftOuterJoinOverFixture(spark: SparkSession, sfDir: String,
-                                  windowMinutes: Int = 10): DataFrame = withStateSizedShuffle(spark) {
+                                  windowMinutes: Int = 10): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     import org.apache.spark.sql.functions._
     val srcDir = Files.createTempDirectory("graft-stream-loj")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
@@ -214,7 +234,7 @@ object EventStream {
     * ([[StatefulSessions.patternHits]]); exact parity with the batch
     * `sequenceMatch` is the contract. */
   def runPatternOverFixture(spark: SparkSession, sfDir: String,
-                            pattern: Seq[String]): DataFrame = withStateSizedShuffle(spark) {
+                            pattern: Seq[String]): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft-stream-pattern")
@@ -253,7 +273,7 @@ object EventStream {
     *     Eviction markers (week_offset −1) and the sentinel are filtered
     *     from the result; the spec counts them to prove eviction fired. */
   def runRetentionOverFixture(spark: SparkSession, sfDir: String,
-                              horizonDays: Int = 90): DataFrame = withStateSizedShuffle(spark) {
+                              horizonDays: Int = 90): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     import spark.implicits._
     val codec = codecFor(spark, s"$sfDir/events.parquet")
     // eviction timers sit at last-activity + horizon; last activity ≤ t1,
@@ -293,7 +313,7 @@ object EventStream {
     * no user can emit −1 while their conversion is still in flight —
     * which is exactly the batch query's unbounded-lookahead semantics on
     * a finite fixture. */
-  def runTimeToConvertOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark) {
+  def runTimeToConvertOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     import spark.implicits._
     val codec = codecFor(spark, s"$sfDir/events.parquet")
     // no-convert timers sit at first-view + (span + 1 day); first view
@@ -335,7 +355,7 @@ object EventStream {
     * The sentinel carries its own event type (`__sentinel__`), NOT a real
     * one: keyed-by-type state would otherwise absorb the far-future row
     * as a real observation and stretch that key's span by 400 days. */
-  def runGapFillOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark) {
+  def runGapFillOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     import spark.implicits._
     val codec = codecFor(spark, s"$sfDir/events.parquet")
     // flush timers sit at (earliest open day + 1 day); 2 days past the
@@ -407,7 +427,7 @@ object EventStream {
     * carries across micro-batches) + a far-future sentinel batch (user −1,
     * filtered after the watermark node) that flushes the tail windows. */
   def runRollingActiveOverFixture(spark: SparkSession, sfDir: String,
-                                  days: Int = 7): DataFrame = withStateSizedShuffle(spark) {
+                                  days: Int = 7): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     import spark.implicits._
     val codec = codecFor(spark, s"$sfDir/events.parquet")
     // the w_day_ts watermark lags by `days` and real window-starts reach
@@ -476,7 +496,7 @@ object EventStream {
     * parity, not a tolerance gate). Sentinel rows (user −1 at +400 days)
     * advance the watermark to flush every key's tail days; their own
     * never-sealed far-future day is trimmed by the `day ≤ dmax` filter. */
-  def runAnomalyOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark) {
+  def runAnomalyOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     import spark.implicits._
     val codec = codecFor(spark, s"$sfDir/events.parquet")
     // day-seal timers re-arm at (earliest open day + 1 day); 2 + trailing
@@ -513,7 +533,7 @@ object EventStream {
     * digit. Sentinel flushes the tail; its unsealed far-future day never
     * emits, `day ≤ dmax` trims belt-and-braces. */
   def runCusumOverFixture(spark: SparkSession, sfDir: String,
-                          warmDays: Int = 10): DataFrame = withStateSizedShuffle(spark) {
+                          warmDays: Int = 10): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     import spark.implicits._
     val codec = codecFor(spark, s"$sfDir/events.parquet")
     val (srcDir, _, t1) = stageTimeRangeReplay(spark, sfDir, codec, "click",
@@ -543,7 +563,7 @@ object EventStream {
     * rows equal hw1's batch fold digit for digit (same oracle). The
     * sentinel's own (unsealed) day never emits; the `day <= dmax` trim
     * is belt and braces, st12-style. */
-  def runHoltOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark) {
+  def runHoltOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     import spark.implicits._
     val codec = codecFor(spark, s"$sfDir/events.parquet")
     val (srcDir, _, t1) = stageTimeRangeReplay(spark, sfDir, codec, "click",
@@ -580,7 +600,7 @@ object EventStream {
     * distinct counts. Far-future sentinel (user −1) flushes the last open
     * window; its own far-future cell is trimmed on the result, st9-style. */
   def runDailySketchOverFixture(spark: SparkSession, sfDir: String,
-                                lgK: Int = 12): DataFrame = withStateSizedShuffle(spark) {
+                                lgK: Int = 12): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft-stream-sketch")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
@@ -636,7 +656,7 @@ object EventStream {
 
   /** Replay the fixture through the stream-static enrich against a
     * RESTRICTED dim slice (so real misses exercise the default path). */
-  def runEnrichOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark) {
+  def runEnrichOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     val srcDir = Files.createTempDirectory("graft-stream-enrich")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -779,7 +799,7 @@ object EventStream {
     * overhead (per-batch checkpoint + planning dominated the round-1 st1
     * number and made it the noisiest headline query). A real deployment
     * paces triggers by arrival; a finite replay has no reason to. */
-  def runWindowedOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark) {
+  def runWindowedOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     val srcDir = Files.createTempDirectory("graft-stream-src")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -807,7 +827,7 @@ object EventStream {
     * open windows), evicted by the watermark; the far-future sentinel
     * flushes the last open week, and its own week is trimmed st9-style.
     * Append mode: each bar emits exactly once, when its window seals. */
-  def runOhlcOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark) {
+  def runOhlcOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     val srcDir = Files.createTempDirectory("graft-stream-ohlc")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -870,7 +890,7 @@ object EventStream {
     * keyed lake table (the u5 upsert shape: one shuffle per batch on the
     * merge key, costed by batch size + touched keys, never by stream
     * history). */
-  def runCdcMergeOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark) {
+  def runCdcMergeOverFixture(spark: SparkSession, sfDir: String): DataFrame = withStateSizedShuffle(spark, eventsRows(spark, sfDir)) {
     val srcDir = Files.createTempDirectory("graft-stream-cdc")
     val codec = codecFor(spark, s"$sfDir/events.parquet")
     spark.read.schema(codec.rawSchema).parquet(s"$sfDir/events.parquet")

@@ -36,9 +36,13 @@ object FrontierStream {
     * `onBatch` fires per non-empty micro-batch (specs count it to prove
     * the replay is genuinely multi-batch). */
   def runFrontierOverFixture(spark: SparkSession, fetches: DataFrame,
-                             onBatch: Long => Unit = _ => ()): DataFrame = EventStream.withStateSizedShuffle(spark) {
+                             onBatch: Long => Unit = _ => ()): DataFrame = {
+    // count rides the bounds agg the splitter already runs: it sizes the
+    // replay's state partitions (EventStream.statePartitions) for free
+    val bounds = fetches
+      .agg(min(col("page_id")), max(col("page_id")), count(lit(1))).head
+    EventStream.withStateSizedShuffle(spark, bounds.getLong(2)) {
     val srcDir = Files.createTempDirectory("graft-stream-frontier")
-    val bounds = fetches.agg(min(col("page_id")), max(col("page_id"))).head
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = (hi - lo) / 3 + 1
     for (i <- 0 until 3)
@@ -100,5 +104,6 @@ object FrontierStream {
         Seq("canonical_url"))
       .select(col("canonical_url"), col("n_fetches"), col("n_raw_forms"),
         col("kept_page_id"), col("first_ts"))
+    }
   }
 }

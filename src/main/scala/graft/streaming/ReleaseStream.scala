@@ -47,10 +47,13 @@ object ReleaseStream {
   def runDeltaAdmissionOverFixture(
       spark: SparkSession, delta: DataFrame, baseRel: DataFrame,
       gateOk: DataFrame => DataFrame,
-      onBatch: Long => Unit = _ => ()): (DataFrame, DataFrame, Long) =
-    EventStream.withStateSizedShuffle(spark) {
+      onBatch: Long => Unit = _ => ()): (DataFrame, DataFrame, Long) = {
+    // count rides the bounds agg the splitter already runs: it sizes the
+    // replay's state partitions (EventStream.statePartitions) for free
+    val bounds = delta
+      .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1))).head
+    EventStream.withStateSizedShuffle(spark, bounds.getLong(2)) {
     val srcDir = Files.createTempDirectory("graft-stream-release")
-    val bounds = delta.agg(min(col("doc_id")), max(col("doc_id"))).head
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = (hi - lo) / 3 + 1
     for (i <- 0 until 3)
@@ -110,5 +113,6 @@ object ReleaseStream {
       .start()
     try q.processAllAvailable() finally { q.stop(); rmTree(srcDir) }
     (seen, admitted, nGateOk)
+    }
   }
 }

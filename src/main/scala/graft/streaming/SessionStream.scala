@@ -90,7 +90,8 @@ object SessionStream {
     * the replay is in-order within its single real batch. */
   def runOverFixture(spark: SparkSession, sfDir: String,
                      gapMinutes: Int = 30): org.apache.spark.sql.DataFrame =
-    EventStream.withStateSizedShuffle(spark) {
+    EventStream.withStateSizedShuffle(spark,
+      graft.Tables.parquetRowCount(spark, s"$sfDir/events.parquet")) {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     import java.nio.file.{Files, Paths, StandardCopyOption}

@@ -44,7 +44,7 @@ object SftPackStream {
   def runSftPackOverFixture(spark: SparkSession, conv: DataFrame,
                             capacity: Int = 128, shards: Int = 4,
                             salt: String = "rel3",
-                            onBatch: Long => Unit = _ => ()): DataFrame = EventStream.withStateSizedShuffle(spark) {
+                            onBatch: Long => Unit = _ => ()): DataFrame = {
     require(capacity > 0 && shards > 0, s"bad capacity/shards: $capacity/$shards")
     val cap = capacity.toLong
     val annotated = conv.select(
@@ -57,10 +57,13 @@ object SftPackStream {
       col("doc_id"),
       least(col("n_tokens_used").cast("long"), lit(cap)).as("eff_tok"),
       col("assistant_tokens").cast("long").as("a_tok"))
-    val srcDir = Files.createTempDirectory("graft-stream-sftpack")
     // split the replay on ORD boundaries: the per-shard processing order,
-    // so each batch is a prefix-extension of every shard's fold
-    val bounds = annotated.agg(min(col("ord")), max(col("ord"))).head
+    // so each batch is a prefix-extension of every shard's fold. The
+    // count rides the bounds agg and sizes the replay's state partitions.
+    val bounds = annotated
+      .agg(min(col("ord")), max(col("ord")), count(lit(1))).head
+    EventStream.withStateSizedShuffle(spark, bounds.getLong(2)) {
+    val srcDir = Files.createTempDirectory("graft-stream-sftpack")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = (hi - lo) / 3 + 1
     for (i <- 0 until 3)
@@ -158,5 +161,6 @@ object SftPackStream {
         graft.functions.portableRound(
           col("n_tokens").cast("double") / (col("n_bins") * capacity.toDouble), 6)
           .as("mean_fill"))
+    }
   }
 }

@@ -12,23 +12,43 @@ class EventStreamSpec extends SparkTestBase {
   }
 
   test("replays run state-sized shuffle partitions and restore the session conf") {
-    // r15 optimization: a replay's stateful stages run at the state-sized
-    // partition count (default 4, env-overridable), NOT the session's
-    // scan-sized spark.sql.shuffle.partitions — and the session value is
-    // restored afterwards (Bench re-sets its default per query; Verify
-    // relies on the restore). Parity of results at the smaller count is
-    // what every assertSameRows in this suite now exercises.
+    // r15 optimization + r16 derivation: a replay's stateful stages run
+    // at a partition count DERIVED from the replay's input volume
+    // (1/1M rows, floor 1, capped at the session default — LoopConf's
+    // discipline, env-overridable), NOT the session's scan-sized
+    // spark.sql.shuffle.partitions — and the session value is restored
+    // afterwards (Bench re-sets its default per query; Verify relies on
+    // the restore). Parity of results at the smaller count is what every
+    // assertSameRows in this suite now exercises.
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     var seen: String = null
-    EventStream.withStateSizedShuffle(spark) { seen = spark.conf.get(key) }
-    assert(seen == EventStream.statePartitions.toString)
+    EventStream.withStateSizedShuffle(spark, 1000L) { seen = spark.conf.get(key) }
+    assert(seen == EventStream.statePartitions(spark, 1000L).toString)
     assert(spark.conf.get(key) == before)
     // restore also on failure inside the scope
     intercept[RuntimeException] {
-      EventStream.withStateSizedShuffle(spark) { throw new RuntimeException("x") }
+      EventStream.withStateSizedShuffle(spark, 1000L) { throw new RuntimeException("x") }
     }
     assert(spark.conf.get(key) == before)
+  }
+
+  test("statePartitions derives from state volume, capped at the session default") {
+    val session = spark.sessionState.conf.numShufflePartitions
+    if (sys.env.contains("SPARK_GRAFT_STREAM_STATE_PARTS")) {
+      // env override wins verbatim — the derivation is bypassed
+      val n = sys.env("SPARK_GRAFT_STREAM_STATE_PARTS").toInt
+      assert(EventStream.statePartitions(spark, 1L) == n)
+    } else {
+      // tiny state → 1 partition (floor); linear in millions of rows;
+      // huge state → exactly the session default (the cap: the knob can
+      // only shrink toward the data, never starve a 100 TB stream)
+      assert(EventStream.statePartitions(spark, 0L) == 1)
+      assert(EventStream.statePartitions(spark, 999999L) == 1)
+      assert(EventStream.statePartitions(spark, 5000000L) ==
+        math.min(6, session))
+      assert(EventStream.statePartitions(spark, Long.MaxValue / 2) == session)
+    }
   }
 
   test("streaming CDC merge converges to the batch per-user argmax") {
