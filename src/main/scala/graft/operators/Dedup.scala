@@ -271,8 +271,17 @@ object Dedup {
                                 minJaccard: Double = 0.0): DataFrame = {
     val withArr = documents.select(col("doc_id"),
       array_distinct(shingle_hashes(col("text"), n)).as("sh"))
+    // materialize the exploded index ONCE before the self-join: the two
+    // join branches otherwise re-run the shingle kernel + explode (Spark
+    // only dedups exchanges, not projections — the window form's doc_id
+    // exchange was accidentally serving as the shared materialization
+    // point, measured 10-15% faster than the naive map-count form on
+    // d8). A lineage cut keeps AQE free to pick the join strategy from
+    // the materialized size (an explicit repartition(h) measured worse:
+    // it pinned the join to a sort-merge over session-width partitions).
     val inv = withArr.select(col("doc_id"),
       size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("h"))
+      .localCheckpoint()
     scoredPairs(inv, minJaccard)
   }
 
