@@ -103,12 +103,18 @@ object Graph {
     * id-width joins; the wedge join shuffles on the shared endpoint and
     * the closing join on the (v, w) pair — every exchanged row is ids +
     * one long degree. */
-  def triangleCount(edges: DataFrame): DataFrame =
-    orientedWedges(edges, byDegree = true)
-      .join(orientEdges(edges, byDegree = true)
-          .select(col("u").as("cu"), col("v").as("cv")),
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // materialize the oriented edge list ONCE: the wedge join's two
+    // branches and the closing join otherwise each rebuild the
+    // undirected-dedup + degree joins (three copies of the same subtree —
+    // exchange reuse only dedups the identical deepest exchanges, not the
+    // join work above them)
+    val o = orientEdges(edges, byDegree = true).localCheckpoint()
+    orientedWedgesOf(o, byDegree = true)
+      .join(o.select(col("u").as("cu"), col("v").as("cv")),
         col("w1") === col("cu") && col("w2") === col("cv"))
       .agg(count(lit(1)).as("n_triangles"))
+  }
 
   /** Canonical undirected edge set: low-id→high-id, self-loops dropped,
     * duplicates removed. */
@@ -279,8 +285,13 @@ object Graph {
   /** Wedges (u; w1, w2) with rank(w1) < rank(w2) under the chosen
     * orientation — the unit whose volume Σ_u C(outdeg(u), 2) is the cost
     * of triangle counting (exposed for GraphSpec's skew measurement). */
-  private[operators] def orientedWedges(edges: DataFrame, byDegree: Boolean): DataFrame = {
-    val o = orientEdges(edges, byDegree)
+  private[operators] def orientedWedges(edges: DataFrame, byDegree: Boolean): DataFrame =
+    orientedWedgesOf(orientEdges(edges, byDegree), byDegree)
+
+  /** [[orientedWedges]] over an ALREADY-oriented (and ideally
+    * materialized) edge list — lets [[triangleCount]] share one oriented
+    * build across the wedge branches and the closing join. */
+  private def orientedWedgesOf(o: DataFrame, byDegree: Boolean): DataFrame = {
     val rankLt =
       if (byDegree) col("d1") < col("d2") ||
         (col("d1") === col("d2") && col("w1") < col("w2"))
